@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table loading + oracle-determinism helpers shared by all operators.
+  *
+  * Determinism contract: every query in [[SparkEntry.queries]] must produce
+  * bit-identical values to its DuckDB oracle. Floating-point SUM/AVG are the
+  * only non-deterministic spots (summation order differs between engines),
+  * so money-like doubles are routed through an exact decimal accumulation
+  * and only cast back to double at the end — both engines then produce the
+  * exact same IEEE-754 bits.
+  */
+object Tables {
+
+  /** Load one of the driver-generated tables from a scale-factor dir.
+    *
+    * `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark 4 does
+    * not read natively; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and the loader converts
+    * the resulting nanos-since-epoch long to a microsecond timestamp
+    * (documented ns→µs truncation, SURVEY §1.2).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+    else df
+  }
+
+  /** Exact sum of a double column with `scale` meaningful decimals:
+    * accumulate as decimal (exact, order-insensitive), emit double.
+    * Oracle equivalent: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact mean: decimal sum divided by count in double arithmetic.
+    * Oracle: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / COUNT(x).
+    */
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(c)
+}

@@ -1,0 +1,334 @@
+package graft.operators
+
+import graft.Tables.{t, dsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface (SURVEY.md §2.1–§2.3, §2.5).
+  *
+  * The reference (kaori-seasons/lance-flink) delegates all general
+  * relational processing to the host engine (SURVEY §2.5); here the host
+  * engine is Catalyst, so these queries both exercise the engine-delegated
+  * operators (sort, join, window, set ops, having) and the scan-time
+  * rewrites the reference pushes into its source (projection P1, filter
+  * P2–P8, limit P9, aggregate A1–A9 — cf.
+  * reference table/LanceDynamicTableSource.java:162-512).
+  *
+  * Every query is written scale-first: filters/projections sit directly on
+  * the scan so Catalyst pushes them into Parquet (PushedFilters +
+  * ReadSchema), small dimension tables are broadcast, aggregates are
+  * partial+final hash aggregates, and ORDER BY is always on a bounded
+  * result (never a full-table global sort unless the query itself is a
+  * sort benchmark).
+  */
+object Relational {
+
+  /** A1–A9: grouped aggregation over the largest table (TPC-H Q1 shape).
+    * Partial agg happens map-side; 6 groups → tiny shuffle.
+    */
+  def q01AggLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** P1+P2: projection + predicate pushdown; both reach the Parquet scan. */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** P9: ordered limit → TakeOrderedAndProject (no global sort). */
+  def q03TopkLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** S4/A3: COUNT(*) — answerable from footer metadata at scan time. */
+  def q04CountStar(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /** A4: exact COUNT(DISTINCT) — hash-based with spill, unlike the
+    * reference's unbounded HashSet (AggregateExecutor.java:452-461).
+    */
+  def q05CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** A7: MIN/MAX over numerics, strings, and temporals. */
+  def q06MinMax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate").cast("date")).as("min_ship"),
+        max(col("l_shipdate").cast("date")).as("max_ship"))
+      .orderBy(col("l_returnflag"))
+
+  /** Broadcast join: 1.5k customers broadcast to the 15k-order side.
+    * At 100 TB the customer dim stays broadcastable far longer than the
+    * fact side grows; AQE converts to shuffle join only if it outgrows
+    * the threshold.
+    */
+  def q07JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Engine-delegated multi-column sort with mixed asc/desc (SURVEY §2.5). */
+  def q08SortMulti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus").desc, col("o_orderkey"))
+
+  /** P4: IS NOT NULL pushdown (reference :248-258). */
+  def q09NullFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("props").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("props")).as("n_props"))
+      .orderBy(col("event_type"))
+
+  /** P5: LIKE pushdown (reference :260-262). */
+  def q10Like(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_name").like("%re%"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
+  /** P7: IN predicate — the reference rejects IN (a latent bug,
+    * LanceDynamicTableSource.java:263 vs its own test :248-268); we push it.
+    */
+  def q11In(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** P2 range predicate (BETWEEN decomposes to >= AND <=). */
+  def q12Between(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity").between(10, 20))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+
+  /** A8: empty-input aggregate defaults — COUNT→0, SUM/MIN→NULL
+    * (reference AggregateExecutor.getDefaultResults :218-244).
+    */
+  def q13EmptyAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") < -1)
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"))
+
+  /** 3-way join: two broadcast dims against the fact table, one shuffle. */
+  def q14Join3Agg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Window function (SURVEY §2.5 "absent from the reference entirely"):
+    * top order per customer. Partition by key → single shuffle, no skew
+    * (keys ~uniform); ties broken by orderkey for determinism.
+    */
+  def q15WindowTopn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Set operation: EXCEPT (distinct) — negative-balance customers that
+    * never placed a high-value order.
+    */
+  def q16Except(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("c_custkey"))
+    c.except(o).orderBy(col("c_custkey"))
+  }
+
+  /** GROUP BY + HAVING with deterministic top-N. */
+  def q17Having(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 8)
+      .orderBy(col("n").desc, col("l_partkey"))
+      .limit(50)
+
+  /** Event-time tumbling window over the events stream table (batch view).
+    * Hour-bucket emitted as a string so both engines hash identically.
+    */
+  def q18EventsHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Daily distinct users — COUNT(DISTINCT) under a group. */
+  def q19DailyUsers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+
+  /** Left-semi join (EXISTS): customers that have orders, by segment. */
+  def q20SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_lineitem" -> q01AggLineitem,
+    "q02_filter_project" -> q02FilterProject,
+    "q03_topk_limit" -> q03TopkLimit,
+    "q04_count_star" -> q04CountStar,
+    "q05_count_distinct" -> q05CountDistinct,
+    "q06_minmax" -> q06MinMax,
+    "q07_join_agg" -> q07JoinAgg,
+    "q08_sort_multi" -> q08SortMulti,
+    "q09_null_filter" -> q09NullFilter,
+    "q10_like" -> q10Like,
+    "q11_in" -> q11In,
+    "q12_between" -> q12Between,
+    "q13_empty_agg" -> q13EmptyAgg,
+    "q14_join3_agg" -> q14Join3Agg,
+    "q15_window_topn" -> q15WindowTopn,
+    "q16_except" -> q16Except,
+    "q17_having" -> q17Having,
+    "q18_events_hourly" -> q18EventsHourly,
+    "q19_daily_users" -> q19DailyUsers,
+    "q20_semi_join" -> q20SemiJoin,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_topk_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_count_star" -> "SELECT COUNT(*) AS cnt FROM lineitem",
+    "q05_count_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
+    "q06_minmax" ->
+      """SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        | MIN(CAST(l_shipdate AS DATE)) AS min_ship, MAX(CAST(l_shipdate AS DATE)) AS max_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q07_join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q08_sort_multi" ->
+      """SELECT o_orderpriority, o_orderstatus, o_orderkey FROM orders
+        |WHERE o_totalprice > 400000
+        |ORDER BY o_orderpriority, o_orderstatus DESC, o_orderkey""".stripMargin,
+    "q09_null_filter" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(props) AS n_props
+        |FROM events WHERE props IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q10_like" ->
+      """SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%re%'
+        |ORDER BY p_partkey""".stripMargin,
+    "q11_in" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_orderstatus IN ('O','F')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q12_between" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_quantity BETWEEN 10 AND 20""".stripMargin,
+    "q13_empty_agg" ->
+      """SELECT COUNT(*) AS cnt,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | MIN(l_quantity) AS min_qty
+        |FROM lineitem WHERE l_quantity < -1""".stripMargin,
+    "q14_join3_agg" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q15_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q16_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders
+        | WHERE o_totalprice > 200000
+        |ORDER BY c_custkey""".stripMargin,
+    "q17_having" ->
+      """SELECT l_partkey, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_partkey HAVING COUNT(*) >= 8
+        |ORDER BY n DESC, l_partkey LIMIT 50""".stripMargin,
+    "q18_events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q19_daily_users" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS n_users,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q20_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+  )
+}

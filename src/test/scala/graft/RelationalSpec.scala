@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites — one local JVM session, UTC, 8 threads. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every query has an oracle and runs at sf0.001") {
+    val qs = SparkEntry.queries
+    val os = SparkEntry.oracleSql
+    // every oracle key must have a query; queries without oracle are the
+    // documented weaker rows-only set
+    assert(os.keySet.subsetOf(qs.keySet), s"orphan oracles: ${os.keySet -- qs.keySet}")
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.count() // must execute without throwing
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 agg semantics: groups and counts") {
+    val rows = operators.Relational.q01AggLineitem(spark, sf).collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val cnt = Tables.t(spark, sf, "lineitem")
+      .filter("l_shipdate <= timestamp'1998-09-02'").count()
+    assert(total == cnt)
+  }
+
+  test("q13 empty-input aggregate defaults: COUNT=0, SUM/MIN null") {
+    val r = operators.Relational.q13EmptyAgg(spark, sf).collect().head
+    assert(r.getAs[Long]("cnt") == 0L)
+    assert(r.isNullAt(r.fieldIndex("sum_qty")))
+    assert(r.isNullAt(r.fieldIndex("min_qty")))
+  }
+
+  test("q03 topk is ordered desc") {
+    val prices = operators.Relational.q03TopkLimit(spark, sf)
+      .collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q15 window picks exactly one row per customer") {
+    val df = operators.Relational.q15WindowTopn(spark, sf)
+    assert(df.count() == df.select("o_custkey").distinct().count())
+  }
+}
