@@ -15,6 +15,7 @@ object SparkEntry {
   private def bundles: Seq[(Map[String, (SparkSession, String) => DataFrame],
     Map[String, String])] = Seq(
     (operators.Relational.queries, operators.Relational.oracleSql),
+    (operators.Similarity.queries, operators.Similarity.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

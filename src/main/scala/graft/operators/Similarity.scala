@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables.t
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KNN / similarity search (SURVEY §2.4 V1–V7).
+  *
+  * Exact path: distance expression + `orderBy(dist).limit(k)`, which
+  * Catalyst plans as `TakeOrderedAndProjectExec` — each partition keeps a
+  * k-row heap, the driver merges k·numPartitions rows. No global sort, no
+  * full shuffle; this is the correct distributed top-k at any scale. The
+  * reference gets the same semantics from Lance-Rust
+  * (`LanceVectorSearch.java:121-210`); an IVF-pruned variant lives in
+  * graft.index.
+  */
+object Similarity {
+
+  /** Programmatic KNN — parity with reference `LanceVectorSearch.search`
+    * (V1/V3/V6): optional pre-filter, `_distance` appended, top-k.
+    */
+  def knnSearch(df: DataFrame, vectorCol: String, query: Array[Float], k: Int,
+      metric: String = "l2", filter: Option[Column] = None): DataFrame = {
+    validateQueryVector(query)
+    require(k > 0, "k must be positive")
+    val q = lit(query.map(_.toDouble))
+    val dist = metric.toLowerCase match {
+      case "l2" => l2_distance(col(vectorCol), q)
+      case "cosine" => cosine_distance(col(vectorCol), q)
+      case "dot" => -dot_product(col(vectorCol), q) // larger dot = closer
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    val base = filter.fold(df)(df.filter)
+    base.withColumn("_distance", dist)
+      .orderBy(col("_distance"))
+      .limit(k)
+  }
+
+  /** The embeddings table joined with the query vector of `vec_id = qid`
+    * via a broadcast single-row cross join — the query vector never leaves
+    * the plan, so the same code runs unchanged on a cluster.
+    */
+  private def withQueryVec(spark: SparkSession, dir: String, qid: Long): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= qid).crossJoin(broadcast(q))
+  }
+
+  /** V1+V2: exact KNN under L2, top 10. */
+  def v21KnnL2(spark: SparkSession, dir: String): DataFrame =
+    withQueryVec(spark, dir, 0L)
+      .select(col("vec_id"), l2_distance(col("embedding"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+
+  /** V2: cosine metric. */
+  def v22KnnCosine(spark: SparkSession, dir: String): DataFrame =
+    withQueryVec(spark, dir, 1L)
+      .select(col("vec_id"), cosine_distance(col("embedding"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+
+  /** V2 dot metric + V4 similarity transform on the L2 distance. */
+  def v23DotSimilarity(spark: SparkSession, dir: String): DataFrame =
+    withQueryVec(spark, dir, 2L)
+      .select(
+        col("vec_id"),
+        dot_product(col("embedding"), col("qv")).as("dot"),
+        similarity(l2_distance(col("embedding"), col("qv"))).as("sim"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(10)
+
+  /** Per-label centroid-ish stats over vector norms: exercises the distance
+    * expression inside a hash aggregate (vector column never shuffled raw —
+    * only the scalar norm).
+    */
+  def v24NormStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    e.select(col("label"),
+        dot_product(col("embedding"), col("embedding")).as("norm2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("norm2").cast("decimal(18,9)")).cast("double").as("sum_norm2"),
+        min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"))
+      .orderBy(col("label"))
+  }
+
+  private val l2SqlBody =
+    """sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |  i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i]))))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v21_knn_l2" -> v21KnnL2,
+    "v22_knn_cosine" -> v22KnnCosine,
+    "v23_dot_similarity" -> v23DotSimilarity,
+    "v24_norm_stats" -> v24NormStats,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "v21_knn_l2" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $l2SqlBody AS dist
+         |FROM embeddings e, q WHERE e.vec_id <> 0
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "v22_knn_cosine" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1)
+        |SELECT e.vec_id,
+        | 1.0 - list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> e.embedding[i]::DOUBLE * q.qv[i]))
+        |   / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |        i -> q.qv[i] * q.qv[i])))) AS dist
+        |FROM embeddings e, q WHERE e.vec_id <> 1
+        |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "v23_dot_similarity" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
+        |SELECT e.vec_id,
+        | list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> e.embedding[i]::DOUBLE * q.qv[i])) AS dot,
+        | 1.0 / (1.0 + sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i]))))) AS sim
+        |FROM embeddings e, q WHERE e.vec_id <> 2
+        |ORDER BY dot DESC, e.vec_id LIMIT 10""".stripMargin,
+    "v24_norm_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        | CAST(SUM(CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+        |     i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS DECIMAL(18,9))) AS DOUBLE) AS sum_norm2,
+        | MIN(list_sum(list_transform(generate_series(1, len(embedding)),
+        |     i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS min_norm2,
+        | MAX(list_sum(list_transform(generate_series(1, len(embedding)),
+        |     i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS max_norm2
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+  )
+}
