@@ -16,6 +16,8 @@ object SparkEntry {
     Map[String, String])] = Seq(
     (operators.Relational.queries, operators.Relational.oracleSql),
     (operators.Similarity.queries, operators.Similarity.oracleSql),
+    (operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
+    (operators.Dedup.queries, operators.Dedup.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

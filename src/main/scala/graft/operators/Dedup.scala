@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.Tables.t
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: the production path is LSH (d44) — signatures are
+  * computed per document (no shuffle), candidates come from a band-key
+  * equi-join (shuffle on band key, output ∝ true near-dups), and only
+  * candidates pay the exact-verification cost. The all-pairs variant (d42)
+  * exists as the oracle baseline and for bounded blocks; at 100 TB you
+  * never materialize the cross join.
+  *
+  * Determinism: shingle hashes derive from md5 prefixes; MinHash uses
+  * fixed affine permutations mod 2^31-1; every float is a single division
+  * of exact integers — all reproducible bit-for-bit by the DuckDB oracle.
+  */
+object Dedup {
+
+  private val words = "split(text, ' ')"
+
+  /** Distinct word 3-gram shingles. */
+  private val shingles =
+    s"array_distinct(transform(sequence(0, size($words) - 3)," +
+      s" i -> concat($words[i], ' ', $words[i+1], ' ', $words[i+2])))"
+
+  private def wordHash(w: String) =
+    s"CAST(conv(substr(md5($w), 1, 8), 16, 10) AS BIGINT)"
+
+  /** MinHash permutation params — fixed primes, mod 2^31-1. */
+  private val P = 2147483647L
+  private val seeds: Seq[(Long, Long)] = Seq(
+    (947L, 311L), (1871L, 677L), (2833L, 1049L), (3989L, 1427L),
+    (5023L, 1823L), (6197L, 2207L), (7307L, 2617L), (8419L, 3001L))
+
+  private def minhashCol(j: Int): String = {
+    val (a, b) = seeds(j)
+    s"array_min(transform(__sh, s -> ($a * (${wordHash("s")} % $P) + $b) % $P))"
+  }
+
+  /** D1: exact dedup via content hash (one-row summary). */
+  def d41Exact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique"))
+
+  /** D2: all-pairs n-gram Jaccard ≥ 0.5 (oracle baseline — O(n²), only
+    * for bounded blocks; the scale path is d44).
+    */
+  def d42JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), expr(shingles).as("sh"))
+    val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("inter", expr("size(array_intersect(a_sh, b_sh))"))
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / (size(a_sh) + size(b_sh) - inter)"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** D3: MinHash signatures (8 permutations over word-3-gram shingles).
+    * Pure per-document map — embarrassingly parallel.
+    */
+  def d43MinhashSigs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("__sh", expr(shingles))
+      .select(col("doc_id") +: seeds.indices.map(j =>
+        expr(minhashCol(j)).as(s"s$j")): _*)
+      .orderBy(col("doc_id"))
+
+  /** D4: MinHash LSH — 4 bands × 2 rows, equi-join on band key, exact
+    * Jaccard verification ≥ 0.5 on candidates only. This is the 100 TB
+    * dedup path: cost ∝ data + collisions, never n².
+    */
+  def d44LshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = t(spark, dir, "documents")
+      .withColumn("__sh", expr(shingles))
+      .select(col("doc_id"), col("__sh").as("sh"),
+        expr((0 until 4).map(bnd =>
+          s"concat('$bnd:', ${minhashCol(2 * bnd)}, ':', ${minhashCol(2 * bnd + 1)})")
+          .mkString("array(", ", ", ")")).as("bands"))
+    val banded = sig.select(col("doc_id"), col("sh"), explode(col("bands")).as("bk"))
+    val a = banded.select(col("bk"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("bk").as("bk2"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("bk") === col("bk2") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+      .withColumn("inter", expr("size(array_intersect(a_sh, b_sh))"))
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / (size(a_sh) + size(b_sh) - inter)"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** D5: 32-bit SimHash over word hashes (with multiplicity): bit k set
+    * when the ±1 majority over words is positive.
+    */
+  def d45Simhash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), expr(
+        s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) -> acc +
+           | CASE WHEN aggregate(transform($words, w -> ${wordHash("w")}),
+           |   CAST(0 AS BIGINT),
+           |   (a2, h) -> a2 + CASE WHEN (shiftright(h, k) & 1) = 1 THEN 1 ELSE -1 END) > 0
+           | THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+        .as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Embedding-cosine near-dup: same-label blocking, cosine similarity
+    * ≥ 0.4 via three exact dot products. At scale the blocking key comes
+    * from an LSH/IVF bucket instead of a label.
+    */
+  def d46EmbNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_v"))
+    val b = e.select(col("label").as("label2"), col("vec_id").as("b_id"), col("embedding").as("b_v"))
+    a.join(b, col("label") === col("label2") && col("a_id") < col("b_id"))
+      .withColumn("sim",
+        dot_product(col("a_v"), col("b_v")) /
+          (sqrt(dot_product(col("a_v"), col("a_v"))) * sqrt(dot_product(col("b_v"), col("b_v")))))
+      .filter(col("sim") >= 0.4)
+      .select(col("label"), col("a_id"), col("b_id"), col("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d41_exact_dedup" -> d41Exact,
+    "d42_jaccard_pairs" -> d42JaccardPairs,
+    "d43_minhash_sigs" -> d43MinhashSigs,
+    "d44_lsh_pairs" -> d44LshPairs,
+    "d45_simhash" -> d45Simhash,
+    "d46_emb_neardup" -> d46EmbNearDup,
+  )
+
+  val oracleSql: Map[String, String] = {
+    val dWords = "string_split(text, ' ')"
+    val dShingles =
+      s"list_distinct(list_transform(generate_series(1, len($dWords) - 2)," +
+        s" i -> $dWords[i] || ' ' || $dWords[i+1] || ' ' || $dWords[i+2]))"
+    def dHash(w: String) = s"CAST(concat('0x', substr(md5($w), 1, 8)) AS BIGINT)"
+    def dMinhash(j: Int): String = {
+      val (a, b) = seeds(j)
+      s"list_min(list_transform(sh, s -> ($a * (${dHash("s")} % $P) + $b) % $P))"
+    }
+    val dJaccard =
+      "CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) / " +
+        "(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh)))"
+    Map(
+      "d41_exact_dedup" ->
+        "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents",
+      "d42_jaccard_pairs" ->
+        s"""WITH s AS (SELECT doc_id, $dShingles AS sh FROM documents)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin,
+      "d43_minhash_sigs" ->
+        s"""SELECT doc_id, ${seeds.indices.map(j => s"${dMinhash(j)} AS s$j").mkString(", ")}
+           |FROM (SELECT doc_id, $dShingles AS sh FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "d44_lsh_pairs" ->
+        s"""WITH sig AS (
+           |  SELECT doc_id, sh,
+           |   [${(0 until 4).map(bd => s"'$bd:' || ${dMinhash(2 * bd)} || ':' || ${dMinhash(2 * bd + 1)}").mkString(", ")}] AS bands
+           |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
+           |banded AS (SELECT doc_id, sh, unnest(bands) AS bk FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    a.sh AS a_sh, b.sh AS b_sh
+           |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+           |SELECT a_id, b_id, $dJaccard AS jaccard FROM cand
+           |WHERE $dJaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+      "d45_simhash" ->
+        s"""SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), k ->
+           |  CASE WHEN list_sum(list_transform(hs,
+           |    h -> CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           |  THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+           |FROM (SELECT doc_id, list_transform($dWords, w -> ${dHash("w")}) AS hs
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "d46_emb_neardup" ->
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          |p AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+          |  list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+          |   / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])))
+          |    * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) AS sim
+          | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+          |SELECT label, a_id, b_id, sim FROM p WHERE sim >= 0.4
+          |ORDER BY a_id, b_id""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, language identification, quality scoring, and
+  * document fingerprinting over the `documents` table.
+  *
+  * All operators are pure column expressions (whole-stage codegen, no
+  * UDFs), embarrassingly parallel per document — no shuffle except the
+  * final aggregation, so they scale linearly with input size.
+  *
+  * Determinism: word hashes are the first 8 hex chars of md5 (identical in
+  * any engine); all ratios are single IEEE divisions of exact integers.
+  */
+object TextAnalysis {
+
+  /** Tokens of the single-space-separated document text. */
+  private val words = "split(text, ' ')"
+
+  /** 32-bit word hash: first 8 hex digits of md5, as BIGINT. */
+  private def wordHash(w: String) =
+    s"CAST(conv(substr(md5($w), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Per-source token statistics (token counting over an exploded view). */
+  def t31TokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"), explode(expr(words)).as("w"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_uniq"),
+        (sum(length(col("w"))).cast("double") / count(lit(1))).as("avg_len"))
+      .orderBy(col("source"))
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Marker-word language-ID heuristic: score each language by its marker
+    * token count, pick the max (fixed precedence en>de>fr>es on ties),
+    * "und" when no markers hit. Confusion counts vs the labeled `lang`.
+    */
+  def t32LangId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = langMarkers.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      l -> s"size(filter($words, w -> w IN ($inList)))"
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val caseExpr = scores.map { case (l, s) =>
+      s"WHEN $s = __best THEN '$l'"
+    }.mkString(s"CASE WHEN __best = 0 THEN 'und' ", " ", " END")
+    t(spark, dir, "documents")
+      .withColumn("__best", expr(best))
+      .withColumn("lang_pred", expr(caseExpr))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  /** Per-document quality score: lexical diversity, length saturation,
+    * stopword pressure. Output is every component plus the combined score
+    * so downstream filters can re-weight without recompute.
+    */
+  def t33Quality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("n_tokens", expr(s"size($words)"))
+      .withColumn("uniq_ratio",
+        expr(s"CAST(size(array_distinct($words)) AS DOUBLE) / size($words)"))
+      .withColumn("avg_word_len",
+        expr(s"CAST(length(text) - (size($words) - 1) AS DOUBLE) / size($words)"))
+      .withColumn("stopword_ratio",
+        expr(s"CAST(size(filter($words, w -> w IN ('the', 'a'))) AS DOUBLE) / size($words)"))
+      .withColumn("quality",
+        expr("0.4 * uniq_ratio + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)" +
+          " + 0.3 * (1.0 - stopword_ratio)"))
+      .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
+        col("avg_word_len"), col("stopword_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling polynomial fingerprint over word hashes:
+    * fp = fold(0, (acc, h) → (acc·31 + h) mod 1e9+7). Order-sensitive, so
+    * it fingerprints the word *sequence*, not the bag.
+    */
+  def t34Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), expr(
+        s"""aggregate(transform($words, w -> ${wordHash("w")}),
+           | CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin)
+        .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_token_stats" -> t31TokenStats,
+    "t32_lang_id" -> t32LangId,
+    "t33_quality" -> t33Quality,
+    "t34_fingerprint" -> t34Fingerprint,
+  )
+
+  val oracleSql: Map[String, String] = {
+    val dWords = "string_split(text, ' ')"
+    def dHash(w: String) = s"CAST(concat('0x', substr(md5($w), 1, 8)) AS BIGINT)"
+    val dScores = langMarkers.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      l -> s"len(list_filter($dWords, w -> w IN ($inList)))"
+    }
+    val dBest = dScores.map(_._2).mkString("greatest(", ", ", ")")
+    val dCase = dScores.map { case (l, s) => s"WHEN $s = __best THEN '$l'" }
+      .mkString("CASE WHEN __best = 0 THEN 'und' ", " ", " END")
+    Map(
+      "t31_token_stats" ->
+        s"""SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_uniq,
+           | CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS avg_len
+           |FROM (SELECT source, unnest($dWords) AS w FROM documents)
+           |GROUP BY source ORDER BY source""".stripMargin,
+      "t32_lang_id" ->
+        s"""SELECT lang, $dCase AS lang_pred, COUNT(*) AS n
+           |FROM (SELECT lang, text, $dBest AS __best FROM documents)
+           |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+      "t33_quality" ->
+        s"""SELECT doc_id, n_tokens, uniq_ratio, avg_word_len, stopword_ratio,
+           | 0.4 * uniq_ratio + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+           |   + 0.3 * (1.0 - stopword_ratio) AS quality
+           |FROM (SELECT doc_id, len($dWords) AS n_tokens,
+           |  CAST(len(list_distinct($dWords)) AS DOUBLE) / len($dWords) AS uniq_ratio,
+           |  CAST(length(text) - (len($dWords) - 1) AS DOUBLE) / len($dWords) AS avg_word_len,
+           |  CAST(len(list_filter($dWords, w -> w IN ('the', 'a'))) AS DOUBLE)
+           |    / len($dWords) AS stopword_ratio
+           | FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "t34_fingerprint" ->
+        s"""SELECT doc_id,
+           | list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |   list_transform($dWords, w -> ${dHash("w")})),
+           |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupTextSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("LSH candidate pairs achieve full recall vs brute-force jaccard") {
+    val brute = Dedup.d42JaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.d44LshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh == brute,
+      s"LSH missed ${brute -- lsh}, extra ${lsh -- brute}")
+  }
+
+  test("minhash similarity approximates jaccard on planted dups") {
+    val sigs = Dedup.d43MinhashSigs(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap
+    val pairs = Dedup.d42JaccardPairs(spark, sf).collect()
+    pairs.foreach { p =>
+      val (a, b, j) = (p.getLong(0), p.getLong(1), p.getDouble(2))
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 8.0
+      // planted dups have j>=0.88; with 8 hashes estimate should be high
+      assert(est >= 0.5, s"pair ($a,$b) j=$j est=$est")
+    }
+  }
+
+  test("simhash hamming distance is small for near-dups, larger otherwise") {
+    val sh = Dedup.d45Simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupPairs = Dedup.d42JaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dupHam = dupPairs.map { case (a, b) =>
+      java.lang.Long.bitCount(sh(a) ^ sh(b))
+    }
+    assert(dupHam.forall(_ <= 8), s"near-dup hamming too large: ${dupHam.toList}")
+    // the synthetic docs share one small vocabulary so simhash concentrates;
+    // still, near-dups must be measurably closer than random pairs on average
+    val ids = sh.keys.toVector.sorted
+    val rndHam = (0 until 50).map { i =>
+      java.lang.Long.bitCount(sh(ids(i)) ^ sh(ids(ids.size - 1 - i)))
+    }
+    val dupMean = dupHam.sum.toDouble / dupHam.length
+    val rndMean = rndHam.sum.toDouble / rndHam.length
+    assert(dupMean < rndMean,
+      s"near-dup mean hamming $dupMean !< random mean $rndMean")
+  }
+
+  test("exact dedup counts docs and unique texts") {
+    val r = Dedup.d41Exact(spark, sf).collect().head
+    assert(r.getLong(0) == 500L)
+    assert(r.getLong(1) <= r.getLong(0))
+  }
+
+  test("fingerprint is order-sensitive") {
+    import spark.implicits._
+    // same bag of words, different order -> different fingerprint
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_tmp")
+    val fps = df.select(org.apache.spark.sql.functions.expr(
+      """aggregate(transform(split(text, ' '),
+        | w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)),
+        | CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin))
+      .collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("quality components are in [0,1] and score is bounded") {
+    val rows = TextAnalysis.t33Quality(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val uniq = r.getAs[Double]("uniq_ratio")
+      val stop = r.getAs[Double]("stopword_ratio")
+      val q = r.getAs[Double]("quality")
+      assert(uniq > 0 && uniq <= 1.0)
+      assert(stop >= 0 && stop <= 1.0)
+      assert(q > 0 && q <= 1.0)
+    }
+  }
+
+  test("lang-id covers all docs and only emits known classes") {
+    val rows = TextAnalysis.t32LangId(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == 500L)
+    val preds = rows.map(_.getAs[String]("lang_pred")).toSet
+    assert(preds.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+}
