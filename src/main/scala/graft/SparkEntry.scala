@@ -18,6 +18,7 @@ object SparkEntry {
     (operators.Similarity.queries, operators.Similarity.oracleSql),
     (operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     (operators.Dedup.queries, operators.Dedup.oracleSql),
+    (operators.LanceQueries.queries, operators.LanceQueries.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,136 @@
+package graft.catalog
+
+import graft.connector.LanceTable
+import graft.format.LanceFormat
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** Warehouse-directory catalog: `warehouse/<namespace>/<table>` where a
+  * table dir is valid iff it contains `_versions/` — the same layout and
+  * validity marker as the reference catalog (`table/LanceCatalog.java:
+  * 100-202,379-403`). Register with:
+  *
+  * {{{
+  * spark.sql.catalog.lance = graft.catalog.LanceCatalog
+  * spark.sql.catalog.lance.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * then `CREATE/DROP/SHOW` DDL, `INSERT INTO lance.db.t`, and
+  * `SELECT ... FROM lance.db.t` all flow through Spark SQL (S8–S9).
+  * Object-store access needs no special plumbing (reference S10): Hadoop
+  * `fs.s3a.*` configuration applies transparently to the warehouse path.
+  */
+class LanceCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs: FileSystem =
+    warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = options.get("warehouse")
+    require(wh != null, s"spark.sql.catalog.$name.warehouse must be set")
+    warehouse = new Path(wh)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, n) => new Path(p, n))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+
+  // ---- namespaces (S8) ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(warehouse)) return Array.empty
+    fs.listStatus(warehouse).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(nsPath(namespace), true)
+  }
+
+  // ---- tables (S9) ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).filter(_.isDirectory)
+      .filter(s => LanceFormat.isDataset(fs, s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    LanceFormat.isDataset(fs, tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!LanceFormat.isDataset(fs, p)) throw new NoSuchTableException(ident)
+    // schema inferred from the stored manifest (reference getTable,
+    // table/LanceCatalog.java:412-459)
+    val schema = LanceFormat.readLatest(fs, p).map(_.schema).getOrElse(new StructType())
+    new LanceTable(p.toString, schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty, "lance tables do not support partitioning transforms")
+    val p = tablePath(ident)
+    LanceFormat.create(fs, p, schema)
+    new LanceTable(p.toString, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(tablePath(ident), true)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.rename(tablePath(oldIdent), tablePath(newIdent)))
+      throw new IllegalStateException(s"rename failed: $oldIdent -> $newIdent")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.connector
+
+import graft.format.{FragmentMeta, LanceFormat}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+import java.util.UUID
+import scala.collection.mutable.ArrayBuffer
+
+/** Java-serializable Hadoop Configuration wrapper for task shipping. */
+class SerializableConf(@transient var value: Configuration) extends Serializable {
+  @throws(classOf[IOException])
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  @throws(classOf[IOException])
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Creates one fragment writer per task (batch and streaming share it). */
+class LanceWriterFactory(rootStr: String, schemaJson: String,
+    conf: SerializableConf, maxRowsPerFile: Long)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile)
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile)
+}
+
+/** Executor-side fragment writer: streams InternalRows into Parquet
+  * fragment files under `data/`, rolling at `maxRowsPerFile` (reference
+  * `WriteParams.withMaxRowsPerFile`, `LanceSink.java:159-161`). Files are
+  * invisible until the driver commits a manifest referencing them, so
+  * writing directly into `data/` is safe; abort simply deletes them.
+  */
+class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
+    maxRowsPerFile: Long) extends DataWriter[InternalRow] {
+
+  private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  private val root = new Path(rootStr)
+  private val done = ArrayBuffer.empty[FragmentMeta]
+  private var writer: ParquetWriter[InternalRow] = _
+  private var currentFile: String = _
+  private var rowsInFile = 0L
+
+  private final class Builder(file: Path)
+      extends ParquetWriter.Builder[InternalRow, Builder](file) {
+    override def self(): Builder = this
+    override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  private def open(): Unit = {
+    currentFile = s"frag-${UUID.randomUUID()}.parquet"
+    val file = new Path(LanceFormat.dataPath(root), currentFile)
+    val c = new Configuration(conf)
+    ParquetWriteSupport.setSchema(schema, c)
+    // ParquetWriteSupport.init requires these (the driver already set them
+    // from SQLConf; these are fallbacks for conf built elsewhere):
+    c.setIfUnset("spark.sql.parquet.writeLegacyFormat", "false")
+    c.setIfUnset("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    c.setIfUnset("spark.sql.parquet.fieldId.write.enabled", "false")
+    c.setIfUnset("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    writer = new Builder(file)
+      .withConf(c)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    rowsInFile = 0L
+  }
+
+  private def roll(): Unit = {
+    if (writer != null) {
+      writer.close()
+      if (rowsInFile > 0) done += FragmentMeta(0, currentFile, rowsInFile)
+      else new Path(LanceFormat.dataPath(root), currentFile)
+        .getFileSystem(conf).delete(new Path(LanceFormat.dataPath(root), currentFile), false)
+      writer = null
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) open()
+    writer.write(row)
+    rowsInFile += 1
+    if (rowsInFile >= maxRowsPerFile) roll()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    roll()
+    LanceCommitMessage(done.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    val fs = root.getFileSystem(conf)
+    (done.map(_.file) ++ Option(currentFile)).foreach { f =>
+      fs.delete(new Path(LanceFormat.dataPath(root), f), false)
+    }
+  }
+
+  override def close(): Unit = if (writer != null) { writer.close(); writer = null }
+}

@@ -1,0 +1,154 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s.NoTypeHints
+import org.json4s.jackson.Serialization
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** One immutable data fragment of a dataset version. */
+case class FragmentMeta(id: Int, file: String, rowCount: Long)
+
+/** A committed dataset version: schema + fragment list (+ the streaming
+  * epoch that produced it, for idempotent exactly-once commits).
+  */
+case class Manifest(
+    version: Long,
+    schemaJson: String,
+    fragments: Seq[FragmentMeta],
+    epochId: Option[Long] = None,
+    committedAtMs: Long = 0L) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  def rowCount: Long = fragments.map(_.rowCount).sum
+}
+
+/** The on-disk table format: a directory of immutable columnar fragment
+  * files plus `_versions/N.manifest.json` manifests (MVCC).
+  *
+  * Mirrors the reference's Lance dataset model — fragments as the unit of
+  * parallelism and append/overwrite as atomic manifest commits (reference
+  * `LanceSink.java:152-195`, `_versions` validity marker
+  * `table/LanceCatalog.java:397,492-493`) — but stores fragments as
+  * Parquet so the scan path is Spark's vectorized reader, no JNI.
+  *
+  * Commit protocol: write the manifest to a temp name, then rename to
+  * `_versions/<v>.manifest.json`. Rename-if-absent is the atomicity point;
+  * a losing concurrent committer retries on the next version number
+  * (optimistic MVCC). Object stores without atomic rename need an external
+  * lock — same scope cut as the reference (its remote catalog ops throw,
+  * `table/LanceCatalog.java:508-514`).
+  */
+object LanceFormat {
+  private implicit val fmts: org.json4s.Formats = Serialization.formats(NoTypeHints)
+
+  val VersionsDir = "_versions"
+  val DataDir = "data"
+  private val ManifestSuffix = ".manifest.json"
+
+  def versionsPath(root: Path) = new Path(root, VersionsDir)
+  def dataPath(root: Path) = new Path(root, DataDir)
+
+  def isDataset(fs: FileSystem, root: Path): Boolean =
+    fs.exists(versionsPath(root))
+
+  def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val vp = versionsPath(root)
+    if (!fs.exists(vp)) Seq.empty
+    else fs.listStatus(vp).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(ManifestSuffix))
+      .map(n => n.stripSuffix(ManifestSuffix).toLong)
+      .sorted
+  }
+
+  def latestVersion(fs: FileSystem, root: Path): Option[Long] =
+    listVersions(fs, root).lastOption
+
+  def readManifest(fs: FileSystem, root: Path, version: Long): Manifest = {
+    val p = new Path(versionsPath(root), s"$version$ManifestSuffix")
+    val in = fs.open(p)
+    try {
+      val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      val sb = new StringBuilder
+      var line = reader.readLine()
+      while (line != null) { sb.append(line).append('\n'); line = reader.readLine() }
+      Serialization.read[Manifest](sb.toString)
+    } finally in.close()
+  }
+
+  def readLatest(fs: FileSystem, root: Path): Option[Manifest] =
+    latestVersion(fs, root).map(readManifest(fs, root, _))
+
+  /** Atomically commit `manifest` as the next version; retries the version
+    * number under optimistic concurrency. Returns the committed manifest.
+    */
+  def commit(fs: FileSystem, root: Path, manifest: Manifest): Manifest = {
+    val vp = versionsPath(root)
+    fs.mkdirs(vp)
+    var attempt = 0
+    var m = manifest
+    while (attempt < 20) {
+      val target = new Path(vp, s"${m.version}$ManifestSuffix")
+      if (!fs.exists(target)) {
+        val tmp = new Path(vp, s".tmp-${UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        if (fs.rename(tmp, target)) return m
+        fs.delete(tmp, false)
+      }
+      attempt += 1
+      m = m.copy(version = latestVersion(fs, root).getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"could not commit version after $attempt attempts at $root")
+  }
+
+  /** Append fragments as a new version (creates the dataset if absent). */
+  def commitAppend(fs: FileSystem, root: Path, schema: StructType,
+      newFragments: Seq[FragmentMeta], epochId: Option[Long] = None): Manifest = {
+    val prev = readLatest(fs, root)
+    val base = prev.map(_.fragments).getOrElse(Seq.empty)
+    val nextId = base.map(_.id).maxOption.getOrElse(-1) + 1
+    val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
+    commit(fs, root, Manifest(
+      version = prev.map(_.version).getOrElse(0L) + 1,
+      schemaJson = schema.json,
+      fragments = base ++ renumbered,
+      epochId = epochId,
+      committedAtMs = System.currentTimeMillis()))
+  }
+
+  /** Replace all fragments (overwrite semantics). Old files are kept for
+    * time travel; a vacuum can reclaim them later.
+    */
+  def commitOverwrite(fs: FileSystem, root: Path, schema: StructType,
+      newFragments: Seq[FragmentMeta], epochId: Option[Long] = None): Manifest = {
+    val prev = readLatest(fs, root)
+    commit(fs, root, Manifest(
+      version = prev.map(_.version).getOrElse(0L) + 1,
+      schemaJson = schema.json,
+      fragments = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = i) },
+      epochId = epochId,
+      committedAtMs = System.currentTimeMillis()))
+  }
+
+  /** Create an empty dataset with just a schema (lazy materialization,
+    * reference `LanceCatalog.java:557-579`).
+    */
+  def create(fs: FileSystem, root: Path, schema: StructType): Manifest = {
+    require(readLatest(fs, root).isEmpty, s"dataset already exists at $root")
+    fs.mkdirs(dataPath(root))
+    commit(fs, root, Manifest(1L, schema.json, Seq.empty,
+      committedAtMs = System.currentTimeMillis()))
+  }
+
+  def fragmentFiles(root: Path, m: Manifest): Seq[Path] =
+    m.fragments.map(f => new Path(dataPath(root), f.file))
+
+  def fileSystem(root: Path, conf: Configuration): FileSystem = root.getFileSystem(conf)
+}

@@ -1,0 +1,163 @@
+package graft
+
+import graft.format.LanceFormat
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class LanceConnectorSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "lance-test-")
+      .toAbsolutePath.toString
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("write/read roundtrip preserves data and schema") {
+    val dir = s"${tmpDir()}/t1"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "s", "v")
+    df.write.format("lance").mode("append").save(dir)
+    val back = spark.read.format("lance").load(dir)
+    assert(back.schema == df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("append adds fragments and a new version; overwrite replaces") {
+    val dir = s"${tmpDir()}/t2"
+    Seq((1L, "x")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    Seq((2L, "y")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    assert(spark.read.format("lance").load(dir).count() == 2)
+    val versions = LanceFormat.listVersions(fs(dir), new Path(dir))
+    assert(versions.size == 2, s"expected 2 versions, got $versions")
+
+    Seq((9L, "z")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)
+    val after = spark.read.format("lance").load(dir)
+    assert(after.count() == 1)
+    assert(after.collect().head.getLong(0) == 9L)
+  }
+
+  test("time travel via versionAsOf") {
+    val dir = s"${tmpDir()}/t3"
+    Seq((1L, "v1")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    Seq((2L, "v2")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    assert(spark.read.format("lance").option("versionAsOf", "1").load(dir).count() == 1)
+    assert(spark.read.format("lance").option("versionAsOf", "2").load(dir).count() == 2)
+  }
+
+  test("schema mismatch on append is rejected") {
+    val dir = s"${tmpDir()}/t4"
+    Seq((1L, "x")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    val e = intercept[Exception] {
+      Seq((1.0, 2.0)).toDF("a", "b").write.format("lance").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("schema mismatch") ||
+      e.getMessage.contains("Failed to resolve") || e.getCause != null)
+  }
+
+  test("max-rows-per-file rolls fragments") {
+    val dir = s"${tmpDir()}/t5"
+    spark.range(0, 1000).coalesce(1).write.format("lance")
+      .option("write.max-rows-per-file", "100").mode("append").save(dir)
+    val m = LanceFormat.readLatest(fs(dir), new Path(dir)).get
+    assert(m.fragments.size == 10, s"fragments: ${m.fragments.size}")
+    assert(m.fragments.forall(_.rowCount == 100))
+    assert(spark.read.format("lance").load(dir).count() == 1000)
+  }
+
+  test("fragment-parallel scan with filter/projection pushdown") {
+    val dir = s"${tmpDir()}/t6"
+    // 8 fragments via 8 partitions
+    spark.range(0, 8000).repartition(8)
+      .withColumn("v", col("id") * 2)
+      .write.format("lance").mode("append").save(dir)
+    val df = spark.read.format("lance").load(dir)
+      .filter(col("id") > 4000).select("id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [GreaterThan(id,4000)") ||
+      plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,4000)"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
+    val m = LanceFormat.readLatest(fs(dir), new Path(dir)).get
+    assert(m.fragments.size == 8)
+    assert(df.count() == 3999)
+  }
+
+  test("count(*) answered via parquet metadata aggregate pushdown") {
+    val dir = s"${tmpDir()}/t7"
+    spark.range(0, 500).write.format("lance").mode("append").save(dir)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.read.format("lance").load(dir).agg(count(lit(1)))
+      assert(agg.collect().head.getLong(0) == 500L)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
+  test("vector columns round-trip through lance fragments") {
+    val dir = s"${tmpDir()}/t8"
+    val df = Tables.t(spark, sf, "embeddings")
+    df.write.format("lance").mode("append").save(dir)
+    val back = spark.read.format("lance").load(dir)
+    assert(back.count() == 500)
+    val r = back.filter($"vec_id" === 0).select($"embedding").collect().head
+    val orig = df.filter($"vec_id" === 0).select($"embedding").collect().head
+    assert(r.getSeq[Float](0) == orig.getSeq[Float](0))
+  }
+
+  test("catalog: SQL DDL + INSERT + SELECT lifecycle") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.lance_test", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_test.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_test.db1")
+    spark.sql("CREATE TABLE lance_test.db1.docs (doc_id BIGINT, title STRING, " +
+      "embedding ARRAY<FLOAT>, category STRING)")
+    spark.sql("INSERT INTO lance_test.db1.docs VALUES " +
+      "(1, 'Intro', array(0.1f, 0.2f), 'tutorial'), " +
+      "(2, 'Deep', array(0.3f, 0.4f), 'practice'), " +
+      "(3, 'More', array(0.5f, 0.6f), 'tutorial')")
+    val res = spark.sql("SELECT category, COUNT(*) AS n FROM lance_test.db1.docs " +
+      "GROUP BY category ORDER BY n DESC, category").collect()
+    assert(res.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("tutorial", 2L), ("practice", 1L)))
+    assert(spark.sql("SHOW TABLES IN lance_test.db1").collect().map(_.getString(1))
+      .contains("docs"))
+    // rename + drop
+    spark.sql("ALTER TABLE lance_test.db1.docs RENAME TO db1.docs2")
+    assert(spark.sql("SELECT COUNT(*) FROM lance_test.db1.docs2").collect().head.getLong(0) == 3)
+    spark.sql("DROP TABLE lance_test.db1.docs2")
+    assert(spark.sql("SHOW TABLES IN lance_test.db1").collect().isEmpty)
+    spark.sql("DROP NAMESPACE lance_test.db1")
+  }
+
+  test("streaming write commits epochs exactly once") {
+    val dir = s"${tmpDir()}/stream"
+    val checkpoint = s"${tmpDir()}/ckpt"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark)
+    val q = input.toDF().toDF("id", "s").writeStream
+      .format("lance").option("checkpointLocation", checkpoint)
+      .outputMode("append").start(dir)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.read.format("lance").load(dir).count() == 2)
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(spark.read.format("lance").load(dir).count() == 3)
+    } finally q.stop()
+    val m = LanceFormat.readLatest(fs(dir), new Path(dir)).get
+    assert(m.epochId.isDefined)
+  }
+
+  test("empty dataframe write creates a readable empty dataset") {
+    val dir = s"${tmpDir()}/empty"
+    spark.range(0).write.format("lance").mode("append").save(dir)
+    assert(spark.read.format("lance").load(dir).count() == 0)
+  }
+}
