@@ -1,0 +1,148 @@
+package graft.index
+
+import graft.functions.VectorFunctions._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s.NoTypeHints
+import org.json4s.jackson.Serialization
+
+import java.nio.charset.StandardCharsets
+
+/** IVF (inverted-file) vector index — the Spark-native re-expression of the
+  * reference's index builder + ANN search (`LanceIndexBuilder.java:99-205`,
+  * `LanceVectorSearch` with `nprobes`, SURVEY §2.4 V8/V9).
+  *
+  * Build: KMeans (spark.ml, seeded) trains `numPartitions` centroids on a
+  * sample; one distributed pass assigns every vector to its nearest
+  * centroid and writes the dataset bucketed by `__ivf_part` as a
+  * directory-partitioned Parquet sidecar under `<dataset>_indices/`.
+  *
+  * Search: the query is assigned to its `nprobes` nearest centroids on the
+  * driver (centroids are tiny); the scan then carries a partition filter
+  * `__ivf_part IN (...)` that prunes whole bucket directories —
+  * `PartitionFilters` in the plan, so a 100 TB index probes only
+  * `nprobes/numPartitions` of the data. Within probed buckets the distance
+  * is exact (IVF_FLAT); top-k via TakeOrderedAndProject.
+  *
+  * With `nprobes = numPartitions` results equal exact brute-force KNN.
+  */
+object IvfIndex {
+  private implicit val fmts: org.json4s.Formats = Serialization.formats(NoTypeHints)
+
+  case class IndexMeta(column: String, idColumn: String, metric: String,
+    numPartitions: Int, dim: Int, centroids: Seq[Seq[Double]])
+
+  /** Parity with reference IndexBuildResult (`LanceIndexBuilder.java:380-435`). */
+  case class IndexBuildResult(success: Boolean, durationMillis: Long,
+    numPartitions: Int, error: Option[String] = None)
+
+  def indexPath(datasetPath: String, column: String): String =
+    s"$datasetPath/_indices/${column}_ivf"
+
+  private def sq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Train + assign + write the bucketed sidecar. `df` must contain the
+    * vector column (ARRAY<FLOAT|DOUBLE>) and a unique id column.
+    */
+  def build(spark: SparkSession, df: DataFrame, column: String, idColumn: String,
+      datasetPath: String, numPartitions: Int = 16, metric: String = "l2",
+      sampleFraction: Double = 1.0, seed: Long = 42L): IndexBuildResult = {
+    val t0 = System.currentTimeMillis()
+    try {
+      require(df.columns.contains(column), s"column $column not found") // V8 validation
+
+      val vecs = df.select(col(idColumn), col(column))
+      val sample = if (sampleFraction >= 1.0) vecs else vecs.sample(sampleFraction, seed)
+      // The repartition is a row-copy barrier: spark.ml caches its input
+      // RDD, and rows reaching the cache straight from a DSv2 columnar
+      // scan alias reusable column vectors (NPE on materialization).
+      val train = sample.select(org.apache.spark.ml.functions
+        .array_to_vector(col(column).cast("array<double>")).as("features"))
+        .repartition(spark.sparkContext.defaultParallelism)
+
+      val model = new KMeans().setK(numPartitions).setSeed(seed)
+        .setMaxIter(20).setFeaturesCol("features").fit(train)
+      val centroids = model.clusterCenters.map(_.toArray)
+      val bc = spark.sparkContext.broadcast(centroids)
+
+      val assign = udf { (v: Seq[Float]) =>
+        val arr = new Array[Double](v.length)
+        var i = 0; while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
+        val cs = bc.value
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val d = sq(arr, cs(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        best
+      }
+
+      val ip = indexPath(datasetPath, column)
+      df.withColumn("__ivf_part", assign(col(column).cast("array<float>")))
+        .write.mode("overwrite").partitionBy("__ivf_part").parquet(s"$ip/buckets")
+
+      val meta = IndexMeta(column, idColumn, metric, numPartitions,
+        centroids.headOption.map(_.length).getOrElse(0),
+        centroids.map(_.toSeq).toSeq)
+      val metaPath = new Path(s"$ip/index.json")
+      val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(metaPath, true)
+      try out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      IndexBuildResult(success = true, System.currentTimeMillis() - t0, numPartitions)
+    } catch {
+      case e: Exception =>
+        IndexBuildResult(success = false, System.currentTimeMillis() - t0,
+          numPartitions, Some(e.getMessage))
+    }
+  }
+
+  def loadMeta(spark: SparkSession, datasetPath: String, column: String): IndexMeta = {
+    val metaPath = new Path(s"${indexPath(datasetPath, column)}/index.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(metaPath)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      Serialization.read[IndexMeta](bytes.toString("UTF-8"))
+    } finally in.close()
+  }
+
+  /** ANN search: probe the `nprobes` nearest buckets, exact distance inside
+    * (reference defaults nprobes=20, `config/LanceOptions.java:215-219`).
+    */
+  def search(spark: SparkSession, datasetPath: String, column: String,
+      query: Array[Float], k: Int, nprobes: Int = 20,
+      metric: String = "l2"): DataFrame = {
+    validateQueryVector(query)
+    val meta = loadMeta(spark, datasetPath, column)
+    require(query.length == meta.dim,
+      s"query dim ${query.length} != index dim ${meta.dim}")
+    val q = query.map(_.toDouble)
+    val probes = meta.centroids.zipWithIndex
+      .map { case (c, i) => (sq(q, c.toArray), i) }
+      .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
+
+    val dist = metric.toLowerCase match {
+      case "l2" => l2_distance(col(column), lit(q))
+      case "cosine" => cosine_distance(col(column), lit(q))
+      case "dot" => -dot_product(col(column), lit(q))
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
+      .filter(col("__ivf_part").isin(probes: _*))
+      .withColumn("_distance", dist)
+      .drop("__ivf_part")
+      .orderBy(col("_distance"))
+      .limit(k)
+  }
+}

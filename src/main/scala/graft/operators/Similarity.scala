@@ -91,14 +91,41 @@ object Similarity {
     """sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
       |  i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i]))))""".stripMargin
 
+  /** V8+V1: IVF index build + probed search. Full probing (nprobes = all
+    * partitions) is exactly equivalent to brute-force KNN, which is what
+    * the SQL oracle computes; partial probing is exercised in the spec and
+    * the benchmark.
+    */
+  def v25KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = s"target/graft-data/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/emb_ivf"
+    val p = new org.apache.hadoop.fs.Path(new java.io.File(dest).getAbsolutePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val e = t(spark, dir, "embeddings")
+    val r = IvfIndex.build(spark, e, "embedding", "vec_id", dest, numPartitions = 8)
+    require(r.success, r.error)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    IvfIndex.search(spark, dest, "embedding", q, 10, nprobes = 8)
+      .select(col("vec_id"), col("_distance").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v21_knn_l2" -> v21KnnL2,
+    "v25_knn_ivf" -> v25KnnIvf,
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "v25_knn_ivf" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $l2SqlBody AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
     "v21_knn_l2" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, $l2SqlBody AS dist

@@ -1,0 +1,87 @@
+package graft
+
+import graft.index.IvfIndex
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class IvfIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val datasetPath = {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ivf-test-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    Tables.t(spark, sf, "embeddings").write.format("lance").mode("append").save(ds)
+    ds
+  }
+
+  private lazy val built = {
+    val df = spark.read.format("lance").load(datasetPath)
+    IvfIndex.build(spark, df, "embedding", "vec_id", datasetPath, numPartitions = 8)
+  }
+
+  private def queryVec(qid: Long): Array[Float] =
+    Tables.t(spark, sf, "embeddings").filter($"vec_id" === qid)
+      .select($"embedding").collect().head.getSeq[Float](0).toArray
+
+  test("index build succeeds and records metadata") {
+    assert(built.success, built.error)
+    assert(built.numPartitions == 8)
+    val meta = IvfIndex.loadMeta(spark, datasetPath, "embedding")
+    assert(meta.centroids.size == 8)
+    assert(meta.dim == 64)
+  }
+
+  test("full-probe IVF search equals exact brute-force KNN") {
+    assert(built.success)
+    val q = queryVec(0)
+    val ivf = IvfIndex.search(spark, datasetPath, "embedding", q, 10, nprobes = 8)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.knnSearch(
+      Tables.t(spark, sf, "embeddings"), "embedding", q, 10, "l2")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf == exact)
+  }
+
+  test("partial-probe search achieves high recall at a fraction of the scan") {
+    assert(built.success)
+    val ids = Seq(0L, 7L, 42L, 99L, 123L)
+    val recalls = ids.map { qid =>
+      val q = queryVec(qid)
+      val ivf = IvfIndex.search(spark, datasetPath, "embedding", q, 10, nprobes = 4)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      val exact = Similarity.knnSearch(
+        Tables.t(spark, sf, "embeddings"), "embedding", q, 10, "l2")
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      (ivf intersect exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@10 with nprobes=4/8: $mean ($recalls)")
+  }
+
+  test("probed scan prunes bucket directories (PartitionFilters)") {
+    assert(built.success)
+    val q = queryVec(3)
+    val df = IvfIndex.search(spark, datasetPath, "embedding", q, 5, nprobes = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [__ivf_part"), plan)
+  }
+
+  test("dimension mismatch is rejected") {
+    assert(built.success)
+    intercept[IllegalArgumentException] {
+      IvfIndex.search(spark, datasetPath, "embedding", Array(1f, 2f), 5)
+    }
+  }
+
+  test("build on a missing column reports failure, not an exception") {
+    val r = IvfIndex.build(spark, spark.range(3).toDF(), "nope", "id", "target/never")
+    assert(!r.success)
+    assert(r.error.exists(_.contains("nope")))
+  }
+}
