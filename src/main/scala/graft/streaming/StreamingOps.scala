@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operator surface — the Flink-side capabilities the
+  * reference delegates to its host engine (SURVEY §2.5, F7), re-expressed
+  * as Spark event-time/stateful operators:
+  *
+  *  - event-time tumbling/sliding windows with watermarks,
+  *  - session windows,
+  *  - streaming deduplication (watermark-bounded exact dedup),
+  *  - custom keyed state via flatMapGroupsWithState,
+  *  - the reference's rate→lance insert pipeline
+  *    (`flink-sql-demo.sql:193-222`) with exactly-once epoch commits.
+  *
+  * All operators are shuffle-partitioned by key with watermark-bounded
+  * state, so state size is O(active keys × window horizon) regardless of
+  * total stream volume — the property that makes them viable on an
+  * unbounded 100 TB/day stream.
+  */
+object StreamingOps {
+
+  /** Event-time tumbling (or sliding) window counts with a watermark:
+    * late data beyond `watermark` is dropped, state is evicted at the
+    * watermark, append-mode output finalizes each window once.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      window_ : String = "5 minutes", slide: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = slide.map(s => window(col(tsCol), window_, s))
+      .getOrElse(window(col(tsCol), window_))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(w.as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col(keyCol), col("n"), col("sum_value"))
+  }
+
+  /** Session windows: events for a key within `gap` of each other coalesce
+    * into one session (Flink session-window parity).
+    */
+  def sessionized(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("sess"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sess.start").as("sess_start"), col("sess.end").as("sess_end"),
+        col(keyCol), col("n_events"))
+
+  /** Watermark-bounded streaming dedup on an id column: exactly-once
+    * delivery of each id within the watermark horizon, O(ids-in-horizon)
+    * state.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, idCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  case class UserState(count: Long, lastSeenMs: Long)
+  case class UserActivity(user_id: Long, n_events: Long, gap_ms: Long)
+
+  /** Custom keyed state (reference's host-engine stateful surface →
+    * `flatMapGroupsWithState`): per-user running event count and gap since
+    * the previous event, with processing-time timeout eviction.
+    */
+  def userActivity(events: Dataset[(Long, Long)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    val evictAfterTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserActivity](OutputMode.Append, timeout) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(_._2)
+            var st = state.getOption.getOrElse(UserState(0L, 0L))
+            val out = sorted.map { case (_, ts) =>
+              val gap = if (st.count == 0) 0L else ts - st.lastSeenMs
+              st = UserState(st.count + 1, ts)
+              UserActivity(userId, st.count, gap)
+            }
+            state.update(st)
+            // production deployments evict idle users; note that a
+            // processing-time timeout keeps the query triggering batches
+            if (evictAfterTimeout) state.setTimeoutDuration("1 hour")
+            out.iterator
+          }
+      }
+  }
+
+  /** The reference demo pipeline (`flink-sql-demo.sql:193-222`): rate
+    * source → synthetic events with a random embedding → lance sink with
+    * checkpointed exactly-once epochs.
+    */
+  def rateToLance(spark: SparkSession, dest: String, checkpoint: String,
+      rowsPerSecond: Int = 100,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        col("value").as("event_id"),
+        concat(lit("type_"), pmod(col("value"), lit(5))).as("event_type"),
+        expr("transform(sequence(1, 4), i -> cast(pmod(value * i, 100) as float) / 100.0f)")
+          .as("embedding"),
+        col("timestamp").as("event_time"))
+      .writeStream.format("lance")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    trigger.foreach(writer.trigger)
+    writer.start(dest)
+  }
+}
