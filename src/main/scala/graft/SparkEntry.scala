@@ -19,6 +19,7 @@ object SparkEntry {
     (operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     (operators.Dedup.queries, operators.Dedup.oracleSql),
     (operators.LanceQueries.queries, operators.LanceQueries.oracleSql),
+    (operators.Multimodal.queries, operators.Multimodal.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

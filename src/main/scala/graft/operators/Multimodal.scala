@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * payloads ride as opaque `BINARY` columns with a typed metadata struct;
+  * decode / feature-extract / resize / frame-sample run either as column
+  * expressions (when byte arithmetic suffices) or as `mapPartitions`
+  * batch jobs with a pluggable decoder.
+  *
+  * The decoders here are DETERMINISTIC STUBS (this environment has no
+  * image/audio codecs); `RealCodecDecoder.decode` is the single marked
+  * hole a production build fills in. Everything Spark-side — schema,
+  * partitioning, batch iteration shape, explode of sampled frames — is
+  * real and tested. Payload bytes are synthesized from `documents.text`
+  * so the DuckDB oracle can reproduce every derived value.
+  */
+object Multimodal {
+
+  /** Media table derived deterministically from documents:
+    * (media_id, kind, bytes, mime) — kind cycles image/audio/video.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+        .as("kind"),
+      col("text").cast("binary").as("bytes"),
+      expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END")
+        .as("mime"))
+
+  /** Column-expression metadata extraction ("decode" as byte arithmetic):
+    * sizes from the payload, fake dimensions from a content hash — the
+    * shape a real EXIF/probe step would produce.
+    */
+  def m61MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .withColumn("n_bytes", length(col("bytes")).cast("long"))
+      .withColumn("__h", expr("CAST(conv(substr(md5(bytes), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("width", expr("CAST(1 + __h % 1920 AS INT)"))
+      .withColumn("height", expr("CAST(1 + (__h DIV 1920) % 1080 AS INT)"))
+      .withColumn("duration_ms",
+        expr("CASE WHEN kind = 'image' THEN 0 ELSE n_bytes * 10 END"))
+      .select(col("media_id"), col("kind"), col("mime"), col("n_bytes"),
+        col("width"), col("height"), col("duration_ms"))
+      .orderBy(col("media_id"))
+
+  /** Frame sampling for video payloads: every 256-byte stride yields one
+    * 64-byte "frame" (the real op samples at a time stride; the explode /
+    * per-frame-row plumbing is identical). Output is one row per frame.
+    */
+  def m62FrameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .filter(col("kind") === "video")
+      .select(col("media_id"), posexplode(expr(
+        "transform(sequence(0, CAST((length(bytes) - 1) / 256 AS INT))," +
+          " i -> substring(bytes, i * 256 + 1, 64))")).as(Seq("frame_idx", "frame")))
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        md5(col("frame")).as("frame_hash"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  // ---- mapPartitions decode path (the batch-UDF shape) ----
+
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+    width: Int, height: Int, mean_byte: Double)
+
+  /** A decoder plugged into the partition-batch pipeline. */
+  trait MediaDecoder extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
+  /** Deterministic stand-in for a codec: dims from a content hash, mean
+    * byte value as the "signal" feature.
+    */
+  object StubDecoder extends MediaDecoder {
+    override def decode(r: MediaRow): MediaFeatures = {
+      val h = java.util.Arrays.hashCode(r.bytes) & 0x7fffffff
+      var sum = 0L
+      r.bytes.foreach(b => sum += (b & 0xff))
+      MediaFeatures(r.media_id, r.kind, r.bytes.length,
+        1 + h % 1920, 1 + (h / 1920) % 1080,
+        if (r.bytes.isEmpty) 0.0 else sum.toDouble / r.bytes.length)
+    }
+  }
+
+  /** Where a real codec integration goes (javacv/ffmpeg/ImageIO…). */
+  object RealCodecDecoder extends MediaDecoder {
+    override def decode(row: MediaRow): MediaFeatures =
+      ??? // no codecs in this environment — see StubDecoder for the contract
+  }
+
+  /** Partition-batch decode: one decoder instance per partition iterator,
+    * rows streamed through it (the Scala equivalent of mapInPandas —
+    * amortizes decoder init, keeps memory at O(row), preserves
+    * partitioning).
+    */
+  def decodeFeatures(media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decoder.decode))
+  }
+
+  /** "Resize": normalize payloads to exactly `size` bytes (truncate or
+    * zero-pad) — the byte-plumbing shape of a thumbnailing step.
+    */
+  def resizeBytes(media: DataFrame, size: Int): DataFrame =
+    media.withColumn("bytes",
+      expr(s"CASE WHEN length(bytes) >= $size THEN substring(bytes, 1, $size) " +
+        s"ELSE rpad(bytes, $size, X'00') END"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m61_media_meta" -> m61MediaMeta,
+    "m62_frame_sample" -> m62FrameSample,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "m61_media_meta" ->
+      """SELECT media_id, kind, mime, n_bytes,
+        | CAST(1 + __h % 1920 AS INT) AS width,
+        | CAST(1 + (__h // 1920) % 1080 AS INT) AS height,
+        | CASE WHEN kind = 'image' THEN 0 ELSE n_bytes * 10 END AS duration_ms
+        |FROM (
+        | SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS __h
+        | FROM documents)
+        |ORDER BY media_id""".stripMargin,
+    "m62_frame_sample" ->
+      """SELECT media_id, frame_idx, octet_length(encode(frame)) AS frame_bytes,
+        | md5(frame) AS frame_hash
+        |FROM (
+        | SELECT doc_id AS media_id, i AS frame_idx,
+        |  substring(text, i * 256 + 1, 64) AS frame
+        | FROM documents,
+        |  unnest(generate_series(0, CAST((octet_length(encode(text)) - 1) // 256 AS INT))) AS u(i)
+        | WHERE CAST(doc_id % 3 AS INT) = 2)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+  )
+}
