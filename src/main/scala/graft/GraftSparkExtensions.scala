@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.{CosineDistance, DotProduct, L2Distance}
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, Decimal, DecimalType, DoubleType, FloatType}
+
+/** Session extensions giving the engine a SQL surface (reference V7):
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftSparkExtensions)...
+  * // or: spark.sql.extensions=graft.GraftSparkExtensions
+  *
+  * SELECT l2_distance(embedding, array(0.1F, ...)) FROM t
+  * SELECT * FROM vector_search('/path/to/dataset', 'embedding',
+  *                             array(0.1, 0.2, ...), 5, 'l2')
+  * }}}
+  *
+  * `vector_search` mirrors the reference UDTF
+  * (`table/LanceVectorSearchFunction.java:111-259`): path-addressed
+  * dataset, k-NN with metric, result rows widened by `_distance`. Spark
+  * has no user-facing Scala UDTF registration, so it is implemented the
+  * Catalyst way — a resolution rule rewrites the table-valued-function
+  * node into the KNN logical plan (scan → distance → top-k), which then
+  * optimizes like any other query (SURVEY §2.4 V7 plan (b)). SQL numeric
+  * array literals arrive as DECIMAL — coerced here exactly like the
+  * reference's BigDecimal[] overloads (`:190-221`).
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("l2_distance"),
+      new ExpressionInfo(classOf[L2Distance].getName, "l2_distance"),
+      (args: Seq[Expression]) => L2Distance(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("cosine_distance"),
+      new ExpressionInfo(classOf[CosineDistance].getName, "cosine_distance"),
+      (args: Seq[Expression]) => CosineDistance(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    e.injectResolutionRule(session => new ResolveVectorSearch(session))
+  }
+}
+
+/** Rewrites `vector_search(path, column, queryVec[, k[, metric]])` into the
+  * exact-KNN plan over the lance dataset at `path`.
+  */
+class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def literalString(e: Expression, what: String): String = {
+    require(e.foldable, s"vector_search: $what must be a literal")
+    String.valueOf(e.eval())
+  }
+
+  private def literalFloats(e: Expression): Array[Float] = {
+    require(e.foldable, "vector_search: query vector must be a literal array")
+    val arr = e.eval().asInstanceOf[ArrayData]
+    val elemType = e.dataType.asInstanceOf[ArrayType].elementType
+    (0 until arr.numElements()).map { i =>
+      elemType match {
+        case FloatType => arr.getFloat(i)
+        case DoubleType => arr.getDouble(i).toFloat
+        case dt: DecimalType => // SQL ARRAY[0.1, ...] parses as DECIMAL
+          arr.getDecimal(i, dt.precision, dt.scale).toFloat
+        case _ => arr.get(i, elemType) match {
+          case d: Decimal => d.toFloat
+          case n: java.lang.Number => n.floatValue()
+          case o => o.toString.toFloat
+        }
+      }
+    }.toArray
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case tvf: UnresolvedTableValuedFunction
+      if tvf.name.lastOption.exists(_.equalsIgnoreCase("vector_search")) =>
+      val args = tvf.functionArgs
+      require(args.size >= 3 && args.size <= 5,
+        "vector_search(path, column, queryVec[, k[, metric]])")
+      val path = literalString(args.head, "path")
+      val column = literalString(args(1), "column")
+      val vec = literalFloats(args(2))
+      val k = if (args.size >= 4) literalString(args(3), "k").toInt else 10
+      val metric = if (args.size >= 5) literalString(args(4), "metric") else "l2"
+      val df = Similarity.knnSearch(
+        spark.read.format("lance").load(path), column, vec, k, metric)
+      df.queryExecution.analyzed
+  }
+}

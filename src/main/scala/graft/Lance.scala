@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.index.IvfIndex
+import graft.operators.Similarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** User-facing facade — everything a user of the reference connector does,
+  * as one Scala API (SURVEY §2 operator inventory):
+  *
+  * {{{
+  * Lance.write(df, "/data/docs")                       // S5: fragment write
+  * val t  = Lance.read(spark, "/data/docs")            // S1: parallel scan
+  * val t1 = Lance.read(spark, "/data/docs", version = Some(3)) // time travel
+  * Lance.knnSearch(t, "embedding", vec, k = 5)          // V1: exact KNN
+  * Lance.buildIndex(spark, t, "embedding", "id", path)  // V8: IVF build
+  * Lance.annSearch(spark, path, "embedding", vec, 5)    // V1/V9: IVF probe
+  * Lance.registerFunctions(spark)                       // V2 in SQL
+  * }}}
+  *
+  * SQL users register the catalog (`spark.sql.catalog.lance=
+  * graft.catalog.LanceCatalog`) and/or the extensions
+  * (`spark.sql.extensions=graft.GraftSparkExtensions`) instead.
+  */
+object Lance {
+
+  /** Read a lance dataset; `version` = time travel (reference MVCC). */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None,
+      filter: Option[String] = None): DataFrame = {
+    val r = spark.read.format("lance")
+    version.foreach(v => r.option("versionAsOf", v.toString))
+    val df = r.load(path)
+    // `read.filter` option parity (P8): conjoined with any later filters
+    filter.fold(df)(f => df.filter(org.apache.spark.sql.functions.expr(f)))
+  }
+
+  /** Append (default, reference write.mode) or overwrite. */
+  def write(df: DataFrame, path: String, mode: String = "append",
+      maxRowsPerFile: Long = 1000000L): Unit =
+    df.write.format("lance")
+      .option("write.max-rows-per-file", maxRowsPerFile.toString)
+      .mode(mode).save(path)
+
+  /** Exact KNN over any DataFrame with a vector column (V1/V3/V6). */
+  def knnSearch(df: DataFrame, vectorCol: String, query: Array[Float], k: Int,
+      metric: String = "l2", filter: Option[Column] = None): DataFrame =
+    Similarity.knnSearch(df, vectorCol, query, k, metric, filter)
+
+  /** Build an IVF index sidecar for a dataset (V8). */
+  def buildIndex(spark: SparkSession, df: DataFrame, vectorCol: String,
+      idCol: String, datasetPath: String, numPartitions: Int = 256,
+      metric: String = "l2", sampleFraction: Double = 1.0): IvfIndex.IndexBuildResult =
+    IvfIndex.build(spark, df, vectorCol, idCol, datasetPath, numPartitions,
+      metric, sampleFraction)
+
+  /** ANN search through the IVF index (V1 with nprobes, V9 defaults). */
+  def annSearch(spark: SparkSession, datasetPath: String, vectorCol: String,
+      query: Array[Float], k: Int, nprobes: Int = 20,
+      metric: String = "l2"): DataFrame =
+    IvfIndex.search(spark, datasetPath, vectorCol, query, k, nprobes, metric)
+
+  /** similarity = 1/(1+distance) (V4). */
+  def similarity(distance: Column): Column = VectorFunctions.similarity(distance)
+
+  /** Register the distance functions on an existing session (V2/V7). */
+  def registerFunctions(spark: SparkSession): Unit = VectorFunctions.register(spark)
+}

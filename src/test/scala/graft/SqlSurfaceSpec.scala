@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end SQL surface through GraftSparkExtensions — a separate
+  * session because extensions bind at session build time.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // extensions bind at session build; clear the suite-shared session so
+    // getOrCreate cannot hand back one built without them
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sql-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftSparkExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private lazy val datasetPath: String = {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "sql-test-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    Lance.write(Tables.t(spark, TestSpark.sf, "embeddings"), ds)
+    ds
+  }
+
+  test("injected distance functions work in SQL") {
+    Tables.t(spark, TestSpark.sf, "embeddings").createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      "SELECT vec_id, l2_distance(embedding, embedding) AS zero, " +
+        "dot_product(embedding, embedding) AS norm2, " +
+        "cosine_distance(embedding, embedding) AS czero " +
+        "FROM emb_sql ORDER BY vec_id LIMIT 3").collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(row.getDouble(1) == 0.0)
+      assert(row.getDouble(2) > 0.0)
+      assert(math.abs(row.getDouble(3)) < 1e-12)
+    }
+  }
+
+  test("vector_search TVF: SELECT * FROM vector_search(path, col, vec, k, metric)") {
+    val q = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val vecSql = q.map(v => f"$v%.9f").mkString("array(", ", ", ")")
+    val rows = spark.sql(
+      s"SELECT vec_id, _distance FROM vector_search('$datasetPath', 'embedding', $vecSql, 5, 'l2')")
+      .collect()
+    assert(rows.length == 5)
+    // decimal-literal coercion means the query vector is float-rounded; the
+    // self-match must still rank first with ~zero distance
+    assert(rows.head.getLong(0) == 0L)
+    assert(rows.head.getDouble(1) < 1e-6)
+    val dists = rows.map(_.getDouble(1))
+    assert(dists.sameElements(dists.sorted))
+  }
+
+  test("vector_search TVF defaults k and metric") {
+    val rows = spark.sql(
+      s"SELECT * FROM vector_search('$datasetPath', 'embedding', " +
+        "array(0.1, 0.0, -0.1, 0.05, 0.2, -0.15, 0.0, 0.1, 0.1, 0.0, 0.0, 0.0, " +
+        "0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, " +
+        "0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, " +
+        "0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, " +
+        "0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))").collect()
+    assert(rows.length == 10) // default k
+  }
+
+  test("Lance facade: write/read/knn/index/ann round trip") {
+    val df = Lance.read(spark, datasetPath)
+    assert(df.count() == 500)
+    val filtered = Lance.read(spark, datasetPath, filter = Some("label = 3"))
+    assert(filtered.count() > 0)
+
+    val q = df.filter(org.apache.spark.sql.functions.col("vec_id") === 7)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val exact = Lance.knnSearch(df, "embedding", q, 5)
+    assert(exact.count() == 5)
+
+    val build = Lance.buildIndex(spark, df, "embedding", "vec_id", datasetPath,
+      numPartitions = 8)
+    assert(build.success, build.error)
+    val ann = Lance.annSearch(spark, datasetPath, "embedding", q, 5, nprobes = 8)
+    assert(ann.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      exact.select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+}
