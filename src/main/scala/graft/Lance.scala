@@ -59,6 +59,21 @@ object Lance {
       metric: String = "l2"): DataFrame =
     IvfIndex.search(spark, datasetPath, vectorCol, query, k, nprobes, metric)
 
+  /** Build an IVF_PQ index (reference index.num-sub-vectors/num-bits). */
+  def buildPqIndex(spark: SparkSession, df: DataFrame, vectorCol: String,
+      idCol: String, datasetPath: String, numPartitions: Int = 256,
+      numSubVectors: Int = 16, numBits: Int = 8): IvfIndex.IndexBuildResult =
+    IvfIndex.build(spark, df, vectorCol, idCol, datasetPath, numPartitions,
+      pq = Some(IvfIndex.PqParams(numSubVectors, numBits)))
+
+  /** ANN search via PQ codes (ADC) + exact refine (reference
+    * vector.refine-factor).
+    */
+  def annSearchPq(spark: SparkSession, datasetPath: String, vectorCol: String,
+      query: Array[Float], k: Int, nprobes: Int = 20,
+      refineFactor: Int = 4): DataFrame =
+    IvfIndex.searchPq(spark, datasetPath, vectorCol, query, k, nprobes, refineFactor)
+
   /** similarity = 1/(1+distance) (V4). */
   def similarity(distance: Column): Column = VectorFunctions.similarity(distance)
 

@@ -34,7 +34,17 @@ object IvfIndex {
   private implicit val fmts: org.json4s.Formats = Serialization.formats(NoTypeHints)
 
   case class IndexMeta(column: String, idColumn: String, metric: String,
-    numPartitions: Int, dim: Int, centroids: Seq[Seq[Double]])
+    numPartitions: Int, dim: Int, centroids: Seq[Seq[Double]],
+    pq: Option[PqMeta] = None)
+
+  /** Product-quantization codebooks: codebooks(j)(c) is the `c`-th centroid
+    * of subspace `j` (dim/numSubVectors floats each). Reference defaults:
+    * 16 sub-vectors, 8 bits (`config/LanceOptions.java:150-163`).
+    */
+  case class PqMeta(numSubVectors: Int, numBits: Int,
+    codebooks: Seq[Seq[Seq[Double]]])
+
+  case class PqParams(numSubVectors: Int = 16, numBits: Int = 8)
 
   /** Parity with reference IndexBuildResult (`LanceIndexBuilder.java:380-435`). */
   case class IndexBuildResult(success: Boolean, durationMillis: Long,
@@ -54,7 +64,8 @@ object IvfIndex {
     */
   def build(spark: SparkSession, df: DataFrame, column: String, idColumn: String,
       datasetPath: String, numPartitions: Int = 16, metric: String = "l2",
-      sampleFraction: Double = 1.0, seed: Long = 42L): IndexBuildResult = {
+      sampleFraction: Double = 1.0, seed: Long = 42L,
+      pq: Option[PqParams] = None): IndexBuildResult = {
     val t0 = System.currentTimeMillis()
     try {
       require(df.columns.contains(column), s"column $column not found") // V8 validation
@@ -84,13 +95,58 @@ object IvfIndex {
         best
       }
 
+      // Optional PQ: per-subspace KMeans codebooks trained on the sample,
+      // every vector encoded to numSubVectors small codes stored next to
+      // the raw vector (codes drive the cheap ADC scan; the raw vector
+      // stays available for exact refine).
+      val pqMeta = pq.map { params =>
+        val dim = centroids.headOption.map(_.length).getOrElse(0)
+        require(dim % params.numSubVectors == 0,
+          s"dim $dim not divisible by numSubVectors ${params.numSubVectors}")
+        val dsub = dim / params.numSubVectors
+        val k = 1 << params.numBits
+        val codebooks = (0 until params.numSubVectors).map { j =>
+          val subTrain = sample.select(org.apache.spark.ml.functions
+            .array_to_vector(expr(s"slice(CAST(`$column` AS ARRAY<DOUBLE>), ${j * dsub + 1}, $dsub)"))
+            .as("features"))
+            .repartition(spark.sparkContext.defaultParallelism)
+          new KMeans().setK(k).setSeed(seed + j).setMaxIter(10)
+            .setFeaturesCol("features").fit(subTrain)
+            .clusterCenters.map(_.toArray.toSeq).toSeq
+        }
+        PqMeta(params.numSubVectors, params.numBits, codebooks)
+      }
+
+      val encode = pqMeta.map { pm =>
+        val bcCb = spark.sparkContext.broadcast(
+          pm.codebooks.map(_.map(_.toArray).toArray).toArray)
+        val dsub = (centroids.headOption.map(_.length).getOrElse(0)) / pm.numSubVectors
+        udf { (v: Seq[Float]) =>
+          val cbs = bcCb.value
+          Array.tabulate(cbs.length) { j =>
+            val off = j * dsub
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < cbs(j).length) {
+              var acc = 0.0; var i = 0
+              while (i < dsub) {
+                val d = v(off + i).toDouble - cbs(j)(c)(i); acc += d * d; i += 1
+              }
+              if (acc < bestD) { bestD = acc; best = c }; c += 1
+            }
+            best
+          }
+        }
+      }
+
       val ip = indexPath(datasetPath, column)
-      df.withColumn("__ivf_part", assign(col(column).cast("array<float>")))
-        .write.mode("overwrite").partitionBy("__ivf_part").parquet(s"$ip/buckets")
+      val assigned = df.withColumn("__ivf_part", assign(col(column).cast("array<float>")))
+      val withCodes = encode.fold(assigned)(e =>
+        assigned.withColumn("__pq_code", e(col(column).cast("array<float>"))))
+      withCodes.write.mode("overwrite").partitionBy("__ivf_part").parquet(s"$ip/buckets")
 
       val meta = IndexMeta(column, idColumn, metric, numPartitions,
         centroids.headOption.map(_.length).getOrElse(0),
-        centroids.map(_.toSeq).toSeq)
+        centroids.map(_.toSeq).toSeq, pqMeta)
       val metaPath = new Path(s"$ip/index.json")
       val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
       val out = fs.create(metaPath, true)
@@ -142,6 +198,54 @@ object IvfIndex {
       .filter(col("__ivf_part").isin(probes: _*))
       .withColumn("_distance", dist)
       .drop("__ivf_part")
+      .orderBy(col("_distance"))
+      .limit(k)
+  }
+
+  /** IVF_PQ search: probe `nprobes` buckets, score candidates with the
+    * asymmetric-distance (ADC) lookup table — `Σ_j table(j)(code_j)`, a
+    * codegen'd fold over the stored codes, no vector math per row — keep
+    * the best `k × refineFactor`, then refine those exactly on the raw
+    * vectors and return the top k (reference `refine-factor`,
+    * `config/LanceOptions.java:233-237`).
+    */
+  def searchPq(spark: SparkSession, datasetPath: String, column: String,
+      query: Array[Float], k: Int, nprobes: Int = 20,
+      refineFactor: Int = 4): DataFrame = {
+    validateQueryVector(query)
+    val meta = loadMeta(spark, datasetPath, column)
+    val pm = meta.pq.getOrElse(throw new IllegalStateException(
+      s"index for $column was built without PQ"))
+    require(query.length == meta.dim,
+      s"query dim ${query.length} != index dim ${meta.dim}")
+    val q = query.map(_.toDouble)
+    val probes = meta.centroids.zipWithIndex
+      .map { case (c, i) => (sq(q, c.toArray), i) }
+      .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
+
+    // ADC table: squared distance from each query subvector to every
+    // codebook centroid, flattened to one literal array (m * 2^bits).
+    val dsub = meta.dim / pm.numSubVectors
+    val kCodes = 1 << pm.numBits
+    val table = Array.tabulate(pm.numSubVectors * kCodes) { idx =>
+      val j = idx / kCodes
+      val c = idx % kCodes
+      if (c >= pm.codebooks(j).size) Double.MaxValue
+      else sq(q.slice(j * dsub, (j + 1) * dsub), pm.codebooks(j)(c).toArray)
+    }
+
+    val tableSql = table.mkString("array(", "D, ", "D)")
+    val approx = spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
+      .filter(col("__ivf_part").isin(probes: _*))
+      .withColumn("__adc", expr(
+        s"""aggregate(sequence(0, ${pm.numSubVectors - 1}), CAST(0 AS DOUBLE),
+           | (acc, j) -> acc + element_at($tableSql, j * $kCodes + __pq_code[j] + 1))""".stripMargin))
+      .orderBy(col("__adc"))
+      .limit(k * refineFactor)
+
+    approx
+      .withColumn("_distance", l2_distance(col(column), lit(q)))
+      .drop("__ivf_part", "__pq_code", "__adc")
       .orderBy(col("_distance"))
       .limit(k)
   }

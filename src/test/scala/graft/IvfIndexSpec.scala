@@ -79,6 +79,42 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF_PQ: codes stored, ADC search with refine recovers exact top-k") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "pq-test-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    Tables.t(spark, sf, "embeddings").write.format("lance").mode("append").save(ds)
+    val df = spark.read.format("lance").load(ds)
+    val r = IvfIndex.build(spark, df, "embedding", "vec_id", ds,
+      numPartitions = 8, pq = Some(IvfIndex.PqParams(numSubVectors = 16, numBits = 4)))
+    assert(r.success, r.error)
+    val meta = IvfIndex.loadMeta(spark, ds, "embedding")
+    assert(meta.pq.isDefined)
+    assert(meta.pq.get.codebooks.size == 16)
+    assert(meta.pq.get.codebooks.head.size <= 16)
+    // stored codes are within the codebook range
+    val codes = spark.read.parquet(s"${IvfIndex.indexPath(ds, "embedding")}/buckets")
+      .select("__pq_code").collect()
+    assert(codes.length == 500)
+    codes.foreach { row =>
+      val cs = row.getSeq[Int](0)
+      assert(cs.size == 16 && cs.forall(c => c >= 0 && c < 16))
+    }
+    // full probe + refine: exact top-k must be recovered despite quantization
+    val q = queryVec(0)
+    val pq = IvfIndex.searchPq(spark, ds, "embedding", q, 10,
+      nprobes = 8, refineFactor = 16)
+    val got = pq.select($"vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.knnSearch(
+      Tables.t(spark, sf, "embeddings"), "embedding", q, 10, "l2")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ+refine recall@10: $recall")
+    // _distance is the exact refined distance, ordered
+    val dists = pq.select($"_distance").collect().map(_.getDouble(0))
+    assert(dists.sameElements(dists.sorted))
+  }
+
   test("build on a missing column reports failure, not an exception") {
     val r = IvfIndex.build(spark, spark.range(3).toDF(), "nope", "id", "target/never")
     assert(!r.success)
