@@ -32,6 +32,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
       val warm = if (cold < 0) -1.0 else math.min(cold, once(fn))
+      System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f")
       name -> warm
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -79,4 +79,20 @@ object Lance {
 
   /** Register the distance functions on an existing session (V2/V7). */
   def registerFunctions(spark: SparkSession): Unit = VectorFunctions.register(spark)
+
+  /** List committed versions of a dataset (MVCC manifest history). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.listVersions(fs, root)
+  }
+
+  /** Reclaim storage: drop all but the newest `keepVersions` manifests and
+    * any fragment files they no longer reference.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.vacuum(fs, root, keepVersions)
+  }
 }

