@@ -36,10 +36,15 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows {len(got)} != {len(want)}"); fail += 1; continue
     gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+    dtype_note = ""
+    if list(gs.dtypes) != list(ws.dtypes):
+        diffs = [(c, str(gs.dtypes[c]), str(ws.dtypes[c]))
+                 for c in gs.columns if str(gs.dtypes[c]) != str(ws.dtypes[c])]
+        dtype_note = f"  DTYPE-MISMATCH {diffs}"
     # exact compare incl. NaN==NaN
     eq = gs.equals(ws.astype(gs.dtypes.to_dict(), errors="ignore"))
     if eq:
-        print(f"OK   {name} ({len(got)} rows)")
+        print(f"OK   {name} ({len(got)} rows){dtype_note}")
     else:
         diff = (gs != ws) & ~(gs.isna() & ws.isna())
         ndiff = int(diff.to_numpy().sum())

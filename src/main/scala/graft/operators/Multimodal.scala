@@ -57,7 +57,7 @@ object Multimodal {
       .select(col("media_id"), posexplode(expr(
         "transform(sequence(0, CAST((length(bytes) - 1) / 256 AS INT))," +
           " i -> substring(bytes, i * 256 + 1, 64))")).as(Seq("frame_idx", "frame")))
-      .select(col("media_id"), col("frame_idx"),
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         length(col("frame")).cast("long").as("frame_bytes"),
         md5(col("frame")).as("frame_hash"))
       .orderBy(col("media_id"), col("frame_idx"))

@@ -218,7 +218,19 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Grouping sets: ROLLUP over two dims — the reference's aggregate
+    * pushdown explicitly rejects these (LanceDynamicTableSource.java:
+    * 402-404); Catalyst expands them natively.
+    */
+  def q21Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_rollup" -> q21Rollup,
     "q01_agg_lineitem" -> q01AggLineitem,
     "q02_filter_project" -> q02FilterProject,
     "q03_topk_limit" -> q03TopkLimit,
@@ -242,6 +254,11 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q21_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q01_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -68,7 +68,7 @@ object TextAnalysis {
     */
   def t33Quality(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .withColumn("n_tokens", expr(s"size($words)"))
+      .withColumn("n_tokens", expr(s"CAST(size($words) AS BIGINT)"))
       .withColumn("uniq_ratio",
         expr(s"CAST(size(array_distinct($words)) AS DOUBLE) / size($words)"))
       .withColumn("avg_word_len",
@@ -94,7 +94,26 @@ object TextAnalysis {
         .as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** BPE-ish token counting: a GPT-style pre-tokenizer regex (letter runs,
+    * digit runs, other non-space singletons — optionally space-prefixed)
+    * followed by a fixed-size chunking that approximates subword merges.
+    * Reported per source next to the whitespace token count.
+    */
+  def t35BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("pieces", expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]', 0)"))
+      // ceil(len/4) "merges" per pre-token: a 4-char subword budget
+      .withColumn("n_bpe", expr(
+        "aggregate(pieces, CAST(0 AS BIGINT), (acc, p) -> acc + CAST(ceil(length(trim(p)) / 4.0) AS BIGINT))"))
+      .withColumn("n_ws", expr(s"size($words)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        sum(col("n_ws")).as("ws_tokens"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t35_bpe_tokens" -> t35BpeTokens,
     "t31_token_stats" -> t31TokenStats,
     "t32_lang_id" -> t32LangId,
     "t33_quality" -> t33Quality,
@@ -112,6 +131,14 @@ object TextAnalysis {
     val dCase = dScores.map { case (l, s) => s"WHEN $s = __best THEN '$l'" }
       .mkString("CASE WHEN __best = 0 THEN 'und' ", " ", " END")
     Map(
+      "t35_bpe_tokens" ->
+        s"""SELECT source, COUNT(*) AS n_docs,
+           | CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |   list_transform(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]'),
+           |     p -> CAST(ceil(length(trim(p)) / 4.0) AS BIGINT))),
+           |   (acc, x) -> acc + x)) AS BIGINT) AS bpe_tokens,
+           | CAST(SUM(len($dWords)) AS BIGINT) AS ws_tokens
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "t31_token_stats" ->
         s"""SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_uniq,
            | CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS avg_len

@@ -36,7 +36,7 @@ class MultimodalSpec extends AnyFunSuite {
     val byMedia = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
       max("frame_idx").as("max_idx")).collect()
     assert(byMedia.nonEmpty)
-    byMedia.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Int]("max_idx") + 1))
+    byMedia.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Long]("max_idx") + 1))
     // every full frame is 64 bytes; the tail frame may be shorter
     val sizes = frames.select("frame_bytes").distinct().collect().map(_.getLong(0))
     assert(sizes.contains(64L))
