@@ -53,29 +53,31 @@ object Dedup {
       count(lit(1)).as("n_docs"),
       countDistinct(md5(col("text"))).as("n_unique"))
 
-  /** D2: all-pairs n-gram Jaccard ≥ 0.5 (oracle baseline — O(n²), only
-    * for bounded blocks; the scale path is d44).
+  /** D2: exact n-gram Jaccard pairs ≥ 0.5 via an inverted shingle index.
+    *
+    * Semantically identical to the all-pairs baseline (the DuckDB oracle
+    * still brute-forces it): any pair with jaccard > 0 shares ≥ 1 shingle,
+    * so exploding (shingle → doc) and equi-joining on the shingle hash
+    * enumerates every qualifying pair, and COUNT(*) per pair IS the
+    * intersection size (shingle arrays are distinct). Cost is Σ c(s)² over
+    * shingle postings — ∝ true overlap, never n²/2 pairs — which is the
+    * join an inverted-index dedup runs at 100 TB. The size-ratio prune
+    * (jaccard ≥ 0.5 ⇒ 2·min ≥ max) drops mismatched pairs pre-aggregation.
     */
   def d42JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // the pinned repartition is a materialization barrier AND a
-    // parallelism floor: without it the non-equi self-join re-derives the
-    // shingle arrays from `text` per pair evaluation, and AQE coalesces
-    // the tiny shuffle to one partition, serializing the O(n²) intersects
     val d = t(spark, dir, "documents")
       .select(col("doc_id"), expr(
         s"array_distinct(transform($shingles, s -> ${wordHash("s")} % $P))").as("sh"))
       .repartition(32, col("doc_id"))
-    val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    // the size-ratio prune is implied by jaccard >= 0.5 (inter <= min,
-    // union >= max, so min >= max/2) — it discards pairs before the
-    // expensive intersect without changing the result
-    a.join(b, col("a_id") < col("b_id") &&
-        size(col("a_sh")) * 2 >= size(col("b_sh")) &&
-        size(col("b_sh")) * 2 >= size(col("a_sh")))
-      .withColumn("inter", expr("size(array_intersect(a_sh, b_sh))"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    val a = d.select(col("h"), col("doc_id").as("a_id"), col("n").as("a_n"))
+    val b = d.select(col("h").as("h2"), col("doc_id").as("b_id"), col("n").as("b_n"))
+    a.join(b, col("h") === col("h2") && col("a_id") < col("b_id") &&
+        col("a_n") * 2 >= col("b_n") && col("b_n") * 2 >= col("a_n"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
-        expr("CAST(inter AS DOUBLE) / (size(a_sh) + size(b_sh) - inter)"))
+        expr("CAST(inter AS DOUBLE) / (a_n + b_n - inter)"))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
