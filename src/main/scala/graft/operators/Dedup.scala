@@ -23,10 +23,20 @@ object Dedup {
 
   private val words = "split(text, ' ')"
 
-  /** Distinct word 3-gram shingles. */
+  /** Word 3-gram shingles over a *materialized* word-array column.
+    *
+    * Two deliberate non-choices: (a) referencing `split(text)` inside the
+    * lambda would re-split the full text on every element access (O(len²)
+    * per document — Catalyst does not hoist loop-invariant subexpressions
+    * out of higher-order-function lambdas); (b) string-level
+    * `array_distinct` here costs ~14× the rest of the shingle stage
+    * (measured at sf0.1) — dedup happens after hashing instead, where
+    * distinct-over-longs is cheap, and MinHash (`array_min`) is
+    * duplicate-insensitive anyway.
+    */
   private val shingles =
-    s"array_distinct(transform(sequence(0, size($words) - 3)," +
-      s" i -> concat($words[i], ' ', $words[i+1], ' ', $words[i+2])))"
+    "transform(sequence(0, size(__w) - 3)," +
+      " i -> concat(__w[i], ' ', __w[i+1], ' ', __w[i+2]))"
 
   private def wordHash(w: String) =
     s"CAST(conv(substr(md5($w), 1, 8), 16, 10) AS BIGINT)"
@@ -65,10 +75,22 @@ object Dedup {
     * (jaccard ≥ 0.5 ⇒ 2·min ≥ max) drops mismatched pairs pre-aggregation.
     */
   def d42JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents")
+    // Materialize the per-doc shingle-hash arrays before exploding and
+    // self-joining. The barrier matters twice over: (a) Catalyst infers
+    // join-key null filters and pushes them beneath the repartition,
+    // re-deriving the shingle pipeline per raw row, and (b) CollapseProject
+    // inlines the array expression into every post-explode column
+    // reference, recomputing the full md5 chain per *output* row (~25× —
+    // measured 4.5 s vs 0.2 s at sf0.1). A stored shingle table is also
+    // what the 100 TB pipeline keeps.
+    val scratch = s"target/graft-data/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/shingle_arrays"
+    t(spark, dir, "documents")
+      .repartition(32, col("doc_id"))
+      .withColumn("__w", expr(words))
       .select(col("doc_id"), expr(
         s"array_distinct(transform($shingles, s -> ${wordHash("s")} % $P))").as("sh"))
-      .repartition(32, col("doc_id"))
+      .write.mode("overwrite").parquet(scratch)
+    val d = spark.read.parquet(scratch)
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
     val a = d.select(col("h"), col("doc_id").as("a_id"), col("n").as("a_n"))
     val b = d.select(col("h").as("h2"), col("doc_id").as("b_id"), col("n").as("b_n"))
@@ -91,6 +113,7 @@ object Dedup {
       // hash-heavy map stage: spread across cores even though the input
       // is a single small parquet split
       .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("__w", expr(words))
       .withColumn("__sh", expr(shingles))
       .withColumn("__hs", expr(shingleHashes))
       .select(col("doc_id") +: seeds.indices.map(j =>
@@ -110,6 +133,7 @@ object Dedup {
     val scratch = s"target/graft-data/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/minhash_sigs"
     t(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("__w", expr(words))
       .withColumn("__sh", expr(shingles))
       .withColumn("__hs", expr(shingleHashes))
       .select(col("doc_id"),
@@ -134,19 +158,28 @@ object Dedup {
 
   /** D5: 32-bit SimHash over word hashes (with multiplicity): bit k set
     * when the ±1 majority over words is positive.
+    *
+    * Shape: explode word hashes → hash-aggregate with 32 codegen'd ±1
+    * sums (map-side partials, one narrow shuffle keyed by doc) → assemble
+    * the bits. A lambda fold per bit per doc would run 32·|words|
+    * interpreted closures per document; the flat aggregate stays inside
+    * whole-stage codegen and scales out on the doc key.
     */
-  def d45Simhash(spark: SparkSession, dir: String): DataFrame =
+  def d45Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until 32).map(k =>
+      sum(when(expr(s"(shiftright(h, $k) & 1) = 1"), 1).otherwise(-1)).as(s"b$k"))
+    val assemble = (0 until 32).map(k =>
+      s"CASE WHEN b$k > 0 THEN shiftleft(CAST(1 AS BIGINT), $k) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
     t(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
-      // hash each word once; the 32 bit-majorities fold over the array
-      .withColumn("__wh", expr(s"transform($words, w -> ${wordHash("w")})"))
-      .select(col("doc_id"), expr(
-        s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) -> acc +
-           | CASE WHEN aggregate(__wh, CAST(0 AS BIGINT),
-           |   (a2, h) -> a2 + CASE WHEN (shiftright(h, k) & 1) = 1 THEN 1 ELSE -1 END) > 0
-           | THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
-        .as("simhash"))
+      .select(col("doc_id"),
+        explode(expr(s"transform($words, w -> ${wordHash("w")})")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(assemble).as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   /** Embedding-cosine near-dup: same-label blocking, cosine similarity
     * ≥ 0.4 via three exact dot products. At scale the blocking key comes
