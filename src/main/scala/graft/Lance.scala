@@ -74,6 +74,21 @@ object Lance {
       refineFactor: Int = 4): DataFrame =
     IvfIndex.searchPq(spark, datasetPath, vectorCol, query, k, nprobes, refineFactor)
 
+  /** Build the per-bucket HNSW graph sidecar over an existing IVF index
+    * (reference IVF_HNSW, index.max-level/m/ef-construction).
+    */
+  def buildHnswIndex(spark: SparkSession, datasetPath: String, vectorCol: String,
+      m: Int = 16, maxLevel: Int = 7, efConstruction: Int = 100): IvfIndex.IndexBuildResult =
+    graft.index.HnswIndex.build(spark, datasetPath, vectorCol,
+      graft.index.HnswIndex.Params(m, maxLevel, efConstruction))
+
+  /** ANN search probing IVF buckets and walking each bucket's HNSW graph
+    * (reference vector.ef / vector.nprobes).
+    */
+  def annSearchHnsw(spark: SparkSession, datasetPath: String, vectorCol: String,
+      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame =
+    graft.index.HnswIndex.search(spark, datasetPath, vectorCol, query, k, nprobes, ef)
+
   /** similarity = 1/(1+distance) (V4). */
   def similarity(distance: Column): Column = VectorFunctions.similarity(distance)
 

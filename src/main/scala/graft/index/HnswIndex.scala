@@ -1,0 +1,293 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** IVF_HNSW vector index — the reference's third index type
+  * (`LanceIndexBuilder.java:134-170`: IVF_HNSW_PQ with `maxLevel`, `m`,
+  * `efConstruction`; defaults 7/16/100 from `config/LanceOptions.java:
+  * 168-190`).
+  *
+  * Spark-first shape: the IVF layer partitions the data exactly as
+  * [[IvfIndex]] does (KMeans centroids → bucketed parquet sidecar), and a
+  * navigable small-world graph is built *per bucket* inside one
+  * `mapPartitions` task — the only genuinely imperative, random-access
+  * piece — then persisted as an adjacency-list parquet next to the
+  * buckets. Search probes `nprobes` buckets (directory-pruned scan), walks
+  * each bucket's graph inside its task with an `ef`-bounded beam, and
+  * merges per-bucket candidates with a global top-k. Each task holds one
+  * bucket's vectors + graph — the same memory contract as the reference's
+  * native per-partition HNSW.
+  *
+  * Determinism: insertion order is ascending id, levels come from a
+  * splitmix-style hash of the id, and all distances are double
+  * accumulations — identical graphs and results on every run.
+  */
+object HnswIndex {
+
+  case class Params(m: Int = 16, maxLevel: Int = 7, efConstruction: Int = 100)
+
+  def graphPath(datasetPath: String, column: String): String =
+    s"${IvfIndex.indexPath(datasetPath, column)}/hnsw_graph"
+
+  // ---- deterministic level assignment ----
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4b7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Geometric level: P(level ≥ l) = (1/m)^l, capped at maxLevel. */
+  def levelOf(id: Long, m: Int, maxLevel: Int): Int = {
+    val u = (mix64(id) >>> 11).toDouble / (1L << 53).toDouble // [0, 1)
+    val mL = 1.0 / math.log(m.toDouble)
+    math.min(maxLevel, (-math.log1p(-u) * mL).toInt)
+  }
+
+  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+
+  // ---- in-memory graph build (one bucket, one task) ----
+
+  /** Builds the layered graph for one bucket; returns (id, level,
+    * neighbors-per-level) rows. `vecs` indexed by local ordinal.
+    */
+  private[index] def buildBucketGraph(ids: Array[Long], vecs: Array[Array[Float]],
+      p: Params): Iterator[(Long, Int, Seq[Seq[Long]])] = {
+    val n = ids.length
+    if (n == 0) return Iterator.empty
+    val levels = Array.tabulate(n)(i => levelOf(ids(i), p.m, p.maxLevel))
+    // adjacency(l)(i) = neighbor ordinals of i at level l
+    val maxL = levels.max
+    val adjacency = Array.fill(maxL + 1)(mutable.Map.empty[Int, mutable.ArrayBuffer[Int]])
+    var entry = 0
+    var entryLevel = levels(0)
+
+    def searchLayer(q: Array[Float], ep: Seq[Int], ef: Int, level: Int): Seq[Int] = {
+      val visited = mutable.Set[Int](ep: _*)
+      // candidates: min-heap by distance; results: max-heap (worst first)
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](t => -t._1))
+      val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1))
+      ep.foreach { e => val d = sqDist(q, vecs(e)); cand.enqueue((d, e)); res.enqueue((d, e)) }
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (res.nonEmpty && dc > res.head._1 && res.size >= ef) { cand.clear() }
+        else {
+          adjacency(level).getOrElse(c, mutable.ArrayBuffer.empty).foreach { nb =>
+            if (!visited.contains(nb)) {
+              visited += nb
+              val d = sqDist(q, vecs(nb))
+              if (res.size < ef || d < res.head._1) {
+                cand.enqueue((d, nb)); res.enqueue((d, nb))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+          }
+        }
+      }
+      val drained = Array.fill(res.size)(res.dequeue())
+      drained.reverse.map(_._2).toSeq // closest first
+    }
+
+    def connect(level: Int, a: Int, b: Int, cap: Int): Unit = {
+      val nbrs = adjacency(level).getOrElseUpdate(a, mutable.ArrayBuffer.empty)
+      if (!nbrs.contains(b)) {
+        nbrs += b
+        if (nbrs.size > cap) {
+          // prune to the `cap` closest (simple heuristic, deterministic)
+          val pruned = nbrs.map(x => (sqDist(vecs(a), vecs(x)), x)).sorted.take(cap).map(_._2)
+          nbrs.clear(); nbrs ++= pruned
+        }
+      }
+    }
+
+    // insert in ascending-ordinal (= ascending id) order; node 0 seeds
+    var i = 1
+    while (i < n) {
+      val li = levels(i)
+      val q = vecs(i)
+      var ep = Seq(entry)
+      var l = entryLevel
+      while (l > li) { ep = searchLayer(q, ep, 1, l).take(1); l -= 1 }
+      while (l >= 0) {
+        val cap = if (l == 0) 2 * p.m else p.m
+        val found = searchLayer(q, ep, p.efConstruction, l)
+        found.take(p.m).foreach { nb => connect(l, i, nb, cap); connect(l, nb, i, cap) }
+        ep = found
+        l -= 1
+      }
+      if (li > entryLevel) { entry = i; entryLevel = li }
+      i += 1
+    }
+
+    (0 until n).iterator.map { o =>
+      val nbrsPerLevel = (0 to levels(o)).map(l =>
+        adjacency(l).getOrElse(o, mutable.ArrayBuffer.empty).map(x => ids(x)).toSeq)
+      (ids(o), levels(o), nbrsPerLevel)
+    }
+  }
+
+  /** Build the graph sidecar. Requires the IVF buckets to exist (build via
+    * [[IvfIndex.build]] first); one task per bucket builds that bucket's
+    * graph — build cost parallelizes over buckets, the unit the reference
+    * also uses.
+    */
+  def build(spark: SparkSession, datasetPath: String, column: String,
+      params: Params = Params()): IvfIndex.IndexBuildResult = {
+    val t0 = System.currentTimeMillis()
+    try {
+      val meta = IvfIndex.loadMeta(spark, datasetPath, column)
+      val buckets = spark.read.parquet(s"${IvfIndex.indexPath(datasetPath, column)}/buckets")
+        .select(col(meta.idColumn), col(meta.column).cast("array<float>").as("__v"),
+          col("__ivf_part"))
+        .repartition(meta.numPartitions, col("__ivf_part"))
+      val outSchema = StructType(Seq(
+        StructField("__ivf_part", IntegerType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("level", IntegerType, nullable = false),
+        StructField("neighbors", ArrayType(ArrayType(LongType)), nullable = false)))
+      val graph = buckets.mapPartitions { rows =>
+        // a task may hold several hash-colliding buckets: group, then build
+        val byBucket = mutable.Map.empty[Int, (mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Array[Float]])]
+        rows.foreach { r =>
+          val b = r.getInt(2)
+          val (ids, vs) = byBucket.getOrElseUpdate(b,
+            (mutable.ArrayBuffer.empty[Long], mutable.ArrayBuffer.empty[Array[Float]]))
+          ids += r.getLong(0)
+          vs += r.getSeq[Float](1).toArray
+        }
+        byBucket.iterator.flatMap { case (b, (idsB, vecsB)) =>
+          val order = idsB.indices.sortBy(idsB) // deterministic insertion order
+          val ids = order.map(idsB).toArray
+          val vecs = order.map(vecsB).toArray
+          buildBucketGraph(ids, vecs, params).map { case (id, level, nbrs) =>
+            Row(b, id, level, nbrs)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      graph.write.mode("overwrite").partitionBy("__ivf_part")
+        .parquet(graphPath(datasetPath, column))
+      IvfIndex.IndexBuildResult(success = true,
+        System.currentTimeMillis() - t0, meta.numPartitions)
+    } catch {
+      case e: Exception => IvfIndex.IndexBuildResult(success = false,
+        System.currentTimeMillis() - t0, -1, Some(e.getMessage))
+    }
+  }
+
+  /** ANN search: probe the `nprobes` nearest buckets; each probed bucket's
+    * task walks its graph (greedy descent + ef beam at level 0) and emits
+    * its best candidates; a global top-k merges them. Reference search
+    * params `vector.ef` (default 100) and `vector.nprobes` (default 20),
+    * `config/LanceOptions.java:215-228`.
+    */
+  def search(spark: SparkSession, datasetPath: String, column: String,
+      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame = {
+    graft.functions.VectorFunctions.validateQueryVector(query)
+    val meta = IvfIndex.loadMeta(spark, datasetPath, column)
+    require(query.length == meta.dim,
+      s"query dim ${query.length} != index dim ${meta.dim}")
+    val qd = query.map(_.toDouble)
+    val probes = meta.centroids.zipWithIndex
+      .map { case (c, i) =>
+        (c.toArray.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }
+      .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
+
+    val ip = IvfIndex.indexPath(datasetPath, column)
+    val vecs = spark.read.parquet(s"$ip/buckets")
+      .filter(col("__ivf_part").isin(probes: _*))
+      .select(col("__ivf_part"), col(meta.idColumn).as("id"),
+        col(meta.column).cast("array<float>").as("__v"))
+    val graph = spark.read.parquet(graphPath(datasetPath, column))
+      .filter(col("__ivf_part").isin(probes: _*))
+      .select(col("__ivf_part"), col("id"), col("level"), col("neighbors"))
+
+    val joined = vecs.join(graph, Seq("__ivf_part", "id"))
+      .repartition(math.max(probes.size, 1), col("__ivf_part"))
+    val bcQ = spark.sparkContext.broadcast(query)
+    val effEf = math.max(ef, k)
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("_distance", DoubleType, nullable = false)))
+    val candidates = joined.mapPartitions { rows =>
+      val q = bcQ.value
+      val byBucket = mutable.Map.empty[Int, mutable.ArrayBuffer[(Long, Array[Float], Int, Seq[Seq[Long]])]]
+      rows.foreach { r =>
+        byBucket.getOrElseUpdate(r.getInt(0), mutable.ArrayBuffer.empty) +=
+          ((r.getLong(1), r.getSeq[Float](2).toArray, r.getInt(3),
+            // nested parquet arrays deserialize as mutable.ArraySeq — type
+            // the element as collection.Seq before converting
+            r.getSeq[scala.collection.Seq[Long]](4).map(_.toSeq).toSeq))
+      }
+      byBucket.iterator.flatMap { case (_, nodes) =>
+        searchBucket(q, nodes.toArray, effEf)
+      }.map { case (id, d) => Row(id, math.sqrt(d)) }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    candidates.orderBy(col("_distance"), col("id")).limit(k)
+  }
+
+  /** Walk one bucket's graph; returns up to ef (id, sqDist) candidates. */
+  private[index] def searchBucket(q: Array[Float],
+      nodes: Array[(Long, Array[Float], Int, Seq[Seq[Long]])],
+      ef: Int): Iterator[(Long, Double)] = {
+    if (nodes.isEmpty) return Iterator.empty
+    val ordinal = nodes.iterator.map(_._1).zipWithIndex.toMap
+    val vecs = nodes.map(_._2)
+    val levels = nodes.map(_._3)
+    // neighbors(l)(i): ordinals at level l
+    val maxL = levels.max
+    val adjacency = Array.tabulate(maxL + 1) { l =>
+      nodes.map { case (_, _, lvl, nbrs) =>
+        if (l <= lvl && l < nbrs.size) nbrs(l).flatMap(ordinal.get).toArray
+        else Array.empty[Int]
+      }
+    }
+    var entry = levels.indexOf(maxL)
+    def greedyStep(level: Int, start: Int): Int = {
+      var cur = start
+      var curD = sqDist(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        adjacency(level)(cur).foreach { nb =>
+          val d = sqDist(q, vecs(nb))
+          if (d < curD) { curD = d; cur = nb; improved = true }
+        }
+      }
+      cur
+    }
+    var l = maxL
+    while (l > 0) { entry = greedyStep(l, entry); l -= 1 }
+    // ef beam at level 0
+    val visited = mutable.Set(entry)
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](t => -t._1))
+    val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1))
+    val d0 = sqDist(q, vecs(entry))
+    cand.enqueue((d0, entry)); res.enqueue((d0, entry))
+    while (cand.nonEmpty) {
+      val (dc, c) = cand.dequeue()
+      if (res.size >= ef && dc > res.head._1) cand.clear()
+      else adjacency(0)(c).foreach { nb =>
+        if (!visited.contains(nb)) {
+          visited += nb
+          val d = sqDist(q, vecs(nb))
+          if (res.size < ef || d < res.head._1) {
+            cand.enqueue((d, nb)); res.enqueue((d, nb))
+            if (res.size > ef) res.dequeue()
+          }
+        }
+      }
+    }
+    Array.fill(res.size)(res.dequeue()).iterator
+      .map { case (d, o) => (nodes(o)._1, d) }
+  }
+}

@@ -96,30 +96,60 @@ object Similarity {
     * the SQL oracle computes; partial probing is exercised in the spec and
     * the benchmark.
     */
-  def v25KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-once ensure step: the index is an on-disk artifact keyed by
+    * the dataset (like the reference's explicit index-build op); repeated
+    * queries amortize the KMeans build exactly as production would.
+    */
+  private def ensureIvf(spark: SparkSession, dir: String): String = {
     import graft.index.IvfIndex
     val dest = s"target/graft-data/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/emb_ivf"
-    val e = t(spark, dir, "embeddings")
-    // Build once, search many: the index is an on-disk artifact keyed by
-    // the dataset (like the reference's explicit index-build op); repeated
-    // queries amortize the KMeans build exactly as production would.
     val metaFile = new org.apache.hadoop.fs.Path(
       new java.io.File(s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
     val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(metaFile)) {
-      val r = IvfIndex.build(spark, e, "embedding", "vec_id", dest, numPartitions = 8)
+      val r = IvfIndex.build(spark, t(spark, dir, "embeddings"),
+        "embedding", "vec_id", dest, numPartitions = 8)
       require(r.success, r.error)
     }
-    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
-      .collect().head.getSeq[Float](0).toArray
+    dest
+  }
+
+  def v25KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = ensureIvf(spark, dir)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
     IvfIndex.search(spark, dest, "embedding", q, 10, nprobes = 8)
       .select(col("vec_id"), col("_distance").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  /** V8 (IVF_HNSW): per-bucket navigable-graph ANN. Approximate by design
+    * (graph walks have no exactness guarantee), so no SQL oracle — the
+    * driver records the weaker rows-only check; the spec asserts recall
+    * against exact KNN.
+    */
+  def v26KnnHnsw(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.HnswIndex
+    val dest = ensureIvf(spark, dir)
+    val gp = new org.apache.hadoop.fs.Path(
+      new java.io.File(s"${HnswIndex.graphPath(dest, "embedding")}/_SUCCESS").getAbsolutePath)
+    val fs = gp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(gp)) {
+      val r = HnswIndex.build(spark, dest, "embedding")
+      require(r.success, r.error)
+    }
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    HnswIndex.search(spark, dest, "embedding", q, 10, nprobes = 8, ef = 200)
+      .select(col("id").as("vec_id"), col("_distance").as("dist"))
       .orderBy(col("dist"), col("vec_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v21_knn_l2" -> v21KnnL2,
     "v25_knn_ivf" -> v25KnnIvf,
+    "v26_knn_hnsw" -> v26KnnHnsw,
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
