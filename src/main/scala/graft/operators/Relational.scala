@@ -229,8 +229,53 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Set operation: INTERSECT (distinct) — customers with both an open and
+    * a finished order.
+    */
+  def q22Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** UNION ALL of two branch projections + re-aggregation — the classic
+    * multi-source append; stays partition-local until the final groupBy.
+    */
+  def q23UnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val hi = t(spark, dir, "orders").filter(col("o_totalprice") > 150000)
+      .select(col("o_orderstatus"), lit("high").as("bucket"))
+    val lo = t(spark, dir, "orders").filter(col("o_totalprice") <= 150000)
+      .select(col("o_orderstatus"), lit("low").as("bucket"))
+    hi.unionAll(lo)
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"), col("bucket"))
+  }
+
+  /** Running window aggregates: cumulative sum + lag over each customer's
+    * order history — one shuffle on the partition key, state bounded by
+    * the frame.
+    */
+  def q24RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("run_total",
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("run_total"), col("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .limit(2000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_rollup" -> q21Rollup,
+    "q22_intersect" -> q22Intersect,
+    "q23_union_all" -> q23UnionAll,
+    "q24_running_window" -> q24RunningWindow,
     "q01_agg_lineitem" -> q01AggLineitem,
     "q02_filter_project" -> q02FilterProject,
     "q03_topk_limit" -> q03TopkLimit,
@@ -254,6 +299,24 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q22_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q23_union_all" ->
+      """SELECT o_orderstatus, bucket, COUNT(*) AS n FROM (
+        |  SELECT o_orderstatus, 'high' AS bucket FROM orders WHERE o_totalprice > 150000
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'low' AS bucket FROM orders WHERE o_totalprice <= 150000)
+        |GROUP BY o_orderstatus, bucket ORDER BY o_orderstatus, bucket""".stripMargin,
+    "q24_running_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS run_total,
+        | lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 2000""".stripMargin,
     "q21_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
