@@ -7,10 +7,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -68,6 +69,7 @@ object LanceTable {
 
   val Capabilities: util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ,
+    TableCapability.MICRO_BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.TRUNCATE,
     TableCapability.STREAMING_WRITE).asJava
@@ -104,11 +106,45 @@ class LanceTable(rootStr: String, declaredSchema: StructType) extends Table
     val dataSchema = manifest.map(_.schema).getOrElse(schema())
     val index = new InMemoryFileIndex(spark, files, Map.empty[String, String],
       Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
-    ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
+    new LanceScanBuilder(spark, index, dataSchema, options, rootStr)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LanceWriteBuilder(rootStr, info)
+}
+
+/** Batch scans inherit the full vectorized-parquet pushdown surface; the
+  * built Scan is wrapped only to add `toMicroBatchStream` (streaming reads
+  * use the same pruned read schema; parquet row-group filters are advisory
+  * and stay in the plan, so ignoring them in the stream is correct).
+  */
+class LanceScanBuilder(spark: SparkSession,
+    index: InMemoryFileIndex, dataSchema: StructType,
+    options: CaseInsensitiveStringMap, rootStr: String)
+    extends ParquetScanBuilder(spark, index, dataSchema, dataSchema, options) {
+
+  override def build(): ParquetScan =
+    new LanceParquetScan(super.build(), rootStr)
+}
+
+/** A ParquetScan that additionally answers `toMicroBatchStream` — batch
+  * behavior (partitions, pushdown, columnar batches) is inherited verbatim.
+  */
+class LanceParquetScan(inner: ParquetScan, rootStr: String)
+    extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
+      inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
+      inner.pushedFilters, inner.options, inner.pushedAggregate,
+      inner.partitionFilters, inner.dataFilters, inner.pushedVariantExtractions) {
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val conf = {
+      val c = inner.sparkSession.sessionState.newHadoopConf()
+      c.set("spark.sql.session.timeZone",
+        inner.sparkSession.sessionState.conf.sessionLocalTimeZone)
+      new SerializableConf(c)
+    }
+    new LanceMicroBatchStream(rootStr, readSchema().json, conf)
+  }
 }
 
 /** Append by default; `SaveMode.Overwrite` arrives as truncate(). */

@@ -1,0 +1,98 @@
+package graft.connector
+
+import graft.format.LanceFormat
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Streaming read of a lance dataset — `spark.readStream.format("lance")`.
+  *
+  * The reference's `LanceSource` is a Flink *streaming* source over a
+  * dataset snapshot (`LanceSource.java:147-190`); re-expressed on
+  * Structured Streaming the natural semantics are a fragment changefeed:
+  * offsets are manifest versions, and each micro-batch reads exactly the
+  * fragments that versions (start, end] added. The first batch emits every
+  * fragment of the current version (snapshot), later batches pick up newly
+  * committed appends — a table that is both sink and source chains
+  * pipelines end-to-end with exactly-once epochs on both sides.
+  *
+  * Scale: one InputPartition per new fragment (the reference's parallelism
+  * unit); no state beyond the last processed version number. Vacuuming
+  * manifests below the stream's current offset while it runs is the one
+  * unsupported interleaving (same retention contract as any log-compacted
+  * changefeed).
+  */
+case class LanceStreamOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
+    conf: SerializableConf) extends MicroBatchStream {
+
+  private val root = new Path(rootStr)
+  private def fs = LanceFormat.fileSystem(root, conf.value)
+
+  override def initialOffset(): Offset = LanceStreamOffset(0L)
+
+  override def latestOffset(): Offset =
+    LanceStreamOffset(LanceFormat.latestVersion(fs, root).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    LanceStreamOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val sv = start.asInstanceOf[LanceStreamOffset].version
+    val ev = end.asInstanceOf[LanceStreamOffset].version
+    if (ev <= sv) return Array.empty
+    val before =
+      if (sv == 0L) Set.empty[String]
+      else LanceFormat.readManifest(fs, root, sv).fragments.map(_.file).toSet
+    LanceFormat.readManifest(fs, root, ev).fragments
+      .filterNot(f => before.contains(f.file))
+      .map(f => LanceFragmentPartition(
+        new Path(LanceFormat.dataPath(root), f.file).toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LanceFragmentReaderFactory(readSchemaJson, conf)
+
+  override def stop(): Unit = ()
+}
+
+case class LanceFragmentPartition(file: String) extends InputPartition
+
+/** Row-based fragment reader: the executor-side `ParquetReadSupport` path
+  * (symmetric to [[LanceDataWriter]]'s `ParquetWriteSupport`), with the
+  * requested Catalyst schema in the conf so parquet clips columns.
+  */
+class LanceFragmentReaderFactory(readSchemaJson: String, conf: SerializableConf)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[LanceFragmentPartition].file
+    val schema = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
+    val c = new org.apache.hadoop.conf.Configuration(conf.value)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    c.setIfUnset("spark.sql.parquet.binaryAsString", "false")
+    c.setIfUnset("spark.sql.parquet.int96AsTimestamp", "true")
+    c.setIfUnset("spark.sql.caseSensitive", "false")
+    c.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    c.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[InternalRow] =
+        ParquetReader.builder(new ParquetReadSupport(), new Path(file))
+          .withConf(c).build()
+      private var current: InternalRow = _
+      override def next(): Boolean = { current = reader.read(); current != null }
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}
