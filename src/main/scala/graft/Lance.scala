@@ -24,6 +24,21 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Lance {
 
+  /** Column-metadata key carrying a fixed vector dimension. */
+  val VectorDimKey = "graft.vector.dim"
+
+  /** Stamp `column` with a fixed vector dimension: the dimension rides the
+    * stored schema and every write validates row lengths against it
+    * (SURVEY §7.4 risk 5 — the reference drops the dimension,
+    * `LanceTypeConverter.java:235-242`).
+    */
+  def withVectorDim(df: DataFrame, column: String, dim: Int): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(df.schema(column).metadata)
+      .putLong(VectorDimKey, dim.toLong).build()
+    df.withColumn(column, df(column).as(column, meta))
+  }
+
   /** Read a lance dataset; `version` = time travel (reference MVCC). */
   def read(spark: SparkSession, path: String, version: Option[Long] = None,
       filter: Option[String] = None): DataFrame = {

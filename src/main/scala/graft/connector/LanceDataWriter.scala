@@ -55,6 +55,30 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val root = new Path(rootStr)
+
+  /** Fixed-size vector fidelity (SURVEY §7.4 risk 5 — the reference drops
+    * the dimension, `LanceTypeConverter.java:235-242`): columns stamped
+    * with [[graft.Lance.VectorDimKey]] metadata are length-checked on every
+    * row; the metadata itself rides the manifest's schema JSON.
+    */
+  private val dimChecks: Array[(Int, String, Int)] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if f.metadata.contains(graft.Lance.VectorDimKey) =>
+        (i, f.name, f.metadata.getLong(graft.Lance.VectorDimKey).toInt)
+    }
+
+  private def validate(row: InternalRow): Unit = {
+    var j = 0
+    while (j < dimChecks.length) {
+      val (i, name, dim) = dimChecks(j)
+      if (!row.isNullAt(i)) {
+        val n = row.getArray(i).numElements()
+        if (n != dim) throw new IllegalArgumentException(
+          s"column '$name' expects fixed vector dim $dim, got $n")
+      }
+      j += 1
+    }
+  }
   private val done = ArrayBuffer.empty[FragmentMeta]
   private var writer: ParquetWriter[InternalRow] = _
   private var currentFile: String = _
@@ -96,6 +120,7 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
   }
 
   override def write(row: InternalRow): Unit = {
+    if (dimChecks.nonEmpty) validate(row)
     if (writer == null) open()
     writer.write(row)
     rowsInFile += 1

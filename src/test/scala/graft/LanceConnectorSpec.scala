@@ -169,6 +169,28 @@ class LanceConnectorSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("vector-dim metadata is stored and enforced on write") {
+    val dir = s"${tmpDir()}/vdim"
+    val ok = Lance.withVectorDim(
+      Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(4.0f, 5.0f, 6.0f)))
+        .toDF("id", "vec"), "vec", 3)
+    ok.write.format("lance").mode("append").save(dir)
+    // dimension survives the manifest round trip
+    val back = spark.read.format("lance").load(dir)
+    assert(back.schema("vec").metadata.getLong(Lance.VectorDimKey) == 3L)
+    // a wrong-dimension append fails at the writer
+    val bad = Seq((3L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      Lance.withVectorDim(bad, "vec", 3)
+        .write.format("lance").mode("append").save(dir)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).flatMap(c => Option(c.getMessage)).exists(_.contains("fixed vector dim 3")))
+    assert(spark.read.format("lance").load(dir).count() == 2)
+  }
+
   test("empty dataframe write creates a readable empty dataset") {
     val dir = s"${tmpDir()}/empty"
     spark.range(0).write.format("lance").mode("append").save(dir)
