@@ -104,6 +104,13 @@ object Lance {
       query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame =
     graft.index.HnswIndex.search(spark, datasetPath, vectorCol, query, k, nprobes, ef)
 
+  /** ANN search walking the HNSW graph on ADC-scored PQ codes with exact
+    * re-rank — the reference's IVF_HNSW_PQ composite.
+    */
+  def annSearchHnswPq(spark: SparkSession, datasetPath: String, vectorCol: String,
+      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame =
+    graft.index.HnswIndex.searchPq(spark, datasetPath, vectorCol, query, k, nprobes, ef)
+
   /** similarity = 1/(1+distance) (V4). */
   def similarity(distance: Column): Column = VectorFunctions.similarity(distance)
 

@@ -220,46 +220,133 @@ object HnswIndex {
       StructField("_distance", DoubleType, nullable = false)))
     val candidates = joined.mapPartitions { rows =>
       val q = bcQ.value
-      val byBucket = mutable.Map.empty[Int, mutable.ArrayBuffer[(Long, Array[Float], Int, Seq[Seq[Long]])]]
-      rows.foreach { r =>
-        byBucket.getOrElseUpdate(r.getInt(0), mutable.ArrayBuffer.empty) +=
-          ((r.getLong(1), r.getSeq[Float](2).toArray, r.getInt(3),
-            // nested parquet arrays deserialize as mutable.ArraySeq — type
-            // the element as collection.Seq before converting
-            r.getSeq[scala.collection.Seq[Long]](4).map(_.toSeq).toSeq))
-      }
+      val byBucket = groupBuckets(rows, withCodes = false)
       byBucket.iterator.flatMap { case (_, nodes) =>
-        searchBucket(q, nodes.toArray, effEf)
+        val arr = nodes.toArray
+        val vecs = arr.map(_.vec)
+        searchBucket(arr, o => sqDist(q, vecs(o)), effEf)
+          .map { case (o, d) => (arr(o).id, d) }
       }.map { case (id, d) => Row(id, math.sqrt(d)) }
     }(org.apache.spark.sql.Encoders.row(outSchema))
     candidates.orderBy(col("_distance"), col("id")).limit(k)
   }
 
-  /** Walk one bucket's graph; returns up to ef (id, sqDist) candidates. */
-  private[index] def searchBucket(q: Array[Float],
-      nodes: Array[(Long, Array[Float], Int, Seq[Seq[Long]])],
-      ef: Int): Iterator[(Long, Double)] = {
+  /** IVF_HNSW_PQ search (the reference's composite index type,
+    * `LanceIndexBuilder.java:134-152`): the graph walk scores nodes with
+    * the asymmetric-distance table over their PQ codes — no vector math
+    * per visited node — then the ef survivors are re-ranked exactly on the
+    * raw vectors and the global top-k merges buckets. Requires the IVF
+    * index built with PQ ([[IvfIndex.build]] `pq = Some(...)`) plus
+    * [[build]] for the graph.
+    */
+  def searchPq(spark: SparkSession, datasetPath: String, column: String,
+      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame = {
+    graft.functions.VectorFunctions.validateQueryVector(query)
+    val meta = IvfIndex.loadMeta(spark, datasetPath, column)
+    val pm = meta.pq.getOrElse(throw new IllegalStateException(
+      s"index for $column was built without PQ"))
+    require(query.length == meta.dim,
+      s"query dim ${query.length} != index dim ${meta.dim}")
+    val qd = query.map(_.toDouble)
+    val probes = meta.centroids.zipWithIndex
+      .map { case (c, i) =>
+        (c.toArray.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }
+      .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
+
+    // ADC table: adc(j * 2^bits + code) = ||q_j - codebook_j(code)||²
+    val dsub = meta.dim / pm.numSubVectors
+    val kCodes = 1 << pm.numBits
+    val adc = Array.tabulate(pm.numSubVectors * kCodes) { idx =>
+      val j = idx / kCodes; val c = idx % kCodes
+      if (c >= pm.codebooks(j).size) Double.MaxValue
+      else sqDist(qd.slice(j * dsub, (j + 1) * dsub).map(_.toFloat),
+        pm.codebooks(j)(c).toArray.map(_.toFloat))
+    }
+
+    val ip = IvfIndex.indexPath(datasetPath, column)
+    val vecs = spark.read.parquet(s"$ip/buckets")
+      .filter(col("__ivf_part").isin(probes: _*))
+      .select(col("__ivf_part"), col(meta.idColumn).as("id"),
+        col(meta.column).cast("array<float>").as("__v"), col("__pq_code"))
+    val graph = spark.read.parquet(graphPath(datasetPath, column))
+      .filter(col("__ivf_part").isin(probes: _*))
+      .select(col("__ivf_part"), col("id"), col("level"), col("neighbors"))
+    val joined = vecs.join(graph, Seq("__ivf_part", "id"))
+      .repartition(math.max(probes.size, 1), col("__ivf_part"))
+    val bcQ = spark.sparkContext.broadcast(query)
+    val bcAdc = spark.sparkContext.broadcast(adc)
+    val effEf = math.max(ef, k)
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("_distance", DoubleType, nullable = false)))
+    val candidates = joined.mapPartitions { rows =>
+      val q = bcQ.value
+      val table = bcAdc.value
+      val byBucket = groupBuckets(rows, withCodes = true)
+      byBucket.iterator.flatMap { case (_, nodes) =>
+        val arr = nodes.toArray
+        def adcDist(o: Int): Double = {
+          val codes = arr(o).codes
+          var acc = 0.0; var j = 0
+          while (j < codes.length) { acc += table(j * kCodes + codes(j)); j += 1 }
+          acc
+        }
+        // traverse on ADC, refine the ef survivors exactly
+        searchBucket(arr, adcDist, effEf)
+          .map { case (o, _) => (arr(o).id, sqDist(q, arr(o).vec)) }
+      }.map { case (id, d) => Row(id, math.sqrt(d)) }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    candidates.orderBy(col("_distance"), col("id")).limit(k)
+  }
+
+  private[index] case class BucketNode(id: Long, vec: Array[Float],
+    codes: Array[Int], level: Int, nbrs: Seq[Seq[Long]])
+
+  /** Rows → per-bucket node lists. Row layout: (__ivf_part, id, __v
+    * [, __pq_code], level, neighbors).
+    */
+  private def groupBuckets(rows: Iterator[Row], withCodes: Boolean)
+      : mutable.Map[Int, mutable.ArrayBuffer[BucketNode]] = {
+    val byBucket = mutable.Map.empty[Int, mutable.ArrayBuffer[BucketNode]]
+    val levelIdx = if (withCodes) 4 else 3
+    rows.foreach { r =>
+      byBucket.getOrElseUpdate(r.getInt(0), mutable.ArrayBuffer.empty) +=
+        BucketNode(r.getLong(1), r.getSeq[Float](2).toArray,
+          if (withCodes) r.getSeq[Int](3).toArray else null,
+          r.getInt(levelIdx),
+          // nested parquet arrays deserialize as mutable.ArraySeq — type
+          // the element as collection.Seq before converting
+          r.getSeq[scala.collection.Seq[Long]](levelIdx + 1).map(_.toSeq).toSeq)
+    }
+    byBucket
+  }
+
+  /** Walk one bucket's graph under `dist` (ordinal → distance); returns up
+    * to ef (ordinal, dist) candidates.
+    */
+  private[index] def searchBucket(nodes: Array[BucketNode], dist: Int => Double,
+      ef: Int): Iterator[(Int, Double)] = {
     if (nodes.isEmpty) return Iterator.empty
-    val ordinal = nodes.iterator.map(_._1).zipWithIndex.toMap
-    val vecs = nodes.map(_._2)
-    val levels = nodes.map(_._3)
+    val ordinal = nodes.iterator.map(_.id).zipWithIndex.toMap
+    val levels = nodes.map(_.level)
     // neighbors(l)(i): ordinals at level l
     val maxL = levels.max
     val adjacency = Array.tabulate(maxL + 1) { l =>
-      nodes.map { case (_, _, lvl, nbrs) =>
-        if (l <= lvl && l < nbrs.size) nbrs(l).flatMap(ordinal.get).toArray
+      nodes.map { n =>
+        if (l <= n.level && l < n.nbrs.size) n.nbrs(l).flatMap(ordinal.get).toArray
         else Array.empty[Int]
       }
     }
     var entry = levels.indexOf(maxL)
     def greedyStep(level: Int, start: Int): Int = {
       var cur = start
-      var curD = sqDist(q, vecs(cur))
+      var curD = dist(cur)
       var improved = true
       while (improved) {
         improved = false
         adjacency(level)(cur).foreach { nb =>
-          val d = sqDist(q, vecs(nb))
+          val d = dist(nb)
           if (d < curD) { curD = d; cur = nb; improved = true }
         }
       }
@@ -271,7 +358,7 @@ object HnswIndex {
     val visited = mutable.Set(entry)
     val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](t => -t._1))
     val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1))
-    val d0 = sqDist(q, vecs(entry))
+    val d0 = dist(entry)
     cand.enqueue((d0, entry)); res.enqueue((d0, entry))
     while (cand.nonEmpty) {
       val (dc, c) = cand.dequeue()
@@ -279,7 +366,7 @@ object HnswIndex {
       else adjacency(0)(c).foreach { nb =>
         if (!visited.contains(nb)) {
           visited += nb
-          val d = sqDist(q, vecs(nb))
+          val d = dist(nb)
           if (res.size < ef || d < res.head._1) {
             cand.enqueue((d, nb)); res.enqueue((d, nb))
             if (res.size > ef) res.dequeue()
@@ -288,6 +375,6 @@ object HnswIndex {
       }
     }
     Array.fill(res.size)(res.dequeue()).iterator
-      .map { case (d, o) => (nodes(o)._1, d) }
+      .map { case (d, o) => (o, d) }
   }
 }

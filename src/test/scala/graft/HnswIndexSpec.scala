@@ -73,6 +73,30 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(r1.size == 5)
   }
 
+  test("IVF_HNSW_PQ: ADC-scored walk with exact refine recalls >= 80%") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "hnswpq-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    val df = Tables.t(spark, sf, "embeddings")
+    df.write.format("lance").mode("append").save(ds)
+    val ivf = IvfIndex.build(spark, df, "embedding", "vec_id", ds,
+      numPartitions = 4, pq = Some(IvfIndex.PqParams(numSubVectors = 16, numBits = 4)))
+    assert(ivf.success, ivf.error)
+    assert(HnswIndex.build(spark, ds, "embedding").success)
+    val q = queryVec(0L)
+    val exact = Similarity.knnSearch(df.filter($"vec_id" =!= 0L),
+      "embedding", q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = HnswIndex.searchPq(spark, ds, "embedding", q, 11, nprobes = 4, ef = 200)
+      .filter($"id" =!= 0L).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall, exact=$exact ann=$ann")
+    // returned distances are exact (post-refine)
+    val top = HnswIndex.searchPq(spark, ds, "embedding", q, 1, nprobes = 4, ef = 200)
+      .collect().head
+    assert(top.getLong(0) == 0L && top.getDouble(1) < 1e-9) // itself
+  }
+
   test("distances returned are exact L2 for the found ids") {
     assert(built.success)
     val q = queryVec(7L)
