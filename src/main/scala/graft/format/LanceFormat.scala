@@ -83,24 +83,32 @@ object LanceFormat {
   def readLatest(fs: FileSystem, root: Path): Option[Manifest] =
     latestVersion(fs, root).map(readManifest(fs, root, _))
 
-  /** Atomically commit `manifest` as the next version; retries the version
-    * number under optimistic concurrency. Returns the committed manifest.
+  /** Try to commit `m` at exactly its version: write to a temp name, then
+    * rename — the atomicity point. False means a concurrent committer won.
     */
-  def commit(fs: FileSystem, root: Path, manifest: Manifest): Manifest = {
+  private def commitOnce(fs: FileSystem, root: Path, m: Manifest): Boolean = {
     val vp = versionsPath(root)
     fs.mkdirs(vp)
+    val target = new Path(vp, s"${m.version}$ManifestSuffix")
+    if (fs.exists(target)) return false
+    val tmp = new Path(vp, s".tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.rename(tmp, target)) true
+    else { fs.delete(tmp, false); false }
+  }
+
+  /** Atomically commit `manifest` as the next version; retries the version
+    * number under optimistic concurrency. Content is committed as-is —
+    * correct for overwrite/create, whose outcome doesn't depend on the
+    * loser's state. Appends must remerge per attempt: use [[commitAppend]].
+    */
+  def commit(fs: FileSystem, root: Path, manifest: Manifest): Manifest = {
     var attempt = 0
     var m = manifest
     while (attempt < 20) {
-      val target = new Path(vp, s"${m.version}$ManifestSuffix")
-      if (!fs.exists(target)) {
-        val tmp = new Path(vp, s".tmp-${UUID.randomUUID()}")
-        val out = fs.create(tmp, false)
-        try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        if (fs.rename(tmp, target)) return m
-        fs.delete(tmp, false)
-      }
+      if (commitOnce(fs, root, m)) return m
       attempt += 1
       m = m.copy(version = latestVersion(fs, root).getOrElse(0L) + 1)
     }
@@ -108,19 +116,31 @@ object LanceFormat {
       s"could not commit version after $attempt attempts at $root")
   }
 
-  /** Append fragments as a new version (creates the dataset if absent). */
+  /** Append fragments as a new version (creates the dataset if absent).
+    * The read-merge-commit runs inside the retry loop: when a concurrent
+    * committer wins the rename race, the append re-reads the NEW latest
+    * manifest and re-merges — retrying with the stale base would silently
+    * drop the winner's fragments (lost update).
+    */
   def commitAppend(fs: FileSystem, root: Path, schema: StructType,
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None): Manifest = {
-    val prev = readLatest(fs, root)
-    val base = prev.map(_.fragments).getOrElse(Seq.empty)
-    val nextId = base.map(_.id).maxOption.getOrElse(-1) + 1
-    val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
-    commit(fs, root, Manifest(
-      version = prev.map(_.version).getOrElse(0L) + 1,
-      schemaJson = schema.json,
-      fragments = base ++ renumbered,
-      epochId = epochId,
-      committedAtMs = System.currentTimeMillis()))
+    var attempt = 0
+    while (attempt < 20) {
+      val prev = readLatest(fs, root)
+      val base = prev.map(_.fragments).getOrElse(Seq.empty)
+      val nextId = base.map(_.id).maxOption.getOrElse(-1) + 1
+      val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
+      val m = Manifest(
+        version = prev.map(_.version).getOrElse(0L) + 1,
+        schemaJson = schema.json,
+        fragments = base ++ renumbered,
+        epochId = epochId,
+        committedAtMs = System.currentTimeMillis())
+      if (commitOnce(fs, root, m)) return m
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit append after $attempt attempts at $root")
   }
 
   /** Replace all fragments (overwrite semantics). Old files are kept for

@@ -191,6 +191,26 @@ class LanceConnectorSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(dir).count() == 2)
   }
 
+  test("concurrent appends both commit under optimistic MVCC retry") {
+    val dir = s"${tmpDir()}/conc"
+    Seq((0L, "seed")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (1 to 4).map { i =>
+      Future {
+        Seq((i.toLong, s"w$i")).toDF("id", "s")
+          .write.format("lance").mode("append").save(dir)
+      }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    val df = spark.read.format("lance").load(dir)
+    assert(df.count() == 5)
+    assert(df.select("id").collect().map(_.getLong(0)).toSet == (0L to 4L).toSet)
+    // one version per commit: seed + 4 appends
+    assert(Lance.versions(spark, dir).size == 5)
+  }
+
   test("empty dataframe write creates a readable empty dataset") {
     val dir = s"${tmpDir()}/empty"
     spark.range(0).write.format("lance").mode("append").save(dir)
