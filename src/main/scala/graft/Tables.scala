@@ -26,7 +26,9 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+      // integer `div`, not `/`: double division rounds large nanos counts
+      // (±1µs drift vs DuckDB's exact epoch_us truncation)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

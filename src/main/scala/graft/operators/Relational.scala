@@ -271,11 +271,48 @@ object Relational {
       .limit(2000)
   }
 
+  /** Deterministic hash sampling — the reproducible train/eval split a
+    * training pipeline needs (no RNG, no seed drift across engines):
+    * md5(key) mod 10 picks a stable 10% of documents.
+    */
+  def q25HashSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10 = 0"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("tokens"))
+      .orderBy(col("lang"))
+
+  /** Batch sessionization: per-user sessions split at 30-minute gaps via
+    * lag + running sum — two window passes over one shuffle on user_id,
+    * then a per-session aggregate. The streaming twin (session_window with
+    * watermark) lives in graft.streaming.
+    */
+  def q26Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_secs"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_rollup" -> q21Rollup,
     "q22_intersect" -> q22Intersect,
     "q23_union_all" -> q23UnionAll,
     "q24_running_window" -> q24RunningWindow,
+    "q25_hash_sample" -> q25HashSample,
+    "q26_sessionize" -> q26Sessionize,
     "q01_agg_lineitem" -> q01AggLineitem,
     "q02_filter_project" -> q02FilterProject,
     "q03_topk_limit" -> q03TopkLimit,
@@ -299,6 +336,25 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q25_hash_sample" ->
+      """SELECT lang, COUNT(*) AS n,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q26_sessionize" ->
+      """WITH b AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s FROM b),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+        | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | COUNT(*) AS n_events,
+        | CAST(MAX(us) - MIN(us) AS DOUBLE) / 1000000.0 AS duration_secs
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""".stripMargin,
     "q22_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |INTERSECT
