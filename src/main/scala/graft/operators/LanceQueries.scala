@@ -64,10 +64,37 @@ object LanceQueries {
     v1.crossJoin(v2)
   }
 
+  /** S6 + streaming source: events → lance → `readStream` changefeed →
+    * filtered transform → exactly-once lance sink (Trigger.AvailableNow) →
+    * batch scan. The oracle computes the same filter+agg straight from the
+    * original parquet, so a hash match proves the full streaming
+    * round trip loses and duplicates nothing.
+    */
+  def s54LanceStreamRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "events_stream_src")
+    val dst = scratch(dir, "events_stream_dst")
+    freshDataset(spark, src); freshDataset(spark, dst)
+    freshDataset(spark, s"$dst-ckpt")
+    t(spark, dir, "events").write.format("lance").mode("overwrite").save(src)
+    val q = spark.readStream.format("lance").load(src)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream.format("lance")
+      .option("checkpointLocation", s"$dst-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    spark.read.format("lance").load(dst)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
     "s53_lance_time_travel" -> s53LanceTimeTravel,
+    "s54_lance_stream_roundtrip" -> s54LanceStreamRoundtrip,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -83,5 +110,10 @@ object LanceQueries {
     "s53_lance_time_travel" ->
       """SELECT (SELECT COUNT(*) FROM nation WHERE n_regionkey <= 1) AS v1_rows,
         | (SELECT COUNT(*) FROM nation) AS v2_rows""".stripMargin,
+    "s54_lance_stream_roundtrip" ->
+      """SELECT user_id, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
