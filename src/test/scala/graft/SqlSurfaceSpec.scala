@@ -79,6 +79,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows.length == 10) // default k
   }
 
+  test("TVF result composes: post-filter on _distance + join (demo parity)") {
+    // FlinkSqlDemo.java:589-600 — LATERAL vector_search with a WHERE on
+    // the appended _distance; here the TVF output is a plain relation, so
+    // Catalyst filters/joins it like any subquery.
+    val q = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 2)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val vecSql = q.map(v => f"$v%.9f").mkString("array(", ", ", ")")
+    val rows = spark.sql(
+      s"""SELECT s.vec_id, s._distance, e.label
+         |FROM vector_search('$datasetPath', 'embedding', $vecSql, 10, 'l2') s
+         |JOIN emb_sql e ON e.vec_id = s.vec_id
+         |WHERE s._distance < 10.0
+         |ORDER BY s._distance""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(0) == 2L)
+    assert(rows.forall(_.getDouble(1) < 10.0))
+  }
+
   test("Lance facade: write/read/knn/index/ann round trip") {
     val df = Lance.read(spark, datasetPath)
     assert(df.count() == 500)
