@@ -35,7 +35,8 @@ object IvfIndex {
 
   case class IndexMeta(column: String, idColumn: String, metric: String,
     numPartitions: Int, dim: Int, centroids: Seq[Seq[Double]],
-    pq: Option[PqMeta] = None)
+    pq: Option[PqMeta] = None,
+    datasetVersion: Option[Long] = None)
 
   /** Product-quantization codebooks: codebooks(j)(c) is the `c`-th centroid
     * of subspace `j` (dim/numSubVectors floats each). Reference defaults:
@@ -146,7 +147,8 @@ object IvfIndex {
 
       val meta = IndexMeta(column, idColumn, metric, numPartitions,
         centroids.headOption.map(_.length).getOrElse(0),
-        centroids.map(_.toSeq).toSeq, pqMeta)
+        centroids.map(_.toSeq).toSeq, pqMeta,
+        datasetVersionOf(spark, datasetPath))
       val metaPath = new Path(s"$ip/index.json")
       val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
       val out = fs.create(metaPath, true)
@@ -159,6 +161,30 @@ object IvfIndex {
           numPartitions, Some(e.getMessage))
     }
   }
+
+  /** Latest committed version of the dataset the index covers (None when
+    * the path is not a lance dataset — e.g. an index over raw parquet).
+    */
+  private def datasetVersionOf(spark: SparkSession, datasetPath: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(datasetPath)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.latestVersion(fs, root)
+  }
+
+  /** Index staleness (production guard): an index built at version V does
+    * not cover fragments committed after V — searching it silently misses
+    * new rows. Surfaced as a warning, matching the reference's
+    * search-what-the-index-has semantics.
+    */
+  def checkFreshness(spark: SparkSession, datasetPath: String, meta: IndexMeta): Unit =
+    for {
+      built <- meta.datasetVersion
+      now <- datasetVersionOf(spark, datasetPath)
+      if now > built
+    } org.slf4j.LoggerFactory.getLogger(getClass)
+      .warn(s"index over $datasetPath/${meta.column} was built at dataset version " +
+        s"$built but the dataset is now at $now; new fragments are not indexed " +
+        "- rebuild to include them")
 
   def loadMeta(spark: SparkSession, datasetPath: String, column: String): IndexMeta = {
     val metaPath = new Path(s"${indexPath(datasetPath, column)}/index.json")
@@ -175,12 +201,18 @@ object IvfIndex {
 
   /** ANN search: probe the `nprobes` nearest buckets, exact distance inside
     * (reference defaults nprobes=20, `config/LanceOptions.java:215-219`).
+    * `filter` is the reference's filtered vector search (V3,
+    * `LanceVectorSearch.java:170-174`): applied inside the probed buckets
+    * *before* the top-k, so the k results all satisfy it (pre-filtering,
+    * not post-trimming).
     */
   def search(spark: SparkSession, datasetPath: String, column: String,
       query: Array[Float], k: Int, nprobes: Int = 20,
-      metric: String = "l2"): DataFrame = {
+      metric: String = "l2",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     validateQueryVector(query)
     val meta = loadMeta(spark, datasetPath, column)
+    checkFreshness(spark, datasetPath, meta)
     require(query.length == meta.dim,
       s"query dim ${query.length} != index dim ${meta.dim}")
     val q = query.map(_.toDouble)
@@ -194,8 +226,9 @@ object IvfIndex {
       case "dot" => -dot_product(col(column), lit(q))
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
-    spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
+    val probed = spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
       .filter(col("__ivf_part").isin(probes: _*))
+    filter.fold(probed)(probed.filter)
       .withColumn("_distance", dist)
       .drop("__ivf_part")
       .orderBy(col("_distance"))
@@ -214,6 +247,7 @@ object IvfIndex {
       refineFactor: Int = 4): DataFrame = {
     validateQueryVector(query)
     val meta = loadMeta(spark, datasetPath, column)
+    checkFreshness(spark, datasetPath, meta)
     val pm = meta.pq.getOrElse(throw new IllegalStateException(
       s"index for $column was built without PQ"))
     require(query.length == meta.dim,

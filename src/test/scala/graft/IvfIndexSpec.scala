@@ -72,6 +72,27 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [__ivf_part"), plan)
   }
 
+  test("filtered search pre-filters inside probed buckets (V3)") {
+    assert(built.success)
+    val q = queryVec(0)
+    val res = IvfIndex.search(spark, datasetPath, "embedding", q, 10, nprobes = 8,
+      filter = Some($"label" === 3))
+      .select($"vec_id", $"label").collect()
+    assert(res.length == 10)
+    assert(res.forall(_.getInt(1) == 3))
+    val exact = Similarity.knnSearch(
+      Tables.t(spark, sf, "embeddings").filter($"label" === 3),
+      "embedding", q, 10, "l2").select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(res.map(_.getLong(0)).toSet == exact)
+  }
+
+  test("index records the dataset version it covers (staleness stamp)") {
+    assert(built.success)
+    val meta = IvfIndex.loadMeta(spark, datasetPath, "embedding")
+    // datasetPath IS a lance dataset in this suite -> version recorded
+    assert(meta.datasetVersion.contains(1L))
+  }
+
   test("dimension mismatch is rejected") {
     assert(built.success)
     intercept[IllegalArgumentException] {
