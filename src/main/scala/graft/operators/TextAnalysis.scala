@@ -112,8 +112,36 @@ object TextAnalysis {
         sum(col("n_ws")).as("ws_tokens"))
       .orderBy(col("source"))
 
+  /** TF-IDF-style salient terms: term frequency per doc joined with corpus
+    * document frequency, scored tf·N/df, top-3 per doc by a window rank.
+    * One explode + two hash aggregations + a broadcast-able df table + one
+    * window pass — every stage scales out on (doc) or (term) keys. The
+    * score uses exact-integer division instead of log-idf so both engines
+    * produce identical IEEE doubles (ln differs in the last ulp across
+    * libm implementations).
+    */
+  def t36SalientTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tokens = docs.select(col("doc_id"), explode(expr(words)).as("w"))
+    val tf = tokens.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id"))).collect().head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(dfreq, "w")
+      .withColumn("score", col("tf").cast("double") * lit(n.toDouble) / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t35_bpe_tokens" -> t35BpeTokens,
+    "t36_salient_terms" -> t36SalientTerms,
     "t31_token_stats" -> t31TokenStats,
     "t32_lang_id" -> t32LangId,
     "t33_quality" -> t33Quality,
@@ -131,6 +159,20 @@ object TextAnalysis {
     val dCase = dScores.map { case (l, s) => s"WHEN $s = __best THEN '$l'" }
       .mkString("CASE WHEN __best = 0 THEN 'und' ", " ", " END")
     Map(
+      "t36_salient_terms" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($dWords) AS w FROM documents),
+           |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+           |dfreq AS (SELECT w, COUNT(*) AS df
+           |  FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
+           |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+           |scored AS (SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+           |    CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / dfreq.df AS score
+           |  FROM tf JOIN dfreq USING (w)),
+           |ranked AS (SELECT *, row_number()
+           |    OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank
+           |  FROM scored)
+           |SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, tf, df, score
+           |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
       "t35_bpe_tokens" ->
         s"""SELECT source, COUNT(*) AS n_docs,
            | CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
