@@ -81,15 +81,27 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
     case tvf: UnresolvedTableValuedFunction
       if tvf.name.lastOption.exists(_.equalsIgnoreCase("vector_search")) =>
       val args = tvf.functionArgs
-      require(args.size >= 3 && args.size <= 5,
-        "vector_search(path, column, queryVec[, k[, metric]])")
+      require(args.size >= 3 && args.size <= 6,
+        "vector_search(path, column, queryVec[, k[, metric[, mode]]])")
       val path = literalString(args.head, "path")
       val column = literalString(args(1), "column")
       val vec = literalFloats(args(2))
       val k = if (args.size >= 4) literalString(args(3), "k").toInt else 10
       val metric = if (args.size >= 5) literalString(args(4), "metric") else "l2"
-      val df = Similarity.knnSearch(
-        spark.read.format("lance").load(path), column, vec, k, metric)
+      // mode mirrors the reference's use-index switch (`vector.use-index`,
+      // `LanceVectorSearch` Query.useIndex): 'exact' scans, 'ivf'/'hnsw'
+      // probe the prebuilt index sidecar at `path`
+      val mode = if (args.size >= 6) literalString(args(5), "mode") else "exact"
+      val df = mode.toLowerCase match {
+        case "exact" => Similarity.knnSearch(
+          spark.read.format("lance").load(path), column, vec, k, metric)
+        case "ivf" =>
+          graft.index.IvfIndex.search(spark, path, column, vec, k, metric = metric)
+        case "hnsw" =>
+          graft.index.HnswIndex.search(spark, path, column, vec, k)
+        case m => throw new IllegalArgumentException(
+          s"vector_search mode must be exact|ivf|hnsw, got $m")
+      }
       df.queryExecution.analyzed
   }
 }

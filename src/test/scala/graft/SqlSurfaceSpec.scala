@@ -98,6 +98,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(1) < 10.0))
   }
 
+  test("vector_search mode arg probes the prebuilt index (use-index parity)") {
+    val r = Lance.buildIndex(spark, spark.read.format("lance").load(datasetPath),
+      "embedding", "vec_id", datasetPath, numPartitions = 4)
+    assert(r.success, r.error)
+    val q = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 5)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val vecSql = q.map(v => f"$v%.9f").mkString("array(", ", ", ")")
+    // nprobes default (20) >= 4 partitions -> identical to the exact scan
+    val ivf = spark.sql(
+      s"SELECT vec_id FROM vector_search('$datasetPath', 'embedding', $vecSql, 5, 'l2', 'ivf')")
+      .collect().map(_.getLong(0)).toSet
+    val exact = spark.sql(
+      s"SELECT vec_id FROM vector_search('$datasetPath', 'embedding', $vecSql, 5, 'l2')")
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == exact)
+  }
+
   test("Lance facade: write/read/knn/index/ann round trip") {
     val df = Lance.read(spark, datasetPath)
     assert(df.count() == 500)
