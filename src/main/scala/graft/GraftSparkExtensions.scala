@@ -45,6 +45,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
     e.injectResolutionRule(session => new ResolveVectorSearch(session))
+    e.injectOptimizerRule(session => new graft.plans.AnnIndexRewrite(session))
   }
 }
 

@@ -76,7 +76,7 @@ object LanceTable {
 }
 
 /** A Lance dataset as a Spark Table (path-addressed or catalog-loaded). */
-class LanceTable(rootStr: String, declaredSchema: StructType) extends Table
+class LanceTable(val rootStr: String, declaredSchema: StructType) extends Table
     with SupportsRead with SupportsWrite {
 
   private val root = new Path(rootStr)

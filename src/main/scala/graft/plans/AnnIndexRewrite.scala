@@ -1,0 +1,87 @@
+package graft.plans
+
+import graft.connector.LanceTable
+import graft.functions.L2Distance
+import graft.index.IvfIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Opt-in ANN rewrite (SURVEY §7.3 "optional custom rule ... rewrite
+  * distance-orderBy-limit into index probe"): when
+  * `spark.graft.ann.useIndex=true` and an IVF index exists for the scanned
+  * column, a plan of the shape
+  *
+  * {{{ limit k ← sort _distance asc ← project [*, l2_distance(col, q) as
+  *     _distance] ← lance scan }}}
+  *
+  * is replaced by the index probe (bucket-pruned scan of `nprobes`
+  * partitions — `spark.graft.ann.nprobes`, default 20). This is exactly
+  * the decision the reference delegates to Lance-Rust (`Query.useIndex`,
+  * `LanceVectorSearch.java:146-163`), surfaced as a Catalyst rule:
+  * results become approximate (top-k within probed buckets), which is why
+  * it is opt-in per session. The substituted subtree is re-aliased onto
+  * the original output attribute ids, and downstream batches (pushdown,
+  * AQE) optimize it like any other scan.
+  */
+class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.getOption("spark.graft.ann.useIndex").exists(_.toBoolean)
+
+  private def nprobes: Int =
+    spark.conf.getOption("spark.graft.ann.nprobes").map(_.toInt).getOrElse(20)
+
+  private def indexExists(path: String, column: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"${IvfIndex.indexPath(path, column)}/index.json")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def literalVec(l: Literal): Option[Array[Float]] = l.dataType match {
+    case ArrayType(DoubleType, _) =>
+      val a = l.value.asInstanceOf[ArrayData]
+      Some(Array.tabulate(a.numElements())(i => a.getDouble(i).toFloat))
+    case ArrayType(FloatType, _) =>
+      val a = l.value.asInstanceOf[ArrayData]
+      Some(Array.tabulate(a.numElements())(i => a.getFloat(i)))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformDown {
+      case gl @ GlobalLimit(Literal(k: Int, _),
+          LocalLimit(_, Sort(Seq(order), true,
+            Project(projList, rel: DataSourceV2Relation), _)))
+          if rel.table.isInstanceOf[LanceTable] && order.direction == Ascending =>
+        val rewritten = for {
+          sortAttr <- order.child match {
+            case a: AttributeReference => Some(a)
+            case _ => None
+          }
+          (vecCol, qvec) <- projList.collectFirst {
+            case al @ Alias(L2Distance(v: AttributeReference, lit: Literal), _)
+                if al.exprId == sortAttr.exprId =>
+              (v, lit)
+          }
+          q <- literalVec(qvec)
+          path = rel.table.asInstanceOf[LanceTable].rootStr
+          if indexExists(path, vecCol.name)
+          probe = IvfIndex.search(spark, path, vecCol.name, q, k,
+            nprobes = nprobes).queryExecution.analyzed
+          // every projected column must exist in the probe output (the
+          // bucket sidecar stores all table columns + _distance)
+          mapped = gl.output.map(o => probe.output.find(_.name == o.name).map(o -> _))
+          if mapped.forall(_.isDefined)
+        } yield Project(mapped.flatten.map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId)
+        }, probe)
+        rewritten.getOrElse(gl)
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.index.IvfIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The opt-in ANN optimizer rule: distance-orderBy-limit over a lance scan
+  * becomes an IVF bucket probe when enabled and an index exists.
+  */
+class AnnIndexRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // extensions bind at session build; clear the suite-shared session so
+    // getOrCreate cannot hand back one built without them
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ann-rewrite")
+      .withExtensions(new GraftSparkExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private lazy val datasetPath = {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ann-rw-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    Tables.t(spark, TestSpark.sf, "embeddings")
+      .write.format("lance").mode("append").save(ds)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+      "embedding", "vec_id", ds, numPartitions = 4)
+    assert(r.success, r.error)
+    ds
+  }
+
+  private def knnPlan() = {
+    val q = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    Lance.knnSearch(spark.read.format("lance").load(datasetPath),
+      "embedding", q, 5)
+  }
+
+  test("disabled by default: plan scans the dataset itself") {
+    spark.conf.unset("spark.graft.ann.useIndex")
+    val plan = knnPlan().queryExecution.executedPlan.toString
+    assert(!plan.contains("_indices"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("enabled: plan probes the pruned index buckets, results stay correct") {
+    spark.conf.set("spark.graft.ann.useIndex", "true")
+    spark.conf.set("spark.graft.ann.nprobes", "2")
+    try {
+      val df = knnPlan()
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("_indices"), plan)
+      assert(plan.contains("PartitionFilters: [__ivf_part"), plan)
+      assert(rows.length == 5)
+      // query vector is vec 0's own embedding: nearest hit survives probing
+      assert(rows.head.getLong(0) == 0L)
+      assert(rows.head.getAs[Double]("_distance") < 1e-9)
+      val dists = rows.map(_.getAs[Double]("_distance"))
+      assert(dists.sameElements(dists.sorted))
+    } finally {
+      spark.conf.unset("spark.graft.ann.useIndex")
+      spark.conf.unset("spark.graft.ann.nprobes")
+    }
+  }
+
+  test("full-probe rewrite equals the exact scan results") {
+    spark.conf.set("spark.graft.ann.useIndex", "true")
+    spark.conf.set("spark.graft.ann.nprobes", "4")
+    try {
+      val ann = knnPlan().collect().map(_.getLong(0)).toSet
+      spark.conf.unset("spark.graft.ann.useIndex")
+      val exact = knnPlan().collect().map(_.getLong(0)).toSet
+      assert(ann == exact)
+    } finally {
+      spark.conf.unset("spark.graft.ann.useIndex")
+      spark.conf.unset("spark.graft.ann.nprobes")
+    }
+  }
+}
