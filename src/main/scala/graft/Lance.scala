@@ -124,6 +124,33 @@ object Lance {
     graft.format.LanceFormat.listVersions(fs, root)
   }
 
+  /** Compact small fragments into files of up to `maxRowsPerFile` rows and
+    * commit the result as a new version. Streaming sinks accumulate one
+    * fragment per task per epoch; compaction restores scan efficiency
+    * (fewer, larger row groups) without breaking time travel — prior
+    * versions still reference the old files until [[vacuum]] reclaims
+    * them. Single-writer maintenance op: a concurrent append between the
+    * snapshot read and the overwrite commit would be superseded.
+    * Returns (fragmentsBefore, fragmentsAfter).
+    */
+  def compact(spark: SparkSession, path: String,
+      maxRowsPerFile: Long = 1000000L): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val before = graft.format.LanceFormat.readLatest(fs, root)
+      .map(_.fragments.size).getOrElse(0)
+    val snapshot = read(spark, path)
+    val targetParts = math.max(1L,
+      (snapshot.count() + maxRowsPerFile - 1) / maxRowsPerFile).toInt
+    snapshot.repartition(targetParts)
+      .write.format("lance")
+      .option("write.max-rows-per-file", maxRowsPerFile.toString)
+      .mode("overwrite").save(path)
+    val after = graft.format.LanceFormat.readLatest(fs, root)
+      .map(_.fragments.size).getOrElse(0)
+    (before, after)
+  }
+
   /** Reclaim storage: drop all but the newest `keepVersions` manifests and
     * any fragment files they no longer reference.
     */

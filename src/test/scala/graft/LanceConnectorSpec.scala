@@ -211,6 +211,24 @@ class LanceConnectorSpec extends AnyFunSuite {
     assert(Lance.versions(spark, dir).size == 5)
   }
 
+  test("compact merges epoch fragments; data and time travel survive") {
+    val dir = s"${tmpDir()}/compact"
+    // 6 tiny appends = 6 versions, >= 6 fragments (streaming-sink shape)
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("id", "s")
+        .write.format("lance").mode("append").save(dir)
+    }
+    val (before, after) = Lance.compact(spark, dir, maxRowsPerFile = 1000L)
+    assert(before >= 6)
+    assert(after == 1)
+    val df = spark.read.format("lance").load(dir)
+    assert(df.count() == 6)
+    assert(df.select("id").collect().map(_.getLong(0)).toSet == (1L to 6L).toSet)
+    // pre-compaction version still reads the old fragment list
+    val v3 = spark.read.format("lance").option("versionAsOf", "3").load(dir)
+    assert(v3.count() == 3)
+  }
+
   test("empty dataframe write creates a readable empty dataset") {
     val dir = s"${tmpDir()}/empty"
     spark.range(0).write.format("lance").mode("append").save(dir)
