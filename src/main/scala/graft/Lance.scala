@@ -137,14 +137,17 @@ object Lance {
       maxRowsPerFile: Long = 1000000L): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
-    val before = graft.format.LanceFormat.readLatest(fs, root)
-      .map(_.fragments.size).getOrElse(0)
-    val snapshot = read(spark, path)
-    val targetParts = math.max(1L,
-      (snapshot.count() + maxRowsPerFile - 1) / maxRowsPerFile).toInt
-    snapshot.repartition(targetParts)
+    val manifest = graft.format.LanceFormat.readLatest(fs, root)
+    val before = manifest.map(_.fragments.size).getOrElse(0)
+    // size target files from the manifest's row counts (no counting scan),
+    // and carry the streaming epoch watermark forward — dropping it would
+    // let a replayed epoch re-commit after compaction (exactly-once break)
+    val rows = manifest.map(_.rowCount).getOrElse(0L)
+    val targetParts = math.max(1L, (rows + maxRowsPerFile - 1) / maxRowsPerFile).toInt
+    val w = read(spark, path).repartition(targetParts)
       .write.format("lance")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)
+    manifest.flatMap(_.epochId).fold(w)(e => w.option("write.epoch-id", e.toString))
       .mode("overwrite").save(path)
     val after = graft.format.LanceFormat.readLatest(fs, root)
       .map(_.fragments.size).getOrElse(0)

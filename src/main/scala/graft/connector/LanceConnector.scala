@@ -169,9 +169,12 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     }
     private val maxRowsPerFile = Option(info.options.get("write.max-rows-per-file"))
       .map(_.toLong).getOrElse(1000000L) // reference default, LanceOptions.java:112-116
+    // maintenance writes (compaction) preserve the streaming epoch
+    // watermark of the manifest they rewrite
+    private val epochId = Option(info.options.get("write.epoch-id")).map(_.toLong)
 
     override def toBatch: BatchWrite =
-      new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile)
+      new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile, epochId)
     override def toStreaming: StreamingWrite =
       new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile)
   }
@@ -184,7 +187,8 @@ case class LanceCommitMessage(fragments: Seq[FragmentMeta]) extends WriterCommit
   * `FragmentOperation.Append/Overwrite` commits (`LanceSink.java:164-189`).
   */
 class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
-    conf: SerializableConf, maxRowsPerFile: Long) extends BatchWrite {
+    conf: SerializableConf, maxRowsPerFile: Long,
+    epochId: Option[Long] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile)
@@ -200,8 +204,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
           s"append schema mismatch: table has ${m.schema.simpleString}, " +
             s"write has ${schema.simpleString}")
     }
-    if (overwrite) LanceFormat.commitOverwrite(fs, root, schema, frags)
-    else LanceFormat.commitAppend(fs, root, schema, frags)
+    if (overwrite) LanceFormat.commitOverwrite(fs, root, schema, frags, epochId)
+    else LanceFormat.commitAppend(fs, root, schema, frags, epochId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -22,9 +22,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Scale: one InputPartition per new fragment (the reference's parallelism
   * unit); no state beyond the last processed version number. Vacuuming
-  * manifests below the stream's current offset while it runs is the one
-  * unsupported interleaving (same retention contract as any log-compacted
-  * changefeed).
+  * manifests below the stream's current offset and non-append commits
+  * (overwrite/compaction) inside a streamed range are the two unsupported
+  * interleavings: the former is a retention contract (as in any
+  * log-compacted changefeed), the latter fails loud rather than re-emit
+  * rewritten fragments as duplicates.
   */
 case class LanceStreamOffset(version: Long) extends Offset {
   override def json(): String = version.toString
@@ -53,7 +55,19 @@ class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
     val before =
       if (sv == 0L) Set.empty[String]
       else LanceFormat.readManifest(fs, root, sv).fragments.map(_.file).toSet
-    LanceFormat.readManifest(fs, root, ev).fragments
+    val endFrags = LanceFormat.readManifest(fs, root, ev).fragments
+    val endFiles = endFrags.map(_.file).toSet
+    // a changefeed is only well-defined over append commits: an overwrite
+    // or compaction rewrites existing rows into new files, and diffing
+    // file sets would re-emit the whole dataset as duplicates — fail loud
+    // instead (restart from a fresh checkpoint to re-snapshot)
+    val dropped = before -- endFiles
+    if (dropped.nonEmpty) throw new IllegalStateException(
+      s"lance stream at $root: versions ($sv, $ev] contain a non-append " +
+        s"commit (overwrite/compact dropped ${dropped.size} streamed " +
+        "fragments); the changefeed cannot continue - restart the query " +
+        "from a fresh checkpoint to take a new snapshot")
+    endFrags
       .filterNot(f => before.contains(f.file))
       .map(f => LanceFragmentPartition(
         new Path(LanceFormat.dataPath(root), f.file).toString): InputPartition)

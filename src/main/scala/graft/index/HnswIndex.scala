@@ -193,6 +193,7 @@ object HnswIndex {
       query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame = {
     graft.functions.VectorFunctions.validateQueryVector(query)
     val meta = IvfIndex.loadMeta(spark, datasetPath, column)
+    IvfIndex.checkFreshness(spark, datasetPath, meta)
     require(query.length == meta.dim,
       s"query dim ${query.length} != index dim ${meta.dim}")
     val qd = query.map(_.toDouble)
@@ -243,6 +244,7 @@ object HnswIndex {
       query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame = {
     graft.functions.VectorFunctions.validateQueryVector(query)
     val meta = IvfIndex.loadMeta(spark, datasetPath, column)
+    IvfIndex.checkFreshness(spark, datasetPath, meta)
     val pm = meta.pq.getOrElse(throw new IllegalStateException(
       s"index for $column was built without PQ"))
     require(query.length == meta.dim,

@@ -230,7 +230,7 @@ object IvfIndex {
       .filter(col("__ivf_part").isin(probes: _*))
     filter.fold(probed)(probed.filter)
       .withColumn("_distance", dist)
-      .drop("__ivf_part")
+      .drop("__ivf_part", "__pq_code") // internal columns never leak
       .orderBy(col("_distance"))
       .limit(k)
   }

@@ -107,6 +107,10 @@ object Similarity {
       new java.io.File(s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
     val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(metaFile)) {
+      // a (re)build invalidates any HNSW graph built over the old buckets
+      val gp = new org.apache.hadoop.fs.Path(new java.io.File(
+        graft.index.HnswIndex.graphPath(dest, "embedding")).getAbsolutePath)
+      if (fs.exists(gp)) fs.delete(gp, true)
       val r = IvfIndex.build(spark, t(spark, dir, "embeddings"),
         "embedding", "vec_id", dest, numPartitions = 8)
       require(r.success, r.error)

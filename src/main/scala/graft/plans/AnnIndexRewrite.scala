@@ -23,8 +23,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * partitions — `spark.graft.ann.nprobes`, default 20). This is exactly
   * the decision the reference delegates to Lance-Rust (`Query.useIndex`,
   * `LanceVectorSearch.java:146-163`), surfaced as a Catalyst rule:
-  * results become approximate (top-k within probed buckets), which is why
-  * it is opt-in per session. The substituted subtree is re-aliased onto
+  * results become approximate (top-k within probed buckets) and come from
+  * the index-build-time snapshot — rows appended after the build are not
+  * probed (checkFreshness warns) — which is why it is opt-in per session. The substituted subtree is re-aliased onto
   * the original output attribute ids, and downstream batches (pushdown,
   * AQE) optimize it like any other scan.
   */

@@ -229,6 +229,19 @@ class LanceConnectorSpec extends AnyFunSuite {
     assert(v3.count() == 3)
   }
 
+  test("compact preserves the streaming epoch watermark") {
+    val dir = s"${tmpDir()}/compact-epoch"
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    Seq((2L, "b")).toDF("id", "s").write.format("lance")
+      .option("write.epoch-id", "7").mode("append").save(dir)
+    val pre = LanceFormat.readLatest(fs(dir), new Path(dir)).get
+    assert(pre.epochId.contains(7L))
+    Lance.compact(spark, dir, maxRowsPerFile = 1000L)
+    val post = LanceFormat.readLatest(fs(dir), new Path(dir)).get
+    assert(post.epochId.contains(7L)) // replayed epoch 7 still skips
+    assert(spark.read.format("lance").load(dir).count() == 2)
+  }
+
   test("empty dataframe write creates a readable empty dataset") {
     val dir = s"${tmpDir()}/empty"
     spark.range(0).write.format("lance").mode("append").save(dir)

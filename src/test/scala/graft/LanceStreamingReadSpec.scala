@@ -89,6 +89,28 @@ class LanceStreamingReadSpec extends AnyFunSuite {
     assert(got == Set((1L, 20.0), (2L, 40.0), (3L, 60.0)))
   }
 
+  test("a non-append commit inside the streamed range fails loud, not duplicates") {
+    val dir = s"${tmp()}/src5"
+    val ckpt = s"${tmp()}/ckpt5"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("lance").mode("append").save(dir)
+    def run(): Unit = {
+      val q = spark.readStream.format("lance").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // snapshot processed
+    Lance.compact(spark, dir, maxRowsPerFile = 1000L) // rewrites fragments
+    Seq((3L, "c")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).flatMap(c => Option(c.getMessage))
+      .exists(_.contains("non-append")), e.getMessage)
+  }
+
   test("streaming read prunes columns to the query projection") {
     val dir = s"${tmp()}/src4"
     Seq((1L, "x", 1.5)).toDF("id", "s", "v")
