@@ -32,6 +32,13 @@ object Tables {
     else df
   }
 
+  /** Deterministic per-dataset scratch location inside the repo for
+    * derived artifacts (inverted indexes, signature tables, roundtrip
+    * datasets) — one sanitization rule for every operator.
+    */
+  def scratch(dir: String, name: String): String =
+    s"target/graft-data/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+
   /** Exact sum of a double column with `scale` meaningful decimals:
     * accumulate as decimal (exact, order-insensitive), emit double.
     * Oracle equivalent: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE).

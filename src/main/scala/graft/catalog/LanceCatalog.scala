@@ -75,6 +75,11 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
+    // single-level only, like the reference's database-per-directory model
+    // (`table/LanceCatalog.java:224-374`): nested namespaces would be
+    // invisible to listNamespaces and escape the dropNamespace guard
+    require(namespace.length == 1,
+      s"lance catalog supports single-level namespaces, got ${namespace.mkString(".")}")
     if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
     fs.mkdirs(nsPath(namespace))
   }

@@ -84,7 +84,15 @@ object LanceFormat {
     latestVersion(fs, root).map(readManifest(fs, root, _))
 
   /** Try to commit `m` at exactly its version: write to a temp name, then
-    * rename — the atomicity point. False means a concurrent committer won.
+    * publish atomically. False means a concurrent committer won.
+    *
+    * Publish primitive by filesystem: local paths use a POSIX hard link
+    * (O(1), fails with EEXIST — plain rename(2) REPLACES an existing
+    * target, so two racing committers could both "win" and one manifest
+    * would silently vanish); HDFS-style filesystems use rename, whose
+    * contract is fail-if-destination-exists. Object stores without either
+    * primitive need an external lock — same scope cut as the reference
+    * (`table/LanceCatalog.java:508-514`).
     */
   private def commitOnce(fs: FileSystem, root: Path, m: Manifest): Boolean = {
     val vp = versionsPath(root)
@@ -95,7 +103,14 @@ object LanceFormat {
     val out = fs.create(tmp, false)
     try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.rename(tmp, target)) true
+    val published =
+      if (fs.getScheme == "file") {
+        val local = (p: Path) => java.nio.file.Paths.get(
+          Path.getPathWithoutSchemeAndAuthority(p).toString)
+        try { java.nio.file.Files.createLink(local(target), local(tmp)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else fs.rename(tmp, target)
+    if (published) { if (fs.getScheme == "file") fs.delete(tmp, false); true }
     else { fs.delete(tmp, false); false }
   }
 
@@ -171,23 +186,26 @@ object LanceFormat {
     m.fragments.map(f => new Path(dataPath(root), f.file))
 
   /** Reclaim storage: keep the newest `keepVersions` manifests, delete
-    * older ones plus any fragment file no kept version references.
+    * older ones plus the fragment files only those dropped versions
+    * referenced. Scoping deletion to dropped-manifest references (instead
+    * of "anything unreferenced") keeps in-flight writer files safe: a task
+    * that has written fragments the driver has not yet committed owns
+    * files no manifest references, and deleting them would corrupt the
+    * commit that is about to land.
     * Returns (manifests deleted, fragment files deleted).
     */
   def vacuum(fs: FileSystem, root: Path, keepVersions: Int = 1): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val versions = listVersions(fs, root)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    val referenced = keep.flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet
+    val kept = keep.flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet
+    val dropped = drop.flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet
     drop.foreach { v =>
       fs.delete(new Path(versionsPath(root), s"$v$ManifestSuffix"), false)
     }
-    val dd = dataPath(root)
     var removed = 0
-    if (fs.exists(dd)) fs.listStatus(dd).foreach { st =>
-      if (st.isFile && !referenced.contains(st.getPath.getName)) {
-        if (fs.delete(st.getPath, false)) removed += 1
-      }
+    (dropped -- kept).foreach { f =>
+      if (fs.delete(new Path(dataPath(root), f), false)) removed += 1
     }
     (drop.size, removed)
   }

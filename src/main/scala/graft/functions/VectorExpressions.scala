@@ -24,7 +24,37 @@ import org.apache.spark.sql.types._
   */
 abstract class VectorDistanceExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+
+  /** Whether either array type admits null elements; a null element makes
+    * the whole distance NULL (SQL semantics — reading the slot as 0.0
+    * would silently corrupt rankings). Checks are only emitted when the
+    * type requires them, so tight non-null arrays keep the branch-free
+    * loop.
+    */
+  protected lazy val elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  override def nullable: Boolean = left.nullable || right.nullable || elementsNullable
+
+  /** Interpreted-path guard: true iff any element in range is null. */
+  protected def anyNullElement(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    if (!elementsNullable) return false
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Codegen guard emitted at the top of the accumulation loop. */
+  protected def nullElemCheck(a: String, b: String, i: String, hasNull: String): String =
+    if (elementsNullable)
+      s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }"
+    else ""
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt, _), ArrayType(rt, _))
@@ -61,6 +91,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     checkDims(a.numElements(), b.numElements())
+    if (anyNullElement(a, b)) return null
     val (ga, gb) = (elemGetter(left), elemGetter(right))
     var acc = 0.0
     var i = 0
@@ -72,16 +103,19 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  throw new IllegalArgumentException("dot_product: vector dimensions differ ("
          |    + $a.numElements() + " vs " + $b.numElements() + ")");
          |}
          |double $acc = 0.0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  ${nullElemCheck(a, b, i, hasNull)}
          |  $acc += (${elemCode(left, a, i)}) * (${elemCode(right, b, i)});
          |}
-         |${ev.value} = $acc;
+         |if ($hasNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 
@@ -97,6 +131,7 @@ case class L2Distance(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     checkDims(a.numElements(), b.numElements())
+    if (anyNullElement(a, b)) return null
     val (ga, gb) = (elemGetter(left), elemGetter(right))
     var acc = 0.0
     var i = 0
@@ -111,17 +146,21 @@ case class L2Distance(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  throw new IllegalArgumentException("l2_distance: vector dimensions differ ("
          |    + $a.numElements() + " vs " + $b.numElements() + ")");
          |}
          |double $acc = 0.0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  ${nullElemCheck(a, b, i, hasNull)}
          |  double $d = (${elemCode(left, a, i)}) - (${elemCode(right, b, i)});
          |  $acc += $d * $d;
          |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
+         |if ($hasNull) { ${ev.isNull} = true; }
+         |else { ${ev.value} = java.lang.Math.sqrt($acc); }
        """.stripMargin
     })
 
@@ -137,6 +176,7 @@ case class CosineDistance(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     checkDims(a.numElements(), b.numElements())
+    if (anyNullElement(a, b)) return null
     val (ga, gb) = (elemGetter(left), elemGetter(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -156,19 +196,25 @@ case class CosineDistance(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  throw new IllegalArgumentException("cosine_distance: vector dimensions differ ("
          |    + $a.numElements() + " vs " + $b.numElements() + ")");
          |}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  ${nullElemCheck(a, b, i, hasNull)}
          |  double $x = ${elemCode(left, a, i)};
          |  double $y = ${elemCode(right, b, i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 1.0 : 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($hasNull) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 1.0 : 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -32,11 +32,14 @@ object Dedup {
     * `array_distinct` here costs ~14× the rest of the shingle stage
     * (measured at sf0.1) — dedup happens after hashing instead, where
     * distinct-over-longs is cheap, and MinHash (`array_min`) is
-    * duplicate-insensitive anyway.
+    * duplicate-insensitive anyway. Sub-3-word documents yield an EMPTY
+    * list (matching DuckDB's generate_series) — without the guard,
+    * sequence(0, -1) counts DOWN and __w[-1] is an ANSI runtime error.
     */
   private val shingles =
-    "transform(sequence(0, size(__w) - 3)," +
-      " i -> concat(__w[i], ' ', __w[i+1], ' ', __w[i+2]))"
+    "CASE WHEN size(__w) < 3 THEN CAST(array() AS ARRAY<STRING>) " +
+      "ELSE transform(sequence(0, size(__w) - 3)," +
+      " i -> concat(__w[i], ' ', __w[i+1], ' ', __w[i+2])) END"
 
   private def wordHash(w: String) =
     s"CAST(conv(substr(md5($w), 1, 8), 16, 10) AS BIGINT)"
@@ -83,7 +86,7 @@ object Dedup {
     // reference, recomputing the full md5 chain per *output* row (~25× —
     // measured 4.5 s vs 0.2 s at sf0.1). A stored shingle table is also
     // what the 100 TB pipeline keeps.
-    val scratch = s"target/graft-data/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/shingle_arrays"
+    val scratch = graft.Tables.scratch(dir, "shingle_arrays")
     t(spark, dir, "documents")
       .repartition(32, col("doc_id"))
       .withColumn("__w", expr(words))
@@ -130,7 +133,7 @@ object Dedup {
     // passes read them), and a hard optimizer barrier: without it
     // Catalyst inlines the full minhash pipeline into filters it pushes
     // beneath the repartition, recomputing everything single-threaded.
-    val scratch = s"target/graft-data/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/minhash_sigs"
+    val scratch = graft.Tables.scratch(dir, "minhash_sigs")
     t(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("__w", expr(words))

@@ -13,9 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object LanceQueries {
 
-  /** Deterministic per-sf scratch dataset location inside the repo. */
   private def scratch(dir: String, name: String): String =
-    s"target/graft-data/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+    graft.Tables.scratch(dir, name)
 
   private def freshDataset(spark: SparkSession, dest: String): Unit = {
     val p = new Path(new java.io.File(dest).getAbsolutePath)

@@ -50,6 +50,11 @@ object Multimodal {
   /** Frame sampling for video payloads: every 256-byte stride yields one
     * 64-byte "frame" (the real op samples at a time stride; the explode /
     * per-frame-row plumbing is identical). Output is one row per frame.
+    *
+    * Oracle caveat: the engine slices BYTES of the binary payload; DuckDB
+    * has no BLOB substring, so the oracle slices VARCHAR codepoints. The
+    * two agree exactly on the driver's pure-ASCII corpus; byte semantics
+    * (the engine side) are the intended ones for real media payloads.
     */
   def m62FrameSample(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir)

@@ -81,7 +81,7 @@ object Similarity {
         dot_product(col("embedding"), col("embedding")).as("norm2"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        sum(col("norm2").cast("decimal(18,9)")).cast("double").as("sum_norm2"),
+        graft.Tables.dsum(col("norm2"), 9).as("sum_norm2"),
         min(col("norm2")).as("min_norm2"),
         max(col("norm2")).as("max_norm2"))
       .orderBy(col("label"))
@@ -102,7 +102,7 @@ object Similarity {
     */
   private def ensureIvf(spark: SparkSession, dir: String): String = {
     import graft.index.IvfIndex
-    val dest = s"target/graft-data/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/emb_ivf"
+    val dest = graft.Tables.scratch(dir, "emb_ivf")
     val metaFile = new org.apache.hadoop.fs.Path(
       new java.io.File(s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
     val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())

@@ -35,7 +35,7 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .groupBy(w.as("win"), col(keyCol))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        graft.Tables.dsum(col("value"), 6).as("sum_value"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col(keyCol), col("n"), col("sum_value"))
   }
@@ -106,7 +106,7 @@ object StreamingOps {
       .select(
         col("value").as("event_id"),
         concat(lit("type_"), pmod(col("value"), lit(5))).as("event_type"),
-        expr("transform(sequence(1, 4), i -> cast(pmod(value * i, 100) as float) / 100.0f)")
+        expr("transform(sequence(1, 4), i -> cast(pmod(value * i, 100) / 100.0d as float))")
           .as("embedding"),
         col("timestamp").as("event_time"))
       .writeStream.format("lance")

@@ -45,6 +45,16 @@ class VectorSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("a null vector element makes the distance NULL, not silently 0-filled") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = spark.sql(
+      "SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 5.0D)) AS d, " +
+        "l2_distance(array(CAST(NULL AS DOUBLE)), array(2.0D)) AS l, " +
+        "cosine_distance(array(1.0D, NULL), array(1.0D, 1.0D)) AS c")
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("dimension mismatch throws a clear error") {
     val df = Seq((vec(1, 2), vec(1, 2, 3))).toDF("a", "b")
     val e = intercept[Exception] {
