@@ -306,7 +306,33 @@ object Relational {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Skew-handling: two-stage salted aggregation. `event_type` has only 5
+    * values, so a direct groupBy over a wide cluster hot-spots 5 reducers;
+    * salting fans each key over 16 partial groups (map-side + one narrow
+    * shuffle), then the tiny second stage merges 80 rows. Result is
+    * bit-identical to the plain groupBy (decimal partials re-sum exactly).
+    */
+  def q27SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("__salt", expr("pmod(hash(user_id), 16)"))
+      .groupBy(col("event_type"), col("__salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** Grouping sets: CUBE — all 4 grouping combinations in one pass. */
+  def q28Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_salted_agg" -> q27SaltedAgg,
+    "q28_cube" -> q28Cube,
     "q21_rollup" -> q21Rollup,
     "q22_intersect" -> q22Intersect,
     "q23_union_all" -> q23UnionAll,
@@ -336,6 +362,15 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q27_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q28_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q25_hash_sample" ->
       """SELECT lang, COUNT(*) AS n,
         | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
