@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural plan guards over the whole query suite — the `.explain`
+  * review loop, frozen as assertions so a plan regression (lost pushdown,
+  * join degrading to a cartesian product, topk degrading to a global
+  * sort) fails CI instead of silently costing 100× at scale.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Queries that intentionally cross-join a broadcast single-row side
+    * (query-vector pattern) or a 1-row aggregate (time-travel counts).
+    */
+  private val singleRowCross = Set(
+    "v21_knn_l2", "v22_knn_cosine", "v23_dot_similarity", "s53_lance_time_travel")
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = try planOf(name) catch { case e: Throwable =>
+        fail(s"$name failed to plan: ${e.getMessage}")
+      }
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("nested-loop joins appear only in whitelisted single-row crosses") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(singleRowCross)
+      .filterNot(Set("d46_emb_neardup")) // label-blocked non-equi join: BNLJ over broadcast block
+      .flatMap { name =>
+        val p = planOf(name)
+        if (p.contains("BroadcastNestedLoopJoin")) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort+limit") {
+    Seq("q03_topk_limit", "v21_knn_l2").foreach { name =>
+      assert(planOf(name).contains("TakeOrderedAndProject"), name)
+    }
+  }
+
+  test("dimension joins broadcast") {
+    Seq("q07_join_agg", "q14_join3_agg").foreach { name =>
+      assert(planOf(name).contains("BroadcastHashJoin"), name)
+    }
+  }
+
+  test("filters reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.linesIterator.take(30).mkString("\n"))
+    // plan toString truncates long filter lists; the shipdate bound
+    // appears before the cutoff
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "range filter not pushed")
+  }
+
+  test("projection pruning reaches the scan (no full-width read)") {
+    val p = planOf("q02_filter_project")
+    // lineitem has 16 columns; the query needs 4 (3 projected + 1 filter)
+    val readSchema = p.split("ReadSchema: struct<").last.takeWhile(_ != '>')
+    assert(readSchema.count(_ == ',') == 3, readSchema)
+  }
+}
