@@ -34,7 +34,6 @@ class PlanGuardSpec extends AnyFunSuite {
   test("nested-loop joins appear only in whitelisted single-row crosses") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross)
-      .filterNot(Set("d46_emb_neardup")) // label-blocked non-equi join: BNLJ over broadcast block
       .flatMap { name =>
         val p = planOf(name)
         if (p.contains("BroadcastNestedLoopJoin")) Some(name) else None
