@@ -117,6 +117,35 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
     new LanceTable(p.toString, schema)
   }
 
+  /** SQL time travel: `SELECT ... FROM lance.db.t VERSION AS OF 3`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!LanceFormat.isDataset(fs, p)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"lance versions are numeric manifest ids, got '$version'")
+    }
+    require(LanceFormat.listVersions(fs, p).contains(v),
+      s"no version $v of ${ident.name} (have ${LanceFormat.listVersions(fs, p).mkString(",")})")
+    val schema = LanceFormat.readManifest(fs, p, v).schema
+    new LanceTable(p.toString, schema, Some(v))
+  }
+
+  /** SQL time travel: `TIMESTAMP AS OF` — newest version committed at or
+    * before the timestamp (micros since epoch, per the connector contract).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = tablePath(ident)
+    if (!LanceFormat.isDataset(fs, p)) throw new NoSuchTableException(ident)
+    val cutoffMs = timestampMicros / 1000L
+    val v = LanceFormat.listVersions(fs, p)
+      .filter(LanceFormat.readManifest(fs, p, _).committedAtMs <= cutoffMs)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no version of ${ident.name} existed at timestamp $timestampMicros"))
+    val schema = LanceFormat.readManifest(fs, p, v).schema
+    new LanceTable(p.toString, schema, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)

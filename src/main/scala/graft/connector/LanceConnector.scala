@@ -75,21 +75,36 @@ object LanceTable {
     TableCapability.STREAMING_WRITE).asJava
 }
 
-/** A Lance dataset as a Spark Table (path-addressed or catalog-loaded). */
-class LanceTable(val rootStr: String, declaredSchema: StructType) extends Table
+/** A Lance dataset as a Spark Table (path-addressed or catalog-loaded).
+  * `pinnedVersion` pins every scan to one manifest — the catalog's SQL
+  * time travel (`VERSION AS OF` / `TIMESTAMP AS OF`); the path-addressed
+  * `versionAsOf` read option still takes precedence when set.
+  */
+class LanceTable(val rootStr: String, declaredSchema: StructType,
+    pinnedVersion: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite {
 
   private val root = new Path(rootStr)
 
-  override def name(): String = s"lance.`$rootStr`"
+  override def name(): String =
+    s"lance.`$rootStr`" + pinnedVersion.fold("")(v => s"@v$v")
   override def capabilities(): util.Set[TableCapability] = LanceTable.Capabilities
+
+  private def manifestFor(fs: org.apache.hadoop.fs.FileSystem,
+      options: CaseInsensitiveStringMap): Option[Manifest] =
+    pinnedVersion match {
+      case Some(v) if options.get("versionAsOf") == null =>
+        Some(LanceFormat.readManifest(fs, root, v))
+      case _ => LanceTable.resolveManifest(fs, root, options)
+    }
 
   override def schema(): StructType = {
     if (declaredSchema != null && declaredSchema.nonEmpty) declaredSchema
     else {
       val spark = SparkSession.active
       val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
-      LanceFormat.readLatest(fs, root).map(_.schema).getOrElse(new StructType())
+      manifestFor(fs, CaseInsensitiveStringMap.empty())
+        .map(_.schema).getOrElse(new StructType())
     }
   }
 
@@ -101,7 +116,7 @@ class LanceTable(val rootStr: String, declaredSchema: StructType) extends Table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
     val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
-    val manifest = LanceTable.resolveManifest(fs, root, options)
+    val manifest = manifestFor(fs, options)
     val files = manifest.map(m => LanceFormat.fragmentFiles(root, m)).getOrElse(Seq.empty)
     val dataSchema = manifest.map(_.schema).getOrElse(schema())
     val index = new InMemoryFileIndex(spark, files, Map.empty[String, String],

@@ -242,6 +242,33 @@ class LanceConnectorSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(dir).count() == 2)
   }
 
+  test("SQL time travel through the catalog: VERSION AS OF / TIMESTAMP AS OF") {
+    val wh = s"${tmpDir()}/tt-warehouse"
+    spark.conf.set("spark.sql.catalog.lance_tt", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_tt.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE lance_tt.db")
+      spark.sql("CREATE TABLE lance_tt.db.t (id BIGINT, s STRING)")
+      spark.sql("INSERT INTO lance_tt.db.t VALUES (1, 'a')")
+      spark.sql("INSERT INTO lance_tt.db.t VALUES (2, 'b')")
+      // v1 = empty create, v2 = first insert, v3 = second insert
+      assert(spark.sql("SELECT * FROM lance_tt.db.t").count() == 2)
+      assert(spark.sql("SELECT * FROM lance_tt.db.t VERSION AS OF 2").count() == 1)
+      assert(spark.sql("SELECT * FROM lance_tt.db.t VERSION AS OF 1").count() == 0)
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM lance_tt.db.t VERSION AS OF 9").collect()
+      }
+      assert(e.getMessage.contains("no version 9"), e.getMessage)
+      // TIMESTAMP AS OF now -> latest
+      assert(spark.sql(
+        "SELECT * FROM lance_tt.db.t TIMESTAMP AS OF current_timestamp()").count() == 2)
+    } finally {
+      spark.sql("DROP NAMESPACE IF EXISTS lance_tt.db CASCADE")
+      spark.conf.unset("spark.sql.catalog.lance_tt")
+      spark.conf.unset("spark.sql.catalog.lance_tt.warehouse")
+    }
+  }
+
   test("empty dataframe write creates a readable empty dataset") {
     val dir = s"${tmpDir()}/empty"
     spark.range(0).write.format("lance").mode("append").save(dir)
