@@ -330,7 +330,21 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Left-anti join (NOT EXISTS): customers with no orders, per segment —
+    * completes the join-type matrix (inner/broadcast/semi/anti).
+    */
+  def q29AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_anti_join" -> q29AntiJoin,
     "q27_salted_agg" -> q27SaltedAgg,
     "q28_cube" -> q28Cube,
     "q21_rollup" -> q21Rollup,
@@ -362,6 +376,11 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q29_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q27_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
