@@ -47,6 +47,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows assign each event to every overlapping window") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedCounts(df, "ts", "event_type",
+        window_ = "10 minutes", slide = Some("5 minutes"), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").start()
+    try {
+      // one event at 10:07 belongs to [10:00,10:10) and [10:05,10:15)
+      in.addData((ts(7), "a", 1.0))
+      in.addData((ts(45), "z", 0.0)) // advance the watermark past both
+      q.processAllAvailable()
+      val wins = spark.table("slide_out").filter($"event_type" === "a")
+        .orderBy("win_start").collect()
+        .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[Long]("n"))).toSeq
+      assert(wins == Seq((ts(0), 1L), (ts(5), 1L)), wins)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     val in = MemoryStream[(Timestamp, Long)](spark)
     val df = in.toDF().toDF("ts", "user_id")
