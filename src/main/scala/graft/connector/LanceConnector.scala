@@ -84,6 +84,9 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
     pinnedVersion: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite {
 
+  /** The time-travel pin, if any (AnnIndexRewrite must not fire on it). */
+  def pinned: Option[Long] = pinnedVersion
+
   private val root = new Path(rootStr)
 
   override def name(): String =

@@ -56,6 +56,21 @@ abstract class VectorDistanceExpression extends BinaryExpression {
       s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }"
     else ""
 
+  /** hasNull declaration — empty when elements cannot be null, so the
+    * non-nullable codegen path (where `ev.isNull` is never declared)
+    * compiles cleanly and keeps the branch-free loop.
+    */
+  protected def declHasNull(hasNull: String): String =
+    if (elementsNullable) s"boolean $hasNull = false;" else ""
+
+  /** Wraps the result assignment in the null-propagation branch only when
+    * a null element is possible (elementsNullable implies nullable, so
+    * `ev.isNull` is declared exactly when referenced).
+    */
+  protected def finishCode(hasNull: String, isNull: String, assign: String): String =
+    if (elementsNullable) s"if ($hasNull) { $isNull = true; } else { $assign }"
+    else assign
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt, _), ArrayType(rt, _))
       if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
@@ -110,12 +125,12 @@ case class DotProduct(left: Expression, right: Expression)
          |    + $a.numElements() + " vs " + $b.numElements() + ")");
          |}
          |double $acc = 0.0;
-         |boolean $hasNull = false;
+         |${declHasNull(hasNull)}
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  ${nullElemCheck(a, b, i, hasNull)}
          |  $acc += (${elemCode(left, a, i)}) * (${elemCode(right, b, i)});
          |}
-         |if ($hasNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |${finishCode(hasNull, ev.isNull.toString, s"${ev.value} = $acc;")}
        """.stripMargin
     })
 
@@ -153,14 +168,14 @@ case class L2Distance(left: Expression, right: Expression)
          |    + $a.numElements() + " vs " + $b.numElements() + ")");
          |}
          |double $acc = 0.0;
-         |boolean $hasNull = false;
+         |${declHasNull(hasNull)}
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  ${nullElemCheck(a, b, i, hasNull)}
          |  double $d = (${elemCode(left, a, i)}) - (${elemCode(right, b, i)});
          |  $acc += $d * $d;
          |}
-         |if ($hasNull) { ${ev.isNull} = true; }
-         |else { ${ev.value} = java.lang.Math.sqrt($acc); }
+         |${finishCode(hasNull, ev.isNull.toString,
+             s"${ev.value} = java.lang.Math.sqrt($acc);")}
        """.stripMargin
     })
 
@@ -203,18 +218,16 @@ case class CosineDistance(left: Expression, right: Expression)
          |    + $a.numElements() + " vs " + $b.numElements() + ")");
          |}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |boolean $hasNull = false;
+         |${declHasNull(hasNull)}
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  ${nullElemCheck(a, b, i, hasNull)}
          |  double $x = ${elemCode(left, a, i)};
          |  double $y = ${elemCode(right, b, i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |if ($hasNull) { ${ev.isNull} = true; }
-         |else {
-         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |    ? 1.0 : 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-         |}
+         |${finishCode(hasNull, ev.isNull.toString,
+             s"${ev.value} = ($na == 0.0 || $nb == 0.0) " +
+               s"? 1.0 : 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));")}
        """.stripMargin
     })
 

@@ -145,8 +145,11 @@ object HnswIndex {
     val t0 = System.currentTimeMillis()
     try {
       val meta = IvfIndex.loadMeta(spark, datasetPath, column)
+      require(meta.metric.equalsIgnoreCase("l2"),
+        s"HNSW graphs rank by L2; the IVF index was built with metric ${meta.metric}")
       val buckets = spark.read.parquet(s"${IvfIndex.indexPath(datasetPath, column)}/buckets")
-        .select(col(meta.idColumn), col(meta.column).cast("array<float>").as("__v"),
+        .select(col(meta.idColumn).cast("long").as(meta.idColumn),
+          col(meta.column).cast("array<float>").as("__v"),
           col("__ivf_part"))
         .repartition(meta.numPartitions, col("__ivf_part"))
       val outSchema = StructType(Seq(
@@ -193,6 +196,8 @@ object HnswIndex {
       query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame = {
     graft.functions.VectorFunctions.validateQueryVector(query)
     val meta = IvfIndex.loadMeta(spark, datasetPath, column)
+    require(meta.metric.equalsIgnoreCase("l2"),
+      s"HNSW graphs rank by L2; the IVF index was built with metric ${meta.metric}")
     IvfIndex.checkFreshness(spark, datasetPath, meta)
     require(query.length == meta.dim,
       s"query dim ${query.length} != index dim ${meta.dim}")
@@ -206,7 +211,7 @@ object HnswIndex {
     val ip = IvfIndex.indexPath(datasetPath, column)
     val vecs = spark.read.parquet(s"$ip/buckets")
       .filter(col("__ivf_part").isin(probes: _*))
-      .select(col("__ivf_part"), col(meta.idColumn).as("id"),
+      .select(col("__ivf_part"), col(meta.idColumn).cast("long").as("id"),
         col(meta.column).cast("array<float>").as("__v"))
     val graph = spark.read.parquet(graphPath(datasetPath, column))
       .filter(col("__ivf_part").isin(probes: _*))
@@ -244,6 +249,8 @@ object HnswIndex {
       query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame = {
     graft.functions.VectorFunctions.validateQueryVector(query)
     val meta = IvfIndex.loadMeta(spark, datasetPath, column)
+    require(meta.metric.equalsIgnoreCase("l2"),
+      s"HNSW graphs rank by L2; the IVF index was built with metric ${meta.metric}")
     IvfIndex.checkFreshness(spark, datasetPath, meta)
     val pm = meta.pq.getOrElse(throw new IllegalStateException(
       s"index for $column was built without PQ"))
@@ -269,7 +276,7 @@ object HnswIndex {
     val ip = IvfIndex.indexPath(datasetPath, column)
     val vecs = spark.read.parquet(s"$ip/buckets")
       .filter(col("__ivf_part").isin(probes: _*))
-      .select(col("__ivf_part"), col(meta.idColumn).as("id"),
+      .select(col("__ivf_part"), col(meta.idColumn).cast("long").as("id"),
         col(meta.column).cast("array<float>").as("__v"), col("__pq_code"))
     val graph = spark.read.parquet(graphPath(datasetPath, column))
       .filter(col("__ivf_part").isin(probes: _*))

@@ -60,6 +60,21 @@ object IvfIndex {
     acc
   }
 
+  /** Driver-side query→centroid distance under the scoring metric. */
+  private def centroidDist(q: Array[Double], c: Array[Double], metric: String): Double =
+    metric.toLowerCase match {
+      case "l2" => sq(q, c)
+      case "cosine" =>
+        var dot = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
+        while (i < q.length) { dot += q(i) * c(i); nq += q(i) * q(i); nc += c(i) * c(i); i += 1 }
+        if (nq == 0.0 || nc == 0.0) 1.0 else 1.0 - dot / (math.sqrt(nq) * math.sqrt(nc))
+      case "dot" =>
+        var dot = 0.0; var i = 0
+        while (i < q.length) { dot += q(i) * c(i); i += 1 }
+        -dot
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+
   /** Train + assign + write the bucketed sidecar. `df` must contain the
     * vector column (ARRAY<FLOAT|DOUBLE>) and a unique id column.
     */
@@ -216,8 +231,10 @@ object IvfIndex {
     require(query.length == meta.dim,
       s"query dim ${query.length} != index dim ${meta.dim}")
     val q = query.map(_.toDouble)
+    // probe selection must use the SCORING metric: the cosine-nearest
+    // centroid is not generally the L2-nearest one
     val probes = meta.centroids.zipWithIndex
-      .map { case (c, i) => (sq(q, c.toArray), i) }
+      .map { case (c, i) => (centroidDist(q, c.toArray, metric), i) }
       .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
 
     val dist = metric.toLowerCase match {

@@ -104,7 +104,8 @@ object Dedup {
     // shingle pipeline changes the path, so a stale cache can never serve
     // results for code it didn't produce
     val scratch = graft.Tables.scratch(dir,
-      s"shingle_arrays_${exprVersion(shingles, wordHash("s"))}")
+      s"shingle_arrays_${exprVersion(words,
+        s"array_distinct(transform($shingles, s -> ${wordHash("s")} % $P))")}")
     if (!scratchExists(spark, scratch)) {
       t(spark, dir, "documents")
         .repartition(32, col("doc_id"))
@@ -153,8 +154,14 @@ object Dedup {
     // passes read them), and a hard optimizer barrier: without it
     // Catalyst inlines the full minhash pipeline into filters it pushes
     // beneath the repartition, recomputing everything single-threaded.
+    val bandsExpr = (0 until 4).map(bnd =>
+      s"concat('$bnd:', ${minhashCol(2 * bnd)}, ':', ${minhashCol(2 * bnd + 1)})")
+      .mkString("array(", ", ", ")")
+    // the key hashes EVERY generating expression verbatim — a partial key
+    // would let an edit to an unhashed part serve stale cached results
     val scratch = graft.Tables.scratch(dir,
-      s"minhash_sigs_${exprVersion(shingles, shingleHashes, minhashCol(0), minhashCol(7))}")
+      s"minhash_sigs_${exprVersion(words, shingles, shingleHashes,
+        s"array_distinct(transform(__sh, s -> ${wordHash("s")} % $P))", bandsExpr)}")
     if (!scratchExists(spark, scratch)) {
       t(spark, dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -163,9 +170,7 @@ object Dedup {
         .withColumn("__hs", expr(shingleHashes))
         .select(col("doc_id"),
           expr(s"array_distinct(transform(__sh, s -> ${wordHash("s")} % $P))").as("sh"),
-          expr((0 until 4).map(bnd =>
-            s"concat('$bnd:', ${minhashCol(2 * bnd)}, ':', ${minhashCol(2 * bnd + 1)})")
-            .mkString("array(", ", ", ")")).as("bands"))
+          expr(bandsExpr).as("bands"))
         .write.mode("overwrite").parquet(scratch)
     }
     val sig = spark.read.parquet(scratch)
@@ -199,11 +204,15 @@ object Dedup {
       .mkString(" + ")
     t(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
+      // explode_OUTER: a NULL-text document keeps its row (h = NULL) and
+      // surfaces as simhash NULL instead of vanishing from the output
       .select(col("doc_id"),
-        explode(expr(s"transform($words, w -> ${wordHash("w")})")).as("h"))
+        explode_outer(expr(s"transform($words, w -> ${wordHash("w")})")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), expr(assemble).as("simhash"))
+      .agg(count(col("h")).as("nh"), bitSums: _*)
+      .select(col("doc_id"),
+        when(col("nh") === 0, lit(null).cast("bigint"))
+          .otherwise(expr(assemble)).as("simhash"))
       .orderBy(col("doc_id"))
   }
 

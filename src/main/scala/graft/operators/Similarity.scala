@@ -102,7 +102,9 @@ object Similarity {
     */
   private def ensureIvf(spark: SparkSession, dir: String): String = {
     import graft.index.IvfIndex
-    val dest = graft.Tables.scratch(dir, "emb_ivf")
+    // key carries the build parameters: changing them produces a new path
+    // instead of silently reusing an index built with the old ones
+    val dest = graft.Tables.scratch(dir, "emb_ivf_np8_v1")
     val metaFile = new org.apache.hadoop.fs.Path(
       new java.io.File(s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
     val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())

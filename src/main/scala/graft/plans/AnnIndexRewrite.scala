@@ -59,7 +59,11 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case gl @ GlobalLimit(Literal(k: Int, _),
           LocalLimit(_, Sort(Seq(order), true,
             Project(projList, rel: DataSourceV2Relation), _)))
-          if rel.table.isInstanceOf[LanceTable] && order.direction == Ascending =>
+          if rel.table.isInstanceOf[LanceTable] && order.direction == Ascending &&
+            // never answer a historical query from the index over current
+            // data: time-traveled relations keep the exact scan
+            rel.table.asInstanceOf[LanceTable].pinned.isEmpty &&
+            Option(rel.options).forall(o => o.get("versionAsOf") == null) =>
         val rewritten = for {
           sortAttr <- order.child match {
             case a: AttributeReference => Some(a)

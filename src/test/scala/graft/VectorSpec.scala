@@ -45,6 +45,23 @@ class VectorSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("codegen compiles for non-nullable-element arrays (no isNull var)") {
+    // primitive-array encoders produce containsNull=false: with both
+    // sides non-null-element the generated code must not reference the
+    // isNull variable (declared only for nullable expressions)
+    import graft.functions.VectorFunctions._
+    val ds = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    assert(!ds.schema("a").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val df = ds.select(
+      dot_product($"a", $"b").as("d"),
+      l2_distance($"a", $"b").as("l"),
+      cosine_distance($"a", $"a").as("c"))
+    val r = df.collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(8.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2)) < 1e-12)
+  }
+
   test("a null vector element makes the distance NULL, not silently 0-filled") {
     graft.functions.VectorFunctions.register(spark)
     val df = spark.sql(
