@@ -99,9 +99,8 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
         case "ivf" =>
           graft.index.IvfIndex.search(spark, path, column, vec, k, metric = metric)
         case "hnsw" =>
-          require(metric.equalsIgnoreCase("l2"),
-            s"vector_search hnsw mode supports only the l2 metric, got $metric")
-          graft.index.HnswIndex.search(spark, path, column, vec, k)
+          graft.index.HnswIndex.search(spark, path, column, vec, k,
+            metric = Some(metric))
         case m => throw new IllegalArgumentException(
           s"vector_search mode must be exact|ivf|hnsw, got $m")
       }

@@ -55,13 +55,45 @@ object HnswIndex {
     acc
   }
 
+  /** Pairwise "distance" for graph construction + traversal under the
+    * index's scoring metric (reference delegates all three to its native
+    * index, `LanceVectorSearch.java:274-285`): L2 ranks by squared
+    * distance, cosine by 1 − cos, dot by −⟨a,b⟩ (not a metric, but greedy
+    * NSW descent on −dot is the standard max-inner-product search shape).
+    */
+  private[index] def metricDist(metric: String): (Array[Float], Array[Float]) => Double =
+    metric.toLowerCase match {
+      case "l2" => sqDist
+      case "cosine" => (a, b) => {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      case "dot" => (a, b) => {
+        var dot = 0.0; var i = 0
+        while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+        -dot
+      }
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+
+  /** Rank distance → reported `_distance`: L2 traverses on the squared
+    * distance but reports the root; cosine/dot report the rank value.
+    */
+  private def reportDist(metric: String, d: Double): Double =
+    if (metric.equalsIgnoreCase("l2")) math.sqrt(d) else d
+
   // ---- in-memory graph build (one bucket, one task) ----
 
   /** Builds the layered graph for one bucket; returns (id, level,
     * neighbors-per-level) rows. `vecs` indexed by local ordinal.
     */
   private[index] def buildBucketGraph(ids: Array[Long], vecs: Array[Array[Float]],
-      p: Params): Iterator[(Long, Int, Seq[Seq[Long]])] = {
+      p: Params,
+      dist: (Array[Float], Array[Float]) => Double): Iterator[(Long, Int, Seq[Seq[Long]])] = {
     val n = ids.length
     if (n == 0) return Iterator.empty
     val levels = Array.tabulate(n)(i => levelOf(ids(i), p.m, p.maxLevel))
@@ -76,7 +108,7 @@ object HnswIndex {
       // candidates: min-heap by distance; results: max-heap (worst first)
       val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](t => -t._1))
       val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1))
-      ep.foreach { e => val d = sqDist(q, vecs(e)); cand.enqueue((d, e)); res.enqueue((d, e)) }
+      ep.foreach { e => val d = dist(q, vecs(e)); cand.enqueue((d, e)); res.enqueue((d, e)) }
       while (cand.nonEmpty) {
         val (dc, c) = cand.dequeue()
         if (res.nonEmpty && dc > res.head._1 && res.size >= ef) { cand.clear() }
@@ -84,7 +116,7 @@ object HnswIndex {
           adjacency(level).getOrElse(c, mutable.ArrayBuffer.empty).foreach { nb =>
             if (!visited.contains(nb)) {
               visited += nb
-              val d = sqDist(q, vecs(nb))
+              val d = dist(q, vecs(nb))
               if (res.size < ef || d < res.head._1) {
                 cand.enqueue((d, nb)); res.enqueue((d, nb))
                 if (res.size > ef) res.dequeue()
@@ -103,7 +135,7 @@ object HnswIndex {
         nbrs += b
         if (nbrs.size > cap) {
           // prune to the `cap` closest (simple heuristic, deterministic)
-          val pruned = nbrs.map(x => (sqDist(vecs(a), vecs(x)), x)).sorted.take(cap).map(_._2)
+          val pruned = nbrs.map(x => (dist(vecs(a), vecs(x)), x)).sorted.take(cap).map(_._2)
           nbrs.clear(); nbrs ++= pruned
         }
       }
@@ -145,8 +177,9 @@ object HnswIndex {
     val t0 = System.currentTimeMillis()
     try {
       val meta = IvfIndex.loadMeta(spark, datasetPath, column)
-      require(meta.metric.equalsIgnoreCase("l2"),
-        s"HNSW graphs rank by L2; the IVF index was built with metric ${meta.metric}")
+      // the graph is built under the index's scoring metric — a graph
+      // optimized for L2 walks badly under cosine/dot and vice versa
+      val dist = metricDist(meta.metric)
       val buckets = spark.read.parquet(s"${IvfIndex.indexPath(datasetPath, column)}/buckets")
         .select(col(meta.idColumn).cast("long").as(meta.idColumn),
           col(meta.column).cast("array<float>").as("__v"),
@@ -171,7 +204,7 @@ object HnswIndex {
           val order = idsB.indices.sortBy(idsB) // deterministic insertion order
           val ids = order.map(idsB).toArray
           val vecs = order.map(vecsB).toArray
-          buildBucketGraph(ids, vecs, params).map { case (id, level, nbrs) =>
+          buildBucketGraph(ids, vecs, params, dist).map { case (id, level, nbrs) =>
             Row(b, id, level, nbrs)
           }
         }
@@ -193,19 +226,23 @@ object HnswIndex {
     * `config/LanceOptions.java:215-228`.
     */
   def search(spark: SparkSession, datasetPath: String, column: String,
-      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame = {
+      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100,
+      metric: Option[String] = None): DataFrame = {
     graft.functions.VectorFunctions.validateQueryVector(query)
     val meta = IvfIndex.loadMeta(spark, datasetPath, column)
-    require(meta.metric.equalsIgnoreCase("l2"),
-      s"HNSW graphs rank by L2; the IVF index was built with metric ${meta.metric}")
+    // the caller's metric must be the one the graph was built under — a
+    // graph optimized for one metric walks blind under another
+    metric.foreach(m => require(m.equalsIgnoreCase(meta.metric),
+      s"index at $datasetPath/$column was built for metric ${meta.metric}, " +
+        s"searched with $m — rebuild the index or search with ${meta.metric}"))
     IvfIndex.checkFreshness(spark, datasetPath, meta)
     require(query.length == meta.dim,
       s"query dim ${query.length} != index dim ${meta.dim}")
     val qd = query.map(_.toDouble)
+    // probe selection under the SCORING metric (the cosine-nearest
+    // centroid is not generally the L2-nearest one)
     val probes = meta.centroids.zipWithIndex
-      .map { case (c, i) =>
-        (c.toArray.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum, i)
-      }
+      .map { case (c, i) => (IvfIndex.centroidDist(qd, c.toArray, meta.metric), i) }
       .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
 
     val ip = IvfIndex.indexPath(datasetPath, column)
@@ -224,15 +261,17 @@ object HnswIndex {
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
+    val scoringMetric = meta.metric
     val candidates = joined.mapPartitions { rows =>
       val q = bcQ.value
+      val dist = metricDist(scoringMetric)
       val byBucket = groupBuckets(rows, withCodes = false)
       byBucket.iterator.flatMap { case (_, nodes) =>
         val arr = nodes.toArray
         val vecs = arr.map(_.vec)
-        searchBucket(arr, o => sqDist(q, vecs(o)), effEf)
+        searchBucket(arr, o => dist(q, vecs(o)), effEf)
           .map { case (o, d) => (arr(o).id, d) }
-      }.map { case (id, d) => Row(id, math.sqrt(d)) }
+      }.map { case (id, d) => Row(id, reportDist(scoringMetric, d)) }
     }(org.apache.spark.sql.Encoders.row(outSchema))
     candidates.orderBy(col("_distance"), col("id")).limit(k)
   }
@@ -250,7 +289,7 @@ object HnswIndex {
     graft.functions.VectorFunctions.validateQueryVector(query)
     val meta = IvfIndex.loadMeta(spark, datasetPath, column)
     require(meta.metric.equalsIgnoreCase("l2"),
-      s"HNSW graphs rank by L2; the IVF index was built with metric ${meta.metric}")
+      s"PQ/ADC scoring decomposes the L2 metric only; the index was built with ${meta.metric}")
     IvfIndex.checkFreshness(spark, datasetPath, meta)
     val pm = meta.pq.getOrElse(throw new IllegalStateException(
       s"index for $column was built without PQ"))

@@ -61,7 +61,7 @@ object IvfIndex {
   }
 
   /** Driver-side query→centroid distance under the scoring metric. */
-  private def centroidDist(q: Array[Double], c: Array[Double], metric: String): Double =
+  private[index] def centroidDist(q: Array[Double], c: Array[Double], metric: String): Double =
     metric.toLowerCase match {
       case "l2" => sq(q, c)
       case "cosine" =>

@@ -36,7 +36,7 @@ object Relational {
         dsum(col("l_extendedprice")).as("sum_base_price"),
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
           .as("sum_disc_price"),
-        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        graft.Tables.davg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -239,10 +239,26 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
-  /** UNION ALL of two branch projections + re-aggregation — the classic
-    * multi-source append; stays partition-local until the final groupBy.
+  /** Multi-branch append re-expressed as one scan: the two UNION ALL
+    * branches are complementary filters on the same table, so a CASE
+    * bucket computes the identical result while reading the table once —
+    * at 100 TB the two-scan form pays a full extra table read. The
+    * two-scan UNION ALL variant stays available for genuinely distinct
+    * sources ([[q23UnionAllTwoScan]], equivalence pinned in
+    * RelationalSpec).
     */
-  def q23UnionAll(spark: SparkSession, dir: String): DataFrame = {
+  def q23UnionAll(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("bucket",
+        when(col("o_totalprice") > 150000, "high").otherwise("low"))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"), col("bucket"))
+
+  /** The literal UNION ALL plan (two scans) — the shape used when the
+    * branches really are different sources; kept for operator coverage.
+    */
+  def q23UnionAllTwoScan(spark: SparkSession, dir: String): DataFrame = {
     val hi = t(spark, dir, "orders").filter(col("o_totalprice") > 150000)
       .select(col("o_orderstatus"), lit("high").as("bucket"))
     val lo = t(spark, dir, "orders").filter(col("o_totalprice") <= 150000)

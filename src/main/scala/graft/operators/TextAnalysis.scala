@@ -126,12 +126,15 @@ object TextAnalysis {
     val tf = tokens.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfreq = tokens.select(col("doc_id"), col("w")).distinct()
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val n = docs.select(countDistinct(col("doc_id"))).collect().head.getLong(0)
+    // corpus size as a broadcast single-row join, not a driver collect():
+    // the whole operator stays one lazy plan and composes inside pipelines
+    val n = docs.agg(countDistinct(col("doc_id")).cast("double").as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("w"))
     tf.join(dfreq, "w")
-      .withColumn("score", col("tf").cast("double") * lit(n.toDouble) / col("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("__n") / col("df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("w").as("term"),

@@ -68,4 +68,16 @@ class RelationalSpec extends AnyFunSuite {
     val df = operators.Relational.q15WindowTopn(spark, sf)
     assert(df.count() == df.select("o_custkey").distinct().count())
   }
+
+  test("q23 single-scan CASE form equals the two-scan UNION ALL, with one scan") {
+    val one = operators.Relational.q23UnionAll(spark, sf).collect().toSeq
+    val two = operators.Relational.q23UnionAllTwoScan(spark, sf).collect().toSeq
+    assert(one == two)
+    val scans = operators.Relational.q23UnionAll(spark, sf)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+      }
+    assert(scans.size == 1, s"expected a single table scan, got ${scans.size}")
+  }
 }
