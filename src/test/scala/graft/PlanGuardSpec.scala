@@ -14,7 +14,10 @@ class PlanGuardSpec extends AnyFunSuite {
     * (query-vector pattern) or a 1-row aggregate (time-travel counts).
     */
   private val singleRowCross = Set(
-    "v21_knn_l2", "v22_knn_cosine", "v23_dot_similarity", "s53_lance_time_travel")
+    "v21_knn_l2", "v22_knn_cosine", "v23_dot_similarity", "s53_lance_time_travel",
+    // t36 broadcasts a 1-row corpus-size aggregate across every document —
+    // a benign O(n) cross that replaced a second scan + collect()
+    "t36_salient_terms")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)

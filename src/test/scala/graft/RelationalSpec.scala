@@ -73,11 +73,16 @@ class RelationalSpec extends AnyFunSuite {
     val one = operators.Relational.q23UnionAll(spark, sf).collect().toSeq
     val two = operators.Relational.q23UnionAllTwoScan(spark, sf).collect().toSeq
     assert(one == two)
-    val scans = operators.Relational.q23UnionAll(spark, sf)
-      .queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
-      }
-    assert(scans.size == 1, s"expected a single table scan, got ${scans.size}")
+    // under AQE the pre-execution plan is an unfinalized AdaptiveSparkPlanExec
+    // with no visible children — execute first, then count scans in the
+    // finalized plan string (query-stage boundaries hide nodes from collect)
+    val df = operators.Relational.q23UnionAll(spark, sf)
+    df.collect() // finalize the adaptive plan
+    // the AQE toString repeats the tree under "== Initial Plan ==" — count
+    // scans only in the final section
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scanCount = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("BatchScan"))
+    assert(scanCount == 1, s"expected a single table scan, got $scanCount in:\n$plan")
   }
 }
