@@ -5,8 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark entry point: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query is fully
   * materialized through the noop sink (count() would let Catalyst prune
-  * work a consumer must pay for); reported time is the second (warm) run,
-  * matching steady-state throughput on a long-lived cluster.
+  * work a consumer must pay for); reported time is the MEDIAN of
+  * SPARK_GRAFT_BENCH_RUNS (default 3) warm runs after one cold warm-up —
+  * single warm runs proved noisy enough (4-5× swings on untouched
+  * queries between rounds) that per-round verdicts chased ghosts. The
+  * per-query [min,max] spread is emitted alongside so a wide interval
+  * flags an untrustworthy median.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,16 +34,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
-      val warm = if (cold < 0) -1.0 else math.min(cold, once(fn))
-      System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f")
-      name -> warm
+      val warm = if (cold < 0) Seq(-1.0) else Seq.fill(nRuns)(once(fn))
+      val med =
+        if (warm.exists(_ < 0)) -1.0
+        else warm.sorted.apply(warm.size / 2)
+      System.err.println(f"[bench] $name cold=$cold%.2f median=$med%.2f " +
+        s"runs=${warm.map(t => f"$t%.2f").mkString(",")}")
+      (name, med, warm.min, warm.max)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, lo, hi) => "\"" + k + s"""\":[$lo,$hi]""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,6 +49,45 @@ class DedupTextSpec extends AnyFunSuite {
       s"near-dup mean hamming $dupMean !< random mean $rndMean")
   }
 
+  test("df-cap drops adversarial hot shingles but keeps planted near-dups") {
+    import spark.implicits._
+    // 40 identical boilerplate docs (every shingle df=40 > τ=32) plus one
+    // planted near-dup pair built from unique words (every shingle df<=2).
+    // Without the cap the boilerplate block alone yields C(40,2)=780
+    // jaccard-1.0 pairs — the quadratic blowup the cap exists to stop.
+    val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val uniqA = (0 until 20).map(i => s"uniq$i").mkString(" ")
+    val uniqB = (0 until 20).map(i => if (i < 19) s"uniq$i" else "changed").mkString(" ")
+    val docs = (0L until 40L).map(i => (i, boiler)) ++ Seq((100L, uniqA), (101L, uniqB))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dfcap").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // default τ=32: boilerplate shingles are hot and dropped; only the
+    // planted pair survives, with its jaccard untouched by the cap
+    // (denominators come from the full arrays, computed before the cap)
+    val capped = Dedup.d42JaccardPairs(spark, dir).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)),
+      s"capped d42: ${capped.toSeq}")
+    val cappedJ = capped.head.getDouble(2)
+    assert(cappedJ >= 0.5 && cappedJ < 1.0)
+
+    val cappedLsh = pairs(Dedup.d44LshPairs(spark, dir))
+    assert(!cappedLsh.exists(_._1 < 100L), s"hot bands leaked into d44: $cappedLsh")
+
+    // cap disabled: the boilerplate block explodes into all 780 pairs —
+    // and the planted pair's jaccard is identical to the capped run
+    spark.conf.set("spark.graft.dedup.maxDocFreq", "0")
+    try {
+      val uncapped = Dedup.d42JaccardPairs(spark, dir).collect()
+      assert(uncapped.length == 781, s"expected 780 boilerplate + 1 planted, got ${uncapped.length}")
+      val uncappedJ = uncapped.find(r => r.getLong(0) == 100L).get.getDouble(2)
+      assert(uncappedJ == cappedJ, "cap must not change surviving pairs' jaccard")
+    } finally spark.conf.unset("spark.graft.dedup.maxDocFreq")
+  }
+
   test("exact dedup counts docs and unique texts") {
     val r = Dedup.d41Exact(spark, sf).collect().head
     assert(r.getLong(0) == 500L)
