@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// dev/: manual measurement harnesses (mains, not specs). Compiled under
+// Test scope so they can't rot, but kept out of src/test — sbt test never
+// runs them.
+Test / unmanagedSourceDirectories += baseDirectory.value / "dev"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

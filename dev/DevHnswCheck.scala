@@ -33,7 +33,7 @@ object DevHnswCheck {
             .select(col("embedding")).collect().head.getSeq[Float](0).toArray
           val hnsw = index.HnswIndex.search(spark, dest, "embedding", q, 10,
             nprobes = 8, ef = 200)
-            .select(col("id")).collect().map(_.getLong(0)).toSet
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
           val exact = operators.Similarity.knnSearch(emb, "embedding", q, 10, metric)
             .select(col("vec_id")).collect().map(_.getLong(0)).toSet
           println(s"[devhnsw] $dir $metric q=$qid overlap=${(hnsw & exact).size}/10")

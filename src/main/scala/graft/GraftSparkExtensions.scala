@@ -82,27 +82,46 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
     case tvf: UnresolvedTableValuedFunction
       if tvf.name.lastOption.exists(_.equalsIgnoreCase("vector_search")) =>
       val args = tvf.functionArgs
-      require(args.size >= 3 && args.size <= 6,
-        "vector_search(path, column, queryVec[, k[, metric[, mode]]])")
+      require(args.size >= 3 && args.size <= 8,
+        "vector_search(path, column, queryVec[, k[, metric[, mode[, nprobes[, ef]]]]])")
       val path = literalString(args.head, "path")
       val column = literalString(args(1), "column")
       val vec = literalFloats(args(2))
       val k = if (args.size >= 4) literalString(args(3), "k").toInt else 10
       val metric = if (args.size >= 5) literalString(args(4), "metric") else "l2"
       // mode mirrors the reference's use-index switch (`vector.use-index`,
-      // `LanceVectorSearch` Query.useIndex): 'exact' scans, 'ivf'/'hnsw'
-      // probe the prebuilt index sidecar at `path`
+      // `LanceVectorSearch` Query.useIndex): 'exact' scans, 'ivf'/'hnsw'/
+      // 'ivf_pq'/'hnsw_pq' probe the prebuilt index sidecar at `path`
       val mode = if (args.size >= 6) literalString(args(5), "mode") else "exact"
+      // search-knob parity with the reference's option keys
+      // (`config/LanceOptions.java:123-237,719-780`: vector.nprobes,
+      // vector.ef, vector.refine-factor): positional TVF args first, then
+      // session confs `spark.graft.vector.*`, then reference defaults —
+      // SQL users can tune a search without touching Scala
+      def conf(key: String, dflt: Int): Int = spark.conf
+        .getOption(s"spark.graft.vector.$key").map(_.toInt).getOrElse(dflt)
+      val nprobes = if (args.size >= 7) literalString(args(6), "nprobes").toInt
+        else conf("nprobes", 20)
+      val ef = if (args.size >= 8) literalString(args(7), "ef").toInt
+        else conf("ef", 100)
+      val refine = conf("refine-factor", 4)
       val df = mode.toLowerCase match {
         case "exact" => Similarity.knnSearch(
           spark.read.format("lance").load(path), column, vec, k, metric)
         case "ivf" =>
-          graft.index.IvfIndex.search(spark, path, column, vec, k, metric = metric)
+          graft.index.IvfIndex.search(spark, path, column, vec, k,
+            nprobes = nprobes, metric = metric)
+        case "ivf_pq" =>
+          graft.index.IvfIndex.searchPq(spark, path, column, vec, k,
+            nprobes = nprobes, refineFactor = refine)
         case "hnsw" =>
           graft.index.HnswIndex.search(spark, path, column, vec, k,
-            metric = Some(metric))
+            nprobes = nprobes, ef = ef, metric = Some(metric))
+        case "hnsw_pq" =>
+          graft.index.HnswIndex.searchPq(spark, path, column, vec, k,
+            nprobes = nprobes, ef = ef)
         case m => throw new IllegalArgumentException(
-          s"vector_search mode must be exact|ivf|hnsw, got $m")
+          s"vector_search mode must be exact|ivf|ivf_pq|hnsw|hnsw_pq, got $m")
       }
       df.queryExecution.analyzed
   }

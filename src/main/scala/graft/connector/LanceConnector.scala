@@ -124,7 +124,8 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
     val dataSchema = manifest.map(_.schema).getOrElse(schema())
     val index = new InMemoryFileIndex(spark, files, Map.empty[String, String],
       Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
-    new LanceScanBuilder(spark, index, dataSchema, options, rootStr)
+    new LanceScanBuilder(spark, index, dataSchema, options, rootStr,
+      manifest.map(_.rowCount))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -135,14 +136,43 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
   * built Scan is wrapped only to add `toMicroBatchStream` (streaming reads
   * use the same pruned read schema; parquet row-group filters are advisory
   * and stay in the plan, so ignoring them in the stream is correct).
+  *
+  * One aggregate is answered without touching data at all: an ungrouped,
+  * unfiltered COUNT(*) comes straight from the manifest, which already
+  * sums per-fragment row counts (A1/S4; reference analogue
+  * `LanceAggregateSource.java:135-157` reading `LanceSplit.java:53,92-94`)
+  * — on a 100 TB dataset that is one JSON read instead of opening every
+  * parquet footer. Anything else (grouped, filtered, COUNT(col), MIN/MAX)
+  * falls through to Spark's parquet footer pushdown.
   */
 class LanceScanBuilder(spark: SparkSession,
     index: InMemoryFileIndex, dataSchema: StructType,
-    options: CaseInsensitiveStringMap, rootStr: String)
+    options: CaseInsensitiveStringMap, rootStr: String,
+    manifestRowCount: Option[Long] = None)
     extends ParquetScanBuilder(spark, index, dataSchema, dataSchema, options) {
 
-  override def build(): ParquetScan =
-    new LanceParquetScan(super.build(), rootStr)
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+
+  private var manifestCount: Option[Long] = None
+
+  private def plainCountStar(agg: Aggregation): Boolean =
+    manifestRowCount.isDefined &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar] &&
+      dataFilters.isEmpty // a pushed filter would make the manifest count wrong
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    plainCountStar(agg) || super.supportCompletePushDown(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (plainCountStar(agg)) { manifestCount = manifestRowCount; true }
+    else super.pushAggregation(agg)
+
+  override def build(): ParquetScan = manifestCount match {
+    case Some(n) => new LanceCountStarScan(super.build(), rootStr, n)
+    case None => new LanceParquetScan(super.build(), rootStr)
+  }
 }
 
 /** A ParquetScan that additionally answers `toMicroBatchStream` — batch
@@ -163,6 +193,22 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String)
     }
     new LanceMicroBatchStream(rootStr, readSchema().json, conf)
   }
+}
+
+/** Metadata-only COUNT(*): Spark plans a [[org.apache.spark.sql.connector.read.LocalScan]]
+  * as a driver-side LocalTableScanExec — zero tasks, zero file reads. The
+  * single row is the manifest's fragment-rowCount sum, exact by the commit
+  * protocol (every fragment append/overwrite rewrites the manifest).
+  */
+class LanceCountStarScan(inner: ParquetScan, rootStr: String, n: Long)
+    extends LanceParquetScan(inner, rootStr)
+    with org.apache.spark.sql.connector.read.LocalScan {
+
+  override def readSchema(): StructType =
+    new StructType().add("count(*)", org.apache.spark.sql.types.LongType, nullable = false)
+
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](n)))
 }
 
 /** Append by default; `SaveMode.Overwrite` arrives as truncate(). */

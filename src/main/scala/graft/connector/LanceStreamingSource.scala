@@ -33,10 +33,32 @@ case class LanceStreamOffset(version: Long) extends Offset {
 }
 
 class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
-    conf: SerializableConf) extends MicroBatchStream {
+    conf: SerializableConf) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val root = new Path(rootStr)
   private def fs = LanceFormat.fileSystem(root, conf.value)
+
+  /** Version ceiling pinned at query start under Trigger.AvailableNow.
+    * Without this interface Spark falls back to one mega-batch and — more
+    * important — never runs the trailing no-data batch, so append-mode
+    * event-time aggregations downstream would emit NOTHING (the final
+    * watermark advance is what closes their windows).
+    */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(LanceFormat.latestVersion(fs, root).getOrElse(0L))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val latest = LanceFormat.latestVersion(fs, root).getOrElse(0L)
+    LanceStreamOffset(availableNowCap.fold(latest)(math.min(latest, _)))
+  }
 
   override def initialOffset(): Offset = LanceStreamOffset(0L)
 

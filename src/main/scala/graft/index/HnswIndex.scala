@@ -258,8 +258,11 @@ object HnswIndex {
       .repartition(math.max(probes.size, 1), col("__ivf_part"))
     val bcQ = spark.sparkContext.broadcast(query)
     val effEf = math.max(ef, k)
+    // result id keeps the dataset's own id column name (TVF/API parity
+    // with IvfIndex.search, which preserves original columns)
+    val idCol = meta.idColumn
     val outSchema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
     val scoringMetric = meta.metric
     val candidates = joined.mapPartitions { rows =>
@@ -273,7 +276,7 @@ object HnswIndex {
           .map { case (o, d) => (arr(o).id, d) }
       }.map { case (id, d) => Row(id, reportDist(scoringMetric, d)) }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    candidates.orderBy(col("_distance"), col("id")).limit(k)
+    candidates.orderBy(col("_distance"), col(idCol)).limit(k)
   }
 
   /** IVF_HNSW_PQ search (the reference's composite index type,
@@ -325,8 +328,9 @@ object HnswIndex {
     val bcQ = spark.sparkContext.broadcast(query)
     val bcAdc = spark.sparkContext.broadcast(adc)
     val effEf = math.max(ef, k)
+    val idCol = meta.idColumn
     val outSchema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
     val candidates = joined.mapPartitions { rows =>
       val q = bcQ.value
@@ -345,7 +349,7 @@ object HnswIndex {
           .map { case (o, _) => (arr(o).id, sqDist(q, arr(o).vec)) }
       }.map { case (id, d) => Row(id, math.sqrt(d)) }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    candidates.orderBy(col("_distance"), col("id")).limit(k)
+    candidates.orderBy(col("_distance"), col(idCol)).limit(k)
   }
 
   private[index] case class BucketNode(id: Long, vec: Array[Float],

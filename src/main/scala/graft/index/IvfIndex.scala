@@ -32,6 +32,7 @@ import java.nio.charset.StandardCharsets
   */
 object IvfIndex {
   private implicit val fmts: org.json4s.Formats = Serialization.formats(NoTypeHints)
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.IvfIndex")
 
   case class IndexMeta(column: String, idColumn: String, metric: String,
     numPartitions: Int, dim: Int, centroids: Seq[Seq[Double]],
@@ -60,14 +61,31 @@ object IvfIndex {
     acc
   }
 
-  /** Driver-side query→centroid distance under the scoring metric. */
-  private[index] def centroidDist(q: Array[Double], c: Array[Double], metric: String): Double =
+  private[index] def normalized(v: Array[Double]): Array[Double] = {
+    var n2 = 0.0; var i = 0
+    while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+    val n = math.sqrt(n2)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Driver-side query→centroid distance under the scoring metric.
+    *
+    * Cosine runs squared-L2 on the NORMALIZED query because that is
+    * exactly the function bucket assignment ran at build time (vectors are
+    * L2-normalized before KMeans for cosine indexes — unit-sphere Voronoi).
+    * Ranking centroids by 1−cos instead would disagree with assignment
+    * whenever centroid norms differ (1 + ‖c‖² − 2‖c‖cosθ vs cosθ alone),
+    * and partial-probe searches would systematically miss the bucket that
+    * actually holds the neighbors.
+    *
+    * Dot is not a metric; ranking buckets by −⟨q,c⟩ against L2-assigned
+    * buckets is the standard MIPS approximation and is documented as such —
+    * full probing remains exact.
+    */
+  private[graft] def centroidDist(q: Array[Double], c: Array[Double], metric: String): Double =
     metric.toLowerCase match {
       case "l2" => sq(q, c)
-      case "cosine" =>
-        var dot = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
-        while (i < q.length) { dot += q(i) * c(i); nq += q(i) * q(i); nc += c(i) * c(i); i += 1 }
-        if (nq == 0.0 || nc == 0.0) 1.0 else 1.0 - dot / (math.sqrt(nq) * math.sqrt(nc))
+      case "cosine" => sq(normalized(q), c)
       case "dot" =>
         var dot = 0.0; var i = 0
         while (i < q.length) { dot += q(i) * c(i); i += 1 }
@@ -88,11 +106,26 @@ object IvfIndex {
 
       val vecs = df.select(col(idColumn), col(column))
       val sample = if (sampleFraction >= 1.0) vecs else vecs.sample(sampleFraction, seed)
+      // Cosine indexes train and assign on L2-NORMALIZED vectors: on the
+      // unit sphere the L2 Voronoi equals the cosine Voronoi, so bucket
+      // assignment and (normalized-L2) probe selection agree — without
+      // this, partial-probe cosine searches lose recall systematically.
+      // Raw vectors are what gets STORED; only clustering sees unit norms.
+      val normalize = metric.toLowerCase == "cosine"
       // The repartition is a row-copy barrier: spark.ml caches its input
       // RDD, and rows reaching the cache straight from a DSv2 columnar
       // scan alias reusable column vectors (NPE on materialization).
-      val train = sample.select(org.apache.spark.ml.functions
-        .array_to_vector(col(column).cast("array<double>")).as("features"))
+      val trainArr = {
+        val base = sample.select(col(column).cast("array<double>").as("__vd"))
+        if (!normalize) base
+        else base // materialize the norm first: Catalyst does not hoist
+          // loop-invariant subexpressions out of HOF lambdas
+          .withColumn("__n", expr("sqrt(aggregate(__vd, 0D, (a, x) -> a + x * x))"))
+          .select(expr(
+            "transform(__vd, x -> CASE WHEN __n = 0D THEN x ELSE x / __n END)").as("__vd"))
+      }
+      val train = trainArr.select(org.apache.spark.ml.functions
+        .array_to_vector(col("__vd")).as("features"))
         .repartition(spark.sparkContext.defaultParallelism)
 
       val model = new KMeans().setK(numPartitions).setSeed(seed)
@@ -101,8 +134,9 @@ object IvfIndex {
       val bc = spark.sparkContext.broadcast(centroids)
 
       val assign = udf { (v: Seq[Float]) =>
-        val arr = new Array[Double](v.length)
+        var arr = new Array[Double](v.length)
         var i = 0; while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
+        if (normalize) arr = normalized(arr)
         val cs = bc.value
         var best = 0; var bestD = Double.MaxValue; var c = 0
         while (c < cs.length) {
@@ -196,8 +230,7 @@ object IvfIndex {
       built <- meta.datasetVersion
       now <- datasetVersionOf(spark, datasetPath)
       if now > built
-    } org.slf4j.LoggerFactory.getLogger(getClass)
-      .warn(s"index over $datasetPath/${meta.column} was built at dataset version " +
+    } log.warn(s"index over $datasetPath/${meta.column} was built at dataset version " +
         s"$built but the dataset is now at $now; new fragments are not indexed " +
         "- rebuild to include them")
 
@@ -233,9 +266,37 @@ object IvfIndex {
     val q = query.map(_.toDouble)
     // probe selection must use the SCORING metric: the cosine-nearest
     // centroid is not generally the L2-nearest one
-    val probes = meta.centroids.zipWithIndex
+    val ranked = meta.centroids.zipWithIndex
       .map { case (c, i) => (centroidDist(q, c.toArray, metric), i) }
-      .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
+      .sortBy(_._1).map(_._2)
+    val buckets = spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
+
+    def probedRows(n: Int): org.apache.spark.sql.DataFrame = {
+      val p = buckets.filter(col("__ivf_part").isin(ranked.take(n): _*))
+      filter.fold(p)(p.filter)
+    }
+
+    // V3 shortfall guard: a selective pre-filter can leave fewer than k
+    // matching rows in the probed buckets — and a silent short result is
+    // indistinguishable from "no more neighbors exist". Widen geometrically
+    // (cheap: each check is a limit-k count over directory-pruned buckets)
+    // until k rows match or the whole index is probed; log every widening
+    // loudly. Matches the reference's search-within-index semantics
+    // (`LanceVectorSearch.java:170-174`) but fails loud instead of short.
+    var used = math.min(nprobes, meta.numPartitions)
+    if (filter.isDefined) {
+      var matched = probedRows(used).limit(k).count()
+      while (matched < k && used < meta.numPartitions) {
+        val widened = math.min(used * 2, meta.numPartitions)
+        log.warn(s"filtered ANN over $datasetPath/$column: only $matched of " +
+          s"k=$k rows match the filter in $used probed buckets; widening to $widened")
+        used = widened
+        matched = probedRows(used).limit(k).count()
+      }
+      if (matched < k)
+        log.warn(s"filtered ANN over $datasetPath/$column: the entire index " +
+          s"holds only $matched rows matching the filter (k=$k)")
+    }
 
     val dist = metric.toLowerCase match {
       case "l2" => l2_distance(col(column), lit(q))
@@ -243,9 +304,7 @@ object IvfIndex {
       case "dot" => -dot_product(col(column), lit(q))
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
-    val probed = spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
-      .filter(col("__ivf_part").isin(probes: _*))
-    filter.fold(probed)(probed.filter)
+    probedRows(used)
       .withColumn("_distance", dist)
       .drop("__ivf_part", "__pq_code") // internal columns never leak
       .orderBy(col("_distance"))

@@ -89,14 +89,92 @@ object LanceQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Tumbling event-time windows through the REAL streaming machinery:
+    * events → lance changefeed → `withWatermark` + 1h window agg (append
+    * mode: a window is emitted exactly once, when the watermark passes it)
+    * → exactly-once lance sink → batch read-back. The oracle buckets the
+    * same events in DuckDB and keeps only windows the final watermark
+    * (max ts − 30 min) closed — so a hash match proves window assignment,
+    * watermark finalization, and the sink's exactly-once epoch commit all
+    * at once. Windows still open at end-of-stream are CORRECTLY absent.
+    */
+  def s55StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "events_win_src")
+    val dst = scratch(dir, "events_win_dst")
+    freshDataset(spark, src); freshDataset(spark, dst)
+    freshDataset(spark, s"$dst-ckpt")
+    t(spark, dir, "events").write.format("lance").mode("overwrite").save(src)
+    val windowed = graft.streaming.StreamingOps.windowedCounts(
+      spark.readStream.format("lance").load(src),
+      "ts", "event_type", window_ = "1 hour", watermark = "30 minutes")
+    val q = windowed.writeStream.format("lance")
+      .option("checkpointLocation", s"$dst-ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    spark.read.format("lance").load(dst)
+      .select(
+        date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        date_format(col("win_end"), "yyyy-MM-dd HH:mm").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Session windows through the streaming machinery (`session_window`
+    * with a 30-min gap, 1h watermark): events within the gap coalesce;
+    * a session closes when the watermark passes its end (last ts + gap).
+    * The oracle rebuilds the same sessions with gaps-and-islands SQL and
+    * keeps those the final watermark closed.
+    */
+  def s56StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "events_sess_src")
+    val dst = scratch(dir, "events_sess_dst")
+    freshDataset(spark, src); freshDataset(spark, dst)
+    freshDataset(spark, s"$dst-ckpt")
+    t(spark, dir, "events").write.format("lance").mode("overwrite").save(src)
+    val sess = graft.streaming.StreamingOps.sessionized(
+      spark.readStream.format("lance").load(src),
+      "ts", "user_id", gap = "30 minutes", watermark = "1 hour")
+    val q = sess.writeStream.format("lance")
+      .option("checkpointLocation", s"$dst-ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    spark.read.format("lance").load(dst)
+      .select(
+        date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+        date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_end"),
+        col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  /** A1/S4: ungrouped, unfiltered COUNT(*) over a lance dataset — answered
+    * from the manifest's fragment row counts as a driver-side LocalScan
+    * (zero file reads; plan shape asserted in LanceConnectorSpec). The
+    * oracle counts the original parquet, so the gate also proves the
+    * manifest bookkeeping matches the data actually written.
+    */
+  def s57LanceCountStar(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "part_count")
+    freshDataset(spark, dest)
+    t(spark, dir, "part").write.format("lance").mode("overwrite").save(dest)
+    spark.read.format("lance").load(dest).agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
+    "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
     "s53_lance_time_travel" -> s53LanceTimeTravel,
     "s54_lance_stream_roundtrip" -> s54LanceStreamRoundtrip,
+    "s55_stream_tumbling" -> s55StreamTumbling,
+    "s56_stream_sessions" -> s56StreamSessions,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s57_lance_count_star" -> "SELECT COUNT(*) AS n FROM part",
     "s51_lance_roundtrip_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -114,5 +192,35 @@ object LanceQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // append-mode emits exactly the windows the FINAL watermark
+    // (max ts - 30 min) closed; later windows are correctly absent
+    "s55_stream_tumbling" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |mx AS (SELECT MAX(ts) AS m FROM e),
+        |w AS (SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY 1, 2)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start,
+        |  strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS win_end,
+        |  event_type, n, sum_value
+        |FROM w, mx WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
+        |ORDER BY win_start, event_type""".stripMargin,
+    // session_window ranges are [start, last+gap): an event exactly `gap`
+    // after its predecessor starts a NEW session, hence >= in the split
+    "s56_stream_sessions" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id FROM events),
+        |mx AS (SELECT MAX(ts) AS m FROM e),
+        |b AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |s AS (SELECT *, SUM(CASE WHEN prev IS NULL
+        |      OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM b),
+        |g AS (SELECT user_id, MIN(ts) AS ss, MAX(ts) + INTERVAL 30 MINUTE AS se,
+        |    COUNT(*) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT strftime(ss, '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+        |  strftime(se, '%Y-%m-%d %H:%M:%S.%f') AS sess_end, user_id, n_events
+        |FROM g, mx WHERE se <= m - INTERVAL 1 HOUR
+        |ORDER BY user_id, sess_start""".stripMargin,
   )
 }

@@ -249,8 +249,14 @@ object Relational {
     */
   def q23UnionAll(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
+      // no otherwise(): a NULL price yields a NULL bucket, dropped below —
+      // matching the two-scan UNION ALL exactly, where a NULL price fails
+      // BOTH branch filters (testdata has no NULL prices, but the CASE
+      // form must not silently diverge if that ever changes)
       .withColumn("bucket",
-        when(col("o_totalprice") > 150000, "high").otherwise("low"))
+        when(col("o_totalprice") > 150000, "high")
+          .when(col("o_totalprice") <= 150000, "low"))
+      .filter(col("bucket").isNotNull)
       .groupBy(col("o_orderstatus"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"), col("bucket"))
@@ -453,7 +459,7 @@ object Relational {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus

@@ -56,7 +56,7 @@ class HnswIndexSpec extends AnyFunSuite {
       "embedding", q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
     val ann = HnswIndex.search(spark, datasetPath, "embedding", q, 11,
       nprobes = 4, ef = 200)
-      .filter($"id" =!= 0L).limit(10)
+      .filter($"vec_id" =!= 0L).limit(10)
       .collect().map(_.getLong(0)).toSet
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall, exact=$exact ann=$ann")
@@ -73,6 +73,33 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(r1.size == 5)
   }
 
+  test("dot-metric HNSW: full-probe MIPS walk recalls >= 90% of exact dot top-10") {
+    // the only CI exercise of the graph walk's dot branch (greedy NSW
+    // descent on -<a,b> — the standard max-inner-product search shape)
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "hnswdot-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    val df = Tables.t(spark, sf, "embeddings")
+    df.write.format("lance").mode("append").save(ds)
+    val ivf = IvfIndex.build(spark, df, "embedding", "vec_id", ds,
+      numPartitions = 4, metric = "dot")
+    assert(ivf.success, ivf.error)
+    assert(HnswIndex.build(spark, ds, "embedding").success)
+    val q = queryVec(0L)
+    val exact = Similarity.knnSearch(df, "embedding", q, 10, "dot")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = HnswIndex.search(spark, ds, "embedding", q, 10,
+      nprobes = 4, ef = 200, metric = Some("dot"))
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"dot recall $recall, exact=$exact ann=$ann")
+    // reported _distance is -dot, ascending (largest inner product first)
+    val dists = HnswIndex.search(spark, ds, "embedding", q, 5,
+      nprobes = 4, ef = 200, metric = Some("dot"))
+      .collect().map(_.getDouble(1))
+    assert(dists.sameElements(dists.sorted))
+  }
+
   test("IVF_HNSW_PQ: ADC-scored walk with exact refine recalls >= 80%") {
     val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "hnswpq-")
       .toAbsolutePath.toString
@@ -87,7 +114,7 @@ class HnswIndexSpec extends AnyFunSuite {
     val exact = Similarity.knnSearch(df.filter($"vec_id" =!= 0L),
       "embedding", q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
     val ann = HnswIndex.searchPq(spark, ds, "embedding", q, 11, nprobes = 4, ef = 200)
-      .filter($"id" =!= 0L).limit(10)
+      .filter($"vec_id" =!= 0L).limit(10)
       .collect().map(_.getLong(0)).toSet
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall, exact=$exact ann=$ann")

@@ -86,6 +86,68 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(res.map(_.getLong(0)).toSet == exact)
   }
 
+  test("filtered search widens probes when the filter starves the nearest buckets") {
+    assert(built.success)
+    val q = queryVec(0)
+    // only 10 rows in the whole index satisfy the filter, scattered across
+    // buckets — nprobes=1 cannot hold 10 of them, so search must widen
+    // probes (to all 8 if needed) instead of returning a silent short set
+    val res = IvfIndex.search(spark, datasetPath, "embedding", q, 10, nprobes = 1,
+      filter = Some($"vec_id" >= 490))
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.knnSearch(
+      Tables.t(spark, sf, "embeddings").filter($"vec_id" >= 490),
+      "embedding", q, 10, "l2").select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(res == exact)
+    assert(res.size == 10)
+
+    // fewer than k matches exist in the entire index: returns all of them
+    // (after probing everything) rather than failing
+    val short = IvfIndex.search(spark, datasetPath, "embedding", q, 10, nprobes = 1,
+      filter = Some($"vec_id" >= 495))
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(short == (495L until 500L).toSet)
+  }
+
+  test("cosine index: bucket assignment and probe selection share one Voronoi") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ivfcos-test-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    Tables.t(spark, sf, "embeddings").write.format("lance").mode("append").save(ds)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+      "embedding", "vec_id", ds, numPartitions = 8, metric = "cosine")
+    assert(r.success, r.error)
+    val meta = IvfIndex.loadMeta(spark, ds, "embedding")
+    // for a stored vector used as its own query, the #1-ranked probe must
+    // be exactly the bucket the build assigned it to — this is what makes
+    // partial-probe cosine searches find the bucket that holds the
+    // neighbors (build assigns on normalized L2; probe must agree)
+    val stored = spark.read.parquet(s"${IvfIndex.indexPath(ds, "embedding")}/buckets")
+      .select($"vec_id", $"__ivf_part").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sampleIds = Seq(0L, 7L, 42L, 99L, 123L, 200L, 333L, 444L)
+    sampleIds.foreach { id =>
+      val v = queryVec(id).map(_.toDouble)
+      val top = meta.centroids.zipWithIndex
+        .map { case (c, i) => (IvfIndex.centroidDist(v, c.toArray, "cosine"), i) }
+        .minBy(_._1)._2
+      assert(top == stored(id),
+        s"vec $id assigned to bucket ${stored(id)} but probe ranks bucket $top first")
+    }
+    // partial-probe cosine search keeps high recall vs exact cosine KNN
+    val recalls = Seq(0L, 7L, 42L, 99L, 123L).map { qid =>
+      val q = queryVec(qid)
+      val ann = IvfIndex.search(spark, ds, "embedding", q, 10, nprobes = 4,
+        metric = "cosine").select($"vec_id").collect().map(_.getLong(0)).toSet
+      val exact = Similarity.knnSearch(
+        Tables.t(spark, sf, "embeddings"), "embedding", q, 10, "cosine")
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      (ann intersect exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean cosine recall@10 with nprobes=4/8: $mean ($recalls)")
+  }
+
   test("index records the dataset version it covers (staleness stamp)") {
     assert(built.success)
     val meta = IvfIndex.loadMeta(spark, datasetPath, "embedding")

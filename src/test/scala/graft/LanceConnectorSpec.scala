@@ -87,16 +87,30 @@ class LanceConnectorSpec extends AnyFunSuite {
     assert(df.count() == 3999)
   }
 
-  test("count(*) answered via parquet metadata aggregate pushdown") {
+  test("count(*) answered from the manifest: metadata-only plan, zero file reads") {
     val dir = s"${tmpDir()}/t7"
     spark.range(0, 500).write.format("lance").mode("append").save(dir)
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    try {
-      val agg = spark.read.format("lance").load(dir).agg(count(lit(1)))
-      assert(agg.collect().head.getLong(0) == 500L)
-      val plan = agg.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
-    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    // no aggregatePushdown conf needed — the manifest path is always on
+    val agg = spark.read.format("lance").load(dir).agg(count(lit(1)))
+    assert(agg.collect().head.getLong(0) == 500L)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("FileScan") && !plan.contains("BatchScan"),
+      s"count(*) plan read files:\n$plan")
+
+    // a filter disqualifies the manifest shortcut — rows must be counted
+    val filtered = spark.read.format("lance").load(dir)
+      .filter($"id" < 100).agg(count(lit(1)))
+    assert(filtered.collect().head.getLong(0) == 100L)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+
+    // append commits a new manifest; the count follows it, and time travel
+    // counts the pinned version's manifest
+    spark.range(500, 600).write.format("lance").mode("append").save(dir)
+    assert(spark.read.format("lance").load(dir)
+      .agg(count(lit(1))).collect().head.getLong(0) == 600L)
+    assert(spark.read.format("lance").option("versionAsOf", "1").load(dir)
+      .agg(count(lit(1))).collect().head.getLong(0) == 500L)
   }
 
   test("vector columns round-trip through lance fragments") {

@@ -116,6 +116,55 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  /** Probed-bucket count read off the executed plan's partition filter. */
+  private def probedParts(sql: String): Int = {
+    val df = spark.sql(sql)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // a single probe renders as an equality, several as an IN list
+    "__ivf_part[^ ]* IN \\(([-0-9,]+)\\)".r.findFirstMatchIn(plan)
+      .map(_.group(1).split(",").length)
+      .orElse("\\(__ivf_part[^ ]* = [-0-9]+\\)".r.findFirstIn(plan).map(_ => 1))
+      .getOrElse(fail(s"no __ivf_part partition filter in:\n$plan"))
+  }
+
+  test("vector.nprobes/ef reach the TVF via args and session confs") {
+    val r = Lance.buildIndex(spark, spark.read.format("lance").load(datasetPath),
+      "embedding", "vec_id", datasetPath, numPartitions = 4)
+    assert(r.success, r.error)
+    val q = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 5)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val vecSql = q.map(v => f"$v%.9f").mkString("array(", ", ", ")")
+    def searchSql(tail: String) =
+      s"SELECT vec_id FROM vector_search('$datasetPath', 'embedding', $vecSql, 3, 'l2', 'ivf'$tail)"
+
+    // positional arg 7: nprobes=1 probes one bucket, nprobes=3 probes three
+    assert(probedParts(searchSql(", 1")) == 1)
+    assert(probedParts(searchSql(", 3")) == 3)
+    // session conf fallback (reference option-key parity: vector.nprobes)
+    spark.conf.set("spark.graft.vector.nprobes", "2")
+    try assert(probedParts(searchSql("")) == 2)
+    finally spark.conf.unset("spark.graft.vector.nprobes")
+    // default: 20 > 4 partitions -> all 4
+    assert(probedParts(searchSql("")) == 4)
+
+    // hnsw mode accepts nprobes+ef (arg 8) and vector.ef conf
+    val g = graft.index.HnswIndex.build(spark, datasetPath, "embedding")
+    assert(g.success, g.error)
+    val viaArgs = spark.sql(
+      s"SELECT vec_id FROM vector_search('$datasetPath', 'embedding', $vecSql, 3, 'l2', 'hnsw', 4, 64)")
+      .collect()
+    assert(viaArgs.length == 3)
+    spark.conf.set("spark.graft.vector.ef", "64")
+    try {
+      val viaConf = spark.sql(
+        s"SELECT vec_id FROM vector_search('$datasetPath', 'embedding', $vecSql, 3, 'l2', 'hnsw', 4)")
+        .collect()
+      assert(viaConf.map(_.getLong(0)).toSeq == viaArgs.map(_.getLong(0)).toSeq)
+    } finally spark.conf.unset("spark.graft.vector.ef")
+  }
+
   test("Lance facade: write/read/knn/index/ann round trip") {
     val df = Lance.read(spark, datasetPath)
     assert(df.count() == 500)
