@@ -82,8 +82,8 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
     case tvf: UnresolvedTableValuedFunction
       if tvf.name.lastOption.exists(_.equalsIgnoreCase("vector_search")) =>
       val args = tvf.functionArgs
-      require(args.size >= 3 && args.size <= 8,
-        "vector_search(path, column, queryVec[, k[, metric[, mode[, nprobes[, ef]]]]])")
+      require(args.size >= 3 && args.size <= 9,
+        "vector_search(path, column, queryVec[, k[, metric[, mode[, nprobes[, ef[, filter]]]]]])")
       val path = literalString(args.head, "path")
       val column = literalString(args(1), "column")
       val vec = literalFloats(args(2))
@@ -105,19 +105,36 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
       val ef = if (args.size >= 8) literalString(args(7), "ef").toInt
         else conf("ef", 100)
       val refine = conf("refine-factor", 4)
+      // arg 9: a SQL predicate applied as a PRE-filter inside the search —
+      // reference filtered vector search (V3, `LanceVectorSearch.java:
+      // 170-174`): all k results satisfy it, unlike a WHERE on the TVF
+      // output, which post-trims an already-computed top-k
+      val preFilter: Option[org.apache.spark.sql.Column] =
+        if (args.size >= 9)
+          Some(org.apache.spark.sql.functions.expr(
+            literalString(args(8), "filter")))
+        else None
       val df = mode.toLowerCase match {
         case "exact" => Similarity.knnSearch(
-          spark.read.format("lance").load(path), column, vec, k, metric)
+          spark.read.format("lance").load(path), column, vec, k, metric,
+          filter = preFilter)
         case "ivf" =>
           graft.index.IvfIndex.search(spark, path, column, vec, k,
-            nprobes = nprobes, metric = metric)
+            nprobes = nprobes, metric = metric, filter = preFilter)
         case "ivf_pq" =>
+          require(preFilter.isEmpty, "vector_search: ivf_pq does not " +
+            "pre-filter; use mode 'ivf' or 'exact' for filtered search")
           graft.index.IvfIndex.searchPq(spark, path, column, vec, k,
             nprobes = nprobes, refineFactor = refine)
         case "hnsw" =>
+          require(preFilter.isEmpty, "vector_search: the graph walk cannot " +
+            "pre-filter (a filtered walk silently under-returns); use mode " +
+            "'ivf' or 'exact' for filtered search")
           graft.index.HnswIndex.search(spark, path, column, vec, k,
             nprobes = nprobes, ef = ef, metric = Some(metric))
         case "hnsw_pq" =>
+          require(preFilter.isEmpty, "vector_search: the graph walk cannot " +
+            "pre-filter; use mode 'ivf' or 'exact' for filtered search")
           graft.index.HnswIndex.searchPq(spark, path, column, vec, k,
             nprobes = nprobes, ef = ef)
         case m => throw new IllegalArgumentException(

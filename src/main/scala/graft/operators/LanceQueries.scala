@@ -150,6 +150,35 @@ object LanceQueries {
       .orderBy(col("user_id"), col("sess_start"))
   }
 
+  /** Streaming deduplication, oracle-gated: the source dataset holds TWO
+    * copies of every event (two appends → two fragment sets in the
+    * changefeed), and `dropDuplicatesWithinWatermark(event_id)` must emit
+    * each id exactly once into the sink. The read-back counts rows and
+    * distinct ids; the oracle states both must equal the ORIGINAL event
+    * count — doubled input, deduped output, through the full streaming
+    * pipeline.
+    */
+  def s58StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "events_dedup_src")
+    val dst = scratch(dir, "events_dedup_dst")
+    freshDataset(spark, src); freshDataset(spark, dst)
+    freshDataset(spark, s"$dst-ckpt")
+    val ev = t(spark, dir, "events").select(col("event_id"), col("ts"), col("user_id"))
+    ev.write.format("lance").mode("overwrite").save(src)
+    ev.write.format("lance").mode("append").save(src) // the duplicate copy
+    val deduped = graft.streaming.StreamingOps.dedupStream(
+      spark.readStream.format("lance").load(src), "ts", "event_id",
+      watermark = "1 hour")
+    val q = deduped.writeStream.format("lance")
+      .option("checkpointLocation", s"$dst-ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    spark.read.format("lance").load(dst)
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
+  }
+
   /** A1/S4: ungrouped, unfiltered COUNT(*) over a lance dataset — answered
     * from the manifest's fragment row counts as a driver-side LocalScan
     * (zero file reads; plan shape asserted in LanceConnectorSpec). The
@@ -171,6 +200,7 @@ object LanceQueries {
     "s54_lance_stream_roundtrip" -> s54LanceStreamRoundtrip,
     "s55_stream_tumbling" -> s55StreamTumbling,
     "s56_stream_sessions" -> s56StreamSessions,
+    "s58_stream_dedup" -> s58StreamDedup,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -222,5 +252,9 @@ object LanceQueries {
         |  strftime(se, '%Y-%m-%d %H:%M:%S.%f') AS sess_end, user_id, n_events
         |FROM g, mx WHERE se <= m - INTERVAL 1 HOUR
         |ORDER BY user_id, sess_start""".stripMargin,
+    // the engine streams TWO copies of events through the dedup; both
+    // counts must land back at the original (unique event_id) cardinality
+    "s58_stream_dedup" ->
+      "SELECT COUNT(*) AS n, COUNT(*) AS n_ids FROM events",
   )
 }

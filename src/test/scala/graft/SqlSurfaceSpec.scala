@@ -165,6 +165,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.vector.ef")
   }
 
+  test("vector_search filter arg pre-filters: all k results satisfy it") {
+    val q = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val vecSql = q.map(v => f"$v%.9f").mkString("array(", ", ", ")")
+    // exact mode: a pre-filter returns k rows ALL matching label=3 — a
+    // WHERE on the TVF output would instead post-trim the unfiltered top-k
+    val rows = spark.sql(
+      s"""SELECT s.vec_id, e.label FROM vector_search('$datasetPath', 'embedding',
+         | $vecSql, 5, 'l2', 'exact', 20, 100, 'label = 3') s
+         |JOIN emb_sql e ON e.vec_id = s.vec_id""".stripMargin).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getInt(1) == 3), rows.mkString(","))
+    // ivf mode honors the same pre-filter (with probe widening if starved)
+    val ivfRows = spark.sql(
+      s"""SELECT s.vec_id, e.label FROM vector_search('$datasetPath', 'embedding',
+         | $vecSql, 5, 'l2', 'ivf', 20, 100, 'label = 3') s
+         |JOIN emb_sql e ON e.vec_id = s.vec_id""".stripMargin).collect()
+    assert(ivfRows.length == 5)
+    assert(ivfRows.forall(_.getInt(1) == 3))
+    // graph modes reject a filter loudly instead of under-returning
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM vector_search('$datasetPath', 'embedding', " +
+        s"$vecSql, 5, 'l2', 'hnsw', 4, 100, 'label = 3')").collect()
+    }
+    assert(err.getMessage.contains("filtered search"), err.getMessage)
+  }
+
   test("Lance facade: write/read/knn/index/ann round trip") {
     val df = Lance.read(spark, datasetPath)
     assert(df.count() == 500)
