@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_RUNS (default 3) warm runs after one cold warm-up —
   * single warm runs proved noisy enough (4-5× swings on untouched
   * queries between rounds) that per-round verdicts chased ghosts. The
-  * per-query [min,max] spread is emitted alongside so a wide interval
-  * flags an untrustworthy median.
+  * per-query [min,max] spread is emitted on stderr so a wide interval
+  * flags an untrustworthy median without bloating the stdout JSON line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,12 +45,18 @@ object Bench {
         s"runs=${warm.map(t => f"$t%.2f").mkString(",")}")
       (name, med, warm.min, warm.max)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    // The driver captures only a bounded TAIL of stdout and parses the JSON
+    // line out of it — keep this line SHORT (3-decimal seconds, no spread;
+    // round 3's inline spread object pushed the line start past the tail
+    // window and the driver recorded parsed:null). Spread goes to stderr.
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, lo, hi) => "\"" + k + s"""\":[$lo,$hi]""" }
-      .mkString("{", ",", "}")
+    results.foreach { case (k, _, lo, hi) =>
+      System.err.println(s"[bench-spread] $k [${f3(lo)},${f3(hi)}]")
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

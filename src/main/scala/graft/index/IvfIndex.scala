@@ -34,10 +34,20 @@ object IvfIndex {
   private implicit val fmts: org.json4s.Formats = Serialization.formats(NoTypeHints)
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.IvfIndex")
 
+  /** Bumped whenever the on-disk layout or bucket-assignment function
+    * changes incompatibly. v2 = cosine buckets are assigned on L2-NORMALIZED
+    * vectors (unit-sphere Voronoi); a cosine index.json without this stamp
+    * predates normalized assignment, and probing it with the normalized
+    * ranking would silently disagree with its stored buckets — loadMeta
+    * requires a rebuild instead.
+    */
+  val CurrentFormatVersion = 2
+
   case class IndexMeta(column: String, idColumn: String, metric: String,
     numPartitions: Int, dim: Int, centroids: Seq[Seq[Double]],
     pq: Option[PqMeta] = None,
-    datasetVersion: Option[Long] = None)
+    datasetVersion: Option[Long] = None,
+    formatVersion: Option[Int] = None)
 
   /** Product-quantization codebooks: codebooks(j)(c) is the `c`-th centroid
     * of subspace `j` (dim/numSubVectors floats each). Reference defaults:
@@ -197,7 +207,8 @@ object IvfIndex {
       val meta = IndexMeta(column, idColumn, metric, numPartitions,
         centroids.headOption.map(_.length).getOrElse(0),
         centroids.map(_.toSeq).toSeq, pqMeta,
-        datasetVersionOf(spark, datasetPath))
+        datasetVersionOf(spark, datasetPath),
+        formatVersion = Some(CurrentFormatVersion))
       val metaPath = new Path(s"$ip/index.json")
       val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
       val out = fs.create(metaPath, true)
@@ -243,7 +254,17 @@ object IvfIndex {
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      Serialization.read[IndexMeta](bytes.toString("UTF-8"))
+      val meta = Serialization.read[IndexMeta](bytes.toString("UTF-8"))
+      // Assignment-version gate: cosine buckets assigned before v2 used raw
+      // (unnormalized) KMeans, which the current normalized probe ranking
+      // disagrees with — probing such a sidecar loses recall with no other
+      // symptom, so fail loud instead (L2/dot assignment never changed).
+      if (meta.metric.equalsIgnoreCase("cosine") && !meta.formatVersion.exists(_ >= 2))
+        throw new IllegalStateException(
+          s"cosine index at $metaPath predates normalized bucket assignment " +
+            s"(formatVersion ${meta.formatVersion.getOrElse(1)} < 2); its stored " +
+            "buckets disagree with the current probe ranking - rebuild the index")
+      meta
     } finally in.close()
   }
 
@@ -261,6 +282,13 @@ object IvfIndex {
     validateQueryVector(query)
     val meta = loadMeta(spark, datasetPath, column)
     checkFreshness(spark, datasetPath, meta)
+    // Probe ranking and bucket assignment must share one metric: a cosine
+    // search over an L2-built index would rank normalized-L2 query-centroid
+    // distances against raw-scale centroids and silently lose recall.
+    // Same contract as HnswIndex.search — fail loud, never degrade quietly.
+    require(metric.equalsIgnoreCase(meta.metric),
+      s"index at $datasetPath/$column was built for metric ${meta.metric}, " +
+        s"searched with $metric - rebuild the index or search with ${meta.metric}")
     require(query.length == meta.dim,
       s"query dim ${query.length} != index dim ${meta.dim}")
     val q = query.map(_.toDouble)
@@ -271,44 +299,51 @@ object IvfIndex {
       .sortBy(_._1).map(_._2)
     val buckets = spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
 
-    def probedRows(n: Int): org.apache.spark.sql.DataFrame = {
-      val p = buckets.filter(col("__ivf_part").isin(ranked.take(n): _*))
-      filter.fold(p)(p.filter)
-    }
-
-    // V3 shortfall guard: a selective pre-filter can leave fewer than k
-    // matching rows in the probed buckets — and a silent short result is
-    // indistinguishable from "no more neighbors exist". Widen geometrically
-    // (cheap: each check is a limit-k count over directory-pruned buckets)
-    // until k rows match or the whole index is probed; log every widening
-    // loudly. Matches the reference's search-within-index semantics
-    // (`LanceVectorSearch.java:170-174`) but fails loud instead of short.
-    var used = math.min(nprobes, meta.numPartitions)
-    if (filter.isDefined) {
-      var matched = probedRows(used).limit(k).count()
-      while (matched < k && used < meta.numPartitions) {
-        val widened = math.min(used * 2, meta.numPartitions)
-        log.warn(s"filtered ANN over $datasetPath/$column: only $matched of " +
-          s"k=$k rows match the filter in $used probed buckets; widening to $widened")
-        used = widened
-        matched = probedRows(used).limit(k).count()
-      }
-      if (matched < k)
-        log.warn(s"filtered ANN over $datasetPath/$column: the entire index " +
-          s"holds only $matched rows matching the filter (k=$k)")
-    }
-
     val dist = metric.toLowerCase match {
       case "l2" => l2_distance(col(column), lit(q))
       case "cosine" => cosine_distance(col(column), lit(q))
       case "dot" => -dot_product(col(column), lit(q))
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
-    probedRows(used)
-      .withColumn("_distance", dist)
-      .drop("__ivf_part", "__pq_code") // internal columns never leak
-      .orderBy(col("_distance"))
-      .limit(k)
+
+    def annQuery(n: Int): DataFrame = {
+      val p = buckets.filter(col("__ivf_part").isin(ranked.take(n): _*))
+      filter.fold(p)(p.filter)
+        .withColumn("_distance", dist)
+        .drop("__ivf_part", "__pq_code") // internal columns never leak
+        .orderBy(col("_distance"))
+        .limit(k)
+    }
+
+    val probes = math.min(nprobes, meta.numPartitions)
+    filter match {
+      case None => annQuery(probes) // lazy, directory-pruned plan
+      case Some(_) =>
+        // V3 shortfall guard: a selective pre-filter can leave fewer than k
+        // matching rows in the probed buckets — and a silent short result is
+        // indistinguishable from "no more neighbors exist". Run the final
+        // top-k ONCE (TakeOrderedAndProject over the pruned buckets); only
+        // when it comes back short widen geometrically — loudly — until k
+        // rows match or the whole index is probed. The common, non-starved
+        // path pays exactly one job; the k result rows are returned as a
+        // local relation (k is small by definition). Matches the reference's
+        // search-within-index semantics (`LanceVectorSearch.java:170-174`)
+        // but fails loud instead of short.
+        var used = probes
+        var rows = annQuery(used).take(k)
+        while (rows.length < k && used < meta.numPartitions) {
+          val widened = math.min(used * 2, meta.numPartitions)
+          log.warn(s"filtered ANN over $datasetPath/$column: only ${rows.length} of " +
+            s"k=$k rows match the filter in $used probed buckets; widening to $widened")
+          used = widened
+          rows = annQuery(used).take(k)
+        }
+        if (rows.length < k)
+          log.warn(s"filtered ANN over $datasetPath/$column: the entire index " +
+            s"holds only ${rows.length} rows matching the filter (k=$k)")
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), annQuery(used).schema)
+    }
   }
 
   /** IVF_PQ search: probe `nprobes` buckets, score candidates with the
@@ -324,6 +359,11 @@ object IvfIndex {
     validateQueryVector(query)
     val meta = loadMeta(spark, datasetPath, column)
     checkFreshness(spark, datasetPath, meta)
+    // same loud-failure contract as HnswIndex.searchPq: the ADC table
+    // decomposes the L2 metric only
+    require(meta.metric.equalsIgnoreCase("l2"),
+      s"PQ/ADC scoring decomposes the L2 metric only; the index was built " +
+        s"with ${meta.metric}")
     val pm = meta.pq.getOrElse(throw new IllegalStateException(
       s"index for $column was built without PQ"))
     require(query.length == meta.dim,

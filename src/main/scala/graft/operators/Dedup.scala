@@ -77,7 +77,12 @@ object Dedup {
   private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
 
   /** Document-frequency cap over an inverted-index posting table — the
-    * guard that keeps the d42/d44 self-joins alive at 100 TB. The join
+    * guard that keeps the d44 band self-join alive at 100 TB (d42 caps at
+    * the array level instead, see [[d42JaccardPairs]], so its jaccard
+    * numerator and denominator share one feature space; here the cap
+    * affects CANDIDATE GENERATION only — verification still computes
+    * jaccard over the full shingle arrays, so surviving pairs' values
+    * carry no bias). The join
     * cost is Σ c(key)² over posting lists; one boilerplate shingle (or
     * band) present in 10⁶ documents alone yields 10¹² candidate pairs.
     * Dropping keys with df > τ bounds every posting list, so the join is
@@ -98,10 +103,13 @@ object Dedup {
     * construction — so it broadcasts, and the cap costs one hash-aggregate
     * plus a broadcast anti-join, no extra shuffle of the posting table.
     */
+  private def maxDocFreq(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dedup.maxDocFreq")
+      .map(_.toInt).getOrElse(32)
+
   private[graft] def capHotKeys(
       spark: SparkSession, posting: DataFrame, key: String, ctx: String): DataFrame = {
-    val tau = spark.conf.getOption("spark.graft.dedup.maxDocFreq")
-      .map(_.toInt).getOrElse(32)
+    val tau = maxDocFreq(spark)
     if (tau <= 0) posting
     else {
       val hot = posting.groupBy(col(key)).agg(count(lit(1)).as("__df"))
@@ -154,12 +162,34 @@ object Dedup {
           s"array_distinct(transform($shingles, s -> ${wordHash("s")} % $P))").as("sh"))
         .write.mode("overwrite").parquet(scratch)
     }
-    // df-cap BEFORE the self-join: sizes (n) are computed from the full
-    // arrays first, so jaccard denominators are unaffected by the cap
-    val d = capHotKeys(spark,
-      spark.read.parquet(scratch)
-        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h")),
-      "h", "d42")
+    // df-cap BEFORE the self-join — applied to the per-doc ARRAYS so that
+    // numerator and denominator live in the SAME capped feature space: `n`
+    // counts exactly the shingles the join can still intersect. (Capping
+    // only the exploded postings while keeping full-array sizes would
+    // undercount the intersection and overcount the union for any pair
+    // sharing a hot shingle — a downward-biased jaccard that can drop a
+    // true near-dup at the threshold.) The reported jaccard is therefore
+    // the exact jaccard of the df-capped shingle sets — similarity of the
+    // docs' DISTINCTIVE content, which is what a dedup threshold should
+    // measure once boilerplate is excluded. The hot set is ≤ |postings|/τ —
+    // boilerplate by construction, tiny — so it collects and broadcasts.
+    val full = spark.read.parquet(scratch)
+    val tau = maxDocFreq(spark)
+    val capped = if (tau <= 0) full else {
+      val hot = full.select(explode(col("sh")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > tau).collect()
+      if (hot.isEmpty) full
+      else {
+        logger.warn(s"d42: df-cap dropping ${hot.length} hot shingles " +
+          s"(df > $tau) from every document before the self-join")
+        val bc = spark.sparkContext.broadcast(hot.map(_.getLong(0)).toSet)
+        val dropHot = udf { (sh: Seq[Long]) => sh.filterNot(bc.value.contains) }
+        full.select(col("doc_id"), dropHot(col("sh")).as("sh"))
+      }
+    }
+    val d = capped
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
     val a = d.select(col("h"), col("doc_id").as("a_id"), col("n").as("a_n"))
     val b = d.select(col("h").as("h2"), col("doc_id").as("b_id"), col("n").as("b_n"))
     a.join(b, col("h") === col("h2") && col("a_id") < col("b_id") &&

@@ -106,9 +106,10 @@ object Similarity {
     // key carries the build parameters: changing them produces a new path
     // instead of silently reusing an index built with the old ones
     val tag = if (metric == "l2") "" else s"${metric}_"
-    // v2: cosine indexes now assign buckets on normalized vectors — the
-    // key bump invalidates sidecars built under the old assignment
-    val dest = graft.Tables.scratch(dir, s"emb_ivf_${tag}np8_v2")
+    // v3: index.json now carries formatVersion (loadMeta REJECTS cosine
+    // sidecars without it) — the key bump rebuilds rather than trips the
+    // gate on sidecars written before the stamp existed
+    val dest = graft.Tables.scratch(dir, s"emb_ivf_${tag}np8_v3")
     val metaFile = new org.apache.hadoop.fs.Path(
       new java.io.File(s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
     val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())

@@ -37,10 +37,18 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def nprobes: Int =
     spark.conf.getOption("spark.graft.ann.nprobes").map(_.toInt).getOrElse(20)
 
-  private def indexExists(path: String, column: String): Boolean = {
+  /** An index is usable by THIS rule only when it exists, loads (loadMeta
+    * rejects stale assignment versions), and was built for L2 — the rule
+    * matches an `l2_distance` orderBy, and IvfIndex.search now fails loud
+    * on a metric mismatch rather than degrade; an optimizer rule must skip,
+    * not throw.
+    */
+  private def usableL2Index(path: String, column: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(
       s"${IvfIndex.indexPath(path, column)}/index.json")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p) &&
+      scala.util.Try(IvfIndex.loadMeta(spark, path, column))
+        .toOption.exists(_.metric.equalsIgnoreCase("l2"))
   }
 
   private def literalVec(l: Literal): Option[Array[Float]] = l.dataType match {
@@ -76,7 +84,7 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           q <- literalVec(qvec)
           path = rel.table.asInstanceOf[LanceTable].rootStr
-          if indexExists(path, vecCol.name)
+          if usableL2Index(path, vecCol.name)
           probe = IvfIndex.search(spark, path, vecCol.name, q, k,
             nprobes = nprobes).queryExecution.analyzed
           // every projected column must exist in the probe output (the

@@ -67,7 +67,9 @@ class DedupTextSpec extends AnyFunSuite {
 
     // default τ=32: boilerplate shingles are hot and dropped; only the
     // planted pair survives, with its jaccard untouched by the cap
-    // (denominators come from the full arrays, computed before the cap)
+    // (its shingles are all low-df, so the capped feature space — which
+    // both the numerator AND denominator are computed over — equals the
+    // full one and the jaccard is bit-identical to the uncapped run)
     val capped = Dedup.d42JaccardPairs(spark, dir).collect()
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)),
       s"capped d42: ${capped.toSeq}")

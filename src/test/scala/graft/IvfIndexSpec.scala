@@ -162,6 +162,46 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("metric mismatch between search and build fails loud") {
+    assert(built.success)
+    val q = queryVec(0)
+    // cosine probe ranking over L2-assigned buckets would silently lose
+    // recall — the search must reject it, same contract as HnswIndex
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.search(spark, datasetPath, "embedding", q, 5, metric = "cosine")
+    }
+    assert(e.getMessage.contains("built for metric l2"), e.getMessage)
+  }
+
+  test("cosine index predating normalized assignment is rejected at load") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ivfver-test-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    Tables.t(spark, sf, "embeddings").write.format("lance").mode("append").save(ds)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+      "embedding", "vec_id", ds, numPartitions = 4, metric = "cosine")
+    assert(r.success, r.error)
+    // a fresh build carries the stamp and loads fine
+    assert(IvfIndex.loadMeta(spark, ds, "embedding").formatVersion
+      .contains(IvfIndex.CurrentFormatVersion))
+    // strip the stamp — simulating a sidecar written before normalized
+    // assignment existed — and the load must demand a rebuild
+    val metaFile = java.nio.file.Paths.get(
+      s"${IvfIndex.indexPath(ds, "embedding")}/index.json")
+    val json = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
+    val stripped = json.replace(
+      s""","formatVersion":${IvfIndex.CurrentFormatVersion}}""", "}")
+    assert(stripped != json, "test setup: formatVersion field not found")
+    java.nio.file.Files.write(metaFile, stripped.getBytes("UTF-8"))
+    // drop the local-FS checksum sidecar invalidated by the raw rewrite
+    java.nio.file.Files.deleteIfExists(
+      metaFile.getParent.resolve(s".${metaFile.getFileName}.crc"))
+    val e = intercept[IllegalStateException] {
+      IvfIndex.loadMeta(spark, ds, "embedding")
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("IVF_PQ: codes stored, ADC search with refine recovers exact top-k") {
     val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "pq-test-")
       .toAbsolutePath.toString
