@@ -35,7 +35,12 @@ object Bench {
     }
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev knob: comma-separated substrings to bench a subset while iterating
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val selected = only.fold(SparkEntry.queries) { pats =>
+      SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
       val warm = if (cold < 0) Seq(-1.0) else Seq.fill(nRuns)(once(fn))
       val med =

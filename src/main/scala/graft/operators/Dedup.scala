@@ -311,6 +311,85 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** SRP (sign-random-projection) hyperplanes for d47: 32 planes over 64
+    * dims, coefficients derived from exact integer arithmetic —
+    * `(1103515245·idx + 12345) mod 2048 − 1024` with `idx = p·64 + i−1` —
+    * so any engine computes bit-identical signs: the coefficient is an
+    * 11-bit integer (exact in double), float32·small-int products are
+    * exact in double, and both engines fold left-to-right. NOTE the
+    * modulus bounds the plane count: idx must stay < 2048, i.e. ≤ 32
+    * planes at dim 64 (plane p+32 would repeat plane p exactly).
+    */
+  private val srpPlanes = 32
+  private val srpBandBits = 8 // 4 bands × 8 bits: bucket ≈ n/256 per band
+  private val srpBandCount = srpPlanes / srpBandBits
+
+  private val srpBits =
+    s"transform(sequence(0, ${srpPlanes - 1}), p -> CASE WHEN " +
+      "aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) -> " +
+      "acc + element_at(__v, i) * (CAST((CAST(1103515245 AS BIGINT) * " +
+      "(p * 64 + i - 1) + 12345) % 2048 AS DOUBLE) - CAST(1024 AS DOUBLE))) " +
+      "> CAST(0 AS DOUBLE) THEN 1 ELSE 0 END)"
+
+  private val srpBandsExpr = (0 until srpBandCount).map { b =>
+    val bits = (1 to srpBandBits)
+      .map(j => s"CAST(element_at(__bits, ${srpBandBits * b + j}) AS STRING)")
+      .mkString(", ")
+    s"concat('$b:', $bits)"
+  }.mkString("array(", ", ", ")")
+
+  /** D6: embedding near-dup via SRP-LSH banding — the scale path that
+    * d46's label blocking stands in for. A 32-bit signature of hyperplane
+    * signs is computed per embedding (pure map, no shuffle), banded 4 × 8
+    * bits; candidate pairs come from a band-key equi-join (cost ∝
+    * collisions, never n²/2) with the same df-cap as d44 bounding hot
+    * buckets, and only candidates pay the exact cosine verification
+    * (threshold 0.4, matching d46). Semantics are fully deterministic —
+    * the oracle replicates the planes, the banding, AND the df-cap — so
+    * the result is exact over its own candidate set at any scale.
+    * Production tunes planes/bits to the corpus similarity target; SRP
+    * collision probability is `(1 − θ/π)^bits` per band.
+    */
+  def d47SrpNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Tables.scratch(dir,
+      s"srp_sigs_${exprVersion(srpBits, srpBandsExpr)}")
+    if (!scratchExists(spark, scratch)) {
+      t(spark, dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("__v", col("embedding").cast("array<double>"))
+        .withColumn("__bits", expr(srpBits))
+        .select(col("vec_id"), expr(srpBandsExpr).as("bands"))
+        .write.mode("overwrite").parquet(scratch)
+    }
+    // Candidate pairs stay NARROW (two longs) through the join + distinct —
+    // carrying the vectors through the band join would shuffle 128 floats
+    // per collision and made distinct() the hottest stage (measured 1.6 s
+    // of a 2.2 s query at sf0.1). Vectors and precomputed norms join back
+    // AFTER distinct; Catalyst picks broadcast for a small embeddings side
+    // and a shuffled hash/merge join at scale — nothing here pins it.
+    val banded = capHotKeys(spark,
+      spark.read.parquet(scratch)
+        .select(col("vec_id"), explode(col("bands")).as("bk")),
+      "bk", "d47")
+    val cand = banded
+      .join(banded.select(col("bk").as("bk2"), col("vec_id").as("b_id")),
+        col("bk") === col("bk2") && col("vec_id") < col("b_id"))
+      .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+    val e = t(spark, dir, "embeddings").select(col("vec_id"),
+      col("embedding"), sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+        col("nrm").as("a_n")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+        col("nrm").as("b_n")), "b_id")
+      // same doubles as dot/(sqrt·sqrt) per pair: the norm is computed once
+      // per vector instead of once per pair, but the value is identical
+      .withColumn("sim", dot_product(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .filter(col("sim") >= 0.4)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d41_exact_dedup" -> d41Exact,
     "d42_jaccard_pairs" -> d42JaccardPairs,
@@ -318,6 +397,7 @@ object Dedup {
     "d44_lsh_pairs" -> d44LshPairs,
     "d45_simhash" -> d45Simhash,
     "d46_emb_neardup" -> d46EmbNearDup,
+    "d47_srp_neardup" -> d47SrpNearDup,
   )
 
   val oracleSql: Map[String, String] = {
@@ -380,6 +460,33 @@ object Dedup {
           | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
           |SELECT label, a_id, b_id, sim FROM p WHERE sim >= 0.4
           |ORDER BY a_id, b_id""".stripMargin,
+      // replicates the engine bit-for-bit: integer-derived hyperplane
+      // coefficients (exact in double), left-to-right sums, 4×8-bit bands,
+      // AND the df-cap at the default τ=32 — so the gate stays green at any
+      // sf, including ones where buckets run hot and the cap engages
+      "d47_srp_neardup" -> {
+        val bitcat = (1 to srpBandBits).map(j => s"bits[${srpBandBits}*b+$j]").mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |sig AS (SELECT vec_id, v,
+           |  list_transform(generate_series(0, ${srpPlanes - 1}), p ->
+           |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+           |      i -> v[i] * (CAST((CAST(1103515245 AS BIGINT) * (p * 64 + i - 1) + 12345)
+           |        % 2048 AS DOUBLE) - 1024))) > 0 THEN 1 ELSE 0 END) AS bits
+           |  FROM e),
+           |banded AS (SELECT vec_id, v, b::VARCHAR || ':' || $bitcat AS bk
+           |  FROM sig, (SELECT unnest(generate_series(0, ${srpBandCount - 1})) AS b)),
+           |capped AS (SELECT * FROM banded
+           |  WHERE bk IN (SELECT bk FROM banded GROUP BY bk HAVING COUNT(*) <= 32)),
+           |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    a.v AS a_v, b.v AS b_v
+           |  FROM capped a JOIN capped b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+           |p AS (SELECT a_id, b_id,
+           |  list_sum(list_transform(generate_series(1, 64), i -> a_v[i] * b_v[i]))
+           |   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a_v[i] * a_v[i])))
+           |    * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b_v[i] * b_v[i])))) AS sim
+           |  FROM cand)
+           |SELECT a_id, b_id, sim FROM p WHERE sim >= 0.4 ORDER BY a_id, b_id""".stripMargin
+      },
     )
   }
 }

@@ -90,6 +90,28 @@ class DedupTextSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dedup.maxDocFreq")
   }
 
+  test("SRP near-dup pairs are sound: a subset of exact cosine pairs, exact sims") {
+    val got = Dedup.d47SrpNearDup(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.nonEmpty, "SRP banding should surface some >=0.4 pairs")
+    // brute-force reference: same left-to-right double accumulation the
+    // engine's dot_product expression runs, so sims must match EXACTLY
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    got.foreach { case ((a, b), s) =>
+      assert(a < b, s"pair order ($a,$b)")
+      val expect = dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+      assert(s >= 0.4 && s == expect, s"pair ($a,$b): got $s expected $expect")
+    }
+  }
+
   test("exact dedup counts docs and unique texts") {
     val r = Dedup.d41Exact(spark, sf).collect().head
     assert(r.getLong(0) == 500L)
