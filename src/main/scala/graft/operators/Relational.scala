@@ -365,7 +365,51 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** AS-OF join (attribution): each purchase matched to the user's most
+    * recent prior-or-equal click. Spark lacks a native as-of join; the
+    * scale-correct plan is NOT a per-row range probe but the union+window
+    * pattern: tag both sides, one shuffle on the join key, one in-partition
+    * sort, and `last(_, ignoreNulls)` carries the latest click timestamp
+    * forward to every later purchase row. Cost is one shuffle + sort of
+    * events — the same shape at 100 TB — where a naive range join is
+    * O(clicks × purchases) per user. (user_id, ts) is unique in the data,
+    * so the window order is total and the result deterministic.
+    */
+  def q30AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("__click_ts",
+        when(col("event_type") === "click", col("ts")))
+      .withColumn("click_ts_raw", last(col("__click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("click_ts_raw").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        date_format(col("click_ts_raw"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts_raw"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Sketch aggregate: HyperLogLog++ distinct-count next to the exact
+    * count, gated on the published 5% relative-error envelope (the sketch
+    * is what a 100 TB pipeline actually runs — exact distinct shuffles
+    * every key; HLL merges fixed-size registers). The oracle states the
+    * exact count and the planted accuracy outcome, v26p-style.
+    */
+  def q31ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .agg(countDistinct(col("user_id")).as("exact_n"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx_n"))
+      .select(col("exact_n"),
+        (abs(col("approx_n") - col("exact_n")) <=
+          col("exact_n") * 0.05).as("within_5pct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_asof_join" -> q30AsofJoin,
+    "q31_approx_distinct" -> q31ApproxDistinct,
     "q29_anti_join" -> q29AntiJoin,
     "q27_salted_agg" -> q27SaltedAgg,
     "q28_cube" -> q28Cube,
@@ -403,6 +447,23 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the union+window as-of
+    "q30_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // the oracle plants the exact count and the accuracy outcome: the HLL
+    // estimate drifting outside its published 5% envelope turns this red
+    "q31_approx_distinct" ->
+      """SELECT COUNT(DISTINCT user_id) AS exact_n, true AS within_5pct
+        |FROM events""".stripMargin,
     "q27_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -85,4 +85,34 @@ class RelationalSpec extends AnyFunSuite {
       l.contains("FileScan parquet") || l.contains("BatchScan"))
     assert(scanCount == 1, s"expected a single table scan, got $scanCount in:\n$plan")
   }
+
+  test("q30 as-of join matches a brute-force latest-prior-click per purchase") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000 +
+        r.getTimestamp(2).getNanos / 1000 % 1000, r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+      .map { case (u, rs) => u -> rs.map(_._3).sorted }
+    val expected = ev.filter(_._4 == "purchase").flatMap { case (id, u, ts, _) =>
+      clicksByUser.get(u).flatMap { cs =>
+        val prior = cs.takeWhile(_ <= ts)
+        prior.lastOption.map(c => id -> (ts - c))
+      }
+    }.toMap
+    val got = operators.Relational.q30AsofJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got.nonEmpty)
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)} " +
+        s"diff=${got.collect { case (k, v) if expected.get(k).exists(_ != v) => k }.take(5)}")
+  }
+
+  test("q31 HLL estimate sits inside its 5% envelope") {
+    val r = operators.Relational.q31ApproxDistinct(spark, sf).collect().head
+    assert(r.getLong(0) > 0)
+    assert(r.getBoolean(1), s"approx_count_distinct drifted >5% off ${r.getLong(0)}")
+  }
 }
