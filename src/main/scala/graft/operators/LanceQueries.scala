@@ -223,6 +223,39 @@ object LanceQueries {
       .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
   }
 
+  /** Stream-stream interval join through the full machinery: the events
+    * changefeed split into a click stream and a purchase stream, joined on
+    * user within a 1-hour event-time horizon (watermarks on both sides
+    * bound the join state), exactly-once lance sink, batch read-back. The
+    * oracle runs the equivalent inequality join in DuckDB — a hash match
+    * proves the streaming join emits exactly the batch-join pairs, no
+    * duplicates, none dropped.
+    */
+  def s59StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "events_join_src")
+    val dst = scratch(dir, "events_join_dst")
+    freshDataset(spark, dst); freshDataset(spark, s"$dst-ckpt")
+    ensureStreamSrc(spark, src, 1) {
+      t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .write.format("lance").mode("overwrite").save(src)
+    }
+    withStreamShufflePartitions(spark) {
+      val ev = spark.readStream.format("lance").load(src)
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      val q = joined.writeStream.format("lance")
+        .option("checkpointLocation", s"$dst-ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    spark.read.format("lance").load(dst)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** A1/S4: ungrouped, unfiltered COUNT(*) over a lance dataset — answered
     * from the manifest's fragment row counts as a driver-side LocalScan
     * (zero file reads; plan shape asserted in LanceConnectorSpec). The
@@ -245,6 +278,7 @@ object LanceQueries {
     "s55_stream_tumbling" -> s55StreamTumbling,
     "s56_stream_sessions" -> s56StreamSessions,
     "s58_stream_dedup" -> s58StreamDedup,
+    "s59_stream_interval_join" -> s59StreamIntervalJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -300,5 +334,15 @@ object LanceQueries {
     // counts must land back at the original (unique event_id) cardinality
     "s58_stream_dedup" ->
       "SELECT COUNT(*) AS n, COUNT(*) AS n_ids FROM events",
+    // batch inequality join = the exact pair set the streaming interval
+    // join must emit (inner, both-ends-bounded, no late data in a replay)
+    "s59_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
   )
 }

@@ -407,9 +407,39 @@ object Relational {
         (abs(col("approx_n") - col("exact_n")) <=
           col("exact_n") * 0.05).as("within_5pct"))
 
+  /** Banded RANGE join: clicks within the hour before each error event,
+    * per user. A naive inequality join is a per-user cross product the
+    * optimizer can only nested-loop; the scale pattern is BANDING — bucket
+    * the time axis at the window width, explode the probe side to the two
+    * buckets its window can touch, equi-join on (user, bucket), then apply
+    * the exact range predicate. Cost ∝ true matches + bucket collisions;
+    * the join stays a hash join at any scale and AQE can still split skew.
+    */
+  def q32RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = t(spark, dir, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      // an error's 1h look-back can only touch its own and the previous bucket
+      .withColumn("__b", explode(array(
+        floor(unix_micros(col("ts")) / hourUs) - 1,
+        floor(unix_micros(col("ts")) / hourUs))))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withColumn("__cb", floor(unix_micros(col("c_ts")) / hourUs))
+    err.join(clk,
+        col("user_id") === col("c_user") && col("__b") === col("__cb") &&
+          col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("ts"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_asof_join" -> q30AsofJoin,
     "q31_approx_distinct" -> q31ApproxDistinct,
+    "q32_range_join" -> q32RangeJoin,
     "q29_anti_join" -> q29AntiJoin,
     "q27_salted_agg" -> q27SaltedAgg,
     "q28_cube" -> q28Cube,
@@ -464,6 +494,15 @@ object Relational {
     "q31_approx_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_n, true AS within_5pct
         |FROM events""".stripMargin,
+    // plain inequality join — the banding is an engine-side plan choice,
+    // invisible in the result
+    "q32_range_join" ->
+      """SELECT e.event_id, COUNT(*) AS n_clicks
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id
+        |  AND e.event_type = 'error' AND c.event_type = 'click'
+        |  AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "q27_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

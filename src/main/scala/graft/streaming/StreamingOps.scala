@@ -61,6 +61,32 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream INTERVAL join: purchases matched to every click by the
+    * same user in the preceding `horizon`. Both sides carry a watermark
+    * and the join condition bounds event time on both ends, so Spark can
+    * evict join state once the watermark passes a row's match window —
+    * state is O(events-in-horizon per key), the property that keeps a
+    * stream-stream join viable on an unbounded stream (an unbounded-time
+    * join condition would grow state forever and is rejected in append
+    * mode).
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    c.join(p, expr(
+      s"""c_user = p_user AND
+         |p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $horizon""".stripMargin))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   case class UserState(count: Long, lastSeenMs: Long)
   case class UserActivity(user_id: Long, n_events: Long, gap_ms: Long)
 

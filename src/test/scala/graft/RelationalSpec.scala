@@ -110,6 +110,28 @@ class RelationalSpec extends AnyFunSuite {
         s"diff=${got.collect { case (k, v) if expected.get(k).exists(_ != v) => k }.take(5)}")
   }
 
+  test("q32 banded range join equals a brute-force window count") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+      .map { case (u, rs) => u -> rs.map(_._3) }
+    val hourUs = 3600000000L
+    val expected = ev.filter(_._4 == "error").flatMap { case (id, u, ts, _) =>
+      val n = clicksByUser.getOrElse(u, Array.empty[Long])
+        .count(c => c >= ts - hourUs && c <= ts)
+      if (n > 0) Some(id -> n.toLong) else None
+    }.toMap
+    val got = operators.Relational.q32RangeJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
   test("q31 HLL estimate sits inside its 5% envelope") {
     val r = operators.Relational.q31ApproxDistinct(spark, sf).collect().head
     assert(r.getLong(0) > 0)

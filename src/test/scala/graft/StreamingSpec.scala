@@ -103,6 +103,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks to purchases in-horizon only") {
+    val clicks = MemoryStream[(Long, Long, Timestamp)](spark)
+    val purchases = MemoryStream[(Long, Long, Timestamp)](spark)
+    val cdf = clicks.toDF().toDF("event_id", "user_id", "ts")
+    val pdf = purchases.toDF().toDF("event_id", "user_id", "ts")
+    val q = StreamingOps.intervalJoin(cdf, pdf, horizon = "1 hour")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      // user 1: click 10:00 -> purchase 10:30 (in) and 11:30 (out, >1h)
+      // user 2: purchase 10:10 with no prior click (click arrives later)
+      clicks.addData((100L, 1L, ts(0)), (101L, 2L, Timestamp.valueOf("2024-01-01 10:20:00")))
+      purchases.addData(
+        (200L, 1L, ts(30)),
+        (201L, 1L, Timestamp.valueOf("2024-01-01 11:30:00")),
+        (202L, 2L, ts(10)))
+      q.processAllAvailable()
+      val got = spark.table("ij_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // (100,200): 30 min gap; purchase 201 is beyond the horizon;
+      // purchase 202 precedes user 2's click — an interval join is
+      // direction-bounded, not symmetric
+      assert(got == Set((100L, 200L, 1800000000L)), got)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState tracks per-user running counts") {
     val in = MemoryStream[(Long, Long)](spark)
     val q = StreamingOps.userActivity(in.toDS())
