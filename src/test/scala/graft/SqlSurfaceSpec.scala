@@ -211,4 +211,43 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ann.select("vec_id").collect().map(_.getLong(0)).toSet ==
       exact.select("vec_id").collect().map(_.getLong(0)).toSet)
   }
+
+  /** BASELINE.md parity check: the reference's own vector-search demo
+    * (`ref:FlinkSqlDemo.java:496-584` — 5 known 8-dim vectors, k=3, L2
+    * then COSINE) replayed end-to-end through OUR surface: catalog DDL,
+    * INSERT VALUES, `vector_search` TVF. Expected rankings are hand-
+    * derivable: the L2 query IS doc 1's vector (top-3 = 1, 5, 4 by
+    * uniform per-dim offsets 0, .02, .05); the cosine query IS doc 3's
+    * vector (top-3 = 3, 2, 4).
+    */
+  test("reference FlinkSqlDemo vector-search parity: exact demo data, L2 + COSINE") {
+    val wh = Files.createTempDirectory(java.nio.file.Paths.get("target"), "demo-wh-")
+      .toAbsolutePath.toString
+    spark.conf.set("spark.sql.catalog.lance_demo", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_demo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_demo.db")
+    spark.sql("CREATE TABLE lance_demo.db.vector_documents " +
+      "(id BIGINT, content STRING, embedding ARRAY<FLOAT>)")
+    spark.sql("INSERT INTO lance_demo.db.vector_documents VALUES " +
+      "(1, 'Flink Stream Processing', array(0.1f,0.2f,0.3f,0.4f,0.5f,0.6f,0.7f,0.8f)), " +
+      "(2, 'Spark Batch Processing', array(0.2f,0.3f,0.4f,0.5f,0.6f,0.7f,0.8f,0.9f)), " +
+      "(3, 'Kafka Message Queue', array(0.8f,0.7f,0.6f,0.5f,0.4f,0.3f,0.2f,0.1f)), " +
+      "(4, 'Vector Database', array(0.15f,0.25f,0.35f,0.45f,0.55f,0.65f,0.75f,0.85f)), " +
+      "(5, 'Machine Learning Basics', array(0.12f,0.22f,0.32f,0.42f,0.52f,0.62f,0.72f,0.82f))")
+    val path = s"$wh/db/vector_documents"
+
+    val l2 = spark.sql(
+      s"SELECT id, _distance FROM vector_search('$path', 'embedding', " +
+        "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8), 3, 'L2')").collect()
+    assert(l2.map(_.getLong(0)).toSeq == Seq(1L, 5L, 4L), l2.mkString(", "))
+    assert(l2.head.getDouble(1) == 0.0) // the query is doc 1's own vector
+    val l2d = l2.map(_.getDouble(1)).toSeq
+    assert(l2d == l2d.sorted)
+
+    val cos = spark.sql(
+      s"SELECT id, _distance FROM vector_search('$path', 'embedding', " +
+        "array(0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1), 3, 'COSINE')").collect()
+    assert(cos.map(_.getLong(0)).toSeq == Seq(3L, 2L, 4L), cos.mkString(", "))
+    assert(math.abs(cos.head.getDouble(1)) < 1e-7) // doc 3's own vector
+  }
 }
