@@ -390,6 +390,42 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** D7: near-dup GROUPS — connected components over the d44 pair graph,
+    * each doc labeled with the min doc_id of its component (which IS the
+    * canonical keeper, so `cluster_id` doubles as the keep-one choice).
+    * Hash-min label propagation: every iteration joins labels to edges and
+    * takes the min over neighbors, converging in O(component diameter)
+    * rounds — near-dup components are shallow (diameter ≲ a few hops), so
+    * this is a handful of shuffles regardless of corpus size, the standard
+    * distributed connected-components for dedup. `localCheckpoint` cuts
+    * the growing lineage each round so the plan stays O(1) per iteration.
+    */
+  def d48DedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d44LshPairs(spark, dir).select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("s", "d").localCheckpoint()
+    var labels = edges.select(col("s").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0) {
+      iters += 1
+      require(iters <= 50, "connected components failed to converge")
+      val viaNeighbor = edges.join(labels, edges("d") === labels("node"))
+        .select(edges("s").as("node"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    logger.info(s"d48: converged in $iters hash-min iterations")
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d41_exact_dedup" -> d41Exact,
     "d42_jaccard_pairs" -> d42JaccardPairs,
@@ -398,6 +434,7 @@ object Dedup {
     "d45_simhash" -> d45Simhash,
     "d46_emb_neardup" -> d46EmbNearDup,
     "d47_srp_neardup" -> d47SrpNearDup,
+    "d48_dedup_groups" -> d48DedupGroups,
   )
 
   val oracleSql: Map[String, String] = {
@@ -416,6 +453,16 @@ object Dedup {
     val dJaccard =
       "CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) / " +
         "(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh)))"
+    // candidate CTEs shared by d44 (pairs) and d48 (groups over the pairs)
+    val dLshCand =
+      s"""sig AS (
+         |  SELECT doc_id, sh,
+         |   [${(0 until 4).map(bd => s"'$bd:' || ${dMinhash(2 * bd)} || ':' || ${dMinhash(2 * bd + 1)}").mkString(", ")}] AS bands
+         |  FROM (SELECT doc_id, $dHashedShingles AS sh FROM documents)),
+         |banded AS (SELECT doc_id, sh, unnest(bands) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.sh AS a_sh, b.sh AS b_sh
+         |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
     Map(
       "d41_exact_dedup" ->
         "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents",
@@ -433,16 +480,20 @@ object Dedup {
            |FROM (SELECT doc_id, $dHashedShingles AS sh FROM documents)
            |ORDER BY doc_id""".stripMargin,
       "d44_lsh_pairs" ->
-        s"""WITH sig AS (
-           |  SELECT doc_id, sh,
-           |   [${(0 until 4).map(bd => s"'$bd:' || ${dMinhash(2 * bd)} || ':' || ${dMinhash(2 * bd + 1)}").mkString(", ")}] AS bands
-           |  FROM (SELECT doc_id, $dHashedShingles AS sh FROM documents)),
-           |banded AS (SELECT doc_id, sh, unnest(bands) AS bk FROM sig),
-           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-           |    a.sh AS a_sh, b.sh AS b_sh
-           |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        s"""WITH $dLshCand
            |SELECT a_id, b_id, $dJaccard AS jaccard FROM cand
            |WHERE $dJaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+      // transitive closure of the undirected pair graph; LEAST(s, MIN(d))
+      // is the component's min doc_id — identical to hash-min convergence
+      "d48_dedup_groups" ->
+        s"""WITH RECURSIVE $dLshCand,
+           |pairs AS (SELECT a_id, b_id FROM cand WHERE $dJaccard >= 0.5),
+           |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+           |  UNION SELECT b_id, a_id FROM pairs),
+           |reach(s, d) AS (SELECT s, d FROM edges
+           |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+           |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+           |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
       "d45_simhash" ->
         s"""SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), k ->
            |  CASE WHEN list_sum(list_transform(hs,

@@ -112,6 +112,30 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("d48 groups equal brute-force connected components of the pair graph") {
+    val pairs = Dedup.d44LshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // driver-side union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    val got = Dedup.d48DedupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // cluster_id is the component min — the canonical keeper
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+  }
+
   test("exact dedup counts docs and unique texts") {
     val r = Dedup.d41Exact(spark, sf).collect().head
     assert(r.getLong(0) == 500L)
