@@ -401,15 +401,28 @@ object Dedup {
     * the growing lineage each round so the plan stays O(1) per iteration.
     */
   def d48DedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    // the converged labels are deterministic per input + pipeline version —
+    // cache them like the signature tables (p70 reuses them for free); the
+    // key hashes every expression feeding d44 plus a clustering tag
+    val scratch = graft.Tables.scratch(dir,
+      s"dedup_groups_${exprVersion(words, shingles, shingleHashes, "hashmin-cc-v1")}")
+    if (scratchExists(spark, scratch))
+      return spark.read.parquet(scratch).orderBy(col("doc_id"))
     val pairs = d44LshPairs(spark, dir).select(col("a_id"), col("b_id"))
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("s", "d").localCheckpoint()
     var labels = edges.select(col("s").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
-    var changed = 1L
+    // labels only ever DECREASE, so the exact decimal label-sum is a
+    // convergence certificate: unchanged sum ⇔ fixpoint. One narrow
+    // aggregate per round instead of a join+filter+count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl")).cast("decimal(38,0)")).collect().head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iters = 0
-    while (changed > 0) {
+    while (!converged) {
       iters += 1
       require(iters <= 50, "connected components failed to converge")
       val viaNeighbor = edges.join(labels, edges("d") === labels("node"))
@@ -417,13 +430,45 @@ object Dedup {
       val next = labels.union(viaNeighbor)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") < col("old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
     }
     logger.info(s"d48: converged in $iters hash-min iterations")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy(col("doc_id"))
+      .write.mode("overwrite").parquet(scratch)
+    spark.read.parquet(scratch).orderBy(col("doc_id"))
+  }
+
+  /** P70: the CURATION CAPSTONE — the three pipeline stages a training-data
+    * run chains, composed as one flow: (1) near-dup keep-one (anti-join the
+    * d48 non-canonical docs), (2) quality filter (t33's score ≥ 0.7), (3)
+    * per-language corpus stats. Everything after the d48 fixpoint is one
+    * lazy plan: the anti-join broadcasts the (tiny) drop-list, the quality
+    * score is pure column arithmetic on the scan, and the final aggregate
+    * is a partial+final hash agg on ≤ #langs groups.
+    */
+  def p70Curation(spark: SparkSession, dir: String): DataFrame = {
+    val dropDocs = d48DedupGroups(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    t(spark, dir, "documents")
+      .join(dropDocs, Seq("doc_id"), "left_anti")
+      .withColumn("n_tokens", expr(s"CAST(size($words) AS BIGINT)"))
+      .withColumn("uniq_ratio",
+        expr(s"CAST(size(array_distinct($words)) AS DOUBLE) / size($words)"))
+      .withColumn("stopword_ratio",
+        expr(s"CAST(size(filter($words, w -> w IN ('the', 'a'))) AS DOUBLE) / size($words)"))
+      .withColumn("quality",
+        expr("0.4 * uniq_ratio + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)" +
+          " + 0.3 * (1.0 - stopword_ratio)"))
+      .filter(col("quality") >= 0.7)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        graft.Tables.davg(col("quality"), 9).as("avg_quality"))
+      .orderBy(col("lang"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -435,6 +480,7 @@ object Dedup {
     "d46_emb_neardup" -> d46EmbNearDup,
     "d47_srp_neardup" -> d47SrpNearDup,
     "d48_dedup_groups" -> d48DedupGroups,
+    "p70_curation" -> p70Curation,
   )
 
   val oracleSql: Map[String, String] = {
@@ -494,6 +540,29 @@ object Dedup {
            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
            |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
            |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+      // the full curation pipeline: same closure -> non-keeper drop list,
+      // t33's quality formula, per-lang aggregate (davg = decimal-exact avg)
+      "p70_curation" ->
+        s"""WITH RECURSIVE $dLshCand,
+           |pairs AS (SELECT a_id, b_id FROM cand WHERE $dJaccard >= 0.5),
+           |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+           |  UNION SELECT b_id, a_id FROM pairs),
+           |reach(s, d) AS (SELECT s, d FROM edges
+           |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+           |drop_docs AS (SELECT s AS doc_id FROM reach
+           |  GROUP BY s HAVING LEAST(s, MIN(d)) <> s),
+           |scored AS (SELECT lang,
+           |   CAST(len($dWords) AS BIGINT) AS n_tokens,
+           |   0.4 * (CAST(len(list_distinct($dWords)) AS DOUBLE) / len($dWords))
+           |    + 0.3 * least(1.0, CAST(len($dWords) AS DOUBLE) / 50.0)
+           |    + 0.3 * (1.0 - CAST(len(list_filter($dWords, w -> w IN ('the', 'a'))) AS DOUBLE)
+           |        / len($dWords)) AS quality
+           |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drop_docs))
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) / COUNT(quality) AS avg_quality
+           |FROM scored WHERE quality >= 0.7
+           |GROUP BY lang ORDER BY lang""".stripMargin,
       "d45_simhash" ->
         s"""SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), k ->
            |  CASE WHEN list_sum(list_transform(hs,
