@@ -223,6 +223,74 @@ object LanceQueries {
       .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
   }
 
+  /** Sliding event-time windows (1h window, 30m slide — every event lands
+    * in exactly two windows) through the streaming machinery with
+    * append-mode watermark finalization, lance sink, batch read-back. The
+    * oracle assigns each event its two covering windows and keeps those
+    * the final watermark closed.
+    */
+  def s60StreamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "events_win_src") // shared immutable source (s55)
+    val dst = scratch(dir, "events_slide_dst")
+    freshDataset(spark, dst); freshDataset(spark, s"$dst-ckpt")
+    ensureStreamSrc(spark, src, 1) {
+      t(spark, dir, "events").write.format("lance").mode("overwrite").save(src)
+    }
+    withStreamShufflePartitions(spark) {
+      val windowed = graft.streaming.StreamingOps.windowedCounts(
+        spark.readStream.format("lance").load(src),
+        "ts", "event_type", window_ = "1 hour", slide = Some("30 minutes"),
+        watermark = "30 minutes")
+      val q = windowed.writeStream.format("lance")
+        .option("checkpointLocation", s"$dst-ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    spark.read.format("lance").load(dst)
+      .select(
+        date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        date_format(col("win_end"), "yyyy-MM-dd HH:mm").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Stream-STATIC join (the enrich step): the events changefeed joined to
+    * a static lance dimension table — the static side is planned per
+    * micro-batch like any batch relation (broadcast when small), no state
+    * store involved, which is exactly how a 100 TB/day stream enriches
+    * against reference data.
+    */
+  def s61StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "events_stream_src") // shared immutable source (s54)
+    val dim = scratch(dir, "customer_dim")
+    val dst = scratch(dir, "events_enrich_dst")
+    freshDataset(spark, dst); freshDataset(spark, s"$dst-ckpt")
+    ensureStreamSrc(spark, src, 1) {
+      t(spark, dir, "events").write.format("lance").mode("overwrite").save(src)
+    }
+    ensureStreamSrc(spark, dim, 1) {
+      t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .write.format("lance").mode("overwrite").save(dim)
+    }
+    withStreamShufflePartitions(spark) {
+      val cust = spark.read.format("lance").load(dim)
+      val enriched = spark.readStream.format("lance").load(src)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("c_mktsegment"), col("value"))
+      val q = enriched.writeStream.format("lance")
+        .option("checkpointLocation", s"$dst-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    spark.read.format("lance").load(dst)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Stream-stream interval join through the full machinery: the events
     * changefeed split into a click stream and a purchase stream, joined on
     * user within a 1-hour event-time horizon (watermarks on both sides
@@ -279,6 +347,8 @@ object LanceQueries {
     "s56_stream_sessions" -> s56StreamSessions,
     "s58_stream_dedup" -> s58StreamDedup,
     "s59_stream_interval_join" -> s59StreamIntervalJoin,
+    "s60_stream_sliding" -> s60StreamSliding,
+    "s61_stream_static_join" -> s61StreamStaticJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -334,6 +404,28 @@ object LanceQueries {
     // counts must land back at the original (unique event_id) cardinality
     "s58_stream_dedup" ->
       "SELECT COUNT(*) AS n, COUNT(*) AS n_ids FROM events",
+    // sliding 1h/30m: each event lands in exactly the two epoch-aligned
+    // 30m-start windows covering it (Spark aligns sliding windows to the
+    // epoch; DuckDB time_bucket aligns the same way)
+    "s60_stream_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |mx AS (SELECT MAX(ts) AS m FROM e),
+        |x AS (SELECT ws, event_type, value FROM e,
+        |  unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |          time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS u(ws)),
+        |w AS (SELECT ws, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM x GROUP BY 1, 2)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start,
+        |  strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS win_end,
+        |  event_type, n, sum_value
+        |FROM w, mx WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
+        |ORDER BY win_start, event_type""".stripMargin,
+    "s61_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // batch inequality join = the exact pair set the streaming interval
     // join must emit (inner, both-ends-bounded, no late data in a replay)
     "s59_stream_interval_join" ->
