@@ -63,12 +63,12 @@ object Dedup {
   /** Short content hash of the generating SQL expressions — versions the
     * scratch-table cache (testdata is immutable; code is not).
     */
-  private def exprVersion(parts: String*): String =
+  private[operators] def exprVersion(parts: String*): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(parts.mkString("|").getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
 
-  private def scratchExists(spark: SparkSession, path: String): Boolean = {
+  private[operators] def scratchExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(
       new java.io.File(s"$path/_SUCCESS").getAbsolutePath)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)

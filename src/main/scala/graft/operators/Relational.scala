@@ -394,15 +394,19 @@ object Relational {
   }
 
   /** Sketch aggregate: HyperLogLog++ distinct-count next to the exact
-    * count, gated on the published 5% relative-error envelope (the sketch
-    * is what a 100 TB pipeline actually runs — exact distinct shuffles
-    * every key; HLL merges fixed-size registers). The oracle states the
-    * exact count and the planted accuracy outcome, v26p-style.
+    * count (the sketch is what a 100 TB pipeline actually runs — exact
+    * distinct shuffles every key; HLL merges fixed-size registers). The
+    * oracle states the exact count and the planted accuracy outcome,
+    * v26p-style. The sketch runs at rsd = 0.02 while the gate asserts a
+    * 5% envelope — a 2.5σ bound, so the row is stable across scale
+    * factors (rsd = 0.05 made the assert a 1σ coin flip: it held at
+    * sf0.01 and broke at sf0.1) yet still reddens on a real sketch
+    * regression. HLL estimates are deterministic for fixed input.
     */
   def q31ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .agg(countDistinct(col("user_id")).as("exact_n"),
-        approx_count_distinct(col("user_id"), 0.05).as("approx_n"))
+        approx_count_distinct(col("user_id"), 0.02).as("approx_n"))
       .select(col("exact_n"),
         (abs(col("approx_n") - col("exact_n")) <=
           col("exact_n") * 0.05).as("within_5pct"))

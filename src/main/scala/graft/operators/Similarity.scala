@@ -232,6 +232,53 @@ object Similarity {
         (col("n_overlap") >= 7).as("recall_ok"))
   }
 
+  /** Ensure an IVF_PQ sidecar (L2, 8 buckets, 16 sub-vectors × 8 bits —
+    * the reference's PQ defaults, `config/LanceOptions.java:150-163`)
+    * exists over `dir`'s embeddings. Separate scratch key from the FLAT
+    * index: PQ codes are a build-time artifact, not a search-time option.
+    */
+  private def ensureIvfPq(spark: SparkSession, dir: String): String = {
+    import graft.index.IvfIndex
+    val dest = graft.Tables.scratch(dir, "emb_ivfpq_np8_v1")
+    val metaFile = new org.apache.hadoop.fs.Path(
+      new java.io.File(s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
+    val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaFile)) {
+      val r = IvfIndex.build(spark, t(spark, dir, "embeddings"),
+        "embedding", "vec_id", dest, numPartitions = 8, metric = "l2",
+        pq = Some(IvfIndex.PqParams(numSubVectors = 16, numBits = 8)))
+      require(r.success, r.error)
+    }
+    dest
+  }
+
+  /** V8 (IVF_PQ): deterministic recall gate for the ADC + exact-refine
+    * search path — the one index mode previously covered by specs only.
+    * Full probing isolates what the gate measures to the PQ approximation:
+    * codes must rank the true neighbors into the k×refine window and the
+    * exact refine must re-order them correctly. Codebooks are seeded
+    * KMeans, the ADC fold is a deterministic codegen'd expression, and the
+    * planted floor (10/10 at sf0.01 and sf0.1, asserted ≥ 8) reddens on
+    * any quantization-quality regression.
+    */
+  def v28KnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = ensureIvfPq(spark, dir)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val pqIds = IvfIndex.searchPq(spark, dest, "embedding", q, 10,
+        nprobes = 8, refineFactor = 4)
+      .select(col("vec_id"))
+    val exactIds = t(spark, dir, "embeddings")
+      .select(col("vec_id"), l2_distance(col("embedding"), lit(q.map(_.toDouble))).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    pqIds.join(exactIds, "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(10).as("k"), lit(4).as("refine"),
+        (col("n_overlap") >= 8).as("recall_ok"))
+  }
+
   /** V8 under cosine: the IVF buckets and the per-bucket graphs are built
     * on the cosine metric (reference delegates all three metrics to its
     * index, `LanceVectorSearch.java:274-285`). Same exactness argument as
@@ -256,6 +303,7 @@ object Similarity {
     "v26r_hnsw_recall" -> v26rHnswRecall,
     "v26p_hnsw_partial" -> v26pHnswPartialProbe,
     "v27_knn_hnsw_cosine" -> v27KnnHnswCosine,
+    "v28_knn_ivfpq" -> v28KnnIvfPq,
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
@@ -279,6 +327,11 @@ object Similarity {
     // sf0.01 gate, asserted >= 7) — the oracle states the planted outcome
     "v26p_hnsw_partial" ->
       "SELECT 10 AS k, 4 AS nprobes, true AS recall_ok",
+    // planted outcome: measured 10/10 overlap at sf0.01 and sf0.1,
+    // asserted >= 8 so run-to-run determinism keeps the row stable while
+    // a real PQ-quality regression turns it red
+    "v28_knn_ivfpq" ->
+      "SELECT 10 AS k, 4 AS refine, true AS recall_ok",
     "v27_knn_hnsw_cosine" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1)
         |SELECT e.vec_id,

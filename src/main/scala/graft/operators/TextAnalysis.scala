@@ -142,8 +142,79 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Word-5-gram array over a materialized word column — same ANSI guard
+    * and lambda-hoisting rationale as the d42 shingle pipeline.
+    */
+  private val grams5 =
+    "CASE WHEN size(__w) < 5 THEN CAST(array() AS ARRAY<STRING>) " +
+      "ELSE array_distinct(transform(sequence(0, size(__w) - 5)," +
+      " i -> concat(__w[i], ' ', __w[i+1], ' ', __w[i+2], ' ', __w[i+3], ' ', __w[i+4]))) END"
+
+  /** Benchmark decontamination (training-data hygiene): flag every
+    * training document that shares at least one word-5-gram with the
+    * held-out eval set — here `doc_id < 20` stands in for the benchmark
+    * suite, the way n-gram decontamination is run before every serious
+    * pretraining job.
+    *
+    * Scale shape: the gram posting table is written to scratch storage
+    * once (the same optimizer barrier as d42 — without it CollapseProject
+    * re-derives the gram pipeline per output row); the eval gram set is
+    * tiny by construction (benchmarks are fixed-size while the corpus
+    * grows), so the contamination check is a broadcast semi-join against
+    * the full training gram table — the 100 TB side is never shuffled.
+    */
+  def t37Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Tables.scratch(dir,
+      s"gram5_postings_${Dedup.exprVersion(words, grams5)}")
+    if (!Dedup.scratchExists(spark, scratch)) {
+      t(spark, dir, "documents")
+        .repartition(32, col("doc_id"))
+        .withColumn("__w", expr(words))
+        .select(col("doc_id"), explode(expr(grams5)).as("gram"))
+        .write.mode("overwrite").parquet(scratch)
+    }
+    val grams = spark.read.parquet(scratch)
+    val eval = grams.filter(col("doc_id") < 20).select(col("gram")).distinct()
+    grams.filter(col("doc_id") >= 20)
+      .join(broadcast(eval), "gram")
+      // gram arrays are distinct per doc, so plain COUNT is the distinct
+      // shared-gram count — no expensive COUNT(DISTINCT) shuffle needed
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram-LM rarity score — the CCNet-style quality proxy: documents
+    * whose tokens are rare under the corpus language model are likely
+    * noise; documents of pure boilerplate score near 1. Per-token rarity
+    * is inverse unigram probability N/count(w); the document score is its
+    * mean.
+    *
+    * Scale shape: one hash-aggregate builds the vocabulary (bounded by
+    * the language, not the corpus — broadcasts at any data size), the
+    * corpus total rides a broadcast single-row cross join, and the scoring
+    * join + per-doc aggregate shuffle only (token, doc_id) pairs. Exact
+    * decimal accumulation (`dsum`) keeps the mean order-insensitive and
+    * bit-identical to the oracle.
+    */
+  def t38LmRarity(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr(words)).as("w"))
+    val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val n = vocab.agg(sum(col("cnt")).cast("double").as("__n"))
+    tokens.join(broadcast(vocab), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("r", col("__n") / col("cnt").cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (graft.Tables.dsum(col("r"), 6) / count(lit(1))).as("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t35_bpe_tokens" -> t35BpeTokens,
+    "t37_decontaminate" -> t37Decontaminate,
+    "t38_lm_rarity" -> t38LmRarity,
     "t36_salient_terms" -> t36SalientTerms,
     "t31_token_stats" -> t31TokenStats,
     "t32_lang_id" -> t32LangId,
@@ -184,6 +255,25 @@ object TextAnalysis {
            |   (acc, x) -> acc + x)) AS BIGINT) AS bpe_tokens,
            | CAST(SUM(len($dWords)) AS BIGINT) AS ws_tokens
            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "t37_decontaminate" ->
+        s"""WITH w AS (SELECT doc_id, $dWords AS ws FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    generate_series(1, len(ws) - 4),
+           |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+           |      || ' ' || ws[i+4]))) AS gram FROM w),
+           |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+           |SELECT g.doc_id, COUNT(*) AS n_shared
+           |FROM g JOIN ev USING (gram) WHERE g.doc_id >= 20
+           |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+      "t38_lm_rarity" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($dWords) AS w FROM documents),
+           |vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+           |n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab)
+           |SELECT doc_id, COUNT(*) AS n_tokens,
+           | CAST(SUM(CAST((SELECT n FROM n) / cnt AS DECIMAL(18,6))) AS DOUBLE)
+           |   / COUNT(*) AS rarity
+           |FROM tok JOIN vocab USING (w)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "t31_token_stats" ->
         s"""SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_uniq,
            | CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS avg_len

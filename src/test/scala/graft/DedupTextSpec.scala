@@ -176,4 +176,33 @@ class DedupTextSpec extends AnyFunSuite {
     val preds = rows.map(_.getAs[String]("lang_pred")).toSet
     assert(preds.subsetOf(Set("en", "de", "fr", "es", "und")))
   }
+
+  test("decontamination flags exactly the training docs sharing a 5-gram with eval") {
+    // independent reference: recompute 5-gram overlap from the raw text
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(s: String): Set[String] =
+      s.split(' ').sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val evalGrams = texts.filter(_._1 < 20).values.flatMap(grams).toSet
+    val expected = texts.filter { case (id, txt) =>
+      id >= 20 && grams(txt).exists(evalGrams.contains)
+    }.map { case (id, txt) => id -> grams(txt).count(evalGrams.contains).toLong }
+    val got = TextAnalysis.t37Decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"missed ${expected.keySet -- got.keySet}, extra ${got.keySet -- expected.keySet}")
+  }
+
+  test("LM rarity is >= 1 (inverse probability) and covers every doc") {
+    val rows = TextAnalysis.t38LmRarity(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val rar = r.getAs[Double]("rarity")
+      assert(n > 0)
+      // every token's inverse unigram probability N/cnt is >= 1, so the mean is
+      assert(rar >= 1.0, s"doc ${r.getLong(0)} rarity $rar < 1")
+    }
+  }
 }

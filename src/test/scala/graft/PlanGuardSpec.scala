@@ -15,9 +15,9 @@ class PlanGuardSpec extends AnyFunSuite {
     */
   private val singleRowCross = Set(
     "v21_knn_l2", "v22_knn_cosine", "v23_dot_similarity", "s53_lance_time_travel",
-    // t36 broadcasts a 1-row corpus-size aggregate across every document —
-    // a benign O(n) cross that replaced a second scan + collect()
-    "t36_salient_terms")
+    // t36/t38 broadcast a 1-row corpus-size aggregate across every
+    // document — a benign O(n) cross that replaced a second scan + collect()
+    "t36_salient_terms", "t38_lm_rarity")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
