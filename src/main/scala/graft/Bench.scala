@@ -50,11 +50,14 @@ object Bench {
         s"runs=${warm.map(t => f"$t%.2f").mkString(",")}")
       (name, med, warm.min, warm.max)
     }
-    // The driver captures only a bounded TAIL of stdout and parses the JSON
-    // line out of it — keep this line SHORT (3-decimal seconds, no spread;
-    // round 3's inline spread object pushed the line start past the tail
-    // window and the driver recorded parsed:null). Spread goes to stderr.
-    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // The driver captures only a bounded 2000-char TAIL of stdout (with
+    // sbt's ~75-char "[success] Total time" line landing after ours) and
+    // parses the JSON line out of it — keep this line SHORT (2-decimal
+    // seconds, no spread; round 3's inline spread object pushed the line
+    // start past the tail window and the driver recorded parsed:null).
+    // At 72 queries the line is ~1.8 KB — re-check this budget whenever
+    // queries are added. Spread goes to stderr.
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     results.foreach { case (k, _, lo, hi) =>

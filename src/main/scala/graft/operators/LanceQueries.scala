@@ -324,6 +324,41 @@ object LanceQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Custom keyed state end-to-end: the events changefeed through
+    * `flatMapGroupsWithState` (per-user running count + gap since the
+    * previous event), exactly-once lance sink, batch read-back. The
+    * oracle computes the same running stats with window functions — a
+    * hash match proves the state machine emits exactly the per-event
+    * row_number/lag sequence. The single-fragment source replays as one
+    * deterministic micro-batch; within it the op sorts each group by
+    * timestamp, so output is stable run to run.
+    */
+  def s62StreamUserState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = scratch(dir, "events_stream_src") // shared immutable source (s54)
+    val dst = scratch(dir, "events_ua_dst")
+    freshDataset(spark, dst); freshDataset(spark, s"$dst-ckpt")
+    ensureStreamSrc(spark, src, 1) {
+      t(spark, dir, "events").write.format("lance").mode("overwrite").save(src)
+    }
+    withStreamShufflePartitions(spark) {
+      val ev = spark.readStream.format("lance").load(src)
+        .select(col("user_id").cast("long"),
+          expr("unix_micros(ts) div 1000").cast("long"))
+        .as[(Long, Long)]
+      val acts = graft.streaming.StreamingOps.userActivity(ev)
+      val q = acts.toDF().writeStream.format("lance")
+        .option("checkpointLocation", s"$dst-ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    spark.read.format("lance").load(dst)
+      .select(col("user_id"), col("n_events"), col("gap_ms"))
+      .orderBy(col("user_id"), col("n_events"))
+  }
+
   /** A1/S4: ungrouped, unfiltered COUNT(*) over a lance dataset — answered
     * from the manifest's fragment row counts as a driver-side LocalScan
     * (zero file reads; plan shape asserted in LanceConnectorSpec). The
@@ -349,6 +384,7 @@ object LanceQueries {
     "s59_stream_interval_join" -> s59StreamIntervalJoin,
     "s60_stream_sliding" -> s60StreamSliding,
     "s61_stream_static_join" -> s61StreamStaticJoin,
+    "s62_stream_user_state" -> s62StreamUserState,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -426,6 +462,15 @@ object LanceQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // per-user running count and gap = row_number/lag over (user, ts);
+    // (user_id, ts) is unique so the ordering is total
+    "s62_stream_user_state" ->
+      """SELECT user_id,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts) AS n_events,
+        | COALESCE(epoch_us(CAST(ts AS TIMESTAMP)) // 1000
+        |   - lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |     OVER (PARTITION BY user_id ORDER BY ts), 0) AS gap_ms
+        |FROM events ORDER BY user_id, n_events""".stripMargin,
     // batch inequality join = the exact pair set the streaming interval
     // join must emit (inner, both-ends-bounded, no late data in a replay)
     "s59_stream_interval_join" ->

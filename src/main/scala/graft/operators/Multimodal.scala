@@ -117,9 +117,28 @@ object Multimodal {
       expr(s"CASE WHEN length(bytes) >= $size THEN substring(bytes, 1, $size) " +
         s"ELSE rpad(bytes, $size, X'00') END"))
 
+  /** Driver gate for the partition-batch decode path: run the full
+    * Dataset[MediaRow] → mapPartitions → Dataset[MediaFeatures] pipeline
+    * and emit the oracle-reproducible features (payload size + mean byte
+    * value — the hash-derived fake dims stay spec-only since the oracle
+    * can't reproduce JVM Arrays.hashCode). What this row proves: encoder
+    * round-trip, decoder-per-partition iteration, and the feature schema
+    * — the plumbing a real codec drops into.
+    */
+  def m63DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = mediaTable(spark, dir)
+      .select(col("media_id"), col("kind"), col("bytes")).as[MediaRow]
+    decodeFeatures(ds, StubDecoder).toDF()
+      .select(col("media_id"), col("kind"),
+        col("n_bytes").cast("long").as("n_bytes"), col("mean_byte"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m61_media_meta" -> m61MediaMeta,
     "m62_frame_sample" -> m62FrameSample,
+    "m63_decode_features" -> m63DecodeFeatures,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -134,6 +153,19 @@ object Multimodal {
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |  octet_length(encode(text)) AS n_bytes,
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS __h
+        | FROM documents)
+        |ORDER BY media_id""".stripMargin,
+    // mean byte of pure-ASCII payloads = mean codepoint; the integer sum
+    // is exact in both engines so the single division is bit-identical
+    "m63_decode_features" ->
+      """SELECT media_id, kind, n_bytes,
+        | CAST(bsum AS DOUBLE) / n_bytes AS mean_byte
+        |FROM (
+        | SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  list_sum(list_transform(generate_series(1, length(text)),
+        |    i -> ascii(substring(text, i, 1)))) AS bsum
         | FROM documents)
         |ORDER BY media_id""".stripMargin,
     "m62_frame_sample" ->
