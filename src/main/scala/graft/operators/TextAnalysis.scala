@@ -211,10 +211,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing (the pretraining batcher): documents are sharded by
+    * a content-stable hash, concatenated in doc_id order within each
+    * shard, and chunked into fixed 2048-token training sequences —
+    * standard concat-then-chunk packing. A document belongs to the
+    * sequence its FIRST token lands in (`seq_id = start_offset div 2048`);
+    * documents straddle chunk boundaries, exactly as real packing does.
+    * Output: per (shard, seq) document and token counts.
+    *
+    * Scale shape: the cumulative sum partitions by shard, so there is no
+    * global sort — each shard packs independently, which is how N workers
+    * pack 100 TB in parallel. A bigger cluster raises the shard count;
+    * the semantics don't change.
+    */
+  def p71PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"CAST(size($words) AS BIGINT)").as("n_tokens"),
+        expr(s"${wordHash("CAST(doc_id AS STRING)")} % 32").as("shard"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr("start_off div 2048"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t35_bpe_tokens" -> t35BpeTokens,
     "t37_decontaminate" -> t37Decontaminate,
     "t38_lm_rarity" -> t38LmRarity,
+    "p71_pack_sequences" -> p71PackSequences,
     "t36_salient_terms" -> t36SalientTerms,
     "t31_token_stats" -> t31TokenStats,
     "t32_lang_id" -> t32LangId,
@@ -274,6 +302,16 @@ object TextAnalysis {
            |   / COUNT(*) AS rarity
            |FROM tok JOIN vocab USING (w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "p71_pack_sequences" ->
+        s"""WITH d AS (SELECT doc_id,
+           |  CAST(len($dWords) AS BIGINT) AS n_tokens,
+           |  ${dHash("CAST(doc_id AS VARCHAR)")} % 32 AS shard FROM documents),
+           |c AS (SELECT *, SUM(n_tokens)
+           |    OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start_off
+           |  FROM d)
+           |SELECT shard, CAST(start_off // 2048 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+           | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+           |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
       "t31_token_stats" ->
         s"""SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_uniq,
            | CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS avg_len
