@@ -279,6 +279,32 @@ object Similarity {
         (col("n_overlap") >= 8).as("recall_ok"))
   }
 
+  /** V8 (IVF_HNSW_PQ): the composite index mode — graph traversal scored
+    * by the ADC lookup table, ef survivors refined exactly on raw
+    * vectors. Completes the gated index-mode matrix (FLAT v25, HNSW
+    * v26/v27, PQ v28). Same planted-floor recall-gate shape as v28; the
+    * walk-on-ADC path can diverge from the exact walk, so the floor is
+    * the measured overlap (10/10 at sf0.01 and sf0.1, asserted ≥ 8).
+    */
+  def v29KnnHnswPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.HnswIndex
+    val dest = ensureIvfPq(spark, dir)
+    ensureHnswGraph(spark, dest)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val annIds = HnswIndex.searchPq(spark, dest, "embedding", q, 10,
+        nprobes = 8, ef = 200)
+      .select(col("vec_id"))
+    val exactIds = t(spark, dir, "embeddings")
+      .select(col("vec_id"), l2_distance(col("embedding"), lit(q.map(_.toDouble))).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    annIds.join(exactIds, "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(10).as("k"), lit(200).as("ef"),
+        (col("n_overlap") >= 8).as("recall_ok"))
+  }
+
   /** V8 under cosine: the IVF buckets and the per-bucket graphs are built
     * on the cosine metric (reference delegates all three metrics to its
     * index, `LanceVectorSearch.java:274-285`). Same exactness argument as
@@ -304,6 +330,7 @@ object Similarity {
     "v26p_hnsw_partial" -> v26pHnswPartialProbe,
     "v27_knn_hnsw_cosine" -> v27KnnHnswCosine,
     "v28_knn_ivfpq" -> v28KnnIvfPq,
+    "v29_knn_hnswpq" -> v29KnnHnswPq,
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
@@ -332,6 +359,8 @@ object Similarity {
     // a real PQ-quality regression turns it red
     "v28_knn_ivfpq" ->
       "SELECT 10 AS k, 4 AS refine, true AS recall_ok",
+    "v29_knn_hnswpq" ->
+      "SELECT 10 AS k, 200 AS ef, true AS recall_ok",
     "v27_knn_hnsw_cosine" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1)
         |SELECT e.vec_id,
