@@ -440,7 +440,23 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Exact interpolated percentiles (continuous definition — the one
+    * DuckDB's quantile_cont and ANSI percentile_cont share): per-flag
+    * median and p90 of extended price. Exact percentile sorts within each
+    * group; at 100 TB the approximate sketch is the production default,
+    * but the exact form must exist for parity (and the per-group sort is
+    * partition-local after the hash shuffle — no global sort).
+    */
+  def q33Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_percentiles" -> q33Percentiles,
     "q30_asof_join" -> q30AsofJoin,
     "q31_approx_distinct" -> q31ApproxDistinct,
     "q32_range_join" -> q32RangeJoin,
@@ -476,6 +492,12 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // both engines compute lower + (upper - lower) * frac on doubles —
+    // bit-identical interpolation (verified at sf0.01 and sf0.1)
+    "q33_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.9) AS p90, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q29_anti_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
