@@ -305,6 +305,26 @@ object Similarity {
         (col("n_overlap") >= 8).as("recall_ok"))
   }
 
+  /** V3 (filtered vector search) end-to-end through the index path: the
+    * pre-filter applies INSIDE the probed buckets before the top-k, so
+    * all k results satisfy it (search-within-index semantics,
+    * `LanceVectorSearch.java:170-174`). Full probing makes the result
+    * exactly the brute-force KNN over the filtered subset — which is what
+    * the SQL oracle computes — so the gate proves the filter composes
+    * with bucket pruning and the shortfall-widening guard stays silent on
+    * the satisfiable path.
+    */
+  def v30KnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = ensureIvf(spark, dir)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    IvfIndex.search(spark, dest, "embedding", q, 10, nprobes = 8,
+        filter = Some(col("label") === 3))
+      .select(col("vec_id"), col("_distance").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** V8 under cosine: the IVF buckets and the per-bucket graphs are built
     * on the cosine metric (reference delegates all three metrics to its
     * index, `LanceVectorSearch.java:274-285`). Same exactness argument as
@@ -331,6 +351,7 @@ object Similarity {
     "v27_knn_hnsw_cosine" -> v27KnnHnswCosine,
     "v28_knn_ivfpq" -> v28KnnIvfPq,
     "v29_knn_hnswpq" -> v29KnnHnswPq,
+    "v30_knn_filtered" -> v30KnnFiltered,
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
@@ -361,6 +382,12 @@ object Similarity {
       "SELECT 10 AS k, 4 AS refine, true AS recall_ok",
     "v29_knn_hnswpq" ->
       "SELECT 10 AS k, 200 AS ef, true AS recall_ok",
+    // full probe + pre-filter = exact KNN over the filtered subset
+    "v30_knn_filtered" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $l2SqlBody AS dist
+         |FROM embeddings e, q WHERE e.label = 3
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
     "v27_knn_hnsw_cosine" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1)
         |SELECT e.vec_id,
