@@ -55,9 +55,15 @@ object Bench {
     // parses the JSON line out of it — keep this line SHORT (2-decimal
     // seconds, no spread; round 3's inline spread object pushed the line
     // start past the tail window and the driver recorded parsed:null).
-    // At 72 queries the line is ~1.8 KB — re-check this budget whenever
-    // queries are added. Spread goes to stderr.
-    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // At 78 queries the line is ~1.8 KB — re-check this budget whenever
+    // queries are added. Spread goes to stderr. Trailing zeros are
+    // stripped ("0.20" -> "0.2") to keep ~70 chars of headroom.
+    def f3(v: Double): String =
+      if (v < 0) "-1"
+      else f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+        case "" => "0"
+        case s => s
+      }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     results.foreach { case (k, _, lo, hi) =>
