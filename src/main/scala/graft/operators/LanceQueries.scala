@@ -359,6 +359,28 @@ object LanceQueries {
       .orderBy(col("user_id"), col("n_events"))
   }
 
+  /** Maintenance op end-to-end: four appends leave four+ small fragments
+    * (the shape a streaming sink accumulates), compaction rewrites them
+    * into one file as a new MVCC version, and the gate proves the data
+    * survived byte-exact (count + decimal-exact balance sum vs the
+    * original parquet) alongside the planted fragment counts. Prior
+    * versions stay readable (spec-covered); vacuum reclaims them later.
+    */
+  def s63CompactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "supplier_compact")
+    freshDataset(spark, dest)
+    val s = t(spark, dir, "supplier")
+    (0 until 4).foreach { i =>
+      s.filter(pmod(col("s_suppkey"), lit(4)) === i)
+        .write.format("lance").mode(if (i == 0) "overwrite" else "append").save(dest)
+    }
+    val (before, after) = graft.Lance.compact(spark, dest)
+    spark.read.format("lance").load(dest)
+      .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("sum_bal"))
+      .select(lit(before >= 4).as("fragmented_before"),
+        lit(after).as("frags_after"), col("n"), col("sum_bal"))
+  }
+
   /** A1/S4: ungrouped, unfiltered COUNT(*) over a lance dataset — answered
     * from the manifest's fragment row counts as a driver-side LocalScan
     * (zero file reads; plan shape asserted in LanceConnectorSpec). The
@@ -385,6 +407,7 @@ object LanceQueries {
     "s60_stream_sliding" -> s60StreamSliding,
     "s61_stream_static_join" -> s61StreamStaticJoin,
     "s62_stream_user_state" -> s62StreamUserState,
+    "s63_compact_roundtrip" -> s63CompactRoundtrip,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -462,6 +485,11 @@ object LanceQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "s63_compact_roundtrip" ->
+      """SELECT true AS fragmented_before, CAST(1 AS INT) AS frags_after,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier""".stripMargin,
     // per-user running count and gap = row_number/lag over (user, ts);
     // (user_id, ts) is unique so the ordering is total
     "s62_stream_user_state" ->
