@@ -35,11 +35,8 @@ object Bench {
     }
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // dev knob: comma-separated substrings to bench a subset while iterating
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
-    val selected = only.fold(SparkEntry.queries) { pats =>
-      SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
-    }
+    // dev knob (unset in the driver): see SparkEntry.selectQueries
+    val selected = SparkEntry.selectQueries("SPARK_GRAFT_BENCH_ONLY")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
       val warm = if (cold < 0) Seq(-1.0) else Seq.fill(nRuns)(once(fn))
@@ -55,9 +52,9 @@ object Bench {
     // parses the JSON line out of it — keep this line SHORT (2-decimal
     // seconds, no spread; round 3's inline spread object pushed the line
     // start past the tail window and the driver recorded parsed:null).
-    // At 78 queries the line is ~1.8 KB — re-check this budget whenever
-    // queries are added. Spread goes to stderr. Trailing zeros are
-    // stripped ("0.20" -> "0.2") to keep ~70 chars of headroom.
+    // At 79 queries the line is ~1.8 KB — the length check below warns
+    // loudly before the budget is blown. Spread goes to stderr. Trailing
+    // zeros are stripped ("0.20" -> "0.2") to keep ~70 chars of headroom.
     def f3(v: Double): String =
       if (v < 0) "-1"
       else f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
@@ -70,7 +67,16 @@ object Bench {
       System.err.println(s"[bench-spread] $k [${f3(lo)},${f3(hi)}]")
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt's "[success] Total time" (~75 chars) lands after this line inside
+    // the same 2000-char tail; past ~1900 the line start falls out of the
+    // window and the driver records parsed:null (the round-3 failure)
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: stdout JSON line is ${line.length} chars; " +
+        "the driver's 2000-char tail window is nearly blown - shrink the line " +
+        "before adding more queries")
+    println(line)
     spark.stop()
   }
 }

@@ -34,4 +34,22 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     bundles.map(_._2).reduce(_ ++ _)
+
+  /** Dev-only subset filter shared by Verify and Bench: comma-separated
+    * substrings in `envVar` select matching queries; unset (the driver
+    * case) runs everything. Blank patterns are ignored so a stray "" or
+    * trailing comma cannot silently select all, and an active filter
+    * banners loudly on stderr — a leaked env var must never quietly
+    * narrow a correctness or bench run.
+    */
+  def selectQueries(envVar: String): Map[String, (SparkSession, String) => DataFrame] = {
+    val pats = sys.env.get(envVar).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    if (pats.isEmpty) queries
+    else {
+      System.err.println(s"[graft] $envVar=${pats.mkString(",")} — running a " +
+        s"SUBSET of the ${queries.size} queries (dev mode; unset for a full run)")
+      queries.filter { case (n, _) => pats.exists(n.contains) }
+    }
+  }
 }

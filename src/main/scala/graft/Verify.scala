@@ -17,13 +17,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev knob (unset in the driver): comma-separated substrings to dump a
-    // subset while iterating — mirrors SPARK_GRAFT_BENCH_ONLY in Bench
-    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(',').toSeq)
-    val selected = only.fold(SparkEntry.queries) { pats =>
-      SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
-    }
-    selected.foreach { case (name, fn) =>
+    // dev knob (unset in the driver): see SparkEntry.selectQueries
+    SparkEntry.selectQueries("SPARK_GRAFT_VERIFY_ONLY").foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -137,6 +137,23 @@ object Similarity {
     }
   }
 
+  /** Driver-side fetch of a stored embedding to use as the query vector
+    * (shared by every index-gate query; the cost is one pushed-down
+    * point lookup).
+    */
+  private def queryVec(spark: SparkSession, dir: String, qid: Long): Array[Float] =
+    t(spark, dir, "embeddings").filter(col("vec_id") === qid)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+
+  /** Exact brute-force L2 top-10 ids — the reference side of every
+    * recall gate (deterministic tie-break on vec_id).
+    */
+  private def exactTop10Ids(spark: SparkSession, dir: String, q: Array[Float]): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), l2_distance(col("embedding"), lit(q.map(_.toDouble))).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select(col("vec_id"))
+
   /** Dev/spec hook: ensure the default L2 IVF+HNSW sidecars exist. */
   private[graft] def devEnsureIvfHnsw(spark: SparkSession, dir: String): String = {
     val dest = ensureIvf(spark, dir)
@@ -147,8 +164,7 @@ object Similarity {
   def v25KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import graft.index.IvfIndex
     val dest = ensureIvf(spark, dir)
-    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val q = queryVec(spark, dir, 0L)
     IvfIndex.search(spark, dest, "embedding", q, 10, nprobes = 8)
       .select(col("vec_id"), col("_distance").as("dist"))
       .orderBy(col("dist"), col("vec_id"))
@@ -175,8 +191,7 @@ object Similarity {
     import graft.index.HnswIndex
     val dest = ensureIvf(spark, dir)
     ensureHnswGraph(spark, dest)
-    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val q = queryVec(spark, dir, 0L)
     HnswIndex.search(spark, dest, "embedding", q, 10, nprobes = 8, ef = 200)
       .select(col("vec_id"), col("_distance").as("dist"))
       .orderBy(col("dist"), col("vec_id"))
@@ -191,14 +206,10 @@ object Similarity {
     import graft.index.HnswIndex
     val dest = ensureIvf(spark, dir)
     ensureHnswGraph(spark, dest)
-    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val q = queryVec(spark, dir, 0L)
     val hnswIds = HnswIndex.search(spark, dest, "embedding", q, 10, nprobes = 8, ef = 200)
       .select(col("vec_id"))
-    val exactIds = t(spark, dir, "embeddings")
-      .select(col("vec_id"), l2_distance(col("embedding"), lit(q.map(_.toDouble))).as("d"))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .select(col("vec_id"))
+    val exactIds = exactTop10Ids(spark, dir, q)
     hnswIds.join(exactIds, "vec_id")
       .agg(count(lit(1)).as("n_overlap"))
       .select(lit(10).as("k"), col("n_overlap"))
@@ -218,14 +229,10 @@ object Similarity {
     import graft.index.HnswIndex
     val dest = ensureIvf(spark, dir)
     ensureHnswGraph(spark, dest)
-    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val q = queryVec(spark, dir, 0L)
     val hnswIds = HnswIndex.search(spark, dest, "embedding", q, 10, nprobes = 4, ef = 200)
       .select(col("vec_id"))
-    val exactIds = t(spark, dir, "embeddings")
-      .select(col("vec_id"), l2_distance(col("embedding"), lit(q.map(_.toDouble))).as("d"))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .select(col("vec_id"))
+    val exactIds = exactTop10Ids(spark, dir, q)
     hnswIds.join(exactIds, "vec_id")
       .agg(count(lit(1)).as("n_overlap"))
       .select(lit(10).as("k"), lit(4).as("nprobes"),
@@ -244,6 +251,11 @@ object Similarity {
       new java.io.File(s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
     val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(metaFile)) {
+      // a (re)build invalidates any HNSW graph built over the old buckets
+      // (same guard as ensureIvf — v29 walks a graph over THESE buckets)
+      val gp = new org.apache.hadoop.fs.Path(new java.io.File(
+        graft.index.HnswIndex.graphPath(dest, "embedding")).getAbsolutePath)
+      if (fs.exists(gp)) fs.delete(gp, true)
       val r = IvfIndex.build(spark, t(spark, dir, "embeddings"),
         "embedding", "vec_id", dest, numPartitions = 8, metric = "l2",
         pq = Some(IvfIndex.PqParams(numSubVectors = 16, numBits = 8)))
@@ -264,15 +276,11 @@ object Similarity {
   def v28KnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.index.IvfIndex
     val dest = ensureIvfPq(spark, dir)
-    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val q = queryVec(spark, dir, 0L)
     val pqIds = IvfIndex.searchPq(spark, dest, "embedding", q, 10,
         nprobes = 8, refineFactor = 4)
       .select(col("vec_id"))
-    val exactIds = t(spark, dir, "embeddings")
-      .select(col("vec_id"), l2_distance(col("embedding"), lit(q.map(_.toDouble))).as("d"))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .select(col("vec_id"))
+    val exactIds = exactTop10Ids(spark, dir, q)
     pqIds.join(exactIds, "vec_id")
       .agg(count(lit(1)).as("n_overlap"))
       .select(lit(10).as("k"), lit(4).as("refine"),
@@ -290,15 +298,11 @@ object Similarity {
     import graft.index.HnswIndex
     val dest = ensureIvfPq(spark, dir)
     ensureHnswGraph(spark, dest)
-    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val q = queryVec(spark, dir, 0L)
     val annIds = HnswIndex.searchPq(spark, dest, "embedding", q, 10,
         nprobes = 8, ef = 200)
       .select(col("vec_id"))
-    val exactIds = t(spark, dir, "embeddings")
-      .select(col("vec_id"), l2_distance(col("embedding"), lit(q.map(_.toDouble))).as("d"))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .select(col("vec_id"))
+    val exactIds = exactTop10Ids(spark, dir, q)
     annIds.join(exactIds, "vec_id")
       .agg(count(lit(1)).as("n_overlap"))
       .select(lit(10).as("k"), lit(200).as("ef"),
@@ -317,8 +321,7 @@ object Similarity {
   def v30KnnFiltered(spark: SparkSession, dir: String): DataFrame = {
     import graft.index.IvfIndex
     val dest = ensureIvf(spark, dir)
-    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val q = queryVec(spark, dir, 0L)
     IvfIndex.search(spark, dest, "embedding", q, 10, nprobes = 8,
         filter = Some(col("label") === 3))
       .select(col("vec_id"), col("_distance").as("dist"))
@@ -334,8 +337,7 @@ object Similarity {
     import graft.index.HnswIndex
     val dest = ensureIvf(spark, dir, metric = "cosine")
     ensureHnswGraph(spark, dest)
-    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 1)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val q = queryVec(spark, dir, 1L)
     HnswIndex.search(spark, dest, "embedding", q, 10, nprobes = 8, ef = 200,
         metric = Some("cosine"))
       .select(col("vec_id"), col("_distance").as("dist"))
