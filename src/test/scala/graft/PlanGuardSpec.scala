@@ -70,4 +70,24 @@ class PlanGuardSpec extends AnyFunSuite {
     val readSchema = p.split("ReadSchema: struct<").last.takeWhile(_ != '>')
     assert(readSchema.count(_ == ',') == 3, readSchema)
   }
+
+  test("decontamination broadcasts the eval gram set (big side never shuffles)") {
+    // the scale contract of t37: the fixed-size eval grams ride a
+    // BroadcastHashJoin; a SortMergeJoin here would shuffle the full
+    // training gram table
+    assert(planOf("t37_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("LM rarity broadcasts the vocabulary join") {
+    // vocab is bounded by the language, not the corpus — it must never
+    // force a shuffle of the token stream
+    assert(planOf("t38_lm_rarity").contains("BroadcastHashJoin"))
+  }
+
+  test("sequence packing shuffles once on shard, no global sort") {
+    val p = planOf("p71_pack_sequences")
+    // exactly one hashpartitioning exchange (the shard shuffle feeding the
+    // window); the final orderBy is the driver-side presentation sort
+    assert("hashpartitioning\\(shard".r.findAllIn(p).size == 1, p)
+  }
 }
