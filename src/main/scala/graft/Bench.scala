@@ -38,8 +38,17 @@ object Bench {
     // dev knob (unset in the driver): see SparkEntry.selectQueries
     val selected = SparkEntry.selectQueries("SPARK_GRAFT_BENCH_ONLY")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Unload every cached state-store provider before each query: the
+      // streaming gates otherwise accumulate loaded providers across the
+      // whole bench and their maintenance threads contend — measured s59
+      // warm runs GROWING 2.6 -> 5.5 -> 8.4 s within one bench. Each
+      // query is measured from a clean state-store cache instead.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       val cold = once(fn)
-      val warm = if (cold < 0) Seq(-1.0) else Seq.fill(nRuns)(once(fn))
+      val warm = if (cold < 0) Seq(-1.0) else Seq.fill(nRuns) {
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        once(fn)
+      }
       val med =
         if (warm.exists(_ < 0)) -1.0
         else warm.sorted.apply(warm.size / 2)
@@ -53,11 +62,13 @@ object Bench {
     // seconds, no spread; round 3's inline spread object pushed the line
     // start past the tail window and the driver recorded parsed:null).
     // At 79 queries the line is ~1.8 KB — the length check below warns
-    // loudly before the budget is blown. Spread goes to stderr. Trailing
-    // zeros are stripped ("0.20" -> "0.2") to keep ~70 chars of headroom.
+    // loudly before the budget is blown. Spread goes to stderr. Seconds
+    // are 1-decimal with trailing zeros stripped ("5.0" -> "5"): 0.1 s
+    // granularity is below bench noise (sub-second queries swing ±2×
+    // between same-code runs) and keeps ~130 chars of headroom.
     def f3(v: Double): String =
       if (v < 0) "-1"
-      else f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+      else f"$v%.1f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
         case "" => "0"
         case s => s
       }
@@ -67,8 +78,11 @@ object Bench {
       System.err.println(s"[bench-spread] $k [${f3(lo)},${f3(hi)}]")
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // total keeps 2 decimals (it's the headline number); sf is the
+    // basename — the full path spends 15 chars of window for no signal
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     // sbt's "[success] Total time" (~75 chars) lands after this line inside
     // the same 2000-char tail; past ~1900 the line start falls out of the
     // window and the driver records parsed:null (the round-3 failure)
