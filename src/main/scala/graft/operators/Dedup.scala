@@ -251,12 +251,21 @@ object Dedup {
     // df-cap hot bands (a band shared by m docs yields m²/2 candidates);
     // exact verification below still uses the FULL shingle arrays
     val banded = capHotKeys(spark,
-      sig.select(col("doc_id"), col("sh"), explode(col("bands")).as("bk")),
+      sig.select(col("doc_id"), explode(col("bands")).as("bk")),
       "bk", "d44")
-    val a = banded.select(col("bk"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = banded.select(col("bk").as("bk2"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, col("bk") === col("bk2") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+    // candidate pairs stay NARROW through the band join + distinct (the
+    // d47 lesson: dragging two ~90-long hash arrays through distinct made
+    // it the hottest stage); the shingle arrays join back onto the
+    // deduplicated pair ids — two narrow equi-joins against the signature
+    // table, broadcast when it is small
+    val a = banded.select(col("bk"), col("doc_id").as("a_id"))
+    val b = banded.select(col("bk").as("bk2"), col("doc_id").as("b_id"))
+    val pairs = a.join(b, col("bk") === col("bk2") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val shTbl = sig.select(col("doc_id"), col("sh"))
+    pairs
+      .join(shTbl.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(shTbl.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("inter", expr("size(array_intersect(a_sh, b_sh))"))
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (size(a_sh) + size(b_sh) - inter)"))
