@@ -19,6 +19,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev knob (unset in the driver): see SparkEntry.selectQueries
     SparkEntry.selectQueries("SPARK_GRAFT_VERIFY_ONLY").foreach { case (name, fn) =>
+      // unload state-store providers left by earlier streaming gates —
+      // their maintenance threads otherwise accumulate across the run
+      // (same hygiene as Bench)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

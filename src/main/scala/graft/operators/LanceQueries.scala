@@ -381,6 +381,25 @@ object LanceQueries {
         lit(after).as("frags_after"), col("n"), col("sum_bal"))
   }
 
+  /** Pipeline end-cap: the per-document packing assignment (p71's
+    * upstream table) exported through the lance sink and read back —
+    * "curate → pack → store" landing on the engine's own storage format.
+    * The gate re-aggregates the ROUND-TRIPPED rows per shard, so a write
+    * or scan corruption (lost rows, mangled longs) turns it red; the
+    * oracle computes the same totals straight from the documents table.
+    */
+  def p72PackedExport(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "packed_docs")
+    freshDataset(spark, dest)
+    TextAnalysis.packedDocs(spark, dir)
+      .write.format("lance").mode("overwrite").save(dest)
+    spark.read.format("lance").load(dest)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("seq_id")).as("n_seqs"))
+      .orderBy(col("shard"))
+  }
+
   /** A1/S4: ungrouped, unfiltered COUNT(*) over a lance dataset — answered
     * from the manifest's fragment row counts as a driver-side LocalScan
     * (zero file reads; plan shape asserted in LanceConnectorSpec). The
@@ -408,6 +427,7 @@ object LanceQueries {
     "s61_stream_static_join" -> s61StreamStaticJoin,
     "s62_stream_user_state" -> s62StreamUserState,
     "s63_compact_roundtrip" -> s63CompactRoundtrip,
+    "p72_packed_export" -> p72PackedExport,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -485,6 +505,18 @@ object LanceQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // same packing arithmetic as p71's oracle, re-aggregated per shard
+    "p72_packed_export" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 32 AS shard FROM documents),
+        |c AS (SELECT *, SUM(n_tokens)
+        |    OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start_off
+        |  FROM d)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        | COUNT(DISTINCT start_off // 2048) AS n_seqs
+        |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
     "s63_compact_roundtrip" ->
       """SELECT true AS fragmented_before, CAST(1 AS INT) AS frags_after,
         | COUNT(*) AS n,

@@ -224,7 +224,12 @@ object TextAnalysis {
     * pack 100 TB in parallel. A bigger cluster raises the shard count;
     * the semantics don't change.
     */
-  def p71PackSequences(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document packing assignment: (doc_id, n_tokens, shard, seq_id)
+    * — the table a pipeline materializes before writing training shards
+    * ([[p71PackSequences]] aggregates it; the storage-export gate in
+    * LanceQueries round-trips it through the lance sink).
+    */
+  private[operators] def packedDocs(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
     t(spark, dir, "documents")
@@ -233,10 +238,14 @@ object TextAnalysis {
         expr(s"${wordHash("CAST(doc_id AS STRING)")} % 32").as("shard"))
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("seq_id", expr("start_off div 2048"))
+      .select(col("doc_id"), col("n_tokens"), col("shard"), col("seq_id"))
+  }
+
+  def p71PackSequences(spark: SparkSession, dir: String): DataFrame =
+    packedDocs(spark, dir)
       .groupBy(col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("shard"), col("seq_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t35_bpe_tokens" -> t35BpeTokens,
