@@ -328,6 +328,49 @@ object Similarity {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** §7.3 ANN optimizer rule end-to-end: a plain distance-orderBy-limit
+    * over a LANCE scan, with `spark.graft.ann.useIndex` enabled, is
+    * rewritten by the Catalyst rule into the bucket-pruned index probe —
+    * the driver gate for the path AnnIndexRewriteSpec covers in specs.
+    * `rule_fired` is read off the executed plan (the probe's
+    * `__ivf_part` partition filter), so a silently-not-firing rule turns
+    * the row red even though full probing would keep the data rows
+    * correct. Full probing (nprobes = all 8) ⇒ results equal brute-force
+    * KNN ⇒ the data rows carry a real SQL oracle.
+    */
+  def v31AnnRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = graft.Tables.scratch(dir, "emb_lance_ann_v1")
+    val root = new org.apache.hadoop.fs.Path(new java.io.File(dest).getAbsolutePath)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    if (graft.format.LanceFormat.latestVersion(fs, root).isEmpty) {
+      t(spark, dir, "embeddings")
+        .write.format("lance").mode("overwrite").save(dest)
+    }
+    val metaFile = new org.apache.hadoop.fs.Path(
+      new java.io.File(s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
+    if (!fs.exists(metaFile)) {
+      val r = IvfIndex.build(spark, spark.read.format("lance").load(dest),
+        "embedding", "vec_id", dest, numPartitions = 8)
+      require(r.success, r.error)
+    }
+    val q = queryVec(spark, dir, 0L)
+    spark.conf.set("spark.graft.ann.useIndex", "true")
+    spark.conf.set("spark.graft.ann.nprobes", "8")
+    try {
+      val df = graft.Lance.knnSearch(
+        spark.read.format("lance").load(dest), "embedding", q, 10)
+      val fired = df.queryExecution.executedPlan.toString
+        .contains("PartitionFilters: [__ivf_part")
+      df.select(col("vec_id"), col("_distance").as("dist"))
+        .withColumn("rule_fired", lit(fired))
+        .orderBy(col("dist"), col("vec_id"))
+    } finally {
+      spark.conf.unset("spark.graft.ann.useIndex")
+      spark.conf.unset("spark.graft.ann.nprobes")
+    }
+  }
+
   /** V8 under cosine: the IVF buckets and the per-bucket graphs are built
     * on the cosine metric (reference delegates all three metrics to its
     * index, `LanceVectorSearch.java:274-285`). Same exactness argument as
@@ -354,6 +397,7 @@ object Similarity {
     "v28_knn_ivfpq" -> v28KnnIvfPq,
     "v29_knn_hnswpq" -> v29KnnHnswPq,
     "v30_knn_filtered" -> v30KnnFiltered,
+    "v31_ann_rewrite" -> v31AnnRewrite,
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
@@ -384,6 +428,13 @@ object Similarity {
       "SELECT 10 AS k, 4 AS refine, true AS recall_ok",
     "v29_knn_hnswpq" ->
       "SELECT 10 AS k, 200 AS ef, true AS recall_ok",
+    // the optimizer-rule gate: brute-force rows (full probe = exact) plus
+    // the planted plan outcome — the probe's partition filter must appear
+    "v31_ann_rewrite" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $l2SqlBody AS dist, true AS rule_fired
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
     // full probe + pre-filter = exact KNN over the filtered subset
     "v30_knn_filtered" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
