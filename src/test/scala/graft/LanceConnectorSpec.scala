@@ -289,6 +289,29 @@ class LanceConnectorSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(dir).count() == 0)
   }
 
+  test("failed write aborts cleanly: no new version, no orphan data files") {
+    val dir = s"${tmpDir()}/abortw"
+    Seq((1L, "seed")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    // 4 tasks; the poison row lands in one of the later partitions so some
+    // tasks commit their files before the job dies — job-level abort must
+    // then delete THOSE too, not just the failing task's partials
+    val bad = spark.range(200).repartition(4)
+      .select(col("id"),
+        when(col("id") === 199, raise_error(lit("poison row")))
+          .otherwise(concat(lit("r"), col("id"))).as("s"))
+    intercept[Exception] {
+      bad.write.format("lance").mode("append").save(dir)
+    }
+    assert(Lance.versions(spark, dir).size == 1, "aborted write must not commit a version")
+    val back = spark.read.format("lance").load(dir)
+    assert(back.count() == 1)
+    val m = LanceFormat.readLatest(fs(dir), new Path(dir)).get
+    val referenced = m.fragments.map(_.file).toSet
+    val onDisk = fs(dir).listStatus(LanceFormat.dataPath(new Path(dir)))
+      .map(_.getPath.getName).filterNot(_.endsWith(".crc")).toSet
+    assert(onDisk == referenced, s"orphan files left behind: ${onDisk -- referenced}")
+  }
+
   test("reference type surface round-trips data-exact (plus decimal and map)") {
     // The reference converts exactly these logical types (arrowTypeToFlinkType /
     // flinkTypeToArrowField, `converter/LanceTypeConverter.java:114-257`):
