@@ -62,7 +62,7 @@ object Bench {
     // parses the JSON line out of it — keep this line SHORT (2-decimal
     // seconds, no spread; round 3's inline spread object pushed the line
     // start past the tail window and the driver recorded parsed:null).
-    // At 79 queries the line is ~1.8 KB — the length check below warns
+    // At 81 queries the line is ~1.87 KB — the length check below warns
     // loudly before the budget is blown. Spread goes to stderr. Seconds
     // are 1-decimal with trailing zeros stripped ("5.0" -> "5"): 0.1 s
     // granularity is below bench noise (sub-second queries swing ±2×

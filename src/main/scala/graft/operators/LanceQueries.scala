@@ -505,15 +505,9 @@ object LanceQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    // same packing arithmetic as p71's oracle, re-aggregated per shard
+    // p71's packing CTE (one shared definition), re-aggregated per shard
     "p72_packed_export" ->
-      """WITH d AS (SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |    % 32 AS shard FROM documents),
-        |c AS (SELECT *, SUM(n_tokens)
-        |    OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start_off
-        |  FROM d)
+      s"""WITH ${TextAnalysis.packedDocsOracleCte}
         |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         | COUNT(DISTINCT start_off // 2048) AS n_seqs
         |FROM c GROUP BY shard ORDER BY shard""".stripMargin,

@@ -332,11 +332,18 @@ object Similarity {
     * over a LANCE scan, with `spark.graft.ann.useIndex` enabled, is
     * rewritten by the Catalyst rule into the bucket-pruned index probe —
     * the driver gate for the path AnnIndexRewriteSpec covers in specs.
-    * `rule_fired` is read off the executed plan (the probe's
-    * `__ivf_part` partition filter), so a silently-not-firing rule turns
-    * the row red even though full probing would keep the data rows
-    * correct. Full probing (nprobes = all 8) ⇒ results equal brute-force
-    * KNN ⇒ the data rows carry a real SQL oracle.
+    * The probe MUST be collected while the conf is still set: the rule
+    * reads the conf at optimize time, and Verify/Bench execute the
+    * returned DataFrame long after this function restores it — a lazy
+    * return here would re-optimize WITHOUT the rule and gate the
+    * brute-force path instead. k rows are driver-local by definition, so
+    * the collect is the probe's own top-k output, not a driver-side scan.
+    * `rule_fired` is read off the same finalized plan that produced the
+    * rows (the probe's `__ivf_part` partition filter), so a
+    * silently-not-firing rule turns the row red even though full probing
+    * keeps the data rows correct. Full probing (nprobes = all 8) ⇒
+    * results equal brute-force KNN ⇒ the data rows carry a real SQL
+    * oracle.
     */
   def v31AnnRewrite(spark: SparkSession, dir: String): DataFrame = {
     import graft.index.IvfIndex
@@ -355,19 +362,29 @@ object Similarity {
       require(r.success, r.error)
     }
     val q = queryVec(spark, dir, 0L)
+    // save/restore: a caller's session-level opt-in must survive this gate
+    val prev = Seq("spark.graft.ann.useIndex", "spark.graft.ann.nprobes")
+      .map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.graft.ann.useIndex", "true")
     spark.conf.set("spark.graft.ann.nprobes", "8")
     try {
-      val df = graft.Lance.knnSearch(
+      // collect the BARE knnSearch: that Sort+Limit-over-scan is the rule's
+      // match pattern — composing another orderBy on top lets the optimizer
+      // eliminate the inner sort and the rule (correctly) no longer fires
+      val knn = graft.Lance.knnSearch(
         spark.read.format("lance").load(dest), "embedding", q, 10)
-      val fired = df.queryExecution.executedPlan.toString
+      val rows = knn.collect() // force the probe while the rule is on
+      val fired = knn.queryExecution.executedPlan.toString
         .contains("PartitionFilters: [__ivf_part")
-      df.select(col("vec_id"), col("_distance").as("dist"))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), knn.schema)
+        .select(col("vec_id"), col("_distance").as("dist"))
         .withColumn("rule_fired", lit(fired))
         .orderBy(col("dist"), col("vec_id"))
     } finally {
-      spark.conf.unset("spark.graft.ann.useIndex")
-      spark.conf.unset("spark.graft.ann.nprobes")
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 

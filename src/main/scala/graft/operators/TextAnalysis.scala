@@ -24,6 +24,22 @@ object TextAnalysis {
   private def wordHash(w: String) =
     s"CAST(conv(substr(md5($w), 1, 8), 16, 10) AS BIGINT)"
 
+  /** Shared DuckDB CTE: the per-document packing assignment
+    * (doc_id, n_tokens, shard, start_off) — the SQL twin of
+    * [[packedDocs]]. p71's oracle aggregates it per (shard, seq); p72's
+    * ([[LanceQueries]]) re-aggregates the lance round trip per shard.
+    * ONE definition, so a packing-parameter change (shard count, hash,
+    * sequence length) cannot silently split the two oracles.
+    */
+  private[operators] val packedDocsOracleCte: String =
+    """d AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    % 32 AS shard FROM documents),
+      |c AS (SELECT *, SUM(n_tokens)
+      |    OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start_off
+      |  FROM d)""".stripMargin
+
   /** Per-source token statistics (token counting over an exploded view). */
   def t31TokenStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -312,12 +328,7 @@ object TextAnalysis {
            |FROM tok JOIN vocab USING (w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "p71_pack_sequences" ->
-        s"""WITH d AS (SELECT doc_id,
-           |  CAST(len($dWords) AS BIGINT) AS n_tokens,
-           |  ${dHash("CAST(doc_id AS VARCHAR)")} % 32 AS shard FROM documents),
-           |c AS (SELECT *, SUM(n_tokens)
-           |    OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start_off
-           |  FROM d)
+        s"""WITH $packedDocsOracleCte
            |SELECT shard, CAST(start_off // 2048 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
            | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
            |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,

@@ -292,13 +292,15 @@ class LanceConnectorSpec extends AnyFunSuite {
   test("failed write aborts cleanly: no new version, no orphan data files") {
     val dir = s"${tmpDir()}/abortw"
     Seq((1L, "seed")).toDF("id", "s").write.format("lance").mode("append").save(dir)
-    // 4 tasks; the poison row lands in one of the later partitions so some
-    // tasks commit their files before the job dies — job-level abort must
-    // then delete THOSE too, not just the failing task's partials
-    val bad = spark.range(200).repartition(4)
-      .select(col("id"),
-        when(col("id") === 199, raise_error(lit("poison row")))
-          .otherwise(concat(lit("r"), col("id"))).as("s"))
+    // 4 tasks; the poison row is the LAST of its partition and sleeps
+    // before throwing, so the 3 sibling tasks deterministically commit
+    // their files first — the job-level abort must then delete THOSE too,
+    // not just the failing task's partials
+    val poison = udf { id: Long =>
+      if (id == 199) { Thread.sleep(3000); sys.error("poison row") }
+      "r" + id
+    }
+    val bad = spark.range(200).repartition(4).select(col("id"), poison(col("id")).as("s"))
     intercept[Exception] {
       bad.write.format("lance").mode("append").save(dir)
     }
