@@ -124,8 +124,7 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
     val dataSchema = manifest.map(_.schema).getOrElse(schema())
     val index = new InMemoryFileIndex(spark, files, Map.empty[String, String],
       Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
-    new LanceScanBuilder(spark, index, dataSchema, options, rootStr,
-      manifest.map(_.rowCount))
+    new LanceScanBuilder(spark, index, dataSchema, options, rootStr, manifest)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -148,10 +147,12 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
 class LanceScanBuilder(spark: SparkSession,
     index: InMemoryFileIndex, dataSchema: StructType,
     options: CaseInsensitiveStringMap, rootStr: String,
-    manifestRowCount: Option[Long] = None)
+    manifest: Option[Manifest] = None)
     extends ParquetScanBuilder(spark, index, dataSchema, dataSchema, options) {
 
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+
+  private def manifestRowCount: Option[Long] = manifest.map(_.rowCount)
 
   private var manifestCount: Option[Long] = None
 
@@ -169,9 +170,34 @@ class LanceScanBuilder(spark: SparkSession,
     if (plainCountStar(agg)) { manifestCount = manifestRowCount; true }
     else super.pushAggregation(agg)
 
+  /** Manifest-stats fragment pruning (driver-side data skipping): with
+    * pushed data filters, fragments whose min/max prove no row can match
+    * are dropped BEFORE the scan is built — no task, no footer read, no
+    * row-group pruning for them. At a million fragments the footer reads
+    * alone dwarf a selective query's data; the manifest decides for free.
+    * Conservative by construction ([[graft.format.FragmentStats.prune]]);
+    * correctness is oracle-gated (s64) and spec'd with planted ranges.
+    */
+  private def statsPruned(base: ParquetScan): ParquetScan = {
+    val kept = manifest match {
+      case Some(m) if pushedDataFilters.nonEmpty =>
+        graft.format.FragmentStats.prune(m.schema, m.fragments, pushedDataFilters)
+      case _ => return base
+    }
+    if (kept.size == manifest.get.fragments.size) base
+    else {
+      val root = new org.apache.hadoop.fs.Path(rootStr)
+      val files = kept.map(f => new org.apache.hadoop.fs.Path(
+        LanceFormat.dataPath(root), f.file))
+      val pruned = new InMemoryFileIndex(spark, files, Map.empty[String, String],
+        Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
+      base.copy(fileIndex = pruned)
+    }
+  }
+
   override def build(): ParquetScan = manifestCount match {
     case Some(n) => new LanceCountStarScan(super.build(), rootStr, n)
-    case None => new LanceParquetScan(super.build(), rootStr)
+    case None => new LanceParquetScan(statsPruned(super.build()), rootStr)
   }
 }
 
@@ -236,11 +262,16 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     // maintenance writes (compaction) preserve the streaming epoch
     // watermark of the manifest they rewrite
     private val epochId = Option(info.options.get("write.epoch-id")).map(_.toLong)
+    // fragment min/max/nullCount stats for manifest-level data skipping;
+    // on by default, `write.stats=false` opts a very wide schema out
+    private val collectStats = Option(info.options.get("write.stats")).forall(_.toBoolean)
 
     override def toBatch: BatchWrite =
-      new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile, epochId)
+      new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
+        epochId, collectStats)
     override def toStreaming: StreamingWrite =
-      new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile)
+      new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
+        collectStats)
   }
 }
 
@@ -252,10 +283,10 @@ case class LanceCommitMessage(fragments: Seq[FragmentMeta]) extends WriterCommit
   */
 class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     conf: SerializableConf, maxRowsPerFile: Long,
-    epochId: Option[Long] = None) extends BatchWrite {
+    epochId: Option[Long] = None, collectStats: Boolean = true) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile)
+    new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile, collectStats)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val frags = messages.collect { case LanceCommitMessage(f) => f }.flatten.toSeq
@@ -281,10 +312,11 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
   * recorded in the latest manifest is a replay and is skipped.
   */
 class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolean,
-    conf: SerializableConf, maxRowsPerFile: Long) extends StreamingWrite {
+    conf: SerializableConf, maxRowsPerFile: Long,
+    collectStats: Boolean = true) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile)
+    new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile, collectStats)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(rootStr)

@@ -33,15 +33,15 @@ class SerializableConf(@transient var value: Configuration) extends Serializable
 
 /** Creates one fragment writer per task (batch and streaming share it). */
 class LanceWriterFactory(rootStr: String, schemaJson: String,
-    conf: SerializableConf, maxRowsPerFile: Long)
+    conf: SerializableConf, maxRowsPerFile: Long, collectStats: Boolean = true)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile)
+    new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile, collectStats)
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile)
+    new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile, collectStats)
 }
 
 /** Executor-side fragment writer: streams InternalRows into Parquet
@@ -51,10 +51,16 @@ class LanceWriterFactory(rootStr: String, schemaJson: String,
   * writing directly into `data/` is safe; abort simply deletes them.
   */
 class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
-    maxRowsPerFile: Long) extends DataWriter[InternalRow] {
+    maxRowsPerFile: Long, collectStats: Boolean = true) extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val root = new Path(rootStr)
+
+  /** Per-fragment min/max/nullCount for manifest-level data skipping
+    * ([[graft.format.FragmentStats]]); reset at every roll.
+    */
+  private val stats =
+    if (collectStats) Some(new graft.format.FragmentStats.Collector(schema)) else None
 
   /** Fixed-size vector fidelity (SURVEY §7.4 risk 5 — the reference drops
     * the dimension, `LanceTypeConverter.java:235-242`): columns stamped
@@ -112,9 +118,11 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
   private def roll(): Unit = {
     if (writer != null) {
       writer.close()
-      if (rowsInFile > 0) done += FragmentMeta(0, currentFile, rowsInFile)
+      if (rowsInFile > 0)
+        done += FragmentMeta(0, currentFile, rowsInFile, stats.flatMap(_.result()))
       else new Path(LanceFormat.dataPath(root), currentFile)
         .getFileSystem(conf).delete(new Path(LanceFormat.dataPath(root), currentFile), false)
+      stats.foreach(_.reset())
       writer = null
     }
   }
@@ -123,6 +131,7 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
     if (dimChecks.nonEmpty) validate(row)
     if (writer == null) open()
     writer.write(row)
+    stats.foreach(_.observe(row))
     rowsInFile += 1
     if (rowsInFile >= maxRowsPerFile) roll()
   }

@@ -1,0 +1,355 @@
+package graft.format
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-column statistics of one fragment, carried in the manifest.
+  *
+  * `min`/`max` are BOUNDS, not necessarily attained values (string maxima
+  * are truncated upward), encoded as strings for JSON stability: integral /
+  * date-days / timestamp-micros as decimal longs, float/double via
+  * `Double.toString` (`Infinity` included), decimals as plain strings,
+  * strings raw (capped at [[FragmentStats.MaxStatLength]] chars). A column
+  * with no entry — or an entry with `min`/`max` absent (all-null fragment,
+  * NaN observed) — never prunes; `nullCount` is always exact.
+  */
+case class ColStats(min: Option[String], max: Option[String], nullCount: Long)
+
+/** Manifest-level data skipping — the piece of the Lance model that makes
+  * selective scans cheap at 100 TB. Parquet row-group pruning only helps
+  * AFTER every footer is opened: at a million fragments that is a million
+  * object-store reads before the first data byte. Per-fragment min/max in
+  * the manifest lets the DRIVER drop non-matching fragments with zero I/O —
+  * one JSON read, then only surviving fragments get tasks, footers, and
+  * row-group pruning. (The reference's manifest carries only `rowCount`,
+  * `LanceSplit.java:53,92-94`; column stats are how the Lance format itself
+  * — and Delta/Iceberg — solve the same problem at scale.)
+  *
+  * Pruning is strictly conservative: a fragment is dropped only when its
+  * stats PROVE no row can satisfy the pushed filters. Unknown filter
+  * shapes, missing stats, unparseable bounds all keep the fragment.
+  */
+object FragmentStats {
+
+  /** String stats are capped at this many chars: a document-body column
+    * must not bloat every manifest. A truncated prefix stays a valid lower
+    * bound; maxima are truncated-then-incremented (see [[upperBound]]).
+    */
+  val MaxStatLength = 64
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.FragmentStats")
+
+  // ---------------------------------------------------------------- write
+
+  def eligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | BooleanType |
+         FloatType | DoubleType | StringType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** One column's running min/max/nullCount while a fragment is written.
+    * Values are compared in their native domain (longs as longs — no
+    * double rounding above 2^53; strings in UTF8 binary order, matching
+    * both Spark's string ordering and parquet's).
+    */
+  private sealed abstract class Tracker(val name: String) {
+    var nulls = 0L
+    def observe(row: InternalRow, i: Int): Unit
+    def minStr: Option[String]
+    def maxStr: Option[String]
+    def result: ColStats = ColStats(minStr, maxStr, nulls)
+  }
+
+  private final class LongTracker(name: String, get: (InternalRow, Int) => Long)
+      extends Tracker(name) {
+    private var lo = Long.MaxValue
+    private var hi = Long.MinValue
+    private var seen = false
+    def observe(row: InternalRow, i: Int): Unit = {
+      val v = get(row, i); seen = true
+      if (v < lo) lo = v
+      if (v > hi) hi = v
+    }
+    def minStr: Option[String] = if (seen) Some(lo.toString) else None
+    def maxStr: Option[String] = if (seen) Some(hi.toString) else None
+  }
+
+  private final class DoubleTracker(name: String, get: (InternalRow, Int) => Double)
+      extends Tracker(name) {
+    private var lo = Double.PositiveInfinity
+    private var hi = Double.NegativeInfinity
+    private var seen = false
+    private var nan = false // a NaN makes min/max meaningless for pruning
+    def observe(row: InternalRow, i: Int): Unit = {
+      val v = get(row, i)
+      if (java.lang.Double.isNaN(v)) nan = true
+      else {
+        seen = true
+        if (v < lo) lo = v
+        if (v > hi) hi = v
+      }
+    }
+    def minStr: Option[String] = if (seen && !nan) Some(lo.toString) else None
+    def maxStr: Option[String] = if (seen && !nan) Some(hi.toString) else None
+  }
+
+  private final class DecimalTracker(name: String, p: Int, s: Int)
+      extends Tracker(name) {
+    private var lo: java.math.BigDecimal = _
+    private var hi: java.math.BigDecimal = _
+    def observe(row: InternalRow, i: Int): Unit = {
+      val v = row.getDecimal(i, p, s).toJavaBigDecimal
+      if (lo == null || v.compareTo(lo) < 0) lo = v
+      if (hi == null || v.compareTo(hi) > 0) hi = v
+    }
+    def minStr: Option[String] = Option(lo).map(_.toPlainString)
+    def maxStr: Option[String] = Option(hi).map(_.toPlainString)
+  }
+
+  private final class StringTracker(name: String) extends Tracker(name) {
+    private var lo: UTF8String = _
+    private var hi: UTF8String = _
+    def observe(row: InternalRow, i: Int): Unit = {
+      val v = row.getUTF8String(i)
+      // rows from the scan/shuffle reuse buffers — clone only on a new extreme
+      if (lo == null || v.compareTo(lo) < 0) lo = v.clone()
+      if (hi == null || v.compareTo(hi) > 0) hi = v.clone()
+    }
+    def minStr: Option[String] = // a prefix is always <= the full string
+      Option(lo).map(s => truncate(s.toString))
+    def maxStr: Option[String] = Option(hi).map(_.toString).flatMap { s =>
+      if (s.length <= MaxStatLength) Some(s) else upperBound(truncate(s))
+    }
+  }
+
+  private def truncate(s: String): String =
+    if (s.length <= MaxStatLength) s else s.substring(0, MaxStatLength)
+
+  /** Smallest convenient string > every string with this prefix: bump the
+    * rightmost char that can grow and drop the tail (Iceberg's truncate-
+    * and-increment). All-￿ prefixes have no such bound → None.
+    */
+  private[graft] def upperBound(prefix: String): Option[String] = {
+    val cs = prefix.toCharArray
+    var i = cs.length - 1
+    while (i >= 0 && cs(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+  }
+
+  /** Streams every written row once; `result` snapshots the per-column
+    * stats for the fragment being rolled. One virtual call + compare per
+    * eligible column per row — noise next to parquet encoding.
+    */
+  final class Collector(schema: StructType) {
+    private var trackers: Array[(Int, Tracker)] = mk()
+
+    private def mk(): Array[(Int, Tracker)] =
+      schema.fields.zipWithIndex.collect {
+        case (f, i) if eligible(f.dataType) =>
+          val t: Tracker = f.dataType match {
+            case ByteType => new LongTracker(f.name, (r, j) => r.getByte(j).toLong)
+            case ShortType => new LongTracker(f.name, (r, j) => r.getShort(j).toLong)
+            case IntegerType | DateType => new LongTracker(f.name, (r, j) => r.getInt(j).toLong)
+            case LongType | TimestampType | TimestampNTZType =>
+              new LongTracker(f.name, (r, j) => r.getLong(j))
+            case BooleanType => new LongTracker(f.name, (r, j) => if (r.getBoolean(j)) 1L else 0L)
+            case FloatType => new DoubleTracker(f.name, (r, j) => r.getFloat(j).toDouble)
+            case DoubleType => new DoubleTracker(f.name, (r, j) => r.getDouble(j))
+            case d: DecimalType => new DecimalTracker(f.name, d.precision, d.scale)
+            case StringType => new StringTracker(f.name)
+            case other => throw new IllegalStateException(s"not stats-eligible: $other")
+          }
+          (i, t)
+      }
+
+    def observe(row: InternalRow): Unit = {
+      var j = 0
+      while (j < trackers.length) {
+        val (i, t) = trackers(j)
+        if (row.isNullAt(i)) t.nulls += 1 else t.observe(row, i)
+        j += 1
+      }
+    }
+
+    def reset(): Unit = trackers = mk()
+
+    def result(): Option[Map[String, ColStats]] =
+      if (trackers.isEmpty) None
+      else Some(trackers.map { case (_, t) => t.name -> t.result }.toMap)
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Keep only fragments whose stats admit at least one matching row.
+    * Fragments without stats (pre-stats manifests, `write.stats=false`)
+    * always survive. Logs what was skipped — silent pruning that is ever
+    * wrong would be unfindable.
+    */
+  def prune(schema: StructType, fragments: Seq[FragmentMeta],
+      filters: Array[Filter]): Seq[FragmentMeta] = {
+    if (filters.isEmpty || fragments.forall(_.stats.isEmpty)) return fragments
+    val kept = fragments.filter { f =>
+      f.stats.forall(st => filters.forall(mayMatch(schema, f.rowCount, st, _)))
+    }
+    if (kept.size < fragments.size)
+      log.info(s"manifest stats pruned ${fragments.size - kept.size} of " +
+        s"${fragments.size} fragments for filters [${filters.mkString(", ")}]")
+    kept
+  }
+
+  /** Conservative tri-state collapsed to two: false ONLY when no row of a
+    * fragment with these stats can satisfy `filter`.
+    */
+  private[graft] def mayMatch(schema: StructType, rowCount: Long,
+      stats: Map[String, ColStats], filter: Filter): Boolean = filter match {
+    case And(l, r) => mayMatch(schema, rowCount, stats, l) &&
+      mayMatch(schema, rowCount, stats, r)
+    case Or(l, r) => mayMatch(schema, rowCount, stats, l) ||
+      mayMatch(schema, rowCount, stats, r)
+    case AlwaysTrue() => true
+    case AlwaysFalse() => false
+
+    case IsNull(a) => stats.get(a).forall(_.nullCount > 0)
+    case IsNotNull(a) => stats.get(a).forall(_.nullCount < rowCount)
+
+    case EqualTo(a, v) => boundsAdmit(schema, rowCount, stats, a,
+      lo = Some((v, true)), hi = Some((v, true)))
+    case EqualNullSafe(a, null) => stats.get(a).forall(_.nullCount > 0)
+    case EqualNullSafe(a, v) => boundsAdmit(schema, rowCount, stats, a,
+      lo = Some((v, true)), hi = Some((v, true)))
+    case GreaterThan(a, v) => boundsAdmit(schema, rowCount, stats, a,
+      lo = Some((v, false)), hi = None)
+    case GreaterThanOrEqual(a, v) => boundsAdmit(schema, rowCount, stats, a,
+      lo = Some((v, true)), hi = None)
+    case LessThan(a, v) => boundsAdmit(schema, rowCount, stats, a,
+      lo = None, hi = Some((v, false)))
+    case LessThanOrEqual(a, v) => boundsAdmit(schema, rowCount, stats, a,
+      lo = None, hi = Some((v, true)))
+    case In(a, vs) =>
+      vs.isEmpty || vs.exists(v => v == null || boundsAdmit(schema, rowCount,
+        stats, a, lo = Some((v, true)), hi = Some((v, true))))
+
+    case StringStartsWith(a, p) =>
+      // strings with prefix p live in [p, upperBound(p))
+      boundsAdmit(schema, rowCount, stats, a, lo = Some((p, true)),
+        hi = upperBound(p).map(ub => (ub: Any, false)))
+
+    // Not(EqualTo) prunes the constant fragment: every row equal to v
+    case Not(EqualTo(a, v)) =>
+      !(for {
+        cs <- stats.get(a)
+        dt <- schema.fields.find(_.name == a).map(_.dataType)
+        mn <- cs.min.flatMap(statValue(dt, _))
+        mx <- cs.max.flatMap(statValue(dt, _))
+        fv <- filterValue(dt, v)
+        ord <- ordering(dt)
+      } yield cs.nullCount == 0 && ord(mn, fv) == 0 && ord(mx, fv) == 0)
+        .getOrElse(false)
+    case _ => true // unknown shape: never prune
+  }
+
+  /** Can any non-null value in [statMin, statMax] fall inside the filter
+    * interval `lo..hi` (each bound optional, Boolean = inclusive)? Any
+    * failure to parse or compare keeps the fragment.
+    */
+  private def boundsAdmit(schema: StructType, rowCount: Long,
+      stats: Map[String, ColStats], attr: String,
+      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]): Boolean = {
+    val verdict = for {
+      cs <- stats.get(attr)
+      dt <- schema.fields.find(_.name == attr).map(_.dataType)
+    } yield {
+      if (cs.nullCount == rowCount) false // all null: no value comparison matches
+      else {
+        val ord = ordering(dt)
+        def aboveLo = lo.forall { case (v, incl) =>
+          (for { mx <- cs.max.flatMap(statValue(dt, _)); fv <- filterValue(dt, v); o <- ord }
+            yield if (incl) o(mx, fv) >= 0 else o(mx, fv) > 0).getOrElse(true)
+        }
+        def belowHi = hi.forall { case (v, incl) =>
+          (for { mn <- cs.min.flatMap(statValue(dt, _)); fv <- filterValue(dt, v); o <- ord }
+            yield if (incl) o(mn, fv) <= 0 else o(mn, fv) < 0).getOrElse(true)
+        }
+        aboveLo && belowHi
+      }
+    }
+    verdict.getOrElse(true)
+  }
+
+  /** Decode a stored stat string into the column's comparison domain. */
+  private def statValue(dt: DataType, s: String): Option[Any] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | BooleanType => Some(s.toLong)
+      case FloatType | DoubleType => Some(java.lang.Double.parseDouble(s))
+      case _: DecimalType => Some(new java.math.BigDecimal(s))
+      case StringType => Some(UTF8String.fromString(s))
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+
+  /** Normalize a pushed-filter literal into the same domain. Spark casts
+    * literals to the column type before pushdown, so the runtime classes
+    * here are the documented external types of that column.
+    */
+  private def filterValue(dt: DataType, v: Any): Option[Any] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType => v match {
+        case n: java.lang.Number => Some(n.longValue())
+        case _ => None
+      }
+      case BooleanType => v match {
+        case b: java.lang.Boolean => Some(if (b) 1L else 0L)
+        case _ => None
+      }
+      case DateType => v match {
+        case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
+        case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d).toLong)
+        case _ => None
+      }
+      case TimestampType => v match {
+        case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+        case t: java.time.Instant => Some(DateTimeUtils.instantToMicros(t))
+        case _ => None
+      }
+      case TimestampNTZType => v match {
+        case t: java.time.LocalDateTime => Some(DateTimeUtils.localDateTimeToMicros(t))
+        case _ => None
+      }
+      case FloatType | DoubleType => v match {
+        case n: java.lang.Number => Some(n.doubleValue())
+        case _ => None
+      }
+      case _: DecimalType => v match {
+        case d: java.math.BigDecimal => Some(d)
+        case d: scala.math.BigDecimal => Some(d.bigDecimal)
+        case n: java.lang.Number => Some(new java.math.BigDecimal(n.toString))
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String => Some(UTF8String.fromString(s))
+        case u: UTF8String => Some(u)
+        case _ => None
+      }
+      case _ => None
+    } catch { case _: Exception => None }
+
+  private def ordering(dt: DataType): Option[(Any, Any) => Int] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | BooleanType =>
+      Some((a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+    case FloatType | DoubleType =>
+      Some((a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]))
+    case _: DecimalType =>
+      Some((a, b) => a.asInstanceOf[java.math.BigDecimal]
+        .compareTo(b.asInstanceOf[java.math.BigDecimal]))
+    case StringType =>
+      Some((a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
+    case _ => None
+  }
+}

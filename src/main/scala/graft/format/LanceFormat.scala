@@ -10,8 +10,13 @@ import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 
-/** One immutable data fragment of a dataset version. */
-case class FragmentMeta(id: Int, file: String, rowCount: Long)
+/** One immutable data fragment of a dataset version. `stats` carries
+  * per-column min/max/nullCount for manifest-level data skipping
+  * ([[FragmentStats]]); absent on manifests written before stats existed
+  * or with `write.stats=false` — such fragments are simply never pruned.
+  */
+case class FragmentMeta(id: Int, file: String, rowCount: Long,
+    stats: Option[Map[String, ColStats]] = None)
 
 /** A committed dataset version: schema + fragment list (+ the streaming
   * epoch that produced it, for idempotent exactly-once commits).

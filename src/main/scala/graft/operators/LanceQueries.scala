@@ -400,6 +400,26 @@ object LanceQueries {
       .orderBy(col("shard"))
   }
 
+  /** Manifest-stats data skipping end-to-end: a range-clustered write gives
+    * every fragment a narrow o_orderkey interval, so the selective filter
+    * prunes most fragments ON THE DRIVER (zero footer reads — the
+    * fragment-count effect is asserted in FragmentStatsSpec; this gate
+    * proves the pruned scan returns exactly the right ROWS). The oracle
+    * filters the original parquet, so any over-pruning — a fragment
+    * wrongly dropped — reds the hash immediately.
+    */
+  def s64StatsPruneScan(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_clustered")
+    freshDataset(spark, dest)
+    t(spark, dir, "orders")
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.format("lance").mode("overwrite").save(dest)
+    spark.read.format("lance").load(dest)
+      .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** A1/S4: ungrouped, unfiltered COUNT(*) over a lance dataset — answered
     * from the manifest's fragment row counts as a driver-side LocalScan
     * (zero file reads; plan shape asserted in LanceConnectorSpec). The
@@ -427,6 +447,7 @@ object LanceQueries {
     "s61_stream_static_join" -> s61StreamStaticJoin,
     "s62_stream_user_state" -> s62StreamUserState,
     "s63_compact_roundtrip" -> s63CompactRoundtrip,
+    "s64_stats_prune_scan" -> s64StatsPruneScan,
     "p72_packed_export" -> p72PackedExport,
   )
 
@@ -437,6 +458,10 @@ object LanceQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_quantity > 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "s64_stats_prune_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+        |ORDER BY o_orderkey""".stripMargin,
     "s52_lance_filter_scan" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 450000 AND o_orderstatus = 'O'

@@ -1,0 +1,225 @@
+package graft
+
+import graft.format.{ColStats, FragmentStats, LanceFormat}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Manifest-level data skipping: fragment min/max/nullCount collected at
+  * write time, fragments pruned on the driver before any footer is read.
+  * The evaluator must be strictly conservative — every test that prunes
+  * also re-checks the query RESULT against an unpruned computation.
+  */
+class FragmentStatsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "fragstats-")
+      .toAbsolutePath.toString
+
+  private def manifest(dir: String) =
+    LanceFormat.readLatest(
+      new Path(dir).getFileSystem(spark.sessionState.newHadoopConf()), new Path(dir)).get
+
+  /** Number of fragment files the executed scan actually read. */
+  private def scannedFiles(df: DataFrame): Int = {
+    df.collect() // finalize the adaptive plan
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scans = strip(df.queryExecution.executedPlan).collect {
+      case b: BatchScanExec => b.scan
+    }
+    scans.collect { case p: ParquetScan => p.fileIndex.inputFiles.length }.sum
+  }
+
+  // ------------------------------------------------------------ collection
+
+  test("writer records per-column min/max/nullCount in the manifest") {
+    val dir = s"${tmpDir()}/stats"
+    Seq((1L, Some("apple"), 1.5), (7L, None, -2.0), (4L, Some("pear"), 0.25))
+      .toDF("id", "s", "v").coalesce(1)
+      .write.format("lance").mode("overwrite").save(dir)
+    val st = manifest(dir).fragments.head.stats.get
+    assert(st("id") == ColStats(Some("1"), Some("7"), 0))
+    assert(st("s") == ColStats(Some("apple"), Some("pear"), 1))
+    assert(st("v") == ColStats(Some("-2.0"), Some("1.5"), 0))
+  }
+
+  test("long strings are truncated to bounds, not dropped") {
+    val dir = s"${tmpDir()}/trunc"
+    val longA = "a" * 100
+    val longZ = "z" * 100
+    Seq(longA, longZ).toDF("s").coalesce(1)
+      .write.format("lance").mode("overwrite").save(dir)
+    val st = manifest(dir).fragments.head.stats.get("s")
+    assert(st.min.get == "a" * 64) // prefix <= the real min
+    assert(st.max.get == "z" * 63 + "{") // truncate-and-increment > the real max
+    // the bounds must still admit the actual values (conservative)
+    val schema = new StructType().add("s", StringType)
+    assert(FragmentStats.mayMatch(schema, 2, Map("s" -> st), EqualTo("s", longZ)))
+    assert(FragmentStats.mayMatch(schema, 2, Map("s" -> st), EqualTo("s", longA)))
+    assert(!FragmentStats.mayMatch(schema, 2, Map("s" -> st), EqualTo("s", "Z")))
+  }
+
+  test("NaN disables a double column's bounds; nullCount stays exact") {
+    val dir = s"${tmpDir()}/nan"
+    Seq(1.0, Double.NaN, 3.0).toDF("v").coalesce(1)
+      .write.format("lance").mode("overwrite").save(dir)
+    val st = manifest(dir).fragments.head.stats.get("v")
+    assert(st == ColStats(None, None, 0))
+    val schema = new StructType().add("v", DoubleType)
+    // no bounds -> never prune
+    assert(FragmentStats.mayMatch(schema, 3, Map("v" -> st), EqualTo("v", 99.0)))
+  }
+
+  test("streaming writes collect stats too") {
+    val dir = s"${tmpDir()}/stream"
+    val src = s"${tmpDir()}/stream-src"
+    spark.range(10, 20).select(col("id")).write.format("lance").mode("overwrite").save(src)
+    val q = spark.readStream.format("lance").load(src)
+      .writeStream.format("lance")
+      .option("checkpointLocation", s"$dir-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir)
+    q.awaitTermination()
+    val frags = manifest(dir).fragments
+    assert(frags.nonEmpty)
+    assert(frags.forall(_.stats.exists(_("id").min.isDefined)))
+  }
+
+  test("write.stats=false opts out") {
+    val dir = s"${tmpDir()}/nostats"
+    spark.range(5).write.format("lance").option("write.stats", "false")
+      .mode("overwrite").save(dir)
+    assert(manifest(dir).fragments.forall(_.stats.isEmpty))
+  }
+
+  // ------------------------------------------------------------- evaluator
+
+  private val schema = new StructType()
+    .add("n", LongType).add("s", StringType).add("d", DoubleType)
+    .add("dt", DateType).add("b", BooleanType)
+  private val stats = Map(
+    "n" -> ColStats(Some("10"), Some("20"), 0),
+    "s" -> ColStats(Some("delta"), Some("kilo"), 2),
+    "d" -> ColStats(Some("-1.5"), Some("2.5"), 0),
+    "dt" -> ColStats(Some("19000"), Some("19100"), 0), // days since epoch
+    "b" -> ColStats(Some("1"), Some("1"), 0))
+  private def may(f: Filter, rc: Long = 100): Boolean =
+    FragmentStats.mayMatch(schema, rc, stats, f)
+
+  test("interval evaluator: comparisons, In, null tests, boolean logic") {
+    assert(may(EqualTo("n", 15L)) && !may(EqualTo("n", 9L)) && !may(EqualTo("n", 21L)))
+    assert(may(EqualTo("n", 10L)) && may(EqualTo("n", 20L))) // inclusive ends
+    assert(may(GreaterThan("n", 19L)) && !may(GreaterThan("n", 20L)))
+    assert(may(GreaterThanOrEqual("n", 20L)) && !may(GreaterThanOrEqual("n", 21L)))
+    assert(may(LessThan("n", 11L)) && !may(LessThan("n", 10L)))
+    assert(may(LessThanOrEqual("n", 10L)) && !may(LessThanOrEqual("n", 9L)))
+    assert(may(In("n", Array(1L, 2L, 12L))) && !may(In("n", Array(1L, 2L, 30L))))
+    assert(may(EqualTo("d", 2.5)) && !may(EqualTo("d", 2.6)))
+    assert(may(EqualTo("s", "echo")) && !may(EqualTo("s", "alpha")) && !may(EqualTo("s", "lima")))
+    assert(may(IsNull("s")) && !may(IsNull("n")))
+    assert(may(IsNotNull("s")) && may(IsNotNull("n")))
+    assert(!may(And(EqualTo("n", 9L), EqualTo("s", "echo"))))
+    assert(may(Or(EqualTo("n", 9L), EqualTo("s", "echo"))))
+    assert(!may(Or(EqualTo("n", 9L), EqualTo("s", "alpha"))))
+    // date pushdown values arrive as java.sql.Date / LocalDate
+    assert(may(EqualTo("dt", java.time.LocalDate.ofEpochDay(19050))))
+    assert(!may(EqualTo("dt", java.time.LocalDate.ofEpochDay(18000))))
+    assert(may(EqualTo("dt", java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000)))))
+    // constant-true boolean fragment: b = false prunes
+    assert(may(EqualTo("b", java.lang.Boolean.TRUE)))
+    assert(!may(EqualTo("b", java.lang.Boolean.FALSE)))
+  }
+
+  test("interval evaluator: prefixes, Not(EqualTo), all-null, unknowns") {
+    assert(may(StringStartsWith("s", "e")) && may(StringStartsWith("s", "delt")))
+    assert(!may(StringStartsWith("s", "z")) && !may(StringStartsWith("s", "a")))
+    // a column that is one constant value: <> prunes, over-range does not
+    val const = Map("n" -> ColStats(Some("5"), Some("5"), 0))
+    assert(!FragmentStats.mayMatch(schema, 10, const, Not(EqualTo("n", 5L))))
+    assert(FragmentStats.mayMatch(schema, 10, const, Not(EqualTo("n", 6L))))
+    // all-null fragment: value comparisons can't match, IS NULL can
+    val allNull = Map("n" -> ColStats(None, None, 10))
+    assert(!FragmentStats.mayMatch(schema, 10, allNull, EqualTo("n", 5L)))
+    assert(FragmentStats.mayMatch(schema, 10, allNull, IsNull("n")))
+    assert(!FragmentStats.mayMatch(schema, 10, allNull, IsNotNull("n")))
+    // unknown filter shapes and unknown columns never prune
+    assert(may(StringContains("s", "zzz")))
+    assert(may(EqualTo("missing_col", 1L)))
+  }
+
+  // ------------------------------------------------------------ end-to-end
+
+  test("selective filter prunes fragments from the scan (and stays correct)") {
+    val dir = s"${tmpDir()}/prune"
+    // 8 range-disjoint fragments over id 0..7999
+    spark.range(0, 8000).withColumn("v", col("id") * 2)
+      .repartitionByRange(8, col("id"))
+      .write.format("lance").mode("overwrite").save(dir)
+    val m = manifest(dir)
+    assert(m.fragments.size == 8)
+
+    val table = spark.read.format("lance").load(dir)
+    val narrow = table.filter(col("id") >= 2000 && col("id") < 2100)
+    assert(scannedFiles(narrow) == 1, "range filter should hit exactly one fragment")
+    assert(narrow.count() == 100)
+    assert(narrow.agg(sum("v")).head.getLong(0) == (2000L until 2100L).map(_ * 2).sum)
+
+    val point = table.filter(col("id") === 4242)
+    assert(scannedFiles(point) == 1)
+    assert(point.select("v").head.getLong(0) == 8484L)
+
+    val none = table.filter(col("id") === 999999)
+    assert(scannedFiles(none) == 0, "out-of-range point lookup reads zero files")
+    assert(none.count() == 0)
+
+    val all = table.filter(col("id") >= 0)
+    assert(scannedFiles(all) == 8)
+    assert(all.count() == 8000)
+  }
+
+  test("string-prefix filter prunes by string bounds") {
+    val dir = s"${tmpDir()}/prune-str"
+    val words = Seq("apple", "avocado", "banana", "blueberry", "cherry", "citron",
+      "mango", "melon")
+    words.zipWithIndex.toDF("w", "i")
+      .repartitionByRange(4, col("w"))
+      .write.format("lance").mode("overwrite").save(dir)
+    val table = spark.read.format("lance").load(dir)
+    val m = table.filter(col("w").startsWith("me"))
+    assert(scannedFiles(m) == 1)
+    assert(m.select("w").as[String].collect().sorted.toSeq == Seq("melon"))
+  }
+
+  test("pre-stats manifests (no stats field) are never pruned") {
+    val dir = s"${tmpDir()}/legacy"
+    spark.range(100).write.format("lance").option("write.stats", "false")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("lance").load(dir).filter(col("id") === 1)
+    assert(scannedFiles(df) >= 1) // no stats -> conservative full scan
+    assert(df.count() == 1)
+  }
+
+  test("compaction regenerates stats for the rewritten fragments") {
+    val dir = s"${tmpDir()}/compact"
+    spark.range(0, 100).repartitionByRange(4, col("id"))
+      .write.format("lance").mode("overwrite").save(dir)
+    graft.Lance.compact(spark, dir)
+    val frags = manifest(dir).fragments
+    assert(frags.nonEmpty)
+    assert(frags.forall(_.stats.exists(_("id").min.isDefined)))
+  }
+}
