@@ -59,24 +59,28 @@ object Bench {
     }
     // The driver captures only a bounded 2000-char TAIL of stdout (with
     // sbt's ~75-char "[success] Total time" line landing after ours) and
-    // parses the JSON line out of it — keep this line SHORT (2-decimal
-    // seconds, no spread; round 3's inline spread object pushed the line
-    // start past the tail window and the driver recorded parsed:null).
-    // At 81 queries the line is ~1.87 KB — the length check below warns
-    // loudly before the budget is blown. Spread goes to stderr. Seconds
-    // are 1-decimal with trailing zeros stripped ("5.0" -> "5"): 0.1 s
-    // granularity is below bench noise (sub-second queries swing ±2×
-    // between same-code runs) and keeps ~130 chars of headroom.
+    // parses the JSON line out of it — keep this line SHORT (the full
+    // 83-query line with long names measured 1891 chars, 33 from losing
+    // the line start past the window; rounds 1-3 all recorded
+    // parsed:null). Two levers: seconds are 1-decimal with trailing
+    // zeros stripped ("5.0" -> "5" — 0.1 s granularity is below bench
+    // noise), and query keys are the SHORT id ("q01", "v26p") — the id
+    // prefix every query name starts with and all docs/verdicts use;
+    // full names + [min,max] spreads go to stderr as [bench-spread]
+    // lines. ~750 chars total leaves room for ~80 more queries.
     def f3(v: Double): String =
       if (v < 0) "-1"
       else f"$v%.1f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
         case "" => "0"
         case s => s
       }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(r => shortId(r._1)).distinct.size == results.size,
+      "short query ids collide; fix the new query's id prefix")
+    val qs = results.map { case (k, v, _, _) => "\"" + shortId(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     results.foreach { case (k, _, lo, hi) =>
-      System.err.println(s"[bench-spread] $k [${f3(lo)},${f3(hi)}]")
+      System.err.println(s"[bench-spread] ${shortId(k)}=$k [${f3(lo)},${f3(hi)}]")
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     // total keeps 2 decimals (it's the headline number); sf is the

@@ -78,13 +78,13 @@ object TextAnalysis {
       .orderBy(col("lang"), col("lang_pred"))
   }
 
-  /** Per-document quality score: lexical diversity, length saturation,
-    * stopword pressure. Output is every component plus the combined score
-    * so downstream filters can re-weight without recompute.
+  /** Quality components + combined score appended to a `documents`-shaped
+    * frame — ONE definition feeding both the t33 gate and the p73 mixer,
+    * so a formula tweak cannot silently split them. Pure codegen'd
+    * expressions, no shuffle.
     */
-  def t33Quality(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .withColumn("n_tokens", expr(s"CAST(size($words) AS BIGINT)"))
+  private def withQuality(df: DataFrame): DataFrame =
+    df.withColumn("n_tokens", expr(s"CAST(size($words) AS BIGINT)"))
       .withColumn("uniq_ratio",
         expr(s"CAST(size(array_distinct($words)) AS DOUBLE) / size($words)"))
       .withColumn("avg_word_len",
@@ -94,9 +94,55 @@ object TextAnalysis {
       .withColumn("quality",
         expr("0.4 * uniq_ratio + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)" +
           " + 0.3 * (1.0 - stopword_ratio)"))
+
+  /** Per-document quality score: lexical diversity, length saturation,
+    * stopword pressure. Output is every component plus the combined score
+    * so downstream filters can re-weight without recompute.
+    */
+  def t33Quality(spark: SparkSession, dir: String): DataFrame =
+    withQuality(t(spark, dir, "documents"))
       .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
         col("avg_word_len"), col("stopword_ratio"), col("quality"))
       .orderBy(col("doc_id"))
+
+  /** Language mixture weights for [[p73BudgetMix]]: the fraction of each
+    * language's total tokens the curated mix retains (upsample-by-quality
+    * semantics — e.g. keep the best 60% of zh tokens, best 20% of es).
+    */
+  private val mixWeights =
+    "CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.6 WHEN 'de' THEN 0.4 " +
+      "WHEN 'fr' THEN 0.3 WHEN 'es' THEN 0.2 ELSE 0.25 END"
+
+  /** Token-budget data mixing (p73) — the step that turns a raw corpus
+    * into a training MIXTURE: each language gets a token budget (a target
+    * fraction of its total), filled greedily by descending quality until
+    * the budget is spent (the document that crosses the line is kept — a
+    * budget is a target, not a hard ceiling). Emits per-language audit
+    * rows: docs/tokens kept and the quality floor that made the cut.
+    *
+    * Scale shape: one shuffle on `lang` for the two window passes
+    * (running sum + partition total). Languages are few and skewed, so at
+    * 100 TB the exact per-language sort is the bottleneck; the scale path
+    * computes each language's quality THRESHOLD from an approximate
+    * quantile sketch (`approx_percentile(quality, 1 - weight)`) and keeps
+    * `quality >= threshold` with a plain filter — no global sort, one
+    * aggregation pass, same result up to sketch error at the boundary.
+    * The exact form below is what the DuckDB oracle can verify bit-for-bit.
+    */
+  def p73BudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    withQuality(t(spark, dir, "documents"))
+      .withColumn("start_off", sum(col("n_tokens")).over(ranked) - col("n_tokens"))
+      .withColumn("budget",
+        expr(s"CAST($mixWeights AS DOUBLE)") * sum(col("n_tokens")).over(whole))
+      .filter(col("start_off") < col("budget"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("kept_tokens"),
+        min(col("quality")).as("min_quality"))
+      .orderBy(col("lang"))
+  }
 
   /** Rolling polynomial fingerprint over word hashes:
     * fp = fold(0, (acc, h) → (acc·31 + h) mod 1e9+7). Order-sensitive, so
@@ -273,6 +319,7 @@ object TextAnalysis {
     "t32_lang_id" -> t32LangId,
     "t33_quality" -> t33Quality,
     "t34_fingerprint" -> t34Fingerprint,
+    "p73_budget_mix" -> p73BudgetMix,
   )
 
   val oracleSql: Map[String, String] = {
@@ -358,6 +405,31 @@ object TextAnalysis {
            |   list_transform($dWords, w -> ${dHash("w")})),
            |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin,
+      // same quality formula as t33 (one Scala definition feeds both Spark
+      // sides; this SQL mirrors the t33 oracle), ranked prefix per language
+      "p73_budget_mix" ->
+        s"""WITH q AS (
+           |  SELECT doc_id, lang, n_tokens,
+           |    0.4 * uniq_ratio + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+           |      + 0.3 * (1.0 - stopword_ratio) AS quality
+           |  FROM (SELECT doc_id, lang,
+           |    CAST(len($dWords) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct($dWords)) AS DOUBLE) / len($dWords) AS uniq_ratio,
+           |    CAST(len(list_filter($dWords, w -> w IN ('the', 'a'))) AS DOUBLE)
+           |      / len($dWords) AS stopword_ratio
+           |   FROM documents)),
+           |r AS (SELECT *,
+           |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+           |      - n_tokens AS start_off,
+           |    CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.6
+           |        WHEN 'de' THEN 0.4 WHEN 'fr' THEN 0.3 WHEN 'es' THEN 0.2
+           |        ELSE 0.25 END AS DOUBLE)
+           |      * SUM(n_tokens) OVER (PARTITION BY lang) AS budget
+           |  FROM q)
+           |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+           |  MIN(quality) AS min_quality
+           |FROM r WHERE start_off < budget
+           |GROUP BY lang ORDER BY lang""".stripMargin,
     )
   }
 }

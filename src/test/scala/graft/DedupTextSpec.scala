@@ -169,6 +169,27 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("budget mix keeps a greedy quality prefix within one doc of budget") {
+    import org.apache.spark.sql.functions._
+    val weights = Map("en" -> 0.5, "zh" -> 0.6, "de" -> 0.4, "fr" -> 0.3, "es" -> 0.2)
+    val totals = graft.Tables.t(spark, sf, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("total"),
+        max(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("max_doc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = TextAnalysis.p73BudgetMix(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == weights.keySet) // every lang kept some
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val kept = r.getAs[Long]("kept_tokens")
+      val (total, maxDoc) = totals(lang)
+      val budget = weights(lang) * total
+      assert(kept >= budget, s"$lang under budget: $kept < $budget")
+      assert(kept < budget + maxDoc, s"$lang overshot by a full doc: $kept vs $budget")
+      assert(kept <= total)
+    }
+  }
+
   test("lang-id covers all docs and only emits known classes") {
     val rows = TextAnalysis.t32LangId(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n")).sum
