@@ -155,8 +155,38 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
     new LanceTable(p.toString, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+  /** Schema evolution: `ALTER TABLE ... ADD COLUMN` commits a new manifest
+    * version with the widened schema and the SAME fragments — old
+    * fragments read NULL for the added column (fragments resolve columns
+    * by name), new writes carry it. Added columns must be top-level and
+    * nullable (there is no value to backfill 100 TB of immutable
+    * fragments with). Everything else — renames, drops, type changes —
+    * would rewrite data and stays unsupported, loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!LanceFormat.isDataset(fs, p)) throw new NoSuchTableException(ident)
+    val additions = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"lance supports adding top-level columns only, got ${add.fieldNames.mkString(".")}")
+        require(add.isNullable,
+          s"added column '${add.fieldNames.head}' must be nullable: existing " +
+            "fragments are immutable and will read NULL for it")
+        org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE supports ADD COLUMN only on lance tables, got $other")
+    }
+    val current = LanceFormat.readLatest(fs, p)
+      .getOrElse(throw new NoSuchTableException(ident))
+    additions.foreach(a => require(!current.schema.fieldNames.contains(a.name),
+      s"column '${a.name}' already exists in ${ident.name}"))
+    val merged = LanceFormat.mergeSchemas(current.schema,
+      org.apache.spark.sql.types.StructType(additions.toArray))
+    LanceFormat.commitAppend(fs, p, merged, Seq.empty)
+    new LanceTable(p.toString, merged)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs.delete(tablePath(ident), true)

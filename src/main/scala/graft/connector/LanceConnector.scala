@@ -265,10 +265,14 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     // fragment min/max/nullCount stats for manifest-level data skipping;
     // on by default, `write.stats=false` opts a very wide schema out
     private val collectStats = Option(info.options.get("write.stats")).forall(_.toBoolean)
+    // schema evolution on append: merge the write schema into the table
+    // schema by name (adds ride along nullable) instead of rejecting it
+    private val mergeSchema = Option(info.options.get("write.merge-schema"))
+      .exists(_.toBoolean)
 
     override def toBatch: BatchWrite =
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
-        epochId, collectStats)
+        epochId, collectStats, mergeSchema)
     override def toStreaming: StreamingWrite =
       new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         collectStats)
@@ -283,7 +287,8 @@ case class LanceCommitMessage(fragments: Seq[FragmentMeta]) extends WriterCommit
   */
 class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     conf: SerializableConf, maxRowsPerFile: Long,
-    epochId: Option[Long] = None, collectStats: Boolean = true) extends BatchWrite {
+    epochId: Option[Long] = None, collectStats: Boolean = true,
+    mergeSchema: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile, collectStats)
@@ -293,14 +298,26 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     val root = new Path(rootStr)
     val fs = LanceFormat.fileSystem(root, conf.value)
     val existing = LanceFormat.readLatest(fs, root)
-    existing.filter(_.fragments.nonEmpty).foreach { m =>
-      if (!overwrite && m.schema != schema)
-        throw new IllegalArgumentException(
+    // Schema evolution (`write.merge-schema=true`): the committed schema
+    // is the by-name union — new fragments carry the write schema, old
+    // fragments read NULL for added columns. Without the option, any
+    // NAME/TYPE drift still fails loud (silent schema drift at a
+    // 1000-writer scale is how tables rot); nullability and metadata
+    // differences are not drift — the table's schema (which carries
+    // column metadata like vector dims) wins on a compatible append.
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    val committedSchema = existing.filter(_.fragments.nonEmpty) match {
+      case Some(m) if !overwrite && shape(m.schema) != shape(schema) =>
+        if (mergeSchema) LanceFormat.mergeSchemas(m.schema, schema)
+        else throw new IllegalArgumentException(
           s"append schema mismatch: table has ${m.schema.simpleString}, " +
-            s"write has ${schema.simpleString}")
+            s"write has ${schema.simpleString} (set write.merge-schema=true " +
+            "to evolve the table schema)")
+      case Some(m) if !overwrite => m.schema
+      case _ => schema
     }
-    if (overwrite) LanceFormat.commitOverwrite(fs, root, schema, frags, epochId)
-    else LanceFormat.commitAppend(fs, root, schema, frags, epochId)
+    if (overwrite) LanceFormat.commitOverwrite(fs, root, committedSchema, frags, epochId)
+    else LanceFormat.commitAppend(fs, root, committedSchema, frags, epochId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

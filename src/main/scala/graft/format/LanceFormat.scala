@@ -177,6 +177,33 @@ object LanceFormat {
       committedAtMs = System.currentTimeMillis()))
   }
 
+  /** Union of two fragment schemas by column NAME (Delta-style
+    * mergeSchema): columns present in both must agree on type exactly
+    * (no implicit widening — silent precision changes are how data gets
+    * corrupted at scale); columns in only one side come along nullable,
+    * existing order first, additions appended. Fragments read by name,
+    * so a fragment missing a merged column yields NULLs for it.
+    */
+  def mergeSchemas(existing: StructType, incoming: StructType): StructType = {
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    existing.fields.foreach { f =>
+      byName.get(f.name).foreach { g =>
+        if (g.dataType != f.dataType)
+          throw new IllegalArgumentException(
+            s"cannot merge schemas: column '${f.name}' is ${f.dataType.simpleString} " +
+              s"in the table but ${g.dataType.simpleString} in the write")
+      }
+    }
+    val existingNames = existing.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => existingNames.contains(f.name))
+    val kept = existing.fields.map { f =>
+      // a column absent from the incoming write has nulls in the new
+      // fragments; a column added now has nulls in the old ones
+      if (byName.contains(f.name)) f else f.copy(nullable = true)
+    }
+    StructType(kept ++ added.map(_.copy(nullable = true)))
+  }
+
   /** Create an empty dataset with just a schema (lazy materialization,
     * reference `LanceCatalog.java:557-579`).
     */

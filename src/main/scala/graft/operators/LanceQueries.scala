@@ -420,6 +420,30 @@ object LanceQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Schema evolution end-to-end: half of customer lands with the narrow
+    * schema, the other half appends with `c_acctbal` added via
+    * merge-schema. The read-back aggregates across BOTH fragment
+    * generations — COUNT(*) spans them, COUNT(col)/SUM(col) must see the
+    * old fragments as NULL — and the oracle recomputes the same split
+    * from the original parquet, so a mis-merged schema or a wrongly
+    * null-filled row reds the hash.
+    */
+  def s65SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "customer_evolving")
+    freshDataset(spark, dest)
+    val c = t(spark, dir, "customer")
+    c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+      .select(col("c_custkey"), col("c_name"))
+      .write.format("lance").mode("overwrite").save(dest)
+    c.filter(pmod(col("c_custkey"), lit(2)) === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .write.format("lance").option("write.merge-schema", "true")
+      .mode("append").save(dest)
+    spark.read.format("lance").load(dest)
+      .agg(count(lit(1)).as("n"), count(col("c_acctbal")).as("n_bal"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+  }
+
   /** A1/S4: ungrouped, unfiltered COUNT(*) over a lance dataset — answered
     * from the manifest's fragment row counts as a driver-side LocalScan
     * (zero file reads; plan shape asserted in LanceConnectorSpec). The
@@ -448,6 +472,7 @@ object LanceQueries {
     "s62_stream_user_state" -> s62StreamUserState,
     "s63_compact_roundtrip" -> s63CompactRoundtrip,
     "s64_stats_prune_scan" -> s64StatsPruneScan,
+    "s65_schema_evolution" -> s65SchemaEvolution,
     "p72_packed_export" -> p72PackedExport,
   )
 
@@ -458,6 +483,12 @@ object LanceQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_quantity > 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "s65_schema_evolution" ->
+      """SELECT COUNT(*) AS n,
+        | COUNT(CASE WHEN c_custkey % 2 = 1 THEN 1 END) AS n_bal,
+        | CAST(SUM(CASE WHEN c_custkey % 2 = 1
+        |   THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_bal
+        |FROM customer""".stripMargin,
     "s64_stats_prune_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey >= 1000 AND o_orderkey < 3000

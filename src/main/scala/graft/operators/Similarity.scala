@@ -404,8 +404,29 @@ object Similarity {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** V8 (IVF_HNSW, dot metric): max-inner-product search through the graph
+    * walk — buckets are L2-assigned (the standard MIPS approximation,
+    * documented in [[graft.index.IvfIndex.centroidDist]]) but probe
+    * ranking, edge selection, and scoring all run on −⟨q,x⟩. Full probe +
+    * wide beam makes the result the exact MIPS top-10, which is what the
+    * oracle computes — closing the one index-metric branch
+    * (`HnswIndex.metricDist` dot) that no gated query exercised (it lived
+    * only in a dev harness). Same exactness bet as v26, documented there.
+    */
+  def v32KnnHnswDot(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.HnswIndex
+    val dest = ensureIvf(spark, dir, metric = "dot")
+    ensureHnswGraph(spark, dest)
+    val q = queryVec(spark, dir, 2L)
+    HnswIndex.search(spark, dest, "embedding", q, 10, nprobes = 8, ef = 200,
+        metric = Some("dot"))
+      .select(col("vec_id"), col("_distance").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v21_knn_l2" -> v21KnnL2,
+    "v32_knn_hnsw_dot" -> v32KnnHnswDot,
     "v25_knn_ivf" -> v25KnnIvf,
     "v26_knn_hnsw" -> v26KnnHnsw,
     "v26r_hnsw_recall" -> v26rHnswRecall,
@@ -489,6 +510,15 @@ object Similarity {
         |     * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
         |        i -> q.qv[i] * q.qv[i])))) AS dist
         |FROM embeddings e, q WHERE e.vec_id <> 1
+        |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    // full-probe + wide-beam dot-metric HNSW is exact MIPS on this data;
+    // _distance = -dot, the same left-to-right double accumulation
+    "v32_knn_hnsw_dot" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
+        |SELECT e.vec_id,
+        | -list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> e.embedding[i]::DOUBLE * q.qv[i])) AS dist
+        |FROM embeddings e, q
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
     "v23_dot_similarity" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)

@@ -213,6 +213,66 @@ class FragmentStatsSpec extends AnyFunSuite {
     assert(df.count() == 1)
   }
 
+  test("merge-schema append widens the table; old fragments read NULL") {
+    val dir = s"${tmpDir()}/evolve"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("lance").mode("overwrite").save(dir)
+    // without the option: loud failure (existing behavior)
+    val e = intercept[Exception] {
+      Seq((3L, "c", 1.5)).toDF("id", "s", "v")
+        .write.format("lance").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("merge-schema"))
+    Seq((3L, "c", 1.5)).toDF("id", "s", "v")
+      .write.format("lance").option("write.merge-schema", "true")
+      .mode("append").save(dir)
+    val back = spark.read.format("lance").load(dir).orderBy("id")
+    assert(back.columns.toSeq == Seq("id", "s", "v"))
+    assert(back.collect().map(r => (r.getLong(0), r.isNullAt(2))).toSeq ==
+      Seq((1L, true), (2L, true), (3L, false)))
+    // dropped-column direction: an append missing 's' nulls it for new rows
+    Seq((4L, 9.9)).toDF("id", "v")
+      .write.format("lance").option("write.merge-schema", "true")
+      .mode("append").save(dir)
+    val r4 = spark.read.format("lance").load(dir).filter(col("id") === 4).head
+    assert(r4.isNullAt(1) && r4.getDouble(2) == 9.9)
+    // type conflicts never merge
+    val e2 = intercept[Exception] {
+      Seq((5L, 7)).toDF("id", "s") // s was STRING, now INT
+        .write.format("lance").option("write.merge-schema", "true")
+        .mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("cannot merge schemas"))
+  }
+
+  test("ALTER TABLE ADD COLUMN evolves the schema as a new MVCC version") {
+    val wh = tmpDir()
+    val s = spark
+    s.conf.set("spark.sql.catalog.lance_evo", "graft.catalog.LanceCatalog")
+    s.conf.set("spark.sql.catalog.lance_evo.warehouse", wh)
+    try {
+      s.sql("CREATE NAMESPACE lance_evo.db")
+      s.sql("CREATE TABLE lance_evo.db.t (id BIGINT, s STRING)")
+      s.sql("INSERT INTO lance_evo.db.t VALUES (1, 'a')")
+      s.sql("ALTER TABLE lance_evo.db.t ADD COLUMN v DOUBLE")
+      s.sql("INSERT INTO lance_evo.db.t VALUES (2, 'b', 2.5)")
+      val rows = s.sql("SELECT id, s, v FROM lance_evo.db.t ORDER BY id").collect()
+      assert(rows.map(r => (r.getLong(0), r.isNullAt(2))).toSeq ==
+        Seq((1L, true), (2L, false)))
+      // time travel still sees the narrow schema
+      val v1 = s.sql("SELECT * FROM lance_evo.db.t VERSION AS OF 2") // 1=create, 2=insert
+      assert(v1.columns.toSeq == Seq("id", "s"))
+      val e = intercept[Exception] {
+        s.sql("ALTER TABLE lance_evo.db.t ADD COLUMN s STRING")
+      }
+      assert(e.getMessage.contains("already exists"))
+    } finally {
+      s.sql("DROP TABLE IF EXISTS lance_evo.db.t")
+      s.conf.unset("spark.sql.catalog.lance_evo")
+      s.conf.unset("spark.sql.catalog.lance_evo.warehouse")
+    }
+  }
+
   test("compaction regenerates stats for the rewritten fragments") {
     val dir = s"${tmpDir()}/compact"
     spark.range(0, 100).repartitionByRange(4, col("id"))
