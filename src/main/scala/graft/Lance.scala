@@ -162,4 +162,76 @@ object Lance {
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     graft.format.LanceFormat.vacuum(fs, root, keepVersions)
   }
+
+  /** Z-order bucket resolution per clustering column: 4 bits (16
+    * quantile buckets) per dimension — with 2 columns that is a 256-cell
+    * grid, far finer than any realistic fragment count, so resolution
+    * never limits pruning; it only bounds the CASE-chain size in the
+    * rewrite expression.
+    */
+  private val ZBits = 4
+
+  /** OPTIMIZE ZORDER: rewrite the dataset ordered by the interleaved
+    * quantile-bucket bits of `cols`, so every fragment covers a narrow
+    * range of EVERY clustering column at once and the manifest min/max
+    * stats ([[graft.format.FragmentStats]]) prune selective filters on
+    * any of them. A single-column sort only clusters its leading column;
+    * Z-ordering is how Delta/Iceberg make multi-dimension data skipping
+    * work, re-expressed Spark-first:
+    *
+    *  1. one `approxQuantile` sketch pass computes 15 cut points per
+    *     column (driver-side, KB-sized — no sort);
+    *  2. each row's bucket ids are interleaved bit-by-bit into a z-value
+    *     by a pure codegen'd expression (CASE chain + shifts);
+    *  3. `repartitionByRange(z)` + in-partition sort rewrite the data as
+    *     a new MVCC version — the same shuffle any OPTIMIZE pays, with
+    *     stats regenerated per fragment by the writer.
+    *
+    * Returns (fragments before, fragments after).
+    */
+  def cluster(spark: SparkSession, path: String, cols: Seq[String],
+      maxRowsPerFile: Long = 1000000L): (Int, Int) = {
+    require(cols.nonEmpty && cols.size <= 8, s"cluster on 1..8 columns, got ${cols.size}")
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val manifest = graft.format.LanceFormat.readLatest(fs, root)
+    val before = manifest.map(_.fragments.size).getOrElse(0)
+    val df = read(spark, path)
+    cols.foreach(c => require(df.columns.contains(c), s"no column '$c' in $path"))
+
+    val nCuts = (1 << ZBits) - 1
+    val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+    // one pass builds every column's sketch together
+    val cuts = df.stat.approxQuantile(cols.toArray,
+      probs, 0.001)
+    val bucketExprs = cols.zip(cuts).map { case (c, qs) =>
+      // ascending CASE chain: value <= q(i) -> bucket i; NULLs sort first
+      val arms = qs.zipWithIndex.map { case (q, i) =>
+        s"WHEN `$c` <= CAST($q AS DOUBLE) THEN $i"
+      }.mkString(" ")
+      expr(s"CASE WHEN `$c` IS NULL THEN 0 $arms ELSE $nCuts END")
+    }
+    // interleave: bit i of column j lands at position i*nCols + j, so all
+    // columns contribute equally at every scale of the curve
+    val z = (0 until ZBits).flatMap { bit =>
+      bucketExprs.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b, bit).bitwiseAND(lit(1)), bit * cols.size + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+
+    val rows = manifest.map(_.rowCount).getOrElse(0L)
+    val targetParts = math.max(1L, (rows + maxRowsPerFile - 1) / maxRowsPerFile).toInt
+    val w = df.withColumn("__z", z)
+      .repartitionByRange(targetParts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.format("lance")
+      .option("write.max-rows-per-file", maxRowsPerFile.toString)
+    manifest.flatMap(_.epochId).fold(w)(e => w.option("write.epoch-id", e.toString))
+      .mode("overwrite").save(path)
+    val after = graft.format.LanceFormat.readLatest(fs, root)
+      .map(_.fragments.size).getOrElse(0)
+    (before, after)
+  }
 }

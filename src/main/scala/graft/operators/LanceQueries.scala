@@ -420,6 +420,28 @@ object LanceQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** OPTIMIZE ZORDER end-to-end: events rewritten in Z-order on
+    * (user_id, value) — every fragment then covers a narrow range of BOTH
+    * columns, so the manifest stats prune selective filters on either
+    * (fragment-count effect asserted in FragmentStatsSpec; this gate
+    * proves the clustered rewrite + pruned scan return exactly the right
+    * rows). ~16 fragments at any sf via the row-count-derived file size.
+    */
+  def s66ZorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "events_zorder")
+    freshDataset(spark, dest)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    ev.write.format("lance").mode("overwrite").save(dest)
+    val rows = ev.count() // parquet metadata count, no scan
+    graft.Lance.cluster(spark, dest, Seq("user_id", "value"),
+      maxRowsPerFile = math.max(1000L, rows / 16))
+    spark.read.format("lance").load(dest)
+      .filter(col("user_id") >= 40 && col("user_id") < 50 &&
+        col("value") >= 10.0 && col("value") < 60.0)
+      .orderBy(col("event_id"))
+  }
+
   /** Schema evolution end-to-end: half of customer lands with the narrow
     * schema, the other half appends with `c_acctbal` added via
     * merge-schema. The read-back aggregates across BOTH fragment
@@ -473,6 +495,7 @@ object LanceQueries {
     "s63_compact_roundtrip" -> s63CompactRoundtrip,
     "s64_stats_prune_scan" -> s64StatsPruneScan,
     "s65_schema_evolution" -> s65SchemaEvolution,
+    "s66_zorder_prune" -> s66ZorderPrune,
     "p72_packed_export" -> p72PackedExport,
   )
 
@@ -483,6 +506,10 @@ object LanceQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_quantity > 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "s66_zorder_prune" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id >= 40 AND user_id < 50 AND value >= 10.0 AND value < 60.0
+        |ORDER BY event_id""".stripMargin,
     "s65_schema_evolution" ->
       """SELECT COUNT(*) AS n,
         | COUNT(CASE WHEN c_custkey % 2 = 1 THEN 1 END) AS n_bal,

@@ -458,8 +458,28 @@ object Relational {
         col("ps")(1).as("p90"), col("n"))
       .orderBy(col("l_returnflag"))
 
+  /** The scale path for q33: `approx_percentile` (KLL-style quantile
+    * sketch — fixed-size state, mergeable map-side, no per-group value
+    * map) next to the exact interpolated percentile, q31-style: the gate
+    * asserts the sketch lands within 1% of the exact P50/P90 per group.
+    * accuracy=50000 bounds rank error at 1/50000·n ≪ 1% of these value
+    * ranges; the sketch is deterministic for fixed input, so the row is
+    * stable yet reddens on a real sketch regression.
+    */
+  def q34ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 50000)").as("ap"))
+      .select(col("l_returnflag"),
+        (abs(col("ap")(0) - col("ex")(0)) <= abs(col("ex")(0)) * 0.01 &&
+          abs(col("ap")(1) - col("ex")(1)) <= abs(col("ex")(1)) * 0.01)
+          .as("within_1pct"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_percentiles" -> q33Percentiles,
+    "q34_approx_percentiles" -> q34ApproxPercentiles,
     "q30_asof_join" -> q30AsofJoin,
     "q31_approx_distinct" -> q31ApproxDistinct,
     "q32_range_join" -> q32RangeJoin,
@@ -523,6 +543,10 @@ object Relational {
     "q31_approx_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_n, true AS within_5pct
         |FROM events""".stripMargin,
+    // planted envelope, q31-style: the oracle states the outcome per group
+    "q34_approx_percentiles" ->
+      """SELECT l_returnflag, true AS within_1pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // plain inequality join — the banding is an engine-side plan choice,
     // invisible in the result
     "q32_range_join" ->

@@ -273,6 +273,28 @@ class FragmentStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("Z-order clustering makes stats prune on BOTH dimensions") {
+    val dir = s"${tmpDir()}/zorder"
+    // two independent dimensions: a ascending, b descending — a plain
+    // sort on one cannot cluster the other
+    spark.range(0, 8192)
+      .select(col("id").as("a"), (lit(8191) - col("id")).cast("double").as("b"))
+      .repartition(7) // unclustered: every fragment spans both full ranges
+      .write.format("lance").mode("overwrite").save(dir)
+    val (before, after) = graft.Lance.cluster(spark, dir, Seq("a", "b"),
+      maxRowsPerFile = 512)
+    assert(before == 7 && after >= 8, s"before=$before after=$after")
+
+    val table = spark.read.format("lance").load(dir)
+    val byA = table.filter(col("a") >= 1000 && col("a") < 1200)
+    val byB = table.filter(col("b") >= 4000.0 && col("b") < 4200.0)
+    assert(scannedFiles(byA) < after / 2, s"a-filter scanned too much of $after")
+    assert(scannedFiles(byB) < after / 2, s"b-filter scanned too much of $after")
+    assert(byA.count() == 200 && byB.count() == 200)
+    assert(byA.agg(sum("a")).head.getLong(0) == (1000L until 1200L).sum)
+    assert(table.count() == 8192)
+  }
+
   test("compaction regenerates stats for the rewritten fragments") {
     val dir = s"${tmpDir()}/compact"
     spark.range(0, 100).repartitionByRange(4, col("id"))
