@@ -74,6 +74,16 @@ object Lance {
       metric: String = "l2"): DataFrame =
     IvfIndex.search(spark, datasetPath, vectorCol, query, k, nprobes, metric)
 
+  /** Batch KNN JOIN: top-k neighbors for every row of a (broadcastable)
+    * query set in one distributed plan — query→bucket pairs broadcast to
+    * the bucket scan, per-query window top-k over candidates only.
+    */
+  def knnJoin(spark: SparkSession, datasetPath: String, vectorCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int, nprobes: Int = 20,
+      metric: String = "l2"): DataFrame =
+    IvfIndex.searchJoin(spark, datasetPath, vectorCol, queries, queryIdCol,
+      k, nprobes, metric)
+
   /** Build an IVF_PQ index (reference index.num-sub-vectors/num-bits). */
   def buildPqIndex(spark: SparkSession, df: DataFrame, vectorCol: String,
       idCol: String, datasetPath: String, numPartitions: Int = 256,

@@ -346,6 +346,78 @@ object IvfIndex {
     }
   }
 
+  /** Batch KNN join (retrieval-pipeline shape): top-k neighbors for EVERY
+    * row of a query set in one distributed plan, instead of one driver
+    * round trip per query. The scale geometry:
+    *
+    *  - the query set is the SMALL side (RAG prompts, dedup probes):
+    *    collected once, each query ranked against the centroids on the
+    *    driver, and exploded into `(query, probed bucket)` pairs that
+    *    BROADCAST to the bucket scan;
+    *  - candidates come from the bucket equi-join, so cost is
+    *    q × (nprobes/numPartitions) × data — dialing nprobes down scales
+    *    the scan linearly, exactly like single-query probing;
+    *  - per-query top-k is a window over candidates only (partitioned by
+    *    query id — q partitions of bucket-sized input, never the full
+    *    cross product).
+    *
+    * With `nprobes = numPartitions` the result is the exact KNN join
+    * (oracle-gated, v33); partial probing trades recall for scan exactly
+    * as [[search]] does. Query sets too large to broadcast should flip
+    * the geometry: assign DATA rows once and shuffle both sides on the
+    * bucket key (the d46/d47 blocked-join shape).
+    */
+  def searchJoin(spark: SparkSession, datasetPath: String, column: String,
+      queries: DataFrame, queryIdCol: String, k: Int, nprobes: Int = 20,
+      metric: String = "l2"): DataFrame = {
+    val meta = loadMeta(spark, datasetPath, column)
+    checkFreshness(spark, datasetPath, meta)
+    require(metric.equalsIgnoreCase(meta.metric),
+      s"index at $datasetPath/$column was built for metric ${meta.metric}, " +
+        s"searched with $metric - rebuild the index or search with ${meta.metric}")
+    val probes = math.min(nprobes, meta.numPartitions)
+
+    val idField = queries.schema(queryIdCol)
+    val qRows = queries.select(col(queryIdCol), col(column).cast("array<float>")).collect()
+    val pairRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(qRows.flatMap { r =>
+        val vec = r.getSeq[Float](1).toArray
+        validateQueryVector(vec)
+        require(vec.length == meta.dim,
+          s"query dim ${vec.length} != index dim ${meta.dim}")
+        val q = vec.map(_.toDouble)
+        meta.centroids.zipWithIndex
+          .map { case (c, i) => (centroidDist(q, c.toArray, metric), i) }
+          .sortBy(_._1).take(probes)
+          .map { case (_, part) =>
+            org.apache.spark.sql.Row(r.get(0), q.toSeq, part)
+          }
+      }: _*)
+    val pairSchema = new org.apache.spark.sql.types.StructType()
+      .add("__q_id", idField.dataType, nullable = false)
+      .add("__q_vec", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)
+      .add("__ivf_part", org.apache.spark.sql.types.IntegerType, nullable = false)
+    val pairs = spark.createDataFrame(pairRows, pairSchema)
+
+    val dist = metric.toLowerCase match {
+      case "l2" => l2_distance(col(column), col("__q_vec"))
+      case "cosine" => cosine_distance(col(column), col("__q_vec"))
+      case "dot" => -dot_product(col(column), col("__q_vec"))
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q_id"))
+      .orderBy(col("_distance"), col(meta.idColumn))
+    spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
+      .join(broadcast(pairs), "__ivf_part")
+      .withColumn("_distance", dist)
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .drop("__ivf_part", "__pq_code", "__q_vec")
+      .withColumnRenamed("__q_id", "query_id")
+  }
+
   /** IVF_PQ search: probe `nprobes` buckets, score candidates with the
     * asymmetric-distance (ADC) lookup table — `Σ_j table(j)(code_j)`, a
     * codegen'd fold over the stored codes, no vector math per row — keep

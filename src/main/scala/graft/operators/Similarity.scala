@@ -424,9 +424,27 @@ object Similarity {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** Batch KNN JOIN (retrieval shape): top-3 neighbors for five query
+    * vectors in ONE distributed plan — query→bucket pairs broadcast to
+    * the bucket scan, per-query top-k as a window over candidates only
+    * ([[graft.index.IvfIndex.searchJoin]]). Full probing makes it the
+    * exact KNN join, which is what the oracle's cross-join + row_number
+    * computes; partial-probe scaling is spec'd.
+    */
+  def v33KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = ensureIvf(spark, dir)
+    val qs = t(spark, dir, "embeddings").filter(col("vec_id") < 5)
+    IvfIndex.searchJoin(spark, dest, "embedding", qs, "vec_id", k = 3, nprobes = 8)
+      .select(col("query_id"), col("_rank").as("rk"), col("vec_id"),
+        col("_distance").as("dist"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v21_knn_l2" -> v21KnnL2,
     "v32_knn_hnsw_dot" -> v32KnnHnswDot,
+    "v33_knn_join" -> v33KnnJoin,
     "v25_knn_ivf" -> v25KnnIvf,
     "v26_knn_hnsw" -> v26KnnHnsw,
     "v26r_hnsw_recall" -> v26rHnswRecall,
@@ -511,6 +529,16 @@ object Similarity {
         |        i -> q.qv[i] * q.qv[i])))) AS dist
         |FROM embeddings e, q WHERE e.vec_id <> 1
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    // exact KNN join at full probe: cross join + per-query row_number
+    "v33_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.q_id, e.vec_id, $l2SqlBody AS dist
+         |  FROM embeddings e, q),
+         |r AS (SELECT *, row_number()
+         |    OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT q_id AS query_id, CAST(rk AS INT) AS rk, vec_id, dist
+         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // full-probe + wide-beam dot-metric HNSW is exact MIPS on this data;
     // _distance = -dot, the same left-to-right double accumulation
     "v32_knn_hnsw_dot" ->

@@ -47,6 +47,32 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  test("knn join: full probe equals per-query exact KNN; partial probe stays k-complete") {
+    assert(built.success)
+    val qs = Tables.t(spark, sf, "embeddings").filter($"vec_id" < 4)
+    val full = IvfIndex.searchJoin(spark, datasetPath, "embedding", qs, "vec_id",
+      k = 5, nprobes = 8)
+    val byQuery = full.select($"query_id", $"_rank", $"vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L))
+    byQuery.foreach { case (qid, ids) =>
+      val exact = Similarity.knnSearch(
+        Tables.t(spark, sf, "embeddings"), "embedding", queryVec(qid), 5, "l2")
+        .select($"vec_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == exact, s"query $qid: $ids != $exact")
+    }
+    // partial probe: every query still gets k ranked rows (from its
+    // nearest buckets only), and ranks are dense 1..k
+    val partial = IvfIndex.searchJoin(spark, datasetPath, "embedding", qs, "vec_id",
+      k = 5, nprobes = 2)
+    val counts = partial.groupBy($"query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 5L), counts.toString)
+    val ranks = partial.select($"query_id", $"_rank").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).sorted.toSeq)
+    assert(ranks.values.forall(_ == Seq(1, 2, 3, 4, 5)))
+  }
+
   test("partial-probe search achieves high recall at a fraction of the scan") {
     assert(built.success)
     val ids = Seq(0L, 7L, 42L, 99L, 123L)
