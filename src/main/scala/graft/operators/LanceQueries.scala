@@ -324,6 +324,42 @@ object LanceQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: matched pairs emit like s59;
+    * a click with NO purchase inside its 1-hour window emits exactly one
+    * NULL row, and only once the watermark passes the window's end (state
+    * eviction) — clicks whose window was still open at end-of-stream are
+    * correctly ABSENT. The oracle splits the same way: batch left join
+    * for matches, null rows only where `c_ts + horizon` cleared the final
+    * watermark (max ts − 1 h). Proves the eviction-driven null emission
+    * that distinguishes a streaming outer join from a batch one.
+    */
+  def s67StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "events_join_src") // shared immutable source (s59)
+    val dst = scratch(dir, "events_ojoin_dst")
+    freshDataset(spark, dst); freshDataset(spark, s"$dst-ckpt")
+    ensureStreamSrc(spark, src, 1) {
+      t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .write.format("lance").mode("overwrite").save(src)
+    }
+    withStreamShufflePartitions(spark) {
+      val ev = spark.readStream.format("lance").load(src)
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        joinType = "leftOuter")
+      val q = joined.writeStream.format("lance")
+        .option("checkpointLocation", s"$dst-ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    spark.read.format("lance").load(dst)
+      .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
+      .select(col("click_id"), col("purchase_id"), col("gap_us"))
+  }
+
   /** Custom keyed state end-to-end: the events changefeed through
     * `flatMapGroupsWithState` (per-user running count + gap since the
     * previous event), exactly-once lance sink, batch read-back. The
@@ -492,6 +528,7 @@ object LanceQueries {
     "s60_stream_sliding" -> s60StreamSliding,
     "s61_stream_static_join" -> s61StreamStaticJoin,
     "s62_stream_user_state" -> s62StreamUserState,
+    "s67_stream_outer_join" -> s67StreamOuterJoin,
     "s63_compact_roundtrip" -> s63CompactRoundtrip,
     "s64_stats_prune_scan" -> s64StatsPruneScan,
     "s65_schema_evolution" -> s65SchemaEvolution,
@@ -608,6 +645,26 @@ object LanceQueries {
         |   - lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
         |     OVER (PARTITION BY user_id ORDER BY ts), 0) AS gap_ms
         |FROM events ORDER BY user_id, n_events""".stripMargin,
+    // left outer: matched pairs = the batch join; null rows only for
+    // clicks whose whole match window cleared the final watermark. The
+    // global watermark is the MIN across both branch watermarks (each
+    // branch tracks its own max event time), not the table-wide max.
+    "s67_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |    FROM events),
+        |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |mx AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p)) AS m),
+        |j AS (SELECT c.event_id AS click_id, c.ts AS c_ts,
+        |    p.event_id AS purchase_id,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |  FROM c LEFT JOIN p
+        |    ON c.user_id = p.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        |SELECT click_id, purchase_id, gap_us FROM j, mx
+        |WHERE purchase_id IS NOT NULL
+        |   OR c_ts + INTERVAL 1 HOUR < m - INTERVAL 1 HOUR
+        |ORDER BY click_id, COALESCE(purchase_id, -1)""".stripMargin,
     // batch inequality join = the exact pair set the streaming interval
     // join must emit (inner, both-ends-bounded, no late data in a replay)
     "s59_stream_interval_join" ->

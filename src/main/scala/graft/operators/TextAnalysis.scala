@@ -105,6 +105,30 @@ object TextAnalysis {
         col("avg_word_len"), col("stopword_ratio"), col("quality"))
       .orderBy(col("doc_id"))
 
+  /** Repetition scoring (t39) — the Gopher-style quality signal: the
+    * fraction of a document's word 3-grams that are duplicates of an
+    * earlier 3-gram in the SAME document. Boilerplate, keyword stuffing,
+    * and decoding loops all show up as high `dup_ratio`; curation
+    * pipelines filter on it next to t33's quality score. Pure per-doc
+    * column expressions (no explode, no shuffle except the final sort) —
+    * embarrassingly parallel at any scale.
+    */
+  def t39Repetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("grams", expr(
+        s"""CASE WHEN size($words) < 3 THEN array()
+           | ELSE transform(sequence(1, size($words) - 2),
+           |   i -> concat_ws(' ', element_at($words, i),
+           |     element_at($words, i + 1), element_at($words, i + 2)))
+           |END""".stripMargin))
+      .select(col("doc_id"),
+        expr("CAST(size(grams) AS BIGINT)").as("n_grams"),
+        expr("CAST(size(array_distinct(grams)) AS BIGINT)").as("n_uniq"))
+      .withColumn("dup_ratio", expr(
+        "CASE WHEN n_grams = 0 THEN CAST(0 AS DOUBLE) " +
+          "ELSE 1.0 - CAST(n_uniq AS DOUBLE) / n_grams END"))
+      .orderBy(col("doc_id"))
+
   /** Language mixture weights for [[p73BudgetMix]]: the fraction of each
     * language's total tokens the curated mix retains (upsample-by-quality
     * semantics — e.g. keep the best 60% of zh tokens, best 20% of es).
@@ -319,6 +343,7 @@ object TextAnalysis {
     "t32_lang_id" -> t32LangId,
     "t33_quality" -> t33Quality,
     "t34_fingerprint" -> t34Fingerprint,
+    "t39_repetition" -> t39Repetition,
     "p73_budget_mix" -> p73BudgetMix,
   )
 
@@ -405,6 +430,18 @@ object TextAnalysis {
            |   list_transform($dWords, w -> ${dHash("w")})),
            |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "t39_repetition" ->
+        s"""SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+           | CAST(len(list_distinct(grams)) AS BIGINT) AS n_uniq,
+           | CASE WHEN len(grams) = 0 THEN CAST(0 AS DOUBLE)
+           |   ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) END
+           |   AS dup_ratio
+           |FROM (SELECT doc_id,
+           |  CASE WHEN len($dWords) < 3 THEN []
+           |    ELSE list_transform(generate_series(1, len($dWords) - 2),
+           |      i -> concat_ws(' ', $dWords[i], $dWords[i + 1], $dWords[i + 2]))
+           |  END AS grams FROM documents)
+           |ORDER BY doc_id""".stripMargin,
       // same quality formula as t33 (one Scala definition feeds both Spark
       // sides; this SQL mirrors the t33 oracle), ranked prefix per language
       "p73_budget_mix" ->

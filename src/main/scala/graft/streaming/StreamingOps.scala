@@ -71,7 +71,8 @@ object StreamingOps {
     * mode).
     */
   def intervalJoin(clicks: DataFrame, purchases: DataFrame,
-      horizon: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+      horizon: String = "1 hour", watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
@@ -80,9 +81,14 @@ object StreamingOps {
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", watermark)
+    // leftOuter: a click with no purchase emits its NULL row only when the
+    // watermark passes the end of its match window (state eviction) — the
+    // until-then-open row is withheld, exactly the semantics an unbounded
+    // stream needs to never emit a null it might have to retract
     c.join(p, expr(
       s"""c_user = p_user AND
-         |p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $horizon""".stripMargin))
+         |p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $horizon""".stripMargin),
+      joinType)
       .select(col("click_id"), col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
