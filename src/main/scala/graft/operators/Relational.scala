@@ -477,9 +477,27 @@ object Relational {
           .as("within_1pct"))
       .orderBy(col("l_returnflag"))
 
+  /** PIVOT (wide aggregation): event counts per user bucket × event type.
+    * The pivot values are DECLARED, not discovered — an undeclared pivot
+    * costs a full distinct scan before the real aggregation can even
+    * plan, which is the difference between one pass and two at 100 TB.
+    * Plans as one hash aggregate over codegen'd conditional counts.
+    * `na.fill(0)` pins the empty-combination representation to match
+    * SQL's COUNT FILTER zero.
+    */
+  def q35Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("bucket", pmod(col("user_id"), lit(10)))
+      .groupBy(col("bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
+    "q35_pivot" -> q35Pivot,
     "q30_asof_join" -> q30AsofJoin,
     "q31_approx_distinct" -> q31ApproxDistinct,
     "q32_range_join" -> q32RangeJoin,
@@ -543,6 +561,14 @@ object Relational {
     "q31_approx_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_n, true AS within_5pct
         |FROM events""".stripMargin,
+    "q35_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        | COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
     // planted envelope, q31-style: the oracle states the outcome per group
     "q34_approx_percentiles" ->
       """SELECT l_returnflag, true AS within_1pct

@@ -295,6 +295,25 @@ class FragmentStatsSpec extends AnyFunSuite {
     assert(table.count() == 8192)
   }
 
+  test("CREATE TABLE AS SELECT lands through the catalog") {
+    val wh = tmpDir()
+    val s = spark
+    s.conf.set("spark.sql.catalog.lance_ctas", "graft.catalog.LanceCatalog")
+    s.conf.set("spark.sql.catalog.lance_ctas.warehouse", wh)
+    try {
+      s.sql("CREATE NAMESPACE lance_ctas.db")
+      spark.range(0, 100).select(col("id"), (col("id") * 2).as("v"))
+        .createOrReplaceTempView("ctas_src")
+      s.sql("CREATE TABLE lance_ctas.db.t AS SELECT * FROM ctas_src WHERE id >= 50")
+      val rows = s.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM lance_ctas.db.t").head
+      assert(rows.getLong(0) == 50 && rows.getLong(1) == (50L until 100L).map(_ * 2).sum)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS lance_ctas.db.t")
+      s.conf.unset("spark.sql.catalog.lance_ctas")
+      s.conf.unset("spark.sql.catalog.lance_ctas.warehouse")
+    }
+  }
+
   test("compaction regenerates stats for the rewritten fragments") {
     val dir = s"${tmpDir()}/compact"
     spark.range(0, 100).repartitionByRange(4, col("id"))
