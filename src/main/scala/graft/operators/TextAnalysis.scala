@@ -115,12 +115,19 @@ object TextAnalysis {
     */
   def t39Repetition(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      // materialize the split ONCE per row: referencing `$words` inside
+      // the per-element lambda re-evaluates the split per 3-gram (O(n²)
+      // per document — measured 6.8 s vs 0.4 s at sf0.1). Catalyst does
+      // not hoist loop invariants out of HOF lambdas, and CollapseProject
+      // keeps the projection because the non-cheap split is multiply
+      // referenced.
+      .withColumn("__w", expr(words))
       .withColumn("grams", expr(
-        s"""CASE WHEN size($words) < 3 THEN array()
-           | ELSE transform(sequence(1, size($words) - 2),
-           |   i -> concat_ws(' ', element_at($words, i),
-           |     element_at($words, i + 1), element_at($words, i + 2)))
-           |END""".stripMargin))
+        """CASE WHEN size(__w) < 3 THEN array()
+          | ELSE transform(sequence(1, size(__w) - 2),
+          |   i -> concat_ws(' ', element_at(__w, i),
+          |     element_at(__w, i + 1), element_at(__w, i + 2)))
+          |END""".stripMargin))
       .select(col("doc_id"),
         expr("CAST(size(grams) AS BIGINT)").as("n_grams"),
         expr("CAST(size(array_distinct(grams)) AS BIGINT)").as("n_uniq"))
