@@ -46,6 +46,85 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
     e.injectResolutionRule(session => new ResolveVectorSearch(session))
     e.injectOptimizerRule(session => new graft.plans.AnnIndexRewrite(session))
+    // Metadata TVFs register in the TABLE-FUNCTION REGISTRY, not as a
+    // resolution rule: ResolveFunctions fails any unregistered TVF whose
+    // arguments are all resolved, and these take plain string literals.
+    // (vector_search survives as a rule only because its array(...) arg
+    // is unresolved on the first pass — a lucky ordering these can't use.)
+    e.injectTableFunction((FunctionIdentifier("lance_versions"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_versions"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_versions", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_fragments"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_fragments"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_fragments", args)))
+  }
+}
+
+/** `lance_versions(path)` / `lance_fragments(path[, version])` — metadata
+  * introspection TVFs (DESCRIBE-HISTORY parity): version history and
+  * per-fragment layout straight from the manifests, zero data files
+  * touched. What an operator runs before choosing to compact, vacuum,
+  * cluster, or time-travel.
+  */
+object MetaTvfs {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  /** Imperative registration for sessions built without the extensions
+    * (same ergonomics as `VectorFunctions.register`). Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    Seq("lance_versions", "lance_fragments").foreach { n =>
+      if (!reg.functionExists(FunctionIdentifier(n)))
+        reg.createOrReplaceTempFunction(n,
+          (args: Seq[Expression]) => plan(n, args), "scala_udf")
+    }
+  }
+
+  private def literalString(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal")
+    String.valueOf(e.eval())
+  }
+
+  def plan(name: String, args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    require(args.nonEmpty, s"$name(path[, version])")
+    val path = literalString(args.head, s"$name: path")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root,
+      spark.sessionState.newHadoopConf())
+    val df = name match {
+      case "lance_versions" =>
+        val rows = graft.format.LanceFormat.listVersions(fs, root).map { v =>
+          val m = graft.format.LanceFormat.readManifest(fs, root, v)
+          Row(v, m.fragments.size, m.rowCount,
+            m.epochId.map(Long.box).orNull,
+            new java.sql.Timestamp(m.committedAtMs))
+        }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          new StructType().add("version", LongType, nullable = false)
+            .add("n_fragments", IntegerType, nullable = false)
+            .add("n_rows", LongType, nullable = false)
+            .add("epoch_id", LongType)
+            .add("committed_at", TimestampType, nullable = false))
+      case _ =>
+        val version = if (args.size >= 2)
+          Some(literalString(args(1), s"$name: version").toLong) else None
+        val m = version
+          .map(graft.format.LanceFormat.readManifest(fs, root, _))
+          .orElse(graft.format.LanceFormat.readLatest(fs, root))
+          .getOrElse(throw new IllegalArgumentException(s"no lance dataset at $path"))
+        val rows = m.fragments.map { f =>
+          Row(f.id, f.file, f.rowCount, f.stats.isDefined)
+        }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          new StructType().add("id", IntegerType, nullable = false)
+            .add("file", StringType, nullable = false)
+            .add("row_count", LongType, nullable = false)
+            .add("has_stats", BooleanType, nullable = false))
+    }
+    df.queryExecution.analyzed
   }
 }
 

@@ -417,6 +417,28 @@ object LanceQueries {
         lit(after).as("frags_after"), col("n"), col("sum_bal"))
   }
 
+  /** Metadata introspection end-to-end: two committed versions (coalesced
+    * writes pin the fragment counts), read back through the
+    * `lance_versions` SQL TVF — version history, fragment counts, and row
+    * counts straight from the manifests with zero data-file reads. The
+    * oracle recomputes the planted history from the source table.
+    */
+  def s68MetaTvf(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "nation_meta")
+    freshDataset(spark, dest)
+    val n = t(spark, dir, "nation")
+    n.filter(col("n_regionkey") <= 1).coalesce(1)
+      .write.format("lance").mode("overwrite").save(dest)
+    n.filter(col("n_regionkey") > 1).coalesce(1)
+      .write.format("lance").mode("append").save(dest)
+    // sessions built without GraftSparkExtensions (the shared test
+    // session) get the TVFs registered imperatively — same ergonomics as
+    // VectorFunctions.register; a no-op under Verify/Bench
+    graft.MetaTvfs.register(spark)
+    spark.sql(
+      s"SELECT version, n_fragments, n_rows FROM lance_versions('$dest') ORDER BY version")
+  }
+
   /** Pipeline end-cap: the per-document packing assignment (p71's
     * upstream table) exported through the lance sink and read back —
     * "curate → pack → store" landing on the engine's own storage format.
@@ -529,6 +551,7 @@ object LanceQueries {
     "s61_stream_static_join" -> s61StreamStaticJoin,
     "s62_stream_user_state" -> s62StreamUserState,
     "s67_stream_outer_join" -> s67StreamOuterJoin,
+    "s68_meta_tvf" -> s68MetaTvf,
     "s63_compact_roundtrip" -> s63CompactRoundtrip,
     "s64_stats_prune_scan" -> s64StatsPruneScan,
     "s65_schema_evolution" -> s65SchemaEvolution,
@@ -543,6 +566,14 @@ object LanceQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_quantity > 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // metadata TVF history: planted fragment counts (coalesced writes),
+    // row counts recomputed from the source table
+    "s68_meta_tvf" ->
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS INT) AS n_fragments,
+        | (SELECT COUNT(*) FROM nation WHERE n_regionkey <= 1) AS n_rows
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(2 AS INT), (SELECT COUNT(*) FROM nation)
+        |ORDER BY version""".stripMargin,
     "s66_zorder_prune" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE user_id >= 40 AND user_id < 50 AND value >= 10.0 AND value < 60.0

@@ -51,6 +51,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("lance_versions/lance_fragments metadata TVFs read manifests only") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "meta-tvf-")
+      .toAbsolutePath.toString
+    spark.range(0, 100).repartition(4).write.format("lance").mode("overwrite").save(dir)
+    spark.range(100, 150).coalesce(1).write.format("lance").mode("append").save(dir)
+
+    val versions = spark.sql(
+      s"SELECT version, n_fragments, n_rows FROM lance_versions('$dir') ORDER BY version")
+      .collect()
+    assert(versions.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1L, 4, 100L), (2L, 5, 150L)))
+
+    val frags = spark.sql(s"SELECT * FROM lance_fragments('$dir')").collect()
+    assert(frags.length == 5)
+    assert(frags.map(_.getAs[Long]("row_count")).sum == 150L)
+    assert(frags.forall(_.getAs[Boolean]("has_stats")))
+
+    // time travel: the fragment view of version 1
+    val v1 = spark.sql(s"SELECT * FROM lance_fragments('$dir', 1)").collect()
+    assert(v1.length == 4 && v1.map(_.getAs[Long]("row_count")).sum == 100L)
+  }
+
   test("vector_search TVF: SELECT * FROM vector_search(path, col, vec, k, metric)") {
     val q = Tables.t(spark, TestSpark.sf, "embeddings")
       .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
