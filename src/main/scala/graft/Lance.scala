@@ -208,7 +208,12 @@ object Lance {
     val manifest = graft.format.LanceFormat.readLatest(fs, root)
     val before = manifest.map(_.fragments.size).getOrElse(0)
     val df = read(spark, path)
-    cols.foreach(c => require(df.columns.contains(c), s"no column '$c' in $path"))
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"no column '$c' in $path")
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"cluster column '$c' must be numeric (got " +
+          s"${df.schema(c).dataType.simpleString}); cast dates/timestamps first")
+    }
 
     val nCuts = (1 << ZBits) - 1
     val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
