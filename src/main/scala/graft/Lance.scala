@@ -74,6 +74,12 @@ object Lance {
       metric: String = "l2"): DataFrame =
     IvfIndex.search(spark, datasetPath, vectorCol, query, k, nprobes, metric)
 
+  /** Delta-index the fragments appended since the IVF index was built
+    * (no re-training, no rewrite of indexed data). Returns rows indexed.
+    */
+  def refreshIndex(spark: SparkSession, datasetPath: String, vectorCol: String): Long =
+    IvfIndex.refresh(spark, datasetPath, vectorCol)
+
   /** Batch KNN JOIN: top-k neighbors for every row of a (broadcastable)
     * query set in one distributed plan — query→bucket pairs broadcast to
     * the bucket scan, per-query window top-k over candidates only.

@@ -103,6 +103,45 @@ object IvfIndex {
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
 
+  /** Nearest-centroid assignment UDF over the (broadcast) centroids —
+    * shared by the initial build and the incremental refresh so the two
+    * paths can never assign differently.
+    */
+  private def assignUdf(bc: Broadcast[Array[Array[Double]]],
+      normalize: Boolean): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      var arr = new Array[Double](v.length)
+      var i = 0; while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
+      if (normalize) arr = normalized(arr)
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        val d = sq(arr, cs(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+      }
+      best
+    }
+
+  /** PQ code-assignment UDF over the (broadcast) codebooks — shared by
+    * build and refresh for the same reason.
+    */
+  private def encodeUdf(bcCb: Broadcast[Array[Array[Array[Double]]]],
+      dsub: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      val cbs = bcCb.value
+      Array.tabulate(cbs.length) { j =>
+        val off = j * dsub
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cbs(j).length) {
+          var acc = 0.0; var i = 0
+          while (i < dsub) {
+            val d = v(off + i).toDouble - cbs(j)(c)(i); acc += d * d; i += 1
+          }
+          if (acc < bestD) { bestD = acc; best = c }; c += 1
+        }
+        best
+      }
+    }
+
   /** Train + assign + write the bucketed sidecar. `df` must contain the
     * vector column (ARRAY<FLOAT|DOUBLE>) and a unique id column.
     */
@@ -143,17 +182,7 @@ object IvfIndex {
       val centroids = model.clusterCenters.map(_.toArray)
       val bc = spark.sparkContext.broadcast(centroids)
 
-      val assign = udf { (v: Seq[Float]) =>
-        var arr = new Array[Double](v.length)
-        var i = 0; while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
-        if (normalize) arr = normalized(arr)
-        val cs = bc.value
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < cs.length) {
-          val d = sq(arr, cs(c)); if (d < bestD) { bestD = d; best = c }; c += 1
-        }
-        best
-      }
+      val assign = assignUdf(bc, normalize)
 
       // Optional PQ: per-subspace KMeans codebooks trained on the sample,
       // every vector encoded to numSubVectors small codes stored next to
@@ -181,21 +210,7 @@ object IvfIndex {
         val bcCb = spark.sparkContext.broadcast(
           pm.codebooks.map(_.map(_.toArray).toArray).toArray)
         val dsub = (centroids.headOption.map(_.length).getOrElse(0)) / pm.numSubVectors
-        udf { (v: Seq[Float]) =>
-          val cbs = bcCb.value
-          Array.tabulate(cbs.length) { j =>
-            val off = j * dsub
-            var best = 0; var bestD = Double.MaxValue; var c = 0
-            while (c < cbs(j).length) {
-              var acc = 0.0; var i = 0
-              while (i < dsub) {
-                val d = v(off + i).toDouble - cbs(j)(c)(i); acc += d * d; i += 1
-              }
-              if (acc < bestD) { bestD = acc; best = c }; c += 1
-            }
-            best
-          }
-        }
+        encodeUdf(bcCb, dsub)
       }
 
       val ip = indexPath(datasetPath, column)
@@ -229,6 +244,76 @@ object IvfIndex {
     val root = new org.apache.hadoop.fs.Path(datasetPath)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     graft.format.LanceFormat.latestVersion(fs, root)
+  }
+
+  /** Incremental index maintenance: bring a stale index up to the
+    * dataset's latest version by assigning ONLY the fragments appended
+    * since the build to the EXISTING centroids (and PQ codebooks) and
+    * appending them to the bucket directories — no re-training, no
+    * rewrite of already-indexed data. At 100 TB this is the difference
+    * between indexing a day's appends and re-reading the whole table.
+    *
+    * Deltas only exist for appends: if any fragment the index covered was
+    * rewritten (overwrite, compaction, re-clustering), the delta is
+    * undefined and refresh fails loud — rebuild instead. Centroids are
+    * NOT re-trained, so heavy drift in the appended data degrades bucket
+    * balance (not correctness; full probing stays exact) — the standard
+    * IVF maintenance trade-off. A per-bucket HNSW graph sidecar, if
+    * present, is invalidated (deleted) because its neighbor lists don't
+    * cover the new rows.
+    *
+    * Returns the number of newly indexed rows.
+    */
+  def refresh(spark: SparkSession, datasetPath: String, column: String): Long = {
+    val meta = loadMeta(spark, datasetPath, column)
+    val root = new Path(datasetPath)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val builtAt = meta.datasetVersion.getOrElse(throw new IllegalStateException(
+      s"index at $datasetPath/$column records no dataset version (built over " +
+        "raw parquet?) - delta refresh needs the lance manifest history; rebuild"))
+    val latest = graft.format.LanceFormat.latestVersion(fs, root).getOrElse(
+      throw new IllegalStateException(s"no lance dataset at $datasetPath"))
+    if (latest <= builtAt) return 0L
+
+    val oldM = graft.format.LanceFormat.readManifest(fs, root, builtAt)
+    val newM = graft.format.LanceFormat.readManifest(fs, root, latest)
+    val oldFiles = oldM.fragments.map(_.file).toSet
+    val newFiles = newM.fragments.map(_.file).toSet
+    require(oldFiles.subsetOf(newFiles),
+      s"fragments indexed at version $builtAt were rewritten by version $latest " +
+        "(overwrite/compaction/re-clustering) - the delta is undefined; rebuild " +
+        "the index")
+    val added = newM.fragments.filterNot(f => oldFiles(f.file))
+    val ip = indexPath(datasetPath, column)
+    if (added.nonEmpty) {
+      val paths = added.map(f =>
+        new Path(graft.format.LanceFormat.dataPath(root), f.file).toString)
+      val df = spark.read.schema(newM.schema).parquet(paths: _*)
+      val bc = spark.sparkContext.broadcast(meta.centroids.map(_.toArray).toArray)
+      val assign = assignUdf(bc, meta.metric.equalsIgnoreCase("cosine"))
+      val assigned = df.withColumn("__ivf_part", assign(col(column).cast("array<float>")))
+      val withCodes = meta.pq.fold(assigned) { pm =>
+        val bcCb = spark.sparkContext.broadcast(
+          pm.codebooks.map(_.map(_.toArray).toArray).toArray)
+        assigned.withColumn("__pq_code",
+          encodeUdf(bcCb, meta.dim / pm.numSubVectors)(col(column).cast("array<float>")))
+      }
+      withCodes.write.mode("append").partitionBy("__ivf_part").parquet(s"$ip/buckets")
+    }
+    // the graph sidecar no longer covers every bucket row - invalidate it
+    val gp = new Path(HnswIndex.graphPath(datasetPath, column))
+    if (fs.exists(gp)) {
+      log.warn(s"refresh of $datasetPath/$column invalidates the HNSW graph " +
+        "sidecar (its neighbor lists do not cover the appended rows); deleting " +
+        "- rebuild the graph to search with mode 'hnsw'")
+      fs.delete(gp, true)
+    }
+    val updated = meta.copy(datasetVersion = Some(latest))
+    val metaPath = new Path(s"$ip/index.json")
+    val out = fs.create(metaPath, true)
+    try out.write(Serialization.write(updated).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    added.map(_.rowCount).sum
   }
 
   /** Index staleness (production guard): an index built at version V does

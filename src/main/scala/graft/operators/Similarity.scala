@@ -441,10 +441,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Incremental index maintenance end-to-end: the index is built BEFORE
+    * the query vector's own row exists — the appended fragments (including
+    * vec_id 0 itself, the zero-distance answer) only enter the index via
+    * [[graft.index.IvfIndex.refresh]], which delta-assigns them to the
+    * existing centroids. Full probing ⇒ brute-force-exact over the FULL
+    * table, which is what the oracle computes — a refresh that missed or
+    * double-indexed rows turns the hash red. Rebuilds from scratch every
+    * run (refresh semantics are the thing under test).
+    */
+  def v34IndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = graft.Tables.scratch(dir, "emb_refresh_v1")
+    val root = new org.apache.hadoop.fs.Path(new java.io.File(dest).getAbsolutePath)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.delete(root, true)
+    val emb = t(spark, dir, "embeddings")
+    emb.filter(col("vec_id") >= 100).write.format("lance").mode("overwrite").save(dest)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(dest),
+      "embedding", "vec_id", dest, numPartitions = 8)
+    require(r.success, r.error)
+    emb.filter(col("vec_id") < 100).write.format("lance").mode("append").save(dest)
+    val added = IvfIndex.refresh(spark, dest, "embedding")
+    require(added > 0, s"refresh indexed $added rows; the append planted 100")
+    val q = queryVec(spark, dir, 0L)
+    IvfIndex.search(spark, dest, "embedding", q, 10, nprobes = 8)
+      .select(col("vec_id"), col("_distance").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v21_knn_l2" -> v21KnnL2,
     "v32_knn_hnsw_dot" -> v32KnnHnswDot,
     "v33_knn_join" -> v33KnnJoin,
+    "v34_index_refresh" -> v34IndexRefresh,
     "v25_knn_ivf" -> v25KnnIvf,
     "v26_knn_hnsw" -> v26KnnHnsw,
     "v26r_hnsw_recall" -> v26rHnswRecall,
@@ -529,6 +559,13 @@ object Similarity {
         |        i -> q.qv[i] * q.qv[i])))) AS dist
         |FROM embeddings e, q WHERE e.vec_id <> 1
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    // refresh + full probe = brute-force KNN over the FULL table (the
+    // query's own zero-distance row arrives via the refreshed delta)
+    "v34_index_refresh" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $l2SqlBody AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
     // exact KNN join at full probe: cross join + per-query row_number
     "v33_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv

@@ -73,6 +73,34 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(ranks.values.forall(_ == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("refresh delta-indexes appends; rewrites demand a rebuild") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ivf-refresh-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    val emb = Tables.t(spark, sf, "embeddings")
+    emb.filter($"vec_id" >= 50).write.format("lance").mode("overwrite").save(ds)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+      "embedding", "vec_id", ds, numPartitions = 4)
+    assert(r.success, r.error)
+    // no new fragments: refresh is a no-op
+    assert(IvfIndex.refresh(spark, ds, "embedding") == 0L)
+    // append, refresh, search finds an appended vector exactly
+    emb.filter($"vec_id" < 50).write.format("lance").mode("append").save(ds)
+    val added = IvfIndex.refresh(spark, ds, "embedding")
+    assert(added == 50L, s"added=$added")
+    val q = queryVec(7L)
+    val top = IvfIndex.search(spark, ds, "embedding", q, 1, nprobes = 4).collect().head
+    assert(top.getAs[Long]("vec_id") == 7L && top.getAs[Double]("_distance") == 0.0)
+    // the stamp moved: a second refresh is a no-op again
+    assert(IvfIndex.refresh(spark, ds, "embedding") == 0L)
+    // compaction rewrites fragments -> the delta is undefined -> loud failure
+    graft.Lance.compact(spark, ds)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.refresh(spark, ds, "embedding")
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("partial-probe search achieves high recall at a fraction of the scan") {
     assert(built.success)
     val ids = Seq(0L, 7L, 42L, 99L, 123L)
