@@ -28,7 +28,8 @@ import scala.jdk.CollectionConverters._
   * Object-store access needs no special plumbing (reference S10): Hadoop
   * `fs.s3a.*` configuration applies transparently to the warehouse path.
   */
-class LanceCatalog extends TableCatalog with SupportsNamespaces {
+class LanceCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -196,5 +197,101 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     if (!fs.rename(tablePath(oldIdent), tablePath(newIdent)))
       throw new IllegalStateException(s"rename failed: $oldIdent -> $newIdent")
+  }
+
+  // ---- maintenance procedures (Iceberg-style SQL CALL) ----
+
+  /** `CALL lance.compact('db.t')`, `CALL lance.vacuum('db.t', 3)`,
+    * `CALL lance.cluster('db.t', 'a,b')`, `CALL lance.refresh_index('db.t',
+    * 'embedding')` — the maintenance surface as SQL, each returning its
+    * outcome as a one-row result. The table argument is `ns.table`
+    * relative to THIS catalog.
+    */
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    require(LanceCatalog.ProcedureNames.contains(ident.name.toLowerCase),
+      s"unknown procedure ${ident.name}; have ${LanceCatalog.ProcedureNames.mkString(", ")}")
+    new LanceProcedure(this, ident.name.toLowerCase)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LanceCatalog.ProcedureNames.map(Identifier.of(namespace, _)).toArray
+
+  /** Resolve a procedure's `'ns.table'` argument to the dataset path. */
+  private[catalog] def resolveTableArg(table: String): Path = {
+    val parts = table.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    if (!LanceFormat.isDataset(fs, tablePath(ident)))
+      throw new NoSuchTableException(ident)
+    tablePath(ident)
+  }
+}
+
+object LanceCatalog {
+  private[catalog] val ProcedureNames = Seq("compact", "vacuum", "cluster", "refresh_index")
+}
+
+/** One class serves all four maintenance procedures: `bind` is identity
+  * (parameters are static), `call` runs the facade op and returns the
+  * outcome row as a driver-side LocalScan.
+  */
+private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter.in
+  import org.apache.spark.sql.types._
+
+  override def name(): String = procName
+  override def description(): String = procName match {
+    case "compact" => "rewrite small fragments into maxRowsPerFile-sized ones (new MVCC version)"
+    case "vacuum" => "drop old versions and reclaim fragment files only they referenced"
+    case "cluster" => "Z-order rewrite so manifest stats prune on every listed column"
+    case _ => "delta-index fragments appended since the IVF index was built"
+  }
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[procedures.ProcedureParameter] = procName match {
+    case "compact" => Array(in("table", StringType).build())
+    case "vacuum" => Array(in("table", StringType).build(),
+      in("keep_versions", IntegerType).defaultValue("1").build())
+    case "cluster" => Array(in("table", StringType).build(),
+      in("cols", StringType).comment("comma-separated numeric columns").build())
+    case _ => Array(in("table", StringType).build(),
+      in("column", StringType).defaultValue("'embedding'").build())
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[
+      org.apache.spark.sql.connector.read.Scan] = {
+    val spark = SparkSession.active
+    val path = catalog.resolveTableArg(input.getUTF8String(0).toString).toString
+    val (schema, row) = procName match {
+      case "compact" =>
+        val (before, after) = graft.Lance.compact(spark, path)
+        (new StructType().add("fragments_before", IntegerType, nullable = false)
+          .add("fragments_after", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](before, after)))
+      case "vacuum" =>
+        val (manifests, files) = graft.Lance.vacuum(spark, path, input.getInt(1))
+        (new StructType().add("manifests_deleted", IntegerType, nullable = false)
+          .add("files_deleted", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](manifests, files)))
+      case "cluster" =>
+        val cols = input.getUTF8String(1).toString.split(',').map(_.trim).toSeq
+        val (before, after) = graft.Lance.cluster(spark, path, cols)
+        (new StructType().add("fragments_before", IntegerType, nullable = false)
+          .add("fragments_after", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](before, after)))
+      case _ =>
+        val n = graft.Lance.refreshIndex(spark, path, input.getUTF8String(1).toString)
+        (new StructType().add("rows_indexed", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](n)))
+    }
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(row)
+      }
+    java.util.Collections.singletonList(scan).iterator()
   }
 }

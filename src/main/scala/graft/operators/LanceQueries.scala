@@ -439,6 +439,39 @@ object LanceQueries {
       s"SELECT version, n_fragments, n_rows FROM lance_versions('$dest') ORDER BY version")
   }
 
+  /** Maintenance through SQL `CALL` (Iceberg-style procedures on the
+    * catalog): four coalesced appends → `CALL compact` (4 fragments → 1)
+    * → `CALL vacuum` (drops the 4 append versions + their superseded
+    * fragment files) → the data re-aggregated decimal-exact. The planted
+    * procedure outcomes AND the data survive in one row, so a procedure
+    * that miscounts, over-deletes, or corrupts turns the hash red.
+    */
+  def s69SqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "proc_wh")
+    freshDataset(spark, wh)
+    val whAbs = new java.io.File(wh).getAbsolutePath
+    spark.conf.set("spark.sql.catalog.lance_maint", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_maint.warehouse", whAbs)
+    try {
+      val s = t(spark, dir, "supplier")
+      (0 until 4).foreach { i =>
+        s.filter(pmod(col("s_suppkey"), lit(4)) === i).coalesce(1)
+          .write.format("lance").mode(if (i == 0) "overwrite" else "append")
+          .save(s"$whAbs/db/supplier_m")
+      }
+      val c = spark.sql("CALL lance_maint.compact('db.supplier_m')").collect().head
+      val v = spark.sql("CALL lance_maint.vacuum('db.supplier_m', 1)").collect().head
+      spark.sql("SELECT * FROM lance_maint.db.supplier_m")
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("sum_bal"))
+        .select(lit(c.getInt(0)).as("frags_before"), lit(c.getInt(1)).as("frags_after"),
+          lit(v.getInt(0)).as("manifests_deleted"), lit(v.getInt(1)).as("files_deleted"),
+          col("n"), col("sum_bal"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lance_maint")
+      spark.conf.unset("spark.sql.catalog.lance_maint.warehouse")
+    }
+  }
+
   /** Pipeline end-cap: the per-document packing assignment (p71's
     * upstream table) exported through the lance sink and read back —
     * "curate → pack → store" landing on the engine's own storage format.
@@ -552,6 +585,7 @@ object LanceQueries {
     "s62_stream_user_state" -> s62StreamUserState,
     "s67_stream_outer_join" -> s67StreamOuterJoin,
     "s68_meta_tvf" -> s68MetaTvf,
+    "s69_sql_maintenance" -> s69SqlMaintenance,
     "s63_compact_roundtrip" -> s63CompactRoundtrip,
     "s64_stats_prune_scan" -> s64StatsPruneScan,
     "s65_schema_evolution" -> s65SchemaEvolution,
@@ -566,6 +600,14 @@ object LanceQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_quantity > 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // 4 coalesced appends -> compact leaves 1 fragment; vacuum keeps only
+    // the compacted version (drops 4 manifests + their 4 fragment files)
+    "s69_sql_maintenance" ->
+      """SELECT CAST(4 AS INT) AS frags_before, CAST(1 AS INT) AS frags_after,
+        | CAST(4 AS INT) AS manifests_deleted, CAST(4 AS INT) AS files_deleted,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier""".stripMargin,
     // metadata TVF history: planted fragment counts (coalesced writes),
     // row counts recomputed from the source table
     "s68_meta_tvf" ->

@@ -314,6 +314,41 @@ class FragmentStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL CALL runs the maintenance procedures") {
+    val wh = tmpDir()
+    val s = spark
+    s.conf.set("spark.sql.catalog.lance_proc", "graft.catalog.LanceCatalog")
+    s.conf.set("spark.sql.catalog.lance_proc.warehouse", wh)
+    try {
+      s.sql("CREATE NAMESPACE lance_proc.db")
+      s.sql("CREATE TABLE lance_proc.db.t (id BIGINT, v DOUBLE)")
+      (0 until 4).foreach { i =>
+        s.sql(s"INSERT INTO lance_proc.db.t VALUES ($i, ${i * 1.5})")
+      }
+      val compacted = s.sql("CALL lance_proc.compact('db.t')").collect().head
+      assert(compacted.getInt(0) == 4 && compacted.getInt(1) == 1,
+        s"compact returned $compacted")
+      assert(s.sql("SELECT COUNT(*) FROM lance_proc.db.t").head.getLong(0) == 4)
+
+      val vacuumed = s.sql("CALL lance_proc.vacuum('db.t', 1)").collect().head
+      assert(vacuumed.getInt(0) >= 4, s"vacuum dropped ${vacuumed.getInt(0)} manifests")
+      assert(vacuumed.getInt(1) >= 3, s"vacuum deleted ${vacuumed.getInt(1)} files")
+      assert(s.sql("SELECT COUNT(*) FROM lance_proc.db.t").head.getLong(0) == 4)
+
+      val clustered = s.sql("CALL lance_proc.cluster('db.t', 'id,v')").collect().head
+      assert(clustered.getInt(1) >= 1)
+      assert(s.sql("SELECT SUM(id) FROM lance_proc.db.t").head.getLong(0) == 6)
+
+      // Spark wraps the catalog's require into FAILED_TO_LOAD_ROUTINE
+      val e = intercept[Exception](s.sql("CALL lance_proc.no_such_proc('db.t')"))
+      assert(e.getMessage.contains("no_such_proc"))
+    } finally {
+      s.sql("DROP TABLE IF EXISTS lance_proc.db.t")
+      s.conf.unset("spark.sql.catalog.lance_proc")
+      s.conf.unset("spark.sql.catalog.lance_proc.warehouse")
+    }
+  }
+
   test("compaction regenerates stats for the rewritten fragments") {
     val dir = s"${tmpDir()}/compact"
     spark.range(0, 100).repartitionByRange(4, col("id"))
