@@ -314,6 +314,26 @@ class FragmentStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("pruning stays sound across schema evolution (old fragments lack the new column)") {
+    val dir = s"${tmpDir()}/evolve-prune"
+    // generation 1: no 'v' column at all
+    spark.range(0, 100).coalesce(1).write.format("lance").mode("overwrite").save(dir)
+    // generation 2: adds 'v' with values 1000..1099
+    spark.range(100, 200).withColumn("v", col("id") + 900).coalesce(1)
+      .write.format("lance").option("write.merge-schema", "true")
+      .mode("append").save(dir)
+    val table = spark.read.format("lance").load(dir)
+    // old fragments have NO stats entry for v: a v-filter may prune them
+    // only via the all-null rule, never wrongly. IS NULL must reach gen-1.
+    assert(table.filter(col("v").isNull).count() == 100)
+    assert(table.filter(col("v") >= 1000 && col("v") < 1010).count() == 10)
+    assert(table.filter(col("v") === 999999).count() == 0)
+    // and an id-filter still prunes by generation (disjoint id ranges)
+    val byId = table.filter(col("id") < 50)
+    assert(scannedFiles(byId) == 1)
+    assert(byId.count() == 50)
+  }
+
   test("SQL CALL runs the maintenance procedures") {
     val wh = tmpDir()
     val s = spark
