@@ -494,10 +494,32 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("bucket"))
 
+  /** Correlated scalar subquery (SURVEY §4.1: decorrelation is Catalyst's
+    * job — this gate proves it does that job over our tables): orders
+    * more than twice their own customer's average order value. Expressed
+    * in SQL so the engine must DECORRELATE — the planned shape is the
+    * per-customer aggregate joined back, never a per-row subquery
+    * execution, which is what makes the construct viable at scale.
+    * The avg comparison is written as `price·n > 2·sum` over DECIMALs:
+    * a double AVG's value depends on partial-sum order, and a boundary
+    * row must not flip between engines.
+    */
+  def q36CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_q36")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_q36 o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |    * (SELECT COUNT(*) FROM orders_q36 c WHERE c.o_custkey = o.o_custkey)
+        |  > 2 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |    FROM orders_q36 o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
     "q35_pivot" -> q35Pivot,
+    "q36_correlated_subquery" -> q36CorrelatedSubquery,
     "q30_asof_join" -> q30AsofJoin,
     "q31_approx_distinct" -> q31ApproxDistinct,
     "q32_range_join" -> q32RangeJoin,
@@ -561,6 +583,15 @@ object Relational {
     "q31_approx_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_n, true AS within_5pct
         |FROM events""".stripMargin,
+    // price*n > 2*sum over DECIMALs: exact in both engines regardless of
+    // aggregation order; output columns are raw table values
+    "q36_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |    * (SELECT COUNT(*) FROM orders c WHERE c.o_custkey = o.o_custkey)
+        |  > 2 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q35_pivot" ->
       """SELECT user_id % 10 AS bucket,
         | COUNT(*) FILTER (WHERE event_type = 'click') AS click,

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.connector.LanceTable
-import graft.functions.L2Distance
+import graft.functions.{CosineDistance, L2Distance}
 import graft.index.IvfIndex
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -38,17 +38,18 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.getOption("spark.graft.ann.nprobes").map(_.toInt).getOrElse(20)
 
   /** An index is usable by THIS rule only when it exists, loads (loadMeta
-    * rejects stale assignment versions), and was built for L2 — the rule
-    * matches an `l2_distance` orderBy, and IvfIndex.search now fails loud
-    * on a metric mismatch rather than degrade; an optimizer rule must skip,
-    * not throw.
+    * rejects stale assignment versions), and was built for the SAME metric
+    * the query sorts by — IvfIndex.search fails loud on a metric mismatch
+    * rather than degrade, and an optimizer rule must skip, not throw.
+    * (Dot-similarity queries sort DESCENDING on dot_product — a different
+    * plan shape this rule deliberately does not match.)
     */
-  private def usableL2Index(path: String, column: String): Boolean = {
+  private def usableIndex(path: String, column: String, metric: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(
       s"${IvfIndex.indexPath(path, column)}/index.json")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p) &&
       scala.util.Try(IvfIndex.loadMeta(spark, path, column))
-        .toOption.exists(_.metric.equalsIgnoreCase("l2"))
+        .toOption.exists(_.metric.equalsIgnoreCase(metric))
   }
 
   private def literalVec(l: Literal): Option[Array[Float]] = l.dataType match {
@@ -77,16 +78,19 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case a: AttributeReference => Some(a)
             case _ => None
           }
-          (vecCol, qvec) <- projList.collectFirst {
+          (vecCol, qvec, metric) <- projList.collectFirst {
             case al @ Alias(L2Distance(v: AttributeReference, lit: Literal), _)
                 if al.exprId == sortAttr.exprId =>
-              (v, lit)
+              (v, lit, "l2")
+            case al @ Alias(CosineDistance(v: AttributeReference, lit: Literal), _)
+                if al.exprId == sortAttr.exprId =>
+              (v, lit, "cosine")
           }
           q <- literalVec(qvec)
           path = rel.table.asInstanceOf[LanceTable].rootStr
-          if usableL2Index(path, vecCol.name)
+          if usableIndex(path, vecCol.name, metric)
           probe = IvfIndex.search(spark, path, vecCol.name, q, k,
-            nprobes = nprobes).queryExecution.analyzed
+            nprobes = nprobes, metric = metric).queryExecution.analyzed
           // every projected column must exist in the probe output (the
           // bucket sidecar stores all table columns + _distance)
           mapped = gl.output.map(o => probe.output.find(_.name == o.name).map(o -> _))

@@ -78,6 +78,38 @@ class AnnIndexRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine query over a cosine index rewrites too; l2 index is skipped") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ann-rw-cos-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    Tables.t(spark, TestSpark.sf, "embeddings")
+      .write.format("lance").mode("append").save(ds)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+      "embedding", "vec_id", ds, numPartitions = 4, metric = "cosine")
+    assert(r.success, r.error)
+    val q = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") === 1).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    spark.conf.set("spark.graft.ann.useIndex", "true")
+    spark.conf.set("spark.graft.ann.nprobes", "4")
+    try {
+      val df = Lance.knnSearch(spark.read.format("lance").load(ds),
+        "embedding", q, 5, metric = "cosine")
+      val rows = df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("__ivf_part"))
+      assert(rows.head.getLong(0) == 1L) // own embedding: cosine distance 0
+      // metric mismatch: an L2 query over this cosine-built index must NOT
+      // rewrite (the probe would rank with the wrong geometry) — exact scan
+      val l2 = Lance.knnSearch(spark.read.format("lance").load(ds),
+        "embedding", q, 5, metric = "l2")
+      l2.collect()
+      assert(!l2.queryExecution.executedPlan.toString.contains("__ivf_part"))
+    } finally {
+      spark.conf.unset("spark.graft.ann.useIndex")
+      spark.conf.unset("spark.graft.ann.nprobes")
+    }
+  }
+
   test("full-probe rewrite equals the exact scan results") {
     spark.conf.set("spark.graft.ann.useIndex", "true")
     spark.conf.set("spark.graft.ann.nprobes", "4")
