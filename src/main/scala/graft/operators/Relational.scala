@@ -515,11 +515,58 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Multiset set ops — EXCEPT ALL / INTERSECT ALL keep DUPLICATE
+    * multiplicity (a customer with 3 qualifying orders and 1 cancelled
+    * one survives twice), unlike q16/q22's distinct variants. Both plan
+    * as hash aggregations over a tagged union — no sort, shuffle on the
+    * compared columns only.
+    */
+  def q37MultisetSetops(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+    val fo = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val ea = hi.exceptAll(fo).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val ia = hi.intersectAll(fo).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ea.unionByName(ia)
+      .select(col("op"), col("o_custkey"), col("n"))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  /** RANGE window frame over event-time days: a 3-DAY moving average,
+    * not 3 ROWS — on a day axis with gaps the two differ exactly where
+    * it matters (a quiet day shrinks the window, it doesn't reach back
+    * further). Numeric day ordering keeps the frame codegen'd.
+    */
+  def q38RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(expr("unix_date(CAST(ts AS DATE))").as("day_num"),
+        col("event_type"))
+      .agg(dsum(col("value"), 6).as("day_value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-2, 0)
+    daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      // davg decomposed per window: decimal sum over the frame, double
+      // division by the frame count. `.over` must wrap the AGGREGATE
+      // itself — wrapping dsum's cast-of-sum leaves the sum un-windowed.
+      .withColumn("avg3d",
+        sum(col("day_value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double") / col("n_days"))
+      .select(expr("DATE_FROM_UNIX_DATE(day_num)").cast("string").as("day"),
+        col("event_type"), col("day_value"), col("n_days"), col("avg3d"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
     "q35_pivot" -> q35Pivot,
     "q36_correlated_subquery" -> q36CorrelatedSubquery,
+    "q37_multiset_setops" -> q37MultisetSetops,
+    "q38_range_frame" -> q38RangeFrame,
     "q30_asof_join" -> q30AsofJoin,
     "q31_approx_distinct" -> q31ApproxDistinct,
     "q32_range_join" -> q32RangeJoin,
@@ -583,6 +630,30 @@ object Relational {
     "q31_approx_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_n, true AS within_5pct
         |FROM events""".stripMargin,
+    "q37_multiset_setops" ->
+      """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+        |fo AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |ea AS (SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM fo),
+        |ia AS (SELECT o_custkey FROM hi INTERSECT ALL SELECT o_custkey FROM fo)
+        |SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n FROM ea GROUP BY o_custkey
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n FROM ia GROUP BY o_custkey
+        |ORDER BY op, o_custkey""".stripMargin,
+    // decimal window sum / frame count: both engines divide the same
+    // exact operands (day_value carries <= 6 decimals by construction)
+    "q38_range_frame" ->
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value,
+        |   datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_num
+        | FROM events GROUP BY 1, 2, 4)
+        |SELECT CAST(day AS VARCHAR) AS day, event_type, day_value,
+        | COUNT(*) OVER w AS n_days,
+        | CAST(SUM(CAST(day_value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |   / (COUNT(*) OVER w) AS avg3d
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY day, event_type""".stripMargin,
     // price*n > 2*sum over DECIMALs: exact in both engines regardless of
     // aggregation order; output columns are raw table values
     "q36_correlated_subquery" ->
