@@ -135,10 +135,24 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** The resize/normalize step gated end-to-end: payloads truncated to a
+    * fixed 40 bytes (every payload is ≥ 44 bytes at every sf, so the
+    * truncate branch is what runs; the zero-pad branch stays spec-only —
+    * NUL bytes don't survive a VARCHAR oracle). Content hashes prove the
+    * byte slicing is exact.
+    */
+  def m64Resize(spark: SparkSession, dir: String): DataFrame =
+    resizeBytes(mediaTable(spark, dir), 40)
+      .select(col("media_id"), col("kind"),
+        length(col("bytes")).cast("long").as("n_bytes"),
+        md5(col("bytes")).as("content_hash"))
+      .orderBy(col("media_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m61_media_meta" -> m61MediaMeta,
     "m62_frame_sample" -> m62FrameSample,
     "m63_decode_features" -> m63DecodeFeatures,
+    "m64_resize" -> m64Resize,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -168,6 +182,12 @@ object Multimodal {
         |    i -> ascii(substring(text, i, 1)))) AS bsum
         | FROM documents)
         |ORDER BY media_id""".stripMargin,
+    "m64_resize" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(40 AS BIGINT) AS n_bytes,
+        | md5(substring(text, 1, 40)) AS content_hash
+        |FROM documents ORDER BY media_id""".stripMargin,
     "m62_frame_sample" ->
       """SELECT media_id, frame_idx, octet_length(encode(frame)) AS frame_bytes,
         | md5(frame) AS frame_hash

@@ -560,6 +560,22 @@ object Relational {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** UNPIVOT (q35's inverse): measure columns melted into (measure,
+    * value) rows — the tidy-data step before a generic per-measure
+    * aggregation. Per-partition row expansion, no shuffle until the
+    * aggregate; declared measure list like q35's declared pivot values.
+    */
+  def q39Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total"))
+      .orderBy(col("measure"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
@@ -567,6 +583,7 @@ object Relational {
     "q36_correlated_subquery" -> q36CorrelatedSubquery,
     "q37_multiset_setops" -> q37MultisetSetops,
     "q38_range_frame" -> q38RangeFrame,
+    "q39_unpivot" -> q39Unpivot,
     "q30_asof_join" -> q30AsofJoin,
     "q31_approx_distinct" -> q31ApproxDistinct,
     "q32_range_join" -> q32RangeJoin,
@@ -630,6 +647,17 @@ object Relational {
     "q31_approx_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_n, true AS within_5pct
         |FROM events""".stripMargin,
+    // UNION ALL melt = the oracle's unpivot; decimal sums exact per measure
+    "q39_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem)
+        |SELECT measure, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
     "q37_multiset_setops" ->
       """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
         |fo AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
