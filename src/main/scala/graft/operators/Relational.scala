@@ -576,6 +576,25 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total"))
       .orderBy(col("measure"))
 
+  /** Explicit GROUPING SETS (the general form q21's ROLLUP and q28's CUBE
+    * specialize) with `GROUPING()` flags — the only robust way to tell a
+    * subtotal row from a genuinely-NULL group value. One pass, one
+    * expand+aggregate, no self-union.
+    */
+  def q40GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_q40")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders_q40
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
@@ -584,6 +603,7 @@ object Relational {
     "q37_multiset_setops" -> q37MultisetSetops,
     "q38_range_frame" -> q38RangeFrame,
     "q39_unpivot" -> q39Unpivot,
+    "q40_grouping_sets" -> q40GroupingSets,
     "q30_asof_join" -> q30AsofJoin,
     "q31_approx_distinct" -> q31ApproxDistinct,
     "q32_range_join" -> q32RangeJoin,
@@ -647,6 +667,17 @@ object Relational {
     "q31_approx_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_n, true AS within_5pct
         |FROM events""".stripMargin,
+    // GROUPING() is engine-portable: 1 marks the aggregated-away column
+    "q40_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
     // UNION ALL melt = the oracle's unpivot; decimal sums exact per measure
     "q39_unpivot" ->
       """WITH m AS (
