@@ -8,7 +8,6 @@ import org.json4s.jackson.Serialization
 
 import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
-import java.util.UUID
 
 /** One immutable data fragment of a dataset version. `stats` carries
   * per-column min/max/nullCount for manifest-level data skipping
@@ -40,12 +39,13 @@ case class Manifest(
   * `table/LanceCatalog.java:397,492-493`) — but stores fragments as
   * Parquet so the scan path is Spark's vectorized reader, no JNI.
   *
-  * Commit protocol: write the manifest to a temp name, then rename to
-  * `_versions/<v>.manifest.json`. Rename-if-absent is the atomicity point;
-  * a losing concurrent committer retries on the next version number
-  * (optimistic MVCC). Object stores without atomic rename need an external
-  * lock — same scope cut as the reference (its remote catalog ops throw,
-  * `table/LanceCatalog.java:508-514`).
+  * Commit protocol: publish the serialized manifest at
+  * `_versions/<v>.manifest.json` via the store's atomic-if-absent
+  * primitive ([[ManifestPublisher]]: local hard link, HDFS rename,
+  * object-store conditional PUT); a losing concurrent committer retries
+  * on the next version number (optimistic MVCC). No external lock is
+  * needed on any store with one of those primitives — the reference's
+  * remote catalog instead throws (`table/LanceCatalog.java:508-514`).
   */
 object LanceFormat {
   private implicit val fmts: org.json4s.Formats = Serialization.formats(NoTypeHints)
@@ -88,35 +88,19 @@ object LanceFormat {
   def readLatest(fs: FileSystem, root: Path): Option[Manifest] =
     latestVersion(fs, root).map(readManifest(fs, root, _))
 
-  /** Try to commit `m` at exactly its version: write to a temp name, then
-    * publish atomically. False means a concurrent committer won.
-    *
-    * Publish primitive by filesystem: local paths use a POSIX hard link
-    * (O(1), fails with EEXIST — plain rename(2) REPLACES an existing
-    * target, so two racing committers could both "win" and one manifest
-    * would silently vanish); HDFS-style filesystems use rename, whose
-    * contract is fail-if-destination-exists. Object stores without either
-    * primitive need an external lock — same scope cut as the reference
-    * (`table/LanceCatalog.java:508-514`).
+  /** Try to commit `m` at exactly its version via the filesystem's
+    * atomic-if-absent publisher. False means a concurrent committer won.
+    * The `exists` precheck is a cheap fast-path (one HEAD vs a doomed
+    * PUT); correctness rests solely on the publisher's atomicity.
     */
-  private def commitOnce(fs: FileSystem, root: Path, m: Manifest): Boolean = {
+  private def commitOnce(fs: FileSystem, root: Path, m: Manifest,
+      publisher: Option[ManifestPublisher]): Boolean = {
     val vp = versionsPath(root)
     fs.mkdirs(vp)
     val target = new Path(vp, s"${m.version}$ManifestSuffix")
     if (fs.exists(target)) return false
-    val tmp = new Path(vp, s".tmp-${UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val published =
-      if (fs.getScheme == "file") {
-        val local = (p: Path) => java.nio.file.Paths.get(
-          Path.getPathWithoutSchemeAndAuthority(p).toString)
-        try { java.nio.file.Files.createLink(local(target), local(tmp)); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else fs.rename(tmp, target)
-    if (published) { if (fs.getScheme == "file") fs.delete(tmp, false); true }
-    else { fs.delete(tmp, false); false }
+    publisher.getOrElse(ManifestPublisher.forFileSystem(fs))
+      .publish(fs, target, Serialization.write(m).getBytes(StandardCharsets.UTF_8))
   }
 
   /** Atomically commit `manifest` as the next version; retries the version
@@ -124,11 +108,12 @@ object LanceFormat {
     * correct for overwrite/create, whose outcome doesn't depend on the
     * loser's state. Appends must remerge per attempt: use [[commitAppend]].
     */
-  def commit(fs: FileSystem, root: Path, manifest: Manifest): Manifest = {
+  def commit(fs: FileSystem, root: Path, manifest: Manifest,
+      publisher: Option[ManifestPublisher] = None): Manifest = {
     var attempt = 0
     var m = manifest
     while (attempt < 20) {
-      if (commitOnce(fs, root, m)) return m
+      if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
       m = m.copy(version = latestVersion(fs, root).getOrElse(0L) + 1)
     }
@@ -143,7 +128,8 @@ object LanceFormat {
     * drop the winner's fragments (lost update).
     */
   def commitAppend(fs: FileSystem, root: Path, schema: StructType,
-      newFragments: Seq[FragmentMeta], epochId: Option[Long] = None): Manifest = {
+      newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
+      publisher: Option[ManifestPublisher] = None): Manifest = {
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatest(fs, root)
@@ -156,7 +142,7 @@ object LanceFormat {
         fragments = base ++ renumbered,
         epochId = epochId,
         committedAtMs = System.currentTimeMillis())
-      if (commitOnce(fs, root, m)) return m
+      if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
     }
     throw new IllegalStateException(
