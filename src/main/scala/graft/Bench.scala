@@ -9,8 +9,10 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_RUNS (default 3) warm runs after one cold warm-up —
   * single warm runs proved noisy enough (4-5× swings on untouched
   * queries between rounds) that per-round verdicts chased ghosts. The
-  * per-query [min,max] spread is emitted on stderr so a wide interval
-  * flags an untrustworthy median without bloating the stdout JSON line.
+  * per-query [min,max] spread is emitted as `[bench-spread]` stdout lines
+  * above the JSON line so a wide interval flags an untrustworthy median
+  * without bloating the one parseable line (stderr would be re-tagged
+  * `[error]` by sbt, making healthy runs look alarming).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,7 +55,11 @@ object Bench {
       val med =
         if (warm.exists(_ < 0)) -1.0
         else warm.sorted.apply(warm.size / 2)
-      System.err.println(f"[bench] $name cold=$cold%.2f median=$med%.2f " +
+      // stdout, not stderr: sbt tags forked stderr lines "[error]", which
+      // made healthy runs look alarming in the driver log tail. These
+      // lines precede the JSON line, so the 2000-char tail still ends
+      // with the parseable line.
+      println(f"[bench] $name cold=$cold%.2f median=$med%.2f " +
         s"runs=${warm.map(t => f"$t%.2f").mkString(",")}")
       (name, med, warm.min, warm.max)
     }
@@ -66,8 +72,9 @@ object Bench {
     // zeros stripped ("5.0" -> "5" — 0.1 s granularity is below bench
     // noise), and query keys are the SHORT id ("q01", "v26p") — the id
     // prefix every query name starts with and all docs/verdicts use;
-    // full names + [min,max] spreads go to stderr as [bench-spread]
-    // lines. ~750 chars total leaves room for ~80 more queries.
+    // full names + [min,max] spreads go to stdout as [bench-spread]
+    // lines ABOVE the JSON line (the tail still ends with the JSON
+    // line). ~750 chars total leaves room for ~80 more queries.
     def f3(v: Double): String =
       if (v < 0) "-1"
       else f"$v%.1f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
@@ -80,7 +87,7 @@ object Bench {
     val qs = results.map { case (k, v, _, _) => "\"" + shortId(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     results.foreach { case (k, _, lo, hi) =>
-      System.err.println(s"[bench-spread] ${shortId(k)}=$k [${f3(lo)},${f3(hi)}]")
+      println(s"[bench-spread] ${shortId(k)}=$k [${f3(lo)},${f3(hi)}]")
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     // total keeps 2 decimals (it's the headline number); sf is the

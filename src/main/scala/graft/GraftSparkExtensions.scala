@@ -202,20 +202,19 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
             nprobes = nprobes, metric = metric, filter = preFilter)
         case "ivf_pq" =>
           require(preFilter.isEmpty, "vector_search: ivf_pq does not " +
-            "pre-filter; use mode 'ivf' or 'exact' for filtered search")
+            "pre-filter; use mode 'ivf', 'hnsw' or 'exact' for filtered search")
           graft.index.IvfIndex.searchPq(spark, path, column, vec, k,
             nprobes = nprobes, refineFactor = refine)
         case "hnsw" =>
-          require(preFilter.isEmpty, "vector_search: the graph walk cannot " +
-            "pre-filter (a filtered walk silently under-returns); use mode " +
-            "'ivf' or 'exact' for filtered search")
+          // filter composes with the beam walk (evaluate-during-search with
+          // loud widening on shortfall) — reference filter-with-any-index
+          // semantics, `LanceVectorSearch.java:170-174`
           graft.index.HnswIndex.search(spark, path, column, vec, k,
-            nprobes = nprobes, ef = ef, metric = Some(metric))
+            nprobes = nprobes, ef = ef, metric = Some(metric),
+            filter = preFilter)
         case "hnsw_pq" =>
-          require(preFilter.isEmpty, "vector_search: the graph walk cannot " +
-            "pre-filter; use mode 'ivf' or 'exact' for filtered search")
           graft.index.HnswIndex.searchPq(spark, path, column, vec, k,
-            nprobes = nprobes, ef = ef)
+            nprobes = nprobes, ef = ef, filter = preFilter)
         case m => throw new IllegalArgumentException(
           s"vector_search mode must be exact|ivf|ivf_pq|hnsw|hnsw_pq, got $m")
       }

@@ -27,6 +27,7 @@ import scala.collection.mutable
   * accumulations — identical graphs and results on every run.
   */
 object HnswIndex {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.HnswIndex")
 
   case class Params(m: Int = 16, maxLevel: Int = 7, efConstruction: Int = 100)
 
@@ -219,15 +220,84 @@ object HnswIndex {
     }
   }
 
+  /** Estimated task-memory warnings for probed buckets: graph search
+    * materializes one bucket's vectors + adjacency in a single task (the
+    * same O(bucket) contract as the reference's native per-partition
+    * HNSW), and bucket size is user-controlled via `numPartitions` — so
+    * warn loudly BEFORE a lopsided bucket blows an executor, pointing at
+    * the fix. Pure function of the meta's recorded bucket row counts
+    * (absent on pre-guard indexes → no warnings, prior behavior).
+    */
+  private[graft] def oversizedBucketWarnings(meta: IvfIndex.IndexMeta,
+      probes: Seq[Int], maxBytes: Long): Seq[String] =
+    meta.bucketRows.toSeq.flatMap { br =>
+      probes.flatMap { p =>
+        br.get(p.toString).collect {
+          case rows if rows * meta.dim.toLong * 4L > maxBytes =>
+            s"probed bucket $p holds $rows rows x dim ${meta.dim} " +
+              s"(~${rows * meta.dim.toLong * 4L / (1L << 20)} MiB of vectors) " +
+              s"in ONE graph-search task, over spark.graft.vector.maxBucketBytes " +
+              s"($maxBytes); rebuild the index with a larger numPartitions " +
+              "(sqrt(n)..4*sqrt(n) buckets)"
+        }
+      }
+    }
+
+  private def warnOversized(spark: SparkSession, meta: IvfIndex.IndexMeta,
+      probes: Seq[Int]): Unit = {
+    val maxBytes = spark.conf.getOption("spark.graft.vector.maxBucketBytes")
+      .map(_.toLong).getOrElse(2L << 30)
+    oversizedBucketWarnings(meta, probes, maxBytes).foreach(log.warn(_))
+  }
+
+  /** Shared search tail: unfiltered searches return the lazy top-k plan;
+    * filtered searches run it, and on shortfall widen the beam
+    * geometrically — LOUDLY — until k rows match, every reachable matching
+    * row is found, or the beam covers the probed buckets. The filtered
+    * walk traverses non-matching nodes but only matching ones count as
+    * results (the standard filtered-HNSW composition, reference semantics
+    * `LanceVectorSearch.java:170-174`), so a selective filter needs a
+    * wider beam, never silently fewer results.
+    */
+  private def finishSearch(spark: SparkSession, what: String, k: Int, ef: Int,
+      bucketsRaw: DataFrame, filter: Option[org.apache.spark.sql.Column],
+      idCol: String, candidates: Int => DataFrame): DataFrame = {
+    def topK(e: Int) = candidates(e).orderBy(col("_distance"), col(idCol)).limit(k)
+    filter match {
+      case None => topK(ef)
+      case Some(f) =>
+        var curEf = ef
+        var rows = topK(curEf).take(k)
+        if (rows.length < k) {
+          val matching = bucketsRaw.filter(f).count()
+          val probed = bucketsRaw.count()
+          while (rows.length < k && rows.length < matching && curEf < probed * 2) {
+            curEf *= 2
+            log.warn(s"filtered graph search $what: only ${rows.length} of k=$k " +
+              s"results match the filter at ef=${curEf / 2}; widening beam to ef=$curEf")
+            rows = topK(curEf).take(k)
+          }
+          if (rows.length < k)
+            log.warn(s"filtered graph search $what: the probed buckets hold only " +
+              s"${rows.length} reachable rows matching the filter (k=$k)")
+        }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), topK(ef).schema)
+    }
+  }
+
   /** ANN search: probe the `nprobes` nearest buckets; each probed bucket's
     * task walks its graph (greedy descent + ef beam at level 0) and emits
     * its best candidates; a global top-k merges them. Reference search
     * params `vector.ef` (default 100) and `vector.nprobes` (default 20),
-    * `config/LanceOptions.java:215-228`.
+    * `config/LanceOptions.java:215-228`. `filter` composes with the walk
+    * (evaluate-during-beam with loud widening — see [[finishSearch]]),
+    * matching the reference's filter-with-any-index semantics
+    * (`LanceVectorSearch.java:170-174`).
     */
   def search(spark: SparkSession, datasetPath: String, column: String,
       query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100,
-      metric: Option[String] = None): DataFrame = {
+      metric: Option[String] = None,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     graft.functions.VectorFunctions.validateQueryVector(query)
     val meta = IvfIndex.loadMeta(spark, datasetPath, column)
     // the caller's metric must be the one the graph was built under — a
@@ -244,12 +314,16 @@ object HnswIndex {
     val probes = meta.centroids.zipWithIndex
       .map { case (c, i) => (IvfIndex.centroidDist(qd, c.toArray, meta.metric), i) }
       .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
+    warnOversized(spark, meta, probes)
 
     val ip = IvfIndex.indexPath(datasetPath, column)
-    val vecs = spark.read.parquet(s"$ip/buckets")
+    val bucketsRaw = spark.read.parquet(s"$ip/buckets")
       .filter(col("__ivf_part").isin(probes: _*))
+    val keepCol = filter.map(f => coalesce(f.cast("boolean"), lit(false)))
+      .getOrElse(lit(true))
+    val vecs = bucketsRaw
       .select(col("__ivf_part"), col(meta.idColumn).cast("long").as("id"),
-        col(meta.column).cast("array<float>").as("__v"))
+        col(meta.column).cast("array<float>").as("__v"), keepCol.as("__keep"))
     val graph = spark.read.parquet(graphPath(datasetPath, column))
       .filter(col("__ivf_part").isin(probes: _*))
       .select(col("__ivf_part"), col("id"), col("level"), col("neighbors"))
@@ -257,7 +331,6 @@ object HnswIndex {
     val joined = vecs.join(graph, Seq("__ivf_part", "id"))
       .repartition(math.max(probes.size, 1), col("__ivf_part"))
     val bcQ = spark.sparkContext.broadcast(query)
-    val effEf = math.max(ef, k)
     // result id keeps the dataset's own id column name (TVF/API parity
     // with IvfIndex.search, which preserves original columns)
     val idCol = meta.idColumn
@@ -265,7 +338,7 @@ object HnswIndex {
       StructField(idCol, LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
     val scoringMetric = meta.metric
-    val candidates = joined.mapPartitions { rows =>
+    def candidates(effEf: Int): DataFrame = joined.mapPartitions { rows =>
       val q = bcQ.value
       val dist = metricDist(scoringMetric)
       val byBucket = groupBuckets(rows, withCodes = false)
@@ -276,23 +349,24 @@ object HnswIndex {
           .map { case (o, d) => (arr(o).id, d) }
       }.map { case (id, d) => Row(id, reportDist(scoringMetric, d)) }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    candidates.orderBy(col("_distance"), col(idCol)).limit(k)
+    finishSearch(spark, s"$datasetPath/$column", k, math.max(ef, k),
+      bucketsRaw, filter, idCol, candidates)
   }
 
   /** IVF_HNSW_PQ search (the reference's composite index type,
     * `LanceIndexBuilder.java:134-152`): the graph walk scores nodes with
     * the asymmetric-distance table over their PQ codes — no vector math
     * per visited node — then the ef survivors are re-ranked exactly on the
-    * raw vectors and the global top-k merges buckets. Requires the IVF
-    * index built with PQ ([[IvfIndex.build]] `pq = Some(...)`) plus
-    * [[build]] for the graph.
+    * raw vectors under the index's metric and the global top-k merges
+    * buckets. Serves all three metrics ([[IvfIndex.adcTable]] documents
+    * how cosine/dot decompose). Requires the IVF index built with PQ
+    * ([[IvfIndex.build]] `pq = Some(...)`) plus [[build]] for the graph.
     */
   def searchPq(spark: SparkSession, datasetPath: String, column: String,
-      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame = {
+      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     graft.functions.VectorFunctions.validateQueryVector(query)
     val meta = IvfIndex.loadMeta(spark, datasetPath, column)
-    require(meta.metric.equalsIgnoreCase("l2"),
-      s"PQ/ADC scoring decomposes the L2 metric only; the index was built with ${meta.metric}")
     IvfIndex.checkFreshness(spark, datasetPath, meta)
     val pm = meta.pq.getOrElse(throw new IllegalStateException(
       s"index for $column was built without PQ"))
@@ -300,26 +374,22 @@ object HnswIndex {
       s"query dim ${query.length} != index dim ${meta.dim}")
     val qd = query.map(_.toDouble)
     val probes = meta.centroids.zipWithIndex
-      .map { case (c, i) =>
-        (c.toArray.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum, i)
-      }
+      .map { case (c, i) => (IvfIndex.centroidDist(qd, c.toArray, meta.metric), i) }
       .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
+    warnOversized(spark, meta, probes)
 
-    // ADC table: adc(j * 2^bits + code) = ||q_j - codebook_j(code)||²
-    val dsub = meta.dim / pm.numSubVectors
+    val adc = IvfIndex.adcTable(meta, pm, qd)
     val kCodes = 1 << pm.numBits
-    val adc = Array.tabulate(pm.numSubVectors * kCodes) { idx =>
-      val j = idx / kCodes; val c = idx % kCodes
-      if (c >= pm.codebooks(j).size) Double.MaxValue
-      else sqDist(qd.slice(j * dsub, (j + 1) * dsub).map(_.toFloat),
-        pm.codebooks(j)(c).toArray.map(_.toFloat))
-    }
 
     val ip = IvfIndex.indexPath(datasetPath, column)
-    val vecs = spark.read.parquet(s"$ip/buckets")
+    val bucketsRaw = spark.read.parquet(s"$ip/buckets")
       .filter(col("__ivf_part").isin(probes: _*))
+    val keepCol = filter.map(f => coalesce(f.cast("boolean"), lit(false)))
+      .getOrElse(lit(true))
+    val vecs = bucketsRaw
       .select(col("__ivf_part"), col(meta.idColumn).cast("long").as("id"),
-        col(meta.column).cast("array<float>").as("__v"), col("__pq_code"))
+        col(meta.column).cast("array<float>").as("__v"), keepCol.as("__keep"),
+        col("__pq_code"))
     val graph = spark.read.parquet(graphPath(datasetPath, column))
       .filter(col("__ivf_part").isin(probes: _*))
       .select(col("__ivf_part"), col("id"), col("level"), col("neighbors"))
@@ -327,14 +397,15 @@ object HnswIndex {
       .repartition(math.max(probes.size, 1), col("__ivf_part"))
     val bcQ = spark.sparkContext.broadcast(query)
     val bcAdc = spark.sparkContext.broadcast(adc)
-    val effEf = math.max(ef, k)
     val idCol = meta.idColumn
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
-    val candidates = joined.mapPartitions { rows =>
+    val scoringMetric = meta.metric
+    def candidates(effEf: Int): DataFrame = joined.mapPartitions { rows =>
       val q = bcQ.value
       val table = bcAdc.value
+      val exact = metricDist(scoringMetric)
       val byBucket = groupBuckets(rows, withCodes = true)
       byBucket.iterator.flatMap { case (_, nodes) =>
         val arr = nodes.toArray
@@ -346,36 +417,40 @@ object HnswIndex {
         }
         // traverse on ADC, refine the ef survivors exactly
         searchBucket(arr, adcDist, effEf)
-          .map { case (o, _) => (arr(o).id, sqDist(q, arr(o).vec)) }
-      }.map { case (id, d) => Row(id, math.sqrt(d)) }
+          .map { case (o, _) => (arr(o).id, exact(q, arr(o).vec)) }
+      }.map { case (id, d) => Row(id, reportDist(scoringMetric, d)) }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    candidates.orderBy(col("_distance"), col(idCol)).limit(k)
+    finishSearch(spark, s"$datasetPath/$column (pq)", k, math.max(ef, k),
+      bucketsRaw, filter, idCol, candidates)
   }
 
   private[index] case class BucketNode(id: Long, vec: Array[Float],
-    codes: Array[Int], level: Int, nbrs: Seq[Seq[Long]])
+    codes: Array[Int], level: Int, nbrs: Seq[Seq[Long]], keep: Boolean = true)
 
-  /** Rows → per-bucket node lists. Row layout: (__ivf_part, id, __v
-    * [, __pq_code], level, neighbors).
+  /** Rows → per-bucket node lists. Row layout: (__ivf_part, id, __v,
+    * __keep[, __pq_code], level, neighbors).
     */
   private def groupBuckets(rows: Iterator[Row], withCodes: Boolean)
       : mutable.Map[Int, mutable.ArrayBuffer[BucketNode]] = {
     val byBucket = mutable.Map.empty[Int, mutable.ArrayBuffer[BucketNode]]
-    val levelIdx = if (withCodes) 4 else 3
+    val levelIdx = if (withCodes) 5 else 4
     rows.foreach { r =>
       byBucket.getOrElseUpdate(r.getInt(0), mutable.ArrayBuffer.empty) +=
         BucketNode(r.getLong(1), r.getSeq[Float](2).toArray,
-          if (withCodes) r.getSeq[Int](3).toArray else null,
+          if (withCodes) r.getSeq[Int](4).toArray else null,
           r.getInt(levelIdx),
           // nested parquet arrays deserialize as mutable.ArraySeq — type
           // the element as collection.Seq before converting
-          r.getSeq[scala.collection.Seq[Long]](levelIdx + 1).map(_.toSeq).toSeq)
+          r.getSeq[scala.collection.Seq[Long]](levelIdx + 1).map(_.toSeq).toSeq,
+          keep = r.getBoolean(3))
     }
     byBucket
   }
 
   /** Walk one bucket's graph under `dist` (ordinal → distance); returns up
-    * to ef (ordinal, dist) candidates.
+    * to ef (ordinal, dist) candidates. Nodes with `keep = false` (a
+    * pre-filter miss) are traversed — they keep the graph connected — but
+    * never enter the result set: the standard filtered-HNSW composition.
     */
   private[index] def searchBucket(nodes: Array[BucketNode], dist: Int => Double,
       ef: Int): Iterator[(Int, Double)] = {
@@ -411,7 +486,8 @@ object HnswIndex {
     val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](t => -t._1))
     val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1))
     val d0 = dist(entry)
-    cand.enqueue((d0, entry)); res.enqueue((d0, entry))
+    cand.enqueue((d0, entry))
+    if (nodes(entry).keep) res.enqueue((d0, entry))
     while (cand.nonEmpty) {
       val (dc, c) = cand.dequeue()
       if (res.size >= ef && dc > res.head._1) cand.clear()
@@ -420,8 +496,11 @@ object HnswIndex {
           visited += nb
           val d = dist(nb)
           if (res.size < ef || d < res.head._1) {
-            cand.enqueue((d, nb)); res.enqueue((d, nb))
-            if (res.size > ef) res.dequeue()
+            cand.enqueue((d, nb))
+            if (nodes(nb).keep) {
+              res.enqueue((d, nb))
+              if (res.size > ef) res.dequeue()
+            }
           }
         }
       }

@@ -43,18 +43,32 @@ object IvfIndex {
     */
   val CurrentFormatVersion = 2
 
+  /** `bucketRows` (string-keyed for JSON stability: bucket id → row count)
+    * feeds the oversized-bucket guard in [[HnswIndex]] — graph search
+    * materializes one bucket per task, and the guard warns before a
+    * lopsided bucket blows a task's memory. Absent on indexes built
+    * before the field existed (no guard, same behavior as before).
+    */
   case class IndexMeta(column: String, idColumn: String, metric: String,
     numPartitions: Int, dim: Int, centroids: Seq[Seq[Double]],
     pq: Option[PqMeta] = None,
     datasetVersion: Option[Long] = None,
-    formatVersion: Option[Int] = None)
+    formatVersion: Option[Int] = None,
+    bucketRows: Option[Map[String, Long]] = None)
 
   /** Product-quantization codebooks: codebooks(j)(c) is the `c`-th centroid
     * of subspace `j` (dim/numSubVectors floats each). Reference defaults:
     * 16 sub-vectors, 8 bits (`config/LanceOptions.java:150-163`).
+    *
+    * `normalized = Some(true)` means codebooks were trained on — and codes
+    * encode — L2-NORMALIZED vectors (how cosine indexes build: on the unit
+    * sphere squared-L2 is 2·(1−cos), so the ADC table built from the
+    * normalized query ranks by cosine). A cosine search over raw-encoded
+    * codes would silently mis-rank, so searchPq requires the flag.
     */
   case class PqMeta(numSubVectors: Int, numBits: Int,
-    codebooks: Seq[Seq[Seq[Double]]])
+    codebooks: Seq[Seq[Seq[Double]]],
+    normalized: Option[Boolean] = None)
 
   case class PqParams(numSubVectors: Int = 16, numBits: Int = 8)
 
@@ -122,19 +136,23 @@ object IvfIndex {
     }
 
   /** PQ code-assignment UDF over the (broadcast) codebooks — shared by
-    * build and refresh for the same reason.
+    * build and refresh for the same reason. `normalize` must match how the
+    * codebooks were trained ([[PqMeta.normalized]]).
     */
   private def encodeUdf(bcCb: Broadcast[Array[Array[Array[Double]]]],
-      dsub: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+      dsub: Int, normalize: Boolean): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (v: Seq[Float]) =>
       val cbs = bcCb.value
+      var arr = new Array[Double](v.length)
+      var x = 0; while (x < v.length) { arr(x) = v(x).toDouble; x += 1 }
+      if (normalize) arr = normalized(arr)
       Array.tabulate(cbs.length) { j =>
         val off = j * dsub
         var best = 0; var bestD = Double.MaxValue; var c = 0
         while (c < cbs(j).length) {
           var acc = 0.0; var i = 0
           while (i < dsub) {
-            val d = v(off + i).toDouble - cbs(j)(c)(i); acc += d * d; i += 1
+            val d = arr(off + i) - cbs(j)(c)(i); acc += d * d; i += 1
           }
           if (acc < bestD) { bestD = acc; best = c }; c += 1
         }
@@ -194,23 +212,27 @@ object IvfIndex {
           s"dim $dim not divisible by numSubVectors ${params.numSubVectors}")
         val dsub = dim / params.numSubVectors
         val k = 1 << params.numBits
+        // cosine codebooks train on the same normalized vectors the codes
+        // will encode — reuse of trainArr keeps the two paths identical
+        val pqSource = trainArr
         val codebooks = (0 until params.numSubVectors).map { j =>
-          val subTrain = sample.select(org.apache.spark.ml.functions
-            .array_to_vector(expr(s"slice(CAST(`$column` AS ARRAY<DOUBLE>), ${j * dsub + 1}, $dsub)"))
+          val subTrain = pqSource.select(org.apache.spark.ml.functions
+            .array_to_vector(expr(s"slice(__vd, ${j * dsub + 1}, $dsub)"))
             .as("features"))
             .repartition(spark.sparkContext.defaultParallelism)
           new KMeans().setK(k).setSeed(seed + j).setMaxIter(10)
             .setFeaturesCol("features").fit(subTrain)
             .clusterCenters.map(_.toArray.toSeq).toSeq
         }
-        PqMeta(params.numSubVectors, params.numBits, codebooks)
+        PqMeta(params.numSubVectors, params.numBits, codebooks,
+          normalized = Some(normalize))
       }
 
       val encode = pqMeta.map { pm =>
         val bcCb = spark.sparkContext.broadcast(
           pm.codebooks.map(_.map(_.toArray).toArray).toArray)
         val dsub = (centroids.headOption.map(_.length).getOrElse(0)) / pm.numSubVectors
-        encodeUdf(bcCb, dsub)
+        encodeUdf(bcCb, dsub, normalize)
       }
 
       val ip = indexPath(datasetPath, column)
@@ -219,16 +241,19 @@ object IvfIndex {
         assigned.withColumn("__pq_code", e(col(column).cast("array<float>"))))
       withCodes.write.mode("overwrite").partitionBy("__ivf_part").parquet(s"$ip/buckets")
 
+      // per-bucket row counts for the oversized-bucket guard: a scan of
+      // the partition column only (data columns pruned away)
+      val counts = spark.read.parquet(s"$ip/buckets")
+        .groupBy(col("__ivf_part")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0).toString -> r.getLong(1)).toMap
+
       val meta = IndexMeta(column, idColumn, metric, numPartitions,
         centroids.headOption.map(_.length).getOrElse(0),
         centroids.map(_.toSeq).toSeq, pqMeta,
         datasetVersionOf(spark, datasetPath),
-        formatVersion = Some(CurrentFormatVersion))
-      val metaPath = new Path(s"$ip/index.json")
-      val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
-      val out = fs.create(metaPath, true)
-      try out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+        formatVersion = Some(CurrentFormatVersion),
+        bucketRows = Some(counts))
+      writeMeta(spark, ip, meta)
       IndexBuildResult(success = true, System.currentTimeMillis() - t0, numPartitions)
     } catch {
       case e: Exception =>
@@ -285,6 +310,7 @@ object IvfIndex {
         "the index")
     val added = newM.fragments.filterNot(f => oldFiles(f.file))
     val ip = indexPath(datasetPath, column)
+    var deltaCounts = Map.empty[String, Long]
     if (added.nonEmpty) {
       val paths = added.map(f =>
         new Path(graft.format.LanceFormat.dataPath(root), f.file).toString)
@@ -296,8 +322,13 @@ object IvfIndex {
         val bcCb = spark.sparkContext.broadcast(
           pm.codebooks.map(_.map(_.toArray).toArray).toArray)
         assigned.withColumn("__pq_code",
-          encodeUdf(bcCb, meta.dim / pm.numSubVectors)(col(column).cast("array<float>")))
+          encodeUdf(bcCb, meta.dim / pm.numSubVectors,
+            pm.normalized.getOrElse(false))(col(column).cast("array<float>")))
       }
+      // delta-only pass for the bucket-size guard's row counts
+      deltaCounts = withCodes.groupBy(col("__ivf_part"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0).toString -> r.getLong(1)).toMap
       withCodes.write.mode("append").partitionBy("__ivf_part").parquet(s"$ip/buckets")
     }
     // the graph sidecar no longer covers every bucket row - invalidate it
@@ -308,12 +339,26 @@ object IvfIndex {
         "- rebuild the graph to search with mode 'hnsw'")
       fs.delete(gp, true)
     }
-    val updated = meta.copy(datasetVersion = Some(latest))
-    val metaPath = new Path(s"$ip/index.json")
-    val out = fs.create(metaPath, true)
-    try out.write(Serialization.write(updated).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val updated = meta.copy(datasetVersion = Some(latest),
+      bucketRows = meta.bucketRows.map { old =>
+        old ++ deltaCounts.map { case (b, n) => b -> (old.getOrElse(b, 0L) + n) }
+      })
+    writeMeta(spark, ip, updated)
     added.map(_.rowCount).sum
+  }
+
+  /** Write (or rewrite) `index.json` and drop any cached copy — the single
+    * mutation point, so the meta cache can never serve a stale read after
+    * a build or refresh.
+    */
+  private def writeMeta(spark: SparkSession, ip: String, meta: IndexMeta): Unit = {
+    val metaPath = new Path(s"$ip/index.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val key = fs.makeQualified(metaPath).toString
+    metaCache.keySet.removeIf(_._1 == key)
   }
 
   /** Index staleness (production guard): an index built at version V does
@@ -330,9 +375,43 @@ object IvfIndex {
         s"$built but the dataset is now at $now; new fragments are not indexed " +
         "- rebuild to include them")
 
+  /** JVM-scoped cache of parsed `index.json` metadata, keyed by (qualified
+    * path, modification time, length) so an out-of-band rewrite naturally
+    * misses; [[writeMeta]] (build/refresh) additionally evicts explicitly
+    * — belt and braces, since local modTime granularity is 1 ms. Repeated
+    * searches (the TVF serving shape) skip the filesystem read + JSON
+    * parse the reference avoids by caching open searchers
+    * (`ref:table/LanceVectorSearchFunction.java:113-136`).
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), IndexMeta]()
+
+  /** Per-path count of actual filesystem reads of `index.json` (cache
+    * misses) — observability hook the cache spec asserts on. Keyed by
+    * qualified path so concurrent suites over other indexes cannot
+    * perturb a path's count.
+    */
+  private val metaReadCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def metaReadCount(spark: SparkSession, datasetPath: String,
+      column: String): Long = {
+    val metaPath = new Path(s"${indexPath(datasetPath, column)}/index.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    Option(metaReadCounts.get(fs.makeQualified(metaPath).toString))
+      .map(_.longValue).getOrElse(0L)
+  }
+
   def loadMeta(spark: SparkSession, datasetPath: String, column: String): IndexMeta = {
     val metaPath = new Path(s"${indexPath(datasetPath, column)}/index.json")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(metaPath)
+    val key = (fs.makeQualified(metaPath).toString,
+      st.getModificationTime, st.getLen)
+    val cached = metaCache.get(key)
+    if (cached != null) return cached
+    metaReadCounts.merge(key._1, java.lang.Long.valueOf(1L),
+      (a, b) => java.lang.Long.valueOf(a + b))
     val in = fs.open(metaPath)
     try {
       val bytes = new java.io.ByteArrayOutputStream()
@@ -349,6 +428,8 @@ object IvfIndex {
           s"cosine index at $metaPath predates normalized bucket assignment " +
             s"(formatVersion ${meta.formatVersion.getOrElse(1)} < 2); its stored " +
             "buckets disagree with the current probe ranking - rebuild the index")
+      if (metaCache.size > 64) metaCache.clear() // bounded; rebuilt on demand
+      metaCache.put(key, meta)
       meta
     } finally in.close()
   }
@@ -447,14 +528,25 @@ object IvfIndex {
     *    cross product).
     *
     * With `nprobes = numPartitions` the result is the exact KNN join
-    * (oracle-gated, v33); partial probing trades recall for scan exactly
-    * as [[search]] does. Query sets too large to broadcast should flip
-    * the geometry: assign DATA rows once and shuffle both sides on the
-    * bucket key (the d46/d47 blocked-join shape).
+    * (oracle-gated, v33/v35); partial probing trades recall for scan
+    * exactly as [[search]] does.
+    *
+    * `geometry` picks how query→bucket pairs reach the data:
+    *  - `"broadcast"` — collect the query set, rank centroids on the
+    *    driver, broadcast the exploded pairs (RAG-sized query sets);
+    *  - `"flipped"` — rank centroids in a distributed map over the query
+    *    set (same broadcast-centroids UDF family as build/refresh) and
+    *    shuffle BOTH sides on the bucket key — no driver collect, the
+    *    d46/d47 blocked-join shape, for corpus-scale query sets
+    *    (embedding-vs-embedding joins);
+    *  - `"auto"` (default) — flip when the query count exceeds
+    *    `spark.graft.vector.join.broadcastLimit` (default 10000; one
+    *    cheap count job decides).
+    * Both geometries produce identical results — only the plan differs.
     */
   def searchJoin(spark: SparkSession, datasetPath: String, column: String,
       queries: DataFrame, queryIdCol: String, k: Int, nprobes: Int = 20,
-      metric: String = "l2"): DataFrame = {
+      metric: String = "l2", geometry: String = "auto"): DataFrame = {
     val meta = loadMeta(spark, datasetPath, column)
     checkFreshness(spark, datasetPath, meta)
     require(metric.equalsIgnoreCase(meta.metric),
@@ -462,28 +554,62 @@ object IvfIndex {
         s"searched with $metric - rebuild the index or search with ${meta.metric}")
     val probes = math.min(nprobes, meta.numPartitions)
 
+    val flip = geometry.toLowerCase match {
+      case "flipped" => true
+      case "broadcast" => false
+      case "auto" =>
+        val limit = spark.conf.getOption("spark.graft.vector.join.broadcastLimit")
+          .map(_.toLong).getOrElse(10000L)
+        queries.count() > limit
+      case g => throw new IllegalArgumentException(
+        s"searchJoin geometry must be broadcast|flipped|auto, got $g")
+    }
+
     val idField = queries.schema(queryIdCol)
-    val qRows = queries.select(col(queryIdCol), col(column).cast("array<float>")).collect()
-    val pairRows: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList(qRows.flatMap { r =>
-        val vec = r.getSeq[Float](1).toArray
+    val pairs: DataFrame = if (flip) {
+      // distributed assignment: each query row ranks the broadcast
+      // centroids in an executor and explodes into its probed buckets
+      val bc = spark.sparkContext.broadcast(meta.centroids.map(_.toArray).toArray)
+      val m = metric
+      val dim = meta.dim
+      val probeBuckets = udf { (v: Seq[Float]) =>
+        val vec = v.toArray
         validateQueryVector(vec)
-        require(vec.length == meta.dim,
-          s"query dim ${vec.length} != index dim ${meta.dim}")
+        require(vec.length == dim, s"query dim ${vec.length} != index dim $dim")
         val q = vec.map(_.toDouble)
-        meta.centroids.zipWithIndex
-          .map { case (c, i) => (centroidDist(q, c.toArray, metric), i) }
-          .sortBy(_._1).take(probes)
-          .map { case (_, part) =>
-            org.apache.spark.sql.Row(r.get(0), q.toSeq, part)
-          }
-      }: _*)
-    val pairSchema = new org.apache.spark.sql.types.StructType()
-      .add("__q_id", idField.dataType, nullable = false)
-      .add("__q_vec", org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)
-      .add("__ivf_part", org.apache.spark.sql.types.IntegerType, nullable = false)
-    val pairs = spark.createDataFrame(pairRows, pairSchema)
+        bc.value.zipWithIndex
+          .map { case (c, i) => (centroidDist(q, c, m), i) }
+          .sortBy(_._1).take(probes).map(_._2)
+      }
+      queries
+        .select(col(queryIdCol).as("__q_id"),
+          col(column).cast("array<double>").as("__q_vec"),
+          col(column).cast("array<float>").as("__q_f"))
+        .withColumn("__ivf_part", explode(probeBuckets(col("__q_f"))))
+        .drop("__q_f")
+    } else {
+      val qRows = queries.select(col(queryIdCol), col(column).cast("array<float>")).collect()
+      val pairRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(qRows.flatMap { r =>
+          val vec = r.getSeq[Float](1).toArray
+          validateQueryVector(vec)
+          require(vec.length == meta.dim,
+            s"query dim ${vec.length} != index dim ${meta.dim}")
+          val q = vec.map(_.toDouble)
+          meta.centroids.zipWithIndex
+            .map { case (c, i) => (centroidDist(q, c.toArray, metric), i) }
+            .sortBy(_._1).take(probes)
+            .map { case (_, part) =>
+              org.apache.spark.sql.Row(r.get(0), q.toSeq, part)
+            }
+        }: _*)
+      val pairSchema = new org.apache.spark.sql.types.StructType()
+        .add("__q_id", idField.dataType, nullable = false)
+        .add("__q_vec", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)
+        .add("__ivf_part", org.apache.spark.sql.types.IntegerType, nullable = false)
+      broadcast(spark.createDataFrame(pairRows, pairSchema))
+    }
 
     val dist = metric.toLowerCase match {
       case "l2" => l2_distance(col(column), col("__q_vec"))
@@ -495,7 +621,7 @@ object IvfIndex {
       .partitionBy(col("__q_id"))
       .orderBy(col("_distance"), col(meta.idColumn))
     spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
-      .join(broadcast(pairs), "__ivf_part")
+      .join(pairs, "__ivf_part")
       .withColumn("_distance", dist)
       .withColumn("_rank", row_number().over(w))
       .filter(col("_rank") <= k)
@@ -503,12 +629,59 @@ object IvfIndex {
       .withColumnRenamed("__q_id", "query_id")
   }
 
+  /** The ADC lookup table under the scoring metric, flattened to one array
+    * (m × 2^bits): squared L2 from each query subvector to every codebook
+    * centroid for `l2`; the same on the NORMALIZED query for `cosine`
+    * (codes encode normalized vectors — [[PqMeta.normalized]] — and on the
+    * unit sphere ‖qₙ−xₙ‖² = 2(1−cosθ), monotone in cosine distance); the
+    * negated inner product for `dot` (⟨q,x⟩ = Σⱼ⟨qⱼ,xⱼ⟩ decomposes across
+    * subspaces exactly like L2, so ascending ADC = descending dot).
+    * Shared by IVF and HNSW PQ search so the two paths can never rank
+    * differently. Cosine/dot parity: `ref:LanceVectorSearch.java:274-285`,
+    * `ref:LanceIndexBuilder.java:117-152`.
+    */
+  private[index] def adcTable(meta: IndexMeta, pm: PqMeta,
+      query: Array[Double]): Array[Double] = {
+    val m = meta.metric.toLowerCase
+    if (m == "cosine") require(pm.normalized.contains(true),
+      s"cosine PQ search needs codes encoded on normalized vectors; this " +
+        "index was built before cosine PQ existed - rebuild it")
+    val q = if (m == "cosine") normalized(query) else query
+    val dsub = meta.dim / pm.numSubVectors
+    val kCodes = 1 << pm.numBits
+    Array.tabulate(pm.numSubVectors * kCodes) { idx =>
+      val j = idx / kCodes
+      val c = idx % kCodes
+      if (c >= pm.codebooks(j).size) Double.MaxValue
+      else m match {
+        case "dot" =>
+          val cb = pm.codebooks(j)(c)
+          var dot = 0.0; var i = 0
+          while (i < dsub) { dot += q(j * dsub + i) * cb(i); i += 1 }
+          -dot
+        case _ => sq(q.slice(j * dsub, (j + 1) * dsub), pm.codebooks(j)(c).toArray)
+      }
+    }
+  }
+
+  /** Exact refine distance column under the metric (raw vectors). */
+  private[index] def refineDist(column: String, q: Array[Double],
+      metric: String): org.apache.spark.sql.Column = metric.toLowerCase match {
+    case "l2" => l2_distance(col(column), lit(q))
+    case "cosine" => cosine_distance(col(column), lit(q))
+    case "dot" => -dot_product(col(column), lit(q))
+    case m => throw new IllegalArgumentException(s"unknown metric: $m")
+  }
+
   /** IVF_PQ search: probe `nprobes` buckets, score candidates with the
     * asymmetric-distance (ADC) lookup table — `Σ_j table(j)(code_j)`, a
     * codegen'd fold over the stored codes, no vector math per row — keep
     * the best `k × refineFactor`, then refine those exactly on the raw
-    * vectors and return the top k (reference `refine-factor`,
-    * `config/LanceOptions.java:233-237`).
+    * vectors under the index's metric and return the top k (reference
+    * `refine-factor`, `config/LanceOptions.java:233-237`). Serves all
+    * three metrics like the reference's Lance-Rust IVF_PQ
+    * (`LanceVectorSearch.java:274-285`): see [[adcTable]] for how cosine
+    * and dot decompose.
     */
   def searchPq(spark: SparkSession, datasetPath: String, column: String,
       query: Array[Float], k: Int, nprobes: Int = 20,
@@ -516,31 +689,17 @@ object IvfIndex {
     validateQueryVector(query)
     val meta = loadMeta(spark, datasetPath, column)
     checkFreshness(spark, datasetPath, meta)
-    // same loud-failure contract as HnswIndex.searchPq: the ADC table
-    // decomposes the L2 metric only
-    require(meta.metric.equalsIgnoreCase("l2"),
-      s"PQ/ADC scoring decomposes the L2 metric only; the index was built " +
-        s"with ${meta.metric}")
     val pm = meta.pq.getOrElse(throw new IllegalStateException(
       s"index for $column was built without PQ"))
     require(query.length == meta.dim,
       s"query dim ${query.length} != index dim ${meta.dim}")
     val q = query.map(_.toDouble)
     val probes = meta.centroids.zipWithIndex
-      .map { case (c, i) => (sq(q, c.toArray), i) }
+      .map { case (c, i) => (centroidDist(q, c.toArray, meta.metric), i) }
       .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
 
-    // ADC table: squared distance from each query subvector to every
-    // codebook centroid, flattened to one literal array (m * 2^bits).
-    val dsub = meta.dim / pm.numSubVectors
+    val table = adcTable(meta, pm, q)
     val kCodes = 1 << pm.numBits
-    val table = Array.tabulate(pm.numSubVectors * kCodes) { idx =>
-      val j = idx / kCodes
-      val c = idx % kCodes
-      if (c >= pm.codebooks(j).size) Double.MaxValue
-      else sq(q.slice(j * dsub, (j + 1) * dsub), pm.codebooks(j)(c).toArray)
-    }
-
     val tableSql = table.mkString("array(", "D, ", "D)")
     val approx = spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
       .filter(col("__ivf_part").isin(probes: _*))
@@ -551,7 +710,7 @@ object IvfIndex {
       .limit(k * refineFactor)
 
     approx
-      .withColumn("_distance", l2_distance(col(column), lit(q)))
+      .withColumn("_distance", refineDist(column, q, meta.metric))
       .drop("__ivf_part", "__pq_code", "__adc")
       .orderBy(col("_distance"))
       .limit(k)

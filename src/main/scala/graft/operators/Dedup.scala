@@ -183,9 +183,18 @@ object Dedup {
       else {
         logger.warn(s"d42: df-cap dropping ${hot.length} hot shingles " +
           s"(df > $tau) from every document before the self-join")
-        val bc = spark.sparkContext.broadcast(hot.map(_.getLong(0)).toSet)
-        val dropHot = udf { (sh: Seq[Long]) => sh.filterNot(bc.value.contains) }
-        full.select(col("doc_id"), dropHot(col("sh")).as("sh"))
+        val hotIds = hot.map(_.getLong(0))
+        // codegen'd set difference against a literal array — stays inside
+        // whole-stage codegen on the 100 TB path the df-cap exists for; a
+        // broadcast + Scala UDF only if the hot set outgrows a sane
+        // literal (it is <= |postings|/tau — boilerplate — by construction)
+        if (hotIds.length <= 10000)
+          full.select(col("doc_id"), array_except(col("sh"), lit(hotIds)).as("sh"))
+        else {
+          val bc = spark.sparkContext.broadcast(hotIds.toSet)
+          val dropHot = udf { (sh: Seq[Long]) => sh.filterNot(bc.value.contains) }
+          full.select(col("doc_id"), dropHot(col("sh")).as("sh"))
+        }
       }
     }
     val d = capped

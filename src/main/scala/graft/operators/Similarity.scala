@@ -154,6 +154,13 @@ object Similarity {
       .orderBy(col("d"), col("vec_id")).limit(10)
       .select(col("vec_id"))
 
+  /** Exact brute-force COSINE top-10 ids (the v35 recall reference). */
+  private def exactTop10IdsCosine(spark: SparkSession, dir: String, q: Array[Float]): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), cosine_distance(col("embedding"), lit(q.map(_.toDouble))).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select(col("vec_id"))
+
   /** Dev/spec hook: ensure the default L2 IVF+HNSW sidecars exist. */
   private[graft] def devEnsureIvfHnsw(spark: SparkSession, dir: String): String = {
     val dest = ensureIvf(spark, dir)
@@ -307,6 +314,87 @@ object Similarity {
       .agg(count(lit(1)).as("n_overlap"))
       .select(lit(10).as("k"), lit(200).as("ef"),
         (col("n_overlap") >= 8).as("recall_ok"))
+  }
+
+  /** Ensure a COSINE IVF_PQ sidecar: codebooks trained on — and codes
+    * encoding — L2-normalized vectors ([[graft.index.IvfIndex.PqMeta]]
+    * `normalized`), the build convention cosine ADC requires.
+    */
+  private def ensureIvfPqCosine(spark: SparkSession, dir: String): String = {
+    import graft.index.IvfIndex
+    val dest = graft.Tables.scratch(dir, "emb_ivfpq_cos_np8_v1")
+    val metaFile = new org.apache.hadoop.fs.Path(
+      new java.io.File(s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
+    val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaFile)) {
+      val r = IvfIndex.build(spark, t(spark, dir, "embeddings"),
+        "embedding", "vec_id", dest, numPartitions = 8, metric = "cosine",
+        pq = Some(IvfIndex.PqParams(numSubVectors = 16, numBits = 8)))
+      require(r.success, r.error)
+    }
+    dest
+  }
+
+  /** Cosine IVF_PQ (reference parity: Lance-Rust serves every metric
+    * through IVF_PQ, `LanceVectorSearch.java:274-285`): ADC runs on the
+    * NORMALIZED query against normalized-encoded codes — on the unit
+    * sphere ‖qₙ−xₙ‖² = 2(1−cos) is monotone in cosine distance — and the
+    * exact refine re-ranks on raw vectors under true cosine. Same
+    * planted-floor recall-gate shape as v28 (measured 10/10 at sf0.01 and
+    * sf0.1, asserted ≥ 8).
+    */
+  def v35KnnIvfPqCosine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = ensureIvfPqCosine(spark, dir)
+    val q = queryVec(spark, dir, 1L)
+    val pqIds = IvfIndex.searchPq(spark, dest, "embedding", q, 10,
+        nprobes = 8, refineFactor = 4)
+      .select(col("vec_id"))
+    val exactIds = exactTop10IdsCosine(spark, dir, q)
+    pqIds.join(exactIds, "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(10).as("k"), lit(4).as("refine"),
+        (col("n_overlap") >= 8).as("recall_ok"))
+  }
+
+  /** Filtered GRAPH search (the one filter×index combination previously
+    * rejected): the pre-filter is evaluated during the level-0 beam —
+    * non-matching nodes are traversed but never returned — with loud
+    * geometric ef-widening on shortfall. Full probing plus a beam wider
+    * than the per-bucket match count makes the walk exhaustive over each
+    * bucket's connected component, so the result is the exact KNN over
+    * the filtered subset — which is what the SQL oracle computes (same
+    * exactness bet as v26, documented there).
+    */
+  def v36KnnHnswFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.HnswIndex
+    val dest = ensureIvf(spark, dir)
+    ensureHnswGraph(spark, dest)
+    val q = queryVec(spark, dir, 0L)
+    HnswIndex.search(spark, dest, "embedding", q, 10, nprobes = 8, ef = 200,
+        metric = Some("l2"), filter = Some(col("label") === 3))
+      .select(col("vec_id"), col("_distance").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  /** Flip-geometry KNN JOIN (corpus-scale query sets): the ENTIRE
+    * embeddings table joined to itself, k=3 — the query side is never
+    * collected to the driver; each query row ranks the broadcast
+    * centroids in an executor, explodes into its probed buckets, and
+    * both sides shuffle on the bucket key (the d47 blocked-join shape).
+    * Full probing ⇒ the exact KNN self-join, which is what the oracle's
+    * cross-join + row_number computes; identical results to the
+    * broadcast geometry by construction.
+    */
+  def v37KnnJoinFlipped(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = ensureIvf(spark, dir)
+    val qs = t(spark, dir, "embeddings")
+    IvfIndex.searchJoin(spark, dest, "embedding", qs, "vec_id", k = 3,
+        nprobes = 8, geometry = "flipped")
+      .select(col("query_id"), col("_rank").as("rk"), col("vec_id"),
+        col("_distance").as("dist"))
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** V3 (filtered vector search) end-to-end through the index path: the
@@ -484,6 +572,9 @@ object Similarity {
     "v29_knn_hnswpq" -> v29KnnHnswPq,
     "v30_knn_filtered" -> v30KnnFiltered,
     "v31_ann_rewrite" -> v31AnnRewrite,
+    "v35_knn_ivfpq_cosine" -> v35KnnIvfPqCosine,
+    "v36_knn_hnsw_filtered" -> v36KnnHnswFiltered,
+    "v37_knn_join_flipped" -> v37KnnJoinFlipped,
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
@@ -514,6 +605,29 @@ object Similarity {
       "SELECT 10 AS k, 4 AS refine, true AS recall_ok",
     "v29_knn_hnswpq" ->
       "SELECT 10 AS k, 200 AS ef, true AS recall_ok",
+    // planted outcome: measured overlap vs the exact cosine top-10 at
+    // sf0.01 and sf0.1, asserted >= 8 (same stability argument as v28)
+    "v35_knn_ivfpq_cosine" ->
+      "SELECT 10 AS k, 4 AS refine, true AS recall_ok",
+    // filtered graph walk at full probe = exact KNN over the filtered
+    // subset (beam wider than the per-bucket match count is exhaustive
+    // over each connected component)
+    "v36_knn_hnsw_filtered" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $l2SqlBody AS dist
+         |FROM embeddings e, q WHERE e.label = 3
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    // exact KNN self-join at full probe: cross join + per-query
+    // row_number over the WHOLE table (the flipped geometry's result is
+    // identical to broadcast by construction; only the plan differs)
+    "v37_knn_join_flipped" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings),
+         |d AS (SELECT q.q_id, e.vec_id, $l2SqlBody AS dist
+         |  FROM embeddings e, q),
+         |r AS (SELECT *, row_number()
+         |    OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT q_id AS query_id, CAST(rk AS INT) AS rk, vec_id, dist
+         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // the optimizer-rule gate: brute-force rows (full probe = exact) plus
     // the planted plan outcome — the probe's partition filter must appear
     "v31_ann_rewrite" ->

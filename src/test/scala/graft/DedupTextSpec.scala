@@ -70,7 +70,12 @@ class DedupTextSpec extends AnyFunSuite {
     // (its shingles are all low-df, so the capped feature space — which
     // both the numerator AND denominator are computed over — equals the
     // full one and the jaccard is bit-identical to the uncapped run)
-    val capped = Dedup.d42JaccardPairs(spark, dir).collect()
+    val cappedDf = Dedup.d42JaccardPairs(spark, dir)
+    // the hot-drop must stay codegen'd (array_except against a literal),
+    // not a per-row Scala UDF — this is the 100 TB path the cap exists for
+    assert(!cappedDf.queryExecution.executedPlan.toString.contains("ScalaUDF"),
+      "hot-shingle drop fell back to a Scala UDF on a small hot set")
+    val capped = cappedDf.collect()
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)),
       s"capped d42: ${capped.toSeq}")
     val cappedJ = capped.head.getDouble(2)

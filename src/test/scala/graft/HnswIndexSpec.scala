@@ -124,6 +124,74 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(top.getLong(0) == 0L && top.getDouble(1) < 1e-9) // itself
   }
 
+  test("filtered graph search: exact over the filtered subset, widens on shortfall") {
+    assert(built.success)
+    val q = queryVec(0L)
+    // moderately selective filter (~10% of rows): beam result must equal
+    // the exact KNN over the filtered subset at full probe
+    val got = HnswIndex.search(spark, datasetPath, "embedding", q, 10,
+        nprobes = 4, ef = 200, filter = Some($"label" === 3))
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.knnSearch(
+      Tables.t(spark, sf, "embeddings").filter($"label" === 3),
+      "embedding", q, 10, "l2").select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"got=$got exact=$exact")
+
+    // a starving filter (fewer than k matches in the whole index): the
+    // widening loop must surface every reachable match, never a silent
+    // short set of the wrong rows, and never loop forever
+    val short = HnswIndex.search(spark, datasetPath, "embedding", q, 10,
+        nprobes = 4, ef = 4, filter = Some($"vec_id" >= 495))
+      .collect().map(_.getLong(0)).toSet
+    assert(short == (495L until 500L).toSet, short.toString)
+
+    // a tiny initial beam on a selective filter must WIDEN until k rows
+    // match — never return the few nodes the first beam happened to
+    // reach. (The widened beam is still a beam: assert k pre-filtered
+    // results with high overlap, not bit-equality — that is the ef=200
+    // assertion above.)
+    val widened = HnswIndex.search(spark, datasetPath, "embedding", q, 10,
+        nprobes = 4, ef = 2, filter = Some($"label" === 3))
+      .collect().map(_.getLong(0)).toSeq
+    assert(widened.length == 10, s"widening must reach k rows, got $widened")
+    val label3 = Tables.t(spark, sf, "embeddings").filter($"label" === 3)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(widened.forall(label3.contains),
+      "every result must satisfy the pre-filter")
+    assert((widened.toSet intersect exact.toSet).size >= 7,
+      s"widened=$widened exact=$exact")
+  }
+
+  test("oversized-bucket guard warns with the numPartitions fix") {
+    // pure-function check on a deliberately lopsided index: one bucket
+    // holds nearly everything
+    val meta = IvfIndex.IndexMeta("embedding", "vec_id", "l2",
+      numPartitions = 2, dim = 64,
+      centroids = Seq(Seq.fill(64)(0.0), Seq.fill(64)(1.0)),
+      bucketRows = Some(Map("0" -> 50000000L, "1" -> 10L)))
+    val warnings = HnswIndex.oversizedBucketWarnings(meta, Seq(0, 1),
+      maxBytes = 1L << 30)
+    assert(warnings.size == 1, warnings.toString)
+    assert(warnings.head.contains("bucket 0") &&
+      warnings.head.contains("numPartitions"), warnings.head)
+    // under the threshold: silent
+    assert(HnswIndex.oversizedBucketWarnings(meta, Seq(1), 1L << 30).isEmpty)
+    // pre-guard index metadata (no bucketRows): silent, not crashing
+    assert(HnswIndex.oversizedBucketWarnings(
+      meta.copy(bucketRows = None), Seq(0, 1), 1L).isEmpty)
+
+    // integration: a real search under a 1-byte threshold still answers
+    // correctly (the guard warns, never blocks)
+    assert(built.success)
+    spark.conf.set("spark.graft.vector.maxBucketBytes", "1")
+    try {
+      val q = queryVec(3L)
+      val res = HnswIndex.search(spark, datasetPath, "embedding", q, 5,
+        nprobes = 4, ef = 200).collect()
+      assert(res.length == 5)
+    } finally spark.conf.unset("spark.graft.vector.maxBucketBytes")
+  }
+
   test("distances returned are exact L2 for the found ids") {
     assert(built.success)
     val q = queryVec(7L)

@@ -244,7 +244,7 @@ class IvfIndexSpec extends AnyFunSuite {
       s"${IvfIndex.indexPath(ds, "embedding")}/index.json")
     val json = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
     val stripped = json.replace(
-      s""","formatVersion":${IvfIndex.CurrentFormatVersion}}""", "}")
+      s""","formatVersion":${IvfIndex.CurrentFormatVersion}""", "")
     assert(stripped != json, "test setup: formatVersion field not found")
     java.nio.file.Files.write(metaFile, stripped.getBytes("UTF-8"))
     // drop the local-FS checksum sidecar invalidated by the raw rewrite
@@ -288,6 +288,121 @@ class IvfIndexSpec extends AnyFunSuite {
     val recall = (got intersect exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"PQ+refine recall@10: $recall")
     // _distance is the exact refined distance, ordered
+    val dists = pq.select($"_distance").collect().map(_.getDouble(0))
+    assert(dists.sameElements(dists.sorted))
+  }
+
+  test("meta cache: repeated searches skip the index.json read; refresh invalidates") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ivfcache-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    val emb = Tables.t(spark, sf, "embeddings")
+    emb.filter($"vec_id" >= 50).write.format("lance").mode("overwrite").save(ds)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+      "embedding", "vec_id", ds, numPartitions = 4)
+    assert(r.success, r.error)
+    val q = queryVec(60L)
+    IvfIndex.search(spark, ds, "embedding", q, 5, nprobes = 4).collect()
+    // the path is unique to this test, so the per-path count is exact:
+    // one filesystem read on the first search...
+    assert(IvfIndex.metaReadCount(spark, ds, "embedding") == 1L)
+    // ...and ZERO additional reads on repeated searches (the serving shape)
+    IvfIndex.search(spark, ds, "embedding", q, 5, nprobes = 4).collect()
+    IvfIndex.search(spark, ds, "embedding", q, 3, nprobes = 2).collect()
+    assert(IvfIndex.metaReadCount(spark, ds, "embedding") == 1L)
+    // refresh rewrites index.json and must invalidate: the next load
+    // re-reads and sees the moved staleness stamp
+    emb.filter($"vec_id" < 50).write.format("lance").mode("append").save(ds)
+    assert(IvfIndex.refresh(spark, ds, "embedding") == 50L)
+    assert(IvfIndex.loadMeta(spark, ds, "embedding").datasetVersion.contains(2L))
+    assert(IvfIndex.metaReadCount(spark, ds, "embedding") == 2L)
+  }
+
+  test("flipped-geometry knn join: distributed query side, identical results") {
+    assert(built.success)
+    val qs = Tables.t(spark, sf, "embeddings").filter($"vec_id" < 40)
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select($"query_id", $"_rank", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val flipped = IvfIndex.searchJoin(spark, datasetPath, "embedding", qs,
+      "vec_id", k = 5, nprobes = 8, geometry = "flipped")
+    val broad = IvfIndex.searchJoin(spark, datasetPath, "embedding", qs,
+      "vec_id", k = 5, nprobes = 8, geometry = "broadcast")
+    assert(resultSet(flipped) == resultSet(broad),
+      "the two geometries must produce identical results")
+    // the scale contract: the query side is never collected to the driver
+    val plan = flipped.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      s"flipped geometry must not collect the query side:\n$plan")
+    assert(plan.contains("Exchange"), plan)
+    // auto geometry flips once the query count exceeds the conf threshold
+    spark.conf.set("spark.graft.vector.join.broadcastLimit", "10")
+    try {
+      val auto = IvfIndex.searchJoin(spark, datasetPath, "embedding", qs,
+        "vec_id", k = 5, nprobes = 8)
+      assert(!auto.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    } finally spark.conf.unset("spark.graft.vector.join.broadcastLimit")
+  }
+
+  test("PQ serves cosine: normalized codes, ADC on the normalized query") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "pqcos-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    Tables.t(spark, sf, "embeddings").write.format("lance").mode("append").save(ds)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+      "embedding", "vec_id", ds, numPartitions = 8, metric = "cosine",
+      pq = Some(IvfIndex.PqParams(numSubVectors = 16, numBits = 4)))
+    assert(r.success, r.error)
+    assert(IvfIndex.loadMeta(spark, ds, "embedding").pq.get.normalized.contains(true))
+    val q = queryVec(1)
+    val pq = IvfIndex.searchPq(spark, ds, "embedding", q, 10,
+      nprobes = 8, refineFactor = 16)
+    val got = pq.select($"vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.knnSearch(
+      Tables.t(spark, sf, "embeddings"), "embedding", q, 10, "cosine")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"cosine PQ+refine recall@10: $recall")
+    // _distance is the exact refined cosine distance, ordered ascending
+    val dists = pq.select($"_distance").collect().map(_.getDouble(0))
+    assert(dists.sameElements(dists.sorted))
+    assert(dists.forall(d => d >= 0.0 && d <= 2.0))
+
+    // an index whose codes predate normalized encoding (the L2-only era)
+    // must fail loud instead of silently mis-ranking
+    val metaFile = java.nio.file.Paths.get(
+      s"${IvfIndex.indexPath(ds, "embedding")}/index.json")
+    val json = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
+    val stripped = json.replace(""","normalized":true""", "")
+    assert(stripped != json, "test setup: normalized flag not found")
+    java.nio.file.Files.write(metaFile, stripped.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      metaFile.getParent.resolve(s".${metaFile.getFileName}.crc"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.searchPq(spark, ds, "embedding", q, 10, nprobes = 8)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
+  test("PQ serves dot: the ADC table decomposes the inner product") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "pqdot-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    Tables.t(spark, sf, "embeddings").write.format("lance").mode("append").save(ds)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+      "embedding", "vec_id", ds, numPartitions = 8, metric = "dot",
+      pq = Some(IvfIndex.PqParams(numSubVectors = 16, numBits = 4)))
+    assert(r.success, r.error)
+    val q = queryVec(2)
+    val pq = IvfIndex.searchPq(spark, ds, "embedding", q, 10,
+      nprobes = 8, refineFactor = 16)
+    val got = pq.select($"vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.knnSearch(
+      Tables.t(spark, sf, "embeddings"), "embedding", q, 10, "dot")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"dot PQ+refine recall@10: $recall")
+    // _distance = -<q,x> exact, ascending = best inner product first
     val dists = pq.select($"_distance").collect().map(_.getDouble(0))
     assert(dists.sameElements(dists.sorted))
   }

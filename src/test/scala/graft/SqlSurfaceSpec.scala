@@ -207,12 +207,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
          |JOIN emb_sql e ON e.vec_id = s.vec_id""".stripMargin).collect()
     assert(ivfRows.length == 5)
     assert(ivfRows.forall(_.getInt(1) == 3))
-    // graph modes reject a filter loudly instead of under-returning
-    val err = intercept[Exception] {
-      spark.sql(s"SELECT * FROM vector_search('$datasetPath', 'embedding', " +
-        s"$vecSql, 5, 'l2', 'hnsw', 4, 100, 'label = 3')").collect()
-    }
-    assert(err.getMessage.contains("filtered search"), err.getMessage)
+    // graph mode composes the filter with the beam walk (traverse
+    // non-matching nodes, never return them; ef widens loudly on
+    // shortfall) — reference filter-with-any-index semantics
+    val hnswRows = spark.sql(
+      s"""SELECT s.vec_id, e.label FROM vector_search('$datasetPath', 'embedding',
+         | $vecSql, 5, 'l2', 'hnsw', 4, 100, 'label = 3') s
+         |JOIN emb_sql e ON e.vec_id = s.vec_id""".stripMargin).collect()
+    assert(hnswRows.length == 5)
+    assert(hnswRows.forall(_.getInt(1) == 3), hnswRows.mkString(","))
+    // full-probe + wide-beam graph result equals the ivf (exact) filtered set
+    assert(hnswRows.map(_.getLong(0)).toSet == ivfRows.map(_.getLong(0)).toSet)
   }
 
   test("Lance facade: write/read/knn/index/ann round trip") {
