@@ -201,10 +201,8 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
           graft.index.IvfIndex.search(spark, path, column, vec, k,
             nprobes = nprobes, metric = metric, filter = preFilter)
         case "ivf_pq" =>
-          require(preFilter.isEmpty, "vector_search: ivf_pq does not " +
-            "pre-filter; use mode 'ivf', 'hnsw' or 'exact' for filtered search")
           graft.index.IvfIndex.searchPq(spark, path, column, vec, k,
-            nprobes = nprobes, refineFactor = refine)
+            nprobes = nprobes, refineFactor = refine, filter = preFilter)
         case "hnsw" =>
           // filter composes with the beam walk (evaluate-during-search with
           // loud widening on shortfall) — reference filter-with-any-index

@@ -685,7 +685,8 @@ object IvfIndex {
     */
   def searchPq(spark: SparkSession, datasetPath: String, column: String,
       query: Array[Float], k: Int, nprobes: Int = 20,
-      refineFactor: Int = 4): DataFrame = {
+      refineFactor: Int = 4,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     validateQueryVector(query)
     val meta = loadMeta(spark, datasetPath, column)
     checkFreshness(spark, datasetPath, meta)
@@ -694,25 +695,50 @@ object IvfIndex {
     require(query.length == meta.dim,
       s"query dim ${query.length} != index dim ${meta.dim}")
     val q = query.map(_.toDouble)
-    val probes = meta.centroids.zipWithIndex
+    val ranked = meta.centroids.zipWithIndex
       .map { case (c, i) => (centroidDist(q, c.toArray, meta.metric), i) }
-      .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
+      .sortBy(_._1).map(_._2)
 
     val table = adcTable(meta, pm, q)
     val kCodes = 1 << pm.numBits
     val tableSql = table.mkString("array(", "D, ", "D)")
-    val approx = spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
-      .filter(col("__ivf_part").isin(probes: _*))
-      .withColumn("__adc", expr(
-        s"""aggregate(sequence(0, ${pm.numSubVectors - 1}), CAST(0 AS DOUBLE),
-           | (acc, j) -> acc + element_at($tableSql, j * $kCodes + __pq_code[j] + 1))""".stripMargin))
-      .orderBy(col("__adc"))
-      .limit(k * refineFactor)
+    val buckets = spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
 
-    approx
-      .withColumn("_distance", refineDist(column, q, meta.metric))
-      .drop("__ivf_part", "__pq_code", "__adc")
-      .orderBy(col("_distance"))
-      .limit(k)
+    def annQuery(n: Int): DataFrame = {
+      val p = buckets.filter(col("__ivf_part").isin(ranked.take(n): _*))
+      filter.fold(p)(p.filter) // pre-filter BEFORE the ADC top-(k·refine)
+        .withColumn("__adc", expr(
+          s"""aggregate(sequence(0, ${pm.numSubVectors - 1}), CAST(0 AS DOUBLE),
+             | (acc, j) -> acc + element_at($tableSql, j * $kCodes + __pq_code[j] + 1))""".stripMargin))
+        .orderBy(col("__adc"))
+        .limit(k * refineFactor)
+        .withColumn("_distance", refineDist(column, q, meta.metric))
+        .drop("__ivf_part", "__pq_code", "__adc")
+        .orderBy(col("_distance"))
+        .limit(k)
+    }
+
+    val probes = math.min(nprobes, meta.numPartitions)
+    filter match {
+      case None => annQuery(probes) // lazy, directory-pruned plan
+      case Some(_) =>
+        // same V3 shortfall contract as [[search]]: widen probes loudly
+        // instead of returning a silent short set
+        var used = probes
+        var rows = annQuery(used).take(k)
+        while (rows.length < k && used < meta.numPartitions) {
+          val widened = math.min(used * 2, meta.numPartitions)
+          log.warn(s"filtered PQ search over $datasetPath/$column: only " +
+            s"${rows.length} of k=$k rows match the filter in $used probed " +
+            s"buckets; widening to $widened")
+          used = widened
+          rows = annQuery(used).take(k)
+        }
+        if (rows.length < k)
+          log.warn(s"filtered PQ search over $datasetPath/$column: the entire " +
+            s"index holds only ${rows.length} rows matching the filter (k=$k)")
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), annQuery(used).schema)
+    }
   }
 }

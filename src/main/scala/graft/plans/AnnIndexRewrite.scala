@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.connector.LanceTable
-import graft.functions.{CosineDistance, L2Distance}
+import graft.functions.{CosineDistance, DotProduct, L2Distance}
 import graft.index.IvfIndex
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -41,8 +41,6 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * rejects stale assignment versions), and was built for the SAME metric
     * the query sorts by — IvfIndex.search fails loud on a metric mismatch
     * rather than degrade, and an optimizer rule must skip, not throw.
-    * (Dot-similarity queries sort DESCENDING on dot_product — a different
-    * plan shape this rule deliberately does not match.)
     */
   private def usableIndex(path: String, column: String, metric: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(
@@ -68,7 +66,7 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case gl @ GlobalLimit(Literal(k: Int, _),
           LocalLimit(_, Sort(Seq(order), true,
             Project(projList, rel: DataSourceV2Relation), _)))
-          if rel.table.isInstanceOf[LanceTable] && order.direction == Ascending &&
+          if rel.table.isInstanceOf[LanceTable] &&
             // never answer a historical query from the index over current
             // data: time-traveled relations keep the exact scan
             rel.table.asInstanceOf[LanceTable].pinned.isEmpty &&
@@ -78,13 +76,24 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case a: AttributeReference => Some(a)
             case _ => None
           }
-          (vecCol, qvec, metric) <- projList.collectFirst {
+          // Dot is MIPS and appears in two shapes: the API's ascending
+          // sort on -dot (knnSearch emits UnaryMinus(DotProduct) as
+          // _distance) and SQL's `ORDER BY dot_product(...) DESC` on the
+          // raw dot — the latter needs the probe's _distance (= -dot)
+          // negated back in the substituted projection.
+          (vecCol, qvec, metric, negated) <- projList.collectFirst {
             case al @ Alias(L2Distance(v: AttributeReference, lit: Literal), _)
-                if al.exprId == sortAttr.exprId =>
-              (v, lit, "l2")
+                if al.exprId == sortAttr.exprId && order.direction == Ascending =>
+              (v, lit, "l2", false)
             case al @ Alias(CosineDistance(v: AttributeReference, lit: Literal), _)
-                if al.exprId == sortAttr.exprId =>
-              (v, lit, "cosine")
+                if al.exprId == sortAttr.exprId && order.direction == Ascending =>
+              (v, lit, "cosine", false)
+            case al @ Alias(UnaryMinus(DotProduct(v: AttributeReference, lit: Literal), _), _)
+                if al.exprId == sortAttr.exprId && order.direction == Ascending =>
+              (v, lit, "dot", false)
+            case al @ Alias(DotProduct(v: AttributeReference, lit: Literal), _)
+                if al.exprId == sortAttr.exprId && order.direction == Descending =>
+              (v, lit, "dot", true)
           }
           q <- literalVec(qvec)
           path = rel.table.asInstanceOf[LanceTable].rootStr
@@ -92,8 +101,16 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           probe = IvfIndex.search(spark, path, vecCol.name, q, k,
             nprobes = nprobes, metric = metric).queryExecution.analyzed
           // every projected column must exist in the probe output (the
-          // bucket sidecar stores all table columns + _distance)
-          mapped = gl.output.map(o => probe.output.find(_.name == o.name).map(o -> _))
+          // bucket sidecar stores all table columns + _distance); the
+          // descending-dot sort column maps to -(_distance), all other
+          // columns by name
+          mapped = gl.output.map { o =>
+            if (negated && o.exprId == sortAttr.exprId)
+              probe.output.find(_.name == "_distance")
+                .map(n => o -> (UnaryMinus(n): Expression))
+            else probe.output.find(_.name == o.name)
+              .map(n => o -> (n: Expression))
+          }
           if mapped.forall(_.isDefined)
         } yield Project(mapped.flatten.map { case (o, n) =>
           Alias(n, o.name)(exprId = o.exprId)

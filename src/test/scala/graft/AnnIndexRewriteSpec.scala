@@ -110,6 +110,58 @@ class AnnIndexRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("dot rewrites in both shapes: API ascending -dot and SQL dot DESC") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ann-rw-dot-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    Tables.t(spark, TestSpark.sf, "embeddings")
+      .write.format("lance").mode("append").save(ds)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+      "embedding", "vec_id", ds, numPartitions = 4, metric = "dot")
+    assert(r.success, r.error)
+    val q = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") === 2).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    def exactIds(metricRun: => org.apache.spark.sql.DataFrame): Seq[Long] = {
+      spark.conf.unset("spark.graft.ann.useIndex")
+      try metricRun.collect().map(_.getLong(0)).toSeq
+      finally spark.conf.set("spark.graft.ann.useIndex", "true")
+    }
+    spark.conf.set("spark.graft.ann.useIndex", "true")
+    spark.conf.set("spark.graft.ann.nprobes", "4") // full probe -> exact
+    try {
+      // shape 1: the API's ascending sort on -dot (knnSearch metric="dot")
+      val api = Lance.knnSearch(spark.read.format("lance").load(ds),
+        "embedding", q, 5, metric = "dot")
+      val apiRows = api.collect()
+      assert(api.queryExecution.executedPlan.toString.contains("__ivf_part"),
+        api.queryExecution.executedPlan.toString)
+      val exact = exactIds(Lance.knnSearch(
+        spark.read.format("lance").load(ds), "embedding", q, 5, metric = "dot"))
+      assert(apiRows.map(_.getLong(0)).toSeq == exact)
+
+      // shape 2: SQL `ORDER BY dot_product(...) DESC` — the probe's
+      // _distance (= -dot) must be negated back in the output
+      spark.read.format("lance").load(ds).createOrReplaceTempView("ann_dot_v")
+      val vecSql = q.map(v => s"${v}D").mkString("array(", ", ", ")")
+      val sql =
+        s"""SELECT vec_id, dot_product(embedding, $vecSql) AS dp
+           |FROM ann_dot_v ORDER BY dp DESC LIMIT 5""".stripMargin
+      val df = spark.sql(sql)
+      val rows = df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("__ivf_part"),
+        df.queryExecution.executedPlan.toString)
+      assert(rows.map(_.getLong(0)).toSeq == exact)
+      // dp carries the RAW dot (descending), not the probe's -dot
+      val dps = rows.map(_.getDouble(1))
+      assert(dps.sameElements(dps.sorted.reverse), dps.mkString(","))
+      assert(dps.head > 0.0)
+    } finally {
+      spark.conf.unset("spark.graft.ann.useIndex")
+      spark.conf.unset("spark.graft.ann.nprobes")
+    }
+  }
+
   test("full-probe rewrite equals the exact scan results") {
     spark.conf.set("spark.graft.ann.useIndex", "true")
     spark.conf.set("spark.graft.ann.nprobes", "4")

@@ -290,6 +290,22 @@ class IvfIndexSpec extends AnyFunSuite {
     // _distance is the exact refined distance, ordered
     val dists = pq.select($"_distance").collect().map(_.getDouble(0))
     assert(dists.sameElements(dists.sorted))
+
+    // filter composes with ADC (pre-filter before the top-(k·refine)):
+    // ~50 label-3 rows < k·refine=160, so every match reaches the exact
+    // refine and the result IS the exact filtered KNN
+    val gotF = IvfIndex.searchPq(spark, ds, "embedding", q, 10,
+      nprobes = 8, refineFactor = 16, filter = Some($"label" === 3))
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val exactF = Similarity.knnSearch(
+      Tables.t(spark, sf, "embeddings").filter($"label" === 3),
+      "embedding", q, 10, "l2").select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotF == exactF, s"got=$gotF exact=$exactF")
+    // a starving filter widens probes (1 -> all) and surfaces every match
+    val short = IvfIndex.searchPq(spark, ds, "embedding", q, 10,
+      nprobes = 1, refineFactor = 16, filter = Some($"vec_id" >= 495))
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(short == (495L until 500L).toSet, short.toString)
   }
 
   test("meta cache: repeated searches skip the index.json read; refresh invalidates") {
