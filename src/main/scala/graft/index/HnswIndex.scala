@@ -168,6 +168,86 @@ object HnswIndex {
     }
   }
 
+  private def paramsPath(datasetPath: String, column: String): String =
+    s"${IvfIndex.indexPath(datasetPath, column)}/hnsw_params.json"
+
+  private def writeParams(spark: SparkSession, datasetPath: String,
+      column: String, p: Params): Unit = {
+    val path = new org.apache.hadoop.fs.Path(paramsPath(datasetPath, column))
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try out.write(
+      s"""{"m":${p.m},"maxLevel":${p.maxLevel},"efConstruction":${p.efConstruction}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Build params recorded at full-build time so incremental refresh can
+    * never rebuild a bucket with different knobs than its siblings.
+    * Defaults for graphs written before the file existed.
+    */
+  private[graft] def readParams(spark: SparkSession, datasetPath: String,
+      column: String): Params = {
+    val path = new org.apache.hadoop.fs.Path(paramsPath(datasetPath, column))
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return Params()
+    val in = fs.open(path)
+    try {
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      def num(k: String): Int =
+        s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+          .getOrElse(throw new IllegalStateException(s"bad hnsw_params.json: $txt"))
+      Params(num("m"), num("maxLevel"), num("efConstruction"))
+    } finally in.close()
+  }
+
+  /** Shared graph writer: all buckets (full build, plain overwrite) or a
+    * selected subset (incremental refresh — DYNAMIC partition overwrite
+    * replaces only the touched `__ivf_part=` directories, other buckets'
+    * graph files are never rewritten or read).
+    */
+  private def writeGraph(spark: SparkSession, datasetPath: String, column: String,
+      meta: IvfIndex.IndexMeta, params: Params, bucketIds: Option[Seq[Int]]): Unit = {
+    // the graph is built under the index's scoring metric — a graph
+    // optimized for L2 walks badly under cosine/dot and vice versa
+    val dist = metricDist(meta.metric)
+    val src = spark.read.parquet(s"${IvfIndex.indexPath(datasetPath, column)}/buckets")
+    val filtered = bucketIds.fold(src)(ids => src.filter(col("__ivf_part").isin(ids: _*)))
+    val buckets = filtered
+      .select(col(meta.idColumn).cast("long").as(meta.idColumn),
+        col(meta.column).cast("array<float>").as("__v"),
+        col("__ivf_part"))
+      .repartition(math.max(bucketIds.map(_.size).getOrElse(meta.numPartitions), 1),
+        col("__ivf_part"))
+    val outSchema = StructType(Seq(
+      StructField("__ivf_part", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("level", IntegerType, nullable = false),
+      StructField("neighbors", ArrayType(ArrayType(LongType)), nullable = false)))
+    val graph = buckets.mapPartitions { rows =>
+      // a task may hold several hash-colliding buckets: group, then build
+      val byBucket = mutable.Map.empty[Int, (mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Array[Float]])]
+      rows.foreach { r =>
+        val b = r.getInt(2)
+        val (ids, vs) = byBucket.getOrElseUpdate(b,
+          (mutable.ArrayBuffer.empty[Long], mutable.ArrayBuffer.empty[Array[Float]]))
+        ids += r.getLong(0)
+        vs += r.getSeq[Float](1).toArray
+      }
+      byBucket.iterator.flatMap { case (b, (idsB, vecsB)) =>
+        val order = idsB.indices.sortBy(idsB) // deterministic insertion order
+        val ids = order.map(idsB).toArray
+        val vecs = order.map(vecsB).toArray
+        buildBucketGraph(ids, vecs, params, dist).map { case (id, level, nbrs) =>
+          Row(b, id, level, nbrs)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val writer = graph.write.mode("overwrite").partitionBy("__ivf_part")
+    bucketIds.fold(writer)(_ => writer.option("partitionOverwriteMode", "dynamic"))
+      .parquet(graphPath(datasetPath, column))
+  }
+
   /** Build the graph sidecar. Requires the IVF buckets to exist (build via
     * [[IvfIndex.build]] first); one task per bucket builds that bucket's
     * graph — build cost parallelizes over buckets, the unit the reference
@@ -178,42 +258,32 @@ object HnswIndex {
     val t0 = System.currentTimeMillis()
     try {
       val meta = IvfIndex.loadMeta(spark, datasetPath, column)
-      // the graph is built under the index's scoring metric — a graph
-      // optimized for L2 walks badly under cosine/dot and vice versa
-      val dist = metricDist(meta.metric)
-      val buckets = spark.read.parquet(s"${IvfIndex.indexPath(datasetPath, column)}/buckets")
-        .select(col(meta.idColumn).cast("long").as(meta.idColumn),
-          col(meta.column).cast("array<float>").as("__v"),
-          col("__ivf_part"))
-        .repartition(meta.numPartitions, col("__ivf_part"))
-      val outSchema = StructType(Seq(
-        StructField("__ivf_part", IntegerType, nullable = false),
-        StructField("id", LongType, nullable = false),
-        StructField("level", IntegerType, nullable = false),
-        StructField("neighbors", ArrayType(ArrayType(LongType)), nullable = false)))
-      val graph = buckets.mapPartitions { rows =>
-        // a task may hold several hash-colliding buckets: group, then build
-        val byBucket = mutable.Map.empty[Int, (mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Array[Float]])]
-        rows.foreach { r =>
-          val b = r.getInt(2)
-          val (ids, vs) = byBucket.getOrElseUpdate(b,
-            (mutable.ArrayBuffer.empty[Long], mutable.ArrayBuffer.empty[Array[Float]]))
-          ids += r.getLong(0)
-          vs += r.getSeq[Float](1).toArray
-        }
-        byBucket.iterator.flatMap { case (b, (idsB, vecsB)) =>
-          val order = idsB.indices.sortBy(idsB) // deterministic insertion order
-          val ids = order.map(idsB).toArray
-          val vecs = order.map(vecsB).toArray
-          buildBucketGraph(ids, vecs, params, dist).map { case (id, level, nbrs) =>
-            Row(b, id, level, nbrs)
-          }
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
-      graph.write.mode("overwrite").partitionBy("__ivf_part")
-        .parquet(graphPath(datasetPath, column))
+      writeGraph(spark, datasetPath, column, meta, params, bucketIds = None)
+      writeParams(spark, datasetPath, column, params)
       IvfIndex.IndexBuildResult(success = true,
         System.currentTimeMillis() - t0, meta.numPartitions)
+    } catch {
+      case e: Exception => IvfIndex.IndexBuildResult(success = false,
+        System.currentTimeMillis() - t0, -1, Some(e.getMessage))
+    }
+  }
+
+  /** Incremental graph maintenance: rebuild ONLY `bucketIds`' graphs
+    * (buckets that received appended rows), leaving every other bucket's
+    * graph files untouched on disk. Per-bucket graphs are independent —
+    * no cross-bucket edges — so this is exact, not an approximation: at
+    * 100 TB a refresh re-walks only the appended day's buckets instead
+    * of the whole index. Called by [[IvfIndex.refresh]].
+    */
+  def refreshBuckets(spark: SparkSession, datasetPath: String, column: String,
+      bucketIds: Seq[Int]): IvfIndex.IndexBuildResult = {
+    val t0 = System.currentTimeMillis()
+    try {
+      val meta = IvfIndex.loadMeta(spark, datasetPath, column)
+      val params = readParams(spark, datasetPath, column)
+      writeGraph(spark, datasetPath, column, meta, params, Some(bucketIds))
+      IvfIndex.IndexBuildResult(success = true,
+        System.currentTimeMillis() - t0, bucketIds.size)
     } catch {
       case e: Exception => IvfIndex.IndexBuildResult(success = false,
         System.currentTimeMillis() - t0, -1, Some(e.getMessage))

@@ -284,8 +284,9 @@ object IvfIndex {
     * NOT re-trained, so heavy drift in the appended data degrades bucket
     * balance (not correctness; full probing stays exact) — the standard
     * IVF maintenance trade-off. A per-bucket HNSW graph sidecar, if
-    * present, is invalidated (deleted) because its neighbor lists don't
-    * cover the new rows.
+    * present, refreshes incrementally too: only buckets that received
+    * appended rows get their graphs rebuilt
+    * ([[HnswIndex.refreshBuckets]], dynamic partition overwrite).
     *
     * Returns the number of newly indexed rows.
     */
@@ -331,13 +332,20 @@ object IvfIndex {
         .map(r => r.getInt(0).toString -> r.getLong(1)).toMap
       withCodes.write.mode("append").partitionBy("__ivf_part").parquet(s"$ip/buckets")
     }
-    // the graph sidecar no longer covers every bucket row - invalidate it
+    // per-bucket graphs are independent (no cross-bucket edges), so the
+    // graph sidecar refreshes incrementally: rebuild ONLY the buckets
+    // that received appended rows, every other bucket's graph files stay
+    // untouched on disk
     val gp = new Path(HnswIndex.graphPath(datasetPath, column))
     if (fs.exists(gp)) {
-      log.warn(s"refresh of $datasetPath/$column invalidates the HNSW graph " +
-        "sidecar (its neighbor lists do not cover the appended rows); deleting " +
-        "- rebuild the graph to search with mode 'hnsw'")
-      fs.delete(gp, true)
+      val touched = deltaCounts.keys.map(_.toInt).toSeq.sorted
+      if (touched.nonEmpty) {
+        log.info(s"refresh of $datasetPath/$column: rebuilding the HNSW graphs " +
+          s"of ${touched.size}/${meta.numPartitions} buckets that received " +
+          "appended rows (others untouched)")
+        val r = HnswIndex.refreshBuckets(spark, datasetPath, column, touched)
+        require(r.success, s"HNSW graph refresh failed: ${r.error.getOrElse("")}")
+      }
     }
     val updated = meta.copy(datasetVersion = Some(latest),
       bucketRows = meta.bucketRows.map { old =>

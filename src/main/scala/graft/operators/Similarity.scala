@@ -558,7 +558,39 @@ object Similarity {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** Incremental GRAPH maintenance end-to-end: the IVF index AND its
+    * per-bucket HNSW graphs are built before the query vector's own row
+    * exists; the append enters via [[graft.index.IvfIndex.refresh]],
+    * which delta-assigns the new fragments and rebuilds ONLY the touched
+    * buckets' graphs ([[graft.index.HnswIndex.refreshBuckets]] — other
+    * buckets' graph files never rewritten). Full probe + wide beam ⇒
+    * brute-force-exact over the full table (same oracle as v34); a
+    * refresh that left a bucket's graph stale would miss the appended
+    * zero-distance row and redden the hash.
+    */
+  def v38GraphRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.{HnswIndex, IvfIndex}
+    val dest = graft.Tables.scratch(dir, "emb_graph_refresh_v1")
+    val root = new org.apache.hadoop.fs.Path(new java.io.File(dest).getAbsolutePath)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.delete(root, true)
+    val emb = t(spark, dir, "embeddings")
+    emb.filter(col("vec_id") >= 100).write.format("lance").mode("overwrite").save(dest)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(dest),
+      "embedding", "vec_id", dest, numPartitions = 8)
+    require(r.success, r.error)
+    require(HnswIndex.build(spark, dest, "embedding").success)
+    emb.filter(col("vec_id") < 100).write.format("lance").mode("append").save(dest)
+    val added = IvfIndex.refresh(spark, dest, "embedding")
+    require(added > 0, s"refresh indexed $added rows; the append planted 100")
+    val q = queryVec(spark, dir, 0L)
+    HnswIndex.search(spark, dest, "embedding", q, 10, nprobes = 8, ef = 500)
+      .select(col("vec_id"), col("_distance").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v38_graph_refresh" -> v38GraphRefresh,
     "v21_knn_l2" -> v21KnnL2,
     "v32_knn_hnsw_dot" -> v32KnnHnswDot,
     "v33_knn_join" -> v33KnnJoin,
@@ -676,6 +708,14 @@ object Similarity {
     // refresh + full probe = brute-force KNN over the FULL table (the
     // query's own zero-distance row arrives via the refreshed delta)
     "v34_index_refresh" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $l2SqlBody AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    // graph refresh + full probe + wide beam = brute-force KNN over the
+    // FULL table (the zero-distance row arrives via the refreshed delta
+    // and its bucket's rebuilt graph)
+    "v38_graph_refresh" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, $l2SqlBody AS dist
          |FROM embeddings e, q

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 class HnswIndexSpec extends AnyFunSuite {
   import TestSpark._
@@ -190,6 +191,55 @@ class HnswIndexSpec extends AnyFunSuite {
         nprobes = 4, ef = 200).collect()
       assert(res.length == 5)
     } finally spark.conf.unset("spark.graft.vector.maxBucketBytes")
+  }
+
+  test("incremental graph refresh rebuilds only touched buckets") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "hnswrefresh-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    val emb = Tables.t(spark, sf, "embeddings")
+    emb.filter($"vec_id" =!= 0L).write.format("lance").mode("overwrite").save(ds)
+    val ivf = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+      "embedding", "vec_id", ds, numPartitions = 4)
+    assert(ivf.success, ivf.error)
+    assert(HnswIndex.build(spark, ds, "embedding",
+      HnswIndex.Params(m = 8, maxLevel = 5, efConstruction = 64)).success)
+
+    def graphFiles(): Map[String, Seq[(String, Long)]] = {
+      val root = java.nio.file.Paths.get(HnswIndex.graphPath(ds, "embedding"))
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("__ivf_part="))
+        .map { p =>
+          p.getFileName.toString -> java.nio.file.Files.list(p).iterator().asScala
+            .map(f => (f.getFileName.toString,
+              java.nio.file.Files.getLastModifiedTime(f).toMillis))
+            .toSeq.sortBy(_._1)
+        }.toMap
+    }
+    val before = graphFiles()
+
+    // append ONE row: exactly one bucket receives it, so exactly one
+    // bucket's graph directory may change
+    emb.filter($"vec_id" === 0L).write.format("lance").mode("append").save(ds)
+    assert(IvfIndex.refresh(spark, ds, "embedding") == 1L)
+    val after = graphFiles()
+    val changed = before.keySet.filter(k => before(k) != after.getOrElse(k, Seq.empty))
+    assert(changed.size == 1,
+      s"exactly one bucket graph should be rebuilt, got $changed")
+    // untouched buckets: identical file names AND modification times
+    (before.keySet -- changed).foreach(k => assert(before(k) == after(k), k))
+
+    // the rebuilt graph covers old + new rows of its bucket: the appended
+    // vector is findable at distance 0 through the graph walk, and the
+    // refresh respected the recorded build params (graph loads fine)
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding").collect().head.getSeq[Float](0).toArray
+    val top = HnswIndex.search(spark, ds, "embedding", q, 1, nprobes = 4, ef = 64)
+      .collect().head
+    assert(top.getLong(0) == 0L && top.getDouble(1) < 1e-12, top.toString)
+    assert(spark.read.parquet(HnswIndex.graphPath(ds, "embedding")).count() == 500)
+    assert(HnswIndex.readParams(spark, ds, "embedding") ==
+      HnswIndex.Params(m = 8, maxLevel = 5, efConstruction = 64))
   }
 
   test("distances returned are exact L2 for the found ids") {
