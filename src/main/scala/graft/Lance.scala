@@ -68,11 +68,14 @@ object Lance {
     IvfIndex.build(spark, df, vectorCol, idCol, datasetPath, numPartitions,
       metric, sampleFraction)
 
-  /** ANN search through the IVF index (V1 with nprobes, V9 defaults). */
+  /** ANN search through the IVF index (V1 with nprobes, V9 defaults;
+    * `filter` pre-filters inside the probed buckets with loud probe
+    * widening on shortfall — V3).
+    */
   def annSearch(spark: SparkSession, datasetPath: String, vectorCol: String,
       query: Array[Float], k: Int, nprobes: Int = 20,
-      metric: String = "l2"): DataFrame =
-    IvfIndex.search(spark, datasetPath, vectorCol, query, k, nprobes, metric)
+      metric: String = "l2", filter: Option[Column] = None): DataFrame =
+    IvfIndex.search(spark, datasetPath, vectorCol, query, k, nprobes, metric, filter)
 
   /** Delta-index the fragments appended since the IVF index was built
     * (no re-training, no rewrite of indexed data). Returns rows indexed.
@@ -80,30 +83,38 @@ object Lance {
   def refreshIndex(spark: SparkSession, datasetPath: String, vectorCol: String): Long =
     IvfIndex.refresh(spark, datasetPath, vectorCol)
 
-  /** Batch KNN JOIN: top-k neighbors for every row of a (broadcastable)
-    * query set in one distributed plan — query→bucket pairs broadcast to
-    * the bucket scan, per-query window top-k over candidates only.
+  /** Batch KNN JOIN: top-k neighbors for every row of a query set in one
+    * distributed plan. `geometry` = "broadcast" (RAG-sized query sets:
+    * query→bucket pairs broadcast to the bucket scan), "flipped"
+    * (corpus-scale: queries assign to buckets in executors, both sides
+    * shuffle on the bucket key — no driver collect), or "auto" (flip
+    * above `spark.graft.vector.join.broadcastLimit`, default 10000).
     */
   def knnJoin(spark: SparkSession, datasetPath: String, vectorCol: String,
       queries: DataFrame, queryIdCol: String, k: Int, nprobes: Int = 20,
-      metric: String = "l2"): DataFrame =
+      metric: String = "l2", geometry: String = "auto"): DataFrame =
     IvfIndex.searchJoin(spark, datasetPath, vectorCol, queries, queryIdCol,
-      k, nprobes, metric)
+      k, nprobes, metric, geometry)
 
-  /** Build an IVF_PQ index (reference index.num-sub-vectors/num-bits). */
+  /** Build an IVF_PQ index (reference index.num-sub-vectors/num-bits).
+    * All three metrics supported: cosine trains/encodes on normalized
+    * vectors, dot decomposes the inner product in the ADC table.
+    */
   def buildPqIndex(spark: SparkSession, df: DataFrame, vectorCol: String,
       idCol: String, datasetPath: String, numPartitions: Int = 256,
-      numSubVectors: Int = 16, numBits: Int = 8): IvfIndex.IndexBuildResult =
+      numSubVectors: Int = 16, numBits: Int = 8,
+      metric: String = "l2"): IvfIndex.IndexBuildResult =
     IvfIndex.build(spark, df, vectorCol, idCol, datasetPath, numPartitions,
-      pq = Some(IvfIndex.PqParams(numSubVectors, numBits)))
+      metric = metric, pq = Some(IvfIndex.PqParams(numSubVectors, numBits)))
 
   /** ANN search via PQ codes (ADC) + exact refine (reference
-    * vector.refine-factor).
+    * vector.refine-factor); `filter` pre-filters before the ADC top-k.
     */
   def annSearchPq(spark: SparkSession, datasetPath: String, vectorCol: String,
       query: Array[Float], k: Int, nprobes: Int = 20,
-      refineFactor: Int = 4): DataFrame =
-    IvfIndex.searchPq(spark, datasetPath, vectorCol, query, k, nprobes, refineFactor)
+      refineFactor: Int = 4, filter: Option[Column] = None): DataFrame =
+    IvfIndex.searchPq(spark, datasetPath, vectorCol, query, k, nprobes,
+      refineFactor, filter)
 
   /** Build the per-bucket HNSW graph sidecar over an existing IVF index
     * (reference IVF_HNSW, index.max-level/m/ef-construction).
@@ -114,18 +125,24 @@ object Lance {
       graft.index.HnswIndex.Params(m, maxLevel, efConstruction))
 
   /** ANN search probing IVF buckets and walking each bucket's HNSW graph
-    * (reference vector.ef / vector.nprobes).
+    * (reference vector.ef / vector.nprobes). `filter` composes with the
+    * beam walk: non-matching nodes are traversed but never returned, and
+    * the beam/probe set widen loudly on shortfall.
     */
   def annSearchHnsw(spark: SparkSession, datasetPath: String, vectorCol: String,
-      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame =
-    graft.index.HnswIndex.search(spark, datasetPath, vectorCol, query, k, nprobes, ef)
+      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100,
+      filter: Option[Column] = None): DataFrame =
+    graft.index.HnswIndex.search(spark, datasetPath, vectorCol, query, k,
+      nprobes, ef, filter = filter)
 
   /** ANN search walking the HNSW graph on ADC-scored PQ codes with exact
     * re-rank — the reference's IVF_HNSW_PQ composite.
     */
   def annSearchHnswPq(spark: SparkSession, datasetPath: String, vectorCol: String,
-      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100): DataFrame =
-    graft.index.HnswIndex.searchPq(spark, datasetPath, vectorCol, query, k, nprobes, ef)
+      query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100,
+      filter: Option[Column] = None): DataFrame =
+    graft.index.HnswIndex.searchPq(spark, datasetPath, vectorCol, query, k,
+      nprobes, ef, filter)
 
   /** similarity = 1/(1+distance) (V4). */
   def similarity(distance: Column): Column = VectorFunctions.similarity(distance)

@@ -321,37 +321,54 @@ object HnswIndex {
   }
 
   /** Shared search tail: unfiltered searches return the lazy top-k plan;
-    * filtered searches run it, and on shortfall widen the beam
-    * geometrically — LOUDLY — until k rows match, every reachable matching
-    * row is found, or the beam covers the probed buckets. The filtered
-    * walk traverses non-matching nodes but only matching ones count as
-    * results (the standard filtered-HNSW composition, reference semantics
+    * filtered searches run it, and on shortfall widen geometrically —
+    * LOUDLY — first the beam (until it covers the probed buckets), then
+    * the PROBE SET (until the whole index is probed, the same escalation
+    * as filtered IVF search). The filtered walk traverses non-matching
+    * nodes but only matching ones count as results (the standard
+    * filtered-HNSW composition, reference semantics
     * `LanceVectorSearch.java:170-174`), so a selective filter needs a
-    * wider beam, never silently fewer results.
+    * wider beam — never silently fewer results.
+    *
+    * `candidates(nProbes, ef)` must build the per-bucket walk over the
+    * `nProbes` best-ranked buckets; `bucketsFor(nProbes)` the raw probed
+    * rows (for match/size counts on the shortfall path only).
     */
   private def finishSearch(spark: SparkSession, what: String, k: Int, ef: Int,
-      bucketsRaw: DataFrame, filter: Option[org.apache.spark.sql.Column],
-      idCol: String, candidates: Int => DataFrame): DataFrame = {
-    def topK(e: Int) = candidates(e).orderBy(col("_distance"), col(idCol)).limit(k)
+      numPartitions: Int, probes0: Int, bucketsFor: Int => DataFrame,
+      filter: Option[org.apache.spark.sql.Column],
+      idCol: String, candidates: (Int, Int) => DataFrame): DataFrame = {
+    def topK(n: Int, e: Int) =
+      candidates(n, e).orderBy(col("_distance"), col(idCol)).limit(k)
     filter match {
-      case None => topK(ef)
-      case Some(f) =>
+      case None => topK(probes0, ef)
+      case Some(_) =>
+        var used = probes0
         var curEf = ef
-        var rows = topK(curEf).take(k)
-        if (rows.length < k) {
-          val matching = bucketsRaw.filter(f).count()
-          val probed = bucketsRaw.count()
-          while (rows.length < k && rows.length < matching && curEf < probed * 2) {
+        var probedRows = -1L // lazily counted, re-counted when `used` grows
+        var rows = topK(used, curEf).take(k)
+        while (rows.length < k && {
+          if (probedRows < 0) probedRows = bucketsFor(used).count()
+          curEf < probedRows * 2 || used < numPartitions
+        }) {
+          if (curEf < probedRows * 2) {
             curEf *= 2
             log.warn(s"filtered graph search $what: only ${rows.length} of k=$k " +
               s"results match the filter at ef=${curEf / 2}; widening beam to ef=$curEf")
-            rows = topK(curEf).take(k)
+          } else {
+            used = math.min(used * 2, numPartitions)
+            probedRows = -1L
+            log.warn(s"filtered graph search $what: the beam covers the probed " +
+              s"buckets but only ${rows.length} of k=$k results match; widening " +
+              s"to $used probed buckets")
           }
-          if (rows.length < k)
-            log.warn(s"filtered graph search $what: the probed buckets hold only " +
-              s"${rows.length} reachable rows matching the filter (k=$k)")
+          rows = topK(used, curEf).take(k)
         }
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), topK(ef).schema)
+        if (rows.length < k)
+          log.warn(s"filtered graph search $what: the entire index holds only " +
+            s"${rows.length} reachable rows matching the filter (k=$k)")
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          topK(probes0, ef).schema)
     }
   }
 
@@ -381,25 +398,17 @@ object HnswIndex {
     val qd = query.map(_.toDouble)
     // probe selection under the SCORING metric (the cosine-nearest
     // centroid is not generally the L2-nearest one)
-    val probes = meta.centroids.zipWithIndex
+    val rankedAll = meta.centroids.zipWithIndex
       .map { case (c, i) => (IvfIndex.centroidDist(qd, c.toArray, meta.metric), i) }
-      .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
-    warnOversized(spark, meta, probes)
+      .sortBy(_._1).map(_._2)
+    val probes0 = math.min(nprobes, meta.numPartitions)
+    warnOversized(spark, meta, rankedAll.take(probes0))
 
     val ip = IvfIndex.indexPath(datasetPath, column)
-    val bucketsRaw = spark.read.parquet(s"$ip/buckets")
-      .filter(col("__ivf_part").isin(probes: _*))
+    def bucketsFor(n: Int): DataFrame = spark.read.parquet(s"$ip/buckets")
+      .filter(col("__ivf_part").isin(rankedAll.take(n): _*))
     val keepCol = filter.map(f => coalesce(f.cast("boolean"), lit(false)))
       .getOrElse(lit(true))
-    val vecs = bucketsRaw
-      .select(col("__ivf_part"), col(meta.idColumn).cast("long").as("id"),
-        col(meta.column).cast("array<float>").as("__v"), keepCol.as("__keep"))
-    val graph = spark.read.parquet(graphPath(datasetPath, column))
-      .filter(col("__ivf_part").isin(probes: _*))
-      .select(col("__ivf_part"), col("id"), col("level"), col("neighbors"))
-
-    val joined = vecs.join(graph, Seq("__ivf_part", "id"))
-      .repartition(math.max(probes.size, 1), col("__ivf_part"))
     val bcQ = spark.sparkContext.broadcast(query)
     // result id keeps the dataset's own id column name (TVF/API parity
     // with IvfIndex.search, which preserves original columns)
@@ -408,19 +417,29 @@ object HnswIndex {
       StructField(idCol, LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
     val scoringMetric = meta.metric
-    def candidates(effEf: Int): DataFrame = joined.mapPartitions { rows =>
-      val q = bcQ.value
-      val dist = metricDist(scoringMetric)
-      val byBucket = groupBuckets(rows, withCodes = false)
-      byBucket.iterator.flatMap { case (_, nodes) =>
-        val arr = nodes.toArray
-        val vecs = arr.map(_.vec)
-        searchBucket(arr, o => dist(q, vecs(o)), effEf)
-          .map { case (o, d) => (arr(o).id, d) }
-      }.map { case (id, d) => Row(id, reportDist(scoringMetric, d)) }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    def candidates(n: Int, effEf: Int): DataFrame = {
+      val vecs = bucketsFor(n)
+        .select(col("__ivf_part"), col(meta.idColumn).cast("long").as("id"),
+          col(meta.column).cast("array<float>").as("__v"), keepCol.as("__keep"))
+      val graph = spark.read.parquet(graphPath(datasetPath, column))
+        .filter(col("__ivf_part").isin(rankedAll.take(n): _*))
+        .select(col("__ivf_part"), col("id"), col("level"), col("neighbors"))
+      val joined = vecs.join(graph, Seq("__ivf_part", "id"))
+        .repartition(math.max(n, 1), col("__ivf_part"))
+      joined.mapPartitions { rows =>
+        val q = bcQ.value
+        val dist = metricDist(scoringMetric)
+        val byBucket = groupBuckets(rows, withCodes = false)
+        byBucket.iterator.flatMap { case (_, nodes) =>
+          val arr = nodes.toArray
+          val vecs = arr.map(_.vec)
+          searchBucket(arr, o => dist(q, vecs(o)), effEf)
+            .map { case (o, d) => (arr(o).id, d) }
+        }.map { case (id, d) => Row(id, reportDist(scoringMetric, d)) }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    }
     finishSearch(spark, s"$datasetPath/$column", k, math.max(ef, k),
-      bucketsRaw, filter, idCol, candidates)
+      meta.numPartitions, probes0, bucketsFor, filter, idCol, candidates)
   }
 
   /** IVF_HNSW_PQ search (the reference's composite index type,
@@ -443,28 +462,20 @@ object HnswIndex {
     require(query.length == meta.dim,
       s"query dim ${query.length} != index dim ${meta.dim}")
     val qd = query.map(_.toDouble)
-    val probes = meta.centroids.zipWithIndex
+    val rankedAll = meta.centroids.zipWithIndex
       .map { case (c, i) => (IvfIndex.centroidDist(qd, c.toArray, meta.metric), i) }
-      .sortBy(_._1).take(math.min(nprobes, meta.numPartitions)).map(_._2)
-    warnOversized(spark, meta, probes)
+      .sortBy(_._1).map(_._2)
+    val probes0 = math.min(nprobes, meta.numPartitions)
+    warnOversized(spark, meta, rankedAll.take(probes0))
 
     val adc = IvfIndex.adcTable(meta, pm, qd)
     val kCodes = 1 << pm.numBits
 
     val ip = IvfIndex.indexPath(datasetPath, column)
-    val bucketsRaw = spark.read.parquet(s"$ip/buckets")
-      .filter(col("__ivf_part").isin(probes: _*))
+    def bucketsFor(n: Int): DataFrame = spark.read.parquet(s"$ip/buckets")
+      .filter(col("__ivf_part").isin(rankedAll.take(n): _*))
     val keepCol = filter.map(f => coalesce(f.cast("boolean"), lit(false)))
       .getOrElse(lit(true))
-    val vecs = bucketsRaw
-      .select(col("__ivf_part"), col(meta.idColumn).cast("long").as("id"),
-        col(meta.column).cast("array<float>").as("__v"), keepCol.as("__keep"),
-        col("__pq_code"))
-    val graph = spark.read.parquet(graphPath(datasetPath, column))
-      .filter(col("__ivf_part").isin(probes: _*))
-      .select(col("__ivf_part"), col("id"), col("level"), col("neighbors"))
-    val joined = vecs.join(graph, Seq("__ivf_part", "id"))
-      .repartition(math.max(probes.size, 1), col("__ivf_part"))
     val bcQ = spark.sparkContext.broadcast(query)
     val bcAdc = spark.sparkContext.broadcast(adc)
     val idCol = meta.idColumn
@@ -472,26 +483,37 @@ object HnswIndex {
       StructField(idCol, LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
     val scoringMetric = meta.metric
-    def candidates(effEf: Int): DataFrame = joined.mapPartitions { rows =>
-      val q = bcQ.value
-      val table = bcAdc.value
-      val exact = metricDist(scoringMetric)
-      val byBucket = groupBuckets(rows, withCodes = true)
-      byBucket.iterator.flatMap { case (_, nodes) =>
-        val arr = nodes.toArray
-        def adcDist(o: Int): Double = {
-          val codes = arr(o).codes
-          var acc = 0.0; var j = 0
-          while (j < codes.length) { acc += table(j * kCodes + codes(j)); j += 1 }
-          acc
-        }
-        // traverse on ADC, refine the ef survivors exactly
-        searchBucket(arr, adcDist, effEf)
-          .map { case (o, _) => (arr(o).id, exact(q, arr(o).vec)) }
-      }.map { case (id, d) => Row(id, reportDist(scoringMetric, d)) }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    def candidates(n: Int, effEf: Int): DataFrame = {
+      val vecs = bucketsFor(n)
+        .select(col("__ivf_part"), col(meta.idColumn).cast("long").as("id"),
+          col(meta.column).cast("array<float>").as("__v"), keepCol.as("__keep"),
+          col("__pq_code"))
+      val graph = spark.read.parquet(graphPath(datasetPath, column))
+        .filter(col("__ivf_part").isin(rankedAll.take(n): _*))
+        .select(col("__ivf_part"), col("id"), col("level"), col("neighbors"))
+      val joined = vecs.join(graph, Seq("__ivf_part", "id"))
+        .repartition(math.max(n, 1), col("__ivf_part"))
+      joined.mapPartitions { rows =>
+        val q = bcQ.value
+        val table = bcAdc.value
+        val exact = metricDist(scoringMetric)
+        val byBucket = groupBuckets(rows, withCodes = true)
+        byBucket.iterator.flatMap { case (_, nodes) =>
+          val arr = nodes.toArray
+          def adcDist(o: Int): Double = {
+            val codes = arr(o).codes
+            var acc = 0.0; var j = 0
+            while (j < codes.length) { acc += table(j * kCodes + codes(j)); j += 1 }
+            acc
+          }
+          // traverse on ADC, refine the ef survivors exactly
+          searchBucket(arr, adcDist, effEf)
+            .map { case (o, _) => (arr(o).id, exact(q, arr(o).vec)) }
+        }.map { case (id, d) => Row(id, reportDist(scoringMetric, d)) }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    }
     finishSearch(spark, s"$datasetPath/$column (pq)", k, math.max(ef, k),
-      bucketsRaw, filter, idCol, candidates)
+      meta.numPartitions, probes0, bucketsFor, filter, idCol, candidates)
   }
 
   private[index] case class BucketNode(id: Long, vec: Array[Float],

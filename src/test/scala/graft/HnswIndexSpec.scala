@@ -138,6 +138,14 @@ class HnswIndexSpec extends AnyFunSuite {
       "embedding", q, 10, "l2").select($"vec_id").collect().map(_.getLong(0)).toSeq
     assert(got == exact, s"got=$got exact=$exact")
 
+    // matches scattered OUTSIDE the nearest bucket: after the beam covers
+    // the probed bucket, the PROBE SET widens (1 -> all) and finds every
+    // match — the same escalation as filtered IVF search
+    val probeWidened = HnswIndex.search(spark, datasetPath, "embedding", q, 10,
+        nprobes = 1, ef = 200, filter = Some($"vec_id" >= 490))
+      .collect().map(_.getLong(0)).toSet
+    assert(probeWidened == (490L until 500L).toSet, probeWidened.toString)
+
     // a starving filter (fewer than k matches in the whole index): the
     // widening loop must surface every reachable match, never a silent
     // short set of the wrong rows, and never loop forever
