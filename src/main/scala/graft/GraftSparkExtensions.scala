@@ -202,7 +202,8 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
             nprobes = nprobes, metric = metric, filter = preFilter)
         case "ivf_pq" =>
           graft.index.IvfIndex.searchPq(spark, path, column, vec, k,
-            nprobes = nprobes, refineFactor = refine, filter = preFilter)
+            nprobes = nprobes, refineFactor = refine, filter = preFilter,
+            metric = Some(metric))
         case "hnsw" =>
           // filter composes with the beam walk (evaluate-during-search with
           // loud widening on shortfall) — reference filter-with-any-index
@@ -212,7 +213,8 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
             filter = preFilter)
         case "hnsw_pq" =>
           graft.index.HnswIndex.searchPq(spark, path, column, vec, k,
-            nprobes = nprobes, ef = ef, filter = preFilter)
+            nprobes = nprobes, ef = ef, filter = preFilter,
+            metric = Some(metric))
         case m => throw new IllegalArgumentException(
           s"vector_search mode must be exact|ivf|ivf_pq|hnsw|hnsw_pq, got $m")
       }

@@ -453,9 +453,13 @@ object HnswIndex {
     */
   def searchPq(spark: SparkSession, datasetPath: String, column: String,
       query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[org.apache.spark.sql.Column] = None,
+      metric: Option[String] = None): DataFrame = {
     graft.functions.VectorFunctions.validateQueryVector(query)
     val meta = IvfIndex.loadMeta(spark, datasetPath, column)
+    metric.foreach(m => require(m.equalsIgnoreCase(meta.metric),
+      s"index at $datasetPath/$column was built for metric ${meta.metric}, " +
+        s"searched with $m — rebuild the index or search with ${meta.metric}"))
     IvfIndex.checkFreshness(spark, datasetPath, meta)
     val pm = meta.pq.getOrElse(throw new IllegalStateException(
       s"index for $column was built without PQ"))

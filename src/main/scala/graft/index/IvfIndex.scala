@@ -694,9 +694,16 @@ object IvfIndex {
   def searchPq(spark: SparkSession, datasetPath: String, column: String,
       query: Array[Float], k: Int, nprobes: Int = 20,
       refineFactor: Int = 4,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[org.apache.spark.sql.Column] = None,
+      metric: Option[String] = None): DataFrame = {
     validateQueryVector(query)
     val meta = loadMeta(spark, datasetPath, column)
+    // PQ search always scores under the metric the codes were built for;
+    // a caller EXPECTING a different metric must hear about it, not get
+    // silently re-ranked (same contract as search/HnswIndex.search)
+    metric.foreach(m => require(m.equalsIgnoreCase(meta.metric),
+      s"index at $datasetPath/$column was built for metric ${meta.metric}, " +
+        s"searched with $m - rebuild the index or search with ${meta.metric}"))
     checkFreshness(spark, datasetPath, meta)
     val pm = meta.pq.getOrElse(throw new IllegalStateException(
       s"index for $column was built without PQ"))

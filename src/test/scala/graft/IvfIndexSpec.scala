@@ -400,6 +400,28 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 
+  test("PQ search rejects a caller expecting a different metric") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "pqmet-")
+      .toAbsolutePath.toString
+    val ds = s"$dir/emb"
+    Tables.t(spark, sf, "embeddings").write.format("lance").mode("append").save(ds)
+    val r = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+      "embedding", "vec_id", ds, numPartitions = 4,
+      pq = Some(IvfIndex.PqParams(numSubVectors = 16, numBits = 4)))
+    assert(r.success, r.error)
+    val q = queryVec(0)
+    // the TVF's metric arg reaches searchPq: expecting cosine over an
+    // L2-built PQ index must fail loud, never silently re-rank under L2
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.searchPq(spark, ds, "embedding", q, 5, nprobes = 4,
+        metric = Some("cosine"))
+    }
+    assert(e.getMessage.contains("built for metric l2"), e.getMessage)
+    // the matching metric passes through
+    assert(IvfIndex.searchPq(spark, ds, "embedding", q, 5, nprobes = 4,
+      metric = Some("l2")).count() == 5)
+  }
+
   test("PQ serves dot: the ADC table decomposes the inner product") {
     val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "pqdot-")
       .toAbsolutePath.toString
