@@ -39,14 +39,25 @@ object Lance {
     df.withColumn(column, df(column).as(column, meta))
   }
 
-  /** Read a lance dataset; `version` = time travel (reference MVCC). */
+  /** Read a lance dataset; `version` = time travel (reference MVCC).
+    * `filter`/`columns`/`limit` mirror the reference's `read.filter`/
+    * `read.columns`/`read.limit` source options — declared on the
+    * DataFrame so Catalyst pushes all three into the scan (`PushedFilters`
+    * / `ReadSchema` / limit pushdown), same execution the reference gets
+    * from its explicit option plumbing.
+    */
   def read(spark: SparkSession, path: String, version: Option[Long] = None,
-      filter: Option[String] = None): DataFrame = {
+      filter: Option[String] = None, columns: Option[Seq[String]] = None,
+      limit: Option[Int] = None): DataFrame = {
     val r = spark.read.format("lance")
     version.foreach(v => r.option("versionAsOf", v.toString))
     val df = r.load(path)
     // `read.filter` option parity (P8): conjoined with any later filters
-    filter.fold(df)(f => df.filter(org.apache.spark.sql.functions.expr(f)))
+    val filtered = filter.fold(df)(f =>
+      df.filter(org.apache.spark.sql.functions.expr(f)))
+    val projected = columns.fold(filtered)(cs =>
+      filtered.select(cs.map(org.apache.spark.sql.functions.col): _*))
+    limit.fold(projected)(projected.limit)
   }
 
   /** Append (default, reference write.mode) or overwrite. */

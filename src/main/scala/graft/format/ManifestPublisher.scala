@@ -2,7 +2,6 @@ package graft.format
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import java.nio.charset.StandardCharsets
 import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 
@@ -107,6 +106,4 @@ object ManifestPublisher {
     try out.write(bytes)
     finally out.close()
   }
-
-  private[format] def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
 }

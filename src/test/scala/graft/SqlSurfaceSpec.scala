@@ -225,6 +225,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(df.count() == 500)
     val filtered = Lance.read(spark, datasetPath, filter = Some("label = 3"))
     assert(filtered.count() > 0)
+    // read.columns / read.limit option parity: projection reaches the
+    // scan's ReadSchema (column pruning), limit bounds the result
+    val pruned = Lance.read(spark, datasetPath,
+      columns = Some(Seq("vec_id", "label")), limit = Some(7))
+    assert(pruned.columns.toSeq == Seq("vec_id", "label"))
+    assert(pruned.count() == 7)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<vec_id:bigint,label:int>"), scan)
 
     val q = df.filter(org.apache.spark.sql.functions.col("vec_id") === 7)
       .select("embedding").collect().head.getSeq[Float](0).toArray
