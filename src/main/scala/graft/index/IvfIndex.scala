@@ -648,7 +648,7 @@ object IvfIndex {
     * differently. Cosine/dot parity: `ref:LanceVectorSearch.java:274-285`,
     * `ref:LanceIndexBuilder.java:117-152`.
     */
-  private[index] def adcTable(meta: IndexMeta, pm: PqMeta,
+  private[graft] def adcTable(meta: IndexMeta, pm: PqMeta,
       query: Array[Double]): Array[Double] = {
     val m = meta.metric.toLowerCase
     if (m == "cosine") require(pm.normalized.contains(true),

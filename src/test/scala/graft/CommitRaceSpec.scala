@@ -122,6 +122,30 @@ class CommitRaceSpec extends AnyFunSuite {
     } finally ManifestPublisher.unregister("condmem")
   }
 
+  test("racing overwrites land as distinct dense versions, none replaced") {
+    val (fs, root) = memRoot()
+    ManifestPublisher.register("condmem", ManifestPublisher.ConditionalPut)
+    try {
+      val threads = (0 until 2).map { t =>
+        new Thread(() => (0 until 3).foreach { i =>
+          LanceFormat.commitOverwrite(fs, root, schema,
+            Seq(FragmentMeta(0, s"ow-$t-$i.parquet", 1)))
+        }, s"ow-$t")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+      assert(LanceFormat.listVersions(fs, root) == (1L to 6L))
+      // every version is a complete single-writer overwrite: exactly one
+      // fragment, and all six writes are present across the history
+      val frags = (1L to 6L).map(v =>
+        LanceFormat.readManifest(fs, root, v).fragments match {
+          case Seq(one) => one.file
+          case other => fail(s"version $v has ${other.size} fragments")
+        })
+      assert(frags.toSet ==
+        (for (t <- 0 until 2; i <- 0 until 3) yield s"ow-$t-$i.parquet").toSet)
+    } finally ManifestPublisher.unregister("condmem")
+  }
+
   test("conditional PUT loses at close and never replaces the winner") {
     val (fs, root) = memRoot()
     val target = new Path(root, "_versions/1.manifest.json")

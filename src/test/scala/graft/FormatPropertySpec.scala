@@ -178,6 +178,46 @@ class FormatPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: ADC table sums to the metric distance of the decoded vector") {
+    import graft.index.IvfIndex
+    // The invariant all three PQ search paths rest on: for ANY codes,
+    // Σ_j table(j·2^bits + code_j) is EXACTLY the scoring distance
+    // between the query and the decoded (codebook-reconstructed) vector —
+    // squared L2 and the inner product both decompose across subspaces
+    // with no approximation (the PQ error is only in encoding, never in
+    // scoring). Cosine scores on the normalized query against codebooks
+    // that live in normalized space.
+    val m = 4; val dsub = 3; val bits = 2; val kCodes = 1 << bits
+    val dim = m * dsub
+    val gen = for {
+      cbs <- Gen.listOfN(m, Gen.listOfN(kCodes,
+        Gen.listOfN(dsub, Gen.choose(-5.0, 5.0))))
+      codes <- Gen.listOfN(m, Gen.choose(0, kCodes - 1))
+      q <- Gen.listOfN(dim, Gen.choose(-5.0, 5.0))
+      metric <- Gen.oneOf("l2", "dot", "cosine")
+    } yield (cbs, codes, q, metric)
+    samples(gen, n = 200).foreach { case (cbs, codes, qList, metric) =>
+      val pm = IvfIndex.PqMeta(m, bits, cbs.map(_.map(_.toSeq)),
+        normalized = Some(metric == "cosine"))
+      val meta = IvfIndex.IndexMeta("v", "id", metric, 1, dim,
+        Seq(Seq.fill(dim)(0.0)), pq = Some(pm))
+      val q = qList.toArray
+      val table = IvfIndex.adcTable(meta, pm, q)
+      val adc = codes.zipWithIndex.map { case (c, j) => table(j * kCodes + c) }.sum
+      val decoded = codes.zipWithIndex.flatMap { case (c, j) => cbs(j)(c) }.toArray
+      val qEff = if (metric == "cosine") {
+        val n = math.sqrt(q.map(x => x * x).sum)
+        if (n == 0.0) q else q.map(_ / n)
+      } else q
+      val expected = metric match {
+        case "dot" => -qEff.zip(decoded).map { case (a, b) => a * b }.sum
+        case _ => qEff.zip(decoded).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      assert(math.abs(adc - expected) < 1e-9,
+        s"metric=$metric adc=$adc expected=$expected")
+    }
+  }
+
   test("manifest survives a filesystem write/read cycle") {
     val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "fmt-prop-")
       .toAbsolutePath.toString
