@@ -102,7 +102,11 @@ object Bench {
       System.err.println(s"[bench] WARNING: stdout JSON line is ${line.length} chars; " +
         "the driver's 2000-char tail window is nearly blown - shrink the line " +
         "before adding more queries")
-    println(line)
+    // stop BEFORE the final println: anything Spark logs while shutting
+    // down (stderr, re-tagged "[error]" by sbt) then lands above the JSON
+    // line instead of pushing it out of the driver's bounded tail window
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
   }
 }

@@ -161,6 +161,32 @@ object Lance {
   /** Register the distance functions on an existing session (V2/V7). */
   def registerFunctions(spark: SparkSession): Unit = VectorFunctions.register(spark)
 
+  /** Row-level DELETE: copy-on-write rewrite of only the fragments whose
+    * manifest stats admit a match; untouched fragments carry over by
+    * reference. SQL users get `DELETE FROM lance.db.t WHERE ...` through
+    * the catalog. No-ops (nothing matched) commit no version.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      condition: String): graft.operators.Dml.RowLevelResult =
+    graft.operators.Dml.deleteWhere(spark, path, condition)
+
+  /** Row-level UPDATE (`SET col = expr` pairs, evaluated against the
+    * pre-update row, cast back to the column's declared type). Same
+    * stats-scoped copy-on-write as [[deleteWhere]].
+    */
+  def updateWhere(spark: SparkSession, path: String, condition: String,
+      set: Map[String, String]): graft.operators.Dml.RowLevelResult =
+    graft.operators.Dml.updateWhere(spark, path, condition, set)
+
+  /** MERGE (upsert): source rows replace key-matched target rows and
+    * insert otherwise, in one commit. Candidate fragments are pruned by
+    * the source's per-key min/max — a CDC batch touching recent keys
+    * rewrites only the fragments covering them.
+    */
+  def upsert(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String]): graft.operators.Dml.RowLevelResult =
+    graft.operators.Dml.upsert(spark, path, source, keys)
+
   /** List committed versions of a dataset (MVCC manifest history). */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(path)

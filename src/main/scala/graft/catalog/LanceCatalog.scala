@@ -227,7 +227,37 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object LanceCatalog {
-  private[catalog] val ProcedureNames = Seq("compact", "vacuum", "cluster", "refresh_index")
+  private[catalog] val ProcedureNames =
+    Seq("compact", "vacuum", "cluster", "refresh_index", "update_where", "upsert")
+}
+
+private[catalog] object LanceProcedure {
+  /** Parse `"col = expr, col2 = expr2"`: split on commas at bracket/quote
+    * depth 0 (so `greatest(a, b)` survives), then on the first `=` of each
+    * piece. Expressions are parsed by `expr()` downstream — this only
+    * finds the assignment boundaries.
+    */
+  def parseAssignments(s: String): Map[String, String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { if (ch == quote) quote = 0; cur += ch }
+      else ch match {
+        case '\'' | '"' => quote = ch; cur += ch
+        case '(' | '[' => depth += 1; cur += ch
+        case ')' | ']' => depth -= 1; cur += ch
+        case ',' if depth == 0 => parts += cur.result(); cur.clear()
+        case _ => cur += ch
+      }
+    }
+    if (cur.nonEmpty) parts += cur.result()
+    parts.map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"malformed assignment '$p' (expected col = expr)")
+      p.take(i).trim -> p.drop(i + 1).trim
+    }.toMap
+  }
 }
 
 /** One class serves all four maintenance procedures: `bind` is identity
@@ -246,6 +276,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "compact" => "rewrite small fragments into maxRowsPerFile-sized ones (new MVCC version)"
     case "vacuum" => "drop old versions and reclaim fragment files only they referenced"
     case "cluster" => "Z-order rewrite so manifest stats prune on every listed column"
+    case "update_where" => "row-level UPDATE: stats-scoped copy-on-write rewrite"
+    case "upsert" => "MERGE a view/table into the dataset on key columns (update-or-insert)"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -257,6 +289,12 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("keep_versions", IntegerType).defaultValue("1").build())
     case "cluster" => Array(in("table", StringType).build(),
       in("cols", StringType).comment("comma-separated numeric columns").build())
+    case "update_where" => Array(in("table", StringType).build(),
+      in("condition", StringType).build(),
+      in("set", StringType).comment("assignments: col = expr [, col = expr ...]").build())
+    case "upsert" => Array(in("table", StringType).build(),
+      in("source", StringType).comment("view/table name visible to spark.table()").build(),
+      in("keys", StringType).comment("comma-separated key columns").build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -282,6 +320,21 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("fragments_before", IntegerType, nullable = false)
           .add("fragments_after", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](before, after)))
+      case "update_where" =>
+        val set = LanceProcedure.parseAssignments(input.getUTF8String(2).toString)
+        val r = graft.Lance.updateWhere(spark, path,
+          input.getUTF8String(1).toString, set)
+        (new StructType().add("rows_updated", LongType, nullable = false)
+          .add("fragments_rewritten", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](r.rowsChanged,
+            if (r.committedVersion.isDefined) r.candidateFragments else 0)))
+      case "upsert" =>
+        val src = spark.table(input.getUTF8String(1).toString)
+        val keys = input.getUTF8String(2).toString.split(',').map(_.trim).toSeq
+        val r = graft.Lance.upsert(spark, path, src, keys)
+        (new StructType().add("rows_updated", LongType, nullable = false)
+          .add("rows_inserted", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](r.rowsChanged, r.rowsInserted)))
       case _ =>
         val n = graft.Lance.refreshIndex(spark, path, input.getUTF8String(1).toString)
         (new StructType().add("rows_indexed", LongType, nullable = false),

@@ -82,7 +82,21 @@ object LanceTable {
   */
 class LanceTable(val rootStr: String, declaredSchema: StructType,
     pinnedVersion: Option[Long] = None) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** SQL `DELETE FROM lance.db.t WHERE ...`: Spark hands over the fully
+    * translated condition (an untranslatable one fails the query before
+    * reaching here); the copy-on-write rewrite is stats-scoped to the
+    * fragments that may match ([[graft.operators.Dml.deleteWhere]]).
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinnedVersion.isEmpty
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"cannot DELETE from a time-travel snapshot of $rootStr")
+    graft.operators.Dml.deleteWhere(SparkSession.active, rootStr,
+      graft.operators.Dml.filtersToColumn(filters))
+  }
 
   /** The time-travel pin, if any (AnnIndexRewrite must not fire on it). */
   def pinned: Option[Long] = pinnedVersion
@@ -269,10 +283,14 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     // schema by name (adds ride along nullable) instead of rejecting it
     private val mergeSchema = Option(info.options.get("write.merge-schema"))
       .exists(_.toBoolean)
+    // copy-on-write commit: this write REPLACES the named fragment ids
+    // (row-level DELETE/UPDATE/MERGE rewrite scope) instead of appending
+    private val replaceFragments = Option(info.options.get("write.replace-fragments"))
+      .map(_.split(',').filter(_.nonEmpty).map(_.toInt).toSet)
 
     override def toBatch: BatchWrite =
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
-        epochId, collectStats, mergeSchema)
+        epochId, collectStats, mergeSchema, replaceFragments)
     override def toStreaming: StreamingWrite =
       new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         collectStats)
@@ -288,7 +306,8 @@ case class LanceCommitMessage(fragments: Seq[FragmentMeta]) extends WriterCommit
 class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     conf: SerializableConf, maxRowsPerFile: Long,
     epochId: Option[Long] = None, collectStats: Boolean = true,
-    mergeSchema: Boolean = false) extends BatchWrite {
+    mergeSchema: Boolean = false,
+    replaceFragments: Option[Set[Int]] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile, collectStats)
@@ -297,6 +316,13 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     val frags = messages.collect { case LanceCommitMessage(f) => f }.flatten.toSeq
     val root = new Path(rootStr)
     val fs = LanceFormat.fileSystem(root, conf.value)
+    // copy-on-write swap: the rewritten rows replace exactly the scoped
+    // fragment ids; the table schema is unchanged by construction (the
+    // rewrite read those very fragments)
+    if (replaceFragments.isDefined) {
+      LanceFormat.commitReplace(fs, root, schema, replaceFragments.get, frags, epochId)
+      return
+    }
     val existing = LanceFormat.readLatest(fs, root)
     // Schema evolution (`write.merge-schema=true`): the committed schema
     // is the by-name union — new fragments carry the write schema, old

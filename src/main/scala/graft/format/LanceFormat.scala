@@ -149,6 +149,53 @@ object LanceFormat {
       s"could not commit append after $attempt attempts at $root")
   }
 
+  /** Swap a set of fragment ids for new fragments in one commit — the
+    * copy-on-write primitive under row-level DELETE/UPDATE/MERGE: untouched
+    * fragments carry over by reference, old files stay for time travel.
+    *
+    * Optimistic concurrency, same loop as [[commitAppend]]: a concurrent
+    * APPEND merges cleanly (its fragments ride along untouched). A
+    * concurrent commit that removed any of the fragments being replaced —
+    * another row-level op, a compaction, an overwrite — makes this rewrite
+    * stale (it was derived from files that are no longer the table), so it
+    * fails loud with [[ConcurrentModificationException]] rather than
+    * resurrecting replaced data; the caller re-runs against the new
+    * snapshot. Returns (manifest, rows in the removed fragments).
+    */
+  def commitReplace(fs: FileSystem, root: Path, schema: StructType,
+      removedIds: Set[Int], newFragments: Seq[FragmentMeta],
+      epochId: Option[Long] = None,
+      publisher: Option[ManifestPublisher] = None): (Manifest, Long) = {
+    require(removedIds.nonEmpty, "commitReplace needs at least one fragment to remove")
+    var attempt = 0
+    while (attempt < 20) {
+      val prev = readLatest(fs, root).getOrElse(
+        throw new IllegalStateException(s"no dataset at $root"))
+      val base = prev.fragments
+      val present = base.map(_.id).toSet
+      val gone = removedIds -- present
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"fragments ${gone.toSeq.sorted.mkString(",")} were removed by a " +
+            s"concurrent commit at $root; re-run the row-level operation " +
+            "against the current version")
+      val kept = base.filterNot(f => removedIds.contains(f.id))
+      val removedRows = base.filter(f => removedIds.contains(f.id)).map(_.rowCount).sum
+      val nextId = base.map(_.id).maxOption.getOrElse(-1) + 1
+      val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
+      val m = Manifest(
+        version = prev.version + 1,
+        schemaJson = schema.json,
+        fragments = kept ++ renumbered,
+        epochId = epochId.orElse(prev.epochId),
+        committedAtMs = System.currentTimeMillis())
+      if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit replace after $attempt attempts at $root")
+  }
+
   /** Replace all fragments (overwrite semantics). Old files are kept for
     * time travel; a vacuum can reclaim them later.
     */

@@ -1,0 +1,316 @@
+package graft.operators
+
+import graft.format.{FragmentMeta, FragmentStats, LanceFormat, Manifest}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{sources => v1}
+
+/** Row-level DELETE / UPDATE / MERGE on lance datasets as copy-on-write
+  * commits — the mutation surface the reference connector lacks entirely
+  * (it is insert-only: `ref:LanceSink.java:152-195` knows Append/Overwrite)
+  * but any long-lived 100 TB corpus needs: data corrections, takedown /
+  * right-to-be-forgotten deletes, dimension backfills, dedup-driven purges.
+  *
+  * Design (Delta/Iceberg copy-on-write, re-expressed on the manifest):
+  *
+  *  1. **Scope by manifest stats.** [[FragmentStats.prune]] with the
+  *     operation's predicate (or the source's key bounds, for MERGE) keeps
+  *     only fragments that MAY contain affected rows — on a clustered
+  *     table, deleting one key rewrites one fragment, not 100 TB. Fragments
+  *     proven untouched carry over into the new version by reference.
+  *  2. **Rewrite only the candidates** with the ordinary distributed lance
+  *     writer (stats re-collected, files rolled at max-rows-per-file).
+  *  3. **Commit a replace**: [[LanceFormat.commitReplace]] swaps exactly
+  *     the candidate fragment ids under optimistic MVCC — concurrent
+  *     appends merge; a concurrent rewrite of the same fragments fails
+  *     loud instead of resurrecting replaced rows. Old files stay behind
+  *     the old manifests (time travel), until vacuum.
+  *
+  * Copy-on-write (not merge-on-read deletion vectors) is the right trade
+  * for a Spark batch/analytics engine: scans stay pure fragment-parallel
+  * parquet with zero read-path overhead, and the write amplification is
+  * bounded by stats pruning + clustering. The same trade Delta Lake
+  * defaults to.
+  */
+object Dml {
+
+  /** Outcome of a row-level operation. `rowsChanged` = rows deleted /
+    * updated / overwritten-by-source; `rowsInserted` only for MERGE.
+    * `committedVersion` is None when the operation was a no-op (nothing
+    * matched — no new version is committed, the table is untouched).
+    */
+  case class RowLevelResult(totalFragments: Int, candidateFragments: Int,
+      rowsChanged: Long, rowsInserted: Long, committedVersion: Option[Long])
+
+  private def snapshot(spark: SparkSession, pathStr: String): (FileSystem, Path, Manifest) = {
+    val root = new Path(pathStr)
+    val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val m = LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $pathStr"))
+    (fs, root, m)
+  }
+
+  /** Read exactly these fragments of a pinned manifest (immutable files —
+    * snapshot-consistent regardless of concurrent commits).
+    */
+  private def readFragments(spark: SparkSession, root: Path, m: Manifest,
+      frags: Seq[FragmentMeta]): DataFrame =
+    spark.read.schema(m.schema)
+      .parquet(frags.map(f => new Path(LanceFormat.dataPath(root), f.file).toString): _*)
+
+  private def q(name: String): Column = col(s"`$name`")
+
+  // ------------------------------------------------ predicate translation
+
+  /** Conservative Catalyst→V1 translation for manifest-stats pruning: any
+    * shape we can't express keeps every fragment a candidate (correct,
+    * just less scoped). Mirrors the vocabulary [[FragmentStats.mayMatch]]
+    * understands; casts, functions and non-literal comparands yield None.
+    */
+  private def toV1(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[v1.Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def name(x: ce.Expression): Option[String] = x match {
+      case a: ce.AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def value(l: ce.Literal): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    e match {
+      case ce.And(l, r) => for { a <- toV1(l); b <- toV1(r) } yield v1.And(a, b)
+      case ce.Or(l, r) => for { a <- toV1(l); b <- toV1(r) } yield v1.Or(a, b)
+      case ce.Not(c) => toV1(c).map(v1.Not)
+      case ce.EqualTo(a, l: ce.Literal) => name(a).map(v1.EqualTo(_, value(l)))
+      case ce.EqualTo(l: ce.Literal, a) => name(a).map(v1.EqualTo(_, value(l)))
+      case ce.GreaterThan(a, l: ce.Literal) => name(a).map(v1.GreaterThan(_, value(l)))
+      case ce.GreaterThan(l: ce.Literal, a) => name(a).map(v1.LessThan(_, value(l)))
+      case ce.GreaterThanOrEqual(a, l: ce.Literal) =>
+        name(a).map(v1.GreaterThanOrEqual(_, value(l)))
+      case ce.GreaterThanOrEqual(l: ce.Literal, a) =>
+        name(a).map(v1.LessThanOrEqual(_, value(l)))
+      case ce.LessThan(a, l: ce.Literal) => name(a).map(v1.LessThan(_, value(l)))
+      case ce.LessThan(l: ce.Literal, a) => name(a).map(v1.GreaterThan(_, value(l)))
+      case ce.LessThanOrEqual(a, l: ce.Literal) =>
+        name(a).map(v1.LessThanOrEqual(_, value(l)))
+      case ce.LessThanOrEqual(l: ce.Literal, a) =>
+        name(a).map(v1.GreaterThanOrEqual(_, value(l)))
+      case ce.In(a, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        name(a).map(v1.In(_, vs.map(v => value(v.asInstanceOf[ce.Literal])).toArray))
+      case ce.IsNull(a) => name(a).map(v1.IsNull)
+      case ce.IsNotNull(a) => name(a).map(v1.IsNotNull)
+      case ce.StartsWith(a, l: ce.Literal) =>
+        name(a).map(v1.StringStartsWith(_, value(l).toString))
+      case _ => None
+    }
+  }
+
+  /** Resolve `cond` against the table and translate its top-level
+    * conjuncts — a partially translatable predicate still prunes on the
+    * translated conjuncts (AND semantics make that sound).
+    */
+  private def pruneFilters(table: DataFrame, cond: Column): Array[v1.Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // analysis wraps literals in type-coercion Casts (`id >= 10` on a
+    // bigint column compares against cast(10 as bigint)); fold them back
+    // to plain literals so the translator sees the comparable shape
+    def fold(e: ce.Expression): ce.Expression = e.transformUp {
+      case x if x.foldable && x.deterministic && !x.isInstanceOf[ce.Literal] =>
+        ce.Literal.create(x.eval(ce.EmptyRow), x.dataType)
+    }
+    table.filter(cond).queryExecution.analyzed
+      .collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .flatMap(conjuncts)
+      .map(fold)
+      .flatMap(toV1)
+      .toArray
+  }
+
+  /** V1 filters (implicitly ANDed) back to one Column — the
+    * `SupportsDelete.deleteWhere` entry point's condition. Total: Spark
+    * only hands over predicates it could translate, and each translatable
+    * shape has a Column form.
+    */
+  def filtersToColumn(filters: Array[v1.Filter]): Column =
+    if (filters.isEmpty) lit(true)
+    else filters.map(filterToColumn).reduce(_ && _)
+
+  private def filterToColumn(f: v1.Filter): Column = f match {
+    case v1.AlwaysTrue() => lit(true)
+    case v1.AlwaysFalse() => lit(false)
+    case v1.And(l, r) => filterToColumn(l) && filterToColumn(r)
+    case v1.Or(l, r) => filterToColumn(l) || filterToColumn(r)
+    case v1.Not(c) => !filterToColumn(c)
+    case v1.EqualTo(a, v) => q(a) === lit(v)
+    case v1.EqualNullSafe(a, v) => q(a) <=> lit(v)
+    case v1.GreaterThan(a, v) => q(a) > lit(v)
+    case v1.GreaterThanOrEqual(a, v) => q(a) >= lit(v)
+    case v1.LessThan(a, v) => q(a) < lit(v)
+    case v1.LessThanOrEqual(a, v) => q(a) <= lit(v)
+    case v1.In(a, vs) => q(a).isin(vs.toIndexedSeq: _*)
+    case v1.IsNull(a) => q(a).isNull
+    case v1.IsNotNull(a) => q(a).isNotNull
+    case v1.StringStartsWith(a, p) => q(a).startsWith(p)
+    case v1.StringEndsWith(a, p) => q(a).endsWith(p)
+    case v1.StringContains(a, p) => q(a).contains(p)
+    case other => throw new IllegalArgumentException(
+      s"DELETE condition $other is not supported by the lance connector")
+  }
+
+  // --------------------------------------------------------------- DELETE
+
+  /** Delete rows where `cond` is TRUE (SQL semantics: NULL keeps the row).
+    * No-op — no new version — when nothing matches.
+    */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column): RowLevelResult = {
+    val (fs, root, m) = snapshot(spark, path)
+    val table = spark.read.format("lance").load(path)
+    val cands = FragmentStats.prune(m.schema, m.fragments, pruneFilters(table, cond))
+    if (cands.isEmpty) return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
+    val cdf = readFragments(spark, root, m, cands)
+    // exact count doubles as the no-op check; candidate-scoped, pushed down
+    val matched = cdf.filter(cond).count()
+    if (matched == 0L) return RowLevelResult(m.fragments.size, cands.size, 0L, 0L, None)
+    cdf.filter(!coalesce(cond, lit(false)))
+      .write.format("lance")
+      .option("write.replace-fragments", cands.map(_.id).mkString(","))
+      .mode("append").save(path)
+    RowLevelResult(m.fragments.size, cands.size, matched, 0L,
+      LanceFormat.readLatest(fs, root).map(_.version))
+  }
+
+  def deleteWhere(spark: SparkSession, path: String, condition: String): RowLevelResult =
+    deleteWhere(spark, path, expr(condition))
+
+  // --------------------------------------------------------------- UPDATE
+
+  /** Update rows where `cond` is TRUE: each assignment's expression is
+    * cast back to the column's declared type (UPDATE never mutates the
+    * schema). Assignments see the PRE-update row (standard SQL UPDATE:
+    * `SET a = b, b = a` swaps).
+    */
+  def updateWhere(spark: SparkSession, path: String, cond: Column,
+      assignments: Seq[(String, Column)]): RowLevelResult = {
+    val (fs, root, m) = snapshot(spark, path)
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    assignments.foreach { case (c, _) =>
+      require(m.schema.fieldNames.contains(c), s"no column '$c' in $path")
+    }
+    val table = spark.read.format("lance").load(path)
+    val cands = FragmentStats.prune(m.schema, m.fragments, pruneFilters(table, cond))
+    if (cands.isEmpty) return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
+    val cdf = readFragments(spark, root, m, cands)
+    val matched = cdf.filter(cond).count()
+    if (matched == 0L) return RowLevelResult(m.fragments.size, cands.size, 0L, 0L, None)
+    val condSafe = coalesce(cond, lit(false))
+    // one select evaluates every assignment against the original row
+    val out = m.schema.fields.map { f =>
+      assignments.find(_._1 == f.name) match {
+        case Some((_, e)) => when(condSafe, e.cast(f.dataType)).otherwise(q(f.name)).as(f.name)
+        case None => q(f.name)
+      }
+    }
+    cdf.select(out.toIndexedSeq: _*)
+      .write.format("lance")
+      .option("write.replace-fragments", cands.map(_.id).mkString(","))
+      .mode("append").save(path)
+    RowLevelResult(m.fragments.size, cands.size, matched, 0L,
+      LanceFormat.readLatest(fs, root).map(_.version))
+  }
+
+  def updateWhere(spark: SparkSession, path: String, condition: String,
+      set: Map[String, String]): RowLevelResult =
+    updateWhere(spark, path, expr(condition),
+      set.toSeq.map { case (c, e) => c -> expr(e) })
+
+  // ---------------------------------------------------------------- MERGE
+
+  /** MERGE (upsert form): target rows whose `keys` match a source row are
+    * replaced by that source row; unmatched source rows are inserted;
+    * everything else is untouched. The dominant MERGE shape (CDC apply,
+    * dimension refresh, dedup keep-list application); conditional
+    * matched/not-matched clauses compose from [[deleteWhere]]/
+    * [[updateWhere]] when needed.
+    *
+    * Scale shape: candidates are pruned by the SOURCE's per-key min/max
+    * (one small aggregate) — a CDC batch touching recent keys rewrites
+    * only the fragments covering them. The source is the small side of
+    * both joins (broadcast under AQE); matches can only live in candidate
+    * fragments, by the pruning contract.
+    */
+  def upsert(spark: SparkSession, path: String, source0: DataFrame,
+      keys: Seq[String]): RowLevelResult = {
+    val (fs, root, m) = snapshot(spark, path)
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    val tableCols = m.schema.fieldNames.toSeq
+    keys.foreach(k => require(tableCols.contains(k), s"no key column '$k' in $path"))
+    keys.foreach(k => require(source0.columns.contains(k), s"no key column '$k' in source"))
+    tableCols.foreach { c =>
+      require(source0.columns.contains(c),
+        s"MERGE source is missing table column '$c' (select every table column)")
+      require(source0.schema(c).dataType == m.schema(c).dataType,
+        s"MERGE source column '$c' is ${source0.schema(c).dataType.simpleString} but the " +
+          s"table has ${m.schema(c).dataType.simpleString}; cast the source first")
+    }
+    val source = source0.select(tableCols.map(q): _*)
+
+    // one job over the (small) source: row count, per-key bounds, dup
+    // check. A fully-non-null duplicate key tuple is a cardinality
+    // violation (one target row would match two source rows); null-keyed
+    // rows never match anything — they are plain inserts, however many.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(q): _*)
+    val aggCols = Seq(count(lit(1)).as("__n"), max(col("__dup")).as("__maxdup")) ++
+      keys.flatMap(k => Seq(min(q(k)).as(s"__mn_$k"), max(q(k)).as(s"__mx_$k")))
+    val stats = source.select(keys.map(q): _*)
+      .withColumn("__dup", when(keys.map(q(_).isNotNull).reduce(_ && _),
+        count(lit(1)).over(w)).otherwise(lit(1L)))
+      .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val srcRows = stats.getAs[Long]("__n")
+    if (srcRows == 0L) return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
+    require(stats.getAs[Long]("__maxdup") == 1L,
+      "MERGE source has duplicate keys: each target row would match more " +
+        "than one source row (nondeterministic); de-duplicate the source first")
+
+    // candidate pruning: a small source ships its exact key lists (IN
+    // prunes MIDDLE fragments a [min,max] range cannot — a 2-key CDC
+    // batch against a clustered table rewrites 2 fragments, not the span
+    // between them); a large one falls back to per-key bounds
+    val inListCap = spark.conf.getOption("spark.graft.dml.inlistPrune")
+      .map(_.toInt).getOrElse(1000)
+    val keyBounds: Array[v1.Filter] =
+      if (srcRows <= inListCap) {
+        val rows = source.select(keys.map(q): _*).distinct().collect()
+        keys.zipWithIndex.map { case (k, i) =>
+          val vals = rows.map(_.get(i)).filter(_ != null).distinct
+          if (vals.isEmpty) v1.AlwaysFalse() // all NULL: no match possible
+          else v1.In(k, vals)
+        }.toArray
+      } else keys.flatMap { k =>
+        (Option(stats.getAs[Any](s"__mn_$k")), Option(stats.getAs[Any](s"__mx_$k"))) match {
+          case (Some(mn), Some(mx)) =>
+            Seq(v1.GreaterThanOrEqual(k, mn), v1.LessThanOrEqual(k, mx))
+          case _ => Seq(v1.AlwaysFalse()) // every source key is NULL: no match possible
+        }
+      }.toArray
+    val cands = FragmentStats.prune(m.schema, m.fragments, keyBounds)
+
+    if (cands.isEmpty) {
+      // no fragment can hold a matching key: pure insert
+      source.write.format("lance").mode("append").save(path)
+      return RowLevelResult(m.fragments.size, 0, 0L, srcRows,
+        LanceFormat.readLatest(fs, root).map(_.version))
+    }
+    val cdf = readFragments(spark, root, m, cands)
+    val matched = cdf.join(source, keys, "left_semi").count()
+    cdf.join(source, keys, "left_anti")
+      .unionByName(source)
+      .write.format("lance")
+      .option("write.replace-fragments", cands.map(_.id).mkString(","))
+      .mode("append").save(path)
+    RowLevelResult(m.fragments.size, cands.size, matched, srcRows - matched,
+      LanceFormat.readLatest(fs, root).map(_.version))
+  }
+}

@@ -557,6 +557,102 @@ object LanceQueries {
         dsum(col("c_acctbal")).as("sum_bal"))
   }
 
+  /** SQL `DELETE FROM` end-to-end (SupportsDelete → stats-scoped
+    * copy-on-write rewrite): orders range-clustered on o_totalprice so the
+    * delete predicate prunes most fragments on the driver — only fragments
+    * that may hold matching rows are rewritten, the rest carry into the
+    * new version by reference (the 100 TB shape: a selective delete
+    * rewrites one fragment, not the table). The oracle re-filters the
+    * original parquet, so an under-delete, over-delete, or a rewrite that
+    * corrupts surviving rows all red the hash.
+    */
+  def s70SqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "dml_wh")
+    freshDataset(spark, wh)
+    val whAbs = new java.io.File(wh).getAbsolutePath
+    spark.conf.set("spark.sql.catalog.lance_dml", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_dml.warehouse", whAbs)
+    try {
+      t(spark, dir, "orders")
+        .repartitionByRange(8, col("o_totalprice"))
+        .write.format("lance").mode("overwrite").save(s"$whAbs/db/orders_d")
+      spark.sql("DELETE FROM lance_dml.db.orders_d WHERE o_totalprice > 450000")
+      spark.sql("SELECT * FROM lance_dml.db.orders_d")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lance_dml")
+      spark.conf.unset("spark.sql.catalog.lance_dml.warehouse")
+    }
+  }
+
+  /** Row-level UPDATE through SQL `CALL update_where` (assignments see the
+    * pre-update row, cast back to the column type; stats-scoped rewrite).
+    * The planted rows_updated count AND the updated balances ride one
+    * result, so a miscount or a lost/doubled update both red the hash.
+    */
+  def s71SqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "dml_upd_wh")
+    freshDataset(spark, wh)
+    val whAbs = new java.io.File(wh).getAbsolutePath
+    spark.conf.set("spark.sql.catalog.lance_dml2", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_dml2.warehouse", whAbs)
+    try {
+      t(spark, dir, "customer")
+        .write.format("lance").mode("overwrite").save(s"$whAbs/db/customer_u")
+      val r = spark.sql("CALL lance_dml2.update_where('db.customer_u', " +
+        "'c_mktsegment = ''BUILDING''', 'c_acctbal = c_acctbal + 100')").collect().head
+      spark.sql("SELECT * FROM lance_dml2.db.customer_u")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+        .select(lit(r.getLong(0)).as("rows_updated"), col("c_mktsegment"),
+          col("n"), col("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lance_dml2")
+      spark.conf.unset("spark.sql.catalog.lance_dml2.warehouse")
+    }
+  }
+
+  /** MERGE (upsert) through SQL `CALL upsert`: a CDC-shaped source — every
+    * third supplier with a doubled balance (updates) plus every seventh
+    * key-shifted by 100000 (inserts) — applied in ONE commit. Candidate
+    * fragments are pruned by the source's key bounds; matches replace,
+    * the rest insert. The oracle reconstructs the merge relationally
+    * (anti-join ∪ source), so wrong match semantics, dropped inserts, or
+    * double-applied updates all red the hash.
+    */
+  def s72SqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "dml_mrg_wh")
+    freshDataset(spark, wh)
+    val whAbs = new java.io.File(wh).getAbsolutePath
+    spark.conf.set("spark.sql.catalog.lance_dml3", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_dml3.warehouse", whAbs)
+    try {
+      val s = t(spark, dir, "supplier")
+      s.write.format("lance").mode("overwrite").save(s"$whAbs/db/supplier_u")
+      s.filter(col("s_suppkey") % 3 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") * 2)
+        .unionByName(s.filter(col("s_suppkey") % 7 === 0)
+          .withColumn("s_suppkey", col("s_suppkey") + 100000L))
+        .createOrReplaceTempView("graft_merge_src")
+      val r = spark.sql(
+        "CALL lance_dml3.upsert('db.supplier_u', 'graft_merge_src', 's_suppkey')")
+        .collect().head
+      spark.sql("SELECT * FROM lance_dml3.db.supplier_u")
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("sum_bal"),
+          max(col("s_suppkey")).as("max_key"))
+        .select(lit(r.getLong(0)).as("rows_updated"),
+          lit(r.getLong(1)).as("rows_inserted"),
+          col("n"), col("sum_bal"), col("max_key"))
+    } finally {
+      spark.catalog.dropTempView("graft_merge_src")
+      spark.conf.unset("spark.sql.catalog.lance_dml3")
+      spark.conf.unset("spark.sql.catalog.lance_dml3.warehouse")
+    }
+  }
+
   /** A1/S4: ungrouped, unfiltered COUNT(*) over a lance dataset — answered
     * from the manifest's fragment row counts as a driver-side LocalScan
     * (zero file reads; plan shape asserted in LanceConnectorSpec). The
@@ -590,6 +686,9 @@ object LanceQueries {
     "s64_stats_prune_scan" -> s64StatsPruneScan,
     "s65_schema_evolution" -> s65SchemaEvolution,
     "s66_zorder_prune" -> s66ZorderPrune,
+    "s70_sql_delete" -> s70SqlDelete,
+    "s71_sql_update" -> s71SqlUpdate,
+    "s72_sql_merge" -> s72SqlMerge,
     "p72_packed_export" -> p72PackedExport,
   )
 
@@ -630,6 +729,40 @@ object LanceQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
         |ORDER BY o_orderkey""".stripMargin,
+    // the table after DELETE = the original minus matching rows
+    "s70_sql_delete" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE NOT (o_totalprice > 450000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // UPDATE = CASE over the original rows; rows_updated = matched count
+    "s71_sql_update" ->
+      """SELECT (SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING')
+        |   AS rows_updated,
+        | c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+        |   THEN c_acctbal + 100 ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // MERGE reconstructed relationally: target anti-join source, union source
+    "s72_sql_merge" ->
+      """WITH src AS (
+        |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal * 2 AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 3 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_name, s_nationkey, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 7 = 0),
+        |merged AS (
+        |  SELECT * FROM supplier
+        |  WHERE s_suppkey NOT IN (SELECT s_suppkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT
+        | (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 3 = 0) AS rows_updated,
+        | (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 7 = 0) AS rows_inserted,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        | MAX(s_suppkey) AS max_key
+        |FROM merged""".stripMargin,
     "s52_lance_filter_scan" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 450000 AND o_orderstatus = 'O'

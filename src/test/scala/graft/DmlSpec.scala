@@ -1,0 +1,206 @@
+package graft
+
+import graft.format.{FragmentMeta, LanceFormat}
+import graft.operators.Dml
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Row-level DELETE/UPDATE/MERGE: copy-on-write scope, MVCC behavior,
+  * SQL semantics corners (NULL conditions, pre-update reads, duplicate
+  * merge keys), and the stale-rewrite concurrency guard.
+  */
+class DmlSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "dml-test-")
+      .toAbsolutePath.toString
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def latest(dir: String) =
+    LanceFormat.readLatest(fs(dir), new Path(dir)).get
+
+  /** Range-clustered 3-fragment table: ids 0-9 / 10-19 / 20-29. */
+  private def clustered(dir: String): Unit =
+    (0 until 3).foreach { f =>
+      (f * 10 until (f + 1) * 10).map(i => (i.toLong, s"row-$i", i * 1.5))
+        .toDF("id", "s", "v").coalesce(1)
+        .write.format("lance").mode(if (f == 0) "overwrite" else "append").save(dir)
+    }
+
+  test("delete rewrites only the fragments that may match; the rest carry by reference") {
+    val dir = s"${tmpDir()}/d1"
+    clustered(dir)
+    val before = latest(dir)
+    assert(before.fragments.size == 3)
+
+    val r = Dml.deleteWhere(spark, dir, "id >= 10 AND id < 13")
+    assert(r.candidateFragments == 1, s"stats should scope to 1 fragment, got $r")
+    assert(r.rowsChanged == 3)
+
+    val after = latest(dir)
+    assert(after.version == before.version + 1)
+    // the two untouched fragments survive as the SAME files and ids
+    val untouched = before.fragments.filter(f => f.id != 1)
+    untouched.foreach { f =>
+      assert(after.fragments.exists(g => g.id == f.id && g.file == f.file),
+        s"fragment ${f.id} should carry over by reference")
+    }
+    assert(!after.fragments.exists(_.file == before.fragments(1).file))
+
+    val back = spark.read.format("lance").load(dir)
+    assert(back.count() == 27)
+    assert(back.filter($"id" >= 10 && $"id" < 13).count() == 0)
+  }
+
+  test("deleted rows remain readable via time travel; vacuum reclaims them") {
+    val dir = s"${tmpDir()}/d2"
+    clustered(dir)
+    val vBefore = latest(dir).version
+    Dml.deleteWhere(spark, dir, "id < 5")
+    assert(spark.read.format("lance").load(dir).count() == 25)
+    val old = spark.read.format("lance")
+      .option("versionAsOf", vBefore.toString).load(dir)
+    assert(old.count() == 30, "pre-delete snapshot must still see every row")
+
+    val (manifests, files) = Lance.vacuum(spark, dir, keepVersions = 1)
+    assert(manifests == vBefore.toInt && files >= 1)
+    assert(spark.read.format("lance").load(dir).count() == 25)
+  }
+
+  test("no-op delete commits no version; NULL condition keeps the row") {
+    val dir = s"${tmpDir()}/d3"
+    Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0))).toDF("id", "v")
+      .write.format("lance").mode("overwrite").save(dir)
+    val v1 = latest(dir).version
+
+    val miss = Dml.deleteWhere(spark, dir, "id > 100")
+    assert(miss.rowsChanged == 0 && miss.committedVersion.isEmpty)
+    assert(latest(dir).version == v1, "a no-op must not commit")
+
+    // v > 2.0 is NULL for id=2: SQL DELETE keeps NULL-condition rows
+    val r = Dml.deleteWhere(spark, dir, "v > 2.0")
+    assert(r.rowsChanged == 1)
+    assert(spark.read.format("lance").load(dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("delete everything leaves a readable empty table") {
+    val dir = s"${tmpDir()}/d4"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("lance").mode("overwrite").save(dir)
+    val r = Dml.deleteWhere(spark, dir, "id IS NOT NULL")
+    assert(r.rowsChanged == 2)
+    val back = spark.read.format("lance").load(dir)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s"))
+  }
+
+  test("update sees the pre-update row (SET a = b, b = a swaps) and casts to the column type") {
+    val dir = s"${tmpDir()}/u1"
+    Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("id", "a", "b")
+      .write.format("lance").mode("overwrite").save(dir)
+    val r = Dml.updateWhere(spark, dir, "id = 1", Map("a" -> "b", "b" -> "a"))
+    assert(r.rowsChanged == 1)
+    val rows = spark.read.format("lance").load(dir)
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    assert(rows == Seq((1L, 20.0, 10.0), (2L, 30.0, 40.0)))
+
+    // integer-typed column keeps its type even when the expression widens
+    val dir2 = s"${tmpDir()}/u2"
+    Seq((1, 5)).toDF("id", "n").write.format("lance").mode("overwrite").save(dir2)
+    Dml.updateWhere(spark, dir2, "id = 1", Map("n" -> "n / 2 + 0.9"))
+    val sch = spark.read.format("lance").load(dir2).schema
+    assert(sch("n").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("upsert updates matches, inserts the rest, and scopes to key-bounded fragments") {
+    val dir = s"${tmpDir()}/m1"
+    clustered(dir)
+    // source hits only fragment 0's id range, plus one brand-new key
+    val src = Seq((3L, "updated-3", -1.0), (100L, "new-100", -2.0)).toDF("id", "s", "v")
+    val r = Dml.upsert(spark, dir, src, Seq("id"))
+    assert(r.rowsChanged == 1 && r.rowsInserted == 1)
+    assert(r.candidateFragments == 1,
+      s"IN-list pruning should admit only fragment 0 (key 3; 100 is beyond " +
+        s"every max — a [3,100] range would wrongly rewrite all three), got $r")
+    val back = spark.read.format("lance").load(dir)
+    assert(back.count() == 31)
+    assert(back.filter($"id" === 3L).select("s").as[String].head() == "updated-3")
+    assert(back.filter($"id" === 100L).count() == 1)
+    assert(back.filter($"id" === 15L).select("s").as[String].head() == "row-15",
+      "pruned fragment's rows must be untouched")
+  }
+
+  test("upsert rejects duplicate source keys; null-key source rows just insert") {
+    val dir = s"${tmpDir()}/m2"
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)
+    val dup = Seq((2L, "x"), (2L, "y")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException](Dml.upsert(spark, dir, dup, Seq("id")))
+    assert(e.getMessage.contains("duplicate keys"))
+
+    val nullKey = Seq((Option.empty[Long], "n")).toDF("id", "s")
+    val r = Dml.upsert(spark, dir, nullKey, Seq("id"))
+    assert(r.rowsChanged == 0 && r.rowsInserted == 1)
+    assert(spark.read.format("lance").load(dir).count() == 2)
+  }
+
+  test("a stale rewrite fails loud instead of resurrecting replaced rows") {
+    val dir = s"${tmpDir()}/c1"
+    clustered(dir)
+    val m = latest(dir)
+    val f = fs(dir)
+    // simulate: another committer already replaced fragment 1
+    LanceFormat.commitReplace(f, new Path(dir), m.schema, Set(1), Seq.empty)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      LanceFormat.commitReplace(f, new Path(dir), m.schema, Set(1),
+        Seq(FragmentMeta(0, "ghost.parquet", 1)))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+  }
+
+  test("commitReplace merges with a concurrent append (its fragments survive)") {
+    val dir = s"${tmpDir()}/c2"
+    clustered(dir)
+    val m = latest(dir)
+    // an append lands AFTER the rewrite snapshotted the manifest
+    Seq((99L, "appended", 0.0)).toDF("id", "s", "v")
+      .write.format("lance").mode("append").save(dir)
+    val (committed, removedRows) =
+      LanceFormat.commitReplace(fs(dir), new Path(dir), m.schema, Set(0), Seq.empty)
+    assert(removedRows == 10)
+    assert(committed.fragments.map(_.id).toSet == Set(1, 2, 3),
+      "the concurrent append's fragment must survive the replace")
+    assert(spark.read.format("lance").load(dir).count() == 21)
+  }
+
+  test("SQL DELETE refuses a time-travel snapshot") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.dmlspec", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.dmlspec.warehouse", wh)
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+        .write.format("lance").mode("overwrite").save(s"$wh/db/t")
+      Seq((3L, "c")).toDF("id", "s")
+        .write.format("lance").mode("append").save(s"$wh/db/t")
+      spark.sql("DELETE FROM dmlspec.db.t WHERE id = 1")
+      assert(spark.sql("SELECT * FROM dmlspec.db.t").count() == 2)
+      // a version-pinned table refuses deletes at both negotiation points
+      val pinned = new graft.connector.LanceTable(s"$wh/db/t", null, Some(1L))
+      assert(!pinned.canDeleteWhere(Array.empty[org.apache.spark.sql.sources.Filter]))
+      val e = intercept[IllegalArgumentException] {
+        pinned.deleteWhere(Array.empty[org.apache.spark.sql.sources.Filter])
+      }
+      assert(e.getMessage.contains("time-travel"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dmlspec")
+      spark.conf.unset("spark.sql.catalog.dmlspec.warehouse")
+    }
+  }
+}
