@@ -82,7 +82,21 @@ object LanceTable {
   */
 class LanceTable(val rootStr: String, declaredSchema: StructType,
     pinnedVersion: Option[Long] = None) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-translatable `DELETE`: group-based
+    * copy-on-write rewrite ([[LanceRowLevelOperation]]). Translatable
+    * DELETEs are converted back to [[deleteWhere]] by Spark's
+    * metadata-only-delete optimization.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot modify a time-travel snapshot of $rootStr")
+    new LanceRowLevelOperationBuilder(rootStr, info)
+  }
 
   /** SQL `DELETE FROM lance.db.t WHERE ...`: Spark hands over the fully
     * translated condition (an untranslatable one fails the query before
@@ -259,18 +273,7 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def build(): Write = new Write {
-    private val spark = SparkSession.active
-    // ParquetWriteSupport/SparkToParquetSchemaConverter read these from the
-    // task-side Hadoop conf (normally injected by FileFormatWriter):
-    private val conf = {
-      val c = spark.sessionState.newHadoopConf()
-      val sc = spark.sessionState.conf
-      c.set("spark.sql.parquet.writeLegacyFormat", sc.writeLegacyParquetFormat.toString)
-      c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      c.set("spark.sql.parquet.fieldId.write.enabled", sc.parquetFieldIdWriteEnabled.toString)
-      c.setIfUnset("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
-      new SerializableConf(c)
-    }
+    private val conf = LanceWrite.writerConf(SparkSession.active)
     private val maxRowsPerFile = Option(info.options.get("write.max-rows-per-file"))
       .map(_.toLong).getOrElse(1000000L) // reference default, LanceOptions.java:112-116
     // maintenance writes (compaction) preserve the streaming epoch
@@ -380,7 +383,20 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
     LanceWrite.deleteFiles(rootStr, conf.value, messages)
 }
 
-private object LanceWrite {
+private[connector] object LanceWrite {
+  /** ParquetWriteSupport/SparkToParquetSchemaConverter read these from the
+    * task-side Hadoop conf (normally injected by FileFormatWriter).
+    */
+  def writerConf(spark: SparkSession): SerializableConf = {
+    val c = spark.sessionState.newHadoopConf()
+    val sc = spark.sessionState.conf
+    c.set("spark.sql.parquet.writeLegacyFormat", sc.writeLegacyParquetFormat.toString)
+    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    c.set("spark.sql.parquet.fieldId.write.enabled", sc.parquetFieldIdWriteEnabled.toString)
+    c.setIfUnset("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    new SerializableConf(c)
+  }
+
   def deleteFiles(rootStr: String, conf: Configuration,
       messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(rootStr)

@@ -653,6 +653,71 @@ object LanceQueries {
     }
   }
 
+  /** Native SQL `UPDATE` statement through SupportsRowLevelOperations:
+    * Spark's RewriteUpdateTable plans a group-based ReplaceData; candidate
+    * fragments come from manifest-stats pruning of the WHERE clause, the
+    * assignments run as ordinary expressions, and the commit swaps exactly
+    * the affected fragments. Same oracle semantics as s71 (which drives
+    * the CALL procedure) — two different code paths, one truth.
+    */
+  def s73SqlUpdateStmt(spark: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "dml_upd2_wh")
+    freshDataset(spark, wh)
+    val whAbs = new java.io.File(wh).getAbsolutePath
+    spark.conf.set("spark.sql.catalog.lance_dml4", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_dml4.warehouse", whAbs)
+    try {
+      t(spark, dir, "customer")
+        .write.format("lance").mode("overwrite").save(s"$whAbs/db/customer_s")
+      spark.sql("UPDATE lance_dml4.db.customer_s SET c_acctbal = c_acctbal + 100 " +
+        "WHERE c_mktsegment = 'BUILDING'")
+      spark.sql("SELECT * FROM lance_dml4.db.customer_s")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lance_dml4")
+      spark.conf.unset("spark.sql.catalog.lance_dml4.warehouse")
+    }
+  }
+
+  /** Native SQL `MERGE INTO` with all three clause kinds — conditional
+    * DELETE, UPDATE SET *, INSERT * — in one statement, one commit: the
+    * full CDC-apply shape (delete tombstones, update changed rows, insert
+    * new keys). The oracle reconstructs the same semantics relationally,
+    * so clause precedence (a matched row with a negative source balance
+    * deletes, not updates) is what the hash checks.
+    */
+  def s74SqlMergeStmt(spark: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "dml_mrg2_wh")
+    freshDataset(spark, wh)
+    val whAbs = new java.io.File(wh).getAbsolutePath
+    spark.conf.set("spark.sql.catalog.lance_dml5", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_dml5.warehouse", whAbs)
+    try {
+      val s = t(spark, dir, "supplier")
+      s.write.format("lance").mode("overwrite").save(s"$whAbs/db/supplier_s")
+      s.filter(col("s_suppkey") % 3 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") * 2)
+        .unionByName(s.filter(col("s_suppkey") % 7 === 0)
+          .withColumn("s_suppkey", col("s_suppkey") + 100000L))
+        .createOrReplaceTempView("graft_merge_src2")
+      spark.sql(
+        """MERGE INTO lance_dml5.db.supplier_s t USING graft_merge_src2 s
+          |ON t.s_suppkey = s.s_suppkey
+          |WHEN MATCHED AND s.s_acctbal < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql("SELECT * FROM lance_dml5.db.supplier_s")
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("sum_bal"),
+          max(col("s_suppkey")).as("max_key"))
+    } finally {
+      spark.catalog.dropTempView("graft_merge_src2")
+      spark.conf.unset("spark.sql.catalog.lance_dml5")
+      spark.conf.unset("spark.sql.catalog.lance_dml5.warehouse")
+    }
+  }
+
   /** A1/S4: ungrouped, unfiltered COUNT(*) over a lance dataset — answered
     * from the manifest's fragment row counts as a driver-side LocalScan
     * (zero file reads; plan shape asserted in LanceConnectorSpec). The
@@ -689,6 +754,8 @@ object LanceQueries {
     "s70_sql_delete" -> s70SqlDelete,
     "s71_sql_update" -> s71SqlUpdate,
     "s72_sql_merge" -> s72SqlMerge,
+    "s73_sql_update_stmt" -> s73SqlUpdateStmt,
+    "s74_sql_merge_stmt" -> s74SqlMergeStmt,
     "p72_packed_export" -> p72PackedExport,
   )
 
@@ -744,6 +811,35 @@ object LanceQueries {
         |   THEN c_acctbal + 100 ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the UPDATE statement path: same truth as s71's CALL form
+    "s73_sql_update_stmt" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+        |   THEN c_acctbal + 100 ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // MERGE INTO clause precedence: matched + negative source balance =
+    // DELETE; matched otherwise = replaced by source; unmatched = insert
+    "s74_sql_merge_stmt" ->
+      """WITH src AS (
+        |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal * 2 AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 3 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_name, s_nationkey, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 7 = 0),
+        |merged AS (
+        |  SELECT * FROM supplier
+        |  WHERE s_suppkey NOT IN (SELECT s_suppkey FROM src)
+        |  UNION ALL
+        |  SELECT * FROM src
+        |  WHERE s_acctbal >= 0 AND s_suppkey IN (SELECT s_suppkey FROM supplier)
+        |  UNION ALL
+        |  SELECT * FROM src
+        |  WHERE s_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        | MAX(s_suppkey) AS max_key
+        |FROM merged""".stripMargin,
     // MERGE reconstructed relationally: target anti-join source, union source
     "s72_sql_merge" ->
       """WITH src AS (
