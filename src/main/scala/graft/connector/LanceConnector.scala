@@ -245,7 +245,8 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String)
         inner.sparkSession.sessionState.conf.sessionLocalTimeZone)
       new SerializableConf(c)
     }
-    new LanceMicroBatchStream(rootStr, readSchema().json, conf)
+    new LanceMicroBatchStream(rootStr, readSchema().json, conf,
+      Option(inner.options.get("read.max-versions-per-batch")).map(_.toLong))
   }
 }
 

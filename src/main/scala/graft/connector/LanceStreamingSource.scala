@@ -33,7 +33,8 @@ case class LanceStreamOffset(version: Long) extends Offset {
 }
 
 class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
-    conf: SerializableConf) extends MicroBatchStream
+    conf: SerializableConf, maxVersionsPerBatch: Option[Long] = None)
+    extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val root = new Path(rootStr)
@@ -57,7 +58,13 @@ class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val latest = LanceFormat.latestVersion(fs, root).getOrElse(0L)
-    LanceStreamOffset(availableNowCap.fold(latest)(math.min(latest, _)))
+    val capped = availableNowCap.fold(latest)(math.min(latest, _))
+    // `read.max-versions-per-batch` rate limit (the Delta maxFilesPerTrigger
+    // analogue at manifest granularity): a backlogged stream catches up in
+    // bounded micro-batches instead of one unbounded mega-batch — and under
+    // AvailableNow it still drains to the pinned cap, batch by batch
+    val sv = start.asInstanceOf[LanceStreamOffset].version
+    LanceStreamOffset(maxVersionsPerBatch.fold(capped)(m => math.min(capped, sv + m)))
   }
 
   override def initialOffset(): Offset = LanceStreamOffset(0L)

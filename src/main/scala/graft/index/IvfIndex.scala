@@ -371,17 +371,41 @@ object IvfIndex {
 
   /** Index staleness (production guard): an index built at version V does
     * not cover fragments committed after V — searching it silently misses
-    * new rows. Surfaced as a warning, matching the reference's
-    * search-what-the-index-has semantics.
+    * new rows. Worse, if fragments the index covered were REWRITTEN
+    * (row-level DELETE/UPDATE/MERGE, compaction, re-clustering), the
+    * index still serves their old rows: deleted documents come back as
+    * ghosts. The two failure modes get distinct messages because the
+    * fixes differ (refresh suffices for appends; a rewrite demands
+    * rebuild — [[refresh]] enforces the same split loudly).
+    * Pure so the spec can pin both messages; the search paths log it.
     */
-  def checkFreshness(spark: SparkSession, datasetPath: String, meta: IndexMeta): Unit =
+  private[graft] def freshnessWarning(spark: SparkSession, datasetPath: String,
+      meta: IndexMeta): Option[String] =
     for {
       built <- meta.datasetVersion
       now <- datasetVersionOf(spark, datasetPath)
       if now > built
-    } log.warn(s"index over $datasetPath/${meta.column} was built at dataset version " +
-        s"$built but the dataset is now at $now; new fragments are not indexed " +
-        "- rebuild to include them")
+    } yield {
+      val root = new Path(datasetPath)
+      val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+      val oldFiles = graft.format.LanceFormat.readManifest(fs, root, built)
+        .fragments.map(_.file).toSet
+      val newFiles = graft.format.LanceFormat.readManifest(fs, root, now)
+        .fragments.map(_.file).toSet
+      if (oldFiles.subsetOf(newFiles))
+        s"index over $datasetPath/${meta.column} was built at dataset version " +
+          s"$built but the dataset is now at $now; new fragments are not indexed " +
+          "- refresh or rebuild to include them"
+      else
+        s"index over $datasetPath/${meta.column} was built at dataset version " +
+          s"$built but fragments it covers were REWRITTEN by version $now " +
+          "(row-level delete/update/merge, compaction or re-clustering): " +
+          "searches may return rows that no longer exist (deleted rows as " +
+          "ghosts, pre-update values) - rebuild the index"
+    }
+
+  def checkFreshness(spark: SparkSession, datasetPath: String, meta: IndexMeta): Unit =
+    freshnessWarning(spark, datasetPath, meta).foreach(log.warn(_))
 
   /** JVM-scoped cache of parsed `index.json` metadata, keyed by (qualified
     * path, modification time, length) so an out-of-band rewrite naturally

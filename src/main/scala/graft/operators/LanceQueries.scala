@@ -653,6 +653,50 @@ object LanceQueries {
     }
   }
 
+  /** Streaming CDC apply (s75): the events changefeed — throttled to one
+    * manifest version per micro-batch (`read.max-versions-per-batch`, the
+    * Delta maxFilesPerTrigger analogue) — drives `foreachBatch` +
+    * [[graft.streaming.StreamingOps.cdcApply]] maintaining a
+    * latest-event-per-user materialized view on a lance target via
+    * key-scoped upserts. The source versions SPLIT users across batches
+    * (hash split, not time split), so rows for one user arrive in
+    * multiple batches out of event-time order — exactly what the
+    * newer-than guard must survive. The oracle computes the same
+    * last-event-per-user straight from the events table, so the hash
+    * proves batch-boundary independence end to end.
+    */
+  def s75StreamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "events_cdc_src")
+    val dst = scratch(dir, "events_cdc_dst")
+    freshDataset(spark, dst); freshDataset(spark, s"$dst-ckpt")
+    ensureStreamSrc(spark, src, 3) { // three versions = three micro-batches
+      val ev = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      (0 until 3).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .write.format("lance").mode(if (i == 0) "overwrite" else "append").save(src)
+      }
+    }
+    withStreamShufflePartitions(spark) {
+      val q = spark.readStream.format("lance")
+        .option("read.max-versions-per-batch", "1")
+        .load(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.streaming.StreamingOps.cdcApply(batch, dst,
+            keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+          ()
+        }
+        .option("checkpointLocation", s"$dst-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.format("lance").load(dst)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Native SQL `UPDATE` statement through SupportsRowLevelOperations:
     * Spark's RewriteUpdateTable plans a group-based ReplaceData; candidate
     * fragments come from manifest-stats pruning of the WHERE clause, the
@@ -756,6 +800,7 @@ object LanceQueries {
     "s72_sql_merge" -> s72SqlMerge,
     "s73_sql_update_stmt" -> s73SqlUpdateStmt,
     "s74_sql_merge_stmt" -> s74SqlMergeStmt,
+    "s75_stream_cdc_apply" -> s75StreamCdcApply,
     "p72_packed_export" -> p72PackedExport,
   )
 
@@ -811,6 +856,14 @@ object LanceQueries {
         |   THEN c_acctbal + 100 ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // latest event per user, independent of how versions batched the stream
+    "s75_stream_cdc_apply" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     // the UPDATE statement path: same truth as s71's CALL form
     "s73_sql_update_stmt" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

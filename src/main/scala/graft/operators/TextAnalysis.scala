@@ -340,6 +340,58 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("shard"), col("seq_id"))
 
+  /** Multiplicative (Knuth) hash of doc_id: deterministic, uniform enough
+    * for sampling, and pure 64-bit integer arithmetic — so the DuckDB
+    * oracle reproduces it bit-for-bit (no engine-specific hash function,
+    * no floating point). doc_id × 2654435761 stays far under 2⁶³.
+    */
+  private def sampleHash(offset: Long) =
+    pmod(col("doc_id") * lit(2654435761L) + lit(offset), lit(4294967296L))
+
+  /** Stratified quota sampling (p74): keep the N pseudo-random documents
+    * per language — the "downsample over-represented languages" step of
+    * corpus curation. Selection = smallest hash values per stratum, so
+    * the sample is deterministic, stable across runs/partitionings, and
+    * reproducible by any engine.
+    *
+    * Scale shape: one shuffle on `lang` for the per-stratum window. At
+    * 100 TB the exact per-stratum sort is the bottleneck; the scale path
+    * (same as p73's) turns the quota into a HASH THRESHOLD per language
+    * (quota/count × 2³², refined by an approx-quantile of h) and keeps
+    * `h < threshold` with a plain filter — no sort, same sample up to
+    * sketch error at the boundary. The exact form is what DuckDB can
+    * verify bit-for-bit.
+    */
+  def p74StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    t(spark, dir, "documents")
+      .withColumn("h", sampleHash(0L))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        max(col("h")).as("max_h"))
+      .orderBy(col("lang"))
+  }
+
+  /** Deterministic train/valid/test split (p75): bucket = hash(doc_id) %
+    * 100 → 90/5/5. Pure per-row arithmetic — no shuffle, no state: the
+    * assignment is stable under appends, repartitioning, and re-runs,
+    * which is what makes a split trustworthy at 100 TB (a random() split
+    * silently reshuffles examples between train and eval on every
+    * materialization). Offset decorrelates it from p74's sample.
+    */
+  def p75HashSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("bucket", sampleHash(1234567L) % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t35_bpe_tokens" -> t35BpeTokens,
     "t37_decontaminate" -> t37Decontaminate,
@@ -352,6 +404,8 @@ object TextAnalysis {
     "t34_fingerprint" -> t34Fingerprint,
     "t39_repetition" -> t39Repetition,
     "p73_budget_mix" -> p73BudgetMix,
+    "p74_stratified_sample" -> p74StratifiedSample,
+    "p75_hash_split" -> p75HashSplit,
   )
 
   val oracleSql: Map[String, String] = {
@@ -474,6 +528,23 @@ object TextAnalysis {
            |  MIN(quality) AS min_quality
            |FROM r WHERE start_off < budget
            |GROUP BY lang ORDER BY lang""".stripMargin,
+      // same multiplicative hash, pure integer arithmetic on both engines
+      "p74_stratified_sample" ->
+        """WITH d AS (SELECT lang, n_chars, doc_id,
+          |    (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+          |r AS (SELECT *, row_number()
+          |    OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM d)
+          |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          |  MAX(h) AS max_h
+          |FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
+      "p75_hash_split" ->
+        """WITH d AS (SELECT lang, n_chars,
+          |    ((doc_id * 2654435761 + 1234567) % 4294967296) % 100 AS bucket
+          |  FROM documents)
+          |SELECT CASE WHEN bucket < 90 THEN 'train'
+          |    WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+          |  lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          |FROM d GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     )
   }
 }

@@ -129,6 +129,52 @@ object StreamingOps {
     * source → synthetic events with a random embedding → lance sink with
     * checkpointed exactly-once epochs.
     */
+  /** CDC apply with ordering — the `foreachBatch` body that maintains a
+    * latest-row-per-key materialized view of a change stream on a lance
+    * table:
+    *
+    *  1. reduce the batch to its newest row per key (`orderCols`
+    *     lexicographic, descending);
+    *  2. keep only rows strictly newer than the target's current row for
+    *     that key (a narrow keys+order projection of the target — NOT the
+    *     full row — is joined, so at 100 TB the comparison reads two thin
+    *     columns of the candidate fragments);
+    *  3. key-scoped [[graft.operators.Dml.upsert]] commits the survivors.
+    *
+    * The newer-than filter is what makes the result independent of batch
+    * boundaries: replaying batches out of order, overlapping, or one at a
+    * time converges to the same table (max-by-order per key is
+    * commutative). Returns rows applied (updates + inserts).
+    */
+  def cdcApply(batch: DataFrame, targetPath: String, keys: Seq[String],
+      orderCols: Seq[String]): Long = {
+    require(keys.nonEmpty && orderCols.nonEmpty, "cdcApply needs keys and orderCols")
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val existing = graft.format.LanceFormat.readLatest(fs, root)
+    if (existing.isEmpty || existing.exists(_.fragments.isEmpty)) {
+      // first batch: nothing to compare against
+      val n = latest.count()
+      if (n > 0) latest.write.format("lance").mode("append").save(targetPath)
+      return n
+    }
+    val current = spark.read.format("lance").load(targetPath)
+      .select(keys.map(col) :+ struct(orderCols.map(col): _*).as("__cur"): _*)
+    val fresh = latest
+      .join(current, keys, "left")
+      .filter(col("__cur").isNull || struct(orderCols.map(col): _*) > col("__cur"))
+      .drop("__cur")
+    val r = graft.operators.Dml.upsert(spark, targetPath, fresh, keys)
+    r.rowsChanged + r.rowsInserted
+  }
+
   def rateToLance(spark: SparkSession, dest: String, checkpoint: String,
       rowsPerSecond: Int = 100,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)

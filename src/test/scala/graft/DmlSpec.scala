@@ -180,6 +180,35 @@ class DmlSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(dir).count() == 21)
   }
 
+  test("DML staleness: refresh demands rebuild; the warning names the ghost-row risk") {
+    val dir = s"${tmpDir()}/ix1"
+    val dim = 4
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => (i * dim + d).toFloat / 100f)))
+    Lance.withVectorDim(rows.toDF("id", "embedding"), "embedding", dim)
+      .write.format("lance").mode("overwrite").save(dir)
+    val df = spark.read.format("lance").load(dir)
+    Lance.buildIndex(spark, df, "embedding", "id", dir, numPartitions = 4)
+
+    // append-only staleness: refresh is the suggested fix
+    Seq((100L, Array.fill(dim)(0.5f))).toDF("id", "embedding")
+      .write.format("lance").mode("append").save(dir)
+    val meta = graft.index.IvfIndex.loadMeta(spark, dir, "embedding")
+    val appendWarn = graft.index.IvfIndex.freshnessWarning(spark, dir, meta)
+    assert(appendWarn.exists(_.contains("refresh")), s"got $appendWarn")
+    assert(appendWarn.forall(!_.contains("REWRITTEN")))
+
+    // a row-level delete rewrites an indexed fragment: ghosts until rebuild
+    val r = Dml.deleteWhere(spark, dir, "id < 5")
+    assert(r.rowsChanged == 5)
+    val rewriteWarn = graft.index.IvfIndex.freshnessWarning(spark, dir, meta)
+    assert(rewriteWarn.exists(w => w.contains("REWRITTEN") && w.contains("rebuild")),
+      s"got $rewriteWarn")
+    val e = intercept[IllegalArgumentException](Lance.refreshIndex(spark, dir, "embedding"))
+    assert(e.getMessage.contains("rebuild"),
+      s"refresh over rewritten fragments must fail loud, got: ${e.getMessage}")
+  }
+
   test("SQL DELETE refuses a time-travel snapshot") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.dmlspec", "graft.catalog.LanceCatalog")

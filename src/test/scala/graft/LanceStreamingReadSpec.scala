@@ -125,4 +125,31 @@ class LanceStreamingReadSpec extends AnyFunSuite {
       assert(spark.table("lance_prune").count() == 1)
     } finally q.stop()
   }
+
+  test("read.max-versions-per-batch throttles catch-up into per-version micro-batches") {
+    val dir = s"${tmp()}/throttled"
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .write.format("lance").mode("append").save(dir)
+    }
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    val q = spark.readStream.format("lance")
+      .option("read.max-versions-per-batch", "1")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.add(id -> batch.select("id").as[Long].collect().toSeq.sorted)
+        ()
+      }
+      .option("checkpointLocation", s"${tmp()}/ckpt-throttled")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq.sortBy(_._1)
+    // one micro-batch per manifest version, each carrying exactly that
+    // version's fragments; unthrottled AvailableNow would take all 3 at once
+    assert(got.map(_._2) == Seq(Seq(1L), Seq(2L), Seq(3L)),
+      s"expected 3 single-version batches, got $got")
+  }
 }
