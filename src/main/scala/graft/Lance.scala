@@ -48,9 +48,12 @@ object Lance {
     */
   def read(spark: SparkSession, path: String, version: Option[Long] = None,
       filter: Option[String] = None, columns: Option[Seq[String]] = None,
-      limit: Option[Int] = None): DataFrame = {
+      limit: Option[Int] = None, timestamp: Option[String] = None): DataFrame = {
     val r = spark.read.format("lance")
     version.foreach(v => r.option("versionAsOf", v.toString))
+    // newest version committed at or before this instant (epoch millis,
+    // ISO instant, or "yyyy-MM-dd HH:mm:ss" UTC)
+    timestamp.foreach(t => r.option("timestampAsOf", t))
     val df = r.load(path)
     // `read.filter` option parity (P8): conjoined with any later filters
     val filtered = filter.fold(df)(f =>

@@ -57,15 +57,38 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
 }
 
 object LanceTable {
-  /** Pick the manifest for `versionAsOf` (time travel) or latest. */
+  /** Pick the manifest for `versionAsOf` / `timestampAsOf` (time travel)
+    * or latest. `timestampAsOf` accepts epoch millis, an ISO-8601 instant
+    * (`2026-01-01T00:00:00Z`), or `yyyy-MM-dd HH:mm:ss` interpreted as
+    * UTC, and resolves to the newest version committed at or before it —
+    * the path-read twin of the catalog's SQL `TIMESTAMP AS OF`.
+    */
   def resolveManifest(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       options: CaseInsensitiveStringMap): Option[Manifest] = {
     if (!LanceFormat.isDataset(fs, root)) None
-    else Option(options.get("versionAsOf")) match {
-      case Some(v) => Some(LanceFormat.readManifest(fs, root, v.toLong))
-      case None => LanceFormat.readLatest(fs, root)
+    else (Option(options.get("versionAsOf")), Option(options.get("timestampAsOf"))) match {
+      case (Some(v), None) => Some(LanceFormat.readManifest(fs, root, v.toLong))
+      case (None, Some(ts)) =>
+        val cutoffMs = parseTimestampMs(ts)
+        val v = LanceFormat.listVersions(fs, root)
+          .filter(LanceFormat.readManifest(fs, root, _).committedAtMs <= cutoffMs)
+          .lastOption.getOrElse(throw new IllegalArgumentException(
+            s"no version of $root existed at or before timestampAsOf=$ts"))
+        Some(LanceFormat.readManifest(fs, root, v))
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "set either versionAsOf or timestampAsOf, not both")
+      case (None, None) => LanceFormat.readLatest(fs, root)
     }
   }
+
+  private def parseTimestampMs(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else try java.time.Instant.parse(s).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
 
   val Capabilities: util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ,

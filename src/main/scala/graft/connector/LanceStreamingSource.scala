@@ -93,9 +93,10 @@ class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
     val dropped = before -- endFiles
     if (dropped.nonEmpty) throw new IllegalStateException(
       s"lance stream at $root: versions ($sv, $ev] contain a non-append " +
-        s"commit (overwrite/compact dropped ${dropped.size} streamed " +
-        "fragments); the changefeed cannot continue - restart the query " +
-        "from a fresh checkpoint to take a new snapshot")
+        s"commit (overwrite, compact, or row-level delete/update/merge " +
+        s"dropped ${dropped.size} streamed fragments); the changefeed " +
+        "cannot continue - restart the query from a fresh checkpoint to " +
+        "take a new snapshot")
     endFrags
       .filterNot(f => before.contains(f.file))
       .map(f => LanceFragmentPartition(

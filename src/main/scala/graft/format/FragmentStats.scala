@@ -254,6 +254,68 @@ object FragmentStats {
     case _ => true // unknown shape: never prune
   }
 
+  /** Dual of [[mayMatch]]: true ONLY when the stats PROVE every row of
+    * the fragment satisfies `filter` — the predicate evaluates TRUE (not
+    * NULL: any null in a compared column disproves, since NULL comparisons
+    * aren't TRUE) for all rows. Conservative false on anything unprovable.
+    *
+    * This is the metadata-only fast path under fully-covered DELETEs: a
+    * retention delete (`ts < cutoff`) on a clustered table drops interior
+    * fragments from the manifest without reading them, and only boundary
+    * fragments pay a rewrite. Soundness is property-tested the same way
+    * as [[mayMatch]] (mustMatch=true ⇒ zero surviving rows).
+    */
+  private[graft] def mustMatch(schema: StructType, rowCount: Long,
+      stats: Map[String, ColStats], filter: Filter): Boolean = filter match {
+    case And(l, r) => mustMatch(schema, rowCount, stats, l) &&
+      mustMatch(schema, rowCount, stats, r)
+    case Or(l, r) => mustMatch(schema, rowCount, stats, l) ||
+      mustMatch(schema, rowCount, stats, r)
+    case AlwaysTrue() => true
+    case AlwaysFalse() => false
+
+    case IsNull(a) => stats.get(a).exists(_.nullCount == rowCount)
+    case IsNotNull(a) => stats.get(a).exists(_.nullCount == 0)
+
+    case EqualTo(a, v) => boundsContain(schema, stats, a,
+      lo = Some((v, true)), hi = Some((v, true)))
+    case EqualNullSafe(a, null) => stats.get(a).exists(_.nullCount == rowCount)
+    case EqualNullSafe(a, v) => boundsContain(schema, stats, a,
+      lo = Some((v, true)), hi = Some((v, true)))
+    case GreaterThan(a, v) => boundsContain(schema, stats, a,
+      lo = Some((v, false)), hi = None)
+    case GreaterThanOrEqual(a, v) => boundsContain(schema, stats, a,
+      lo = Some((v, true)), hi = None)
+    case LessThan(a, v) => boundsContain(schema, stats, a,
+      lo = None, hi = Some((v, false)))
+    case LessThanOrEqual(a, v) => boundsContain(schema, stats, a,
+      lo = None, hi = Some((v, true)))
+    case In(a, vs) => // provable only when the fragment is single-valued
+      vs.nonEmpty && vs.exists(v => v != null && boundsContain(schema, stats, a,
+        lo = Some((v, true)), hi = Some((v, true))))
+
+    case _ => false // Not, LIKE, unknown shapes: never claim full coverage
+  }
+
+  /** Is [statMin, statMax] entirely inside the interval `lo..hi` with no
+    * nulls? Any parse/compare failure answers false (never claim).
+    */
+  private def boundsContain(schema: StructType,
+      stats: Map[String, ColStats], attr: String,
+      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]): Boolean =
+    (for {
+      cs <- stats.get(attr)
+      dt <- schema.fields.find(_.name == attr).map(_.dataType)
+      ord <- ordering(dt)
+      mn <- cs.min.flatMap(statValue(dt, _))
+      mx <- cs.max.flatMap(statValue(dt, _))
+    } yield cs.nullCount == 0 &&
+      lo.forall { case (v, incl) => filterValue(dt, v).exists(fv =>
+        if (incl) ord(mn, fv) >= 0 else ord(mn, fv) > 0) } &&
+      hi.forall { case (v, incl) => filterValue(dt, v).exists(fv =>
+        if (incl) ord(mx, fv) <= 0 else ord(mx, fv) < 0) }
+    ).getOrElse(false)
+
   /** Can any non-null value in [statMin, statMax] fall inside the filter
     * interval `lo..hi` (each bound optional, Boolean = inclusive)? Any
     * failure to parse or compare keeps the fragment.

@@ -106,9 +106,13 @@ object Dml {
 
   /** Resolve `cond` against the table and translate its top-level
     * conjuncts — a partially translatable predicate still prunes on the
-    * translated conjuncts (AND semantics make that sound).
+    * translated conjuncts (AND semantics make that sound). The Boolean is
+    * true iff EVERY conjunct translated: only then do the V1 filters mean
+    * exactly `cond`, which the metadata-only delete fast path requires
+    * (proving a translated SUBSET true of all rows proves nothing about
+    * the untranslated rest).
     */
-  private def pruneFilters(table: DataFrame, cond: Column): Array[v1.Filter] = {
+  private def pruneFiltersFull(table: DataFrame, cond: Column): (Array[v1.Filter], Boolean) = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
       case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -121,13 +125,16 @@ object Dml {
       case x if x.foldable && x.deterministic && !x.isInstanceOf[ce.Literal] =>
         ce.Literal.create(x.eval(ce.EmptyRow), x.dataType)
     }
-    table.filter(cond).queryExecution.analyzed
+    val translated = table.filter(cond).queryExecution.analyzed
       .collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
       .flatMap(conjuncts)
       .map(fold)
-      .flatMap(toV1)
-      .toArray
+      .map(toV1)
+    (translated.flatten.toArray, translated.forall(_.isDefined))
   }
+
+  private def pruneFilters(table: DataFrame, cond: Column): Array[v1.Filter] =
+    pruneFiltersFull(table, cond)._1
 
   /** V1 filters (implicitly ANDed) back to one Column — the
     * `SupportsDelete.deleteWhere` entry point's condition. Total: Spark
@@ -164,20 +171,49 @@ object Dml {
 
   /** Delete rows where `cond` is TRUE (SQL semantics: NULL keeps the row).
     * No-op — no new version — when nothing matches.
+    *
+    * Two-sided stats scoping: [[FragmentStats.prune]] (mayMatch) narrows
+    * to fragments that MAY hold matches, then [[FragmentStats.mustMatch]]
+    * splits those into fully-covered fragments — every row provably
+    * matches — and boundary fragments. Covered fragments are dropped from
+    * the manifest WITHOUT being read; only boundary fragments with actual
+    * matches are rewritten. A retention delete (`ts < cutoff`) on a
+    * clustered 100 TB table thus costs one metadata commit plus at most
+    * two boundary-fragment rewrites — the same shape as Delta/Iceberg
+    * partition-level deletes, derived here from column stats instead of
+    * partition values.
     */
   def deleteWhere(spark: SparkSession, path: String, cond: Column): RowLevelResult = {
     val (fs, root, m) = snapshot(spark, path)
     val table = spark.read.format("lance").load(path)
-    val cands = FragmentStats.prune(m.schema, m.fragments, pruneFilters(table, cond))
+    val (filters, complete) = pruneFiltersFull(table, cond)
+    val cands = FragmentStats.prune(m.schema, m.fragments, filters)
     if (cands.isEmpty) return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
-    val cdf = readFragments(spark, root, m, cands)
-    // exact count doubles as the no-op check; candidate-scoped, pushed down
-    val matched = cdf.filter(cond).count()
+    // metadata-only path: sound only when the V1 filters are exactly cond
+    val (covered, boundary) =
+      if (complete && filters.nonEmpty)
+        cands.partition(f => f.stats.exists(st =>
+          filters.forall(FragmentStats.mustMatch(m.schema, f.rowCount, st, _))))
+      else (Seq.empty[FragmentMeta], cands)
+    val coveredRows = covered.map(_.rowCount).sum
+    val boundaryMatched =
+      if (boundary.isEmpty) 0L
+      else readFragments(spark, root, m, boundary).filter(cond).count()
+    val matched = coveredRows + boundaryMatched
     if (matched == 0L) return RowLevelResult(m.fragments.size, cands.size, 0L, 0L, None)
-    cdf.filter(!coalesce(cond, lit(false)))
-      .write.format("lance")
-      .option("write.replace-fragments", cands.map(_.id).mkString(","))
-      .mode("append").save(path)
+    if (boundaryMatched > 0L) {
+      // boundary survivors rewritten; covered fragments ride the same
+      // commit as pure removals (their ids are replaced by nothing)
+      readFragments(spark, root, m, boundary)
+        .filter(!coalesce(cond, lit(false)))
+        .write.format("lance")
+        .option("write.replace-fragments", (covered ++ boundary).map(_.id).mkString(","))
+        .mode("append").save(path)
+    } else {
+      // every matching row lives in fully-covered fragments: one manifest
+      // commit, zero data files read or written
+      LanceFormat.commitReplace(fs, root, m.schema, covered.map(_.id).toSet, Seq.empty)
+    }
     RowLevelResult(m.fragments.size, cands.size, matched, 0L,
       LanceFormat.readLatest(fs, root).map(_.version))
   }

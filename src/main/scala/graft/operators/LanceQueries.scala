@@ -587,6 +587,45 @@ object LanceQueries {
     }
   }
 
+  /** Retention delete as a METADATA-ONLY commit: events land in weekly
+    * "generations" (the natural shape of an append-only log), then
+    * `DELETE WHERE ts < cutoff` drops the expired generations. Fragment
+    * stats PROVE the first two generations are entirely expired
+    * ([[graft.format.FragmentStats.mustMatch]]), so the delete is one
+    * manifest commit — the gate plants `new_files = 0` (no data file was
+    * read or written) and `frags_after = 2` (survivors carry by
+    * reference) next to the surviving aggregate, which the oracle
+    * recomputes from the original parquet. At 100 TB this is the
+    * difference between a retention job that costs one JSON write and one
+    * that rewrites a month of data.
+    */
+  def s76RetentionDelete(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "events_retention")
+    freshDataset(spark, dest)
+    val e = t(spark, dir, "events")
+    val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
+    weeks.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      e.filter(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+        .coalesce(1)
+        .write.format("lance").mode(if (i == 0) "overwrite" else "append").save(dest)
+    }
+    val root = new Path(new java.io.File(dest).getAbsolutePath)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val dataDir = graft.format.LanceFormat.dataPath(root)
+    val filesBefore = fs.listStatus(dataDir).length
+    Dml.deleteWhere(spark, dest, col("ts") < lit("2024-01-15").cast("timestamp"))
+    val newFiles = fs.listStatus(dataDir).length - filesBefore
+    val fragsAfter = graft.format.LanceFormat.readLatest(fs, root).get.fragments.size
+    spark.read.format("lance").load(dest)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .select(lit(newFiles).cast("int").as("new_files"),
+        lit(fragsAfter).cast("int").as("frags_after"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Row-level UPDATE through SQL `CALL update_where` (assignments see the
     * pre-update row, cast back to the column type; stats-scoped rewrite).
     * The planted rows_updated count AND the updated balances ride one
@@ -796,6 +835,7 @@ object LanceQueries {
     "s65_schema_evolution" -> s65SchemaEvolution,
     "s66_zorder_prune" -> s66ZorderPrune,
     "s70_sql_delete" -> s70SqlDelete,
+    "s76_retention_delete" -> s76RetentionDelete,
     "s71_sql_update" -> s71SqlUpdate,
     "s72_sql_merge" -> s72SqlMerge,
     "s73_sql_update_stmt" -> s73SqlUpdateStmt,
@@ -847,6 +887,14 @@ object LanceQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE NOT (o_totalprice > 450000)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // survivors recomputed from the source; new_files/frags_after plant
+    // the metadata-only proof (0 data files written, 2 fragments left)
+    "s76_retention_delete" ->
+      """SELECT CAST(0 AS INT) AS new_files, CAST(2 AS INT) AS frags_after,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // UPDATE = CASE over the original rows; rows_updated = matched count
     "s71_sql_update" ->
       """SELECT (SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING')

@@ -232,4 +232,75 @@ class DmlSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.dmlspec.warehouse")
     }
   }
+
+  test("fully-covered delete is metadata-only: fragments drop with zero data I/O") {
+    val dir = s"${tmpDir()}/meta1"
+    clustered(dir)
+    val before = latest(dir)
+    val dataDir = LanceFormat.dataPath(new Path(dir))
+    val filesBefore = fs(dir).listStatus(dataDir).map(_.getPath.getName).toSet
+
+    // id < 20 provably covers fragments 0 (0-9) and 1 (10-19) entirely
+    val r = Dml.deleteWhere(spark, dir, "id < 20")
+    assert(r.rowsChanged == 20, s"20 rows proven deleted from stats alone, got $r")
+    assert(r.candidateFragments == 2)
+
+    val after = latest(dir)
+    assert(after.version == before.version + 1)
+    assert(after.fragments.map(_.file) == Seq(before.fragments(2).file),
+      "only the untouched fragment remains, by reference")
+    val filesAfter = fs(dir).listStatus(dataDir).map(_.getPath.getName).toSet
+    assert(filesAfter == filesBefore,
+      "a metadata-only delete must write no data files")
+    assert(spark.read.format("lance").load(dir)
+      .select("id").as[Long].collect().sorted.toSeq == (20L until 30L))
+  }
+
+  test("mixed delete: covered fragments drop, only the boundary fragment rewrites") {
+    val dir = s"${tmpDir()}/meta2"
+    clustered(dir)
+    val before = latest(dir)
+    val dataDir = LanceFormat.dataPath(new Path(dir))
+    val filesBefore = fs(dir).listStatus(dataDir).map(_.getPath.getName).toSet
+
+    // fragment 0 (ids 0-9) fully covered; fragment 1 (10-19) is boundary
+    val r = Dml.deleteWhere(spark, dir, "id < 13")
+    assert(r.rowsChanged == 13)
+    assert(r.candidateFragments == 2)
+
+    val after = latest(dir)
+    // fragment 2 carries by reference; fragments 0 and 1's files are gone
+    assert(after.fragments.exists(_.file == before.fragments(2).file))
+    assert(!after.fragments.exists(_.file == before.fragments(0).file))
+    assert(!after.fragments.exists(_.file == before.fragments(1).file))
+    // new files were written only for the boundary remainder (ids 13-19)
+    val newFiles = fs(dir).listStatus(dataDir).map(_.getPath.getName).toSet -- filesBefore
+    assert(newFiles.nonEmpty && newFiles == after.fragments.map(_.file).toSet -- filesBefore)
+    val boundaryRows = after.fragments.filter(f => newFiles.contains(f.file)).map(_.rowCount).sum
+    assert(boundaryRows == 7, "rewritten data is exactly the boundary remainder")
+    assert(spark.read.format("lance").load(dir)
+      .select("id").as[Long].collect().sorted.toSeq == (13L until 30L))
+  }
+
+  test("concurrent deletes on disjoint fragments both land (optimistic retry merges)") {
+    val dir = s"${tmpDir()}/cc1"
+    clustered(dir)
+    // thread A deletes from fragment 0's range, thread B from fragment 2's;
+    // whoever commits second re-reads the new manifest, finds its replaced
+    // ids still present, and merges — no lost update, no manual locking
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("id < 3" -> "A", "id >= 27" -> "B").map { case (cond, name) =>
+      new Thread(() => {
+        try Dml.deleteWhere(spark, dir, cond)
+        catch { case t: Throwable => errs.add(t) }
+      }, s"dml-$name")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"concurrent disjoint deletes must not conflict: ${errs.peek()}")
+    val ids = spark.read.format("lance").load(dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (3L until 27L), s"both deletes must apply, got $ids")
+    // versions dense: base 3 + two delete commits
+    assert(LanceFormat.listVersions(fs(dir), new Path(dir)) == (1L to 5L))
+  }
 }

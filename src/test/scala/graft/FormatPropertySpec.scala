@@ -66,6 +66,104 @@ class FormatPropertySpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------- stats-evaluator soundness
+
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private type NSD = (Option[Long], Option[String], Option[Double])
+
+  private val nsdSchema = new StructType()
+    .add("n", LongType).add("s", StringType).add("d", DoubleType)
+
+  private val longGen = Gen.frequency(8 -> Gen.choose(-100L, 100L),
+    1 -> Gen.oneOf(Long.MinValue, Long.MaxValue), 1 -> Gen.const(0L))
+  private val strGen = Gen.frequency(
+    6 -> Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString),
+    2 -> Gen.listOfN(80, Gen.alphaLowerChar).map(_.mkString), // past the cap
+    1 -> Gen.const(""))
+  private val dblGen = Gen.frequency(8 -> Gen.choose(-50.0, 50.0),
+    1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
+  private def opt[A](g: Gen[A]): Gen[Option[A]] =
+    Gen.frequency(5 -> g.map(Some(_)), 1 -> Gen.const(None))
+  private val rowsGen: Gen[List[NSD]] =
+    Gen.nonEmptyListOf(Gen.zip(opt(longGen), opt(strGen), opt(dblGen)))
+
+  private val filterGen: Gen[Filter] = {
+    val nCmp = Gen.zip(Gen.oneOf("eq", "gt", "ge", "lt", "le"), longGen).map {
+      case ("eq", v) => EqualTo("n", v)
+      case ("gt", v) => GreaterThan("n", v)
+      case ("ge", v) => GreaterThanOrEqual("n", v)
+      case ("lt", v) => LessThan("n", v)
+      case (_, v) => LessThanOrEqual("n", v)
+    }
+    val dCmp = Gen.zip(Gen.oneOf("eq", "gt", "lt"), dblGen).map {
+      case ("eq", v) => EqualTo("d", v)
+      case ("gt", v) => GreaterThan("d", v)
+      case (_, v) => LessThan("d", v)
+    }
+    val sCmp = Gen.zip(Gen.oneOf("eq", "gt", "lt", "sw"), strGen).map {
+      case ("eq", v) => EqualTo("s", v)
+      case ("gt", v) => GreaterThan("s", v)
+      case ("lt", v) => LessThan("s", v)
+      case (_, v) => StringStartsWith("s", v.take(2))
+    }
+    val leaf: Gen[Filter] = Gen.frequency(
+      4 -> nCmp, 2 -> dCmp, 3 -> sCmp,
+      1 -> Gen.listOfN(3, longGen).map(vs => In("n", vs.toArray.map(_.asInstanceOf[Any]))),
+      1 -> Gen.oneOf(IsNull("n"), IsNotNull("n"), IsNull("s"), IsNotNull("s")),
+      1 -> longGen.map(v => Not(EqualTo("n", v))))
+    Gen.frequency(3 -> leaf,
+      1 -> Gen.zip(leaf, leaf).map { case (a, b) => And(a, b) },
+      1 -> Gen.zip(leaf, leaf).map { case (a, b) => Or(a, b) })
+  }
+
+  // direct three-valued semantics on one row (null comparison -> false)
+  private def evalRow(row: NSD, f: Filter): Boolean = {
+    def cmp(a: Any, v: Any): Option[Int] = (a, v) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: String, y: String) =>
+        Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
+      case (x: Double, y: Double) =>
+        if (x.isNaN || y.isNaN) None else Some(java.lang.Double.compare(x, y))
+      case _ => None
+    }
+    def value(attr: String): Option[Any] = attr match {
+      case "n" => row._1
+      case "s" => row._2
+      case "d" => row._3
+    }
+    f match {
+      case EqualTo(a, v) => value(a).flatMap(cmp(_, v)).contains(0)
+      case GreaterThan(a, v) => value(a).flatMap(cmp(_, v)).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => value(a).flatMap(cmp(_, v)).exists(_ >= 0)
+      case LessThan(a, v) => value(a).flatMap(cmp(_, v)).exists(_ < 0)
+      case LessThanOrEqual(a, v) => value(a).flatMap(cmp(_, v)).exists(_ <= 0)
+      case In(a, vs) => vs.exists(v => value(a).flatMap(cmp(_, v)).contains(0))
+      case IsNull(a) => value(a).isEmpty
+      case IsNotNull(a) => value(a).isDefined
+      case StringStartsWith(a, p) => value(a).exists(_.asInstanceOf[String].startsWith(p))
+      case Not(c) => value(c.references.head).isDefined && !evalRow(row, c)
+      case And(l, r) => evalRow(row, l) && evalRow(row, r)
+      case Or(l, r) => evalRow(row, l) || evalRow(row, r)
+      case other => fail(s"unhandled filter in test eval: $other")
+    }
+  }
+
+  /** Collect real writer-side stats for a random row batch. */
+  private def collectStats(rows: List[NSD]): Map[String, graft.format.ColStats] = {
+    import graft.format.FragmentStats
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val collector = new FragmentStats.Collector(nsdSchema)
+    rows.foreach { case (n, s, d) =>
+      collector.observe(new GenericInternalRow(Array[Any](
+        n.map(Long.box).orNull,
+        s.map(UTF8String.fromString).orNull,
+        d.map(Double.box).orNull)))
+    }
+    collector.result().get
+  }
+
   /** Soundness of manifest-stats pruning, the property that must NEVER
     * break: whenever the evaluator rules a fragment out, no row in it can
     * satisfy the filter. Random long/string/double rows (with nulls, NaN,
@@ -77,102 +175,36 @@ class FormatPropertySpec extends AnyFunSuite {
     */
   test("stats pruning is sound: mayMatch=false implies zero matching rows") {
     import graft.format.FragmentStats
-    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-    import org.apache.spark.sql.sources._
-    import org.apache.spark.unsafe.types.UTF8String
-
-    val schema = new StructType()
-      .add("n", LongType).add("s", StringType).add("d", DoubleType)
-
-    val longGen = Gen.frequency(8 -> Gen.choose(-100L, 100L),
-      1 -> Gen.oneOf(Long.MinValue, Long.MaxValue), 1 -> Gen.const(0L))
-    val strGen = Gen.frequency(
-      6 -> Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString),
-      2 -> Gen.listOfN(80, Gen.alphaLowerChar).map(_.mkString), // past the cap
-      1 -> Gen.const(""))
-    val dblGen = Gen.frequency(8 -> Gen.choose(-50.0, 50.0),
-      1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
-    def opt[A](g: Gen[A]): Gen[Option[A]] = Gen.frequency(5 -> g.map(Some(_)), 1 -> Gen.const(None))
-    val rowGen = Gen.zip(opt(longGen), opt(strGen), opt(dblGen))
-    val rowsGen = Gen.nonEmptyListOf(rowGen)
-
-    val filterGen: Gen[Filter] = {
-      val nCmp = Gen.zip(Gen.oneOf("eq", "gt", "ge", "lt", "le"), longGen).map {
-        case ("eq", v) => EqualTo("n", v)
-        case ("gt", v) => GreaterThan("n", v)
-        case ("ge", v) => GreaterThanOrEqual("n", v)
-        case ("lt", v) => LessThan("n", v)
-        case (_, v) => LessThanOrEqual("n", v)
-      }
-      val dCmp = Gen.zip(Gen.oneOf("eq", "gt", "lt"), dblGen).map {
-        case ("eq", v) => EqualTo("d", v)
-        case ("gt", v) => GreaterThan("d", v)
-        case (_, v) => LessThan("d", v)
-      }
-      val sCmp = Gen.zip(Gen.oneOf("eq", "gt", "lt", "sw"), strGen).map {
-        case ("eq", v) => EqualTo("s", v)
-        case ("gt", v) => GreaterThan("s", v)
-        case ("lt", v) => LessThan("s", v)
-        case (_, v) => StringStartsWith("s", v.take(2))
-      }
-      val leaf: Gen[Filter] = Gen.frequency(
-        4 -> nCmp, 2 -> dCmp, 3 -> sCmp,
-        1 -> Gen.listOfN(3, longGen).map(vs => In("n", vs.toArray.map(_.asInstanceOf[Any]))),
-        1 -> Gen.oneOf(IsNull("n"), IsNotNull("n"), IsNull("s"), IsNotNull("s")),
-        1 -> longGen.map(v => Not(EqualTo("n", v))))
-      Gen.frequency(3 -> leaf,
-        1 -> Gen.zip(leaf, leaf).map { case (a, b) => And(a, b) },
-        1 -> Gen.zip(leaf, leaf).map { case (a, b) => Or(a, b) })
-    }
-
-    // direct three-valued semantics on one row (null comparison -> false)
-    def evalRow(row: (Option[Long], Option[String], Option[Double]), f: Filter): Boolean = {
-      def cmp(a: Any, v: Any): Option[Int] = (a, v) match {
-        case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
-        case (x: String, y: String) =>
-          Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
-        case (x: Double, y: Double) =>
-          if (x.isNaN || y.isNaN) None else Some(java.lang.Double.compare(x, y))
-        case _ => None
-      }
-      def value(attr: String): Option[Any] = attr match {
-        case "n" => row._1
-        case "s" => row._2
-        case "d" => row._3
-      }
-      f match {
-        case EqualTo(a, v) => value(a).flatMap(cmp(_, v)).contains(0)
-        case GreaterThan(a, v) => value(a).flatMap(cmp(_, v)).exists(_ > 0)
-        case GreaterThanOrEqual(a, v) => value(a).flatMap(cmp(_, v)).exists(_ >= 0)
-        case LessThan(a, v) => value(a).flatMap(cmp(_, v)).exists(_ < 0)
-        case LessThanOrEqual(a, v) => value(a).flatMap(cmp(_, v)).exists(_ <= 0)
-        case In(a, vs) => vs.exists(v => value(a).flatMap(cmp(_, v)).contains(0))
-        case IsNull(a) => value(a).isEmpty
-        case IsNotNull(a) => value(a).isDefined
-        case StringStartsWith(a, p) => value(a).exists(_.asInstanceOf[String].startsWith(p))
-        case Not(c) => value(c.references.head).isDefined && !evalRow(row, c)
-        case And(l, r) => evalRow(row, l) && evalRow(row, r)
-        case Or(l, r) => evalRow(row, l) || evalRow(row, r)
-        case other => fail(s"unhandled filter in test eval: $other")
-      }
-    }
-
     samples(Gen.zip(rowsGen, Gen.listOfN(30, filterGen)), n = 120).foreach {
       case (rows, filters) =>
-        val collector = new FragmentStats.Collector(schema)
-        rows.foreach { case (n, s, d) =>
-          collector.observe(new GenericInternalRow(Array[Any](
-            n.map(Long.box).orNull,
-            s.map(UTF8String.fromString).orNull,
-            d.map(Double.box).orNull)))
-        }
-        val stats = collector.result().get
+        val stats = collectStats(rows)
         filters.foreach { f =>
-          val may = FragmentStats.mayMatch(schema, rows.size.toLong, stats, f)
+          val may = FragmentStats.mayMatch(nsdSchema, rows.size.toLong, stats, f)
           if (!may) {
             val matches = rows.filter(evalRow(_, f))
             assert(matches.isEmpty,
               s"UNSOUND PRUNE: filter $f, stats $stats, matching rows $matches")
+          }
+        }
+    }
+  }
+
+  /** The dual, backing metadata-only DELETE: whenever [[FragmentStats
+    * .mustMatch]] claims full coverage, EVERY row must satisfy the filter
+    * — a false claim silently drops live rows from the manifest, the worst
+    * failure mode a format can have. Same adversarial inputs as the
+    * mayMatch property (truncated string bounds, NaN, nulls, extremes).
+    */
+  test("full-coverage claim is sound: mustMatch=true implies every row matches") {
+    import graft.format.FragmentStats
+    samples(Gen.zip(rowsGen, Gen.listOfN(30, filterGen)), n = 120).foreach {
+      case (rows, filters) =>
+        val stats = collectStats(rows)
+        filters.foreach { f =>
+          if (FragmentStats.mustMatch(nsdSchema, rows.size.toLong, stats, f)) {
+            val misses = rows.filterNot(evalRow(_, f))
+            assert(misses.isEmpty,
+              s"UNSOUND COVERAGE: filter $f, stats $stats, non-matching rows $misses")
           }
         }
     }

@@ -360,4 +360,35 @@ class LanceConnectorSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).sorted.toSeq
     assert(canon(back) == canon(df))
   }
+
+  test("timestampAsOf resolves the newest version committed at or before the instant") {
+    val dir = s"${tmpDir()}/ts1"
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    Thread.sleep(15) // committedAtMs has millisecond granularity
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(15)
+    Seq((2L, "b")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+
+    // epoch-millis form: sees only version 1
+    val atV1 = spark.read.format("lance")
+      .option("timestampAsOf", betweenMs.toString).load(dir)
+    assert(atV1.count() == 1)
+    // ISO instant in the future: sees both
+    val now = spark.read.format("lance")
+      .option("timestampAsOf",
+        java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 1000).toString)
+      .load(dir)
+    assert(now.count() == 2)
+    // before the first commit: loud error
+    val e = intercept[Exception] {
+      spark.read.format("lance").option("timestampAsOf", "0").load(dir).count()
+    }
+    assert(e.getMessage.contains("timestampAsOf"))
+    // both pins at once: rejected
+    val e2 = intercept[Exception] {
+      spark.read.format("lance").option("versionAsOf", "1")
+        .option("timestampAsOf", betweenMs.toString).load(dir).count()
+    }
+    assert(e2.getMessage.contains("not both"))
+  }
 }
