@@ -106,7 +106,11 @@ object LanceTable {
 class LanceTable(val rootStr: String, declaredSchema: StructType,
     pinnedVersion: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** Row provenance + runtime group filtering ([[LanceFragmentScan]]). */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(LanceFragmentScan.fragmentIdMetadataColumn)
 
   /** SQL `UPDATE` / `MERGE INTO` / non-translatable `DELETE`: group-based
     * copy-on-write rewrite ([[LanceRowLevelOperation]]). Translatable
@@ -207,6 +211,18 @@ class LanceScanBuilder(spark: SparkSession,
 
   private var manifestCount: Option[Long] = None
 
+  /** Set when column pruning requests the `__fragment_id` metadata column
+    * ([[LanceFragmentScan]]): the built scan switches to the row-based
+    * fragment-per-partition reader that can serve per-row fragment ids.
+    */
+  private var wantFragmentId = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    wantFragmentId =
+      requiredSchema.fieldNames.contains(LanceFragmentScan.FragmentIdColumn)
+    super.pruneColumns(LanceFragmentScan.dropFragmentId(requiredSchema))
+  }
+
   private def plainCountStar(agg: Aggregation): Boolean =
     manifestRowCount.isDefined &&
       agg.groupByExpressions.isEmpty &&
@@ -248,6 +264,14 @@ class LanceScanBuilder(spark: SparkSession,
 
   override def build(): ParquetScan = manifestCount match {
     case Some(n) => new LanceCountStarScan(super.build(), rootStr, n)
+    case None if wantFragmentId =>
+      val m = manifest.getOrElse(throw new IllegalArgumentException(
+        s"${LanceFragmentScan.FragmentIdColumn} requires a lance dataset at $rootStr"))
+      val kept =
+        if (pushedDataFilters.nonEmpty)
+          graft.format.FragmentStats.prune(m.schema, m.fragments, pushedDataFilters)
+        else m.fragments
+      new LanceMetadataScan(statsPruned(super.build()), rootStr, kept)
     case None => new LanceParquetScan(statsPruned(super.build()), rootStr)
   }
 }
@@ -314,10 +338,17 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     // (row-level DELETE/UPDATE/MERGE rewrite scope) instead of appending
     private val replaceFragments = Option(info.options.get("write.replace-fragments"))
       .map(_.split(',').filter(_.nonEmpty).map(_.toInt).toSet)
+    // row-preserving maintenance overwrite (compact/cluster): stamp the
+    // manifest so changefeed readers skip the commit instead of failing
+    private val rowPreserving = Option(info.options.get("write.operation"))
+      .map { v =>
+        require(v == "rewrite", s"write.operation supports only 'rewrite', got '$v'")
+        v
+      }.isDefined
 
     override def toBatch: BatchWrite =
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
-        epochId, collectStats, mergeSchema, replaceFragments)
+        epochId, collectStats, mergeSchema, replaceFragments, rowPreserving)
     override def toStreaming: StreamingWrite =
       new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         collectStats)
@@ -334,7 +365,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     conf: SerializableConf, maxRowsPerFile: Long,
     epochId: Option[Long] = None, collectStats: Boolean = true,
     mergeSchema: Boolean = false,
-    replaceFragments: Option[Set[Int]] = None) extends BatchWrite {
+    replaceFragments: Option[Set[Int]] = None,
+    rowPreserving: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile, collectStats)
@@ -369,7 +401,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       case Some(m) if !overwrite => m.schema
       case _ => schema
     }
-    if (overwrite) LanceFormat.commitOverwrite(fs, root, committedSchema, frags, epochId)
+    if (overwrite) LanceFormat.commitOverwrite(fs, root, committedSchema, frags, epochId,
+      operation = if (rowPreserving) "rewrite" else "overwrite")
     else LanceFormat.commitAppend(fs, root, committedSchema, frags, epochId)
   }
 

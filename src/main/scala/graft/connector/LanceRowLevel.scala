@@ -3,7 +3,7 @@ package graft.connector
 import graft.format.{FragmentMeta, FragmentStats, LanceFormat, Manifest}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -32,9 +32,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Simple translatable DELETEs never get here: Spark's
   * OptimizeMetadataOnlyDeleteFromTable converts them back to the
   * [[LanceTable.deleteWhere]] path (same stats-scoped rewrite, no join
-  * machinery). A MERGE whose ON keys Spark cannot turn into pushable
-  * bounds rewrites every fragment — correct, just unscoped; the
-  * `CALL upsert` procedure stays the key-scoped fast path.
+  * machinery). When the condition is NOT statically pushable (a modulo, a
+  * MERGE whose ON keys live in the source), runtime group filtering takes
+  * over: the scan serves `__fragment_id` ([[LanceFragmentScan]]) and
+  * Spark's matching-groups subquery narrows the rewrite to the fragments
+  * that actually hold matches ([[LanceRowLevelScan.filter]]).
   */
 class LanceRowLevelOperationBuilder(rootStr: String, info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
@@ -45,13 +47,27 @@ class LanceRowLevelOperationBuilder(rootStr: String, info: RowLevelOperationInfo
 class LanceRowLevelOperation(rootStr: String, cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
 
-  /** Set by the scan at build time, read by the write at commit time —
-    * the same operation instance spans both, which is how the affected
-    * groups travel from plan to commit (the Iceberg group-based shape).
+  /** Set by the scan at build time (and narrowed again by runtime group
+    * filtering), read by the write at commit time — the same operation
+    * instance spans both, which is how the affected groups travel from
+    * plan to commit (the Iceberg group-based shape).
     */
   @volatile private[connector] var affected: Option[(Manifest, Seq[FragmentMeta])] = None
 
   override def command(): RowLevelOperation.Command = cmd
+
+  /** Ask Spark to thread `__fragment_id` through the rewritten query:
+    * the rewrite rules resolve it on the relation (metadata column), the
+    * row-level scan serves it per row, and
+    * `RowLevelOperationRuntimeGroupFiltering` can then plan the matching-
+    * groups subquery and hand the id set to [[LanceRowLevelScan.filter]].
+    * Declaring it also makes ReplaceDataExec strip the operation/metadata
+    * columns itself before the write.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      LanceFragmentScan.FragmentIdColumn))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LanceRowLevelScanBuilder(this, rootStr, options)
@@ -88,15 +104,98 @@ class LanceRowLevelScanBuilder(op: LanceRowLevelOperation, rootStr: String,
   }
   override def pushedFilters(): Array[Filter] = Array.empty
 
-  override def build(): Scan = {
-    op.affected = Some((manifest, candidates))
-    val files = candidates.map(f => new Path(LanceFormat.dataPath(root), f.file))
-    val index = new InMemoryFileIndex(spark, files, Map.empty[String, String],
-      Some(manifest.schema), FileStatusCache.getOrCreate(spark), None, None)
-    // a fresh builder with nothing pushed: plain vectorized scan of the
-    // candidate files, full rows
-    new ParquetScanBuilder(spark, index, manifest.schema, manifest.schema, options).build()
+  override def build(): Scan =
+    new LanceRowLevelScan(op, rootStr, manifest, candidates, spark)
+}
+
+/** Fragment-per-partition scan over the candidate fragments of one pinned
+  * manifest, each row carrying its `__fragment_id`. Implements
+  * `SupportsRuntimeV2Filtering` on that id: Spark's
+  * RowLevelOperationRuntimeGroupFiltering plans a subquery for the
+  * DISTINCT fragment ids of rows actually matching the command condition
+  * (evaluated on a regular batch scan of the table) and calls [[filter]]
+  * with the resulting IN set — narrowing both the partitions scanned AND
+  * the fragments the commit replaces. A MERGE whose ON keys are not
+  * statically pushable thus rewrites only the fragments holding matches.
+  * Unrecognized predicates narrow nothing (conservative: keeping a
+  * fragment is always correct — its rows are rewritten unchanged).
+  */
+class LanceRowLevelScan(op: LanceRowLevelOperation, rootStr: String,
+    manifest: Manifest, initial: Seq[FragmentMeta],
+    spark: SparkSession) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private val root = new Path(rootStr)
+  private var candidates: Seq[FragmentMeta] = initial
+  op.affected = Some((manifest, candidates))
+
+  override def readSchema(): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      manifest.schema.fields :+ LanceFragmentScan.fragmentIdField)
+
+  override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(LanceFragmentScan.FragmentIdColumn))
+
+  private def isFragmentIdRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+    e match {
+      case r: NamedReference =>
+        r.fieldNames.sameElements(Array(LanceFragmentScan.FragmentIdColumn))
+      case _ => false
+    }
+
+  private def intLit(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+    e match {
+      case l: Literal[_] => l.value match {
+        case i: Integer => Some(i.intValue())
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** The finite id set a predicate allows, if it provably constrains
+    * `__fragment_id` to one (`IN` over literals, or `=` either way round).
+    */
+  private def allowedIds(p: Predicate): Option[Set[Int]] = p.name() match {
+    case "IN" if p.children().nonEmpty && isFragmentIdRef(p.children().head) =>
+      val vals = p.children().tail.map(intLit(_).getOrElse(return None))
+      Some(vals.toSet)
+    case "=" => p.children() match {
+      case Array(r, l) if isFragmentIdRef(r) => intLit(l).map(Set(_))
+      case Array(l, r) if isFragmentIdRef(r) => intLit(l).map(Set(_))
+      case _ => None
+    }
+    case _ => None
   }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.flatMap(allowedIds)
+    if (sets.nonEmpty) {
+      val keep = sets.reduce(_ intersect _)
+      candidates = candidates.filter(f => keep.contains(f.id))
+      op.affected = Some((manifest, candidates))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    candidates.map(f => LanceFragmentIdPartition(
+      new Path(LanceFormat.dataPath(root), f.file).toString, f.id): InputPartition).toArray
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val conf = {
+      val c = spark.sessionState.newHadoopConf()
+      c.set("spark.sql.session.timeZone", spark.sessionState.conf.sessionLocalTimeZone)
+      new SerializableConf(c)
+    }
+    new LanceFragmentIdReaderFactory(manifest.schema.json, conf)
+  }
+
+  override def description(): String =
+    s"LanceRowLevelScan(${candidates.size}/${manifest.fragments.size} fragments)"
 }
 
 /** Commits the replacement rows over the scan's candidate fragments. */

@@ -19,13 +19,22 @@ case class FragmentMeta(id: Int, file: String, rowCount: Long,
 
 /** A committed dataset version: schema + fragment list (+ the streaming
   * epoch that produced it, for idempotent exactly-once commits).
+  *
+  * `operation` records the commit KIND: "append", "overwrite", "replace"
+  * (row-level DML copy-on-write), or "rewrite" (row-PRESERVING compaction
+  * / re-clustering). The changefeed reader uses it to skip rewrite
+  * commits — their rows were already emitted from the old files — while
+  * still failing loud on commits that changed rows. Absent on manifests
+  * written before the field existed; readers treat that conservatively
+  * (never skip).
   */
 case class Manifest(
     version: Long,
     schemaJson: String,
     fragments: Seq[FragmentMeta],
     epochId: Option[Long] = None,
-    committedAtMs: Long = 0L) {
+    committedAtMs: Long = 0L,
+    operation: Option[String] = None) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def rowCount: Long = fragments.map(_.rowCount).sum
 }
@@ -141,7 +150,8 @@ object LanceFormat {
         schemaJson = schema.json,
         fragments = base ++ renumbered,
         epochId = epochId,
-        committedAtMs = System.currentTimeMillis())
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some("append"))
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
     }
@@ -188,7 +198,8 @@ object LanceFormat {
         schemaJson = schema.json,
         fragments = kept ++ renumbered,
         epochId = epochId.orElse(prev.epochId),
-        committedAtMs = System.currentTimeMillis())
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some("replace"))
       if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
       attempt += 1
     }
@@ -197,17 +208,22 @@ object LanceFormat {
   }
 
   /** Replace all fragments (overwrite semantics). Old files are kept for
-    * time travel; a vacuum can reclaim them later.
+    * time travel; a vacuum can reclaim them later. `operation` defaults
+    * to "overwrite"; maintenance callers whose rewrite PRESERVES the row
+    * set (compaction, re-clustering) pass "rewrite" so changefeed readers
+    * can skip the commit instead of failing.
     */
   def commitOverwrite(fs: FileSystem, root: Path, schema: StructType,
-      newFragments: Seq[FragmentMeta], epochId: Option[Long] = None): Manifest = {
+      newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
+      operation: String = "overwrite"): Manifest = {
     val prev = readLatest(fs, root)
     commit(fs, root, Manifest(
       version = prev.map(_.version).getOrElse(0L) + 1,
       schemaJson = schema.json,
       fragments = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = i) },
       epochId = epochId,
-      committedAtMs = System.currentTimeMillis()))
+      committedAtMs = System.currentTimeMillis(),
+      operation = Some(operation)))
   }
 
   /** Union of two fragment schemas by column NAME (Delta-style

@@ -814,7 +814,81 @@ object LanceQueries {
     spark.read.format("lance").load(dest).agg(count(lit(1)).as("n"))
   }
 
+  /** `__fragment_id` metadata column (row provenance): customers land in
+    * three fragments keyed by `c_custkey % 3` (three sequential commits →
+    * fragment ids 0,1,2 in commit order), so every row's fragment id is
+    * derivable from its key and the oracle recomputes it relationally.
+    * A hash match proves the fragment-per-partition metadata scan serves
+    * exactly the rows of the vectorized path with correct per-row
+    * fragment identity — the provenance a pipeline needs to map any row
+    * back to its unit of replacement/compaction/changefeed emission.
+    */
+  def s77FragmentProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "cust_fragid")
+    freshDataset(spark, dest)
+    val c = t(spark, dir, "customer")
+    (0 until 3).foreach { f =>
+      c.filter(pmod(col("c_custkey"), lit(3)) === f).coalesce(1)
+        .write.format("lance").mode(if (f == 0) "overwrite" else "append").save(dest)
+    }
+    spark.read.format("lance").load(dest)
+      .groupBy(col("__fragment_id").as("frag"))
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("frag"))
+  }
+
+  /** Runtime group filtering for MERGE: the ON keys compare against a
+    * source view, so nothing is statically pushable and manifest stats
+    * keep all four fragments as candidates (`s_suppkey % 4` bands have
+    * overlapping min/max). Spark's matching-groups subquery — DISTINCT
+    * `__fragment_id` of target rows matching the join — narrows the
+    * rewrite at RUNTIME to the one fragment holding matches. The planted
+    * `scoped` flag proves the other three carried over by file identity:
+    * at 100 TB this is the difference between rewriting one fragment and
+    * rewriting the table.
+    */
+  def s78MergeRuntimeScope(spark: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "dml_rgs_wh")
+    freshDataset(spark, wh)
+    val whAbs = new java.io.File(wh).getAbsolutePath
+    spark.conf.set("spark.sql.catalog.lance_rgs", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_rgs.warehouse", whAbs)
+    try {
+      val s = t(spark, dir, "supplier")
+      (0 until 4).foreach { b =>
+        s.filter(pmod(col("s_suppkey"), lit(4)) === b).coalesce(1)
+          .write.format("lance").mode(if (b == 0) "overwrite" else "append")
+          .save(s"$whAbs/db/supplier_rgs")
+      }
+      val root = new Path(s"$whAbs/db/supplier_rgs")
+      val fsys = graft.format.LanceFormat.fileSystem(root,
+        spark.sessionState.newHadoopConf())
+      val before = graft.format.LanceFormat.readLatest(fsys, root).get
+      // matches live only in band 2 (keys ≡ 2 mod 4 that are also ≡ 0 mod 5)
+      s.filter(pmod(col("s_suppkey"), lit(4)) === 2 && pmod(col("s_suppkey"), lit(5)) === 0)
+        .withColumn("s_acctbal", col("s_acctbal") * 2)
+        .createOrReplaceTempView("graft_rgs_src")
+      spark.sql(
+        """MERGE INTO lance_rgs.db.supplier_rgs t USING graft_rgs_src s
+          |ON t.s_suppkey = s.s_suppkey
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      val after = graft.format.LanceFormat.readLatest(fsys, root).get
+      val scoped = before.fragments.filter(_.id != 2).forall(f =>
+          after.fragments.exists(g => g.id == f.id && g.file == f.file)) &&
+        !after.fragments.exists(_.file == before.fragments.find(_.id == 2).get.file)
+      spark.sql("SELECT * FROM lance_rgs.db.supplier_rgs")
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("sum_bal"))
+        .withColumn("scoped", lit(scoped))
+    } finally {
+      spark.catalog.dropTempView("graft_rgs_src")
+      spark.conf.unset("spark.sql.catalog.lance_rgs")
+      spark.conf.unset("spark.sql.catalog.lance_rgs.warehouse")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s77_fragment_provenance" -> s77FragmentProvenance,
+    "s78_merge_runtime_scope" -> s78MergeRuntimeScope,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -882,6 +956,20 @@ object LanceQueries {
         |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
         |ORDER BY o_orderkey""".stripMargin,
     // the table after DELETE = the original minus matching rows
+    // provenance: fragment id is derivable from the key by construction
+    "s77_fragment_provenance" ->
+      """SELECT CAST(c_custkey % 3 AS INTEGER) AS frag, COUNT(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY frag""".stripMargin,
+    // MERGE content check + the planted runtime-scoping proof (TRUE =
+    // untouched fragments carried over by file identity)
+    "s78_merge_runtime_scope" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(CASE WHEN s_suppkey % 4 = 2 AND s_suppkey % 5 = 0
+        |   THEN s_acctbal * 2 ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_bal,
+        | TRUE AS scoped
+        |FROM supplier""".stripMargin,
     "s70_sql_delete" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
