@@ -220,6 +220,7 @@ object Lance {
     val w = read(spark, path).repartition(targetParts)
       .write.format("lance")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)
+      .option("write.operation", "rewrite") // row-preserving: changefeeds skip it
     manifest.flatMap(_.epochId).fold(w)(e => w.option("write.epoch-id", e.toString))
       .mode("overwrite").save(path)
     val after = graft.format.LanceFormat.readLatest(fs, root)
@@ -306,6 +307,7 @@ object Lance {
       .drop("__z")
       .write.format("lance")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)
+      .option("write.operation", "rewrite") // row-preserving: changefeeds skip it
     manifest.flatMap(_.epochId).fold(w)(e => w.option("write.epoch-id", e.toString))
       .mode("overwrite").save(path)
     val after = graft.format.LanceFormat.readLatest(fs, root)

@@ -21,12 +21,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * pipelines end-to-end with exactly-once epochs on both sides.
   *
   * Scale: one InputPartition per new fragment (the reference's parallelism
-  * unit); no state beyond the last processed version number. Vacuuming
-  * manifests below the stream's current offset and non-append commits
-  * (overwrite/compaction) inside a streamed range are the two unsupported
-  * interleavings: the former is a retention contract (as in any
-  * log-compacted changefeed), the latter fails loud rather than re-emit
-  * rewritten fragments as duplicates.
+  * unit); no state beyond the last processed version number. Row-PRESERVING
+  * rewrites (compaction, re-clustering — manifest operation "rewrite") are
+  * transparent: the feed skips them and keeps reading appended rows from
+  * their original files. Two interleavings remain unsupported: vacuuming
+  * manifests/files below the stream's current offset (a retention
+  * contract, as in any log-compacted changefeed), and row-CHANGING
+  * rewrites (overwrite, row-level DML) inside a streamed range, which fail
+  * loud rather than re-emit rewritten fragments as duplicates.
   */
 case class LanceStreamOffset(version: Long) extends Offset {
   override def json(): String = version.toString
@@ -86,19 +88,43 @@ class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
       else LanceFormat.readManifest(fs, root, sv).fragments.map(_.file).toSet
     val endFrags = LanceFormat.readManifest(fs, root, ev).fragments
     val endFiles = endFrags.map(_.file).toSet
-    // a changefeed is only well-defined over append commits: an overwrite
-    // or compaction rewrites existing rows into new files, and diffing
-    // file sets would re-emit the whole dataset as duplicates — fail loud
-    // instead (restart from a fresh checkpoint to re-snapshot)
+    // Fast path (two manifest reads): a pure-append range emits exactly
+    // the fragments (start, end] added. When files DID drop inside the
+    // range, the per-version walk below classifies each commit: a
+    // row-PRESERVING rewrite (compaction / re-clustering, manifest
+    // operation = "rewrite") is skipped — its rows were already emitted
+    // from the pre-rewrite files, which stay on disk until vacuum — while
+    // a commit that changed rows (overwrite, row-level delete/update/
+    // merge) still fails loud: re-emitting rewritten rows would duplicate
+    // the feed. At 100 TB compaction runs continuously; a changefeed that
+    // died on every compaction would be unusable.
     val dropped = before -- endFiles
-    if (dropped.nonEmpty) throw new IllegalStateException(
-      s"lance stream at $root: versions ($sv, $ev] contain a non-append " +
-        s"commit (overwrite, compact, or row-level delete/update/merge " +
-        s"dropped ${dropped.size} streamed fragments); the changefeed " +
-        "cannot continue - restart the query from a fresh checkpoint to " +
-        "take a new snapshot")
-    endFrags
-      .filterNot(f => before.contains(f.file))
+    val newFrags =
+      if (dropped.isEmpty) endFrags.filterNot(f => before.contains(f.file))
+      else {
+        var prevFiles = before
+        val out = Seq.newBuilder[graft.format.FragmentMeta]
+        ((sv + 1) to ev).foreach { v =>
+          val m = LanceFormat.readManifest(fs, root, v)
+          val curFiles = m.fragments.map(_.file).toSet
+          val drops = prevFiles -- curFiles
+          if (drops.isEmpty)
+            out ++= m.fragments.filterNot(f => prevFiles.contains(f.file))
+          else if (!m.operation.contains("rewrite"))
+            throw new IllegalStateException(
+              s"lance stream at $root: version $v is a " +
+                s"${m.operation.getOrElse("pre-operation-field")} commit that " +
+                s"dropped ${drops.size} streamed fragments; row-changing " +
+                "rewrites cannot flow through a changefeed - restart the " +
+                "query from a fresh checkpoint to take a new snapshot")
+          // else: row-preserving rewrite — emit nothing. Fragments appended
+          // earlier in this same gap still stream from their ORIGINAL files
+          // (time travel keeps them until vacuum), so nothing is lost.
+          prevFiles = curFiles
+        }
+        out.result()
+      }
+    newFrags
       .map(f => LanceFragmentPartition(
         new Path(LanceFormat.dataPath(root), f.file).toString): InputPartition)
       .toArray

@@ -886,9 +886,68 @@ object LanceQueries {
     }
   }
 
+  /** Changefeed across compaction: stream two appended thirds of `events`
+    * to a lance sink, compact the source (row-preserving rewrite), append
+    * the last third, resume the SAME checkpoint. The resumed feed must
+    * skip the rewrite commit — its rows were already emitted — and emit
+    * only the new append; the oracle aggregates the full events table, so
+    * a hash match proves no loss and no duplication across the rewrite.
+    * At 100 TB compaction runs continuously under every live table; a
+    * changefeed that dies (or re-emits the dataset) on each one is
+    * unusable — this gate pins the transparent behavior end to end.
+    */
+  def s79StreamAcrossCompact(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "events_compact_src")
+    val dst = scratch(dir, "events_compact_dst")
+    freshDataset(spark, src); freshDataset(spark, dst); freshDataset(spark, s"$dst-ckpt")
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(pmod(col("event_id"), lit(3)) === 0)
+      .write.format("lance").mode("overwrite").save(src)
+    ev.filter(pmod(col("event_id"), lit(3)) === 1)
+      .write.format("lance").mode("append").save(src)
+    def run(): Unit = withStreamShufflePartitions(spark) {
+      val q = spark.readStream.format("lance").load(src)
+        .writeStream.format("lance")
+        .option("checkpointLocation", s"$dst-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    run() // snapshot: two thirds of events
+    graft.Lance.compact(spark, src) // row-preserving rewrite mid-stream
+    ev.filter(pmod(col("event_id"), lit(3)) === 2)
+      .write.format("lance").mode("append").save(src)
+    run() // resumes: skips the rewrite, emits only the new append
+    spark.read.format("lance").load(dst)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A1/S4 extension: ungrouped COUNT(*) / COUNT(col) / MIN / MAX
+    * answered purely from manifest stats as a driver-side LocalScan —
+    * zero tasks, zero file (or footer) reads; plan shape asserted in
+    * LanceConnectorSpec. On a 100 TB dataset this turns a full stats
+    * sweep into one manifest JSON read. The oracle computes the same
+    * aggregates from the raw parquet, so the gate also proves the
+    * write-side stats collectors record exact attained bounds.
+    */
+  def s80ManifestMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_minmax")
+    freshDataset(spark, dest)
+    t(spark, dir, "orders").write.format("lance").mode("overwrite").save(dest)
+    spark.read.format("lance").load(dest)
+      .agg(count(lit(1)).as("n"), count(col("o_custkey")).as("n_cust"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+        min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s77_fragment_provenance" -> s77FragmentProvenance,
     "s78_merge_runtime_scope" -> s78MergeRuntimeScope,
+    "s79_stream_across_compact" -> s79StreamAcrossCompact,
+    "s80_manifest_minmax" -> s80ManifestMinmax,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -970,6 +1029,18 @@ object LanceQueries {
         |   AS sum_bal,
         | TRUE AS scoped
         |FROM supplier""".stripMargin,
+    // exact stats: the manifest's answer must equal the data's answer
+    "s80_manifest_minmax" ->
+      """SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+        | MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+    // the sink holds every event exactly once despite the mid-stream
+    // compaction of the source
+    "s79_stream_across_compact" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s70_sql_delete" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -89,9 +89,35 @@ class LanceStreamingReadSpec extends AnyFunSuite {
     assert(got == Set((1L, 20.0), (2L, 40.0), (3L, 60.0)))
   }
 
-  test("a non-append commit inside the streamed range fails loud, not duplicates") {
+  test("changefeed skips row-preserving compaction and resumes with only new appends") {
     val dir = s"${tmp()}/src5"
     val ckpt = s"${tmp()}/ckpt5"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("lance").mode("append").save(dir)
+    def run(sink: scala.collection.mutable.Set[Long]): Unit = {
+      val q = spark.readStream.format("lance").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => sink.synchronized { sink += r.getLong(0) })
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val first = scala.collection.mutable.Set.empty[Long]
+    run(first) // snapshot processed
+    assert(first == Set(1L, 2L))
+    Lance.compact(spark, dir, maxRowsPerFile = 1000L) // rewrites fragments, keeps rows
+    Seq((3L, "c")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    Lance.compact(spark, dir, maxRowsPerFile = 1000L) // a second rewrite, last in range
+    Seq((4L, "d")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    val second = scala.collection.mutable.Set.empty[Long]
+    run(second) // must skip both rewrites: only the appended rows, no dupes
+    assert(second == Set(3L, 4L))
+  }
+
+  test("a row-CHANGING commit inside the streamed range fails loud, not duplicates") {
+    val dir = s"${tmp()}/src6"
+    val ckpt = s"${tmp()}/ckpt6"
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
       .write.format("lance").mode("append").save(dir)
     def run(): Unit = {
@@ -102,13 +128,13 @@ class LanceStreamingReadSpec extends AnyFunSuite {
       q.awaitTermination()
     }
     run() // snapshot processed
-    Lance.compact(spark, dir, maxRowsPerFile = 1000L) // rewrites fragments
-    Seq((3L, "c")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    // an overwrite REPLACES streamed rows — never skippable
+    Seq((9L, "z")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
     assert(causes(e).flatMap(c => Option(c.getMessage))
-      .exists(_.contains("non-append")), e.getMessage)
+      .exists(_.contains("cannot flow through a changefeed")), e.getMessage)
   }
 
   test("streaming read prunes columns to the query projection") {
