@@ -191,13 +191,18 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
   * use the same pruned read schema; parquet row-group filters are advisory
   * and stay in the plan, so ignoring them in the stream is correct).
   *
-  * One aggregate is answered without touching data at all: an ungrouped,
-  * unfiltered COUNT(*) comes straight from the manifest, which already
-  * sums per-fragment row counts (A1/S4; reference analogue
-  * `LanceAggregateSource.java:135-157` reading `LanceSplit.java:53,92-94`)
-  * — on a 100 TB dataset that is one JSON read instead of opening every
-  * parquet footer. Anything else (grouped, filtered, COUNT(col), MIN/MAX)
-  * falls through to Spark's parquet footer pushdown.
+  * Some aggregates are answered without touching data at all: an
+  * ungrouped, unfiltered COUNT(*) / COUNT(col) / MIN(col) / MAX(col)
+  * comes straight from the manifest, which already carries per-fragment
+  * row counts and exact column min/max/nullCount stats (A1/S4; reference
+  * analogue `LanceAggregateSource.java:135-157` reading
+  * `LanceSplit.java:53,92-94`) — on a 100 TB dataset that is one JSON
+  * read instead of opening a million parquet footers. Served only when
+  * every fragment's stats PROVE the exact answer (numeric/date/timestamp/
+  * boolean columns; strings are excluded — their stats are truncated
+  * bounds, not attained values; NaN or missing stats bail out). Anything
+  * else (grouped, filtered, distinct, other types) falls through to
+  * Spark's parquet footer pushdown.
   */
 class LanceScanBuilder(spark: SparkSession,
     index: InMemoryFileIndex, dataSchema: StructType,
@@ -205,11 +210,103 @@ class LanceScanBuilder(spark: SparkSession,
     manifest: Option[Manifest] = None)
     extends ParquetScanBuilder(spark, index, dataSchema, dataSchema, options) {
 
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+  import org.apache.spark.sql.types._
 
-  private def manifestRowCount: Option[Long] = manifest.map(_.rowCount)
+  private var manifestAggRow: Option[(StructType, Array[Any])] = None
 
-  private var manifestCount: Option[Long] = None
+  private def topCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      dataSchema.fields.find(_.name == r.fieldNames.head)
+    case _ => None
+  }
+
+  /** Exact global MIN/MAX of a column from per-fragment stats, or None
+    * when the stats cannot PROVE it: a fragment without a stats entry, a
+    * bound missing for any reason other than an all-null fragment (NaN
+    * observed, pre-stats manifest), or a type whose stored bounds are not
+    * attained values (strings are truncated). All-null fragments are
+    * skipped; a fully null column yields SQL NULL, like the engine's MIN.
+    */
+  private def minMaxFromStats(f: StructField, frags: Seq[FragmentMeta],
+      isMin: Boolean): Option[Any] = {
+    val bounds = Seq.newBuilder[String]
+    frags.foreach { fr =>
+      val st = fr.stats.flatMap(_.get(f.name)).getOrElse(return None)
+      (if (isMin) st.min else st.max) match {
+        case Some(b) => bounds += b
+        case None if st.nullCount == fr.rowCount => // all-null fragment
+        case None => return None // NaN or unknown: stats cannot prove
+      }
+    }
+    val bs = bounds.result()
+    def reduceLong(): Option[Any] = {
+      val ls = bs.map(_.toLong)
+      if (ls.isEmpty) Some(null) else Some(if (isMin) ls.min else ls.max)
+    }
+    f.dataType match {
+      case ByteType => reduceLong().map(v => if (v == null) null else v.asInstanceOf[Long].toByte)
+      case ShortType => reduceLong().map(v => if (v == null) null else v.asInstanceOf[Long].toShort)
+      case IntegerType | DateType =>
+        reduceLong().map(v => if (v == null) null else v.asInstanceOf[Long].toInt)
+      case LongType | TimestampType | TimestampNTZType => reduceLong()
+      case BooleanType =>
+        reduceLong().map(v => if (v == null) null else v.asInstanceOf[Long] == 1L)
+      case FloatType | DoubleType =>
+        val ds = bs.map(_.toDouble)
+        val v = if (ds.isEmpty) null else if (isMin) ds.min else ds.max
+        if (v == null) Some(null)
+        else if (f.dataType == FloatType) Some(v.asInstanceOf[Double].toFloat)
+        else Some(v)
+      case d: DecimalType =>
+        val ds = bs.map(new java.math.BigDecimal(_))
+        if (ds.isEmpty) Some(null)
+        else {
+          val v = ds.reduce((a, b) =>
+            if ((a.compareTo(b) <= 0) == isMin) a else b)
+          Some(Decimal(v.setScale(d.scale)))
+        }
+      case _ => None // strings (truncated bounds) and everything else
+    }
+  }
+
+  /** The (schema, row) of a fully manifest-answerable aggregation, or
+    * None to fall through to parquet footer pushdown. Column order is
+    * positional — Spark wires the pushed-agg scan output to the rewritten
+    * aggregate by position, group-by columns first (none here).
+    */
+  private def fromManifest(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    val m = manifest.getOrElse(return None)
+    if (agg.groupByExpressions.nonEmpty || dataFilters.nonEmpty) return None
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        fields += StructField("count(*)", LongType, nullable = false)
+        values += m.rowCount
+      case c: Count if !c.isDistinct =>
+        val f = topCol(c.column).getOrElse(return None)
+        var total = 0L
+        m.fragments.foreach { fr =>
+          val st = fr.stats.flatMap(_.get(f.name)).getOrElse(return None)
+          total += fr.rowCount - st.nullCount // nullCount is always exact
+        }
+        fields += StructField(s"count(${f.name})", LongType, nullable = false)
+        values += total
+      case mn: Min =>
+        val f = topCol(mn.column).getOrElse(return None)
+        values += minMaxFromStats(f, m.fragments, isMin = true).getOrElse(return None)
+        fields += StructField(s"min(${f.name})", f.dataType, nullable = true)
+      case mx: Max =>
+        val f = topCol(mx.column).getOrElse(return None)
+        values += minMaxFromStats(f, m.fragments, isMin = false).getOrElse(return None)
+        fields += StructField(s"max(${f.name})", f.dataType, nullable = true)
+      case _ => return None
+    }
+    Some((StructType(fields.result()), values.result().toArray))
+  }
 
   /** Set when column pruning requests the `__fragment_id` metadata column
     * ([[LanceFragmentScan]]): the built scan switches to the row-based
@@ -223,19 +320,13 @@ class LanceScanBuilder(spark: SparkSession,
     super.pruneColumns(LanceFragmentScan.dropFragmentId(requiredSchema))
   }
 
-  private def plainCountStar(agg: Aggregation): Boolean =
-    manifestRowCount.isDefined &&
-      agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar] &&
-      dataFilters.isEmpty // a pushed filter would make the manifest count wrong
-
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    plainCountStar(agg) || super.supportCompletePushDown(agg)
+    fromManifest(agg).isDefined || super.supportCompletePushDown(agg)
 
-  override def pushAggregation(agg: Aggregation): Boolean =
-    if (plainCountStar(agg)) { manifestCount = manifestRowCount; true }
-    else super.pushAggregation(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = fromManifest(agg) match {
+    case some @ Some(_) => manifestAggRow = some; true
+    case None => super.pushAggregation(agg)
+  }
 
   /** Manifest-stats fragment pruning (driver-side data skipping): with
     * pushed data filters, fragments whose min/max prove no row can match
@@ -262,8 +353,9 @@ class LanceScanBuilder(spark: SparkSession,
     }
   }
 
-  override def build(): ParquetScan = manifestCount match {
-    case Some(n) => new LanceCountStarScan(super.build(), rootStr, n)
+  override def build(): ParquetScan = manifestAggRow match {
+    case Some((aggSchema, row)) =>
+      new LanceManifestAggScan(super.build(), rootStr, aggSchema, row)
     case None if wantFragmentId =>
       val m = manifest.getOrElse(throw new IllegalArgumentException(
         s"${LanceFragmentScan.FragmentIdColumn} requires a lance dataset at $rootStr"))
@@ -297,20 +389,22 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String)
   }
 }
 
-/** Metadata-only COUNT(*): Spark plans a [[org.apache.spark.sql.connector.read.LocalScan]]
+/** Metadata-only aggregate: Spark plans a [[org.apache.spark.sql.connector.read.LocalScan]]
   * as a driver-side LocalTableScanExec — zero tasks, zero file reads. The
-  * single row is the manifest's fragment-rowCount sum, exact by the commit
-  * protocol (every fragment append/overwrite rewrites the manifest).
+  * single row holds COUNT(*)/COUNT(col)/MIN(col)/MAX(col) values computed
+  * from the manifest's per-fragment rowCount and column stats, exact by
+  * the commit protocol (every commit rewrites the manifest, and the
+  * builder only routes here when stats prove the answer).
   */
-class LanceCountStarScan(inner: ParquetScan, rootStr: String, n: Long)
+class LanceManifestAggScan(inner: ParquetScan, rootStr: String,
+    aggSchema: StructType, row: Array[Any])
     extends LanceParquetScan(inner, rootStr)
     with org.apache.spark.sql.connector.read.LocalScan {
 
-  override def readSchema(): StructType =
-    new StructType().add("count(*)", org.apache.spark.sql.types.LongType, nullable = false)
+  override def readSchema(): StructType = aggSchema
 
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-    Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](n)))
+    Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row))
 }
 
 /** Append by default; `SaveMode.Overwrite` arrives as truncate(). */

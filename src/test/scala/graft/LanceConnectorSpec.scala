@@ -113,6 +113,68 @@ class LanceConnectorSpec extends AnyFunSuite {
       .agg(count(lit(1))).collect().head.getLong(0) == 500L)
   }
 
+  test("min/max/count(col) answered from manifest stats: metadata-only plan") {
+    val dir = s"${tmpDir()}/t7mm"
+    // three fragments, one holding the global extremes; d is NULLABLE
+    // (Option) with nulls and an ALL-null fragment — fragment stats must
+    // skip the all-null fragment, not bail (a non-null d would let
+    // Catalyst itself rewrite count(d) to count(*) and hide the path)
+    Seq((5L, 2.5, "x", Some(7.0)), (1L, -3.5, "y", None))
+      .toDF("id", "v", "s", "d").coalesce(1)
+      .write.format("lance").mode("overwrite").save(dir)
+    Seq((9L, 0.5, "z", Option.empty[Double])).toDF("id", "v", "s", "d").coalesce(1)
+      .write.format("lance").mode("append").save(dir)
+    Seq((7L, 4.5, "w", Some(2.0))).toDF("id", "v", "s", "d").coalesce(1)
+      .write.format("lance").mode("append").save(dir)
+
+    val agg = spark.read.format("lance").load(dir)
+      .agg(min($"id"), max($"id"), min($"v"), max($"v"),
+        count($"d"), max($"d"), count(lit(1)))
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getLong(4), r.getDouble(5), r.getLong(6)) == ((1L, 9L, -3.5, 4.5, 2L, 7.0, 4L)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("FileScan") && !plan.contains("BatchScan"),
+      s"manifest min/max plan read files:\n$plan")
+
+    // strings have truncated stats — must NOT be answered from the manifest
+    val smax = spark.read.format("lance").load(dir).agg(max($"s"))
+    assert(smax.collect().head.getString(0) == "z")
+    assert(!smax.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+
+    // a fully null column yields SQL NULL, still metadata-only
+    val allNull = s"${tmpDir()}/t7nn"
+    Seq(1L, 2L).toDF("id").withColumn("d", lit(null).cast("double"))
+      .write.format("lance").mode("overwrite").save(allNull)
+    val nn = spark.read.format("lance").load(allNull).agg(min($"d"), count($"d"))
+    val rn = nn.collect().head
+    assert(rn.isNullAt(0) && rn.getLong(1) == 0L)
+    assert(nn.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+
+    // NaN poisons double stats — the manifest path must bail to a real
+    // scan. (Parquet FOOTER agg pushdown is disabled here: Spark's own
+    // footer path errors on NaN-omitted parquet stats, a limitation of
+    // that conf, not of this connector.)
+    val withNan = s"${tmpDir()}/t7nan"
+    Seq(1.0, Double.NaN, 3.0).toDF("v")
+      .write.format("lance").mode("overwrite").save(withNan)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    try {
+      val nan = spark.read.format("lance").load(withNan).agg(max($"v"))
+      assert(nan.collect().head.getDouble(0).isNaN) // Spark: NaN > everything
+      assert(!nan.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+
+    // write.stats=false leaves no stats — count(*) still works, min does not
+    val noStats = s"${tmpDir()}/t7ns"
+    Seq(1L, 2L).toDF("id").write.format("lance")
+      .option("write.stats", "false").mode("overwrite").save(noStats)
+    val ns = spark.read.format("lance").load(noStats).agg(min($"id"))
+    assert(ns.collect().head.getLong(0) == 1L)
+    assert(!ns.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
   test("vector columns round-trip through lance fragments") {
     val dir = s"${tmpDir()}/t8"
     val df = Tables.t(spark, sf, "embeddings")
