@@ -99,6 +99,7 @@ object MetaTvfs {
         val rows = graft.format.LanceFormat.listVersions(fs, root).map { v =>
           val m = graft.format.LanceFormat.readManifest(fs, root, v)
           Row(v, m.fragments.size, m.rowCount,
+            m.operation.orNull,
             m.epochId.map(Long.box).orNull,
             new java.sql.Timestamp(m.committedAtMs))
         }
@@ -106,6 +107,7 @@ object MetaTvfs {
           new StructType().add("version", LongType, nullable = false)
             .add("n_fragments", IntegerType, nullable = false)
             .add("n_rows", LongType, nullable = false)
+            .add("operation", StringType) // null on pre-field manifests
             .add("epoch_id", LongType)
             .add("committed_at", TimestampType, nullable = false))
       case _ =>

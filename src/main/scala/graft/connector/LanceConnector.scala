@@ -199,10 +199,10 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
   * `LanceSplit.java:53,92-94`) — on a 100 TB dataset that is one JSON
   * read instead of opening a million parquet footers. Served only when
   * every fragment's stats PROVE the exact answer (numeric/date/timestamp/
-  * boolean columns; strings are excluded — their stats are truncated
-  * bounds, not attained values; NaN or missing stats bail out). Anything
-  * else (grouped, filtered, distinct, other types) falls through to
-  * Spark's parquet footer pushdown.
+  * boolean columns always; strings only when no bound hit the truncation
+  * cap — a clipped bound is not an attained value; NaN or missing stats
+  * bail out). Anything else (grouped, filtered, distinct, other types)
+  * falls through to Spark's parquet footer pushdown.
   */
 class LanceScanBuilder(spark: SparkSession,
     index: InMemoryFileIndex, dataSchema: StructType,
@@ -226,8 +226,8 @@ class LanceScanBuilder(spark: SparkSession,
   /** Exact global MIN/MAX of a column from per-fragment stats, or None
     * when the stats cannot PROVE it: a fragment without a stats entry, a
     * bound missing for any reason other than an all-null fragment (NaN
-    * observed, pre-stats manifest), or a type whose stored bounds are not
-    * attained values (strings are truncated). All-null fragments are
+    * observed, pre-stats manifest), or a bound that may not be an attained
+    * value (a string at the truncation cap). All-null fragments are
     * skipped; a fully null column yields SQL NULL, like the engine's MIN.
     */
   private def minMaxFromStats(f: StructField, frags: Seq[FragmentMeta],
@@ -268,7 +268,19 @@ class LanceScanBuilder(spark: SparkSession,
             if ((a.compareTo(b) <= 0) == isMin) a else b)
           Some(Decimal(v.setScale(d.scale)))
         }
-      case _ => None // strings (truncated bounds) and everything else
+      case StringType =>
+        // string stats are truncated at MaxStatLength: a bound of exactly
+        // that length is ambiguous (attained or clipped), so the answer is
+        // provable only when EVERY fragment bound is strictly shorter.
+        // Compare as UTF8String (code-point order, matching Spark and
+        // parquet) — Java String.compareTo diverges on supplementary chars.
+        if (!bs.forall(_.length < graft.format.FragmentStats.MaxStatLength)) None
+        else {
+          val us = bs.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+          if (us.isEmpty) Some(null)
+          else Some(us.reduce((a, b) => if ((a.compareTo(b) <= 0) == isMin) a else b))
+        }
+      case _ => None // non-stats-eligible types
     }
   }
 

@@ -436,7 +436,8 @@ object LanceQueries {
     // VectorFunctions.register; a no-op under Verify/Bench
     graft.MetaTvfs.register(spark)
     spark.sql(
-      s"SELECT version, n_fragments, n_rows FROM lance_versions('$dest') ORDER BY version")
+      s"SELECT version, n_fragments, n_rows, operation FROM lance_versions('$dest') " +
+        "ORDER BY version")
   }
 
   /** Maintenance through SQL `CALL` (Iceberg-style procedures on the
@@ -996,9 +997,11 @@ object LanceQueries {
     // row counts recomputed from the source table
     "s68_meta_tvf" ->
       """SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS INT) AS n_fragments,
-        | (SELECT COUNT(*) FROM nation WHERE n_regionkey <= 1) AS n_rows
+        | (SELECT COUNT(*) FROM nation WHERE n_regionkey <= 1) AS n_rows,
+        | 'overwrite' AS operation
         |UNION ALL
-        |SELECT CAST(2 AS BIGINT), CAST(2 AS INT), (SELECT COUNT(*) FROM nation)
+        |SELECT CAST(2 AS BIGINT), CAST(2 AS INT),
+        | (SELECT COUNT(*) FROM nation), 'append'
         |ORDER BY version""".stripMargin,
     "s66_zorder_prune" ->
       """SELECT event_id, user_id, value FROM events

@@ -268,6 +268,26 @@ class FormatPropertySpec extends AnyFunSuite {
         frags.map(f => (f.file, f.rowCount)))
       assert(back.rowCount == counts.sum)
       assert(back.version == committed.version)
+      assert(back.operation.contains("append"))
     }
+  }
+
+  test("manifests written before the operation field parse with operation=None") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "fmt-legacy-")
+      .toAbsolutePath.toString
+    val root = new Path(dir)
+    val fs = LanceFormat.fileSystem(root, new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(new Path(root, LanceFormat.VersionsDir))
+    // verbatim pre-field manifest JSON (no `operation`, as every round-4
+    // dataset on disk has): the reader must default, not fail — and the
+    // changefeed treats None conservatively (never skip)
+    val legacy =
+      """{"version":1,"schemaJson":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}",
+        |"fragments":[{"id":0,"file":"frag-0.parquet","rowCount":3}],
+        |"committedAtMs":1700000000000}""".stripMargin
+    val out = fs.create(new Path(root, s"${LanceFormat.VersionsDir}/1.manifest.json"))
+    out.write(legacy.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+    val m = LanceFormat.readLatest(fs, root).get
+    assert(m.operation.isEmpty && m.rowCount == 3 && m.epochId.isEmpty)
   }
 }

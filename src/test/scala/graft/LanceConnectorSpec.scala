@@ -138,10 +138,19 @@ class LanceConnectorSpec extends AnyFunSuite {
     assert(!plan.contains("FileScan") && !plan.contains("BatchScan"),
       s"manifest min/max plan read files:\n$plan")
 
-    // strings have truncated stats — must NOT be answered from the manifest
+    // short strings: bounds are attained values, metadata-only
     val smax = spark.read.format("lance").load(dir).agg(max($"s"))
     assert(smax.collect().head.getString(0) == "z")
-    assert(!smax.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(smax.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+
+    // a string at/over the truncation cap is an ambiguous bound — must
+    // NOT be answered from the manifest (the scan must read the data)
+    val longStr = s"${tmpDir()}/t7ls"
+    Seq("short", "x" * 80).toDF("s")
+      .write.format("lance").mode("overwrite").save(longStr)
+    val lmax = spark.read.format("lance").load(longStr).agg(max($"s"))
+    assert(lmax.collect().head.getString(0) == "x" * 80)
+    assert(!lmax.queryExecution.executedPlan.toString.contains("LocalTableScan"))
 
     // a fully null column yields SQL NULL, still metadata-only
     val allNull = s"${tmpDir()}/t7nn"
