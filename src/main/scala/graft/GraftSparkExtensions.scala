@@ -57,14 +57,18 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_fragments"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_fragments"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_fragments", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_changes"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_changes"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_changes", args)))
   }
 }
 
-/** `lance_versions(path)` / `lance_fragments(path[, version])` — metadata
-  * introspection TVFs (DESCRIBE-HISTORY parity): version history and
-  * per-fragment layout straight from the manifests, zero data files
-  * touched. What an operator runs before choosing to compact, vacuum,
-  * cluster, or time-travel.
+/** `lance_versions(path)` / `lance_fragments(path[, version])` /
+  * `lance_changes(path, from, to)` — metadata TVFs (DESCRIBE-HISTORY /
+  * table_changes parity): version history and per-fragment layout come
+  * straight from the manifests with zero data files touched; the change
+  * feed turns a version range into `_change_type` = delete/insert rows
+  * for incremental downstream consumers.
   */
 object MetaTvfs {
   import org.apache.spark.sql.Row
@@ -75,7 +79,7 @@ object MetaTvfs {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
-    Seq("lance_versions", "lance_fragments").foreach { n =>
+    Seq("lance_versions", "lance_fragments", "lance_changes").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -95,6 +99,58 @@ object MetaTvfs {
     val fs = graft.format.LanceFormat.fileSystem(root,
       spark.sessionState.newHadoopConf())
     val df = name match {
+      // Batch change feed over a committed version range (Delta
+      // `table_changes` re-expressed on manifests): walking (from, to],
+      // fragments a commit ADDED become `insert` rows, fragments it
+      // REMOVED become `delete` rows (their files stay on disk until
+      // vacuum — same retention contract as the streaming changefeed),
+      // and row-PRESERVING rewrites (compaction / re-clustering) emit
+      // nothing. Granularity is the fragment: a row-level UPDATE surfaces
+      // its whole rewritten fragment as delete+insert pairs, with the
+      // unchanged rows identical on both sides — the standard CDC shape
+      // for copy-on-write tables without per-row change tracking. Rows
+      // read with the END version's schema (evolved columns null on old
+      // fragments); each arm is an ordinary distributed parquet scan.
+      case "lance_changes" =>
+        require(args.size == 3, "lance_changes(path, fromVersion, toVersion)")
+        val from = literalString(args(1), "lance_changes: fromVersion").toLong
+        val to = literalString(args(2), "lance_changes: toVersion").toLong
+        require(from >= 0 && from <= to,
+          s"lance_changes: need 0 <= fromVersion <= toVersion, got ($from, $to]")
+        val versions = graft.format.LanceFormat.listVersions(fs, root).toSet
+        require(versions.contains(to), s"no version $to at $path")
+        require(from == 0 || versions.contains(from), s"no version $from at $path")
+        val endSchema = graft.format.LanceFormat.readManifest(fs, root, to).schema
+        val outSchema = endSchema
+          .add("_change_type", StringType, nullable = false)
+          .add("_commit_version", LongType, nullable = false)
+        def files(fr: Seq[graft.format.FragmentMeta]) = fr.map(f =>
+          new org.apache.hadoop.fs.Path(
+            graft.format.LanceFormat.dataPath(root), f.file).toString)
+        var prev: Seq[graft.format.FragmentMeta] =
+          if (from == 0) Seq.empty
+          else graft.format.LanceFormat.readManifest(fs, root, from).fragments
+        val arms = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+        ((from + 1) to to).foreach { v =>
+          if (versions.contains(v)) {
+            val m = graft.format.LanceFormat.readManifest(fs, root, v)
+            if (!m.operation.contains("rewrite")) {
+              val prevFiles = prev.map(_.file).toSet
+              val curFiles = m.fragments.map(_.file).toSet
+              val added = m.fragments.filterNot(f => prevFiles.contains(f.file))
+              val removed = prev.filterNot(f => curFiles.contains(f.file))
+              Seq(("insert", added), ("delete", removed)).foreach { case (kind, fr) =>
+                if (fr.nonEmpty) arms += spark.read.schema(endSchema)
+                  .parquet(files(fr): _*)
+                  .withColumn("_change_type", org.apache.spark.sql.functions.lit(kind))
+                  .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+              }
+            }
+            prev = m.fragments
+          }
+        }
+        arms.result().reduceOption(_ unionByName _).getOrElse(
+          spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema))
       case "lance_versions" =>
         val rows = graft.format.LanceFormat.listVersions(fs, root).map { v =>
           val m = graft.format.LanceFormat.readManifest(fs, root, v)

@@ -944,7 +944,41 @@ object LanceQueries {
         min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
   }
 
+  /** Batch change feed (`lance_changes` TVF): supplier keys are dense
+    * 1..N, written as four range-banded fragments; a stats-scoped UPDATE
+    * rewrites exactly the third band (the range conjunct prunes, the
+    * modulo conjunct picks rows), and the change feed over that one
+    * commit must surface the band's pre-image as `delete` rows and its
+    * post-image as `insert` rows — the copy-on-write CDC shape a
+    * downstream incremental consumer applies. The oracle reconstructs
+    * both sides relationally from the raw table.
+    */
+  def s81ChangefeedTvf(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "supplier_cdcfeed")
+    freshDataset(spark, dest)
+    val s = t(spark, dir, "supplier")
+    val n = s.count() // dense keys 1..n
+    val bounds = Seq(0L, n / 4, n / 2, 3 * n / 4, n)
+    (0 until 4).foreach { b =>
+      s.filter(col("s_suppkey") > bounds(b) && col("s_suppkey") <= bounds(b + 1))
+        .coalesce(1)
+        .write.format("lance").mode(if (b == 0) "overwrite" else "append").save(dest)
+    }
+    val vBefore = graft.Lance.versions(spark, dest).last
+    Dml.updateWhere(spark, dest,
+      col("s_suppkey") > lit(n / 2) && col("s_suppkey") <= lit(3 * n / 4) &&
+        pmod(col("s_suppkey"), lit(5)) === 0,
+      Seq("s_acctbal" -> (col("s_acctbal") * 2)))
+    val vAfter = graft.Lance.versions(spark, dest).last
+    graft.MetaTvfs.register(spark)
+    spark.sql(s"SELECT * FROM lance_changes('$dest', $vBefore, $vAfter)")
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("sum_bal"))
+      .orderBy(col("change_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s81_changefeed_tvf" -> s81ChangefeedTvf,
     "s77_fragment_provenance" -> s77FragmentProvenance,
     "s78_merge_runtime_scope" -> s78MergeRuntimeScope,
     "s79_stream_across_compact" -> s79StreamAcrossCompact,
@@ -1032,6 +1066,19 @@ object LanceQueries {
         |   AS sum_bal,
         | TRUE AS scoped
         |FROM supplier""".stripMargin,
+    // the rewritten band's pre-image (deletes, original balances) and
+    // post-image (inserts, %5 keys doubled), reconstructed relationally
+    "s81_changefeed_tvf" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM supplier),
+        |b2 AS (SELECT s.* FROM supplier s, nn
+        |       WHERE s_suppkey > FLOOR(n / 2) AND s_suppkey <= FLOOR(3 * n / 4))
+        |SELECT 'delete' AS change_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM b2
+        |UNION ALL
+        |SELECT 'insert', COUNT(*),
+        | CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal * 2
+        |   ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) FROM b2
+        |ORDER BY change_type""".stripMargin,
     // exact stats: the manifest's answer must equal the data's answer
     "s80_manifest_minmax" ->
       """SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_cust,

@@ -71,6 +71,57 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // time travel: the fragment view of version 1
     val v1 = spark.sql(s"SELECT * FROM lance_fragments('$dir', 1)").collect()
     assert(v1.length == 4 && v1.map(_.getAs[Long]("row_count")).sum == 100L)
+
+    // commit kinds surface in the history
+    val ops = spark.sql(
+      s"SELECT operation FROM lance_versions('$dir') ORDER BY version").collect()
+    assert(ops.map(_.getString(0)).toSeq == Seq("overwrite", "append"))
+  }
+
+  test("lance_changes TVF: version-range change feed with delete/insert rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "changes-tvf-")
+      .toAbsolutePath.toString
+    // v1/v2: two appends of (id, v)
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").coalesce(1)
+      .write.format("lance").mode("overwrite").save(dir)
+    Seq((3L, 3.0), (4L, 4.0)).toDF("id", "v").coalesce(1)
+      .write.format("lance").mode("append").save(dir)
+    // v3: row-preserving compaction — must emit NO changes
+    Lance.compact(spark, dir)
+    // v4: copy-on-write UPDATE rewrites the (now single) fragment
+    operators.Dml.updateWhere(spark, dir,
+      org.apache.spark.sql.functions.col("id") === 3L,
+      Seq("v" -> org.apache.spark.sql.functions.lit(30.0)))
+
+    // full range from 0: snapshot inserts (v1, v2) + compaction silence +
+    // the update's delete/insert pair for the whole rewritten fragment
+    val all = spark.sql(s"SELECT * FROM lance_changes('$dir', 0, 4)")
+      .select("_change_type", "_commit_version", "id", "v")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(all == Set(
+      ("insert", 1L, 1L, 1.0), ("insert", 1L, 2L, 2.0),
+      ("insert", 2L, 3L, 3.0), ("insert", 2L, 4L, 4.0),
+      ("delete", 4L, 1L, 1.0), ("delete", 4L, 2L, 2.0),
+      ("delete", 4L, 3L, 3.0), ("delete", 4L, 4L, 4.0),
+      ("insert", 4L, 1L, 1.0), ("insert", 4L, 2L, 2.0),
+      ("insert", 4L, 3L, 30.0), ("insert", 4L, 4L, 4.0)))
+
+    // narrow range across only the compaction: empty, with the full schema
+    val quiet = spark.sql(s"SELECT * FROM lance_changes('$dir', 2, 3)")
+    assert(quiet.columns.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+    assert(quiet.count() == 0)
+
+    // only the update commit: one delete+insert pair per row
+    val upd = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM lance_changes('$dir', 3, 4) " +
+        "GROUP BY 1 ORDER BY 1").collect()
+    assert(upd.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("delete", 4L), ("insert", 4L)))
+
+    // invalid ranges fail loud
+    intercept[Exception] { spark.sql(s"SELECT * FROM lance_changes('$dir', 4, 3)") }
+    intercept[Exception] { spark.sql(s"SELECT * FROM lance_changes('$dir', 0, 99)") }
   }
 
   test("vector_search TVF: SELECT * FROM vector_search(path, col, vec, k, metric)") {
