@@ -105,7 +105,7 @@ class LanceRowLevelScanBuilder(op: LanceRowLevelOperation, rootStr: String,
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan =
-    new LanceRowLevelScan(op, rootStr, manifest, candidates, spark)
+    new LanceRowLevelScan(op, rootStr, manifest, candidates, spark, options)
 }
 
 /** Fragment-per-partition scan over the candidate fragments of one pinned
@@ -122,7 +122,8 @@ class LanceRowLevelScanBuilder(op: LanceRowLevelOperation, rootStr: String,
   */
 class LanceRowLevelScan(op: LanceRowLevelOperation, rootStr: String,
     manifest: Manifest, initial: Seq[FragmentMeta],
-    spark: SparkSession) extends Scan with Batch
+    spark: SparkSession, options: CaseInsensitiveStringMap)
+    extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
@@ -131,6 +132,18 @@ class LanceRowLevelScan(op: LanceRowLevelOperation, rootStr: String,
   private val root = new Path(rootStr)
   private var candidates: Seq[FragmentMeta] = initial
   op.affected = Some((manifest, candidates))
+
+  /** Vectorized scan over ALL build-time candidates (nothing pushed: the
+    * rewrite needs every row of the fragments it replaces); runtime group
+    * filtering narrows PARTITIONS, not this plan — the reader factory and
+    * chunk planning are file-set-independent, so narrowing is free.
+    */
+  private lazy val innerScan: Scan = {
+    val files = initial.map(f => new Path(LanceFormat.dataPath(root), f.file))
+    val index = new InMemoryFileIndex(spark, files, Map.empty[String, String],
+      Some(manifest.schema), FileStatusCache.getOrCreate(spark), None, None)
+    new ParquetScanBuilder(spark, index, manifest.schema, manifest.schema, options).build()
+  }
 
   override def readSchema(): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
@@ -182,17 +195,11 @@ class LanceRowLevelScan(op: LanceRowLevelOperation, rootStr: String,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    candidates.map(f => LanceFragmentIdPartition(
-      new Path(LanceFormat.dataPath(root), f.file).toString, f.id): InputPartition).toArray
+    LanceFragmentScan.fragmentIdPartitions(
+      innerScan.toBatch.planInputPartitions(), candidates, dropUnlisted = true)
 
-  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
-    val conf = {
-      val c = spark.sessionState.newHadoopConf()
-      c.set("spark.sql.session.timeZone", spark.sessionState.conf.sessionLocalTimeZone)
-      new SerializableConf(c)
-    }
-    new LanceFragmentIdReaderFactory(manifest.schema.json, conf)
-  }
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new LanceFragmentIdReaderFactory(innerScan.toBatch.createReaderFactory())
 
   override def description(): String =
     s"LanceRowLevelScan(${candidates.size}/${manifest.fragments.size} fragments)"

@@ -65,7 +65,7 @@ class FragmentIdSpec extends AnyFunSuite {
     assert(!spark.read.format("lance").load(dir).columns.contains("__fragment_id"))
   }
 
-  test("filters still apply above the row-based metadata scan, and stats prune it") {
+  test("filters still apply above the metadata scan, and stats prune it") {
     val dir = tmpDir()
     clustered(dir)
     val q = spark.read.format("lance").load(dir)
@@ -78,6 +78,18 @@ class FragmentIdSpec extends AnyFunSuite {
     // pruned to the one fragment whose id range can match
     val desc = q.queryExecution.executedPlan.toString
     assert(desc.contains("LanceMetadataScan(1 fragments"), desc)
+  }
+
+  test("metadata scan stays on the vectorized reader (columnar batches)") {
+    val dir = tmpDir()
+    clustered(dir)
+    val q = spark.read.format("lance").load(dir)
+      .select(col("id"), col("__fragment_id"))
+    // ColumnarToRow above the scan = batches flow out of the reader; the
+    // constant-id vector rides each batch instead of a per-row JoinedRow
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    assert(q.count() == 30)
   }
 
   test("catalog SQL resolves __fragment_id") {
