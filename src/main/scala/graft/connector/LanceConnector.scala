@@ -45,10 +45,14 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
     val spark = SparkSession.active
     val root = new Path(path(options))
     val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
-    LanceTable.resolveManifest(fs, root, options)
+    val base = LanceTable.resolveManifest(fs, root, options)
       .map(_.schema)
       .getOrElse(throw new IllegalArgumentException(
         s"no lance dataset at $root (missing ${LanceFormat.VersionsDir})"))
+    // streaming CDC mode: the relation carries the change-row columns
+    if (options.getBoolean(LanceChangeFeed.Option, false))
+      StructType(base.fields ++ LanceChangeFeed.metaFields)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -321,15 +325,29 @@ class LanceScanBuilder(spark: SparkSession,
   }
 
   /** Set when column pruning requests the `__fragment_id` metadata column
-    * ([[LanceFragmentScan]]): the built scan switches to the row-based
+    * ([[LanceFragmentScan]]): the built scan switches to the
     * fragment-per-partition reader that can serve per-row fragment ids.
     */
   private var wantFragmentId = false
 
+  /** Streaming CDC mode (`read.change-feed=true`): the relation includes
+    * `_change_type`/`_commit_version`; pruning records which of them the
+    * query kept (in order) so the stream reader appends exactly those.
+    */
+  private val changeFeed = options.getBoolean(LanceChangeFeed.Option, false)
+  private var changeMeta: Seq[String] =
+    if (changeFeed) LanceChangeFeed.metaFields.map(_.name).toSeq else Seq.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     wantFragmentId =
       requiredSchema.fieldNames.contains(LanceFragmentScan.FragmentIdColumn)
-    super.pruneColumns(LanceFragmentScan.dropFragmentId(requiredSchema))
+    if (changeFeed) changeMeta =
+      requiredSchema.fieldNames.toSeq.filter(LanceChangeFeed.metaNames.contains)
+    // the change-row names are ordinary data columns on any table NOT in
+    // change-feed mode (e.g. a sink that persisted a feed) — strip them
+    // from the parquet-side schema only when this read synthesizes them
+    super.pruneColumns(LanceFragmentScan.dropFragmentId(
+      if (changeFeed) LanceChangeFeed.dropMeta(requiredSchema) else requiredSchema))
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -365,7 +383,10 @@ class LanceScanBuilder(spark: SparkSession,
     }
   }
 
-  override def build(): ParquetScan = manifestAggRow match {
+  override def build(): ParquetScan =
+    if (changeFeed)
+      new LanceChangeFeedScan(statsPruned(super.build()), rootStr, changeMeta)
+    else manifestAggRow match {
     case Some((aggSchema, row)) =>
       new LanceManifestAggScan(super.build(), rootStr, aggSchema, row)
     case None if wantFragmentId =>

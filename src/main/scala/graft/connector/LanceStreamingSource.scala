@@ -34,8 +34,66 @@ case class LanceStreamOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
+/** Streaming CDC mode (`read.change-feed=true`, the streaming twin of the
+  * `lance_changes` TVF): instead of failing on a row-level DML commit, the
+  * stream emits the commit's removed fragments as `_change_type='delete'`
+  * rows and its added fragments as `'insert'` rows (plus
+  * `_commit_version`), so a live downstream consumer applies mutations
+  * instead of restarting from a snapshot. Row-preserving rewrites
+  * (compaction/re-clustering) stay silent, exactly like the TVF and the
+  * plain changefeed.
+  */
+object LanceChangeFeed {
+  val Option = "read.change-feed"
+  val ChangeTypeColumn = "_change_type"
+  val CommitVersionColumn = "_commit_version"
+  val metaNames: Set[String] = Set(ChangeTypeColumn, CommitVersionColumn)
+
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  val metaFields: Array[StructField] = Array(
+    StructField(ChangeTypeColumn, StringType, nullable = false),
+    StructField(CommitVersionColumn, LongType, nullable = false))
+
+  def dropMeta(schema: StructType): StructType =
+    StructType(schema.fields.filterNot(f => metaNames.contains(f.name)))
+}
+
+/** The scan a `read.change-feed=true` load builds: streaming-only (batch
+  * ranges are the `lance_changes` TVF's job), read schema = pruned data
+  * columns + the requested change-row columns.
+  */
+class LanceChangeFeedScan(inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    rootStr: String, metaCols: Seq[String])
+    extends LanceParquetScan(inner, rootStr) {
+
+  override def readSchema(): StructType = {
+    val metaByName = LanceChangeFeed.metaFields.map(f => f.name -> f).toMap
+    StructType(super.readSchema().fields ++ metaCols.map(metaByName))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    throw new IllegalArgumentException(
+      s"${LanceChangeFeed.Option} is a STREAMING read mode " +
+        "(spark.readStream); for a batch change feed over a committed " +
+        "version range use lance_changes(path, fromVersion, toVersion)")
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val conf = {
+      val c = sparkSession.sessionState.newHadoopConf()
+      c.set("spark.sql.session.timeZone",
+        sparkSession.sessionState.conf.sessionLocalTimeZone)
+      new SerializableConf(c)
+    }
+    new LanceMicroBatchStream(rootStr, super.readSchema().json, conf,
+      scala.Option(inner.options.get("read.max-versions-per-batch")).map(_.toLong),
+      changeFeedMeta = Some(metaCols))
+  }
+}
+
 class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
-    conf: SerializableConf, maxVersionsPerBatch: Option[Long] = None)
+    conf: SerializableConf, maxVersionsPerBatch: Option[Long] = None,
+    changeFeedMeta: Option[Seq[String]] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -79,10 +137,40 @@ class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
 
   override def commit(end: Offset): Unit = ()
 
+  /** CDC planning: every version's added fragments emit `insert` rows and
+    * its removed fragments emit `delete` rows (read from the PREVIOUS
+    * manifest's files, which stay on disk until vacuum); row-preserving
+    * rewrites emit nothing. Unlike the plain changefeed there is no
+    * fail-loud — representing row change is the point of the mode.
+    */
+  private def planChangePartitions(sv: Long, ev: Long): Array[InputPartition] = {
+    val out = Array.newBuilder[InputPartition]
+    var prev: Seq[graft.format.FragmentMeta] =
+      if (sv == 0L) Seq.empty else LanceFormat.readManifest(fs, root, sv).fragments
+    ((sv + 1) to ev).foreach { v =>
+      val m = LanceFormat.readManifest(fs, root, v)
+      if (!m.operation.contains("rewrite")) {
+        val prevFiles = prev.map(_.file).toSet
+        val curFiles = m.fragments.map(_.file).toSet
+        def part(f: graft.format.FragmentMeta, kind: String) =
+          LanceChangePartition(
+            new Path(LanceFormat.dataPath(root), f.file).toString,
+            f.rowCount, kind, v)
+        m.fragments.filterNot(f => prevFiles.contains(f.file))
+          .foreach(f => out += part(f, "insert"))
+        prev.filterNot(f => curFiles.contains(f.file))
+          .foreach(f => out += part(f, "delete"))
+      }
+      prev = m.fragments
+    }
+    out.result()
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val sv = start.asInstanceOf[LanceStreamOffset].version
     val ev = end.asInstanceOf[LanceStreamOffset].version
     if (ev <= sv) return Array.empty
+    if (changeFeedMeta.isDefined) return planChangePartitions(sv, ev)
     val before =
       if (sv == 0L) Set.empty[String]
       else LanceFormat.readManifest(fs, root, sv).fragments.map(_.file).toSet
@@ -131,9 +219,59 @@ class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LanceFragmentReaderFactory(readSchemaJson, conf)
+    changeFeedMeta match {
+      case Some(meta) => new LanceChangeReaderFactory(readSchemaJson, meta, conf)
+      case None => new LanceFragmentReaderFactory(readSchemaJson, conf)
+    }
 
   override def stop(): Unit = ()
+}
+
+/** One emitted change unit: a fragment file + the change kind and commit
+  * version its rows carry. `rowCount` enables the zero-I/O path when the
+  * query projects only the change-row columns.
+  */
+case class LanceChangePartition(file: String, rowCount: Long,
+    changeType: String, version: Long) extends InputPartition
+
+/** Serves `data columns ++ requested change-row columns` per partition:
+  * the data part rides the ordinary fragment reader, the constants are
+  * joined per row. A projection of ONLY change-row columns (count of
+  * deletes per commit, say) never opens the file — the manifest's
+  * rowCount drives an empty-row emitter.
+  */
+class LanceChangeReaderFactory(readSchemaJson: String, metaCols: Seq[String],
+    conf: SerializableConf) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LanceChangePartition]
+    val full = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
+    val dataSchema = LanceChangeFeed.dropMeta(full)
+    val metaVals: Array[Any] = metaCols.map {
+      case LanceChangeFeed.ChangeTypeColumn =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(p.changeType)
+      case LanceChangeFeed.CommitVersionColumn => p.version
+      case other => throw new IllegalStateException(s"unknown change column $other")
+    }.toArray
+    val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(metaVals)
+    if (dataSchema.isEmpty) {
+      new PartitionReader[InternalRow] {
+        private var remaining = p.rowCount
+        override def next(): Boolean = { remaining -= 1; remaining >= 0 }
+        override def get(): InternalRow = metaRow
+        override def close(): Unit = ()
+      }
+    } else {
+      val inner = new LanceFragmentReaderFactory(dataSchema.json, conf)
+        .createReader(LanceFragmentPartition(p.file))
+      new PartitionReader[InternalRow] {
+        private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = joined(inner.get(), metaRow)
+        override def close(): Unit = inner.close()
+      }
+    }
+  }
 }
 
 case class LanceFragmentPartition(file: String) extends InputPartition

@@ -977,7 +977,50 @@ object LanceQueries {
       .orderBy(col("change_type"))
   }
 
+  /** Streaming CDC feed (`read.change-feed=true`, s81's streaming twin):
+    * a live stream rides THROUGH a row-level UPDATE as delete/insert rows
+    * instead of dying. Run one: snapshot inserts through the exactly-once
+    * lance sink. A stats-scoped UPDATE rewrites one band. Run two on the
+    * same checkpoint: exactly the band's pre-image as deletes and
+    * post-image as inserts. The oracle reconstructs both generations
+    * relationally — a hash match proves change classification, commit
+    * attribution, and the sink's exactly-once epochs in one shot.
+    */
+  def s82StreamCdcFeed(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "supplier_cdc2_src")
+    val dst = scratch(dir, "supplier_cdc2_dst")
+    freshDataset(spark, src); freshDataset(spark, dst); freshDataset(spark, s"$dst-ckpt")
+    val s = t(spark, dir, "supplier")
+    val n = s.count() // dense keys 0..n-1
+    val bounds = Seq(0L, n / 4, n / 2, 3 * n / 4, n)
+    (0 until 4).foreach { b =>
+      s.filter(col("s_suppkey") >= bounds(b) && col("s_suppkey") < bounds(b + 1))
+        .coalesce(1)
+        .write.format("lance").mode(if (b == 0) "overwrite" else "append").save(src)
+    }
+    def run(): Unit = withStreamShufflePartitions(spark) {
+      val q = spark.readStream.format("lance")
+        .option("read.change-feed", "true").load(src)
+        .writeStream.format("lance")
+        .option("checkpointLocation", s"$dst-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    run() // snapshot: every band as insert rows
+    Dml.updateWhere(spark, src,
+      col("s_suppkey") >= lit(n / 2) && col("s_suppkey") < lit(3 * n / 4) &&
+        pmod(col("s_suppkey"), lit(5)) === 0,
+      Seq("s_acctbal" -> (col("s_acctbal") * 2)))
+    run() // resumes: the rewritten band's delete+insert pair
+    spark.read.format("lance").load(dst)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("sum_bal"))
+      .orderBy(col("change_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s82_stream_cdc_feed" -> s82StreamCdcFeed,
     "s81_changefeed_tvf" -> s81ChangefeedTvf,
     "s77_fragment_provenance" -> s77FragmentProvenance,
     "s78_merge_runtime_scope" -> s78MergeRuntimeScope,
@@ -1066,6 +1109,23 @@ object LanceQueries {
         |   AS sum_bal,
         | TRUE AS scoped
         |FROM supplier""".stripMargin,
+    // feed contents across both runs: full snapshot as inserts, plus the
+    // rewritten band's pre-image (deletes) and post-image (inserts); the
+    // insert side sums ONE decimal total so rounding matches dsum exactly
+    "s82_stream_cdc_feed" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM supplier),
+        |b2 AS (SELECT s.* FROM supplier s, nn
+        |       WHERE s_suppkey >= FLOOR(n / 2) AND s_suppkey < FLOOR(3 * n / 4)),
+        |ins AS (SELECT s_acctbal FROM supplier
+        |        UNION ALL
+        |        SELECT CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal * 2
+        |          ELSE s_acctbal END FROM b2)
+        |SELECT 'delete' AS change_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM b2
+        |UNION ALL
+        |SELECT 'insert', COUNT(*),
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) FROM ins
+        |ORDER BY change_type""".stripMargin,
     // the rewritten band's pre-image (deletes, original balances) and
     // post-image (inserts, %5 keys doubled), reconstructed relationally
     "s81_changefeed_tvf" ->

@@ -137,6 +137,67 @@ class LanceStreamingReadSpec extends AnyFunSuite {
       .exists(_.contains("cannot flow through a changefeed")), e.getMessage)
   }
 
+  test("change-feed stream emits delete/insert rows across a row-level update") {
+    val dir = s"${tmp()}/cdcfeed"
+    val ckpt = s"${tmp()}/cdcfeed-ckpt"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+      .write.format("lance").mode("append").save(dir)
+    def run(): Set[(String, Long, Long, String)] = {
+      val got = scala.collection.mutable.Set.empty[(String, Long, Long, String)]
+      val q = spark.readStream.format("lance")
+        .option("read.change-feed", "true").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("_change_type", "_commit_version", "id", "s").collect()
+            .foreach(r => got.synchronized {
+              got += ((r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+            })
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSet
+    }
+    assert(run() == Set(("insert", 1L, 1L, "a"), ("insert", 1L, 2L, "b")))
+    // v2: copy-on-write UPDATE — the plain changefeed would fail loud
+    // here; the CDC mode emits the fragment's pre- and post-image
+    operators.Dml.updateWhere(spark, dir,
+      org.apache.spark.sql.functions.col("id") === 2L,
+      Seq("s" -> org.apache.spark.sql.functions.lit("B")))
+    assert(run() == Set(
+      ("delete", 2L, 1L, "a"), ("delete", 2L, 2L, "b"),
+      ("insert", 2L, 1L, "a"), ("insert", 2L, 2L, "B")))
+  }
+
+  test("change-feed: meta-only projection and batch rejection") {
+    val dir = s"${tmp()}/cdcfeed2"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1)
+      .write.format("lance").mode("append").save(dir)
+    // projecting only the change-row columns counts rows without opening
+    // data files (manifest rowCount drives the reader)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = spark.readStream.format("lance")
+      .option("read.change-feed", "true").load(dir)
+      .select($"_change_type", $"_commit_version")
+      .writeStream.option("checkpointLocation", s"${tmp()}/cdcfeed2-ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => got.synchronized {
+          got += ((r.getString(0), r.getLong(1)))
+        })
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(got.toSeq == Seq.fill(3)(("insert", 1L)))
+    // a batch read of the mode points at the TVF instead
+    val e = intercept[Exception] {
+      spark.read.format("lance").option("read.change-feed", "true")
+        .load(dir).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).flatMap(c => Option(c.getMessage))
+      .exists(_.contains("lance_changes")), e)
+  }
+
   test("streaming read prunes columns to the query projection") {
     val dir = s"${tmp()}/src4"
     Seq((1L, "x", 1.5)).toDF("id", "s", "v")
