@@ -418,7 +418,8 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String)
       new SerializableConf(c)
     }
     new LanceMicroBatchStream(rootStr, readSchema().json, conf,
-      Option(inner.options.get("read.max-versions-per-batch")).map(_.toLong))
+      Option(inner.options.get("read.max-versions-per-batch")).map(_.toLong),
+      sinceVersion = Option(inner.options.get("read.since-version")).map(_.toLong))
   }
 }
 

@@ -87,13 +87,15 @@ class LanceChangeFeedScan(inner: org.apache.spark.sql.execution.datasources.v2.p
     }
     new LanceMicroBatchStream(rootStr, super.readSchema().json, conf,
       scala.Option(inner.options.get("read.max-versions-per-batch")).map(_.toLong),
-      changeFeedMeta = Some(metaCols))
+      changeFeedMeta = Some(metaCols),
+      sinceVersion = scala.Option(inner.options.get("read.since-version")).map(_.toLong))
   }
 }
 
 class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
     conf: SerializableConf, maxVersionsPerBatch: Option[Long] = None,
-    changeFeedMeta: Option[Seq[String]] = None)
+    changeFeedMeta: Option[Seq[String]] = None,
+    sinceVersion: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -127,7 +129,20 @@ class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
     LanceStreamOffset(maxVersionsPerBatch.fold(capped)(m => math.min(capped, sv + m)))
   }
 
-  override def initialOffset(): Offset = LanceStreamOffset(0L)
+  /** Fresh-checkpoint start position. Default 0 = full snapshot first.
+    * `read.since-version=N` (the Delta startingVersion analogue) attaches
+    * mid-history: the first batch emits the changes AFTER version N —
+    * what a CDC consumer that already holds a copy of version N wants.
+    * Only consulted on a fresh checkpoint; resumes keep their offset.
+    */
+  override def initialOffset(): Offset = {
+    sinceVersion.foreach { v =>
+      require(v == 0 || LanceFormat.listVersions(fs, root).contains(v),
+        s"read.since-version=$v: no such committed version at $root " +
+          "(it may have been vacuumed; start from a retained version)")
+    }
+    LanceStreamOffset(sinceVersion.getOrElse(0L))
+  }
 
   override def latestOffset(): Offset =
     LanceStreamOffset(LanceFormat.latestVersion(fs, root).getOrElse(0L))

@@ -198,6 +198,42 @@ class LanceStreamingReadSpec extends AnyFunSuite {
       .exists(_.contains("lance_changes")), e)
   }
 
+  test("read.since-version attaches mid-history: only later commits stream") {
+    val dir = s"${tmp()}/sincev"
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "s").coalesce(1)
+        .write.format("lance").mode("append").save(dir)
+    }
+    def run(opts: Map[String, String], ckpt: String): Seq[Long] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val reader = opts.foldLeft(spark.readStream.format("lance")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id").as[Long].collect()
+            .foreach(v => got.synchronized { got += v })
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSeq.sorted
+    }
+    // plain stream: skip the snapshot, emit versions (1, 3]
+    assert(run(Map("read.since-version" -> "1"), s"${tmp()}/sv-ckpt1") == Seq(2L, 3L))
+    // CDC stream: same base semantics
+    assert(run(Map("read.since-version" -> "2", "read.change-feed" -> "true"),
+      s"${tmp()}/sv-ckpt2") == Seq(3L))
+    // unknown base fails loud instead of silently snapshotting
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Map("read.since-version" -> "42"), s"${tmp()}/sv-ckpt3")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).flatMap(c => Option(c.getMessage))
+      .exists(_.contains("since-version")), e.getMessage)
+  }
+
   test("streaming read prunes columns to the query projection") {
     val dir = s"${tmp()}/src4"
     Seq((1L, "x", 1.5)).toDF("id", "s", "v")
