@@ -166,6 +166,14 @@ class LanceStreamingReadSpec extends AnyFunSuite {
     assert(run() == Set(
       ("delete", 2L, 1L, "a"), ("delete", 2L, 2L, "b"),
       ("insert", 2L, 1L, "a"), ("insert", 2L, 2L, "B")))
+    // v3: row-preserving compaction is silent in CDC mode too (its
+    // delete+insert pairs would be pure noise — no row changed)
+    Lance.compact(spark, dir)
+    assert(run() == Set.empty)
+    // v4: append after the compaction flows as plain inserts
+    Seq((3L, "c")).toDF("id", "s").coalesce(1)
+      .write.format("lance").mode("append").save(dir)
+    assert(run() == Set(("insert", 4L, 3L, "c")))
   }
 
   test("change-feed: meta-only projection and batch rejection") {
