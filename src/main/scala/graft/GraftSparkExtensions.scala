@@ -60,6 +60,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_changes"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_changes"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_changes", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_fts"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_fts"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_fts", args)))
   }
 }
 
@@ -79,7 +82,7 @@ object MetaTvfs {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
-    Seq("lance_versions", "lance_fragments", "lance_changes").foreach { n =>
+    Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -151,6 +154,14 @@ object MetaTvfs {
         }
         arms.result().reduceOption(_ unionByName _).getOrElse(
           spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema))
+      // BM25 over the persisted inverted index (graft.index.FtsIndex) —
+      // the scalar-index sibling of the vector_search TVF
+      case "lance_fts" =>
+        require(args.size == 4, "lance_fts(path, column, query, k)")
+        graft.index.FtsIndex.search(spark, path,
+          literalString(args(1), "lance_fts: column"),
+          literalString(args(2), "lance_fts: query"),
+          literalString(args(3), "lance_fts: k").toInt)
       case "lance_versions" =>
         val rows = graft.format.LanceFormat.listVersions(fs, root).map { v =>
           val m = graft.format.LanceFormat.readManifest(fs, root, v)

@@ -392,6 +392,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"), col("lang"))
 
+  /** BM25 terms/k of the t40 gate — shared with its oracle so the probe
+    * and the SQL twin cannot drift. "the" is a near-stopword (df ≈ N):
+    * its idf collapses toward 0, exercising the full idf spread.
+    */
+  private val bm25Terms = Seq("spark", "vector", "join", "merge", "the")
+  private val bm25K = 15
+
+  /** Full-text search (t40): build the persisted inverted index over
+    * `documents.text` once (sidecar parquet under the scratch path, like
+    * the vector-index gates), then BM25 top-k through it. Correctness
+    * covers the whole path: tokenize → posting lists → pushed term
+    * filter → df broadcast → decimal-rounded scoring → top-k. See
+    * [[graft.index.FtsIndex]] for the scale contract.
+    */
+  def t40Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.FtsIndex
+    val dest = graft.Tables.scratch(dir, "docs_fts_v1")
+    val mp = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${FtsIndex.indexPath(dest, "text")}/fts.json").getAbsolutePath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp))
+      FtsIndex.build(spark, t(spark, dir, "documents"), "text", "doc_id", dest)
+    FtsIndex.search(spark, dest, "text", bm25Terms.mkString(" "), bm25K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t35_bpe_tokens" -> t35BpeTokens,
     "t37_decontaminate" -> t37Decontaminate,
@@ -403,6 +428,7 @@ object TextAnalysis {
     "t33_quality" -> t33Quality,
     "t34_fingerprint" -> t34Fingerprint,
     "t39_repetition" -> t39Repetition,
+    "t40_bm25" -> t40Bm25,
     "p73_budget_mix" -> p73BudgetMix,
     "p74_stratified_sample" -> p74StratifiedSample,
     "p75_hash_split" -> p75HashSplit,
@@ -503,6 +529,29 @@ object TextAnalysis {
            |      i -> concat_ws(' ', $dWords[i], $dWords[i + 1], $dWords[i + 2]))
            |  END AS grams FROM documents)
            |ORDER BY doc_id""".stripMargin,
+      // BM25 twin of FtsIndex.search: identical arithmetic order, each
+      // contribution rounded to DECIMAL(18,6) before the order-insensitive
+      // per-doc sum (absorbs any 1-ulp ln() difference between engines)
+      "t40_bm25" -> {
+        val inList = bm25Terms.map(w => s"'$w'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, len($dWords) AS dl,
+           |    unnest($dWords) AS term FROM documents),
+           |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+           |  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len($dWords)) AS BIGINT) AS sumdl FROM documents)
+           |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM (
+           |  SELECT post.doc_id, CAST(
+           |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)
+           |          / (CAST(df AS DOUBLE) + 0.5)))
+           |        * (tf * CAST(2.2 AS DOUBLE)))
+           |      / (tf + 1.2 * (0.25 + (0.75 * dl)
+           |          / (CAST((SELECT sumdl FROM st) AS DOUBLE) / (SELECT n FROM st))))
+           |    AS DECIMAL(18,6)) AS c
+           |  FROM post JOIN dfs USING (term))
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
       // same quality formula as t33 (one Scala definition feeds both Spark
       // sides; this SQL mirrors the t33 oracle), ranked prefix per language
       "p73_budget_mix" ->

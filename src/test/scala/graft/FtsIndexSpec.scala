@@ -1,0 +1,109 @@
+package graft
+
+import graft.index.FtsIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Full-text index: build layout, BM25 ranking on a hand-checkable corpus,
+  * pushed term filter (only probed posting lists leave storage), and
+  * determinism of the rounded score across repartitionings.
+  */
+class FtsIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // Tiny corpus with known statistics: "rare" appears once in doc 1;
+  // "common" in every doc; doc 3 is long (length normalization must
+  // push its score below short doc 1's for query "rare common").
+  private val corpus = Seq(
+    (1L, "rare common alpha"),
+    (2L, "common beta beta gamma"),
+    (3L, "common " + Seq.fill(40)("filler").mkString(" ")),
+    (4L, "alpha beta common gamma delta"))
+
+  private lazy val datasetPath = {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "fts-test-")
+      .toAbsolutePath.toString
+    s"$dir/docs"
+  }
+
+  private lazy val meta = {
+    val df = corpus.toDF("doc_id", "text")
+    FtsIndex.build(spark, df, "text", "doc_id", datasetPath, numTermPartitions = 4)
+  }
+
+  test("build records corpus stats and writes hash-partitioned postings") {
+    assert(meta.numDocs == 4)
+    val expectedSumDl = corpus.map(_._2.split(" ").length.toLong).sum
+    assert(meta.sumDl == expectedSumDl)
+    val loaded = FtsIndex.loadMeta(spark, datasetPath, "text")
+    assert(loaded == meta)
+    val postings = spark.read.parquet(
+      s"${FtsIndex.indexPath(datasetPath, "text")}/postings")
+    // one row per (term, doc); tf aggregated — "beta" in doc 2 has tf=2
+    val beta2 = postings.filter($"term" === "beta" && $"doc" === 2L)
+      .select($"tf", $"dl").collect()
+    assert(beta2.toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((2L, 4L)))
+  }
+
+  test("bm25 ranks rare-term hit first and length-penalizes long docs") {
+    assert(meta.numDocs == 4)
+    val top = FtsIndex.search(spark, datasetPath, "text", "rare common", 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 1 holds the only "rare" posting -> far ahead of common-only docs
+    assert(top.head._1 == 1L)
+    assert(top.head._2 > top(1)._2 * 2)
+    // all four docs contain "common", so all four surface
+    assert(top.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // doc 3 (41 tokens of filler) is length-normalized below the short
+    // common-only docs
+    assert(top.last._1 == 3L)
+    // scores strictly ordered (desc) with doc-id tie-break
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("query terms reach the postings scan as a pushed In filter") {
+    assert(meta.numDocs == 4)
+    val plan = FtsIndex.search(spark, datasetPath, "text", "rare common", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"expected pushed term filter in plan:\n$plan")
+  }
+
+  test("absent terms score nothing; unknown-only query returns empty") {
+    assert(meta.numDocs == 4)
+    assert(FtsIndex.search(spark, datasetPath, "text", "zzz qqq", 3).count() == 0)
+    // mixed query: unknown term contributes nothing, known term still hits
+    val hits = FtsIndex.search(spark, datasetPath, "text", "zzz rare", 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(1L))
+  }
+
+  test("rounded score is stable across input partitionings") {
+    assert(meta.numDocs == 4)
+    val a = FtsIndex.search(spark, datasetPath, "text", "common beta alpha", 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // rebuild the same index from a differently-partitioned frame
+    val dir2 = Files.createTempDirectory(java.nio.file.Paths.get("target"), "fts-test2-")
+      .toAbsolutePath.toString
+    val ds2 = s"$dir2/docs"
+    FtsIndex.build(spark, corpus.toDF("doc_id", "text").repartition(7),
+      "text", "doc_id", ds2, numTermPartitions = 2)
+    val b = FtsIndex.search(spark, ds2, "text", "common beta alpha", 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
+  test("lance_fts TVF serves the same result through SQL") {
+    assert(meta.numDocs == 4)
+    MetaTvfs.register(spark)
+    val api = FtsIndex.search(spark, datasetPath, "text", "rare common", 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sql = spark.sql(
+      s"SELECT * FROM lance_fts('$datasetPath', 'text', 'rare common', 2)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sql == api)
+  }
+}
