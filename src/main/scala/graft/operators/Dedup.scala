@@ -489,6 +489,46 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** D49: PARAGRAPH-level dedup — the sub-document variant of d41 (the
+    * Dolma/RefinedWeb "remove boilerplate paragraphs repeated across the
+    * corpus" pass). Documents split into fixed 8-token chunks (the corpus
+    * has no newlines; a real pipeline splits on them — same plan), every
+    * chunk after the first corpus-wide occurrence (first = smallest
+    * (doc_id, idx)) is dropped, and the per-document output reports how
+    * much text survives.
+    *
+    * Scale shape: the ONLY shuffle keys are `(md5(chunk), doc_id, idx,
+    * length)` — the chunk TEXT itself never shuffles (at 100 TB the
+    * paragraph bodies dominate bytes; hashing first makes the exchange
+    * narrow). md5 is 128-bit, so cross-corpus collisions are negligible
+    * and both engines compute it identically. One window over the hash +
+    * one per-doc aggregation; no joins, no collects.
+    */
+  def d49ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    val chunks = t(spark, dir, "documents")
+      .withColumn("__w", expr(words))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(__w) + 7) div 8 - 1)," +
+          " i -> concat_ws(' ', slice(__w, i * 8 + 1, 8)))"))
+        .as(Seq("idx", "chunk")))
+      // narrow the rows BEFORE the shuffle: hash + length are all the
+      // dedup and the report need
+      .select(col("doc_id"), col("idx"), md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("clen"))
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") === 1, col("clen") + 1L).otherwise(0L)).as("__kl"))
+      .withColumn("clean_len",
+        when(col("n_kept") > 0, col("__kl") - 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("clean_len"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d41_exact_dedup" -> d41Exact,
     "d42_jaccard_pairs" -> d42JaccardPairs,
@@ -498,6 +538,7 @@ object Dedup {
     "d46_emb_neardup" -> d46EmbNearDup,
     "d47_srp_neardup" -> d47SrpNearDup,
     "d48_dedup_groups" -> d48DedupGroups,
+    "d49_paragraph_dedup" -> d49ParagraphDedup,
     "p70_curation" -> p70Curation,
   )
 
@@ -558,6 +599,21 @@ object Dedup {
            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
            |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
            |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+      // chunking + keep-first mirrored on md5(chunk) — the narrow key the
+      // engine shuffles; list slicing/join semantics match slice/concat_ws
+      "d49_paragraph_dedup" ->
+        s"""WITH ws AS (SELECT doc_id, $dWords AS w FROM documents),
+           |ch AS (SELECT doc_id, i AS idx,
+           |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk
+           |  FROM ws, (SELECT unnest(generate_series(0, (len(w)+7)//8 - 1)) AS i)),
+           |f AS (SELECT doc_id, idx, length(chunk) AS clen, row_number()
+           |    OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn FROM ch)
+           |SELECT doc_id, COUNT(*) AS n_chunks,
+           |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+           |    THEN SUM(CASE WHEN rn = 1 THEN clen + 1 ELSE 0 END) - 1
+           |    ELSE 0 END AS BIGINT) AS clean_len
+           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // the full curation pipeline: same closure -> non-keeper drop list,
       // t33's quality formula, per-lang aggregate (davg = decimal-exact avg)
       "p70_curation" ->

@@ -417,6 +417,48 @@ object TextAnalysis {
     FtsIndex.search(spark, dest, "text", bm25Terms.mkString(" "), bm25K)
   }
 
+  /** PII patterns shared by t41 and its oracle. Restricted to the regex
+    * dialect intersection of Java (Spark) and RE2 (DuckDB): character
+    * classes, bounded repeats, `\b` — no backreferences, no lookaround.
+    */
+  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val ipPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val phonePat = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII redaction (t41) — the compliance pass every training-data
+    * pipeline runs before export: emails, IPv4s, and phone-shaped numbers
+    * replaced by typed placeholder tokens, with per-source match counts
+    * for the audit trail. The corpus is synthetic (no real PII), so the
+    * gate plants deterministic contact strings derived from doc_id/source
+    * — the redaction machinery (pattern order: emails first, then IPs,
+    * then phones, so a broad pattern can never eat part of a narrower
+    * earlier one), counting, and length accounting are the real thing.
+    *
+    * Pure per-row regex expressions (codegen'd, no UDFs, no shuffle
+    * before the per-source aggregate) — linear at any scale.
+    */
+  def t41PiiRedact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("txt", concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".com"),
+        when(col("doc_id") % 3 =!= 0, concat(lit(" or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0.1"))).otherwise(lit(""))))
+      .withColumn("red",
+        regexp_replace(regexp_replace(regexp_replace(col("txt"),
+          lit(emailPat), lit("<EMAIL>")),
+          lit(ipPat), lit("<IP>")),
+          lit(phonePat), lit("<PHONE>")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("txt"), lit(emailPat))).as("n_emails"),
+        sum(regexp_count(col("txt"), lit(ipPat))).as("n_ips"),
+        sum(regexp_count(col("txt"), lit(phonePat))).as("n_phones"),
+        sum(length(col("red"))).as("sum_len_redacted"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t35_bpe_tokens" -> t35BpeTokens,
     "t37_decontaminate" -> t37Decontaminate,
@@ -429,6 +471,7 @@ object TextAnalysis {
     "t34_fingerprint" -> t34Fingerprint,
     "t39_repetition" -> t39Repetition,
     "t40_bm25" -> t40Bm25,
+    "t41_pii_redact" -> t41PiiRedact,
     "p73_budget_mix" -> p73BudgetMix,
     "p74_stratified_sample" -> p74StratifiedSample,
     "p75_hash_split" -> p75HashSplit,
@@ -552,6 +595,32 @@ object TextAnalysis {
            |  FROM post JOIN dfs USING (term))
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
       },
+      // same planted contact strings, same patterns (RE2/Java-common
+      // dialect), same replacement order; DuckDB needs the explicit 'g'
+      // flag Spark applies by default
+      "t41_pii_redact" ->
+        s"""WITH d AS (SELECT source,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@'
+           |      || source || '.com'
+           |      || CASE WHEN doc_id % 3 <> 0 THEN ' or 555-'
+           |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |         ELSE '' END
+           |      || CASE WHEN doc_id % 2 = 0 THEN ' from 10.'
+           |           || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+           |         ELSE '' END AS txt
+           |  FROM documents),
+           |r AS (SELECT source, txt,
+           |    regexp_replace(regexp_replace(regexp_replace(txt,
+           |      '$emailPat', '<EMAIL>', 'g'),
+           |      '$ipPat', '<IP>', 'g'),
+           |      '$phonePat', '<PHONE>', 'g') AS red
+           |  FROM d)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(regexp_extract_all(txt, '$emailPat'))) AS BIGINT) AS n_emails,
+           |  CAST(SUM(len(regexp_extract_all(txt, '$ipPat'))) AS BIGINT) AS n_ips,
+           |  CAST(SUM(len(regexp_extract_all(txt, '$phonePat'))) AS BIGINT) AS n_phones,
+           |  CAST(SUM(length(red)) AS BIGINT) AS sum_len_redacted
+           |FROM r GROUP BY source ORDER BY source""".stripMargin,
       // same quality formula as t33 (one Scala definition feeds both Spark
       // sides; this SQL mirrors the t33 oracle), ranked prefix per language
       "p73_budget_mix" ->

@@ -220,6 +220,46 @@ class DedupTextSpec extends AnyFunSuite {
       s"missed ${expected.keySet -- got.keySet}, extra ${got.keySet -- expected.keySet}")
   }
 
+  test("paragraph dedup keeps first corpus-wide chunk occurrence, shuffles only hashes") {
+    import spark.implicits._
+    // chunks are 8-token aligned: X repeats at index 0 of both docs, so
+    // doc 20's copy is dropped; Y and Z are unique and survive.
+    val x = (0 until 8).map(i => s"x$i").mkString(" ")
+    val y = (0 until 8).map(i => s"y$i").mkString(" ")
+    val z = (0 until 5).map(i => s"z$i").mkString(" ") // short tail chunk
+    val dir = java.nio.file.Files.createTempDirectory("graft-pardedup").toString
+    Seq((10L, s"$x $y"), (20L, s"$x $z")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val df = Dedup.d49ParagraphDedup(spark, dir)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 10: both chunks kept; clean_len = len(x)+1+len(y)+1-1 = full text len
+    // doc 20: X dropped, only Z kept -> clean_len = len(z)
+    assert(rows.toSeq == Seq(
+      (10L, 2L, 2L, (x.length + 1 + y.length).toLong),
+      (20L, 2L, 1L, z.length.toLong)))
+    // scale guard: the window's exchange partitions on the md5 hash, not
+    // the paragraph text — the chunk string must not reach the shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(h#"), s"expected hash-keyed window:\n$plan")
+  }
+
+  test("pii redaction counts and scrubs planted contacts per source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    (0L until 6L).map(i => (i, "plain words only", if (i < 3) "sa" else "sb"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.t41PiiRedact(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every doc plants 1 email; phone unless doc_id%3==0; ip when doc_id%2==0
+    // sa = ids 0,1,2: emails 3, ips 2 (0,2), phones 2 (1,2)
+    // sb = ids 3,4,5: emails 3, ips 1 (4), phones 2 (4,5)
+    assert(rows.toSeq == Seq(
+      ("sa", 3L, 3L, 2L, 2L),
+      ("sb", 3L, 3L, 1L, 2L)))
+  }
+
   test("LM rarity is >= 1 (inverse probability) and covers every doc") {
     val rows = TextAnalysis.t38LmRarity(spark, sf).collect()
     assert(rows.length == 500)
