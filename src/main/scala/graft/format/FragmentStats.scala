@@ -15,8 +15,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * strings raw (capped at [[FragmentStats.MaxStatLength]] chars). A column
   * with no entry — or an entry with `min`/`max` absent (all-null fragment,
   * NaN observed) — never prunes; `nullCount` is always exact.
+  *
+  * `values` is the EXACT distinct-value set of the fragment's column when
+  * it stayed within [[FragmentStats.ValueSetMaxSize]] values (sorted for
+  * JSON stability; absent on overflow, on float/double columns, and on
+  * manifests written before the field existed). Range bounds cannot prune
+  * point lookups on low-cardinality dictionary-ish columns (`lang = 'fr'`
+  * survives min='de', max='zh' in every fragment); the value set is the
+  * bitmap-index equivalent that can. Strings participate only when every
+  * observed value fits [[FragmentStats.MaxStatLength]] untruncated — a
+  * truncated member could prove a false absence.
   */
-case class ColStats(min: Option[String], max: Option[String], nullCount: Long)
+case class ColStats(min: Option[String], max: Option[String], nullCount: Long,
+  values: Option[Seq[String]] = None)
 
 /** Manifest-level data skipping — the piece of the Lance model that makes
   * selective scans cheap at 100 TB. Parquet row-group pruning only helps
@@ -40,6 +51,13 @@ object FragmentStats {
     */
   val MaxStatLength = 64
 
+  /** Distinct values tracked per column before the set overflows to None.
+    * 32 covers the dictionary-ish columns value sets exist for (languages,
+    * sources, status codes, return flags) while bounding manifest bloat to
+    * ≤ 32 short strings per column per fragment.
+    */
+  val ValueSetMaxSize = 32
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.FragmentStats")
 
   // ---------------------------------------------------------------- write
@@ -62,7 +80,8 @@ object FragmentStats {
     def observe(row: InternalRow, i: Int): Unit
     def minStr: Option[String]
     def maxStr: Option[String]
-    def result: ColStats = ColStats(minStr, maxStr, nulls)
+    def valuesStr: Option[Seq[String]] = None
+    def result: ColStats = ColStats(minStr, maxStr, nulls, valuesStr)
   }
 
   private final class LongTracker(name: String, get: (InternalRow, Int) => Long)
@@ -70,13 +89,28 @@ object FragmentStats {
     private var lo = Long.MaxValue
     private var hi = Long.MinValue
     private var seen = false
+    // exact distinct values while ≤ ValueSetMaxSize: linear scan of a
+    // compact array (no per-row boxing; ≤32 compares, usually a handful)
+    private var vals = new Array[Long](ValueSetMaxSize)
+    private var nVals = 0
     def observe(row: InternalRow, i: Int): Unit = {
       val v = get(row, i); seen = true
       if (v < lo) lo = v
       if (v > hi) hi = v
+      if (nVals >= 0) {
+        var j = 0
+        while (j < nVals && vals(j) != v) j += 1
+        if (j == nVals) {
+          if (nVals == ValueSetMaxSize) { nVals = -1; vals = null } // overflow
+          else { vals(nVals) = v; nVals += 1 }
+        }
+      }
     }
     def minStr: Option[String] = if (seen) Some(lo.toString) else None
     def maxStr: Option[String] = if (seen) Some(hi.toString) else None
+    override def valuesStr: Option[Seq[String]] =
+      if (nVals < 0) None
+      else Some(vals.take(nVals).sorted.map(_.toString).toSeq)
   }
 
   private final class DoubleTracker(name: String, get: (InternalRow, Int) => Double)
@@ -114,12 +148,31 @@ object FragmentStats {
   private final class StringTracker(name: String) extends Tracker(name) {
     private var lo: UTF8String = _
     private var hi: UTF8String = _
+    // exact distinct values while ≤ ValueSetMaxSize AND every member is
+    // short enough to store untruncated (a truncated member could prove
+    // a false absence); cloned on insert (scan rows reuse buffers)
+    private var vals = new Array[UTF8String](ValueSetMaxSize)
+    private var nVals = 0
     def observe(row: InternalRow, i: Int): Unit = {
       val v = row.getUTF8String(i)
       // rows from the scan/shuffle reuse buffers — clone only on a new extreme
       if (lo == null || v.compareTo(lo) < 0) lo = v.clone()
       if (hi == null || v.compareTo(hi) > 0) hi = v.clone()
+      if (nVals >= 0) {
+        if (v.numChars() > MaxStatLength) { nVals = -1; vals = null }
+        else {
+          var j = 0
+          while (j < nVals && !vals(j).equals(v)) j += 1
+          if (j == nVals) {
+            if (nVals == ValueSetMaxSize) { nVals = -1; vals = null }
+            else { vals(nVals) = v.clone(); nVals += 1 }
+          }
+        }
+      }
     }
+    override def valuesStr: Option[Seq[String]] =
+      if (nVals < 0) None
+      else Some(vals.take(nVals).map(_.toString).sorted.toSeq)
     def minStr: Option[String] = // a prefix is always <= the full string
       Option(lo).map(s => truncate(s.toString))
     def maxStr: Option[String] = Option(hi).map(_.toString).flatMap { s =>
@@ -219,10 +272,12 @@ object FragmentStats {
     case IsNotNull(a) => stats.get(a).forall(_.nullCount < rowCount)
 
     case EqualTo(a, v) => boundsAdmit(schema, rowCount, stats, a,
-      lo = Some((v, true)), hi = Some((v, true)))
+      lo = Some((v, true)), hi = Some((v, true))) &&
+      setAdmitsEq(schema, stats, a, v)
     case EqualNullSafe(a, null) => stats.get(a).forall(_.nullCount > 0)
     case EqualNullSafe(a, v) => boundsAdmit(schema, rowCount, stats, a,
-      lo = Some((v, true)), hi = Some((v, true)))
+      lo = Some((v, true)), hi = Some((v, true))) &&
+      setAdmitsEq(schema, stats, a, v)
     case GreaterThan(a, v) => boundsAdmit(schema, rowCount, stats, a,
       lo = Some((v, false)), hi = None)
     case GreaterThanOrEqual(a, v) => boundsAdmit(schema, rowCount, stats, a,
@@ -232,13 +287,15 @@ object FragmentStats {
     case LessThanOrEqual(a, v) => boundsAdmit(schema, rowCount, stats, a,
       lo = None, hi = Some((v, true)))
     case In(a, vs) =>
-      vs.isEmpty || vs.exists(v => v == null || boundsAdmit(schema, rowCount,
-        stats, a, lo = Some((v, true)), hi = Some((v, true))))
+      vs.isEmpty || vs.exists(v => v == null || (boundsAdmit(schema, rowCount,
+        stats, a, lo = Some((v, true)), hi = Some((v, true))) &&
+        setAdmitsEq(schema, stats, a, v)))
 
     case StringStartsWith(a, p) =>
       // strings with prefix p live in [p, upperBound(p))
       boundsAdmit(schema, rowCount, stats, a, lo = Some((p, true)),
-        hi = upperBound(p).map(ub => (ub: Any, false)))
+        hi = upperBound(p).map(ub => (ub: Any, false))) &&
+      setAdmitsPrefix(schema, stats, a, p)
 
     // Not(EqualTo) prunes the constant fragment: every row equal to v
     case Not(EqualTo(a, v)) =>
@@ -290,9 +347,10 @@ object FragmentStats {
       lo = None, hi = Some((v, false)))
     case LessThanOrEqual(a, v) => boundsContain(schema, stats, a,
       lo = None, hi = Some((v, true)))
-    case In(a, vs) => // provable only when the fragment is single-valued
-      vs.nonEmpty && vs.exists(v => v != null && boundsContain(schema, stats, a,
-        lo = Some((v, true)), hi = Some((v, true))))
+    case In(a, vs) => // single-valued bounds, or full value-set coverage
+      (vs.nonEmpty && vs.exists(v => v != null && boundsContain(schema, stats, a,
+        lo = Some((v, true)), hi = Some((v, true))))) ||
+      setCoveredByIn(schema, stats, a, vs)
 
     case _ => false // Not, LIKE, unknown shapes: never claim full coverage
   }
@@ -343,6 +401,52 @@ object FragmentStats {
     }
     verdict.getOrElse(true)
   }
+
+  /** Decoded exact value set, all-or-nothing: one unparsable member voids
+    * the whole set, because an incomplete set could prove a false absence.
+    */
+  private def valueSet(dt: DataType, cs: ColStats): Option[Seq[Any]] =
+    cs.values.flatMap { vs =>
+      val decoded = vs.map(statValue(dt, _))
+      if (decoded.forall(_.isDefined)) Some(decoded.map(_.get)) else None
+    }
+
+  /** True unless the fragment's exact value set PROVES `v` absent — the
+    * point-lookup prune range bounds cannot make on low-cardinality
+    * columns. No set, undecodable set, or unnormalizable literal: admit.
+    */
+  private def setAdmitsEq(schema: StructType, stats: Map[String, ColStats],
+      attr: String, v: Any): Boolean =
+    (for {
+      cs <- stats.get(attr)
+      dt <- schema.fields.find(_.name == attr).map(_.dataType)
+      set <- valueSet(dt, cs)
+      fv <- filterValue(dt, v)
+      ord <- ordering(dt)
+    } yield set.exists(x => ord(x, fv) == 0)).getOrElse(true)
+
+  /** True unless a string column's exact value set proves no member has
+    * prefix `p` (StartsWith is only pushed for strings; the stored set
+    * members are raw untruncated values by construction).
+    */
+  private def setAdmitsPrefix(schema: StructType, stats: Map[String, ColStats],
+      attr: String, p: String): Boolean =
+    !schema.fields.exists(f => f.name == attr && f.dataType == StringType) ||
+      stats.get(attr).flatMap(_.values).forall(_.exists(_.startsWith(p)))
+
+  /** mustMatch arm: the value set PROVES In-coverage — no nulls and every
+    * distinct value equal to some non-null literal of `vs`.
+    */
+  private def setCoveredByIn(schema: StructType, stats: Map[String, ColStats],
+      attr: String, vs: Array[Any]): Boolean =
+    (for {
+      cs <- stats.get(attr)
+      dt <- schema.fields.find(_.name == attr).map(_.dataType)
+      set <- valueSet(dt, cs)
+      ord <- ordering(dt)
+    } yield cs.nullCount == 0 && set.nonEmpty && set.forall(x =>
+      vs.exists(v => v != null && filterValue(dt, v).exists(fv =>
+        ord(x, fv) == 0)))).getOrElse(false)
 
   /** Decode a stored stat string into the column's comparison domain. */
   private def statValue(dt: DataType, s: String): Option[Any] =

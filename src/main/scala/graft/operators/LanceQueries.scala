@@ -512,6 +512,31 @@ object LanceQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Value-set pruning end-to-end (s83): documents land in fragments
+    * grouped by NON-ADJACENT language pairs ({de,zh} / {en,es} / {fr}),
+    * so the {de,zh} fragment's min..max range straddles 'fr' — range
+    * bounds alone cannot prune it; the exact value set in the manifest
+    * can ([[graft.format.FragmentStats]], `ColStats.values`). The gate
+    * hashes the aggregate over the pruned scan; the fragment-count
+    * effect itself is pinned in FragmentStatsSpec.
+    */
+  def s83ValuesetPrune(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "docs_valueset")
+    freshDataset(spark, dest)
+    t(spark, dir, "documents")
+      .withColumn("__pk", expr(
+        "CASE lang WHEN 'de' THEN 0 WHEN 'zh' THEN 0 " +
+          "WHEN 'en' THEN 1 WHEN 'es' THEN 1 ELSE 2 END"))
+      .repartitionByRange(3, col("__pk"))
+      .drop("__pk")
+      .write.format("lance").mode("overwrite").save(dest)
+    spark.read.format("lance").load(dest)
+      .filter(col("lang") === "fr")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** OPTIMIZE ZORDER end-to-end: events rewritten in Z-order on
     * (user_id, value) — every fragment then covers a narrow range of BOTH
     * columns, so the manifest stats prune selective filters on either
@@ -1043,6 +1068,7 @@ object LanceQueries {
     "s69_sql_maintenance" -> s69SqlMaintenance,
     "s63_compact_roundtrip" -> s63CompactRoundtrip,
     "s64_stats_prune_scan" -> s64StatsPruneScan,
+    "s83_valueset_prune" -> s83ValuesetPrune,
     "s65_schema_evolution" -> s65SchemaEvolution,
     "s66_zorder_prune" -> s66ZorderPrune,
     "s70_sql_delete" -> s70SqlDelete,
@@ -1094,6 +1120,10 @@ object LanceQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
         |ORDER BY o_orderkey""".stripMargin,
+    "s83_valueset_prune" ->
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'fr'
+        |GROUP BY source ORDER BY source""".stripMargin,
     // the table after DELETE = the original minus matching rows
     // provenance: fragment id is derivable from the key by construction
     "s77_fragment_provenance" ->

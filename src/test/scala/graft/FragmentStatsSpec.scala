@@ -52,9 +52,10 @@ class FragmentStatsSpec extends AnyFunSuite {
       .toDF("id", "s", "v").coalesce(1)
       .write.format("lance").mode("overwrite").save(dir)
     val st = manifest(dir).fragments.head.stats.get
-    assert(st("id") == ColStats(Some("1"), Some("7"), 0))
-    assert(st("s") == ColStats(Some("apple"), Some("pear"), 1))
-    assert(st("v") == ColStats(Some("-2.0"), Some("1.5"), 0))
+    assert(st("id") == ColStats(Some("1"), Some("7"), 0, Some(Seq("1", "4", "7"))))
+    assert(st("s") == ColStats(Some("apple"), Some("pear"), 1, Some(Seq("apple", "pear"))))
+    // float/double columns never carry value sets
+    assert(st("v") == ColStats(Some("-2.0"), Some("1.5"), 0, None))
   }
 
   test("long strings are truncated to bounds, not dropped") {
@@ -202,6 +203,40 @@ class FragmentStatsSpec extends AnyFunSuite {
     val m = table.filter(col("w").startsWith("me"))
     assert(scannedFiles(m) == 1)
     assert(m.select("w").as[String].collect().sorted.toSeq == Seq("melon"))
+  }
+
+  test("value sets prune point lookups that range bounds cannot") {
+    val dir = s"${tmpDir()}/prune-valueset"
+    // three fragments whose lang RANGES all straddle 'fr' ('de'..'zh',
+    // 'en'..'es' vs 'fr' — only one actually contains it): min/max can
+    // never prune this equality; the exact value set must.
+    val rows = Seq(
+      ("de", 0), ("zh", 0), ("de", 0), // fragment 0: {de, zh}
+      ("en", 1), ("es", 1),            // fragment 1: {en, es}
+      ("fr", 2), ("zh", 2))            // fragment 2: {fr, zh}
+    rows.toDF("lang", "pk").repartitionByRange(3, col("pk")).drop("pk")
+      .write.format("lance").mode("overwrite").save(dir)
+    val m = manifest(dir)
+    assert(m.fragments.size == 3)
+    val withFr = m.fragments.count(_.stats.get("lang").values.exists(_.contains("fr")))
+    assert(withFr == 1, s"expected one fragment holding fr: ${m.fragments.map(_.stats)}")
+
+    val table = spark.read.format("lance").load(dir)
+    val fr = table.filter(col("lang") === "fr")
+    assert(scannedFiles(fr) == 1, "value set should prune the two fr-less fragments")
+    assert(fr.count() == 1)
+    // IN over absent values: zero files
+    val none = table.filter(col("lang").isin("it", "pt"))
+    assert(scannedFiles(none) == 0)
+    assert(none.count() == 0)
+    // overflow: >ValueSetMaxSize distinct values drops the set, never the rows
+    val wide = s"${tmpDir()}/prune-valueset-wide"
+    spark.range(100).select(concat(lit("v"), col("id")).as("s")).coalesce(1)
+      .write.format("lance").mode("overwrite").save(wide)
+    val wideStats = manifest(wide).fragments.head.stats.get("s")
+    assert(wideStats.values.isEmpty)
+    assert(spark.read.format("lance").load(wide)
+      .filter(col("s") === "v42").count() == 1)
   }
 
   test("pre-stats manifests (no stats field) are never pruned") {
