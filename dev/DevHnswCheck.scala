@@ -13,6 +13,9 @@ object DevHnswCheck {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver-regenerated testdata carries isAdjustedToUTC=false; read micros
+      // as session-TZ TIMESTAMP (UTC) like every prior round, not NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

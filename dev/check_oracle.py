@@ -34,6 +34,15 @@ for name in sorted(oracle):
         fail += 1; continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} != {len(want)}"); fail += 1; continue
+    # array columns come back as numpy arrays — unhashable/unsortable;
+    # tuple-ize so sort_values and equals work cell-wise
+    import numpy as np
+    for df in (got, want):
+        for c in df.columns:
+            if df[c].map(lambda v: isinstance(v, (np.ndarray, list))).any():
+                df[c] = df[c].map(lambda v: tuple(v.tolist())
+                                  if isinstance(v, np.ndarray) else
+                                  tuple(v) if isinstance(v, list) else v)
     gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
     dtype_note = ""

@@ -595,7 +595,134 @@ object Relational {
         |  o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** LATERAL explode — one row per word of `p_name` (the tokenize-then-
+    * aggregate shape every text pipeline starts with). Generate is a
+    * per-partition row expansion with no shuffle; the only exchange is
+    * the final small word-count aggregate, and the top-20 rides
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def q41LateralExplode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  /** Distribution window functions — NTILE/PERCENT_RANK/CUME_DIST over a
+    * deterministic total order (acctbal desc, custkey breaks ties, so the
+    * rank-derived doubles are exact small-integer ratios — bit-identical
+    * across engines). One shuffle on the partition key; the quartile
+    * filter bounds the result to ~n/4 rows.
+    */
+  def q42RankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      // bigint: DuckDB's ntile yields BIGINT, Spark's INT — match the oracle
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("quartile") === 1)
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** Bivariate statistics, exactly. Streaming corr/covar/stddev are
+    * partial-order-dependent in ANY distributed engine, so the gated
+    * values are closed forms over DECIMAL-exact moments (one map-side-
+    * combined pass, six sums), identical on both engines; Spark's
+    * built-in `corr`/`covar_samp`/`stddev_samp` are then asserted into a
+    * 1e-6 envelope of those exact values (the q31/q34 pattern: the
+    * approximation is gated by the oracle-replicable exact form).
+    */
+  def q43CorrStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(
+      col("l_quantity").cast("decimal(18,2)").as("x"),
+      col("l_extendedprice").cast("decimal(18,2)").as("y"))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      corr(col("x"), col("y")).as("corr_s"),
+      covar_samp(col("x"), col("y")).as("covar_s"),
+      stddev_samp(col("x")).as("sd_s"))
+    m.select(
+        col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_x"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * (col("n") - 1))).as("covar_x"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))).as("sd_x"),
+        col("corr_s"), col("covar_s"), col("sd_s"))
+      .select(
+        col("n"), round(col("corr_x"), 9).as("corr9"),
+        round(col("covar_x"), 4).as("covar4"), round(col("sd_x"), 6).as("sd6"),
+        (abs(col("corr_s") - col("corr_x")) < 1e-6).as("corr_ok"),
+        (abs(col("covar_s") - col("covar_x")) / col("covar_x") < 1e-9).as("covar_ok"),
+        (abs(col("sd_s") - col("sd_x")) / col("sd_x") < 1e-9).as("sd_ok"))
+  }
+
+  /** Aggregate FILTER clause — per-group conditional aggregation in ONE
+    * pass (the idiomatic form of q23's CASE trick): counts and a decimal
+    * sum each see a different predicate without extra scans or joins.
+    */
+  def q44FilterClause(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_q44")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+        |FROM orders_q44 GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** String function surface — split_part / regexp_extract / upper /
+    * length composed in a grouped aggregate. Patterns stay in the
+    * RE2 ∩ java.util.regex common subset so both engines match
+    * identically; all functions are codegen'd column expressions.
+    */
+  def q45StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        col("p_brand"), col("p_name"))
+      .groupBy(col("type_head"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(upper(col("p_brand"))).as("first_brand"),
+        max(length(col("p_name"))).cast("bigint").as("max_name_len"),
+        countDistinct(regexp_extract(col("p_brand"), "[0-9]+", 0)).as("brand_nums"))
+      .orderBy(col("type_head"))
+
+  /** Sorted ARRAY_AGG top-k — per-customer top-3 order prices as an
+    * ARRAY column (the collect-then-truncate shape feature pipelines use
+    * for "last k events per user"). Partial collect_list combines
+    * map-side; sort_array+slice bound the row to k values, so state per
+    * key is O(orders-per-customer), never global.
+    */
+  def q46ArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(slice(sort_array(collect_list(col("o_totalprice")), asc = false),
+        1, 3).as("top3"))
+      .filter(size(col("top3")) >= 3)
+      .orderBy(col("o_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_lateral_explode" -> q41LateralExplode,
+    "q42_rank_functions" -> q42RankFunctions,
+    "q43_corr_stats" -> q43CorrStats,
+    "q44_filter_clause" -> q44FilterClause,
+    "q45_string_funcs" -> q45StringFuncs,
+    "q46_array_agg" -> q46ArrayAgg,
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
     "q35_pivot" -> q35Pivot,
@@ -639,6 +766,66 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q41_lateral_explode" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part) w
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // rank-derived doubles are exact ratios of small ints under a total
+    // order (custkey tiebreak) — bit-identical across engines
+    "q42_rank_functions" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, quartile, pct_rank, cume
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ntile(4) OVER w AS quartile,
+        |    percent_rank() OVER w AS pct_rank,
+        |    cume_dist() OVER w AS cume
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey)) r
+        |WHERE quartile = 1 ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    // closed forms over DECIMAL-exact moments, the same double expression
+    // tree on both sides; the _ok flags replicate as literal true (the
+    // oracle plants the envelope outcome, q31/q34 pattern)
+    "q43_corr_stats" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem)
+        |SELECT n,
+        |  ROUND((n * sxy - sx * sy) /
+        |    SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr9,
+        |  ROUND((n * sxy - sx * sy) / (n * (n - 1)), 4) AS covar4,
+        |  ROUND(SQRT((n * sxx - sx * sx) / (n * (n - 1))), 6) AS sd6,
+        |  true AS corr_ok, true AS covar_ok, true AS sd_ok
+        |FROM m""".stripMargin,
+    "q44_filter_clause" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q45_string_funcs" ->
+      """SELECT split_part(p_type, ' ', 1) AS type_head,
+        |  COUNT(*) AS n,
+        |  MIN(upper(p_brand)) AS first_brand,
+        |  MAX(length(p_name)) AS max_name_len,
+        |  COUNT(DISTINCT regexp_extract(p_brand, '[0-9]+')) AS brand_nums
+        |FROM part GROUP BY type_head ORDER BY type_head""".stripMargin,
+    "q46_array_agg" ->
+      """SELECT o_custkey,
+        |  (list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top3
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 3 ORDER BY o_custkey""".stripMargin,
     // both engines compute lower + (upper - lower) * frac on doubles —
     // bit-identical interpolation (verified at sf0.01 and sf0.1)
     "q33_percentiles" ->

@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver-regenerated testdata carries isAdjustedToUTC=false; read micros
+      // as session-TZ TIMESTAMP (UTC) like every prior round, not NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -136,5 +139,41 @@ class RelationalSpec extends AnyFunSuite {
     val r = operators.Relational.q31ApproxDistinct(spark, sf).collect().head
     assert(r.getLong(0) > 0)
     assert(r.getBoolean(1), s"approx_count_distinct drifted >5% off ${r.getLong(0)}")
+  }
+
+  test("q43 built-in corr/covar/stddev sit inside the exact-moment envelope") {
+    val r = operators.Relational.q43CorrStats(spark, sf).collect().head
+    assert(r.getAs[Long]("n") > 0)
+    assert(r.getAs[Boolean]("corr_ok"), "corr drifted off the exact closed form")
+    assert(r.getAs[Boolean]("covar_ok"), "covar_samp drifted off the exact closed form")
+    assert(r.getAs[Boolean]("sd_ok"), "stddev_samp drifted off the exact closed form")
+  }
+
+  test("q42 distribution functions: quartile 1 is ~n/4 per segment, ratios in range") {
+    val rows = operators.Relational.q42RankFunctions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("pct_rank"); val cd = r.getAs[Double]("cume")
+      assert(pr >= 0.0 && pr <= 1.0); assert(cd > 0.0 && cd <= 1.0)
+    }
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment")).view.mapValues(_.length)
+    val totals = Tables.t(spark, sf, "customer")
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySeg.foreach { case (seg, n1) =>
+      val n = totals(seg)
+      // ntile(4) gives the first tile ceil(n/4) members
+      assert(n1 == (n + 3) / 4, s"$seg: quartile-1 size $n1 of $n")
+    }
+  }
+
+  test("q46 top3 arrays are sorted desc with exactly 3 elements") {
+    val rows = operators.Relational.q46ArrayAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getSeq[Double](1)
+      assert(a.length == 3)
+      assert(a == a.sorted(Ordering[Double].reverse))
+    }
   }
 }

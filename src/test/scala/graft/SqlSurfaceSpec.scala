@@ -21,6 +21,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver-regenerated testdata carries isAdjustedToUTC=false; read micros
+      // as session-TZ TIMESTAMP (UTC) like every prior round, not NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftSparkExtensions)
       .getOrCreate()
