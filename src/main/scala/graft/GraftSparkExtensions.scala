@@ -63,15 +63,20 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_fts"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_fts"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_fts", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_stats"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_stats"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_stats", args)))
   }
 }
 
 /** `lance_versions(path)` / `lance_fragments(path[, version])` /
-  * `lance_changes(path, from, to)` — metadata TVFs (DESCRIBE-HISTORY /
-  * table_changes parity): version history and per-fragment layout come
-  * straight from the manifests with zero data files touched; the change
-  * feed turns a version range into `_change_type` = delete/insert rows
-  * for incremental downstream consumers.
+  * `lance_changes(path, from, to)` / `lance_stats(path[, version])` —
+  * metadata TVFs (DESCRIBE-HISTORY / table_changes / DESCRIBE-STATISTICS
+  * parity): version history, per-fragment layout, and table-level column
+  * statistics come straight from the manifests with zero data files
+  * touched; the change feed turns a version range into `_change_type` =
+  * delete/insert rows for incremental downstream consumers. (`lance_fts`
+  * — BM25 over the persisted inverted index — rides the same registry.)
   */
 object MetaTvfs {
   import org.apache.spark.sql.Row
@@ -82,7 +87,8 @@ object MetaTvfs {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
-    Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts").foreach { n =>
+    Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts",
+        "lance_stats").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -162,6 +168,35 @@ object MetaTvfs {
           literalString(args(1), "lance_fts: column"),
           literalString(args(2), "lance_fts: query"),
           literalString(args(3), "lance_fts: k").toInt)
+      // ANALYZE/DESCRIBE-STATISTICS parity, zero data files touched: the
+      // per-fragment manifest stats rolled up to table level. min/max are
+      // BOUNDS in the stored canonical encoding (strings ≤64 chars are
+      // exact; longer string maxima are truncated-incremented upper
+      // bounds), null ONLY when genuinely unknowable (a stats-less or
+      // NaN-voided fragment) — never guessed. null_count is exact even
+      // across schema evolution (pre-column fragments read all-null and
+      // contribute their full rowCount).
+      case "lance_stats" =>
+        val version = if (args.size >= 2)
+          Some(literalString(args(1), "lance_stats: version").toLong) else None
+        val m = version
+          .map(graft.format.LanceFormat.readManifest(fs, root, _))
+          .orElse(graft.format.LanceFormat.readLatest(fs, root))
+          .getOrElse(throw new IllegalArgumentException(s"no lance dataset at $path"))
+        val totalRows = m.rowCount
+        val rows = graft.format.FragmentStats.aggregate(m.schema, m.fragments)
+          .map { case (name, mn, mx, nulls, nBounded) =>
+            Row(name, mn.orNull, mx.orNull, nulls.map(Long.box).orNull,
+              totalRows, nBounded, m.fragments.size)
+          }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          new StructType().add("col_name", StringType, nullable = false)
+            .add("min", StringType) // null = unknowable, not "no rows"
+            .add("max", StringType)
+            .add("null_count", LongType)
+            .add("row_count", LongType, nullable = false)
+            .add("n_fragments_bounded", IntegerType, nullable = false)
+            .add("n_fragments", IntegerType, nullable = false))
       case "lance_versions" =>
         val rows = graft.format.LanceFormat.listVersions(fs, root).map { v =>
           val m = graft.format.LanceFormat.readManifest(fs, root, v)

@@ -237,6 +237,19 @@ object Lance {
     graft.format.LanceFormat.vacuum(fs, root, keepVersions)
   }
 
+  /** Reclaim crash-leftover data files no retained manifest references
+    * (vacuum's complement: vacuum drops files old VERSIONS referenced,
+    * this drops files NOTHING ever committed). `graceMinutes` shields an
+    * in-flight writer's staged-but-uncommitted files.
+    * Returns (files scanned, orphans deleted).
+    */
+  def removeOrphans(spark: SparkSession, path: String,
+      graceMinutes: Int = 60): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.removeOrphans(fs, root, graceMinutes * 60000L)
+  }
+
   /** Z-order bucket resolution per clustering column: 4 bits (16
     * quantile buckets) per dimension — with 2 columns that is a 256-cell
     * grid, far finer than any realistic fragment count, so resolution

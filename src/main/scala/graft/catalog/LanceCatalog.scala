@@ -228,7 +228,8 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
 
 object LanceCatalog {
   private[catalog] val ProcedureNames =
-    Seq("compact", "vacuum", "cluster", "refresh_index", "update_where", "upsert")
+    Seq("compact", "vacuum", "cluster", "refresh_index", "update_where",
+      "upsert", "remove_orphans")
 }
 
 private[catalog] object LanceProcedure {
@@ -278,6 +279,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "cluster" => "Z-order rewrite so manifest stats prune on every listed column"
     case "update_where" => "row-level UPDATE: stats-scoped copy-on-write rewrite"
     case "upsert" => "MERGE a view/table into the dataset on key columns (update-or-insert)"
+    case "remove_orphans" => "delete data files no retained manifest references (crash leftovers)"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -295,6 +297,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "upsert" => Array(in("table", StringType).build(),
       in("source", StringType).comment("view/table name visible to spark.table()").build(),
       in("keys", StringType).comment("comma-separated key columns").build())
+    case "remove_orphans" => Array(in("table", StringType).build(),
+      in("grace_minutes", IntegerType).defaultValue("60")
+        .comment("only files older than this are eligible (in-flight commit shield)")
+        .build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -335,6 +341,12 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("rows_updated", LongType, nullable = false)
           .add("rows_inserted", LongType, nullable = false),
           new GenericInternalRow(Array[Any](r.rowsChanged, r.rowsInserted)))
+      case "remove_orphans" =>
+        val (scanned, deleted) =
+          graft.Lance.removeOrphans(spark, path, input.getInt(1))
+        (new StructType().add("files_scanned", IntegerType, nullable = false)
+          .add("orphans_deleted", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](scanned, deleted)))
       case _ =>
         val n = graft.Lance.refreshIndex(spark, path, input.getUTF8String(1).toString)
         (new StructType().add("rows_indexed", LongType, nullable = false),

@@ -239,6 +239,62 @@ object FragmentStats {
 
   // ----------------------------------------------------------------- read
 
+  /** Table-level rollup of the per-fragment stats — the zero-I/O answer
+    * behind `lance_stats(path)` (ANALYZE/DESCRIBE-STATISTICS parity from
+    * manifests alone). Per stats-eligible column:
+    *
+    *   - `min`/`max`: typed fold over fragment bounds, rendered in the
+    *     stored canonical encoding. None when any fragment with non-null
+    *     rows can't bound the column (no stats written, NaN observed) —
+    *     an unknowable bound must stay unknown, never guessed.
+    *   - `nullCount`: exact sum. A fragment written BEFORE the column
+    *     existed (schema evolution) reads as all-null, so it contributes
+    *     its rowCount — still exact. None only when a fragment carries
+    *     no stats at all.
+    *
+    * Returns (column, min, max, nullCount, nFragmentsWithBounds).
+    */
+  def aggregate(schema: StructType, fragments: Seq[FragmentMeta])
+      : Seq[(String, Option[String], Option[String], Option[Long], Int)] =
+    schema.fields.toSeq.filter(f => eligible(f.dataType)).map { field =>
+      val ord = ordering(field.dataType)
+      // per-fragment verdicts: Left(()) = unknowable; Right(None) = no
+      // non-null rows (vacuous); Right(Some(bounds+nulls))
+      val verdicts = fragments.map { f =>
+        f.stats match {
+          case None => Left(()) // stats-less fragment: everything unknown
+          case Some(st) => st.get(field.name) match {
+            case None => // column younger than the fragment: all null
+              Right(Some((None: Option[String], None: Option[String], f.rowCount)))
+            case Some(cs) if cs.nullCount == f.rowCount =>
+              Right(Some((None, None, cs.nullCount))) // all-null: no bounds needed
+            case Some(cs) if cs.min.isDefined && cs.max.isDefined =>
+              Right(Some((cs.min, cs.max, cs.nullCount)))
+            case Some(_) => Left(()) // NaN-voided bounds with non-null rows
+          }
+        }
+      }
+      if (verdicts.exists(_.isLeft)) (field.name, None, None, None, 0)
+      else {
+        val known = verdicts.collect { case Right(Some(v)) => v }
+        val nulls = known.map(_._3).sum
+        val bounded = known.filter(_._1.isDefined)
+        def fold(takeMin: Boolean) = ord.flatMap { o =>
+          bounded
+            .flatMap { case (mn, mx, _) =>
+              val s = if (takeMin) mn else mx
+              s.flatMap(str => statValue(field.dataType, str).map(v => (str, v)))
+            }
+            .reduceOption { (a, b) =>
+              val c = o(a._2, b._2)
+              if (if (takeMin) c <= 0 else c >= 0) a else b
+            }.map(_._1)
+        }
+        (field.name, fold(takeMin = true), fold(takeMin = false),
+          Some(nulls), bounded.size)
+      }
+    }
+
   /** Keep only fragments whose stats admit at least one matching row.
     * Fragments without stats (pre-stats manifests, `write.stats=false`)
     * always survive. Logs what was skipped — silent pruning that is ever

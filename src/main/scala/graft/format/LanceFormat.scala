@@ -291,5 +291,33 @@ object LanceFormat {
     (drop.size, removed)
   }
 
+  /** Delete data files that NO manifest (of any retained version)
+    * references — crash leftovers from writers that died between staging
+    * fragment files and committing the manifest swap (the buffered sink
+    * writes data BEFORE publishing, so a lost executor or driver leaves
+    * unreferenced parquet behind; at 100 TB those ghosts are real money).
+    * Only files older than `graceMs` are eligible: an IN-FLIGHT commit's
+    * freshly staged files must survive the race — the same `older_than`
+    * contract as Iceberg's remove_orphan_files. Deleting an orphan never
+    * changes query results by construction (nothing references it).
+    * Returns (files scanned, orphans deleted).
+    */
+  def removeOrphans(fs: FileSystem, root: Path, graceMs: Long): (Int, Int) = {
+    require(graceMs >= 0, "graceMs must be >= 0")
+    val referenced = listVersions(fs, root)
+      .flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet
+    val dir = dataPath(root)
+    val now = System.currentTimeMillis()
+    val all = if (fs.exists(dir)) fs.listStatus(dir).toSeq else Seq.empty
+    var removed = 0
+    all.foreach { st =>
+      if (st.isFile && !referenced.contains(st.getPath.getName) &&
+          now - st.getModificationTime >= graceMs) {
+        if (fs.delete(st.getPath, false)) removed += 1
+      }
+    }
+    (all.size, removed)
+  }
+
   def fileSystem(root: Path, conf: Configuration): FileSystem = root.getFileSystem(conf)
 }

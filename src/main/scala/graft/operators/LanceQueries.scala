@@ -969,6 +969,34 @@ object LanceQueries {
         min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
   }
 
+  /** Table statistics from manifests alone (`lance_stats` TVF —
+    * ANALYZE/DESCRIBE-STATISTICS parity): three mod-banded fragments so
+    * every per-column bound must ROLL UP across fragments (no single
+    * fragment owns the table min or max), then the TVF's zero-data-I/O
+    * answer is hash-compared against the oracle actually aggregating the
+    * rows. A stats bug — wrong fold direction, truncation leaking into
+    * short strings, null-count drift — turns the gate red. At 100 TB
+    * this is the difference between a metadata read and a full scan for
+    * every "what's in this table" question.
+    */
+  def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_stats_tvf")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+    (0 until 3).foreach { f =>
+      o.filter(pmod(col("o_orderkey"), lit(3)) === f).coalesce(1)
+        .write.format("lance").mode(if (f == 0) "overwrite" else "append").save(dest)
+    }
+    graft.MetaTvfs.register(spark)
+    spark.sql(
+      s"""SELECT col_name,
+         |  CAST(min AS DOUBLE) AS min_v, CAST(max AS DOUBLE) AS max_v,
+         |  null_count, row_count
+         |FROM lance_stats('$dest')
+         |WHERE col_name IN ('o_orderkey', 'o_custkey', 'o_totalprice')
+         |ORDER BY col_name""".stripMargin)
+  }
+
   /** Batch change feed (`lance_changes` TVF): supplier keys are dense
     * 1..N, written as four range-banded fragments; a stats-scoped UPDATE
     * rewrites exactly the third band (the range conjunct prunes, the
@@ -1051,6 +1079,7 @@ object LanceQueries {
     "s78_merge_runtime_scope" -> s78MergeRuntimeScope,
     "s79_stream_across_compact" -> s79StreamAcrossCompact,
     "s80_manifest_minmax" -> s80ManifestMinmax,
+    "s84_stats_tvf" -> s84StatsTvf,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1175,6 +1204,25 @@ object LanceQueries {
         | MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
         | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
         |FROM orders""".stripMargin,
+    // the oracle aggregates the actual rows; the TVF answered from
+    // manifest stats alone must agree exactly
+    "s84_stats_tvf" ->
+      """WITH rc AS (SELECT COUNT(*) AS row_count FROM orders),
+        |s AS (
+        |  SELECT 'o_custkey' AS col_name,
+        |    CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+        |    CAST(MAX(o_custkey) AS DOUBLE) AS max_v,
+        |    COUNT(*) - COUNT(o_custkey) AS null_count FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', CAST(MIN(o_orderkey) AS DOUBLE),
+        |    CAST(MAX(o_orderkey) AS DOUBLE),
+        |    COUNT(*) - COUNT(o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(MIN(o_totalprice) AS DOUBLE),
+        |    CAST(MAX(o_totalprice) AS DOUBLE),
+        |    COUNT(*) - COUNT(o_totalprice) FROM orders)
+        |SELECT col_name, min_v, max_v, null_count, row_count
+        |FROM s, rc ORDER BY col_name""".stripMargin,
     // the sink holds every event exactly once despite the mid-stream
     // compaction of the source
     "s79_stream_across_compact" ->

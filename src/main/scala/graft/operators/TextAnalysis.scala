@@ -392,6 +392,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"), col("lang"))
 
+  /** Temperature rebalancing (p76): sample language ℓ at rate
+    * min(1, c/√n_ℓ) — the keep-probability ∝ n^(α−1) form of
+    * temperature-T sampling with α = 1/T = 1/2, the standard multilingual
+    * LM rebalance (big languages damped toward √n, small ones kept
+    * whole). Deliberately NO cross-language normalizing sum: a Σ over
+    * per-language doubles is partial-order-dependent and could flip a
+    * threshold at the last ulp between engines; the per-language closed
+    * form is bit-deterministic (IEEE sqrt + division on both sides).
+    * Selection reuses the integer multiplicative hash (offset-
+    * decorrelated from p74/p75): h < ⌊2³²·rate⌋. Scale shape: one tiny
+    * per-language count aggregate, broadcast back, then a stateless
+    * per-row filter — the 100 TB side is never shuffled.
+    */
+  def p76TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").withColumn("h", sampleHash(777L))
+    val rates = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("thresh",
+        least(lit(4294967296L),
+          floor(lit(4294967296L) * lit(4.0) /
+            sqrt(col("n_docs").cast("double")))))
+    d.join(broadcast(rates), "lang")
+      .filter(col("h") < col("thresh"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"), count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** BM25 terms/k of the t40 gate — shared with its oracle so the probe
     * and the SQL twin cannot drift. "the" is a near-stopword (df ≈ N):
     * its idf collapses toward 0, exercising the full idf spread.
@@ -475,6 +504,7 @@ object TextAnalysis {
     "p73_budget_mix" -> p73BudgetMix,
     "p74_stratified_sample" -> p74StratifiedSample,
     "p75_hash_split" -> p75HashSplit,
+    "p76_temperature_mix" -> p76TemperatureMix,
   )
 
   val oracleSql: Map[String, String] = {
@@ -663,6 +693,20 @@ object TextAnalysis {
           |    WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
           |  lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
           |FROM d GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+      // per-language closed form (no cross-language double sum): both
+      // engines compute floor(2^32 * 4/sqrt(n)) identically
+      "p76_temperature_mix" ->
+        """WITH d AS (SELECT lang, n_chars,
+          |    (doc_id * 2654435761 + 777) % 4294967296 AS h FROM documents),
+          |c AS (SELECT lang, COUNT(*) AS n_docs FROM d GROUP BY lang),
+          |r AS (SELECT lang, n_docs,
+          |    least(4294967296, CAST(floor(4294967296 * 4.0 /
+          |      sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)) AS thresh
+          |  FROM c)
+          |SELECT d.lang, MAX(r.n_docs) AS n_docs, COUNT(*) AS n_kept,
+          |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+          |FROM d JOIN r ON d.lang = r.lang WHERE d.h < r.thresh
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     )
   }
 }

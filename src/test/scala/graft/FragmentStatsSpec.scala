@@ -390,6 +390,10 @@ class FragmentStatsSpec extends AnyFunSuite {
       assert(vacuumed.getInt(1) >= 3, s"vacuum deleted ${vacuumed.getInt(1)} files")
       assert(s.sql("SELECT COUNT(*) FROM lance_proc.db.t").head.getLong(0) == 4)
 
+      // post-vacuum the data dir holds exactly the referenced files
+      val orphans = s.sql("CALL lance_proc.remove_orphans('db.t', 0)").collect().head
+      assert(orphans.getInt(1) == 0, "nothing is orphaned after vacuum")
+
       val clustered = s.sql("CALL lance_proc.cluster('db.t', 'id,v')").collect().head
       assert(clustered.getInt(1) >= 1)
       assert(s.sql("SELECT SUM(id) FROM lance_proc.db.t").head.getLong(0) == 6)
@@ -412,5 +416,88 @@ class FragmentStatsSpec extends AnyFunSuite {
     val frags = manifest(dir).fragments
     assert(frags.nonEmpty)
     assert(frags.forall(_.stats.exists(_("id").min.isDefined)))
+  }
+
+  test("aggregate rolls up bounds, schema-evolved nulls, and unknowables") {
+    import org.apache.spark.sql.types._
+    import graft.format.{ColStats, FragmentMeta}
+    val schema = new StructType()
+      .add("k", LongType).add("s", StringType).add("late", LongType)
+    // f1 predates column `late` (no stats entry → its rows read all-null);
+    // f2 carries full stats; f3 is all-null on `s`
+    val f1 = FragmentMeta(0, "a", 10, Some(Map(
+      "k" -> ColStats(Some("5"), Some("20"), 1),
+      "s" -> ColStats(Some("bb"), Some("dd"), 0))))
+    val f2 = FragmentMeta(1, "b", 7, Some(Map(
+      "k" -> ColStats(Some("-3"), Some("9"), 0),
+      "s" -> ColStats(Some("aa"), Some("cc"), 2),
+      "late" -> ColStats(Some("100"), Some("200"), 3))))
+    val f3 = FragmentMeta(2, "c", 4, Some(Map(
+      "k" -> ColStats(Some("6"), Some("6"), 0),
+      "s" -> ColStats(None, None, 4), // all-null: vacuous for bounds
+      "late" -> ColStats(Some("150"), Some("150"), 0))))
+    val agg = FragmentStats.aggregate(schema, Seq(f1, f2, f3))
+      .map(r => r._1 -> r).toMap
+    assert(agg("k") == (("k", Some("-3"), Some("20"), Some(1L), 3)))
+    assert(agg("s") == (("s", Some("aa"), Some("dd"), Some(6L), 2)))
+    // f1's 10 rows contribute as nulls to the younger column
+    assert(agg("late") == (("late", Some("100"), Some("200"), Some(13L), 2)))
+
+    // one stats-less fragment makes every column unknowable
+    val bare = FragmentMeta(3, "d", 5, None)
+    assert(FragmentStats.aggregate(schema, Seq(f1, f2, bare))
+      .forall { case (_, mn, mx, nc, _) => mn.isEmpty && mx.isEmpty && nc.isEmpty })
+
+    // NaN-voided bounds with non-null rows: bounds unknown for that column
+    val dschema = new StructType().add("d", DoubleType)
+    val nan = FragmentMeta(4, "e", 3, Some(Map("d" -> ColStats(None, None, 1))))
+    val ok = FragmentMeta(5, "f", 2, Some(Map("d" -> ColStats(Some("1.5"), Some("2.5"), 0))))
+    val dm = FragmentStats.aggregate(dschema, Seq(nan, ok)).head
+    assert(dm._2.isEmpty && dm._3.isEmpty && dm._4.isEmpty)
+  }
+
+  test("remove_orphans deletes only unreferenced data files") {
+    val dir = s"${tmpDir()}/orphans"
+    spark.range(0, 20).coalesce(1).write.format("lance").mode("overwrite").save(dir)
+    spark.range(20, 40).coalesce(1).write.format("lance").mode("append").save(dir)
+    val root = new Path(new java.io.File(dir).getAbsolutePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val data = graft.format.LanceFormat.dataPath(root)
+    val before = fs.listStatus(data).map(_.getPath.getName).toSet
+    // plant crash leftovers: a staged-but-never-committed fragment copy
+    // and a stray temp file
+    val ref = fs.listStatus(data).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, ref, fs,
+      new Path(data, "orphan-fragment.parquet"), false,
+      spark.sessionState.newHadoopConf())
+    fs.create(new Path(data, "stray.tmp")).close()
+
+    // grace shields fresh files: nothing is old enough yet
+    val (_, shielded) = graft.Lance.removeOrphans(spark, dir, graceMinutes = 60)
+    assert(shielded == 0, "grace window must protect fresh files")
+
+    val (scanned, deleted) = graft.Lance.removeOrphans(spark, dir, graceMinutes = 0)
+    assert(scanned == before.size + 2)
+    assert(deleted == 2, "exactly the two planted orphans")
+    assert(fs.listStatus(data).map(_.getPath.getName).toSet == before)
+    assert(spark.read.format("lance").load(dir).count() == 40)
+    // idempotent
+    assert(graft.Lance.removeOrphans(spark, dir, graceMinutes = 0)._2 == 0)
+  }
+
+  test("lance_stats TVF answers from manifests and matches the data") {
+    val dir = s"${tmpDir()}/statstvf"
+    spark.range(0, 50)
+      .select(col("id"), (col("id") % 7).as("m"),
+        concat(lit("v"), lpad(col("id").cast("string"), 3, "0")).as("s"))
+      .repartitionByRange(3, col("id"))
+      .write.format("lance").mode("overwrite").save(dir)
+    graft.MetaTvfs.register(spark)
+    val rows = spark.sql(s"SELECT * FROM lance_stats('$dir') ORDER BY col_name")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("id").getString(1) == "0" && rows("id").getString(2) == "49")
+    assert(rows("m").getString(1) == "0" && rows("m").getString(2) == "6")
+    assert(rows("s").getString(1) == "v000" && rows("s").getString(2) == "v049")
+    assert(rows.values.forall(r => r.getLong(4) == 50 && r.getLong(3) == 0))
   }
 }
