@@ -50,6 +50,10 @@ object Bench {
       // warm runs GROWING 2.6 -> 5.5 -> 8.4 s within one bench. Each
       // query is measured from a clean state-store cache instead.
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      // full GC OUTSIDE the timed section: collects dead codegen
+      // classloaders + streaming state from earlier queries so a query's
+      // median reflects its own plan, not its predecessors' garbage
+      System.gc()
       val cold = once(fn)
       val warm = if (cold < 0) Seq(-1.0) else Seq.fill(nRuns) {
         org.apache.spark.sql.execution.streaming.state.StateStore.stop()

@@ -6,6 +6,31 @@ import org.scalatest.funsuite.AnyFunSuite
 class DedupTextSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("d50 semantic dedup keeps one per duplicate group, all isolated points") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f)), // triple-duplicate group
+      (4L, Array(0f, 1f, 0f, 0f)), (5L, Array(0f, 1f, 0f, 0f)), // pair
+      (6L, Array(0f, 0f, 1f, 0f)), (7L, Array(0f, 0f, 0f, 1f))) // isolated
+    val df = rows.toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(spark, df, "embedding", "vec_id", k = 2, theta = 0.9)
+    val kept = r.filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    // lowest id survives each duplicate group; orthogonal points untouched
+    assert(kept == Set(1L, 4L, 6L, 7L), s"kept $kept")
+    val cl = r.select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(cl(1L) == cl(2L) && cl(2L) == cl(3L), "identical vectors must co-cluster")
+    assert(cl(4L) == cl(5L))
+  }
+
+  test("d50 gate invariants hold on the real embeddings table") {
+    val row = Dedup.d50SemanticDedup(spark, sf).collect().head
+    assert(row.getAs[Long]("n_total") > 0)
+    assert(row.getAs[Boolean]("drops_justified"))
+    assert(row.getAs[Boolean]("kept_distinct"))
+  }
+
   test("LSH candidate pairs achieve full recall vs brute-force jaccard") {
     val brute = Dedup.d42JaccardPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
