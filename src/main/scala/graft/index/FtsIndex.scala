@@ -124,20 +124,40 @@ object FtsIndex {
     val out = fs.create(mp, true)
     try out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // rebuild invalidates any cached meta for this index (same contract
+    // as IvfIndex.metaCache)
+    metaCache.keySet.removeIf(_._1 == mp.toString)
   }
+
+  /** Session-lifetime meta cache keyed (path, modTime, len): a serving
+    * workload's repeated searches skip the per-query JSON read; a rebuild
+    * changes the file status (and writeMeta evicts explicitly), so stale
+    * entries can't serve.
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FtsMeta]()
 
   def loadMeta(spark: SparkSession, datasetPath: String, column: String): FtsMeta = {
     val mp = metaPath(indexPath(datasetPath, column))
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(mp), s"no fts index at $mp - build it first")
-    val in = fs.open(mp)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      Serialization.read[FtsMeta](bytes.toString("UTF-8"))
-    } finally in.close()
+    val st = fs.getFileStatus(mp)
+    val key = (mp.toString, st.getModificationTime, st.getLen)
+    val cached = metaCache.get(key)
+    if (cached != null) cached
+    else {
+      val in = fs.open(mp)
+      val meta = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Serialization.read[FtsMeta](bytes.toString("UTF-8"))
+      } finally in.close()
+      if (metaCache.size > 64) metaCache.clear() // bounded; rebuilt on demand
+      metaCache.put(key, meta)
+      meta
+    }
   }
 
   /** BM25 top-k for `queryText` against the persisted index.
@@ -146,9 +166,19 @@ object FtsIndex {
     * is the DECIMAL(18,6)-rounded BM25 sum — rounded so it is
     * reproducible across engines and summation orders (the ordering uses
     * the same rounded value, so ranking is deterministic too).
+    *
+    * `filter` is an optional SQL predicate over the LANCE DATASET at
+    * `datasetPath` (pre-filter: candidates failing it never reach the
+    * top-k, so k survivors are guaranteed eligible — the V3 semantics,
+    * text-flavored). The filtered side reads only the id column behind
+    * the pushed predicate (manifest-stats + parquet pruning apply), and
+    * the postings are LEFT SEMI-joined against it BEFORE scoring — the
+    * corpus is never shuffled. Corpus statistics (df, avgdl) stay
+    * UNFILTERED, Lucene's filtered-query contract: a filter narrows the
+    * result set, it does not re-weigh the corpus.
     */
   def search(spark: SparkSession, datasetPath: String, column: String,
-      queryText: String, k: Int): DataFrame = {
+      queryText: String, k: Int, filter: Option[String] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val meta = loadMeta(spark, datasetPath, column)
     val terms = queryText.split(" ").filter(_.nonEmpty).distinct.toSeq
@@ -158,11 +188,18 @@ object FtsIndex {
     // Only the probed posting lists leave storage: `term IN (...)` is
     // pushed to the parquet scan, and the term-hash file layout bounds
     // the touched files by the term count.
-    val post = spark.read.parquet(postingsPath(indexPath(datasetPath, column)))
+    val postAll = spark.read.parquet(postingsPath(indexPath(datasetPath, column)))
       .filter(col("term").isin(terms: _*))
 
-    // per-term document frequency — at most #terms rows, broadcast back
-    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // per-term document frequency — at most #terms rows, broadcast back.
+    // Computed BEFORE any pre-filter: corpus stats are index-wide.
+    val dfs = postAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val post = filter.fold(postAll) { pred =>
+      val eligible = spark.read.format("lance").load(datasetPath)
+        .filter(expr(pred)).select(col(meta.idColumn).as("doc"))
+      postAll.join(eligible, Seq("doc"), "left_semi")
+    }
 
     val n = meta.numDocs
     val contrib =

@@ -446,6 +446,32 @@ object TextAnalysis {
     FtsIndex.search(spark, dest, "text", bm25Terms.mkString(" "), bm25K)
   }
 
+  /** Filtered full-text search (t42): BM25 with a `lang = 'en'`
+    * PRE-filter, driven through the `lance_fts` TVF (the SQL surface).
+    * The documents live as a real lance dataset so the filter side is a
+    * pushed-predicate id-column scan; postings are semi-joined against
+    * it BEFORE scoring, and corpus stats stay unfiltered (Lucene's
+    * filtered-query contract — a filter narrows results, it does not
+    * re-weigh the corpus). The oracle replicates exactly that: df over
+    * ALL matching docs, candidates restricted to the filter.
+    */
+  def t42FtsFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.FtsIndex
+    val dest = graft.Tables.scratch(dir, "docs_fts_ds")
+    val mp = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${FtsIndex.indexPath(dest, "text")}/fts.json").getAbsolutePath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) {
+      t(spark, dir, "documents")
+        .write.format("lance").mode("overwrite").save(dest)
+      FtsIndex.build(spark, spark.read.format("lance").load(dest),
+        "text", "doc_id", dest)
+    }
+    graft.MetaTvfs.register(spark)
+    spark.sql(s"SELECT * FROM lance_fts('$dest', 'text', " +
+      s"'${bm25Terms.mkString(" ")}', $bm25K, 'lang = ''en''')")
+  }
+
   /** PII patterns shared by t41 and its oracle. Restricted to the regex
     * dialect intersection of Java (Spark) and RE2 (DuckDB): character
     * classes, bounded repeats, `\b` — no backreferences, no lookaround.
@@ -500,6 +526,7 @@ object TextAnalysis {
     "t34_fingerprint" -> t34Fingerprint,
     "t39_repetition" -> t39Repetition,
     "t40_bm25" -> t40Bm25,
+    "t42_fts_filtered" -> t42FtsFiltered,
     "t41_pii_redact" -> t41PiiRedact,
     "p73_budget_mix" -> p73BudgetMix,
     "p74_stratified_sample" -> p74StratifiedSample,
@@ -605,6 +632,30 @@ object TextAnalysis {
       // BM25 twin of FtsIndex.search: identical arithmetic order, each
       // contribution rounded to DECIMAL(18,6) before the order-insensitive
       // per-doc sum (absorbs any 1-ulp ln() difference between engines)
+      // t40's BM25 with candidates restricted to the filter AFTER df/avgdl
+      // are computed over the full corpus — the engine's exact semantics
+      "t42_fts_filtered" -> {
+        val inList = bm25Terms.map(w => s"'$w'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, len($dWords) AS dl,
+           |    unnest($dWords) AS term FROM documents),
+           |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+           |  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len($dWords)) AS BIGINT) AS sumdl FROM documents),
+           |cand AS (SELECT post.* FROM post
+           |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en'))
+           |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM (
+           |  SELECT cand.doc_id, CAST(
+           |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)
+           |          / (CAST(df AS DOUBLE) + 0.5)))
+           |        * (tf * CAST(2.2 AS DOUBLE)))
+           |      / (tf + 1.2 * (0.25 + (0.75 * dl)
+           |          / (CAST((SELECT sumdl FROM st) AS DOUBLE) / (SELECT n FROM st))))
+           |    AS DECIMAL(18,6)) AS c
+           |  FROM cand JOIN dfs USING (term))
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
       "t40_bm25" -> {
         val inList = bm25Terms.map(w => s"'$w'").mkString(", ")
         s"""WITH tok AS (SELECT doc_id, len($dWords) AS dl,

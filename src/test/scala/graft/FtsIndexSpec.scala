@@ -106,4 +106,45 @@ class FtsIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(sql == api)
   }
+
+  test("pre-filter narrows candidates without re-weighing corpus stats") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
+      "fts-filter-").toAbsolutePath.toString
+    val ds = s"$dir/docs"
+    Seq(
+      (1L, "rare common alpha", "en"),
+      (2L, "common beta beta gamma", "de"),
+      (3L, "rare common beta", "de"),
+      (4L, "alpha beta common gamma delta", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.format("lance").mode("overwrite").save(ds)
+    FtsIndex.build(spark, spark.read.format("lance").load(ds),
+      "text", "doc_id", ds, numTermPartitions = 4)
+    val unfiltered = FtsIndex.search(spark, ds, "text", "rare common", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val filtered = FtsIndex.search(spark, ds, "text", "rare common", 10,
+      filter = Some("lang = 'de'")).collect()
+    assert(filtered.map(_.getLong(0)).toSet == Set(2L, 3L))
+    // scores identical to the unfiltered run: the filter must not change
+    // df/avgdl, only drop ineligible candidates
+    filtered.foreach(r => assert(r.getDouble(1) == unfiltered(r.getLong(0))))
+    // TVF form agrees
+    MetaTvfs.register(spark)
+    val sql = spark.sql(s"SELECT * FROM lance_fts('$ds', 'text', " +
+      "'rare common', 10, 'lang = ''de''')")
+      .collect().map(_.getLong(0)).toSet
+    assert(sql == Set(2L, 3L))
+  }
+
+  test("meta cache serves repeated loads; rebuild evicts") {
+    assert(meta.numDocs == 4) // force build
+    val m1 = FtsIndex.loadMeta(spark, datasetPath, "text")
+    val m2 = FtsIndex.loadMeta(spark, datasetPath, "text")
+    assert(m1 eq m2, "second load must hit the session cache")
+    FtsIndex.build(spark, corpus.toDF("doc_id", "text"), "text", "doc_id",
+      datasetPath, numTermPartitions = 4)
+    val m3 = FtsIndex.loadMeta(spark, datasetPath, "text")
+    assert(m3 == m1, "identical rebuild keeps identical stats")
+    assert(!(m3 eq m1), "rebuild must evict the cached instance")
+  }
 }
