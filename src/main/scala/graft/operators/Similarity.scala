@@ -476,6 +476,57 @@ object Similarity {
     }
   }
 
+  /** v31's filtered twin: a `df.filter(label = 3)` BEFORE the
+    * distance-orderBy-limit must still be rewritten into the index probe,
+    * with the predicate forwarded as the probe's pre-filter (V3
+    * semantics). Full probe (nprobes = numPartitions) makes the result
+    * the exact filtered KNN — the oracle's brute force — while
+    * `rule_fired` plants proof the rewrite (not the exact scan) answered.
+    */
+  def v39AnnRewriteFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = graft.Tables.scratch(dir, "emb_lance_ann_v1")
+    val root = new org.apache.hadoop.fs.Path(new java.io.File(dest).getAbsolutePath)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    if (graft.format.LanceFormat.latestVersion(fs, root).isEmpty) {
+      t(spark, dir, "embeddings")
+        .write.format("lance").mode("overwrite").save(dest)
+    }
+    val metaFile = new org.apache.hadoop.fs.Path(
+      new java.io.File(s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
+    if (!fs.exists(metaFile)) {
+      val r = IvfIndex.build(spark, spark.read.format("lance").load(dest),
+        "embedding", "vec_id", dest, numPartitions = 8)
+      require(r.success, r.error)
+    }
+    val q = queryVec(spark, dir, 0L)
+    val prev = Seq("spark.graft.ann.useIndex", "spark.graft.ann.nprobes")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.graft.ann.useIndex", "true")
+    spark.conf.set("spark.graft.ann.nprobes", "8")
+    try {
+      val knn = graft.Lance.knnSearch(
+        spark.read.format("lance").load(dest).filter(col("label") === 3),
+        "embedding", q, 10)
+      val rows = knn.collect()
+      // the filtered probe materializes at plan time (loud-widening
+      // contract), so the fired plan is a LocalTableScan with no
+      // TakeOrderedAndProject — the exact scan's signature
+      val planStr = knn.queryExecution.executedPlan.toString
+      val fired = planStr.contains("LocalTableScan") &&
+        !planStr.contains("TakeOrderedAndProject")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), knn.schema)
+        .select(col("vec_id"), col("_distance").as("dist"))
+        .withColumn("rule_fired", lit(fired))
+        .orderBy(col("dist"), col("vec_id"))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   /** V8 under cosine: the IVF buckets and the per-bucket graphs are built
     * on the cosine metric (reference delegates all three metrics to its
     * index, `LanceVectorSearch.java:274-285`). Same exactness argument as
@@ -604,6 +655,7 @@ object Similarity {
     "v29_knn_hnswpq" -> v29KnnHnswPq,
     "v30_knn_filtered" -> v30KnnFiltered,
     "v31_ann_rewrite" -> v31AnnRewrite,
+    "v39_ann_rewrite_filtered" -> v39AnnRewriteFiltered,
     "v35_knn_ivfpq_cosine" -> v35KnnIvfPqCosine,
     "v36_knn_hnsw_filtered" -> v36KnnHnswFiltered,
     "v37_knn_join_flipped" -> v37KnnJoinFlipped,
@@ -666,6 +718,12 @@ object Similarity {
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, $l2SqlBody AS dist, true AS rule_fired
          |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    // rewrite fires AND the filter survives it: exact filtered KNN
+    "v39_ann_rewrite_filtered" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $l2SqlBody AS dist, true AS rule_fired
+         |FROM embeddings e, q WHERE e.label = 3
          |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
     // full probe + pre-filter = exact KNN over the filtered subset
     "v30_knn_filtered" ->

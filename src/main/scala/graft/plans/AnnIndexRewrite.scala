@@ -50,6 +50,14 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .toOption.exists(_.metric.equalsIgnoreCase(metric))
   }
 
+  /** Never answer a historical query from the index over current data:
+    * time-traveled relations keep the exact scan.
+    */
+  private def relRewritable(rel: DataSourceV2Relation): Boolean =
+    rel.table.isInstanceOf[LanceTable] &&
+      rel.table.asInstanceOf[LanceTable].pinned.isEmpty &&
+      Option(rel.options).forall(o => o.get("versionAsOf") == null)
+
   private def literalVec(l: Literal): Option[Array[Float]] = l.dataType match {
     case ArrayType(DoubleType, _) =>
       val a = l.value.asInstanceOf[ArrayData]
@@ -65,12 +73,27 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformDown {
       case gl @ GlobalLimit(Literal(k: Int, _),
           LocalLimit(_, Sort(Seq(order), true,
-            Project(projList, rel: DataSourceV2Relation), _)))
-          if rel.table.isInstanceOf[LanceTable] &&
-            // never answer a historical query from the index over current
-            // data: time-traveled relations keep the exact scan
-            rel.table.asInstanceOf[LanceTable].pinned.isEmpty &&
-            Option(rel.options).forall(o => o.get("versionAsOf") == null) =>
+            Project(projList, projChild), _)))
+          // with or without a pre-filter between projection and scan: a
+          // `df.filter(pred)` before knnSearch sits as Filter(cond, rel),
+          // and the rewrite forwards cond as the probe's pre-filter (the
+          // V3 semantics — evaluated inside probed buckets, with the
+          // search's loud widening on shortfall). NOTE the filtered probe
+          // runs AT PLAN TIME (widening needs the row count) and
+          // substitutes its k rows as a LocalRelation — one job either
+          // way, but it executes during optimization, not execution.
+          if (projChild match {
+            case rel: DataSourceV2Relation => relRewritable(rel)
+            case Filter(c, rel: DataSourceV2Relation) =>
+              relRewritable(rel) && c.deterministic &&
+                c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty
+            case _ => false
+          }) =>
+        val (rel, cond) = projChild match {
+          case r: DataSourceV2Relation => (r, None)
+          case Filter(c, r: DataSourceV2Relation) => (r, Some(c))
+          case _ => throw new IllegalStateException("unreachable: guarded above")
+        }
         val rewritten = for {
           sortAttr <- order.child match {
             case a: AttributeReference => Some(a)
@@ -98,8 +121,19 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           q <- literalVec(qvec)
           path = rel.table.asInstanceOf[LanceTable].rootStr
           if usableIndex(path, vecCol.name, metric)
-          probe = IvfIndex.search(spark, path, vecCol.name, q, k,
-            nprobes = nprobes, metric = metric).queryExecution.analyzed
+          // the pre-filter crosses into the probe as re-parsed SQL text
+          // (attribute ids don't survive into the new subtree; names do —
+          // the bucket sidecar stores every table column). Any filter the
+          // probe can't express resolves to None and the rewrite is
+          // skipped rather than risked.
+          filterCol <- cond match {
+            case None => Some(None)
+            case Some(c) => scala.util.Try(
+              org.apache.spark.sql.functions.expr(c.sql)).toOption.map(Some(_))
+          }
+          probe <- scala.util.Try(IvfIndex.search(spark, path, vecCol.name,
+            q, k, nprobes = nprobes, metric = metric, filter = filterCol)
+            .queryExecution.analyzed).toOption
           // every projected column must exist in the probe output (the
           // bucket sidecar stores all table columns + _distance); the
           // descending-dot sort column maps to -(_distance), all other

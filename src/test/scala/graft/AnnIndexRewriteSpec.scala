@@ -178,4 +178,62 @@ class AnnIndexRewriteSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.ann.nprobes")
     }
   }
+
+  private def filteredKnnPlan() = {
+    val q = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    Lance.knnSearch(
+      spark.read.format("lance").load(datasetPath).filter(col("label") === 3),
+      "embedding", q, 5)
+  }
+
+  test("pre-filtered query rewrites, forwards the filter, stays correct") {
+    spark.conf.set("spark.graft.ann.useIndex", "true")
+    spark.conf.set("spark.graft.ann.nprobes", "4") // full probe: exact
+    try {
+      val df = filteredKnnPlan()
+      val rows = df.collect()
+      // the filtered probe materializes its k rows at plan time (loud-
+      // widening contract), so a FIRED rewrite shows as a LocalTableScan
+      // with no TakeOrderedAndProject — the exact scan's signature
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan") &&
+        !plan.contains("TakeOrderedAndProject"), plan)
+      assert(rows.nonEmpty)
+      spark.conf.unset("spark.graft.ann.useIndex")
+      val exact = filteredKnnPlan().collect()
+      assert(rows.map(_.getLong(0)).toSeq == exact.map(_.getLong(0)).toSeq,
+        "full-probe filtered rewrite must equal the exact filtered scan")
+      // the filter actually applied: every survivor has label 3
+      val labels = spark.read.format("lance").load(datasetPath)
+        .filter(col("vec_id").isin(rows.map(_.getLong(0)).toSeq: _*))
+        .select("label").collect().map(_.getInt(0)).toSet
+      assert(labels == Set(3))
+    } finally {
+      spark.conf.unset("spark.graft.ann.useIndex")
+      spark.conf.unset("spark.graft.ann.nprobes")
+    }
+  }
+
+  test("a subquery filter blocks the rewrite (exact scan answers)") {
+    spark.conf.set("spark.graft.ann.useIndex", "true")
+    try {
+      val q = Tables.t(spark, TestSpark.sf, "embeddings")
+        .filter(col("vec_id") === 0).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      spark.read.format("lance").load(datasetPath)
+        .createOrReplaceTempView("ann_rw_base")
+      val df = Lance.knnSearch(
+        spark.sql("SELECT * FROM ann_rw_base WHERE vec_id IN " +
+          "(SELECT vec_id FROM ann_rw_base WHERE label = 3)"),
+        "embedding", q, 5)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("__ivf_part"),
+        s"subquery filter must keep the exact scan:\n$plan")
+    } finally {
+      spark.conf.unset("spark.graft.ann.useIndex")
+    }
+  }
 }
