@@ -716,7 +716,81 @@ object Relational {
       .filter(size(col("top3")) >= 3)
       .orderBy(col("o_custkey"))
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): generate doubling price
+    * tiers iteratively — the dimension-generation shape recursion is for
+    * in analytics — then band-join orders onto them. The recursion is
+    * driver-tiny (a dozen rows, data-independent bounds); the join
+    * broadcasts the tiers against the fact scan.
+    */
+  def q47RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_q47")
+    spark.sql(
+      """WITH RECURSIVE tiers(lo, hi, tier) AS (
+        |  SELECT CAST(0 AS DOUBLE), CAST(1000 AS DOUBLE), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT hi, hi * 2, tier + 1 FROM tiers WHERE hi < 1000000
+        |)
+        |SELECT t.tier, t.lo, t.hi, COUNT(o.o_orderkey) AS n
+        |FROM tiers t LEFT JOIN orders_q47 o
+        |  ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+        |GROUP BY t.tier, t.lo, t.hi
+        |ORDER BY t.tier""".stripMargin)
+  }
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — per-customer
+    * top-2 orders in standard SQL (the decorrelated plan is a ranked
+    * window join, never a per-row subquery execution; q15's windowed
+    * top-n is the DataFrame spelling of the same thing).
+    */
+  def q48LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_q48")
+    t(spark, dir, "customer").createOrReplaceTempView("customer_q48")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer_q48 c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_q48
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
+  /** Count-min sketch (q49) — the heavy-hitter estimator completing the
+    * sketch trio (q31 HLL distinct, q34 KLL percentiles). One pass builds
+    * the seeded sketch (merge is element-wise counter addition —
+    * commutative, so partial-order-independent and deterministic);
+    * point estimates for 5 probed keys are then checked against their
+    * exact counts inside the published ε·N one-sided envelope. The gate
+    * row carries the exact counts + the envelope outcome (q31 pattern:
+    * the sketch is gated by what the oracle CAN re-derive).
+    */
+  def q49CountMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+      .select(pmod(col("l_orderkey"), lit(100)).as("key"))
+    val eps = 0.001
+    val bytes = li
+      .agg(expr(s"count_min_sketch(key, CAST($eps AS DOUBLE), 0.99D, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val total = li.count()
+    val slack = math.ceil(eps * total).toLong
+    val exact = li.filter(col("key") < 5).groupBy(col("key"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).map { k =>
+      val n = exact.getOrElse(k, 0L)
+      val est = cms.estimateCount(java.lang.Long.valueOf(k))
+      // CMS never underestimates; overshoot is bounded by ε·N w.h.p.
+      (k, n, est >= n && est <= n + slack)
+    }.toDF("key", "n", "within")
+      .orderBy(col("key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_recursive_cte" -> q47RecursiveCte,
+    "q48_lateral_topk" -> q48LateralTopk,
+    "q49_count_min" -> q49CountMin,
     "q41_lateral_explode" -> q41LateralExplode,
     "q42_rank_functions" -> q42RankFunctions,
     "q43_corr_stats" -> q43CorrStats,
@@ -766,6 +840,31 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q47_recursive_cte" ->
+      """WITH RECURSIVE tiers(lo, hi, tier) AS (
+        |  SELECT CAST(0 AS DOUBLE), CAST(1000 AS DOUBLE), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT hi, hi * 2, tier + 1 FROM tiers WHERE hi < 1000000
+        |)
+        |SELECT t.tier, t.lo, t.hi, COUNT(o.o_orderkey) AS n
+        |FROM tiers t LEFT JOIN orders o
+        |  ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+        |GROUP BY t.tier, t.lo, t.hi
+        |ORDER BY t.tier""".stripMargin,
+    "q48_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+    // the oracle re-derives the exact counts and plants the envelope
+    // outcome; a sketch drifting past ε·N turns the row red
+    "q49_count_min" ->
+      """WITH keys(key) AS (SELECT * FROM generate_series(0, 4))
+        |SELECT k.key, COUNT(l.l_orderkey) AS n, true AS within
+        |FROM keys k LEFT JOIN lineitem l ON l.l_orderkey % 100 = k.key
+        |GROUP BY k.key ORDER BY k.key""".stripMargin,
     "q41_lateral_explode" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part) w

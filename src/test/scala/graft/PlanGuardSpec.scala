@@ -17,7 +17,13 @@ class PlanGuardSpec extends AnyFunSuite {
     "v21_knn_l2", "v22_knn_cosine", "v23_dot_similarity", "s53_lance_time_travel",
     // t36/t38 broadcast a 1-row corpus-size aggregate across every
     // document — a benign O(n) cross that replaced a second scan + collect()
-    "t36_salient_terms", "t38_lm_rarity")
+    "t36_salient_terms", "t38_lm_rarity",
+    // q47 band-joins the fact scan against ELEVEN recursively generated
+    // tier rows on a range predicate: non-equi, so Spark correctly plans
+    // BroadcastNestedLoopJoin — 11 broadcast rows × n is the cheapest
+    // possible band join (an equi-join would need a per-row log2 whose
+    // boundary ulps differ between engines)
+    "q47_recursive_cte")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
