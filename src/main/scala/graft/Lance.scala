@@ -237,6 +237,46 @@ object Lance {
     graft.format.LanceFormat.vacuum(fs, root, keepVersions)
   }
 
+  /** RESTORE (Delta `RESTORE TABLE` parity): make the CURRENT table state
+    * equal `version`'s fragment list, committed as a NEW version —
+    * history is preserved (time travel to the undone versions still
+    * works; `vacuum` decides retention later). The restored fragments are
+    * referenced by identity, so the commit is metadata-only, O(manifest),
+    * regardless of table size — the after-a-bad-DML escape hatch a
+    * long-lived 100 TB corpus needs. Fails loud when any restored
+    * fragment file was already vacuumed. The commit is marked
+    * `operation="restore"` — row-CHANGING for changefeed readers (rows
+    * deleted since `version` logically come back).
+    * Returns (restoredVersion, newVersion); a restore to the current
+    * state is a no-op committing nothing (newVersion = current).
+    */
+  def restore(spark: SparkSession, path: String, version: Long): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val target = graft.format.LanceFormat.readManifest(fs, root, version)
+    val latest = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalStateException(s"no dataset at $path"))
+    if (latest.fragments.map(_.file) == target.fragments.map(_.file) &&
+        latest.schemaJson == target.schemaJson)
+      return (version, latest.version) // already that state: commit nothing
+    val data = graft.format.LanceFormat.dataPath(root)
+    val missing = target.fragments.filterNot(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(data, f.file)))
+    require(missing.isEmpty,
+      s"cannot restore $path to version $version: fragment files " +
+        s"${missing.map(_.file).mkString(", ")} were vacuumed — " +
+        "restore targets must be within the vacuum retention window")
+    val m = graft.format.Manifest(
+      version = latest.version + 1,
+      schemaJson = target.schemaJson,
+      fragments = target.fragments,
+      epochId = latest.epochId,
+      committedAtMs = System.currentTimeMillis(),
+      operation = Some("restore"))
+    val committed = graft.format.LanceFormat.commit(fs, root, m)
+    (version, committed.version)
+  }
+
   /** Reclaim crash-leftover data files no retained manifest references
     * (vacuum's complement: vacuum drops files old VERSIONS referenced,
     * this drops files NOTHING ever committed). `graceMinutes` shields an

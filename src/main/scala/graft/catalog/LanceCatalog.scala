@@ -229,7 +229,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
 object LanceCatalog {
   private[catalog] val ProcedureNames =
     Seq("compact", "vacuum", "cluster", "refresh_index", "update_where",
-      "upsert", "remove_orphans")
+      "upsert", "remove_orphans", "restore")
 }
 
 private[catalog] object LanceProcedure {
@@ -280,6 +280,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "update_where" => "row-level UPDATE: stats-scoped copy-on-write rewrite"
     case "upsert" => "MERGE a view/table into the dataset on key columns (update-or-insert)"
     case "remove_orphans" => "delete data files no retained manifest references (crash leftovers)"
+    case "restore" => "roll the table back to a prior version as a NEW commit (history preserved)"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -301,6 +302,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("grace_minutes", IntegerType).defaultValue("60")
         .comment("only files older than this are eligible (in-flight commit shield)")
         .build())
+    case "restore" => Array(in("table", StringType).build(),
+      in("version", IntegerType).comment("committed version to restore to").build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -347,6 +350,12 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("files_scanned", IntegerType, nullable = false)
           .add("orphans_deleted", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](scanned, deleted)))
+      case "restore" =>
+        val (restored, newV) =
+          graft.Lance.restore(spark, path, input.getInt(1).toLong)
+        (new StructType().add("restored_version", LongType, nullable = false)
+          .add("new_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](restored, newV)))
       case _ =>
         val n = graft.Lance.refreshIndex(spark, path, input.getUTF8String(1).toString)
         (new StructType().add("rows_indexed", LongType, nullable = false),

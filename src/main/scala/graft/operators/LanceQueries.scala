@@ -997,6 +997,35 @@ object LanceQueries {
          |ORDER BY col_name""".stripMargin)
   }
 
+  /** RESTORE after a bad DML (s85): snapshot the good version, DELETE a
+    * price band (the "bad" operation — planted proof it really changed
+    * state), then `Lance.restore` back. The restore is metadata-only
+    * (fragments referenced by identity, O(manifest) at any table size);
+    * the final aggregate must equal the ORIGINAL data exactly, while
+    * time travel still sees the deleted state (history preserved, not
+    * rewound).
+    */
+  def s85Restore(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_restore")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+    val nFull = o.count()
+    o.write.format("lance").mode("overwrite").save(dest)
+    val vGood = graft.Lance.versions(spark, dest).last
+    graft.Lance.deleteWhere(spark, dest, "o_totalprice > 100000")
+    val vBad = graft.Lance.versions(spark, dest).last
+    val nAfterDelete = spark.read.format("lance").load(dest).count()
+    val (_, vNew) = graft.Lance.restore(spark, dest, vGood)
+    val ttSeesDelete = spark.read.format("lance")
+      .option("versionAsOf", vBad).load(dest).count() == nAfterDelete
+    spark.read.format("lance").load(dest)
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(col("n"), col("total"),
+        lit(nAfterDelete < nFull).as("delete_changed"),
+        lit(vNew > vBad).as("restore_advanced"),
+        lit(ttSeesDelete).as("tt_sees_delete"))
+  }
+
   /** Batch change feed (`lance_changes` TVF): supplier keys are dense
     * 1..N, written as four range-banded fragments; a stats-scoped UPDATE
     * rewrites exactly the third band (the range conjunct prunes, the
@@ -1080,6 +1109,7 @@ object LanceQueries {
     "s79_stream_across_compact" -> s79StreamAcrossCompact,
     "s80_manifest_minmax" -> s80ManifestMinmax,
     "s84_stats_tvf" -> s84StatsTvf,
+    "s85_restore" -> s85Restore,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1203,6 +1233,13 @@ object LanceQueries {
       """SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
         | MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
         | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+    // the restore must reproduce the ORIGINAL table bit-for-bit
+    "s85_restore" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | true AS delete_changed, true AS restore_advanced,
+        | true AS tt_sees_delete
         |FROM orders""".stripMargin,
     // the oracle aggregates the actual rows; the TVF answered from
     // manifest stats alone must agree exactly

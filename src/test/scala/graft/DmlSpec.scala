@@ -303,4 +303,63 @@ class DmlSpec extends AnyFunSuite {
     // versions dense: base 3 + two delete commits
     assert(LanceFormat.listVersions(fs(dir), new Path(dir)) == (1L to 5L))
   }
+
+  test("restore rolls back as a NEW commit; history preserved; no-op skips") {
+    val dir = s"${tmpDir()}/restore"
+    clustered(dir) // v1..v3: three appends, ids 0..29
+    val vGood = latest(dir).version
+    Dml.deleteWhere(spark, dir, "id >= 20")
+    val vBad = latest(dir).version
+    assert(spark.read.format("lance").load(dir).count() == 20)
+
+    val (restored, vNew) = Lance.restore(spark, dir, vGood)
+    assert(restored == vGood && vNew == vBad + 1)
+    assert(spark.read.format("lance").load(dir).count() == 30,
+      "restore must bring the deleted rows back")
+    // the undone version is still addressable — history, not rewind
+    assert(spark.read.format("lance").option("versionAsOf", vBad)
+      .load(dir).count() == 20)
+    // restoring to the state we're already at commits nothing
+    val (_, vSame) = Lance.restore(spark, dir, vGood)
+    assert(vSame == vNew, "no-op restore must not commit a version")
+    assert(latest(dir).version == vNew)
+
+    // CALL surface
+    val wh = s"${tmpDir()}/restore_wh"
+    spark.conf.set("spark.sql.catalog.lance_rst", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_rst.warehouse",
+      new java.io.File(wh).getAbsolutePath)
+    try {
+      spark.sql("CREATE NAMESPACE lance_rst.db")
+      spark.sql("CREATE TABLE lance_rst.db.t (id BIGINT)")
+      spark.sql("INSERT INTO lance_rst.db.t VALUES (1), (2)")
+      val v = 2 // create=1, insert=2
+      spark.sql("INSERT INTO lance_rst.db.t VALUES (3)")
+      val r = spark.sql(s"CALL lance_rst.restore('db.t', $v)").collect().head
+      assert(r.getLong(0) == v && r.getLong(1) > v)
+      assert(spark.sql("SELECT COUNT(*) FROM lance_rst.db.t").head.getLong(0) == 2)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lance_rst.db.t")
+      spark.conf.unset("spark.sql.catalog.lance_rst")
+      spark.conf.unset("spark.sql.catalog.lance_rst.warehouse")
+    }
+  }
+
+  test("restore whose target fragments were reclaimed fails loud") {
+    val dir = s"${tmpDir()}/restore_vac"
+    clustered(dir)
+    val vGood = latest(dir).version
+    // fully-covered delete drops fragments 1+2 from the manifest; their
+    // files stay on disk referenced only by the older manifests
+    Dml.deleteWhere(spark, dir, "id >= 10")
+    // simulate file-level reclamation racing the restore: one of the
+    // restore target's fragment files disappears
+    val victim = LanceFormat.readManifest(fs(dir), new Path(dir), vGood)
+      .fragments.last.file
+    assert(fs(dir).delete(
+      new Path(LanceFormat.dataPath(new Path(dir)), victim), false))
+    val e = intercept[IllegalArgumentException](Lance.restore(spark, dir, vGood))
+    assert(e.getMessage.contains("vacuum"),
+      s"must name the retention window: ${e.getMessage}")
+  }
 }
