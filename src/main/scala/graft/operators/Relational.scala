@@ -702,11 +702,12 @@ object Relational {
         countDistinct(regexp_extract(col("p_brand"), "[0-9]+", 0)).as("brand_nums"))
       .orderBy(col("type_head"))
 
-  /** Sorted ARRAY_AGG top-k — per-customer top-3 order prices as an
+  /** Sorted ARRAY_AGG top-k — per-customer top-3 order prices built as an
     * ARRAY column (the collect-then-truncate shape feature pipelines use
-    * for "last k events per user"). Partial collect_list combines
-    * map-side; sort_array+slice bound the row to k values, so state per
-    * key is O(orders-per-customer), never global.
+    * for "last k events per user"), then posexploded to (custkey, rank,
+    * price) rows so the gate output is hash-stable scalars. Partial
+    * collect_list combines map-side; sort_array+slice bound the row to k
+    * values, so state per key is O(orders-per-customer), never global.
     */
   def q46ArrayAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -714,7 +715,10 @@ object Relational {
       .agg(slice(sort_array(collect_list(col("o_totalprice")), asc = false),
         1, 3).as("top3"))
       .filter(size(col("top3")) >= 3)
-      .orderBy(col("o_custkey"))
+      .select(col("o_custkey"), posexplode(col("top3")).as(Seq("pos", "price")))
+      .select(col("o_custkey"),
+        (col("pos") + 1).cast("bigint").as("rank"), col("price"))
+      .orderBy(col("o_custkey"), col("rank"))
 
   /** Recursive CTE (Spark 4's WITH RECURSIVE): generate doubling price
     * tiers iteratively — the dimension-generation shape recursion is for
@@ -920,11 +924,17 @@ object Relational {
         |  MAX(length(p_name)) AS max_name_len,
         |  COUNT(DISTINCT regexp_extract(p_brand, '[0-9]+')) AS brand_nums
         |FROM part GROUP BY type_head ORDER BY type_head""".stripMargin,
+    // ties at the slice boundary carry equal values, so the value hash is
+    // insensitive to tiebreak order; rank among equal prices swaps equal rows
     "q46_array_agg" ->
-      """SELECT o_custkey,
-        |  (list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top3
-        |FROM orders GROUP BY o_custkey
-        |HAVING COUNT(*) >= 3 ORDER BY o_custkey""".stripMargin,
+      """SELECT o_custkey, rank, price FROM (
+        |  SELECT o_custkey,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+        |    o_totalprice AS price,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+        |  FROM orders
+        |) WHERE rank <= 3 AND cnt >= 3 ORDER BY o_custkey, rank""".stripMargin,
     // both engines compute lower + (upper - lower) * frac on doubles —
     // bit-identical interpolation (verified at sf0.01 and sf0.1)
     "q33_percentiles" ->

@@ -167,13 +167,15 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
-  test("q46 top3 arrays are sorted desc with exactly 3 elements") {
+  test("q46 emits (custkey, rank, price) rows, 3 per customer, prices desc") {
     val rows = operators.Relational.q46ArrayAgg(spark, sf).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val a = r.getSeq[Double](1)
-      assert(a.length == 3)
-      assert(a == a.sorted(Ordering[Double].reverse))
+    assert(rows.length % 3 == 0)
+    rows.grouped(3).foreach { g =>
+      assert(g.map(_.getLong(0)).distinct.length == 1, "each triple is one customer")
+      assert(g.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+      val prices = g.map(_.getDouble(2)).toSeq
+      assert(prices == prices.sorted(Ordering[Double].reverse))
     }
   }
 }
