@@ -3,19 +3,114 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry point: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query is fully
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Round-6 change — per-family JVM isolation. With 138 queries in one
+  * JVM, accumulated codegen classloaders / metaspace / GC pressure
+  * inflated late-query medians 2.5-3.5x over their isolated times
+  * (round-5 verdict re-ran d42 8.8s-full vs 1.9s-isolated; the shared-100
+  * total drifted 49.9 -> 123.7s with NO plan changes). A bound that reads
+  * those numbers governs harness state, not code. So the full bench now
+  * forks one child JVM per query-family chunk (<= MaxPerJvm queries each,
+  * plain `java` exec — no sbt in the loop) and merges the children's
+  * per-query medians into the single parseable JSON line. Each child's
+  * numbers match SPARK_GRAFT_BENCH_ONLY isolated runs because each child
+  * IS such a run.
+  *
+  * In-process measurement (per child / dev mode): each query is fully
   * materialized through the noop sink (count() would let Catalyst prune
   * work a consumer must pay for); reported time is the MEDIAN of
-  * SPARK_GRAFT_BENCH_RUNS (default 3) warm runs after one cold warm-up —
-  * single warm runs proved noisy enough (4-5× swings on untouched
-  * queries between rounds) that per-round verdicts chased ghosts. The
-  * per-query [min,max] spread is emitted as `[bench-spread]` stdout lines
-  * above the JSON line so a wide interval flags an untrustworthy median
-  * without bloating the one parseable line (stderr would be re-tagged
-  * `[error]` by sbt, making healthy runs look alarming).
+  * SPARK_GRAFT_BENCH_RUNS (default 3) warm runs after one cold warm-up.
+  * Per-query [min,max] spreads are emitted as `[bench-spread]` stdout
+  * lines above the JSON line so a wide interval flags an untrustworthy
+  * median without bloating the one parseable line.
+  *
+  * Dev knobs: SPARK_GRAFT_BENCH_ONLY=q33,d44 runs a subset in-process
+  * (isolation off — that mode exists precisely to BE the isolated
+  * reference run); SPARK_GRAFT_BENCH_ISOLATE=0 forces the old
+  * single-JVM full run for harness A/B comparison.
   */
 object Bench {
+  /** Queries per child JVM. Small enough that in-JVM accumulation stays
+    * below bench noise (round-5 isolated re-runs showed drift builds over
+    * tens of queries, not a dozen), large enough that Spark startup
+    * (~5-8s, unmeasured) stays a small fraction of total wall time. */
+  private val MaxPerJvm = 18
+
   def main(args: Array[String]): Unit = {
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    val devOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").exists(_.trim.nonEmpty)
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
+    if (isChild || devOnly || !isolate) runInProcess()
+    else runIsolated()
+  }
+
+  // ---------------------------------------------------------------- parent
+
+  /** Fork one child JVM per family chunk; merge children's [bench-med]
+    * lines into the single driver-parseable JSON line. */
+  private def runIsolated(): Unit = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // family = leading letter of the short id (d/m/p/q/s/t/v); chunks
+    // never straddle families so a family's lance side-state (built under
+    // target/graft-data by its own gates) stays within one JVM lifetime
+    val chunks = names.groupBy(_.head).toSeq.sortBy(_._1).flatMap {
+      case (_, fam) => fam.sorted.grouped(MaxPerJvm)
+    }
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      // replicate this JVM's flags (add-opens, -Xmx, -D) — sbt's
+      // `run / fork := true` passes build.sbt's javaOptions here
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq.filterNot(_.startsWith("-agentlib"))
+    }
+    val cp = sys.props("java.class.path")
+    val medians = scala.collection.mutable.Map[String, Double]()
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      println(s"[bench] child ${i + 1}/${chunks.size}: ${chunk.head}..${chunk.last} " +
+        s"(${chunk.size} queries)")
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")): _*)
+      pb.redirectErrorStream(false)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", chunk.mkString(","))
+      val proc = pb.start()
+      // drain stderr concurrently (Spark logs; discarding avoids pipe
+      // deadlock without re-tagging them "[error]" through sbt)
+      val errDrain = new Thread(() => {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getErrorStream))
+        while (r.readLine() != null) {}
+      })
+      errDrain.setDaemon(true); errDrain.start()
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = out.readLine()
+      while (line != null) {
+        if (line.startsWith("[bench-med] ")) {
+          val parts = line.drop("[bench-med] ".length).split(' ')
+          medians(parts(0)) = parts(1).toDouble
+        } else if (!line.startsWith("{\"metric\"")) {
+          // forward progress + spread lines; swallow the child's own
+          // JSON line so the driver's tail ends with the PARENT's
+          println(line)
+        }
+        line = out.readLine()
+      }
+      val code = proc.waitFor()
+      if (code != 0)
+        println(s"[bench] WARNING: child ${i + 1} exited $code; " +
+          "unreported queries recorded as -1")
+    }
+    val results = names.map(n => (n, medians.getOrElse(n, -1.0)))
+    printJsonLine(results)
+  }
+
+  // ----------------------------------------------------------- child / dev
+
+  private def runInProcess(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -41,14 +136,12 @@ object Bench {
     }
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // dev knob (unset in the driver): see SparkEntry.selectQueries
     val selected = SparkEntry.selectQueries("SPARK_GRAFT_BENCH_ONLY")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Unload every cached state-store provider before each query: the
       // streaming gates otherwise accumulate loaded providers across the
-      // whole bench and their maintenance threads contend — measured s59
-      // warm runs GROWING 2.6 -> 5.5 -> 8.4 s within one bench. Each
-      // query is measured from a clean state-store cache instead.
+      // run and their maintenance threads contend — measured s59 warm
+      // runs GROWING 2.6 -> 5.5 -> 8.4 s within one bench.
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       // full GC OUTSIDE the timed section: collects dead codegen
       // classloaders + streaming state from earlier queries so a query's
@@ -63,57 +156,56 @@ object Bench {
         if (warm.exists(_ < 0)) -1.0
         else warm.sorted.apply(warm.size / 2)
       // stdout, not stderr: sbt tags forked stderr lines "[error]", which
-      // made healthy runs look alarming in the driver log tail. These
-      // lines precede the JSON line, so the 2000-char tail still ends
-      // with the parseable line.
+      // made healthy runs look alarming in the driver log tail.
       println(f"[bench] $name cold=$cold%.2f median=$med%.2f " +
         s"runs=${warm.map(t => f"$t%.2f").mkString(",")}")
+      // machine line the isolating parent parses (full precision)
+      println(s"[bench-med] $name $med")
       (name, med, warm.min, warm.max)
     }
-    // The driver captures only a bounded 2000-char TAIL of stdout (with
-    // sbt's ~75-char "[success] Total time" line landing after ours) and
-    // parses the JSON line out of it — keep this line SHORT (the full
-    // 83-query line with long names measured 1891 chars, 33 from losing
-    // the line start past the window; rounds 1-3 all recorded
-    // parsed:null). Two levers: seconds are 1-decimal with trailing
-    // zeros stripped ("5.0" -> "5" — 0.1 s granularity is below bench
-    // noise), and query keys are the SHORT id ("q01", "v26p") — the id
-    // prefix every query name starts with and all docs/verdicts use;
-    // full names + [min,max] spreads go to stdout as [bench-spread]
-    // lines ABOVE the JSON line (the tail still ends with the JSON
-    // line). ~750 chars total leaves room for ~80 more queries.
-    def f3(v: Double): String =
-      if (v < 0) "-1"
-      else f"$v%.1f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
-        case "" => "0"
-        case s => s
-      }
-    def shortId(name: String): String = name.takeWhile(_ != '_')
-    require(results.map(r => shortId(r._1)).distinct.size == results.size,
-      "short query ids collide; fix the new query's id prefix")
-    val qs = results.map { case (k, v, _, _) => "\"" + shortId(k) + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     results.foreach { case (k, _, lo, hi) =>
       println(s"[bench-spread] ${shortId(k)}=$k [${f3(lo)},${f3(hi)}]")
     }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // total keeps 2 decimals (it's the headline number); sf is the
-    // basename — the full path spends 15 chars of window for no signal
-    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val line =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"}"""
-    // sbt's "[success] Total time" (~75 chars) lands after this line inside
-    // the same 2000-char tail; past ~1900 the line start falls out of the
-    // window and the driver records parsed:null (the round-3 failure)
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: stdout JSON line is ${line.length} chars; " +
-        "the driver's 2000-char tail window is nearly blown - shrink the line " +
-        "before adding more queries")
     // stop BEFORE the final println: anything Spark logs while shutting
     // down (stderr, re-tagged "[error]" by sbt) then lands above the JSON
     // line instead of pushing it out of the driver's bounded tail window
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    printJsonLine(results.map(r => (r._1, r._2)))
+  }
+
+  // ------------------------------------------------------------- formatting
+
+  private def shortId(name: String): String = name.takeWhile(_ != '_')
+
+  // seconds at 1 decimal, trailing zeros stripped ("5.0" -> "5"):
+  // 0.1 s granularity is below bench noise and keeps the line short
+  private def f3(v: Double): String =
+    if (v < 0) "-1"
+    else f"$v%.1f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+      case "" => "0"
+      case s => s
+    }
+
+  /** The ONE driver-parseable line. The driver captures only a bounded
+    * 2000-char TAIL of stdout (with sbt's ~75-char "[success]" line after
+    * ours) — keep it SHORT: 1-decimal seconds and SHORT query ids ("q01",
+    * "v26p"); full names + [min,max] spreads ride the [bench-spread]
+    * lines ABOVE it. ~750 chars total leaves room for ~80 more queries. */
+  private def printJsonLine(results: Seq[(String, Double)]): Unit = {
+    require(results.map(r => shortId(r._1)).distinct.size == results.size,
+      "short query ids collide; fix the new query's id prefix")
+    val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val line =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: stdout JSON line is ${line.length} chars; " +
+        "the driver's 2000-char tail window is nearly blown - shrink the line " +
+        "before adding more queries")
     println(line)
   }
 }

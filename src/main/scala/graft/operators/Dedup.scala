@@ -579,8 +579,24 @@ object Dedup {
       }
       best
     }
-    val assigned = base.select(col("__id"), col("__vn"),
-      assign(col("__vn")).as("cluster"))
+    val assigned0 = base.select(col("__id"), col("__vn"),
+      assign(col("__vn")).as("cluster").cast("long"))
+    // ---- mega-cluster guard: the within-cluster join below is quadratic
+    // in the LARGEST cluster and k-means offers no balance guarantee — a
+    // collapsed embedding space can put most of the corpus in one cluster
+    // (the HNSW graph-search path has the same hazard and the same
+    // guard, maxBucketBytes). Cluster sizes are one narrow agg (k rows to
+    // the driver — bounded by construction); clusters above the row cap
+    // get SRP sub-buckets (random-hyperplane signs keep near-dups
+    // together, so recall degrades gracefully), and any sub-bucket STILL
+    // above the cap (identical vectors share every SRP sign) falls back
+    // to id-hash salting, which always splits by count. Both refinements
+    // preserve the two gated invariants — they hold under ANY clustering
+    // (see determinism note above); splitting only forgoes cross-bucket
+    // drops. The returned `cluster` id encodes (cluster, srp, salt).
+    val assigned = refineOversized(spark, assigned0,
+      spark.conf.getOption("spark.graft.dedup.maxClusterRows")
+        .map(_.toInt).getOrElse(100000), seed)
     val a = assigned.select(col("cluster").as("__ca"), col("__id").as("__aid"),
       col("__vn").as("__av"))
     val b = assigned.select(col("cluster").as("__cb"), col("__id").as("__bid"),
@@ -597,6 +613,99 @@ object Dedup {
       .join(drops, col("__id") === col("__drop"), "left")
       .withColumn("kept", col("__drop").isNull)
       .drop("__id", "__drop")
+  }
+
+  /** Split clusters above `maxRows` (see the guard comment at the call
+    * site). Round 1: SRP — `ceil(log2(size/maxRows))` seeded Rademacher
+    * hyperplanes (deterministic ±1 weights from MurmurHash3, so the split
+    * is reproducible across runs and partitionings); similar vectors
+    * share signs, so near-duplicates mostly stay co-bucketed. Round 2:
+    * any sub-bucket still above the cap (collapsed/identical embeddings
+    * defeat SRP — equal vectors get equal signs) is id-hash salted, which
+    * bounds the bucket by COUNT unconditionally. Both rounds warn with
+    * the affected sizes. Cluster ids come back as
+    * base * 2^24 + srpBits * 2^12 + salt (caps ≤ 12 bits each), so
+    * refined ids never collide across base clusters.
+    */
+  private[operators] def refineOversized(spark: SparkSession, assigned: DataFrame,
+      maxRows: Int, seed: Long): DataFrame = {
+    val hot = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") > maxRows)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ k rows
+    if (hot.isEmpty) return assigned
+    logger.warn(s"semanticDedup: ${hot.size} cluster(s) exceed " +
+      s"spark.graft.dedup.maxClusterRows=$maxRows (sizes ${hot.values.toSeq.sorted.reverse.take(5).mkString(",")}…); " +
+      "splitting with SRP sub-buckets to bound the within-cluster join")
+    def bitsFor(sz: Long): Int =
+      math.min(12, math.max(1,
+        (math.log(sz.toDouble / maxRows) / math.log(2)).ceil.toInt))
+    val bcBits = spark.sparkContext.broadcast(hot.map { case (c, sz) => c -> bitsFor(sz) })
+    val srpSeed = seed
+    val srp = udf { (c: Long, v: Seq[Double]) =>
+      bcBits.value.get(c) match {
+        case None => 0
+        case Some(b) =>
+          var sub = 0; var j = 0
+          while (j < b) {
+            var acc = 0.0; var i = 0
+            while (i < v.length) {
+              val h = scala.util.hashing.MurmurHash3.productHash((j, i, srpSeed))
+              acc += (if ((h & 1) == 0) v(i) else -v(i)); i += 1
+            }
+            sub = (sub << 1) | (if (acc >= 0) 1 else 0); j += 1
+          }
+          sub
+      }
+    }
+    val refined = assigned.withColumn("cluster",
+      col("cluster") * lit(1L << 24) + srp(col("cluster"), col("__vn")).cast("long") * lit(1L << 12))
+    // round 2: SRP cannot split identical vectors — salt the residue by id
+    val still = refined.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") > maxRows)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (still.isEmpty) return refined
+    logger.warn(s"semanticDedup: ${still.size} SRP sub-bucket(s) still exceed " +
+      s"$maxRows rows (collapsed embeddings; sizes ${still.values.toSeq.sorted.reverse.take(5).mkString(",")}…); " +
+      "falling back to id-hash salting — near-duplicates split across salts " +
+      "are no longer compared, which weakens recall but preserves both " +
+      "dedup invariants")
+    import spark.implicits._
+    // codegen'd salt (xxhash64 works on ANY id type) via a tiny broadcast
+    // of (bucket, nSalts) — no UDF, no per-cluster when-chain. Hash
+    // salting only bounds the EXPECTED bucket, so iterate: double the
+    // salt count of any bucket still over the cap and re-check (one
+    // narrow agg per round) until the bound actually holds. Salt ids stay
+    // under 2^12 so they never collide into the SRP bits above.
+    var nMap = still.map { case (c, sz) =>
+      c -> math.min(4095L, 2L * ((sz + maxRows - 1) / maxRows)) }
+    var out = refined
+    var iter = 0
+    var done = false
+    while (!done && iter < 8) {
+      val nDf = nMap.toSeq.toDF("__sc", "__sn")
+      out = refined.join(broadcast(nDf), col("cluster") === col("__sc"), "left")
+        .withColumn("cluster", col("cluster") +
+          when(col("__sn").isNotNull,
+            pmod(xxhash64(lit(srpSeed), col("__id")), col("__sn")))
+            .otherwise(lit(0L)))
+        .drop("__sc", "__sn")
+      // salt occupies the low 12 bits — mask it off to find the bucket
+      val over = out.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") > maxRows)
+        .select((col("cluster") - pmod(col("cluster"), lit(4096L))).as("__base"))
+        .distinct().as[Long].collect()
+      if (over.isEmpty) done = true
+      else {
+        val grown = over.filter(c => nMap.getOrElse(c, 4095L) < 4095L)
+        if (grown.isEmpty) {
+          logger.warn("semanticDedup: salt count exhausted (4095) with " +
+            "buckets still over the cap; proceeding with the best split")
+          done = true
+        } else nMap = nMap ++ grown.map(c => c -> math.min(4095L, nMap(c) * 2))
+      }
+      iter += 1
+    }
+    out
   }
 
   /** d50 gate: run SemDeDup on the embeddings table, then RE-VERIFY the

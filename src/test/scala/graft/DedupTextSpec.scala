@@ -19,9 +19,55 @@ class DedupTextSpec extends AnyFunSuite {
     val kept = r.filter(col("kept")).select("vec_id").as[Long].collect().toSet
     // lowest id survives each duplicate group; orthogonal points untouched
     assert(kept == Set(1L, 4L, 6L, 7L), s"kept $kept")
-    val cl = r.select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val cl = r.select("vec_id", "cluster").as[(Long, Long)].collect().toMap
     assert(cl(1L) == cl(2L) && cl(2L) == cl(3L), "identical vectors must co-cluster")
     assert(cl(4L) == cl(5L))
+  }
+
+  test("d50 mega-cluster guard splits a collapsed corpus and keeps invariants") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // collapsed embedding space: 40 IDENTICAL vectors (k-means puts them
+    // all in one cluster; SRP cannot split equal vectors either, so this
+    // exercises BOTH guard rounds: SRP sub-buckets, then id-hash salting)
+    // plus a handful of distinct points so k=2 has something to separate
+    val rows = (1L to 40L).map(i => (i, Array(1f, 0f, 0f, 0f))) ++
+      Seq((101L, Array(0f, 1f, 0f, 0f)), (102L, Array(0f, 0f, 1f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val prev = spark.conf.getOption("spark.graft.dedup.maxClusterRows")
+    spark.conf.set("spark.graft.dedup.maxClusterRows", "10")
+    try {
+      val r = Dedup.semanticDedup(spark, df, "embedding", "vec_id",
+        k = 2, theta = 0.9).cache()
+      try {
+        // guard bound: no refined cluster exceeds the cap
+        val maxSz = r.groupBy("cluster").count()
+          .agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
+        assert(maxSz <= 10, s"largest refined cluster $maxSz > cap 10")
+        // invariant 1: kept cluster-mates pairwise dissimilar — identical
+        // vectors are sim=1, so each refined cluster keeps exactly one
+        val dupKept = r.filter(col("vec_id") <= 40 && col("kept"))
+        val perCluster = dupKept.groupBy("cluster").count()
+          .as[(Long, Long)].collect()
+        assert(perCluster.forall(_._2 == 1L),
+          s"a refined cluster kept 2+ identical vectors: ${perCluster.mkString(",")}")
+        // invariant 2: every drop justified by a smaller-id cluster-mate
+        val cl = r.select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+        val dropped = r.filter(!col("kept")).select("vec_id").as[Long].collect()
+        dropped.foreach { d =>
+          assert(cl.exists { case (id, c) => id < d && c == cl(d) },
+            s"drop $d has no smaller-id cluster-mate")
+        }
+        // isolated points survive untouched
+        val kept = r.filter(col("kept")).select("vec_id").as[Long].collect().toSet
+        assert(kept.contains(101L) && kept.contains(102L))
+      } finally r.unpersist()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.dedup.maxClusterRows", v)
+        case None => spark.conf.unset("spark.graft.dedup.maxClusterRows")
+      }
+    }
   }
 
   test("d50 gate invariants hold on the real embeddings table") {
