@@ -3,7 +3,7 @@ package graft.index
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s.NoTypeHints
 import org.json4s.jackson.Serialization
@@ -18,28 +18,38 @@ import org.json4s.jackson.Serialization
   * gap a reference user hits immediately on any mixed retrieval
   * workload. This module closes it Spark-first.
   *
-  * Layout under `<dataset>/_indices/<column>_fts/`:
-  *   - `postings/` — parquet rows `(term, doc id, tf, dl)`, HASH
-  *     PARTITIONED by term into `numTermPartitions` files and SORTED by
-  *     term within each file. A query for T terms therefore touches at
-  *     most T files (usually fewer), and inside each file parquet
-  *     row-group min/max on the sorted `term` column skips everything
-  *     but the probed posting lists. The document length `dl` is
-  *     DENORMALIZED into each posting so scoring never joins a doc-table
-  *     side: at 100 TB that join would shuffle the corpus; here the only
-  *     data read are the query terms' posting rows.
-  *   - `fts.json` — corpus stats (`numDocs`, `sumDl`) + build lineage.
+  * Layout v2 under `<dataset>/_indices/<column>_fts/`:
+  *   - `postings/bucket=B/` — parquet rows `(term, doc id, tf, dl)`,
+  *     DIRECTORY-partitioned by `bucket = pmod(xxhash64(term), P)` and
+  *     SORTED by (term, doc) within each bucket's file. A query for T
+  *     terms prunes to ≤ T bucket DIRECTORIES (true partition pruning,
+  *     visible in the scan's PartitionFilters), and inside each file
+  *     parquet row-group min/max on the sorted `term` column skips
+  *     everything but the probed posting lists. The document length `dl`
+  *     is DENORMALIZED into each posting so scoring never joins a
+  *     doc-table side: at 100 TB that join would shuffle the corpus;
+  *     here the only data read are the query terms' posting rows.
+  *   - `fts.json` — corpus stats (`numDocs`, `sumDl`), tokenizer id +
+  *     build lineage. (v1 indexes — flat hash-partitioned files, no
+  *     bucket dirs — are still searchable; refresh upgrades them by
+  *     rebuilding.)
   *
   * Scale contract: build is one explode + one hash aggregation (partial
-  * combine on (term, doc)) + one repartition-by-term write — linear, no
-  * driver materialization. Search reads only probed posting lists
-  * (pushed `term IN (...)` filter — the plan shows it in PushedFilters),
-  * broadcasts the per-term document frequencies (≤ #query terms rows),
-  * aggregates scores by doc id (narrow: candidate rows only), and takes
-  * top-k via TakeOrderedAndProject (no global sort).
+  * combine on (term, doc)) + one repartition-by-bucket write — linear, no
+  * driver materialization. REFRESH after appends is delta-only (the v34
+  * pattern on the text side): only the appended fragments are tokenized,
+  * and only the bucket directories their terms hash into are merged
+  * (per-bucket union + re-sort, staged then swapped) — untouched buckets
+  * are never read or written. Non-append history (row-level DML,
+  * compaction) falls back to a full rebuild with a warning. Search reads
+  * only probed posting lists (bucket dirs pruned, `term IN (...)` pushed
+  * — the plan shows both), broadcasts the per-term document frequencies
+  * (≤ #query terms rows), aggregates scores by doc id (narrow: candidate
+  * rows only), and takes top-k via TakeOrderedAndProject (no global
+  * sort).
   *
-  * Determinism contract (gate t40): each per-term contribution is cast
-  * to DECIMAL(18,6) before the per-doc sum, making the sum
+  * Determinism contract (gates t40, t43, t44): each per-term contribution
+  * is cast to DECIMAL(18,6) before the per-doc sum, making the sum
   * order-insensitive and absorbing any 1-ulp `ln` difference between
   * engines; ties in the rounded score break by doc id.
   */
@@ -54,9 +64,11 @@ object FtsIndex {
   case class FtsMeta(column: String, idColumn: String, numDocs: Long,
     sumDl: Long, numTermPartitions: Int,
     datasetVersion: Option[Long] = None,
-    formatVersion: Option[Int] = None)
+    formatVersion: Option[Int] = None,
+    tokenizer: Option[String] = None,
+    buildId: Option[String] = None)
 
-  val CurrentFormatVersion = 1
+  val CurrentFormatVersion = 2
 
   def indexPath(datasetPath: String, column: String): String =
     s"$datasetPath/_indices/${column}_fts"
@@ -64,52 +76,233 @@ object FtsIndex {
   private def postingsPath(ip: String) = s"$ip/postings"
   private def metaPath(ip: String) = new Path(s"$ip/fts.json")
 
-  /** The one tokenizer, shared by build, search, and the SQL oracles:
-    * split on single spaces. The corpus contract (TESTDATA documents,
-    * and the rest of the text operators — [[graft.operators.TextAnalysis]])
-    * is single-space-separated tokens; a production tokenizer slots in
-    * here and in the oracle together.
+  // ------------------------------------------------------------ tokenizer
+
+  /** The pluggable tokenizer, shared by build, search, and the SQL
+    * oracles ([[duckdbTokens]] emits the DuckDB-side twin so a gate's
+    * oracle cannot drift from the engine).
+    *
+    *   - `space` (default): split on single spaces — the corpus contract
+    *     of the TESTDATA documents and the rest of the text operators
+    *     ([[graft.operators.TextAnalysis]]).
+    *   - `unicode`: lowercase, split on runs of non-letter/non-digit
+    *     (`[^\p{L}\p{N}]+` — the Java/RE2 dialect intersection, so Spark
+    *     and DuckDB classify identically), drop empties. Handles
+    *     punctuation, case, and accented text.
+    *
+    * The tokenizer id is stamped into the index meta at build time;
+    * search always tokenizes the query with the INDEX's tokenizer.
     */
-  private def tokens(c: org.apache.spark.sql.Column) = split(c, " ")
+  def sparkTokens(c: Column, mode: String): Column = mode match {
+    case "space" => split(c, " ")
+    case "unicode" =>
+      filter(split(lower(c), "[^\\p{L}\\p{N}]+"), w => w =!= "")
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer '$other' (supported: space, unicode)")
+  }
+
+  /** Query-side twin of [[sparkTokens]] (driver Scala). */
+  def scalaTokens(text: String, mode: String): Seq[String] = mode match {
+    case "space" => text.split(" ").toSeq.filter(_.nonEmpty)
+    case "unicode" =>
+      text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer '$other' (supported: space, unicode)")
+  }
+
+  /** Oracle-side twin of [[sparkTokens]]: a DuckDB SQL expression
+    * producing the same token list from the SQL expression `c`. */
+  def duckdbTokens(c: String, mode: String): String = mode match {
+    case "space" => s"string_split($c, ' ')"
+    case "unicode" =>
+      s"list_filter(string_split_regex(lower($c), '[^\\p{L}\\p{N}]+'), w -> w <> '')"
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer '$other' (supported: space, unicode)")
+  }
+
+  /** Driver-side bucket of a term — MUST match the executor-side
+    * `pmod(xxhash64(term), P)` used at build time (both are Catalyst
+    * XxHash64, seed 42). */
+  private def termBucket(term: String, p: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(term))).eval(null).asInstanceOf[Long]
+    (((h % p) + p) % p).toInt
+  }
+
+  // ----------------------------------------------------------------- build
 
   /** Build (or rebuild) the inverted index for `df`'s `column`.
     *
     * `df` must carry a unique `idColumn`. When `datasetPath` is a lance
-    * dataset, its current version is stamped into the meta for the same
-    * staleness guard the vector indexes carry.
+    * dataset, its current version is stamped into the meta — [[refresh]]
+    * uses it to delta-index appends, and it doubles as the staleness
+    * guard the vector indexes carry.
     */
   def build(spark: SparkSession, df: DataFrame, column: String,
       idColumn: String, datasetPath: String,
-      numTermPartitions: Int = 32): FtsMeta = {
+      numTermPartitions: Int = 32, tokenizer: String = "space"): FtsMeta = {
     val ip = indexPath(datasetPath, column)
-
-    // (doc, dl) exploded to terms; dl rides the groupBy key (functionally
-    // dependent on the doc id, so it adds no groups) to avoid a join.
-    val tok = df
-      .select(col(idColumn).as("doc"), tokens(col(column)).as("ws"))
-      .select(col("doc"), size(col("ws")).cast("long").as("dl"),
-        explode(col("ws")).as("term"))
-    val postings = tok.groupBy(col("term"), col("doc"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-
-    postings
-      .repartition(numTermPartitions, col("term"))
-      .sortWithinPartitions("term", "doc")
-      .write.mode("overwrite").parquet(postingsPath(ip))
+    writePostings(deltaPostings(df, column, idColumn, tokenizer,
+      numTermPartitions), numTermPartitions, postingsPath(ip), overwrite = true)
 
     // corpus stats in one tiny aggregation (count + exact token sum)
-    val stats = df.select(col(idColumn),
-        size(tokens(col(column))).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
-    val meta = FtsMeta(column, idColumn, stats.getLong(0), stats.getLong(1),
-      numTermPartitions,
+    val stats = docStats(df, column, idColumn, tokenizer)
+    val meta = writeMeta(spark, ip, FtsMeta(column, idColumn,
+      stats._1, stats._2, numTermPartitions,
       datasetVersion = currentVersion(spark, datasetPath),
-      formatVersion = Some(CurrentFormatVersion))
-    writeMeta(spark, ip, meta)
+      formatVersion = Some(CurrentFormatVersion),
+      tokenizer = Some(tokenizer)))
     log.info(s"fts index built at $ip: ${meta.numDocs} docs, " +
-      s"sumDl=${meta.sumDl}, $numTermPartitions term partitions")
+      s"sumDl=${meta.sumDl}, $numTermPartitions term partitions, " +
+      s"tokenizer=$tokenizer")
     meta
   }
+
+  /** `(term, doc, dl, tf, bucket)` rows for `df` — the unit of both a
+    * full build and a refresh delta. (doc, dl) exploded to terms; dl
+    * rides the groupBy key (functionally dependent on the doc id, so it
+    * adds no groups) to avoid a join. */
+  private def deltaPostings(df: DataFrame, column: String, idColumn: String,
+      tokenizer: String, p: Int): DataFrame = {
+    val tok = df
+      .select(col(idColumn).as("doc"), sparkTokens(col(column), tokenizer).as("ws"))
+      .select(col("doc"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+    tok.groupBy(col("term"), col("doc"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(p.toLong)).cast("int"))
+  }
+
+  private def docStats(df: DataFrame, column: String, idColumn: String,
+      tokenizer: String): (Long, Long) = {
+    val r = df.select(col(idColumn),
+        size(sparkTokens(col(column), tokenizer)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writePostings(postings: DataFrame, p: Int, path: String,
+      overwrite: Boolean): Unit =
+    postings
+      .repartition(p, col("bucket"))
+      .sortWithinPartitions("bucket", "term", "doc")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("bucket").parquet(path)
+
+  // --------------------------------------------------------------- refresh
+
+  /** Delta-index rows appended to the lance dataset since the indexed
+    * version (the v34 incremental-refresh pattern on the text side).
+    *
+    * Append-only history: tokenizes ONLY the appended fragments, merges
+    * postings into ONLY the bucket directories their terms hash to
+    * (per-bucket union + re-sort, staged under `postings.tmp` then
+    * swapped dir-by-dir so the live index is never read-while-
+    * overwritten), and bumps `numDocs`/`sumDl`/`datasetVersion` in the
+    * meta (evicting the session cache). Any non-append commit in the
+    * range — row-level DML removal or compaction rewrite — falls back to
+    * a full rebuild with a warning: postings reference doc rows, and
+    * fragment-level tracking cannot prove which survived.
+    *
+    * Returns the updated meta; no-op when the index is already current.
+    */
+  def refresh(spark: SparkSession, datasetPath: String, column: String): FtsMeta = {
+    val meta = loadMeta(spark, datasetPath, column)
+    val root = new Path(datasetPath)
+    val fs = graft.format.LanceFormat.fileSystem(root,
+      spark.sessionState.newHadoopConf())
+    val to = graft.format.LanceFormat.readLatest(fs, root).map(_.version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"fts refresh: no lance dataset at $datasetPath"))
+    val tokenizer = meta.tokenizer.getOrElse("space")
+
+    def rebuild(why: String): FtsMeta = {
+      log.warn(s"fts refresh at $datasetPath/$column: $why — full rebuild")
+      build(spark, spark.read.format("lance").load(datasetPath), column,
+        meta.idColumn, datasetPath, meta.numTermPartitions, tokenizer)
+    }
+
+    if (meta.datasetVersion.isEmpty)
+      return rebuild("index carries no dataset version")
+    val from = meta.datasetVersion.get
+    if (meta.formatVersion.getOrElse(1) < 2)
+      return rebuild(s"format v${meta.formatVersion.getOrElse(1)} layout (flat files)")
+    if (to == from) return meta
+    if (to < from) return rebuild(s"dataset at v$to behind indexed v$from (restore?)")
+
+    // walk (from, to]: appends only, or give up to a rebuild
+    val versions = graft.format.LanceFormat.listVersions(fs, root).toSet
+    if (!versions.contains(from))
+      return rebuild(s"indexed version $from no longer listed")
+    var prev = graft.format.LanceFormat.readManifest(fs, root, from).fragments
+    val added = Seq.newBuilder[graft.format.FragmentMeta]
+    var bad: Option[String] = None
+    var v = from + 1
+    while (v <= to && bad.isEmpty) {
+      if (versions.contains(v)) {
+        val m = graft.format.LanceFormat.readManifest(fs, root, v)
+        val prevFiles = prev.map(_.file).toSet
+        val curFiles = m.fragments.map(_.file).toSet
+        if (m.operation.contains("rewrite"))
+          bad = Some(s"v$v is a compaction rewrite")
+        else if (prev.exists(f => !curFiles.contains(f.file)))
+          bad = Some(s"v$v removed fragments (row-level DML?)")
+        else {
+          added ++= m.fragments.filterNot(f => prevFiles.contains(f.file))
+          prev = m.fragments
+        }
+      }
+      v += 1
+    }
+    if (bad.isDefined) return rebuild(bad.get)
+    val addedFrags = added.result()
+    if (addedFrags.isEmpty) // metadata-only commits (e.g. ALTER): just
+      return writeMeta(spark, indexPath(datasetPath, column), // advance
+        meta.copy(datasetVersion = Some(to)))                 // the stamp
+
+    val endSchema = graft.format.LanceFormat.readManifest(fs, root, to).schema
+    val dataDir = graft.format.LanceFormat.dataPath(root)
+    val deltaDf = spark.read.schema(endSchema)
+      .parquet(addedFrags.map(f => new Path(dataDir, f.file).toString): _*)
+    val p = meta.numTermPartitions
+    val ip = indexPath(datasetPath, column)
+    val delta = deltaPostings(deltaDf, column, meta.idColumn, tokenizer, p)
+
+    // touched buckets: ≤ P values to the driver, bounded by construction
+    val touched = delta.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val live = postingsPath(ip)
+    val stage = s"$ip/postings.tmp"
+    val merged = spark.read.parquet(live)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+      .select(col("term"), col("doc"), col("dl"), col("tf"), col("bucket"))
+      .unionByName(delta)
+    writePostings(merged, p, stage, overwrite = true)
+
+    // swap ONLY the touched bucket dirs in (reads above have completed —
+    // the stage write materialized them); untouched buckets never move
+    val hconf = spark.sessionState.newHadoopConf()
+    val pfs = new Path(live).getFileSystem(hconf)
+    touched.foreach { b =>
+      val dst = new Path(s"$live/bucket=$b")
+      val src = new Path(s"$stage/bucket=$b")
+      if (pfs.exists(dst)) pfs.delete(dst, true)
+      if (pfs.exists(src)) require(pfs.rename(src, dst),
+        s"fts refresh: rename $src -> $dst failed")
+    }
+    pfs.delete(new Path(stage), true)
+
+    val (dn, ds) = docStats(deltaDf, column, meta.idColumn, tokenizer)
+    val updated = writeMeta(spark, ip, meta.copy(numDocs = meta.numDocs + dn,
+      sumDl = meta.sumDl + ds, datasetVersion = Some(to)))
+    log.info(s"fts index refreshed at $ip: +$dn docs (+$ds tokens) from " +
+      s"${addedFrags.size} fragment(s), ${touched.length}/$p buckets merged, " +
+      s"v$from -> v$to")
+    updated
+  }
+
+  // ------------------------------------------------------------------ meta
 
   private def currentVersion(spark: SparkSession, datasetPath: String): Option[Long] = {
     val root = new Path(datasetPath)
@@ -118,24 +311,40 @@ object FtsIndex {
     graft.format.LanceFormat.readLatest(fs, root).map(_.version)
   }
 
-  private def writeMeta(spark: SparkSession, ip: String, meta: FtsMeta): Unit = {
+  /** Persist `meta` (stamped with a fresh buildId) and return the stamped
+    * copy — so the value a caller holds equals the value [[loadMeta]]
+    * serves. buildId makes two builds of identical corpora differ in
+    * CONTENT, so a cached (modTime, len) hit against a byte-identical
+    * rebuild can only serve a meta that is ALSO value-identical — the one
+    * stale-read case (path, modTime, len) cannot distinguish becomes
+    * harmless. */
+  private def writeMeta(spark: SparkSession, ip: String, meta: FtsMeta): FtsMeta = {
     val mp = metaPath(ip)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(mp, true)
-    try out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
+    val stamped = meta.copy(buildId = Some(
+      java.util.UUID.randomUUID().toString))
+    try out.write(Serialization.write(stamped).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // rebuild invalidates any cached meta for this index (same contract
     // as IvfIndex.metaCache)
     metaCache.keySet.removeIf(_._1 == mp.toString)
+    stamped
   }
 
   /** Session-lifetime meta cache keyed (path, modTime, len): a serving
     * workload's repeated searches skip the per-query JSON read; a rebuild
-    * changes the file status (and writeMeta evicts explicitly), so stale
-    * entries can't serve.
+    * changes the file status (and writeMeta evicts explicitly). An
+    * EXTERNAL rebuild landing within the filesystem's mtime granularity
+    * at identical byte length is the residual stale window — tolerable
+    * because equal length + equal stats means the serving-relevant fields
+    * agree, and any numDocs/sumDl/version change alters the JSON length.
+    * Eviction is per-entry oldest-first (not clear-the-world).
     */
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FtsMeta]()
+  private val metaCacheOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
 
   def loadMeta(spark: SparkSession, datasetPath: String, column: String): FtsMeta = {
     val mp = metaPath(indexPath(datasetPath, column))
@@ -154,18 +363,25 @@ object FtsIndex {
         while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
         Serialization.read[FtsMeta](bytes.toString("UTF-8"))
       } finally in.close()
-      if (metaCache.size > 64) metaCache.clear() // bounded; rebuilt on demand
-      metaCache.put(key, meta)
+      while (metaCache.size >= 64) { // bounded, oldest-entry eviction
+        val victim = metaCacheOrder.poll()
+        if (victim == null) { metaCache.clear() }
+        else metaCache.remove(victim)
+      }
+      if (metaCache.putIfAbsent(key, meta) == null) metaCacheOrder.add(key)
       meta
     }
   }
+
+  // ---------------------------------------------------------------- search
 
   /** BM25 top-k for `queryText` against the persisted index.
     *
     * Returns `(doc id, score)` ordered by `(score DESC, doc id)`. `score`
     * is the DECIMAL(18,6)-rounded BM25 sum — rounded so it is
     * reproducible across engines and summation orders (the ordering uses
-    * the same rounded value, so ranking is deterministic too).
+    * the same rounded value, so ranking is deterministic too). The query
+    * is tokenized with the INDEX's tokenizer (stamped at build time).
     *
     * `filter` is an optional SQL predicate over the LANCE DATASET at
     * `datasetPath` (pre-filter: candidates failing it never reach the
@@ -181,15 +397,21 @@ object FtsIndex {
       queryText: String, k: Int, filter: Option[String] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val meta = loadMeta(spark, datasetPath, column)
-    val terms = queryText.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val tokenizer = meta.tokenizer.getOrElse("space")
+    val terms = scalaTokens(queryText, tokenizer).distinct
     require(terms.nonEmpty, "empty query")
     val avgdl = meta.sumDl.toDouble / meta.numDocs
 
-    // Only the probed posting lists leave storage: `term IN (...)` is
-    // pushed to the parquet scan, and the term-hash file layout bounds
-    // the touched files by the term count.
-    val postAll = spark.read.parquet(postingsPath(indexPath(datasetPath, column)))
-      .filter(col("term").isin(terms: _*))
+    // Only the probed posting lists leave storage: v2 prunes to the
+    // terms' bucket DIRECTORIES (partition pruning), then `term IN (...)`
+    // is pushed to the parquet scan inside them; v1 (flat files) relies
+    // on row-group min/max alone.
+    val raw = spark.read.parquet(postingsPath(indexPath(datasetPath, column)))
+    val postAll = (if (meta.formatVersion.getOrElse(1) >= 2) {
+      val buckets = terms.map(termBucket(_, meta.numTermPartitions))
+        .distinct.map(Integer.valueOf)
+      raw.filter(col("bucket").isin(buckets: _*))
+    } else raw).filter(col("term").isin(terms: _*))
 
     // per-term document frequency — at most #terms rows, broadcast back.
     // Computed BEFORE any pre-filter: corpus stats are index-wide.

@@ -472,6 +472,57 @@ object TextAnalysis {
       s"'${bm25Terms.mkString(" ")}', $bm25K, 'lang = ''en''')")
   }
 
+  /** FTS append refresh (t43): index a SUBSET of the corpus, append the
+    * rest to the lance dataset, delta-refresh the index
+    * ([[graft.index.FtsIndex.refresh]] — appended fragments only,
+    * touched-bucket merge), then BM25-search. The oracle is the SAME
+    * full-corpus BM25 as t40, so a hash match proves refresh ==
+    * rebuild-from-scratch. Built fresh on every run: the refresh path IS
+    * the thing under test (the v34 pattern on the text side).
+    */
+  def t43FtsRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.FtsIndex
+    val dest = graft.Tables.scratch(dir, "docs_fts_refresh")
+    val docs = t(spark, dir, "documents")
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .write.format("lance").mode("overwrite").save(dest)
+    FtsIndex.build(spark, spark.read.format("lance").load(dest),
+      "text", "doc_id", dest)
+    docs.filter(col("doc_id") % 5 === 0)
+      .write.format("lance").mode("append").save(dest)
+    FtsIndex.refresh(spark, dest, "text")
+    FtsIndex.search(spark, dest, "text", bm25Terms.mkString(" "), bm25K)
+  }
+
+  /** Unicode-tokenizer FTS (t44): the pluggable tokenizer under
+    * punctuation, case, and accented text. Both sides derive the same
+    * decorated column, tokenize with the SAME rule
+    * ([[graft.index.FtsIndex.duckdbTokens]] emits the oracle twin of the
+    * build/search tokenizer), and BM25-rank — "café" appears in every
+    * doc (idf collapses toward 0), "naïve" in a third, spark/the ride
+    * the underlying corpus.
+    */
+  private val t44Terms = Seq("café", "naïve", "spark", "the")
+
+  def t44FtsUnicode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.FtsIndex
+    val dest = graft.Tables.scratch(dir, "docs_fts_uni")
+    val mp = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${FtsIndex.indexPath(dest, "txt")}/fts.json").getAbsolutePath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) {
+      t(spark, dir, "documents")
+        .withColumn("txt", concat(lit("Café, NAÏVE?! "), col("text"),
+          when(col("doc_id") % 3 === 0, lit(" — naïve café!"))
+            .otherwise(lit(""))))
+        .select(col("doc_id"), col("txt"))
+        .write.format("lance").mode("overwrite").save(dest)
+      FtsIndex.build(spark, spark.read.format("lance").load(dest),
+        "txt", "doc_id", dest, tokenizer = "unicode")
+    }
+    FtsIndex.search(spark, dest, "txt", "Café NAÏVE spark the", bm25K)
+  }
+
   /** PII patterns shared by t41 and its oracle. Restricted to the regex
     * dialect intersection of Java (Spark) and RE2 (DuckDB): character
     * classes, bounded repeats, `\b` — no backreferences, no lookaround.
@@ -527,6 +578,8 @@ object TextAnalysis {
     "t39_repetition" -> t39Repetition,
     "t40_bm25" -> t40Bm25,
     "t42_fts_filtered" -> t42FtsFiltered,
+    "t43_fts_refresh" -> t43FtsRefresh,
+    "t44_fts_unicode" -> t44FtsUnicode,
     "t41_pii_redact" -> t41PiiRedact,
     "p73_budget_mix" -> p73BudgetMix,
     "p74_stratified_sample" -> p74StratifiedSample,
@@ -665,6 +718,57 @@ object TextAnalysis {
            |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
            |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
            |    CAST(SUM(len($dWords)) AS BIGINT) AS sumdl FROM documents)
+           |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM (
+           |  SELECT post.doc_id, CAST(
+           |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)
+           |          / (CAST(df AS DOUBLE) + 0.5)))
+           |        * (tf * CAST(2.2 AS DOUBLE)))
+           |      / (tf + 1.2 * (0.25 + (0.75 * dl)
+           |          / (CAST((SELECT sumdl FROM st) AS DOUBLE) / (SELECT n FROM st))))
+           |    AS DECIMAL(18,6)) AS c
+           |  FROM post JOIN dfs USING (term))
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
+      // t43 indexes a subset, appends the rest, delta-refreshes — the
+      // final indexed corpus is ALL documents, so the oracle is exactly
+      // t40's full-corpus BM25: a hash match proves refresh == rebuild
+      "t43_fts_refresh" -> {
+        val inList = bm25Terms.map(w => s"'$w'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, len($dWords) AS dl,
+           |    unnest($dWords) AS term FROM documents),
+           |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+           |  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len($dWords)) AS BIGINT) AS sumdl FROM documents)
+           |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM (
+           |  SELECT post.doc_id, CAST(
+           |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)
+           |          / (CAST(df AS DOUBLE) + 0.5)))
+           |        * (tf * CAST(2.2 AS DOUBLE)))
+           |      / (tf + 1.2 * (0.25 + (0.75 * dl)
+           |          / (CAST((SELECT sumdl FROM st) AS DOUBLE) / (SELECT n FROM st))))
+           |    AS DECIMAL(18,6)) AS c
+           |  FROM post JOIN dfs USING (term))
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
+      // t44: same decorated column, same unicode tokenization rule
+      // (FtsIndex.duckdbTokens is the oracle twin of the build/search
+      // tokenizer — one definition, two engines)
+      "t44_fts_unicode" -> {
+        val toks = graft.index.FtsIndex.duckdbTokens("txt", "unicode")
+        val inList = t44Terms.map(w => s"'$w'").mkString(", ")
+        s"""WITH d AS (SELECT doc_id,
+           |    'Café, NAÏVE?! ' || text ||
+           |      CASE WHEN doc_id % 3 = 0 THEN ' — naïve café!' ELSE '' END AS txt
+           |  FROM documents),
+           |tok AS (SELECT doc_id, len($toks) AS dl,
+           |    unnest($toks) AS term FROM d),
+           |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+           |  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len($toks)) AS BIGINT) AS sumdl FROM d)
            |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM (
            |  SELECT post.doc_id, CAST(
            |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)

@@ -144,7 +144,83 @@ class FtsIndexSpec extends AnyFunSuite {
     FtsIndex.build(spark, corpus.toDF("doc_id", "text"), "text", "doc_id",
       datasetPath, numTermPartitions = 4)
     val m3 = FtsIndex.loadMeta(spark, datasetPath, "text")
-    assert(m3 == m1, "identical rebuild keeps identical stats")
+    assert(m3.copy(buildId = None) == m1.copy(buildId = None),
+      "identical rebuild keeps identical stats")
+    assert(m3.buildId != m1.buildId,
+      "every build gets a fresh buildId (content-distinguishes rebuilds)")
     assert(!(m3 eq m1), "rebuild must evict the cached instance")
+  }
+
+  test("probed buckets prune to partition directories in the scan") {
+    assert(meta.numDocs == 4)
+    val plan = FtsIndex.search(spark, datasetPath, "text", "rare", 4)
+      .queryExecution.executedPlan.toString
+    // v2 layout: the terms' bucket ids land in PartitionFilters, so
+    // non-probed bucket DIRECTORIES are never listed or read
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"expected bucket partition pruning in plan:\n$plan")
+  }
+
+  test("refresh after append matches a from-scratch rebuild") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
+      "fts-refresh-").toAbsolutePath.toString
+    val ds = s"$dir/docs"
+    val first = corpus.take(2).toDF("doc_id", "text")
+    val rest = corpus.drop(2).toDF("doc_id", "text")
+    first.write.format("lance").mode("overwrite").save(ds)
+    val m0 = FtsIndex.build(spark, spark.read.format("lance").load(ds),
+      "text", "doc_id", ds, numTermPartitions = 4)
+    assert(m0.numDocs == 2)
+    rest.write.format("lance").mode("append").save(ds)
+    val m1 = FtsIndex.refresh(spark, ds, "text")
+    assert(m1.numDocs == 4 && m1.sumDl == meta.sumDl)
+    assert(m1.datasetVersion.get > m0.datasetVersion.get)
+    // refreshed search == the from-scratch index over the same corpus
+    val viaRefresh = FtsIndex.search(spark, ds, "text", "rare common beta", 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaBuild = FtsIndex.search(spark, datasetPath, "text", "rare common beta", 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaRefresh == viaBuild)
+    // idempotent no-op when already current
+    val m2 = FtsIndex.refresh(spark, ds, "text")
+    assert(m2.copy(buildId = None) == m1.copy(buildId = None))
+  }
+
+  test("refresh falls back to a rebuild when history has non-append commits") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
+      "fts-refresh-dml-").toAbsolutePath.toString
+    val ds = s"$dir/docs"
+    corpus.toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(ds)
+    FtsIndex.build(spark, spark.read.format("lance").load(ds),
+      "text", "doc_id", ds, numTermPartitions = 4)
+    // row-level delete: removes doc 2's fragment rows — not an append
+    graft.operators.Dml.deleteWhere(spark, ds, "doc_id = 2")
+    val m = FtsIndex.refresh(spark, ds, "text")
+    assert(m.numDocs == 3, s"rebuild must reindex the surviving docs, got $m")
+    val hits = FtsIndex.search(spark, ds, "text", "beta", 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(4L), s"deleted doc 2 must not surface, got $hits")
+  }
+
+  test("unicode tokenizer: punctuation, case, accents agree across build and query") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
+      "fts-uni-").toAbsolutePath.toString
+    val ds = s"$dir/docs"
+    val docs = Seq(
+      (1L, "Café! naïve, CAFÉ — test"),
+      (2L, "plain words only"),
+      (3L, "NAÏVE?café"))
+    FtsIndex.build(spark, docs.toDF("doc_id", "text"), "text", "doc_id",
+      ds, numTermPartitions = 4, tokenizer = "unicode")
+    val m = FtsIndex.loadMeta(spark, ds, "text")
+    assert(m.tokenizer.contains("unicode"))
+    // dl counts TOKENS after splitting on punctuation: doc 1 has 4
+    assert(m.sumDl == 4L + 3L + 2L, s"sumDl ${m.sumDl}")
+    // query in mixed case + punctuation finds both café docs; tf of
+    // doc 1 (café twice) ranks it first
+    val hits = FtsIndex.search(spark, ds, "text", "CAFÉ!", 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(1L, 3L), s"hits $hits")
   }
 }
