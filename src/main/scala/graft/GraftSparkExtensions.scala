@@ -66,6 +66,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_stats"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_stats"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_stats", args)))
+    e.injectTableFunction((FunctionIdentifier("vector_search_join"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "vector_search_join"),
+      (args: Seq[Expression]) => MetaTvfs.plan("vector_search_join", args)))
   }
 }
 
@@ -88,7 +91,7 @@ object MetaTvfs {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
     Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts",
-        "lance_stats").foreach { n =>
+        "lance_stats", "vector_search_join").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -160,6 +163,28 @@ object MetaTvfs {
         }
         arms.result().reduceOption(_ unionByName _).getOrElse(
           spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema))
+      // KNN JOIN through SQL (the v37 flip-geometry path): the query
+      // side is a TABLE/TEMP-VIEW NAME (Spark has no TABLE(...) TVF
+      // arguments for injected catalyst TVFs), resolved via
+      // spark.table so catalog tables and temp views both work. With
+      // geometry 'auto' the broadcast-vs-flipped decision COUNTS the
+      // query side at plan time — pass an explicit geometry to keep
+      // resolution job-free.
+      case "vector_search_join" =>
+        require(args.size >= 5 && args.size <= 8,
+          "vector_search_join(path, column, queryTable, queryIdCol, k" +
+            "[, nprobes[, metric[, geometry]]])")
+        graft.index.IvfIndex.searchJoin(spark, path,
+          literalString(args(1), "vector_search_join: column"),
+          spark.table(literalString(args(2), "vector_search_join: queryTable")),
+          literalString(args(3), "vector_search_join: queryIdCol"),
+          literalString(args(4), "vector_search_join: k").toInt,
+          nprobes = if (args.size >= 6)
+            literalString(args(5), "vector_search_join: nprobes").toInt else 20,
+          metric = if (args.size >= 7)
+            literalString(args(6), "vector_search_join: metric") else "l2",
+          geometry = if (args.size >= 8)
+            literalString(args(7), "vector_search_join: geometry") else "auto")
       // BM25 over the persisted inverted index (graft.index.FtsIndex) —
       // the scalar-index sibling of the vector_search TVF
       case "lance_fts" =>

@@ -397,6 +397,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** KNN JOIN through pure SQL (v40): the `vector_search_join` TVF over
+    * a temp view drives the SAME v37 flip-geometry path — query side
+    * shuffled on bucket key, never driver-collected — so a hash match
+    * against v37's oracle proves the SQL surface reaches the distributed
+    * plan, not a re-implementation. Explicit 'flipped' keeps TVF
+    * resolution job-free (no auto-geometry count).
+    */
+  def v40KnnJoinSql(spark: SparkSession, dir: String): DataFrame = {
+    val dest = ensureIvf(spark, dir)
+    graft.MetaTvfs.register(spark)
+    t(spark, dir, "embeddings").createOrReplaceTempView("emb_v40")
+    spark.sql(
+      s"""SELECT query_id, _rank AS rk, vec_id, _distance AS dist
+         |FROM vector_search_join('$dest', 'embedding', 'emb_v40', 'vec_id',
+         |                        3, 8, 'l2', 'flipped')
+         |ORDER BY query_id, rk""".stripMargin)
+  }
+
   /** V3 (filtered vector search) end-to-end through the index path: the
     * pre-filter applies INSIDE the probed buckets before the top-k, so
     * all k results satisfy it (search-within-index semantics,
@@ -659,6 +677,7 @@ object Similarity {
     "v35_knn_ivfpq_cosine" -> v35KnnIvfPqCosine,
     "v36_knn_hnsw_filtered" -> v36KnnHnswFiltered,
     "v37_knn_join_flipped" -> v37KnnJoinFlipped,
+    "v40_knn_join_sql" -> v40KnnJoinSql,
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
@@ -705,6 +724,15 @@ object Similarity {
     // row_number over the WHOLE table (the flipped geometry's result is
     // identical to broadcast by construction; only the plan differs)
     "v37_knn_join_flipped" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings),
+         |d AS (SELECT q.q_id, e.vec_id, $l2SqlBody AS dist
+         |  FROM embeddings e, q),
+         |r AS (SELECT *, row_number()
+         |    OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT q_id AS query_id, CAST(rk AS INT) AS rk, vec_id, dist
+         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // v40 drives the SAME flipped path through SQL — identical oracle
+    "v40_knn_join_sql" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings),
          |d AS (SELECT q.q_id, e.vec_id, $l2SqlBody AS dist
          |  FROM embeddings e, q),

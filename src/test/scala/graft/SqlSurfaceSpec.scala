@@ -241,6 +241,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.vector.ef")
   }
 
+  test("vector_search_join TVF reaches the flip-geometry KNN join from SQL") {
+    val r = Lance.buildIndex(spark, spark.read.format("lance").load(datasetPath),
+      "embedding", "vec_id", datasetPath, numPartitions = 4)
+    assert(r.success, r.error)
+    Tables.t(spark, TestSpark.sf, "embeddings").limit(20)
+      .createOrReplaceTempView("q_side")
+    val viaSql = spark.sql(
+      s"""SELECT query_id, _rank, vec_id, _distance
+         |FROM vector_search_join('$datasetPath', 'embedding', 'q_side',
+         |                        'vec_id', 3, 20, 'l2', 'flipped')
+         |ORDER BY query_id, _rank""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val viaApi = graft.index.IvfIndex.searchJoin(spark, datasetPath,
+      "embedding", spark.table("q_side"), "vec_id", k = 3, nprobes = 20,
+      geometry = "flipped")
+      .orderBy("query_id", "_rank")
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("_rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("_distance")))
+    assert(viaSql.nonEmpty && viaSql.length == 20 * 3)
+    assert(viaSql.toSeq == viaApi.toSeq,
+      "SQL TVF must hash-match the Scala API on the same path")
+  }
+
   test("vector_search filter arg pre-filters: all k results satisfy it") {
     val q = Tables.t(spark, TestSpark.sf, "embeddings")
       .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
