@@ -26,11 +26,25 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer `div`, not `/`: double division rounds large nanos counts
-      // (±1µs drift vs DuckDB's exact epoch_us truncation)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.withColumn("ts", nanosToMicrosTs(col("ts")))
     else df
   }
+
+  /** The ONE ns→µs conversion (documented deviation, SURVEY §1.2/§7.4.6):
+    * the reference round-trips parquet TIMESTAMP(NANOS)
+    * (ref:converter/RowDataConverter.java:228-231); Spark 4 has no ns
+    * timestamp, so nanos-since-epoch longs truncate to the containing
+    * microsecond. FLOOR division — arrow/DuckDB `//` semantics, so
+    * pre-epoch nanos land in the earlier µs rather than rounding toward
+    * zero — and integer `div`, not `/`: double division rounds large
+    * nanos counts (±1µs drift vs DuckDB's exact epoch_us truncation).
+    * Gate q50 pins this behavior against the DuckDB oracle; TruncSpec
+    * pins the negative-nanos floor.
+    */
+  def nanosToMicrosTs(ns: Column): Column =
+    // subtract the (always nonnegative) pmod remainder first, so the
+    // truncating IntegralDivide lands on the FLOOR multiple for negatives
+    timestamp_micros(call_function("div", ns - pmod(ns, lit(1000L)), lit(1000L)))
 
   /** Deterministic per-dataset scratch location inside the repo for
     * derived artifacts (inverted indexes, signature tables, roundtrip

@@ -720,6 +720,30 @@ object Relational {
         (col("pos") + 1).cast("bigint").as("rank"), col("price"))
       .orderBy(col("o_custkey"), col("rank"))
 
+  /** ns→µs truncation pin (q50): the reference round-trips parquet
+    * TIMESTAMP(NANOS) (ref:converter/RowDataConverter.java:228-231,
+    * ref:LanceTypeConverter.java:157-161); Spark has no ns timestamp, so
+    * this library truncates nanos to the containing microsecond via THE
+    * ONE conversion helper ([[graft.Tables.nanosToMicrosTs]] — the same
+    * expression the events loader uses on nanos-vintage testdata). The
+    * gate synthesizes deterministic sub-µs offsets, converts, and proves
+    * against the DuckDB oracle that (a) truncation recovers the original
+    * µs timestamp exactly, (b) no value ever rounds UP, row for row over
+    * the whole table. A silent regression (rounding, double drift) flips
+    * n_exact.
+    */
+  def q50NsTruncation(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ns",
+        unix_micros(col("ts")) * lit(1000L) + pmod(col("event_id"), lit(1000L)))
+      .withColumn("ts2", graft.Tables.nanosToMicrosTs(col("ns")))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("ts2") === col("ts"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("ts2") > col("ts"), 1L).otherwise(0L)).as("n_rounded_up"),
+        min(unix_micros(col("ts2"))).as("min_us"),
+        max(unix_micros(col("ts2"))).as("max_us"))
+
   /** Recursive CTE (Spark 4's WITH RECURSIVE): generate doubling price
     * tiers iteratively — the dimension-generation shape recursion is for
     * in analytics — then band-join orders onto them. The recursion is
@@ -792,6 +816,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_ns_truncation" -> q50NsTruncation,
     "q47_recursive_cte" -> q47RecursiveCte,
     "q48_lateral_topk" -> q48LateralTopk,
     "q49_count_min" -> q49CountMin,
@@ -924,6 +949,19 @@ object Relational {
         |  MAX(length(p_name)) AS max_name_len,
         |  COUNT(DISTINCT regexp_extract(p_brand, '[0-9]+')) AS brand_nums
         |FROM part GROUP BY type_head ORDER BY type_head""".stripMargin,
+    // q50: DuckDB's // is floor division on BIGINT and make_timestamp
+    // takes µs — the exact truncation contract nanosToMicrosTs implements
+    "q50_ns_truncation" ->
+      """WITH e AS (SELECT
+        |    epoch_us(CAST(ts AS TIMESTAMP)) * 1000 + event_id % 1000 AS ns,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |c AS (SELECT ts, make_timestamp(ns // 1000) AS ts2 FROM e)
+        |SELECT COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN ts2 = ts THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN ts2 > ts THEN 1 ELSE 0 END) AS BIGINT) AS n_rounded_up,
+        |  MIN(epoch_us(ts2)) AS min_us, MAX(epoch_us(ts2)) AS max_us
+        |FROM c""".stripMargin,
     // ties at the slice boundary carry equal values, so the value hash is
     // insensitive to tiebreak order; rank among equal prices swaps equal rows
     "q46_array_agg" ->

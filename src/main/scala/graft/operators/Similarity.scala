@@ -397,6 +397,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Float64 vector search (v41): the reference's vector field admits
+    * Float32 AND Float64 (ref:converter/LanceTypeConverter.java:267-295);
+    * this gate pins the double-precision leg of the index surface. The
+    * corpus is the embeddings table cast to `array<double>`; IVF build
+    * quantizes bucket ASSIGNMENT through float32 centroids (k-means
+    * precision is not a correctness surface — any partition works) but
+    * stores and scores the ORIGINAL doubles: `_distance` is the codegen'd
+    * double accumulation over the double column, so full probing is
+    * bit-identical to the oracle's brute force over `embedding::DOUBLE[]`.
+    */
+  def v41KnnDouble(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = graft.Tables.scratch(dir, "emb_ivf_f64_np8_v1")
+    val metaFile = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
+    val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaFile)) {
+      val r = IvfIndex.build(spark,
+        t(spark, dir, "embeddings")
+          .withColumn("embedding", col("embedding").cast("array<double>")),
+        "embedding", "vec_id", dest, numPartitions = 8)
+      require(r.success, r.error)
+    }
+    val q = queryVec(spark, dir, 0L)
+    IvfIndex.search(spark, dest, "embedding", q, 10, nprobes = 8)
+      .select(col("vec_id"), col("_distance").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** KNN JOIN through pure SQL (v40): the `vector_search_join` TVF over
     * a temp view drives the SAME v37 flip-geometry path — query side
     * shuffled on bucket key, never driver-collected — so a hash match
@@ -678,6 +707,7 @@ object Similarity {
     "v36_knn_hnsw_filtered" -> v36KnnHnswFiltered,
     "v37_knn_join_flipped" -> v37KnnJoinFlipped,
     "v40_knn_join_sql" -> v40KnnJoinSql,
+    "v41_knn_double" -> v41KnnDouble,
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
@@ -771,6 +801,13 @@ object Similarity {
         |FROM embeddings e, q
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
     "v25_knn_ivf" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $l2SqlBody AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    // v41: the stored column IS double, so the oracle's ::DOUBLE[] cast
+    // reads the exact same values the engine scores — same brute force
+    "v41_knn_double" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, $l2SqlBody AS dist
          |FROM embeddings e, q

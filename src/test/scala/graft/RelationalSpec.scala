@@ -167,6 +167,16 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("nanosToMicrosTs floors: sub-µs drops, negative nanos land in the earlier µs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val r = Seq(1500L, 999L, 1000L, -1L, -1500L, 0L).toDF("ns")
+      .select(unix_micros(graft.Tables.nanosToMicrosTs(col("ns"))).as("us"))
+      .as[Long].collect().toSeq
+    // floor semantics (arrow/DuckDB `//`), never round-toward-zero
+    assert(r == Seq(1L, 0L, 1L, -1L, -2L, 0L), s"got $r")
+  }
+
   test("q46 emits (custkey, rank, price) rows, 3 per customer, prices desc") {
     val rows = operators.Relational.q46ArrayAgg(spark, sf).collect()
     assert(rows.nonEmpty)
