@@ -157,6 +157,46 @@ class CommitRaceSpec extends AnyFunSuite {
     assert(new String(buf, 0, n) == "winner")
   }
 
+  private def s3aRoot(): (FileSystem, Path) = {
+    val conf = new Configuration()
+    conf.set("fs.s3a.impl", classOf[S3AMockFileSystem].getName)
+    // keep the mock out of the JVM-global FileSystem cache: other suites'
+    // sessions must never resolve s3a:// to this store
+    conf.setBoolean("fs.s3a.impl.disable.cache", true)
+    val root = new Path(s"s3a://mock-bucket/tbl-${UUID.randomUUID()}")
+    (root.getFileSystem(conf), root)
+  }
+
+  test("s3a contract: scheme resolution picks conditional PUT and survives the race") {
+    val (fs, _) = s3aRoot()
+    assert(fs.getScheme == "s3a")
+    // the pin: resolution by SCHEME (no override, no explicit publisher)
+    assert(ManifestPublisher.forFileSystem(fs) == ManifestPublisher.ConditionalPut)
+    for ((loser, winner) <- Seq(("a", "b"), ("b", "a"))) {
+      val (fs2, root2) = s3aRoot()
+      raceBothLand(fs2, root2, ManifestPublisher.forFileSystem(fs2), loser, winner)
+    }
+  }
+
+  test("s3a contract: unsynchronized committers with scheme-resolved publisher, none lost") {
+    val (fs, root) = s3aRoot()
+    // NO ManifestPublisher.register here (unlike the condmem stress test,
+    // whose scheme is not in the table): the commit path must resolve
+    // ConditionalPut from the s3a scheme on its own
+    val threads = (0 until 4).map { t =>
+      new Thread(() => (0 until 5).foreach { i =>
+        LanceFormat.commitAppend(fs, root, schema,
+          Seq(FragmentMeta(0, s"t$t-$i.parquet", 1)))
+      }, s"s3a-stress-$t")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(LanceFormat.listVersions(fs, root) == (1L to 20L),
+      "every append lands on its own dense version")
+    val last = LanceFormat.readLatest(fs, root).get
+    assert(last.fragments.map(_.file).toSet ==
+      (for (t <- 0 until 4; i <- 0 until 5) yield s"t$t-$i.parquet").toSet)
+  }
+
   test("publisher resolution: scheme map + registry override") {
     assert(ManifestPublisher.forScheme("file") == ManifestPublisher.HardLink)
     assert(ManifestPublisher.forScheme("hdfs") == ManifestPublisher.RenameIfAbsent)

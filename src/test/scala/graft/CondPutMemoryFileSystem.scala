@@ -133,3 +133,16 @@ class CondPutMemoryFileSystem extends FileSystem {
 object CondPutMemoryFileSystem {
   val store = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 }
+
+/** The same conditional-PUT store surfaced under the REAL `s3a` scheme
+  * (Hadoop-API-faithful S3 mock: overwrite=false checked at close, no
+  * atomic rename) — so the publisher-resolution path
+  * (`forFileSystem` → `forScheme("s3a")` → `ConditionalPut`) is driven
+  * end-to-end by the contract tests, pinning the `conditionalPutSchemes`
+  * table choice instead of bypassing it with a test-registered override.
+  * If resolution ever picked RenameIfAbsent for s3a, commits here would
+  * fail loudly (`rename` always returns false, like S3).
+  */
+class S3AMockFileSystem extends CondPutMemoryFileSystem {
+  override def getScheme: String = "s3a"
+}
