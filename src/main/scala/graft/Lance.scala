@@ -70,7 +70,17 @@ object Lance {
       .option("write.max-rows-per-file", maxRowsPerFile.toString)
       .mode(mode).save(path)
 
-  /** Exact KNN over any DataFrame with a vector column (V1/V3/V6). */
+  /** Exact KNN over any DataFrame with a vector column (V1/V3/V6).
+    *
+    * With `spark.graft.ann.useIndex=true` the optimizer may rewrite this
+    * plan into an index probe ([[graft.plans.AnnIndexRewrite]]). Note the
+    * PRE-FILTERED probe (a `.filter` before knnSearch) executes its Spark
+    * jobs AT PLAN TIME — the shortfall-widening loop needs row counts —
+    * and substitutes the k rows as a local relation; repeated
+    * optimizations of an identical plan are served from a per-session
+    * memo keyed on the dataset version, so explain/re-analysis does not
+    * re-run the probe.
+    */
   def knnSearch(df: DataFrame, vectorCol: String, query: Array[Float], k: Int,
       metric: String = "l2", filter: Option[Column] = None): DataFrame =
     Similarity.knnSearch(df, vectorCol, query, k, metric, filter)
@@ -280,11 +290,16 @@ object Lance {
   /** Reclaim crash-leftover data files no retained manifest references
     * (vacuum's complement: vacuum drops files old VERSIONS referenced,
     * this drops files NOTHING ever committed). `graceMinutes` shields an
-    * in-flight writer's staged-but-uncommitted files.
+    * in-flight writer's staged-but-uncommitted files — a writer that
+    * stages data LONGER than the grace before committing its manifest
+    * would have those files deleted out from under its commit, so the
+    * default is 3 days (Iceberg's remove_orphan_files default, chosen for
+    * exactly this race); never run with a short grace concurrently with
+    * writes that could outlive it.
     * Returns (files scanned, orphans deleted).
     */
   def removeOrphans(spark: SparkSession, path: String,
-      graceMinutes: Int = 60): (Int, Int) = {
+      graceMinutes: Int = 3 * 24 * 60): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     graft.format.LanceFormat.removeOrphans(fs, root, graceMinutes * 60000L)

@@ -299,8 +299,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("source", StringType).comment("view/table name visible to spark.table()").build(),
       in("keys", StringType).comment("comma-separated key columns").build())
     case "remove_orphans" => Array(in("table", StringType).build(),
-      in("grace_minutes", IntegerType).defaultValue("60")
-        .comment("only files older than this are eligible (in-flight commit shield)")
+      in("grace_minutes", IntegerType).defaultValue("4320")
+        .comment("only files older than this are eligible; must exceed any " +
+          "concurrent writer's stage-to-commit time (default 3 days, " +
+          "Iceberg's remove_orphan_files contract)")
         .build())
     case "restore" => Array(in("table", StringType).build(),
       in("version", IntegerType).comment("committed version to restore to").build())

@@ -58,6 +58,39 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       rel.table.asInstanceOf[LanceTable].pinned.isEmpty &&
       Option(rel.options).forall(o => o.get("versionAsOf") == null)
 
+  /** Filtered probes EXECUTE at plan time (the widening loop needs row
+    * counts; the k result rows substitute as a LocalRelation) — so every
+    * re-analysis / explain / re-optimization of the same plan would
+    * re-run the probe's Spark jobs. Memoize the analyzed LocalRelation
+    * per (path, column, metric, query, k, nprobes, filterSql), keyed
+    * additionally on the dataset's CURRENT committed version so an
+    * append/DML between optimizations can never serve a stale probe
+    * (version lookup is one manifest-listing read, no job). Bounded LRU;
+    * k rows per entry by construction.
+    */
+  private val probeCache =
+    new java.util.LinkedHashMap[(String, Long), LogicalPlan](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), LogicalPlan]): Boolean = size > 32
+    }
+
+  private def datasetVersion(path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    scala.util.Try(graft.format.LanceFormat.readLatest(
+        graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf()),
+        root)).toOption.flatten.map(_.version).getOrElse(-1L)
+  }
+
+  private def memoized(key: String, path: String)(
+      compute: => Option[LogicalPlan]): Option[LogicalPlan] = {
+    val vkey = (key, datasetVersion(path))
+    probeCache.synchronized(Option(probeCache.get(vkey))).orElse {
+      val r = compute
+      r.foreach(p => probeCache.synchronized(probeCache.put(vkey, p)))
+      r
+    }
+  }
+
   private def literalVec(l: Literal): Option[Array[Float]] = l.dataType match {
     case ArrayType(DoubleType, _) =>
       val a = l.value.asInstanceOf[ArrayData]
@@ -131,9 +164,21 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case Some(c) => scala.util.Try(
               org.apache.spark.sql.functions.expr(c.sql)).toOption.map(Some(_))
           }
-          probe <- scala.util.Try(IvfIndex.search(spark, path, vecCol.name,
-            q, k, nprobes = nprobes, metric = metric, filter = filterCol)
-            .queryExecution.analyzed).toOption
+          probe <- cond match {
+            case None =>
+              // unfiltered probe substitutes a LAZY bucket-pruned plan —
+              // no job at plan time, nothing to memoize
+              scala.util.Try(IvfIndex.search(spark, path, vecCol.name,
+                q, k, nprobes = nprobes, metric = metric)
+                .queryExecution.analyzed).toOption
+            case Some(c) =>
+              memoized(s"$path|${vecCol.name}|$metric|${q.mkString(",")}|" +
+                  s"$k|$nprobes|${c.sql}", path) {
+                scala.util.Try(IvfIndex.search(spark, path, vecCol.name,
+                  q, k, nprobes = nprobes, metric = metric, filter = filterCol)
+                  .queryExecution.analyzed).toOption
+              }
+          }
           // every projected column must exist in the probe output (the
           // bucket sidecar stores all table columns + _distance); the
           // descending-dot sort column maps to -(_distance), all other
