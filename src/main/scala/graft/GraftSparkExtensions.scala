@@ -188,14 +188,17 @@ object MetaTvfs {
       // BM25 over the persisted inverted index (graft.index.FtsIndex) —
       // the scalar-index sibling of the vector_search TVF
       case "lance_fts" =>
-        require(args.size == 4 || args.size == 5,
-          "lance_fts(path, column, query, k[, filter])")
+        require(args.size >= 4 && args.size <= 6,
+          "lance_fts(path, column, query, k[, filter[, matchMode]])")
         graft.index.FtsIndex.search(spark, path,
           literalString(args(1), "lance_fts: column"),
           literalString(args(2), "lance_fts: query"),
           literalString(args(3), "lance_fts: k").toInt,
           filter = if (args.size >= 5)
-            Some(literalString(args(4), "lance_fts: filter")) else None)
+            Some(literalString(args(4), "lance_fts: filter"))
+              .filter(_.nonEmpty) else None, // '' = no filter (arg skipping)
+          matchMode = if (args.size >= 6)
+            literalString(args(5), "lance_fts: matchMode") else "any")
       // ANALYZE/DESCRIBE-STATISTICS parity, zero data files touched: the
       // per-fragment manifest stats rolled up to table level. min/max are
       // BOUNDS in the stored canonical encoding (strings ≤64 chars are

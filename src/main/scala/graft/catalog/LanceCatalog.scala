@@ -228,8 +228,8 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
 
 object LanceCatalog {
   private[catalog] val ProcedureNames =
-    Seq("compact", "vacuum", "cluster", "refresh_index", "update_where",
-      "upsert", "remove_orphans", "restore")
+    Seq("compact", "vacuum", "cluster", "refresh_index", "refresh_fts",
+      "update_where", "upsert", "remove_orphans", "restore")
 }
 
 private[catalog] object LanceProcedure {
@@ -281,6 +281,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "upsert" => "MERGE a view/table into the dataset on key columns (update-or-insert)"
     case "remove_orphans" => "delete data files no retained manifest references (crash leftovers)"
     case "restore" => "roll the table back to a prior version as a NEW commit (history preserved)"
+    case "refresh_fts" => "delta-index appended fragments into the FTS postings (touched buckets only)"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -306,6 +307,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         .build())
     case "restore" => Array(in("table", StringType).build(),
       in("version", IntegerType).comment("committed version to restore to").build())
+    case "refresh_fts" => Array(in("table", StringType).build(),
+      in("column", StringType).comment("indexed text column").build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -358,6 +361,13 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("restored_version", LongType, nullable = false)
           .add("new_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](restored, newV)))
+      case "refresh_fts" =>
+        val m = graft.index.FtsIndex.refresh(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("num_docs", LongType, nullable = false)
+          .add("dataset_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](m.numDocs,
+            m.datasetVersion.getOrElse(-1L))))
       case _ =>
         val n = graft.Lance.refreshIndex(spark, path, input.getUTF8String(1).toString)
         (new StructType().add("rows_indexed", LongType, nullable = false),

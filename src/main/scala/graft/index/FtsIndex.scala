@@ -383,6 +383,13 @@ object FtsIndex {
     * the same rounded value, so ranking is deterministic too). The query
     * is tokenized with the INDEX's tokenizer (stamped at build time).
     *
+    * `matchMode` `"any"` (default) ranks every doc matching ≥1 term
+    * (Lucene's BooleanQuery SHOULD); `"all"` keeps only docs matching
+    * EVERY query term (MUST) — scores are unchanged, the conjunction
+    * only narrows candidates, and the matched-term count falls out of
+    * the per-doc aggregation for free (postings are unique per
+    * (term, doc)).
+    *
     * `filter` is an optional SQL predicate over the LANCE DATASET at
     * `datasetPath` (pre-filter: candidates failing it never reach the
     * top-k, so k survivors are guaranteed eligible — the V3 semantics,
@@ -394,8 +401,11 @@ object FtsIndex {
     * result set, it does not re-weigh the corpus.
     */
   def search(spark: SparkSession, datasetPath: String, column: String,
-      queryText: String, k: Int, filter: Option[String] = None): DataFrame = {
+      queryText: String, k: Int, filter: Option[String] = None,
+      matchMode: String = "any"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(matchMode == "any" || matchMode == "all",
+      s"matchMode must be any|all, got $matchMode")
     val meta = loadMeta(spark, datasetPath, column)
     val tokenizer = meta.tokenizer.getOrElse("space")
     val terms = scalaTokens(queryText, tokenizer).distinct
@@ -429,11 +439,17 @@ object FtsIndex {
         (col("tf") * lit(K1 + 1.0)) /
         (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl)))
 
-    post
+    val scored = post
       .join(broadcast(dfs), "term")
       .withColumn("c", contrib.cast("decimal(18,6)"))
       .groupBy(col("doc"))
-      .agg(sum(col("c")).cast("double").as("score"))
+      // postings are unique per (term, doc), so the row count per doc IS
+      // the matched-term count — boolean-AND needs no extra distinct
+      .agg(sum(col("c")).cast("double").as("score"),
+        count(lit(1)).as("__nt"))
+    (if (matchMode == "all") scored.filter(col("__nt") === terms.size)
+     else scored)
+      .drop("__nt")
       .orderBy(col("score").desc, col("doc"))
       .limit(k)
       .withColumnRenamed("doc", meta.idColumn)

@@ -523,6 +523,20 @@ object TextAnalysis {
     FtsIndex.search(spark, dest, "txt", "Café NAÏVE spark the", bm25K)
   }
 
+  /** Boolean-AND FTS (t45): `matchMode='all'` through the `lance_fts`
+    * TVF — only docs containing EVERY query term rank (Lucene MUST
+    * semantics); scores are the same BM25 sums, the conjunction only
+    * narrows candidates. Reuses t42's lance dataset + index (the ''
+    * filter arg means unfiltered — positional-arg skipping).
+    */
+  def t45FtsConjunction(spark: SparkSession, dir: String): DataFrame = {
+    t42FtsFiltered(spark, dir).collect() // ensure t42's dataset + index exist
+    val dest = graft.Tables.scratch(dir, "docs_fts_ds")
+    graft.MetaTvfs.register(spark)
+    spark.sql(s"SELECT * FROM lance_fts('$dest', 'text', " +
+      s"'${bm25Terms.mkString(" ")}', $bm25K, '', 'all')")
+  }
+
   /** PII patterns shared by t41 and its oracle. Restricted to the regex
     * dialect intersection of Java (Spark) and RE2 (DuckDB): character
     * classes, bounded repeats, `\b` — no backreferences, no lookaround.
@@ -580,6 +594,7 @@ object TextAnalysis {
     "t42_fts_filtered" -> t42FtsFiltered,
     "t43_fts_refresh" -> t43FtsRefresh,
     "t44_fts_unicode" -> t44FtsUnicode,
+    "t45_fts_conjunction" -> t45FtsConjunction,
     "t41_pii_redact" -> t41PiiRedact,
     "p73_budget_mix" -> p73BudgetMix,
     "p74_stratified_sample" -> p74StratifiedSample,
@@ -751,6 +766,29 @@ object TextAnalysis {
            |    AS DECIMAL(18,6)) AS c
            |  FROM post JOIN dfs USING (term))
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
+      // t45: boolean AND — HAVING COUNT(*) = #terms on the per-doc agg
+      // (post rows are unique per (term, doc)); scores unchanged
+      "t45_fts_conjunction" -> {
+        val inList = bm25Terms.map(w => s"'$w'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, len($dWords) AS dl,
+           |    unnest($dWords) AS term FROM documents),
+           |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+           |  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len($dWords)) AS BIGINT) AS sumdl FROM documents)
+           |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM (
+           |  SELECT post.doc_id, CAST(
+           |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)
+           |          / (CAST(df AS DOUBLE) + 0.5)))
+           |        * (tf * CAST(2.2 AS DOUBLE)))
+           |      / (tf + 1.2 * (0.25 + (0.75 * dl)
+           |          / (CAST((SELECT sumdl FROM st) AS DOUBLE) / (SELECT n FROM st))))
+           |    AS DECIMAL(18,6)) AS c
+           |  FROM post JOIN dfs USING (term))
+           |GROUP BY doc_id HAVING COUNT(*) = ${bm25Terms.size}
+           |ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
       },
       // t44: same decorated column, same unicode tokenization rule
       // (FtsIndex.duckdbTokens is the oracle twin of the build/search

@@ -398,6 +398,21 @@ class FragmentStatsSpec extends AnyFunSuite {
       assert(clustered.getInt(1) >= 1)
       assert(s.sql("SELECT SUM(id) FROM lance_proc.db.t").head.getLong(0) == 6)
 
+      // refresh_fts: build over the current rows, append, delta-refresh
+      s.sql("CREATE TABLE lance_proc.db.docs (doc_id BIGINT, body STRING)")
+      s.sql("INSERT INTO lance_proc.db.docs VALUES (1, 'alpha beta'), (2, 'beta gamma')")
+      val docsPath = s"$wh/db/docs"
+      graft.index.FtsIndex.build(s, s.read.format("lance").load(docsPath),
+        "body", "doc_id", docsPath, numTermPartitions = 4)
+      s.sql("INSERT INTO lance_proc.db.docs VALUES (3, 'gamma delta')")
+      val refreshed = s.sql("CALL lance_proc.refresh_fts('db.docs', 'body')")
+        .collect().head
+      assert(refreshed.getLong(0) == 3, s"refresh_fts returned $refreshed")
+      val hits = graft.index.FtsIndex.search(s, docsPath, "body", "gamma", 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(hits == Set(2L, 3L), s"appended doc must be searchable, got $hits")
+      s.sql("DROP TABLE IF EXISTS lance_proc.db.docs")
+
       // Spark wraps the catalog's require into FAILED_TO_LOAD_ROUTINE
       val e = intercept[Exception](s.sql("CALL lance_proc.no_such_proc('db.t')"))
       assert(e.getMessage.contains("no_such_proc"))

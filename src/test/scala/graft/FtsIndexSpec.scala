@@ -203,6 +203,21 @@ class FtsIndexSpec extends AnyFunSuite {
     assert(hits == Set(4L), s"deleted doc 2 must not surface, got $hits")
   }
 
+  test("matchMode=all keeps only docs containing every term, scores unchanged") {
+    assert(meta.numDocs == 4)
+    val any = FtsIndex.search(spark, datasetPath, "text", "common alpha", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val all = FtsIndex.search(spark, datasetPath, "text", "common alpha", 10,
+      matchMode = "all").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // only docs 1 and 4 contain BOTH terms
+    assert(all.map(_._1).toSet == Set(1L, 4L), s"got ${all.toSeq}")
+    // conjunction narrows candidates; it must not re-weigh scores
+    all.foreach { case (id, s) => assert(s == any(id)) }
+    // AND of a term with an absent term is empty
+    assert(FtsIndex.search(spark, datasetPath, "text", "common zzz", 10,
+      matchMode = "all").count() == 0)
+  }
+
   test("unicode tokenizer: punctuation, case, accents agree across build and query") {
     val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
       "fts-uni-").toAbsolutePath.toString
