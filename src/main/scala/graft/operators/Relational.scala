@@ -293,6 +293,31 @@ object Relational {
       .limit(2000)
   }
 
+  /** Navigation-function window family (q51): LEAD (next event + gap),
+    * FIRST_VALUE / LAST_VALUE / NTH_VALUE over per-user event streams —
+    * the "what happened next / how long until it" shape funnel analysis
+    * runs (LAG rides q24). One shuffle on user_id serves every function;
+    * the full-partition frames are explicit ROWS UNBOUNDED..UNBOUNDED on
+    * both engines so the default-frame difference between running and
+    * whole-partition semantics can never drift.
+    */
+  def q51LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val winAll = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(win))
+      .withColumn("gap_us",
+        unix_micros(lead(col("ts"), 1).over(win)) - unix_micros(col("ts")))
+      .withColumn("first_type", first(col("event_type")).over(win))
+      .withColumn("last_type", last(col("event_type")).over(winAll))
+      .withColumn("third_type", nth_value(col("event_type"), 3).over(winAll))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_id"), col("next_type"), col("gap_us"),
+        col("first_type"), col("last_type"), col("third_type"))
+      .limit(2000)
+  }
+
   /** Deterministic hash sampling — the reproducible train/eval split a
     * training pipeline needs (no RNG, no seed drift across engines):
     * md5(key) mod 10 picks a stable 10% of documents.
@@ -817,6 +842,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ns_truncation" -> q50NsTruncation,
+    "q51_lead_lag" -> q51LeadLag,
     "q47_recursive_cte" -> q47RecursiveCte,
     "q48_lateral_topk" -> q48LateralTopk,
     "q49_count_min" -> q49CountMin,
@@ -962,6 +988,25 @@ object Relational {
         |  CAST(SUM(CASE WHEN ts2 > ts THEN 1 ELSE 0 END) AS BIGINT) AS n_rounded_up,
         |  MIN(epoch_us(ts2)) AS min_us, MAX(epoch_us(ts2)) AS max_us
         |FROM c""".stripMargin,
+    // q51: (ts, event_id) is a unique ordering, so the 2000-row prefix is
+    // the same set on both engines; whole-partition frames are explicit
+    "q51_lead_lag" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |w AS (SELECT user_id, event_id, ts,
+        |    lead(event_type) OVER win AS next_type,
+        |    epoch_us(lead(ts) OVER win) - epoch_us(ts) AS gap_us,
+        |    first_value(event_type) OVER win AS first_type,
+        |    last_value(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+        |    nth_value(event_type, 3) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_type
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, next_type, gap_us, first_type, last_type,
+        |  third_type
+        |FROM w ORDER BY user_id, ts, event_id LIMIT 2000""".stripMargin,
     // ties at the slice boundary carry equal values, so the value hash is
     // insensitive to tiebreak order; rank among equal prices swaps equal rows
     "q46_array_agg" ->
