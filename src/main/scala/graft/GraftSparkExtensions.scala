@@ -69,6 +69,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("vector_search_join"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "vector_search_join"),
       (args: Seq[Expression]) => MetaTvfs.plan("vector_search_join", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_indexes"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_indexes"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_indexes", args)))
   }
 }
 
@@ -91,7 +94,7 @@ object MetaTvfs {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
     Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts",
-        "lance_stats", "vector_search_join").foreach { n =>
+        "lance_stats", "vector_search_join", "lance_indexes").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -163,6 +166,58 @@ object MetaTvfs {
         }
         arms.result().reduceOption(_ unionByName _).getOrElse(
           spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema))
+      // DESCRIBE-INDEXES parity: one row per persisted index sidecar
+      // under <dataset>/_indices — vector (ivf / ivf_pq, + an hnsw_graph
+      // row when the graph sidecar exists) and fts — with the staleness
+      // verdict (indexed vs current dataset version) a maintenance
+      // workflow polls before deciding refresh vs rebuild. Metadata only:
+      // JSON sidecars + manifest listing, zero data files touched.
+      case "lance_indexes" =>
+        val indicesDir = new org.apache.hadoop.fs.Path(path, "_indices")
+        val current: Option[Long] =
+          graft.format.LanceFormat.readLatest(fs, root).map(_.version)
+        val entries =
+          if (!fs.exists(indicesDir)) Seq.empty[Row]
+          else fs.listStatus(indicesDir).toSeq.filter(_.isDirectory)
+            .map(_.getPath.getName).sorted.flatMap { dirName =>
+              def freshRow(kind: String, column: String, detail: String,
+                  partitions: Int, indexed: Option[Long]): Row = {
+                val fresh: Any = (indexed, current) match {
+                  case (Some(i), Some(c)) => Boolean.box(i == c)
+                  case _ => null
+                }
+                Row(dirName, kind, column, detail, partitions,
+                  indexed.map(Long.box).orNull,
+                  current.map(Long.box).orNull, fresh)
+              }
+              if (dirName.endsWith("_ivf")) {
+                val column = dirName.stripSuffix("_ivf")
+                val m = graft.index.IvfIndex.loadMeta(spark, path, column)
+                val kind = if (m.pq.isDefined) "ivf_pq" else "ivf"
+                val base = freshRow(kind, column, m.metric, m.numPartitions,
+                  m.datasetVersion)
+                val gp = new org.apache.hadoop.fs.Path(
+                  graft.index.HnswIndex.graphPath(path, column))
+                if (fs.exists(gp))
+                  Seq(base, freshRow("hnsw_graph", column, m.metric,
+                    m.numPartitions, m.datasetVersion))
+                else Seq(base)
+              } else if (dirName.endsWith("_fts")) {
+                val column = dirName.stripSuffix("_fts")
+                val m = graft.index.FtsIndex.loadMeta(spark, path, column)
+                Seq(freshRow("fts", column, m.tokenizer.getOrElse("space"),
+                  m.numTermPartitions, m.datasetVersion))
+              } else Seq.empty
+            }
+        spark.createDataFrame(java.util.Arrays.asList(entries: _*),
+          new StructType().add("name", StringType, nullable = false)
+            .add("kind", StringType, nullable = false)
+            .add("column", StringType, nullable = false)
+            .add("detail", StringType, nullable = false) // metric / tokenizer
+            .add("partitions", IntegerType, nullable = false)
+            .add("indexed_version", LongType) // null = built off-dataset
+            .add("current_version", LongType) // null = not a lance dataset
+            .add("fresh", BooleanType))       // null = unknowable
       // KNN JOIN through SQL (the v37 flip-geometry path): the query
       // side is a TABLE/TEMP-VIEW NAME (Spark has no TABLE(...) TVF
       // arguments for injected catalyst TVFs), resolved via

@@ -979,6 +979,37 @@ object LanceQueries {
     * this is the difference between a metadata read and a full scan for
     * every "what's in this table" question.
     */
+  /** DESCRIBE-INDEXES observability (s86): the `lance_indexes` TVF lists
+    * every persisted index sidecar — vector + fts — with its kind,
+    * column, detail (metric / tokenizer), partition count and STALENESS
+    * verdict, from JSON sidecars + the manifest listing alone (zero data
+    * files). Both indexes are built at the dataset's current version, so
+    * `fresh` is deterministically true and the whole row set is a static
+    * VALUES oracle.
+    */
+  def s86IndexListing(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "emb_idx_listing")
+    val mp = new Path(new java.io.File(s"$dest/_indices/txt_fts/fts.json")
+      .getAbsolutePath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) {
+      freshDataset(spark, dest)
+      t(spark, dir, "embeddings")
+        .withColumn("txt", concat_ws(" ", lit("label"), col("label")))
+        .write.format("lance").mode("overwrite").save(dest)
+      val ds = spark.read.format("lance").load(dest)
+      val r = graft.index.IvfIndex.build(spark, ds, "embedding", "vec_id",
+        dest, numPartitions = 4)
+      require(r.success, r.error)
+      graft.index.FtsIndex.build(spark, ds, "txt", "vec_id", dest,
+        numTermPartitions = 8)
+    }
+    graft.MetaTvfs.register(spark)
+    spark.sql(
+      s"""SELECT name, kind, column AS col_name, detail, partitions, fresh
+         |FROM lance_indexes('$dest') ORDER BY name""".stripMargin)
+  }
+
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_stats_tvf")
     freshDataset(spark, dest)
@@ -1110,6 +1141,7 @@ object LanceQueries {
     "s80_manifest_minmax" -> s80ManifestMinmax,
     "s84_stats_tvf" -> s84StatsTvf,
     "s85_restore" -> s85Restore,
+    "s86_index_listing" -> s86IndexListing,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1241,6 +1273,14 @@ object LanceQueries {
         | true AS delete_changed, true AS restore_advanced,
         | true AS tt_sees_delete
         |FROM orders""".stripMargin,
+    // static VALUES oracle: every listed field is deterministic (kinds,
+    // columns, metric/tokenizer, partition counts, fresh-at-build)
+    "s86_index_listing" ->
+      """SELECT * FROM (VALUES
+        |  ('embedding_ivf', 'ivf', 'embedding', 'l2', 4, true),
+        |  ('txt_fts', 'fts', 'txt', 'space', 8, true))
+        |AS t(name, kind, col_name, detail, partitions, fresh)
+        |ORDER BY name""".stripMargin,
     // the oracle aggregates the actual rows; the TVF answered from
     // manifest stats alone must agree exactly
     "s84_stats_tvf" ->
