@@ -190,23 +190,37 @@ object MetaTvfs {
                   indexed.map(Long.box).orNull,
                   current.map(Long.box).orNull, fresh)
               }
+              // a sidecar that fails to LOAD (legacy format, corrupt
+              // json) must not take the whole listing down — that is the
+              // exact index a maintenance workflow most needs to see.
+              // Surface it as an `error` row instead.
+              def orError(column: String)(rows: => Seq[Row]): Seq[Row] =
+                try rows catch {
+                  case e: Exception => Seq(freshRow("error", column,
+                    Option(e.getMessage).getOrElse(e.getClass.getName)
+                      .linesIterator.next().take(120), -1, None))
+                }
               if (dirName.endsWith("_ivf")) {
                 val column = dirName.stripSuffix("_ivf")
-                val m = graft.index.IvfIndex.loadMeta(spark, path, column)
-                val kind = if (m.pq.isDefined) "ivf_pq" else "ivf"
-                val base = freshRow(kind, column, m.metric, m.numPartitions,
-                  m.datasetVersion)
-                val gp = new org.apache.hadoop.fs.Path(
-                  graft.index.HnswIndex.graphPath(path, column))
-                if (fs.exists(gp))
-                  Seq(base, freshRow("hnsw_graph", column, m.metric,
-                    m.numPartitions, m.datasetVersion))
-                else Seq(base)
+                orError(column) {
+                  val m = graft.index.IvfIndex.loadMeta(spark, path, column)
+                  val kind = if (m.pq.isDefined) "ivf_pq" else "ivf"
+                  val base = freshRow(kind, column, m.metric, m.numPartitions,
+                    m.datasetVersion)
+                  val gp = new org.apache.hadoop.fs.Path(
+                    graft.index.HnswIndex.graphPath(path, column))
+                  if (fs.exists(gp))
+                    Seq(base, freshRow("hnsw_graph", column, m.metric,
+                      m.numPartitions, m.datasetVersion))
+                  else Seq(base)
+                }
               } else if (dirName.endsWith("_fts")) {
                 val column = dirName.stripSuffix("_fts")
-                val m = graft.index.FtsIndex.loadMeta(spark, path, column)
-                Seq(freshRow("fts", column, m.tokenizer.getOrElse("space"),
-                  m.numTermPartitions, m.datasetVersion))
+                orError(column) {
+                  val m = graft.index.FtsIndex.loadMeta(spark, path, column)
+                  Seq(freshRow("fts", column, m.tokenizer.getOrElse("space"),
+                    m.numTermPartitions, m.datasetVersion))
+                }
               } else Seq.empty
             }
         spark.createDataFrame(java.util.Arrays.asList(entries: _*),

@@ -143,14 +143,16 @@ object FtsIndex {
       idColumn: String, datasetPath: String,
       numTermPartitions: Int = 32, tokenizer: String = "space"): FtsMeta = {
     val ip = indexPath(datasetPath, column)
+    val builtAt = currentVersion(spark, datasetPath)
     writePostings(deltaPostings(df, column, idColumn, tokenizer,
-      numTermPartitions), numTermPartitions, postingsPath(ip), overwrite = true)
+        numTermPartitions, builtAt.getOrElse(0L)),
+      numTermPartitions, postingsPath(ip), overwrite = true)
 
     // corpus stats in one tiny aggregation (count + exact token sum)
     val stats = docStats(df, column, idColumn, tokenizer)
     val meta = writeMeta(spark, ip, FtsMeta(column, idColumn,
       stats._1, stats._2, numTermPartitions,
-      datasetVersion = currentVersion(spark, datasetPath),
+      datasetVersion = builtAt,
       formatVersion = Some(CurrentFormatVersion),
       tokenizer = Some(tokenizer)))
     log.info(s"fts index built at $ip: ${meta.numDocs} docs, " +
@@ -159,18 +161,21 @@ object FtsIndex {
     meta
   }
 
-  /** `(term, doc, dl, tf, bucket)` rows for `df` — the unit of both a
-    * full build and a refresh delta. (doc, dl) exploded to terms; dl
+  /** `(term, doc, dl, tf, __v, bucket)` rows for `df` — the unit of both
+    * a full build and a refresh delta. (doc, dl) exploded to terms; dl
     * rides the groupBy key (functionally dependent on the doc id, so it
-    * adds no groups) to avoid a join. */
+    * adds no groups) to avoid a join. `__v` stamps the dataset version
+    * the rows were indexed at — the refresh-retry idempotence key (see
+    * [[refresh]]); search never reads it (column-pruned at scan). */
   private def deltaPostings(df: DataFrame, column: String, idColumn: String,
-      tokenizer: String, p: Int): DataFrame = {
+      tokenizer: String, p: Int, version: Long): DataFrame = {
     val tok = df
       .select(col(idColumn).as("doc"), sparkTokens(col(column), tokenizer).as("ws"))
       .select(col("doc"), size(col("ws")).cast("long").as("dl"),
         explode(col("ws")).as("term"))
     tok.groupBy(col("term"), col("doc"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("__v", lit(version))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(p.toLong)).cast("int"))
   }
 
@@ -267,37 +272,57 @@ object FtsIndex {
       .parquet(addedFrags.map(f => new Path(dataDir, f.file).toString): _*)
     val p = meta.numTermPartitions
     val ip = indexPath(datasetPath, column)
-    val delta = deltaPostings(deltaDf, column, meta.idColumn, tokenizer, p)
+    // persist: the delta postings feed the touched-bucket collect AND the
+    // stage write — without this the delta re-tokenizes per action
+    val delta = deltaPostings(deltaDf, column, meta.idColumn, tokenizer, p, to)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touchedCount = try {
+      // touched buckets: ≤ P values to the driver, bounded by construction
+      val touched = delta.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val live = postingsPath(ip)
+      val stage = s"$ip/postings.tmp"
+      // retry idempotence: a PREVIOUS refresh attempt that crashed
+      // mid-swap may have already landed `to`-stamped rows in some live
+      // buckets (meta only advances after the full swap) — drop them
+      // before re-merging, or the retry would double every (term, doc)
+      val liveDf = spark.read.parquet(live)
+      val merged = (if (liveDf.columns.contains("__v")) liveDf
+                    else liveDf.withColumn("__v", lit(-1L))) // pre-__v layout
+        .filter(col("bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+        .filter(col("__v") =!= lit(to))
+        .select(col("term"), col("doc"), col("dl"), col("tf"), col("__v"),
+          col("bucket"))
+        .unionByName(delta)
+      writePostings(merged, p, stage, overwrite = true)
 
-    // touched buckets: ≤ P values to the driver, bounded by construction
-    val touched = delta.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val live = postingsPath(ip)
-    val stage = s"$ip/postings.tmp"
-    val merged = spark.read.parquet(live)
-      .filter(col("bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
-      .select(col("term"), col("doc"), col("dl"), col("tf"), col("bucket"))
-      .unionByName(delta)
-    writePostings(merged, p, stage, overwrite = true)
-
-    // swap ONLY the touched bucket dirs in (reads above have completed —
-    // the stage write materialized them); untouched buckets never move
-    val hconf = spark.sessionState.newHadoopConf()
-    val pfs = new Path(live).getFileSystem(hconf)
-    touched.foreach { b =>
-      val dst = new Path(s"$live/bucket=$b")
-      val src = new Path(s"$stage/bucket=$b")
-      if (pfs.exists(dst)) pfs.delete(dst, true)
-      if (pfs.exists(src)) require(pfs.rename(src, dst),
-        s"fts refresh: rename $src -> $dst failed")
-    }
-    pfs.delete(new Path(stage), true)
+      // swap ONLY the touched bucket dirs in (reads above have completed —
+      // the stage write materialized them); untouched buckets never move.
+      // Verify the staged dir EXISTS before deleting the live one: a
+      // touched bucket always has delta rows, so a missing stage dir is a
+      // lost write — fail loud with the live postings intact.
+      val hconf = spark.sessionState.newHadoopConf()
+      val pfs = new Path(live).getFileSystem(hconf)
+      val swaps = touched.map { b =>
+        val src = new Path(s"$stage/bucket=$b")
+        require(pfs.exists(src),
+          s"fts refresh: staged bucket dir $src missing after write - aborting " +
+            "swap with live postings untouched")
+        (src, new Path(s"$live/bucket=$b"))
+      }
+      swaps.foreach { case (src, dst) =>
+        if (pfs.exists(dst)) pfs.delete(dst, true)
+        require(pfs.rename(src, dst), s"fts refresh: rename $src -> $dst failed")
+      }
+      pfs.delete(new Path(stage), true)
+      touched.length
+    } finally delta.unpersist()
 
     val (dn, ds) = docStats(deltaDf, column, meta.idColumn, tokenizer)
     val updated = writeMeta(spark, ip, meta.copy(numDocs = meta.numDocs + dn,
       sumDl = meta.sumDl + ds, datasetVersion = Some(to)))
     log.info(s"fts index refreshed at $ip: +$dn docs (+$ds tokens) from " +
-      s"${addedFrags.size} fragment(s), ${touched.length}/$p buckets merged, " +
+      s"${addedFrags.size} fragment(s), $touchedCount/$p buckets merged, " +
       s"v$from -> v$to")
     updated
   }
@@ -327,8 +352,10 @@ object FtsIndex {
     try out.write(Serialization.write(stamped).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // rebuild invalidates any cached meta for this index (same contract
-    // as IvfIndex.metaCache)
+    // as IvfIndex.metaCache); purge the LRU queue too or evicted keys
+    // accumulate there unboundedly across rebuild/refresh cycles
     metaCache.keySet.removeIf(_._1 == mp.toString)
+    metaCacheOrder.removeIf(_._1 == mp.toString)
     stamped
   }
 

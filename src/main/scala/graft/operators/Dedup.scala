@@ -627,12 +627,25 @@ object Dedup {
     * base * 2^24 + srpBits * 2^12 + salt (caps ≤ 12 bits each), so
     * refined ids never collide across base clusters.
     */
-  private[operators] def refineOversized(spark: SparkSession, assigned: DataFrame,
+  private[operators] def refineOversized(spark: SparkSession, assigned0: DataFrame,
       maxRows: Int, seed: Long): DataFrame = {
-    val hot = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+    val hot = assigned0.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") > maxRows)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ k rows
-    if (hot.isEmpty) return assigned
+    if (hot.isEmpty) return assigned0
+    // the guard path runs several more driver actions (SRP size re-check,
+    // up to 8 salting iterations) — persist the assignment so each action
+    // re-reads instead of re-running normalization + the assign UDF over
+    // the full corpus. Unpersisted before returning: the caller's final
+    // join then recomputes once, exactly as the unguarded path does.
+    val assigned = assigned0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try refineHot(spark, assigned, hot, maxRows, seed)
+    finally assigned.unpersist()
+  }
+
+  private def refineHot(spark: SparkSession, assigned: DataFrame,
+      hot: Map[Long, Long], maxRows: Int, seed: Long): DataFrame = {
     logger.warn(s"semanticDedup: ${hot.size} cluster(s) exceed " +
       s"spark.graft.dedup.maxClusterRows=$maxRows (sizes ${hot.values.toSeq.sorted.reverse.take(5).mkString(",")}…); " +
       "splitting with SRP sub-buckets to bound the within-cluster join")

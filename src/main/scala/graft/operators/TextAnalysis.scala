@@ -455,7 +455,9 @@ object TextAnalysis {
     * re-weigh the corpus). The oracle replicates exactly that: df over
     * ALL matching docs, candidates restricted to the filter.
     */
-  def t42FtsFiltered(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-once lance dataset + FTS index shared by t42/t45 (the fs.exists
+    * guard makes repeat calls free — neither gate re-pays the build). */
+  private def ensureFtsDataset(spark: SparkSession, dir: String): String = {
     import graft.index.FtsIndex
     val dest = graft.Tables.scratch(dir, "docs_fts_ds")
     val mp = new org.apache.hadoop.fs.Path(new java.io.File(
@@ -467,6 +469,11 @@ object TextAnalysis {
       FtsIndex.build(spark, spark.read.format("lance").load(dest),
         "text", "doc_id", dest)
     }
+    dest
+  }
+
+  def t42FtsFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val dest = ensureFtsDataset(spark, dir)
     graft.MetaTvfs.register(spark)
     spark.sql(s"SELECT * FROM lance_fts('$dest', 'text', " +
       s"'${bm25Terms.mkString(" ")}', $bm25K, 'lang = ''en''')")
@@ -530,8 +537,7 @@ object TextAnalysis {
     * filter arg means unfiltered — positional-arg skipping).
     */
   def t45FtsConjunction(spark: SparkSession, dir: String): DataFrame = {
-    t42FtsFiltered(spark, dir).collect() // ensure t42's dataset + index exist
-    val dest = graft.Tables.scratch(dir, "docs_fts_ds")
+    val dest = ensureFtsDataset(spark, dir)
     graft.MetaTvfs.register(spark)
     spark.sql(s"SELECT * FROM lance_fts('$dest', 'text', " +
       s"'${bm25Terms.mkString(" ")}', $bm25K, '', 'all')")

@@ -81,10 +81,21 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         root)).toOption.flatten.map(_.version).getOrElse(-1L)
   }
 
+  /** Serve a FRESH-exprId copy per substitution site: the cached plan is
+    * a LocalRelation (MultiInstanceRelation), and handing the same
+    * instance to two rewrite sites in one query (self-join / UNION of the
+    * same probe) would plant duplicate attribute ids AFTER analysis-time
+    * dedup already ran. */
+  private def fresh(p: LogicalPlan): LogicalPlan = p match {
+    case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+      m.newInstance()
+    case other => other
+  }
+
   private def memoized(key: String, path: String)(
       compute: => Option[LogicalPlan]): Option[LogicalPlan] = {
     val vkey = (key, datasetVersion(path))
-    probeCache.synchronized(Option(probeCache.get(vkey))).orElse {
+    probeCache.synchronized(Option(probeCache.get(vkey))).map(fresh).orElse {
       val r = compute
       r.foreach(p => probeCache.synchronized(probeCache.put(vkey, p)))
       r
