@@ -231,12 +231,15 @@ object Dedup {
     * Jaccard verification ≥ 0.5 on candidates only. This is the 100 TB
     * dedup path: cost ∝ data + collisions, never n².
     */
-  def d44LshPairs(spark: SparkSession, dir: String): DataFrame = {
-    // Materialize the signature table first — the design a production
-    // pipeline uses anyway (signatures land in storage once, many dedup
-    // passes read them), and a hard optimizer barrier: without it
-    // Catalyst inlines the full minhash pipeline into filters it pushes
-    // beneath the repartition, recomputing everything single-threaded.
+  /** Build-once signature table (hashed shingle sets + LSH band keys) —
+    * the design a production pipeline uses anyway (signatures land in
+    * storage once, many dedup passes read them), and a hard optimizer
+    * barrier: without it Catalyst inlines the full minhash pipeline into
+    * filters it pushes beneath the repartition, recomputing everything
+    * single-threaded. Shared by d44 (self-join pairs) and d51
+    * (incremental old×new dedup).
+    */
+  private def minhashSigTable(spark: SparkSession, dir: String): DataFrame = {
     val bandsExpr = (0 until 4).map(bnd =>
       s"concat('$bnd:', ${minhashCol(2 * bnd)}, ':', ${minhashCol(2 * bnd + 1)})")
       .mkString("array(", ", ", ")")
@@ -256,7 +259,11 @@ object Dedup {
           expr(bandsExpr).as("bands"))
         .write.mode("overwrite").parquet(scratch)
     }
-    val sig = spark.read.parquet(scratch)
+    spark.read.parquet(scratch)
+  }
+
+  def d44LshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigTable(spark, dir)
     // df-cap hot bands (a band shared by m docs yields m²/2 candidates);
     // exact verification below still uses the FULL shingle arrays
     val banded = capHotKeys(spark,
@@ -281,6 +288,48 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Incremental ingestion dedup (d51): dedup a NEW batch against the
+    * EXISTING corpus — the daily-ingest shape (d42/d44 dedup a corpus
+    * against itself; real pipelines mostly dedup today's crawl against
+    * everything already kept). The old side is the persisted signature
+    * table in its index role — band postings computed ONCE, reused by
+    * every ingest; only the new batch pays signature cost. Candidates
+    * come from the old×new band equi-join (cost ∝ new batch + true
+    * collisions — the old corpus never self-joins, so a 100 TB history
+    * deduping a 100 GB ingest costs ~the ingest), hot bands df-capped on
+    * the postings side, and exact Jaccard verifies candidates. One row
+    * per new doc: `kept`, or the OLDEST duplicate it collides with and
+    * that pair's similarity.
+    */
+  def d51IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigTable(spark, dir)
+    val old = sig.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val nw = sig.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val oldBands = capHotKeys(spark,
+      old.select(col("doc_id"), explode(col("bands")).as("bk")), "bk", "d51")
+    val cand = nw.select(explode(col("bands")).as("bk"), col("doc_id").as("n_id"))
+      .join(oldBands.select(col("bk").as("bk2"), col("doc_id").as("o_id")),
+        col("bk") === col("bk2"))
+      .select(col("n_id"), col("o_id")).distinct()
+    val shTbl = sig.select(col("doc_id"), col("sh"))
+    val ver = cand
+      .join(shTbl.select(col("doc_id").as("n_id"), col("sh").as("n_sh")), "n_id")
+      .join(shTbl.select(col("doc_id").as("o_id"), col("sh").as("o_sh")), "o_id")
+      .withColumn("inter", expr("size(array_intersect(n_sh, o_sh))"))
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / (size(n_sh) + size(o_sh) - inter)"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("n_id"), col("o_id"), col("jaccard"))
+    val best = ver.groupBy(col("n_id")).agg(min(col("o_id")).as("dup_of"))
+      .join(ver.select(col("n_id"), col("o_id").as("dup_of"), col("jaccard")),
+        Seq("n_id", "dup_of"))
+    nw.select(col("doc_id"))
+      .join(best.withColumnRenamed("n_id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("kept", col("dup_of").isNull)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"), col("kept"))
+      .orderBy(col("doc_id"))
   }
 
   /** D5: 32-bit SimHash over word hashes (with multiplicity): bit k set
@@ -764,6 +813,7 @@ object Dedup {
     "d42_jaccard_pairs" -> d42JaccardPairs,
     "d43_minhash_sigs" -> d43MinhashSigs,
     "d44_lsh_pairs" -> d44LshPairs,
+    "d51_incremental_dedup" -> d51IncrementalDedup,
     "d45_simhash" -> d45Simhash,
     "d46_emb_neardup" -> d46EmbNearDup,
     "d47_srp_neardup" -> d47SrpNearDup,
@@ -824,6 +874,33 @@ object Dedup {
         s"""WITH $dLshCand
            |SELECT a_id, b_id, $dJaccard AS jaccard FROM cand
            |WHERE $dJaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+      // d51: old×new band join (never old×old), oldest duplicate per new
+      // doc; the df-cap is inert at gate scale exactly as in d44
+      "d51_incremental_dedup" ->
+        s"""WITH sig AS (
+           |  SELECT doc_id, sh,
+           |   [${(0 until 4).map(bd => s"'$bd:' || ${dMinhash(2 * bd)} || ':' || ${dMinhash(2 * bd + 1)}").mkString(", ")}] AS bands
+           |  FROM (SELECT doc_id, $dHashedShingles AS sh FROM documents)),
+           |ob AS (SELECT doc_id, sh, unnest(bands) AS bk FROM sig
+           |  WHERE doc_id % 5 <> 0),
+           |nb AS (SELECT doc_id, sh, unnest(bands) AS bk FROM sig
+           |  WHERE doc_id % 5 = 0),
+           |cand AS (SELECT DISTINCT nb.doc_id AS n_id, ob.doc_id AS o_id,
+           |    nb.sh AS n_sh, ob.sh AS o_sh
+           |  FROM nb JOIN ob ON nb.bk = ob.bk),
+           |ver AS (SELECT n_id, o_id,
+           |    CAST(len(list_intersect(n_sh, o_sh)) AS DOUBLE)
+           |      / (len(n_sh) + len(o_sh) - len(list_intersect(n_sh, o_sh))) AS jaccard
+           |  FROM cand
+           |  WHERE CAST(len(list_intersect(n_sh, o_sh)) AS DOUBLE)
+           |      / (len(n_sh) + len(o_sh) - len(list_intersect(n_sh, o_sh))) >= 0.5),
+           |best AS (SELECT n_id, MIN(o_id) AS dup_of FROM ver GROUP BY n_id)
+           |SELECT s.doc_id, b.dup_of, v.jaccard,
+           |  b.dup_of IS NULL AS kept
+           |FROM (SELECT DISTINCT doc_id FROM sig WHERE doc_id % 5 = 0) s
+           |LEFT JOIN best b ON b.n_id = s.doc_id
+           |LEFT JOIN ver v ON v.n_id = s.doc_id AND v.o_id = b.dup_of
+           |ORDER BY s.doc_id""".stripMargin,
       // transitive closure of the undirected pair graph; LEAST(s, MIN(d))
       // is the component's min doc_id — identical to hash-min convergence
       "d48_dedup_groups" ->

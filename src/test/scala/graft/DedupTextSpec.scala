@@ -87,6 +87,25 @@ class DedupTextSpec extends AnyFunSuite {
       s"LSH missed ${brute -- lsh}, extra ${lsh -- brute}")
   }
 
+  test("d51 incremental dedup drops exactly the new docs with cross-split dups") {
+    val pairs = Dedup.d44LshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val crossNew = pairs.collect {
+      case (a, b) if (a % 5 == 0) != (b % 5 == 0) => if (a % 5 == 0) a else b
+    }.toSet
+    val rows = Dedup.d51IncrementalDedup(spark, sf).collect()
+    val kept = rows.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // every new doc with an old near-dup is dropped; new-vs-new dups are
+    // NOT d51's job (within-batch dedup is d44 over the batch)
+    crossNew.foreach(id => assert(!kept(id),
+      s"new doc $id has an old near-dup and must not be kept"))
+    rows.filter(r => !r.getBoolean(3)).foreach { r =>
+      assert(!r.isNullAt(1) && r.getLong(1) % 5 != 0,
+        "every drop points at an OLD doc")
+      assert(r.getDouble(2) >= 0.5, "every drop is jaccard-justified")
+    }
+  }
+
   test("minhash similarity approximates jaccard on planted dups") {
     val sigs = Dedup.d43MinhashSigs(spark, sf).collect()
       .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap
