@@ -66,7 +66,8 @@ object FtsIndex {
     datasetVersion: Option[Long] = None,
     formatVersion: Option[Int] = None,
     tokenizer: Option[String] = None,
-    buildId: Option[String] = None)
+    buildId: Option[String] = None,
+    positions: Option[Boolean] = None)
 
   val CurrentFormatVersion = 2
 
@@ -121,6 +122,10 @@ object FtsIndex {
       s"unknown tokenizer '$other' (supported: space, unicode)")
   }
 
+  /** Escape a term for embedding in an `expr(...)` string literal. */
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
   /** Driver-side bucket of a term — MUST match the executor-side
     * `pmod(xxhash64(term), P)` used at build time (both are Catalyst
     * XxHash64, seed 42). */
@@ -141,11 +146,12 @@ object FtsIndex {
     */
   def build(spark: SparkSession, df: DataFrame, column: String,
       idColumn: String, datasetPath: String,
-      numTermPartitions: Int = 32, tokenizer: String = "space"): FtsMeta = {
+      numTermPartitions: Int = 32, tokenizer: String = "space",
+      storePositions: Boolean = false): FtsMeta = {
     val ip = indexPath(datasetPath, column)
     val builtAt = currentVersion(spark, datasetPath)
     writePostings(deltaPostings(df, column, idColumn, tokenizer,
-        numTermPartitions, builtAt.getOrElse(0L)),
+        numTermPartitions, builtAt.getOrElse(0L), storePositions),
       numTermPartitions, postingsPath(ip), overwrite = true)
 
     // corpus stats in one tiny aggregation (count + exact token sum)
@@ -154,10 +160,11 @@ object FtsIndex {
       stats._1, stats._2, numTermPartitions,
       datasetVersion = builtAt,
       formatVersion = Some(CurrentFormatVersion),
-      tokenizer = Some(tokenizer)))
+      tokenizer = Some(tokenizer),
+      positions = if (storePositions) Some(true) else None))
     log.info(s"fts index built at $ip: ${meta.numDocs} docs, " +
       s"sumDl=${meta.sumDl}, $numTermPartitions term partitions, " +
-      s"tokenizer=$tokenizer")
+      s"tokenizer=$tokenizer, positions=$storePositions")
     meta
   }
 
@@ -168,13 +175,26 @@ object FtsIndex {
     * the rows were indexed at — the refresh-retry idempotence key (see
     * [[refresh]]); search never reads it (column-pruned at scan). */
   private def deltaPostings(df: DataFrame, column: String, idColumn: String,
-      tokenizer: String, p: Int, version: Long): DataFrame = {
-    val tok = df
+      tokenizer: String, p: Int, version: Long,
+      positions: Boolean = false): DataFrame = {
+    val base = df
       .select(col(idColumn).as("doc"), sparkTokens(col(column), tokenizer).as("ws"))
-      .select(col("doc"), size(col("ws")).cast("long").as("dl"),
-        explode(col("ws")).as("term"))
-    tok.groupBy(col("term"), col("doc"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+    val agg =
+      if (positions) {
+        // token POSITIONS ride each posting (sorted int array) — the
+        // phrase-query substrate, Lucene's positional postings. Costs
+        // ~a second int per token of storage, which is why it is opt-in.
+        base.select(col("doc"), size(col("ws")).cast("long").as("dl"),
+            posexplode(col("ws")).as(Seq("pos", "term")))
+          .groupBy(col("term"), col("doc"), col("dl"))
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+      } else
+        base.select(col("doc"), size(col("ws")).cast("long").as("dl"),
+            explode(col("ws")).as("term"))
+          .groupBy(col("term"), col("doc"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
+    agg
       .withColumn("__v", lit(version))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(p.toLong)).cast("int"))
   }
@@ -225,7 +245,8 @@ object FtsIndex {
     def rebuild(why: String): FtsMeta = {
       log.warn(s"fts refresh at $datasetPath/$column: $why — full rebuild")
       build(spark, spark.read.format("lance").load(datasetPath), column,
-        meta.idColumn, datasetPath, meta.numTermPartitions, tokenizer)
+        meta.idColumn, datasetPath, meta.numTermPartitions, tokenizer,
+        storePositions = meta.positions.contains(true))
     }
 
     if (meta.datasetVersion.isEmpty)
@@ -274,7 +295,9 @@ object FtsIndex {
     val ip = indexPath(datasetPath, column)
     // persist: the delta postings feed the touched-bucket collect AND the
     // stage write — without this the delta re-tokenizes per action
-    val delta = deltaPostings(deltaDf, column, meta.idColumn, tokenizer, p, to)
+    val withPos = meta.positions.contains(true)
+    val delta = deltaPostings(deltaDf, column, meta.idColumn, tokenizer, p, to,
+        positions = withPos)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touchedCount = try {
       // touched buckets: ≤ P values to the driver, bounded by construction
@@ -287,12 +310,13 @@ object FtsIndex {
       // buckets (meta only advances after the full swap) — drop them
       // before re-merging, or the retry would double every (term, doc)
       val liveDf = spark.read.parquet(live)
+      val keep = Seq("term", "doc", "dl", "tf", "__v") ++
+        (if (withPos) Seq("positions") else Nil) ++ Seq("bucket")
       val merged = (if (liveDf.columns.contains("__v")) liveDf
                     else liveDf.withColumn("__v", lit(-1L))) // pre-__v layout
         .filter(col("bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
         .filter(col("__v") =!= lit(to))
-        .select(col("term"), col("doc"), col("dl"), col("tf"), col("__v"),
-          col("bucket"))
+        .select(keep.map(col): _*)
         .unionByName(delta)
       writePostings(merged, p, stage, overwrite = true)
 
@@ -415,7 +439,12 @@ object FtsIndex {
     * EVERY query term (MUST) — scores are unchanged, the conjunction
     * only narrows candidates, and the matched-term count falls out of
     * the per-doc aggregation for free (postings are unique per
-    * (term, doc)).
+    * (term, doc)); `"phrase"` keeps only docs where the query tokens
+    * appear CONSECUTIVELY in order (requires an index built with
+    * `storePositions = true`) — candidates narrow to all-terms docs
+    * first, then one codegen'd intersect-of-shifted-position-lists
+    * check per candidate (Lucene's exact-phrase algorithm), then the
+    * usual BM25 ranking of the phrase terms.
     *
     * `filter` is an optional SQL predicate over the LANCE DATASET at
     * `datasetPath` (pre-filter: candidates failing it never reach the
@@ -431,11 +460,15 @@ object FtsIndex {
       queryText: String, k: Int, filter: Option[String] = None,
       matchMode: String = "any"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    require(matchMode == "any" || matchMode == "all",
-      s"matchMode must be any|all, got $matchMode")
+    require(matchMode == "any" || matchMode == "all" || matchMode == "phrase",
+      s"matchMode must be any|all|phrase, got $matchMode")
     val meta = loadMeta(spark, datasetPath, column)
+    if (matchMode == "phrase")
+      require(meta.positions.contains(true),
+        s"phrase search needs a positional index - rebuild with storePositions=true")
     val tokenizer = meta.tokenizer.getOrElse("space")
-    val terms = scalaTokens(queryText, tokenizer).distinct
+    val phraseSeq = scalaTokens(queryText, tokenizer) // ordered, dups kept
+    val terms = phraseSeq.distinct
     require(terms.nonEmpty, "empty query")
     val avgdl = meta.sumDl.toDouble / meta.numDocs
 
@@ -454,10 +487,31 @@ object FtsIndex {
     // Computed BEFORE any pre-filter: corpus stats are index-wide.
     val dfs = postAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-    val post = filter.fold(postAll) { pred =>
+    val post0 = filter.fold(postAll) { pred =>
       val eligible = spark.read.format("lance").load(datasetPath)
         .filter(expr(pred)).select(col(meta.idColumn).as("doc"))
       postAll.join(eligible, Seq("doc"), "left_semi")
+    }
+
+    // phrase: keep only docs where the tokens appear CONSECUTIVELY, in
+    // order. Per candidate doc, gather term → positions (the candidate
+    // set is already narrowed to docs holding ALL phrase terms), then one
+    // codegen'd expression checks whether any start position p has
+    // phraseSeq(i) occurring at p+i for every i — intersect-of-shifted-
+    // position-lists, Lucene's exact-phrase algorithm, per-doc local.
+    val post = if (matchMode != "phrase") post0 else {
+      val adjacency = phraseSeq.zipWithIndex.tail.foldLeft(
+        s"element_at(__m, '${sqlLit(phraseSeq.head)}')") { case (acc, (t, i)) =>
+        s"filter($acc, p -> array_contains(element_at(__m, '${sqlLit(t)}'), p + $i))"
+      }
+      val phraseDocs = post0
+        .groupBy(col("doc"))
+        .agg(map_from_entries(collect_list(struct(col("term"),
+          col("positions")))).as("__m"), count(lit(1)).as("__nt"))
+        .filter(col("__nt") === terms.size)
+        .filter(expr(s"size($adjacency) > 0"))
+        .select(col("doc"))
+      post0.join(phraseDocs, Seq("doc"), "left_semi")
     }
 
     val n = meta.numDocs

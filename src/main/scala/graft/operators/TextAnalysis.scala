@@ -543,6 +543,39 @@ object TextAnalysis {
       s"'${bm25Terms.mkString(" ")}', $bm25K, '', 'all')")
   }
 
+  /** Exact-phrase FTS (t46): positional postings + consecutive-position
+    * verification. Docs with doc_id%7==0 get the planted phrase "graft
+    * marker token" appended; doc_id%7==1 get the DECOY "token graft
+    * marker x" — all three terms present (an AND-match would wrongly
+    * include them) but never the in-order consecutive sequence, so the
+    * gate fails if position checking regresses to term conjunction. The
+    * oracle finds phrase docs by single-space substring match (exactly
+    * the space tokenizer's adjacency) and scores them with the same BM25
+    * sum over the phrase terms.
+    */
+  private val t46Phrase = Seq("graft", "marker", "token")
+
+  def t46FtsPhrase(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.FtsIndex
+    val dest = graft.Tables.scratch(dir, "docs_fts_phrase")
+    val mp = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${FtsIndex.indexPath(dest, "txt")}/fts.json").getAbsolutePath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) {
+      t(spark, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" graft marker token"))
+            .when(col("doc_id") % 7 === 1, lit(" token graft marker x"))
+            .otherwise(lit(""))))
+        .select(col("doc_id"), col("txt"))
+        .write.format("lance").mode("overwrite").save(dest)
+      FtsIndex.build(spark, spark.read.format("lance").load(dest),
+        "txt", "doc_id", dest, storePositions = true)
+    }
+    FtsIndex.search(spark, dest, "txt", t46Phrase.mkString(" "), bm25K,
+      matchMode = "phrase")
+  }
+
   /** PII patterns shared by t41 and its oracle. Restricted to the regex
     * dialect intersection of Java (Spark) and RE2 (DuckDB): character
     * classes, bounded repeats, `\b` — no backreferences, no lookaround.
@@ -601,6 +634,7 @@ object TextAnalysis {
     "t43_fts_refresh" -> t43FtsRefresh,
     "t44_fts_unicode" -> t44FtsUnicode,
     "t45_fts_conjunction" -> t45FtsConjunction,
+    "t46_fts_phrase" -> t46FtsPhrase,
     "t41_pii_redact" -> t41PiiRedact,
     "p73_budget_mix" -> p73BudgetMix,
     "p74_stratified_sample" -> p74StratifiedSample,
@@ -795,6 +829,39 @@ object TextAnalysis {
            |  FROM post JOIN dfs USING (term))
            |GROUP BY doc_id HAVING COUNT(*) = ${bm25Terms.size}
            |ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
+      // t46: phrase membership via single-space substring match — exactly
+      // the space tokenizer's adjacency — then the same BM25 sum over the
+      // phrase terms, restricted to phrase docs
+      "t46_fts_phrase" -> {
+        val phrase = t46Phrase.mkString(" ")
+        val inList = t46Phrase.map(w => s"'$w'").mkString(", ")
+        val toks = "string_split(txt, ' ')"
+        s"""WITH d AS (SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' $phrase'
+           |         WHEN doc_id % 7 = 1 THEN ' token graft marker x'
+           |         ELSE '' END AS txt
+           |  FROM documents),
+           |tok AS (SELECT doc_id, len($toks) AS dl,
+           |    unnest($toks) AS term FROM d),
+           |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+           |  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len($toks)) AS BIGINT) AS sumdl FROM d),
+           |ph AS (SELECT doc_id FROM d
+           |  WHERE ' ' || txt || ' ' LIKE '% $phrase %')
+           |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM (
+           |  SELECT post.doc_id, CAST(
+           |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)
+           |          / (CAST(df AS DOUBLE) + 0.5)))
+           |        * (tf * CAST(2.2 AS DOUBLE)))
+           |      / (tf + 1.2 * (0.25 + (0.75 * dl)
+           |          / (CAST((SELECT sumdl FROM st) AS DOUBLE) / (SELECT n FROM st))))
+           |    AS DECIMAL(18,6)) AS c
+           |  FROM post JOIN dfs USING (term)
+           |  WHERE post.doc_id IN (SELECT doc_id FROM ph))
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
       },
       // t44: same decorated column, same unicode tokenization rule
       // (FtsIndex.duckdbTokens is the oracle twin of the build/search

@@ -218,6 +218,56 @@ class FtsIndexSpec extends AnyFunSuite {
       matchMode = "all").count() == 0)
   }
 
+  test("phrase search: consecutive in-order only, decoys excluded, dup terms work") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
+      "fts-phrase-").toAbsolutePath.toString
+    val ds = s"$dir/docs"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // phrase "beta gamma" present
+      (2L, "gamma beta alpha"),          // terms present, wrong order
+      (3L, "beta delta gamma"),          // terms present, not adjacent
+      (4L, "echo beta gamma beta gamma"),// phrase twice + dup terms
+      (5L, "beta beta gamma"))           // dup-term prefix
+    FtsIndex.build(spark, docs.toDF("doc_id", "text"), "text", "doc_id",
+      ds, numTermPartitions = 4, storePositions = true)
+    val hits = FtsIndex.search(spark, ds, "text", "beta gamma", 10,
+      matchMode = "phrase").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 4L, 5L), s"got $hits")
+    // phrase with a REPEATED token: "beta beta gamma" matches only doc 5
+    val dup = FtsIndex.search(spark, ds, "text", "beta beta gamma", 10,
+      matchMode = "phrase").collect().map(_.getLong(0)).toSet
+    assert(dup == Set(5L), s"got $dup")
+    // phrase ranking scores come from the same BM25 terms as all-match
+    val all = FtsIndex.search(spark, ds, "text", "beta gamma", 10,
+      matchMode = "all").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    FtsIndex.search(spark, ds, "text", "beta gamma", 10, matchMode = "phrase")
+      .collect().foreach(r => assert(r.getDouble(1) == all(r.getLong(0))))
+    // a non-positional index refuses phrase queries loudly
+    val e = intercept[IllegalArgumentException] {
+      FtsIndex.search(spark, datasetPath, "text", "rare common", 3,
+        matchMode = "phrase")
+    }
+    assert(e.getMessage.contains("positional"))
+  }
+
+  test("refresh preserves positional postings (phrase works after append)") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
+      "fts-phrase-refresh-").toAbsolutePath.toString
+    val ds = s"$dir/docs"
+    Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(ds)
+    FtsIndex.build(spark, spark.read.format("lance").load(ds),
+      "text", "doc_id", ds, numTermPartitions = 4, storePositions = true)
+    Seq((2L, "beta gamma tail"), (3L, "gamma beta tail"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("append").save(ds)
+    val m = FtsIndex.refresh(spark, ds, "text")
+    assert(m.positions.contains(true) && m.numDocs == 3)
+    val hits = FtsIndex.search(spark, ds, "text", "beta gamma", 10,
+      matchMode = "phrase").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L), s"appended phrase doc must match, got $hits")
+  }
+
   test("unicode tokenizer: punctuation, case, accents agree across build and query") {
     val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
       "fts-uni-").toAbsolutePath.toString
