@@ -643,9 +643,17 @@ object Dedup {
     // preserve the two gated invariants — they hold under ANY clustering
     // (see determinism note above); splitting only forgoes cross-bucket
     // drops. The returned `cluster` id encodes (cluster, srp, salt).
+    // ONE materialization of the (id, normalized vector, cluster) table:
+    // the guard's size agg already paid one assignment pass; without this
+    // checkpoint the join's a-side, b-side and the final kept-join would
+    // re-run normalization + the assign UDF three more times. This is
+    // also THE persist point a corpus-scale SemDeDup run needs anyway —
+    // the materialized bytes are the normalized embeddings + one long,
+    // i.e. the same order as the shuffle the join pays regardless.
     val assigned = refineOversized(spark, assigned0,
       spark.conf.getOption("spark.graft.dedup.maxClusterRows")
         .map(_.toInt).getOrElse(100000), seed)
+      .localCheckpoint()
     val a = assigned.select(col("cluster").as("__ca"), col("__id").as("__aid"),
       col("__vn").as("__av"))
     val b = assigned.select(col("cluster").as("__cb"), col("__id").as("__bid"),
