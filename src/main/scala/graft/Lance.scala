@@ -287,6 +287,35 @@ object Lance {
     (version, committed.version)
   }
 
+  /** Drop a persisted index sidecar for `column` — the lifecycle
+    * complement of buildIndex / FtsIndex.build / refresh / the
+    * `lance_indexes` listing. `kind`: `ivf` (vector index, including any
+    * HNSW graph under it), `fts`, or `all` (default). Session meta caches
+    * are evicted so a dropped index can never serve a stale search.
+    * Returns the number of sidecar directories removed.
+    */
+  def dropIndex(spark: SparkSession, path: String, column: String,
+      kind: String = "all"): Int = {
+    require(Set("all", "ivf", "fts").contains(kind),
+      s"dropIndex kind must be all|ivf|fts, got $kind")
+    val conf = spark.sessionState.newHadoopConf()
+    var removed = 0
+    def drop(ip: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(ip)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) { fs.delete(p, true); removed += 1 }
+    }
+    if (kind == "all" || kind == "ivf") {
+      drop(graft.index.IvfIndex.indexPath(path, column))
+      graft.index.IvfIndex.evictMeta(spark, path, column)
+    }
+    if (kind == "all" || kind == "fts") {
+      drop(graft.index.FtsIndex.indexPath(path, column))
+      graft.index.FtsIndex.evictMeta(spark, path, column)
+    }
+    removed
+  }
+
   /** Reclaim crash-leftover data files no retained manifest references
     * (vacuum's complement: vacuum drops files old VERSIONS referenced,
     * this drops files NOTHING ever committed). `graceMinutes` shields an

@@ -229,7 +229,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
 object LanceCatalog {
   private[catalog] val ProcedureNames =
     Seq("compact", "vacuum", "cluster", "refresh_index", "refresh_fts",
-      "update_where", "upsert", "remove_orphans", "restore")
+      "drop_index", "update_where", "upsert", "remove_orphans", "restore")
 }
 
 private[catalog] object LanceProcedure {
@@ -282,6 +282,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "remove_orphans" => "delete data files no retained manifest references (crash leftovers)"
     case "restore" => "roll the table back to a prior version as a NEW commit (history preserved)"
     case "refresh_fts" => "delta-index appended fragments into the FTS postings (touched buckets only)"
+    case "drop_index" => "delete a column's index sidecars (ivf | fts | all) and evict session caches"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -309,6 +310,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("version", IntegerType).comment("committed version to restore to").build())
     case "refresh_fts" => Array(in("table", StringType).build(),
       in("column", StringType).comment("indexed text column").build())
+    case "drop_index" => Array(in("table", StringType).build(),
+      in("column", StringType).build(),
+      in("kind", StringType).defaultValue("'all'")
+        .comment("ivf | fts | all").build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -361,6 +366,11 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("restored_version", LongType, nullable = false)
           .add("new_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](restored, newV)))
+      case "drop_index" =>
+        val n = graft.Lance.dropIndex(spark, path,
+          input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+        (new StructType().add("sidecars_removed", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](n)))
       case "refresh_fts" =>
         val m = graft.index.FtsIndex.refresh(spark, path,
           input.getUTF8String(1).toString)

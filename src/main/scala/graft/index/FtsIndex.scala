@@ -397,6 +397,15 @@ object FtsIndex {
   private val metaCacheOrder =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
 
+  /** Evict any cached meta for this index (dropIndex's hook — a deleted
+    * sidecar must not serve stale searches from the session cache). */
+  private[graft] def evictMeta(spark: SparkSession, datasetPath: String,
+      column: String): Unit = {
+    val mp = metaPath(indexPath(datasetPath, column))
+    metaCache.keySet.removeIf(_._1 == mp.toString)
+    metaCacheOrder.removeIf(_._1 == mp.toString)
+  }
+
   def loadMeta(spark: SparkSession, datasetPath: String, column: String): FtsMeta = {
     val mp = metaPath(indexPath(datasetPath, column))
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())

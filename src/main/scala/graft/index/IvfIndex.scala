@@ -369,6 +369,16 @@ object IvfIndex {
     metaCache.keySet.removeIf(_._1 == key)
   }
 
+  /** Evict any cached meta for this index (dropIndex's hook — a deleted
+    * sidecar must not serve stale searches from the session cache). */
+  private[graft] def evictMeta(spark: SparkSession, datasetPath: String,
+      column: String): Unit = {
+    val metaPath = new Path(s"${indexPath(datasetPath, column)}/index.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val key = fs.makeQualified(metaPath).toString
+    metaCache.keySet.removeIf(_._1 == key)
+  }
+
   /** Index staleness (production guard): an index built at version V does
     * not cover fragments committed after V — searching it silently misses
     * new rows. Worse, if fragments the index covered were REWRITTEN

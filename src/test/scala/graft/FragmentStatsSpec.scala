@@ -411,6 +411,16 @@ class FragmentStatsSpec extends AnyFunSuite {
       val hits = graft.index.FtsIndex.search(s, docsPath, "body", "gamma", 5)
         .collect().map(_.getLong(0)).toSet
       assert(hits == Set(2L, 3L), s"appended doc must be searchable, got $hits")
+
+      // drop_index removes the sidecar AND evicts the session meta cache
+      val dropped = s.sql("CALL lance_proc.drop_index('db.docs', 'body', 'fts')")
+        .collect().head
+      assert(dropped.getInt(0) == 1, s"drop_index returned $dropped")
+      val gone = intercept[Exception] {
+        graft.index.FtsIndex.search(s, docsPath, "body", "gamma", 5).collect()
+      }
+      assert(gone.getMessage.contains("no fts index"),
+        s"dropped index must fail loud, got: ${gone.getMessage}")
       s.sql("DROP TABLE IF EXISTS lance_proc.db.docs")
 
       // Spark wraps the catalog's require into FAILED_TO_LOAD_ROUTINE
