@@ -618,6 +618,68 @@ object TextAnalysis {
         sum(length(col("red"))).as("sum_len_redacted"))
       .orderBy(col("source"))
 
+  /** Sliding-window document chunking (t47) — the context-window prep step
+    * every RAG / long-document training pipeline runs: cut each document
+    * into fixed-size token windows (32 tokens) advanced by a fixed stride
+    * (24 tokens → 8-token overlap, so no boundary sentence is ever seen by
+    * zero chunks). Emits one row per chunk with its 0-based token offset,
+    * actual length (the tail chunk may be short), and an md5 content
+    * fingerprint so downstream exact-dedup (d41) can run at chunk grain.
+    *
+    * Scale shape: `sequence`+`posexplode` are per-row codegen'd expressions
+    * — no shuffle at all before the gate's ORDER BY, linear in corpus
+    * size, and the fan-out factor is n_tokens/stride (bounded by the
+    * document length cap a real pipeline enforces upstream).
+    */
+  def t47Chunking(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      // materialize the split once per row (the t39 lesson: HOF lambdas
+      // re-evaluate multiply-referenced non-cheap expressions)
+      .withColumn("__w", expr(words))
+      .select(col("doc_id"), col("__w"),
+        posexplode(expr("sequence(0, greatest(size(__w) - 1, 0), 24)"))
+          .as(Seq("chunk_id", "start_tok")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("bigint").as("chunk_id"),
+        col("start_tok").cast("bigint").as("start_tok"),
+        expr("CAST(least(32, size(__w) - start_tok) AS BIGINT)")
+          .as("n_chunk_tokens"),
+        expr("md5(concat_ws(' ', slice(__w, start_tok + 1, 32)))")
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Corpus-level bigram heavy hitters per language (t48) — the
+    * "what is actually in this corpus" audit query: top-5 most frequent
+    * word bigrams per language with deterministic tie-break (count DESC,
+    * then bigram). Boilerplate and templated text dominate this list, so
+    * curation pipelines run it before and after dedup as a drift check.
+    *
+    * Scale shape: the explode is linear and the groupBy gets map-side
+    * partial aggregation, so the shuffle carries (lang, bigram) partial
+    * counts — vocabulary-bounded, not corpus-bounded. The per-lang top-5
+    * window runs AFTER aggregation on the counts table. At 100 TB with an
+    * open-ended vocabulary you'd pre-filter candidates with the q49
+    * count-min sketch; the exact form is what DuckDB verifies.
+    */
+  def t48NgramTopk(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    t(spark, dir, "documents")
+      .withColumn("__w", expr(words))
+      .filter(expr("size(__w) >= 2"))
+      .select(col("lang"), explode(expr(
+        """transform(sequence(1, size(__w) - 1),
+          |  i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"""
+          .stripMargin)).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(byLang).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t35_bpe_tokens" -> t35BpeTokens,
     "t37_decontaminate" -> t37Decontaminate,
@@ -636,6 +698,8 @@ object TextAnalysis {
     "t45_fts_conjunction" -> t45FtsConjunction,
     "t46_fts_phrase" -> t46FtsPhrase,
     "t41_pii_redact" -> t41PiiRedact,
+    "t47_chunking" -> t47Chunking,
+    "t48_ngram_topk" -> t48NgramTopk,
     "p73_budget_mix" -> p73BudgetMix,
     "p74_stratified_sample" -> p74StratifiedSample,
     "p75_hash_split" -> p75HashSplit,
@@ -699,6 +763,29 @@ object TextAnalysis {
            |SELECT shard, CAST(start_off // 2048 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
            | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
            |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
+      "t47_chunking" ->
+        s"""WITH w AS (SELECT doc_id, $dWords AS ws FROM documents),
+           |c AS (SELECT doc_id, ws,
+           |    unnest(generate_series(0, len(ws) - 1, 24)) AS start_tok
+           |  FROM w)
+           |SELECT doc_id, CAST(start_tok // 24 AS BIGINT) AS chunk_id,
+           | CAST(start_tok AS BIGINT) AS start_tok,
+           | CAST(least(32, len(ws) - start_tok) AS BIGINT) AS n_chunk_tokens,
+           | md5(array_to_string(ws[start_tok + 1 : start_tok + 32], ' '))
+           |   AS chunk_md5
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+      "t48_ngram_topk" ->
+        s"""WITH w AS (SELECT lang, $dWords AS ws FROM documents
+           |  WHERE len($dWords) >= 2),
+           |b AS (SELECT lang, unnest(list_transform(
+           |    generate_series(1, len(ws) - 1),
+           |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w),
+           |c AS (SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY 1, 2),
+           |r AS (SELECT *, row_number()
+           |    OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+           |  FROM c)
+           |SELECT lang, CAST(rank AS BIGINT) AS rank, bigram, n
+           |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
       "t31_token_stats" ->
         s"""SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_uniq,
            | CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS avg_len

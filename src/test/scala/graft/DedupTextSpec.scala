@@ -361,4 +361,46 @@ class DedupTextSpec extends AnyFunSuite {
       assert(rar >= 1.0, s"doc ${r.getLong(0)} rarity $rar < 1")
     }
   }
+
+  test("t47 chunking covers every token, overlaps by 8, tail may be short") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    // 70 tokens -> starts 0,24,48 (windows [0,32) [24,56) [48,70));
+    // 10 tokens -> single short chunk; 33 tokens -> starts 0,24
+    def doc(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    Seq((1L, doc(70)), (2L, doc(10)), (3L, doc(33)))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.t47Chunking(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 32L), (1L, 1L, 24L, 32L), (1L, 2L, 48L, 22L),
+      (2L, 0L, 0L, 10L),
+      (3L, 0L, 0L, 32L), (3L, 1L, 24L, 9L)))
+    // coverage: consecutive chunks leave no gap (stride 24 < window 32)
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      cs.sortBy(_._2).toSeq.sliding(2).foreach {
+        case Seq((_, _, s1, n1), (_, _, s2, _)) =>
+          assert(s2 <= s1 + n1, s"gap between chunks at $s1+$n1 -> $s2")
+        case _ => ()
+      }
+    }
+    // fingerprints of identical windows are identical across docs: doc 1
+    // and doc 3 share tokens w0..w31 at start 0
+    val md5s = TextAnalysis.t47Chunking(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(4))).toMap
+    assert(md5s((1L, 0L)) == md5s((3L, 0L)))
+    assert(md5s((1L, 0L)) != md5s((1L, 1L)))
+  }
+
+  test("t48 bigram top-k is deterministic under count ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ngram").toString
+    // "b b" appears 2x, "a a" 2x, others once; tie broken by bigram asc
+    Seq((1L, "a a a", "en"), (2L, "b b b", "en"), (3L, "c d", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.t48NgramTopk(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("en", 1L, "a a", 2L), ("en", 2L, "b b", 2L), ("en", 3L, "c d", 1L)))
+  }
 }
