@@ -239,24 +239,35 @@ object Dedup {
     * single-threaded. Shared by d44 (self-join pairs) and d51
     * (incremental old×new dedup).
     */
-  private def minhashSigTable(spark: SparkSession, dir: String): DataFrame = {
-    val bandsExpr = (0 until 4).map(bnd =>
-      s"concat('$bnd:', ${minhashCol(2 * bnd)}, ':', ${minhashCol(2 * bnd + 1)})")
-      .mkString("array(", ", ", ")")
+  private val bandsExpr = (0 until 4).map(bnd =>
+    s"concat('$bnd:', ${minhashCol(2 * bnd)}, ':', ${minhashCol(2 * bnd + 1)})")
+    .mkString("array(", ", ", ")")
+
+  private val hashedShingleSet =
+    s"array_distinct(transform(__sh, s -> ${wordHash("s")} % $P))"
+
+  /** Stateless signature transform: (doc_id, text, …) → (doc_id, sh,
+    * bands). Pure codegen'd column expressions, so it applies unchanged to
+    * a STREAMING frame (the s87 ingest path computes signatures per
+    * micro-batch with exactly this) and to the batch scratch-table build.
+    */
+  private[operators] def withMinhashSig(df: DataFrame): DataFrame =
+    df.withColumn("__w", expr(words))
+      .withColumn("__sh", expr(shingles))
+      .withColumn("__hs", expr(shingleHashes))
+      .select(col("doc_id"),
+        expr(hashedShingleSet).as("sh"),
+        expr(bandsExpr).as("bands"))
+
+  private[operators] def minhashSigTable(spark: SparkSession, dir: String): DataFrame = {
     // the key hashes EVERY generating expression verbatim — a partial key
     // would let an edit to an unhashed part serve stale cached results
     val scratch = graft.Tables.scratch(dir,
       s"minhash_sigs_${exprVersion(words, shingles, shingleHashes,
-        s"array_distinct(transform(__sh, s -> ${wordHash("s")} % $P))", bandsExpr)}")
+        hashedShingleSet, bandsExpr)}")
     if (!scratchExists(spark, scratch)) {
-      t(spark, dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("__w", expr(words))
-        .withColumn("__sh", expr(shingles))
-        .withColumn("__hs", expr(shingleHashes))
-        .select(col("doc_id"),
-          expr(s"array_distinct(transform(__sh, s -> ${wordHash("s")} % $P))").as("sh"),
-          expr(bandsExpr).as("bands"))
+      withMinhashSig(t(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism))
         .write.mode("overwrite").parquet(scratch)
     }
     spark.read.parquet(scratch)

@@ -1132,7 +1132,83 @@ object LanceQueries {
       .orderBy(col("change_type"))
   }
 
+  /** Streaming ingestion dedup (s87) — the streaming leg of d51: new
+    * documents arrive on a lance changefeed, MinHash signatures are
+    * computed IN-STREAM (the same stateless codegen'd expressions the
+    * batch scratch build uses, [[Dedup.withMinhashSig]]), and candidates
+    * come from a stream-STATIC join against the persisted old-corpus band
+    * postings — the signature table in its index role. Exact Jaccard
+    * verification runs per micro-batch on candidates only; verified
+    * duplicate pairs land in an exactly-once lance sink.
+    *
+    * Scale shape: the whole streaming pipeline is STATELESS — no state
+    * store, so ingest state never grows with corpus size; per-batch cost
+    * is ∝ batch + true band collisions (the old corpus never self-joins,
+    * and the postings side is df-capped). A pair hit through multiple
+    * bands emits once per band; the read-back (in production: the next
+    * batch consumer) collapses them — trading a bounded re-emit for zero
+    * streaming state, the right trade at 100 TB/day. The gate's read-back
+    * reproduces d51's exact per-new-doc verdict, so the ORACLE IS d51's —
+    * a hash match proves streaming ingest loses nothing vs the batch path.
+    */
+  def s87StreamIngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSigTable(spark, dir)
+    val postings = scratch(dir, "ingest_postings")
+    val src = scratch(dir, "ingest_new_src")
+    val dst = scratch(dir, "ingest_dedup_dst")
+    freshDataset(spark, dst); freshDataset(spark, s"$dst-ckpt")
+    // static index side: old-corpus band postings with the shingle set
+    // denormalized onto each posting (verification never joins back)
+    ensureStreamSrc(spark, postings, 1) {
+      val old = sig.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      Dedup.capHotKeys(spark,
+        old.select(col("doc_id"), explode(col("bands")).as("bk")), "bk", "s87")
+        .join(old.select(col("doc_id"), col("sh")), Seq("doc_id"))
+        .select(col("bk"), col("doc_id").as("o_id"), col("sh").as("o_sh"))
+        .write.format("lance").mode("overwrite").save(postings)
+    }
+    // the new batch arrives as RAW documents — signatures are stream-side
+    ensureStreamSrc(spark, src, 1) {
+      t(spark, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("text"))
+        .write.format("lance").mode("overwrite").save(src)
+    }
+    withStreamShufflePartitions(spark) {
+      val post = spark.read.format("lance").load(postings)
+      val verified = Dedup.withMinhashSig(
+        spark.readStream.format("lance").load(src))
+        .select(col("doc_id").as("n_id"), col("sh").as("n_sh"),
+          explode(col("bands")).as("bk"))
+        .join(post, Seq("bk"))
+        .withColumn("inter", expr("size(array_intersect(n_sh, o_sh))"))
+        .withColumn("jaccard",
+          expr("CAST(inter AS DOUBLE) / (size(n_sh) + size(o_sh) - inter)"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("n_id"), col("o_id"), col("jaccard"))
+      val q = verified.writeStream.format("lance")
+        .option("checkpointLocation", s"$dst-ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    // collapse multi-band re-emits, keep the OLDEST duplicate per new doc,
+    // left-join every new doc so kept rows surface — d51's exact verdict
+    val pairs = spark.read.format("lance").load(dst)
+      .groupBy(col("n_id"), col("o_id")).agg(max(col("jaccard")).as("jaccard"))
+    val best = pairs.groupBy(col("n_id")).agg(min(col("o_id")).as("dup_of"))
+      .join(pairs.select(col("n_id"), col("o_id").as("dup_of"), col("jaccard")),
+        Seq("n_id", "dup_of"))
+    t(spark, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"))
+      .join(best.withColumnRenamed("n_id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("kept", col("dup_of").isNull)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s87_stream_ingest_dedup" -> s87StreamIngestDedup,
     "s82_stream_cdc_feed" -> s82StreamCdcFeed,
     "s81_changefeed_tvf" -> s81ChangefeedTvf,
     "s77_fragment_provenance" -> s77FragmentProvenance,
@@ -1173,6 +1249,9 @@ object LanceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the streaming ingest gate reproduces the batch verdict exactly —
+    // one oracle definition, so the two paths can never silently diverge
+    "s87_stream_ingest_dedup" -> Dedup.oracleSql("d51_incremental_dedup"),
     "s57_lance_count_star" -> "SELECT COUNT(*) AS n FROM part",
     "s51_lance_roundtrip_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
