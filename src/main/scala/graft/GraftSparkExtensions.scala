@@ -221,6 +221,17 @@ object MetaTvfs {
                   Seq(freshRow("fts", column, m.tokenizer.getOrElse("space"),
                     m.numTermPartitions, m.datasetVersion))
                 }
+              } else if (dirName.endsWith("_scalar")) {
+                val column = dirName.stripSuffix("_scalar")
+                orError(column) {
+                  val m = graft.index.ScalarIndex.loadMeta(spark, path, column)
+                  // freshness for the scalar index means "covers every
+                  // current fragment" — appends keep it CORRECT but
+                  // uncovered fragments are unprunable until a refresh
+                  Seq(freshRow("scalar", column,
+                    s"covered=${m.coveredFiles.size}", m.numBuckets,
+                    m.datasetVersion))
+                }
               } else Seq.empty
             }
         spark.createDataFrame(java.util.Arrays.asList(entries: _*),

@@ -287,17 +287,38 @@ object Lance {
     (version, committed.version)
   }
 
+  /** Build the scalar point-lookup index (value → fragment postings) for
+    * a high-cardinality column — the pruning layer manifest stats can't
+    * provide for unclustered point lookups ([[graft.index.ScalarIndex]]).
+    * The scan path consults it automatically for pushed `=` / `IN`
+    * filters; disable per-session with
+    * `spark.graft.scalarindex.enabled=false`.
+    */
+  def buildScalarIndex(spark: SparkSession, path: String, column: String,
+      numBuckets: Int = graft.index.ScalarIndex.DefaultBuckets)
+      : graft.index.ScalarIndex.ScalarMeta =
+    graft.index.ScalarIndex.build(spark, path, column, numBuckets)
+
+  /** Delta-refresh the scalar index: postings for fragments appended
+    * since the last build/refresh only (appends stay correct without a
+    * refresh — uncovered fragments are never pruned — refresh just
+    * restores pruning power over them). */
+  def refreshScalarIndex(spark: SparkSession, path: String, column: String)
+      : graft.index.ScalarIndex.ScalarMeta =
+    graft.index.ScalarIndex.refresh(spark, path, column)
+
   /** Drop a persisted index sidecar for `column` — the lifecycle
-    * complement of buildIndex / FtsIndex.build / refresh / the
-    * `lance_indexes` listing. `kind`: `ivf` (vector index, including any
-    * HNSW graph under it), `fts`, or `all` (default). Session meta caches
-    * are evicted so a dropped index can never serve a stale search.
-    * Returns the number of sidecar directories removed.
+    * complement of buildIndex / FtsIndex.build / ScalarIndex.build /
+    * refresh / the `lance_indexes` listing. `kind`: `ivf` (vector index,
+    * including any HNSW graph under it), `fts`, `scalar`, or `all`
+    * (default). Session meta caches are evicted so a dropped index can
+    * never serve a stale search. Returns the number of sidecar
+    * directories removed.
     */
   def dropIndex(spark: SparkSession, path: String, column: String,
       kind: String = "all"): Int = {
-    require(Set("all", "ivf", "fts").contains(kind),
-      s"dropIndex kind must be all|ivf|fts, got $kind")
+    require(Set("all", "ivf", "fts", "scalar").contains(kind),
+      s"dropIndex kind must be all|ivf|fts|scalar, got $kind")
     val conf = spark.sessionState.newHadoopConf()
     var removed = 0
     def drop(ip: String): Unit = {
@@ -312,6 +333,10 @@ object Lance {
     if (kind == "all" || kind == "fts") {
       drop(graft.index.FtsIndex.indexPath(path, column))
       graft.index.FtsIndex.evictMeta(spark, path, column)
+    }
+    if (kind == "all" || kind == "scalar") {
+      drop(graft.index.ScalarIndex.indexPath(path, column))
+      graft.index.ScalarIndex.evictMeta(spark, path, column)
     }
     removed
   }

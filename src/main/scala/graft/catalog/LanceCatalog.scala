@@ -229,6 +229,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
 object LanceCatalog {
   private[catalog] val ProcedureNames =
     Seq("compact", "vacuum", "cluster", "refresh_index", "refresh_fts",
+      "build_scalar_index", "refresh_scalar_index",
       "drop_index", "update_where", "upsert", "remove_orphans", "restore")
 }
 
@@ -282,7 +283,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "remove_orphans" => "delete data files no retained manifest references (crash leftovers)"
     case "restore" => "roll the table back to a prior version as a NEW commit (history preserved)"
     case "refresh_fts" => "delta-index appended fragments into the FTS postings (touched buckets only)"
-    case "drop_index" => "delete a column's index sidecars (ivf | fts | all) and evict session caches"
+    case "drop_index" => "delete a column's index sidecars (ivf | fts | scalar | all) and evict session caches"
+    case "build_scalar_index" => "build the value->fragment scalar index for point-lookup pruning"
+    case "refresh_scalar_index" => "delta-index appended fragments into the scalar postings"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -313,7 +316,13 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "drop_index" => Array(in("table", StringType).build(),
       in("column", StringType).build(),
       in("kind", StringType).defaultValue("'all'")
-        .comment("ivf | fts | all").build())
+        .comment("ivf | fts | scalar | all").build())
+    case "build_scalar_index" => Array(in("table", StringType).build(),
+      in("column", StringType).build(),
+      in("num_buckets", IntegerType)
+        .defaultValue(graft.index.ScalarIndex.DefaultBuckets.toString).build())
+    case "refresh_scalar_index" => Array(in("table", StringType).build(),
+      in("column", StringType).comment("indexed column").build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -371,6 +380,20 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           input.getUTF8String(1).toString, input.getUTF8String(2).toString)
         (new StructType().add("sidecars_removed", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](n)))
+      case "build_scalar_index" =>
+        val m = graft.Lance.buildScalarIndex(spark, path,
+          input.getUTF8String(1).toString, input.getInt(2))
+        (new StructType().add("covered_fragments", IntegerType, nullable = false)
+          .add("dataset_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](m.coveredFiles.size,
+            m.datasetVersion.getOrElse(-1L))))
+      case "refresh_scalar_index" =>
+        val m = graft.Lance.refreshScalarIndex(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("covered_fragments", IntegerType, nullable = false)
+          .add("dataset_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](m.coveredFiles.size,
+            m.datasetVersion.getOrElse(-1L))))
       case "refresh_fts" =>
         val m = graft.index.FtsIndex.refresh(spark, path,
           input.getUTF8String(1).toString)

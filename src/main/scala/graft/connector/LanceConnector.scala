@@ -369,7 +369,11 @@ class LanceScanBuilder(spark: SparkSession,
   private def statsPruned(base: ParquetScan): ParquetScan = {
     val kept = manifest match {
       case Some(m) if pushedDataFilters.nonEmpty =>
-        graft.format.FragmentStats.prune(m.schema, m.fragments, pushedDataFilters)
+        // layer 1+2: manifest min/max bounds + exact value sets; layer 3:
+        // scalar point-lookup index (high-cardinality equality/IN the
+        // stats can't answer) — each strictly conservative
+        graft.index.ScalarIndex.prune(spark, rootStr, m, pushedDataFilters,
+          graft.format.FragmentStats.prune(m.schema, m.fragments, pushedDataFilters))
       case _ => return base
     }
     if (kept.size == manifest.get.fragments.size) base
@@ -394,7 +398,8 @@ class LanceScanBuilder(spark: SparkSession,
         s"${LanceFragmentScan.FragmentIdColumn} requires a lance dataset at $rootStr"))
       val kept =
         if (pushedDataFilters.nonEmpty)
-          graft.format.FragmentStats.prune(m.schema, m.fragments, pushedDataFilters)
+          graft.index.ScalarIndex.prune(spark, rootStr, m, pushedDataFilters,
+            graft.format.FragmentStats.prune(m.schema, m.fragments, pushedDataFilters))
         else m.fragments
       new LanceMetadataScan(statsPruned(super.build()), rootStr, kept)
     case None => new LanceParquetScan(statsPruned(super.build()), rootStr)

@@ -343,6 +343,57 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact duplicated-substring spans (d52) — the dedup grain between
+    * d41 (whole document) and d49 (fixed paragraphs): find every maximal
+    * run of token positions whose W-token windows recur VERBATIM in
+    * other documents (boilerplate headers, license blocks, templated
+    * intros — the "exact substring" dedup of Lee et al., Deduplicating
+    * Training Data Makes Language Models Better, re-expressed without a
+    * suffix array). A window counts as duplicated only when it appears
+    * in ≥ 2 DISTINCT documents, so within-document repetition (t39's
+    * concern) never flags here.
+    *
+    * Shape, stage by stage: (1) sliding W-windows via codegen'd
+    * `transform(sequence)` + `posexplode` — linear fan-out, no shuffle;
+    * (2) duplicated-window detection is a hash aggregate keyed on the
+    * window (map-side partials; the distinct-doc test is a 2-level agg);
+    * (3) marking positions is a LEFT SEMI join back on the same key —
+    * both sides shuffle once on the window key and candidates ∝ true
+    * duplication; (4) merging consecutive positions into maximal spans
+    * is the gaps-and-islands trick (pos − row_number per doc): ONE
+    * window function partitioned by doc_id, state bounded by a
+    * document's own window count. At 100 TB stages 2–3 key on
+    * `xxhash64(win)` (or a 128-bit fingerprint) instead of the raw
+    * string to shrink shuffle payload — same plan, narrower rows; the
+    * gate keys on the text itself so the DuckDB oracle is exact-equal.
+    */
+  def d52SubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 10
+    val wins = t(spark, dir, "documents")
+      .withColumn("__w", expr(words))
+      .filter(expr(s"size(__w) >= $W"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $W)," +
+          s" i -> concat_ws(' ', slice(__w, i + 1, $W)))")).as(Seq("pos", "win")))
+    val dup = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("win"))
+    val marked = wins.join(dup, Seq("win"), "left_semi")
+    val spans = marked
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"), min(col("pos")).as("start_pos"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("run")).cast("bigint").as("dup_windows"),
+        max(col("run") + lit(W - 1)).cast("bigint").as("max_span_tokens"),
+        min(col("start_pos")).cast("bigint").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D5: 32-bit SimHash over word hashes (with multiplicity): bit k set
     * when the ±1 majority over words is positive.
     *
@@ -833,6 +884,7 @@ object Dedup {
     "d43_minhash_sigs" -> d43MinhashSigs,
     "d44_lsh_pairs" -> d44LshPairs,
     "d51_incremental_dedup" -> d51IncrementalDedup,
+    "d52_substring_spans" -> d52SubstringSpans,
     "d45_simhash" -> d45Simhash,
     "d46_emb_neardup" -> d46EmbNearDup,
     "d47_srp_neardup" -> d47SrpNearDup,
@@ -920,6 +972,27 @@ object Dedup {
            |LEFT JOIN best b ON b.n_id = s.doc_id
            |LEFT JOIN ver v ON v.n_id = s.doc_id AND v.o_id = b.dup_of
            |ORDER BY s.doc_id""".stripMargin,
+      // same W=10 windows / distinct-doc test / gaps-and-islands merge;
+      // range(1, n-W+2) is empty when n < W, mirroring the size guard
+      "d52_substring_spans" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |wins AS (SELECT doc_id, u.i - 1 AS pos,
+          |    array_to_string(t[u.i:u.i+9], ' ') AS w
+          |  FROM toks, UNNEST(range(1, len(t) - 10 + 2)) AS u(i)
+          |  WHERE len(t) >= 10),
+          |dupw AS (SELECT w FROM wins GROUP BY w
+          |  HAVING COUNT(DISTINCT doc_id) >= 2),
+          |m AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dupw)),
+          |sp AS (SELECT doc_id, pos,
+          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          |  FROM m),
+          |sg AS (SELECT doc_id, grp, COUNT(*) AS run, MIN(pos) AS start_pos
+          |  FROM sp GROUP BY doc_id, grp)
+          |SELECT doc_id, COUNT(*) AS n_spans,
+          |  CAST(SUM(run) AS BIGINT) AS dup_windows,
+          |  CAST(MAX(run + 9) AS BIGINT) AS max_span_tokens,
+          |  CAST(MIN(start_pos) AS BIGINT) AS first_pos
+          |FROM sg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // transitive closure of the undirected pair graph; LEAST(s, MIN(d))
       // is the component's min doc_id — identical to hash-min convergence
       "d48_dedup_groups" ->

@@ -1010,6 +1010,30 @@ object LanceQueries {
          |FROM lance_indexes('$dest') ORDER BY name""".stripMargin)
   }
 
+  /** Scalar point-lookup index end-to-end (s88): orders written HASH-
+    * distributed on the key, so every fragment's [min,max] spans the
+    * whole key range and the per-fragment value set overflows — the two
+    * existing stats layers provably cannot prune an `o_orderkey IN (…)`
+    * probe. The scalar index (value → fragment postings,
+    * [[graft.index.ScalarIndex]]) prunes it to the exact fragments on
+    * the driver; the probe includes a key that exists nowhere, whose
+    * postings-miss prunes to zero covered fragments. The oracle filters
+    * the original parquet, so over-pruning reds the hash; the
+    * fragment-count effect is pinned in ScalarIndexSpec.
+    */
+  def s88ScalarIndexPrune(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_scalaridx")
+    freshDataset(spark, dest)
+    t(spark, dir, "orders")
+      .repartition(8, col("o_orderkey"))
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.buildScalarIndex(spark, dest, "o_orderkey")
+    spark.read.format("lance").load(dest)
+      .filter(col("o_orderkey").isin(1L, 7L, 33L, 999999999L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_stats_tvf")
     freshDataset(spark, dest)
@@ -1218,6 +1242,7 @@ object LanceQueries {
     "s84_stats_tvf" -> s84StatsTvf,
     "s85_restore" -> s85Restore,
     "s86_index_listing" -> s86IndexListing,
+    "s88_scalar_index_prune" -> s88ScalarIndexPrune,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1289,6 +1314,10 @@ object LanceQueries {
     "s64_stats_prune_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+        |ORDER BY o_orderkey""".stripMargin,
+    "s88_scalar_index_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (1, 7, 33, 999999999)
         |ORDER BY o_orderkey""".stripMargin,
     "s83_valueset_prune" ->
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars

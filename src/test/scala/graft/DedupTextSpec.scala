@@ -106,6 +106,36 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("d52 substring spans: planted shared runs yield exact span geometry") {
+    import spark.implicits._
+    // Globally-unique filler tokens guarantee no accidental window dup;
+    // a 15-token shared run S yields 15-10+1 = 6 duplicated windows per
+    // occurrence, merging into ONE span of max_span_tokens = 15. Docs 4/5
+    // share TWO separate 10-token runs -> two spans of one window each.
+    val S = (1 to 15).map(i => s"s$i")
+    val s2 = (1 to 10).map(i => s"p$i")
+    val s3 = (1 to 10).map(i => s"q$i")
+    def mk(ts: Seq[String]) = ts.mkString(" ")
+    val docs = Seq(
+      (1L, mk((1 to 5).map(i => s"f$i") ++ S ++ (1 to 5).map(i => s"g$i"))),
+      (2L, mk((1 to 8).map(i => s"h$i") ++ S ++ (1 to 2).map(i => s"k$i"))),
+      (3L, mk((1 to 25).map(i => s"u$i"))), // fully unique -> absent
+      (4L, mk(s2 ++ (1 to 5).map(i => s"w$i") ++ s3)),
+      (5L, mk(s2 ++ (1 to 5).map(i => s"x$i") ++ s3)))
+    val dir = java.nio.file.Files.createTempDirectory("d52spec").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = Dedup.d52SubstringSpans(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(!rows.contains(3L), "unique doc must not appear")
+    // (n_spans, dup_windows, max_span_tokens, first_pos)
+    assert(rows(1L) == ((1L, 6L, 15L, 5L)), s"doc1 ${rows(1L)}")
+    assert(rows(2L) == ((1L, 6L, 15L, 8L)), s"doc2 ${rows(2L)}")
+    assert(rows(4L) == ((2L, 2L, 10L, 0L)), s"doc4 ${rows(4L)}")
+    assert(rows(5L) == ((2L, 2L, 10L, 0L)), s"doc5 ${rows(5L)}")
+  }
+
   test("minhash similarity approximates jaccard on planted dups") {
     val sigs = Dedup.d43MinhashSigs(spark, sf).collect()
       .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap

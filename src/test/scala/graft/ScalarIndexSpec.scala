@@ -1,0 +1,223 @@
+package graft
+
+import graft.index.ScalarIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Scalar point-lookup index: value → fragment postings consulted by the
+  * scan builder for pushed `=` / `IN` filters. Every pruning assertion is
+  * paired with a row-level correctness check against the unpruned data,
+  * and staleness tests prove appended fragments are NEVER wrongly pruned
+  * before a refresh.
+  */
+class ScalarIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "scalaridx-")
+      .toAbsolutePath.toString
+
+  /** Number of fragment files the executed scan actually read. */
+  private def scannedFiles(df: DataFrame): Int = {
+    df.collect()
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scans = strip(df.queryExecution.executedPlan).collect {
+      case b: BatchScanExec => b.scan
+    }
+    scans.collect { case p: ParquetScan => p.fileIndex.inputFiles.length }.sum
+  }
+
+  /** 4 fragments, EVEN ids interleaved so every fragment's [min,max]
+    * spans nearly the whole domain (range stats cannot prune) and holds
+    * 100 distinct ids (value sets overflow) — only the scalar index can
+    * prune a point lookup. Odd ids are reserved for append tests (inside
+    * the covered range, so range stats can't prune those either).
+    */
+  private def plant(dir: String): Unit = {
+    val df = (0L until 400L).map(i => (2 * i, s"name${2 * i}", i % 4))
+      .toDF("id", "s", "m")
+    (0 until 4).foreach { f =>
+      df.filter(col("m") === f).drop("m").coalesce(1)
+        .write.format("lance").mode(if (f == 0) "overwrite" else "append").save(dir)
+    }
+  }
+
+  test("eq lookup prunes to the single containing fragment, exact rows") {
+    val dir = tmpDir()
+    plant(dir)
+    val all = spark.read.format("lance").load(dir)
+    assert(scannedFiles(all.filter(col("id") === 6L)) == 4,
+      "without an index a hash-distributed point lookup scans everything")
+    ScalarIndex.build(spark, dir, "id", numBuckets = 8)
+    val probed = spark.read.format("lance").load(dir).filter(col("id") === 6L)
+    assert(scannedFiles(probed) == 1, "postings must prune to one fragment")
+    assert(probed.collect().map(_.getString(1)).toSeq == Seq("name6"))
+  }
+
+  test("absent value prunes to zero fragments; IN unions postings") {
+    val dir = tmpDir()
+    plant(dir)
+    ScalarIndex.build(spark, dir, "id", numBuckets = 8)
+    val miss = spark.read.format("lance").load(dir).filter(col("id") === 99999L)
+    assert(scannedFiles(miss) == 0, "a never-written key reads no fragment")
+    assert(miss.count() == 0)
+    // ids 4 and 6 live in different fragments -> union = 2
+    val in2 = spark.read.format("lance").load(dir)
+      .filter(col("id").isin(4L, 6L))
+    assert(scannedFiles(in2) == 2)
+    assert(in2.count() == 2)
+  }
+
+  test("append stays correct unrefreshed; refresh restores pruning") {
+    val dir = tmpDir()
+    plant(dir)
+    ScalarIndex.build(spark, dir, "id", numBuckets = 8)
+    // 40 ODD ids inside the covered [0,798] range: the appended
+    // fragment's [1,79] range contains probe key 6 and its 40 distinct
+    // values overflow the value set — neither stats layer prunes it, so
+    // what this pins is the SCALAR layer's uncovered-fragment contract
+    (0L until 40L).map(j => (2 * j + 1, s"late$j")).toDF("id", "s")
+      .coalesce(1).write.format("lance").mode("append").save(dir)
+    // uncovered: scanned for ANY probe, so new rows are found even
+    // though the index predates them
+    val late = spark.read.format("lance").load(dir).filter(col("id") === 7L)
+    assert(scannedFiles(late) == 1, "only the uncovered fragment survives")
+    assert(late.collect().map(_.getString(1)).toSeq == Seq("late3"))
+    val old = spark.read.format("lance").load(dir).filter(col("id") === 6L)
+    assert(scannedFiles(old) == 2, "covered postings hit + uncovered fragment")
+    val meta = ScalarIndex.refresh(spark, dir, "id")
+    assert(meta.coveredFiles.size == 5)
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 7L)) == 1)
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 6L)) == 1)
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 99999L)) == 0)
+  }
+
+  test("string column postings prune and render exactly") {
+    val dir = tmpDir()
+    plant(dir)
+    ScalarIndex.build(spark, dir, "s", numBuckets = 8)
+    val probed = spark.read.format("lance").load(dir)
+      .filter(col("s") === "name42")
+    assert(scannedFiles(probed) == 1)
+    assert(probed.collect().map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
+  test("hot value past maxFilesPerValue is present-but-unprunable") {
+    val dir = tmpDir()
+    // odd ids 1..799 interleaved (100 distinct/fragment: value sets
+    // overflow, ranges straddle); the EVEN mid-range value 400 recurs at
+    // i % 90 == 0 -> fragments 0 and 2 — hot at cap 1
+    val df = (0L until 400L)
+      .map(i => (if (i % 90 == 0) 400L else 2 * i + 1, i % 4))
+      .toDF("id", "m")
+    (0 until 4).foreach { f =>
+      df.filter(col("m") === f).drop("m").coalesce(1)
+        .write.format("lance").mode(if (f == 0) "overwrite" else "append").save(dir)
+    }
+    spark.conf.set("spark.graft.scalarindex.maxFilesPerValue", "1")
+    try ScalarIndex.build(spark, dir, "id", numBuckets = 4)
+    finally spark.conf.unset("spark.graft.scalarindex.maxFilesPerValue")
+    val hot = spark.read.format("lance").load(dir).filter(col("id") === 400L)
+    assert(scannedFiles(hot) == 4, "hot value must not be pruned")
+    assert(hot.count() == 5)
+    val cold = spark.read.format("lance").load(dir).filter(col("id") === 13L)
+    assert(scannedFiles(cold) == 1)
+    assert(cold.count() == 1)
+  }
+
+  test("dropIndex scalar + disabled conf both restore full scans") {
+    val dir = tmpDir()
+    plant(dir)
+    ScalarIndex.build(spark, dir, "id", numBuckets = 8)
+    spark.conf.set("spark.graft.scalarindex.enabled", "false")
+    try assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 6L)) == 4)
+    finally spark.conf.unset("spark.graft.scalarindex.enabled")
+    assert(Lance.dropIndex(spark, dir, "id", "scalar") == 1)
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 6L)) == 4)
+  }
+
+  test("renderValue matches Spark CAST(... AS STRING) per supported type") {
+    assert(ScalarIndex.renderValue(LongType, 42L).contains("42"))
+    assert(ScalarIndex.renderValue(IntegerType, -7).contains("-7"))
+    assert(ScalarIndex.renderValue(BooleanType, java.lang.Boolean.TRUE)
+      .contains("true"))
+    assert(ScalarIndex.renderValue(StringType, "x y").contains("x y"))
+    assert(ScalarIndex.renderValue(DateType,
+      java.sql.Date.valueOf("2024-02-29")).contains("2024-02-29"))
+    assert(ScalarIndex.renderValue(DateType,
+      java.time.LocalDate.of(2024, 2, 29)).contains("2024-02-29"))
+    assert(ScalarIndex.renderValue(DecimalType(10, 2),
+      new java.math.BigDecimal("1.5")).contains("1.50"))
+    assert(ScalarIndex.renderValue(LongType, null).isEmpty)
+    // the engine side of the same contract
+    val r = spark.sql(
+      "SELECT CAST(42L AS STRING), CAST(true AS STRING), " +
+        "CAST(DATE'2024-02-29' AS STRING), CAST(CAST(1.5 AS DECIMAL(10,2)) AS STRING)")
+      .collect().head
+    assert(r.getString(0) == "42" && r.getString(1) == "true" &&
+      r.getString(2) == "2024-02-29" && r.getString(3) == "1.50")
+  }
+
+  test("decimal postings prune with scale-exact rendering") {
+    val dir = tmpDir()
+    val df = (0L until 100L)
+      .map(i => (i, new java.math.BigDecimal(i).movePointLeft(2), i % 4))
+      .toDF("id", "d", "m")
+      .withColumn("d", col("d").cast(DecimalType(10, 2)))
+    (0 until 4).foreach { f =>
+      df.filter(col("m") === f).drop("m").coalesce(1)
+        .write.format("lance").mode(if (f == 0) "overwrite" else "append").save(dir)
+    }
+    ScalarIndex.build(spark, dir, "d", numBuckets = 4)
+    val probed = spark.read.format("lance").load(dir)
+      .filter(col("d") === lit(new java.math.BigDecimal("0.42")).cast(DecimalType(10, 2)))
+    assert(scannedFiles(probed) == 1)
+    assert(probed.collect().map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
+  test("lance_indexes lists the scalar index with coverage and freshness") {
+    val dir = tmpDir()
+    plant(dir)
+    ScalarIndex.build(spark, dir, "id", numBuckets = 8)
+    graft.MetaTvfs.register(spark)
+    val row = spark.sql(s"SELECT * FROM lance_indexes('$dir') WHERE kind = 'scalar'")
+      .collect()
+    assert(row.length == 1)
+    assert(row.head.getAs[String]("column") == "id")
+    assert(row.head.getAs[String]("detail") == "covered=4")
+    assert(row.head.getAs[Int]("partitions") == 8)
+    assert(row.head.getAs[Boolean]("fresh"))
+    // an append makes it stale (correct but unprunable on the new file)
+    Seq((9999L, "x")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    val stale = spark.sql(s"SELECT fresh FROM lance_indexes('$dir') WHERE kind = 'scalar'")
+      .collect().head
+    assert(!stale.getBoolean(0))
+  }
+
+  test("driver bucketOf matches the build job's pmod(xxhash64)") {
+    val vals = Seq("42", "name7", "2024-02-29", "1.50", "true", "", "日本語")
+    val expected = vals.toDF("v")
+      .select(col("v"), pmod(xxhash64(col("v")), lit(8)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    vals.foreach { v =>
+      assert(ScalarIndex.bucketOf(v, 8) == expected(v), s"bucket mismatch for '$v'")
+    }
+  }
+}
