@@ -1191,10 +1191,17 @@ object LanceQueries {
         .select(col("bk"), col("doc_id").as("o_id"), col("sh").as("o_sh"))
         .write.format("lance").mode("overwrite").save(postings)
     }
-    // the new batch arrives as RAW documents — signatures are stream-side
+    // the new batch arrives as RAW documents — signatures are stream-side.
+    // MULTI-fragment on purpose: the changefeed source plans one input
+    // partition per fragment, and the md5-shingle + permutation work rides
+    // the scan projection — a single-fragment batch would compute every
+    // signature in ONE task (measured 7.5s -> 2.9s at sf0.1 from this
+    // repartition alone; at real ingest scale the batch is always many
+    // fragments, so this pins the parallel shape the production path has)
     ensureStreamSrc(spark, src, 1) {
       t(spark, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0)
         .select(col("doc_id"), col("text"))
+        .repartition(8)
         .write.format("lance").mode("overwrite").save(src)
     }
     withStreamShufflePartitions(spark) {
