@@ -192,6 +192,33 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(probed.collect().map(_.getLong(0)).toSeq == Seq(42L))
   }
 
+  test("DML rewrite: dead postings vanish, rewritten fragment unprunable until refresh") {
+    val dir = tmpDir()
+    // range-clustered so the DELETE's stats scoping rewrites ONE fragment
+    (0L until 400L).map(i => (2 * i, s"name${2 * i}")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+      .write.format("lance").mode("overwrite").save(dir)
+    ScalarIndex.build(spark, dir, "id", numBuckets = 8)
+    val r = Lance.deleteWhere(spark, dir, "id = 6")
+    assert(r.rowsChanged == 1)
+    // deleted key: its postings point at the DEAD pre-rewrite file, which
+    // the live manifest no longer lists; the replacement fragment is
+    // uncovered so it is scanned — correct (0 rows), conservative
+    val gone = spark.read.format("lance").load(dir).filter(col("id") === 6L)
+    assert(scannedFiles(gone) == 1, "only the uncovered rewritten fragment")
+    assert(gone.count() == 0)
+    // surviving key from the SAME rewritten fragment: found in the
+    // uncovered replacement even though its posting names a dead file
+    val kept = spark.read.format("lance").load(dir).filter(col("id") === 8L)
+    assert(kept.count() == 1)
+    ScalarIndex.refresh(spark, dir, "id")
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 8L)) == 1)
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 6L)) == 0,
+      "after refresh the deleted key is provably nowhere")
+  }
+
   test("lance_indexes lists the scalar index with coverage and freshness") {
     val dir = tmpDir()
     plant(dir)
