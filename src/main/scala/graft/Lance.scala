@@ -200,6 +200,59 @@ object Lance {
       keys: Seq[String]): graft.operators.Dml.RowLevelResult =
     graft.operators.Dml.upsert(spark, path, source, keys)
 
+  /** Random row access — Lance's hallmark `take`: fetch rows by GLOBAL
+    * row id without a table scan. The id space is the manifest's fragment
+    * order × within-file row order (exactly Lance's address-style row
+    * ids): id `g` lives in the fragment whose cumulative-rowCount range
+    * contains it, at file offset `g - start`. Only the fragments
+    * containing requested ids are read — the manifest's rowCounts resolve
+    * fragment + offset with ZERO I/O on the driver — and the in-file
+    * offset check rides `_metadata.row_index` (generated by the parquet
+    * reader, no data column needed). Returns the rows with a `_rowid`
+    * column, ordered by id.
+    *
+    * Ids are PER-VERSION addresses (pass `version` for time travel):
+    * compaction or row-level DML renumbers them — Lance's address-based
+    * row-id contract. Intended for point access (feature lookups, sample
+    * inspection, KNN-result hydration): k ids touch ≤ k fragments. For
+    * bulk id sets join against a scan instead of an IN-list.
+    */
+  def take(spark: SparkSession, path: String, rowIds: Seq[Long],
+      version: Option[Long] = None): DataFrame = {
+    require(rowIds.nonEmpty, "take needs at least one row id")
+    val ids = rowIds.distinct.sorted
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val m = version match {
+      case Some(v) => graft.format.LanceFormat.readManifest(fs, root, v)
+      case None => graft.format.LanceFormat.readLatest(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no lance dataset at $path"))
+    }
+    require(ids.head >= 0 && ids.last < m.rowCount,
+      s"row ids must be in [0, ${m.rowCount}); got [${ids.head}, ${ids.last}]")
+    // fragment -> [start, start+rowCount) in manifest order, then keep
+    // only fragments holding a requested id (merge of two sorted lists)
+    val withStarts = m.fragments.scanLeft(("", 0L, 0L)) {
+      case ((_, s, rc), f) => (f.file, s + rc, f.rowCount)
+    }.drop(1)
+    val needed = withStarts.filter { case (_, start, rc) =>
+      ids.exists(g => g >= start && g < start + rc)
+    }
+    val dataDir = graft.format.LanceFormat.dataPath(root)
+    val files = needed.map { case (f, _, _) =>
+      new org.apache.hadoop.fs.Path(dataDir, f).toString }
+    val F = org.apache.spark.sql.functions
+    val startByFile = F.map(needed.flatMap { case (f, start, _) =>
+      Seq(F.lit(f), F.lit(start)) }: _*)
+    spark.read.schema(m.schema).parquet(files: _*)
+      .withColumn("_rowid",
+        F.element_at(startByFile,
+          F.element_at(F.split(F.input_file_name(), "/"), -1)) +
+          F.col("_metadata.row_index"))
+      .filter(F.col("_rowid").isin(ids: _*))
+      .orderBy("_rowid")
+  }
+
   /** List committed versions of a dataset (MVCC manifest history). */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(path)

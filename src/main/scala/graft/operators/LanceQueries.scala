@@ -1034,6 +1034,28 @@ object LanceQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Random row access end-to-end (s89): Lance's hallmark `take` — rows
+    * fetched by global row id with no scan. The dataset is written
+    * range-clustered + sorted so the address space (manifest fragment
+    * order × in-file order) coincides with ORDER BY o_orderkey, which
+    * lets the DuckDB oracle name the same rows via row_number()-1; the
+    * probed ids are closed-form in the row count (0, n/3, n/2, n-1) so
+    * the gate is scale-factor independent. Fragment-level I/O (only
+    * containing fragments read) is pinned in TakeSpec.
+    */
+  def s89Take(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_take")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+    o.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.format("lance").mode("overwrite").save(dest)
+    val n = spark.read.format("lance").load(dest).count() // manifest count
+    val ids = Seq(0L, n / 3, n / 2, n - 1)
+    graft.Lance.take(spark, dest, ids)
+      .select(col("_rowid").as("rid"), col("o_orderkey"), col("o_totalprice"))
+  }
+
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_stats_tvf")
     freshDataset(spark, dest)
@@ -1250,6 +1272,7 @@ object LanceQueries {
     "s85_restore" -> s85Restore,
     "s86_index_listing" -> s86IndexListing,
     "s88_scalar_index_prune" -> s88ScalarIndexPrune,
+    "s89_take" -> s89Take,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1326,6 +1349,13 @@ object LanceQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey IN (1, 7, 33, 999999999)
         |ORDER BY o_orderkey""".stripMargin,
+    // the take address space is ORDER BY o_orderkey by construction
+    "s89_take" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM orders),
+        |r AS (SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rid FROM orders)
+        |SELECT rid, o_orderkey, o_totalprice FROM r, n
+        |WHERE rid IN (0, c // 3, c // 2, c - 1) ORDER BY rid""".stripMargin,
     "s83_valueset_prune" ->
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'fr'
