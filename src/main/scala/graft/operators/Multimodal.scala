@@ -148,14 +148,63 @@ object Multimodal {
         md5(col("bytes")).as("content_hash"))
       .orderBy(col("media_id"))
 
+  /** Int8 embedding quantization (m65) — the export step that shrinks a
+    * float32 embedding corpus 4× for serving/training: per-vector
+    * absmax scale (`max|x| / 127`), symmetric round-to-nearest codes in
+    * [-127, 127]. With absmax scaling no code ever clips, and the
+    * roundtrip error is bounded by scale/2 — the gate emits the exact
+    * per-vector max error so a quantizer regression (wrong scale, wrong
+    * rounding, clipping) moves hashed values, not just a tolerance.
+    *
+    * Everything is per-row codegen'd expression work — no shuffle before
+    * the gate's ORDER BY — and every float op (float32→double widening,
+    * one division, round, fused error max) is bit-reproducible by the
+    * DuckDB oracle; min/max/sum over codes are order-insensitive exact.
+    * Zero vectors define code 0 (the CASE guard, both engines).
+    */
+  def m65Int8Quant(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .withColumn("__v", col("embedding").cast("array<double>"))
+      .withColumn("scale",
+        expr("array_max(transform(__v, x -> abs(x))) / CAST(127 AS DOUBLE)"))
+      .withColumn("q", expr(
+        "transform(__v, x -> CASE WHEN scale = CAST(0 AS DOUBLE) THEN 0 " +
+          "ELSE CAST(round(x / scale) AS INT) END)"))
+      .select(col("vec_id"), col("scale"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("q_sum"),
+        expr("array_max(zip_with(__v, q, (x, c) -> " +
+          "abs(x - CAST(c AS DOUBLE) * scale)))").as("max_err"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m61_media_meta" -> m61MediaMeta,
     "m62_frame_sample" -> m62FrameSample,
     "m63_decode_features" -> m63DecodeFeatures,
     "m64_resize" -> m64Resize,
+    "m65_int8_quant" -> m65Int8Quant,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // absmax int8: same widening, same single division, same round; the
+    // error max is per-element double arithmetic, order-insensitive
+    "m65_int8_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE) AS scale
+        |  FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(round(x / scale) AS INT) END) AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_min(qv) AS INT) AS q_min,
+        |  CAST(list_max(qv) AS INT) AS q_max,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_max(list_transform(generate_series(1, len(v)),
+        |    i -> abs(v[i] - CAST(qv[i] AS DOUBLE) * scale))) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "m61_media_meta" ->
       """SELECT media_id, kind, mime, n_bytes,
         | CAST(1 + __h % 1920 AS INT) AS width,

@@ -318,6 +318,30 @@ object Relational {
       .limit(2000)
   }
 
+  /** Time-interval RANGE frames (q52) — the event-time rolling window
+    * every telemetry/feature pipeline writes: per-user trailing-1-hour
+    * SUM and COUNT at each event, `RANGE BETWEEN INTERVAL 1 HOUR
+    * PRECEDING AND CURRENT ROW` over the timestamp order (q38 covers
+    * NUMERIC range frames; the interval-on-timestamp variant has its own
+    * planner path and peer semantics). RANGE frames treat equal-ts rows
+    * as peers, so the result is deterministic under any tie order — the
+    * one window shape that needs no unique-key tie-break. The sum
+    * accumulates in decimal (Tables.dsum discipline) so both engines
+    * produce identical doubles; one shuffle on user_id, state bounded by
+    * a user's 1-hour event count.
+    */
+  def q52IntervalFrame(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("events_q52")
+    spark.sql(
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS v_1h,
+        |  COUNT(*) OVER w AS n_1h
+        |FROM events_q52
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Deterministic hash sampling — the reproducible train/eval split a
     * training pipeline needs (no RNG, no seed drift across engines):
     * md5(key) mod 10 picks a stable 10% of documents.
@@ -852,6 +876,7 @@ object Relational {
     "q44_filter_clause" -> q44FilterClause,
     "q45_string_funcs" -> q45StringFuncs,
     "q46_array_agg" -> q46ArrayAgg,
+    "q52_interval_frame" -> q52IntervalFrame,
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
     "q35_pivot" -> q35Pivot,
@@ -1009,6 +1034,14 @@ object Relational {
         |FROM w ORDER BY user_id, ts, event_id LIMIT 2000""".stripMargin,
     // ties at the slice boundary carry equal values, so the value hash is
     // insensitive to tiebreak order; rank among equal prices swaps equal rows
+    "q52_interval_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS v_1h,
+        |  COUNT(*) OVER w AS n_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q46_array_agg" ->
       """SELECT o_custkey, rank, price FROM (
         |  SELECT o_custkey,
