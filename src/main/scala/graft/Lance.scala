@@ -220,7 +220,7 @@ object Lance {
   def take(spark: SparkSession, path: String, rowIds: Seq[Long],
       version: Option[Long] = None): DataFrame = {
     require(rowIds.nonEmpty, "take needs at least one row id")
-    val ids = rowIds.distinct.sorted
+    val ids = rowIds.distinct.sorted.toIndexedSeq
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     val m = version match {
@@ -231,12 +231,20 @@ object Lance {
     require(ids.head >= 0 && ids.last < m.rowCount,
       s"row ids must be in [0, ${m.rowCount}); got [${ids.head}, ${ids.last}]")
     // fragment -> [start, start+rowCount) in manifest order, then keep
-    // only fragments holding a requested id (merge of two sorted lists)
+    // only fragments holding a requested id — one merge pass over the
+    // two sorted sequences (O(fragments + ids), not fragments × ids:
+    // at a million fragments the product would be a driver stall)
     val withStarts = m.fragments.scanLeft(("", 0L, 0L)) {
       case ((_, s, rc), f) => (f.file, s + rc, f.rowCount)
     }.drop(1)
-    val needed = withStarts.filter { case (_, start, rc) =>
-      ids.exists(g => g >= start && g < start + rc)
+    val needed = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var i = 0
+      withStarts.foreach { case t @ (_, start, rc) =>
+        while (i < ids.size && ids(i) < start) i += 1
+        if (i < ids.size && ids(i) < start + rc) out += t
+      }
+      out.result()
     }
     val dataDir = graft.format.LanceFormat.dataPath(root)
     val files = needed.map { case (f, _, _) =>

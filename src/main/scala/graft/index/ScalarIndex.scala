@@ -145,10 +145,19 @@ object ScalarIndex {
     val ip = indexPath(datasetPath, column)
     val pp = new Path(postingsPath(ip))
     val fs = pp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(pp)) fs.delete(pp, true)
+    // stage → verify → swap (the FtsIndex rebuild discipline): writing
+    // into the live dir after a delete would let a concurrent reader see
+    // an EMPTY bucket as "value provably absent" and wrongly prune;
+    // staged, the live postings stay whole until the rename
+    val staged = new Path(s"$ip/postings.staged")
+    if (fs.exists(staged)) fs.delete(staged, true)
     val ds = spark.read.format("lance").load(datasetPath)
     writePostings(spark, postingsOf(spark, ds, column, numBuckets,
-      maxFilesPerValue(spark)), pp, overwrite = true)
+      maxFilesPerValue(spark)), staged, overwrite = true)
+    require(fs.exists(staged),
+      s"staged scalar postings missing at $staged - aborting before touching live")
+    if (fs.exists(pp)) fs.delete(pp, true)
+    require(fs.rename(staged, pp), s"could not swap $staged into $pp")
     writeMeta(spark, ip, ScalarMeta(column, numBuckets,
       coveredFiles = m.fragments.map(_.file),
       datasetVersion = Some(m.version),
