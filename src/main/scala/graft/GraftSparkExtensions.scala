@@ -72,6 +72,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_indexes"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_indexes"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_indexes", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_take"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_take"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_take", args)))
   }
 }
 
@@ -94,7 +97,8 @@ object MetaTvfs {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
     Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts",
-        "lance_stats", "vector_search_join", "lance_indexes").foreach { n =>
+        "lance_stats", "vector_search_join", "lance_indexes",
+        "lance_take").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -265,6 +269,14 @@ object MetaTvfs {
             literalString(args(6), "vector_search_join: metric") else "l2",
           geometry = if (args.size >= 8)
             literalString(args(7), "vector_search_join: geometry") else "auto")
+      // random row access from SQL: lance_take(path, id, id, ...) —
+      // KNN-result hydration / sample inspection without a scan
+      // (Lance's take, graft.Lance.take; ids are per-version addresses)
+      case "lance_take" =>
+        require(args.size >= 2, "lance_take(path, rowId[, rowId ...])")
+        val ids = args.drop(1).map(a =>
+          literalString(a, "lance_take: rowId").toLong)
+        graft.Lance.take(spark, path, ids)
       // BM25 over the persisted inverted index (graft.index.FtsIndex) —
       // the scalar-index sibling of the vector_search TVF
       case "lance_fts" =>

@@ -81,6 +81,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ops.map(_.getString(0)).toSeq == Seq("overwrite", "append"))
   }
 
+  test("lance_take TVF: row addresses from SQL match the Scala API") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "take-tvf-")
+      .toAbsolutePath.toString
+    spark.range(0, 100).withColumn("sq", org.apache.spark.sql.functions.expr("id * id"))
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+      .sortWithinPartitions("id")
+      .write.format("lance").mode("overwrite").save(dir)
+    val rows = spark.sql(s"SELECT _rowid, id, sq FROM lance_take('$dir', 0, 42, 99)")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 0L, 0L), (42L, 42L, 1764L), (99L, 99L, 9801L)))
+    val api = Lance.take(spark, dir, Seq(0L, 42L, 99L))
+      .select("_rowid", "id", "sq").collect()
+    assert(rows.map(_.toSeq).toSeq == api.map(_.toSeq).toSeq)
+  }
+
   test("lance_changes TVF: version-range change feed with delete/insert rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "changes-tvf-")
