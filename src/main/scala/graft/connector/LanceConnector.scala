@@ -482,9 +482,23 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     override def toBatch: BatchWrite =
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         epochId, collectStats, mergeSchema, replaceFragments, rowPreserving)
+    // streaming-only: delta-refresh the dataset's persisted indexes
+    // after each epoch commit ('all' or a comma list of scalar|fts|ivf)
+    private val refreshIndexes = Option(info.options.get("write.refresh-indexes"))
+      .map(_.trim.toLowerCase).filter(_.nonEmpty)
+      .map {
+        case "all" | "true" => Set("scalar", "fts", "ivf")
+        case csv =>
+          val kinds = csv.split(',').map(_.trim).filter(_.nonEmpty).toSet
+          val bad = kinds -- Set("scalar", "fts", "ivf")
+          require(bad.isEmpty,
+            s"write.refresh-indexes: unknown kinds ${bad.mkString(",")} (scalar|fts|ivf|all)")
+          kinds
+      }.getOrElse(Set.empty[String])
+
     override def toStreaming: StreamingWrite =
       new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
-        collectStats)
+        collectStats, refreshIndexes)
   }
 }
 
@@ -549,7 +563,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
   */
 class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     conf: SerializableConf, maxRowsPerFile: Long,
-    collectStats: Boolean = true) extends StreamingWrite {
+    collectStats: Boolean = true,
+    refreshIndexes: Set[String] = Set.empty) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile, collectStats)
@@ -566,6 +581,16 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
       if (overwrite && epochId == 0)
         LanceFormat.commitOverwrite(fs, root, schema, frags, Some(epochId))
       else LanceFormat.commitAppend(fs, root, schema, frags, Some(epochId))
+      // continuously-ingested corpus, always-serving indexes: delta-
+      // refresh INSIDE the epoch commit (the index is fresh before the
+      // next batch starts — the maintenance job a production pipeline
+      // otherwise schedules out-of-band). Refresh cost is proportional
+      // to the epoch's fragments by the v34/t43 delta contracts. A
+      // refresh failure leaves a STALE-BUT-CORRECT index (uncovered
+      // fragments are never wrongly pruned; vector/fts staleness guards
+      // fire on their paths), so it warns instead of failing the stream.
+      if (refreshIndexes.nonEmpty)
+        LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
     }
   }
 
@@ -593,6 +618,40 @@ private[connector] object LanceWrite {
     val fs = LanceFormat.fileSystem(root, conf)
     messages.collect { case LanceCommitMessage(f) => f }.flatten.foreach { frag =>
       fs.delete(new Path(LanceFormat.dataPath(root), frag.file), false)
+    }
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.LanceWrite")
+
+  /** Delta-refresh the dataset's persisted index sidecars after a
+    * streaming epoch commit (`write.refresh-indexes`). Runs on the driver
+    * in the micro-batch commit thread — blocking there is the point: the
+    * indexes are fresh before the next epoch's data is visible. Each
+    * refresh failure is a warn, not a stream failure: a stale index stays
+    * CORRECT (scalar: uncovered fragments never wrongly pruned;
+    * vector/fts: staleness guards on their search paths).
+    */
+  def refreshIndexesAfterCommit(rootStr: String, kinds: Set[String]): Unit = {
+    val spark = SparkSession.active
+    val indices = new Path(rootStr, "_indices")
+    val fs = LanceFormat.fileSystem(indices, spark.sessionState.newHadoopConf())
+    if (!fs.exists(indices)) return
+    fs.listStatus(indices).filter(_.isDirectory).map(_.getPath.getName).foreach { d =>
+      def run(kind: String, column: String)(refresh: => Any): Unit =
+        try { refresh; () } catch {
+          case e: Exception =>
+            log.warn(s"epoch index refresh failed ($kind, $column) at $rootStr " +
+              s"- index is stale but correct: $e")
+        }
+      if (d.endsWith("_scalar") && kinds("scalar"))
+        run("scalar", d.stripSuffix("_scalar"))(
+          graft.index.ScalarIndex.refresh(spark, rootStr, d.stripSuffix("_scalar")))
+      else if (d.endsWith("_fts") && kinds("fts"))
+        run("fts", d.stripSuffix("_fts"))(
+          graft.index.FtsIndex.refresh(spark, rootStr, d.stripSuffix("_fts")))
+      else if (d.endsWith("_ivf") && kinds("ivf"))
+        run("ivf", d.stripSuffix("_ivf"))(
+          graft.index.IvfIndex.refresh(spark, rootStr, d.stripSuffix("_ivf")))
     }
   }
 }

@@ -1056,6 +1056,45 @@ object LanceQueries {
       .select(col("_rowid").as("rid"), col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** Streaming ingest with in-commit index maintenance (s90): a scalar-
+    * indexed dataset keeps serving point lookups while a stream appends
+    * to it — `write.refresh-indexes=scalar` delta-refreshes the postings
+    * INSIDE each epoch commit, so the index is fresh before the next
+    * batch lands (the out-of-band maintenance job, eliminated). The
+    * probe mixes keys from the initial batch, keys that ONLY exist in
+    * streamed fragments (wrong/missing refresh postings would lose or
+    * misroute them), and a nowhere key. Pruning counts and the
+    * stale-without-option contrast are pinned in ScalarIndexSpec.
+    */
+  def s90StreamAutoRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "orders_ar_src")
+    val dst = scratch(dir, "orders_ar_dst")
+    freshDataset(spark, dst); freshDataset(spark, s"$dst-ckpt")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(5)) < 3)
+      .repartition(4, col("o_orderkey"))
+      .write.format("lance").mode("overwrite").save(dst)
+    graft.Lance.buildScalarIndex(spark, dst, "o_orderkey")
+    ensureStreamSrc(spark, src, 1) {
+      o.filter(pmod(col("o_orderkey"), lit(5)) >= 3).repartition(4)
+        .write.format("lance").mode("overwrite").save(src)
+    }
+    withStreamShufflePartitions(spark) {
+      val q = spark.readStream.format("lance").load(src)
+        .writeStream.format("lance")
+        .option("checkpointLocation", s"$dst-ckpt")
+        .option("write.refresh-indexes", "scalar")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    spark.read.format("lance").load(dst)
+      .filter(col("o_orderkey").isin(0L, 1L, 3L, 7L, 33L, 999999999L))
+      .orderBy(col("o_orderkey"))
+  }
+
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_stats_tvf")
     freshDataset(spark, dest)
@@ -1273,6 +1312,7 @@ object LanceQueries {
     "s86_index_listing" -> s86IndexListing,
     "s88_scalar_index_prune" -> s88ScalarIndexPrune,
     "s89_take" -> s89Take,
+    "s90_stream_auto_refresh" -> s90StreamAutoRefresh,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1348,6 +1388,10 @@ object LanceQueries {
     "s88_scalar_index_prune" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey IN (1, 7, 33, 999999999)
+        |ORDER BY o_orderkey""".stripMargin,
+    "s90_stream_auto_refresh" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (0, 1, 3, 7, 33, 999999999)
         |ORDER BY o_orderkey""".stripMargin,
     // the take address space is ORDER BY o_orderkey by construction
     "s89_take" ->

@@ -238,6 +238,37 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(!stale.getBoolean(0))
   }
 
+  test("streaming write.refresh-indexes keeps the scalar index fresh per epoch") {
+    val srcDir = tmpDir()
+    val dir = tmpDir()
+    plant(dir)
+    ScalarIndex.build(spark, dir, "id", numBuckets = 8)
+    // odd ids inside the covered range arrive by stream (value sets
+    // overflow at 40 distinct; range straddles — only postings prune)
+    (0L until 40L).map(j => (2 * j + 1, s"late$j")).toDF("id", "s")
+      .coalesce(1).write.format("lance").mode("overwrite").save(srcDir)
+    val q = spark.readStream.format("lance").load(srcDir)
+      .writeStream.format("lance")
+      .option("checkpointLocation", s"$dir-ckpt")
+      .option("write.refresh-indexes", "scalar")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir)
+    q.awaitTermination()
+    val meta = ScalarIndex.loadMeta(spark, dir, "id")
+    val m = graft.format.LanceFormat.readLatest(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(dir)).get
+    assert(meta.coveredFiles.toSet == m.fragments.map(_.file).toSet,
+      "the epoch commit must leave every fragment covered")
+    // streamed key prunes to exactly its fragment; absent key to zero
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 7L)) == 1)
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 99999L)) == 0)
+  }
+
   test("driver bucketOf matches the build job's pmod(xxhash64)") {
     val vals = Seq("42", "name7", "2024-02-29", "1.50", "true", "", "日本語")
     val expected = vals.toDF("v")
