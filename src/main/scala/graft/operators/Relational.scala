@@ -342,6 +342,41 @@ object Relational {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** JSON property extraction (q53) — semi-structured payloads are the
+    * norm in event pipelines; `get_json_object` path extraction is a
+    * codegen'd per-row expression (Jackson under whole-stage codegen, no
+    * UDF), aggregated per event type. A missing path yields NULL in both
+    * engines, pinned by the n_missing column. At scale the extraction
+    * rides the scan projection — the parse cost is the only cost, and a
+    * hot pipeline promotes the path to a materialized column (or Spark
+    * 4's VARIANT) with the same downstream plan.
+    */
+  def q53JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("events_q53")
+    spark.sql(
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(*) - COUNT(get_json_object(props, '$.absent')) AS n_missing
+        |FROM events_q53 GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Ordered string aggregation (q54) — `LISTAGG ... WITHIN GROUP`
+    * (SQL:2016, new in Spark 4): the deterministic concat-per-group every
+    * report/export layer writes. The WITHIN GROUP order makes the result
+    * order-insensitive to shuffle nondeterminism — same contract as
+    * q46's sort_array.
+    */
+  def q54ListAgg(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("nation_q54")
+    spark.sql(
+      """SELECT n_regionkey,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+        |  COUNT(*) AS n
+        |FROM nation_q54 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
   /** Deterministic hash sampling — the reproducible train/eval split a
     * training pipeline needs (no RNG, no seed drift across engines):
     * md5(key) mod 10 picks a stable 10% of documents.
@@ -877,6 +912,8 @@ object Relational {
     "q45_string_funcs" -> q45StringFuncs,
     "q46_array_agg" -> q46ArrayAgg,
     "q52_interval_frame" -> q52IntervalFrame,
+    "q53_json_extract" -> q53JsonExtract,
+    "q54_listagg" -> q54ListAgg,
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
     "q35_pivot" -> q35Pivot,
@@ -1034,6 +1071,18 @@ object Relational {
         |FROM w ORDER BY user_id, ts, event_id LIMIT 2000""".stripMargin,
     // ties at the slice boundary carry equal values, so the value hash is
     // insensitive to tiebreak order; rank among equal prices swaps equal rows
+    "q53_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(*) - COUNT(json_extract_string(props, '$.absent')) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q54_listagg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names,
+        |  COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q52_interval_frame" ->
       """SELECT event_id, user_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS v_1h,
