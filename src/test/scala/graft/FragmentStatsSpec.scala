@@ -423,6 +423,27 @@ class FragmentStatsSpec extends AnyFunSuite {
         s"dropped index must fail loud, got: ${gone.getMessage}")
       s.sql("DROP TABLE IF EXISTS lance_proc.db.docs")
 
+      // build_scalar_index / refresh_scalar_index: build over current
+      // rows, append, delta-refresh — coverage counts surface in the row
+      s.sql("CREATE TABLE lance_proc.db.kv (id BIGINT, s STRING)")
+      s.sql("INSERT INTO lance_proc.db.kv VALUES (1, 'a'), (2, 'b')")
+      val kvPath = s"$wh/db/kv"
+      val built = s.sql("CALL lance_proc.build_scalar_index('db.kv', 'id', 8)")
+        .collect().head
+      val builtFrags = built.getInt(0)
+      assert(builtFrags >= 1, s"build_scalar_index returned $built")
+      s.sql("INSERT INTO lance_proc.db.kv VALUES (3, 'c')")
+      val srefreshed =
+        s.sql("CALL lance_proc.refresh_scalar_index('db.kv', 'id')").collect().head
+      assert(srefreshed.getInt(0) > builtFrags,
+        s"refresh must cover the appended fragment, got $srefreshed after $builtFrags")
+      val meta = graft.index.ScalarIndex.loadMeta(s, kvPath, "id")
+      assert(meta.numBuckets == 8 && meta.coveredFiles.size == srefreshed.getInt(0))
+      val sdropped =
+        s.sql("CALL lance_proc.drop_index('db.kv', 'id', 'scalar')").collect().head
+      assert(sdropped.getInt(0) == 1)
+      s.sql("DROP TABLE IF EXISTS lance_proc.db.kv")
+
       // Spark wraps the catalog's require into FAILED_TO_LOAD_ROUTINE
       val e = intercept[Exception](s.sql("CALL lance_proc.no_such_proc('db.t')"))
       assert(e.getMessage.contains("no_such_proc"))

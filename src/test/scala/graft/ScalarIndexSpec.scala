@@ -269,6 +269,38 @@ class ScalarIndexSpec extends AnyFunSuite {
       spark.read.format("lance").load(dir).filter(col("id") === 99999L)) == 0)
   }
 
+  test("renderValue == engine CAST over randomized values, all types") {
+    val rnd = new scala.util.Random(42)
+    // longs across the full range, scale-2 decimals, dates, tricky strings
+    val longs = Seq(0L, -1L, Long.MaxValue, Long.MinValue + 1) ++
+      Seq.fill(200)(rnd.nextLong())
+    val decs = Seq.fill(100)(new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(rnd.nextInt(1000000000) - 500000000), 2))
+    val dates = Seq.fill(50)(java.time.LocalDate.ofEpochDay(rnd.nextInt(40000) - 10000))
+    val strs = Seq("", " ", "a b", "日本語", "naïve", "x\"y", "0", "-0.0") ++
+      Seq.fill(100)(rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString)
+    val longCast = longs.toDF("v").select(col("v").cast("string")).collect().map(_.getString(0))
+    longs.zip(longCast).foreach { case (v, want) =>
+      assert(ScalarIndex.renderValue(LongType, v).contains(want), s"long $v") }
+    val decCast = decs.toDF("v").select(col("v").cast(DecimalType(12, 2)).cast("string"))
+      .collect().map(_.getString(0))
+    decs.zip(decCast).foreach { case (v, want) =>
+      assert(ScalarIndex.renderValue(DecimalType(12, 2), v).contains(want), s"dec $v") }
+    val dateCast = dates.map(java.sql.Date.valueOf).toDF("v")
+      .select(col("v").cast("string")).collect().map(_.getString(0))
+    dates.zip(dateCast).foreach { case (v, want) =>
+      assert(ScalarIndex.renderValue(DateType, v).contains(want), s"date $v") }
+    strs.foreach { v =>
+      assert(ScalarIndex.renderValue(StringType, v).contains(v), s"str '$v'") }
+    // bucket function: driver == engine on every rendered value
+    val rendered = (longCast ++ decCast ++ dateCast ++ strs).distinct.toSeq
+    val engine = rendered.toDF("v")
+      .select(col("v"), pmod(xxhash64(col("v")), lit(64)).cast("int"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    rendered.foreach { v =>
+      assert(ScalarIndex.bucketOf(v, 64) == engine(v), s"bucket '$v'") }
+  }
+
   test("driver bucketOf matches the build job's pmod(xxhash64)") {
     val vals = Seq("42", "name7", "2024-02-29", "1.50", "true", "", "日本語")
     val expected = vals.toDF("v")
