@@ -61,27 +61,34 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
 }
 
 object LanceTable {
-  /** Pick the manifest for `versionAsOf` / `timestampAsOf` (time travel)
-    * or latest. `timestampAsOf` accepts epoch millis, an ISO-8601 instant
-    * (`2026-01-01T00:00:00Z`), or `yyyy-MM-dd HH:mm:ss` interpreted as
-    * UTC, and resolves to the newest version committed at or before it —
-    * the path-read twin of the catalog's SQL `TIMESTAMP AS OF`.
+  /** Pick the manifest for `versionAsOf` / `timestampAsOf` / `tagAsOf`
+    * (time travel) or latest. `timestampAsOf` accepts epoch millis, an
+    * ISO-8601 instant (`2026-01-01T00:00:00Z`), or `yyyy-MM-dd HH:mm:ss`
+    * interpreted as UTC, and resolves to the newest version committed at
+    * or before it — the path-read twin of the catalog's SQL
+    * `TIMESTAMP AS OF`. `tagAsOf` resolves a named tag
+    * ([[LanceFormat.writeTag]]) to its pinned version.
     */
   def resolveManifest(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       options: CaseInsensitiveStringMap): Option[Manifest] = {
     if (!LanceFormat.isDataset(fs, root)) None
-    else (Option(options.get("versionAsOf")), Option(options.get("timestampAsOf"))) match {
-      case (Some(v), None) => Some(LanceFormat.readManifest(fs, root, v.toLong))
-      case (None, Some(ts)) =>
+    else (Option(options.get("versionAsOf")), Option(options.get("timestampAsOf")),
+        Option(options.get("tagAsOf"))) match {
+      case (Some(v), None, None) => Some(LanceFormat.readManifest(fs, root, v.toLong))
+      case (None, Some(ts), None) =>
         val cutoffMs = parseTimestampMs(ts)
         val v = LanceFormat.listVersions(fs, root)
           .filter(LanceFormat.readManifest(fs, root, _).committedAtMs <= cutoffMs)
           .lastOption.getOrElse(throw new IllegalArgumentException(
             s"no version of $root existed at or before timestampAsOf=$ts"))
         Some(LanceFormat.readManifest(fs, root, v))
-      case (Some(_), Some(_)) => throw new IllegalArgumentException(
-        "set either versionAsOf or timestampAsOf, not both")
-      case (None, None) => LanceFormat.readLatest(fs, root)
+      case (None, None, Some(tag)) =>
+        val info = LanceFormat.readTag(fs, root, tag).getOrElse(
+          throw new IllegalArgumentException(s"no tag '$tag' at $root"))
+        Some(LanceFormat.readManifest(fs, root, info.version))
+      case (None, None, None) => LanceFormat.readLatest(fs, root)
+      case _ => throw new IllegalArgumentException(
+        "set only one of versionAsOf, timestampAsOf, tagAsOf")
     }
   }
 
@@ -481,20 +488,14 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
 
     override def toBatch: BatchWrite =
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
-        epochId, collectStats, mergeSchema, replaceFragments, rowPreserving)
-    // streaming-only: delta-refresh the dataset's persisted indexes
-    // after each epoch commit ('all' or a comma list of scalar|fts|ivf)
+        epochId, collectStats, mergeSchema, replaceFragments, rowPreserving,
+        refreshIndexes)
+    // delta-refresh the dataset's persisted indexes after the commit
+    // ('all' or a comma list of scalar|fts|ivf) — streaming epochs and
+    // batch writes alike
     private val refreshIndexes = Option(info.options.get("write.refresh-indexes"))
-      .map(_.trim.toLowerCase).filter(_.nonEmpty)
-      .map {
-        case "all" | "true" => Set("scalar", "fts", "ivf")
-        case csv =>
-          val kinds = csv.split(',').map(_.trim).filter(_.nonEmpty).toSet
-          val bad = kinds -- Set("scalar", "fts", "ivf")
-          require(bad.isEmpty,
-            s"write.refresh-indexes: unknown kinds ${bad.mkString(",")} (scalar|fts|ivf|all)")
-          kinds
-      }.getOrElse(Set.empty[String])
+      .map(LanceWrite.parseRefreshKinds("write.refresh-indexes", _))
+      .getOrElse(Set.empty[String])
 
     override def toStreaming: StreamingWrite =
       new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
@@ -513,7 +514,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     epochId: Option[Long] = None, collectStats: Boolean = true,
     mergeSchema: Boolean = false,
     replaceFragments: Option[Set[Int]] = None,
-    rowPreserving: Boolean = false) extends BatchWrite {
+    rowPreserving: Boolean = false,
+    refreshIndexes: Set[String] = Set.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile, collectStats)
@@ -527,6 +529,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     // rewrite read those very fragments)
     if (replaceFragments.isDefined) {
       LanceFormat.commitReplace(fs, root, schema, replaceFragments.get, frags, epochId)
+      if (refreshIndexes.nonEmpty)
+        LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
       return
     }
     val existing = LanceFormat.readLatest(fs, root)
@@ -551,6 +555,15 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     if (overwrite) LanceFormat.commitOverwrite(fs, root, committedSchema, frags, epochId,
       operation = if (rowPreserving) "rewrite" else "overwrite")
     else LanceFormat.commitAppend(fs, root, committedSchema, frags, epochId)
+    // in-commit index maintenance, batch flavor of the s90 streaming
+    // contract: delta-refresh the persisted sidecars before the write
+    // call returns, so the next reader's point lookup / search covers
+    // this write's fragments. Same failure posture as the epoch path —
+    // stale-but-correct warn, never a failed write (the data commit
+    // above already happened; unwinding it for an index would turn a
+    // prune-miss into data loss).
+    if (refreshIndexes.nonEmpty)
+      LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -598,7 +611,25 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
     LanceWrite.deleteFiles(rootStr, conf.value, messages)
 }
 
-private[connector] object LanceWrite {
+private[graft] object LanceWrite {
+  /** Parse a refresh-kinds spec: `all`/`true`, or a comma list drawn from
+    * scalar|fts|ivf. Shared by the write option and the DML session conf
+    * so both surfaces reject typos identically (a silently-ignored kind
+    * would read as "refreshed" while serving stale postings). */
+  def parseRefreshKinds(source: String, spec: String): Set[String] = {
+    val v = spec.trim.toLowerCase
+    if (v.isEmpty) Set.empty
+    else v match {
+      case "all" | "true" => Set("scalar", "fts", "ivf")
+      case csv =>
+        val kinds = csv.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val bad = kinds -- Set("scalar", "fts", "ivf")
+        require(bad.isEmpty,
+          s"$source: unknown kinds ${bad.mkString(",")} (scalar|fts|ivf|all)")
+        kinds
+    }
+  }
+
   /** ParquetWriteSupport/SparkToParquetSchemaConverter read these from the
     * task-side Hadoop conf (normally injected by FileFormatWriter).
     */
@@ -624,9 +655,10 @@ private[connector] object LanceWrite {
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.LanceWrite")
 
   /** Delta-refresh the dataset's persisted index sidecars after a
-    * streaming epoch commit (`write.refresh-indexes`). Runs on the driver
-    * in the micro-batch commit thread — blocking there is the point: the
-    * indexes are fresh before the next epoch's data is visible. Each
+    * commit (`write.refresh-indexes`) — streaming epochs and batch
+    * writes alike. Runs on the driver in the commit thread — blocking
+    * there is the point: the indexes are fresh before the write returns
+    * / the next epoch's data is visible. Each
     * refresh failure is a warn, not a stream failure: a stale index stays
     * CORRECT (scalar: uncovered fragments never wrongly pruned;
     * vector/fts: staleness guards on their search paths).

@@ -61,6 +61,26 @@ object Dml {
 
   private def q(name: String): Column = col(s"`$name`")
 
+  /** In-commit index maintenance for DML: SQL DELETE/UPDATE/MERGE carry
+    * no write options, so `spark.graft.dml.refreshIndexes` (all | csv of
+    * scalar|fts|ivf) opts a session in. Parsed at operation ENTRY — a
+    * typo'd kind fails before any commit, never after a half-observed
+    * mutation — then run after the commit with the same stale-but-correct
+    * warn posture as `write.refresh-indexes`. The scalar index is
+    * DML-safe by construction (postings for replaced files vanish by
+    * intersection with the live manifest; rewritten fragments are
+    * uncovered until refreshed, hence scanned, never wrongly pruned).
+    */
+  private def dmlRefreshKinds(spark: SparkSession): Set[String] =
+    spark.conf.getOption("spark.graft.dml.refreshIndexes")
+      .map(graft.connector.LanceWrite.parseRefreshKinds(
+        "spark.graft.dml.refreshIndexes", _))
+      .getOrElse(Set.empty[String])
+
+  private def maybeRefreshIndexes(kinds: Set[String], path: String): Unit =
+    if (kinds.nonEmpty)
+      graft.connector.LanceWrite.refreshIndexesAfterCommit(path, kinds)
+
   // ------------------------------------------------ predicate translation
 
   /** Conservative Catalyst→V1 translation for manifest-stats pruning: any
@@ -185,6 +205,7 @@ object Dml {
     */
   def deleteWhere(spark: SparkSession, path: String, cond: Column): RowLevelResult = {
     val (fs, root, m) = snapshot(spark, path)
+    val refreshKinds = dmlRefreshKinds(spark)
     val table = spark.read.format("lance").load(path)
     val (filters, complete) = pruneFiltersFull(table, cond)
     val cands = FragmentStats.prune(m.schema, m.fragments, filters)
@@ -214,6 +235,7 @@ object Dml {
       // commit, zero data files read or written
       LanceFormat.commitReplace(fs, root, m.schema, covered.map(_.id).toSet, Seq.empty)
     }
+    maybeRefreshIndexes(refreshKinds, path)
     RowLevelResult(m.fragments.size, cands.size, matched, 0L,
       LanceFormat.readLatest(fs, root).map(_.version))
   }
@@ -231,6 +253,7 @@ object Dml {
   def updateWhere(spark: SparkSession, path: String, cond: Column,
       assignments: Seq[(String, Column)]): RowLevelResult = {
     val (fs, root, m) = snapshot(spark, path)
+    val refreshKinds = dmlRefreshKinds(spark)
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     assignments.foreach { case (c, _) =>
       require(m.schema.fieldNames.contains(c), s"no column '$c' in $path")
@@ -253,6 +276,7 @@ object Dml {
       .write.format("lance")
       .option("write.replace-fragments", cands.map(_.id).mkString(","))
       .mode("append").save(path)
+    maybeRefreshIndexes(refreshKinds, path)
     RowLevelResult(m.fragments.size, cands.size, matched, 0L,
       LanceFormat.readLatest(fs, root).map(_.version))
   }
@@ -280,6 +304,7 @@ object Dml {
   def upsert(spark: SparkSession, path: String, source0: DataFrame,
       keys: Seq[String]): RowLevelResult = {
     val (fs, root, m) = snapshot(spark, path)
+    val refreshKinds = dmlRefreshKinds(spark)
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val tableCols = m.schema.fieldNames.toSeq
     keys.foreach(k => require(tableCols.contains(k), s"no key column '$k' in $path"))
@@ -336,6 +361,7 @@ object Dml {
     if (cands.isEmpty) {
       // no fragment can hold a matching key: pure insert
       source.write.format("lance").mode("append").save(path)
+      maybeRefreshIndexes(refreshKinds, path)
       return RowLevelResult(m.fragments.size, 0, 0L, srcRows,
         LanceFormat.readLatest(fs, root).map(_.version))
     }
@@ -346,6 +372,7 @@ object Dml {
       .write.format("lance")
       .option("write.replace-fragments", cands.map(_.id).mkString(","))
       .mode("append").save(path)
+    maybeRefreshIndexes(refreshKinds, path)
     RowLevelResult(m.fragments.size, cands.size, matched, srcRows - matched,
       LanceFormat.readLatest(fs, root).map(_.version))
   }

@@ -1095,6 +1095,39 @@ object LanceQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Batch + DML in-commit index maintenance (s91): the batch flavor of
+    * s90. A scalar-indexed dataset takes (a) a batch append carrying
+    * `write.refresh-indexes=scalar` and (b) a row-level DELETE under
+    * `spark.graft.dml.refreshIndexes=scalar` — after both, the index
+    * covers every live fragment with no out-of-band CALL. The probe mixes
+    * initial keys, appended-only keys (missing refresh postings would
+    * misroute them), a deleted key (stale postings for the replaced
+    * fragment must not resurrect it), and a nowhere key. Coverage and
+    * pruning counts are pinned in ScalarIndexSpec; this gate pins the
+    * row-level answers.
+    */
+  def s91DmlAutoRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val dst = scratch(dir, "orders_dml_ar")
+    freshDataset(spark, dst)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(5)) < 3)
+      .repartition(4, col("o_orderkey"))
+      .write.format("lance").mode("overwrite").save(dst)
+    graft.Lance.buildScalarIndex(spark, dst, "o_orderkey")
+    o.filter(pmod(col("o_orderkey"), lit(5)) >= 3)
+      .repartition(4, col("o_orderkey"))
+      .write.format("lance").mode("append")
+      .option("write.refresh-indexes", "scalar")
+      .save(dst)
+    spark.conf.set("spark.graft.dml.refreshIndexes", "scalar")
+    try graft.operators.Dml.deleteWhere(spark, dst, col("o_orderkey") === 3L)
+    finally spark.conf.unset("spark.graft.dml.refreshIndexes")
+    spark.read.format("lance").load(dst)
+      .filter(col("o_orderkey").isin(0L, 1L, 3L, 7L, 33L, 999999999L))
+      .orderBy(col("o_orderkey"))
+  }
+
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_stats_tvf")
     freshDataset(spark, dest)
@@ -1313,6 +1346,7 @@ object LanceQueries {
     "s88_scalar_index_prune" -> s88ScalarIndexPrune,
     "s89_take" -> s89Take,
     "s90_stream_auto_refresh" -> s90StreamAutoRefresh,
+    "s91_dml_auto_refresh" -> s91DmlAutoRefresh,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1392,6 +1426,11 @@ object LanceQueries {
     "s90_stream_auto_refresh" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey IN (0, 1, 3, 7, 33, 999999999)
+        |ORDER BY o_orderkey""".stripMargin,
+    // s91 deletes o_orderkey = 3 after the append
+    "s91_dml_auto_refresh" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (0, 1, 7, 33, 999999999)
         |ORDER BY o_orderkey""".stripMargin,
     // the take address space is ORDER BY o_orderkey by construction
     "s89_take" ->

@@ -269,6 +269,58 @@ class ScalarIndexSpec extends AnyFunSuite {
       spark.read.format("lance").load(dir).filter(col("id") === 99999L)) == 0)
   }
 
+  test("batch write.refresh-indexes covers the appended fragment in-commit") {
+    val dir = tmpDir()
+    plant(dir)
+    ScalarIndex.build(spark, dir, "id", numBuckets = 8)
+    // same uncoverable-by-stats shape as the append test, but the write
+    // itself carries the refresh — no CALL, no explicit refresh
+    (0L until 40L).map(j => (2 * j + 1, s"late$j")).toDF("id", "s")
+      .coalesce(1).write.format("lance").mode("append")
+      .option("write.refresh-indexes", "scalar").save(dir)
+    val meta = ScalarIndex.loadMeta(spark, dir, "id")
+    assert(meta.coveredFiles.size == 5,
+      "the batch commit must return with the appended fragment covered")
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 7L)) == 1)
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 6L)) == 1)
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 99999L)) == 0)
+  }
+
+  test("spark.graft.dml.refreshIndexes re-covers the DML-rewritten fragment") {
+    val dir = tmpDir()
+    (0L until 400L).map(i => (2 * i, s"name${2 * i}")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+      .write.format("lance").mode("overwrite").save(dir)
+    ScalarIndex.build(spark, dir, "id", numBuckets = 8)
+    spark.conf.set("spark.graft.dml.refreshIndexes", "scalar")
+    try {
+      val r = Lance.deleteWhere(spark, dir, "id = 6")
+      assert(r.rowsChanged == 1)
+    } finally spark.conf.unset("spark.graft.dml.refreshIndexes")
+    val meta = ScalarIndex.loadMeta(spark, dir, "id")
+    val m = graft.format.LanceFormat.readLatest(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(dir)).get
+    assert(m.fragments.map(_.file).toSet.subsetOf(meta.coveredFiles.toSet),
+      "the DML must return with the rewritten fragment covered")
+    // fully covered again: deleted key provably nowhere, survivor from
+    // the rewritten fragment prunes to exactly that fragment
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("id") === 6L)) == 0)
+    val kept = spark.read.format("lance").load(dir).filter(col("id") === 8L)
+    assert(scannedFiles(kept) == 1)
+    assert(kept.count() == 1)
+    // unknown kind fails loud, not silently-unrefreshed
+    spark.conf.set("spark.graft.dml.refreshIndexes", "scalr")
+    try intercept[IllegalArgumentException] {
+      Lance.deleteWhere(spark, dir, "id = 8")
+    } finally spark.conf.unset("spark.graft.dml.refreshIndexes")
+  }
+
   test("renderValue == engine CAST over randomized values, all types") {
     val rnd = new scala.util.Random(42)
     // longs across the full range, scale-2 decimals, dates, tricky strings
