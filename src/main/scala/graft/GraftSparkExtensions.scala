@@ -75,6 +75,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_take"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_take"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_take", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_tags"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_tags"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_tags", args)))
   }
 }
 
@@ -98,7 +101,7 @@ object MetaTvfs {
     val reg = spark.sessionState.tableFunctionRegistry
     Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts",
         "lance_stats", "vector_search_join", "lance_indexes",
-        "lance_take").foreach { n =>
+        "lance_take", "lance_tags").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -320,6 +323,21 @@ object MetaTvfs {
             .add("row_count", LongType, nullable = false)
             .add("n_fragments_bounded", IntegerType, nullable = false)
             .add("n_fragments", IntegerType, nullable = false))
+      // named snapshots: one row per tag, joined to the tagged
+      // manifest's row count / commit time (metadata only)
+      case "lance_tags" =>
+        val rows = graft.format.LanceFormat.listTags(fs, root).map { t =>
+          val m = graft.format.LanceFormat.readManifest(fs, root, t.version)
+          Row(t.name, t.version, m.rowCount,
+            new java.sql.Timestamp(t.taggedAtMs),
+            new java.sql.Timestamp(m.committedAtMs))
+        }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          new StructType().add("name", StringType, nullable = false)
+            .add("version", LongType, nullable = false)
+            .add("n_rows", LongType, nullable = false)
+            .add("tagged_at", TimestampType, nullable = false)
+            .add("committed_at", TimestampType, nullable = false))
       case "lance_versions" =>
         val rows = graft.format.LanceFormat.listVersions(fs, root).map { v =>
           val m = graft.format.LanceFormat.readManifest(fs, root, v)

@@ -308,6 +308,36 @@ object Lance {
     graft.format.LanceFormat.vacuum(fs, root, keepVersions)
   }
 
+  /** Tag a committed version with a stable name (Lance/Iceberg tags):
+    * `version=None` tags the latest. Tagged versions are pinned against
+    * [[vacuum]] and readable forever via
+    * `spark.read.format("lance").option("tagAsOf", name)` — "the exact
+    * snapshot model m trained on", addressable by name. Creating an
+    * existing tag fails loud unless `replace=true`. Returns the tagged
+    * version.
+    */
+  def tag(spark: SparkSession, path: String, name: String,
+      version: Option[Long] = None, replace: Boolean = false): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.writeTag(fs, root, name, version, replace).version
+  }
+
+  /** Drop a tag (the pinned version becomes vacuum-eligible again).
+    * Returns whether the tag existed. */
+  def deleteTag(spark: SparkSession, path: String, name: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.deleteTag(fs, root, name)
+  }
+
+  /** List tags, name-sorted. */
+  def tags(spark: SparkSession, path: String): Seq[graft.format.LanceFormat.TagInfo] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.listTags(fs, root)
+  }
+
   /** RESTORE (Delta `RESTORE TABLE` parity): make the CURRENT table state
     * equal `version`'s fragment list, committed as a NEW version —
     * history is preserved (time travel to the undone versions still

@@ -230,7 +230,8 @@ object LanceCatalog {
   private[catalog] val ProcedureNames =
     Seq("compact", "vacuum", "cluster", "refresh_index", "refresh_fts",
       "build_scalar_index", "refresh_scalar_index",
-      "drop_index", "update_where", "upsert", "remove_orphans", "restore")
+      "drop_index", "update_where", "upsert", "remove_orphans", "restore",
+      "tag", "untag")
 }
 
 private[catalog] object LanceProcedure {
@@ -286,6 +287,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "drop_index" => "delete a column's index sidecars (ivf | fts | scalar | all) and evict session caches"
     case "build_scalar_index" => "build the value->fragment scalar index for point-lookup pruning"
     case "refresh_scalar_index" => "delta-index appended fragments into the scalar postings"
+    case "tag" => "pin a committed version under a stable name (vacuum keeps it; read via tagAsOf)"
+    case "untag" => "drop a tag; its version becomes vacuum-eligible again"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -323,6 +326,13 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         .defaultValue(graft.index.ScalarIndex.DefaultBuckets.toString).build())
     case "refresh_scalar_index" => Array(in("table", StringType).build(),
       in("column", StringType).comment("indexed column").build())
+    case "tag" => Array(in("table", StringType).build(),
+      in("name", StringType).build(),
+      in("version", IntegerType).defaultValue("-1")
+        .comment("committed version to tag; -1 = latest").build(),
+      in("replace", BooleanType).defaultValue("false").build())
+    case "untag" => Array(in("table", StringType).build(),
+      in("name", StringType).build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -394,6 +404,18 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .add("dataset_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](m.coveredFiles.size,
             m.datasetVersion.getOrElse(-1L))))
+      case "tag" =>
+        val v = input.getInt(2)
+        val tagged = graft.Lance.tag(spark, path,
+          input.getUTF8String(1).toString,
+          if (v < 0) None else Some(v.toLong), input.getBoolean(3))
+        (new StructType().add("tagged_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](tagged)))
+      case "untag" =>
+        val existed = graft.Lance.deleteTag(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("existed", BooleanType, nullable = false),
+          new GenericInternalRow(Array[Any](existed)))
       case "refresh_fts" =>
         val m = graft.index.FtsIndex.refresh(spark, path,
           input.getUTF8String(1).toString)

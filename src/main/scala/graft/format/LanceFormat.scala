@@ -278,7 +278,15 @@ object LanceFormat {
   def vacuum(fs: FileSystem, root: Path, keepVersions: Int = 1): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val versions = listVersions(fs, root)
-    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    // tagged versions are pinned: a tag is a promise that the snapshot
+    // stays readable (Iceberg's tag-retention contract) — vacuum keeps
+    // the manifest AND every fragment file it references
+    val tagged = listTags(fs, root).map(_.version).toSet
+    val (drop, keep) = {
+      val (d, k) = versions.splitAt(math.max(0, versions.size - keepVersions))
+      val (rescued, reallyDrop) = d.partition(tagged)
+      (reallyDrop, rescued ++ k)
+    }
     val kept = keep.flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet
     val dropped = drop.flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet
     drop.foreach { v =>
@@ -290,6 +298,71 @@ object LanceFormat {
     }
     (drop.size, removed)
   }
+
+  // ------------------------------------------------------------------ tags
+
+  /** A named, immutable pointer to a committed version (Lance datasets
+    * and Iceberg both ship tags; Delta spells it a point-in-time CLONE).
+    * Tags pin their version against [[vacuum]] and resolve in reads via
+    * the `tagAsOf` option — "the exact corpus snapshot model m was
+    * trained on", addressable by name years later, is the 100 TB use.
+    */
+  case class TagInfo(name: String, version: Long, taggedAtMs: Long = 0L)
+
+  val TagsDir = "_tags"
+  def tagsPath(root: Path) = new Path(root, TagsDir)
+  private val TagNameRe = "[A-Za-z0-9][A-Za-z0-9._-]{0,127}".r
+  private def tagFile(root: Path, name: String) = new Path(tagsPath(root), s"$name.json")
+
+  /** Create (or with `replace=true` move) tag `name` → `version`
+    * (default: latest). Creation rides the same atomic-if-absent
+    * publisher as manifests, so two racing `tag` calls resolve to
+    * exactly one winner on every supported store; the loser fails loud
+    * instead of silently re-pointing a name someone else just pinned.
+    */
+  def writeTag(fs: FileSystem, root: Path, name: String,
+      version: Option[Long] = None, replace: Boolean = false): TagInfo = {
+    require(TagNameRe.pattern.matcher(name).matches(),
+      s"invalid tag name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*, <=128 chars)")
+    val v = version.getOrElse(latestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $root")))
+    require(listVersions(fs, root).contains(v), s"no version $v at $root")
+    val info = TagInfo(name, v, System.currentTimeMillis())
+    val target = tagFile(root, name)
+    fs.mkdirs(tagsPath(root))
+    if (replace) fs.delete(target, false)
+    val won = ManifestPublisher.forFileSystem(fs).publish(fs, target,
+      Serialization.write(info).getBytes(StandardCharsets.UTF_8))
+    if (!won) throw new IllegalArgumentException(
+      s"tag '$name' already exists at $root (pass replace=true to move it)")
+    info
+  }
+
+  def readTag(fs: FileSystem, root: Path, name: String): Option[TagInfo] = {
+    val p = tagFile(root, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+        val sb = new StringBuilder
+        var line = reader.readLine()
+        while (line != null) { sb.append(line).append('\n'); line = reader.readLine() }
+        Some(Serialization.read[TagInfo](sb.toString))
+      } finally in.close()
+    }
+  }
+
+  def listTags(fs: FileSystem, root: Path): Seq[TagInfo] = {
+    val tp = tagsPath(root)
+    if (!fs.exists(tp)) Seq.empty
+    else fs.listStatus(tp).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).sorted
+      .flatMap(n => readTag(fs, root, n.stripSuffix(".json")))
+  }
+
+  def deleteTag(fs: FileSystem, root: Path, name: String): Boolean =
+    fs.delete(tagFile(root, name), false)
 
   /** Delete data files that NO manifest (of any retained version)
     * references — crash leftovers from writers that died between staging

@@ -1128,6 +1128,30 @@ object LanceQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Named snapshot tags (s92): tag a version, then mutate past it —
+    * append, row-level DELETE (which REWRITES the tagged fragment), and a
+    * keep-1 vacuum. The tagged snapshot must stay byte-identical readable
+    * via `tagAsOf`: vacuum pins tagged manifests AND every fragment file
+    * they reference, so "the exact corpus model m trained on" survives
+    * retention by name. Lifecycle/SQL surface pinned in TagSpec; this
+    * gate pins the data on both sides of the pin.
+    */
+  def s92Tags(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "nation_tags")
+    freshDataset(spark, dest)
+    val n = t(spark, dir, "nation")
+    n.filter(col("n_regionkey") <= 1).write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.tag(spark, dest, "train-v1")
+    n.filter(col("n_regionkey") > 1).write.format("lance").mode("append").save(dest)
+    graft.Lance.deleteWhere(spark, dest, "n_regionkey = 0")
+    graft.Lance.vacuum(spark, dest, keepVersions = 1)
+    val tagged = spark.read.format("lance").option("tagAsOf", "train-v1").load(dest)
+      .agg(count(lit(1)).as("tag_rows"), sum("n_nationkey").as("tag_sum"))
+    val live = spark.read.format("lance").load(dest)
+      .agg(count(lit(1)).as("live_rows"), sum("n_nationkey").as("live_sum"))
+    tagged.crossJoin(live)
+  }
+
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_stats_tvf")
     freshDataset(spark, dest)
@@ -1347,6 +1371,7 @@ object LanceQueries {
     "s89_take" -> s89Take,
     "s90_stream_auto_refresh" -> s90StreamAutoRefresh,
     "s91_dml_auto_refresh" -> s91DmlAutoRefresh,
+    "s92_tags" -> s92Tags,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1432,6 +1457,13 @@ object LanceQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey IN (0, 1, 7, 33, 999999999)
         |ORDER BY o_orderkey""".stripMargin,
+    // s92: tag pins n_regionkey <= 1; live view appended >1 then deleted = 0
+    "s92_tags" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM nation WHERE n_regionkey <= 1) AS tag_rows,
+        | (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation WHERE n_regionkey <= 1) AS tag_sum,
+        | (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0) AS live_rows,
+        | (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation WHERE n_regionkey <> 0) AS live_sum""".stripMargin,
     // the take address space is ORDER BY o_orderkey by construction
     "s89_take" ->
       """WITH n AS (SELECT COUNT(*) AS c FROM orders),
