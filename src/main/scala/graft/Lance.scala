@@ -299,6 +299,43 @@ object Lance {
     (before, after)
   }
 
+  /** Targeted compaction: bin-pack ONLY fragments smaller than `minRows`
+    * into `maxRowsPerFile`-sized files; every other fragment carries into
+    * the new version BY REFERENCE, untouched. This is the 100 TB
+    * maintenance shape — streaming epochs and small appends leave a long
+    * tail of tiny fragments, and [[compact]]'s full rewrite is a
+    * non-starter at that size: here I/O is proportional to the small tail
+    * alone. Committed as a row-preserving replace (`operation="rewrite"`),
+    * so changefeed readers skip it and a concurrent rewrite of the same
+    * fragments fails loud instead of resurrecting rows. The streaming
+    * epoch watermark carries forward automatically (commitReplace keeps
+    * `prev.epochId`). Returns (fragmentsBefore, fragmentsAfter); fewer
+    * than two small fragments is a no-op committing nothing.
+    */
+  def compactSmall(spark: SparkSession, path: String, minRows: Long,
+      maxRowsPerFile: Long = 1000000L): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val m = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $path"))
+    val small = m.fragments.filter(_.rowCount < minRows)
+    if (small.size <= 1) return (m.fragments.size, m.fragments.size)
+    val data = graft.format.LanceFormat.dataPath(root)
+    val rows = small.map(_.rowCount).sum
+    val parts = math.max(1L, (rows + maxRowsPerFile - 1) / maxRowsPerFile).toInt
+    spark.read.schema(m.schema)
+      .parquet(small.map(f => new org.apache.hadoop.fs.Path(data, f.file).toString): _*)
+      .repartition(parts)
+      .write.format("lance")
+      .option("write.replace-fragments", small.map(_.id).mkString(","))
+      .option("write.operation", "rewrite")
+      .option("write.max-rows-per-file", maxRowsPerFile.toString)
+      .mode("append").save(path)
+    val after = graft.format.LanceFormat.readLatest(fs, root)
+      .map(_.fragments.size).getOrElse(0)
+    (m.fragments.size, after)
+  }
+
   /** Reclaim storage: drop all but the newest `keepVersions` manifests and
     * any fragment files they no longer reference.
     */
@@ -373,7 +410,8 @@ object Lance {
       fragments = target.fragments,
       epochId = latest.epochId,
       committedAtMs = System.currentTimeMillis(),
-      operation = Some("restore"))
+      operation = Some("restore"),
+      droppedColumns = target.droppedColumns)
     val committed = graft.format.LanceFormat.commit(fs, root, m)
     (version, committed.version)
   }

@@ -118,13 +118,18 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
     new LanceTable(p.toString, schema)
   }
 
-  /** SQL time travel: `SELECT ... FROM lance.db.t VERSION AS OF 3`. */
+  /** SQL time travel: `SELECT ... FROM lance.db.t VERSION AS OF 3`, or a
+    * TAG name — `VERSION AS OF 'train-v1'` resolves through the tag file
+    * (Iceberg's branch/tag-in-VERSION-AS-OF ergonomics).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     if (!LanceFormat.isDataset(fs, p)) throw new NoSuchTableException(ident)
     val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"lance versions are numeric manifest ids, got '$version'")
+      case _: NumberFormatException =>
+        LanceFormat.readTag(fs, p, version).map(_.version).getOrElse(
+          throw new IllegalArgumentException(
+            s"'$version' is neither a numeric version nor a tag of ${ident.name}"))
     }
     require(LanceFormat.listVersions(fs, p).contains(v),
       s"no version $v of ${ident.name} (have ${LanceFormat.listVersions(fs, p).mkString(",")})")
@@ -161,32 +166,68 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
     * fragments read NULL for the added column (fragments resolve columns
     * by name), new writes carry it. Added columns must be top-level and
     * nullable (there is no value to backfill 100 TB of immutable
-    * fragments with). Everything else — renames, drops, type changes —
-    * would rewrite data and stays unsupported, loudly.
+    * fragments with). `DROP COLUMN` is metadata-only too — readers
+    * project the manifest schema, so the dropped bytes are never read —
+    * with the dropped NAME recorded so a later re-ADD cannot resurrect
+    * old values ([[graft.format.Manifest.dropped]]). Renames and type
+    * changes would rewrite data and stay unsupported, loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!LanceFormat.isDataset(fs, p)) throw new NoSuchTableException(ident)
-    val additions = changes.map {
+    val current = LanceFormat.readLatest(fs, p)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val additions = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    val deletions = Seq.newBuilder[String]
+    changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           s"lance supports adding top-level columns only, got ${add.fieldNames.mkString(".")}")
         require(add.isNullable,
           s"added column '${add.fieldNames.head}' must be nullable: existing " +
             "fragments are immutable and will read NULL for it")
-        org.apache.spark.sql.types.StructField(
+        require(!current.dropped.contains(add.fieldNames.head),
+          s"column '${add.fieldNames.head}' was previously DROPPED and old " +
+            "fragments still hold its data — re-adding the name would " +
+            "resurrect those values (rewrite the table first, e.g. compact)")
+        additions += org.apache.spark.sql.types.StructField(
           add.fieldNames.head, add.dataType, nullable = true)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"lance supports dropping top-level columns only, got ${del.fieldNames.mkString(".")}")
+        deletions += del.fieldNames.head
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE supports ADD COLUMN only on lance tables, got $other")
+        s"ALTER TABLE supports ADD/DROP COLUMN only on lance tables, got $other")
     }
-    val current = LanceFormat.readLatest(fs, p)
-      .getOrElse(throw new NoSuchTableException(ident))
-    additions.foreach(a => require(!current.schema.fieldNames.contains(a.name),
+    val adds = additions.result()
+    val dels = deletions.result()
+    adds.foreach(a => require(!current.schema.fieldNames.contains(a.name),
       s"column '${a.name}' already exists in ${ident.name}"))
-    val merged = LanceFormat.mergeSchemas(current.schema,
-      org.apache.spark.sql.types.StructType(additions.toArray))
-    LanceFormat.commitAppend(fs, p, merged, Seq.empty)
-    new LanceTable(p.toString, merged)
+    dels.foreach(d => require(current.schema.fieldNames.contains(d),
+      s"no column '$d' in ${ident.name}"))
+    require(current.schema.fields.length - dels.length + adds.length > 0,
+      s"cannot drop every column of ${ident.name}")
+    if (dels.isEmpty) {
+      // pure ADD rides the append-merge path (concurrent-append safe)
+      val merged = LanceFormat.mergeSchemas(current.schema,
+        org.apache.spark.sql.types.StructType(adds.toArray))
+      LanceFormat.commitAppend(fs, p, merged, Seq.empty)
+      new LanceTable(p.toString, merged)
+    } else {
+      // DROP COLUMN is metadata-only: readers project the manifest
+      // schema, so old fragments' extra bytes are simply never read.
+      // The dropped name is RECORDED — re-adding it is refused until a
+      // full rewrite clears the list (resurrection guard, Manifest doc).
+      val kept = org.apache.spark.sql.types.StructType(
+        current.schema.fields.filterNot(f => dels.contains(f.name)))
+      val merged =
+        if (adds.isEmpty) kept
+        else LanceFormat.mergeSchemas(kept,
+          org.apache.spark.sql.types.StructType(adds.toArray))
+      LanceFormat.commitAlter(fs, p, merged,
+        (current.dropped ++ dels).distinct)
+      new LanceTable(p.toString, merged)
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -295,7 +336,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
   override def isDeterministic: Boolean = false
 
   override def parameters(): Array[procedures.ProcedureParameter] = procName match {
-    case "compact" => Array(in("table", StringType).build())
+    case "compact" => Array(in("table", StringType).build(),
+      in("min_rows", IntegerType).defaultValue("-1")
+        .comment("-1 = full rewrite; >=0 = bin-pack only fragments " +
+          "smaller than this (I/O proportional to the small tail)").build())
     case "vacuum" => Array(in("table", StringType).build(),
       in("keep_versions", IntegerType).defaultValue("1").build())
     case "cluster" => Array(in("table", StringType).build(),
@@ -343,7 +387,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     val path = catalog.resolveTableArg(input.getUTF8String(0).toString).toString
     val (schema, row) = procName match {
       case "compact" =>
-        val (before, after) = graft.Lance.compact(spark, path)
+        val minRows = input.getInt(1)
+        val (before, after) =
+          if (minRows < 0) graft.Lance.compact(spark, path)
+          else graft.Lance.compactSmall(spark, path, minRows.toLong)
         (new StructType().add("fragments_before", IntegerType, nullable = false)
           .add("fragments_after", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](before, after)))

@@ -528,7 +528,11 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     // fragment ids; the table schema is unchanged by construction (the
     // rewrite read those very fragments)
     if (replaceFragments.isDefined) {
-      LanceFormat.commitReplace(fs, root, schema, replaceFragments.get, frags, epochId)
+      // row-preserving replace (targeted compaction): stamp `rewrite` so
+      // changefeed readers skip the commit — its rows were already
+      // emitted from the files it repacks
+      LanceFormat.commitReplace(fs, root, schema, replaceFragments.get, frags, epochId,
+        operation = if (rowPreserving) "rewrite" else "replace")
       if (refreshIndexes.nonEmpty)
         LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
       return

@@ -34,9 +34,17 @@ case class Manifest(
     fragments: Seq[FragmentMeta],
     epochId: Option[Long] = None,
     committedAtMs: Long = 0L,
-    operation: Option[String] = None) {
+    operation: Option[String] = None,
+    droppedColumns: Option[Seq[String]] = None) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def rowCount: Long = fragments.map(_.rowCount).sum
+  /** Names DROP COLUMN removed while fragments physically holding their
+    * data are still referenced. Re-ADDing such a name is refused: the
+    * by-name parquet projection would RESURRECT the old values in old
+    * fragments (Delta avoids this with physical column ids; refusing
+    * loudly is the honest contract without them). Cleared by overwrite —
+    * a fresh physical state has nothing to resurrect. */
+  def dropped: Seq[String] = droppedColumns.getOrElse(Seq.empty)
 }
 
 /** The on-disk table format: a directory of immutable columnar fragment
@@ -151,12 +159,41 @@ object LanceFormat {
         fragments = base ++ renumbered,
         epochId = epochId,
         committedAtMs = System.currentTimeMillis(),
-        operation = Some("append"))
+        operation = Some("append"),
+        droppedColumns = prev.flatMap(_.droppedColumns))
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
     }
     throw new IllegalStateException(
       s"could not commit append after $attempt attempts at $root")
+  }
+
+  /** Metadata-only schema change (ALTER TABLE): commit `schema` (and the
+    * updated dropped-name list) over the CURRENT fragment list. The
+    * retry loop re-reads the base per attempt, so a concurrent append's
+    * fragments are never lost; concurrent ALTERs are last-writer-wins
+    * like any catalog.
+    */
+  def commitAlter(fs: FileSystem, root: Path, schema: StructType,
+      droppedColumns: Seq[String],
+      publisher: Option[ManifestPublisher] = None): Manifest = {
+    var attempt = 0
+    while (attempt < 20) {
+      val prev = readLatest(fs, root).getOrElse(
+        throw new IllegalStateException(s"no dataset at $root"))
+      val m = Manifest(
+        version = prev.version + 1,
+        schemaJson = schema.json,
+        fragments = prev.fragments,
+        epochId = prev.epochId,
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some("alter"),
+        droppedColumns = Some(droppedColumns).filter(_.nonEmpty))
+      if (commitOnce(fs, root, m, publisher)) return m
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit alter after $attempt attempts at $root")
   }
 
   /** Swap a set of fragment ids for new fragments in one commit — the
@@ -175,7 +212,8 @@ object LanceFormat {
   def commitReplace(fs: FileSystem, root: Path, schema: StructType,
       removedIds: Set[Int], newFragments: Seq[FragmentMeta],
       epochId: Option[Long] = None,
-      publisher: Option[ManifestPublisher] = None): (Manifest, Long) = {
+      publisher: Option[ManifestPublisher] = None,
+      operation: String = "replace"): (Manifest, Long) = {
     require(removedIds.nonEmpty, "commitReplace needs at least one fragment to remove")
     var attempt = 0
     while (attempt < 20) {
@@ -199,7 +237,10 @@ object LanceFormat {
         fragments = kept ++ renumbered,
         epochId = epochId.orElse(prev.epochId),
         committedAtMs = System.currentTimeMillis(),
-        operation = Some("replace"))
+        operation = Some(operation),
+        // partially-rewritten table: untouched fragments may still hold
+        // dropped columns' data, the resurrection guard must survive
+        droppedColumns = prev.droppedColumns)
       if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
       attempt += 1
     }

@@ -1111,12 +1111,15 @@ object LanceQueries {
     freshDataset(spark, dst)
     val o = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // range-clustered so the DELETE's stats scoping rewrites ONE
+    // fragment, not the table — the production write discipline the
+    // copy-on-write DML is designed around
     o.filter(pmod(col("o_orderkey"), lit(5)) < 3)
-      .repartition(4, col("o_orderkey"))
+      .repartitionByRange(4, col("o_orderkey"))
       .write.format("lance").mode("overwrite").save(dst)
     graft.Lance.buildScalarIndex(spark, dst, "o_orderkey")
     o.filter(pmod(col("o_orderkey"), lit(5)) >= 3)
-      .repartition(4, col("o_orderkey"))
+      .repartitionByRange(4, col("o_orderkey"))
       .write.format("lance").mode("append")
       .option("write.refresh-indexes", "scalar")
       .save(dst)
@@ -1150,6 +1153,35 @@ object LanceQueries {
     val live = spark.read.format("lance").load(dest)
       .agg(count(lit(1)).as("live_rows"), sum("n_nationkey").as("live_sum"))
     tagged.crossJoin(live)
+  }
+
+  /** Targeted small-fragment compaction (s93): a big fragment plus a
+    * streaming-style tail of tiny ones; `compactSmall` bin-packs ONLY the
+    * tail (the big fragment carries by reference — 100 TB maintenance
+    * cannot be a full rewrite, s63's shape). The gate aggregates the
+    * post-compaction table: a hash match proves the repack lost and
+    * duplicated nothing; the by-reference / rewrite-marker / no-op
+    * contracts are pinned in LanceConnectorSpec.
+    */
+  def s93CompactSmall(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_small_compact")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(10)) < 7).coalesce(1)
+      .write.format("lance").mode("overwrite").save(dest)
+    (7 to 9).foreach { k =>
+      o.filter(pmod(col("o_orderkey"), lit(10)) === k).repartition(3)
+        .write.format("lance").mode("append").save(dest)
+    }
+    val total = spark.read.format("lance").load(dest).count() // manifest count
+    // threshold between the small tail (~3% of rows each) and the big
+    // fragment (~70%) at ANY scale factor
+    graft.Lance.compactSmall(spark, dest, minRows = total / 5)
+    spark.read.format("lance").load(dest)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
   }
 
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
@@ -1372,6 +1404,7 @@ object LanceQueries {
     "s90_stream_auto_refresh" -> s90StreamAutoRefresh,
     "s91_dml_auto_refresh" -> s91DmlAutoRefresh,
     "s92_tags" -> s92Tags,
+    "s93_compact_small" -> s93CompactSmall,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1457,6 +1490,11 @@ object LanceQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey IN (0, 1, 7, 33, 999999999)
         |ORDER BY o_orderkey""".stripMargin,
+    // s93 repacks fragments, rows unchanged: full-table agg
+    "s93_compact_small" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // s92: tag pins n_regionkey <= 1; live view appended >1 then deleted = 0
     "s92_tags" ->
       """SELECT

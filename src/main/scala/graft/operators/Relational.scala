@@ -377,6 +377,34 @@ object Relational {
         |FROM nation_q54 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
   }
 
+  /** Exponential time-decay aggregation (q55) — the recency-weighted
+    * score every feature store / trending pipeline computes: each event
+    * contributes `value * 2^-age_days` (one-day half-life) to its user's
+    * score. Determinism trick: the weight is a DYADIC rational — the
+    * query scales by `2^(40-age)` as an exact integer-valued decimal,
+    * sums in decimal (exact), and only the FINAL decimal→double cast and
+    * /2^40 shift run in floats. The 38-digit decimal→double cast itself
+    * rounds differently across engines in the last ulp (~1e-14
+    * relative), so the output is rounded to 4 decimals — 10 orders of
+    * magnitude of margin. exp()-based decay would be ulp-divergent in
+    * every row; this formulation confines engine float behavior to one
+    * final cast. One hash shuffle on user_id, partial aggregation
+    * map-side.
+    */
+  def q55TimeDecay(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("events_q55")
+    spark.sql(
+      """SELECT user_id,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6)) *
+        |           CAST(POWER(2, 40 - LEAST(DATEDIFF(
+        |             (SELECT MAX(CAST(ts AS DATE)) FROM events_q55),
+        |             CAST(ts AS DATE)), 40)) AS DECIMAL(16,0))) AS DOUBLE)
+        |    / POWER(2, 40), 4) AS decayed_value,
+        |  COUNT(*) AS n
+        |FROM events_q55
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   /** Deterministic hash sampling — the reproducible train/eval split a
     * training pipeline needs (no RNG, no seed drift across engines):
     * md5(key) mod 10 picks a stable 10% of documents.
@@ -914,6 +942,7 @@ object Relational {
     "q52_interval_frame" -> q52IntervalFrame,
     "q53_json_extract" -> q53JsonExtract,
     "q54_listagg" -> q54ListAgg,
+    "q55_time_decay" -> q55TimeDecay,
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
     "q35_pivot" -> q35Pivot,
@@ -1091,6 +1120,17 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // dyadic decay weights: exact decimal accumulate, final /2^40 is an
+    // exponent shift — bit-identical across engines by construction
+    "q55_time_decay" ->
+      """SELECT user_id,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6)) *
+        |           CAST(POWER(2, 40 - LEAST(DATEDIFF('day', CAST(ts AS DATE),
+        |             (SELECT MAX(CAST(ts AS DATE)) FROM events)), 40)) AS DECIMAL(16,0))) AS DOUBLE)
+        |    / POWER(2, 40), 4) AS decayed_value,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q46_array_agg" ->
       """SELECT o_custkey, rank, price FROM (
         |  SELECT o_custkey,

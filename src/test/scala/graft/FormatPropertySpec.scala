@@ -289,5 +289,8 @@ class FormatPropertySpec extends AnyFunSuite {
     out.write(legacy.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
     val m = LanceFormat.readLatest(fs, root).get
     assert(m.operation.isEmpty && m.rowCount == 3 && m.epochId.isEmpty)
+    // the round-6 droppedColumns field defaults too (resurrection guard
+    // simply inactive on legacy manifests)
+    assert(m.droppedColumns.isEmpty && m.dropped.isEmpty)
   }
 }

@@ -308,6 +308,57 @@ class FragmentStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE DROP COLUMN is metadata-only with a resurrection guard") {
+    val wh = tmpDir()
+    val s = spark
+    s.conf.set("spark.sql.catalog.lance_drop", "graft.catalog.LanceCatalog")
+    s.conf.set("spark.sql.catalog.lance_drop.warehouse", wh)
+    try {
+      s.sql("CREATE NAMESPACE lance_drop.db")
+      s.sql("CREATE TABLE lance_drop.db.t (id BIGINT, s STRING, v DOUBLE)")
+      s.sql("INSERT INTO lance_drop.db.t VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+      val root = new Path(s"$wh/db/t")
+      val filesBefore = LanceFormat.readLatest(root.getFileSystem(spark.sessionState.newHadoopConf()), root).get
+        .fragments.map(_.file).toSet
+      s.sql("ALTER TABLE lance_drop.db.t DROP COLUMN v")
+      val m = LanceFormat.readLatest(root.getFileSystem(spark.sessionState.newHadoopConf()), root).get
+      // metadata-only: same data files, narrower schema, name recorded
+      assert(m.fragments.map(_.file).toSet == filesBefore)
+      assert(m.schema.fieldNames.toSeq == Seq("id", "s"))
+      assert(m.dropped == Seq("v"))
+      assert(s.sql("SELECT * FROM lance_drop.db.t").columns.toSeq == Seq("id", "s"))
+      assert(s.sql("SELECT * FROM lance_drop.db.t").count() == 2)
+      // narrower writes now append cleanly
+      s.sql("INSERT INTO lance_drop.db.t VALUES (3, 'c')")
+      assert(s.sql("SELECT * FROM lance_drop.db.t").count() == 3)
+      // time travel still reads the wide schema
+      assert(s.sql("SELECT * FROM lance_drop.db.t VERSION AS OF 2")
+        .columns.toSeq == Seq("id", "s", "v"))
+      // resurrection guard: re-adding the dropped name is refused while
+      // old fragments physically hold its data
+      val e = intercept[Exception](
+        s.sql("ALTER TABLE lance_drop.db.t ADD COLUMN v DOUBLE"))
+      assert(e.getMessage.contains("resurrect"), e.getMessage)
+      // a different name is fine; dropping a missing column fails loud
+      s.sql("ALTER TABLE lance_drop.db.t ADD COLUMN w DOUBLE")
+      // Spark's analyzer resolves the column before the catalog is asked
+      val e2 = intercept[Exception](
+        s.sql("ALTER TABLE lance_drop.db.t DROP COLUMN nope"))
+      assert(e2.getMessage.contains("cannot be resolved"), e2.getMessage)
+      // a full rewrite clears the guard: every file is fresh, nothing to
+      // resurrect — the name becomes usable again (all-null)
+      graft.Lance.compact(s, root.toString)
+      assert(LanceFormat.readLatest(root.getFileSystem(spark.sessionState.newHadoopConf()), root).get.dropped.isEmpty)
+      s.sql("ALTER TABLE lance_drop.db.t ADD COLUMN v DOUBLE")
+      val vs = s.sql("SELECT v FROM lance_drop.db.t").collect()
+      assert(vs.forall(_.isNullAt(0)), "rewritten files must not resurrect v")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS lance_drop.db.t")
+      s.conf.unset("spark.sql.catalog.lance_drop")
+      s.conf.unset("spark.sql.catalog.lance_drop.warehouse")
+    }
+  }
+
   test("Z-order clustering makes stats prune on BOTH dimensions") {
     val dir = s"${tmpDir()}/zorder"
     // two independent dimensions: a ascending, b descending — a plain

@@ -314,6 +314,33 @@ class LanceConnectorSpec extends AnyFunSuite {
     assert(v3.count() == 3)
   }
 
+  test("compactSmall bin-packs only the small tail; big fragments ride by reference") {
+    val dir = s"${tmpDir()}/compact-small"
+    // one big fragment + 6 tiny appends (the streaming-epoch long tail)
+    (0L until 500L).map(i => (i, s"big$i")).toDF("id", "s")
+      .coalesce(1).write.format("lance").mode("overwrite").save(dir)
+    (1 to 6).foreach { i =>
+      Seq((1000L + i, s"r$i")).toDF("id", "s")
+        .write.format("lance").mode("append").save(dir)
+    }
+    val preBig = LanceFormat.readLatest(fs(dir), new Path(dir)).get
+      .fragments.maxBy(_.rowCount)
+    val (before, after) = Lance.compactSmall(spark, dir, minRows = 100L)
+    assert(before == 7 && after == 2, s"got ($before, $after)")
+    val post = LanceFormat.readLatest(fs(dir), new Path(dir)).get
+    // the big fragment's FILE survives — carried by reference, zero I/O
+    assert(post.fragments.map(_.file).contains(preBig.file))
+    // row-preserving: changefeed readers skip this commit
+    assert(post.operation.contains("rewrite"))
+    val df = spark.read.format("lance").load(dir)
+    assert(df.count() == 506)
+    assert(df.filter(col("id") >= 1000L).count() == 6)
+    // fewer than two small fragments: no-op, no new version
+    val vBefore = Lance.versions(spark, dir).size
+    assert(Lance.compactSmall(spark, dir, minRows = 1L) == ((2, 2)))
+    assert(Lance.versions(spark, dir).size == vBefore)
+  }
+
   test("compact preserves the streaming epoch watermark") {
     val dir = s"${tmpDir()}/compact-epoch"
     Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("append").save(dir)
@@ -347,6 +374,15 @@ class LanceConnectorSpec extends AnyFunSuite {
       // TIMESTAMP AS OF now -> latest
       assert(spark.sql(
         "SELECT * FROM lance_tt.db.t TIMESTAMP AS OF current_timestamp()").count() == 2)
+      // a TAG name in VERSION AS OF resolves through the tag file
+      Lance.tag(spark, s"$wh/db/t", "first-insert", version = Some(2L))
+      assert(spark.sql(
+        "SELECT * FROM lance_tt.db.t VERSION AS OF 'first-insert'").count() == 1)
+      val badTag = intercept[Exception] {
+        spark.sql("SELECT * FROM lance_tt.db.t VERSION AS OF 'nope'").collect()
+      }
+      assert(badTag.getMessage.contains("neither a numeric version nor a tag"),
+        badTag.getMessage)
     } finally {
       spark.sql("DROP NAMESPACE IF EXISTS lance_tt.db CASCADE")
       spark.conf.unset("spark.sql.catalog.lance_tt")
@@ -460,6 +496,6 @@ class LanceConnectorSpec extends AnyFunSuite {
       spark.read.format("lance").option("versionAsOf", "1")
         .option("timestampAsOf", betweenMs.toString).load(dir).count()
     }
-    assert(e2.getMessage.contains("not both"))
+    assert(e2.getMessage.contains("only one of"))
   }
 }
