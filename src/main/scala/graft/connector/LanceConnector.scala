@@ -460,8 +460,51 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     private val conf = LanceWrite.writerConf(SparkSession.active)
+
+    // ---- declarative write layout (Iceberg's write.distribution-mode):
+    // the ENGINE plans the shuffle/sort in front of the write, so
+    // clustered fragments — the property every stats-pruning layer and
+    // the DML scoping depend on — stop being a hand-written
+    // repartitionByRange at each call site. `write.distribute-by` names
+    // the columns; `write.distribution-mode` picks hash (same key, same
+    // fragment) or range (disjoint per-fragment [min,max] — what range
+    // predicates prune best); `write.sort-by` adds a within-partition
+    // sort (defaults to the distribute columns under range mode, so
+    // fragments are internally ordered for row-group pruning too).
+    private def cols(opt: String): Seq[String] =
+      Option(info.options.get(opt)).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    private val distributeBy = cols("write.distribute-by")
+    private val sortBy = cols("write.sort-by")
+    private val distributionMode = Option(info.options.get("write.distribution-mode"))
+      .map(_.trim.toLowerCase)
+      .getOrElse(if (distributeBy.nonEmpty) "hash" else "none")
+    require(Set("none", "hash", "range").contains(distributionMode),
+      s"write.distribution-mode: want none|hash|range, got '$distributionMode'")
+    require(distributionMode == "none" || distributeBy.nonEmpty,
+      s"write.distribution-mode=$distributionMode needs write.distribute-by=<cols>")
+
+    import org.apache.spark.sql.connector.{distributions => dist}
+    import org.apache.spark.sql.connector.{expressions => cexpr}
+    private def asc(c: String): cexpr.SortOrder = cexpr.Expressions.sort(
+      cexpr.Expressions.column(c), cexpr.SortDirection.ASCENDING)
+
+    override def requiredDistribution(): dist.Distribution = distributionMode match {
+      case "hash" => dist.Distributions.clustered(
+        distributeBy.map(c => cexpr.Expressions.column(c): cexpr.Expression).toArray)
+      case "range" => dist.Distributions.ordered(distributeBy.map(asc).toArray)
+      case _ => dist.Distributions.unspecified()
+    }
+    override def requiredOrdering(): Array[cexpr.SortOrder] = {
+      val s = if (sortBy.nonEmpty) sortBy
+        else if (distributionMode == "range") distributeBy
+        else Seq.empty
+      s.map(asc).toArray
+    }
+    override def requiredNumPartitions(): Int = 0 // let AQE size the shuffle
     private val maxRowsPerFile = Option(info.options.get("write.max-rows-per-file"))
       .map(_.toLong).getOrElse(1000000L) // reference default, LanceOptions.java:112-116
     // maintenance writes (compaction) preserve the streaming epoch

@@ -1184,6 +1184,30 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Declarative clustered writes (s94): `write.distribution-mode=range`
+    * has the ENGINE plan the shuffle+sort in front of the write
+    * (DSv2 RequiresDistributionAndOrdering — Iceberg's
+    * write.distribution-mode), so disjoint per-fragment bounds stop
+    * depending on callers hand-writing repartitionByRange. The input is
+    * deliberately scrambled 8-way; the gate then range-filters the
+    * result — correctness here, the disjoint-bounds / 1-fragment-scan /
+    * hash-co-location contracts pinned in LanceConnectorSpec.
+    */
+  def s94WriteDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_distributed")
+    freshDataset(spark, dest)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8)
+      .write.format("lance")
+      .option("write.distribute-by", "o_orderkey")
+      .option("write.distribution-mode", "range")
+      .mode("overwrite").save(dest)
+    spark.read.format("lance").load(dest)
+      .filter(col("o_orderkey") <= 1000L)
+      .orderBy(col("o_orderkey"))
+  }
+
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_stats_tvf")
     freshDataset(spark, dest)
@@ -1405,6 +1429,7 @@ object LanceQueries {
     "s91_dml_auto_refresh" -> s91DmlAutoRefresh,
     "s92_tags" -> s92Tags,
     "s93_compact_small" -> s93CompactSmall,
+    "s94_write_distribution" -> s94WriteDistribution,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1490,6 +1515,9 @@ object LanceQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey IN (0, 1, 7, 33, 999999999)
         |ORDER BY o_orderkey""".stripMargin,
+    "s94_write_distribution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
     // s93 repacks fragments, rows unchanged: full-table agg
     "s93_compact_small" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

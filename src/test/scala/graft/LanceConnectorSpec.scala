@@ -18,6 +18,21 @@ class LanceConnectorSpec extends AnyFunSuite {
   private def fs(p: String) =
     new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Number of fragment files the executed scan actually read. */
+  private def scannedFragments(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+    def strip(pl: SparkPlan): SparkPlan = pl match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    strip(df.queryExecution.executedPlan).collect { case b: BatchScanExec => b.scan }
+      .collect { case ps: ParquetScan => ps.fileIndex.inputFiles.length }.sum
+  }
+
   test("write/read roundtrip preserves data and schema") {
     val dir = s"${tmpDir()}/t1"
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "s", "v")
@@ -312,6 +327,59 @@ class LanceConnectorSpec extends AnyFunSuite {
     // pre-compaction version still reads the old fragment list
     val v3 = spark.read.format("lance").option("versionAsOf", "3").load(dir)
     assert(v3.count() == 3)
+  }
+
+  test("write.distribution-mode plans the shuffle/sort in front of the write") {
+    val dir = s"${tmpDir()}/distrange"
+    // deliberately unsorted, many-partition input: the ENGINE must plan
+    // the range shuffle + sort, not the caller
+    val src = spark.range(0, 4000).select(
+      (col("id") * 2654435761L % 4000).as("id")) // scrambled
+      .repartition(8)
+    src.write.format("lance")
+      .option("write.distribute-by", "id")
+      .option("write.distribution-mode", "range")
+      .option("write.max-rows-per-file", "1000")
+      .mode("overwrite").save(dir)
+    val m = LanceFormat.readLatest(fs(dir), new Path(dir)).get
+    assert(m.fragments.size >= 2)
+    // range mode ⇒ disjoint per-fragment [min,max] on the distribute col
+    val bounds = m.fragments.flatMap(_.stats.flatMap(_.get("id")))
+      .map(st => (st.min.get.toLong, st.max.get.toLong)).sortBy(_._1)
+    assert(bounds.size == m.fragments.size, "every fragment must carry id stats")
+    bounds.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"fragments must not overlap under range distribution: $bounds")
+      case _ =>
+    }
+    // ...which is exactly what makes range predicates prune
+    val probed = spark.read.format("lance").load(dir)
+      .filter(col("id") >= 100 && col("id") < 200)
+    assert(scannedFragments(probed) == 1, "range filter must prune to one fragment")
+    assert(probed.count() ==
+      (0L until 4000L).map(i => i * 2654435761L % 4000).count(v => v >= 100 && v < 200))
+    // hash mode: every distinct key lands in exactly one fragment
+    val dir2 = s"${tmpDir()}/disthash"
+    spark.range(0, 1000).select((col("id") % 7).as("k"), col("id"))
+      .repartition(5)
+      .write.format("lance")
+      .option("write.distribute-by", "k")
+      .mode("overwrite").save(dir2) // distribute-by alone defaults to hash
+    val m2 = LanceFormat.readLatest(fs(dir2), new Path(dir2)).get
+    val keyFrags = m2.fragments.flatMap(f =>
+      f.stats.flatMap(_.get("k")).flatMap(_.values).getOrElse(Seq.empty)
+        .map(v => (v, f.file)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    assert(keyFrags.nonEmpty && keyFrags.values.forall(_ == 1),
+      s"hash mode must co-locate each key: $keyFrags")
+    // typo'd mode fails loud
+    val bad = intercept[Exception] {
+      spark.range(1).write.format("lance")
+        .option("write.distribute-by", "id")
+        .option("write.distribution-mode", "zorder")
+        .mode("overwrite").save(s"${tmpDir()}/distbad")
+    }
+    assert(bad.getMessage.contains("none|hash|range"), bad.getMessage)
   }
 
   test("compactSmall bin-packs only the small tail; big fragments ride by reference") {
