@@ -56,7 +56,8 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def relRewritable(rel: DataSourceV2Relation): Boolean =
     rel.table.isInstanceOf[LanceTable] &&
       rel.table.asInstanceOf[LanceTable].pinned.isEmpty &&
-      Option(rel.options).forall(o => o.get("versionAsOf") == null)
+      Option(rel.options).forall(o => o.get("versionAsOf") == null &&
+        o.get("timestampAsOf") == null && o.get("tagAsOf") == null)
 
   /** Filtered probes EXECUTE at plan time (the widening loop needs row
     * counts; the k result rows substitute as a LocalRelation) — so every

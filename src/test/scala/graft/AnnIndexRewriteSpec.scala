@@ -81,6 +81,31 @@ class AnnIndexRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("time-traveled reads never rewrite: versionAsOf/timestampAsOf/tagAsOf keep the exact scan") {
+    spark.conf.set("spark.graft.ann.useIndex", "true")
+    try {
+      val q = Tables.t(spark, TestSpark.sf, "embeddings")
+        .filter(col("vec_id") === 0).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      Lance.tag(spark, datasetPath, "ann-pin", replace = true)
+      val pins = Seq(
+        spark.read.format("lance").option("versionAsOf", "1").load(datasetPath),
+        spark.read.format("lance")
+          .option("timestampAsOf", System.currentTimeMillis().toString).load(datasetPath),
+        spark.read.format("lance").option("tagAsOf", "ann-pin").load(datasetPath))
+      pins.foreach { rel =>
+        val df = Lance.knnSearch(rel, "embedding", q, 5)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("_indices"),
+          s"historical read must not probe the current-version index:\n$plan")
+        assert(df.collect().head.getLong(0) == 0L)
+      }
+    } finally {
+      spark.conf.unset("spark.graft.ann.useIndex")
+      Lance.deleteTag(spark, datasetPath, "ann-pin")
+    }
+  }
+
   test("cosine query over a cosine index rewrites too; l2 index is skipped") {
     val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ann-rw-cos-")
       .toAbsolutePath.toString
