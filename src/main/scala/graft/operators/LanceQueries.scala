@@ -1117,7 +1117,9 @@ object LanceQueries {
     o.filter(pmod(col("o_orderkey"), lit(5)) < 3)
       .repartitionByRange(4, col("o_orderkey"))
       .write.format("lance").mode("overwrite").save(dst)
-    graft.Lance.buildScalarIndex(spark, dst, "o_orderkey")
+    // 8 buckets: the gate corpus is small and each index job writes one
+    // part file per bucket directory — 64 would be file-op bound here
+    graft.Lance.buildScalarIndex(spark, dst, "o_orderkey", numBuckets = 8)
     o.filter(pmod(col("o_orderkey"), lit(5)) >= 3)
       .repartitionByRange(4, col("o_orderkey"))
       .write.format("lance").mode("append")
