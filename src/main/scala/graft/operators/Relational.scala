@@ -405,6 +405,24 @@ object Relational {
         |GROUP BY user_id ORDER BY user_id""".stripMargin)
   }
 
+  /** Higher-order array lambdas (q56) — filter/transform/aggregate/
+    * exists over per-document token arrays, the array-functional surface
+    * the dedup/text family leans on internally, gated at the SQL level
+    * against DuckDB's list lambdas. All codegen'd Catalyst expressions
+    * (no UDF): the lambda work rides the scan projection, embarrassingly
+    * parallel at any scale.
+    */
+  def q56HigherOrder(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents").createOrReplaceTempView("documents_q56")
+    spark.sql(
+      """SELECT doc_id,
+        |  CAST(size(filter(split(text, ' '), w -> length(w) > 5)) AS BIGINT) AS n_long,
+        |  CAST(aggregate(split(text, ' '), 0, (acc, w) -> acc + length(w)) AS BIGINT) AS chars,
+        |  array_join(transform(slice(split(text, ' '), 1, 3), w -> upper(w)), '-') AS head3,
+        |  exists(split(text, ' '), w -> w = 'the') AS has_the
+        |FROM documents_q56 ORDER BY doc_id""".stripMargin)
+  }
+
   /** Deterministic hash sampling — the reproducible train/eval split a
     * training pipeline needs (no RNG, no seed drift across engines):
     * md5(key) mod 10 picks a stable 10% of documents.
@@ -943,6 +961,7 @@ object Relational {
     "q53_json_extract" -> q53JsonExtract,
     "q54_listagg" -> q54ListAgg,
     "q55_time_decay" -> q55TimeDecay,
+    "q56_higher_order" -> q56HigherOrder,
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
     "q35_pivot" -> q35Pivot,
@@ -1120,8 +1139,15 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q56_higher_order" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(str_split(text, ' '), w -> length(w) > 5)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(str_split(text, ' '), w -> length(w))) AS BIGINT) AS chars,
+        |  array_to_string(list_transform(str_split(text, ' ')[1:3], w -> upper(w)), '-') AS head3,
+        |  len(list_filter(str_split(text, ' '), w -> w = 'the')) > 0 AS has_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // dyadic decay weights: exact decimal accumulate, final /2^40 is an
-    // exponent shift — bit-identical across engines by construction
+    // exponent shift — exact across engines by construction
     "q55_time_decay" ->
       """SELECT user_id,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6)) *
