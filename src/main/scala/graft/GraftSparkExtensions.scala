@@ -78,6 +78,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_tags"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_tags"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_tags", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_branches"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_branches"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_branches", args)))
   }
 }
 
@@ -101,7 +104,7 @@ object MetaTvfs {
     val reg = spark.sessionState.tableFunctionRegistry
     Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts",
         "lance_stats", "vector_search_join", "lance_indexes",
-        "lance_take", "lance_tags").foreach { n =>
+        "lance_take", "lance_tags", "lance_branches").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -338,6 +341,20 @@ object MetaTvfs {
             .add("n_rows", LongType, nullable = false)
             .add("tagged_at", TimestampType, nullable = false)
             .add("committed_at", TimestampType, nullable = false))
+      // append-only branch lineages: name + base/head versions + head
+      // row count (metadata only)
+      case "lance_branches" =>
+        val rows = graft.format.LanceFormat.listBranches(fs, root).map {
+          case (name, base, head) =>
+            val hm = graft.format.LanceFormat.readManifestIn(
+              fs, graft.format.LanceFormat.branchPath(root, name), head)
+            Row(name, base, head, hm.rowCount)
+        }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          new StructType().add("name", StringType, nullable = false)
+            .add("base_version", LongType, nullable = false)
+            .add("head_version", LongType, nullable = false)
+            .add("n_rows", LongType, nullable = false))
       case "lance_versions" =>
         val rows = graft.format.LanceFormat.listVersions(fs, root).map { v =>
           val m = graft.format.LanceFormat.readManifest(fs, root, v)

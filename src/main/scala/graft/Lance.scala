@@ -375,6 +375,43 @@ object Lance {
     graft.format.LanceFormat.listTags(fs, root)
   }
 
+  /** Create an append-only branch from a committed version (default:
+    * latest) — O(one manifest copy), never a data copy. Write to it with
+    * `df.write.format("lance").option("write.branch", name)`, read with
+    * `option("branch", name)` (versionAsOf/timestampAsOf then address
+    * versions WITHIN the branch). Returns the base version.
+    */
+  def createBranch(spark: SparkSession, path: String, name: String,
+      fromVersion: Option[Long] = None): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.createBranch(fs, root, name, fromVersion)
+  }
+
+  /** Drop a branch (its unshared data becomes vacuum/GC-reclaimable). */
+  def deleteBranch(spark: SparkSession, path: String, name: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.deleteBranch(fs, root, name)
+  }
+
+  /** (name, baseVersion, headVersion) per branch, name-sorted. */
+  def branches(spark: SparkSession, path: String): Seq[(String, Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.listBranches(fs, root)
+  }
+
+  /** Adopt a branch head on main as one commit — only when main has not
+    * advanced past the branch base (the git fast-forward contract).
+    * Returns (branchHeadVersion, newMainVersion).
+    */
+  def fastForward(spark: SparkSession, path: String, name: String): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.fastForward(fs, root, name)
+  }
+
   /** RESTORE (Delta `RESTORE TABLE` parity): make the CURRENT table state
     * equal `version`'s fragment list, committed as a NEW version —
     * history is preserved (time travel to the undone versions still

@@ -272,7 +272,7 @@ object LanceCatalog {
     Seq("compact", "vacuum", "cluster", "refresh_index", "refresh_fts",
       "build_scalar_index", "refresh_scalar_index",
       "drop_index", "update_where", "upsert", "remove_orphans", "restore",
-      "tag", "untag")
+      "tag", "untag", "create_branch", "drop_branch", "fast_forward")
 }
 
 private[catalog] object LanceProcedure {
@@ -330,6 +330,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "refresh_scalar_index" => "delta-index appended fragments into the scalar postings"
     case "tag" => "pin a committed version under a stable name (vacuum keeps it; read via tagAsOf)"
     case "untag" => "drop a tag; its version becomes vacuum-eligible again"
+    case "create_branch" => "seed an append-only branch lineage from a version (O(1 manifest), no data copy)"
+    case "drop_branch" => "delete a branch; its unshared data becomes GC-reclaimable"
+    case "fast_forward" => "adopt the branch head on main as one commit (only if main has not moved)"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -376,6 +379,14 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         .comment("committed version to tag; -1 = latest").build(),
       in("replace", BooleanType).defaultValue("false").build())
     case "untag" => Array(in("table", StringType).build(),
+      in("name", StringType).build())
+    case "create_branch" => Array(in("table", StringType).build(),
+      in("name", StringType).build(),
+      in("from_version", IntegerType).defaultValue("-1")
+        .comment("version to fork from; -1 = latest").build())
+    case "drop_branch" => Array(in("table", StringType).build(),
+      in("name", StringType).build())
+    case "fast_forward" => Array(in("table", StringType).build(),
       in("name", StringType).build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
@@ -463,6 +474,24 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           input.getUTF8String(1).toString)
         (new StructType().add("existed", BooleanType, nullable = false),
           new GenericInternalRow(Array[Any](existed)))
+      case "create_branch" =>
+        val v = input.getInt(2)
+        val base = graft.Lance.createBranch(spark, path,
+          input.getUTF8String(1).toString,
+          if (v < 0) None else Some(v.toLong))
+        (new StructType().add("base_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](base)))
+      case "drop_branch" =>
+        val existed = graft.Lance.deleteBranch(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("existed", BooleanType, nullable = false),
+          new GenericInternalRow(Array[Any](existed)))
+      case "fast_forward" =>
+        val (head, newV) = graft.Lance.fastForward(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("branch_head", LongType, nullable = false)
+          .add("new_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](head, newV)))
       case "refresh_fts" =>
         val m = graft.index.FtsIndex.refresh(spark, path,
           input.getUTF8String(1).toString)

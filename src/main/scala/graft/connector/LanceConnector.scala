@@ -71,22 +71,35 @@ object LanceTable {
     */
   def resolveManifest(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       options: CaseInsensitiveStringMap): Option[Manifest] = {
-    if (!LanceFormat.isDataset(fs, root)) None
-    else (Option(options.get("versionAsOf")), Option(options.get("timestampAsOf")),
+    if (!LanceFormat.isDataset(fs, root)) return None
+    // `branch` switches the LINEAGE the other travel options resolve in
+    // (versionAsOf/timestampAsOf address versions WITHIN the branch);
+    // tags are main-lineage names and cannot combine with a branch
+    val branch = Option(options.get("branch")).map(_.trim).filter(_.nonEmpty)
+    val dir = branch match {
+      case Some(b) =>
+        val bp = LanceFormat.branchPath(root, b)
+        require(fs.exists(bp), s"no branch '$b' at $root")
+        bp
+      case None => LanceFormat.versionsPath(root)
+    }
+    (Option(options.get("versionAsOf")), Option(options.get("timestampAsOf")),
         Option(options.get("tagAsOf"))) match {
-      case (Some(v), None, None) => Some(LanceFormat.readManifest(fs, root, v.toLong))
+      case (Some(v), None, None) => Some(LanceFormat.readManifestIn(fs, dir, v.toLong))
       case (None, Some(ts), None) =>
         val cutoffMs = parseTimestampMs(ts)
-        val v = LanceFormat.listVersions(fs, root)
-          .filter(LanceFormat.readManifest(fs, root, _).committedAtMs <= cutoffMs)
+        val v = LanceFormat.listVersionsIn(fs, dir)
+          .filter(LanceFormat.readManifestIn(fs, dir, _).committedAtMs <= cutoffMs)
           .lastOption.getOrElse(throw new IllegalArgumentException(
             s"no version of $root existed at or before timestampAsOf=$ts"))
-        Some(LanceFormat.readManifest(fs, root, v))
+        Some(LanceFormat.readManifestIn(fs, dir, v))
       case (None, None, Some(tag)) =>
+        require(branch.isEmpty,
+          "tagAsOf names a main-lineage snapshot; it cannot combine with branch")
         val info = LanceFormat.readTag(fs, root, tag).getOrElse(
           throw new IllegalArgumentException(s"no tag '$tag' at $root"))
         Some(LanceFormat.readManifest(fs, root, info.version))
-      case (None, None, None) => LanceFormat.readLatest(fs, root)
+      case (None, None, None) => LanceFormat.readLatestIn(fs, dir)
       case _ => throw new IllegalArgumentException(
         "set only one of versionAsOf, timestampAsOf, tagAsOf")
     }
@@ -423,6 +436,10 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String)
       inner.partitionFilters, inner.dataFilters, inner.pushedVariantExtractions) {
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // the changefeed walks MAIN's manifests; silently streaming main
+    // under a `branch` option would be wrong-lineage data
+    require(inner.options.get("branch") == null,
+      "streaming reads follow the main lineage; branch streaming is not supported")
     val conf = {
       val c = inner.sparkSession.sessionState.newHadoopConf()
       c.set("spark.sql.session.timeZone",
@@ -529,10 +546,21 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
         v
       }.isDefined
 
-    override def toBatch: BatchWrite =
+    // append-only branch commit (`write.branch`): the fragments land in
+    // the shared data/ dir, the manifest in the branch lineage
+    private val branch = Option(info.options.get("write.branch"))
+      .map(_.trim).filter(_.nonEmpty)
+
+    override def toBatch: BatchWrite = {
+      branch.foreach { b =>
+        require(!overwrite && replaceFragments.isEmpty,
+          s"branch '$b' is append-only: overwrite/replace-fragments are " +
+            "main-lineage operations (fast-forward or delete the branch instead)")
+      }
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         epochId, collectStats, mergeSchema, replaceFragments, rowPreserving,
-        refreshIndexes)
+        refreshIndexes, branch)
+    }
     // delta-refresh the dataset's persisted indexes after the commit
     // ('all' or a comma list of scalar|fts|ivf) — streaming epochs and
     // batch writes alike
@@ -540,9 +568,12 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
       .map(LanceWrite.parseRefreshKinds("write.refresh-indexes", _))
       .getOrElse(Set.empty[String])
 
-    override def toStreaming: StreamingWrite =
+    override def toStreaming: StreamingWrite = {
+      require(branch.isEmpty,
+        "write.branch is a batch write option; streaming sinks write the main lineage")
       new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         collectStats, refreshIndexes)
+    }
   }
 }
 
@@ -558,7 +589,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     mergeSchema: Boolean = false,
     replaceFragments: Option[Set[Int]] = None,
     rowPreserving: Boolean = false,
-    refreshIndexes: Set[String] = Set.empty) extends BatchWrite {
+    refreshIndexes: Set[String] = Set.empty,
+    branch: Option[String] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile, collectStats)
@@ -580,7 +612,17 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
         LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
       return
     }
-    val existing = LanceFormat.readLatest(fs, root)
+    // branch append: same schema discipline, sourced from and committed
+    // into the branch lineage (data files share the main data/ dir)
+    val lineageDir = branch match {
+      case Some(b) =>
+        val bp = LanceFormat.branchPath(root, b)
+        require(fs.exists(bp), s"no branch '$b' at $rootStr - create it first " +
+          "(Lance.createBranch / CALL create_branch)")
+        bp
+      case None => LanceFormat.versionsPath(root)
+    }
+    val existing = LanceFormat.readLatestIn(fs, lineageDir)
     // Schema evolution (`write.merge-schema=true`): the committed schema
     // is the by-name union — new fragments carry the write schema, old
     // fragments read NULL for added columns. Without the option, any
@@ -601,15 +643,17 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     }
     if (overwrite) LanceFormat.commitOverwrite(fs, root, committedSchema, frags, epochId,
       operation = if (rowPreserving) "rewrite" else "overwrite")
-    else LanceFormat.commitAppend(fs, root, committedSchema, frags, epochId)
+    else LanceFormat.commitAppendIn(fs, lineageDir, committedSchema, frags, epochId)
     // in-commit index maintenance, batch flavor of the s90 streaming
     // contract: delta-refresh the persisted sidecars before the write
     // call returns, so the next reader's point lookup / search covers
     // this write's fragments. Same failure posture as the epoch path —
     // stale-but-correct warn, never a failed write (the data commit
     // above already happened; unwinding it for an index would turn a
-    // prune-miss into data loss).
-    if (refreshIndexes.nonEmpty)
+    // prune-miss into data loss). Indexes are main-lineage state, so
+    // branch appends skip the refresh (branch reads treat branch-only
+    // fragments as uncovered — scanned, never wrongly pruned).
+    if (refreshIndexes.nonEmpty && branch.isEmpty)
       LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
   }
 

@@ -79,6 +79,8 @@ class LanceChangeFeedScan(inner: org.apache.spark.sql.execution.datasources.v2.p
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(inner.options.get("branch") == null,
+      "streaming reads follow the main lineage; branch streaming is not supported")
     val conf = {
       val c = sparkSession.sessionState.newHadoopConf()
       c.set("spark.sql.session.timeZone",

@@ -77,21 +77,21 @@ object LanceFormat {
   def isDataset(fs: FileSystem, root: Path): Boolean =
     fs.exists(versionsPath(root))
 
-  def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
-    val vp = versionsPath(root)
-    if (!fs.exists(vp)) Seq.empty
-    else fs.listStatus(vp).toSeq
+  /** Lineage-dir primitives: `_versions` (main) and each `_branches/<b>`
+    * directory hold the same `N.manifest.json` files — every version
+    * operation works on either through these.
+    */
+  def listVersionsIn(fs: FileSystem, dir: Path): Seq[Long] = {
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .filter(_.endsWith(ManifestSuffix))
       .map(n => n.stripSuffix(ManifestSuffix).toLong)
       .sorted
   }
 
-  def latestVersion(fs: FileSystem, root: Path): Option[Long] =
-    listVersions(fs, root).lastOption
-
-  def readManifest(fs: FileSystem, root: Path, version: Long): Manifest = {
-    val p = new Path(versionsPath(root), s"$version$ManifestSuffix")
+  def readManifestIn(fs: FileSystem, dir: Path, version: Long): Manifest = {
+    val p = new Path(dir, s"$version$ManifestSuffix")
     val in = fs.open(p)
     try {
       val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
@@ -102,6 +102,18 @@ object LanceFormat {
     } finally in.close()
   }
 
+  def readLatestIn(fs: FileSystem, dir: Path): Option[Manifest] =
+    listVersionsIn(fs, dir).lastOption.map(readManifestIn(fs, dir, _))
+
+  def listVersions(fs: FileSystem, root: Path): Seq[Long] =
+    listVersionsIn(fs, versionsPath(root))
+
+  def latestVersion(fs: FileSystem, root: Path): Option[Long] =
+    listVersions(fs, root).lastOption
+
+  def readManifest(fs: FileSystem, root: Path, version: Long): Manifest =
+    readManifestIn(fs, versionsPath(root), version)
+
   def readLatest(fs: FileSystem, root: Path): Option[Manifest] =
     latestVersion(fs, root).map(readManifest(fs, root, _))
 
@@ -111,10 +123,13 @@ object LanceFormat {
     * PUT); correctness rests solely on the publisher's atomicity.
     */
   private def commitOnce(fs: FileSystem, root: Path, m: Manifest,
+      publisher: Option[ManifestPublisher]): Boolean =
+    commitOnceIn(fs, versionsPath(root), m, publisher)
+
+  private def commitOnceIn(fs: FileSystem, dir: Path, m: Manifest,
       publisher: Option[ManifestPublisher]): Boolean = {
-    val vp = versionsPath(root)
-    fs.mkdirs(vp)
-    val target = new Path(vp, s"${m.version}$ManifestSuffix")
+    fs.mkdirs(dir)
+    val target = new Path(dir, s"${m.version}$ManifestSuffix")
     if (fs.exists(target)) return false
     publisher.getOrElse(ManifestPublisher.forFileSystem(fs))
       .publish(fs, target, Serialization.write(m).getBytes(StandardCharsets.UTF_8))
@@ -146,10 +161,16 @@ object LanceFormat {
     */
   def commitAppend(fs: FileSystem, root: Path, schema: StructType,
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
+      publisher: Option[ManifestPublisher] = None): Manifest =
+    commitAppendIn(fs, versionsPath(root), schema, newFragments, epochId, publisher)
+
+  /** Append into a specific lineage dir (`_versions` or a branch). */
+  def commitAppendIn(fs: FileSystem, dir: Path, schema: StructType,
+      newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
       publisher: Option[ManifestPublisher] = None): Manifest = {
     var attempt = 0
     while (attempt < 20) {
-      val prev = readLatest(fs, root)
+      val prev = readLatestIn(fs, dir)
       val base = prev.map(_.fragments).getOrElse(Seq.empty)
       val nextId = base.map(_.id).maxOption.getOrElse(-1) + 1
       val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
@@ -161,11 +182,11 @@ object LanceFormat {
         committedAtMs = System.currentTimeMillis(),
         operation = Some("append"),
         droppedColumns = prev.flatMap(_.droppedColumns))
-      if (commitOnce(fs, root, m, publisher)) return m
+      if (commitOnceIn(fs, dir, m, publisher)) return m
       attempt += 1
     }
     throw new IllegalStateException(
-      s"could not commit append after $attempt attempts at $root")
+      s"could not commit append after $attempt attempts into $dir")
   }
 
   /** Metadata-only schema change (ALTER TABLE): commit `schema` (and the
@@ -328,7 +349,11 @@ object LanceFormat {
       val (rescued, reallyDrop) = d.partition(tagged)
       (reallyDrop, rescued ++ k)
     }
-    val kept = keep.flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet
+    // branch manifests are reference ROOTS too: data under an active
+    // branch must survive a main-side vacuum (deleteBranch + vacuum is
+    // how branch data is reclaimed)
+    val kept = keep.flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet ++
+      branchReferencedFiles(fs, root)
     val dropped = drop.flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet
     drop.foreach { v =>
       fs.delete(new Path(versionsPath(root), s"$v$ManifestSuffix"), false)
@@ -405,6 +430,107 @@ object LanceFormat {
   def deleteTag(fs: FileSystem, root: Path, name: String): Boolean =
     fs.delete(tagFile(root, name), false)
 
+  // -------------------------------------------------------------- branches
+
+  /** Branches: append-only named lineages (Iceberg branches, v1 scope).
+    * A branch is its own manifest directory seeded with a byte-verbatim
+    * COPY of a main version's manifest — creating one is O(1 manifest),
+    * never a data copy: the 100 TB experimentation shape (try a new
+    * curation/filter pipeline against production data, validate, then
+    * fast-forward main or throw the branch away). Branch commits append
+    * into the branch dir with the same optimistic MVCC as main; data
+    * files all live under the shared `data/` dir (append-only writers
+    * never collide on files). Row-level DML / overwrite / compaction on
+    * a branch are out of scope and refused loudly — merge semantics
+    * beyond fast-forward need conflict detection this format does not
+    * carry. GC ([[vacuum]], [[removeOrphans]]) treats every branch
+    * manifest as a reference root, so branch data cannot be reclaimed
+    * from under it; [[deleteBranch]] + vacuum reclaims.
+    */
+  val BranchesDir = "_branches"
+  def branchesPath(root: Path) = new Path(root, BranchesDir)
+  def branchPath(root: Path, name: String) = new Path(branchesPath(root), name)
+
+  /** Seed branch `name` from `fromVersion` (default: latest). The
+    * branch's version numbering CONTINUES main's — its first manifest is
+    * the base version itself, which is what makes [[fastForward]]'s
+    * "main has not moved" check a version-number comparison. Returns the
+    * base version.
+    */
+  def createBranch(fs: FileSystem, root: Path, name: String,
+      fromVersion: Option[Long] = None): Long = {
+    require(TagNameRe.pattern.matcher(name).matches(),
+      s"invalid branch name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*, <=128 chars)")
+    val v = fromVersion.getOrElse(latestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $root")))
+    require(listVersions(fs, root).contains(v), s"no version $v at $root")
+    val bp = branchPath(root, name)
+    require(!fs.exists(bp), s"branch '$name' already exists at $root")
+    fs.mkdirs(bp)
+    val base = readManifest(fs, root, v)
+    val won = ManifestPublisher.forFileSystem(fs).publish(fs,
+      new Path(bp, s"$v$ManifestSuffix"),
+      Serialization.write(base).getBytes(StandardCharsets.UTF_8))
+    if (!won) throw new IllegalArgumentException(
+      s"branch '$name' already exists at $root")
+    v
+  }
+
+  /** (name, baseVersion, headVersion) per branch, name-sorted. */
+  def listBranches(fs: FileSystem, root: Path): Seq[(String, Long, Long)] = {
+    val bp = branchesPath(root)
+    if (!fs.exists(bp)) Seq.empty
+    else fs.listStatus(bp).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .sorted.flatMap { name =>
+        val vs = listVersionsIn(fs, branchPath(root, name))
+        if (vs.isEmpty) None else Some((name, vs.head, vs.last))
+      }
+  }
+
+  def deleteBranch(fs: FileSystem, root: Path, name: String): Boolean =
+    fs.delete(branchPath(root, name), true)
+
+  /** Adopt the branch head on main as one new commit — allowed only when
+    * main has NOT advanced past the branch's base (the git fast-forward
+    * contract; anything else is a merge, out of scope). Returns
+    * (branchHeadVersion, newMainVersion); a commit-less branch
+    * fast-forwards as a no-op.
+    */
+  def fastForward(fs: FileSystem, root: Path, name: String): (Long, Long) = {
+    val bp = branchPath(root, name)
+    require(fs.exists(bp), s"no branch '$name' at $root")
+    val vs = listVersionsIn(fs, bp)
+    require(vs.nonEmpty, s"branch '$name' at $root has no manifests")
+    val base = vs.head
+    val mainLatest = readLatest(fs, root).getOrElse(
+      throw new IllegalStateException(s"no dataset at $root"))
+    if (vs.last == base) return (base, mainLatest.version) // nothing to adopt
+    require(mainLatest.version == base,
+      s"cannot fast-forward '$name': main is at v${mainLatest.version}, " +
+        s"branch forked at v$base — divergent histories need a merge, " +
+        "which this format does not support")
+    val head = readManifestIn(fs, bp, vs.last)
+    val m = commit(fs, root, Manifest(
+      version = mainLatest.version + 1,
+      schemaJson = head.schemaJson,
+      fragments = head.fragments,
+      epochId = head.epochId,
+      committedAtMs = System.currentTimeMillis(),
+      operation = Some("fast-forward"),
+      droppedColumns = head.droppedColumns))
+    (vs.last, m.version)
+  }
+
+  /** Every fragment file any branch manifest references (GC roots). */
+  private def branchReferencedFiles(fs: FileSystem, root: Path): Set[String] = {
+    val bp = branchesPath(root)
+    if (!fs.exists(bp)) Set.empty
+    else fs.listStatus(bp).toSeq.filter(_.isDirectory).flatMap { d =>
+      listVersionsIn(fs, d.getPath)
+        .flatMap(v => readManifestIn(fs, d.getPath, v).fragments.map(_.file))
+    }.toSet
+  }
+
   /** Delete data files that NO manifest (of any retained version)
     * references — crash leftovers from writers that died between staging
     * fragment files and committing the manifest swap (the buffered sink
@@ -419,7 +545,8 @@ object LanceFormat {
   def removeOrphans(fs: FileSystem, root: Path, graceMs: Long): (Int, Int) = {
     require(graceMs >= 0, "graceMs must be >= 0")
     val referenced = listVersions(fs, root)
-      .flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet
+      .flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet ++
+      branchReferencedFiles(fs, root)
     val dir = dataPath(root)
     val now = System.currentTimeMillis()
     val all = if (fs.exists(dir)) fs.listStatus(dir).toSeq else Seq.empty

@@ -1210,6 +1210,38 @@ object LanceQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Append-only branches (s95): fork `exp` off main, append the odd
+    * keys to the branch — main stays untouched (the 100 TB
+    * experimentation shape: O(1 manifest) fork, no data copy) — then
+    * fast-forward main to the branch head. The gate pins row counts and
+    * decimal sums on the branch, on main BEFORE adoption, and on main
+    * AFTER; GC-root protection, per-branch time travel, divergence
+    * refusal and the SQL surface are pinned in BranchSpec.
+    */
+  def s95Branches(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_branch")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.createBranch(spark, dest, "exp")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.format("lance").option("write.branch", "exp").mode("append").save(dest)
+    val mainBefore = spark.read.format("lance").load(dest)
+      .agg(count(lit(1)).as("main_rows_before"))
+    val onBranch = spark.read.format("lance").option("branch", "exp").load(dest)
+      .agg(count(lit(1)).as("branch_rows"), dsum(col("o_totalprice")).as("branch_sum"))
+    val before = mainBefore.crossJoin(onBranch).collect().head
+    graft.Lance.fastForward(spark, dest, "exp")
+    spark.read.format("lance").load(dest)
+      .agg(count(lit(1)).as("main_rows_after"), dsum(col("o_totalprice")).as("main_sum_after"))
+      .select(lit(before.getLong(0)).as("main_rows_before"),
+        lit(before.getLong(1)).as("branch_rows"),
+        lit(before.getDouble(2)).as("branch_sum"),
+        col("main_rows_after"), col("main_sum_after"))
+  }
+
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_stats_tvf")
     freshDataset(spark, dest)
@@ -1432,6 +1464,7 @@ object LanceQueries {
     "s92_tags" -> s92Tags,
     "s93_compact_small" -> s93CompactSmall,
     "s94_write_distribution" -> s94WriteDistribution,
+    "s95_branches" -> s95Branches,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1520,6 +1553,14 @@ object LanceQueries {
     "s94_write_distribution" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
+    // s95: main = even keys; branch/fast-forwarded main = all orders
+    "s95_branches" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS main_rows_before,
+        | (SELECT COUNT(*) FROM orders) AS branch_rows,
+        | (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders) AS branch_sum,
+        | (SELECT COUNT(*) FROM orders) AS main_rows_after,
+        | (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders) AS main_sum_after""".stripMargin,
     // s93 repacks fragments, rows unchanged: full-table agg
     "s93_compact_small" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -57,7 +57,8 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     rel.table.isInstanceOf[LanceTable] &&
       rel.table.asInstanceOf[LanceTable].pinned.isEmpty &&
       Option(rel.options).forall(o => o.get("versionAsOf") == null &&
-        o.get("timestampAsOf") == null && o.get("tagAsOf") == null)
+        o.get("timestampAsOf") == null && o.get("tagAsOf") == null &&
+        o.get("branch") == null)
 
   /** Filtered probes EXECUTE at plan time (the widening loop needs row
     * counts; the k result rows substitute as a LocalRelation) — so every

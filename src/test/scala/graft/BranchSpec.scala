@@ -1,0 +1,167 @@
+package graft
+
+import graft.format.LanceFormat
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Append-only branch lineages. Contracts pinned here:
+  *  - create(O(1 manifest)) / list / delete lifecycle, error cases
+  *  - branch reads see base + branch appends; main never does
+  *  - versionAsOf addresses versions WITHIN the branch
+  *  - overwrite / replace / streaming on a branch are refused loudly
+  *  - GC (vacuum + removeOrphans) treats branch manifests as roots;
+  *    deleteBranch + GC reclaims
+  *  - fastForward adopts the head only when main has not moved
+  *  - SQL surface: lance_branches TVF, CALL create_branch/fast_forward
+  */
+class BranchSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "branch-")
+      .toAbsolutePath.toString
+
+  private def fsRoot(dir: String) = {
+    val root = new Path(dir)
+    (LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf()), root)
+  }
+
+  private def seed(dir: String): Unit = {
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("lance").mode("overwrite").save(dir)
+  }
+
+  test("branch lifecycle: isolated appends, per-branch time travel") {
+    val dir = tmpDir()
+    seed(dir)
+    assert(Lance.createBranch(spark, dir, "exp") == 1L)
+    // duplicate / bad names / bad versions fail loud
+    intercept[IllegalArgumentException](Lance.createBranch(spark, dir, "exp"))
+    intercept[IllegalArgumentException](Lance.createBranch(spark, dir, "no/slash"))
+    intercept[IllegalArgumentException](Lance.createBranch(spark, dir, "b2", Some(99L)))
+    // append to the branch: branch grows, main does not
+    Seq((3L, "c"), (4L, "d")).toDF("id", "s")
+      .write.format("lance").option("write.branch", "exp").mode("append").save(dir)
+    val onBranch = spark.read.format("lance").option("branch", "exp").load(dir)
+    assert(onBranch.count() == 4)
+    assert(spark.read.format("lance").load(dir).count() == 2, "main untouched")
+    // versionAsOf WITHIN the branch: v1 = base
+    assert(spark.read.format("lance")
+      .option("branch", "exp").option("versionAsOf", "1").load(dir).count() == 2)
+    assert(Lance.branches(spark, dir) == Seq(("exp", 1L, 2L)))
+    // unknown branch read fails loud
+    val e = intercept[Exception] {
+      spark.read.format("lance").option("branch", "nope").load(dir).count()
+    }
+    assert(e.getMessage.contains("no branch 'nope'"), e.getMessage)
+    assert(Lance.deleteBranch(spark, dir, "exp"))
+    assert(Lance.branches(spark, dir).isEmpty)
+  }
+
+  test("branches are append-only: overwrite and streaming refused") {
+    val dir = tmpDir()
+    seed(dir)
+    Lance.createBranch(spark, dir, "exp")
+    val e = intercept[Exception] {
+      Seq((9L, "z")).toDF("id", "s")
+        .write.format("lance").option("write.branch", "exp")
+        .mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    // appending to a DELETED branch fails instead of resurrecting it
+    Lance.deleteBranch(spark, dir, "exp")
+    val e2 = intercept[Exception] {
+      Seq((9L, "z")).toDF("id", "s")
+        .write.format("lance").option("write.branch", "exp")
+        .mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("no branch 'exp'"), e2.getMessage)
+  }
+
+  test("GC treats branch manifests as roots; deleteBranch + GC reclaims") {
+    val dir = tmpDir()
+    seed(dir)
+    Lance.createBranch(spark, dir, "exp")
+    Seq((3L, "c")).toDF("id", "s")
+      .write.format("lance").option("write.branch", "exp").mode("append").save(dir)
+    // advance main past the fork, then vacuum to keep only main's latest
+    Seq((5L, "e")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    Lance.vacuum(spark, dir, keepVersions = 1)
+    // the branch must still read fully: its manifests reference the base
+    // fragments (shared with dropped main v1) AND its own append
+    val onBranch = spark.read.format("lance").option("branch", "exp").load(dir)
+    assert(onBranch.count() == 3)
+    assert(onBranch.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // removeOrphans(0 grace) must not touch branch-only files either
+    val (_, removed) = Lance.removeOrphans(spark, dir, graceMinutes = 0)
+    assert(removed == 0, s"GC deleted $removed files referenced by the branch")
+    assert(spark.read.format("lance").option("branch", "exp").load(dir).count() == 3)
+    // drop the branch: its unshared file is now a true orphan
+    Lance.deleteBranch(spark, dir, "exp")
+    val (_, removed2) = Lance.removeOrphans(spark, dir, graceMinutes = 0)
+    assert(removed2 >= 1, "branch-only data must be reclaimable after deleteBranch")
+    assert(spark.read.format("lance").load(dir).count() == 3) // main: 1,2,5
+  }
+
+  test("fastForward adopts the head only when main has not moved") {
+    val dir = tmpDir()
+    seed(dir)
+    Lance.createBranch(spark, dir, "exp")
+    Seq((3L, "c")).toDF("id", "s")
+      .write.format("lance").option("write.branch", "exp").mode("append").save(dir)
+    val (head, newV) = Lance.fastForward(spark, dir, "exp")
+    assert(head == 2L && newV == 2L)
+    val main = spark.read.format("lance").load(dir)
+    assert(main.count() == 3)
+    assert(main.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val (fs, root) = fsRoot(dir)
+    assert(LanceFormat.readLatest(fs, root).get.operation.contains("fast-forward"))
+    // divergence: main moves past a new branch's base -> refuse
+    Lance.createBranch(spark, dir, "exp2")
+    Seq((7L, "g")).toDF("id", "s")
+      .write.format("lance").option("write.branch", "exp2").mode("append").save(dir)
+    Seq((8L, "h")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    val e = intercept[IllegalArgumentException](Lance.fastForward(spark, dir, "exp2"))
+    assert(e.getMessage.contains("divergent"), e.getMessage)
+    // a commit-less branch fast-forwards as a no-op
+    Lance.createBranch(spark, dir, "idle")
+    val before = Lance.versions(spark, dir).size
+    Lance.fastForward(spark, dir, "idle")
+    assert(Lance.versions(spark, dir).size == before)
+  }
+
+  test("lance_branches TVF and CALL create_branch/fast_forward") {
+    val wh = tmpDir()
+    val s = spark
+    s.conf.set("spark.sql.catalog.lance_br", "graft.catalog.LanceCatalog")
+    s.conf.set("spark.sql.catalog.lance_br.warehouse", wh)
+    try {
+      s.sql("CREATE NAMESPACE lance_br.db")
+      s.sql("CREATE TABLE lance_br.db.t (id BIGINT, v DOUBLE)")
+      s.sql("INSERT INTO lance_br.db.t VALUES (1, 1.0), (2, 2.0)")
+      val base = s.sql("CALL lance_br.create_branch('db.t', 'exp')").collect().head
+      val path = s"$wh/db/t"
+      Seq((3L, 3.0)).toDF("id", "v")
+        .write.format("lance").option("write.branch", "exp").mode("append").save(path)
+      graft.MetaTvfs.register(s)
+      val rows = s.sql(s"SELECT * FROM lance_branches('$path')").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getString(0) == "exp")
+      assert(rows.head.getLong(1) == base.getLong(0))
+      assert(rows.head.getLong(3) == 3L) // head row count
+      val ff = s.sql("CALL lance_br.fast_forward('db.t', 'exp')").collect().head
+      assert(ff.getLong(1) > base.getLong(0))
+      assert(s.sql("SELECT COUNT(*) FROM lance_br.db.t").collect().head.getLong(0) == 3)
+      assert(s.sql("CALL lance_br.drop_branch('db.t', 'exp')")
+        .collect().head.getBoolean(0))
+    } finally {
+      s.sql("DROP TABLE IF EXISTS lance_br.db.t")
+      s.conf.unset("spark.sql.catalog.lance_br")
+      s.conf.unset("spark.sql.catalog.lance_br.warehouse")
+    }
+  }
+}
