@@ -340,6 +340,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("shard"), col("seq_id"))
 
+  /** Curriculum-ordered packing (p77): p71's fixed-length sequence
+    * packing, but each shard's documents are consumed in CURRICULUM
+    * order — short-to-long difficulty buckets, then length, then doc_id
+    * — so early sequences hold easy documents and late sequences hard
+    * ones (the ordered-data-loading shape curriculum training wants;
+    * Spark's window evaluates the per-shard order in one shuffle, the
+    * same plan as p71). Per-sequence min/max bucket in the output pins
+    * the monotone consumption order through the hash compare.
+    */
+  def p77CurriculumPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("bucket"), col("n_tokens"), col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"CAST(size($words) AS BIGINT)").as("n_tokens"),
+        expr(s"${wordHash("CAST(doc_id AS STRING)")} % 32").as("shard"))
+      .withColumn("bucket",
+        when(col("n_tokens") < 50, 0).when(col("n_tokens") < 150, 1).otherwise(2))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr("start_off div 2048"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("bucket")).as("min_bucket"), max(col("bucket")).as("max_bucket"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   /** Multiplicative (Knuth) hash of doc_id: deterministic, uniform enough
     * for sampling, and pure 64-bit integer arithmetic — so the DuckDB
     * oracle reproduces it bit-for-bit (no engine-specific hash function,
@@ -704,6 +731,7 @@ object TextAnalysis {
     "p74_stratified_sample" -> p74StratifiedSample,
     "p75_hash_split" -> p75HashSplit,
     "p76_temperature_mix" -> p76TemperatureMix,
+    "p77_curriculum_pack" -> p77CurriculumPack,
   )
 
   val oracleSql: Map[String, String] = {
@@ -758,6 +786,20 @@ object TextAnalysis {
            |   / COUNT(*) AS rarity
            |FROM tok JOIN vocab USING (w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "p77_curriculum_pack" ->
+        s"""WITH d AS (SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |    % 32 AS shard FROM documents),
+           |b AS (SELECT *, CASE WHEN n_tokens < 50 THEN 0
+           |    WHEN n_tokens < 150 THEN 1 ELSE 2 END AS bucket FROM d),
+           |c AS (SELECT *, SUM(n_tokens)
+           |    OVER (PARTITION BY shard ORDER BY bucket, n_tokens, doc_id)
+           |    - n_tokens AS start_off FROM b)
+           |SELECT shard, CAST(start_off // 2048 AS BIGINT) AS seq_id,
+           |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           |  MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket
+           |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
       "p71_pack_sequences" ->
         s"""WITH $packedDocsOracleCte
            |SELECT shard, CAST(start_off // 2048 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,

@@ -103,6 +103,32 @@ class TagSpec extends AnyFunSuite {
     assert(!LanceFormat.listVersions(fs, root).contains(1L))
   }
 
+  test("racing tag creators: exactly one winner, loser fails loud") {
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)
+    Seq((2L, "b")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, Long]]()
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    // four threads race the same name at DIFFERENT versions: the winner's
+    // version must be what the tag resolves to afterwards
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        barrier.await()
+        try results.add(Right(Lance.tag(spark, dir, "raced",
+          version = Some(1L + (t % 2)))))
+        catch { case e: IllegalArgumentException => results.add(Left(e.getMessage)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    val (losers, winners) = results.toArray(Array.empty[Either[String, Long]])
+      .partition(_.isLeft)
+    assert(winners.length == 1, s"want exactly one winner, got $winners / $losers")
+    assert(losers.length == 3 && losers.forall(_.left.exists(_.contains("already exists"))))
+    val pinned = Lance.tags(spark, dir).find(_.name == "raced").get.version
+    assert(pinned == winners.head.toOption.get,
+      "the tag must resolve to the WINNER's version")
+  }
+
   test("lance_tags TVF and CALL tag/untag procedures") {
     val wh = tmpDir()
     val s = spark
