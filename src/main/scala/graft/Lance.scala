@@ -375,6 +375,57 @@ object Lance {
     graft.format.LanceFormat.listTags(fs, root)
   }
 
+  /** Add a CHECK constraint (Delta parity): `expr` is a boolean SQL
+    * expression over the table's columns; NULL passes (SQL CHECK
+    * semantics). All EXISTING rows are validated first — one filtered
+    * count — and every subsequent data commit re-validates its own batch
+    * before the manifest lands, so a violating ingest fails loud with
+    * nothing committed. Returns the committing version.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      exprStr: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val m = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $path"))
+    require("[A-Za-z0-9][A-Za-z0-9._-]{0,127}".r.pattern.matcher(name).matches(),
+      s"invalid constraint name '$name'")
+    require(!m.checkConstraints.contains(name),
+      s"constraint '$name' already exists on $path")
+    val violating = read(spark, path)
+      .filter(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(exprStr),
+        org.apache.spark.sql.functions.lit(true)) ===
+        org.apache.spark.sql.functions.lit(false))
+      .count()
+    require(violating == 0L,
+      s"cannot add constraint '$name' ($exprStr): $violating existing rows violate it")
+    graft.format.LanceFormat.commitConstraints(fs, root,
+      m.checkConstraints + (name -> exprStr)).version
+  }
+
+  /** Drop a CHECK constraint. Returns whether it existed. */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val m = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $path"))
+    if (!m.checkConstraints.contains(name)) false
+    else {
+      graft.format.LanceFormat.commitConstraints(fs, root,
+        m.checkConstraints - name)
+      true
+    }
+  }
+
+  /** The table's CHECK constraints (name → expr). */
+  def constraints(spark: SparkSession, path: String): Map[String, String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.readLatest(fs, root)
+      .map(_.checkConstraints).getOrElse(Map.empty)
+  }
+
   /** Create an append-only branch from a committed version (default:
     * latest) — O(one manifest copy), never a data copy. Write to it with
     * `df.write.format("lance").option("write.branch", name)`, read with
@@ -448,7 +499,10 @@ object Lance {
       epochId = latest.epochId,
       committedAtMs = System.currentTimeMillis(),
       operation = Some("restore"),
-      droppedColumns = target.droppedColumns)
+      droppedColumns = target.droppedColumns,
+      // restore returns to the TARGET's whole state, rules included —
+      // rules added after it were judged against data being undone
+      constraints = target.constraints)
     val committed = graft.format.LanceFormat.commit(fs, root, m)
     (version, committed.version)
   }

@@ -272,7 +272,8 @@ object LanceCatalog {
     Seq("compact", "vacuum", "cluster", "refresh_index", "refresh_fts",
       "build_scalar_index", "refresh_scalar_index",
       "drop_index", "update_where", "upsert", "remove_orphans", "restore",
-      "tag", "untag", "create_branch", "drop_branch", "fast_forward")
+      "tag", "untag", "create_branch", "drop_branch", "fast_forward",
+      "add_constraint", "drop_constraint")
 }
 
 private[catalog] object LanceProcedure {
@@ -333,6 +334,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "create_branch" => "seed an append-only branch lineage from a version (O(1 manifest), no data copy)"
     case "drop_branch" => "delete a branch; its unshared data becomes GC-reclaimable"
     case "fast_forward" => "adopt the branch head on main as one commit (only if main has not moved)"
+    case "add_constraint" => "add a CHECK constraint (validates existing data; every commit re-validates its batch)"
+    case "drop_constraint" => "drop a CHECK constraint"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -387,6 +390,11 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "drop_branch" => Array(in("table", StringType).build(),
       in("name", StringType).build())
     case "fast_forward" => Array(in("table", StringType).build(),
+      in("name", StringType).build())
+    case "add_constraint" => Array(in("table", StringType).build(),
+      in("name", StringType).build(),
+      in("expr", StringType).comment("boolean SQL expression; NULL passes").build())
+    case "drop_constraint" => Array(in("table", StringType).build(),
       in("name", StringType).build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
@@ -492,6 +500,16 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("branch_head", LongType, nullable = false)
           .add("new_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](head, newV)))
+      case "add_constraint" =>
+        val v = graft.Lance.addConstraint(spark, path,
+          input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+        (new StructType().add("committed_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](v)))
+      case "drop_constraint" =>
+        val existed = graft.Lance.dropConstraint(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("existed", BooleanType, nullable = false),
+          new GenericInternalRow(Array[Any](existed)))
       case "refresh_fts" =>
         val m = graft.index.FtsIndex.refresh(spark, path,
           input.getUTF8String(1).toString)

@@ -606,6 +606,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       // row-preserving replace (targeted compaction): stamp `rewrite` so
       // changefeed readers skip the commit — its rows were already
       // emitted from the files it repacks
+      LanceWrite.enforceConstraints(root, schema, frags,
+        LanceFormat.readLatest(fs, root).map(_.checkConstraints).getOrElse(Map.empty))
       LanceFormat.commitReplace(fs, root, schema, replaceFragments.get, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "replace")
       if (refreshIndexes.nonEmpty)
@@ -641,6 +643,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       case Some(m) if !overwrite => m.schema
       case _ => schema
     }
+    LanceWrite.enforceConstraints(root, committedSchema, frags,
+      existing.map(_.checkConstraints).getOrElse(Map.empty))
     if (overwrite) LanceFormat.commitOverwrite(fs, root, committedSchema, frags, epochId,
       operation = if (rowPreserving) "rewrite" else "overwrite")
     else LanceFormat.commitAppendIn(fs, lineageDir, committedSchema, frags, epochId)
@@ -682,6 +686,11 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
       LanceWrite.deleteFiles(rootStr, conf.value, messages)
     } else {
       val frags = messages.collect { case LanceCommitMessage(f) => f }.flatten.toSeq
+      // CHECK constraints hold for streamed epochs too — a violating
+      // micro-batch fails the stream (correctness, unlike the
+      // stale-but-correct refresh warn below)
+      LanceWrite.enforceConstraints(root, schema, frags,
+        LanceFormat.readLatest(fs, root).map(_.checkConstraints).getOrElse(Map.empty))
       if (overwrite && epochId == 0)
         LanceFormat.commitOverwrite(fs, root, schema, frags, Some(epochId))
       else LanceFormat.commitAppend(fs, root, schema, frags, Some(epochId))
@@ -744,6 +753,30 @@ private[graft] object LanceWrite {
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.LanceWrite")
+
+  /** CHECK-constraint gate: validate the staged fragment files BEFORE the
+    * manifest commit (cost ∝ the batch, never the table — one filtered
+    * existence probe per constraint over just-written files). Throwing
+    * here makes Spark call abort(), which deletes the staged files: a
+    * violating batch leaves no new version and no orphans. NULL passes
+    * (SQL CHECK semantics).
+    */
+  def enforceConstraints(root: Path, schema: StructType,
+      frags: Seq[FragmentMeta], constraints: Map[String, String]): Unit = {
+    if (constraints.isEmpty || frags.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val spark = SparkSession.active
+    val files = frags.map(f =>
+      new Path(LanceFormat.dataPath(root), f.file).toString)
+    val df = spark.read.schema(schema).parquet(files: _*)
+    constraints.foreach { case (name, e) =>
+      val bad = df.filter(coalesce(expr(e), lit(true)) === lit(false))
+        .limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"CHECK constraint '$name' ($e) violated by the written batch at " +
+          s"$root - commit refused, no version created")
+    }
+  }
 
   /** Delta-refresh the dataset's persisted index sidecars after a
     * commit (`write.refresh-indexes`) — streaming epochs and batch

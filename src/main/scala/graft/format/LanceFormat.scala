@@ -35,9 +35,15 @@ case class Manifest(
     epochId: Option[Long] = None,
     committedAtMs: Long = 0L,
     operation: Option[String] = None,
-    droppedColumns: Option[Seq[String]] = None) {
+    droppedColumns: Option[Seq[String]] = None,
+    constraints: Option[Map[String, String]] = None) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def rowCount: Long = fragments.map(_.rowCount).sum
+  /** CHECK constraints (name → boolean SQL expr, Delta parity): enforced
+    * on every data commit — a batch whose rows violate any constraint
+    * fails BEFORE the manifest lands (NULL passes, SQL CHECK semantics).
+    * Adding one validates all existing data first. */
+  def checkConstraints: Map[String, String] = constraints.getOrElse(Map.empty)
   /** Names DROP COLUMN removed while fragments physically holding their
     * data are still referenced. Re-ADDing such a name is refused: the
     * by-name parquet projection would RESURRECT the old values in old
@@ -181,7 +187,8 @@ object LanceFormat {
         epochId = epochId,
         committedAtMs = System.currentTimeMillis(),
         operation = Some("append"),
-        droppedColumns = prev.flatMap(_.droppedColumns))
+        droppedColumns = prev.flatMap(_.droppedColumns),
+        constraints = prev.flatMap(_.constraints))
       if (commitOnceIn(fs, dir, m, publisher)) return m
       attempt += 1
     }
@@ -209,7 +216,8 @@ object LanceFormat {
         epochId = prev.epochId,
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
-        droppedColumns = Some(droppedColumns).filter(_.nonEmpty))
+        droppedColumns = Some(droppedColumns).filter(_.nonEmpty),
+        constraints = prev.constraints)
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
     }
@@ -261,7 +269,8 @@ object LanceFormat {
         operation = Some(operation),
         // partially-rewritten table: untouched fragments may still hold
         // dropped columns' data, the resurrection guard must survive
-        droppedColumns = prev.droppedColumns)
+        droppedColumns = prev.droppedColumns,
+        constraints = prev.constraints)
       if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
       attempt += 1
     }
@@ -285,7 +294,9 @@ object LanceFormat {
       fragments = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = i) },
       epochId = epochId,
       committedAtMs = System.currentTimeMillis(),
-      operation = Some(operation)))
+      operation = Some(operation),
+      // table-level rules survive data replacement (Delta semantics)
+      constraints = prev.flatMap(_.constraints)))
   }
 
   /** Union of two fragment schemas by column NAME (Delta-style
@@ -430,6 +441,29 @@ object LanceFormat {
   def deleteTag(fs: FileSystem, root: Path, name: String): Boolean =
     fs.delete(tagFile(root, name), false)
 
+  /** Metadata-only constraints change: commit the new rule set over the
+    * CURRENT fragment list (same retry discipline as [[commitAlter]]).
+    * Validation of existing data is the CALLER's job (facade).
+    */
+  def commitConstraints(fs: FileSystem, root: Path,
+      constraints: Map[String, String],
+      publisher: Option[ManifestPublisher] = None): Manifest = {
+    var attempt = 0
+    while (attempt < 20) {
+      val prev = readLatest(fs, root).getOrElse(
+        throw new IllegalStateException(s"no dataset at $root"))
+      val m = prev.copy(
+        version = prev.version + 1,
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some("alter"),
+        constraints = Some(constraints).filter(_.nonEmpty))
+      if (commitOnce(fs, root, m, publisher)) return m
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit constraints after $attempt attempts at $root")
+  }
+
   // -------------------------------------------------------------- branches
 
   /** Branches: append-only named lineages (Iceberg branches, v1 scope).
@@ -517,7 +551,8 @@ object LanceFormat {
       epochId = head.epochId,
       committedAtMs = System.currentTimeMillis(),
       operation = Some("fast-forward"),
-      droppedColumns = head.droppedColumns))
+      droppedColumns = head.droppedColumns,
+      constraints = head.constraints))
     (vs.last, m.version)
   }
 

@@ -1242,6 +1242,39 @@ object LanceQueries {
         col("main_rows_after"), col("main_sum_after"))
   }
 
+  /** CHECK constraints (s96): add a rule to a live table, append a good
+    * batch (passes), attempt a violating batch — the commit is REFUSED
+    * with no new version and no orphan files (the Delta-parity ingest
+    * quality gate a training corpus needs: one poisoned ingest cannot
+    * land). The gate aggregates the surviving table; abort hygiene, NULL
+    * semantics, streaming enforcement and the SQL surface are pinned in
+    * ConstraintSpec.
+    */
+  def s96Constraints(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_constrained")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.addConstraint(spark, dest, "price_pos", "o_totalprice > 0.0")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.format("lance").mode("append").save(dest)
+    // the poisoned ingest: negated prices — must be refused wholesale
+    try {
+      o.limit(100).withColumn("o_totalprice", -col("o_totalprice"))
+        .write.format("lance").mode("append").save(dest)
+      throw new IllegalStateException("violating batch must not commit")
+    } catch {
+      case e: Exception if e.getMessage.contains("price_pos") ||
+        Option(e.getCause).exists(_.getMessage.contains("price_pos")) => ()
+    }
+    spark.read.format("lance").load(dest)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_stats_tvf")
     freshDataset(spark, dest)
@@ -1465,6 +1498,7 @@ object LanceQueries {
     "s93_compact_small" -> s93CompactSmall,
     "s94_write_distribution" -> s94WriteDistribution,
     "s95_branches" -> s95Branches,
+    "s96_constraints" -> s96Constraints,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1553,6 +1587,11 @@ object LanceQueries {
     "s94_write_distribution" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
+    // s96: the poisoned batch never lands — the table is exactly orders
+    "s96_constraints" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // s95: main = even keys; branch/fast-forwarded main = all orders
     "s95_branches" ->
       """SELECT

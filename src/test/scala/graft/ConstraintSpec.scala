@@ -1,0 +1,130 @@
+package graft
+
+import graft.format.LanceFormat
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** CHECK constraints (Delta parity). Contracts pinned here:
+  *  - add validates ALL existing rows first; a violating add fails loud
+  *  - every data commit validates its batch BEFORE the manifest lands; a
+  *    violating batch leaves no new version and no orphan data files
+  *  - NULL passes (SQL CHECK semantics)
+  *  - constraints survive append/overwrite; drop re-opens the gate
+  *  - streamed epochs are enforced too (violation fails the stream)
+  *  - SQL surface: CALL add_constraint / drop_constraint
+  */
+class ConstraintSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "constraint-")
+      .toAbsolutePath.toString
+
+  private def dataFiles(dir: String): Set[String] = {
+    val dp = LanceFormat.dataPath(new Path(dir))
+    val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dp)) Set.empty
+    else fs.listStatus(dp).map(_.getPath.getName).toSet
+  }
+
+  test("add validates existing rows; commits enforce; abort leaves no trace") {
+    val dir = tmpDir()
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.format("lance").mode("overwrite").save(dir)
+    // a constraint existing data violates is refused
+    val bad = intercept[IllegalArgumentException] {
+      Lance.addConstraint(spark, dir, "v_big", "v > 15.0")
+    }
+    assert(bad.getMessage.contains("existing rows violate"), bad.getMessage)
+    // a valid one commits (new version, metadata only)
+    Lance.addConstraint(spark, dir, "v_pos", "v > 0.0")
+    assert(Lance.constraints(spark, dir) == Map("v_pos" -> "v > 0.0"))
+    intercept[IllegalArgumentException] {
+      Lance.addConstraint(spark, dir, "v_pos", "v > 1.0") // duplicate name
+    }
+    // a good append passes and the constraint survives it
+    Seq((3L, 30.0)).toDF("id", "v").write.format("lance").mode("append").save(dir)
+    assert(Lance.constraints(spark, dir).contains("v_pos"))
+    // a violating append fails BEFORE any manifest lands...
+    val vBefore = Lance.versions(spark, dir).size
+    val filesBefore = dataFiles(dir)
+    val e = intercept[Exception] {
+      Seq((4L, -1.0)).toDF("id", "v").write.format("lance").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("v_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("v_pos")), e.getMessage)
+    // ...leaving no new version AND no orphan data files (abort cleaned up)
+    assert(Lance.versions(spark, dir).size == vBefore)
+    assert(dataFiles(dir) == filesBefore, "violating batch must leave no files")
+    assert(spark.read.format("lance").load(dir).count() == 3)
+    // NULL passes (SQL CHECK semantics)
+    Seq((5L, Option.empty[Double])).toDF("id", "v")
+      .write.format("lance").mode("append").save(dir)
+    assert(spark.read.format("lance").load(dir).count() == 4)
+    // constraints survive overwrite (table rules, not data rules)
+    Seq((9L, 1.0)).toDF("id", "v").write.format("lance").mode("overwrite").save(dir)
+    assert(Lance.constraints(spark, dir).contains("v_pos"))
+    intercept[Exception] {
+      Seq((10L, -2.0)).toDF("id", "v").write.format("lance").mode("append").save(dir)
+    }
+    // drop re-opens the gate
+    assert(Lance.dropConstraint(spark, dir, "v_pos"))
+    assert(!Lance.dropConstraint(spark, dir, "v_pos"))
+    Seq((10L, -2.0)).toDF("id", "v").write.format("lance").mode("append").save(dir)
+    assert(spark.read.format("lance").load(dir).count() == 2)
+  }
+
+  test("streamed epochs are enforced: a violating micro-batch fails the stream") {
+    val src = tmpDir()
+    val dst = tmpDir()
+    Seq((1L, 5.0)).toDF("id", "v").write.format("lance").mode("overwrite").save(dst)
+    Lance.addConstraint(spark, dst, "v_pos", "v > 0.0")
+    Seq((2L, -7.0)).toDF("id", "v").write.format("lance").mode("overwrite").save(src)
+    val q = spark.readStream.format("lance").load(src)
+      .writeStream.format("lance")
+      .option("checkpointLocation", s"$dst-ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("v_pos") ||
+      Option(e.getCause).exists(c => Option(c.getMessage).exists(_.contains("v_pos"))),
+      e.getMessage)
+    assert(spark.read.format("lance").load(dst).count() == 1, "no partial epoch")
+  }
+
+  test("CALL add_constraint / drop_constraint") {
+    val wh = tmpDir()
+    val s = spark
+    s.conf.set("spark.sql.catalog.lance_ck", "graft.catalog.LanceCatalog")
+    s.conf.set("spark.sql.catalog.lance_ck.warehouse", wh)
+    try {
+      s.sql("CREATE NAMESPACE lance_ck.db")
+      s.sql("CREATE TABLE lance_ck.db.t (id BIGINT, v DOUBLE)")
+      s.sql("INSERT INTO lance_ck.db.t VALUES (1, 1.0)")
+      val added =
+        s.sql("CALL lance_ck.add_constraint('db.t', 'v_pos', 'v > 0.0')").collect().head
+      assert(added.getLong(0) > 0)
+      val e = intercept[Exception] {
+        s.sql("INSERT INTO lance_ck.db.t VALUES (2, -1.0)")
+      }
+      assert(e.getMessage.contains("v_pos") ||
+        Option(e.getCause).exists(_.getMessage.contains("v_pos")), e.getMessage)
+      assert(s.sql("SELECT COUNT(*) FROM lance_ck.db.t").collect().head.getLong(0) == 1)
+      assert(s.sql("CALL lance_ck.drop_constraint('db.t', 'v_pos')")
+        .collect().head.getBoolean(0))
+      s.sql("INSERT INTO lance_ck.db.t VALUES (2, -1.0)")
+      assert(s.sql("SELECT COUNT(*) FROM lance_ck.db.t").collect().head.getLong(0) == 2)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS lance_ck.db.t")
+      s.conf.unset("spark.sql.catalog.lance_ck")
+      s.conf.unset("spark.sql.catalog.lance_ck.warehouse")
+    }
+  }
+}
