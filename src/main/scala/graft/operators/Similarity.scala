@@ -71,6 +71,36 @@ object Similarity {
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(10)
 
+  /** Late-interaction multi-vector scoring (v42) — ColBERT's maxsim:
+    * documents hold SEVERAL vectors (here: 4 consecutive vec_ids = one
+    * mv_doc), the query holds several, and
+    * score(doc) = Σ_q max_v dot(q, v) — each query vector picks its best
+    * matching doc vector. Plan shape: the query's 4 vectors broadcast
+    * against the flat vector table (one codegen'd dot per pair), then
+    * max-per-(doc, query-vector) and sum-per-doc ride two hash
+    * aggregations — no all-pairs doc join, linear in stored vectors, the
+    * same shape at 100 TB with the IVF bucket join replacing the flat
+    * scan. Dots are sequential double accumulation on both engines
+    * (bit-identical, the v23 contract); only the final 4-term sum is
+    * order-sensitive, rounded to 6 decimals.
+    */
+  def v42MaxSim(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr("vec_id div 4").as("mv_doc"))
+    val qvecs = e.filter(col("mv_doc") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    e.filter(col("mv_doc") =!= 0)
+      .crossJoin(broadcast(qvecs))
+      .select(col("mv_doc"), col("q_id"),
+        dot_product(col("embedding"), col("q_vec")).as("dot"))
+      .groupBy(col("mv_doc"), col("q_id"))
+      .agg(max(col("dot")).as("best"))
+      .groupBy(col("mv_doc"))
+      .agg(round(sum(col("best")), 6).as("maxsim"), count(lit(1)).as("n_q"))
+      .orderBy(col("maxsim").desc, col("mv_doc"))
+      .limit(10)
+  }
+
   /** Per-label centroid-ish stats over vector norms: exercises the distance
     * expression inside a hash aggregate (vector column never shuffled raw —
     * only the scalar norm).
@@ -711,6 +741,7 @@ object Similarity {
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
+    "v42_maxsim" -> v42MaxSim,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -862,6 +893,17 @@ object Similarity {
         |     i -> e.embedding[i]::DOUBLE * q.qv[i])) AS dist
         |FROM embeddings e, q
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "v42_maxsim" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, vec_id // 4 AS mv_doc
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM v WHERE mv_doc = 0),
+        |d AS (SELECT v.mv_doc, q.q_id,
+        |  list_sum(list_transform(generate_series(1, len(v.emb)),
+        |    i -> v.emb[i] * q.q_vec[i])) AS dot
+        |  FROM v CROSS JOIN q WHERE v.mv_doc <> 0),
+        |m AS (SELECT mv_doc, q_id, MAX(dot) AS best FROM d GROUP BY mv_doc, q_id)
+        |SELECT mv_doc, ROUND(SUM(best), 6) AS maxsim, COUNT(*) AS n_q
+        |FROM m GROUP BY mv_doc ORDER BY maxsim DESC, mv_doc LIMIT 10""".stripMargin,
     "v23_dot_similarity" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
         |SELECT e.vec_id,

@@ -16,6 +16,7 @@ class PlanGuardSpec extends AnyFunSuite {
   private val singleRowCross = Set(
     "v21_knn_l2", "v22_knn_cosine", "v23_dot_similarity", "s53_lance_time_travel",
     "s92_tags", // tagged-snapshot agg × live agg: two 1-row sides
+    "v42_maxsim", // 4 broadcast query vectors × the vector table (maxsim)
     // t36/t38 broadcast a 1-row corpus-size aggregate across every
     // document — a benign O(n) cross that replaced a second scan + collect()
     "t36_salient_terms", "t38_lm_rarity",
