@@ -81,6 +81,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_branches"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_branches"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_branches", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_constraints"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_constraints"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_constraints", args)))
   }
 }
 
@@ -104,7 +107,8 @@ object MetaTvfs {
     val reg = spark.sessionState.tableFunctionRegistry
     Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts",
         "lance_stats", "vector_search_join", "lance_indexes",
-        "lance_take", "lance_tags", "lance_branches").foreach { n =>
+        "lance_take", "lance_tags", "lance_branches",
+        "lance_constraints").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -341,6 +345,15 @@ object MetaTvfs {
             .add("n_rows", LongType, nullable = false)
             .add("tagged_at", TimestampType, nullable = false)
             .add("committed_at", TimestampType, nullable = false))
+      // DESCRIBE-CONSTRAINTS parity: one row per CHECK rule
+      case "lance_constraints" =>
+        val rows = graft.format.LanceFormat.readLatest(fs, root)
+          .map(_.checkConstraints).getOrElse(Map.empty)
+          .toSeq.sortBy(_._1)
+          .map { case (n, e) => Row(n, e) }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          new StructType().add("name", StringType, nullable = false)
+            .add("expr", StringType, nullable = false))
       // append-only branch lineages: name + base/head versions + head
       // row count (metadata only)
       case "lance_branches" =>

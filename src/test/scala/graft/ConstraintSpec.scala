@@ -111,6 +111,10 @@ class ConstraintSpec extends AnyFunSuite {
       val added =
         s.sql("CALL lance_ck.add_constraint('db.t', 'v_pos', 'v > 0.0')").collect().head
       assert(added.getLong(0) > 0)
+      graft.MetaTvfs.register(s)
+      val listed = s.sql(s"SELECT * FROM lance_constraints('$wh/db/t')").collect()
+      assert(listed.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("v_pos", "v > 0.0")))
       val e = intercept[Exception] {
         s.sql("INSERT INTO lance_ck.db.t VALUES (2, -1.0)")
       }
