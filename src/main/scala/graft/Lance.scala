@@ -48,12 +48,17 @@ object Lance {
     */
   def read(spark: SparkSession, path: String, version: Option[Long] = None,
       filter: Option[String] = None, columns: Option[Seq[String]] = None,
-      limit: Option[Int] = None, timestamp: Option[String] = None): DataFrame = {
+      limit: Option[Int] = None, timestamp: Option[String] = None,
+      tag: Option[String] = None, branch: Option[String] = None): DataFrame = {
     val r = spark.read.format("lance")
     version.foreach(v => r.option("versionAsOf", v.toString))
     // newest version committed at or before this instant (epoch millis,
     // ISO instant, or "yyyy-MM-dd HH:mm:ss" UTC)
     timestamp.foreach(t => r.option("timestampAsOf", t))
+    // named main-lineage snapshot / branch lineage (version/timestamp
+    // then address versions WITHIN the branch)
+    tag.foreach(t => r.option("tagAsOf", t))
+    branch.foreach(b => r.option("branch", b))
     val df = r.load(path)
     // `read.filter` option parity (P8): conjoined with any later filters
     val filtered = filter.fold(df)(f =>

@@ -31,6 +31,21 @@ object Multimodal {
       expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END")
         .as("mime"))
 
+  /** Exact media dedup by content digest (m66): the first pass every
+    * multimodal corpus runs — identical payload bytes collapse regardless
+    * of id/filename (re-uploads, mirror crawls). One codegen'd md5 per
+    * row + one hash aggregate; at 100 TB the digest rides the scan and
+    * only (kind, hash) shuffles, never the payload bytes.
+    */
+  def m66ContentDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .withColumn("content_hash", md5(col("bytes")))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        countDistinct(col("content_hash")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("content_hash"))).as("n_dupes"))
+      .orderBy(col("kind"))
+
   /** Column-expression metadata extraction ("decode" as byte arithmetic):
     * sizes from the payload, fake dimensions from a content hash — the
     * shape a real EXIF/probe step would produce.
@@ -184,9 +199,17 @@ object Multimodal {
     "m63_decode_features" -> m63DecodeFeatures,
     "m64_resize" -> m64Resize,
     "m65_int8_quant" -> m65Int8Quant,
+    "m66_content_dedup" -> m66ContentDedup,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "m66_content_dedup" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  COUNT(*) AS n_media,
+        |  COUNT(DISTINCT md5(text)) AS n_unique,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
     // absmax int8: same widening, same single division, same round; the
     // error max is per-element double arithmetic, order-insensitive
     "m65_int8_quant" ->
