@@ -393,20 +393,35 @@ object Lance {
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     val m = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
       throw new IllegalArgumentException(s"no lance dataset at $path"))
-    require("[A-Za-z0-9][A-Za-z0-9._-]{0,127}".r.pattern.matcher(name).matches(),
-      s"invalid constraint name '$name'")
+    graft.format.LanceFormat.validateName("constraint", name)
     require(!m.checkConstraints.contains(name),
       s"constraint '$name' already exists on $path")
-    val violating = read(spark, path)
+    def violating(): Long = read(spark, path)
       .filter(org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.expr(exprStr),
         org.apache.spark.sql.functions.lit(true)) ===
         org.apache.spark.sql.functions.lit(false))
       .count()
-    require(violating == 0L,
-      s"cannot add constraint '$name' ($exprStr): $violating existing rows violate it")
-    graft.format.LanceFormat.commitConstraints(fs, root,
-      m.checkConstraints + (name -> exprStr)).version
+    val bad = violating()
+    require(bad == 0L,
+      s"cannot add constraint '$name' ($exprStr): $bad existing rows violate it")
+    val committed = graft.format.LanceFormat.commitConstraints(fs, root, { cur =>
+      require(!cur.contains(name), s"constraint '$name' already exists on $path")
+      cur + (name -> exprStr)
+    }).version
+    // close the validate→commit window: a batch committed IN BETWEEN was
+    // never checked against this rule (its writer read a manifest without
+    // it). committed == m.version+1 proves no interleaving; otherwise
+    // re-validate the now-guarded table and roll the rule back on
+    // violation — the constraint either holds over everything or doesn't
+    // exist.
+    if (committed != m.version + 1 && violating() > 0L) {
+      graft.format.LanceFormat.commitConstraints(fs, root, _ - name)
+      throw new IllegalArgumentException(
+        s"cannot add constraint '$name' ($exprStr): rows violating it were " +
+          "committed concurrently during validation - constraint rolled back")
+    }
+    committed
   }
 
   /** Drop a CHECK constraint. Returns whether it existed. */
@@ -417,8 +432,7 @@ object Lance {
       throw new IllegalArgumentException(s"no lance dataset at $path"))
     if (!m.checkConstraints.contains(name)) false
     else {
-      graft.format.LanceFormat.commitConstraints(fs, root,
-        m.checkConstraints - name)
+      graft.format.LanceFormat.commitConstraints(fs, root, _ - name)
       true
     }
   }

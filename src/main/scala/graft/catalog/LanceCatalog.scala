@@ -224,8 +224,27 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
         if (adds.isEmpty) kept
         else LanceFormat.mergeSchemas(kept,
           org.apache.spark.sql.types.StructType(adds.toArray))
+      // a CHECK constraint referencing a dropped column would fail
+      // analysis inside EVERY later write's enforcement — the table
+      // would be write-bricked by an unrelated-looking error. Refuse
+      // here, naming the rule to drop first.
+      current.checkConstraints.foreach { case (cname, e) =>
+        val analyzes = scala.util.Try {
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], merged)
+            .filter(org.apache.spark.sql.functions.expr(e))
+            .queryExecution.analyzed
+        }.isSuccess
+        require(analyzes,
+          s"cannot drop column(s) ${dels.mkString(", ")}: CHECK constraint " +
+            s"'$cname' ($e) references the post-drop schema invalidly - " +
+            "CALL drop_constraint first")
+      }
+      // the change was derived FROM current.schema: a concurrent schema
+      // evolution fails loud (CME) instead of being silently erased
       LanceFormat.commitAlter(fs, p, merged,
-        (current.dropped ++ dels).distinct)
+        (current.dropped ++ dels).distinct,
+        expectedSchemaJson = Some(current.schemaJson))
       new LanceTable(p.toString, merged)
     }
   }

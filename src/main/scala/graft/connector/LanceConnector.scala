@@ -606,8 +606,13 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       // row-preserving replace (targeted compaction): stamp `rewrite` so
       // changefeed readers skip the commit — its rows were already
       // emitted from the files it repacks
-      LanceWrite.enforceConstraints(root, schema, frags,
-        LanceFormat.readLatest(fs, root).map(_.checkConstraints).getOrElse(Map.empty))
+      // row-PRESERVING rewrites (compaction) repack rows that already
+      // passed at ingest — re-proving them would re-read the whole
+      // repacked batch once per constraint, the exact I/O compactSmall
+      // exists to avoid. Row-CHANGING replaces (DML) are enforced.
+      if (!rowPreserving)
+        LanceWrite.enforceConstraints(root, schema, frags,
+          LanceFormat.readLatest(fs, root).map(_.checkConstraints).getOrElse(Map.empty))
       LanceFormat.commitReplace(fs, root, schema, replaceFragments.get, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "replace")
       if (refreshIndexes.nonEmpty)
@@ -635,16 +640,28 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     val committedSchema = existing.filter(_.fragments.nonEmpty) match {
       case Some(m) if !overwrite && shape(m.schema) != shape(schema) =>
-        if (mergeSchema) LanceFormat.mergeSchemas(m.schema, schema)
-        else throw new IllegalArgumentException(
+        if (mergeSchema) {
+          // the DROP COLUMN resurrection guard applies to EVERY surface
+          // that can widen the schema, not just ALTER ADD: a merged-in
+          // name matching a dropped one would make old fragments'
+          // supposedly-deleted values readable again
+          val resurrected = schema.fieldNames.toSet
+            .diff(m.schema.fieldNames.toSet).intersect(m.dropped.toSet)
+          require(resurrected.isEmpty,
+            s"columns ${resurrected.mkString(", ")} were previously DROPPED " +
+              "and old fragments still hold their data - merge-schema would " +
+              "resurrect those values (rewrite the table first, e.g. compact)")
+          LanceFormat.mergeSchemas(m.schema, schema)
+        } else throw new IllegalArgumentException(
           s"append schema mismatch: table has ${m.schema.simpleString}, " +
             s"write has ${schema.simpleString} (set write.merge-schema=true " +
             "to evolve the table schema)")
       case Some(m) if !overwrite => m.schema
       case _ => schema
     }
-    LanceWrite.enforceConstraints(root, committedSchema, frags,
-      existing.map(_.checkConstraints).getOrElse(Map.empty))
+    if (!rowPreserving)
+      LanceWrite.enforceConstraints(root, committedSchema, frags,
+        existing.map(_.checkConstraints).getOrElse(Map.empty))
     if (overwrite) LanceFormat.commitOverwrite(fs, root, committedSchema, frags, epochId,
       operation = if (rowPreserving) "rewrite" else "overwrite")
     else LanceFormat.commitAppendIn(fs, lineageDir, committedSchema, frags, epochId)

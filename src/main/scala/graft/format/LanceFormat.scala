@@ -197,18 +197,28 @@ object LanceFormat {
   }
 
   /** Metadata-only schema change (ALTER TABLE): commit `schema` (and the
-    * updated dropped-name list) over the CURRENT fragment list. The
-    * retry loop re-reads the base per attempt, so a concurrent append's
-    * fragments are never lost; concurrent ALTERs are last-writer-wins
-    * like any catalog.
+    * updated dropped-name list) over the CURRENT fragment list.
+    * `expectedSchemaJson` is the base the caller derived its change FROM:
+    * if a concurrent commit changed the schema in between (merge-schema
+    * append, another ALTER), committing the caller's pre-computed schema
+    * would silently erase that evolution — the loop fails loud with
+    * ConcurrentModificationException instead, and the caller re-derives.
+    * Concurrent commits that do NOT touch the schema (plain appends)
+    * retry transparently, fragments re-read per attempt.
     */
   def commitAlter(fs: FileSystem, root: Path, schema: StructType,
       droppedColumns: Seq[String],
+      expectedSchemaJson: Option[String] = None,
       publisher: Option[ManifestPublisher] = None): Manifest = {
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatest(fs, root).getOrElse(
         throw new IllegalStateException(s"no dataset at $root"))
+      expectedSchemaJson.foreach { want =>
+        if (prev.schemaJson != want) throw new java.util.ConcurrentModificationException(
+          s"schema of $root changed concurrently during ALTER - re-run " +
+            "against the current schema")
+      }
       val m = Manifest(
         version = prev.version + 1,
         schemaJson = schema.json,
@@ -389,7 +399,19 @@ object LanceFormat {
   val TagsDir = "_tags"
   def tagsPath(root: Path) = new Path(root, TagsDir)
   private val TagNameRe = "[A-Za-z0-9][A-Za-z0-9._-]{0,127}".r
-  private def tagFile(root: Path, name: String) = new Path(tagsPath(root), s"$name.json")
+
+  /** Shared naming contract for tags, branches, and constraints — also
+    * the PATH-TRAVERSAL guard: names become file/directory components
+    * under the dataset root, so `/` and `..` shapes must never resolve
+    * (a `branch='../_versions'` would otherwise commit onto MAIN). Every
+    * surface that touches a named ref — create AND lookup — validates. */
+  def validateName(kind: String, name: String): String = {
+    require(TagNameRe.pattern.matcher(name).matches(),
+      s"invalid $kind name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*, <=128 chars)")
+    name
+  }
+  private def tagFile(root: Path, name: String) =
+    new Path(tagsPath(root), s"${validateName("tag", name)}.json")
 
   /** Create (or with `replace=true` move) tag `name` → `version`
     * (default: latest). Creation rides the same atomic-if-absent
@@ -399,8 +421,7 @@ object LanceFormat {
     */
   def writeTag(fs: FileSystem, root: Path, name: String,
       version: Option[Long] = None, replace: Boolean = false): TagInfo = {
-    require(TagNameRe.pattern.matcher(name).matches(),
-      s"invalid tag name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*, <=128 chars)")
+    validateName("tag", name)
     val v = version.getOrElse(latestVersion(fs, root).getOrElse(
       throw new IllegalArgumentException(s"no lance dataset at $root")))
     require(listVersions(fs, root).contains(v), s"no version $v at $root")
@@ -441,12 +462,14 @@ object LanceFormat {
   def deleteTag(fs: FileSystem, root: Path, name: String): Boolean =
     fs.delete(tagFile(root, name), false)
 
-  /** Metadata-only constraints change: commit the new rule set over the
-    * CURRENT fragment list (same retry discipline as [[commitAlter]]).
+  /** Metadata-only constraints change: `mutate` transforms the CURRENT
+    * rule set inside the retry loop — re-deriving per attempt is what
+    * keeps two concurrent add/drop_constraint calls from silently losing
+    * one edit (the lost-update shape commitAppend re-merges against).
     * Validation of existing data is the CALLER's job (facade).
     */
   def commitConstraints(fs: FileSystem, root: Path,
-      constraints: Map[String, String],
+      mutate: Map[String, String] => Map[String, String],
       publisher: Option[ManifestPublisher] = None): Manifest = {
     var attempt = 0
     while (attempt < 20) {
@@ -456,7 +479,7 @@ object LanceFormat {
         version = prev.version + 1,
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
-        constraints = Some(constraints).filter(_.nonEmpty))
+        constraints = Some(mutate(prev.checkConstraints)).filter(_.nonEmpty))
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
     }
@@ -483,7 +506,8 @@ object LanceFormat {
     */
   val BranchesDir = "_branches"
   def branchesPath(root: Path) = new Path(root, BranchesDir)
-  def branchPath(root: Path, name: String) = new Path(branchesPath(root), name)
+  def branchPath(root: Path, name: String) =
+    new Path(branchesPath(root), validateName("branch", name))
 
   /** Seed branch `name` from `fromVersion` (default: latest). The
     * branch's version numbering CONTINUES main's — its first manifest is
@@ -493,8 +517,7 @@ object LanceFormat {
     */
   def createBranch(fs: FileSystem, root: Path, name: String,
       fromVersion: Option[Long] = None): Long = {
-    require(TagNameRe.pattern.matcher(name).matches(),
-      s"invalid branch name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*, <=128 chars)")
+    validateName("branch", name)
     val v = fromVersion.getOrElse(latestVersion(fs, root).getOrElse(
       throw new IllegalArgumentException(s"no lance dataset at $root")))
     require(listVersions(fs, root).contains(v), s"no version $v at $root")
@@ -544,7 +567,7 @@ object LanceFormat {
         s"branch forked at v$base — divergent histories need a merge, " +
         "which this format does not support")
     val head = readManifestIn(fs, bp, vs.last)
-    val m = commit(fs, root, Manifest(
+    val m = Manifest(
       version = mainLatest.version + 1,
       schemaJson = head.schemaJson,
       fragments = head.fragments,
@@ -552,7 +575,17 @@ object LanceFormat {
       committedAtMs = System.currentTimeMillis(),
       operation = Some("fast-forward"),
       droppedColumns = head.droppedColumns,
-      constraints = head.constraints))
+      constraints = head.constraints)
+    // ONE commitOnce attempt, never the version-bumping commit() retry: a
+    // concurrent main append winning the race means the precondition no
+    // longer holds, and retrying at the next number would publish the
+    // branch's fragment list OVER the append — a silent lost update.
+    // Losing the race fails loud instead; the caller re-runs and hits the
+    // divergence message above.
+    if (!commitOnce(fs, root, m, None))
+      throw new java.util.ConcurrentModificationException(
+        s"cannot fast-forward '$name': main advanced concurrently past " +
+          s"v${mainLatest.version} — histories are now divergent")
     (vs.last, m.version)
   }
 

@@ -58,6 +58,20 @@ class BranchSpec extends AnyFunSuite {
       spark.read.format("lance").option("branch", "nope").load(dir).count()
     }
     assert(e.getMessage.contains("no branch 'nope'"), e.getMessage)
+    // path-traversal shapes are refused at the NAME level on both the
+    // read and write surfaces — '../_versions' must never resolve to main
+    val trav = intercept[Exception] {
+      spark.read.format("lance").option("branch", "../_versions").load(dir).count()
+    }
+    assert(trav.getMessage.contains("invalid branch name"), trav.getMessage)
+    val travW = intercept[Exception] {
+      Seq((8L, "t")).toDF("id", "s")
+        .write.format("lance").option("write.branch", "../_versions")
+        .mode("append").save(dir)
+    }
+    assert(travW.getMessage.contains("invalid branch name") ||
+      Option(travW.getCause).exists(_.getMessage.contains("invalid branch name")),
+      travW.getMessage)
     assert(Lance.deleteBranch(spark, dir, "exp"))
     assert(Lance.branches(spark, dir).isEmpty)
   }

@@ -121,6 +121,12 @@ class ConstraintSpec extends AnyFunSuite {
       assert(e.getMessage.contains("v_pos") ||
         Option(e.getCause).exists(_.getMessage.contains("v_pos")), e.getMessage)
       assert(s.sql("SELECT COUNT(*) FROM lance_ck.db.t").collect().head.getLong(0) == 1)
+      // DROP COLUMN of a constraint-referenced column is refused (the
+      // alternative is a write-bricked table failing analysis on every
+      // later commit)
+      val dropRef = intercept[Exception](
+        s.sql("ALTER TABLE lance_ck.db.t DROP COLUMN v"))
+      assert(dropRef.getMessage.contains("drop_constraint first"), dropRef.getMessage)
       assert(s.sql("CALL lance_ck.drop_constraint('db.t', 'v_pos')")
         .collect().head.getBoolean(0))
       s.sql("INSERT INTO lance_ck.db.t VALUES (2, -1.0)")

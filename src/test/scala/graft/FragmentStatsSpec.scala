@@ -339,6 +339,16 @@ class FragmentStatsSpec extends AnyFunSuite {
       val e = intercept[Exception](
         s.sql("ALTER TABLE lance_drop.db.t ADD COLUMN v DOUBLE"))
       assert(e.getMessage.contains("resurrect"), e.getMessage)
+      // the guard covers EVERY widening surface: merge-schema append of
+      // the dropped name is refused too (same resurrection hazard)
+      val e1b = intercept[Exception] {
+        Seq((7L, "g", 9.9)).toDF("id", "s", "v")
+          .write.format("lance").option("write.merge-schema", "true")
+          .mode("append").save(root.toString)
+      }
+      assert(e1b.getMessage.contains("resurrect") ||
+        Option(e1b.getCause).exists(_.getMessage.contains("resurrect")),
+        e1b.getMessage)
       // a different name is fine; dropping a missing column fails loud
       s.sql("ALTER TABLE lance_drop.db.t ADD COLUMN w DOUBLE")
       // Spark's analyzer resolves the column before the catalog is asked
