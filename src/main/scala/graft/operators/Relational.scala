@@ -423,6 +423,20 @@ object Relational {
         |FROM documents_q56 ORDER BY doc_id""".stripMargin)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (q57) — the modern analyst shorthand
+    * (SQL:2023-adjacent, in Spark 4 and DuckDB alike): every
+    * non-aggregate select item groups, every output column orders. Same
+    * partial+final hash aggregation as an explicit list — this gate pins
+    * that both engines RESOLVE the shorthand to the same columns.
+    */
+  def q57GroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_q57")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_q57 GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
   /** Deterministic hash sampling — the reproducible train/eval split a
     * training pipeline needs (no RNG, no seed drift across engines):
     * md5(key) mod 10 picks a stable 10% of documents.
@@ -962,6 +976,7 @@ object Relational {
     "q54_listagg" -> q54ListAgg,
     "q55_time_decay" -> q55TimeDecay,
     "q56_higher_order" -> q56HigherOrder,
+    "q57_group_by_all" -> q57GroupByAll,
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
     "q35_pivot" -> q35Pivot,
@@ -1139,6 +1154,10 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q57_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
     "q56_higher_order" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(str_split(text, ' '), w -> length(w) > 5)) AS BIGINT) AS n_long,

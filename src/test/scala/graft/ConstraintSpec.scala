@@ -78,6 +78,26 @@ class ConstraintSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(dir).count() == 2)
   }
 
+  test("branch appends enforce the branch's rules (carried at fork)") {
+    val dir = tmpDir()
+    Seq((1L, 5.0)).toDF("id", "v").write.format("lance").mode("overwrite").save(dir)
+    Lance.addConstraint(spark, dir, "v_pos", "v > 0.0")
+    Lance.createBranch(spark, dir, "exp")
+    // good branch append passes; violating one is refused on the branch
+    Seq((2L, 7.0)).toDF("id", "v")
+      .write.format("lance").option("write.branch", "exp").mode("append").save(dir)
+    val e = intercept[Exception] {
+      Seq((3L, -1.0)).toDF("id", "v")
+        .write.format("lance").option("write.branch", "exp").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("v_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("v_pos")), e.getMessage)
+    assert(spark.read.format("lance").option("branch", "exp").load(dir).count() == 2)
+    // fast-forward adopts only validated rows
+    Lance.fastForward(spark, dir, "exp")
+    assert(spark.read.format("lance").load(dir).count() == 2)
+  }
+
   test("streamed epochs are enforced: a violating micro-batch fails the stream") {
     val src = tmpDir()
     val dst = tmpDir()
