@@ -78,6 +78,30 @@ class ConstraintSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(dir).count() == 2)
   }
 
+  test("concurrent add/drop constraint: both edits survive (no lost update)") {
+    val dir = tmpDir()
+    Seq((1L, 5.0)).toDF("id", "v").write.format("lance").mode("overwrite").save(dir)
+    Lance.addConstraint(spark, dir, "a", "v > 0.0")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // one session drops 'a' while another adds 'b' — the mutate-per-retry
+    // commit discipline must land BOTH edits regardless of interleaving
+    val t1 = new Thread(() => {
+      barrier.await()
+      try Lance.dropConstraint(spark, dir, "a")
+      catch { case e: Throwable => errs.add(e) }
+    })
+    val t2 = new Thread(() => {
+      barrier.await()
+      try Lance.addConstraint(spark, dir, "b", "id > 0")
+      catch { case e: Throwable => errs.add(e) }
+    })
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    assert(errs.isEmpty, s"concurrent constraint edits failed: ${errs.toArray.mkString}")
+    assert(Lance.constraints(spark, dir) == Map("b" -> "id > 0"),
+      "drop of 'a' AND add of 'b' must both survive the race")
+  }
+
   test("branch appends enforce the branch's rules (carried at fork)") {
     val dir = tmpDir()
     Seq((1L, 5.0)).toDF("id", "v").write.format("lance").mode("overwrite").save(dir)
