@@ -192,20 +192,29 @@ object Bench {
     * ours) — keep it SHORT: 1-decimal seconds and SHORT query ids ("q01",
     * "v26p"); full names + [min,max] spreads ride the [bench-spread]
     * lines ABOVE it. ~750 chars total leaves room for ~80 more queries. */
-  private def printJsonLine(results: Seq[(String, Double)]): Unit = {
+  private def printJsonLine(results: Seq[(String, Double)]): Unit =
+    println(jsonLine(results,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
+
+  /** Pure line builder (unit-testable). `failed` counts -1 medians —
+    * a crashed child/query makes the headline total SMALLER (only
+    * non-negative medians sum), so without the count a failure would
+    * read as a speedup in the driver's parsed line. failed must be 0 on
+    * a healthy run. */
+  private[graft] def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
     require(results.map(r => shortId(r._1)).distinct.size == results.size,
       "short query ids collide; fix the new query's id prefix")
     val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val failed = results.count(_._2 < 0)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val line =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: stdout JSON line is ${line.length} chars; " +
         "the driver's 2000-char tail window is nearly blown - shrink the line " +
         "before adding more queries")
-    println(line)
+    line
   }
 }

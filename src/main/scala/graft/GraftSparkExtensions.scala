@@ -283,10 +283,23 @@ object MetaTvfs {
       // KNN-result hydration / sample inspection without a scan
       // (Lance's take, graft.Lance.take; ids are per-version addresses)
       case "lance_take" =>
-        require(args.size >= 2, "lance_take(path, rowId[, rowId ...])")
-        val ids = args.drop(1).map(a =>
-          literalString(a, "lance_take: rowId").toLong)
-        graft.Lance.take(spark, path, ids)
+        require(args.size >= 2,
+          "lance_take(path[, 'version=N'], rowId[, rowId ...])")
+        // row ids are PER-VERSION addresses (compaction/DML renumber
+        // them): an optional 'version=N' second argument pins the version
+        // the ids were minted against — without it, ids resolved against
+        // an older snapshot silently address different rows today
+        val second = literalString(args(1), "lance_take: arg")
+        val versionRe = "(?i)version=(\\d+)".r
+        val (version, idArgs) = second match {
+          case versionRe(v) =>
+            require(args.size >= 3,
+              "lance_take(path, 'version=N', rowId[, rowId ...])")
+            (Some(v.toLong), args.drop(2))
+          case _ => (None, args.drop(1))
+        }
+        val ids = idArgs.map(a => literalString(a, "lance_take: rowId").toLong)
+        graft.Lance.take(spark, path, ids, version)
       // BM25 over the persisted inverted index (graft.index.FtsIndex) —
       // the scalar-index sibling of the vector_search TVF
       case "lance_fts" =>

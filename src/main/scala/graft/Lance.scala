@@ -125,6 +125,21 @@ object Lance {
     IvfIndex.searchJoin(spark, datasetPath, vectorCol, queries, queryIdCol,
       k, nprobes, metric, geometry)
 
+  /** Index-accelerated LATE INTERACTION (ColBERT maxsim): rank multi-
+    * vector documents by `Σ_q max_v ⟨q,v⟩` — candidate docs generated
+    * from the IVF index's probed buckets (optionally capped to the top
+    * `candidatesPerQuery` docs per query vector), then the exact
+    * two-hash-agg rerank over candidates' vectors only. `docId` groups
+    * the indexed table's vectors into documents. Full probe + no cap =
+    * exactly the flat-scan maxsim (oracle-gated, v43).
+    */
+  def maxSim(spark: SparkSession, datasetPath: String, vectorCol: String,
+      docId: Column, queryVecs: Seq[Array[Float]], k: Int,
+      nprobes: Int = 20, candidatesPerQuery: Int = 0,
+      filter: Option[Column] = None): DataFrame =
+    IvfIndex.maxSim(spark, datasetPath, vectorCol, docId, queryVecs, k,
+      nprobes, candidatesPerQuery, filter)
+
   /** Build an IVF_PQ index (reference index.num-sub-vectors/num-bits).
     * All three metrics supported: cosine trains/encodes on normalized
     * vectors, dot decomposes the inner product in the ADC table.
@@ -257,11 +272,20 @@ object Lance {
     val F = org.apache.spark.sql.functions
     val startByFile = F.map(needed.flatMap { case (f, start, _) =>
       Seq(F.lit(f), F.lit(start)) }: _*)
+    // input_file_name() is URI-ENCODED: decode the last path segment
+    // before the manifest-name lookup, and fail LOUD on a miss — a null
+    // start would otherwise null _rowid and the isin filter would
+    // silently DROP the row (wrong result, not an error). Decoding can
+    // itself mismatch on exotic names ('+' is literal in a URI path but
+    // decodes to a space); the guard turns that into a loud error too.
+    val seg = F.url_decode(F.element_at(F.split(F.input_file_name(), "/"), -1))
+    val start = F.element_at(startByFile, seg)
     spark.read.schema(m.schema).parquet(files: _*)
       .withColumn("_rowid",
-        F.element_at(startByFile,
-          F.element_at(F.split(F.input_file_name(), "/"), -1)) +
-          F.col("_metadata.row_index"))
+        F.when(start.isNull, F.raise_error(F.concat(
+          F.lit("lance take: fragment file name lookup failed for "),
+          F.input_file_name())))
+          .otherwise(start + F.col("_metadata.row_index")))
       .filter(F.col("_rowid").isin(ids: _*))
       .orderBy("_rowid")
   }

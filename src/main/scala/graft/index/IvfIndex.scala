@@ -671,6 +671,117 @@ object IvfIndex {
       .withColumnRenamed("__q_id", "query_id")
   }
 
+  /** Index-accelerated LATE INTERACTION (ColBERT maxsim): score multi-
+    * vector documents against a multi-vector query —
+    * `score(doc) = Σ_q max_v ⟨q, v⟩` — WITHOUT rescanning the whole
+    * vector table per query (the v42 flat scan's 100 TB scale-killer).
+    *
+    * Two phases, both distributed:
+    *
+    *  1. CANDIDATE GENERATION — each query vector ranks the broadcastable
+    *     centroid table on the driver and probes its `nprobes` nearest
+    *     buckets (the union over query vectors); candidate doc ids are
+    *     the DISTINCT `docId` values inside those probed buckets — a
+    *     directory-pruned scan of `≤ union-probes/numPartitions` of the
+    *     data. With `candidatesPerQuery > 0` the set narrows further to
+    *     the top-c docs per query vector by single-vector dot (ColBERT's
+    *     own retrieval step), bounding phase 2's work independently of
+    *     probe width.
+    *  2. EXACT RERANK — the full bucket table LEFT SEMI-joins the
+    *     candidate ids (a pushable equi-join: candidate sets are small
+    *     after capping, so AQE broadcasts them), then the exact
+    *     two-hash-agg maxsim runs over ONLY candidates' vectors: one
+    *     codegen'd dot per (candidate vector × query vector),
+    *     max-per-(doc, query vector), sum-per-doc, top-k.
+    *
+    * Buckets are probed under the DOT ranking regardless of the index's
+    * assignment metric (the standard MIPS-over-L2-buckets approximation,
+    * [[centroidDist]]); with `nprobes = numPartitions` and no cap, every
+    * doc is a candidate and the result is EXACTLY the flat-scan maxsim —
+    * the v43 gate's oracle equivalence. Scores are the same sequential
+    * double accumulation as the flat path, rounded to 6 decimals before
+    * ordering (the v42 determinism contract).
+    *
+    * `docId` is an expression over the indexed table's columns grouping
+    * vectors into documents (e.g. `expr("vec_id div 4")` or a doc_id
+    * column); `filter` pre-filters both phases (V3 semantics).
+    */
+  def maxSim(spark: SparkSession, datasetPath: String, column: String,
+      docId: org.apache.spark.sql.Column, queryVecs: Seq[Array[Float]],
+      k: Int, nprobes: Int = 20, candidatesPerQuery: Int = 0,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(queryVecs.nonEmpty, "maxSim needs at least one query vector")
+    require(k > 0, "k must be positive")
+    val meta = loadMeta(spark, datasetPath, column)
+    checkFreshness(spark, datasetPath, meta)
+    val qs = queryVecs.map { q =>
+      validateQueryVector(q)
+      require(q.length == meta.dim,
+        s"query dim ${q.length} != index dim ${meta.dim}")
+      q.map(_.toDouble)
+    }
+    val probes = math.min(nprobes, meta.numPartitions)
+    // union of each query vector's probe set, ranked by DOT (maxsim's
+    // scoring metric) against the driver-local centroids
+    val probed = qs.flatMap { q =>
+      meta.centroids.zipWithIndex
+        .map { case (c, i) => (centroidDist(q, c.toArray, "dot"), i) }
+        .sortBy(_._1).take(probes).map(_._2)
+    }.distinct
+    val buckets = spark.read.parquet(s"${indexPath(datasetPath, column)}/buckets")
+    val base = filter.fold(buckets)(buckets.filter)
+
+    // broadcast query-vector table: (q_id, q_vec) — a late-interaction
+    // query holds tens of vectors, driver-small by definition
+    val qRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(qs.zipWithIndex.map { case (q, i) =>
+        org.apache.spark.sql.Row(i, q.toSeq) }: _*)
+    val qSchema = new org.apache.spark.sql.types.StructType()
+      .add("__q_id", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("__q_vec", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)
+    val qdf = broadcast(spark.createDataFrame(qRows, qSchema))
+
+    // phase 1: candidate docs from the probed buckets only
+    val probedScan = base
+      .filter(col("__ivf_part").isin(probed.map(Integer.valueOf): _*))
+      .withColumn("__doc", docId)
+    val cands =
+      if (candidatesPerQuery <= 0) probedScan.select(col("__doc")).distinct()
+      else {
+        // top-c docs PER QUERY VECTOR by best single-vector dot: a window
+        // over per-(doc, q) maxima — candidate volume ≤ c × |queryVecs|
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__q_id"))
+          .orderBy(col("__best").desc, col("__doc"))
+        probedScan.crossJoin(qdf)
+          .select(col("__doc"), col("__q_id"),
+            dot_product(col(column), col("__q_vec")).as("__dot"))
+          .groupBy(col("__doc"), col("__q_id"))
+          .agg(max(col("__dot")).as("__best"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= candidatesPerQuery)
+          .select(col("__doc")).distinct()
+      }
+
+    // phase 2: exact maxsim over ONLY candidates' vectors (all of a
+    // candidate doc's vectors, wherever they live — the semi-join scans
+    // the bucket table once; a capped candidate set broadcasts)
+    base.withColumn("__doc", docId)
+      .join(cands, Seq("__doc"), "left_semi")
+      .crossJoin(qdf)
+      .select(col("__doc"), col("__q_id"),
+        dot_product(col(column), col("__q_vec")).as("__dot"))
+      .groupBy(col("__doc"), col("__q_id"))
+      .agg(max(col("__dot")).as("__best"))
+      .groupBy(col("__doc"))
+      .agg(round(sum(col("__best")), 6).as("maxsim"),
+        count(lit(1)).as("n_q"))
+      .withColumnRenamed("__doc", "doc")
+      .orderBy(col("maxsim").desc, col("doc"))
+      .limit(k)
+  }
+
   /** The ADC lookup table under the scoring metric, flattened to one array
     * (m × 2^bits): squared L2 from each query subvector to every codebook
     * centroid for `l2`; the same on the NORMALIZED query for `cosine`

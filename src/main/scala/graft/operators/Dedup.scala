@@ -773,16 +773,35 @@ object Dedup {
         (math.log(sz.toDouble / maxRows) / math.log(2)).ceil.toInt))
     val bcBits = spark.sparkContext.broadcast(hot.map { case (c, sz) => c -> bitsFor(sz) })
     val srpSeed = seed
+    // The ±1 hyperplane weights depend only on (bit, dim index, seed) —
+    // hash ONCE on the driver (maxBits × dim booleans, KB-sized) and
+    // broadcast, instead of re-hashing bits × dim times PER ROW inside
+    // the UDF (a constant-factor tax on exactly the pathological corpora
+    // this guard exists for). Same MurmurHash3 inputs → same signs →
+    // the split ids are bit-identical to the per-row-hashing version
+    // (DedupGuardSpec pins them).
+    val maxBits = hot.values.map(bitsFor).max
+    val dim = assigned.select(size(col("__vn"))).head().getInt(0)
+    val weights: Array[Array[Boolean]] = Array.tabulate(maxBits, dim) { (j, i) =>
+      (scala.util.hashing.MurmurHash3.productHash((j, i, srpSeed)) & 1) == 0
+    }
+    val bcW = spark.sparkContext.broadcast(weights)
     val srp = udf { (c: Long, v: Seq[Double]) =>
       bcBits.value.get(c) match {
         case None => 0
         case Some(b) =>
+          val w = bcW.value
           var sub = 0; var j = 0
           while (j < b) {
+            val wj = w(j)
             var acc = 0.0; var i = 0
             while (i < v.length) {
-              val h = scala.util.hashing.MurmurHash3.productHash((j, i, srpSeed))
-              acc += (if ((h & 1) == 0) v(i) else -v(i)); i += 1
+              // ragged rows longer than the sampled dim (shouldn't happen
+              // on a vector column) fall back to the identical per-(j,i)
+              // hash, preserving exact pre-precompute behavior
+              val pos = if (i < wj.length) wj(i)
+                else (scala.util.hashing.MurmurHash3.productHash((j, i, srpSeed)) & 1) == 0
+              acc += (if (pos) v(i) else -v(i)); i += 1
             }
             sub = (sub << 1) | (if (acc >= 0) 1 else 0); j += 1
           }

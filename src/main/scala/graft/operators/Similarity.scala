@@ -78,9 +78,13 @@ object Similarity {
     * matching doc vector. Plan shape: the query's 4 vectors broadcast
     * against the flat vector table (one codegen'd dot per pair), then
     * max-per-(doc, query-vector) and sum-per-doc ride two hash
-    * aggregations — no all-pairs doc join, linear in stored vectors, the
-    * same shape at 100 TB with the IVF bucket join replacing the flat
-    * scan. Dots are sequential double accumulation on both engines
+    * aggregations — no all-pairs doc join, linear in stored vectors. At
+    * 100 TB this flat scan survives ONLY as the oracle/reference path:
+    * production late interaction runs [[v43MaxSimIndexed]] /
+    * [[graft.index.IvfIndex.maxSim]], which generates candidates from the
+    * IVF index and reranks exactly over candidates alone (v43 gates
+    * full-probe == this flat scan). Dots are sequential double
+    * accumulation on both engines
     * (bit-identical, the v23 contract); only the final 4-term sum is
     * order-sensitive, rounded to 6 decimals.
     */
@@ -99,6 +103,60 @@ object Similarity {
       .agg(round(sum(col("best")), 6).as("maxsim"), count(lit(1)).as("n_q"))
       .orderBy(col("maxsim").desc, col("mv_doc"))
       .limit(10)
+  }
+
+  /** The 4 query vectors of the v42/v43 late-interaction gates (mv_doc 0 =
+    * vec_ids 0..3), fetched driver-side — a late-interaction query is
+    * driver-small by definition.
+    */
+  private def maxSimQueryVecs(spark: SparkSession, dir: String): Seq[Array[Float]] =
+    t(spark, dir, "embeddings").filter(col("vec_id") < 4)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+
+  /** Index-accelerated maxsim (v43): the [[v42MaxSim]] semantics served
+    * by [[graft.index.IvfIndex.maxSim]] — candidate docs from the probed
+    * IVF buckets, exact two-hash-agg rerank over candidates only. FULL
+    * probing (nprobes = all 8) makes every doc a candidate, so the result
+    * is EXACTLY the flat scan — the gate carries v42's own oracle, proving
+    * the index path and the flat path can never diverge (the v25
+    * equivalence pattern). At scale the flat scan survives only as this
+    * oracle; production late interaction probes partially ([[
+    * v43rMaxSimPartial]]).
+    */
+  def v43MaxSimIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = ensureIvf(spark, dir)
+    IvfIndex.maxSim(spark, dest, "embedding", expr("vec_id div 4"),
+        maxSimQueryVecs(spark, dir), k = 10, nprobes = 8,
+        filter = Some(expr("vec_id div 4 <> 0")))
+      .withColumnRenamed("doc", "mv_doc")
+  }
+
+  /** Genuinely APPROXIMATE late interaction (v43r): HALF the buckets
+    * probed (4 of 8) AND the candidate set capped to the top-32 docs per
+    * query vector by single-vector dot (ColBERT's retrieval step) — the
+    * production configuration at 100 TB, where phase 2's rerank cost is
+    * bounded by the cap, not the corpus. The gate measures overlap of the
+    * top-10 docs against the exact flat-scan maxsim; measured 10/10 at
+    * sf0.01 and sf0.1, asserted ≥ 7 (the v26p pattern: a real
+    * candidate-generation regression reddens the row, run-to-run
+    * determinism keeps it stable).
+    */
+  def v43rMaxSimPartial(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = ensureIvf(spark, dir)
+    val annDocs = IvfIndex.maxSim(spark, dest, "embedding",
+        expr("vec_id div 4"), maxSimQueryVecs(spark, dir), k = 10,
+        nprobes = 4, candidatesPerQuery = 32,
+        filter = Some(expr("vec_id div 4 <> 0")))
+      .select(col("doc"))
+    val exactDocs = v42MaxSim(spark, dir).select(col("mv_doc").as("doc"))
+    annDocs.join(exactDocs, "doc")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(10).as("k"), lit(4).as("nprobes"),
+        (col("n_overlap") >= 7).as("recall_ok"))
   }
 
   /** Per-label centroid-ish stats over vector norms: exercises the distance
@@ -742,6 +800,8 @@ object Similarity {
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
     "v42_maxsim" -> v42MaxSim,
+    "v43_maxsim_indexed" -> v43MaxSimIndexed,
+    "v43r_maxsim_partial" -> v43rMaxSimPartial,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -893,17 +953,15 @@ object Similarity {
         |     i -> e.embedding[i]::DOUBLE * q.qv[i])) AS dist
         |FROM embeddings e, q
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
-    "v42_maxsim" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, vec_id // 4 AS mv_doc
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM v WHERE mv_doc = 0),
-        |d AS (SELECT v.mv_doc, q.q_id,
-        |  list_sum(list_transform(generate_series(1, len(v.emb)),
-        |    i -> v.emb[i] * q.q_vec[i])) AS dot
-        |  FROM v CROSS JOIN q WHERE v.mv_doc <> 0),
-        |m AS (SELECT mv_doc, q_id, MAX(dot) AS best FROM d GROUP BY mv_doc, q_id)
-        |SELECT mv_doc, ROUND(SUM(best), 6) AS maxsim, COUNT(*) AS n_q
-        |FROM m GROUP BY mv_doc ORDER BY maxsim DESC, mv_doc LIMIT 10""".stripMargin,
+    "v42_maxsim" -> maxSimOracleSql,
+    // v43 = the SAME semantics through the index path at full probe — one
+    // oracle definition, so flat scan and index rerank can never diverge
+    "v43_maxsim_indexed" -> maxSimOracleSql,
+    // planted outcome: measured 10/10 overlap at sf0.01 and sf0.1 under
+    // nprobes=4 + candidatesPerQuery=32, asserted >= 7 (v26p stability
+    // argument)
+    "v43r_maxsim_partial" ->
+      "SELECT 10 AS k, 4 AS nprobes, true AS recall_ok",
     "v23_dot_similarity" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
         |SELECT e.vec_id,
@@ -923,4 +981,16 @@ object Similarity {
         |     i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS max_norm2
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
   )
+
+  private lazy val maxSimOracleSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, vec_id // 4 AS mv_doc
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM v WHERE mv_doc = 0),
+      |d AS (SELECT v.mv_doc, q.q_id,
+      |  list_sum(list_transform(generate_series(1, len(v.emb)),
+      |    i -> v.emb[i] * q.q_vec[i])) AS dot
+      |  FROM v CROSS JOIN q WHERE v.mv_doc <> 0),
+      |m AS (SELECT mv_doc, q_id, MAX(dot) AS best FROM d GROUP BY mv_doc, q_id)
+      |SELECT mv_doc, ROUND(SUM(best), 6) AS maxsim, COUNT(*) AS n_q
+      |FROM m GROUP BY mv_doc ORDER BY maxsim DESC, mv_doc LIMIT 10""".stripMargin
 }
