@@ -506,6 +506,30 @@ object Lance {
     graft.format.LanceFormat.fastForward(fs, root, name)
   }
 
+  /** Rebase an append-only branch onto main's CURRENT head — the case
+    * [[fastForward]] refuses (main advanced past the branch point).
+    * Append-only fragments cannot conflict, so the branch-only fragment
+    * list is re-committed on top of main in ONE metadata commit — after
+    * proving main's CURRENT CHECK constraints (possibly stricter than the
+    * fork-time rules the branch enforced) hold over the branch-only rows,
+    * and that no dropped-on-main column resurrects. A non-append branch
+    * history, a constraint violation, or a concurrent main commit all
+    * refuse loudly; re-run after inspecting. Returns
+    * (branchHeadVersion, newMainVersion). The branch is left untouched —
+    * delete it once adopted.
+    */
+  def rebaseBranch(spark: SparkSession, path: String, name: String): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.rebaseBranch(fs, root, name,
+      validate = { (mergedSchema, branchOnly) =>
+        val rules = graft.format.LanceFormat.readLatest(fs, root)
+          .map(_.checkConstraints).getOrElse(Map.empty)
+        graft.connector.LanceWrite.enforceConstraints(
+          root, mergedSchema, branchOnly, rules)
+      })
+  }
+
   /** RESTORE (Delta `RESTORE TABLE` parity): make the CURRENT table state
     * equal `version`'s fragment list, committed as a NEW version —
     * history is preserved (time travel to the undone versions still

@@ -292,6 +292,7 @@ object LanceCatalog {
       "build_scalar_index", "refresh_scalar_index",
       "drop_index", "update_where", "upsert", "remove_orphans", "restore",
       "tag", "untag", "create_branch", "drop_branch", "fast_forward",
+      "rebase_branch",
       "add_constraint", "drop_constraint")
 }
 
@@ -353,6 +354,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "create_branch" => "seed an append-only branch lineage from a version (O(1 manifest), no data copy)"
     case "drop_branch" => "delete a branch; its unshared data becomes GC-reclaimable"
     case "fast_forward" => "adopt the branch head on main as one commit (only if main has not moved)"
+    case "rebase_branch" => "re-commit an append-only branch's fragments onto main's CURRENT head (the diverged case fast_forward refuses)"
     case "add_constraint" => "add a CHECK constraint (validates existing data; every commit re-validates its batch)"
     case "drop_constraint" => "drop a CHECK constraint"
     case _ => "delta-index fragments appended since the IVF index was built"
@@ -409,6 +411,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "drop_branch" => Array(in("table", StringType).build(),
       in("name", StringType).build())
     case "fast_forward" => Array(in("table", StringType).build(),
+      in("name", StringType).build())
+    case "rebase_branch" => Array(in("table", StringType).build(),
       in("name", StringType).build())
     case "add_constraint" => Array(in("table", StringType).build(),
       in("name", StringType).build(),
@@ -515,6 +519,12 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           new GenericInternalRow(Array[Any](existed)))
       case "fast_forward" =>
         val (head, newV) = graft.Lance.fastForward(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("branch_head", LongType, nullable = false)
+          .add("new_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](head, newV)))
+      case "rebase_branch" =>
+        val (head, newV) = graft.Lance.rebaseBranch(spark, path,
           input.getUTF8String(1).toString)
         (new StructType().add("branch_head", LongType, nullable = false)
           .add("new_version", LongType, nullable = false),

@@ -589,6 +589,102 @@ object LanceFormat {
     (vs.last, m.version)
   }
 
+  /** Rebase an APPEND-ONLY branch onto main's CURRENT head — the merge
+    * case [[fastForward]] refuses: main advanced past the branch point.
+    * Append-only lineages cannot conflict (no branch commit removed or
+    * rewrote a fragment both sides share), so adoption is "re-commit the
+    * branch-only fragment list on top of main's head" — one metadata
+    * commit, no data copy, the 100 TB "experiment on a branch while
+    * production keeps ingesting, then land it" workflow.
+    *
+    * Safety proofs, all loud refusals:
+    *  - every branch commit since the fork must be an `append` that only
+    *    ADDED fragments — any DML / overwrite / compaction on the branch
+    *    lineage is a real merge and is refused;
+    *  - the branch head's schema must merge cleanly into MAIN's current
+    *    schema ([[mergeSchemas]]), and a branch column whose name main
+    *    has since DROPPED is refused (the resurrection guard — old
+    *    fragments still hold the dropped values);
+    *  - `validate` runs over the branch-only fragments BEFORE the commit
+    *    (the facade proves MAIN's current CHECK constraints there, which
+    *    may be stricter than the fork-time rules the branch enforced);
+    *  - ONE `commitOnce` attempt at exactly mainHead+1, never a
+    *    version-bump retry (the fastForward race lesson): if main moved
+    *    after the proofs — including a concurrent add_constraint, which
+    *    commits a version — the rebase fails loud with
+    *    [[java.util.ConcurrentModificationException]] and the caller
+    *    re-runs against the new state.
+    *
+    * Idempotent: branch-only fragments already present on main (a prior
+    * rebase landed, the caller re-ran) are skipped; nothing new → no
+    * commit. The branch itself is left untouched — delete it once its
+    * work is adopted. Returns (branchHeadVersion, newMainVersion).
+    */
+  def rebaseBranch(fs: FileSystem, root: Path, name: String,
+      validate: (StructType, Seq[FragmentMeta]) => Unit = (_, _) => ())
+      : (Long, Long) = {
+    val bp = branchPath(root, name)
+    require(fs.exists(bp), s"no branch '$name' at $root")
+    val vs = listVersionsIn(fs, bp)
+    require(vs.nonEmpty, s"branch '$name' at $root has no manifests")
+    val base = vs.head
+    val mainLatest = readLatest(fs, root).getOrElse(
+      throw new IllegalStateException(s"no dataset at $root"))
+    if (vs.last == base) return (base, mainLatest.version) // nothing to adopt
+    // prove the branch lineage is append-only since the fork
+    var prev = readManifestIn(fs, bp, base).fragments
+    vs.filter(_ > base).foreach { v =>
+      val m = readManifestIn(fs, bp, v)
+      require(m.operation.contains("append"),
+        s"cannot rebase '$name': branch v$v is a " +
+          s"${m.operation.getOrElse("pre-operation-field")} commit, not an " +
+          "append - non-append branch histories need a merge, which this " +
+          "format does not support")
+      val curFiles = m.fragments.map(_.file).toSet
+      val removed = prev.filterNot(f => curFiles.contains(f.file))
+      require(removed.isEmpty,
+        s"cannot rebase '$name': branch v$v removed fragment(s) " +
+          s"${removed.map(_.file).mkString(", ")} - not append-only")
+      prev = m.fragments
+    }
+    val head = readManifestIn(fs, bp, vs.last)
+    val baseFiles = readManifestIn(fs, bp, base).fragments.map(_.file).toSet
+    val mainFiles = mainLatest.fragments.map(_.file).toSet
+    val branchOnly = head.fragments.filterNot(f =>
+      baseFiles.contains(f.file) || mainFiles.contains(f.file))
+    if (branchOnly.isEmpty) return (vs.last, mainLatest.version) // idempotent
+    // schema union against MAIN's CURRENT schema, with the resurrection
+    // guard (a branch column main has since dropped must not come back)
+    val resurrected = head.schema.fieldNames.toSet
+      .diff(mainLatest.schema.fieldNames.toSet)
+      .intersect(mainLatest.dropped.toSet)
+    require(resurrected.isEmpty,
+      s"cannot rebase '$name': column(s) ${resurrected.mkString(", ")} were " +
+        "DROPPED on main after the fork and old fragments still hold their " +
+        "data - rebasing would resurrect those values")
+    val merged = mergeSchemas(mainLatest.schema, head.schema)
+    validate(merged, branchOnly)
+    val nextId = mainLatest.fragments.map(_.id).maxOption.getOrElse(-1) + 1
+    val renumbered = branchOnly.zipWithIndex.map { case (f, i) =>
+      f.copy(id = nextId + i) }
+    val m = Manifest(
+      version = mainLatest.version + 1,
+      schemaJson = merged.json,
+      fragments = mainLatest.fragments ++ renumbered,
+      epochId = mainLatest.epochId,
+      committedAtMs = System.currentTimeMillis(),
+      // adds-only: changefeed readers emit the adopted fragments as
+      // inserts, exactly like an append (no fragment is ever dropped)
+      operation = Some("rebase"),
+      droppedColumns = mainLatest.droppedColumns,
+      constraints = mainLatest.constraints)
+    if (!commitOnce(fs, root, m, None))
+      throw new java.util.ConcurrentModificationException(
+        s"cannot rebase '$name': main advanced concurrently past " +
+          s"v${mainLatest.version} - re-run against the new state")
+    (vs.last, m.version)
+  }
+
   /** Every fragment file any branch manifest references (GC roots). */
   private def branchReferencedFiles(fs: FileSystem, root: Path): Set[String] = {
     val bp = branchesPath(root)

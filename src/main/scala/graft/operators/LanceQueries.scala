@@ -1275,6 +1275,40 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Append-only branch REBASE (s97): fork `exp`, append to BOTH
+    * lineages — main keeps ingesting while the experiment runs, the
+    * exact case [[graft.Lance.fastForward]] refuses forever — then
+    * rebase: the branch-only fragments are re-committed on top of
+    * main's CURRENT head in one metadata commit (no data copy, main's
+    * current constraints re-proven). The gate aggregates post-rebase
+    * main = the union of both lineages' appends; non-append refusal,
+    * idempotence, constraint re-proof and the dropped-column guard are
+    * pinned in BranchSpec.
+    */
+  def s97BranchRebase(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_rebase")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .write.format("lance").mode("overwrite").save(dest)      // main v1
+    graft.Lance.createBranch(spark, dest, "exp")
+    o.filter(pmod(col("o_orderkey"), lit(4)) === 1)
+      .write.format("lance").option("write.branch", "exp")
+      .mode("append").save(dest)                               // branch
+    o.filter(pmod(col("o_orderkey"), lit(4)) === 2)
+      .write.format("lance").mode("append").save(dest)         // main moves on
+    o.filter(pmod(col("o_orderkey"), lit(4)) === 3)
+      .write.format("lance").option("write.branch", "exp")
+      .mode("append").save(dest)                               // branch again
+    val (_, newV) = graft.Lance.rebaseBranch(spark, dest, "exp")
+    require(newV == 3L, s"rebase committed main v$newV, expected 3")
+    spark.read.format("lance").load(dest)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_stats_tvf")
     freshDataset(spark, dest)
@@ -1499,6 +1533,7 @@ object LanceQueries {
     "s94_write_distribution" -> s94WriteDistribution,
     "s95_branches" -> s95Branches,
     "s96_constraints" -> s96Constraints,
+    "s97_branch_rebase" -> s97BranchRebase,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1589,6 +1624,11 @@ object LanceQueries {
         |WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
     // s96: the poisoned batch never lands — the table is exactly orders
     "s96_constraints" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // s97: post-rebase main = both lineages' appends = all orders
+    "s97_branch_rebase" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

@@ -148,6 +148,91 @@ class BranchSpec extends AnyFunSuite {
     assert(Lance.versions(spark, dir).size == before)
   }
 
+  test("rebaseBranch lands append-only branch work on a diverged main") {
+    val dir = tmpDir()
+    seed(dir) // main v1: ids 1,2
+    Lance.createBranch(spark, dir, "exp")
+    Seq((3L, "c")).toDF("id", "s")
+      .write.format("lance").option("write.branch", "exp").mode("append").save(dir)
+    Seq((5L, "e")).toDF("id", "s")
+      .write.format("lance").mode("append").save(dir) // main v2: diverged
+    // fast-forward refuses forever once main moved — the gap rebase closes
+    val ff = intercept[IllegalArgumentException](Lance.fastForward(spark, dir, "exp"))
+    assert(ff.getMessage.contains("divergent"), ff.getMessage)
+    val (head, newV) = Lance.rebaseBranch(spark, dir, "exp")
+    assert(head == 2L && newV == 3L)
+    val main = spark.read.format("lance").load(dir)
+    assert(main.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 5L))
+    val (fs, root) = fsRoot(dir)
+    assert(LanceFormat.readLatest(fs, root).get.operation.contains("rebase"))
+    // idempotent: a re-run finds nothing new to adopt and commits nothing
+    val before = Lance.versions(spark, dir).size
+    val (_, again) = Lance.rebaseBranch(spark, dir, "exp")
+    assert(again == newV && Lance.versions(spark, dir).size == before)
+    // the adopted rows flow through the batch changefeed as INSERTS
+    graft.MetaTvfs.register(spark)
+    val changes = spark.sql(
+      s"SELECT _change_type, id FROM lance_changes('$dir', 2, 3)").collect()
+    assert(changes.map(_.getString(0)).toSet == Set("insert"))
+    assert(changes.map(_.getLong(1)).toSet == Set(3L))
+  }
+
+  test("rebase refuses non-append branch history, loudly") {
+    val dir = tmpDir()
+    seed(dir)
+    Lance.createBranch(spark, dir, "bad")
+    Seq((3L, "c")).toDF("id", "s")
+      .write.format("lance").option("write.branch", "bad").mode("append").save(dir)
+    // forge a non-append commit into the branch lineage (the write path
+    // refuses them, but rebase must not TRUST that — a pre-guard branch
+    // or an out-of-band writer could have landed one)
+    val (fs, root) = fsRoot(dir)
+    val bp = LanceFormat.branchPath(root, "bad")
+    val head = LanceFormat.readManifestIn(fs, bp, 2L)
+    implicit val fmts: org.json4s.Formats =
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+    val out = fs.create(new Path(bp, "3.manifest.json"), true)
+    out.write(org.json4s.jackson.Serialization.write(
+      head.copy(version = 3L, operation = Some("replace")))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    Seq((9L, "z")).toDF("id", "s")
+      .write.format("lance").mode("append").save(dir) // diverge main
+    val e = intercept[IllegalArgumentException](Lance.rebaseBranch(spark, dir, "bad"))
+    assert(e.getMessage.contains("not an append"), e.getMessage)
+  }
+
+  test("rebase re-proves MAIN's current constraints over branch-only rows") {
+    val dir = tmpDir()
+    seed(dir) // ids 1,2
+    Lance.createBranch(spark, dir, "exp")
+    Seq((-5L, "neg")).toDF("id", "s")
+      .write.format("lance").option("write.branch", "exp").mode("append").save(dir)
+    // the rule lands on main AFTER the fork: existing main rows pass, the
+    // branch's fork-time rule set never saw it
+    Lance.addConstraint(spark, dir, "id_pos", "id > 0")
+    val vBefore = Lance.versions(spark, dir).size
+    val e = intercept[IllegalArgumentException](Lance.rebaseBranch(spark, dir, "exp"))
+    assert(e.getMessage.contains("id_pos"), e.getMessage)
+    assert(Lance.versions(spark, dir).size == vBefore, "refused rebase committed")
+  }
+
+  test("rebase refuses resurrecting a column dropped on main after the fork") {
+    val dir = tmpDir()
+    seed(dir) // schema (id, s)
+    Lance.createBranch(spark, dir, "exp")
+    Seq((3L, "c")).toDF("id", "s")
+      .write.format("lance").option("write.branch", "exp").mode("append").save(dir)
+    // main drops column s after the fork (metadata-only, name recorded)
+    val (fs, root) = fsRoot(dir)
+    val cur = LanceFormat.readLatest(fs, root).get
+    LanceFormat.commitAlter(fs, root,
+      org.apache.spark.sql.types.StructType(cur.schema.fields.filter(_.name == "id")),
+      droppedColumns = Seq("s"))
+    val e = intercept[IllegalArgumentException](Lance.rebaseBranch(spark, dir, "exp"))
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+  }
+
   test("lance_branches TVF and CALL create_branch/fast_forward") {
     val wh = tmpDir()
     val s = spark
