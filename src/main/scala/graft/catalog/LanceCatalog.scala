@@ -118,18 +118,37 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
     new LanceTable(p.toString, schema)
   }
 
-  /** SQL time travel: `SELECT ... FROM lance.db.t VERSION AS OF 3`, or a
+  /** SQL time travel: `SELECT ... FROM lance.db.t VERSION AS OF 3`, a
     * TAG name — `VERSION AS OF 'train-v1'` resolves through the tag file
-    * (Iceberg's branch/tag-in-VERSION-AS-OF ergonomics).
+    * (Iceberg's branch/tag-in-VERSION-AS-OF ergonomics) — or a BRANCH —
+    * `VERSION AS OF 'branch:exp1'` reads the branch lineage's head
+    * (previously Scala-only via `option("branch", ...)`). The explicit
+    * `branch:` prefix keeps tags and branches unambiguous (`:` is not a
+    * valid ref-name character); a bare name that is a branch but not a
+    * tag fails loud with the prefixed spelling, never silently guesses.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     if (!LanceFormat.isDataset(fs, p)) throw new NoSuchTableException(ident)
+    if (version.toLowerCase(java.util.Locale.ROOT).startsWith("branch:")) {
+      val b = LanceFormat.validateName("branch", version.substring("branch:".length))
+      val bp = LanceFormat.branchPath(p, b)
+      require(fs.exists(bp), s"no branch '$b' of ${ident.name}")
+      val head = LanceFormat.readLatestIn(fs, bp).getOrElse(
+        throw new IllegalArgumentException(
+          s"branch '$b' of ${ident.name} has no manifests"))
+      return new LanceTable(p.toString, head.schema, None, Some(b))
+    }
     val v = try version.toLong catch {
       case _: NumberFormatException =>
-        LanceFormat.readTag(fs, p, version).map(_.version).getOrElse(
+        LanceFormat.readTag(fs, p, version).map(_.version).getOrElse {
+          if (fs.exists(LanceFormat.branchPath(p, version)))
+            throw new IllegalArgumentException(
+              s"'$version' is a BRANCH of ${ident.name}, not a tag - read it " +
+                s"with VERSION AS OF 'branch:$version'")
           throw new IllegalArgumentException(
-            s"'$version' is neither a numeric version nor a tag of ${ident.name}"))
+            s"'$version' is neither a numeric version nor a tag of ${ident.name}")
+        }
     }
     require(LanceFormat.listVersions(fs, p).contains(v),
       s"no version $v of ${ident.name} (have ${LanceFormat.listVersions(fs, p).mkString(",")})")

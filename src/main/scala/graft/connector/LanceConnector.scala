@@ -126,9 +126,15 @@ object LanceTable {
   * `pinnedVersion` pins every scan to one manifest — the catalog's SQL
   * time travel (`VERSION AS OF` / `TIMESTAMP AS OF`); the path-addressed
   * `versionAsOf` read option still takes precedence when set.
+  * `pinnedBranch` pins every scan to a BRANCH lineage's head — the
+  * catalog's `VERSION AS OF 'branch:<name>'` (SQL users cannot pass read
+  * options, so without it branches were Scala-only). A branch-pinned
+  * table is read-only through SQL: branch writes go through the
+  * `write.branch` option, which validates the lineage exists.
   */
 class LanceTable(val rootStr: String, declaredSchema: StructType,
-    pinnedVersion: Option[Long] = None) extends Table
+    pinnedVersion: Option[Long] = None,
+    pinnedBranch: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -146,6 +152,9 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot modify a time-travel snapshot of $rootStr")
+    require(pinnedBranch.isEmpty,
+      s"cannot modify a branch-pinned read of $rootStr (branches are " +
+        "append-only; write through option(\"write.branch\", ...))")
     new LanceRowLevelOperationBuilder(rootStr, info)
   }
 
@@ -155,28 +164,38 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
     * fragments that may match ([[graft.operators.Dml.deleteWhere]]).
     */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    pinnedVersion.isEmpty
+    pinnedVersion.isEmpty && pinnedBranch.isEmpty
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    require(pinnedVersion.isEmpty,
-      s"cannot DELETE from a time-travel snapshot of $rootStr")
+    require(pinnedVersion.isEmpty && pinnedBranch.isEmpty,
+      s"cannot DELETE from a time-travel or branch-pinned snapshot of $rootStr")
     graft.operators.Dml.deleteWhere(SparkSession.active, rootStr,
       graft.operators.Dml.filtersToColumn(filters))
   }
 
   /** The time-travel pin, if any (AnnIndexRewrite must not fire on it). */
   def pinned: Option[Long] = pinnedVersion
+  /** The branch pin, if any (AnnIndexRewrite must not fire on it either —
+    * the index covers MAIN's lineage, not the branch's). */
+  def pinnedBranchName: Option[String] = pinnedBranch
 
   private val root = new Path(rootStr)
 
   override def name(): String =
-    s"lance.`$rootStr`" + pinnedVersion.fold("")(v => s"@v$v")
+    s"lance.`$rootStr`" + pinnedVersion.fold("")(v => s"@v$v") +
+      pinnedBranch.fold("")(b => s"@branch:$b")
   override def capabilities(): util.Set[TableCapability] = LanceTable.Capabilities
 
   private def manifestFor(fs: org.apache.hadoop.fs.FileSystem,
       options: CaseInsensitiveStringMap): Option[Manifest] =
-    pinnedVersion match {
-      case Some(v) if options.get("versionAsOf") == null =>
+    (pinnedVersion, pinnedBranch) match {
+      case (Some(v), _) if options.get("versionAsOf") == null =>
         Some(LanceFormat.readManifest(fs, root, v))
+      case (None, Some(b)) if options.get("branch") == null =>
+        // SQL branch pin: the branch lineage's head at scan time (the
+        // same freshness semantics as a main-lineage SQL read)
+        val bp = LanceFormat.branchPath(root, b)
+        require(fs.exists(bp), s"no branch '$b' at $root")
+        LanceFormat.readLatestIn(fs, bp)
       case _ => LanceTable.resolveManifest(fs, root, options)
     }
 
@@ -206,8 +225,12 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
     new LanceScanBuilder(spark, index, dataSchema, options, rootStr, manifest)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedBranch.isEmpty,
+      s"cannot write through a branch-pinned read of $rootStr; branch " +
+        "writes use df.write.format(\"lance\").option(\"write.branch\", ...)")
     new LanceWriteBuilder(rootStr, info)
+  }
 }
 
 /** Batch scans inherit the full vectorized-parquet pushdown surface; the

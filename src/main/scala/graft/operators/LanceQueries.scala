@@ -1309,6 +1309,42 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SQL branch reads (s99): `VERSION AS OF 'branch:exp'` through the
+    * catalog reads the branch lineage's head — the surface a SQL-only
+    * user needs (branches were reachable only via the Scala
+    * `option("branch", ...)`) — repeating the s95 read assertion in pure
+    * SQL: the branch sees base + branch appends, main stays untouched.
+    * SQL-vs-option equality, the bare-name hint, and write refusal are
+    * pinned in BranchSpec.
+    */
+  def s99BranchSql(spark: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "branch_sql_wh")
+    freshDataset(spark, wh)
+    val whAbs = new java.io.File(wh).getAbsolutePath
+    spark.conf.set("spark.sql.catalog.lance_bsql", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_bsql.warehouse", whAbs)
+    try {
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val path = s"$whAbs/db/orders_b"
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .write.format("lance").mode("overwrite").save(path)
+      spark.sql("CALL lance_bsql.create_branch('db.orders_b', 'exp')")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .write.format("lance").option("write.branch", "exp")
+        .mode("append").save(path)
+      spark.sql(
+        """SELECT (SELECT COUNT(*) FROM lance_bsql.db.orders_b) AS main_rows,
+          | o_orderstatus, COUNT(*) AS n,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM lance_bsql.db.orders_b VERSION AS OF 'branch:exp'
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lance_bsql")
+      spark.conf.unset("spark.sql.catalog.lance_bsql.warehouse")
+    }
+  }
+
   def s84StatsTvf(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_stats_tvf")
     freshDataset(spark, dest)
@@ -1534,6 +1570,7 @@ object LanceQueries {
     "s95_branches" -> s95Branches,
     "s96_constraints" -> s96Constraints,
     "s97_branch_rebase" -> s97BranchRebase,
+    "s99_branch_sql" -> s99BranchSql,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1630,6 +1667,12 @@ object LanceQueries {
     // s97: post-rebase main = both lineages' appends = all orders
     "s97_branch_rebase" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // s99: the SQL branch read sees ALL orders; main only the evens
+    "s99_branch_sql" ->
+      """SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS main_rows,
+        | o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // s95: main = even keys; branch/fast-forwarded main = all orders

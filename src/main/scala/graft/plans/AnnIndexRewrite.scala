@@ -56,6 +56,7 @@ class AnnIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def relRewritable(rel: DataSourceV2Relation): Boolean =
     rel.table.isInstanceOf[LanceTable] &&
       rel.table.asInstanceOf[LanceTable].pinned.isEmpty &&
+      rel.table.asInstanceOf[LanceTable].pinnedBranchName.isEmpty &&
       Option(rel.options).forall(o => o.get("versionAsOf") == null &&
         o.get("timestampAsOf") == null && o.get("tagAsOf") == null &&
         o.get("branch") == null)

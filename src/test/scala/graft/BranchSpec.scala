@@ -233,6 +233,49 @@ class BranchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("resurrect"), e.getMessage)
   }
 
+  test("VERSION AS OF 'branch:...' equals the option(branch) read") {
+    val wh = tmpDir()
+    val s = spark
+    s.conf.set("spark.sql.catalog.lance_bsq", "graft.catalog.LanceCatalog")
+    s.conf.set("spark.sql.catalog.lance_bsq.warehouse", wh)
+    try {
+      s.sql("CREATE NAMESPACE lance_bsq.db")
+      s.sql("CREATE TABLE lance_bsq.db.t (id BIGINT, v DOUBLE)")
+      s.sql("INSERT INTO lance_bsq.db.t VALUES (1, 1.0), (2, 2.0)")
+      val path = s"$wh/db/t"
+      Lance.createBranch(s, path, "exp")
+      Seq((3L, 3.0)).toDF("id", "v")
+        .write.format("lance").option("write.branch", "exp").mode("append").save(path)
+      // the SQL surface reaches the SAME lineage as the Scala option
+      val sqlRows = s.sql(
+        "SELECT id, v FROM lance_bsq.db.t VERSION AS OF 'branch:exp' ORDER BY id")
+        .collect().toSeq
+      val optRows = s.read.format("lance").option("branch", "exp").load(path)
+        .select("id", "v").orderBy("id").collect().toSeq
+      assert(sqlRows == optRows && sqlRows.size == 3)
+      // main is untouched through SQL
+      assert(s.sql("SELECT COUNT(*) FROM lance_bsq.db.t")
+        .collect().head.getLong(0) == 2)
+      // a bare branch name is NOT guessed: loud hint toward 'branch:'
+      val bare = intercept[Exception](
+        s.sql("SELECT * FROM lance_bsq.db.t VERSION AS OF 'exp'").collect())
+      assert(bare.getMessage.contains("branch:exp"), bare.getMessage)
+      // unknown branch fails loud
+      val nope = intercept[Exception](
+        s.sql("SELECT * FROM lance_bsq.db.t VERSION AS OF 'branch:nope'").collect())
+      assert(nope.getMessage.contains("no branch 'nope'"), nope.getMessage)
+      // a tag with VERSION AS OF still resolves (tags and branches
+      // coexist): v1 = empty CREATE, v2 = the INSERT
+      Lance.tag(s, path, "pin1", Some(2L))
+      assert(s.sql("SELECT COUNT(*) FROM lance_bsq.db.t VERSION AS OF 'pin1'")
+        .collect().head.getLong(0) == 2)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS lance_bsq.db.t")
+      s.conf.unset("spark.sql.catalog.lance_bsq")
+      s.conf.unset("spark.sql.catalog.lance_bsq.warehouse")
+    }
+  }
+
   test("lance_branches TVF and CALL create_branch/fast_forward") {
     val wh = tmpDir()
     val s = spark
