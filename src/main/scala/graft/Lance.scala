@@ -433,12 +433,17 @@ object Lance {
       require(!cur.contains(name), s"constraint '$name' already exists on $path")
       cur + (name -> exprStr)
     }).version
-    // close the validate→commit window: a batch committed IN BETWEEN was
-    // never checked against this rule (its writer read a manifest without
-    // it). committed == m.version+1 proves no interleaving; otherwise
-    // re-validate the now-guarded table and roll the rule back on
-    // violation — the constraint either holds over everything or doesn't
-    // exist.
+    // close the validate→commit window from THIS side: a batch committed
+    // IN BETWEEN was never checked against this rule (its writer read a
+    // manifest without it). committed == m.version+1 proves no
+    // interleaving; otherwise re-validate the now-guarded table and roll
+    // the rule back on violation. The mirror case — a writer that read
+    // its rule set before this commit but LANDS after it — is closed on
+    // the WRITER's side: every data commit re-proves rules its manifest
+    // carries that it did not enforce, compensating the batch away on
+    // violation (LanceWrite.verifyConstraintsPostCommit). Between the
+    // two, the invariant holds: a rule in the latest manifest has been
+    // validated against every row reachable from it.
     if (committed != m.version + 1 && violating() > 0L) {
       graft.format.LanceFormat.commitConstraints(fs, root, _ - name)
       throw new IllegalArgumentException(
@@ -446,6 +451,78 @@ object Lance {
           "committed concurrently during validation - constraint rolled back")
     }
     committed
+  }
+
+  /** The reserved rule-name prefix NOT NULL constraints commit under —
+    * one namespace, so `lance_constraints` lists them and the generic
+    * enforcement points need no special case. */
+  private def notNullRule(column: String) = s"not_null_$column"
+
+  /** Declare `column` NOT NULL (Delta `ALTER TABLE ... SET NOT NULL`
+    * parity): validates all EXISTING rows first, then ONE metadata commit
+    * both records the rule (`<col> IS NOT NULL`, enforced on every data
+    * commit like any CHECK constraint) and flips the column's nullability
+    * in the stored schema — so Spark's analyzer/optimizer see the
+    * non-null guarantee (null-intolerant predicate simplification, join
+    * planning) and DESCRIBE shows it. The same post-commit interleaving
+    * check as [[addConstraint]] applies. Returns the committing version.
+    *
+    * An OVERWRITE replaces the schema wholesale (its write schema wins,
+    * usually nullable) while the rule itself survives — enforcement never
+    * weakens, only the analyzer hint resets.
+    */
+  def setNotNull(spark: SparkSession, path: String, column: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val m = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $path"))
+    require(m.schema.fieldNames.contains(column), s"no column '$column' in $path")
+    val name = notNullRule(column)
+    require(!m.checkConstraints.contains(name),
+      s"column '$column' is already NOT NULL on $path")
+    def violating(): Long = read(spark, path)
+      .filter(org.apache.spark.sql.functions.col(column).isNull).count()
+    val bad = violating()
+    require(bad == 0L,
+      s"cannot set '$column' NOT NULL: $bad existing rows are null")
+    val flip: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType =
+      s => org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        if (f.name == column) f.copy(nullable = false) else f))
+    val committed = graft.format.LanceFormat.commitConstraints(fs, root, { cur =>
+      require(!cur.contains(name), s"column '$column' is already NOT NULL on $path")
+      cur + (name -> s"`$column` IS NOT NULL")
+    }, schemaTransform = Some(flip)).version
+    if (committed != m.version + 1 && violating() > 0L) {
+      // roll back BOTH halves: the rule and this column's nullability flip
+      // (never asNullable — other columns' declarations must survive)
+      graft.format.LanceFormat.commitConstraints(fs, root, _ - name,
+        schemaTransform = Some(s => org.apache.spark.sql.types.StructType(
+          s.fields.map(f =>
+            if (f.name == column) f.copy(nullable = true) else f))))
+      throw new IllegalArgumentException(
+        s"cannot set '$column' NOT NULL: null rows were committed " +
+          "concurrently during validation - constraint rolled back")
+    }
+    committed
+  }
+
+  /** Drop a NOT NULL declaration: removes the rule and flips the column
+    * back to nullable in one commit. Returns whether it existed. */
+  def dropNotNull(spark: SparkSession, path: String, column: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val m = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $path"))
+    val name = notNullRule(column)
+    if (!m.checkConstraints.contains(name)) false
+    else {
+      val flip: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType =
+        s => org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          if (f.name == column) f.copy(nullable = true) else f))
+      graft.format.LanceFormat.commitConstraints(fs, root, _ - name,
+        schemaTransform = Some(flip))
+      true
+    }
   }
 
   /** Drop a CHECK constraint. Returns whether it existed. */

@@ -312,7 +312,7 @@ object LanceCatalog {
       "drop_index", "update_where", "upsert", "remove_orphans", "restore",
       "tag", "untag", "create_branch", "drop_branch", "fast_forward",
       "rebase_branch",
-      "add_constraint", "drop_constraint")
+      "add_constraint", "drop_constraint", "set_not_null", "drop_not_null")
 }
 
 private[catalog] object LanceProcedure {
@@ -376,6 +376,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "rebase_branch" => "re-commit an append-only branch's fragments onto main's CURRENT head (the diverged case fast_forward refuses)"
     case "add_constraint" => "add a CHECK constraint (validates existing data; every commit re-validates its batch)"
     case "drop_constraint" => "drop a CHECK constraint"
+    case "set_not_null" => "declare a column NOT NULL (validates existing rows; rule + schema nullability in one commit)"
+    case "drop_not_null" => "drop a NOT NULL declaration (rule removed, column back to nullable)"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -438,6 +440,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("expr", StringType).comment("boolean SQL expression; NULL passes").build())
     case "drop_constraint" => Array(in("table", StringType).build(),
       in("name", StringType).build())
+    case "set_not_null" | "drop_not_null" => Array(in("table", StringType).build(),
+      in("column", StringType).build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -555,6 +559,16 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           new GenericInternalRow(Array[Any](v)))
       case "drop_constraint" =>
         val existed = graft.Lance.dropConstraint(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("existed", BooleanType, nullable = false),
+          new GenericInternalRow(Array[Any](existed)))
+      case "set_not_null" =>
+        val v = graft.Lance.setNotNull(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("committed_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](v)))
+      case "drop_not_null" =>
+        val existed = graft.Lance.dropNotNull(spark, path,
           input.getUTF8String(1).toString)
         (new StructType().add("existed", BooleanType, nullable = false),
           new GenericInternalRow(Array[Any](existed)))

@@ -633,11 +633,16 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       // passed at ingest — re-proving them would re-read the whole
       // repacked batch once per constraint, the exact I/O compactSmall
       // exists to avoid. Row-CHANGING replaces (DML) are enforced.
+      val enforced = LanceFormat.readLatest(fs, root)
+        .map(_.checkConstraints).getOrElse(Map.empty)
       if (!rowPreserving)
-        LanceWrite.enforceConstraints(root, schema, frags,
-          LanceFormat.readLatest(fs, root).map(_.checkConstraints).getOrElse(Map.empty))
-      LanceFormat.commitReplace(fs, root, schema, replaceFragments.get, frags, epochId,
+        LanceWrite.enforceConstraints(root, schema, frags, enforced)
+      val (committedR, _) = LanceFormat.commitReplace(fs, root, schema,
+        replaceFragments.get, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "replace")
+      if (!rowPreserving)
+        LanceWrite.verifyConstraintsPostCommit(root, fs, schema, frags,
+          enforced, committedR)
       if (refreshIndexes.nonEmpty)
         LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
       return
@@ -682,12 +687,19 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       case Some(m) if !overwrite => m.schema
       case _ => schema
     }
+    val enforced = existing.map(_.checkConstraints).getOrElse(Map.empty)
     if (!rowPreserving)
-      LanceWrite.enforceConstraints(root, committedSchema, frags,
-        existing.map(_.checkConstraints).getOrElse(Map.empty))
-    if (overwrite) LanceFormat.commitOverwrite(fs, root, committedSchema, frags, epochId,
-      operation = if (rowPreserving) "rewrite" else "overwrite")
-    else LanceFormat.commitAppendIn(fs, lineageDir, committedSchema, frags, epochId)
+      LanceWrite.enforceConstraints(root, committedSchema, frags, enforced)
+    val committed =
+      if (overwrite) LanceFormat.commitOverwrite(fs, root, committedSchema, frags, epochId,
+        operation = if (rowPreserving) "rewrite" else "overwrite")
+      else LanceFormat.commitAppendIn(fs, lineageDir, committedSchema, frags, epochId)
+    // rules added concurrently with this write are re-proven against the
+    // batch the moment its manifest lands (branch lineages skip it: their
+    // rule set is the fork-time copy, static under main-side edits)
+    if (!rowPreserving && branch.isEmpty)
+      LanceWrite.verifyConstraintsPostCommit(root, fs, committedSchema, frags,
+        enforced, committed)
     // in-commit index maintenance, batch flavor of the s90 streaming
     // contract: delta-refresh the persisted sidecars before the write
     // call returns, so the next reader's point lookup / search covers
@@ -729,11 +741,16 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
       // CHECK constraints hold for streamed epochs too — a violating
       // micro-batch fails the stream (correctness, unlike the
       // stale-but-correct refresh warn below)
-      LanceWrite.enforceConstraints(root, schema, frags,
-        LanceFormat.readLatest(fs, root).map(_.checkConstraints).getOrElse(Map.empty))
-      if (overwrite && epochId == 0)
-        LanceFormat.commitOverwrite(fs, root, schema, frags, Some(epochId))
-      else LanceFormat.commitAppend(fs, root, schema, frags, Some(epochId))
+      val enforced = LanceFormat.readLatest(fs, root)
+        .map(_.checkConstraints).getOrElse(Map.empty)
+      LanceWrite.enforceConstraints(root, schema, frags, enforced)
+      val committed =
+        if (overwrite && epochId == 0)
+          LanceFormat.commitOverwrite(fs, root, schema, frags, Some(epochId))
+        else LanceFormat.commitAppend(fs, root, schema, frags, Some(epochId))
+      // rules added concurrently with the epoch are re-proven post-commit
+      LanceWrite.verifyConstraintsPostCommit(root, fs, schema, frags,
+        enforced, committed)
       // continuously-ingested corpus, always-serving indexes: delta-
       // refresh INSIDE the epoch commit (the index is fresh before the
       // next batch starts — the maintenance job a production pipeline
@@ -808,13 +825,56 @@ private[graft] object LanceWrite {
     val spark = SparkSession.active
     val files = frags.map(f =>
       new Path(LanceFormat.dataPath(root), f.file).toString)
-    val df = spark.read.schema(schema).parquet(files: _*)
+    // nullable read: this scan EXISTS to find rule-violating rows —
+    // reading a null through a non-nullable schema (a NOT NULL table
+    // validating a violating batch) is undefined behavior in the
+    // vectorized reader, exactly where the violation must surface as a
+    // filter hit instead
+    val readSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+    val df = spark.read.schema(readSchema).parquet(files: _*)
     constraints.foreach { case (name, e) =>
       val bad = df.filter(coalesce(expr(e), lit(true)) === lit(false))
         .limit(1).count()
       if (bad > 0) throw new IllegalArgumentException(
         s"CHECK constraint '$name' ($e) violated by the written batch at " +
           s"$root - commit refused, no version created")
+    }
+  }
+
+  /** Close the enforce→commit window (the addConstraint TOCTOU's writer
+    * side): a rule committed AFTER this writer read its constraint set
+    * but BEFORE its manifest landed was never checked against this batch
+    * — yet the committed manifest CARRIES it (append/replace re-read the
+    * previous manifest inside their retry loops), so the table would
+    * claim a rule its newest data never passed. After the commit, any
+    * rule present in the committed manifest but absent from the enforced
+    * set is validated against the batch's files; on violation the batch
+    * is COMPENSATED away (one replace commit removing exactly its
+    * fragments — identified by file name, collision-free UUIDs) and the
+    * writer fails loud. The violating version is readable for the
+    * instant between the two commits — the price of optimistic
+    * concurrency without a table lock; addConstraint's own re-validation
+    * covers the mirror-image interleaving.
+    */
+  def verifyConstraintsPostCommit(root: Path, fs: org.apache.hadoop.fs.FileSystem,
+      schema: StructType, frags: Seq[FragmentMeta],
+      enforced: Map[String, String],
+      committed: graft.format.Manifest): Unit = {
+    val fresh = committed.checkConstraints -- enforced.keySet
+    if (fresh.isEmpty || frags.isEmpty) return
+    try enforceConstraints(root, schema, frags, fresh)
+    catch {
+      case e: IllegalArgumentException =>
+        val files = frags.map(_.file).toSet
+        val ids = committed.fragments.filter(f => files.contains(f.file))
+          .map(_.id).toSet
+        if (ids.nonEmpty)
+          LanceFormat.commitReplace(fs, root, committed.schema, ids,
+            Seq.empty, operation = "replace")
+        throw new IllegalArgumentException(
+          s"constraint(s) ${fresh.keys.mkString(", ")} were added " +
+            s"concurrently with this write at $root and the batch violates " +
+            "them - the batch was rolled back in a compensating commit", e)
     }
   }
 

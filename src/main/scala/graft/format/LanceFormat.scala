@@ -297,16 +297,28 @@ object LanceFormat {
   def commitOverwrite(fs: FileSystem, root: Path, schema: StructType,
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
       operation: String = "overwrite"): Manifest = {
-    val prev = readLatest(fs, root)
-    commit(fs, root, Manifest(
-      version = prev.map(_.version).getOrElse(0L) + 1,
-      schemaJson = schema.json,
-      fragments = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = i) },
-      epochId = epochId,
-      committedAtMs = System.currentTimeMillis(),
-      operation = Some(operation),
-      // table-level rules survive data replacement (Delta semantics)
-      constraints = prev.flatMap(_.constraints)))
+    // prev is re-read INSIDE the retry loop: a concurrent add/drop
+    // constraint (or another metadata commit) landing between a single
+    // upfront read and the publish would have its rule set silently
+    // REPLACED by the stale copy — the same lost-update shape
+    // commitAppendIn re-merges against.
+    var attempt = 0
+    while (attempt < 20) {
+      val prev = readLatest(fs, root)
+      val m = Manifest(
+        version = prev.map(_.version).getOrElse(0L) + 1,
+        schemaJson = schema.json,
+        fragments = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = i) },
+        epochId = epochId,
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some(operation),
+        // table-level rules survive data replacement (Delta semantics)
+        constraints = prev.flatMap(_.constraints))
+      if (commitOnce(fs, root, m, None)) return m
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit overwrite after $attempt attempts at $root")
   }
 
   /** Union of two fragment schemas by column NAME (Delta-style
@@ -466,17 +478,22 @@ object LanceFormat {
     * rule set inside the retry loop — re-deriving per attempt is what
     * keeps two concurrent add/drop_constraint calls from silently losing
     * one edit (the lost-update shape commitAppend re-merges against).
-    * Validation of existing data is the CALLER's job (facade).
+    * `schemaTransform` (optional) rewrites the schema IN THE SAME commit
+    * — NOT NULL flips the column's nullability alongside its rule, so the
+    * two can never disagree. Validation of existing data is the CALLER's
+    * job (facade).
     */
   def commitConstraints(fs: FileSystem, root: Path,
       mutate: Map[String, String] => Map[String, String],
-      publisher: Option[ManifestPublisher] = None): Manifest = {
+      publisher: Option[ManifestPublisher] = None,
+      schemaTransform: Option[StructType => StructType] = None): Manifest = {
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatest(fs, root).getOrElse(
         throw new IllegalStateException(s"no dataset at $root"))
       val m = prev.copy(
         version = prev.version + 1,
+        schemaJson = schemaTransform.fold(prev.schemaJson)(t => t(prev.schema).json),
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
         constraints = Some(mutate(prev.checkConstraints)).filter(_.nonEmpty))

@@ -1309,6 +1309,46 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** NOT NULL constraints (s98): declare a column NOT NULL on a live
+    * table — one commit records the rule AND flips the stored schema's
+    * nullability (so the analyzer sees the guarantee) — then prove a
+    * good append passes and an all-null ingest is refused wholesale with
+    * no new version. The gate's booleans pin both halves: the rule is
+    * listed and the read schema is non-nullable. Validation-of-existing,
+    * drop round-trip, abort hygiene and the SQL surface are pinned in
+    * ConstraintSpec.
+    */
+  def s98NotNull(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_notnull")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.setNotNull(spark, dest, "o_custkey")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.format("lance").mode("append").save(dest)
+    // the poisoned ingest: nulls in the guarded column — refused wholesale
+    try {
+      o.limit(100).withColumn("o_custkey", lit(null).cast("long"))
+        .write.format("lance").mode("append").save(dest)
+      throw new IllegalStateException("null batch must not commit")
+    } catch {
+      case e: Exception if e.getMessage.contains("not_null_o_custkey") ||
+        Option(e.getCause).exists(_.getMessage.contains("not_null_o_custkey")) => ()
+    }
+    val listed = graft.Lance.constraints(spark, dest).contains("not_null_o_custkey")
+    val nonNullable =
+      !spark.read.format("lance").load(dest).schema("o_custkey").nullable
+    spark.read.format("lance").load(dest)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("rule_listed", lit(listed))
+      .withColumn("schema_not_null", lit(nonNullable))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** SQL branch reads (s99): `VERSION AS OF 'branch:exp'` through the
     * catalog reads the branch lineage's head — the surface a SQL-only
     * user needs (branches were reachable only via the Scala
@@ -1570,6 +1610,7 @@ object LanceQueries {
     "s95_branches" -> s95Branches,
     "s96_constraints" -> s96Constraints,
     "s97_branch_rebase" -> s97BranchRebase,
+    "s98_not_null" -> s98NotNull,
     "s99_branch_sql" -> s99BranchSql,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
@@ -1668,6 +1709,13 @@ object LanceQueries {
     "s97_branch_rebase" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // s98: the null batch never lands — the table is exactly orders, the
+    // rule is listed, and the stored schema carries the non-null flag
+    "s98_not_null" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | TRUE AS rule_listed, TRUE AS schema_not_null
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // s99: the SQL branch read sees ALL orders; main only the evens
     "s99_branch_sql" ->

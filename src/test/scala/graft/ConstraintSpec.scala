@@ -78,6 +78,84 @@ class ConstraintSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(dir).count() == 2)
   }
 
+  test("NOT NULL: rule + schema flip in one commit; drop restores both") {
+    val dir = tmpDir()
+    Seq((1L, Some(10.0)), (2L, Some(20.0))).toDF("id", "v")
+      .write.format("lance").mode("overwrite").save(dir)
+    assert(spark.read.format("lance").load(dir).schema("v").nullable)
+    Lance.setNotNull(spark, dir, "v")
+    // both halves landed in ONE version
+    assert(Lance.constraints(spark, dir) == Map("not_null_v" -> "`v` IS NOT NULL"))
+    assert(!spark.read.format("lance").load(dir).schema("v").nullable)
+    // duplicate declaration fails loud
+    intercept[IllegalArgumentException](Lance.setNotNull(spark, dir, "v"))
+    // a good append passes; a null batch is refused with no new version
+    Seq((3L, Some(30.0))).toDF("id", "v").write.format("lance").mode("append").save(dir)
+    val vBefore = Lance.versions(spark, dir).size
+    val filesBefore = dataFiles(dir)
+    val e = intercept[Exception] {
+      Seq((4L, None: Option[Double])).toDF("id", "v")
+        .write.format("lance").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("not_null_v") ||
+      Option(e.getCause).exists(_.getMessage.contains("not_null_v")), e.getMessage)
+    assert(Lance.versions(spark, dir).size == vBefore, "refused batch committed")
+    assert(dataFiles(dir) == filesBefore, "refused batch left orphan files")
+    // drop restores nullability AND removes the rule; nulls append again
+    assert(Lance.dropNotNull(spark, dir, "v"))
+    assert(!Lance.dropNotNull(spark, dir, "v")) // second drop: not found
+    assert(spark.read.format("lance").load(dir).schema("v").nullable)
+    Seq((5L, None: Option[Double])).toDF("id", "v")
+      .write.format("lance").mode("append").save(dir)
+    assert(spark.read.format("lance").load(dir).filter(col("v").isNull).count() == 1)
+    // declaring over existing nulls is refused
+    val bad = intercept[IllegalArgumentException](Lance.setNotNull(spark, dir, "v"))
+    assert(bad.getMessage.contains("existing rows are null"), bad.getMessage)
+    // unknown column fails loud
+    intercept[IllegalArgumentException](Lance.setNotNull(spark, dir, "nope"))
+  }
+
+  test("a rule added concurrently with a commit is re-proven post-commit") {
+    // the writer side of the addConstraint TOCTOU: simulate the exact
+    // interleaving — the writer enforced an EMPTY rule set, but the
+    // manifest its batch landed in carries a rule the batch violates.
+    // verifyConstraintsPostCommit must compensate the batch away and
+    // fail loud.
+    val dir = tmpDir()
+    Seq((1L, 10.0)).toDF("id", "v").write.format("lance").mode("overwrite").save(dir)
+    val root = new Path(dir)
+    val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    // the "concurrently added" rule (existing row passes)
+    Lance.addConstraint(spark, dir, "v_pos", "v > 0.0")
+    // the racing writer's batch: stage a violating fragment and commit it
+    // with the OLD (empty) enforced set, exactly what a writer that read
+    // its constraints before the rule commit would do
+    Seq((2L, -5.0)).toDF("id", "v").write.format("lance").mode("append").save(s"$dir-stage")
+    val stagedRoot = new Path(s"$dir-stage")
+    val staged = LanceFormat.readLatest(
+      LanceFormat.fileSystem(stagedRoot, spark.sessionState.newHadoopConf()),
+      stagedRoot).get.fragments
+    // move the staged file into the target's data dir (same writer layout)
+    staged.foreach { f =>
+      fs.rename(new Path(LanceFormat.dataPath(stagedRoot), f.file),
+        new Path(LanceFormat.dataPath(root), f.file))
+    }
+    val schema = LanceFormat.readLatest(fs, root).get.schema
+    val committed = LanceFormat.commitAppend(fs, root, schema, staged)
+    assert(committed.checkConstraints.contains("v_pos")) // carried the rule
+    val ex = intercept[IllegalArgumentException] {
+      graft.connector.LanceWrite.verifyConstraintsPostCommit(
+        root, fs, schema, staged, enforced = Map.empty, committed = committed)
+    }
+    assert(ex.getMessage.contains("rolled back"), ex.getMessage)
+    // the compensating replace removed exactly the violating batch
+    val latest = LanceFormat.readLatest(fs, root).get
+    assert(latest.operation.contains("replace"))
+    assert(spark.read.format("lance").load(dir).count() == 1)
+    assert(spark.read.format("lance").load(dir)
+      .filter(col("v") < 0).count() == 0)
+  }
+
   test("concurrent add/drop constraint: both edits survive (no lost update)") {
     val dir = tmpDir()
     Seq((1L, 5.0)).toDF("id", "v").write.format("lance").mode("overwrite").save(dir)
