@@ -453,7 +453,18 @@ object FtsIndex {
     * `storePositions = true`) — candidates narrow to all-terms docs
     * first, then one codegen'd intersect-of-shifted-position-lists
     * check per candidate (Lucene's exact-phrase algorithm), then the
-    * usual BM25 ranking of the phrase terms.
+    * usual BM25 ranking of the phrase terms; `"phrase~N"` is the SLOPPY
+    * phrase — tokens must appear IN ORDER within a window of N extra
+    * positions (there exist positions q₀<…<q_{m-1} with
+    * q_{m-1}−q₀ ≤ m−1+N; N=0 degenerates to the exact phrase) — checked
+    * by a codegen'd greedy earliest-chain per candidate doc (greedy
+    * minimizes the chain's end, so it decides the span bound exactly).
+    *
+    * NOT terms (Lucene's MUST_NOT): a query token with a leading `-`
+    * (e.g. `"spark join -scala"`) EXCLUDES every doc containing that
+    * term — its bucket-pruned postings anti-join the candidates before
+    * scoring. Exclusions never affect corpus statistics (df/avgdl stay
+    * index-wide) and excluded terms never score.
     *
     * `filter` is an optional SQL predicate over the LANCE DATASET at
     * `datasetPath` (pre-filter: candidates failing it never reach the
@@ -469,16 +480,28 @@ object FtsIndex {
       queryText: String, k: Int, filter: Option[String] = None,
       matchMode: String = "any"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    require(matchMode == "any" || matchMode == "all" || matchMode == "phrase",
-      s"matchMode must be any|all|phrase, got $matchMode")
+    val slopRe = "phrase~(\\d+)".r
+    val (mode, slop) = matchMode match {
+      case slopRe(n) => ("phrase", n.toInt)
+      case m => (m, 0)
+    }
+    require(mode == "any" || mode == "all" || mode == "phrase",
+      s"matchMode must be any|all|phrase|phrase~N, got $matchMode")
     val meta = loadMeta(spark, datasetPath, column)
-    if (matchMode == "phrase")
+    if (mode == "phrase")
       require(meta.positions.contains(true),
         s"phrase search needs a positional index - rebuild with storePositions=true")
     val tokenizer = meta.tokenizer.getOrElse("space")
-    val phraseSeq = scalaTokens(queryText, tokenizer) // ordered, dups kept
+    // '-term' NOT clauses are peeled off the RAW query before tokenizing
+    // ('-' is tokenizer-dependent: unicode would swallow it)
+    val rawParts = queryText.split("\\s+").toSeq.filter(_.nonEmpty)
+    val (exclParts, posParts) =
+      rawParts.partition(p => p.length > 1 && p.startsWith("-"))
+    val excludeTerms = exclParts
+      .flatMap(p => scalaTokens(p.drop(1), tokenizer)).distinct
+    val phraseSeq = scalaTokens(posParts.mkString(" "), tokenizer) // ordered, dups kept
     val terms = phraseSeq.distinct
-    require(terms.nonEmpty, "empty query")
+    require(terms.nonEmpty, "empty query (no positive terms)")
     val avgdl = meta.sumDl.toDouble / meta.numDocs
 
     // Only the probed posting lists leave storage: v2 prunes to the
@@ -496,29 +519,62 @@ object FtsIndex {
     // Computed BEFORE any pre-filter: corpus stats are index-wide.
     val dfs = postAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-    val post0 = filter.fold(postAll) { pred =>
+    val postF = filter.fold(postAll) { pred =>
       val eligible = spark.read.format("lance").load(datasetPath)
         .filter(expr(pred)).select(col(meta.idColumn).as("doc"))
       postAll.join(eligible, Seq("doc"), "left_semi")
     }
 
-    // phrase: keep only docs where the tokens appear CONSECUTIVELY, in
-    // order. Per candidate doc, gather term → positions (the candidate
-    // set is already narrowed to docs holding ALL phrase terms), then one
-    // codegen'd expression checks whether any start position p has
-    // phraseSeq(i) occurring at p+i for every i — intersect-of-shifted-
-    // position-lists, Lucene's exact-phrase algorithm, per-doc local.
-    val post = if (matchMode != "phrase") post0 else {
-      val adjacency = phraseSeq.zipWithIndex.tail.foldLeft(
-        s"element_at(__m, '${sqlLit(phraseSeq.head)}')") { case (acc, (t, i)) =>
-        s"filter($acc, p -> array_contains(element_at(__m, '${sqlLit(t)}'), p + $i))"
-      }
+    // NOT clauses: docs holding ANY excluded term are anti-joined away
+    // before scoring — same bucket-pruned posting read as the positive
+    // side, so exclusion cost is the excluded terms' posting lists, not
+    // a corpus scan
+    val post0 = if (excludeTerms.isEmpty) postF else {
+      val exDocs = (if (meta.formatVersion.getOrElse(1) >= 2) {
+        val exBuckets = excludeTerms.map(termBucket(_, meta.numTermPartitions))
+          .distinct.map(Integer.valueOf)
+        raw.filter(col("bucket").isin(exBuckets: _*))
+      } else raw)
+        .filter(col("term").isin(excludeTerms: _*))
+        .select(col("doc")).distinct()
+      postF.join(exDocs, Seq("doc"), "left_anti")
+    }
+
+    // phrase: keep only docs where the tokens appear in order within the
+    // slop window. Per candidate doc, gather term → positions (the
+    // candidate set is already narrowed to docs holding ALL phrase
+    // terms), then one codegen'd expression decides membership:
+    //  - slop 0: intersect-of-shifted-position-lists (any start p with
+    //    phraseSeq(i) at exactly p+i — Lucene's exact-phrase algorithm);
+    //  - slop N: greedy earliest chain — e₀ = p, eᵢ = min position of
+    //    term i after eᵢ₋₁ — accepts iff e_{m-1} ≤ p + (m-1) + N. Greedy
+    //    minimizes the chain end, so it decides "∃ in-order occurrence
+    //    with span ≤ m-1+N" exactly; array_min(empty) = NULL propagates
+    //    through the comparisons as a non-match.
+    val post = if (mode != "phrase") post0 else {
+      val member =
+        if (slop == 0) {
+          val adjacency = phraseSeq.zipWithIndex.tail.foldLeft(
+            s"element_at(__m, '${sqlLit(phraseSeq.head)}')") { case (acc, (t, i)) =>
+            s"filter($acc, p -> array_contains(element_at(__m, '${sqlLit(t)}'), p + $i))"
+          }
+          s"size($adjacency) > 0"
+        } else {
+          val budget = phraseSeq.size - 1 + slop
+          val chain = phraseSeq.zipWithIndex.tail.foldLeft("p0") {
+            case (acc, (t, i)) =>
+              s"array_min(filter(element_at(__m, '${sqlLit(t)}'), " +
+                s"x$i -> x$i > ($acc)))"
+          }
+          s"size(filter(element_at(__m, '${sqlLit(phraseSeq.head)}'), " +
+            s"p0 -> ($chain) <= p0 + $budget)) > 0"
+        }
       val phraseDocs = post0
         .groupBy(col("doc"))
         .agg(map_from_entries(collect_list(struct(col("term"),
           col("positions")))).as("__m"), count(lit(1)).as("__nt"))
         .filter(col("__nt") === terms.size)
-        .filter(expr(s"size($adjacency) > 0"))
+        .filter(expr(member))
         .select(col("doc"))
       post0.join(phraseDocs, Seq("doc"), "left_semi")
     }
@@ -537,7 +593,7 @@ object FtsIndex {
       // the matched-term count — boolean-AND needs no extra distinct
       .agg(sum(col("c")).cast("double").as("score"),
         count(lit(1)).as("__nt"))
-    (if (matchMode == "all") scored.filter(col("__nt") === terms.size)
+    (if (mode == "all") scored.filter(col("__nt") === terms.size)
      else scored)
       .drop("__nt")
       .orderBy(col("score").desc, col("doc"))

@@ -603,6 +603,45 @@ object TextAnalysis {
       matchMode = "phrase")
   }
 
+  /** NOT + sloppy-phrase FTS (t49): the two query operators a search
+    * user types right after AND/phrase — `-term` exclusion (Lucene
+    * MUST_NOT: anti-join on the excluded term's postings before scoring)
+    * and `phrase~N` slop (in-order within-window match via a greedy
+    * earliest position chain). Four planted suffixes make every decoy
+    * class distinguishable:
+    *   - %7==0: exact phrase              → matches at any slop
+    *   - %7==1: one filler token inside   → slop 1 YES, slop 0 no
+    *   - %7==2: two fillers               → slop 1 NO (the N vs N+1 line)
+    *   - %7==3: exact phrase + `zzexcl`   → excluded despite matching
+    * The oracle derives membership from the same decorated text with a
+    * span-≤-(m-1+N) regex (the space tokenizer's positions ARE split
+    * indexes) minus the exclusion, then scores the same BM25 sum.
+    */
+  private val t49Phrase = Seq("graft", "marker", "token")
+
+  def t49FtsNotSlop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.FtsIndex
+    val dest = graft.Tables.scratch(dir, "docs_fts_notslop")
+    val mp = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${FtsIndex.indexPath(dest, "txt")}/fts.json").getAbsolutePath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) {
+      t(spark, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" graft marker token"))
+            .when(col("doc_id") % 7 === 1, lit(" graft marker pad token"))
+            .when(col("doc_id") % 7 === 2, lit(" graft marker pad pad token"))
+            .when(col("doc_id") % 7 === 3, lit(" graft marker token zzexcl"))
+            .otherwise(lit(""))))
+        .select(col("doc_id"), col("txt"))
+        .write.format("lance").mode("overwrite").save(dest)
+      FtsIndex.build(spark, spark.read.format("lance").load(dest),
+        "txt", "doc_id", dest, storePositions = true)
+    }
+    FtsIndex.search(spark, dest, "txt",
+      s"${t49Phrase.mkString(" ")} -zzexcl", bm25K, matchMode = "phrase~1")
+  }
+
   /** PII patterns shared by t41 and its oracle. Restricted to the regex
     * dialect intersection of Java (Spark) and RE2 (DuckDB): character
     * classes, bounded repeats, `\b` — no backreferences, no lookaround.
@@ -724,6 +763,7 @@ object TextAnalysis {
     "t44_fts_unicode" -> t44FtsUnicode,
     "t45_fts_conjunction" -> t45FtsConjunction,
     "t46_fts_phrase" -> t46FtsPhrase,
+    "t49_fts_not_slop" -> t49FtsNotSlop,
     "t41_pii_redact" -> t41PiiRedact,
     "t47_chunking" -> t47Chunking,
     "t48_ngram_topk" -> t48NgramTopk,
@@ -962,6 +1002,43 @@ object TextAnalysis {
       // t46: phrase membership via single-space substring match — exactly
       // the space tokenizer's adjacency — then the same BM25 sum over the
       // phrase terms, restricted to phrase docs
+      // t49: sloppy-phrase membership via a span-<=3 in-order regex over
+      // the SAME decorated text (space-tokenizer positions are split
+      // indexes: the three in-order placements of one filler), minus the
+      // '-zzexcl' exclusion; then the same BM25 sum over the phrase terms
+      "t49_fts_not_slop" -> {
+        val inList = t49Phrase.map(w => s"'$w'").mkString(", ")
+        val toks = "string_split(txt, ' ')"
+        s"""WITH d AS (SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' graft marker token'
+           |         WHEN doc_id % 7 = 1 THEN ' graft marker pad token'
+           |         WHEN doc_id % 7 = 2 THEN ' graft marker pad pad token'
+           |         WHEN doc_id % 7 = 3 THEN ' graft marker token zzexcl'
+           |         ELSE '' END AS txt
+           |  FROM documents),
+           |tok AS (SELECT doc_id, len($toks) AS dl,
+           |    unnest($toks) AS term FROM d),
+           |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+           |  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len($toks)) AS BIGINT) AS sumdl FROM d),
+           |ph AS (SELECT doc_id FROM d
+           |  WHERE regexp_matches(' ' || txt || ' ',
+           |      ' graft (marker token|marker [^ ]+ token|[^ ]+ marker token) ')
+           |    AND NOT (' ' || txt || ' ' LIKE '% zzexcl %'))
+           |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM (
+           |  SELECT post.doc_id, CAST(
+           |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)
+           |          / (CAST(df AS DOUBLE) + 0.5)))
+           |        * (tf * CAST(2.2 AS DOUBLE)))
+           |      / (tf + 1.2 * (0.25 + (0.75 * dl)
+           |          / (CAST((SELECT sumdl FROM st) AS DOUBLE) / (SELECT n FROM st))))
+           |    AS DECIMAL(18,6)) AS c
+           |  FROM post JOIN dfs USING (term)
+           |  WHERE post.doc_id IN (SELECT doc_id FROM ph))
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
       "t46_fts_phrase" -> {
         val phrase = t46Phrase.mkString(" ")
         val inList = t46Phrase.map(w => s"'$w'").mkString(", ")

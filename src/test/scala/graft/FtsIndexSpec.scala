@@ -250,6 +250,75 @@ class FtsIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("positional"))
   }
 
+  test("'-term' NOT clauses exclude docs without re-weighing corpus stats") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
+      "fts-not-").toAbsolutePath.toString
+    val ds = s"$dir/docs"
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha beta noise"),
+      (3L, "alpha other"),
+      (4L, "noise only"))
+    FtsIndex.build(spark, docs.toDF("doc_id", "text"), "text", "doc_id",
+      ds, numTermPartitions = 4)
+    val hits = FtsIndex.search(spark, ds, "text", "alpha -noise", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 3L), s"got $hits")
+    // scores equal the un-excluded query's scores for surviving docs:
+    // exclusion narrows candidates, never re-weighs (df/avgdl index-wide)
+    val base = FtsIndex.search(spark, ds, "text", "alpha", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    FtsIndex.search(spark, ds, "text", "alpha -noise", 10)
+      .collect().foreach(r => assert(r.getDouble(1) == base(r.getLong(0))))
+    // exclusion composes with matchMode=all
+    val allHits = FtsIndex.search(spark, ds, "text", "alpha beta -noise", 10,
+      matchMode = "all").collect().map(_.getLong(0)).toSet
+    assert(allHits == Set(1L), s"got $allHits")
+    // a query of ONLY exclusions is refused loudly
+    val e = intercept[IllegalArgumentException](
+      FtsIndex.search(spark, ds, "text", "-noise", 10))
+    assert(e.getMessage.contains("no positive terms"))
+  }
+
+  test("phrase~N slop: in-order within-window; N vs N+1 boundary exact") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
+      "fts-slop-").toAbsolutePath.toString
+    val ds = s"$dir/docs"
+    val docs = Seq(
+      (1L, "beta gamma tail"),            // exact: slop 0+
+      (2L, "beta pad gamma tail"),        // 1 filler: slop 1+
+      (3L, "beta pad pad gamma tail"),    // 2 fillers: slop 2+
+      (4L, "gamma pad beta tail"),        // wrong order: never
+      (5L, "x beta y gamma beta gamma"))  // exact later in doc: slop 0+
+    FtsIndex.build(spark, docs.toDF("doc_id", "text"), "text", "doc_id",
+      ds, numTermPartitions = 4, storePositions = true)
+    def hits(mode: String): Set[Long] =
+      FtsIndex.search(spark, ds, "text", "beta gamma", 10, matchMode = mode)
+        .collect().map(_.getLong(0)).toSet
+    assert(hits("phrase") == Set(1L, 5L))
+    assert(hits("phrase~0") == Set(1L, 5L), "phrase~0 == exact phrase")
+    assert(hits("phrase~1") == Set(1L, 2L, 5L))
+    assert(hits("phrase~2") == Set(1L, 2L, 3L, 5L))
+    // three-term chain: budget is TOTAL span, not per-gap
+    val docs3 = Seq(
+      (1L, "a b c"),
+      (2L, "a pad b c"),        // span 3 = 2+1
+      (3L, "a b pad c"),        // span 3 = 2+1
+      (4L, "a pad b pad c"))    // span 4 = 2+2
+    val ds3 = s"$dir/docs3"
+    FtsIndex.build(spark, docs3.toDF("doc_id", "text"), "text", "doc_id",
+      ds3, numTermPartitions = 4, storePositions = true)
+    def hits3(mode: String): Set[Long] =
+      FtsIndex.search(spark, ds3, "text", "a b c", 10, matchMode = mode)
+        .collect().map(_.getLong(0)).toSet
+    assert(hits3("phrase~1") == Set(1L, 2L, 3L))
+    assert(hits3("phrase~2") == Set(1L, 2L, 3L, 4L))
+    // slop composes with '-term' exclusion
+    val both = FtsIndex.search(spark, ds, "text", "beta gamma -tail", 10,
+      matchMode = "phrase~1").collect().map(_.getLong(0)).toSet
+    assert(both == Set(5L), s"got $both")
+  }
+
   test("refresh preserves positional postings (phrase works after append)") {
     val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
       "fts-phrase-refresh-").toAbsolutePath.toString
