@@ -74,7 +74,8 @@ object ScalarIndex {
     datasetVersion: Option[Long] = None,
     formatVersion: Option[Int] = None,
     maxFilesPerValue: Option[Int] = None,
-    buildId: Option[String] = None)
+    buildId: Option[String] = None,
+    postingsDir: Option[String] = None)
 
   /** One postings line: rendered value + fragment files, `f = None`
     * marking a value too hot to prune (present in > maxFilesPerValue
@@ -85,6 +86,15 @@ object ScalarIndex {
     s"$datasetPath/_indices/${column}_scalar"
 
   private def postingsPath(ip: String) = s"$ip/postings"
+  /** The LIVE postings directory is named by the meta (pointer-based
+    * swap): a rebuild stages a fresh `postings-<id>` dir and atomically
+    * re-points `scalar.json`, so readers resolving through the meta never
+    * observe a half-replaced directory — the delete+rename window of an
+    * in-place swap let a concurrent reader see a missing bucket as
+    * "value provably absent" and wrongly prune. Metas written before the
+    * pointer existed resolve to the legacy `postings` dir. */
+  private def livePostings(ip: String, meta: ScalarMeta): String =
+    meta.postingsDir.map(d => s"$ip/$d").getOrElse(postingsPath(ip))
   private def metaPath(ip: String) = new Path(s"$ip/scalar.json")
 
   def supported(dt: DataType): Boolean = dt match {
@@ -143,26 +153,44 @@ object ScalarIndex {
     val dt = m.schema(column).dataType
     require(supported(dt), s"scalar index unsupported for column type $dt")
     val ip = indexPath(datasetPath, column)
-    val pp = new Path(postingsPath(ip))
-    val fs = pp.getFileSystem(spark.sessionState.newHadoopConf())
-    // stage → verify → swap (the FtsIndex rebuild discipline): writing
-    // into the live dir after a delete would let a concurrent reader see
-    // an EMPTY bucket as "value provably absent" and wrongly prune;
-    // staged, the live postings stay whole until the rename
-    val staged = new Path(s"$ip/postings.staged")
-    if (fs.exists(staged)) fs.delete(staged, true)
+    val fs = new Path(ip).getFileSystem(spark.sessionState.newHadoopConf())
+    // POINTER-BASED swap: write the new postings into a fresh versioned
+    // directory, then atomically re-point scalar.json at it. The old
+    // postings stay whole on disk until the new meta lands, so a
+    // concurrent reader (resolving its directory THROUGH the meta) can
+    // never observe a half-replaced index — the delete-then-rename window
+    // of an in-place swap read as "value provably absent" → silent
+    // mis-prune. On any failure the meta is DELETED: a disabled index
+    // (prune keeps everything) over a mis-pruning one.
+    val newDirName = s"postings-${java.util.UUID.randomUUID().toString}"
+    val newDir = new Path(s"$ip/$newDirName")
     val ds = spark.read.format("lance").load(datasetPath)
     writePostings(spark, postingsOf(spark, ds, column, numBuckets,
-      maxFilesPerValue(spark)), staged, overwrite = true)
-    require(fs.exists(staged),
-      s"staged scalar postings missing at $staged - aborting before touching live")
-    if (fs.exists(pp)) fs.delete(pp, true)
-    require(fs.rename(staged, pp), s"could not swap $staged into $pp")
-    writeMeta(spark, ip, ScalarMeta(column, numBuckets,
-      coveredFiles = m.fragments.map(_.file),
-      datasetVersion = Some(m.version),
-      formatVersion = Some(CurrentFormatVersion),
-      maxFilesPerValue = Some(maxFilesPerValue(spark))))
+      maxFilesPerValue(spark)), newDir, overwrite = true)
+    require(fs.exists(newDir),
+      s"staged scalar postings missing at $newDir - aborting with the live index intact")
+    val prevDir = if (exists(spark, datasetPath, column))
+      Some(livePostings(ip, loadMeta(spark, datasetPath, column))) else None
+    val stamped = try {
+      writeMeta(spark, ip, ScalarMeta(column, numBuckets,
+        coveredFiles = m.fragments.map(_.file),
+        datasetVersion = Some(m.version),
+        formatVersion = Some(CurrentFormatVersion),
+        maxFilesPerValue = Some(maxFilesPerValue(spark)),
+        postingsDir = Some(newDirName)))
+    } catch {
+      case e: Throwable =>
+        // the pointer may be half-written: disable the index outright
+        fs.delete(metaPath(ip), false)
+        fs.delete(newDir, true)
+        throw e
+    }
+    // the old directory is unreferenced once the new meta is the pointer;
+    // readers that resolved it a moment ago fail conservatively (missing
+    // root -> prune skipped), never absently
+    prevDir.filter(_ != s"$ip/$newDirName")
+      .foreach(d => fs.delete(new Path(d), true))
+    stamped
   }
 
   /** Delta refresh: index ONLY fragments the last build/refresh did not
@@ -186,7 +214,7 @@ object ScalarIndex {
     val ip = indexPath(datasetPath, column)
     writePostings(spark, postingsOf(spark, ds, column, meta.numBuckets,
       meta.maxFilesPerValue.getOrElse(maxFilesPerValue(spark))),
-      new Path(postingsPath(ip)), overwrite = false)
+      new Path(livePostings(ip, meta)), overwrite = false)
     writeMeta(spark, ip, meta.copy(
       coveredFiles = meta.coveredFiles ++ fresh.map(_.file),
       datasetVersion = Some(m.version)))
@@ -282,6 +310,14 @@ object ScalarIndex {
   private def lookup(spark: SparkSession, datasetPath: String,
       meta: ScalarMeta, rendered: String): Option[Set[String]] = {
     val b = bucketOf(rendered, meta.numBuckets)
+    // a vanished postings ROOT (concurrent rebuild deleted the dir this
+    // meta references, or a crashed swap) must read as "cannot prune",
+    // NEVER as "value provably absent" — prune's catch keeps fragments
+    val rootDir = new Path(livePostings(indexPath(datasetPath, meta.column), meta))
+    val rfs = rootDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!rfs.exists(rootDir)) throw new IllegalStateException(
+      s"scalar postings dir $rootDir vanished (concurrent rebuild?) - " +
+        "skipping prune conservatively")
     val lines = bucketLines(spark, datasetPath, meta, b)
     val hits = lines.filter(_.v == rendered)
     if (hits.exists(_.f.isEmpty)) None
@@ -304,7 +340,7 @@ object ScalarIndex {
       meta.buildId.getOrElse(""), bucket)
     val cached = bucketCache.get(key)
     if (cached != null) return cached
-    val dir = new Path(s"${postingsPath(key._1)}/bucket=$bucket")
+    val dir = new Path(s"${livePostings(key._1, meta)}/bucket=$bucket")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val lines: Seq[PostLine] =
       if (!fs.exists(dir)) Nil

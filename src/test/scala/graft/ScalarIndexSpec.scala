@@ -140,6 +140,36 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(cold.count() == 1)
   }
 
+  test("pointer swap: rebuild re-points the meta; vanished postings never mis-prune") {
+    val dir = tmpDir()
+    plant(dir) // interleaved evens: stats/value-set layers cannot prune
+    val m1 = ScalarIndex.build(spark, dir, "id")
+    assert(m1.postingsDir.exists(_.startsWith("postings-")),
+      "build must name a versioned postings dir in the meta")
+    // rebuild: a NEW dir is staged and the pointer moves; the old dir is
+    // reclaimed only after the new meta landed
+    val m2 = ScalarIndex.build(spark, dir, "id")
+    assert(m2.postingsDir != m1.postingsDir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ip = ScalarIndex.indexPath(dir, "id")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ip/${m1.postingsDir.get}")),
+      "old postings dir must be reclaimed after the swap")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ip/${m2.postingsDir.get}")))
+    // the index still serves lookups through the new pointer
+    val hit = spark.read.format("lance").load(dir).filter(col("id") === 42L)
+    assert(scannedFiles(hit) == 1 && hit.count() == 1)
+    // THE advice scenario: the meta survives but its postings are gone
+    // (crashed swap / concurrent rebuild). The old in-place layout made
+    // every later lookup read "provably absent" and silently drop rows;
+    // pointer resolution must instead skip pruning conservatively.
+    ScalarIndex.evictMeta(spark, dir, "id")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ip/${m2.postingsDir.get}"), true)
+    val all = spark.read.format("lance").load(dir).filter(col("id") === 42L)
+    assert(all.count() == 1, "vanished postings must never lose rows")
+    assert(scannedFiles(all) == 4, "no postings -> no pruning, full scan")
+  }
+
   test("dropIndex scalar + disabled conf both restore full scans") {
     val dir = tmpDir()
     plant(dir)
