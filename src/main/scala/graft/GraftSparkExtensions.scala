@@ -84,6 +84,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_constraints"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_constraints"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_constraints", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_maxsim"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_maxsim"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_maxsim", args)))
   }
 }
 
@@ -108,7 +111,7 @@ object MetaTvfs {
     Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts",
         "lance_stats", "vector_search_join", "lance_indexes",
         "lance_take", "lance_tags", "lance_branches",
-        "lance_constraints").foreach { n =>
+        "lance_constraints", "lance_maxsim").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -300,6 +303,34 @@ object MetaTvfs {
         }
         val ids = idArgs.map(a => literalString(a, "lance_take: rowId").toLong)
         graft.Lance.take(spark, path, ids, version)
+      // Late interaction (ColBERT maxsim) through SQL: query vectors come
+      // from a table/temp view (driver-small by definition — one query's
+      // vectors), candidates from the probed IVF buckets, exact rerank
+      // over candidates only (graft.index.IvfIndex.maxSim). docIdExpr is
+      // a SQL expression over the indexed table grouping vectors into
+      // documents; '' filter / 0 cap mean none (positional arg skipping).
+      case "lance_maxsim" =>
+        require(args.size >= 6 && args.size <= 9,
+          "lance_maxsim(path, column, docIdExpr, queryTable, vecCol, k" +
+            "[, nprobes[, candidatesPerQuery[, filter]]])")
+        val qvecs = spark.table(literalString(args(3), "lance_maxsim: queryTable"))
+          .select(org.apache.spark.sql.functions
+            .col(literalString(args(4), "lance_maxsim: vecCol"))
+            .cast("array<float>"))
+          .collect().map(_.getSeq[Float](0).toArray).toSeq
+        graft.index.IvfIndex.maxSim(spark, path,
+          literalString(args(1), "lance_maxsim: column"),
+          org.apache.spark.sql.functions.expr(
+            literalString(args(2), "lance_maxsim: docIdExpr")),
+          qvecs,
+          literalString(args(5), "lance_maxsim: k").toInt,
+          nprobes = if (args.size >= 7)
+            literalString(args(6), "lance_maxsim: nprobes").toInt else 20,
+          candidatesPerQuery = if (args.size >= 8)
+            literalString(args(7), "lance_maxsim: candidatesPerQuery").toInt else 0,
+          filter = if (args.size >= 9)
+            Some(literalString(args(8), "lance_maxsim: filter")).filter(_.nonEmpty)
+              .map(org.apache.spark.sql.functions.expr) else None)
       // BM25 over the persisted inverted index (graft.index.FtsIndex) —
       // the scalar-index sibling of the vector_search TVF
       case "lance_fts" =>

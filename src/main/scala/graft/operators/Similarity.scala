@@ -159,6 +159,25 @@ object Similarity {
         (col("n_overlap") >= 7).as("recall_ok"))
   }
 
+  /** Late interaction through pure SQL (v44): the `lance_maxsim` TVF over
+    * a temp view of the query doc's vectors drives the SAME v43 two-phase
+    * path (probed-bucket candidates, exact rerank) — a hash match against
+    * v43's oracle proves the SQL surface reaches the distributed plan,
+    * not a re-implementation (the v40 pattern for the KNN join).
+    */
+  def v44MaxSimSql(spark: SparkSession, dir: String): DataFrame = {
+    val dest = ensureIvf(spark, dir)
+    graft.MetaTvfs.register(spark)
+    t(spark, dir, "embeddings").filter(col("vec_id") < 4)
+      .createOrReplaceTempView("mvq_v44")
+    spark.sql(
+      s"""SELECT doc AS mv_doc, maxsim, n_q
+         |FROM lance_maxsim('$dest', 'embedding', 'vec_id div 4',
+         |                  'mvq_v44', 'embedding', 10, 8, 0,
+         |                  'vec_id div 4 <> 0')
+         |ORDER BY maxsim DESC, mv_doc""".stripMargin)
+  }
+
   /** Per-label centroid-ish stats over vector norms: exercises the distance
     * expression inside a hash aggregate (vector column never shuffled raw —
     * only the scalar norm).
@@ -802,6 +821,7 @@ object Similarity {
     "v42_maxsim" -> v42MaxSim,
     "v43_maxsim_indexed" -> v43MaxSimIndexed,
     "v43r_maxsim_partial" -> v43rMaxSimPartial,
+    "v44_maxsim_sql" -> v44MaxSimSql,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -962,6 +982,8 @@ object Similarity {
     // argument)
     "v43r_maxsim_partial" ->
       "SELECT 10 AS k, 4 AS nprobes, true AS recall_ok",
+    // v44 drives the SAME two-phase path through SQL — identical oracle
+    "v44_maxsim_sql" -> maxSimOracleSql,
     "v23_dot_similarity" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
         |SELECT e.vec_id,

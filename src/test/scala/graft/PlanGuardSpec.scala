@@ -17,6 +17,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "v21_knn_l2", "v22_knn_cosine", "v23_dot_similarity", "s53_lance_time_travel",
     "s92_tags", // tagged-snapshot agg × live agg: two 1-row sides
     "v42_maxsim", // 4 broadcast query vectors × the vector table (maxsim)
+    // v43/v44: the SAME 4-broadcast-query-vector cross, but over the
+    // candidate-restricted bucket scan instead of the full table (plus
+    // the cap path's per-query-vector window in v43r)
+    "v43_maxsim_indexed", "v43r_maxsim_partial", "v44_maxsim_sql",
     // t36/t38 broadcast a 1-row corpus-size aggregate across every
     // document — a benign O(n) cross that replaced a second scan + collect()
     "t36_salient_terms", "t38_lm_rarity",
