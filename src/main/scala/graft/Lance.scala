@@ -413,6 +413,9 @@ object Lance {
     */
   def addConstraint(spark: SparkSession, path: String, name: String,
       exprStr: String): Long = {
+    require(graft.format.LanceFormat.uniqueColumn(exprStr).isEmpty,
+      "uniqueness rules go through addUniqueConstraint / CALL add_unique " +
+        "(they validate differently from boolean CHECK expressions)")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     val m = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
@@ -449,6 +452,56 @@ object Lance {
       throw new IllegalArgumentException(
         s"cannot add constraint '$name' ($exprStr): rows violating it were " +
           "committed concurrently during validation - constraint rolled back")
+    }
+    committed
+  }
+
+  /** Declare `column` UNIQUE: validates all EXISTING rows first (one
+    * grouped count — duplicates refuse the declaration), then commits the
+    * rule (`__unique__:<col>` in the manifest's constraint map — carried
+    * through every commit kind like CHECK rules). Every subsequent data
+    * commit proves its batch repeats no key internally and collides with
+    * none in the table it lands beside; the table side is a PRUNED point
+    * probe (manifest stats + scalar index + pushed IN filter), not a
+    * scan. NULL keys are exempt (SQL UNIQUE). Racing same-key appends
+    * resolve first-committer-wins: the second to land detects the
+    * conflict post-commit against exactly the interleaved fragments and
+    * rolls itself back in a compensating commit. The same add-time
+    * interleaving check as [[addConstraint]] applies. Returns the
+    * committing version.
+    *
+    * Cost note for 100 TB ingest: keep the key column clustered
+    * (`write.distribute-by` / Z-order) or scalar-indexed
+    * ([[buildScalarIndex]]) so the per-commit probe touches a handful of
+    * fragments; unclustered and unindexed, the probe degrades to a
+    * pushed-filter scan of the table's footers.
+    */
+  def addUniqueConstraint(spark: SparkSession, path: String, column: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val m = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $path"))
+    require(m.schema.fieldNames.contains(column), s"no column '$column' in $path")
+    val name = s"unique_$column"
+    graft.format.LanceFormat.validateName("constraint", name)
+    require(!m.checkConstraints.contains(name),
+      s"column '$column' is already UNIQUE on $path")
+    val F = org.apache.spark.sql.functions
+    def dups(): Long = read(spark, path)
+      .filter(F.col(column).isNotNull)
+      .groupBy(F.col(column)).count()
+      .filter(F.col("count") > 1).limit(1).count()
+    require(dups() == 0L,
+      s"cannot declare '$column' UNIQUE: existing rows repeat key values")
+    val committed = graft.format.LanceFormat.commitConstraints(fs, root, { cur =>
+      require(!cur.contains(name), s"column '$column' is already UNIQUE on $path")
+      cur + (name -> s"${graft.format.LanceFormat.UniquePrefix}$column")
+    }).version
+    if (committed != m.version + 1 && dups() > 0L) {
+      graft.format.LanceFormat.commitConstraints(fs, root, _ - name)
+      throw new IllegalArgumentException(
+        s"cannot declare '$column' UNIQUE: duplicate keys were committed " +
+          "concurrently during validation - constraint rolled back")
     }
     committed
   }
@@ -600,10 +653,12 @@ object Lance {
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     graft.format.LanceFormat.rebaseBranch(fs, root, name,
       validate = { (mergedSchema, branchOnly) =>
-        val rules = graft.format.LanceFormat.readLatest(fs, root)
-          .map(_.checkConstraints).getOrElse(Map.empty)
+        val main = graft.format.LanceFormat.readLatest(fs, root)
         graft.connector.LanceWrite.enforceConstraints(
-          root, mergedSchema, branchOnly, rules)
+          root, mergedSchema, branchOnly,
+          main.map(_.checkConstraints).getOrElse(Map.empty),
+          // UNIQUE must hold against main's CURRENT fragments too
+          tableFrags = main.map(_.fragments).getOrElse(Seq.empty))
       })
   }
 

@@ -248,16 +248,26 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
       // would be write-bricked by an unrelated-looking error. Refuse
       // here, naming the rule to drop first.
       current.checkConstraints.foreach { case (cname, e) =>
-        val analyzes = scala.util.Try {
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], merged)
-            .filter(org.apache.spark.sql.functions.expr(e))
-            .queryExecution.analyzed
-        }.isSuccess
-        require(analyzes,
-          s"cannot drop column(s) ${dels.mkString(", ")}: CHECK constraint " +
-            s"'$cname' ($e) references the post-drop schema invalidly - " +
-            "CALL drop_constraint first")
+        LanceFormat.uniqueColumn(e) match {
+          case Some(ucol) =>
+            // the sentinel is not a SQL expression — check the referenced
+            // column survives the drop directly
+            require(merged.fieldNames.contains(ucol),
+              s"cannot drop column(s) ${dels.mkString(", ")}: UNIQUE " +
+                s"constraint '$cname' references '$ucol' - " +
+                "CALL drop_constraint first")
+          case None =>
+            val analyzes = scala.util.Try {
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], merged)
+                .filter(org.apache.spark.sql.functions.expr(e))
+                .queryExecution.analyzed
+            }.isSuccess
+            require(analyzes,
+              s"cannot drop column(s) ${dels.mkString(", ")}: CHECK constraint " +
+                s"'$cname' ($e) references the post-drop schema invalidly - " +
+                "CALL drop_constraint first")
+        }
       }
       // the change was derived FROM current.schema: a concurrent schema
       // evolution fails loud (CME) instead of being silently erased
@@ -312,7 +322,8 @@ object LanceCatalog {
       "drop_index", "update_where", "upsert", "remove_orphans", "restore",
       "tag", "untag", "create_branch", "drop_branch", "fast_forward",
       "rebase_branch",
-      "add_constraint", "drop_constraint", "set_not_null", "drop_not_null")
+      "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
+      "add_unique")
 }
 
 private[catalog] object LanceProcedure {
@@ -377,6 +388,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "add_constraint" => "add a CHECK constraint (validates existing data; every commit re-validates its batch)"
     case "drop_constraint" => "drop a CHECK constraint"
     case "set_not_null" => "declare a column NOT NULL (validates existing rows; rule + schema nullability in one commit)"
+    case "add_unique" => "declare a column UNIQUE (validates existing rows; every commit point-probes its keys against the table)"
     case "drop_not_null" => "drop a NOT NULL declaration (rule removed, column back to nullable)"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
@@ -440,8 +452,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("expr", StringType).comment("boolean SQL expression; NULL passes").build())
     case "drop_constraint" => Array(in("table", StringType).build(),
       in("name", StringType).build())
-    case "set_not_null" | "drop_not_null" => Array(in("table", StringType).build(),
-      in("column", StringType).build())
+    case "set_not_null" | "drop_not_null" | "add_unique" =>
+      Array(in("table", StringType).build(),
+        in("column", StringType).build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -564,6 +577,11 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           new GenericInternalRow(Array[Any](existed)))
       case "set_not_null" =>
         val v = graft.Lance.setNotNull(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("committed_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](v)))
+      case "add_unique" =>
+        val v = graft.Lance.addUniqueConstraint(spark, path,
           input.getUTF8String(1).toString)
         (new StructType().add("committed_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))

@@ -633,16 +633,21 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       // passed at ingest — re-proving them would re-read the whole
       // repacked batch once per constraint, the exact I/O compactSmall
       // exists to avoid. Row-CHANGING replaces (DML) are enforced.
-      val enforced = LanceFormat.readLatest(fs, root)
-        .map(_.checkConstraints).getOrElse(Map.empty)
+      val prevM = LanceFormat.readLatest(fs, root)
+      val enforced = prevM.map(_.checkConstraints).getOrElse(Map.empty)
       if (!rowPreserving)
-        LanceWrite.enforceConstraints(root, schema, frags, enforced)
+        LanceWrite.enforceConstraints(root, schema, frags, enforced,
+          // uniqueness holds against the KEPT fragments — the ones being
+          // replaced are leaving, their keys may legitimately reappear
+          tableFrags = prevM.map(_.fragments).getOrElse(Seq.empty)
+            .filterNot(f => replaceFragments.get.contains(f.id)))
       val (committedR, _) = LanceFormat.commitReplace(fs, root, schema,
         replaceFragments.get, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "replace")
       if (!rowPreserving)
         LanceWrite.verifyConstraintsPostCommit(root, fs, schema, frags,
-          enforced, committedR)
+          enforced, committedR,
+          baseFragments = prevM.map(_.fragments).getOrElse(Seq.empty))
       if (refreshIndexes.nonEmpty)
         LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
       return
@@ -689,7 +694,11 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     }
     val enforced = existing.map(_.checkConstraints).getOrElse(Map.empty)
     if (!rowPreserving)
-      LanceWrite.enforceConstraints(root, committedSchema, frags, enforced)
+      LanceWrite.enforceConstraints(root, committedSchema, frags, enforced,
+        // append: unique vs the lineage head; overwrite replaces
+        // everything, so only batch-internal uniqueness applies
+        tableFrags = if (overwrite) Seq.empty
+          else existing.map(_.fragments).getOrElse(Seq.empty))
     val committed =
       if (overwrite) LanceFormat.commitOverwrite(fs, root, committedSchema, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "overwrite")
@@ -699,7 +708,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     // rule set is the fork-time copy, static under main-side edits)
     if (!rowPreserving && branch.isEmpty)
       LanceWrite.verifyConstraintsPostCommit(root, fs, committedSchema, frags,
-        enforced, committed)
+        enforced, committed,
+        baseFragments = existing.map(_.fragments).getOrElse(Seq.empty))
     // in-commit index maintenance, batch flavor of the s90 streaming
     // contract: delta-refresh the persisted sidecars before the write
     // call returns, so the next reader's point lookup / search covers
@@ -741,16 +751,20 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
       // CHECK constraints hold for streamed epochs too — a violating
       // micro-batch fails the stream (correctness, unlike the
       // stale-but-correct refresh warn below)
-      val enforced = LanceFormat.readLatest(fs, root)
-        .map(_.checkConstraints).getOrElse(Map.empty)
-      LanceWrite.enforceConstraints(root, schema, frags, enforced)
+      val latestM = LanceFormat.readLatest(fs, root)
+      val enforced = latestM.map(_.checkConstraints).getOrElse(Map.empty)
+      val epochOverwrite = overwrite && epochId == 0
+      LanceWrite.enforceConstraints(root, schema, frags, enforced,
+        tableFrags = if (epochOverwrite) Seq.empty
+          else latestM.map(_.fragments).getOrElse(Seq.empty))
       val committed =
-        if (overwrite && epochId == 0)
+        if (epochOverwrite)
           LanceFormat.commitOverwrite(fs, root, schema, frags, Some(epochId))
         else LanceFormat.commitAppend(fs, root, schema, frags, Some(epochId))
       // rules added concurrently with the epoch are re-proven post-commit
       LanceWrite.verifyConstraintsPostCommit(root, fs, schema, frags,
-        enforced, committed)
+        enforced, committed,
+        baseFragments = latestM.map(_.fragments).getOrElse(Seq.empty))
       // continuously-ingested corpus, always-serving indexes: delta-
       // refresh INSIDE the epoch commit (the index is fresh before the
       // next batch starts — the maintenance job a production pipeline
@@ -819,8 +833,9 @@ private[graft] object LanceWrite {
     * (SQL CHECK semantics).
     */
   def enforceConstraints(root: Path, schema: StructType,
-      frags: Seq[FragmentMeta], constraints: Map[String, String]): Unit = {
-    if (constraints.isEmpty || frags.isEmpty) return
+      frags: Seq[FragmentMeta], constraints: Map[String, String],
+      tableFrags: Seq[FragmentMeta] = Seq.empty): Unit = {
+    if (frags.isEmpty) return
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     val spark = SparkSession.active
     val files = frags.map(f =>
@@ -832,12 +847,116 @@ private[graft] object LanceWrite {
     // filter hit instead
     val readSchema = StructType(schema.fields.map(_.copy(nullable = true)))
     val df = spark.read.schema(readSchema).parquet(files: _*)
-    constraints.foreach { case (name, e) =>
+    val (uniqueRules, checkRules) = constraints.partition {
+      case (_, e) => LanceFormat.uniqueColumn(e).isDefined }
+    checkRules.foreach { case (name, e) =>
       val bad = df.filter(coalesce(expr(e), lit(true)) === lit(false))
         .limit(1).count()
       if (bad > 0) throw new IllegalArgumentException(
         s"CHECK constraint '$name' ($e) violated by the written batch at " +
           s"$root - commit refused, no version created")
+    }
+    uniqueRules.foreach { case (name, e) =>
+      enforceUnique(root, readSchema, frags, name,
+        LanceFormat.uniqueColumn(e).get, tableFrags)
+    }
+    // AFTER the rule loops, so a declared not_null_<col> rule's message
+    // (naming the rule the user created) wins over the generic guard
+    enforceDeclaredNonNullable(root, schema, frags)
+  }
+
+  /** Schema-level NOT NULL: a batch carrying NULLs in a column the table
+    * schema declares non-nullable is REFUSED before the commit. Without
+    * this, the committed manifest's non-nullable schema makes later reads
+    * of those nulls UNDEFINED in the vectorized reader (they surface as
+    * zeros/garbage, not nulls — silent corruption, found by a spec that
+    * appended nullable rows into a toDF-inferred non-nullable table).
+    * One limit(1) probe over the staged files, only when non-nullable
+    * columns exist; complements the `not_null_<col>` rule (which
+    * setNotNull maintains) for schemas that are non-nullable by
+    * inference alone.
+    */
+  private def enforceDeclaredNonNullable(root: Path, schema: StructType,
+      frags: Seq[FragmentMeta]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val nn = schema.fields.filterNot(_.nullable).map(_.name)
+    if (nn.isEmpty) return
+    val spark = SparkSession.active
+    val files = frags.map(f =>
+      new Path(LanceFormat.dataPath(root), f.file).toString)
+    val readSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+    val anyNull = nn.map(c => col(c).isNull).reduce(_ || _)
+    val bad = spark.read.schema(readSchema).parquet(files: _*)
+      .filter(anyNull).limit(1).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"column(s) ${nn.mkString(", ")} are non-nullable in the table " +
+        s"schema at $root but the written batch contains NULLs - commit " +
+        "refused (reading nulls through a non-nullable schema is undefined)")
+  }
+
+  /** UNIQUE enforcement for one staged batch: the batch may not repeat a
+    * key internally, nor collide with `tableFrags` (the fragments the
+    * commit will coexist with — the lineage head for appends, the KEPT
+    * set for replaces, empty for overwrites). NULL keys are exempt (SQL
+    * UNIQUE). Table-side cost is a PRUNED point probe, not a scan: when
+    * the batch's distinct keys fit `spark.graft.unique.inlistLimit`
+    * (default 10000) they push as an IN filter through manifest
+    * min/max + value-set + scalar-index pruning and parquet row-group
+    * skipping — a clustered or scalar-indexed key column probes a
+    * handful of fragments regardless of table size; above the limit a
+    * distributed semi-join does the same check in one shuffle.
+    */
+  private def enforceUnique(root: Path, readSchema: StructType,
+      frags: Seq[FragmentMeta], name: String, column: String,
+      tableFrags: Seq[FragmentMeta]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkSession.active
+    require(readSchema.fieldNames.contains(column),
+      s"UNIQUE constraint '$name' references unknown column '$column' at $root")
+    val files = frags.map(f =>
+      new Path(LanceFormat.dataPath(root), f.file).toString)
+    val stagedKeys = spark.read.schema(readSchema).parquet(files: _*)
+      .select(col(column)).filter(col(column).isNotNull)
+    val dupInside = stagedKeys.groupBy(col(column))
+      .count().filter(col("count") > 1).limit(1).count()
+    if (dupInside > 0) throw new IllegalArgumentException(
+      s"UNIQUE constraint '$name' ($column) violated INSIDE the written " +
+        s"batch at $root - commit refused, no version created")
+    if (tableFrags.isEmpty) return
+    val limit = spark.conf.getOption("spark.graft.unique.inlistLimit")
+      .map(_.toInt).getOrElse(10000)
+    val distinctKeys = stagedKeys.distinct()
+    val keys = distinctKeys.limit(limit + 1).collect().map(_.get(0))
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"UNIQUE constraint '$name' ($column) violated: the written batch at " +
+        s"$root repeats key(s) already in the table - commit refused")
+    if (keys.length <= limit) {
+      // point-probe path: stats + scalar-index prune the IN filter down
+      // to candidate fragments, then one pushed-filter read of only those
+      val inFilter: org.apache.spark.sql.sources.Filter =
+        org.apache.spark.sql.sources.In(column, keys)
+      val pseudo = graft.format.Manifest(0L, readSchema.json, tableFrags)
+      val kept = graft.index.ScalarIndex.prune(spark, root.toString, pseudo,
+        Seq(inFilter),
+        graft.format.FragmentStats.prune(readSchema, tableFrags,
+          Array(inFilter)))
+      if (kept.isEmpty) return
+      val tblFiles = kept.map(f =>
+        new Path(LanceFormat.dataPath(root), f.file).toString)
+      val hit = spark.read.schema(readSchema).parquet(tblFiles: _*)
+        .select(col(column)).filter(col(column).isin(keys: _*))
+        .limit(1).count()
+      if (hit > 0) fail()
+    } else {
+      log.info(s"unique '$name' at $root: batch key set exceeds " +
+        s"inlistLimit=$limit - checking via distributed semi-join")
+      val tblFiles = tableFrags.map(f =>
+        new Path(LanceFormat.dataPath(root), f.file).toString)
+      val hit = spark.read.schema(readSchema).parquet(tblFiles: _*)
+        .select(col(column)).filter(col(column).isNotNull)
+        .join(distinctKeys, Seq(column), "left_semi")
+        .limit(1).count()
+      if (hit > 0) fail()
     }
   }
 
@@ -859,22 +978,45 @@ private[graft] object LanceWrite {
   def verifyConstraintsPostCommit(root: Path, fs: org.apache.hadoop.fs.FileSystem,
       schema: StructType, frags: Seq[FragmentMeta],
       enforced: Map[String, String],
-      committed: graft.format.Manifest): Unit = {
+      committed: graft.format.Manifest,
+      baseFragments: Seq[FragmentMeta] = Seq.empty): Unit = {
+    if (frags.isEmpty) return
+    val myFiles = frags.map(_.file).toSet
     val fresh = committed.checkConstraints -- enforced.keySet
-    if (fresh.isEmpty || frags.isEmpty) return
-    try enforceConstraints(root, schema, frags, fresh)
-    catch {
+    // UNIQUE rules additionally need CONFLICT DETECTION under optimistic
+    // concurrency: two racing appends of the same key each pass the
+    // pre-commit probe (neither sees the other's staged data). The
+    // SECOND to land sees the first's fragments as "interleaved" —
+    // committed but in neither its base nor its own batch — and re-probes
+    // its keys against exactly those fragments (cost ∝ interleaved data,
+    // zero when nothing raced). The first lands clean; the second rolls
+    // back — the standard first-committer-wins outcome.
+    val baseFiles = baseFragments.map(_.file).toSet
+    val interleaved = committed.fragments.filterNot(f =>
+      myFiles.contains(f.file) || baseFiles.contains(f.file))
+    val carriedUnique = (committed.checkConstraints -- fresh.keySet)
+      .filter { case (_, e) => LanceFormat.uniqueColumn(e).isDefined }
+    if (fresh.isEmpty && (interleaved.isEmpty || carriedUnique.isEmpty)) return
+    val readSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+    try {
+      if (fresh.nonEmpty)
+        enforceConstraints(root, schema, frags, fresh,
+          tableFrags = committed.fragments.filterNot(f => myFiles.contains(f.file)))
+      if (interleaved.nonEmpty) carriedUnique.foreach { case (n, e) =>
+        enforceUnique(root, readSchema, frags, n,
+          LanceFormat.uniqueColumn(e).get, interleaved)
+      }
+    } catch {
       case e: IllegalArgumentException =>
-        val files = frags.map(_.file).toSet
-        val ids = committed.fragments.filter(f => files.contains(f.file))
+        val ids = committed.fragments.filter(f => myFiles.contains(f.file))
           .map(_.id).toSet
         if (ids.nonEmpty)
           LanceFormat.commitReplace(fs, root, committed.schema, ids,
             Seq.empty, operation = "replace")
         throw new IllegalArgumentException(
-          s"constraint(s) ${fresh.keys.mkString(", ")} were added " +
+          s"a constraint was added or a conflicting batch landed " +
             s"concurrently with this write at $root and the batch violates " +
-            "them - the batch was rolled back in a compensating commit", e)
+            "it - the batch was rolled back in a compensating commit", e)
     }
   }
 

@@ -474,6 +474,18 @@ object LanceFormat {
   def deleteTag(fs: FileSystem, root: Path, name: String): Boolean =
     fs.delete(tagFile(root, name), false)
 
+  /** UNIQUE constraints ride the SAME manifest rule map as CHECK rules
+    * (one carry-forward path through every commit kind), distinguished by
+    * this sentinel expression prefix — `__unique__:<column>` — because
+    * uniqueness is not a row-local boolean: enforcement needs the batch
+    * AND the visible table ([[graft.connector.LanceWrite]] splits the
+    * rule kinds before evaluating). SQL UNIQUE semantics: NULLs are
+    * exempt (any number of null keys). */
+  val UniquePrefix = "__unique__:"
+  def uniqueColumn(expr: String): Option[String] =
+    if (expr.startsWith(UniquePrefix)) Some(expr.stripPrefix(UniquePrefix))
+    else None
+
   /** Metadata-only constraints change: `mutate` transforms the CURRENT
     * rule set inside the retry loop — re-deriving per attempt is what
     * keeps two concurrent add/drop_constraint calls from silently losing

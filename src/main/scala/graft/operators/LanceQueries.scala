@@ -1349,6 +1349,51 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** UNIQUE constraints (s100): declare the key column unique on a live
+    * table, append a disjoint batch (passes), then attempt BOTH
+    * violation shapes — a batch repeating keys already in the table and
+    * a batch repeating a key inside itself — each refused wholesale with
+    * no new version. Table-side enforcement is a pruned point probe
+    * (stats + scalar index + pushed IN), cost ∝ batch, never the table.
+    * Race conflict detection (first-committer-wins), NULL exemption,
+    * DML/branch/rebase composition and the SQL surface are pinned in
+    * UniqueConstraintSpec.
+    */
+  def s100Unique(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_unique")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.addUniqueConstraint(spark, dest, "o_orderkey")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.format("lance").mode("append").save(dest)
+    // poisoned ingest 1: keys the table already holds
+    try {
+      o.limit(100).write.format("lance").mode("append").save(dest)
+      throw new IllegalStateException("duplicate-key batch must not commit")
+    } catch {
+      case e: Exception if e.getMessage.contains("unique_o_orderkey") ||
+        Option(e.getCause).exists(_.getMessage.contains("unique_o_orderkey")) => ()
+    }
+    // poisoned ingest 2: a batch repeating a fresh key inside itself
+    val fresh = o.limit(1).withColumn("o_orderkey", lit(999999999L))
+    try {
+      fresh.union(fresh).write.format("lance").mode("append").save(dest)
+      throw new IllegalStateException("internally-duplicate batch must not commit")
+    } catch {
+      case e: Exception if e.getMessage.contains("INSIDE") ||
+        Option(e.getCause).exists(_.getMessage.contains("INSIDE")) => ()
+    }
+    val listed = graft.Lance.constraints(spark, dest).contains("unique_o_orderkey")
+    spark.read.format("lance").load(dest)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("rule_listed", lit(listed))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** SQL branch reads (s99): `VERSION AS OF 'branch:exp'` through the
     * catalog reads the branch lineage's head — the surface a SQL-only
     * user needs (branches were reachable only via the Scala
@@ -1612,6 +1657,7 @@ object LanceQueries {
     "s97_branch_rebase" -> s97BranchRebase,
     "s98_not_null" -> s98NotNull,
     "s99_branch_sql" -> s99BranchSql,
+    "s100_unique" -> s100Unique,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1709,6 +1755,12 @@ object LanceQueries {
     "s97_branch_rebase" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // s100: neither poisoned batch lands — the table is exactly orders
+    "s100_unique" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | TRUE AS rule_listed
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // s98: the null batch never lands — the table is exactly orders, the
     // rule is listed, and the stored schema carries the non-null flag

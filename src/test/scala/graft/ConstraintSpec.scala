@@ -33,7 +33,10 @@ class ConstraintSpec extends AnyFunSuite {
 
   test("add validates existing rows; commits enforce; abort leaves no trace") {
     val dir = tmpDir()
-    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    // Option values => nullable v in the stored schema (the NULL-passes
+    // leg below appends a null; a non-nullable inferred schema would now
+    // be refused by the schema-level guard — correctly)
+    Seq((1L, Some(10.0)), (2L, Some(20.0))).toDF("id", "v")
       .write.format("lance").mode("overwrite").save(dir)
     // a constraint existing data violates is refused
     val bad = intercept[IllegalArgumentException] {
