@@ -416,6 +416,10 @@ object Lance {
     require(graft.format.LanceFormat.uniqueColumn(exprStr).isEmpty,
       "uniqueness rules go through addUniqueConstraint / CALL add_unique " +
         "(they validate differently from boolean CHECK expressions)")
+    require(!name.startsWith(graft.format.LanceFormat.NotNullPrefix),
+      s"rule names starting with '${graft.format.LanceFormat.NotNullPrefix}' " +
+        "are reserved for declared NOT NULL columns - use setNotNull / " +
+        "CALL set_not_null (they also flip the schema's nullability)")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     val m = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
@@ -508,8 +512,12 @@ object Lance {
 
   /** The reserved rule-name prefix NOT NULL constraints commit under —
     * one namespace, so `lance_constraints` lists them and the generic
-    * enforcement points need no special case. */
-  private def notNullRule(column: String) = s"not_null_$column"
+    * enforcement points need no special case. The canonical helper lives
+    * in [[graft.format.LanceFormat.notNullRuleName]]: every commit path
+    * uses the name to tell DECLARED non-nullability (refuse NULLs) from
+    * `toDF`-INFERRED (widen on NULLs). */
+  private def notNullRule(column: String) =
+    graft.format.LanceFormat.notNullRuleName(column)
 
   /** Declare `column` NOT NULL (Delta `ALTER TABLE ... SET NOT NULL`
     * parity): validates all EXISTING rows first, then ONE metadata commit
@@ -520,9 +528,11 @@ object Lance {
     * planning) and DESCRIBE shows it. The same post-commit interleaving
     * check as [[addConstraint]] applies. Returns the committing version.
     *
-    * An OVERWRITE replaces the schema wholesale (its write schema wins,
-    * usually nullable) while the rule itself survives — enforcement never
-    * weakens, only the analyzer hint resets.
+    * The declaration survives EVERY commit kind: data commits re-assert
+    * declared non-nullability over the schema they carry (an overwrite's
+    * write schema is usually nullable — the commit flips it back, since
+    * the rule just proved the new batch null-free), so the rule and the
+    * stored schema can never disagree.
     */
   def setNotNull(spark: SparkSession, path: String, column: String): Long = {
     val root = new org.apache.hadoop.fs.Path(path)

@@ -641,11 +641,16 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
           // replaced are leaving, their keys may legitimately reappear
           tableFrags = prevM.map(_.fragments).getOrElse(Seq.empty)
             .filterNot(f => replaceFragments.get.contains(f.id)))
-      val (committedR, _) = LanceFormat.commitReplace(fs, root, schema,
+      // inference-only non-nullable columns receiving NULLs widen in the
+      // same commit (row-preserving rewrites repack existing rows — the
+      // schema already tells their truth, nothing to reconcile)
+      val replaceSchema = if (rowPreserving) schema
+        else LanceWrite.reconcileNullability(root, schema, frags, enforced)
+      val (committedR, _) = LanceFormat.commitReplace(fs, root, replaceSchema,
         replaceFragments.get, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "replace")
       if (!rowPreserving)
-        LanceWrite.verifyConstraintsPostCommit(root, fs, schema, frags,
+        LanceWrite.verifyConstraintsPostCommit(root, fs, replaceSchema, frags,
           enforced, committedR,
           baseFragments = prevM.map(_.fragments).getOrElse(Seq.empty))
       if (refreshIndexes.nonEmpty)
@@ -699,15 +704,20 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
         // everything, so only batch-internal uniqueness applies
         tableFrags = if (overwrite) Seq.empty
           else existing.map(_.fragments).getOrElse(Seq.empty))
+    // NULLs arriving into an inference-only non-nullable column widen the
+    // stored schema in this very commit; declared columns were refused
+    // above by their rule
+    val widenedSchema = if (rowPreserving) committedSchema
+      else LanceWrite.reconcileNullability(root, committedSchema, frags, enforced)
     val committed =
-      if (overwrite) LanceFormat.commitOverwrite(fs, root, committedSchema, frags, epochId,
+      if (overwrite) LanceFormat.commitOverwrite(fs, root, widenedSchema, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "overwrite")
-      else LanceFormat.commitAppendIn(fs, lineageDir, committedSchema, frags, epochId)
+      else LanceFormat.commitAppendIn(fs, lineageDir, widenedSchema, frags, epochId)
     // rules added concurrently with this write are re-proven against the
     // batch the moment its manifest lands (branch lineages skip it: their
     // rule set is the fork-time copy, static under main-side edits)
     if (!rowPreserving && branch.isEmpty)
-      LanceWrite.verifyConstraintsPostCommit(root, fs, committedSchema, frags,
+      LanceWrite.verifyConstraintsPostCommit(root, fs, widenedSchema, frags,
         enforced, committed,
         baseFragments = existing.map(_.fragments).getOrElse(Seq.empty))
     // in-commit index maintenance, batch flavor of the s90 streaming
@@ -757,12 +767,13 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
       LanceWrite.enforceConstraints(root, schema, frags, enforced,
         tableFrags = if (epochOverwrite) Seq.empty
           else latestM.map(_.fragments).getOrElse(Seq.empty))
+      val widened = LanceWrite.reconcileNullability(root, schema, frags, enforced)
       val committed =
         if (epochOverwrite)
-          LanceFormat.commitOverwrite(fs, root, schema, frags, Some(epochId))
-        else LanceFormat.commitAppend(fs, root, schema, frags, Some(epochId))
+          LanceFormat.commitOverwrite(fs, root, widened, frags, Some(epochId))
+        else LanceFormat.commitAppend(fs, root, widened, frags, Some(epochId))
       // rules added concurrently with the epoch are re-proven post-commit
-      LanceWrite.verifyConstraintsPostCommit(root, fs, schema, frags,
+      LanceWrite.verifyConstraintsPostCommit(root, fs, widened, frags,
         enforced, committed,
         baseFragments = latestM.map(_.fragments).getOrElse(Seq.empty))
       // continuously-ingested corpus, always-serving indexes: delta-
@@ -850,8 +861,18 @@ private[graft] object LanceWrite {
     val (uniqueRules, checkRules) = constraints.partition {
       case (_, e) => LanceFormat.uniqueColumn(e).isDefined }
     checkRules.foreach { case (name, e) =>
-      val bad = df.filter(coalesce(expr(e), lit(true)) === lit(false))
-        .limit(1).count()
+      // declared NOT NULL rules answer from the writer's own exact
+      // nullCount stats when every staged fragment carries them — the
+      // hot ingest path pays zero extra I/O for its declarations
+      val byStats = Some(name).filter(_.startsWith(LanceFormat.NotNullPrefix))
+        .map(_.stripPrefix(LanceFormat.NotNullPrefix))
+        .filter(c => e == s"`$c` IS NOT NULL")
+        .flatMap(c => nullsFromStats(frags, c))
+      val bad = byStats match {
+        case Some(hasNulls) => if (hasNulls) 1L else 0L
+        case None => df.filter(coalesce(expr(e), lit(true)) === lit(false))
+          .limit(1).count()
+      }
       if (bad > 0) throw new IllegalArgumentException(
         s"CHECK constraint '$name' ($e) violated by the written batch at " +
           s"$root - commit refused, no version created")
@@ -860,38 +881,55 @@ private[graft] object LanceWrite {
       enforceUnique(root, readSchema, frags, name,
         LanceFormat.uniqueColumn(e).get, tableFrags)
     }
-    // AFTER the rule loops, so a declared not_null_<col> rule's message
-    // (naming the rule the user created) wins over the generic guard
-    enforceDeclaredNonNullable(root, schema, frags)
   }
 
-  /** Schema-level NOT NULL: a batch carrying NULLs in a column the table
-    * schema declares non-nullable is REFUSED before the commit. Without
-    * this, the committed manifest's non-nullable schema makes later reads
-    * of those nulls UNDEFINED in the vectorized reader (they surface as
-    * zeros/garbage, not nulls — silent corruption, found by a spec that
-    * appended nullable rows into a toDF-inferred non-nullable table).
-    * One limit(1) probe over the staged files, only when non-nullable
-    * columns exist; complements the `not_null_<col>` rule (which
-    * setNotNull maintains) for schemas that are non-nullable by
-    * inference alone.
+  /** Exact null presence for `column` across the staged batch, answered
+    * from write-time fragment stats (`ColStats.nullCount` is exact by
+    * contract): Some(hasNulls) when every fragment covers the column,
+    * None when any lacks stats (`write.stats=false`). */
+  private def nullsFromStats(frags: Seq[FragmentMeta],
+      column: String): Option[Boolean] = {
+    val counts = frags.map(_.stats.flatMap(_.get(column).map(_.nullCount)))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum > 0L) else None
+  }
+
+  /** Inference-vs-declaration nullability reconciliation, the Delta
+    * posture: a column non-nullable in the table schema WITHOUT a
+    * declared `not_null_<col>` rule is non-nullable by `toDF` inference
+    * alone — no user ever promised it. When a batch brings NULLs into
+    * such a column, the commit WIDENS the stored schema to nullable in
+    * the same manifest (the merge-schema precedent) instead of refusing:
+    * refusing here broke upsert's documented null-key-inserts contract
+    * (SQL MERGE: null keys never match, they insert), and committing
+    * non-nullable over nulls is worse — the vectorized reader surfaces
+    * them as garbage. Declared columns are never widened; their rule
+    * refuses the batch in [[enforceConstraints]] with the rule's name.
+    * Cost: free when the writer collected stats (default); one scoped
+    * null-count aggregate over the staged files otherwise.
     */
-  private def enforceDeclaredNonNullable(root: Path, schema: StructType,
-      frags: Seq[FragmentMeta]): Unit = {
-    import org.apache.spark.sql.functions.col
-    val nn = schema.fields.filterNot(_.nullable).map(_.name)
-    if (nn.isEmpty) return
-    val spark = SparkSession.active
-    val files = frags.map(f =>
-      new Path(LanceFormat.dataPath(root), f.file).toString)
-    val readSchema = StructType(schema.fields.map(_.copy(nullable = true)))
-    val anyNull = nn.map(c => col(c).isNull).reduce(_ || _)
-    val bad = spark.read.schema(readSchema).parquet(files: _*)
-      .filter(anyNull).limit(1).count()
-    if (bad > 0) throw new IllegalArgumentException(
-      s"column(s) ${nn.mkString(", ")} are non-nullable in the table " +
-        s"schema at $root but the written batch contains NULLs - commit " +
-        "refused (reading nulls through a non-nullable schema is undefined)")
+  def reconcileNullability(root: Path, schema: StructType,
+      frags: Seq[FragmentMeta], constraints: Map[String, String]): StructType = {
+    if (frags.isEmpty) return schema
+    val declared = LanceFormat.declaredNonNullable(constraints)
+    val candidates = schema.fields
+      .filter(f => !f.nullable && !declared(f.name)).map(_.name)
+    if (candidates.isEmpty) return schema
+    val (known, unknown) = candidates.partition(c => nullsFromStats(frags, c).isDefined)
+    var withNulls = known.filter(c => nullsFromStats(frags, c).contains(true)).toSet
+    if (unknown.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, count, lit, when}
+      val spark = SparkSession.active
+      val files = frags.map(f =>
+        new Path(LanceFormat.dataPath(root), f.file).toString)
+      val readSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+      val aggs = unknown.map(c => count(when(col(c).isNull, lit(1))).as(c))
+      val row = spark.read.schema(readSchema).parquet(files: _*)
+        .agg(aggs.head, aggs.tail: _*).head()
+      withNulls ++= unknown.indices.filter(i => row.getLong(i) > 0L).map(unknown)
+    }
+    if (withNulls.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      if (withNulls(f.name)) f.copy(nullable = true) else f))
   }
 
   /** UNIQUE enforcement for one staged batch: the batch may not repeat a
@@ -1008,15 +1046,45 @@ private[graft] object LanceWrite {
       }
     } catch {
       case e: IllegalArgumentException =>
-        val ids = committed.fragments.filter(f => myFiles.contains(f.file))
-          .map(_.id).toSet
-        if (ids.nonEmpty)
-          LanceFormat.commitReplace(fs, root, committed.schema, ids,
-            Seq.empty, operation = "replace")
-        throw new IllegalArgumentException(
-          s"a constraint was added or a conflicting batch landed " +
-            s"concurrently with this write at $root and the batch violates " +
-            "it - the batch was rolled back in a compensating commit", e)
+        // compensation must survive further concurrency: re-resolve the
+        // batch's fragments BY FILE NAME (collision-free UUIDs) against
+        // the CURRENT manifest — ids from `committed` go stale the moment
+        // a concurrent compaction/replace renumbers or absorbs them, and
+        // commitReplace would throw ConcurrentModificationException,
+        // swallowing the violation and leaving the bad batch committed.
+        val compFailure: Option[Throwable] = try {
+          val cur = LanceFormat.readLatest(fs, root).getOrElse(committed)
+          val ids = cur.fragments.filter(f => myFiles.contains(f.file))
+            .map(_.id).toSet
+          if (ids.nonEmpty) {
+            LanceFormat.commitReplace(fs, root, cur.schema, ids,
+              Seq.empty, operation = "replace")
+            None
+          } else if (committed.fragments.exists(f => myFiles.contains(f.file))) {
+            // our files left the manifest but a row-preserving rewrite may
+            // have REPACKED their rows into files we cannot identify —
+            // compensation cannot address them; fail the loud way
+            Some(new IllegalStateException(
+              "batch fragments were absorbed by a concurrent rewrite; " +
+                "their rows cannot be compensated away by file name"))
+          } else None // batch never made the manifest — nothing to undo
+        } catch { case c: Exception => Some(c) }
+        compFailure match {
+          case None =>
+            throw new IllegalArgumentException(
+              s"a constraint was added or a conflicting batch landed " +
+                s"concurrently with this write at $root and the batch violates " +
+                "it - the batch was rolled back in a compensating commit", e)
+          case Some(c) =>
+            val err = new IllegalArgumentException(
+              s"a constraint was added or a conflicting batch landed " +
+                s"concurrently with this write at $root and the batch violates " +
+                "it - AND the compensating rollback itself failed (concurrent " +
+                "maintenance?): the violating batch REMAINS COMMITTED while the " +
+                "manifest carries the rule; repair with DELETE/compact", e)
+            err.addSuppressed(c)
+            throw err
+        }
     }
   }
 

@@ -180,15 +180,16 @@ object LanceFormat {
       val base = prev.map(_.fragments).getOrElse(Seq.empty)
       val nextId = base.map(_.id).maxOption.getOrElse(-1) + 1
       val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
+      val rules = prev.flatMap(_.constraints)
       val m = Manifest(
         version = prev.map(_.version).getOrElse(0L) + 1,
-        schemaJson = schema.json,
+        schemaJson = mergeDeclaredNullability(schema, rules).json,
         fragments = base ++ renumbered,
         epochId = epochId,
         committedAtMs = System.currentTimeMillis(),
         operation = Some("append"),
         droppedColumns = prev.flatMap(_.droppedColumns),
-        constraints = prev.flatMap(_.constraints))
+        constraints = rules)
       if (commitOnceIn(fs, dir, m, publisher)) return m
       attempt += 1
     }
@@ -221,7 +222,7 @@ object LanceFormat {
       }
       val m = Manifest(
         version = prev.version + 1,
-        schemaJson = schema.json,
+        schemaJson = mergeDeclaredNullability(schema, prev.constraints).json,
         fragments = prev.fragments,
         epochId = prev.epochId,
         committedAtMs = System.currentTimeMillis(),
@@ -272,7 +273,7 @@ object LanceFormat {
       val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
       val m = Manifest(
         version = prev.version + 1,
-        schemaJson = schema.json,
+        schemaJson = mergeDeclaredNullability(schema, prev.constraints).json,
         fragments = kept ++ renumbered,
         epochId = epochId.orElse(prev.epochId),
         committedAtMs = System.currentTimeMillis(),
@@ -305,15 +306,20 @@ object LanceFormat {
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatest(fs, root)
+      val rules = prev.flatMap(_.constraints)
       val m = Manifest(
         version = prev.map(_.version).getOrElse(0L) + 1,
-        schemaJson = schema.json,
+        // a declared NOT NULL survives the overwrite like its rule does
+        // (the rule was enforced against the new batch pre-commit, so the
+        // non-nullable flag stays TRUE of the data) — only inference-only
+        // nullability resets to the write schema's
+        schemaJson = mergeDeclaredNullability(schema, rules).json,
         fragments = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = i) },
         epochId = epochId,
         committedAtMs = System.currentTimeMillis(),
         operation = Some(operation),
         // table-level rules survive data replacement (Delta semantics)
-        constraints = prev.flatMap(_.constraints))
+        constraints = rules)
       if (commitOnce(fs, root, m, None)) return m
       attempt += 1
     }
@@ -485,6 +491,37 @@ object LanceFormat {
   def uniqueColumn(expr: String): Option[String] =
     if (expr.startsWith(UniquePrefix)) Some(expr.stripPrefix(UniquePrefix))
     else None
+
+  /** The reserved rule name a DECLARED NOT NULL commits under
+    * (`Lance.setNotNull`). The name is load-bearing: it is how every
+    * commit path tells a USER-declared non-nullable column (refuse NULLs,
+    * keep the schema non-nullable under concurrency) from one that is
+    * non-nullable only by `toDF` INFERENCE (NULLs arriving later widen
+    * the stored schema instead — Delta's posture). `addConstraint`
+    * reserves the prefix so a hand-added CHECK rule can never forge a
+    * declaration. */
+  val NotNullPrefix = "not_null_"
+  def notNullRuleName(column: String): String = s"$NotNullPrefix$column"
+  /** Columns the constraint map DECLARES non-nullable. */
+  def declaredNonNullable(constraints: Map[String, String]): Set[String] =
+    constraints.keysIterator.filter(_.startsWith(NotNullPrefix))
+      .map(_.stripPrefix(NotNullPrefix)).toSet
+
+  /** Re-assert DECLARED nullability over a caller-provided schema, from
+    * the constraint set the manifest will actually carry. Runs INSIDE the
+    * commit retry loops: a writer that derived its schema before a
+    * concurrent `setNotNull` landed would otherwise commit the stale
+    * nullable flag while the re-merged rule set carries the rule — the
+    * exact schema/rule mis-pair `commitConstraints` exists to prevent.
+    * Declared-only on purpose: inference-only nullability is the caller's
+    * to widen (NULLs arriving), never forced back. */
+  private def mergeDeclaredNullability(schema: StructType,
+      constraints: Option[Map[String, String]]): StructType = {
+    val declared = declaredNonNullable(constraints.getOrElse(Map.empty))
+    if (declared.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      if (declared(f.name) && f.nullable) f.copy(nullable = false) else f))
+  }
 
   /** Metadata-only constraints change: `mutate` transforms the CURRENT
     * rule set inside the retry loop — re-deriving per attempt is what

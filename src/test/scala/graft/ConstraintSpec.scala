@@ -34,8 +34,8 @@ class ConstraintSpec extends AnyFunSuite {
   test("add validates existing rows; commits enforce; abort leaves no trace") {
     val dir = tmpDir()
     // Option values => nullable v in the stored schema (the NULL-passes
-    // leg below appends a null; a non-nullable inferred schema would now
-    // be refused by the schema-level guard — correctly)
+    // leg below appends a null; an inferred non-nullable schema would
+    // simply WIDEN with that batch — see the widening spec below)
     Seq((1L, Some(10.0)), (2L, Some(20.0))).toDF("id", "v")
       .write.format("lance").mode("overwrite").save(dir)
     // a constraint existing data violates is refused
@@ -116,6 +116,66 @@ class ConstraintSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("existing rows are null"), bad.getMessage)
     // unknown column fails loud
     intercept[IllegalArgumentException](Lance.setNotNull(spark, dir, "nope"))
+  }
+
+  test("inference-only non-nullable columns WIDEN on null arrival; declared ones refuse") {
+    val dir = tmpDir()
+    // toDF of primitives: `id` is non-nullable by INFERENCE — no user
+    // ever declared it, so arriving NULLs must not be refused (upsert's
+    // null-key contract depends on this: MERGE null keys always insert)
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)
+    assert(!spark.read.format("lance").load(dir).schema("id").nullable)
+    Seq((Option.empty[Long], "n")).toDF("id", "s")
+      .write.format("lance").mode("append").save(dir)
+    val back = spark.read.format("lance").load(dir)
+    assert(back.schema("id").nullable,
+      "the stored schema must widen in the same commit as the null batch")
+    assert(back.count() == 2 && back.filter(col("id").isNull).count() == 1,
+      "the widened data must read back as real nulls")
+    // stats-free fragments (write.stats=false) take the probe fallback
+    val dir2 = tmpDir()
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir2)
+    Seq((Option.empty[Long], "n")).toDF("id", "s").write.format("lance")
+      .option("write.stats", "false").mode("append").save(dir2)
+    assert(spark.read.format("lance").load(dir2).schema("id").nullable)
+    // a DECLARED column refuses instead — declaration beats inference —
+    // and its non-nullable flag survives the refused batch
+    val dir3 = tmpDir()
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir3)
+    Lance.setNotNull(spark, dir3, "id")
+    val e = intercept[Exception] {
+      Seq((Option.empty[Long], "x")).toDF("id", "s")
+        .write.format("lance").mode("append").save(dir3)
+    }
+    assert(e.getMessage.contains("not_null_id") ||
+      Option(e.getCause).exists(_.getMessage.contains("not_null_id")), e.getMessage)
+    assert(!spark.read.format("lance").load(dir3).schema("id").nullable)
+    // the declaration's rule namespace cannot be forged through CHECK
+    intercept[IllegalArgumentException](
+      Lance.addConstraint(spark, dir3, "not_null_s", "s IS NOT NULL"))
+  }
+
+  test("a stale append cannot silently revert a declared NOT NULL's schema flip") {
+    // the lost-update shape: a writer derives its schema BEFORE a
+    // concurrent setNotNull lands, then commits. The retry loop re-reads
+    // prev for constraints — the committed schema must re-assert declared
+    // nullability from that same fresh read, or rule and schema disagree.
+    val dir = tmpDir()
+    Seq((1L, Some(1.0))).toDF("id", "v").write.format("lance").mode("overwrite").save(dir)
+    Lance.setNotNull(spark, dir, "v")
+    val root = new Path(dir)
+    val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val staleSchema = org.apache.spark.sql.types.StructType(
+      LanceFormat.readLatest(fs, root).get.schema.fields.map(_.copy(nullable = true)))
+    val m = LanceFormat.commitAppend(fs, root, staleSchema, Seq.empty)
+    assert(!m.schema("v").nullable,
+      "declared non-nullability must survive a stale-schema append")
+    assert(m.checkConstraints.contains("not_null_v"))
+    // overwrite carries the declaration too: rule proved the new batch,
+    // so the flag stays true of the data
+    Seq((2L, 2.0)).toDF("id", "v").write.format("lance").mode("overwrite").save(dir)
+    val after = LanceFormat.readLatest(fs, root).get
+    assert(!after.schema("v").nullable && after.checkConstraints.contains("not_null_v"))
   }
 
   test("a rule added concurrently with a commit is re-proven post-commit") {
