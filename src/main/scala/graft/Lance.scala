@@ -711,7 +711,10 @@ object Lance {
       droppedColumns = target.droppedColumns,
       // restore returns to the TARGET's whole state, rules included —
       // rules added after it were judged against data being undone
-      constraints = target.constraints)
+      constraints = target.constraints,
+      // but replay guards are monotonic per query: keep the LATEST map, or
+      // a replayed epoch would re-land onto the restored state
+      streamEpochs = latest.streamEpochs)
     val committed = graft.format.LanceFormat.commit(fs, root, m)
     (version, committed.version)
   }

@@ -595,7 +595,7 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
       require(branch.isEmpty,
         "write.branch is a batch write option; streaming sinks write the main lineage")
       new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
-        collectStats, refreshIndexes)
+        collectStats, refreshIndexes, queryId = info.queryId())
     }
   }
 }
@@ -738,13 +738,20 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
 }
 
 /** Streaming epoch commit — exactly-once parity with the reference's
-  * checkpoint-aligned flush (`LanceSink.java:233-245`): an epoch already
-  * recorded in the latest manifest is a replay and is skipped.
+  * checkpoint-aligned flush (`LanceSink.java:233-245`), scoped PER QUERY:
+  * an epoch at or below the latest manifest's recorded high-water mark
+  * FOR THIS QUERY (`Manifest.streamEpochs`, keyed by
+  * `LogicalWriteInfo.queryId()`) is a replay — its staged files are
+  * deleted and no version lands. Per-query scoping is what makes a
+  * fresh-checkpoint restart (new queryId, epochs restart at 0) land every
+  * batch, and lets two concurrent streaming queries interleave commits
+  * without either discarding the other's.
   */
 class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     conf: SerializableConf, maxRowsPerFile: Long,
     collectStats: Boolean = true,
-    refreshIndexes: Set[String] = Set.empty) extends StreamingWrite {
+    refreshIndexes: Set[String] = Set.empty,
+    queryId: String = "") extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile, collectStats)
@@ -752,8 +759,9 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(rootStr)
     val fs = LanceFormat.fileSystem(root, conf.value)
-    val alreadyCommitted = LanceFormat.readLatest(fs, root)
-      .flatMap(_.epochId).exists(_ >= epochId)
+    val latestM = LanceFormat.readLatest(fs, root)
+    val alreadyCommitted =
+      latestM.exists(_.streamEpochFor(queryId).exists(_ >= epochId))
     if (alreadyCommitted) {
       LanceWrite.deleteFiles(rootStr, conf.value, messages)
     } else {
@@ -761,7 +769,6 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
       // CHECK constraints hold for streamed epochs too — a violating
       // micro-batch fails the stream (correctness, unlike the
       // stale-but-correct refresh warn below)
-      val latestM = LanceFormat.readLatest(fs, root)
       val enforced = latestM.map(_.checkConstraints).getOrElse(Map.empty)
       val epochOverwrite = overwrite && epochId == 0
       LanceWrite.enforceConstraints(root, schema, frags, enforced,
@@ -770,8 +777,10 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
       val widened = LanceWrite.reconcileNullability(root, schema, frags, enforced)
       val committed =
         if (epochOverwrite)
-          LanceFormat.commitOverwrite(fs, root, widened, frags, Some(epochId))
-        else LanceFormat.commitAppend(fs, root, widened, frags, Some(epochId))
+          LanceFormat.commitOverwrite(fs, root, widened, frags, Some(epochId),
+            streamEpoch = Some(queryId -> epochId))
+        else LanceFormat.commitAppend(fs, root, widened, frags, Some(epochId),
+          streamEpoch = Some(queryId -> epochId))
       // rules added concurrently with the epoch are re-proven post-commit
       LanceWrite.verifyConstraintsPostCommit(root, fs, widened, frags,
         enforced, committed,

@@ -36,8 +36,20 @@ case class Manifest(
     committedAtMs: Long = 0L,
     operation: Option[String] = None,
     droppedColumns: Option[Seq[String]] = None,
-    constraints: Option[Map[String, String]] = None) {
+    constraints: Option[Map[String, String]] = None,
+    streamEpochs: Option[Map[String, Long]] = None) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  /** Last epoch each streaming QUERY committed (keyed by Spark's
+    * `LogicalWriteInfo.queryId()`), the exactly-once replay guard. Keyed
+    * per query — a per-table scalar silently DROPS data in two realistic
+    * shapes: a restart from a fresh checkpoint (epochs restart at 0, every
+    * batch reads as a replay until the counter passes the old high-water
+    * mark) and two concurrent streaming queries on one table (the
+    * lower-epoch query's commits are discarded). One map entry per
+    * distinct query ever — bytes, not state. Carried forward through
+    * every commit kind like `constraints`. */
+  def streamEpochFor(queryId: String): Option[Long] =
+    streamEpochs.flatMap(_.get(queryId))
   def rowCount: Long = fragments.map(_.rowCount).sum
   /** CHECK constraints (name → boolean SQL expr, Delta parity): enforced
     * on every data commit — a batch whose rows violate any constraint
@@ -167,13 +179,16 @@ object LanceFormat {
     */
   def commitAppend(fs: FileSystem, root: Path, schema: StructType,
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
-      publisher: Option[ManifestPublisher] = None): Manifest =
-    commitAppendIn(fs, versionsPath(root), schema, newFragments, epochId, publisher)
+      publisher: Option[ManifestPublisher] = None,
+      streamEpoch: Option[(String, Long)] = None): Manifest =
+    commitAppendIn(fs, versionsPath(root), schema, newFragments, epochId,
+      publisher, streamEpoch)
 
   /** Append into a specific lineage dir (`_versions` or a branch). */
   def commitAppendIn(fs: FileSystem, dir: Path, schema: StructType,
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
-      publisher: Option[ManifestPublisher] = None): Manifest = {
+      publisher: Option[ManifestPublisher] = None,
+      streamEpoch: Option[(String, Long)] = None): Manifest = {
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatestIn(fs, dir)
@@ -189,7 +204,8 @@ object LanceFormat {
         committedAtMs = System.currentTimeMillis(),
         operation = Some("append"),
         droppedColumns = prev.flatMap(_.droppedColumns),
-        constraints = rules)
+        constraints = rules,
+        streamEpochs = mergeStreamEpochs(prev.flatMap(_.streamEpochs), streamEpoch))
       if (commitOnceIn(fs, dir, m, publisher)) return m
       attempt += 1
     }
@@ -228,7 +244,8 @@ object LanceFormat {
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
         droppedColumns = Some(droppedColumns).filter(_.nonEmpty),
-        constraints = prev.constraints)
+        constraints = prev.constraints,
+        streamEpochs = prev.streamEpochs)
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
     }
@@ -281,7 +298,8 @@ object LanceFormat {
         // partially-rewritten table: untouched fragments may still hold
         // dropped columns' data, the resurrection guard must survive
         droppedColumns = prev.droppedColumns,
-        constraints = prev.constraints)
+        constraints = prev.constraints,
+        streamEpochs = prev.streamEpochs)
       if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
       attempt += 1
     }
@@ -297,7 +315,8 @@ object LanceFormat {
     */
   def commitOverwrite(fs: FileSystem, root: Path, schema: StructType,
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
-      operation: String = "overwrite"): Manifest = {
+      operation: String = "overwrite",
+      streamEpoch: Option[(String, Long)] = None): Manifest = {
     // prev is re-read INSIDE the retry loop: a concurrent add/drop
     // constraint (or another metadata commit) landing between a single
     // upfront read and the publish would have its rule set silently
@@ -319,12 +338,22 @@ object LanceFormat {
         committedAtMs = System.currentTimeMillis(),
         operation = Some(operation),
         // table-level rules survive data replacement (Delta semantics)
-        constraints = rules)
+        constraints = rules,
+        // replay guards survive too: an old epoch must not re-land after
+        // an overwrite wiped the data it once wrote
+        streamEpochs = mergeStreamEpochs(prev.flatMap(_.streamEpochs), streamEpoch))
       if (commitOnce(fs, root, m, None)) return m
       attempt += 1
     }
     throw new IllegalStateException(
       s"could not commit overwrite after $attempt attempts at $root")
+  }
+
+  private def mergeStreamEpochs(prev: Option[Map[String, Long]],
+      update: Option[(String, Long)]): Option[Map[String, Long]] = {
+    val cur = prev.getOrElse(Map.empty)
+    val next = update.fold(cur) { case (q, e) => cur + (q -> e) }
+    Some(next).filter(_.nonEmpty)
   }
 
   /** Union of two fragment schemas by column NAME (Delta-style
@@ -641,7 +670,9 @@ object LanceFormat {
       committedAtMs = System.currentTimeMillis(),
       operation = Some("fast-forward"),
       droppedColumns = head.droppedColumns,
-      constraints = head.constraints)
+      constraints = head.constraints,
+      // replay guards are MAIN-lineage state: keep main's, not the fork-time copy
+      streamEpochs = mainLatest.streamEpochs)
     // ONE commitOnce attempt, never the version-bumping commit() retry: a
     // concurrent main append winning the race means the precondition no
     // longer holds, and retrying at the next number would publish the
@@ -743,7 +774,8 @@ object LanceFormat {
       // inserts, exactly like an append (no fragment is ever dropped)
       operation = Some("rebase"),
       droppedColumns = mainLatest.droppedColumns,
-      constraints = mainLatest.constraints)
+      constraints = mainLatest.constraints,
+      streamEpochs = mainLatest.streamEpochs)
     if (!commitOnce(fs, root, m, None))
       throw new java.util.ConcurrentModificationException(
         s"cannot rebase '$name': main advanced concurrently past " +
