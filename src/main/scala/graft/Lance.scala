@@ -480,31 +480,50 @@ object Lance {
     * fragments; unclustered and unindexed, the probe degrades to a
     * pushed-filter scan of the table's footers.
     */
-  def addUniqueConstraint(spark: SparkSession, path: String, column: String): Long = {
+  def addUniqueConstraint(spark: SparkSession, path: String, column: String): Long =
+    addUniqueConstraint(spark, path, Seq(column))
+
+  /** Composite-key form: declare `(c1, c2, …)` UNIQUE — the natural-key
+    * shape of any real crawl corpus (`(source, doc_id)`). A key with ANY
+    * null component is exempt (SQL UNIQUE: nulls never compare equal).
+    * Enforcement prunes on the LEAD column (stats + scalar index + pushed
+    * IN filter) and confirms collisions on the full tuple with one
+    * broadcast-sized semi-join over only the kept fragments — keep the
+    * lead column clustered or indexed, and put the most selective column
+    * first.
+    */
+  def addUniqueConstraint(spark: SparkSession, path: String,
+      columns: Seq[String]): Long = {
+    require(columns.nonEmpty, "UNIQUE needs at least one column")
+    require(columns.distinct.size == columns.size,
+      s"UNIQUE key repeats a column: ${columns.mkString(", ")}")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     val m = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
       throw new IllegalArgumentException(s"no lance dataset at $path"))
-    require(m.schema.fieldNames.contains(column), s"no column '$column' in $path")
-    val name = s"unique_$column"
+    val missing = columns.filterNot(m.schema.fieldNames.contains)
+    require(missing.isEmpty, s"no column(s) ${missing.mkString(", ")} in $path")
+    val keyDesc = columns.mkString(", ")
+    val name = s"unique_${columns.mkString("_")}"
     graft.format.LanceFormat.validateName("constraint", name)
     require(!m.checkConstraints.contains(name),
-      s"column '$column' is already UNIQUE on $path")
+      s"key ($keyDesc) is already UNIQUE on $path")
     val F = org.apache.spark.sql.functions
     def dups(): Long = read(spark, path)
-      .filter(F.col(column).isNotNull)
-      .groupBy(F.col(column)).count()
+      .filter(columns.map(F.col(_).isNotNull).reduce(_ && _))
+      .groupBy(columns.map(F.col): _*).count()
       .filter(F.col("count") > 1).limit(1).count()
     require(dups() == 0L,
-      s"cannot declare '$column' UNIQUE: existing rows repeat key values")
+      s"cannot declare ($keyDesc) UNIQUE: existing rows repeat key values")
     val committed = graft.format.LanceFormat.commitConstraints(fs, root, { cur =>
-      require(!cur.contains(name), s"column '$column' is already UNIQUE on $path")
-      cur + (name -> s"${graft.format.LanceFormat.UniquePrefix}$column")
+      require(!cur.contains(name), s"key ($keyDesc) is already UNIQUE on $path")
+      cur + (name ->
+        s"${graft.format.LanceFormat.UniquePrefix}${columns.mkString(",")}")
     }).version
     if (committed != m.version + 1 && dups() > 0L) {
       graft.format.LanceFormat.commitConstraints(fs, root, _ - name)
       throw new IllegalArgumentException(
-        s"cannot declare '$column' UNIQUE: duplicate keys were committed " +
+        s"cannot declare ($keyDesc) UNIQUE: duplicate keys were committed " +
           "concurrently during validation - constraint rolled back")
     }
     committed

@@ -248,13 +248,14 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
       // would be write-bricked by an unrelated-looking error. Refuse
       // here, naming the rule to drop first.
       current.checkConstraints.foreach { case (cname, e) =>
-        LanceFormat.uniqueColumn(e) match {
-          case Some(ucol) =>
-            // the sentinel is not a SQL expression — check the referenced
+        LanceFormat.uniqueColumns(e) match {
+          case Some(ucols) =>
+            // the sentinel is not a SQL expression — check every key
             // column survives the drop directly
-            require(merged.fieldNames.contains(ucol),
+            val lost = ucols.filterNot(merged.fieldNames.contains)
+            require(lost.isEmpty,
               s"cannot drop column(s) ${dels.mkString(", ")}: UNIQUE " +
-                s"constraint '$cname' references '$ucol' - " +
+                s"constraint '$cname' references '${lost.mkString(", ")}' - " +
                 "CALL drop_constraint first")
           case None =>
             val analyzes = scala.util.Try {
@@ -388,7 +389,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "add_constraint" => "add a CHECK constraint (validates existing data; every commit re-validates its batch)"
     case "drop_constraint" => "drop a CHECK constraint"
     case "set_not_null" => "declare a column NOT NULL (validates existing rows; rule + schema nullability in one commit)"
-    case "add_unique" => "declare a column UNIQUE (validates existing rows; every commit point-probes its keys against the table)"
+    case "add_unique" => "declare a column (or comma-listed composite key) UNIQUE (validates existing rows; every commit point-probes its keys against the table)"
     case "drop_not_null" => "drop a NOT NULL declaration (rule removed, column back to nullable)"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
@@ -581,8 +582,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("committed_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))
       case "add_unique" =>
+        // comma list = composite key: CALL add_unique(t, 'source,doc_id')
         val v = graft.Lance.addUniqueConstraint(spark, path,
-          input.getUTF8String(1).toString)
+          input.getUTF8String(1).toString.split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq)
         (new StructType().add("committed_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))
       case "drop_not_null" =>

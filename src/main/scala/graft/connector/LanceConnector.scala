@@ -888,7 +888,7 @@ private[graft] object LanceWrite {
     }
     uniqueRules.foreach { case (name, e) =>
       enforceUnique(root, readSchema, frags, name,
-        LanceFormat.uniqueColumn(e).get, tableFrags)
+        LanceFormat.uniqueColumns(e).get, tableFrags)
     }
   }
 
@@ -941,47 +941,59 @@ private[graft] object LanceWrite {
       if (withNulls(f.name)) f.copy(nullable = true) else f))
   }
 
-  /** UNIQUE enforcement for one staged batch: the batch may not repeat a
-    * key internally, nor collide with `tableFrags` (the fragments the
-    * commit will coexist with — the lineage head for appends, the KEPT
-    * set for replaces, empty for overwrites). NULL keys are exempt (SQL
-    * UNIQUE). Table-side cost is a PRUNED point probe, not a scan: when
-    * the batch's distinct keys fit `spark.graft.unique.inlistLimit`
-    * (default 10000) they push as an IN filter through manifest
-    * min/max + value-set + scalar-index pruning and parquet row-group
-    * skipping — a clustered or scalar-indexed key column probes a
-    * handful of fragments regardless of table size; above the limit a
-    * distributed semi-join does the same check in one shuffle.
+  /** UNIQUE enforcement for one staged batch — single-column or COMPOSITE
+    * key: the batch may not repeat a key internally, nor collide with
+    * `tableFrags` (the fragments the commit will coexist with — the
+    * lineage head for appends, the KEPT set for replaces, empty for
+    * overwrites). A key with ANY null component is exempt (SQL UNIQUE:
+    * nulls are never equal). Table-side cost is a PRUNED point probe, not
+    * a scan: when the batch's distinct LEAD-column values fit
+    * `spark.graft.unique.inlistLimit` (default 10000) they push as an IN
+    * filter through manifest min/max + value-set + scalar-index pruning
+    * and parquet row-group skipping — a clustered or scalar-indexed lead
+    * column probes a handful of fragments regardless of table size, and
+    * a composite key then confirms collisions with one broadcast-sized
+    * semi-join over only the kept fragments; above the limit a
+    * distributed semi-join does the whole check in one shuffle.
     */
   private def enforceUnique(root: Path, readSchema: StructType,
-      frags: Seq[FragmentMeta], name: String, column: String,
+      frags: Seq[FragmentMeta], name: String, columns: Seq[String],
       tableFrags: Seq[FragmentMeta]): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = SparkSession.active
-    require(readSchema.fieldNames.contains(column),
-      s"UNIQUE constraint '$name' references unknown column '$column' at $root")
+    val missing = columns.filterNot(readSchema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"UNIQUE constraint '$name' references unknown column(s) " +
+        s"${missing.mkString(", ")} at $root")
+    val keyDesc = columns.mkString(", ")
+    val allSet = columns.map(col(_).isNotNull).reduce(_ && _)
     val files = frags.map(f =>
       new Path(LanceFormat.dataPath(root), f.file).toString)
     val stagedKeys = spark.read.schema(readSchema).parquet(files: _*)
-      .select(col(column)).filter(col(column).isNotNull)
-    val dupInside = stagedKeys.groupBy(col(column))
+      .select(columns.map(col): _*).filter(allSet)
+    val dupInside = stagedKeys.groupBy(columns.map(col): _*)
       .count().filter(col("count") > 1).limit(1).count()
     if (dupInside > 0) throw new IllegalArgumentException(
-      s"UNIQUE constraint '$name' ($column) violated INSIDE the written " +
+      s"UNIQUE constraint '$name' ($keyDesc) violated INSIDE the written " +
         s"batch at $root - commit refused, no version created")
     if (tableFrags.isEmpty) return
     val limit = spark.conf.getOption("spark.graft.unique.inlistLimit")
       .map(_.toInt).getOrElse(10000)
+    val lead = columns.head
     val distinctKeys = stagedKeys.distinct()
-    val keys = distinctKeys.limit(limit + 1).collect().map(_.get(0))
+    // the prune driver is the LEAD column: distinct lead values push as an
+    // IN filter through every skipping layer; a composite key prunes on
+    // the lead and confirms on the full tuple
+    val leadVals = stagedKeys.select(col(lead)).distinct()
+      .limit(limit + 1).collect().map(_.get(0))
     def fail(): Nothing = throw new IllegalArgumentException(
-      s"UNIQUE constraint '$name' ($column) violated: the written batch at " +
+      s"UNIQUE constraint '$name' ($keyDesc) violated: the written batch at " +
         s"$root repeats key(s) already in the table - commit refused")
-    if (keys.length <= limit) {
+    if (leadVals.length <= limit) {
       // point-probe path: stats + scalar-index prune the IN filter down
       // to candidate fragments, then one pushed-filter read of only those
       val inFilter: org.apache.spark.sql.sources.Filter =
-        org.apache.spark.sql.sources.In(column, keys)
+        org.apache.spark.sql.sources.In(lead, leadVals)
       val pseudo = graft.format.Manifest(0L, readSchema.json, tableFrags)
       val kept = graft.index.ScalarIndex.prune(spark, root.toString, pseudo,
         Seq(inFilter),
@@ -990,9 +1002,13 @@ private[graft] object LanceWrite {
       if (kept.isEmpty) return
       val tblFiles = kept.map(f =>
         new Path(LanceFormat.dataPath(root), f.file).toString)
-      val hit = spark.read.schema(readSchema).parquet(tblFiles: _*)
-        .select(col(column)).filter(col(column).isin(keys: _*))
-        .limit(1).count()
+      val candidates = spark.read.schema(readSchema).parquet(tblFiles: _*)
+        .select(columns.map(col): _*)
+        .filter(col(lead).isin(leadVals: _*))
+      val hit =
+        if (columns.lengthCompare(1) == 0) candidates.limit(1).count()
+        else candidates.filter(allSet)
+          .join(distinctKeys, columns, "left_semi").limit(1).count()
       if (hit > 0) fail()
     } else {
       log.info(s"unique '$name' at $root: batch key set exceeds " +
@@ -1000,8 +1016,8 @@ private[graft] object LanceWrite {
       val tblFiles = tableFrags.map(f =>
         new Path(LanceFormat.dataPath(root), f.file).toString)
       val hit = spark.read.schema(readSchema).parquet(tblFiles: _*)
-        .select(col(column)).filter(col(column).isNotNull)
-        .join(distinctKeys, Seq(column), "left_semi")
+        .select(columns.map(col): _*).filter(allSet)
+        .join(distinctKeys, columns, "left_semi")
         .limit(1).count()
       if (hit > 0) fail()
     }
@@ -1051,7 +1067,7 @@ private[graft] object LanceWrite {
           tableFrags = committed.fragments.filterNot(f => myFiles.contains(f.file)))
       if (interleaved.nonEmpty) carriedUnique.foreach { case (n, e) =>
         enforceUnique(root, readSchema, frags, n,
-          LanceFormat.uniqueColumn(e).get, interleaved)
+          LanceFormat.uniqueColumns(e).get, interleaved)
       }
     } catch {
       case e: IllegalArgumentException =>

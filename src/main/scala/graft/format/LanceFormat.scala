@@ -520,6 +520,10 @@ object LanceFormat {
   def uniqueColumn(expr: String): Option[String] =
     if (expr.startsWith(UniquePrefix)) Some(expr.stripPrefix(UniquePrefix))
     else None
+  /** Key columns of a UNIQUE rule — one or more (composite natural keys
+    * like `(source, doc_id)` render as `__unique__:source,doc_id`). */
+  def uniqueColumns(expr: String): Option[Seq[String]] =
+    uniqueColumn(expr).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
 
   /** The reserved rule name a DECLARED NOT NULL commits under
     * (`Lance.setNotNull`). The name is load-bearing: it is how every

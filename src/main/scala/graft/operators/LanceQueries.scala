@@ -1394,6 +1394,70 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Composite UNIQUE (s101): `(o_orderkey, o_custkey)` — the composite
+    * natural-key shape of any crawl corpus (`(source, doc_id)`). Both
+    * violation shapes are refused (tuples the table holds; a fresh tuple
+    * repeated inside one batch), while the two legal shapes the composite
+    * semantics hinge on LAND: a row sharing one key component (an
+    * EXISTING orderkey with a fresh custkey — a single-column check on
+    * the lead would wrongly refuse exactly this row), and a key with a
+    * NULL component (SQL UNIQUE: nulls never compare equal). Enforcement
+    * prunes fragments on the lead column and confirms on the full tuple
+    * ([[graft.connector.LanceWrite]] `enforceUnique`).
+    */
+  def s101UniqueComposite(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_unique2")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.addUniqueConstraint(spark, dest, Seq("o_orderkey", "o_custkey"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.format("lance").mode("append").save(dest)
+    // poisoned 1: tuples the table already holds
+    try {
+      o.limit(100).write.format("lance").mode("append").save(dest)
+      throw new IllegalStateException("duplicate-tuple batch must not commit")
+    } catch {
+      case e: Exception
+        if e.getMessage.contains("unique_o_orderkey_o_custkey") ||
+          Option(e.getCause).exists(
+            _.getMessage.contains("unique_o_orderkey_o_custkey")) => ()
+    }
+    // poisoned 2: a fresh tuple repeated INSIDE one batch
+    val minKey = o.agg(org.apache.spark.sql.functions.min(col("o_orderkey")))
+      .head.getLong(0)
+    val freshRow = o.limit(1)
+      .withColumn("o_orderkey", lit(minKey))
+      .withColumn("o_custkey", lit(999999999L))
+      .withColumn("o_totalprice", lit(1.0))
+      .withColumn("o_orderstatus", lit("Z"))
+    try {
+      freshRow.union(freshRow).write.format("lance").mode("append").save(dest)
+      throw new IllegalStateException("internally-duplicate batch must not commit")
+    } catch {
+      case e: Exception if e.getMessage.contains("INSIDE") ||
+        Option(e.getCause).exists(_.getMessage.contains("INSIDE")) => ()
+    }
+    // composite point 1: sharing ONE component is legal — the EXISTING
+    // min orderkey with a fresh custkey lands (single-column semantics
+    // on the lead would refuse it)
+    freshRow.write.format("lance").mode("append").save(dest)
+    // composite point 2: a key with a NULL component is exempt
+    freshRow.withColumn("o_custkey", lit(null).cast("bigint"))
+      .withColumn("o_totalprice", lit(2.0))
+      .write.format("lance").mode("append").save(dest)
+    val listed = graft.Lance.constraints(spark, dest)
+      .contains("unique_o_orderkey_o_custkey")
+    spark.read.format("lance").load(dest)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("rule_listed", lit(listed))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** SQL branch reads (s99): `VERSION AS OF 'branch:exp'` through the
     * catalog reads the branch lineage's head — the surface a SQL-only
     * user needs (branches were reachable only via the Scala
@@ -1658,6 +1722,7 @@ object LanceQueries {
     "s98_not_null" -> s98NotNull,
     "s99_branch_sql" -> s99BranchSql,
     "s100_unique" -> s100Unique,
+    "s101_unique_composite" -> s101UniqueComposite,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1762,6 +1827,17 @@ object LanceQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | TRUE AS rule_listed
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // s101: the poisoned batches never land; the two legal rows do —
+    // the table is orders plus the ('Z', 1.0) and ('Z', 2.0) rows
+    "s101_unique_composite" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | TRUE AS rule_listed
+        |FROM (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL SELECT 'Z', 1.0
+        |  UNION ALL SELECT 'Z', 2.0
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // s98: the null batch never lands — the table is exactly orders, the
     // rule is listed, and the stored schema carries the non-null flag
     "s98_not_null" ->

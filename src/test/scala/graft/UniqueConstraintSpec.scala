@@ -83,6 +83,76 @@ class UniqueConstraintSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(dir).filter(col("id") === 2L).count() == 2)
   }
 
+  test("composite keys: full-tuple equality, null-component exemption, race") {
+    val dir = tmpDir()
+    Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "c")).toDF("src", "doc", "s")
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.addUniqueConstraint(spark, dir, Seq("src", "doc"))
+    assert(Lance.constraints(spark, dir) ==
+      Map("unique_src_doc" -> "__unique__:src,doc"))
+    // violation 1: a tuple the table holds — refused, no version, no orphans
+    val vBefore = Lance.versions(spark, dir).size
+    val filesBefore = dataFiles(dir)
+    val e1 = intercept[Exception] {
+      Seq((1L, 2, "x")).toDF("src", "doc", "s")
+        .write.format("lance").mode("append").save(dir)
+    }
+    assert(e1.getMessage.contains("unique_src_doc") ||
+      Option(e1.getCause).exists(_.getMessage.contains("unique_src_doc")))
+    assert(Lance.versions(spark, dir).size == vBefore)
+    assert(dataFiles(dir) == filesBefore)
+    // violation 2: a fresh tuple repeated inside one batch
+    intercept[Exception] {
+      Seq((9L, 9, "x"), (9L, 9, "y")).toDF("src", "doc", "s")
+        .write.format("lance").mode("append").save(dir)
+    }
+    // sharing ONE component is legal (the composite point)
+    Seq((1L, 3, "ok"), (3L, 1, "ok2")).toDF("src", "doc", "s")
+      .write.format("lance").mode("append").save(dir)
+    // a key with a NULL component is exempt, even where doc=1 exists
+    Seq((Option.empty[Long], 1, "n")).toDF("src", "doc", "s")
+      .write.format("lance").mode("append").save(dir)
+    assert(spark.read.format("lance").load(dir).count() == 6)
+    // declaring over existing composite duplicates is refused
+    val dir2 = tmpDir()
+    Seq((1L, 1, "a"), (1L, 1, "b")).toDF("src", "doc", "s")
+      .write.format("lance").mode("overwrite").save(dir2)
+    val bad = intercept[IllegalArgumentException](
+      Lance.addUniqueConstraint(spark, dir2, Seq("src", "doc")))
+    assert(bad.getMessage.contains("existing rows repeat"), bad.getMessage)
+    // duplicate column in the key is refused
+    intercept[IllegalArgumentException](
+      Lance.addUniqueConstraint(spark, dir2, Seq("src", "src")))
+    // racing same-TUPLE appends: first committer wins, second rolls back
+    val root = new Path(dir)
+    val f = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val base = LanceFormat.readLatest(f, root).get
+    Seq((7L, 7, "A")).toDF("src", "doc", "s")
+      .write.format("lance").mode("append").save(dir)
+    Seq((7L, 7, "B")).toDF("src", "doc", "s")
+      .write.format("lance").mode("overwrite").save(s"$dir-stage")
+    val stagedRoot = new Path(s"$dir-stage")
+    val staged = LanceFormat.readLatest(
+      LanceFormat.fileSystem(stagedRoot, spark.sessionState.newHadoopConf()),
+      stagedRoot).get.fragments
+    staged.foreach { fr =>
+      f.rename(new Path(LanceFormat.dataPath(stagedRoot), fr.file),
+        new Path(LanceFormat.dataPath(root), fr.file))
+    }
+    val committed = LanceFormat.commitAppend(f, root, base.schema, staged)
+    val ex = intercept[IllegalArgumentException] {
+      graft.connector.LanceWrite.verifyConstraintsPostCommit(
+        root, f, base.schema, staged,
+        enforced = base.checkConstraints, committed = committed,
+        baseFragments = base.fragments)
+    }
+    assert(ex.getMessage.contains("rolled back"), ex.getMessage)
+    val seven = spark.read.format("lance").load(dir)
+      .filter(col("src") === 7L && col("doc") === 7)
+    assert(seven.count() == 1 &&
+      seven.select("s").collect().head.getString(0) == "A")
+  }
+
   test("racing same-key appends: first committer wins, second rolls back") {
     val dir = tmpDir()
     Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)
