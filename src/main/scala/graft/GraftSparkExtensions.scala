@@ -152,7 +152,8 @@ object MetaTvfs {
         val versions = graft.format.LanceFormat.listVersions(fs, root).toSet
         require(versions.contains(to), s"no version $to at $path")
         require(from == 0 || versions.contains(from), s"no version $from at $path")
-        val endSchema = graft.format.LanceFormat.readManifest(fs, root, to).schema
+        val endM = graft.format.LanceFormat.readManifest(fs, root, to)
+        val endSchema = endM.schema
         val outSchema = endSchema
           .add("_change_type", StringType, nullable = false)
           .add("_commit_version", LongType, nullable = false)
@@ -172,10 +173,14 @@ object MetaTvfs {
               val added = m.fragments.filterNot(f => prevFiles.contains(f.file))
               val removed = prev.filterNot(f => curFiles.contains(f.file))
               Seq(("insert", added), ("delete", removed)).foreach { case (kind, fr) =>
-                if (fr.nonEmpty) arms += spark.read.schema(endSchema)
-                  .parquet(files(fr): _*)
-                  .withColumn("_change_type", org.apache.spark.sql.functions.lit(kind))
-                  .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+                if (fr.nonEmpty) {
+                  val arm = spark.read.schema(endM.physicalSchema)
+                    .parquet(files(fr): _*)
+                  arms += (if (endM.mapping.isEmpty) arm
+                    else arm.toDF(endSchema.fieldNames.toIndexedSeq: _*))
+                    .withColumn("_change_type", org.apache.spark.sql.functions.lit(kind))
+                    .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+                }
               }
             }
             prev = m.fragments

@@ -280,7 +280,9 @@ object Lance {
     // decodes to a space); the guard turns that into a loud error too.
     val seg = F.url_decode(F.element_at(F.split(F.input_file_name(), "/"), -1))
     val start = F.element_at(startByFile, seg)
-    spark.read.schema(m.schema).parquet(files: _*)
+    // physical-named read (metadata columns resolve only on the direct
+    // file-source frame); rename to logical LAST, after _rowid is bound
+    val taken = spark.read.schema(m.physicalSchema).parquet(files: _*)
       .withColumn("_rowid",
         F.when(start.isNull, F.raise_error(F.concat(
           F.lit("lance take: fragment file name lookup failed for "),
@@ -288,6 +290,8 @@ object Lance {
           .otherwise(start + F.col("_metadata.row_index")))
       .filter(F.col("_rowid").isin(ids: _*))
       .orderBy("_rowid")
+    if (m.mapping.isEmpty) taken
+    else taken.toDF((m.schema.fieldNames :+ "_rowid").toIndexedSeq: _*)
   }
 
   /** List committed versions of a dataset (MVCC manifest history). */
@@ -352,8 +356,11 @@ object Lance {
     val data = graft.format.LanceFormat.dataPath(root)
     val rows = small.map(_.rowCount).sum
     val parts = math.max(1L, (rows + maxRowsPerFile - 1) / maxRowsPerFile).toInt
-    spark.read.schema(m.schema)
-      .parquet(small.map(f => new org.apache.hadoop.fs.Path(data, f.file).toString): _*)
+    locally {
+      val df = spark.read.schema(m.physicalSchema)
+        .parquet(small.map(f => new org.apache.hadoop.fs.Path(data, f.file).toString): _*)
+      if (m.mapping.isEmpty) df else df.toDF(m.schema.fieldNames.toIndexedSeq: _*)
+    }
       .repartition(parts)
       .write.format("lance")
       .option("write.replace-fragments", small.map(_.id).mkString(","))
@@ -366,12 +373,18 @@ object Lance {
   }
 
   /** Reclaim storage: drop all but the newest `keepVersions` manifests and
-    * any fragment files they no longer reference.
+    * any fragment files they no longer reference. `olderThanMillis` adds
+    * the TIME-based retention production policies are written in
+    * (Delta/Iceberg `older_than`): a version committed within the last
+    * `olderThanMillis` ms survives regardless of count, so long-running
+    * readers keep their snapshots; tags and branches stay pinned either
+    * way. SQL: `CALL lance.vacuum('db.t', 1, older_than_ms => 86400000)`.
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): (Int, Int) = {
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+      olderThanMillis: Option[Long] = None): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
-    graft.format.LanceFormat.vacuum(fs, root, keepVersions)
+    graft.format.LanceFormat.vacuum(fs, root, keepVersions, olderThanMillis)
   }
 
   /** Tag a committed version with a stable name (Lance/Iceberg tags):
@@ -605,6 +618,24 @@ object Lance {
         schemaTransform = Some(flip))
       true
     }
+  }
+
+  /** ALTER TABLE RENAME COLUMN — one metadata commit, zero data moved
+    * (Delta's column-mapping-by-name shape): the manifest schema carries
+    * the new LOGICAL name while every fragment keeps its stable PHYSICAL
+    * name; old and new fragments both read through the new name. UNIQUE
+    * key components and a declared NOT NULL remap in the same commit;
+    * free-form CHECK rules and index sidecars referencing the old name
+    * refuse loudly (drop and re-create under the new name). SQL:
+    * `ALTER TABLE lance.db.t RENAME COLUMN old TO new` or
+    * `CALL lance.rename_column('db.t', 'old', 'new')`. Returns the
+    * committing version.
+    */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+      newName: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.commitRename(fs, root, oldName, newName).version
   }
 
   /** Drop a CHECK constraint. Returns whether it existed. */

@@ -198,6 +198,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new NoSuchTableException(ident))
     val additions = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     val deletions = Seq.newBuilder[String]
+    val renames = Seq.newBuilder[(String, String)]
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -215,11 +216,26 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           s"lance supports dropping top-level columns only, got ${del.fieldNames.mkString(".")}")
         deletions += del.fieldNames.head
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"lance supports renaming top-level columns only, got ${ren.fieldNames.mkString(".")}")
+        renames += ren.fieldNames.head -> ren.newName
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE supports ADD/DROP COLUMN only on lance tables, got $other")
+        s"ALTER TABLE supports ADD/DROP/RENAME COLUMN only on lance tables, got $other")
     }
     val adds = additions.result()
     val dels = deletions.result()
+    val rens = renames.result()
+    if (rens.nonEmpty) {
+      // RENAME is its own metadata commit (mapping + schema + remapped
+      // rules in one, [[LanceFormat.commitRename]]); mixing it with
+      // ADD/DROP in one statement is refused for a crisp failure story
+      require(adds.isEmpty && dels.isEmpty && rens.size == 1,
+        "RENAME COLUMN must be its own ALTER TABLE statement")
+      val (o, n) = rens.head
+      val m = LanceFormat.commitRename(fs, p, o, n)
+      return new LanceTable(p.toString, m.schema)
+    }
     adds.foreach(a => require(!current.schema.fieldNames.contains(a.name),
       s"column '${a.name}' already exists in ${ident.name}"))
     dels.foreach(d => require(current.schema.fieldNames.contains(d),
@@ -271,10 +287,14 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
         }
       }
       // the change was derived FROM current.schema: a concurrent schema
-      // evolution fails loud (CME) instead of being silently erased
+      // evolution fails loud (CME) instead of being silently erased.
+      // Dropped names are recorded under their PHYSICAL spelling (what
+      // old fragments actually hold — the resurrection guard's subject)
+      // and a dropped renamed column releases its mapping entry.
       LanceFormat.commitAlter(fs, p, merged,
-        (current.dropped ++ dels).distinct,
-        expectedSchemaJson = Some(current.schemaJson))
+        (current.dropped ++ dels.map(current.physicalName)).distinct,
+        expectedSchemaJson = Some(current.schemaJson),
+        mappingTransform = _ -- dels)
       new LanceTable(p.toString, merged)
     }
   }
@@ -324,6 +344,7 @@ object LanceCatalog {
       "tag", "untag", "create_branch", "drop_branch", "fast_forward",
       "rebase_branch",
       "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
+      "rename_column",
       "add_unique")
 }
 
@@ -370,7 +391,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
   override def name(): String = procName
   override def description(): String = procName match {
     case "compact" => "rewrite small fragments into maxRowsPerFile-sized ones (new MVCC version)"
-    case "vacuum" => "drop old versions and reclaim fragment files only they referenced"
+    case "vacuum" => "drop old versions and reclaim fragment files only they referenced (older_than_ms pins young versions)"
     case "cluster" => "Z-order rewrite so manifest stats prune on every listed column"
     case "update_where" => "row-level UPDATE: stats-scoped copy-on-write rewrite"
     case "upsert" => "MERGE a view/table into the dataset on key columns (update-or-insert)"
@@ -391,6 +412,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "set_not_null" => "declare a column NOT NULL (validates existing rows; rule + schema nullability in one commit)"
     case "add_unique" => "declare a column (or comma-listed composite key) UNIQUE (validates existing rows; every commit point-probes its keys against the table)"
     case "drop_not_null" => "drop a NOT NULL declaration (rule removed, column back to nullable)"
+    case "rename_column" => "rename a column (one metadata commit: schema + logical-to-physical mapping; structured rules remap, CHECK/index references refuse)"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -402,7 +424,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         .comment("-1 = full rewrite; >=0 = bin-pack only fragments " +
           "smaller than this (I/O proportional to the small tail)").build())
     case "vacuum" => Array(in("table", StringType).build(),
-      in("keep_versions", IntegerType).defaultValue("1").build())
+      in("keep_versions", IntegerType).defaultValue("1").build(),
+      in("older_than_ms", LongType).defaultValue("-1")
+        .comment("versions committed within this horizon survive " +
+          "regardless of count; -1 disables the time pin").build())
     case "cluster" => Array(in("table", StringType).build(),
       in("cols", StringType).comment("comma-separated numeric columns").build())
     case "update_where" => Array(in("table", StringType).build(),
@@ -456,6 +481,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "set_not_null" | "drop_not_null" | "add_unique" =>
       Array(in("table", StringType).build(),
         in("column", StringType).build())
+    case "rename_column" => Array(in("table", StringType).build(),
+      in("old_name", StringType).build(),
+      in("new_name", StringType).build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -474,7 +502,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .add("fragments_after", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](before, after)))
       case "vacuum" =>
-        val (manifests, files) = graft.Lance.vacuum(spark, path, input.getInt(1))
+        val (manifests, files) = graft.Lance.vacuum(spark, path, input.getInt(1),
+          Some(input.getLong(2)).filter(_ >= 0))
         (new StructType().add("manifests_deleted", IntegerType, nullable = false)
           .add("files_deleted", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](manifests, files)))
@@ -579,6 +608,11 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       case "set_not_null" =>
         val v = graft.Lance.setNotNull(spark, path,
           input.getUTF8String(1).toString)
+        (new StructType().add("committed_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](v)))
+      case "rename_column" =>
+        val v = graft.Lance.renameColumn(spark, path,
+          input.getUTF8String(1).toString, input.getUTF8String(2).toString)
         (new StructType().add("committed_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))
       case "add_unique" =>

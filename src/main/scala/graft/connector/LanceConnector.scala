@@ -219,7 +219,11 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
     val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     val manifest = manifestFor(fs, options)
     val files = manifest.map(m => LanceFormat.fragmentFiles(root, m)).getOrElse(Seq.empty)
-    val dataSchema = manifest.map(_.schema).getOrElse(schema())
+    // the parquet layer works in PHYSICAL names (what fragment files
+    // carry — stable across RENAME COLUMN); the scan reports LOGICAL
+    // names back to Spark. Rows are positional, so the two schemas are
+    // interchangeable at execution.
+    val dataSchema = manifest.map(_.physicalSchema).getOrElse(schema())
     val index = new InMemoryFileIndex(spark, files, Map.empty[String, String],
       Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
     new LanceScanBuilder(spark, index, dataSchema, options, rootStr, manifest)
@@ -261,13 +265,41 @@ class LanceScanBuilder(spark: SparkSession,
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
   import org.apache.spark.sql.types._
 
+  /** RENAME COLUMN translation boundary: Spark talks LOGICAL names
+    * (relation output), parquet files hold PHYSICAL names. Pruning and
+    * filter pushdown translate logical→physical on the way down; the
+    * built scan reports the logical readSchema back up. Identity (and
+    * zero-cost) for any table never renamed. */
+  private val mapping: Map[String, String] =
+    manifest.map(_.mapping).getOrElse(Map.empty)
+  private val physToLogical: Map[String, String] = mapping.map(_.swap)
+
   private var manifestAggRow: Option[(StructType, Array[Any])] = None
 
   private def topCol(e: org.apache.spark.sql.connector.expressions.Expression)
       : Option[StructField] = e match {
     case r: NamedReference if r.fieldNames.length == 1 =>
-      dataSchema.fields.find(_.name == r.fieldNames.head)
+      // dataSchema is physical; the reference arrives logical
+      dataSchema.fields.find(_.name ==
+        mapping.getOrElse(r.fieldNames.head, r.fieldNames.head))
     case _ => None
+  }
+
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (mapping.isEmpty) return super.pushFilters(filters)
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    // rename attributes to physical so the translated sources.Filters
+    // match the parquet footers; exprIds survive, so the post-scan
+    // residue still binds to the (logical) scan output
+    val translated = filters.map(_.transform {
+      case a: AttributeReference if mapping.contains(a.name) =>
+        a.withName(mapping(a.name))
+    })
+    super.pushFilters(translated).map(_.transform {
+      case a: AttributeReference if physToLogical.contains(a.name) =>
+        a.withName(physToLogical(a.name))
+    })
   }
 
   /** Exact global MIN/MAX of a column from per-fragment stats, or None
@@ -389,8 +421,9 @@ class LanceScanBuilder(spark: SparkSession,
     // the change-row names are ordinary data columns on any table NOT in
     // change-feed mode (e.g. a sink that persisted a feed) — strip them
     // from the parquet-side schema only when this read synthesizes them
-    super.pruneColumns(LanceFragmentScan.dropFragmentId(
-      if (changeFeed) LanceChangeFeed.dropMeta(requiredSchema) else requiredSchema))
+    super.pruneColumns(LanceFormat.toPhysical(LanceFragmentScan.dropFragmentId(
+      if (changeFeed) LanceChangeFeed.dropMeta(requiredSchema) else requiredSchema),
+      mapping))
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -414,9 +447,11 @@ class LanceScanBuilder(spark: SparkSession,
       case Some(m) if pushedDataFilters.nonEmpty =>
         // layer 1+2: manifest min/max bounds + exact value sets; layer 3:
         // scalar point-lookup index (high-cardinality equality/IN the
-        // stats can't answer) — each strictly conservative
+        // stats can't answer) — each strictly conservative. Pushed filters
+        // and fragment stats both speak PHYSICAL names here.
         graft.index.ScalarIndex.prune(spark, rootStr, m, pushedDataFilters,
-          graft.format.FragmentStats.prune(m.schema, m.fragments, pushedDataFilters))
+          graft.format.FragmentStats.prune(m.physicalSchema, m.fragments,
+            pushedDataFilters))
       case _ => return base
     }
     if (kept.size == manifest.get.fragments.size) base
@@ -432,7 +467,8 @@ class LanceScanBuilder(spark: SparkSession,
 
   override def build(): ParquetScan =
     if (changeFeed)
-      new LanceChangeFeedScan(statsPruned(super.build()), rootStr, changeMeta)
+      new LanceChangeFeedScan(statsPruned(super.build()), rootStr, changeMeta,
+        physToLogical)
     else manifestAggRow match {
     case Some((aggSchema, row)) =>
       new LanceManifestAggScan(super.build(), rootStr, aggSchema, row)
@@ -442,21 +478,37 @@ class LanceScanBuilder(spark: SparkSession,
       val kept =
         if (pushedDataFilters.nonEmpty)
           graft.index.ScalarIndex.prune(spark, rootStr, m, pushedDataFilters,
-            graft.format.FragmentStats.prune(m.schema, m.fragments, pushedDataFilters))
+            graft.format.FragmentStats.prune(m.physicalSchema, m.fragments,
+              pushedDataFilters))
         else m.fragments
-      new LanceMetadataScan(statsPruned(super.build()), rootStr, kept)
-    case None => new LanceParquetScan(statsPruned(super.build()), rootStr)
+      new LanceMetadataScan(statsPruned(super.build()), rootStr, kept,
+        physToLogical)
+    case None => new LanceParquetScan(statsPruned(super.build()), rootStr,
+      physToLogical)
   }
 }
 
 /** A ParquetScan that additionally answers `toMicroBatchStream` — batch
   * behavior (partitions, pushdown, columnar batches) is inherited verbatim.
+  *
+  * `physToLogical` closes the RENAME COLUMN loop: the parquet machinery
+  * below reads PHYSICAL column names (what fragment files carry), while
+  * [[readSchema]] reports the LOGICAL names Spark's plan expects — rows
+  * are positional, so no data moves.
   */
-class LanceParquetScan(inner: ParquetScan, rootStr: String)
+class LanceParquetScan(inner: ParquetScan, rootStr: String,
+    physToLogical: Map[String, String] = Map.empty)
     extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
       inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
       inner.pushedFilters, inner.options, inner.pushedAggregate,
       inner.partitionFilters, inner.dataFilters, inner.pushedVariantExtractions) {
+
+  override def readSchema(): StructType =
+    LanceFormat.toPhysical(super.readSchema(), physToLogical)
+
+  /** The parquet-facing schema (physical names) — what file readers and
+    * the micro-batch stream must use. */
+  protected def physicalReadSchema: StructType = super.readSchema()
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     // the changefeed walks MAIN's manifests; silently streaming main
@@ -469,7 +521,7 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String)
         inner.sparkSession.sessionState.conf.sessionLocalTimeZone)
       new SerializableConf(c)
     }
-    new LanceMicroBatchStream(rootStr, readSchema().json, conf,
+    new LanceMicroBatchStream(rootStr, physicalReadSchema.json, conf,
       Option(inner.options.get("read.max-versions-per-batch")).map(_.toLong),
       sinceVersion = Option(inner.options.get("read.since-version")).map(_.toLong))
   }
@@ -615,8 +667,19 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     refreshIndexes: Set[String] = Set.empty,
     branch: Option[String] = None) extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile, collectStats)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // fragment files always carry PHYSICAL names (stable under RENAME
+    // COLUMN); translate the (logical) write schema per the lineage the
+    // write lands in — positions/types identical, rows untouched
+    val root = new Path(rootStr)
+    val fs = LanceFormat.fileSystem(root, conf.value)
+    val lineage = branch.fold(LanceFormat.versionsPath(root))(
+      LanceFormat.branchPath(root, _))
+    val mapping = LanceFormat.readLatestIn(fs, lineage)
+      .map(_.mapping).getOrElse(Map.empty)
+    new LanceWriterFactory(rootStr, LanceFormat.toPhysical(schema, mapping).json,
+      conf, maxRowsPerFile, collectStats)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val frags = messages.collect { case LanceCommitMessage(f) => f }.flatten.toSeq
@@ -635,17 +698,19 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       // exists to avoid. Row-CHANGING replaces (DML) are enforced.
       val prevM = LanceFormat.readLatest(fs, root)
       val enforced = prevM.map(_.checkConstraints).getOrElse(Map.empty)
+      val cmap = prevM.map(_.mapping).getOrElse(Map.empty)
       if (!rowPreserving)
         LanceWrite.enforceConstraints(root, schema, frags, enforced,
           // uniqueness holds against the KEPT fragments — the ones being
           // replaced are leaving, their keys may legitimately reappear
           tableFrags = prevM.map(_.fragments).getOrElse(Seq.empty)
-            .filterNot(f => replaceFragments.get.contains(f.id)))
+            .filterNot(f => replaceFragments.get.contains(f.id)),
+          mapping = cmap)
       // inference-only non-nullable columns receiving NULLs widen in the
       // same commit (row-preserving rewrites repack existing rows — the
       // schema already tells their truth, nothing to reconcile)
       val replaceSchema = if (rowPreserving) schema
-        else LanceWrite.reconcileNullability(root, schema, frags, enforced)
+        else LanceWrite.reconcileNullability(root, schema, frags, enforced, cmap)
       val (committedR, _) = LanceFormat.commitReplace(fs, root, replaceSchema,
         replaceFragments.get, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "replace")
@@ -698,17 +763,20 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       case _ => schema
     }
     val enforced = existing.map(_.checkConstraints).getOrElse(Map.empty)
+    val cmap = existing.map(_.mapping).getOrElse(Map.empty)
     if (!rowPreserving)
       LanceWrite.enforceConstraints(root, committedSchema, frags, enforced,
         // append: unique vs the lineage head; overwrite replaces
         // everything, so only batch-internal uniqueness applies
         tableFrags = if (overwrite) Seq.empty
-          else existing.map(_.fragments).getOrElse(Seq.empty))
+          else existing.map(_.fragments).getOrElse(Seq.empty),
+        mapping = cmap)
     // NULLs arriving into an inference-only non-nullable column widen the
     // stored schema in this very commit; declared columns were refused
     // above by their rule
     val widenedSchema = if (rowPreserving) committedSchema
-      else LanceWrite.reconcileNullability(root, committedSchema, frags, enforced)
+      else LanceWrite.reconcileNullability(root, committedSchema, frags,
+        enforced, cmap)
     val committed =
       if (overwrite) LanceFormat.commitOverwrite(fs, root, widenedSchema, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "overwrite")
@@ -753,8 +821,14 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
     refreshIndexes: Set[String] = Set.empty,
     queryId: String = "") extends StreamingWrite {
 
-  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LanceWriterFactory(rootStr, schema.json, conf, maxRowsPerFile, collectStats)
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val root = new Path(rootStr)
+    val fs = LanceFormat.fileSystem(root, conf.value)
+    val mapping = LanceFormat.readLatest(fs, root)
+      .map(_.mapping).getOrElse(Map.empty)
+    new LanceWriterFactory(rootStr, LanceFormat.toPhysical(schema, mapping).json,
+      conf, maxRowsPerFile, collectStats)
+  }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(rootStr)
@@ -770,11 +844,14 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
       // micro-batch fails the stream (correctness, unlike the
       // stale-but-correct refresh warn below)
       val enforced = latestM.map(_.checkConstraints).getOrElse(Map.empty)
+      val cmap = latestM.map(_.mapping).getOrElse(Map.empty)
       val epochOverwrite = overwrite && epochId == 0
       LanceWrite.enforceConstraints(root, schema, frags, enforced,
         tableFrags = if (epochOverwrite) Seq.empty
-          else latestM.map(_.fragments).getOrElse(Seq.empty))
-      val widened = LanceWrite.reconcileNullability(root, schema, frags, enforced)
+          else latestM.map(_.fragments).getOrElse(Seq.empty),
+        mapping = cmap)
+      val widened = LanceWrite.reconcileNullability(root, schema, frags,
+        enforced, cmap)
       val committed =
         if (epochOverwrite)
           LanceFormat.commitOverwrite(fs, root, widened, frags, Some(epochId),
@@ -854,7 +931,8 @@ private[graft] object LanceWrite {
     */
   def enforceConstraints(root: Path, schema: StructType,
       frags: Seq[FragmentMeta], constraints: Map[String, String],
-      tableFrags: Seq[FragmentMeta] = Seq.empty): Unit = {
+      tableFrags: Seq[FragmentMeta] = Seq.empty,
+      mapping: Map[String, String] = Map.empty): Unit = {
     if (frags.isEmpty) return
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     val spark = SparkSession.active
@@ -866,7 +944,7 @@ private[graft] object LanceWrite {
     // vectorized reader, exactly where the violation must surface as a
     // filter hit instead
     val readSchema = StructType(schema.fields.map(_.copy(nullable = true)))
-    val df = spark.read.schema(readSchema).parquet(files: _*)
+    val df = readLogical(spark, readSchema, mapping, files)
     val (uniqueRules, checkRules) = constraints.partition {
       case (_, e) => LanceFormat.uniqueColumn(e).isDefined }
     checkRules.foreach { case (name, e) =>
@@ -876,7 +954,7 @@ private[graft] object LanceWrite {
       val byStats = Some(name).filter(_.startsWith(LanceFormat.NotNullPrefix))
         .map(_.stripPrefix(LanceFormat.NotNullPrefix))
         .filter(c => e == s"`$c` IS NOT NULL")
-        .flatMap(c => nullsFromStats(frags, c))
+        .flatMap(c => nullsFromStats(frags, mapping.getOrElse(c, c)))
       val bad = byStats match {
         case Some(hasNulls) => if (hasNulls) 1L else 0L
         case None => df.filter(coalesce(expr(e), lit(true)) === lit(false))
@@ -888,8 +966,20 @@ private[graft] object LanceWrite {
     }
     uniqueRules.foreach { case (name, e) =>
       enforceUnique(root, readSchema, frags, name,
-        LanceFormat.uniqueColumns(e).get, tableFrags)
+        LanceFormat.uniqueColumns(e).get, tableFrags, mapping)
     }
+  }
+
+  /** Central fragment-file reader for the write-path validators: reads
+    * the PHYSICAL parquet names (what files carry, stable under RENAME
+    * COLUMN) and returns the LOGICAL-named frame the rule expressions
+    * reference. Identity when the table was never renamed. */
+  private def readLogical(spark: SparkSession, logical: StructType,
+      mapping: Map[String, String],
+      files: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val df = spark.read.schema(LanceFormat.toPhysical(logical, mapping))
+      .parquet(files: _*)
+    if (mapping.isEmpty) df else df.toDF(logical.fieldNames.toIndexedSeq: _*)
   }
 
   /** Exact null presence for `column` across the staged batch, answered
@@ -917,14 +1007,16 @@ private[graft] object LanceWrite {
     * null-count aggregate over the staged files otherwise.
     */
   def reconcileNullability(root: Path, schema: StructType,
-      frags: Seq[FragmentMeta], constraints: Map[String, String]): StructType = {
+      frags: Seq[FragmentMeta], constraints: Map[String, String],
+      mapping: Map[String, String] = Map.empty): StructType = {
     if (frags.isEmpty) return schema
     val declared = LanceFormat.declaredNonNullable(constraints)
     val candidates = schema.fields
       .filter(f => !f.nullable && !declared(f.name)).map(_.name)
     if (candidates.isEmpty) return schema
-    val (known, unknown) = candidates.partition(c => nullsFromStats(frags, c).isDefined)
-    var withNulls = known.filter(c => nullsFromStats(frags, c).contains(true)).toSet
+    def stats(c: String) = nullsFromStats(frags, mapping.getOrElse(c, c))
+    val (known, unknown) = candidates.partition(c => stats(c).isDefined)
+    var withNulls = known.filter(c => stats(c).contains(true)).toSet
     if (unknown.nonEmpty) {
       import org.apache.spark.sql.functions.{col, count, lit, when}
       val spark = SparkSession.active
@@ -932,7 +1024,7 @@ private[graft] object LanceWrite {
         new Path(LanceFormat.dataPath(root), f.file).toString)
       val readSchema = StructType(schema.fields.map(_.copy(nullable = true)))
       val aggs = unknown.map(c => count(when(col(c).isNull, lit(1))).as(c))
-      val row = spark.read.schema(readSchema).parquet(files: _*)
+      val row = readLogical(spark, readSchema, mapping, files)
         .agg(aggs.head, aggs.tail: _*).head()
       withNulls ++= unknown.indices.filter(i => row.getLong(i) > 0L).map(unknown)
     }
@@ -958,7 +1050,8 @@ private[graft] object LanceWrite {
     */
   private def enforceUnique(root: Path, readSchema: StructType,
       frags: Seq[FragmentMeta], name: String, columns: Seq[String],
-      tableFrags: Seq[FragmentMeta]): Unit = {
+      tableFrags: Seq[FragmentMeta],
+      mapping: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = SparkSession.active
     val missing = columns.filterNot(readSchema.fieldNames.contains)
@@ -969,7 +1062,7 @@ private[graft] object LanceWrite {
     val allSet = columns.map(col(_).isNotNull).reduce(_ && _)
     val files = frags.map(f =>
       new Path(LanceFormat.dataPath(root), f.file).toString)
-    val stagedKeys = spark.read.schema(readSchema).parquet(files: _*)
+    val stagedKeys = readLogical(spark, readSchema, mapping, files)
       .select(columns.map(col): _*).filter(allSet)
     val dupInside = stagedKeys.groupBy(columns.map(col): _*)
       .count().filter(col("count") > 1).limit(1).count()
@@ -992,17 +1085,18 @@ private[graft] object LanceWrite {
     if (leadVals.length <= limit) {
       // point-probe path: stats + scalar-index prune the IN filter down
       // to candidate fragments, then one pushed-filter read of only those
+      val physSchema = LanceFormat.toPhysical(readSchema, mapping)
       val inFilter: org.apache.spark.sql.sources.Filter =
-        org.apache.spark.sql.sources.In(lead, leadVals)
-      val pseudo = graft.format.Manifest(0L, readSchema.json, tableFrags)
+        org.apache.spark.sql.sources.In(mapping.getOrElse(lead, lead), leadVals)
+      val pseudo = graft.format.Manifest(0L, physSchema.json, tableFrags)
       val kept = graft.index.ScalarIndex.prune(spark, root.toString, pseudo,
         Seq(inFilter),
-        graft.format.FragmentStats.prune(readSchema, tableFrags,
+        graft.format.FragmentStats.prune(physSchema, tableFrags,
           Array(inFilter)))
       if (kept.isEmpty) return
       val tblFiles = kept.map(f =>
         new Path(LanceFormat.dataPath(root), f.file).toString)
-      val candidates = spark.read.schema(readSchema).parquet(tblFiles: _*)
+      val candidates = readLogical(spark, readSchema, mapping, tblFiles)
         .select(columns.map(col): _*)
         .filter(col(lead).isin(leadVals: _*))
       val hit =
@@ -1015,7 +1109,7 @@ private[graft] object LanceWrite {
         s"inlistLimit=$limit - checking via distributed semi-join")
       val tblFiles = tableFrags.map(f =>
         new Path(LanceFormat.dataPath(root), f.file).toString)
-      val hit = spark.read.schema(readSchema).parquet(tblFiles: _*)
+      val hit = readLogical(spark, readSchema, mapping, tblFiles)
         .select(columns.map(col): _*).filter(allSet)
         .join(distinctKeys, columns, "left_semi")
         .limit(1).count()
@@ -1043,6 +1137,7 @@ private[graft] object LanceWrite {
       enforced: Map[String, String],
       committed: graft.format.Manifest,
       baseFragments: Seq[FragmentMeta] = Seq.empty): Unit = {
+    val mapping = committed.mapping
     if (frags.isEmpty) return
     val myFiles = frags.map(_.file).toSet
     val fresh = committed.checkConstraints -- enforced.keySet
@@ -1064,10 +1159,11 @@ private[graft] object LanceWrite {
     try {
       if (fresh.nonEmpty)
         enforceConstraints(root, schema, frags, fresh,
-          tableFrags = committed.fragments.filterNot(f => myFiles.contains(f.file)))
+          tableFrags = committed.fragments.filterNot(f => myFiles.contains(f.file)),
+          mapping = mapping)
       if (interleaved.nonEmpty) carriedUnique.foreach { case (n, e) =>
         enforceUnique(root, readSchema, frags, n,
-          LanceFormat.uniqueColumns(e).get, interleaved)
+          LanceFormat.uniqueColumns(e).get, interleaved, mapping)
       }
     } catch {
       case e: IllegalArgumentException =>

@@ -148,7 +148,9 @@ class LanceFragmentIdReaderFactory(inner: PartitionReaderFactory)
   * on this reader filtering.
   */
 class LanceMetadataScan(inner: ParquetScan, rootStr: String,
-    fragments: Seq[FragmentMeta]) extends LanceParquetScan(inner, rootStr) {
+    fragments: Seq[FragmentMeta],
+    physToLogical: Map[String, String] = Map.empty)
+    extends LanceParquetScan(inner, rootStr, physToLogical) {
 
   override def readSchema(): StructType =
     StructType(super.readSchema().fields :+ LanceFragmentScan.fragmentIdField)

@@ -63,8 +63,9 @@ object LanceChangeFeed {
   * columns + the requested change-row columns.
   */
 class LanceChangeFeedScan(inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    rootStr: String, metaCols: Seq[String])
-    extends LanceParquetScan(inner, rootStr) {
+    rootStr: String, metaCols: Seq[String],
+    physToLogical: Map[String, String] = Map.empty)
+    extends LanceParquetScan(inner, rootStr, physToLogical) {
 
   override def readSchema(): StructType = {
     val metaByName = LanceChangeFeed.metaFields.map(f => f.name -> f).toMap
@@ -87,7 +88,7 @@ class LanceChangeFeedScan(inner: org.apache.spark.sql.execution.datasources.v2.p
         sparkSession.sessionState.conf.sessionLocalTimeZone)
       new SerializableConf(c)
     }
-    new LanceMicroBatchStream(rootStr, super.readSchema().json, conf,
+    new LanceMicroBatchStream(rootStr, physicalReadSchema.json, conf,
       scala.Option(inner.options.get("read.max-versions-per-batch")).map(_.toLong),
       changeFeedMeta = Some(metaCols),
       sinceVersion = scala.Option(inner.options.get("read.since-version")).map(_.toLong))

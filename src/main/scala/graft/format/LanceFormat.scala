@@ -37,8 +37,27 @@ case class Manifest(
     operation: Option[String] = None,
     droppedColumns: Option[Seq[String]] = None,
     constraints: Option[Map[String, String]] = None,
-    streamEpochs: Option[Map[String, Long]] = None) {
+    streamEpochs: Option[Map[String, Long]] = None,
+    columnMapping: Option[Map[String, String]] = None) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  /** RENAME COLUMN support, Delta's column-mapping-by-name shape: the
+    * manifest schema carries LOGICAL names; fragment files always carry
+    * the PHYSICAL name a column was born with (physical names never
+    * change — a rename is one metadata commit, zero data rewritten, and
+    * every fragment old or new reads through the current logical name).
+    * This map holds only the columns whose two names differ
+    * (logical → physical); everything else is identity. */
+  def mapping: Map[String, String] = columnMapping.getOrElse(Map.empty)
+  /** The on-disk (parquet) name of logical column `col`. */
+  def physicalName(col: String): String = mapping.getOrElse(col, col)
+  /** The manifest schema with PHYSICAL field names — what fragment
+    * readers/writers use; positions, types, nullability, metadata all
+    * identical to [[schema]], so rows are interchangeable. */
+  def physicalSchema: StructType = LanceFormat.toPhysical(schema, mapping)
+  /** Rename a logical-named schema (e.g. a pruned read schema or a write
+    * schema) to physical names. */
+  def toPhysicalSchema(s: StructType): StructType =
+    LanceFormat.toPhysical(s, mapping)
   /** Last epoch each streaming QUERY committed (keyed by Spark's
     * `LogicalWriteInfo.queryId()`), the exactly-once replay guard. Keyed
     * per query — a per-table scalar silently DROPS data in two realistic
@@ -205,7 +224,8 @@ object LanceFormat {
         operation = Some("append"),
         droppedColumns = prev.flatMap(_.droppedColumns),
         constraints = rules,
-        streamEpochs = mergeStreamEpochs(prev.flatMap(_.streamEpochs), streamEpoch))
+        streamEpochs = mergeStreamEpochs(prev.flatMap(_.streamEpochs), streamEpoch),
+        columnMapping = prev.flatMap(_.columnMapping))
       if (commitOnceIn(fs, dir, m, publisher)) return m
       attempt += 1
     }
@@ -226,7 +246,8 @@ object LanceFormat {
   def commitAlter(fs: FileSystem, root: Path, schema: StructType,
       droppedColumns: Seq[String],
       expectedSchemaJson: Option[String] = None,
-      publisher: Option[ManifestPublisher] = None): Manifest = {
+      publisher: Option[ManifestPublisher] = None,
+      mappingTransform: Map[String, String] => Map[String, String] = identity): Manifest = {
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatest(fs, root).getOrElse(
@@ -245,7 +266,8 @@ object LanceFormat {
         operation = Some("alter"),
         droppedColumns = Some(droppedColumns).filter(_.nonEmpty),
         constraints = prev.constraints,
-        streamEpochs = prev.streamEpochs)
+        streamEpochs = prev.streamEpochs,
+        columnMapping = Some(mappingTransform(prev.mapping)).filter(_.nonEmpty))
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
     }
@@ -299,7 +321,8 @@ object LanceFormat {
         // dropped columns' data, the resurrection guard must survive
         droppedColumns = prev.droppedColumns,
         constraints = prev.constraints,
-        streamEpochs = prev.streamEpochs)
+        streamEpochs = prev.streamEpochs,
+        columnMapping = prev.columnMapping)
       if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
       attempt += 1
     }
@@ -341,12 +364,106 @@ object LanceFormat {
         constraints = rules,
         // replay guards survive too: an old epoch must not re-land after
         // an overwrite wiped the data it once wrote
-        streamEpochs = mergeStreamEpochs(prev.flatMap(_.streamEpochs), streamEpoch))
+        streamEpochs = mergeStreamEpochs(prev.flatMap(_.streamEpochs), streamEpoch),
+        // the overwrite's fragments were written through the same
+        // logical->physical translation, so the mapping stays true
+        columnMapping = prev.flatMap(_.columnMapping))
       if (commitOnce(fs, root, m, None)) return m
       attempt += 1
     }
     throw new IllegalStateException(
       s"could not commit overwrite after $attempt attempts at $root")
+  }
+
+  /** Rename `s`'s top-level fields per `mapping` (logical → physical).
+    * Positions, types, nullability and metadata are untouched, so rows
+    * produced under either naming are interchangeable. */
+  def toPhysical(s: StructType, mapping: Map[String, String]): StructType =
+    if (mapping.isEmpty) s
+    else StructType(s.fields.map(f =>
+      mapping.get(f.name).fold(f)(p => f.copy(name = p))))
+
+  /** ALTER TABLE RENAME COLUMN — one metadata commit, zero data moved:
+    * the field is renamed in the manifest schema and the logical→physical
+    * mapping is updated so every fragment (written before or after) keeps
+    * reading through its unchanged PHYSICAL name. Refuses loudly when the
+    * old name is still load-bearing elsewhere:
+    *  - a CHECK constraint expression mentions it (SQL strings cannot be
+    *    remapped safely — drop the rule first);
+    *  - an index sidecar references it (indexes are column-addressed on
+    *    disk — drop and rebuild under the new name);
+    * while the STRUCTURED rules are remapped in the same commit: a
+    * UNIQUE key component is rewritten, and a declared NOT NULL moves to
+    * `not_null_<new>` with its expression (the declaration survives the
+    * rename, schema flag included). Re-using a previously DROPPED name is
+    * refused for the same reason ALTER ADD refuses it — the name reads as
+    * resurrection even though the mapping would point elsewhere.
+    */
+  def commitRename(fs: FileSystem, root: Path, oldName: String,
+      newName: String): Manifest = {
+    require(newName.trim.nonEmpty && !newName.contains('`') && !newName.contains('.'),
+      s"invalid column name '$newName'")
+    // index sidecars are column-addressed (dir `<col>_<kind>` + metas that
+    // name their column/id columns): any reference to the old name refuses
+    val indices = new Path(root, "_indices")
+    if (fs.exists(indices)) fs.listStatus(indices).filter(_.isDirectory).foreach { d =>
+      val dirName = d.getPath.getName
+      val refs = Seq("_scalar", "_fts", "_ivf", "_hnsw")
+        .exists(sfx => dirName == s"$oldName$sfx") ||
+        fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".json"))
+          .exists { st =>
+            val in = fs.open(st.getPath)
+            try {
+              val bytes = new Array[Byte](math.min(st.getLen, 1 << 20).toInt)
+              in.readFully(0L, bytes)
+              new String(bytes, StandardCharsets.UTF_8).contains(s""""$oldName"""")
+            } finally in.close()
+          }
+      require(!refs,
+        s"cannot rename '$oldName': index sidecar '$dirName' references it - " +
+          "drop the index and rebuild it under the new name")
+    }
+    var attempt = 0
+    while (attempt < 20) {
+      val prev = readLatest(fs, root).getOrElse(
+        throw new IllegalStateException(s"no dataset at $root"))
+      require(prev.schema.fieldNames.contains(oldName),
+        s"no column '$oldName' at $root")
+      require(!prev.schema.fieldNames.contains(newName),
+        s"column '$newName' already exists at $root")
+      require(!prev.dropped.contains(newName),
+        s"column '$newName' was previously DROPPED and old fragments still " +
+          "hold its data - pick another name or rewrite the table first")
+      // structured rules remap; free-form CHECK expressions refuse
+      val word = java.util.regex.Pattern.compile(s"\\b${java.util.regex.Pattern.quote(oldName)}\\b")
+      val newRules = prev.checkConstraints.map {
+        case (n, e) if uniqueColumns(e).isDefined =>
+          n -> (UniquePrefix + uniqueColumns(e).get
+            .map(c => if (c == oldName) newName else c).mkString(","))
+        case (n, e) if n == notNullRuleName(oldName) =>
+          notNullRuleName(newName) -> s"`$newName` IS NOT NULL"
+        case (n, e) =>
+          require(!word.matcher(e).find(),
+            s"cannot rename '$oldName': CHECK constraint '$n' ($e) references " +
+              "it - drop the rule first and re-add it under the new name")
+          n -> e
+      }
+      val physical = prev.physicalName(oldName)
+      val newMapping = (prev.mapping - oldName) ++
+        (if (physical == newName) Map.empty else Map(newName -> physical))
+      val m = prev.copy(
+        version = prev.version + 1,
+        schemaJson = StructType(prev.schema.fields.map(f =>
+          if (f.name == oldName) f.copy(name = newName) else f)).json,
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some("alter"),
+        constraints = Some(newRules).filter(_.nonEmpty),
+        columnMapping = Some(newMapping).filter(_.nonEmpty))
+      if (commitOnceIn(fs, versionsPath(root), m, None)) return m
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit rename after $attempt attempts at $root")
   }
 
   private def mergeStreamEpochs(prev: Option[Map[String, Long]],
@@ -405,17 +522,29 @@ object LanceFormat {
     * commit that is about to land.
     * Returns (manifests deleted, fragment files deleted).
     */
-  def vacuum(fs: FileSystem, root: Path, keepVersions: Int = 1): (Int, Int) = {
+  def vacuum(fs: FileSystem, root: Path, keepVersions: Int = 1,
+      olderThanMillis: Option[Long] = None): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
+    require(olderThanMillis.forall(_ >= 0), "olderThanMillis must be >= 0")
     val versions = listVersions(fs, root)
     // tagged versions are pinned: a tag is a promise that the snapshot
     // stays readable (Iceberg's tag-retention contract) — vacuum keeps
     // the manifest AND every fragment file it references
     val tagged = listTags(fs, root).map(_.version).toSet
+    // time-based retention (Delta/Iceberg `older_than`): a version
+    // committed INSIDE the horizon survives regardless of count — the
+    // production contract is "readers started in the last N hours keep
+    // their snapshot", which a version-count policy cannot express
+    val horizon = olderThanMillis.map(System.currentTimeMillis() - _)
     val (drop, keep) = {
       val (d, k) = versions.splitAt(math.max(0, versions.size - keepVersions))
-      val (rescued, reallyDrop) = d.partition(tagged)
-      (reallyDrop, rescued ++ k)
+      val (rescued, dropOld) = d.partition(tagged)
+      val (young, reallyDrop) = horizon match {
+        case Some(h) => dropOld.partition(v =>
+          readManifest(fs, root, v).committedAtMs >= h)
+        case None => (Seq.empty[Long], dropOld)
+      }
+      (reallyDrop, rescued ++ young ++ k)
     }
     // branch manifests are reference ROOTS too: data under an active
     // branch must survive a main-side vacuum (deleteBranch + vacuum is
@@ -676,7 +805,9 @@ object LanceFormat {
       droppedColumns = head.droppedColumns,
       constraints = head.constraints,
       // replay guards are MAIN-lineage state: keep main's, not the fork-time copy
-      streamEpochs = mainLatest.streamEpochs)
+      streamEpochs = mainLatest.streamEpochs,
+      // the mapping travels with the schema it names (head's)
+      columnMapping = head.columnMapping)
     // ONE commitOnce attempt, never the version-bumping commit() retry: a
     // concurrent main append winning the race means the precondition no
     // longer holds, and retrying at the next number would publish the
@@ -779,7 +910,8 @@ object LanceFormat {
       operation = Some("rebase"),
       droppedColumns = mainLatest.droppedColumns,
       constraints = mainLatest.constraints,
-      streamEpochs = mainLatest.streamEpochs)
+      streamEpochs = mainLatest.streamEpochs,
+      columnMapping = mainLatest.columnMapping)
     if (!commitOnce(fs, root, m, None))
       throw new java.util.ConcurrentModificationException(
         s"cannot rebase '$name': main advanced concurrently past " +

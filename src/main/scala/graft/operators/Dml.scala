@@ -55,9 +55,13 @@ object Dml {
     * snapshot-consistent regardless of concurrent commits).
     */
   private def readFragments(spark: SparkSession, root: Path, m: Manifest,
-      frags: Seq[FragmentMeta]): DataFrame =
-    spark.read.schema(m.schema)
+      frags: Seq[FragmentMeta]): DataFrame = {
+    // fragment files carry PHYSICAL names (stable under RENAME COLUMN);
+    // rename back to the logical schema the DML expressions reference
+    val df = spark.read.schema(m.physicalSchema)
       .parquet(frags.map(f => new Path(LanceFormat.dataPath(root), f.file).toString): _*)
+    if (m.mapping.isEmpty) df else df.toDF(m.schema.fieldNames.toIndexedSeq: _*)
+  }
 
   private def q(name: String): Column = col(s"`$name`")
 

@@ -1458,6 +1458,66 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Scalar-index RANGE pruning (s103): a BETWEEN on a hash-distributed
+    * high-cardinality key — the shape manifest min/max bounds can never
+    * prune (every fragment's [min,max] straddles every range) — prunes
+    * through the index's sorted range projection
+    * ([[graft.index.ScalarIndex]] `ranges-*`): probe cost ∝ the key
+    * span, fragments outside the span never scanned. The gate asserts
+    * the prune actually narrowed the fragment set AND the narrowed scan
+    * returns exactly the oracle's rows.
+    */
+  def s103ScalarRangePrune(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_scalarrange")
+    freshDataset(spark, dest)
+    t(spark, dir, "orders")
+      .repartition(8, col("o_orderkey"))
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.buildScalarIndex(spark, dest, "o_orderkey")
+    val root = new org.apache.hadoop.fs.Path(dest)
+    val m = graft.format.LanceFormat.readLatest(
+      graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf()),
+      root).get
+    val pruned = graft.index.ScalarIndex.prune(spark, dest, m,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderkey", 100L),
+        org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 103L)),
+      m.fragments)
+    require(pruned.size < m.fragments.size,
+      s"range probe must prune fragments: ${pruned.size}/${m.fragments.size}")
+    spark.read.format("lance").load(dest)
+      .filter(col("o_orderkey").between(100L, 103L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("pruned", lit(pruned.size < m.fragments.size))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** RENAME COLUMN (s102): fragments written BEFORE the rename read
+    * through the NEW name — stable physical names (Delta column-mapping
+    * shape), one metadata commit, zero data rewritten
+    * ([[graft.format.LanceFormat.commitRename]]). Half of orders lands
+    * pre-rename, half post-rename; the aggregate and a pushed filter
+    * both address `price`, hitting rows on both sides of the rename.
+    */
+  def s102RenameColumn(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_rename")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.renameColumn(spark, dest, "o_totalprice", "price")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .withColumnRenamed("o_totalprice", "price")
+      .write.format("lance").mode("append").save(dest)
+    val all = spark.read.format("lance").load(dest)
+    // pushed-filter leg over the renamed column (old + new fragments)
+    val cheap = all.filter(col("price") < 1000.0).count()
+    all.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
+      .withColumn("n_cheap", lit(cheap))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** SQL branch reads (s99): `VERSION AS OF 'branch:exp'` through the
     * catalog reads the branch lineage's head — the surface a SQL-only
     * user needs (branches were reachable only via the Scala
@@ -1723,6 +1783,8 @@ object LanceQueries {
     "s99_branch_sql" -> s99BranchSql,
     "s100_unique" -> s100Unique,
     "s101_unique_composite" -> s101UniqueComposite,
+    "s102_rename_column" -> s102RenameColumn,
+    "s103_scalar_range_prune" -> s103ScalarRangePrune,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1838,6 +1900,18 @@ object LanceQueries {
         |  UNION ALL SELECT 'Z', 1.0
         |  UNION ALL SELECT 'Z', 2.0
         |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // s103: the pruned scan returns exactly the range's rows
+    "s103_scalar_range_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS pruned
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 103
+        |ORDER BY o_orderkey""".stripMargin,
+    // s102: the rename moves no rows — the table is exactly orders,
+    // read through the new name
+    "s102_rename_column" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | (SELECT COUNT(*) FROM orders WHERE o_totalprice < 1000.0) AS n_cheap
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // s98: the null batch never lands — the table is exactly orders, the
     // rule is listed, and the stored schema carries the non-null flag
     "s98_not_null" ->

@@ -255,6 +255,41 @@ class LanceConnectorSpec extends AnyFunSuite {
     assert(m.epochId.isDefined)
   }
 
+  test("time-based vacuum: versions inside the horizon survive regardless of count") {
+    val dir = s"${tmpDir()}/vact"
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    Thread.sleep(25)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(25)
+    Seq((2L, "b")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    Seq((3L, "c")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    // a huge horizon pins everything even with keepVersions=1
+    val (m0, f0) = Lance.vacuum(spark, dir, keepVersions = 1,
+      olderThanMillis = Some(86400000L))
+    assert(m0 == 0 && f0 == 0)
+    assert(Lance.versions(spark, dir) == Seq(1L, 2L, 3L))
+    // horizon at `betweenMs`: v1 (older) is reclaimed, v2 survives the
+    // keepVersions=1 count cut because it is YOUNGER than the horizon
+    val (m1, _) = Lance.vacuum(spark, dir, keepVersions = 1,
+      olderThanMillis = Some(System.currentTimeMillis() - betweenMs))
+    assert(m1 == 1, s"expected exactly v1 reclaimed, got $m1")
+    assert(Lance.versions(spark, dir) == Seq(2L, 3L))
+    // a TAGGED version outside the horizon still survives (pin order:
+    // tags beat time beats count)
+    Lance.tag(spark, dir, "keep", Some(2L))
+    Thread.sleep(25)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(25)
+    Seq((4L, "d")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    val (m2, _) = Lance.vacuum(spark, dir, keepVersions = 1,
+      olderThanMillis = Some(System.currentTimeMillis() - cut))
+    assert(Lance.versions(spark, dir).contains(2L), "tag must pin v2")
+    assert(!Lance.versions(spark, dir).contains(3L), "untagged old v3 reclaimed")
+    assert(m2 == 1)
+    // rows of the pinned tag stay readable
+    assert(spark.read.format("lance").option("tagAsOf", "keep").load(dir).count() == 2)
+  }
+
   test("vacuum drops old versions and unreferenced fragments") {
     val dir = s"${tmpDir()}/vac"
     Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("append").save(dir)
