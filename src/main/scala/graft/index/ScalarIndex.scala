@@ -75,7 +75,8 @@ object ScalarIndex {
     formatVersion: Option[Int] = None,
     maxFilesPerValue: Option[Int] = None,
     buildId: Option[String] = None,
-    postingsDir: Option[String] = None)
+    postingsDir: Option[String] = None,
+    rangesDir: Option[String] = None)
 
   /** One postings line: rendered value + fragment files, `f = None`
     * marking a value too hot to prune (present in > maxFilesPerValue
@@ -139,6 +140,51 @@ object ScalarIndex {
     (((h % numBuckets) + numBuckets) % numBuckets).toInt
   }
 
+  // ----------------------------------------------------- range order keys
+
+  /** Types the RANGE projection covers: those with an order-preserving
+    * string key the driver can reproduce from a pushed literal. Decimals
+    * (unbounded sign-magnitude padding) stay point-only. */
+  def rangeSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         BooleanType | DateType => true
+    case _ => false
+  }
+
+  /** 16-hex-digit order-preserving key for a signed long: XOR the sign
+    * bit so unsigned/lexicographic order equals signed order, then pad —
+    * identical bytes from the build expression ([[orderKeyExpr]], Spark's
+    * uppercase `hex`) and the driver ([[orderKey]]). */
+  private def padHex(v: Long): String = {
+    val h = java.lang.Long.toHexString(v ^ Long.MinValue).toUpperCase
+    "0" * (16 - h.length) + h
+  }
+
+  /** Build-side order key as a column expression. */
+  private def orderKeyExpr(dt: DataType, c: Column): Option[Column] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(lpad(hex(c.cast("long").bitwiseXOR(lit(Long.MinValue))), 16, "0"))
+    case DateType =>
+      Some(lpad(hex(unix_date(c).cast("long").bitwiseXOR(lit(Long.MinValue))), 16, "0"))
+    case BooleanType => Some(when(c, lit("1")).otherwise(lit("0")))
+    case StringType => Some(c)
+    case _ => None
+  }
+
+  /** Driver-side order key for a pushed range literal. */
+  private[graft] def orderKey(dt: DataType, value: Any): Option[String] =
+    (dt, value) match {
+      case (_, null) => None
+      case (ByteType | ShortType | IntegerType | LongType, v: Number) =>
+        Some(padHex(v.longValue()))
+      case (BooleanType, v: java.lang.Boolean) => Some(if (v) "1" else "0")
+      case (DateType, v: java.sql.Date) => Some(padHex(v.toLocalDate.toEpochDay))
+      case (DateType, v: java.time.LocalDate) => Some(padHex(v.toEpochDay))
+      case (StringType, v: String) => Some(v)
+      case (StringType, v: UTF8String) => Some(v.toString)
+      case _ => None
+    }
+
   // ---------------------------------------------------------------- build
 
   /** Build the postings from scratch over the dataset's CURRENT version.
@@ -169,26 +215,45 @@ object ScalarIndex {
       maxFilesPerValue(spark)), newDir, overwrite = true)
     require(fs.exists(newDir),
       s"staged scalar postings missing at $newDir - aborting with the live index intact")
-    val prevDir = if (exists(spark, datasetPath, column))
-      Some(livePostings(ip, loadMeta(spark, datasetPath, column))) else None
+    // second projection for RANGE predicates: the same (value → files)
+    // postings keyed by an ORDER-PRESERVING string and laid out as
+    // range-partitioned, sorted parquet — a `>`/`BETWEEN` probe reads
+    // only the overlapping key span (parquet min/max skips the rest),
+    // the shape min/max fragment bounds cannot answer on an unclustered
+    // high-cardinality column (every fragment straddles the range).
+    val rangeDirName = orderKeyExpr(dt, col(column)).map { keyExpr =>
+      val rd = s"ranges-${java.util.UUID.randomUUID().toString}"
+      writeRangePostings(spark, rangePostingsOf(spark, ds, column, keyExpr,
+        maxFilesPerValue(spark)), new Path(s"$ip/$rd"), numBuckets,
+        overwrite = true)
+      rd
+    }
+    val prevMeta = if (exists(spark, datasetPath, column))
+      Some(loadMeta(spark, datasetPath, column)) else None
+    val prevDir = prevMeta.map(livePostings(ip, _))
+    val prevRange = prevMeta.flatMap(_.rangesDir).map(d => s"$ip/$d")
     val stamped = try {
       writeMeta(spark, ip, ScalarMeta(column, numBuckets,
         coveredFiles = m.fragments.map(_.file),
         datasetVersion = Some(m.version),
         formatVersion = Some(CurrentFormatVersion),
         maxFilesPerValue = Some(maxFilesPerValue(spark)),
-        postingsDir = Some(newDirName)))
+        postingsDir = Some(newDirName),
+        rangesDir = rangeDirName))
     } catch {
       case e: Throwable =>
         // the pointer may be half-written: disable the index outright
         fs.delete(metaPath(ip), false)
         fs.delete(newDir, true)
+        rangeDirName.foreach(rd => fs.delete(new Path(s"$ip/$rd"), true))
         throw e
     }
-    // the old directory is unreferenced once the new meta is the pointer;
-    // readers that resolved it a moment ago fail conservatively (missing
-    // root -> prune skipped), never absently
+    // the old directories are unreferenced once the new meta is the
+    // pointer; readers that resolved them a moment ago fail
+    // conservatively (missing root -> prune skipped), never absently
     prevDir.filter(_ != s"$ip/$newDirName")
+      .foreach(d => fs.delete(new Path(d), true))
+    prevRange.filter(d => !rangeDirName.contains(d.stripPrefix(s"$ip/")))
       .foreach(d => fs.delete(new Path(d), true))
     stamped
   }
@@ -210,11 +275,20 @@ object ScalarIndex {
     val root = new Path(datasetPath)
     val dataDir = LanceFormat.dataPath(root)
     val files = fresh.map(f => new Path(dataDir, f.file).toString)
-    val ds = spark.read.schema(m.schema).parquet(files: _*)
+    val ds = spark.read.schema(m.physicalSchema).parquet(files: _*)
     val ip = indexPath(datasetPath, column)
-    writePostings(spark, postingsOf(spark, ds, column, meta.numBuckets,
-      meta.maxFilesPerValue.getOrElse(maxFilesPerValue(spark))),
+    val cap = meta.maxFilesPerValue.getOrElse(maxFilesPerValue(spark))
+    writePostings(spark, postingsOf(spark, ds, column, meta.numBuckets, cap),
       new Path(livePostings(ip, meta)), overwrite = false)
+    // delta-append the range projection too (cost ∝ appended data);
+    // appended parquet files are each internally sorted, so min/max
+    // skipping keeps working on the delta
+    meta.rangesDir.foreach { rd =>
+      orderKeyExpr(m.schema(column).dataType, col(column)).foreach { keyExpr =>
+        writeRangePostings(spark, rangePostingsOf(spark, ds, column, keyExpr, cap),
+          new Path(s"$ip/$rd"), meta.numBuckets, overwrite = false)
+      }
+    }
     writeMeta(spark, ip, meta.copy(
       coveredFiles = meta.coveredFiles ++ fresh.map(_.file),
       datasetVersion = Some(m.version)))
@@ -248,6 +322,36 @@ object ScalarIndex {
       .mode(if (overwrite) "overwrite" else "append")
       .json(pp.toString)
 
+  /** Distinct (order key, fragment file) postings with the same hot-value
+    * split as [[postingsOf]] (`f = null` = present in more fragments than
+    * the cap — unprunable). */
+  private def rangePostingsOf(spark: SparkSession, ds: DataFrame, column: String,
+      keyExpr: Column, cap: Int): DataFrame = {
+    val pairs = ds
+      .filter(col(column).isNotNull)
+      .select(keyExpr.as("k"),
+        element_at(split(input_file_name(), "/"), -1).as("f"))
+      .distinct()
+    val hot = pairs.groupBy(col("k")).agg(count(lit(1)).as("__nf"))
+      .filter(col("__nf") > cap).select(col("k"))
+    val cold = pairs.join(hot, Seq("k"), "left_anti")
+      .groupBy(col("k"))
+      .agg(sort_array(collect_set(col("f"))).as("f"))
+    cold.unionByName(hot.select(col("k"), lit(null).cast("array<string>").as("f")))
+  }
+
+  /** Range-partitioned, key-sorted parquet: a range probe's pushed
+    * `k >= lo AND k <= hi` filter skips non-overlapping files and row
+    * groups via parquet min/max — probe cost ∝ the key span, not the
+    * distinct-value count. */
+  private def writeRangePostings(spark: SparkSession, postings: DataFrame,
+      dir: Path, numBuckets: Int, overwrite: Boolean): Unit =
+    postings
+      .repartitionByRange(math.max(1, numBuckets / 4), col("k"))
+      .sortWithinPartitions(col("k"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(dir.toString)
+
   // ---------------------------------------------------------------- prune
 
   /** Narrow `kept` using every applicable scalar index. Strictly
@@ -265,7 +369,26 @@ object ScalarIndex {
       case sources.In(a, vs) if vs != null && vs.nonEmpty && !vs.contains(null) =>
         (a, vs.toSeq)
     }
-    if (byCol.isEmpty) return kept
+    // range conjuncts prune through the sorted projection. ALL bounds on
+    // one column probe TOGETHER (a BETWEEN is one span read): one-sided
+    // legs of a narrow range each cover most values — only their
+    // intersection is selective
+    val rangeBounds: Seq[(String, Seq[(Any, Boolean)], Seq[(Any, Boolean)])] =
+      filters.collect {
+        case sources.GreaterThan(a, v) if v != null =>
+          (a, Seq(v -> false), Seq.empty[(Any, Boolean)])
+        case sources.GreaterThanOrEqual(a, v) if v != null =>
+          (a, Seq(v -> true), Seq.empty[(Any, Boolean)])
+        case sources.LessThan(a, v) if v != null =>
+          (a, Seq.empty[(Any, Boolean)], Seq(v -> false))
+        case sources.LessThanOrEqual(a, v) if v != null =>
+          (a, Seq.empty[(Any, Boolean)], Seq(v -> true))
+      }
+    val rangeByCol: Seq[(String, Seq[(Any, Boolean)], Seq[(Any, Boolean)])] =
+      rangeBounds.groupBy(_._1).toSeq.map { case (a, items) =>
+        (a, items.flatMap(_._2), items.flatMap(_._3))
+      }
+    if (byCol.isEmpty && rangeByCol.isEmpty) return kept
     var current = kept
     byCol.foreach { case (attr, values) =>
       if (current.nonEmpty) scala.util.control.Exception.nonFatalCatch
@@ -275,7 +398,54 @@ object ScalarIndex {
           current = pruneOne(spark, datasetPath, manifest, attr, values, current)
         }
     }
+    rangeByCol.foreach { case (attr, lo, hi) =>
+      if (current.nonEmpty) scala.util.control.Exception.nonFatalCatch
+        .withApply { e =>
+          log.warn(s"scalar-index range prune skipped for $attr: $e"); ()
+        }.apply {
+          current = pruneRangeOne(spark, datasetPath, manifest, attr, lo, hi, current)
+        }
+    }
     current
+  }
+
+  /** Range prune through the sorted projection: read only the postings
+    * lines whose key falls in the span (parquet min/max skips the rest),
+    * union their file lists. Strictly conservative — missing projection,
+    * unsupported type/literal, or a HOT value inside the span keeps
+    * everything; uncovered fragments always stay. */
+  private def pruneRangeOne(spark: SparkSession, datasetPath: String, m: Manifest,
+      attr: String, lower: Seq[(Any, Boolean)], upper: Seq[(Any, Boolean)],
+      kept: Seq[FragmentMeta]): Seq[FragmentMeta] = {
+    val dt = m.schema.fields.find(_.name == attr).map(_.dataType)
+      .getOrElse(return kept)
+    if (!rangeSupported(dt)) return kept
+    val meta = tryLoadMeta(spark, datasetPath, attr).getOrElse(return kept)
+    val rdirName = meta.rangesDir.getOrElse(return kept)
+    val loKey = lower.map { case (v, i) => (orderKey(dt, v), i) }
+    val hiKey = upper.map { case (v, i) => (orderKey(dt, v), i) }
+    if (loKey.exists(_._1.isEmpty) || hiKey.exists(_._1.isEmpty)) return kept
+    val dir = new Path(s"${indexPath(datasetPath, attr)}/$rdirName")
+    val rfs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!rfs.exists(dir)) throw new IllegalStateException(
+      s"scalar range postings dir $dir vanished (concurrent rebuild?) - " +
+        "skipping prune conservatively")
+    var df = spark.read.parquet(dir.toString)
+    loKey.foreach { case (k, incl) =>
+      df = df.filter(if (incl) col("k") >= k.get else col("k") > k.get) }
+    hiKey.foreach { case (k, incl) =>
+      df = df.filter(if (incl) col("k") <= k.get else col("k") < k.get) }
+    // one small job: distinct files in the span; a null marker = a hot
+    // value inside the span -> cannot prune
+    val hits = df.select(explode_outer(col("f")).as("file")).distinct().collect()
+    if (hits.exists(_.isNullAt(0))) return kept
+    val allowed = hits.map(_.getString(0)).toSet
+    val covered = meta.coveredFiles.toSet
+    val before = kept.size
+    val result = kept.filter(f => !covered(f.file) || allowed(f.file))
+    if (result.size < before)
+      log.info(s"scalar-index range prune $attr: $before -> ${result.size} fragments")
+    result
   }
 
   private def pruneOne(spark: SparkSession, datasetPath: String, m: Manifest,

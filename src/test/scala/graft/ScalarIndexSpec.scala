@@ -66,6 +66,63 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(probed.collect().map(_.getString(1)).toSeq == Seq("name6"))
   }
 
+  test("range probe prunes through the sorted projection; appends stay conservative") {
+    val dir = tmpDir()
+    plant(dir)
+    val all = spark.read.format("lance").load(dir)
+    assert(scannedFiles(all.filter(col("id") >= 4L && col("id") <= 6L)) == 4,
+      "min/max bounds cannot prune an interleaved range")
+    ScalarIndex.build(spark, dir, "id", numBuckets = 8)
+    // BETWEEN prunes to exactly the fragments holding ids 4 (f2) and 6 (f3)
+    val probed = spark.read.format("lance").load(dir)
+      .filter(col("id") >= 4L && col("id") <= 6L)
+    assert(scannedFiles(probed) == 2,
+      "range projection must prune to the two containing fragments")
+    assert(probed.collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 6L))
+    // one-sided range: ids > 792 live in 3 of 4 fragments (794, 796, 798)
+    val oneSided = spark.read.format("lance").load(dir).filter(col("id") > 792L)
+    assert(scannedFiles(oneSided) == 3)
+    assert(oneSided.count() == 3)
+    // empty span prunes to zero fragments, zero rows
+    val none = spark.read.format("lance").load(dir).filter(col("id") > 5000L)
+    assert(scannedFiles(none) == 0 && none.count() == 0)
+    // an appended (uncovered) fragment is always scanned, never pruned
+    Seq((5L, "five")).toDF("id", "s").coalesce(1)
+      .write.format("lance").mode("append").save(dir)
+    val after = spark.read.format("lance").load(dir)
+      .filter(col("id") >= 4L && col("id") <= 6L)
+    assert(after.collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L, 6L))
+    assert(scannedFiles(after) == 3, "2 covered + the uncovered append")
+    // refresh delta-indexes the append; the range projection tightens
+    ScalarIndex.refresh(spark, dir, "id")
+    val refreshed = spark.read.format("lance").load(dir)
+      .filter(col("id") >= 5L && col("id") <= 5L)
+    assert(refreshed.collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(scannedFiles(refreshed) == 1, "refreshed append prunes to itself")
+  }
+
+  test("order keys preserve value order for every range-supported type") {
+    import org.apache.spark.sql.types._
+    val longs = Seq(Long.MinValue, -7L, -1L, 0L, 1L, 42L, Long.MaxValue)
+    val keys = longs.map(v => ScalarIndex.orderKey(LongType, v).get)
+    assert(keys == keys.sorted, s"long keys must sort like values: $keys")
+    val dates = Seq("1969-12-25", "1970-01-01", "2026-08-14")
+      .map(java.sql.Date.valueOf)
+    val dkeys = dates.map(v => ScalarIndex.orderKey(DateType, v).get)
+    assert(dkeys == dkeys.sorted)
+    assert(ScalarIndex.orderKey(BooleanType, java.lang.Boolean.FALSE).get <
+      ScalarIndex.orderKey(BooleanType, java.lang.Boolean.TRUE).get)
+    assert(ScalarIndex.orderKey(StringType, "abc").get == "abc")
+    // the build expression renders the SAME bytes (uppercase hex path)
+    val df = Seq(-7L, 0L, 42L).toDF("v")
+      .select(org.apache.spark.sql.functions.lpad(
+        org.apache.spark.sql.functions.hex(
+          col("v").bitwiseXOR(org.apache.spark.sql.functions.lit(Long.MinValue))),
+        16, "0").as("k"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq(-7L, 0L, 42L).map(v => ScalarIndex.orderKey(LongType, v).get))
+  }
+
   test("absent value prunes to zero fragments; IN unions postings") {
     val dir = tmpDir()
     plant(dir)
