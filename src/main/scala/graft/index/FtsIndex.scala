@@ -492,16 +492,31 @@ object FtsIndex {
       require(meta.positions.contains(true),
         s"phrase search needs a positional index - rebuild with storePositions=true")
     val tokenizer = meta.tokenizer.getOrElse("space")
-    // '-term' NOT clauses are peeled off the RAW query before tokenizing
-    // ('-' is tokenizer-dependent: unicode would swallow it)
+    // '-term' NOT clauses and 'term*' PREFIX clauses (Lucene PrefixQuery)
+    // are peeled off the RAW query before tokenizing ('-'/'*' are
+    // tokenizer-dependent: unicode would swallow them)
     val rawParts = queryText.split("\\s+").toSeq.filter(_.nonEmpty)
-    val (exclParts, posParts) =
+    val (exclParts, posParts0) =
       rawParts.partition(p => p.length > 1 && p.startsWith("-"))
-    val excludeTerms = exclParts
-      .flatMap(p => scalaTokens(p.drop(1), tokenizer)).distinct
+    def prefixOf(p: String): String = {
+      val ts = scalaTokens(p.dropRight(1), tokenizer)
+      require(ts.size == 1,
+        s"prefix query '$p' must tokenize to exactly one term, got $ts")
+      ts.head
+    }
+    val (prefParts, posParts) =
+      posParts0.partition(p => p.length > 1 && p.endsWith("*"))
+    val prefixes = prefParts.map(prefixOf).distinct
+    val (exclPrefParts, exclPlainParts) = exclParts.map(_.drop(1))
+      .partition(p => p.length > 1 && p.endsWith("*"))
+    val excludeTerms = exclPlainParts
+      .flatMap(p => scalaTokens(p, tokenizer)).distinct
+    val excludePrefixes = exclPrefParts.map(prefixOf).distinct
     val phraseSeq = scalaTokens(posParts.mkString(" "), tokenizer) // ordered, dups kept
     val terms = phraseSeq.distinct
-    require(terms.nonEmpty, "empty query (no positive terms)")
+    require(terms.nonEmpty || prefixes.nonEmpty, "empty query (no positive terms)")
+    require(prefixes.isEmpty || mode == "any" || mode == "all",
+      "prefix terms are supported in any/all mode, not phrase")
     val avgdl = meta.sumDl.toDouble / meta.numDocs
 
     // Only the probed posting lists leave storage: v2 prunes to the
@@ -509,11 +524,39 @@ object FtsIndex {
     // is pushed to the parquet scan inside them; v1 (flat files) relies
     // on row-group min/max alone.
     val raw = spark.read.parquet(postingsPath(indexPath(datasetPath, column)))
-    val postAll = (if (meta.formatVersion.getOrElse(1) >= 2) {
-      val buckets = terms.map(termBucket(_, meta.numTermPartitions))
-        .distinct.map(Integer.valueOf)
-      raw.filter(col("bucket").isin(buckets: _*))
-    } else raw).filter(col("term").isin(terms: _*))
+    // each posting row is tagged with its QUERY CLAUSE (`__qt`): the term
+    // itself for exact clauses, the prefix for expanded ones — so the
+    // matched-clause count under `all` treats a prefix as ONE clause no
+    // matter how many index terms it expands to
+    val exactPost = if (terms.isEmpty) None else Some(
+      (if (meta.formatVersion.getOrElse(1) >= 2) {
+        val buckets = terms.map(termBucket(_, meta.numTermPartitions))
+          .distinct.map(Integer.valueOf)
+        raw.filter(col("bucket").isin(buckets: _*))
+      } else raw).filter(col("term").isin(terms: _*))
+        .withColumn("__qt", col("term")))
+    // prefix expansion: buckets hash by term, so a prefix cannot prune
+    // directories — but postings are SORTED by term within every bucket
+    // file, so the pushed StringStartsWith skips non-overlapping row
+    // groups via parquet min/max: a term-range scan, not a postings scan
+    val prefPost = if (prefixes.isEmpty) None else {
+      val cond = prefixes.map(col("term").startsWith(_)).reduce(_ || _)
+      val qt = prefixes.tail.foldLeft(
+        when(col("term").startsWith(prefixes.head), lit(prefixes.head + "*"))) {
+        (acc, p) => acc.when(col("term").startsWith(p), lit(p + "*"))
+      }
+      val pp = raw.filter(cond)
+      // Lucene's TooManyClauses bound, df-cap flavored: a one-letter
+      // prefix over a 100 TB vocabulary must fail loud, not OOM the agg
+      val cap = spark.conf.getOption("spark.graft.fts.maxPrefixTerms")
+        .map(_.toInt).getOrElse(1024)
+      val expanded = pp.select(col("term")).distinct().limit(cap + 1).count()
+      require(expanded <= cap,
+        s"prefix query ${prefixes.mkString(", ")} expands to more than $cap " +
+          "index terms - narrow the prefix or raise spark.graft.fts.maxPrefixTerms")
+      Some(pp.withColumn("__qt", qt))
+    }
+    val postAll = (exactPost.toSeq ++ prefPost.toSeq).reduce(_ unionByName _)
 
     // per-term document frequency — at most #terms rows, broadcast back.
     // Computed BEFORE any pre-filter: corpus stats are index-wide.
@@ -529,13 +572,16 @@ object FtsIndex {
     // before scoring — same bucket-pruned posting read as the positive
     // side, so exclusion cost is the excluded terms' posting lists, not
     // a corpus scan
-    val post0 = if (excludeTerms.isEmpty) postF else {
-      val exDocs = (if (meta.formatVersion.getOrElse(1) >= 2) {
-        val exBuckets = excludeTerms.map(termBucket(_, meta.numTermPartitions))
-          .distinct.map(Integer.valueOf)
-        raw.filter(col("bucket").isin(exBuckets: _*))
-      } else raw)
-        .filter(col("term").isin(excludeTerms: _*))
+    val post0 = if (excludeTerms.isEmpty && excludePrefixes.isEmpty) postF else {
+      val exExact = if (excludeTerms.isEmpty) None else Some(
+        (if (meta.formatVersion.getOrElse(1) >= 2) {
+          val exBuckets = excludeTerms.map(termBucket(_, meta.numTermPartitions))
+            .distinct.map(Integer.valueOf)
+          raw.filter(col("bucket").isin(exBuckets: _*))
+        } else raw).filter(col("term").isin(excludeTerms: _*)))
+      val exPref = if (excludePrefixes.isEmpty) None else Some(
+        raw.filter(excludePrefixes.map(col("term").startsWith(_)).reduce(_ || _)))
+      val exDocs = (exExact.toSeq ++ exPref.toSeq).reduce(_ unionByName _)
         .select(col("doc")).distinct()
       postF.join(exDocs, Seq("doc"), "left_anti")
     }
@@ -589,11 +635,14 @@ object FtsIndex {
       .join(broadcast(dfs), "term")
       .withColumn("c", contrib.cast("decimal(18,6)"))
       .groupBy(col("doc"))
-      // postings are unique per (term, doc), so the row count per doc IS
-      // the matched-term count — boolean-AND needs no extra distinct
+      // postings are unique per (term, doc), so without prefixes the row
+      // count per doc IS the matched-clause count; with prefixes the
+      // distinct __qt count collapses each prefix's expansions to one
       .agg(sum(col("c")).cast("double").as("score"),
-        count(lit(1)).as("__nt"))
-    (if (mode == "all") scored.filter(col("__nt") === terms.size)
+        (if (prefixes.isEmpty) count(lit(1))
+         else countDistinct(col("__qt"))).as("__nt"))
+    (if (mode == "all")
+      scored.filter(col("__nt") === (terms.size + prefixes.size))
      else scored)
       .drop("__nt")
       .orderBy(col("score").desc, col("doc"))

@@ -455,6 +455,37 @@ object TextAnalysis {
   private val bm25Terms = Seq("spark", "vector", "join", "merge", "the")
   private val bm25K = 15
 
+  /** FTS prefix matching (t50): `graft*` expands against the sorted
+    * postings (a term-range scan — buckets hash by term, so row-group
+    * min/max on the sorted term column does the skipping, not directory
+    * pruning) and each expanded term scores with its own df, Lucene's
+    * BooleanQuery rewrite. The planted family: two true expansions
+    * (`graftalpha`, `graftbeta`), one doc holding both, and a DECOY
+    * sharing the prefix only below the boundary (`grafzz` matches
+    * `graf*`, not `graft*`) — the gate proves the boundary is exact.
+    */
+  def t50FtsPrefix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.FtsIndex
+    val dest = graft.Tables.scratch(dir, "docs_fts_prefix")
+    val mp = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${FtsIndex.indexPath(dest, "txt")}/fts.json").getAbsolutePath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) {
+      t(spark, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" graftalpha"))
+            .when(col("doc_id") % 5 === 1, lit(" graftbeta"))
+            .when(col("doc_id") % 5 === 2, lit(" graftbeta graftalpha"))
+            .when(col("doc_id") % 5 === 3, lit(" grafzz"))
+            .otherwise(lit(""))))
+        .select(col("doc_id"), col("txt"))
+        .write.format("lance").mode("overwrite").save(dest)
+      FtsIndex.build(spark, spark.read.format("lance").load(dest),
+        "txt", "doc_id", dest)
+    }
+    FtsIndex.search(spark, dest, "txt", "graft*", bm25K)
+  }
+
   /** Full-text search (t40): build the persisted inverted index over
     * `documents.text` once (sidecar parquet under the scratch path, like
     * the vector-index gates), then BM25 top-k through it. Correctness
@@ -764,6 +795,7 @@ object TextAnalysis {
     "t45_fts_conjunction" -> t45FtsConjunction,
     "t46_fts_phrase" -> t46FtsPhrase,
     "t49_fts_not_slop" -> t49FtsNotSlop,
+    "t50_fts_prefix" -> t50FtsPrefix,
     "t41_pii_redact" -> t41PiiRedact,
     "t47_chunking" -> t47Chunking,
     "t48_ngram_topk" -> t48NgramTopk,
@@ -1006,6 +1038,33 @@ object TextAnalysis {
       // the SAME decorated text (space-tokenizer positions are split
       // indexes: the three in-order placements of one filler), minus the
       // '-zzexcl' exclusion; then the same BM25 sum over the phrase terms
+      "t50_fts_prefix" -> {
+        val toks = "string_split(txt, ' ')"
+        s"""WITH d AS (SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' graftalpha'
+           |         WHEN doc_id % 5 = 1 THEN ' graftbeta'
+           |         WHEN doc_id % 5 = 2 THEN ' graftbeta graftalpha'
+           |         WHEN doc_id % 5 = 3 THEN ' grafzz'
+           |         ELSE '' END AS txt
+           |  FROM documents),
+           |tok AS (SELECT doc_id, len($toks) AS dl,
+           |    unnest($toks) AS term FROM d),
+           |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+           |  WHERE term LIKE 'graft%' GROUP BY 1, 2, 3),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len($toks)) AS BIGINT) AS sumdl FROM d)
+           |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM (
+           |  SELECT post.doc_id, CAST(
+           |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)
+           |          / (CAST(df AS DOUBLE) + 0.5)))
+           |        * (tf * CAST(2.2 AS DOUBLE)))
+           |      / (tf + 1.2 * (0.25 + (0.75 * dl)
+           |          / (CAST((SELECT sumdl FROM st) AS DOUBLE) / (SELECT n FROM st))))
+           |    AS DECIMAL(18,6)) AS c
+           |  FROM post JOIN dfs USING (term))
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
       "t49_fts_not_slop" -> {
         val inList = t49Phrase.map(w => s"'$w'").mkString(", ")
         val toks = "string_split(txt, ' ')"

@@ -48,6 +48,41 @@ class FtsIndexSpec extends AnyFunSuite {
     assert(beta2.toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((2L, 4L)))
   }
 
+  test("prefix query expands via the sorted postings; boundary is exact") {
+    assert(meta.numDocs == 4)
+    // "bet*" expands to {beta}; "ga*" to {gamma}; no term starts "gam m"
+    val hits = FtsIndex.search(spark, datasetPath, "text", "bet*", 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(2L, 4L), s"bet* must match docs holding 'beta': $hits")
+    // the boundary is exact: "betax*" matches nothing
+    assert(FtsIndex.search(spark, datasetPath, "text", "betax*", 4)
+      .collect().isEmpty)
+    // prefix counts as ONE clause under `all`: alpha AND ga* = docs
+    // holding alpha and any gamma-prefixed term
+    val allMode = FtsIndex.search(spark, datasetPath, "text", "alpha ga*", 4,
+      matchMode = "all").collect().map(_.getLong(0)).toSet
+    assert(allMode == Set(4L), s"all-mode prefix conjunction: $allMode")
+    // a doc matching TWO expansions of one prefix is still one clause
+    val one = FtsIndex.search(spark, datasetPath, "text", "common b*", 4,
+      matchMode = "all").collect().map(_.getLong(0)).toSet
+    assert(one == Set(2L, 4L), s"b* expands to beta (docs 2,4): $one")
+    // NOT-prefix excludes: common docs minus any beta-prefixed holder
+    val excl = FtsIndex.search(spark, datasetPath, "text", "common -bet*", 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(excl == Set(1L, 3L), s"-bet* must exclude docs 2 and 4: $excl")
+    // expansion cap fails loud (Lucene TooManyClauses posture)
+    spark.conf.set("spark.graft.fts.maxPrefixTerms", "0")
+    try {
+      val e = intercept[IllegalArgumentException](
+        FtsIndex.search(spark, datasetPath, "text", "g*", 4).collect())
+      assert(e.getMessage.contains("maxPrefixTerms"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.fts.maxPrefixTerms")
+    // phrase mode refuses prefixes
+    intercept[IllegalArgumentException](
+      FtsIndex.search(spark, datasetPath, "text", "bet* common", 4,
+        matchMode = "phrase"))
+  }
+
   test("bm25 ranks rare-term hit first and length-penalizes long docs") {
     assert(meta.numDocs == 4)
     val top = FtsIndex.search(spark, datasetPath, "text", "rare common", 4)
