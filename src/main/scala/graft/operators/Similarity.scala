@@ -353,6 +353,42 @@ object Similarity {
         (col("n_overlap") >= 7).as("recall_ok"))
   }
 
+  /** ANN recall floor at the production knobs (v45): MEAN recall@10 over
+    * ten fixed queries — unlike the single-query v26p/v43r rows, a
+    * per-query fluke cannot mask a real regression — for both the IVF
+    * partial probe (nprobes=4 of 8) and the HNSW walk (nprobes=4,
+    * ef=64), against the brute-force exact top-10. Measured curves live
+    * in README ("ANN recall curves", recorded by dev/DevRecallCurve
+    * .scala): mean recall 0.81/0.81 at sf0.01, 0.76/0.76 at sf0.1,
+    * 1.00/1.00 at sf1.0 (the 10× corpus's replicated vectors share
+    * buckets, trivially easy for IVF; the HNSW ef curve there is the
+    * meaningful one: 0.75@ef=8 → 1.00@ef=64). Floor asserted at ≥ 0.65
+    * so a probe-ranking or graph regression reddens the row while
+    * run-to-run determinism (seeded KMeans, fixed insertion order)
+    * keeps it stable.
+    */
+  def v45RecallFloor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.{HnswIndex, IvfIndex}
+    val dest = ensureIvf(spark, dir)
+    ensureHnswGraph(spark, dest)
+    val qids = (0L until 10L).toSeq
+    def recallOf(search: Array[Float] => DataFrame): Int =
+      qids.map { qid =>
+        val q = queryVec(spark, dir, qid)
+        search(q).select(col("vec_id"))
+          .join(exactTop10Ids(spark, dir, q), "vec_id")
+          .count().toInt
+      }.sum // matched of 100
+    val ivf = recallOf(q =>
+      IvfIndex.search(spark, dest, "embedding", q, 10, nprobes = 4))
+    val hnsw = recallOf(q =>
+      HnswIndex.search(spark, dest, "embedding", q, 10, nprobes = 4, ef = 64))
+    spark.range(1).select(
+      lit(10).as("n_queries"),
+      lit(ivf >= 65).as("ivf_floor_met"),
+      lit(hnsw >= 65).as("hnsw_floor_met"))
+  }
+
   /** Ensure an IVF_PQ sidecar (L2, 8 buckets, 16 sub-vectors × 8 bits —
     * the reference's PQ defaults, `config/LanceOptions.java:150-163`)
     * exists over `dir`'s embeddings. Separate scratch key from the FLAT
@@ -822,6 +858,7 @@ object Similarity {
     "v43_maxsim_indexed" -> v43MaxSimIndexed,
     "v43r_maxsim_partial" -> v43rMaxSimPartial,
     "v44_maxsim_sql" -> v44MaxSimSql,
+    "v45_recall_floor" -> v45RecallFloor,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -982,6 +1019,10 @@ object Similarity {
     // argument)
     "v43r_maxsim_partial" ->
       "SELECT 10 AS k, 4 AS nprobes, true AS recall_ok",
+    // v45: floors recorded from dev/DevRecallCurve.scala; the gate
+    // asserts them, the oracle pins the asserted shape
+    "v45_recall_floor" ->
+      "SELECT 10 AS n_queries, TRUE AS ivf_floor_met, TRUE AS hnsw_floor_met",
     // v44 drives the SAME two-phase path through SQL — identical oracle
     "v44_maxsim_sql" -> maxSimOracleSql,
     "v23_dot_similarity" ->
