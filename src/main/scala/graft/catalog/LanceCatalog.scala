@@ -210,6 +210,11 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
           s"column '${add.fieldNames.head}' was previously DROPPED and old " +
             "fragments still hold its data — re-adding the name would " +
             "resurrect those values (rewrite the table first, e.g. compact)")
+        // rename-flavored resurrection: the PHYSICAL name of a renamed
+        // column is still live on disk — a new column may not reuse it
+        require(!current.mapping.values.exists(_ == add.fieldNames.head),
+          s"column name '${add.fieldNames.head}' is the PHYSICAL name of a " +
+            "renamed column - old fragments hold its bytes; pick another name")
         additions += org.apache.spark.sql.types.StructField(
           add.fieldNames.head, add.dataType, nullable = true)
       case del: TableChange.DeleteColumn =>

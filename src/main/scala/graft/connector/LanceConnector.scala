@@ -677,8 +677,12 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       LanceFormat.branchPath(root, _))
     val mapping = LanceFormat.readLatestIn(fs, lineage)
       .map(_.mapping).getOrElse(Map.empty)
-    new LanceWriterFactory(rootStr, LanceFormat.toPhysical(schema, mapping).json,
-      conf, maxRowsPerFile, collectStats)
+    val phys = LanceFormat.toPhysical(schema, mapping)
+    require(phys.fieldNames.distinct.length == phys.fieldNames.length,
+      "column name collision: the write introduces a column whose name is a " +
+        "renamed column's PHYSICAL name (old fragments hold its bytes) - " +
+        "pick another name")
+    new LanceWriterFactory(rootStr, phys.json, conf, maxRowsPerFile, collectStats)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -826,8 +830,12 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
     val fs = LanceFormat.fileSystem(root, conf.value)
     val mapping = LanceFormat.readLatest(fs, root)
       .map(_.mapping).getOrElse(Map.empty)
-    new LanceWriterFactory(rootStr, LanceFormat.toPhysical(schema, mapping).json,
-      conf, maxRowsPerFile, collectStats)
+    val phys = LanceFormat.toPhysical(schema, mapping)
+    require(phys.fieldNames.distinct.length == phys.fieldNames.length,
+      "column name collision: the write introduces a column whose name is a " +
+        "renamed column's PHYSICAL name (old fragments hold its bytes) - " +
+        "pick another name")
+    new LanceWriterFactory(rootStr, phys.json, conf, maxRowsPerFile, collectStats)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

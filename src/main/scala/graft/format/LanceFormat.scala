@@ -215,9 +215,11 @@ object LanceFormat {
       val nextId = base.map(_.id).maxOption.getOrElse(-1) + 1
       val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
       val rules = prev.flatMap(_.constraints)
+      val named = mergeLogicalNames(schema,
+        prev.flatMap(_.columnMapping).getOrElse(Map.empty))
       val m = Manifest(
         version = prev.map(_.version).getOrElse(0L) + 1,
-        schemaJson = mergeDeclaredNullability(schema, rules).json,
+        schemaJson = mergeDeclaredNullability(named, rules).json,
         fragments = base ++ renumbered,
         epochId = epochId,
         committedAtMs = System.currentTimeMillis(),
@@ -259,7 +261,9 @@ object LanceFormat {
       }
       val m = Manifest(
         version = prev.version + 1,
-        schemaJson = mergeDeclaredNullability(schema, prev.constraints).json,
+        schemaJson = mergeDeclaredNullability(
+          mergeLogicalNames(schema, mappingTransform(prev.mapping)),
+          prev.constraints).json,
         fragments = prev.fragments,
         epochId = prev.epochId,
         committedAtMs = System.currentTimeMillis(),
@@ -312,7 +316,8 @@ object LanceFormat {
       val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
       val m = Manifest(
         version = prev.version + 1,
-        schemaJson = mergeDeclaredNullability(schema, prev.constraints).json,
+        schemaJson = mergeDeclaredNullability(
+          mergeLogicalNames(schema, prev.mapping), prev.constraints).json,
         fragments = kept ++ renumbered,
         epochId = epochId.orElse(prev.epochId),
         committedAtMs = System.currentTimeMillis(),
@@ -349,13 +354,15 @@ object LanceFormat {
     while (attempt < 20) {
       val prev = readLatest(fs, root)
       val rules = prev.flatMap(_.constraints)
+      val named = mergeLogicalNames(schema,
+        prev.flatMap(_.columnMapping).getOrElse(Map.empty))
       val m = Manifest(
         version = prev.map(_.version).getOrElse(0L) + 1,
         // a declared NOT NULL survives the overwrite like its rule does
         // (the rule was enforced against the new batch pre-commit, so the
         // non-nullable flag stays TRUE of the data) — only inference-only
         // nullability resets to the write schema's
-        schemaJson = mergeDeclaredNullability(schema, rules).json,
+        schemaJson = mergeDeclaredNullability(named, rules).json,
         fragments = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = i) },
         epochId = epochId,
         committedAtMs = System.currentTimeMillis(),
@@ -668,6 +675,33 @@ object LanceFormat {
   def declaredNonNullable(constraints: Map[String, String]): Set[String] =
     constraints.keysIterator.filter(_.startsWith(NotNullPrefix))
       .map(_.stripPrefix(NotNullPrefix)).toSet
+
+  /** Re-assert CURRENT logical names over a caller-provided schema under
+    * optimistic concurrency. A writer that derived its schema BEFORE a
+    * concurrent RENAME landed carries the old logical names — which are
+    * exactly the renamed columns' stable PHYSICAL names — and committing
+    * them as-is would silently revert the rename (the schema/mapping
+    * mis-pair cousin of the nullability race below). Mapping such names
+    * back (physical → current logical) inside the retry loop makes the
+    * rename win. The distinct-names guard catches the one shape the
+    * merge cannot reconcile: a write/ALTER introducing a NEW column
+    * whose name is another column's physical name (it would collide
+    * on disk with the renamed column's bytes) — refused loudly, the
+    * resurrection guard's rename-flavored cousin. */
+  private def mergeLogicalNames(schema: StructType,
+      mapping: Map[String, String]): StructType = {
+    if (mapping.isEmpty) return schema
+    val physToLogical = mapping.map(_.swap)
+    val merged = StructType(schema.fields.map(f =>
+      physToLogical.get(f.name).fold(f)(l => f.copy(name = l))))
+    val dup = merged.fieldNames.groupBy(identity).collect {
+      case (n, ns) if ns.length > 1 => n }
+    require(dup.isEmpty,
+      s"column name collision: ${dup.mkString(", ")} is the PHYSICAL name " +
+        "of a renamed column - a new column may not reuse it (old fragments " +
+        "physically hold that name's bytes); pick another name")
+    merged
+  }
 
   /** Re-assert DECLARED nullability over a caller-provided schema, from
     * the constraint set the manifest will actually carry. Runs INSIDE the

@@ -171,6 +171,24 @@ object ScalarIndex {
     case _ => None
   }
 
+  /** Order key computed from the RENDERED value string of the point
+    * postings — the rendering is lossless for every range-supported type
+    * (`CAST AS STRING` round-trips), so the range projection derives from
+    * the already-aggregated postings lines instead of a second corpus
+    * scan: build/refresh cost for ranges ∝ distinct values, not data. */
+  private def orderKeyFromRendered(dt: DataType, v: Column): Option[Column] =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(lpad(hex(v.cast("long").bitwiseXOR(lit(Long.MinValue))), 16, "0"))
+      case DateType =>
+        Some(lpad(hex(unix_date(v.cast("date")).cast("long")
+          .bitwiseXOR(lit(Long.MinValue))), 16, "0"))
+      case BooleanType =>
+        Some(when(v === "true", lit("1")).otherwise(lit("0")))
+      case StringType => Some(v)
+      case _ => None
+    }
+
   /** Driver-side order key for a pushed range literal. */
   private[graft] def orderKey(dt: DataType, value: Any): Option[String] =
     (dt, value) match {
@@ -211,8 +229,9 @@ object ScalarIndex {
     val newDirName = s"postings-${java.util.UUID.randomUUID().toString}"
     val newDir = new Path(s"$ip/$newDirName")
     val ds = spark.read.format("lance").load(datasetPath)
-    writePostings(spark, postingsOf(spark, ds, column, numBuckets,
-      maxFilesPerValue(spark)), newDir, overwrite = true)
+    val posts = postingsOf(spark, ds, column, numBuckets, maxFilesPerValue(spark))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writePostings(spark, posts, newDir, overwrite = true)
     require(fs.exists(newDir),
       s"staged scalar postings missing at $newDir - aborting with the live index intact")
     // second projection for RANGE predicates: the same (value → files)
@@ -221,13 +240,15 @@ object ScalarIndex {
     // only the overlapping key span (parquet min/max skips the rest),
     // the shape min/max fragment bounds cannot answer on an unclustered
     // high-cardinality column (every fragment straddles the range).
-    val rangeDirName = orderKeyExpr(dt, col(column)).map { keyExpr =>
+    // Derived from the cached point postings — zero extra corpus I/O.
+    val rangeDirName = orderKeyFromRendered(dt, col("v")).map { keyExpr =>
       val rd = s"ranges-${java.util.UUID.randomUUID().toString}"
-      writeRangePostings(spark, rangePostingsOf(spark, ds, column, keyExpr,
-        maxFilesPerValue(spark)), new Path(s"$ip/$rd"), numBuckets,
-        overwrite = true)
+      writeRangePostings(spark,
+        posts.select(keyExpr.as("k"), col("f")),
+        new Path(s"$ip/$rd"), numBuckets, overwrite = true)
       rd
     }
+    posts.unpersist()
     val prevMeta = if (exists(spark, datasetPath, column))
       Some(loadMeta(spark, datasetPath, column)) else None
     val prevDir = prevMeta.map(livePostings(ip, _))
@@ -278,17 +299,20 @@ object ScalarIndex {
     val ds = spark.read.schema(m.physicalSchema).parquet(files: _*)
     val ip = indexPath(datasetPath, column)
     val cap = meta.maxFilesPerValue.getOrElse(maxFilesPerValue(spark))
-    writePostings(spark, postingsOf(spark, ds, column, meta.numBuckets, cap),
+    val posts = postingsOf(spark, ds, column, meta.numBuckets, cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writePostings(spark, posts,
       new Path(livePostings(ip, meta)), overwrite = false)
-    // delta-append the range projection too (cost ∝ appended data);
-    // appended parquet files are each internally sorted, so min/max
-    // skipping keeps working on the delta
+    // delta-append the range projection too, derived from the cached
+    // delta postings (cost ∝ appended distinct values); appended parquet
+    // files are each internally sorted, so min/max skipping keeps working
     meta.rangesDir.foreach { rd =>
-      orderKeyExpr(m.schema(column).dataType, col(column)).foreach { keyExpr =>
-        writeRangePostings(spark, rangePostingsOf(spark, ds, column, keyExpr, cap),
+      orderKeyFromRendered(m.schema(column).dataType, col("v")).foreach { keyExpr =>
+        writeRangePostings(spark, posts.select(keyExpr.as("k"), col("f")),
           new Path(s"$ip/$rd"), meta.numBuckets, overwrite = false)
       }
     }
+    posts.unpersist()
     writeMeta(spark, ip, meta.copy(
       coveredFiles = meta.coveredFiles ++ fresh.map(_.file),
       datasetVersion = Some(m.version)))
@@ -321,24 +345,6 @@ object ScalarIndex {
       .write.partitionBy("bucket")
       .mode(if (overwrite) "overwrite" else "append")
       .json(pp.toString)
-
-  /** Distinct (order key, fragment file) postings with the same hot-value
-    * split as [[postingsOf]] (`f = null` = present in more fragments than
-    * the cap — unprunable). */
-  private def rangePostingsOf(spark: SparkSession, ds: DataFrame, column: String,
-      keyExpr: Column, cap: Int): DataFrame = {
-    val pairs = ds
-      .filter(col(column).isNotNull)
-      .select(keyExpr.as("k"),
-        element_at(split(input_file_name(), "/"), -1).as("f"))
-      .distinct()
-    val hot = pairs.groupBy(col("k")).agg(count(lit(1)).as("__nf"))
-      .filter(col("__nf") > cap).select(col("k"))
-    val cold = pairs.join(hot, Seq("k"), "left_anti")
-      .groupBy(col("k"))
-      .agg(sort_array(collect_set(col("f"))).as("f"))
-    cold.unionByName(hot.select(col("k"), lit(null).cast("array<string>").as("f")))
-  }
 
   /** Range-partitioned, key-sorted parquet: a range probe's pushed
     * `k >= lo AND k <= hi` filter skips non-overlapping files and row

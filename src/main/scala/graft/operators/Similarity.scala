@@ -371,13 +371,27 @@ object Similarity {
     import graft.index.{HnswIndex, IvfIndex}
     val dest = ensureIvf(spark, dir)
     ensureHnswGraph(spark, dest)
-    val qids = (0L until 10L).toSeq
+    val queries: Seq[(Long, Array[Float])] = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10L).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    // ground truth for ALL ten queries in ONE windowed job (broadcast the
+    // ten query vectors, rank per query) — not ten separate top-k scans
+    val qdf = { import spark.implicits._; queries.toDF("qid", "qv") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+    val truth: Map[Long, Set[Long]] = t(spark, dir, "embeddings")
+      .crossJoin(broadcast(qdf))
+      .select(col("qid"), col("vec_id"),
+        l2_distance(col("embedding"), col("qv").cast("array<double>")).as("d"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= 10).select(col("qid"), col("vec_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
     def recallOf(search: Array[Float] => DataFrame): Int =
-      qids.map { qid =>
-        val q = queryVec(spark, dir, qid)
-        search(q).select(col("vec_id"))
-          .join(exactTop10Ids(spark, dir, q), "vec_id")
-          .count().toInt
+      queries.map { case (qid, q) =>
+        search(q).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          .intersect(truth(qid)).size
       }.sum // matched of 100
     val ivf = recallOf(q =>
       IvfIndex.search(spark, dest, "embedding", q, 10, nprobes = 4))

@@ -111,6 +111,48 @@ class RenameColumnSpec extends AnyFunSuite {
     intercept[Exception](Lance.renameColumn(spark, dir, "src", "doc_id"))
   }
 
+  test("a stale append cannot silently revert a rename; physical reuse refuses") {
+    val dir = tmpDir()
+    Seq((1L, 10.0)).toDF("id", "v").write.format("lance").mode("overwrite").save(dir)
+    val root = new Path(dir)
+    val f = fs(dir)
+    val staleSchema = LanceFormat.readLatest(f, root).get.schema // (id, v)
+    Lance.renameColumn(spark, dir, "v", "price")
+    // the lost-update shape: a writer that derived its schema before the
+    // rename commits — its "v" IS price's stable physical name, so the
+    // retry loop maps it back to the current logical name
+    val m = LanceFormat.commitAppend(f, root, staleSchema, Seq.empty)
+    assert(m.schema.fieldNames.toSeq == Seq("id", "price"),
+      s"rename must survive a stale append: ${m.schema.fieldNames.toSeq}")
+    assert(m.mapping == Map("price" -> "v"))
+    // time travel still shows the OLD name at the pre-rename version
+    assert(spark.read.format("lance").option("versionAsOf", "1").load(dir)
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    // rename-flavored resurrection: a NEW column may not reuse the
+    // physical name — old fragments hold its bytes
+    val e = intercept[Exception] {
+      Seq((2L, 20.0, "x")).toDF("id", "price", "v").write.format("lance")
+        .option("write.merge-schema", "true").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("PHYSICAL") ||
+      Option(e.getCause).exists(_.getMessage.contains("PHYSICAL")), e.getMessage)
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.lance_ren2", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_ren2.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE lance_ren2.db")
+      spark.sql("CREATE TABLE lance_ren2.db.t (id BIGINT, v DOUBLE) USING lance")
+      spark.sql("INSERT INTO lance_ren2.db.t VALUES (1, 5.0)")
+      spark.sql("ALTER TABLE lance_ren2.db.t RENAME COLUMN v TO price")
+      val a = intercept[Exception](
+        spark.sql("ALTER TABLE lance_ren2.db.t ADD COLUMNS (v STRING)"))
+      assert(a.getMessage.contains("PHYSICAL"), a.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lance_ren2")
+      spark.conf.unset("spark.sql.catalog.lance_ren2.warehouse")
+    }
+  }
+
   test("DML and take() address the new name; SQL surfaces work") {
     val dir = tmpDir()
     Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
