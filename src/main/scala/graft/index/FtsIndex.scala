@@ -480,14 +480,65 @@ object FtsIndex {
       queryText: String, k: Int, filter: Option[String] = None,
       matchMode: String = "any"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // `phrases` / `phrases~N`: disjunction of '|'-separated phrases
+    val phrasesRe = "phrases~(\\d+)".r
+    matchMode match {
+      case "phrases" | phrasesRe(_) =>
+        val slop = matchMode match { case phrasesRe(n) => n.toInt; case _ => 0 }
+        return searchPhrases(spark, datasetPath, column,
+          queryText.split('|').map(_.trim).filter(_.nonEmpty).toSeq, k,
+          slop = slop, filter = filter)
+      case _ => ()
+    }
+    val meta = loadMeta(spark, datasetPath, column)
+    scoredSearch(spark, datasetPath, column, queryText, filter, matchMode, meta)
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+      .withColumnRenamed("doc", meta.idColumn)
+  }
+
+  /** Disjunction of phrases — Lucene's BooleanQuery of SHOULD
+    * PhraseQuery clauses: a doc matches if ANY of `phrases` occurs
+    * (exact-consecutive, or in order within `slop` extra positions), and
+    * scores the SUM of its matched clauses' BM25 scores, so a doc
+    * matching two phrases outranks single-phrase docs. Per-clause scores
+    * are decimal-exact before the cross-clause sum, keeping the ranking
+    * deterministic. Each clause probes only its own terms' bucket
+    * directories — disjunction cost is the sum of the clause probes, not
+    * a corpus scan. SQL: `lance_fts(path, col, 'p1 a | p2 b', k, '',
+    * 'phrases')` (or `phrases~N`).
+    */
+  def searchPhrases(spark: SparkSession, datasetPath: String, column: String,
+      phrases: Seq[String], k: Int, slop: Int = 0,
+      filter: Option[String] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(phrases.nonEmpty, "searchPhrases needs at least one phrase")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val meta = loadMeta(spark, datasetPath, column)
+    val mode = if (slop == 0) "phrase" else s"phrase~$slop"
+    phrases.map(p => scoredSearch(spark, datasetPath, column, p, filter, mode, meta))
+      .reduce(_ unionByName _)
+      .groupBy(col("doc"))
+      .agg(sum(col("score").cast("decimal(18,6)")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+      .withColumnRenamed("doc", meta.idColumn)
+  }
+
+  /** The scored (doc, score) frame of one query — everything in
+    * [[search]] except the final top-k/rename, so clause composers
+    * ([[searchPhrases]]) can combine full result sets without k-
+    * truncation losing cross-clause candidates. */
+  private def scoredSearch(spark: SparkSession, datasetPath: String,
+      column: String, queryText: String, filter: Option[String],
+      matchMode: String, meta: FtsMeta): DataFrame = {
     val slopRe = "phrase~(\\d+)".r
     val (mode, slop) = matchMode match {
       case slopRe(n) => ("phrase", n.toInt)
       case m => (m, 0)
     }
     require(mode == "any" || mode == "all" || mode == "phrase",
-      s"matchMode must be any|all|phrase|phrase~N, got $matchMode")
-    val meta = loadMeta(spark, datasetPath, column)
+      s"matchMode must be any|all|phrase|phrase~N|phrases|phrases~N, got $matchMode")
     if (mode == "phrase")
       require(meta.positions.contains(true),
         s"phrase search needs a positional index - rebuild with storePositions=true")
@@ -645,8 +696,5 @@ object FtsIndex {
       scored.filter(col("__nt") === (terms.size + prefixes.size))
      else scored)
       .drop("__nt")
-      .orderBy(col("score").desc, col("doc"))
-      .limit(k)
-      .withColumnRenamed("doc", meta.idColumn)
   }
 }

@@ -390,8 +390,15 @@ object ScalarIndex {
         case sources.LessThanOrEqual(a, v) if v != null =>
           (a, Seq.empty[(Any, Boolean)], Seq(v -> true))
       }
+    // LIKE 'p%' (pushed as StringStartsWith) prunes through the same
+    // sorted projection: string order keys ARE the raw values, so the
+    // prefix filter pushes into the projection read exactly like a range
+    val prefixByCol: Map[String, Seq[String]] = filters.collect {
+      case sources.StringStartsWith(a, p) if p != null && p.nonEmpty => (a, p)
+    }.groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2) }
     val rangeByCol: Seq[(String, Seq[(Any, Boolean)], Seq[(Any, Boolean)])] =
-      rangeBounds.groupBy(_._1).toSeq.map { case (a, items) =>
+      (rangeBounds.groupBy(_._1).keySet ++ prefixByCol.keySet).toSeq.map { a =>
+        val items = rangeBounds.filter(_._1 == a)
         (a, items.flatMap(_._2), items.flatMap(_._3))
       }
     if (byCol.isEmpty && rangeByCol.isEmpty) return kept
@@ -409,7 +416,8 @@ object ScalarIndex {
         .withApply { e =>
           log.warn(s"scalar-index range prune skipped for $attr: $e"); ()
         }.apply {
-          current = pruneRangeOne(spark, datasetPath, manifest, attr, lo, hi, current)
+          current = pruneRangeOne(spark, datasetPath, manifest, attr, lo, hi,
+            prefixByCol.getOrElse(attr, Seq.empty), current)
         }
     }
     current
@@ -422,10 +430,12 @@ object ScalarIndex {
     * everything; uncovered fragments always stay. */
   private def pruneRangeOne(spark: SparkSession, datasetPath: String, m: Manifest,
       attr: String, lower: Seq[(Any, Boolean)], upper: Seq[(Any, Boolean)],
-      kept: Seq[FragmentMeta]): Seq[FragmentMeta] = {
+      prefixes: Seq[String], kept: Seq[FragmentMeta]): Seq[FragmentMeta] = {
     val dt = m.schema.fields.find(_.name == attr).map(_.dataType)
       .getOrElse(return kept)
     if (!rangeSupported(dt)) return kept
+    // prefix pruning is only sound where the order key IS the raw value
+    if (prefixes.nonEmpty && dt != StringType) return kept
     val meta = tryLoadMeta(spark, datasetPath, attr).getOrElse(return kept)
     val rdirName = meta.rangesDir.getOrElse(return kept)
     val loKey = lower.map { case (v, i) => (orderKey(dt, v), i) }
@@ -441,6 +451,7 @@ object ScalarIndex {
       df = df.filter(if (incl) col("k") >= k.get else col("k") > k.get) }
     hiKey.foreach { case (k, incl) =>
       df = df.filter(if (incl) col("k") <= k.get else col("k") < k.get) }
+    prefixes.foreach { p => df = df.filter(col("k").startsWith(p)) }
     // one small job: distinct files in the span; a null marker = a hot
     // value inside the span -> cannot prune
     val hits = df.select(explode_outer(col("f")).as("file")).distinct().collect()

@@ -486,6 +486,36 @@ object TextAnalysis {
     FtsIndex.search(spark, dest, "txt", "graft*", bm25K)
   }
 
+  /** FTS phrase disjunction (t51): `matchMode = "phrases"` — Lucene's
+    * BooleanQuery of SHOULD PhraseQuery clauses. Planted family: one doc
+    * kind per clause, one holding BOTH (its score is the SUM of the two
+    * clause scores — it must rank above every single-clause doc), one
+    * with clause A's words REVERSED and the query runs at slop 0, so
+    * order matters ([[graft.index.FtsIndex.searchPhrases]]).
+    */
+  def t51FtsPhrases(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.FtsIndex
+    val dest = graft.Tables.scratch(dir, "docs_fts_phrases")
+    val mp = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${FtsIndex.indexPath(dest, "txt")}/fts.json").getAbsolutePath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) {
+      t(spark, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" zzg marker"))
+            .when(col("doc_id") % 7 === 1, lit(" zzalpha zzbeta"))
+            .when(col("doc_id") % 7 === 2, lit(" zzg marker zzalpha zzbeta"))
+            .when(col("doc_id") % 7 === 3, lit(" marker zzg"))
+            .otherwise(lit(""))))
+        .select(col("doc_id"), col("txt"))
+        .write.format("lance").mode("overwrite").save(dest)
+      FtsIndex.build(spark, spark.read.format("lance").load(dest),
+        "txt", "doc_id", dest, storePositions = true)
+    }
+    FtsIndex.search(spark, dest, "txt", "zzg marker | zzalpha zzbeta",
+      bm25K, matchMode = "phrases")
+  }
+
   /** Full-text search (t40): build the persisted inverted index over
     * `documents.text` once (sidecar parquet under the scratch path, like
     * the vector-index gates), then BM25 top-k through it. Correctness
@@ -796,6 +826,7 @@ object TextAnalysis {
     "t46_fts_phrase" -> t46FtsPhrase,
     "t49_fts_not_slop" -> t49FtsNotSlop,
     "t50_fts_prefix" -> t50FtsPrefix,
+    "t51_fts_phrases" -> t51FtsPhrases,
     "t41_pii_redact" -> t41PiiRedact,
     "t47_chunking" -> t47Chunking,
     "t48_ngram_topk" -> t48NgramTopk,
@@ -1038,6 +1069,50 @@ object TextAnalysis {
       // the SAME decorated text (space-tokenizer positions are split
       // indexes: the three in-order placements of one filler), minus the
       // '-zzexcl' exclusion; then the same BM25 sum over the phrase terms
+      "t51_fts_phrases" -> {
+        val toks = "string_split(txt, ' ')"
+        val bm25 =
+          s"""CAST(
+             |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)
+             |          / (CAST(df AS DOUBLE) + 0.5)))
+             |        * (tf * CAST(2.2 AS DOUBLE)))
+             |      / (tf + 1.2 * (0.25 + (0.75 * dl)
+             |          / (CAST((SELECT sumdl FROM st) AS DOUBLE) / (SELECT n FROM st))))
+             |    AS DECIMAL(18,6))""".stripMargin
+        s"""WITH d AS (SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' zzg marker'
+           |         WHEN doc_id % 7 = 1 THEN ' zzalpha zzbeta'
+           |         WHEN doc_id % 7 = 2 THEN ' zzg marker zzalpha zzbeta'
+           |         WHEN doc_id % 7 = 3 THEN ' marker zzg'
+           |         ELSE '' END AS txt
+           |  FROM documents),
+           |tok AS (SELECT doc_id, len($toks) AS dl,
+           |    unnest($toks) AS term FROM d),
+           |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+           |  WHERE term IN ('zzg', 'marker', 'zzalpha', 'zzbeta')
+           |  GROUP BY 1, 2, 3),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len($toks)) AS BIGINT) AS sumdl FROM d),
+           |pha AS (SELECT doc_id FROM d WHERE ' ' || txt || ' ' LIKE '% zzg marker %'),
+           |phb AS (SELECT doc_id FROM d WHERE ' ' || txt || ' ' LIKE '% zzalpha zzbeta %'),
+           |ca AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS s FROM (
+           |    SELECT post.doc_id, $bm25 AS c
+           |    FROM post JOIN dfs USING (term)
+           |    WHERE term IN ('zzg', 'marker')
+           |      AND post.doc_id IN (SELECT doc_id FROM pha))
+           |  GROUP BY doc_id),
+           |cb AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS s FROM (
+           |    SELECT post.doc_id, $bm25 AS c
+           |    FROM post JOIN dfs USING (term)
+           |    WHERE term IN ('zzalpha', 'zzbeta')
+           |      AND post.doc_id IN (SELECT doc_id FROM phb))
+           |  GROUP BY doc_id)
+           |SELECT doc_id,
+           |  CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score
+           |FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb)
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
       "t50_fts_prefix" -> {
         val toks = "string_split(txt, ' ')"
         s"""WITH d AS (SELECT doc_id, text ||

@@ -48,6 +48,40 @@ class FtsIndexSpec extends AnyFunSuite {
     assert(beta2.toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((2L, 4L)))
   }
 
+  test("phrase disjunction: any clause matches, shared docs sum clauses") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "fts-ph-")
+      .toAbsolutePath.toString + "/docs"
+    val corpus2 = Seq(
+      (1L, "zzg marker zzpad"),
+      (2L, "zzalpha zzbeta zzpad"),
+      (3L, "zzg marker zzalpha zzbeta"),
+      (4L, "marker zzg zzpad"), // clause A reversed — no match
+      (5L, "zzalpha zzpad zzbeta")) // clause B gapped — no match at slop 0
+    FtsIndex.build(spark, corpus2.toDF("doc_id", "text"), "text", "doc_id",
+      dir, numTermPartitions = 4, storePositions = true)
+    val r = FtsIndex.searchPhrases(spark, dir, "text",
+      Seq("zzg marker", "zzalpha zzbeta"), 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.map(_._1).toSet == Set(1L, 2L, 3L), r.toSeq.toString)
+    // the both-clauses doc outranks every single-clause doc
+    assert(r.head._1 == 3L, s"doc 3 matches both clauses: ${r.toSeq}")
+    val byId = r.toMap
+    assert(byId(3L) > byId(1L) && byId(3L) > byId(2L))
+    // slop admits the gapped clause-B doc
+    val sloppy = FtsIndex.searchPhrases(spark, dir, "text",
+      Seq("zzg marker", "zzalpha zzbeta"), 10, slop = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(sloppy == Set(1L, 2L, 3L, 5L), sloppy.toString)
+    // the matchMode surface ('|'-separated) reaches the same results
+    val viaMode = FtsIndex.search(spark, dir, "text",
+      "zzg marker | zzalpha zzbeta", 10, matchMode = "phrases")
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(viaMode.toSeq == r.toSeq)
+    assert(FtsIndex.search(spark, dir, "text",
+      "zzg marker | zzalpha zzbeta", 10, matchMode = "phrases~1")
+      .collect().map(_.getLong(0)).toSet == sloppy)
+  }
+
   test("prefix query expands via the sorted postings; boundary is exact") {
     assert(meta.numDocs == 4)
     // "bet*" expands to {beta}; "ga*" to {gamma}; no term starts "gam m"

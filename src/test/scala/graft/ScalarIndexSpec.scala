@@ -101,6 +101,30 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(scannedFiles(refreshed) == 1, "refreshed append prunes to itself")
   }
 
+  test("LIKE 'p%' prunes through the string range projection") {
+    val dir = tmpDir()
+    plant(dir)
+    val all = spark.read.format("lance").load(dir)
+    assert(scannedFiles(all.filter(col("s").startsWith("name100"))) >= 3,
+      "string min/max bounds alone leave most fragments in play")
+    ScalarIndex.build(spark, dir, "s", numBuckets = 8)
+    // 'name100' matches exactly the id=100 row (ids stop at 798, so no
+    // name100X exists) — one fragment
+    val probed = spark.read.format("lance").load(dir)
+      .filter(col("s").startsWith("name100"))
+    assert(scannedFiles(probed) == 1,
+      "string prefix must prune through the sorted projection")
+    assert(probed.collect().map(_.getLong(0)).toSeq == Seq(100L))
+    // SQL LIKE pushes the same StringStartsWith
+    probed.createOrReplaceTempView("__likeprobe")
+    val like = spark.read.format("lance").load(dir).filter(col("s").like("name10%"))
+    assert(like.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 100L, 102L, 104L, 106L, 108L))
+    // prefix matching nothing prunes to zero fragments
+    val none = spark.read.format("lance").load(dir).filter(col("s").startsWith("zzz"))
+    assert(scannedFiles(none) == 0 && none.count() == 0)
+  }
+
   test("order keys preserve value order for every range-supported type") {
     import org.apache.spark.sql.types._
     val longs = Seq(Long.MinValue, -7L, -1L, 0L, 1L, 42L, Long.MaxValue)
