@@ -1027,7 +1027,9 @@ object LanceQueries {
     t(spark, dir, "orders")
       .repartition(8, col("o_orderkey"))
       .write.format("lance").mode("overwrite").save(dest)
-    graft.Lance.buildScalarIndex(spark, dest, "o_orderkey")
+    // 8 buckets: gate-scale tuning (64 dirs of postings is pure write
+    // overhead at 15k rows; bucket count is orthogonal to correctness)
+    graft.Lance.buildScalarIndex(spark, dest, "o_orderkey", numBuckets = 8)
     spark.read.format("lance").load(dest)
       .filter(col("o_orderkey").isin(1L, 7L, 33L, 999999999L))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -1075,7 +1077,7 @@ object LanceQueries {
     o.filter(pmod(col("o_orderkey"), lit(5)) < 3)
       .repartition(4, col("o_orderkey"))
       .write.format("lance").mode("overwrite").save(dst)
-    graft.Lance.buildScalarIndex(spark, dst, "o_orderkey")
+    graft.Lance.buildScalarIndex(spark, dst, "o_orderkey", numBuckets = 8)
     ensureStreamSrc(spark, src, 1) {
       o.filter(pmod(col("o_orderkey"), lit(5)) >= 3).repartition(4)
         .write.format("lance").mode("overwrite").save(src)
@@ -1473,7 +1475,7 @@ object LanceQueries {
     t(spark, dir, "orders")
       .repartition(8, col("o_orderkey"))
       .write.format("lance").mode("overwrite").save(dest)
-    graft.Lance.buildScalarIndex(spark, dest, "o_orderkey")
+    graft.Lance.buildScalarIndex(spark, dest, "o_orderkey", numBuckets = 8)
     val root = new org.apache.hadoop.fs.Path(dest)
     val m = graft.format.LanceFormat.readLatest(
       graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf()),

@@ -153,6 +153,33 @@ class UniqueConstraintSpec extends AnyFunSuite {
       seven.select("s").collect().head.getString(0) == "A")
   }
 
+  test("streaming epochs enforce UNIQUE: a colliding micro-batch fails the stream") {
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.addUniqueConstraint(spark, dir, "id")
+    val base = tmpDir()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("id", "s").writeStream.format("lance")
+      .option("checkpointLocation", s"$base/ckpt").outputMode("append").start(dir)
+    try {
+      // clean epoch lands
+      in.addData((3L, "c")); q.processAllAvailable()
+      assert(spark.read.format("lance").load(dir).count() == 3)
+      // colliding epoch fails the STREAM (correctness beats liveness),
+      // and the refused batch leaves no version behind
+      val vBefore = Lance.versions(spark, dir).size
+      in.addData((2L, "dup"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains("unique_id")), chain(e).mkString(" | "))
+      assert(Lance.versions(spark, dir).size == vBefore)
+      assert(spark.read.format("lance").load(dir).count() == 3)
+    } finally q.stop()
+  }
+
   test("racing same-key appends: first committer wins, second rolls back") {
     val dir = tmpDir()
     Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)
