@@ -638,6 +638,33 @@ object Lance {
     graft.format.LanceFormat.commitRename(fs, root, oldName, newName).version
   }
 
+  /** ALTER TABLE ALTER COLUMN TYPE, widening only — one metadata commit,
+    * zero data moved: fragments written before it keep their narrower
+    * parquet encoding and the scan up-converts per file (Delta's
+    * type-widening shape). Admitted transitions are the value-preserving
+    * lattice in [[graft.format.LanceFormat.widensTo]]: byte<short<int<long,
+    * float<double, int→double, int/long→decimal(p,0), and decimal
+    * precision growth at the same scale. An index sidecar on the column
+    * refuses (drop and rebuild after); CHECK/UNIQUE/NOT NULL rules
+    * survive unchanged. SQL:
+    * `ALTER TABLE lance.db.t ALTER COLUMN c TYPE BIGINT` or
+    * `CALL lance.widen_column('db.t', 'c', 'bigint')`. Returns the
+    * committing version.
+    */
+  def widenColumnType(spark: SparkSession, path: String, column: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.commitWiden(fs, root, column, newType).version
+  }
+
+  /** [[widenColumnType]] with the type given as DDL text ("bigint",
+    * "decimal(20,2)", ...). */
+  def widenColumnType(spark: SparkSession, path: String, column: String,
+      newTypeDdl: String): Long =
+    widenColumnType(spark, path, column,
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(newTypeDdl))
+
   /** Drop a CHECK constraint. Returns whether it existed. */
   def dropConstraint(spark: SparkSession, path: String, name: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)

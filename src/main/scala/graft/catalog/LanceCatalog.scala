@@ -199,6 +199,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
     val additions = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     val deletions = Seq.newBuilder[String]
     val renames = Seq.newBuilder[(String, String)]
+    val widens = Seq.newBuilder[(String, org.apache.spark.sql.types.DataType)]
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -225,12 +226,27 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
         require(ren.fieldNames.length == 1,
           s"lance supports renaming top-level columns only, got ${ren.fieldNames.mkString(".")}")
         renames += ren.fieldNames.head -> ren.newName
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          s"lance supports widening top-level columns only, got ${upd.fieldNames.mkString(".")}")
+        widens += upd.fieldNames.head -> upd.newDataType
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE supports ADD/DROP/RENAME COLUMN only on lance tables, got $other")
+        s"ALTER TABLE supports ADD/DROP/RENAME COLUMN and widening ALTER " +
+          s"COLUMN TYPE only on lance tables, got $other")
     }
     val adds = additions.result()
     val dels = deletions.result()
     val rens = renames.result()
+    val wids = widens.result()
+    if (wids.nonEmpty) {
+      // type widening is its own metadata commit ([[LanceFormat
+      // .commitWiden]]) — same single-statement posture as RENAME
+      require(adds.isEmpty && dels.isEmpty && rens.isEmpty && wids.size == 1,
+        "ALTER COLUMN TYPE must be its own ALTER TABLE statement")
+      val (c, t) = wids.head
+      val m = LanceFormat.commitWiden(fs, p, c, t)
+      return new LanceTable(p.toString, m.schema)
+    }
     if (rens.nonEmpty) {
       // RENAME is its own metadata commit (mapping + schema + remapped
       // rules in one, [[LanceFormat.commitRename]]); mixing it with
@@ -349,7 +365,7 @@ object LanceCatalog {
       "tag", "untag", "create_branch", "drop_branch", "fast_forward",
       "rebase_branch",
       "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
-      "rename_column",
+      "rename_column", "widen_column",
       "add_unique")
 }
 
@@ -418,6 +434,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "add_unique" => "declare a column (or comma-listed composite key) UNIQUE (validates existing rows; every commit point-probes its keys against the table)"
     case "drop_not_null" => "drop a NOT NULL declaration (rule removed, column back to nullable)"
     case "rename_column" => "rename a column (one metadata commit: schema + logical-to-physical mapping; structured rules remap, CHECK/index references refuse)"
+    case "widen_column" => "widen a column's type in place (one metadata commit, old fragments read up-converted; value-preserving transitions only, index references refuse)"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -489,6 +506,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "rename_column" => Array(in("table", StringType).build(),
       in("old_name", StringType).build(),
       in("new_name", StringType).build())
+    case "widen_column" => Array(in("table", StringType).build(),
+      in("column", StringType).build(),
+      in("new_type", StringType).build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -617,6 +637,11 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           new GenericInternalRow(Array[Any](v)))
       case "rename_column" =>
         val v = graft.Lance.renameColumn(spark, path,
+          input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+        (new StructType().add("committed_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](v)))
+      case "widen_column" =>
+        val v = graft.Lance.widenColumnType(spark, path,
           input.getUTF8String(1).toString, input.getUTF8String(2).toString)
         (new StructType().add("committed_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))

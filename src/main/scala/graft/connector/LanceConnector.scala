@@ -745,7 +745,18 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     // differences are not drift — the table's schema (which carries
     // column metadata like vector dims) wins on a compatible append.
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    // same names, and every differing column strictly NARROWER in the
+    // write than the table (an ALTER-widened column being appended to by
+    // a not-yet-updated writer): not drift — the narrower files read up
+    // through the table type, the table's schema wins
+    def narrowerCompatible(table: StructType, write: StructType): Boolean =
+      table.fieldNames.toSeq == write.fieldNames.toSeq &&
+        table.fields.zip(write.fields).forall { case (t, w) =>
+          t.dataType == w.dataType || LanceFormat.widensTo(w.dataType, t.dataType)
+        }
     val committedSchema = existing.filter(_.fragments.nonEmpty) match {
+      case Some(m) if !overwrite && shape(m.schema) != shape(schema) &&
+          narrowerCompatible(m.schema, schema) => m.schema
       case Some(m) if !overwrite && shape(m.schema) != shape(schema) =>
         if (mergeSchema) {
           // the DROP COLUMN resurrection guard applies to EVERY surface

@@ -215,8 +215,8 @@ object LanceFormat {
       val nextId = base.map(_.id).maxOption.getOrElse(-1) + 1
       val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
       val rules = prev.flatMap(_.constraints)
-      val named = mergeLogicalNames(schema,
-        prev.flatMap(_.columnMapping).getOrElse(Map.empty))
+      val named = mergeWidenedTypes(mergeLogicalNames(schema,
+        prev.flatMap(_.columnMapping).getOrElse(Map.empty)), prev.map(_.schema))
       val m = Manifest(
         version = prev.map(_.version).getOrElse(0L) + 1,
         schemaJson = mergeDeclaredNullability(named, rules).json,
@@ -317,7 +317,8 @@ object LanceFormat {
       val m = Manifest(
         version = prev.version + 1,
         schemaJson = mergeDeclaredNullability(
-          mergeLogicalNames(schema, prev.mapping), prev.constraints).json,
+          mergeWidenedTypes(mergeLogicalNames(schema, prev.mapping),
+            Some(prev.schema)), prev.constraints).json,
         fragments = kept ++ renumbered,
         epochId = epochId.orElse(prev.epochId),
         committedAtMs = System.currentTimeMillis(),
@@ -354,8 +355,13 @@ object LanceFormat {
     while (attempt < 20) {
       val prev = readLatest(fs, root)
       val rules = prev.flatMap(_.constraints)
-      val named = mergeLogicalNames(schema,
-        prev.flatMap(_.columnMapping).getOrElse(Map.empty))
+      // an ALTER-widened type survives the overwrite like a declared NOT
+      // NULL does: the new (narrower-encoded) files read correctly
+      // through it, and silently narrowing a declared type back would be
+      // the nullability lost-update's sibling
+      val named = mergeWidenedTypes(mergeLogicalNames(schema,
+        prev.flatMap(_.columnMapping).getOrElse(Map.empty)),
+        prev.map(_.schema))
       val m = Manifest(
         version = prev.map(_.version).getOrElse(0L) + 1,
         // a declared NOT NULL survives the overwrite like its rule does
@@ -410,26 +416,8 @@ object LanceFormat {
       newName: String): Manifest = {
     require(newName.trim.nonEmpty && !newName.contains('`') && !newName.contains('.'),
       s"invalid column name '$newName'")
-    // index sidecars are column-addressed (dir `<col>_<kind>` + metas that
-    // name their column/id columns): any reference to the old name refuses
-    val indices = new Path(root, "_indices")
-    if (fs.exists(indices)) fs.listStatus(indices).filter(_.isDirectory).foreach { d =>
-      val dirName = d.getPath.getName
-      val refs = Seq("_scalar", "_fts", "_ivf", "_hnsw")
-        .exists(sfx => dirName == s"$oldName$sfx") ||
-        fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".json"))
-          .exists { st =>
-            val in = fs.open(st.getPath)
-            try {
-              val bytes = new Array[Byte](math.min(st.getLen, 1 << 20).toInt)
-              in.readFully(0L, bytes)
-              new String(bytes, StandardCharsets.UTF_8).contains(s""""$oldName"""")
-            } finally in.close()
-          }
-      require(!refs,
-        s"cannot rename '$oldName': index sidecar '$dirName' references it - " +
-          "drop the index and rebuild it under the new name")
-    }
+    requireNoIndexSidecar(fs, root, oldName, "rename",
+      "drop the index and rebuild it under the new name")
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatest(fs, root).getOrElse(
@@ -473,6 +461,121 @@ object LanceFormat {
       s"could not commit rename after $attempt attempts at $root")
   }
 
+  /** Index sidecars are column-addressed (dir `<col>_<kind>` + metas that
+    * name their column/id columns): any reference to the column refuses
+    * the schema change — a sidecar built under the old name/type would
+    * silently mis-serve after it.
+    */
+  private def requireNoIndexSidecar(fs: FileSystem, root: Path, column: String,
+      action: String, remedy: String): Unit = {
+    val indices = new Path(root, "_indices")
+    if (fs.exists(indices)) fs.listStatus(indices).filter(_.isDirectory).foreach { d =>
+      val dirName = d.getPath.getName
+      val refs = Seq("_scalar", "_fts", "_ivf", "_hnsw")
+        .exists(sfx => dirName == s"$column$sfx") ||
+        fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".json"))
+          .exists { st =>
+            val in = fs.open(st.getPath)
+            try {
+              val bytes = new Array[Byte](math.min(st.getLen, 1 << 20).toInt)
+              in.readFully(0L, bytes)
+              new String(bytes, StandardCharsets.UTF_8).contains(s""""$column"""")
+            } finally in.close()
+          }
+      require(!refs,
+        s"cannot $action '$column': index sidecar '$dirName' references it - " +
+          remedy)
+    }
+  }
+
+  /** The value-preserving widening lattice for ALTER COLUMN TYPE: `from`
+    * can be read through `to` without loss or rewrite, because Spark's
+    * parquet readers up-convert at scan time (Integer→Long, Float→Double,
+    * Int/Long→Decimal, Decimal precision growth — the same conversions
+    * Delta's type-widening feature leans on). Deliberately excluded:
+    * Long→Double (loses precision past 2^53), Float→Decimal (binary
+    * fractions don't round-trip), any scale change on decimals (value
+    * strings would shift), and anything narrowing.
+    */
+  def widensTo(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intRank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3
+      case LongType => 4; case _ => 0
+    }
+    // decimal digits needed to hold every value of an integral type
+    def digitsOf(t: DataType): Int = t match {
+      case ByteType => 3; case ShortType => 5; case IntegerType => 10
+      case LongType => 20; case _ => Int.MaxValue
+    }
+    (from, to) match {
+      case (f, t) if f == t => false // not a change
+      case (f, t) if intRank(f) > 0 && intRank(t) > 0 => intRank(f) < intRank(t)
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) if intRank(f) > 0 && intRank(f) <= 3 => true // ≤ int32 exact in a double
+      case (f, d: DecimalType) if intRank(f) > 0 =>
+        d.scale == 0 && d.precision >= digitsOf(f)
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE — one metadata commit, zero data
+    * moved: the manifest schema carries the widened type while fragments
+    * written before it keep their narrower parquet encoding; the scan's
+    * vectorized reader up-converts per file. Only [[widensTo]]
+    * transitions are admitted. An index sidecar on the column refuses
+    * (its keys were rendered under the old type); CHECK/UNIQUE/NOT NULL
+    * rules survive unchanged — widening preserves every value.
+    */
+  def commitWiden(fs: FileSystem, root: Path, column: String,
+      newType: DataType): Manifest = {
+    requireNoIndexSidecar(fs, root, column, "widen",
+      "drop the index and rebuild it after the type change")
+    var attempt = 0
+    while (attempt < 20) {
+      val prev = readLatest(fs, root).getOrElse(
+        throw new IllegalStateException(s"no dataset at $root"))
+      val field = prev.schema.fields.find(_.name == column).getOrElse(
+        throw new IllegalArgumentException(s"no column '$column' at $root"))
+      require(widensTo(field.dataType, newType),
+        s"cannot change column '$column' from ${field.dataType.simpleString} " +
+          s"to ${newType.simpleString}: only value-preserving widenings are " +
+          "supported (byte<short<int<long, float<double, int->double, " +
+          "int/long->decimal, decimal precision growth at the same scale)")
+      val m = prev.copy(
+        version = prev.version + 1,
+        schemaJson = StructType(prev.schema.fields.map(f =>
+          if (f.name == column) f.copy(dataType = newType) else f)).json,
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some("alter"))
+      if (commitOnceIn(fs, versionsPath(root), m, None)) return m
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit widen after $attempt attempts at $root")
+  }
+
+  /** Data commits carry the WRITER's schema, which may predate a
+    * concurrent ALTER COLUMN TYPE — committing it verbatim would silently
+    * narrow the column back (the nullability lost-update's sibling). Take
+    * the wider side per field: the writer's narrower files still read
+    * correctly through the widened type.
+    */
+  private def mergeWidenedTypes(schema: StructType,
+      prev: Option[StructType]): StructType = prev match {
+    case None => schema
+    case Some(p) =>
+      val widths = p.fields.map(f => f.name -> f.dataType).toMap
+      StructType(schema.fields.map { f =>
+        widths.get(f.name) match {
+          case Some(wider) if widensTo(f.dataType, wider) => f.copy(dataType = wider)
+          case _ => f
+        }
+      })
+  }
+
   private def mergeStreamEpochs(prev: Option[Map[String, Long]],
       update: Option[(String, Long)]): Option[Map[String, Long]] = {
     val cur = prev.getOrElse(Map.empty)
@@ -491,10 +594,19 @@ object LanceFormat {
     val byName = incoming.fields.map(f => f.name -> f).toMap
     existing.fields.foreach { f =>
       byName.get(f.name).foreach { g =>
-        if (g.dataType != f.dataType)
+        // a NARROWER write into a wider column is fine: its files read up
+        // through the table type at scan time (the widening read path).
+        // A WIDER write still refuses — that needs a declared ALTER.
+        if (g.dataType != f.dataType && !widensTo(g.dataType, f.dataType)) {
+          val hint =
+            if (widensTo(f.dataType, g.dataType))
+              " - widen the table first (ALTER TABLE ... ALTER COLUMN " +
+                s"${f.name} TYPE ${g.dataType.simpleString})"
+            else ""
           throw new IllegalArgumentException(
             s"cannot merge schemas: column '${f.name}' is ${f.dataType.simpleString} " +
-              s"in the table but ${g.dataType.simpleString} in the write")
+              s"in the table but ${g.dataType.simpleString} in the write" + hint)
+        }
       }
     }
     val existingNames = existing.fieldNames.toSet

@@ -1493,6 +1493,35 @@ object LanceQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Widening ALTER COLUMN TYPE (s104): the first era of orders is
+    * written with `o_custkey` as INT, the column is widened to BIGINT in
+    * ONE metadata commit ([[graft.format.LanceFormat.commitWiden]] —
+    * zero data rewritten, the scan up-converts old fragments per file),
+    * the second era appends as BIGINT plus a planted key only a long can
+    * hold. The aggregate spans both eras through the widened type and a
+    * comparison filter proves the planted wide row reads back.
+    */
+  def s104WidenType(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_widen")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_custkey", col("o_custkey").cast("int"))
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.widenColumnType(spark, dest, "o_custkey", "bigint")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.format("lance").mode("append").save(dest)
+    import spark.implicits._
+    Seq((-1L, 3000000000L, 0.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.format("lance").mode("append").save(dest)
+    val all = spark.read.format("lance").load(dest)
+    val nWide = all.filter(col("o_custkey") > lit(Int.MaxValue.toLong)).count()
+    all.agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+      .withColumn("n_wide", lit(nWide))
+      .withColumn("cust_type", lit(all.schema("o_custkey").dataType.simpleString))
+  }
+
   /** RENAME COLUMN (s102): fragments written BEFORE the rename read
     * through the NEW name — stable physical names (Delta column-mapping
     * shape), one metadata commit, zero data rewritten
@@ -1787,6 +1816,7 @@ object LanceQueries {
     "s101_unique_composite" -> s101UniqueComposite,
     "s102_rename_column" -> s102RenameColumn,
     "s103_scalar_range_prune" -> s103ScalarRangePrune,
+    "s104_widen_type" -> s104WidenType,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1907,6 +1937,13 @@ object LanceQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS pruned
         |FROM orders WHERE o_orderkey BETWEEN 100 AND 103
         |ORDER BY o_orderkey""".stripMargin,
+    // s104: both eras plus the planted wide key aggregate through the
+    // widened type (DuckDB SUM(BIGINT) is HUGEINT — cast back)
+    "s104_widen_type" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        | CAST(1 AS BIGINT) AS n_wide, 'bigint' AS cust_type
+        |FROM (SELECT o_custkey FROM orders
+        |      UNION ALL SELECT CAST(3000000000 AS BIGINT)) t""".stripMargin,
     // s102: the rename moves no rows — the table is exactly orders,
     // read through the new name
     "s102_rename_column" ->
