@@ -466,6 +466,14 @@ object FtsIndex {
     * scoring. Exclusions never affect corpus statistics (df/avgdl stay
     * index-wide) and excluded terms never score.
     *
+    * FUZZY terms (Lucene's FuzzyQuery): `term~1` / `term~2` matches
+    * every index term within that Levenshtein distance — expanded by
+    * one column-pruned codegen pass over the postings' term column
+    * (length window + bounded-threshold edit distance), each expansion
+    * scoring with its OWN df, the whole clause counting as ONE term
+    * under `all` (the prefix-clause contract). Expansion is capped by
+    * `spark.graft.fts.maxFuzzyTerms` (default 256, fail-loud).
+    *
     * `filter` is an optional SQL predicate over the LANCE DATASET at
     * `datasetPath` (pre-filter: candidates failing it never reach the
     * top-k, so k survivors are guaranteed eligible — the V3 semantics,
@@ -555,19 +563,37 @@ object FtsIndex {
         s"prefix query '$p' must tokenize to exactly one term, got $ts")
       ts.head
     }
-    val (prefParts, posParts) =
+    val (prefParts, posParts1) =
       posParts0.partition(p => p.length > 1 && p.endsWith("*"))
     val prefixes = prefParts.map(prefixOf).distinct
+    // 'term~N' FUZZY clauses (Lucene FuzzyQuery, N capped at 2 like
+    // Lucene's maxEdits): peeled off the raw parts like prefixes
+    val fuzzyRe = "(.+)~([12])".r
+    val (fuzParts, posParts) =
+      posParts1.partition(fuzzyRe.pattern.matcher(_).matches)
+    val fuzzies: Seq[(String, Int)] = fuzParts.map { p =>
+      val fuzzyRe(body, d) = p
+      val ts = scalaTokens(body, tokenizer)
+      require(ts.size == 1,
+        s"fuzzy query '$p' must tokenize to exactly one term, got $ts")
+      (ts.head, d.toInt)
+    }.distinct
     val (exclPrefParts, exclPlainParts) = exclParts.map(_.drop(1))
       .partition(p => p.length > 1 && p.endsWith("*"))
+    exclPlainParts.find(fuzzyRe.pattern.matcher(_).matches).foreach { p =>
+      throw new IllegalArgumentException(
+        s"fuzzy clauses cannot be negated ('-$p'): exclude the concrete " +
+          "terms instead")
+    }
     val excludeTerms = exclPlainParts
       .flatMap(p => scalaTokens(p, tokenizer)).distinct
     val excludePrefixes = exclPrefParts.map(prefixOf).distinct
     val phraseSeq = scalaTokens(posParts.mkString(" "), tokenizer) // ordered, dups kept
     val terms = phraseSeq.distinct
-    require(terms.nonEmpty || prefixes.nonEmpty, "empty query (no positive terms)")
-    require(prefixes.isEmpty || mode == "any" || mode == "all",
-      "prefix terms are supported in any/all mode, not phrase")
+    require(terms.nonEmpty || prefixes.nonEmpty || fuzzies.nonEmpty,
+      "empty query (no positive terms)")
+    require((prefixes.isEmpty && fuzzies.isEmpty) || mode == "any" || mode == "all",
+      "prefix and fuzzy terms are supported in any/all mode, not phrase")
     val avgdl = meta.sumDl.toDouble / meta.numDocs
 
     // Only the probed posting lists leave storage: v2 prunes to the
@@ -607,11 +633,42 @@ object FtsIndex {
           "index terms - narrow the prefix or raise spark.graft.fts.maxPrefixTerms")
       Some(pp.withColumn("__qt", qt))
     }
-    val postAll = (exactPost.toSeq ++ prefPost.toSeq).reduce(_ unionByName _)
+    // fuzzy expansion: no automaton over a term dictionary here — the
+    // Spark-shape equivalent is ONE column-pruned codegen pass over the
+    // postings' term column (dictionary-encoded parquet): a cheap length
+    // window first, then the bounded-threshold Levenshtein (early-exits
+    // past the budget). Linear in index size like a cross-bucket prefix,
+    // capped the same way.
+    val fuzzPost = if (fuzzies.isEmpty) None else {
+      def cond(q: String, d: Int): Column =
+        length(col("term")).between(q.length - d, q.length + d) &&
+          levenshtein(col("term"), lit(q), d) >= 0
+      val qt = fuzzies.tail.foldLeft(
+        when(cond(fuzzies.head._1, fuzzies.head._2),
+          lit(s"${fuzzies.head._1}~${fuzzies.head._2}"))) {
+        case (acc, (q, d)) => acc.when(cond(q, d), lit(s"$q~$d"))
+      }
+      val fp = raw.filter(fuzzies.map { case (q, d) => cond(q, d) }.reduce(_ || _))
+      val cap = spark.conf.getOption("spark.graft.fts.maxFuzzyTerms")
+        .map(_.toInt).getOrElse(256)
+      val expanded = fp.select(col("term")).distinct().limit(cap + 1).count()
+      require(expanded <= cap,
+        s"fuzzy query ${fuzzies.map(f => s"${f._1}~${f._2}").mkString(", ")} " +
+          s"expands to more than $cap index terms - tighten the distance or " +
+          "raise spark.graft.fts.maxFuzzyTerms")
+      Some(fp.withColumn("__qt", qt))
+    }
+    val postAll = (exactPost.toSeq ++ prefPost.toSeq ++ fuzzPost.toSeq)
+      .reduce(_ unionByName _)
 
-    // per-term document frequency — at most #terms rows, broadcast back.
+    // per-term DOCUMENT frequency — at most #terms rows, broadcast back.
     // Computed BEFORE any pre-filter: corpus stats are index-wide.
-    val dfs = postAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // countDistinct, not count: overlapping clauses (the exact term also
+    // inside a prefix/fuzzy expansion) duplicate a (term, doc) posting
+    // row per clause — correct for scoring (each clause contributes,
+    // Lucene's BooleanQuery), but df must stay the true per-term count.
+    val dfs = postAll.groupBy(col("term"))
+      .agg(countDistinct(col("doc")).as("df"))
 
     val postF = filter.fold(postAll) { pred =>
       val eligible = spark.read.format("lance").load(datasetPath)
@@ -690,10 +747,10 @@ object FtsIndex {
       // count per doc IS the matched-clause count; with prefixes the
       // distinct __qt count collapses each prefix's expansions to one
       .agg(sum(col("c")).cast("double").as("score"),
-        (if (prefixes.isEmpty) count(lit(1))
+        (if (prefixes.isEmpty && fuzzies.isEmpty) count(lit(1))
          else countDistinct(col("__qt"))).as("__nt"))
     (if (mode == "all")
-      scored.filter(col("__nt") === (terms.size + prefixes.size))
+      scored.filter(col("__nt") === (terms.size + prefixes.size + fuzzies.size))
      else scored)
       .drop("__nt")
   }

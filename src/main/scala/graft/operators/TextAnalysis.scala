@@ -486,6 +486,37 @@ object TextAnalysis {
     FtsIndex.search(spark, dest, "txt", "graft*", bm25K)
   }
 
+  /** FTS fuzzy matching (t52): `zzfuzzbase~1` expands to every index
+    * term within Levenshtein distance 1 — one column-pruned codegen pass
+    * over the postings' term column (length window + bounded-threshold
+    * edit distance), each expansion scoring with its own df (Lucene's
+    * FuzzyQuery under the BooleanQuery rewrite). Planted family: the
+    * exact term, a substitution (`zzfuzzbasx`), a deletion (`zzfuzzbas`)
+    * — both distance 1 — and a DECOY at distance 2 (`zzfuzzbaxy`) the
+    * query must NOT match: the gate proves the distance boundary exact.
+    */
+  def t52FtsFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.FtsIndex
+    val dest = graft.Tables.scratch(dir, "docs_fts_fuzzy")
+    val mp = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${FtsIndex.indexPath(dest, "txt")}/fts.json").getAbsolutePath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) {
+      t(spark, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 9 === 0, lit(" zzfuzzbase"))
+            .when(col("doc_id") % 9 === 1, lit(" zzfuzzbasx"))
+            .when(col("doc_id") % 9 === 2, lit(" zzfuzzbas"))
+            .when(col("doc_id") % 9 === 3, lit(" zzfuzzbaxy"))
+            .otherwise(lit(""))))
+        .select(col("doc_id"), col("txt"))
+        .write.format("lance").mode("overwrite").save(dest)
+      FtsIndex.build(spark, spark.read.format("lance").load(dest),
+        "txt", "doc_id", dest)
+    }
+    FtsIndex.search(spark, dest, "txt", "zzfuzzbase~1", bm25K)
+  }
+
   /** FTS phrase disjunction (t51): `matchMode = "phrases"` — Lucene's
     * BooleanQuery of SHOULD PhraseQuery clauses. Planted family: one doc
     * kind per clause, one holding BOTH (its score is the SUM of the two
@@ -826,6 +857,7 @@ object TextAnalysis {
     "t46_fts_phrase" -> t46FtsPhrase,
     "t49_fts_not_slop" -> t49FtsNotSlop,
     "t50_fts_prefix" -> t50FtsPrefix,
+    "t52_fts_fuzzy" -> t52FtsFuzzy,
     "t51_fts_phrases" -> t51FtsPhrases,
     "t41_pii_redact" -> t41PiiRedact,
     "t47_chunking" -> t47Chunking,
@@ -1111,6 +1143,33 @@ object TextAnalysis {
            |SELECT doc_id,
            |  CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score
            |FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb)
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
+      "t52_fts_fuzzy" -> {
+        val toks = "string_split(txt, ' ')"
+        s"""WITH d AS (SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 9 = 0 THEN ' zzfuzzbase'
+           |         WHEN doc_id % 9 = 1 THEN ' zzfuzzbasx'
+           |         WHEN doc_id % 9 = 2 THEN ' zzfuzzbas'
+           |         WHEN doc_id % 9 = 3 THEN ' zzfuzzbaxy'
+           |         ELSE '' END AS txt
+           |  FROM documents),
+           |tok AS (SELECT doc_id, len($toks) AS dl,
+           |    unnest($toks) AS term FROM d),
+           |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+           |  WHERE levenshtein(term, 'zzfuzzbase') <= 1 GROUP BY 1, 2, 3),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len($toks)) AS BIGINT) AS sumdl FROM d)
+           |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM (
+           |  SELECT post.doc_id, CAST(
+           |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)
+           |          / (CAST(df AS DOUBLE) + 0.5)))
+           |        * (tf * CAST(2.2 AS DOUBLE)))
+           |      / (tf + 1.2 * (0.25 + (0.75 * dl)
+           |          / (CAST((SELECT sumdl FROM st) AS DOUBLE) / (SELECT n FROM st))))
+           |    AS DECIMAL(18,6)) AS c
+           |  FROM post JOIN dfs USING (term))
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
       },
       "t50_fts_prefix" -> {

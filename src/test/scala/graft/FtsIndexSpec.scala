@@ -117,6 +117,52 @@ class FtsIndexSpec extends AnyFunSuite {
         matchMode = "phrase"))
   }
 
+  test("fuzzy query expands by edit distance; boundary and df both exact") {
+    assert(meta.numDocs == 4)
+    // distance boundary: levenshtein(beta, delta) == 2 — inside ~2, not ~1
+    val d1 = FtsIndex.search(spark, datasetPath, "text", "beta~1", 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(d1 == Set(2L, 4L), s"beta~1 must match only beta holders: $d1")
+    val d2 = FtsIndex.search(spark, datasetPath, "text", "beta~2", 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(d2 == Set(2L, 4L), s"beta~2 adds delta - still docs 2,4: $d2")
+    // ...and the delta expansion genuinely scores: doc 4 (beta AND delta)
+    // must outrank doc 2 (beta only, same tf... no — beta tf=2 in doc 2).
+    // Assert instead via a term only delta matches: 'delta~1'
+    val dd = FtsIndex.search(spark, datasetPath, "text", "delta~1", 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(dd == Set(4L), s"delta~1 matches doc 4 only: $dd")
+    // fuzzy counts as ONE clause under `all`
+    val allMode = FtsIndex.search(spark, datasetPath, "text", "common beta~1", 4,
+      matchMode = "all").collect().map(_.getLong(0)).toSet
+    assert(allMode == Set(2L, 4L), s"all-mode fuzzy conjunction: $allMode")
+    // overlapping exact + fuzzy clauses: each contributes (BooleanQuery),
+    // but df stays the TRUE per-term count — the doubled query scores
+    // exactly twice the single-clause query
+    val one = FtsIndex.search(spark, datasetPath, "text", "beta", 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val two = FtsIndex.search(spark, datasetPath, "text", "beta beta~1", 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one.keySet == two.keySet)
+    one.foreach { case (doc, s) =>
+      assert(math.abs(two(doc) - 2.0 * s) < 1e-9,
+        s"doc $doc: ${two(doc)} != 2 * $s (df inflated by clause overlap?)")
+    }
+    // expansion cap fails loud
+    spark.conf.set("spark.graft.fts.maxFuzzyTerms", "0")
+    try {
+      val e = intercept[IllegalArgumentException](
+        FtsIndex.search(spark, datasetPath, "text", "beta~2", 4).collect())
+      assert(e.getMessage.contains("maxFuzzyTerms"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.fts.maxFuzzyTerms")
+    // negated fuzzy refuses; phrase mode refuses fuzzy
+    intercept[IllegalArgumentException](
+      FtsIndex.search(spark, datasetPath, "text", "common -beta~1", 4))
+    intercept[IllegalArgumentException](
+      FtsIndex.search(spark, datasetPath, "text", "beta~1 common", 4,
+        matchMode = "phrase"))
+  }
+
   test("bm25 ranks rare-term hit first and length-penalizes long docs") {
     assert(meta.numDocs == 4)
     val top = FtsIndex.search(spark, datasetPath, "text", "rare common", 4)
