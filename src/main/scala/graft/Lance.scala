@@ -321,7 +321,21 @@ object Lance {
     // let a replayed epoch re-commit after compaction (exactly-once break)
     val rows = manifest.map(_.rowCount).getOrElse(0L)
     val targetParts = math.max(1L, (rows + maxRowsPerFile - 1) / maxRowsPerFile).toInt
-    val w = read(spark, path).repartition(targetParts)
+    val base = read(spark, path)
+    // a declared clustering spec ([[cluster]]) survives maintenance: the
+    // rewrite re-establishes z-order over ALL rows (including fragments
+    // appended unsorted since), instead of shuffling the order away
+    val clusterCols = manifest.flatMap(_.clusterBy).getOrElse(Seq.empty)
+      .filter(c => base.columns.contains(c) &&
+        base.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val laid =
+      if (clusterCols.isEmpty) base.repartition(targetParts)
+      else base.withColumn("__z", zValueColumn(base, clusterCols))
+        .repartitionByRange(targetParts,
+          org.apache.spark.sql.functions.col("__z"))
+        .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+        .drop("__z")
+    val w = laid
       .write.format("lance")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)
       .option("write.operation", "rewrite") // row-preserving: changefeeds skip it
@@ -356,12 +370,22 @@ object Lance {
     val data = graft.format.LanceFormat.dataPath(root)
     val rows = small.map(_.rowCount).sum
     val parts = math.max(1L, (rows + maxRowsPerFile - 1) / maxRowsPerFile).toInt
-    locally {
+    val tail = locally {
       val df = spark.read.schema(m.physicalSchema)
         .parquet(small.map(f => new org.apache.hadoop.fs.Path(data, f.file).toString): _*)
       if (m.mapping.isEmpty) df else df.toDF(m.schema.fieldNames.toIndexedSeq: _*)
     }
-      .repartition(parts)
+    // under a declared clustering spec, the bin-packed tail is at least
+    // LOCALLY z-sorted (global order is [[compact]]'s job — here I/O
+    // stays proportional to the small tail alone, the whole point)
+    val clusterCols = m.clusterBy.getOrElse(Seq.empty)
+      .filter(c => tail.columns.contains(c) &&
+        tail.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    (if (clusterCols.isEmpty) tail.repartition(parts)
+     else tail.withColumn("__z", zValueColumn(tail, clusterCols))
+       .repartitionByRange(parts, org.apache.spark.sql.functions.col("__z"))
+       .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+       .drop("__z"))
       .write.format("lance")
       .option("write.replace-fragments", small.map(_.id).mkString(","))
       .option("write.operation", "rewrite")
@@ -791,7 +815,12 @@ object Lance {
       constraints = target.constraints,
       // but replay guards are monotonic per query: keep the LATEST map, or
       // a replayed epoch would re-land onto the restored state
-      streamEpochs = latest.streamEpochs)
+      streamEpochs = latest.streamEpochs,
+      // the mapping travels with the schema it names: restoring across a
+      // rename without it would read logical names against files that
+      // carry physical ones
+      columnMapping = target.columnMapping,
+      clusterBy = target.clusterBy)
     val committed = graft.format.LanceFormat.commit(fs, root, m)
     (version, committed.version)
   }
@@ -910,25 +939,7 @@ object Lance {
           s"${df.schema(c).dataType.simpleString}); cast dates/timestamps first")
     }
 
-    val nCuts = (1 << ZBits) - 1
-    val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
-    // one pass builds every column's sketch together
-    val cuts = df.stat.approxQuantile(cols.toArray,
-      probs, 0.001)
-    val bucketExprs = cols.zip(cuts).map { case (c, qs) =>
-      // ascending CASE chain: value <= q(i) -> bucket i; NULLs sort first
-      val arms = qs.zipWithIndex.map { case (q, i) =>
-        s"WHEN `$c` <= CAST($q AS DOUBLE) THEN $i"
-      }.mkString(" ")
-      expr(s"CASE WHEN `$c` IS NULL THEN 0 $arms ELSE $nCuts END")
-    }
-    // interleave: bit i of column j lands at position i*nCols + j, so all
-    // columns contribute equally at every scale of the curve
-    val z = (0 until ZBits).flatMap { bit =>
-      bucketExprs.zipWithIndex.map { case (b, j) =>
-        shiftleft(shiftright(b, bit).bitwiseAND(lit(1)), bit * cols.size + j)
-      }
-    }.reduce(_.bitwiseOR(_))
+    val z = zValueColumn(df, cols)
 
     val rows = manifest.map(_.rowCount).getOrElse(0L)
     val targetParts = math.max(1L, (rows + maxRowsPerFile - 1) / maxRowsPerFile).toInt
@@ -941,8 +952,48 @@ object Lance {
       .option("write.operation", "rewrite") // row-preserving: changefeeds skip it
     manifest.flatMap(_.epochId).fold(w)(e => w.option("write.epoch-id", e.toString))
       .mode("overwrite").save(path)
+    // DECLARE the spec (one metadata commit): every later [[compact]] /
+    // [[compactSmall]] re-establishes this order instead of destroying
+    // it — nobody re-runs OPTIMIZE ZORDER by hand at 100 TB
+    graft.format.LanceFormat.commitClusterBy(fs, root, cols)
     val after = graft.format.LanceFormat.readLatest(fs, root)
       .map(_.fragments.size).getOrElse(0)
     (before, after)
+  }
+
+  /** The declared clustering spec ([[cluster]]); empty when none. */
+  def clusterSpec(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.readLatest(fs, root)
+      .flatMap(_.clusterBy).getOrElse(Seq.empty)
+  }
+
+  /** The quantile-bucketed, bit-interleaved z-value for `cols` over `df`
+    * — shared by [[cluster]] and the clustering-preserving compactions.
+    * One `approxQuantile` sketch pass (driver-side, KB-sized); the value
+    * itself is a pure codegen'd expression (CASE chain + shifts).
+    */
+  private def zValueColumn(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val nCuts = (1 << ZBits) - 1
+    val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+    // one pass builds every column's sketch together
+    val cuts = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val bucketExprs = cols.zip(cuts).map { case (c, qs) =>
+      // ascending CASE chain: value <= q(i) -> bucket i; NULLs sort first
+      val arms = qs.zipWithIndex.map { case (q, i) =>
+        s"WHEN `$c` <= CAST($q AS DOUBLE) THEN $i"
+      }.mkString(" ")
+      expr(s"CASE WHEN `$c` IS NULL THEN 0 $arms ELSE $nCuts END")
+    }
+    // interleave: bit i of column j lands at position i*nCols + j, so all
+    // columns contribute equally at every scale of the curve
+    (0 until ZBits).flatMap { bit =>
+      bucketExprs.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b, bit).bitwiseAND(lit(1)), bit * cols.size + j)
+      }
+    }.reduce(_.bitwiseOR(_))
   }
 }

@@ -38,7 +38,12 @@ case class Manifest(
     droppedColumns: Option[Seq[String]] = None,
     constraints: Option[Map[String, String]] = None,
     streamEpochs: Option[Map[String, Long]] = None,
-    columnMapping: Option[Map[String, String]] = None) {
+    columnMapping: Option[Map[String, String]] = None,
+    // declared clustering (LOGICAL column names, [[Lance.cluster]]):
+    // maintenance rewrites re-establish this order instead of destroying
+    // it — the Delta liquid-clustering posture. Carried through every
+    // commit kind; remapped on RENAME; pruned on DROP.
+    clusterBy: Option[Seq[String]] = None) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   /** RENAME COLUMN support, Delta's column-mapping-by-name shape: the
     * manifest schema carries LOGICAL names; fragment files always carry
@@ -227,7 +232,8 @@ object LanceFormat {
         droppedColumns = prev.flatMap(_.droppedColumns),
         constraints = rules,
         streamEpochs = mergeStreamEpochs(prev.flatMap(_.streamEpochs), streamEpoch),
-        columnMapping = prev.flatMap(_.columnMapping))
+        columnMapping = prev.flatMap(_.columnMapping),
+        clusterBy = prev.flatMap(_.clusterBy))
       if (commitOnceIn(fs, dir, m, publisher)) return m
       attempt += 1
     }
@@ -271,7 +277,10 @@ object LanceFormat {
         droppedColumns = Some(droppedColumns).filter(_.nonEmpty),
         constraints = prev.constraints,
         streamEpochs = prev.streamEpochs,
-        columnMapping = Some(mappingTransform(prev.mapping)).filter(_.nonEmpty))
+        columnMapping = Some(mappingTransform(prev.mapping)).filter(_.nonEmpty),
+        // a DROPPED cluster column self-heals out of the spec
+        clusterBy = prev.clusterBy
+          .map(_.filter(schema.fieldNames.contains)).filter(_.nonEmpty))
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
     }
@@ -328,7 +337,8 @@ object LanceFormat {
         droppedColumns = prev.droppedColumns,
         constraints = prev.constraints,
         streamEpochs = prev.streamEpochs,
-        columnMapping = prev.columnMapping)
+        columnMapping = prev.columnMapping,
+        clusterBy = prev.clusterBy)
       if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
       attempt += 1
     }
@@ -380,7 +390,8 @@ object LanceFormat {
         streamEpochs = mergeStreamEpochs(prev.flatMap(_.streamEpochs), streamEpoch),
         // the overwrite's fragments were written through the same
         // logical->physical translation, so the mapping stays true
-        columnMapping = prev.flatMap(_.columnMapping))
+        columnMapping = prev.flatMap(_.columnMapping),
+        clusterBy = prev.flatMap(_.clusterBy))
       if (commitOnce(fs, root, m, None)) return m
       attempt += 1
     }
@@ -453,7 +464,11 @@ object LanceFormat {
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
         constraints = Some(newRules).filter(_.nonEmpty),
-        columnMapping = Some(newMapping).filter(_.nonEmpty))
+        columnMapping = Some(newMapping).filter(_.nonEmpty),
+        // the clustering spec names LOGICAL columns: it remaps like the
+        // structured rules do
+        clusterBy = prev.clusterBy.map(_.map(c =>
+          if (c == oldName) newName else c)))
       if (commitOnceIn(fs, versionsPath(root), m, None)) return m
       attempt += 1
     }
@@ -555,6 +570,30 @@ object LanceFormat {
     }
     throw new IllegalStateException(
       s"could not commit widen after $attempt attempts at $root")
+  }
+
+  /** Record (or clear, with an empty list) the declared clustering spec
+    * — one metadata commit. [[Lance.cluster]] calls this after its
+    * rewrite so every later maintenance rewrite re-establishes the same
+    * order; carried forward by every commit kind like constraints are.
+    */
+  def commitClusterBy(fs: FileSystem, root: Path, cols: Seq[String]): Manifest = {
+    var attempt = 0
+    while (attempt < 20) {
+      val prev = readLatest(fs, root).getOrElse(
+        throw new IllegalStateException(s"no dataset at $root"))
+      cols.foreach(c => require(prev.schema.fieldNames.contains(c),
+        s"no column '$c' at $root"))
+      val m = prev.copy(
+        version = prev.version + 1,
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some("alter"),
+        clusterBy = Some(cols).filter(_.nonEmpty))
+      if (commitOnceIn(fs, versionsPath(root), m, None)) return m
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit cluster spec after $attempt attempts at $root")
   }
 
   /** Data commits carry the WRITER's schema, which may predate a
@@ -953,7 +992,8 @@ object LanceFormat {
       // replay guards are MAIN-lineage state: keep main's, not the fork-time copy
       streamEpochs = mainLatest.streamEpochs,
       // the mapping travels with the schema it names (head's)
-      columnMapping = head.columnMapping)
+      columnMapping = head.columnMapping,
+      clusterBy = head.clusterBy)
     // ONE commitOnce attempt, never the version-bumping commit() retry: a
     // concurrent main append winning the race means the precondition no
     // longer holds, and retrying at the next number would publish the
@@ -1057,7 +1097,8 @@ object LanceFormat {
       droppedColumns = mainLatest.droppedColumns,
       constraints = mainLatest.constraints,
       streamEpochs = mainLatest.streamEpochs,
-      columnMapping = mainLatest.columnMapping)
+      columnMapping = mainLatest.columnMapping,
+      clusterBy = mainLatest.clusterBy)
     if (!commitOnce(fs, root, m, None))
       throw new java.util.ConcurrentModificationException(
         s"cannot rebase '$name': main advanced concurrently past " +

@@ -1493,6 +1493,45 @@ object LanceQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Clustering maintenance (s105): [[graft.Lance.cluster]] DECLARES its
+    * columns in the manifest; a later [[graft.Lance.compact]] — run with
+    * no layout arguments, the way maintenance actually runs at 100 TB —
+    * re-establishes the z-order over everything, including a batch
+    * appended unsorted since. The gate clusters orders by `o_custkey`,
+    * spoils the layout with an unsorted append, compacts, and proves
+    * (a) a custkey range probe prunes fragments again (literal column
+    * anchored by [[graft.format.FragmentStats.prune]]) and (b) no row
+    * was lost, reordered wrongly, or duplicated across the rewrites.
+    */
+  def s105ClusterCompact(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_clustered")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val rows = o.count()
+    o.filter(pmod(col("o_orderkey"), lit(3)) < 2)
+      .repartition(4) // deliberately unclustered
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.cluster(spark, dest, Seq("o_custkey"), maxRowsPerFile = rows / 4)
+    o.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+      .repartition(2)
+      .write.format("lance").mode("append").save(dest)
+    graft.Lance.compact(spark, dest, maxRowsPerFile = rows / 4)
+    val root = new org.apache.hadoop.fs.Path(dest)
+    val m = graft.format.LanceFormat.readLatest(
+      graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf()),
+      root).get
+    val kept = graft.format.FragmentStats.prune(m.physicalSchema, m.fragments,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("o_custkey", 100L),
+        org.apache.spark.sql.sources.LessThanOrEqual("o_custkey", 102L)))
+    spark.read.format("lance").load(dest)
+      .filter(col("o_custkey").between(100L, 102L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("pruned", lit(kept.size < m.fragments.size &&
+        m.clusterBy.contains(Seq("o_custkey"))))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Widening ALTER COLUMN TYPE (s104): the first era of orders is
     * written with `o_custkey` as INT, the column is widened to BIGINT in
     * ONE metadata commit ([[graft.format.LanceFormat.commitWiden]] —
@@ -1817,6 +1856,7 @@ object LanceQueries {
     "s102_rename_column" -> s102RenameColumn,
     "s103_scalar_range_prune" -> s103ScalarRangePrune,
     "s104_widen_type" -> s104WidenType,
+    "s105_cluster_compact" -> s105ClusterCompact,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1936,6 +1976,12 @@ object LanceQueries {
     "s103_scalar_range_prune" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS pruned
         |FROM orders WHERE o_orderkey BETWEEN 100 AND 103
+        |ORDER BY o_orderkey""".stripMargin,
+    // s105: the compacted table is exactly orders; pruning effectiveness
+    // is the planted literal (v26r pattern), anchored by the row set
+    "s105_cluster_compact" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS pruned
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 102
         |ORDER BY o_orderkey""".stripMargin,
     // s104: both eras plus the planted wide key aggregate through the
     // widened type (DuckDB SUM(BIGINT) is HUGEINT — cast back)

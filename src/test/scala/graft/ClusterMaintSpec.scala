@@ -1,0 +1,128 @@
+package graft
+
+import graft.format.LanceFormat
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Declared clustering maintenance (the Delta liquid-clustering posture):
+  * [[Lance.cluster]] RECORDS its columns in the manifest, and every later
+  * maintenance rewrite re-establishes that order instead of destroying
+  * it. Contracts pinned here:
+  *  - cluster() records the spec; appends carry it; clusterSpec() reads it
+  *  - compact() on a spec'd table re-sorts EVERYTHING (including
+  *    fragments appended unsorted since) — fragment ranges become
+  *    disjoint again and stats pruning works
+  *  - compactSmall() keeps the spec and z-sorts the bin-packed tail
+  *  - RENAME COLUMN remaps the spec; DROP COLUMN self-heals it out
+  *  - restore() carries the column mapping and cluster spec of the
+  *    target version (regression: restoring across a rename used to drop
+  *    the logical→physical mapping)
+  */
+class ClusterMaintSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "clspec-")
+      .toAbsolutePath.toString
+
+  private def fs(dir: String) =
+    LanceFormat.fileSystem(new Path(dir), spark.sessionState.newHadoopConf())
+
+  private def manifest(dir: String) =
+    LanceFormat.readLatest(fs(dir), new Path(dir)).get
+
+  test("cluster records the spec; appends carry it; compact re-establishes order") {
+    val dir = tmpDir()
+    // 3000 rows in shuffled order across two eras
+    spark.range(0, 2000).select(
+        (col("id") * 997 % 2000).as("v"), col("id"))
+      .repartition(4)
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.cluster(spark, dir, Seq("v"), maxRowsPerFile = 700)
+    assert(Lance.clusterSpec(spark, dir) == Seq("v"))
+    // an unsorted append spoils the physical order but carries the spec
+    spark.range(2000, 3000).select(
+        (col("id") * 997 % 3000).as("v"), col("id"))
+      .repartition(3)
+      .write.format("lance").mode("append").save(dir)
+    assert(Lance.clusterSpec(spark, dir) == Seq("v"))
+    // compact: all rows re-sorted by the DECLARED spec, no cols argument
+    Lance.compact(spark, dir, maxRowsPerFile = 800)
+    val m = manifest(dir)
+    assert(m.fragments.size >= 3, s"want >2 fragments, got ${m.fragments.size}")
+    assert(m.clusterBy.contains(Seq("v")))
+    // ranges disjoint again: a point probe prunes to one fragment
+    val kept = graft.format.FragmentStats.prune(m.physicalSchema, m.fragments,
+      Array(org.apache.spark.sql.sources.EqualTo("v", 1500L)))
+    assert(kept.size == 1,
+      s"clustered compact must prune a point probe to 1 fragment, got ${kept.size}")
+    // and no row was lost or duplicated
+    assert(spark.read.format("lance").load(dir).count() == 3000)
+  }
+
+  test("compactSmall keeps the spec; rename remaps; drop self-heals") {
+    val dir = tmpDir()
+    spark.range(0, 500).select(col("id").as("v"), col("id"), lit("x").as("s"))
+      .coalesce(1).write.format("lance").mode("overwrite").save(dir)
+    Lance.cluster(spark, dir, Seq("v"))
+    // small-fragment tail
+    Seq((9000L, 9000L, "y"), (9001L, 9001L, "y")).toDF("v", "id", "s")
+      .coalesce(1).write.format("lance").mode("append").save(dir)
+    Seq((9002L, 9002L, "y")).toDF("v", "id", "s")
+      .coalesce(1).write.format("lance").mode("append").save(dir)
+    Lance.compactSmall(spark, dir, minRows = 10)
+    assert(Lance.clusterSpec(spark, dir) == Seq("v"))
+    assert(spark.read.format("lance").load(dir).count() == 503)
+    // rename remaps the spec
+    Lance.renameColumn(spark, dir, "v", "key")
+    assert(Lance.clusterSpec(spark, dir) == Seq("key"))
+    // compact still works through the rename (logical name, physical files)
+    Lance.compact(spark, dir, maxRowsPerFile = 1000)
+    assert(Lance.clusterSpec(spark, dir) == Seq("key"))
+    assert(spark.read.format("lance").load(dir).count() == 503)
+    // dropping the clustered column self-heals the spec away
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.lance_cl", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_cl.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE lance_cl.db")
+      val p = s"$wh/db/t"
+      spark.range(0, 10).select(col("id").as("a"), col("id").as("b"))
+        .write.format("lance").mode("overwrite").save(p)
+      Lance.cluster(spark, p, Seq("a"))
+      spark.sql("ALTER TABLE lance_cl.db.t DROP COLUMN a")
+      assert(Lance.clusterSpec(spark, p).isEmpty)
+      // a later compact neither fails nor resurrects the spec
+      Lance.compact(spark, p)
+      assert(Lance.clusterSpec(spark, p).isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lance_cl")
+      spark.conf.unset("spark.sql.catalog.lance_cl.warehouse")
+    }
+  }
+
+  test("restore across a rename keeps the mapping and the cluster spec") {
+    val dir = tmpDir()
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.format("lance").mode("overwrite").save(dir) // v1
+    Lance.cluster(spark, dir, Seq("id")) // v2 (rewrite) + v3 (spec)
+    Lance.renameColumn(spark, dir, "v", "price") // v4
+    val target = manifest(dir).version
+    Seq((3L, 30.0)).toDF("id", "price")
+      .write.format("lance").mode("append").save(dir) // v5
+    Lance.restore(spark, dir, target)
+    val m = manifest(dir)
+    assert(m.mapping == Map("price" -> "v"),
+      s"restore must carry the target's column mapping, got ${m.mapping}")
+    assert(m.clusterBy.contains(Seq("id")))
+    // the restored state reads through the renamed name with values intact
+    val rows = spark.read.format("lance").load(dir)
+      .orderBy("id").select("id", "price")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 10.0), (2L, 20.0)))
+  }
+}
