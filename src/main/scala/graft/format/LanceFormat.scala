@@ -391,7 +391,10 @@ object LanceFormat {
         // the overwrite's fragments were written through the same
         // logical->physical translation, so the mapping stays true
         columnMapping = prev.flatMap(_.columnMapping),
-        clusterBy = prev.flatMap(_.clusterBy))
+        // an overwrite that changed the schema self-heals vanished
+        // cluster columns out of the spec (commitAlter's posture)
+        clusterBy = prev.flatMap(_.clusterBy)
+          .map(_.filter(named.fieldNames.contains)).filter(_.nonEmpty))
       if (commitOnce(fs, root, m, None)) return m
       attempt += 1
     }

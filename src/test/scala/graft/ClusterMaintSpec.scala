@@ -105,6 +105,20 @@ class ClusterMaintSpec extends AnyFunSuite {
     }
   }
 
+  test("an overwrite that drops the clustered column self-heals the spec") {
+    val dir = tmpDir()
+    spark.range(0, 10).select(col("id").as("a"), col("id").as("b"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.cluster(spark, dir, Seq("a"))
+    assert(Lance.clusterSpec(spark, dir) == Seq("a"))
+    // schema-changing overwrite: 'a' is gone, the spec must not dangle
+    spark.range(0, 5).select(col("id").as("b"), col("id").as("c"))
+      .write.format("lance").mode("overwrite").save(dir)
+    assert(Lance.clusterSpec(spark, dir).isEmpty)
+    Lance.compact(spark, dir) // neither fails nor resurrects
+    assert(Lance.clusterSpec(spark, dir).isEmpty)
+  }
+
   test("restore across a rename keeps the mapping and the cluster spec") {
     val dir = tmpDir()
     Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
