@@ -341,15 +341,30 @@ object MetaTvfs {
       case "lance_fts" =>
         require(args.size >= 4 && args.size <= 6,
           "lance_fts(path, column, query, k[, filter[, matchMode]])")
-        graft.index.FtsIndex.search(spark, path,
-          literalString(args(1), "lance_fts: column"),
-          literalString(args(2), "lance_fts: query"),
-          literalString(args(3), "lance_fts: k").toInt,
-          filter = if (args.size >= 5)
-            Some(literalString(args(4), "lance_fts: filter"))
-              .filter(_.nonEmpty) else None, // '' = no filter (arg skipping)
-          matchMode = if (args.size >= 6)
-            literalString(args(5), "lance_fts: matchMode") else "any")
+        val colSpec = literalString(args(1), "lance_fts: column")
+        val query = literalString(args(2), "lance_fts: query")
+        val k = literalString(args(3), "lance_fts: k").toInt
+        val filter = if (args.size >= 5)
+          Some(literalString(args(4), "lance_fts: filter"))
+            .filter(_.nonEmpty) else None // '' = no filter (arg skipping)
+        val matchMode = if (args.size >= 6)
+          literalString(args(5), "lance_fts: matchMode") else "any"
+        // 'title^2,body' = weighted multi-field (Lucene boost syntax) —
+        // each field searched through its own index, scores boost-summed
+        if (colSpec.contains(',') || colSpec.contains('^')) {
+          val fields = colSpec.split(',').map(_.trim).filter(_.nonEmpty)
+            .map { f =>
+              f.split('^') match {
+                case Array(c) => (c.trim, 1.0)
+                case Array(c, b) => (c.trim, b.trim.toDouble)
+                case _ => throw new IllegalArgumentException(
+                  s"lance_fts: bad field spec '$f' (want col or col^boost)")
+              }
+            }.toSeq
+          graft.index.FtsIndex.searchFields(spark, path, fields, query, k,
+            filter, matchMode)
+        } else graft.index.FtsIndex.search(spark, path, colSpec, query, k,
+          filter = filter, matchMode = matchMode)
       // ANALYZE/DESCRIBE-STATISTICS parity, zero data files touched: the
       // per-fragment manifest stats rolled up to table level. min/max are
       // BOUNDS in the stored canonical encoding (strings ≤64 chars are

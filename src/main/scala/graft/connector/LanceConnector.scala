@@ -142,6 +142,34 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
   override def metadataColumns(): Array[MetadataColumn] =
     Array(LanceFragmentScan.fragmentIdMetadataColumn)
 
+  /** Surface table-level declarations in `DESCRIBE EXTENDED` /
+    * `SHOW TBLPROPERTIES`: CHECK/UNIQUE/NOT NULL rules, the declared
+    * clustering spec, rename mappings, and the current version —
+    * otherwise a SQL-only user has no way to see what the manifest
+    * enforces. Snapshot per Table instance (one manifest read, lazy).
+    */
+  override def properties(): java.util.Map[String, String] = tableProps
+
+  private lazy val tableProps: java.util.Map[String, String] = {
+    val out = new java.util.HashMap[String, String]()
+    try {
+      val root = new org.apache.hadoop.fs.Path(rootStr)
+      val fs = LanceFormat.fileSystem(root,
+        SparkSession.active.sessionState.newHadoopConf())
+      LanceFormat.readLatest(fs, root).foreach { m =>
+        out.put("lance.version", m.version.toString)
+        m.clusterBy.foreach(cs => out.put("lance.cluster-by", cs.mkString(",")))
+        m.checkConstraints.foreach { case (n, e) =>
+          out.put(s"lance.constraint.$n", e) }
+        if (m.mapping.nonEmpty)
+          out.put("lance.column-mapping",
+            m.mapping.toSeq.sortBy(_._1)
+              .map { case (l, p) => s"$l->$p" }.mkString(","))
+      }
+    } catch { case _: Exception => () } // DESCRIBE must never fail a read
+    out
+  }
+
   /** SQL `UPDATE` / `MERGE INTO` / non-translatable `DELETE`: group-based
     * copy-on-write rewrite ([[LanceRowLevelOperation]]). Translatable
     * DELETEs are converted back to [[deleteWhere]] by Spark's

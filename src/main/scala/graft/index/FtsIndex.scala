@@ -505,6 +505,43 @@ object FtsIndex {
       .withColumnRenamed("doc", meta.idColumn)
   }
 
+  /** Weighted multi-field search — Lucene's `title^2 body` / the
+    * most_fields multi-match shape: the query runs through EACH field's
+    * own index (every field keeps its own postings, df, and length
+    * normalization — per-field BM25 is exactly [[search]]'s), scores are
+    * boost-weighted and summed per doc, top-k of the combined score.
+    * `matchMode` applies PER FIELD (`all` = the doc matches every term
+    * within that field; it can still score from one field alone —
+    * most_fields semantics, not cross_fields). Every field needs an FTS
+    * index over the SAME id column.
+    */
+  def searchFields(spark: SparkSession, datasetPath: String,
+      fields: Seq[(String, Double)], queryText: String, k: Int,
+      filter: Option[String] = None, matchMode: String = "any"): DataFrame = {
+    require(fields.nonEmpty, "searchFields needs at least one (column, boost)")
+    require(k > 0, s"k must be positive, got $k")
+    require(fields.map(_._1).distinct.size == fields.size,
+      s"duplicate field in ${fields.map(_._1).mkString(", ")}")
+    val metas = fields.map { case (c, _) => loadMeta(spark, datasetPath, c) }
+    require(metas.map(_.idColumn).distinct.size == 1,
+      s"multi-field search needs one shared id column, got " +
+        metas.map(_.idColumn).distinct.mkString(", "))
+    val per = fields.zip(metas).map { case ((c, boost), meta) =>
+      scoredSearch(spark, datasetPath, c, queryText, filter, matchMode, meta)
+        // round each weighted field score to decimal(18,6) before the
+        // cross-field sum: decimal addition is order-insensitive, so the
+        // combined score is bit-stable however Spark orders the rows
+        .select(col("doc"),
+          (col("score") * lit(boost)).cast("decimal(18,6)").as("c"))
+    }
+    per.reduce(_ unionByName _)
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+      .withColumnRenamed("doc", metas.head.idColumn)
+  }
+
   /** Disjunction of phrases — Lucene's BooleanQuery of SHOULD
     * PhraseQuery clauses: a doc matches if ANY of `phrases` occurs
     * (exact-consecutive, or in order within `slop` extra positions), and

@@ -517,6 +517,37 @@ object TextAnalysis {
     FtsIndex.search(spark, dest, "txt", "zzfuzzbase~1", bm25K)
   }
 
+  /** Weighted multi-field FTS (t53): `title^2 body` — the most common
+    * search shape. Each field keeps its OWN index, postings, df and
+    * length normalization; scores are boost-weighted and decimal-summed
+    * per doc ([[graft.index.FtsIndex.searchFields]], ES most_fields).
+    * Planted: `zzmf` lives in some TITLES (%8=0) and some BODIES (%8=2) —
+    * title hits must carry the 2x boost, a doc in neither never surfaces.
+    */
+  def t53FtsFields(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.FtsIndex
+    val dest = graft.Tables.scratch(dir, "docs_fts_fields")
+    val mp = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${FtsIndex.indexPath(dest, "title")}/fts.json").getAbsolutePath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) {
+      t(spark, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 8 === 2, lit(" zzmf")).otherwise(lit(""))))
+        .withColumn("title",
+          when(col("doc_id") % 8 === 0, lit("zzmf headline"))
+            .when(col("doc_id") % 8 === 1, lit("plain headline"))
+            .otherwise(lit("untitled")))
+        .select(col("doc_id"), col("txt"), col("title"))
+        .write.format("lance").mode("overwrite").save(dest)
+      val ds = spark.read.format("lance").load(dest)
+      FtsIndex.build(spark, ds, "txt", "doc_id", dest)
+      FtsIndex.build(spark, ds, "title", "doc_id", dest)
+    }
+    FtsIndex.searchFields(spark, dest,
+      Seq(("title", 2.0), ("txt", 1.0)), "zzmf", bm25K)
+  }
+
   /** FTS phrase disjunction (t51): `matchMode = "phrases"` — Lucene's
     * BooleanQuery of SHOULD PhraseQuery clauses. Planted family: one doc
     * kind per clause, one holding BOTH (its score is the SUM of the two
@@ -858,6 +889,7 @@ object TextAnalysis {
     "t49_fts_not_slop" -> t49FtsNotSlop,
     "t50_fts_prefix" -> t50FtsPrefix,
     "t52_fts_fuzzy" -> t52FtsFuzzy,
+    "t53_fts_fields" -> t53FtsFields,
     "t51_fts_phrases" -> t51FtsPhrases,
     "t41_pii_redact" -> t41PiiRedact,
     "t47_chunking" -> t47Chunking,
@@ -1143,6 +1175,46 @@ object TextAnalysis {
            |SELECT doc_id,
            |  CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score
            |FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb)
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
+      "t53_fts_fields" -> {
+        val bm25 = (post: String, dfs: String, st: String) =>
+          s"""CAST((ln(1.0 + ((CAST((SELECT n FROM $st) - df AS DOUBLE) + 0.5)
+             |    / (CAST(df AS DOUBLE) + 0.5)))
+             |  * (tf * CAST(2.2 AS DOUBLE)))
+             |/ (tf + 1.2 * (0.25 + (0.75 * dl)
+             |    / (CAST((SELECT sumdl FROM $st) AS DOUBLE) / (SELECT n FROM $st))))
+             |AS DECIMAL(18,6))""".stripMargin
+        s"""WITH d AS (SELECT doc_id,
+           |    text || CASE WHEN doc_id % 8 = 2 THEN ' zzmf' ELSE '' END AS txt,
+           |    CASE WHEN doc_id % 8 = 0 THEN 'zzmf headline'
+           |         WHEN doc_id % 8 = 1 THEN 'plain headline'
+           |         ELSE 'untitled' END AS title
+           |  FROM documents),
+           |ttok AS (SELECT doc_id, len(string_split(txt, ' ')) AS dl,
+           |    unnest(string_split(txt, ' ')) AS term FROM d),
+           |tpost AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM ttok
+           |  WHERE term = 'zzmf' GROUP BY 1, 2, 3),
+           |tdfs AS (SELECT term, COUNT(*) AS df FROM tpost GROUP BY term),
+           |tst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len(string_split(txt, ' '))) AS BIGINT) AS sumdl FROM d),
+           |tscore AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS s FROM (
+           |    SELECT tpost.doc_id, ${bm25("tpost", "tdfs", "tst")} AS c
+           |    FROM tpost JOIN tdfs USING (term)) GROUP BY doc_id),
+           |htok AS (SELECT doc_id, len(string_split(title, ' ')) AS dl,
+           |    unnest(string_split(title, ' ')) AS term FROM d),
+           |hpost AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM htok
+           |  WHERE term = 'zzmf' GROUP BY 1, 2, 3),
+           |hdfs AS (SELECT term, COUNT(*) AS df FROM hpost GROUP BY term),
+           |hst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len(string_split(title, ' '))) AS BIGINT) AS sumdl FROM d),
+           |hscore AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS s FROM (
+           |    SELECT hpost.doc_id, ${bm25("hpost", "hdfs", "hst")} AS c
+           |    FROM hpost JOIN hdfs USING (term)) GROUP BY doc_id)
+           |SELECT doc_id, CAST(SUM(c2) AS DOUBLE) AS score FROM (
+           |  SELECT doc_id, CAST(s * CAST(1.0 AS DOUBLE) AS DECIMAL(18,6)) AS c2 FROM tscore
+           |  UNION ALL
+           |  SELECT doc_id, CAST(s * CAST(2.0 AS DOUBLE) AS DECIMAL(18,6)) AS c2 FROM hscore)
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
       },
       "t52_fts_fuzzy" -> {

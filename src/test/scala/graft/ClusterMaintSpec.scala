@@ -105,6 +105,31 @@ class ClusterMaintSpec extends AnyFunSuite {
     }
   }
 
+  test("declarations surface in SHOW TBLPROPERTIES / DESCRIBE EXTENDED") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.lance_pr", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_pr.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE lance_pr.db")
+      val p = s"$wh/db/t"
+      Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
+        .write.format("lance").mode("overwrite").save(p)
+      Lance.cluster(spark, p, Seq("id"))
+      Lance.setNotNull(spark, p, "id")
+      Lance.renameColumn(spark, p, "v", "price")
+      val props = spark.sql("SHOW TBLPROPERTIES lance_pr.db.t")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("lance.cluster-by").contains("id"), props)
+      assert(props.get("lance.constraint.not_null_id")
+        .contains("`id` IS NOT NULL"), props)
+      assert(props.get("lance.column-mapping").contains("price->v"), props)
+      assert(props.contains("lance.version"), props)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lance_pr")
+      spark.conf.unset("spark.sql.catalog.lance_pr.warehouse")
+    }
+  }
+
   test("an overwrite that drops the clustered column self-heals the spec") {
     val dir = tmpDir()
     spark.range(0, 10).select(col("id").as("a"), col("id").as("b"))

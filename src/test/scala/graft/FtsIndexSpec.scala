@@ -222,6 +222,44 @@ class FtsIndexSpec extends AnyFunSuite {
     assert(sql == api)
   }
 
+  test("multi-field search: per-field BM25, boost-weighted, shared id required") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "fts-mf-")
+      .toAbsolutePath.toString + "/docs"
+    val docs = Seq(
+      (1L, "zzq common pad", "other words here"),
+      (2L, "common pad pad", "zzq headline"),
+      (3L, "common filler filler filler", "nothing at all"))
+    docs.toDF("doc_id", "body", "title")
+      .write.format("lance").mode("overwrite").save(dir)
+    val df = spark.read.format("lance").load(dir)
+    FtsIndex.build(spark, df, "body", "doc_id", dir, numTermPartitions = 2)
+    FtsIndex.build(spark, df, "title", "doc_id", dir, numTermPartitions = 2)
+    val bodyOnly = FtsIndex.search(spark, dir, "body", "zzq", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val titleOnly = FtsIndex.search(spark, dir, "title", "zzq", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val multi = FtsIndex.searchFields(spark, dir,
+      Seq(("title", 2.0), ("body", 1.0)), "zzq", 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val m = multi.toMap
+    // doc 2 scores only from title (boosted 2x); doc 1 only from body
+    assert(math.abs(m(2L) - 2.0 * titleOnly(2L)) < 1e-6, s"$m vs $titleOnly")
+    assert(math.abs(m(1L) - bodyOnly(1L)) < 1e-6, s"$m vs $bodyOnly")
+    assert(!m.contains(3L))
+    // ranking by the combined score, boosted title first here
+    assert(multi.map(_._1).toSeq == multi.sortBy(-_._2).map(_._1).toSeq)
+    // SQL twin: the boost syntax routes through the same path
+    MetaTvfs.register(spark)
+    val sql = spark.sql(
+      s"SELECT * FROM lance_fts('$dir', 'title^2.0,body', 'zzq', 3)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sql == multi.toSeq)
+    // duplicate fields refuse
+    intercept[IllegalArgumentException](
+      FtsIndex.searchFields(spark, dir, Seq(("body", 1.0), ("body", 2.0)),
+        "zzq", 3))
+  }
+
   test("pre-filter narrows candidates without re-weighing corpus stats") {
     val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
       "fts-filter-").toAbsolutePath.toString
