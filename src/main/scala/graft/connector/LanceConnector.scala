@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -512,7 +513,7 @@ class LanceScanBuilder(spark: SparkSession,
       new LanceMetadataScan(statsPruned(super.build()), rootStr, kept,
         physToLogical)
     case None => new LanceParquetScan(statsPruned(super.build()), rootStr,
-      physToLogical)
+      physToLogical, manifest)
   }
 }
 
@@ -523,16 +524,146 @@ class LanceScanBuilder(spark: SparkSession,
   * below reads PHYSICAL column names (what fragment files carry), while
   * [[readSchema]] reports the LOGICAL names Spark's plan expects — rows
   * are positional, so no data moves.
+  *
+  * With `manifest` present the scan also accepts RUNTIME filters
+  * ([[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]],
+  * the dynamic-partition-pruning hook Iceberg uses for file-group
+  * filtering): in a star join, Spark collects the broadcast dim side's
+  * join keys at execution time and hands them here as an IN predicate —
+  * the fragment list is re-pruned through the same manifest-stats /
+  * value-set / scalar-index layers the static path uses, so a clustered
+  * 100 TB fact table scans only the fragments the dim filter can reach.
+  * Static pushdown cannot see these keys (they exist only after the dim
+  * filter runs); without this hook the fact side is a full scan.
+  * Strictly conservative: untranslatable predicates, missing stats, or
+  * an absent manifest leave the partition list unchanged.
   */
 class LanceParquetScan(inner: ParquetScan, rootStr: String,
-    physToLogical: Map[String, String] = Map.empty)
+    physToLogical: Map[String, String] = Map.empty,
+    manifest: Option[Manifest] = None)
     extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
       inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
       inner.pushedFilters, inner.options, inner.pushedAggregate,
-      inner.partitionFilters, inner.dataFilters, inner.pushedVariantExtractions) {
+      inner.partitionFilters, inner.dataFilters, inner.pushedVariantExtractions)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType =
     LanceFormat.toPhysical(super.readSchema(), physToLogical)
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  /** Columns a runtime filter could prune on: every stats-eligible
+    * top-level column (manifest min/max + value sets answer ranges and
+    * INs; the scalar index answers high-cardinality points). LOGICAL
+    * names — Spark matches them against the relation output. MUST be a
+    * subset of the PRUNED read schema: `PartitionPruning` resolves every
+    * attribute returned here against the scan relation's output and
+    * throws (fails the whole query) on one that column pruning removed.
+    */
+  override def filterAttributes(): Array[NamedReference] = manifest match {
+    case Some(m) =>
+      val visible = readSchema().fieldNames.toSet
+      m.schema.fields.collect {
+        case f if visible.contains(f.name) &&
+            graft.format.FragmentStats.eligible(f.dataType) =>
+          Expressions.column(f.name)
+      }
+    case None => Array.empty
+  }
+
+  /** Fragment files that survived runtime pruning (by file name — flat
+    * UUIDs, collision-free); None until [[filter]] proves something.
+    */
+  @volatile private var runtimeKept: Option[Set[String]] = None
+
+  /** Spec/diagnostic hook: fragments surviving runtime pruning. */
+  private[graft] def runtimeKeptCount: Option[Int] = runtimeKept.map(_.size)
+
+  /** Runtime predicates arrive with LOGICAL attribute names and external
+    * literal values (`translateRuntimeFilterV2` builds IN over the
+    * collected join keys); stats and the scalar index speak PHYSICAL
+    * names. Only shapes we can faithfully rename participate — anything
+    * else is dropped, never mistranslated.
+    */
+  private def toPhysicalFilter(f: sources.Filter): Option[sources.Filter] = {
+    val mapping = manifest.map(_.mapping).getOrElse(Map.empty)
+    def p(a: String) = mapping.getOrElse(a, a)
+    f match {
+      case sources.In(a, vs) => Some(sources.In(p(a), vs))
+      case sources.EqualTo(a, v) => Some(sources.EqualTo(p(a), v))
+      case sources.GreaterThan(a, v) => Some(sources.GreaterThan(p(a), v))
+      case sources.GreaterThanOrEqual(a, v) => Some(sources.GreaterThanOrEqual(p(a), v))
+      case sources.LessThan(a, v) => Some(sources.LessThan(p(a), v))
+      case sources.LessThanOrEqual(a, v) => Some(sources.LessThanOrEqual(p(a), v))
+      case sources.And(l, r) =>
+        for (lp <- toPhysicalFilter(l); rp <- toPhysicalFilter(r))
+          yield sources.And(lp, rp)
+      case _ => None
+    }
+  }
+
+  /** The one predicate shape Spark's runtime-filter translation emits
+    * (`DataSourceV2Strategy.translateRuntimeFilterV2`): `IN(col, lit...)`
+    * over the collected join keys. Literals are converted back to their
+    * external form — the domain [[graft.format.FragmentStats]] normalizes
+    * from. Anything else: None (conservative).
+    */
+  private def inPredicateToV1(p: Predicate): Option[sources.Filter] =
+    if (p.name != "IN") None
+    else p.children().toSeq match {
+      case scala.collection.Seq((ref: NamedReference), rest @ _*)
+          if ref.fieldNames.length == 1 && rest.nonEmpty &&
+            // driver-side pruning is O(keys × fragments): a dim side that
+            // survives its filter with ~10⁴+ keys can't prove absence for
+            // meaningful fragment counts anyway — skip, scan as planned
+            rest.size <= 10000 &&
+            rest.forall(_.isInstanceOf[
+              org.apache.spark.sql.connector.expressions.Literal[_]]) =>
+        val vals = rest.map {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToScala(l.value(), l.dataType())
+        }
+        Some(sources.In(ref.fieldNames.head, vals.toArray))
+      case _ => None
+    }
+
+  override def filter(predicates: Array[Predicate]): Unit = manifest.foreach { m =>
+    val phys = predicates.flatMap(inPredicateToV1).flatMap(toPhysicalFilter(_))
+    if (phys.nonEmpty) {
+      val kept = graft.index.ScalarIndex.prune(sparkSession, rootStr, m,
+        phys.toSeq, graft.format.FragmentStats.prune(m.physicalSchema,
+          m.fragments, phys))
+      runtimeKept = Some(kept.map(f =>
+        f.file.substring(f.file.lastIndexOf('/') + 1)).toSet)
+    }
+  }
+
+  /** `partitions` is a def — BatchScanExec re-plans after [[filter]], so
+    * dropping the runtime-pruned files here removes their tasks (and
+    * footer reads) entirely. Partition indexes are re-packed dense.
+    */
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val base = super.planInputPartitions()
+    runtimeKept match {
+      case Some(keep) =>
+        val pruned = base.flatMap {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            val fs = fp.files.filter(f => keep.contains(f.toPath.getName))
+            if (fs.isEmpty) None
+            else Some(org.apache.spark.sql.execution.datasources.FilePartition(0, fs))
+          case other => Some(other)
+        }
+        pruned.zipWithIndex.map {
+          case (fp: org.apache.spark.sql.execution.datasources.FilePartition, i) =>
+            org.apache.spark.sql.execution.datasources.FilePartition(i, fp.files)
+          case (other, _) => other
+        }
+      case None => base
+    }
+  }
 
   /** The parquet-facing schema (physical names) — what file readers and
     * the micro-batch stream must use. */

@@ -1532,6 +1532,74 @@ object LanceQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Runtime (dynamic) fragment pruning (s106):
+    * [[graft.connector.LanceParquetScan]] accepts RUNTIME filters —
+    * Spark's DPP hook, `SupportsRuntimeV2Filtering`, the mechanism
+    * Iceberg uses for file-group filtering. In this star join the dim
+    * filter (`o_custkey = 7`) survives ~10 orders whose keys exist only
+    * at EXECUTION time: static pushdown cannot see them, so without the
+    * hook the fact side is a full scan. The broadcast dim side's keys
+    * arrive at the fact scan as an IN predicate and re-prune the
+    * fragment list through the manifest-stats layers — with 64
+    * range-clustered fragments, ~10 keys touch at most ~20, so the
+    * require() proves the filter actually fired and pruned. At 100 TB
+    * this is the difference between scanning a fact table and scanning
+    * the ~0.1% of fragments the dim filter can reach.
+    */
+  def s106RuntimePrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val factDest = scratch(dir, "lineitem_rtprune")
+    val dimDest = scratch(dir, "orders_rtprune")
+    freshDataset(spark, factDest); freshDataset(spark, dimDest)
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+    val rows = li.count()
+    li.write.format("lance")
+      .option("write.distribute-by", "l_orderkey")
+      .option("write.distribution-mode", "range")
+      .option("write.max-rows-per-file", math.max(rows / 64, 1L).toString)
+      .mode("overwrite").save(factDest)
+    t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .coalesce(4)
+      .write.format("lance").mode("overwrite").save(dimDest)
+
+    def joined = spark.read.format("lance").load(factDest)
+      .join(spark.read.format("lance").load(dimDest)
+        .filter(col("o_custkey") === 7),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+
+    // probe run: execute once, then read the runtime-filter state off the
+    // fact scan in the final adaptive plan
+    val probe = joined
+    probe.collect()
+    def scans(p: SparkPlan): Seq[graft.connector.LanceParquetScan] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case b: BatchScanExec => b.scan match {
+          case l: graft.connector.LanceParquetScan
+              if l.readSchema().fieldNames.contains("l_extendedprice") => Seq(l)
+          case _ => Seq.empty
+        }
+        case other => other.children.flatMap(scans)
+      }
+      here ++ p.subqueries.flatMap(scans)
+    }
+    val factScan = scans(probe.queryExecution.executedPlan).headOption.getOrElse(
+      throw new IllegalStateException("no fact scan in the executed plan"))
+    val root = new org.apache.hadoop.fs.Path(factDest)
+    val nFrags = graft.format.LanceFormat.readLatest(
+      graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf()),
+      root).get.fragments.size
+    val kept = factScan.runtimeKeptCount.getOrElse(
+      throw new IllegalStateException("runtime filter never reached the fact scan"))
+    require(kept * 2 < nFrags,
+      s"runtime pruning ineffective: kept $kept of $nFrags fragments")
+    joined.withColumn("runtime_pruned", lit(kept < nFrags))
+  }
+
   /** Widening ALTER COLUMN TYPE (s104): the first era of orders is
     * written with `o_custkey` as INT, the column is widened to BIGINT in
     * ONE metadata commit ([[graft.format.LanceFormat.commitWiden]] —
@@ -1857,6 +1925,7 @@ object LanceQueries {
     "s103_scalar_range_prune" -> s103ScalarRangePrune,
     "s104_widen_type" -> s104WidenType,
     "s105_cluster_compact" -> s105ClusterCompact,
+    "s106_runtime_prune" -> s106RuntimePrune,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -1983,6 +2052,14 @@ object LanceQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS pruned
         |FROM orders WHERE o_custkey BETWEEN 100 AND 102
         |ORDER BY o_orderkey""".stripMargin,
+    // s106: the star-join result is the anchor; runtime-pruning
+    // effectiveness is the require() + planted literal (s103 pattern)
+    "s106_runtime_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | TRUE AS runtime_pruned
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey = 7""".stripMargin,
     // s104: both eras plus the planted wide key aggregate through the
     // widened type (DuckDB SUM(BIGINT) is HUGEINT — cast back)
     "s104_widen_type" ->
