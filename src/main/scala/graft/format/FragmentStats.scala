@@ -353,6 +353,12 @@ object FragmentStats {
         hi = upperBound(p).map(ub => (ub: Any, false))) &&
       setAdmitsPrefix(schema, stats, a, p)
 
+    // contains/endsWith have no range form, but a dictionary-ish column's
+    // exact value set can still prove absence (`tag LIKE '%beta%'` against
+    // a 5-value tag column) — the same grounds as setAdmitsPrefix
+    case StringContains(a, sub) => setAdmitsString(schema, stats, a, _.contains(sub))
+    case StringEndsWith(a, suf) => setAdmitsString(schema, stats, a, _.endsWith(suf))
+
     // Not(EqualTo) prunes the constant fragment: every row equal to v
     case Not(EqualTo(a, v)) =>
       !(for {
@@ -487,8 +493,15 @@ object FragmentStats {
     */
   private def setAdmitsPrefix(schema: StructType, stats: Map[String, ColStats],
       attr: String, p: String): Boolean =
+    setAdmitsString(schema, stats, attr, _.startsWith(p))
+
+  /** True unless a string column's exact value set proves NO member
+    * satisfies `pred` (string-match filters are only pushed for strings;
+    * stored set members are raw untruncated values by construction). */
+  private def setAdmitsString(schema: StructType, stats: Map[String, ColStats],
+      attr: String, pred: String => Boolean): Boolean =
     !schema.fields.exists(f => f.name == attr && f.dataType == StringType) ||
-      stats.get(attr).flatMap(_.values).forall(_.exists(_.startsWith(p)))
+      stats.get(attr).flatMap(_.values).forall(_.exists(pred))
 
   /** mustMatch arm: the value set PROVES In-coverage — no nulls and every
     * distinct value equal to some non-null literal of `vs`.

@@ -102,10 +102,12 @@ class FormatPropertySpec extends AnyFunSuite {
       case ("gt", v) => GreaterThan("d", v)
       case (_, v) => LessThan("d", v)
     }
-    val sCmp = Gen.zip(Gen.oneOf("eq", "gt", "lt", "sw"), strGen).map {
+    val sCmp = Gen.zip(Gen.oneOf("eq", "gt", "lt", "sw", "ct", "ew"), strGen).map {
       case ("eq", v) => EqualTo("s", v)
       case ("gt", v) => GreaterThan("s", v)
       case ("lt", v) => LessThan("s", v)
+      case ("ct", v) => StringContains("s", v.take(2))
+      case ("ew", v) => StringEndsWith("s", v.takeRight(2))
       case (_, v) => StringStartsWith("s", v.take(2))
     }
     val leaf: Gen[Filter] = Gen.frequency(
@@ -143,6 +145,8 @@ class FormatPropertySpec extends AnyFunSuite {
       case IsNull(a) => value(a).isEmpty
       case IsNotNull(a) => value(a).isDefined
       case StringStartsWith(a, p) => value(a).exists(_.asInstanceOf[String].startsWith(p))
+      case StringContains(a, c) => value(a).exists(_.asInstanceOf[String].contains(c))
+      case StringEndsWith(a, x) => value(a).exists(_.asInstanceOf[String].endsWith(x))
       case Not(c) => value(c.references.head).isDefined && !evalRow(row, c)
       case And(l, r) => evalRow(row, l) && evalRow(row, r)
       case Or(l, r) => evalRow(row, l) || evalRow(row, r)

@@ -157,9 +157,15 @@ class FragmentStatsSpec extends AnyFunSuite {
     assert(!FragmentStats.mayMatch(schema, 10, allNull, EqualTo("n", 5L)))
     assert(FragmentStats.mayMatch(schema, 10, allNull, IsNull("n")))
     assert(!FragmentStats.mayMatch(schema, 10, allNull, IsNotNull("n")))
-    // unknown filter shapes and unknown columns never prune
+    // contains/endsWith without a value set never prune...
     assert(may(StringContains("s", "zzz")))
     assert(may(EqualTo("missing_col", 1L)))
+    // ...but a dictionary-ish column's exact value set proves absence
+    val tagged = Map("s" -> ColStats(Some("alpha"), Some("beta"), 0,
+      values = Some(Seq("alpha", "beta"))))
+    def mayT(f: Filter) = FragmentStats.mayMatch(schema, 10, tagged, f)
+    assert(mayT(StringContains("s", "lp")) && !mayT(StringContains("s", "zz")))
+    assert(mayT(StringEndsWith("s", "ta")) && !mayT(StringEndsWith("s", "xx")))
   }
 
   // ------------------------------------------------------------ end-to-end
