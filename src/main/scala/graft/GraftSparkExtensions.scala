@@ -158,8 +158,7 @@ object MetaTvfs {
           .add("_change_type", StringType, nullable = false)
           .add("_commit_version", LongType, nullable = false)
         def files(fr: Seq[graft.format.FragmentMeta]) = fr.map(f =>
-          new org.apache.hadoop.fs.Path(
-            graft.format.LanceFormat.dataPath(root), f.file).toString)
+          graft.format.LanceFormat.fragmentPath(root, f.file).toString)
         var prev: Seq[graft.format.FragmentMeta] =
           if (from == 0) Seq.empty
           else graft.format.LanceFormat.readManifest(fs, root, from).fragments

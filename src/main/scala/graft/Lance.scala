@@ -266,12 +266,14 @@ object Lance {
       }
       out.result()
     }
-    val dataDir = graft.format.LanceFormat.dataPath(root)
     val files = needed.map { case (f, _, _) =>
-      new org.apache.hadoop.fs.Path(dataDir, f).toString }
+      graft.format.LanceFormat.fragmentPath(root, f).toString }
     val F = org.apache.spark.sql.functions
+    // keyed by the file's LAST segment (what input_file_name yields) —
+    // identical to the manifest string for local names, and the unique
+    // UUID tail for a clone's external references
     val startByFile = F.map(needed.flatMap { case (f, start, _) =>
-      Seq(F.lit(f), F.lit(start)) }: _*)
+      Seq(F.lit(f.substring(f.lastIndexOf('/') + 1)), F.lit(start)) }: _*)
     // input_file_name() is URI-ENCODED: decode the last path segment
     // before the manifest-name lookup, and fail LOUD on a miss — a null
     // start would otherwise null _rowid and the isin filter would
@@ -367,12 +369,12 @@ object Lance {
       throw new IllegalArgumentException(s"no lance dataset at $path"))
     val small = m.fragments.filter(_.rowCount < minRows)
     if (small.size <= 1) return (m.fragments.size, m.fragments.size)
-    val data = graft.format.LanceFormat.dataPath(root)
     val rows = small.map(_.rowCount).sum
     val parts = math.max(1L, (rows + maxRowsPerFile - 1) / maxRowsPerFile).toInt
     val tail = locally {
       val df = spark.read.schema(m.physicalSchema)
-        .parquet(small.map(f => new org.apache.hadoop.fs.Path(data, f.file).toString): _*)
+        .parquet(small.map(f =>
+          graft.format.LanceFormat.fragmentPath(root, f.file).toString): _*)
       if (m.mapping.isEmpty) df else df.toDF(m.schema.fieldNames.toIndexedSeq: _*)
     }
     // under a declared clustering spec, the bin-packed tail is at least
@@ -795,9 +797,8 @@ object Lance {
     if (latest.fragments.map(_.file) == target.fragments.map(_.file) &&
         latest.schemaJson == target.schemaJson)
       return (version, latest.version) // already that state: commit nothing
-    val data = graft.format.LanceFormat.dataPath(root)
     val missing = target.fragments.filterNot(f =>
-      fs.exists(new org.apache.hadoop.fs.Path(data, f.file)))
+      fs.exists(graft.format.LanceFormat.fragmentPath(root, f.file)))
     require(missing.isEmpty,
       s"cannot restore $path to version $version: fragment files " +
         s"${missing.map(_.file).mkString(", ")} were vacuumed — " +
@@ -823,6 +824,64 @@ object Lance {
       clusterBy = target.clusterBy)
     val committed = graft.format.LanceFormat.commit(fs, root, m)
     (version, committed.version)
+  }
+
+  /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`,
+    * Iceberg's snapshot-ref shape): create a NEW dataset at `dstPath`
+    * whose first manifest references the source version's fragment files
+    * in place — fully-qualified external URIs, zero data copied, one
+    * manifest write however large the source. The clone then lives its
+    * own life: appends land as local fragments, copy-on-write DML
+    * replaces touched external fragments with local rewrites, and
+    * [[compact]] materializes everything local. Carried from the source
+    * version: schema, CHECK/UNIQUE/NOT NULL rules, column mapping,
+    * cluster spec, dropped-column tombstones. NOT carried: streaming
+    * replay guards (a fresh table has no write history) and index
+    * sidecars (build against the clone when needed).
+    *
+    * Contract shared with Delta: the clone BORROWS the source's files.
+    * The clone's own vacuum/rollback never deletes an external
+    * reference, but a vacuum on the SOURCE that drops the cloned
+    * version's files breaks the clone — tag the source version (tags pin
+    * against vacuum) for a durable clone.
+    *
+    * At 100 TB this is the difference between an experiment branch
+    * costing one manifest write and costing a full table copy.
+    */
+  def cloneTable(spark: SparkSession, srcPath: String, dstPath: String,
+      version: Option[Long] = None): Long = {
+    val srcRoot = new org.apache.hadoop.fs.Path(srcPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val srcFs = graft.format.LanceFormat.fileSystem(srcRoot, conf)
+    val src = version match {
+      case Some(v) => graft.format.LanceFormat.readManifest(srcFs, srcRoot, v)
+      case None => graft.format.LanceFormat.readLatest(srcFs, srcRoot).getOrElse(
+        throw new IllegalArgumentException(s"no lance dataset at $srcPath"))
+    }
+    val dstRoot = new org.apache.hadoop.fs.Path(dstPath)
+    val dstFs = graft.format.LanceFormat.fileSystem(dstRoot, conf)
+    require(graft.format.LanceFormat.readLatest(dstFs, dstRoot).isEmpty,
+      s"clone target already exists at $dstPath")
+    // fully-qualified URIs: unambiguous on any store, and recognizably
+    // external ([[graft.format.LanceFormat.isExternalRef]]) so deletion
+    // paths skip them
+    val borrowed = src.fragments.map { f =>
+      f.copy(file = srcFs.makeQualified(
+        graft.format.LanceFormat.fragmentPath(srcRoot, f.file)).toString)
+    }
+    dstFs.mkdirs(graft.format.LanceFormat.dataPath(dstRoot))
+    val committed = graft.format.LanceFormat.commit(dstFs, dstRoot,
+      graft.format.Manifest(
+        version = 1L,
+        schemaJson = src.schemaJson,
+        fragments = borrowed,
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some("clone"),
+        droppedColumns = src.droppedColumns,
+        constraints = src.constraints,
+        columnMapping = src.columnMapping,
+        clusterBy = src.clusterBy))
+    committed.version
   }
 
   /** Build the scalar point-lookup index (value → fragment postings) for

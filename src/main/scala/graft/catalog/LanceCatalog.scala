@@ -355,6 +355,16 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(ident)
     tablePath(ident)
   }
+
+  /** A procedure argument naming a table to be CREATED (clone targets):
+    * resolved to its warehouse path, refused if it already exists. */
+  private[catalog] def resolveNewTableArg(table: String): Path = {
+    val parts = table.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    require(!LanceFormat.isDataset(fs, tablePath(ident)),
+      s"table $table already exists")
+    tablePath(ident)
+  }
 }
 
 object LanceCatalog {
@@ -366,7 +376,7 @@ object LanceCatalog {
       "rebase_branch",
       "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
       "rename_column", "widen_column",
-      "add_unique")
+      "add_unique", "clone_table")
 }
 
 private[catalog] object LanceProcedure {
@@ -435,6 +445,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "drop_not_null" => "drop a NOT NULL declaration (rule removed, column back to nullable)"
     case "rename_column" => "rename a column (one metadata commit: schema + logical-to-physical mapping; structured rules remap, CHECK/index references refuse)"
     case "widen_column" => "widen a column's type in place (one metadata commit, old fragments read up-converted; value-preserving transitions only, index references refuse)"
+    case "clone_table" => "zero-copy shallow clone: a NEW table whose first manifest borrows the source version's fragment files (one manifest write, no data copied; vacuum the source breaks it — tag the source version to pin)"
     case _ => "delta-index fragments appended since the IVF index was built"
   }
   override def bind(inputType: StructType): procedures.BoundProcedure = this
@@ -509,6 +520,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "widen_column" => Array(in("table", StringType).build(),
       in("column", StringType).build(),
       in("new_type", StringType).build())
+    case "clone_table" => Array(in("table", StringType).build(),
+      in("target", StringType).comment("new table name to create").build(),
+      in("version", IntegerType).defaultValue("-1")
+        .comment("source version to clone; -1 = latest").build())
     case _ => Array(in("table", StringType).build(),
       in("column", StringType).defaultValue("'embedding'").build())
   }
@@ -643,6 +658,13 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       case "widen_column" =>
         val v = graft.Lance.widenColumnType(spark, path,
           input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+        (new StructType().add("committed_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](v)))
+      case "clone_table" =>
+        val dst = catalog.resolveNewTableArg(input.getUTF8String(1).toString)
+        val ver = input.getInt(2)
+        val v = graft.Lance.cloneTable(spark, path, dst.toString,
+          if (ver < 0) None else Some(ver.toLong))
         (new StructType().add("committed_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))
       case "add_unique" =>

@@ -486,8 +486,7 @@ class LanceScanBuilder(spark: SparkSession,
     if (kept.size == manifest.get.fragments.size) base
     else {
       val root = new org.apache.hadoop.fs.Path(rootStr)
-      val files = kept.map(f => new org.apache.hadoop.fs.Path(
-        LanceFormat.dataPath(root), f.file))
+      val files = kept.map(f => LanceFormat.fragmentPath(root, f.file))
       val pruned = new InMemoryFileIndex(spark, files, Map.empty[String, String],
         Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
       base.copy(fileIndex = pruned)
@@ -637,6 +636,35 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
           m.fragments, phys))
       runtimeKept = Some(kept.map(f =>
         f.file.substring(f.file.lastIndexOf('/') + 1)).toSet)
+    }
+  }
+
+  /** The manifest knows the EXACT row count of every fragment the (stats-
+    * pruned) file index kept — report it, so CBO/AQE joins size the build
+    * side from real cardinality instead of a bytes-only guess. Only when
+    * no data filter was pushed: a pushed filter's selectivity is invisible
+    * here, and overstating rows just biases planning away from broadcast
+    * (the safe direction) — so in that case stay with the engine's
+    * bytes-only estimate rather than claim a row count we can't stand
+    * behind. sizeInBytes stays the file-length sum either way (it already
+    * reflects fragment pruning — the index lists only kept files).
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val base = super.estimateStatistics()
+    manifest match {
+      case Some(m) if dataFilters.isEmpty =>
+        val byName = m.fragments.map(f =>
+          f.file.substring(f.file.lastIndexOf('/') + 1) -> f.rowCount).toMap
+        val counts = fileIndex.allFiles().map(f => byName.get(f.getPath.getName))
+        if (counts.forall(_.isDefined)) {
+          val n = counts.flatten.sum
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+            override def numRows(): java.util.OptionalLong =
+              java.util.OptionalLong.of(n)
+          }
+        } else base
+      case _ => base
     }
   }
 
@@ -1115,7 +1143,7 @@ private[graft] object LanceWrite {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     val spark = SparkSession.active
     val files = frags.map(f =>
-      new Path(LanceFormat.dataPath(root), f.file).toString)
+      LanceFormat.fragmentPath(root, f.file).toString)
     // nullable read: this scan EXISTS to find rule-violating rows —
     // reading a null through a non-nullable schema (a NOT NULL table
     // validating a violating batch) is undefined behavior in the
@@ -1199,7 +1227,7 @@ private[graft] object LanceWrite {
       import org.apache.spark.sql.functions.{col, count, lit, when}
       val spark = SparkSession.active
       val files = frags.map(f =>
-        new Path(LanceFormat.dataPath(root), f.file).toString)
+        LanceFormat.fragmentPath(root, f.file).toString)
       val readSchema = StructType(schema.fields.map(_.copy(nullable = true)))
       val aggs = unknown.map(c => count(when(col(c).isNull, lit(1))).as(c))
       val row = readLogical(spark, readSchema, mapping, files)
@@ -1239,7 +1267,7 @@ private[graft] object LanceWrite {
     val keyDesc = columns.mkString(", ")
     val allSet = columns.map(col(_).isNotNull).reduce(_ && _)
     val files = frags.map(f =>
-      new Path(LanceFormat.dataPath(root), f.file).toString)
+      LanceFormat.fragmentPath(root, f.file).toString)
     val stagedKeys = readLogical(spark, readSchema, mapping, files)
       .select(columns.map(col): _*).filter(allSet)
     val dupInside = stagedKeys.groupBy(columns.map(col): _*)
@@ -1273,7 +1301,7 @@ private[graft] object LanceWrite {
           Array(inFilter)))
       if (kept.isEmpty) return
       val tblFiles = kept.map(f =>
-        new Path(LanceFormat.dataPath(root), f.file).toString)
+        LanceFormat.fragmentPath(root, f.file).toString)
       val candidates = readLogical(spark, readSchema, mapping, tblFiles)
         .select(columns.map(col): _*)
         .filter(col(lead).isin(leadVals: _*))
@@ -1286,7 +1314,7 @@ private[graft] object LanceWrite {
       log.info(s"unique '$name' at $root: batch key set exceeds " +
         s"inlistLimit=$limit - checking via distributed semi-join")
       val tblFiles = tableFrags.map(f =>
-        new Path(LanceFormat.dataPath(root), f.file).toString)
+        LanceFormat.fragmentPath(root, f.file).toString)
       val hit = readLogical(spark, readSchema, mapping, tblFiles)
         .select(columns.map(col): _*).filter(allSet)
         .join(distinctKeys, columns, "left_semi")

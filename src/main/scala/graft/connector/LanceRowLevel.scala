@@ -139,7 +139,7 @@ class LanceRowLevelScan(op: LanceRowLevelOperation, rootStr: String,
     * chunk planning are file-set-independent, so narrowing is free.
     */
   private lazy val innerScan: Scan = {
-    val files = initial.map(f => new Path(LanceFormat.dataPath(root), f.file))
+    val files = initial.map(f => LanceFormat.fragmentPath(root, f.file))
     val index = new InMemoryFileIndex(spark, files, Map.empty[String, String],
       Some(manifest.schema), FileStatusCache.getOrCreate(spark), None, None)
     new ParquetScanBuilder(spark, index, manifest.schema, manifest.schema, options).build()

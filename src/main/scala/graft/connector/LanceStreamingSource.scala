@@ -172,7 +172,7 @@ class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
         val curFiles = m.fragments.map(_.file).toSet
         def part(f: graft.format.FragmentMeta, kind: String) =
           LanceChangePartition(
-            new Path(LanceFormat.dataPath(root), f.file).toString,
+            LanceFormat.fragmentPath(root, f.file).toString,
             f.rowCount, kind, v)
         m.fragments.filterNot(f => prevFiles.contains(f.file))
           .foreach(f => out += part(f, "insert"))
@@ -232,7 +232,7 @@ class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
       }
     newFrags
       .map(f => LanceFragmentPartition(
-        new Path(LanceFormat.dataPath(root), f.file).toString): InputPartition)
+        LanceFormat.fragmentPath(root, f.file).toString): InputPartition)
       .toArray
   }
 

@@ -671,8 +671,28 @@ object LanceFormat {
       committedAtMs = System.currentTimeMillis()))
   }
 
+  /** Is `file` an EXTERNAL fragment reference — an absolute path or full
+    * URI into ANOTHER dataset's data directory? Zero-copy clones
+    * ([[graft.Lance.clone]]) commit these verbatim instead of copying
+    * data; everything else in the manifest carries bare names under this
+    * dataset's own `data/`. External refs are read-only borrows: every
+    * deletion path (vacuum, rollback) must skip them — reclaiming the
+    * bytes is the SOURCE table's prerogative.
+    */
+  def isExternalRef(file: String): Boolean =
+    // absolute path, or any scheme'd URI — `FileSystem.makeQualified`
+    // renders local files as `file:/...` (ONE slash), so match the
+    // scheme, not a literal "://"
+    file.startsWith("/") || file.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")
+
+  /** The one canonical resolution of a manifest fragment `file` string:
+    * external references verbatim, names under this dataset's data dir.
+    */
+  def fragmentPath(root: Path, file: String): Path =
+    if (isExternalRef(file)) new Path(file) else new Path(dataPath(root), file)
+
   def fragmentFiles(root: Path, m: Manifest): Seq[Path] =
-    m.fragments.map(f => new Path(dataPath(root), f.file))
+    m.fragments.map(f => fragmentPath(root, f.file))
 
   /** Reclaim storage: keep the newest `keepVersions` manifests, delete
     * older ones plus the fragment files only those dropped versions
@@ -717,7 +737,9 @@ object LanceFormat {
       fs.delete(new Path(versionsPath(root), s"$v$ManifestSuffix"), false)
     }
     var removed = 0
-    (dropped -- kept).foreach { f =>
+    // external refs (zero-copy clones) are borrows of another table's
+    // files — never delete them here, whatever versions dropped
+    (dropped -- kept).filterNot(isExternalRef).foreach { f =>
       if (fs.delete(new Path(dataPath(root), f), false)) removed += 1
     }
     (drop.size, removed)

@@ -288,9 +288,9 @@ object FtsIndex {
         meta.copy(datasetVersion = Some(to)))                 // the stamp
 
     val endSchema = graft.format.LanceFormat.readManifest(fs, root, to).schema
-    val dataDir = graft.format.LanceFormat.dataPath(root)
     val deltaDf = spark.read.schema(endSchema)
-      .parquet(addedFrags.map(f => new Path(dataDir, f.file).toString): _*)
+      .parquet(addedFrags.map(f =>
+        graft.format.LanceFormat.fragmentPath(root, f.file).toString): _*)
     val p = meta.numTermPartitions
     val ip = indexPath(datasetPath, column)
     // persist: the delta postings feed the touched-bucket collect AND the

@@ -314,7 +314,7 @@ object IvfIndex {
     var deltaCounts = Map.empty[String, Long]
     if (added.nonEmpty) {
       val paths = added.map(f =>
-        new Path(graft.format.LanceFormat.dataPath(root), f.file).toString)
+        graft.format.LanceFormat.fragmentPath(root, f.file).toString)
       val df = spark.read.schema(newM.schema).parquet(paths: _*)
       val bc = spark.sparkContext.broadcast(meta.centroids.map(_.toArray).toArray)
       val assign = assignUdf(bc, meta.metric.equalsIgnoreCase("cosine"))

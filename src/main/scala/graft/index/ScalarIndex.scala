@@ -294,8 +294,7 @@ object ScalarIndex {
         datasetVersion = Some(m.version)))
     }
     val root = new Path(datasetPath)
-    val dataDir = LanceFormat.dataPath(root)
-    val files = fresh.map(f => new Path(dataDir, f.file).toString)
+    val files = fresh.map(f => LanceFormat.fragmentPath(root, f.file).toString)
     val ds = spark.read.schema(m.physicalSchema).parquet(files: _*)
     val ip = indexPath(datasetPath, column)
     val cap = meta.maxFilesPerValue.getOrElse(maxFilesPerValue(spark))

@@ -59,7 +59,7 @@ object Dml {
     // fragment files carry PHYSICAL names (stable under RENAME COLUMN);
     // rename back to the logical schema the DML expressions reference
     val df = spark.read.schema(m.physicalSchema)
-      .parquet(frags.map(f => new Path(LanceFormat.dataPath(root), f.file).toString): _*)
+      .parquet(frags.map(f => LanceFormat.fragmentPath(root, f.file).toString): _*)
     if (m.mapping.isEmpty) df else df.toDF(m.schema.fieldNames.toIndexedSeq: _*)
   }
 

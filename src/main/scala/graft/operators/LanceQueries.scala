@@ -1600,6 +1600,46 @@ object LanceQueries {
     joined.withColumn("runtime_pruned", lit(kept < nFrags))
   }
 
+  /** Zero-copy shallow clone (s107): [[graft.Lance.cloneTable]] creates
+    * a new table whose first manifest BORROWS the source's fragment
+    * files — fully-qualified external refs, zero data copied, one
+    * manifest write however large the source (at 100 TB: an experiment
+    * branch for the price of a JSON file). The gate proves the
+    * zero-copy invariant (no files under the clone's data/, all refs
+    * external), then diverges the clone — one planted append (lands
+    * local) and one copy-on-write delete — and reads it back while the
+    * SOURCE still answers with its full untouched row set.
+    */
+  def s107Clone(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "orders_clonesrc")
+    val dst = scratch(dir, "orders_clonedst")
+    freshDataset(spark, src); freshDataset(spark, dst)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val n = o.count()
+    o.repartition(4).write.format("lance").mode("overwrite").save(src)
+    graft.Lance.cloneTable(spark, src, dst)
+    val dstRoot = new org.apache.hadoop.fs.Path(dst)
+    val fs = graft.format.LanceFormat.fileSystem(dstRoot,
+      spark.sessionState.newHadoopConf())
+    val m = graft.format.LanceFormat.readLatest(fs, dstRoot).get
+    val dataDir = graft.format.LanceFormat.dataPath(dstRoot)
+    val copied = if (fs.exists(dataDir)) fs.listStatus(dataDir).length else 0
+    require(copied == 0 &&
+      m.fragments.forall(f => graft.format.LanceFormat.isExternalRef(f.file)),
+      s"clone copied data: $copied local files, refs ${m.fragments.map(_.file)}")
+    // diverge: planted append (local fragment) + copy-on-write delete
+    spark.range(1).select(lit(-1L).as("o_orderkey"), lit(-7L).as("o_custkey"),
+        lit(123.45).cast("double").as("o_totalprice"))
+      .write.format("lance").mode("append").save(dst)
+    graft.Lance.deleteWhere(spark, dst, "o_orderkey = 5")
+    require(spark.read.format("lance").load(src).count() == n,
+      "clone divergence leaked into the source")
+    spark.read.format("lance").load(dst)
+      .withColumn("zero_copy", lit(copied == 0))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Widening ALTER COLUMN TYPE (s104): the first era of orders is
     * written with `o_custkey` as INT, the column is widened to BIGINT in
     * ONE metadata commit ([[graft.format.LanceFormat.commitWiden]] —
@@ -1926,6 +1966,7 @@ object LanceQueries {
     "s104_widen_type" -> s104WidenType,
     "s105_cluster_compact" -> s105ClusterCompact,
     "s106_runtime_prune" -> s106RuntimePrune,
+    "s107_clone" -> s107Clone,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -2060,6 +2101,16 @@ object LanceQueries {
         | TRUE AS runtime_pruned
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_custkey = 7""".stripMargin,
+    // s107: the diverged clone = orders minus key 5 plus the planted row;
+    // zero-copy is the require() + planted literal (s103 pattern)
+    "s107_clone" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS zero_copy
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |      WHERE o_orderkey <> 5
+        |      UNION ALL
+        |      SELECT CAST(-1 AS BIGINT), CAST(-7 AS BIGINT),
+        |             CAST(123.45 AS DOUBLE))
+        |ORDER BY o_orderkey""".stripMargin,
     // s104: both eras plus the planted wide key aggregate through the
     // widened type (DuckDB SUM(BIGINT) is HUGEINT — cast back)
     "s104_widen_type" ->

@@ -132,6 +132,22 @@ class RuntimeFilterSpec extends AnyFunSuite {
       s"runtime filter did not prune: ${scan.runtimeKeptCount}")
   }
 
+  test("scan statistics report the manifest's exact row count") {
+    val dir = tmpDir() + "/fact"
+    writeFact(dir)
+    val df = spark.read.format("lance").load(dir).select(col("k"), col("payload"))
+    val scan = scanOf(df.queryExecution.executedPlan)
+    val st = scan.estimateStatistics()
+    assert(st.numRows.isPresent && st.numRows.getAsLong == 4000L, s"$st")
+    assert(st.sizeInBytes.isPresent && st.sizeInBytes.getAsLong > 0)
+    // a pushed filter makes the manifest count an overestimate — the scan
+    // must then fall back to the engine's bytes-only answer, not claim it
+    val filtered = spark.read.format("lance").load(dir)
+      .filter(col("k") < 100L).select(col("k"), col("payload"))
+    val fscan = scanOf(filtered.queryExecution.executedPlan)
+    assert(!fscan.estimateStatistics().numRows.isPresent)
+  }
+
   test("runtime pruning composes with a renamed column") {
     val base = tmpDir()
     val dir = base + "/fact"
