@@ -330,13 +330,24 @@ object Lance {
     val clusterCols = manifest.flatMap(_.clusterBy).getOrElse(Seq.empty)
       .filter(c => base.columns.contains(c) &&
         base.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    val laid =
-      if (clusterCols.isEmpty) base.repartition(targetParts)
-      else base.withColumn("__z", zValueColumn(base, clusterCols))
+    // a declared hash-bucket layout survives compaction the same way the
+    // z-order spec does: repartition ON the bucket so each task holds few
+    // buckets (the writer's routing guarantees purity either way — this
+    // keeps the output file count ~max(buckets, targetParts))
+    val bucketSpec = manifest.flatMap(_.bucketBy)
+      .filter(_.columns.forall(base.columns.contains))
+    val laid = bucketSpec match {
+      case Some(b) =>
+        import org.apache.spark.sql.functions.{col => c, hash, lit, pmod}
+        base.repartition(math.max(targetParts, b.numBuckets),
+          pmod(hash(b.columns.map(c): _*), lit(b.numBuckets)))
+      case None if clusterCols.isEmpty => base.repartition(targetParts)
+      case None => base.withColumn("__z", zValueColumn(base, clusterCols))
         .repartitionByRange(targetParts,
           org.apache.spark.sql.functions.col("__z"))
         .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
         .drop("__z")
+    }
     val w = laid
       .write.format("lance")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)
@@ -383,11 +394,19 @@ object Lance {
     val clusterCols = m.clusterBy.getOrElse(Seq.empty)
       .filter(c => tail.columns.contains(c) &&
         tail.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    (if (clusterCols.isEmpty) tail.repartition(parts)
-     else tail.withColumn("__z", zValueColumn(tail, clusterCols))
-       .repartitionByRange(parts, org.apache.spark.sql.functions.col("__z"))
-       .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
-       .drop("__z"))
+    val bucketSpec = m.bucketBy.filter(_.columns.forall(tail.columns.contains))
+    (bucketSpec match {
+      case Some(b) =>
+        import org.apache.spark.sql.functions.{col => c, hash, lit, pmod}
+        // co-locate the tail per bucket; the writer's routing keeps the
+        // bin-packed files bucket-pure either way
+        tail.repartition(parts, pmod(hash(b.columns.map(c): _*), lit(b.numBuckets)))
+      case None if clusterCols.isEmpty => tail.repartition(parts)
+      case None => tail.withColumn("__z", zValueColumn(tail, clusterCols))
+        .repartitionByRange(parts, org.apache.spark.sql.functions.col("__z"))
+        .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+        .drop("__z")
+    })
       .write.format("lance")
       .option("write.replace-fragments", small.map(_.id).mkString(","))
       .option("write.operation", "rewrite")
@@ -821,7 +840,8 @@ object Lance {
       // rename without it would read logical names against files that
       // carry physical ones
       columnMapping = target.columnMapping,
-      clusterBy = target.clusterBy)
+      clusterBy = target.clusterBy,
+      bucketBy = target.bucketBy)
     val committed = graft.format.LanceFormat.commit(fs, root, m)
     (version, committed.version)
   }
@@ -880,7 +900,8 @@ object Lance {
         droppedColumns = src.droppedColumns,
         constraints = src.constraints,
         columnMapping = src.columnMapping,
-        clusterBy = src.clusterBy))
+        clusterBy = src.clusterBy,
+        bucketBy = src.bucketBy))
     committed.version
   }
 
@@ -1026,6 +1047,61 @@ object Lance {
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     graft.format.LanceFormat.readLatest(fs, root)
       .flatMap(_.clusterBy).getOrElse(Seq.empty)
+  }
+
+  /** CLUSTER BY hash bucket — the storage-partitioned-join layout
+    * (Iceberg's `bucket(n, col)` transform, re-expressed for this
+    * format): declares `pmod(murmur3(cols), numBuckets)` routing in the
+    * manifest and rewrites the table so every fragment holds exactly one
+    * bucket. From then on
+    *
+    *  - every write (append, streaming epoch, DML rewrite, compaction)
+    *    routes rows per bucket in the task writer, so purity is an
+    *    invariant, not a convention;
+    *  - the scan reports Spark's `KeyGroupedPartitioning` over
+    *    `bucket(n, cols)` (when `spark.sql.sources.v2.bucketing.enabled`
+    *    is set), so TWO tables bucketed on the same key with the same
+    *    count JOIN WITH ZERO SHUFFLE — at 100 TB the shuffle of the fact
+    *    side IS the query cost, and this removes it;
+    *  - an `=`/`IN` filter on a single bucket column prunes fragments to
+    *    the literals' buckets at the manifest (driver-side, no I/O).
+    *
+    * Empty `cols` clears the declaration (fragments keep their tags;
+    * planning just stops using them). Mutually exclusive with the
+    * z-order [[cluster]] spec. Returns (fragments before, after).
+    */
+  def clusterByBucket(spark: SparkSession, path: String, cols: Seq[String],
+      numBuckets: Int, maxRowsPerFile: Long = 1000000L): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val manifest = graft.format.LanceFormat.readLatest(fs, root)
+    val before = manifest.map(_.fragments.size).getOrElse(0)
+    // declare FIRST: the rewrite's task writers read the spec off the
+    // lineage head and route/tag their fragments
+    graft.format.LanceFormat.commitBucketBy(fs, root, numBuckets, cols)
+    if (cols.isEmpty) return (before, before)
+    val df = read(spark, path)
+    // co-locate each bucket into one task (writer routing makes purity
+    // true regardless; this just keeps file counts ~numBuckets). The
+    // rewrite expression IS the declared function: pmod(hash(cols), n).
+    val bucketExpr = pmod(hash(cols.map(col): _*), lit(numBuckets))
+    val w = df.repartition(numBuckets, bucketExpr)
+      .write.format("lance")
+      .option("write.max-rows-per-file", maxRowsPerFile.toString)
+      .option("write.operation", "rewrite") // row-preserving: changefeeds skip it
+    manifest.flatMap(_.epochId).fold(w)(e => w.option("write.epoch-id", e.toString))
+      .mode("overwrite").save(path)
+    val after = graft.format.LanceFormat.readLatest(fs, root)
+      .map(_.fragments.size).getOrElse(0)
+    (before, after)
+  }
+
+  /** The declared bucket layout ([[clusterByBucket]]); None when none. */
+  def bucketSpec(spark: SparkSession, path: String): Option[graft.format.BucketSpecMeta] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.readLatest(fs, root).flatMap(_.bucketBy)
   }
 
   /** The quantile-bucketed, bit-interleaved z-value for `cols` over `df`

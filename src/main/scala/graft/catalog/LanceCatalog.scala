@@ -29,10 +29,26 @@ import scala.jdk.CollectionConverters._
   * `fs.s3a.*` configuration applies transparently to the warehouse path.
   */
 class LanceCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
+
+  // ---- V2 functions: the `bucket` transform behind storage-partitioned
+  // joins. Spark resolves a scan's KeyGroupedPartitioning(bucket(n, col))
+  // against THIS function and aligns two scans whose bound functions share
+  // a canonical name — so both sides of a co-bucketed join agree on the
+  // transform without evaluating it (partition values ride HasPartitionKey).
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name.toLowerCase match {
+      case "bucket" => GraftBucketFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   private def spark: SparkSession = SparkSession.active
   private def fs: FileSystem =
@@ -697,5 +713,48 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         override def rows(): Array[InternalRow] = Array(row)
       }
     java.util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** The catalog's V2 `bucket(numBuckets, keyCols...)` function — the
+  * published contract every storage-partitioned-join participant shares:
+  * `pmod(murmur3(cols), n)` chained with seed 42, byte-identical to
+  * Spark's own `pmod(hash(cols), n)` and to the writer's routing
+  * ([[graft.format.BucketHash]]). Spark compares the bound function's
+  * `canonicalName` across the two join sides; evaluation is only needed
+  * if an exchange must re-bucket rows (`V2_BUCKETING_SHUFFLE_ENABLED`).
+  */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, cols...): pmod(murmur3(cols), numBuckets)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length >= 2,
+      s"bucket expects (numBuckets, key columns...), got ${inputType.simpleString}")
+    require(inputType.fields.head.dataType == IntegerType,
+      s"bucket's first argument is the integer bucket count, got " +
+        inputType.fields.head.dataType.simpleString)
+    val keyTypes = inputType.fields.tail.map(_.dataType)
+    keyTypes.foreach(t => require(graft.format.BucketHash.supportedKeyType(t),
+      s"bucket key type ${t.simpleString} is not supported"))
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = IntegerType +: keyTypes
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val n = input.getInt(0)
+        val values = keyTypes.indices.map { i =>
+          if (input.isNullAt(i + 1)) null else input.get(i + 1, keyTypes(i))
+        }
+        graft.format.BucketHash.bucketOfInternal(values, keyTypes.toSeq, n)
+      }
+    }
   }
 }

@@ -160,6 +160,8 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
       LanceFormat.readLatest(fs, root).foreach { m =>
         out.put("lance.version", m.version.toString)
         m.clusterBy.foreach(cs => out.put("lance.cluster-by", cs.mkString(",")))
+        m.bucketBy.foreach(b => out.put("lance.bucket-by",
+          s"${b.numBuckets}:${b.columns.mkString(",")}"))
         m.checkConstraints.foreach { case (n, e) =>
           out.put(s"lance.constraint.$n", e) }
         if (m.mapping.nonEmpty)
@@ -476,11 +478,14 @@ class LanceScanBuilder(spark: SparkSession,
       case Some(m) if pushedDataFilters.nonEmpty =>
         // layer 1+2: manifest min/max bounds + exact value sets; layer 3:
         // scalar point-lookup index (high-cardinality equality/IN the
-        // stats can't answer) — each strictly conservative. Pushed filters
-        // and fragment stats both speak PHYSICAL names here.
-        graft.index.ScalarIndex.prune(spark, rootStr, m, pushedDataFilters,
-          graft.format.FragmentStats.prune(m.physicalSchema, m.fragments,
-            pushedDataFilters))
+        // stats can't answer); layer 4: declared hash-bucket placement
+        // (point lookups on the bucket key, zero I/O) — each strictly
+        // conservative. Pushed filters and fragment stats both speak
+        // PHYSICAL names here.
+        graft.format.BucketPrune.prune(m, pushedDataFilters,
+          graft.index.ScalarIndex.prune(spark, rootStr, m, pushedDataFilters,
+            graft.format.FragmentStats.prune(m.physicalSchema, m.fragments,
+              pushedDataFilters)))
       case _ => return base
     }
     if (kept.size == manifest.get.fragments.size) base
@@ -505,9 +510,10 @@ class LanceScanBuilder(spark: SparkSession,
         s"${LanceFragmentScan.FragmentIdColumn} requires a lance dataset at $rootStr"))
       val kept =
         if (pushedDataFilters.nonEmpty)
-          graft.index.ScalarIndex.prune(spark, rootStr, m, pushedDataFilters,
-            graft.format.FragmentStats.prune(m.physicalSchema, m.fragments,
-              pushedDataFilters))
+          graft.format.BucketPrune.prune(m, pushedDataFilters,
+            graft.index.ScalarIndex.prune(spark, rootStr, m, pushedDataFilters,
+              graft.format.FragmentStats.prune(m.physicalSchema, m.fragments,
+                pushedDataFilters)))
         else m.fragments
       new LanceMetadataScan(statsPruned(super.build()), rootStr, kept,
         physToLogical)
@@ -544,7 +550,8 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
       inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
       inner.pushedFilters, inner.options, inner.pushedAggregate,
       inner.partitionFilters, inner.dataFilters, inner.pushedVariantExtractions)
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType =
     LanceFormat.toPhysical(super.readSchema(), physToLogical)
@@ -631,9 +638,10 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
   override def filter(predicates: Array[Predicate]): Unit = manifest.foreach { m =>
     val phys = predicates.flatMap(inPredicateToV1).flatMap(toPhysicalFilter(_))
     if (phys.nonEmpty) {
-      val kept = graft.index.ScalarIndex.prune(sparkSession, rootStr, m,
-        phys.toSeq, graft.format.FragmentStats.prune(m.physicalSchema,
-          m.fragments, phys))
+      val kept = graft.format.BucketPrune.prune(m, phys.toSeq,
+        graft.index.ScalarIndex.prune(sparkSession, rootStr, m,
+          phys.toSeq, graft.format.FragmentStats.prune(m.physicalSchema,
+            m.fragments, phys)))
       runtimeKept = Some(kept.map(f =>
         f.file.substring(f.file.lastIndexOf('/') + 1)).toSet)
     }
@@ -668,14 +676,62 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
     }
   }
 
+  /** Storage-partitioned-join layout, provable for THIS scan: the table
+    * declares hash bucketing, `spark.sql.sources.v2.bucketing.enabled` is
+    * on (the grouping trades scan parallelism for shuffle-free joins —
+    * strictly opt-in, Iceberg's posture), and EVERY file the scan reads
+    * carries a bucket tag (a pre-declaration fragment disables the claim
+    * rather than mis-aligning a join). Returns the spec + file→bucket.
+    */
+  private lazy val bucketLayout: Option[(graft.format.BucketSpecMeta, Map[String, Int])] =
+    manifest.flatMap { m =>
+      m.bucketBy.flatMap { spec =>
+        val conf = sparkSession.sessionState.conf
+        if (!conf.getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED))
+          None
+        else if (!spec.columns.forall(m.schema.fieldNames.contains)) None
+        else {
+          val tagByName = m.fragments
+            .map(f => f.file.substring(f.file.lastIndexOf('/') + 1) -> f.bucket)
+            .toMap
+          val files = fileIndex.allFiles().map(_.getPath.getName)
+          val tags = files.map(n => tagByName.get(n).flatten)
+          if (files.nonEmpty && tags.forall(_.isDefined))
+            Some((spec, files.zip(tags.map(_.get)).toMap))
+          else None
+        }
+      }
+    }
+
+  /** `KeyGroupedPartitioning` over the declared `bucket(n, cols)`: Spark
+    * resolves the transform against the catalog's V2 `bucket` function
+    * ([[graft.catalog.LanceCatalog]]) and plans equi-joins between
+    * co-bucketed tables WITHOUT an exchange on either side — on a 100 TB
+    * fact⋈fact join the shuffle IS the cost, and this removes it.
+    * Unresolvable contexts (path-based reads with no catalog) fall back
+    * to unknown partitioning in Spark's rule, never an error.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketLayout match {
+      case Some((spec, byFile)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(spec.numBuckets, spec.columns: _*)),
+          byFile.values.toSet.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   /** `partitions` is a def — BatchScanExec re-plans after [[filter]], so
     * dropping the runtime-pruned files here removes their tasks (and
     * footer reads) entirely. Partition indexes are re-packed dense.
+    * Under a provable bucket layout the surviving files are regrouped one
+    * partition per bucket, each carrying its key ([[HasPartitionKey]]).
     */
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val base = super.planInputPartitions()
-    runtimeKept match {
+    val kept = runtimeKept match {
       case Some(keep) =>
         val pruned = base.flatMap {
           case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
@@ -691,6 +747,27 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
         }
       case None => base
     }
+    bucketLayout match {
+      case Some((_, byFile)) =>
+        val files = kept.flatMap {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
+          case _ => return kept // unexpected shape: never regroup blindly
+        }
+        files.groupBy(f => byFile(f.toPath.getName)).toSeq.sortBy(_._1)
+          .zipWithIndex.map { case ((bucket, fs), i) =>
+            LanceBucketedFilePartition(
+              org.apache.spark.sql.execution.datasources.FilePartition(i, fs),
+              bucket): org.apache.spark.sql.connector.read.InputPartition
+          }.toArray
+      case None => kept
+    }
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val inner = super.createReaderFactory()
+    if (bucketLayout.isDefined) new LanceBucketUnwrapReaderFactory(inner)
+    else inner
   }
 
   /** The parquet-facing schema (physical names) — what file readers and
@@ -862,14 +939,20 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     val fs = LanceFormat.fileSystem(root, conf.value)
     val lineage = branch.fold(LanceFormat.versionsPath(root))(
       LanceFormat.branchPath(root, _))
-    val mapping = LanceFormat.readLatestIn(fs, lineage)
-      .map(_.mapping).getOrElse(Map.empty)
+    val head = LanceFormat.readLatestIn(fs, lineage)
+    val mapping = head.map(_.mapping).getOrElse(Map.empty)
     val phys = LanceFormat.toPhysical(schema, mapping)
     require(phys.fieldNames.distinct.length == phys.fieldNames.length,
       "column name collision: the write introduces a column whose name is a " +
         "renamed column's PHYSICAL name (old fragments hold its bytes) - " +
         "pick another name")
-    new LanceWriterFactory(rootStr, phys.json, conf, maxRowsPerFile, collectStats)
+    // a declared hash-bucket layout routes EVERY write path (append, DML
+    // rewrite, compaction) per row in the task writer — purity is a
+    // writer invariant. Key names travel physical, like the schema.
+    val bucketSpec = head.flatMap(_.bucketBy).map(b =>
+      (b.numBuckets, b.columns.map(c => mapping.getOrElse(c, c))))
+    new LanceWriterFactory(rootStr, phys.json, conf, maxRowsPerFile, collectStats,
+      bucketSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1026,14 +1109,18 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val root = new Path(rootStr)
     val fs = LanceFormat.fileSystem(root, conf.value)
-    val mapping = LanceFormat.readLatest(fs, root)
-      .map(_.mapping).getOrElse(Map.empty)
+    val head = LanceFormat.readLatest(fs, root)
+    val mapping = head.map(_.mapping).getOrElse(Map.empty)
     val phys = LanceFormat.toPhysical(schema, mapping)
     require(phys.fieldNames.distinct.length == phys.fieldNames.length,
       "column name collision: the write introduces a column whose name is a " +
         "renamed column's PHYSICAL name (old fragments hold its bytes) - " +
         "pick another name")
-    new LanceWriterFactory(rootStr, phys.json, conf, maxRowsPerFile, collectStats)
+    // streamed epochs keep the declared bucket layout too
+    val bucketSpec = head.flatMap(_.bucketBy).map(b =>
+      (b.numBuckets, b.columns.map(c => mapping.getOrElse(c, c))))
+    new LanceWriterFactory(rootStr, phys.json, conf, maxRowsPerFile, collectStats,
+      bucketSpec)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -1,6 +1,6 @@
 package graft.connector
 
-import graft.format.{FragmentMeta, LanceFormat}
+import graft.format.{BucketHash, FragmentMeta, LanceFormat}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetWriter
@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
 import java.util.UUID
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 /** Java-serializable Hadoop Configuration wrapper for task shipping. */
@@ -31,17 +32,26 @@ class SerializableConf(@transient var value: Configuration) extends Serializable
   }
 }
 
-/** Creates one fragment writer per task (batch and streaming share it). */
+/** Creates one fragment writer per task (batch and streaming share it).
+  * `bucketSpec` = (numBuckets, PHYSICAL key column names) when the table
+  * declares hash bucketing ([[graft.Lance.clusterByBucket]]): the writer
+  * routes every row to a per-bucket file so fragments stay bucket-pure
+  * under ANY upstream distribution — purity is a writer invariant, not a
+  * plan convention.
+  */
 class LanceWriterFactory(rootStr: String, schemaJson: String,
-    conf: SerializableConf, maxRowsPerFile: Long, collectStats: Boolean = true)
+    conf: SerializableConf, maxRowsPerFile: Long, collectStats: Boolean = true,
+    bucketSpec: Option[(Int, Seq[String])] = None)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile, collectStats)
+    new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile,
+      collectStats, bucketSpec)
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile, collectStats)
+    new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile,
+      collectStats, bucketSpec)
 }
 
 /** Executor-side fragment writer: streams InternalRows into Parquet
@@ -49,18 +59,41 @@ class LanceWriterFactory(rootStr: String, schemaJson: String,
   * `WriteParams.withMaxRowsPerFile`, `LanceSink.java:159-161`). Files are
   * invisible until the driver commits a manifest referencing them, so
   * writing directly into `data/` is safe; abort simply deletes them.
+  *
+  * With `bucketSpec` set, rows are routed to one open file per bucket id
+  * (at most `numBuckets` concurrent files per task; upstream bucket
+  * co-location keeps the realistic number near one) and every produced
+  * [[FragmentMeta]] carries its bucket tag.
   */
 class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
-    maxRowsPerFile: Long, collectStats: Boolean = true) extends DataWriter[InternalRow] {
+    maxRowsPerFile: Long, collectStats: Boolean = true,
+    bucketSpec: Option[(Int, Seq[String])] = None) extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val root = new Path(rootStr)
 
-  /** Per-fragment min/max/nullCount for manifest-level data skipping
-    * ([[graft.format.FragmentStats]]); reset at every roll.
-    */
-  private val stats =
-    if (collectStats) Some(new graft.format.FragmentStats.Collector(schema)) else None
+  /** Bucket routing, resolved to ordinals once: (numBuckets, ordinal+type
+    * per key column). The factory passes PHYSICAL names — this schema's. */
+  private val routing: Option[(Int, Array[(Int, DataType)])] = bucketSpec.map {
+    case (n, cols) =>
+      val keyed = cols.map { c =>
+        val i = schema.fieldNames.indexOf(c)
+        require(i >= 0,
+          s"bucketed table at $rootStr: write schema is missing bucket key " +
+            s"column '$c' - bucketed writes must carry every key column")
+        (i, schema.fields(i).dataType)
+      }.toArray
+      (n, keyed)
+  }
+
+  private def bucketOf(row: InternalRow): Int = routing match {
+    case None => -1
+    case Some((n, keys)) =>
+      val values = keys.map { case (i, dt) =>
+        if (row.isNullAt(i)) null else row.get(i, dt)
+      }
+      BucketHash.bucketOfInternal(values.toSeq, keys.map(_._2).toSeq, n)
+  }
 
   /** Fixed-size vector fidelity (SURVEY §7.4 risk 5 — the reference drops
     * the dimension, `LanceTypeConverter.java:235-242`): columns stamped
@@ -85,10 +118,45 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
       j += 1
     }
   }
+
   private val done = ArrayBuffer.empty[FragmentMeta]
-  private var writer: ParquetWriter[InternalRow] = _
-  private var currentFile: String = _
-  private var rowsInFile = 0L
+
+  /** One open fragment file (the per-bucket unit; bucket -1 = unrouted). */
+  private final class Sink(bucket: Int) {
+    val file = s"frag-${UUID.randomUUID()}.parquet"
+    private val stats =
+      if (collectStats) Some(new graft.format.FragmentStats.Collector(schema)) else None
+    private var rows = 0L
+    val writer: ParquetWriter[InternalRow] = {
+      val path = new Path(LanceFormat.dataPath(root), file)
+      val c = new Configuration(conf)
+      ParquetWriteSupport.setSchema(schema, c)
+      // ParquetWriteSupport.init requires these (the driver already set them
+      // from SQLConf; these are fallbacks for conf built elsewhere):
+      c.setIfUnset("spark.sql.parquet.writeLegacyFormat", "false")
+      c.setIfUnset("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      c.setIfUnset("spark.sql.parquet.fieldId.write.enabled", "false")
+      c.setIfUnset("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+      new Builder(path).withConf(c)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    }
+    def write(row: InternalRow): Boolean = { // true when the file rolled
+      writer.write(row)
+      stats.foreach(_.observe(row))
+      rows += 1
+      rows >= maxRowsPerFile
+    }
+    def close(): Unit = {
+      writer.close()
+      if (rows > 0)
+        done += FragmentMeta(0, file, rows, stats.flatMap(_.result()),
+          bucket = Some(bucket).filter(_ >= 0))
+      else new Path(LanceFormat.dataPath(root), file)
+        .getFileSystem(conf).delete(new Path(LanceFormat.dataPath(root), file), false)
+    }
+    def abort(): Unit = writer.close()
+  }
 
   private final class Builder(file: Path)
       extends ParquetWriter.Builder[InternalRow, Builder](file) {
@@ -97,57 +165,32 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
       new ParquetWriteSupport
   }
 
-  private def open(): Unit = {
-    currentFile = s"frag-${UUID.randomUUID()}.parquet"
-    val file = new Path(LanceFormat.dataPath(root), currentFile)
-    val c = new Configuration(conf)
-    ParquetWriteSupport.setSchema(schema, c)
-    // ParquetWriteSupport.init requires these (the driver already set them
-    // from SQLConf; these are fallbacks for conf built elsewhere):
-    c.setIfUnset("spark.sql.parquet.writeLegacyFormat", "false")
-    c.setIfUnset("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    c.setIfUnset("spark.sql.parquet.fieldId.write.enabled", "false")
-    c.setIfUnset("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
-    writer = new Builder(file)
-      .withConf(c)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
-    rowsInFile = 0L
-  }
-
-  private def roll(): Unit = {
-    if (writer != null) {
-      writer.close()
-      if (rowsInFile > 0)
-        done += FragmentMeta(0, currentFile, rowsInFile, stats.flatMap(_.result()))
-      else new Path(LanceFormat.dataPath(root), currentFile)
-        .getFileSystem(conf).delete(new Path(LanceFormat.dataPath(root), currentFile), false)
-      stats.foreach(_.reset())
-      writer = null
-    }
-  }
+  private val open = mutable.Map.empty[Int, Sink]
 
   override def write(row: InternalRow): Unit = {
     if (dimChecks.nonEmpty) validate(row)
-    if (writer == null) open()
-    writer.write(row)
-    stats.foreach(_.observe(row))
-    rowsInFile += 1
-    if (rowsInFile >= maxRowsPerFile) roll()
+    val b = bucketOf(row)
+    val sink = open.getOrElseUpdate(b, new Sink(b))
+    if (sink.write(row)) { sink.close(); open.remove(b) }
   }
 
   override def commit(): WriterCommitMessage = {
-    roll()
+    open.values.foreach(_.close())
+    open.clear()
     LanceCommitMessage(done.toSeq)
   }
 
   override def abort(): Unit = {
-    if (writer != null) writer.close()
+    open.values.foreach(_.abort())
     val fs = root.getFileSystem(conf)
-    (done.map(_.file) ++ Option(currentFile)).foreach { f =>
+    (done.map(_.file) ++ open.values.map(_.file)).foreach { f =>
       fs.delete(new Path(LanceFormat.dataPath(root), f), false)
     }
+    open.clear()
   }
 
-  override def close(): Unit = if (writer != null) { writer.close(); writer = null }
+  override def close(): Unit = {
+    open.values.foreach(_.abort())
+    open.clear()
+  }
 }

@@ -98,6 +98,38 @@ case class LanceFragmentIdFilePartition(inner: FilePartition, fragmentId: Int)
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** One bucket's fragment chunks carrying the hash-bucket id as the DSv2
+  * partition key — what Spark's storage-partitioned join machinery groups
+  * and aligns across join sides ([[graft.format.BucketSpecMeta]]).
+  * Unwrapped by [[LanceBucketUnwrapReaderFactory]]; the key never reaches
+  * the parquet reader.
+  */
+case class LanceBucketedFilePartition(inner: FilePartition, bucketId: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
+/** Pass-through factory: peels [[LanceBucketedFilePartition]] off before
+  * delegating to the vectorized parquet reader (rows are untouched — the
+  * key exists only for partition alignment).
+  */
+class LanceBucketUnwrapReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case b: LanceBucketedFilePartition => b.inner
+    case other => other
+  }
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(partition))
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    inner.createReader(unwrap(partition))
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    inner.createColumnarReader(unwrap(partition))
+}
+
 /** Wraps the vectorized parquet reader factory: delegates the actual read
   * and appends the partition's constant fragment id — a
   * [[ConstantColumnVector]] per columnar batch (no per-row work, stays

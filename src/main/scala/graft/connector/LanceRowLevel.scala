@@ -210,8 +210,16 @@ class LanceReplaceGroupsBatchWrite(rootStr: String,
     schema: org.apache.spark.sql.types.StructType, conf: SerializableConf,
     op: LanceRowLevelOperation) extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LanceReplaceWriterFactory(rootStr, schema.json, conf)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // a bucketed table's DML rewrites stay bucket-pure: route like every
+    // other write path (rewrites read+write PHYSICAL names, like `schema`)
+    val root = new Path(rootStr)
+    val bucketSpec = LanceFormat.readLatest(
+        LanceFormat.fileSystem(root, conf.value), root)
+      .flatMap(m => m.bucketBy.map(b =>
+        (b.numBuckets, b.columns.map(m.physicalName))))
+    new LanceReplaceWriterFactory(rootStr, schema.json, conf, bucketSpec)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val frags = messages.collect { case LanceCommitMessage(f) => f }.flatten.toSeq
@@ -241,13 +249,15 @@ class LanceReplaceGroupsBatchWrite(rootStr: String,
   * through untouched.
   */
 class LanceReplaceWriterFactory(rootStr: String, schemaJson: String,
-    conf: SerializableConf) extends DataWriterFactory {
+    conf: SerializableConf,
+    bucketSpec: Option[(Int, Seq[String])] = None) extends DataWriterFactory {
   import org.apache.spark.sql.catalyst.InternalRow
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val inner = new LanceDataWriter(rootStr, schemaJson, conf.value, 1000000L)
+    val inner = new LanceDataWriter(rootStr, schemaJson, conf.value, 1000000L,
+      bucketSpec = bucketSpec)
     new DataWriter[InternalRow] {
       private val proj =
         org.apache.spark.sql.catalyst.ProjectingInternalRow(schema, 1 to schema.length)

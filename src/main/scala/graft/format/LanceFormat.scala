@@ -15,7 +15,25 @@ import java.nio.charset.StandardCharsets
   * or with `write.stats=false` — such fragments are simply never pruned.
   */
 case class FragmentMeta(id: Int, file: String, rowCount: Long,
-    stats: Option[Map[String, ColStats]] = None)
+    stats: Option[Map[String, ColStats]] = None,
+    // hash-bucket id under the manifest's [[BucketSpecMeta]]: set by the
+    // writer when the table declares bucketing, meaning EVERY row in this
+    // fragment hashes to this bucket (bucket-pure). Fragments written
+    // before the declaration (or through a non-routing path) have None
+    // and conservatively disable storage-partitioned planning.
+    bucket: Option[Int] = None)
+
+/** Declared hash-bucket clustering ([[graft.Lance.clusterByBucket]]):
+  * rows are routed to `pmod(murmur3(columns), numBuckets)` at write time
+  * and fragments are bucket-pure, so a scan can report Spark's
+  * `KeyGroupedPartitioning` and two tables bucketed the same way join
+  * WITHOUT a shuffle (storage-partitioned join — Iceberg's bucket
+  * transform shape). `columns` are LOGICAL names; remapped on RENAME,
+  * cleared when a bucket column is dropped, and a bucket column refuses
+  * ALTER TYPE widening (the hash is type-dependent — a widened writer
+  * would route the same key to a different bucket).
+  */
+case class BucketSpecMeta(numBuckets: Int, columns: Seq[String])
 
 /** A committed dataset version: schema + fragment list (+ the streaming
   * epoch that produced it, for idempotent exactly-once commits).
@@ -43,7 +61,10 @@ case class Manifest(
     // maintenance rewrites re-establish this order instead of destroying
     // it — the Delta liquid-clustering posture. Carried through every
     // commit kind; remapped on RENAME; pruned on DROP.
-    clusterBy: Option[Seq[String]] = None) {
+    clusterBy: Option[Seq[String]] = None,
+    // declared hash-bucket layout ([[BucketSpecMeta]]): carried through
+    // every commit kind like clusterBy; mutually exclusive with it.
+    bucketBy: Option[BucketSpecMeta] = None) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   /** RENAME COLUMN support, Delta's column-mapping-by-name shape: the
     * manifest schema carries LOGICAL names; fragment files always carry
@@ -233,7 +254,8 @@ object LanceFormat {
         constraints = rules,
         streamEpochs = mergeStreamEpochs(prev.flatMap(_.streamEpochs), streamEpoch),
         columnMapping = prev.flatMap(_.columnMapping),
-        clusterBy = prev.flatMap(_.clusterBy))
+        clusterBy = prev.flatMap(_.clusterBy),
+        bucketBy = prev.flatMap(_.bucketBy))
       if (commitOnceIn(fs, dir, m, publisher)) return m
       attempt += 1
     }
@@ -280,7 +302,11 @@ object LanceFormat {
         columnMapping = Some(mappingTransform(prev.mapping)).filter(_.nonEmpty),
         // a DROPPED cluster column self-heals out of the spec
         clusterBy = prev.clusterBy
-          .map(_.filter(schema.fieldNames.contains)).filter(_.nonEmpty))
+          .map(_.filter(schema.fieldNames.contains)).filter(_.nonEmpty),
+        // a bucket id depends on EVERY spec column: losing one clears the
+        // whole declaration (a partial key would route rows differently)
+        bucketBy = prev.bucketBy
+          .filter(_.columns.forall(schema.fieldNames.contains)))
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
     }
@@ -338,7 +364,8 @@ object LanceFormat {
         constraints = prev.constraints,
         streamEpochs = prev.streamEpochs,
         columnMapping = prev.columnMapping,
-        clusterBy = prev.clusterBy)
+        clusterBy = prev.clusterBy,
+        bucketBy = prev.bucketBy)
       if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
       attempt += 1
     }
@@ -394,7 +421,9 @@ object LanceFormat {
         // an overwrite that changed the schema self-heals vanished
         // cluster columns out of the spec (commitAlter's posture)
         clusterBy = prev.flatMap(_.clusterBy)
-          .map(_.filter(named.fieldNames.contains)).filter(_.nonEmpty))
+          .map(_.filter(named.fieldNames.contains)).filter(_.nonEmpty),
+        bucketBy = prev.flatMap(_.bucketBy)
+          .filter(_.columns.forall(named.fieldNames.contains)))
       if (commitOnce(fs, root, m, None)) return m
       attempt += 1
     }
@@ -468,10 +497,12 @@ object LanceFormat {
         operation = Some("alter"),
         constraints = Some(newRules).filter(_.nonEmpty),
         columnMapping = Some(newMapping).filter(_.nonEmpty),
-        // the clustering spec names LOGICAL columns: it remaps like the
-        // structured rules do
+        // the clustering/bucketing specs name LOGICAL columns: they remap
+        // like the structured rules do
         clusterBy = prev.clusterBy.map(_.map(c =>
-          if (c == oldName) newName else c)))
+          if (c == oldName) newName else c)),
+        bucketBy = prev.bucketBy.map(b => b.copy(columns =
+          b.columns.map(c => if (c == oldName) newName else c))))
       if (commitOnceIn(fs, versionsPath(root), m, None)) return m
       attempt += 1
     }
@@ -562,6 +593,13 @@ object LanceFormat {
           s"to ${newType.simpleString}: only value-preserving widenings are " +
           "supported (byte<short<int<long, float<double, int->double, " +
           "int/long->decimal, decimal precision growth at the same scale)")
+      // the bucket hash is TYPE-dependent (murmur3 of int32 ≠ of int64):
+      // widening a bucket column would route the same key to a different
+      // bucket in post-widen writes, silently breaking co-location
+      require(!prev.bucketBy.exists(_.columns.contains(column)),
+        s"cannot widen '$column': it is a declared bucket column - clear " +
+          "the bucket spec (clusterByBucket with no columns) and re-bucket " +
+          "under the new type")
       val m = prev.copy(
         version = prev.version + 1,
         schemaJson = StructType(prev.schema.fields.map(f =>
@@ -587,6 +625,9 @@ object LanceFormat {
         throw new IllegalStateException(s"no dataset at $root"))
       cols.foreach(c => require(prev.schema.fieldNames.contains(c),
         s"no column '$c' at $root"))
+      require(cols.isEmpty || prev.bucketBy.isEmpty,
+        s"table at $root is hash-bucketed (${prev.bucketBy.get.columns.mkString(",")})" +
+          " - the two layouts are mutually exclusive; clear the bucket spec first")
       val m = prev.copy(
         version = prev.version + 1,
         committedAtMs = System.currentTimeMillis(),
@@ -597,6 +638,42 @@ object LanceFormat {
     }
     throw new IllegalStateException(
       s"could not commit cluster spec after $attempt attempts at $root")
+  }
+
+  /** Declare (or clear, with an empty column list) the hash-bucket layout
+    * — one metadata commit; [[graft.Lance.clusterByBucket]] follows it
+    * with the routing rewrite. Mutually exclusive with the z-order
+    * clustering spec: maintenance rewrites can re-establish one layout,
+    * not both.
+    */
+  def commitBucketBy(fs: FileSystem, root: Path, numBuckets: Int,
+      cols: Seq[String]): Manifest = {
+    require(cols.isEmpty || numBuckets > 0,
+      s"numBuckets must be positive, got $numBuckets")
+    var attempt = 0
+    while (attempt < 20) {
+      val prev = readLatest(fs, root).getOrElse(
+        throw new IllegalStateException(s"no dataset at $root"))
+      cols.foreach { c =>
+        val f = prev.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"no column '$c' at $root"))
+        require(BucketHash.supportedKeyType(f.dataType),
+          s"column '$c' (${f.dataType.simpleString}) cannot be a bucket key: " +
+            "supported key types are integral, string, date, timestamp, boolean")
+      }
+      require(cols.isEmpty || prev.clusterBy.forall(_.isEmpty),
+        s"table at $root is z-order clustered (${prev.clusterBy.get.mkString(",")})" +
+          " - the two layouts are mutually exclusive; cluster([]) first")
+      val m = prev.copy(
+        version = prev.version + 1,
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some("alter"),
+        bucketBy = Some(BucketSpecMeta(numBuckets, cols)).filter(_.columns.nonEmpty))
+      if (commitOnceIn(fs, versionsPath(root), m, None)) return m
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit bucket spec after $attempt attempts at $root")
   }
 
   /** Data commits carry the WRITER's schema, which may predate a
@@ -1018,7 +1095,8 @@ object LanceFormat {
       streamEpochs = mainLatest.streamEpochs,
       // the mapping travels with the schema it names (head's)
       columnMapping = head.columnMapping,
-      clusterBy = head.clusterBy)
+      clusterBy = head.clusterBy,
+      bucketBy = head.bucketBy)
     // ONE commitOnce attempt, never the version-bumping commit() retry: a
     // concurrent main append winning the race means the precondition no
     // longer holds, and retrying at the next number would publish the
@@ -1123,7 +1201,8 @@ object LanceFormat {
       constraints = mainLatest.constraints,
       streamEpochs = mainLatest.streamEpochs,
       columnMapping = mainLatest.columnMapping,
-      clusterBy = mainLatest.clusterBy)
+      clusterBy = mainLatest.clusterBy,
+      bucketBy = mainLatest.bucketBy)
     if (!commitOnce(fs, root, m, None))
       throw new java.util.ConcurrentModificationException(
         s"cannot rebase '$name': main advanced concurrently past " +

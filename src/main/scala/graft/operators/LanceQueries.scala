@@ -1600,6 +1600,75 @@ object LanceQueries {
     joined.withColumn("runtime_pruned", lit(kept < nFrags))
   }
 
+  /** Storage-partitioned join (s108): [[graft.Lance.clusterByBucket]]
+    * declares `bucket(16, orderkey)` on BOTH sides, every write routes
+    * rows per bucket (fragments bucket-pure by writer invariant), the
+    * scan reports `KeyGroupedPartitioning` and the catalog serves the V2
+    * `bucket` function — so the lineitem⋈orders equi-join plans with NO
+    * exchange under either join side. At 100 TB the fact-side shuffle IS
+    * the join's cost (network-bound, spill-prone); co-bucketed layout
+    * removes it entirely, Iceberg's storage-partitioned-join shape. The
+    * gate proves the plan (require: a sort-merge/hash join whose children
+    * contain zero ShuffleExchange) and the answer (oracle join aggregate,
+    * bucket-layout-independent by construction).
+    */
+  def s108StoragePartitionedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val wh = scratch(dir, "spj_wh")
+    freshDataset(spark, s"$wh/db/lineitem_b"); freshDataset(spark, s"$wh/db/orders_b")
+    t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+      .write.format("lance").mode("overwrite").save(s"$wh/db/lineitem_b")
+    t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      .write.format("lance").mode("overwrite").save(s"$wh/db/orders_b")
+    graft.Lance.clusterByBucket(spark, s"$wh/db/lineitem_b", Seq("l_orderkey"), 16)
+    graft.Lance.clusterByBucket(spark, s"$wh/db/orders_b", Seq("o_orderkey"), 16)
+    spark.conf.set("spark.sql.catalog.spj_gate", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.spj_gate.warehouse", wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = spark.sql(
+        """SELECT o.o_orderpriority, l.l_extendedprice
+          |FROM spj_gate.db.lineitem_b l
+          |JOIN spj_gate.db.orders_b o ON l.l_orderkey = o.o_orderkey""".stripMargin)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+      val rows = joined.collect() // materialize, then audit the final plan
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      val plan = joined.queryExecution.executedPlan
+      val joins = walk(plan).filter {
+        case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+        case _ => false
+      }
+      require(joins.nonEmpty, s"no shuffle-family join in the plan:\n$plan")
+      joins.foreach(_.children.foreach { side =>
+        val ex = walk(side).filter(_.isInstanceOf[ShuffleExchangeLike])
+        require(ex.isEmpty,
+          s"storage-partitioned join still shuffles a side:\n$side")
+      })
+      val schema = joined.schema
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+        .withColumn("shuffle_free", lit(true))
+        .orderBy(col("o_orderpriority"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Zero-copy shallow clone (s107): [[graft.Lance.cloneTable]] creates
     * a new table whose first manifest BORROWS the source's fragment
     * files — fully-qualified external refs, zero data copied, one
@@ -1967,6 +2036,7 @@ object LanceQueries {
     "s105_cluster_compact" -> s105ClusterCompact,
     "s106_runtime_prune" -> s106RuntimePrune,
     "s107_clone" -> s107Clone,
+    "s108_spj" -> s108StoragePartitionedJoin,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -2101,6 +2171,15 @@ object LanceQueries {
         | TRUE AS runtime_pruned
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_custkey = 7""".stripMargin,
+    // s108: the join aggregate is layout-independent; shuffle-freedom is
+    // the require() + planted literal (s103 pattern)
+    "s108_spj" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | TRUE AS shuffle_free
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // s107: the diverged clone = orders minus key 5 plus the planted row;
     // zero-copy is the require() + planted literal (s103 pattern)
     "s107_clone" ->

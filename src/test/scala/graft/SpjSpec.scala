@@ -1,0 +1,269 @@
+package graft
+
+import graft.format.{BucketHash, BucketPrune, LanceFormat}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Storage-partitioned joins ([[Lance.clusterByBucket]]): declared hash
+  * bucketing routes every write per row (purity is a writer invariant),
+  * the scan reports `KeyGroupedPartitioning(bucket(n, cols))`, the
+  * catalog serves the V2 `bucket` function, and two co-bucketed tables
+  * join with ZERO shuffle on either side. Contracts pinned here:
+  *  - the three hash sites agree: writer routing == catalog V2 function
+  *    == Spark's own `pmod(hash(cols), n)`
+  *  - every write path stays bucket-pure: append under adversarial
+  *    distribution, DML copy-on-write rewrite, compact()
+  *  - the co-bucketed equi-join plans with NO exchange under either join
+  *    child, and matches the plain shuffle-join result row for row
+  *  - an untagged (pre-declaration) fragment disables the claim — the
+  *    join still answers correctly, with shuffles
+  *  - `=`/`IN` on the bucket key prunes fragments at the manifest
+  *  - RENAME remaps the spec, DROP clears it, widening a key refuses,
+  *    z-order and bucket specs are mutually exclusive
+  */
+class SpjSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "spj-")
+      .toAbsolutePath.toString
+
+  private def fs(dir: String) =
+    LanceFormat.fileSystem(new Path(dir), spark.sessionState.newHadoopConf())
+
+  private def manifest(dir: String) =
+    LanceFormat.readLatest(fs(dir), new Path(dir)).get
+
+  /** All rows of fragment `file` hash into its tag under (n, cols). */
+  private def assertPure(dir: String): Unit = {
+    val m = manifest(dir)
+    val spec = m.bucketBy.get
+    // fragment files carry PHYSICAL names (stable across RENAME)
+    val physCols = spec.columns.map(m.physicalName)
+    m.fragments.foreach { f =>
+      assert(f.bucket.isDefined, s"untagged fragment ${f.file}")
+      val df = spark.read.parquet(
+        LanceFormat.fragmentPath(new Path(dir), f.file).toString)
+      val buckets = df.select(pmod(hash(physCols.map(col): _*),
+        lit(spec.numBuckets)).as("b")).distinct().as[Int].collect()
+      assert(buckets.toSeq == Seq(f.bucket.get),
+        s"fragment ${f.file} tagged ${f.bucket.get} holds buckets ${buckets.toSeq}")
+    }
+  }
+
+  test("writer routing == catalog V2 function == Spark's pmod(hash, n)") {
+    val n = 16
+    val samples: Seq[(Any, org.apache.spark.sql.types.DataType)] = Seq(
+      (java.lang.Long.valueOf(42L), org.apache.spark.sql.types.LongType),
+      (java.lang.Long.valueOf(-7L), org.apache.spark.sql.types.LongType),
+      (java.lang.Integer.valueOf(123), org.apache.spark.sql.types.IntegerType),
+      (org.apache.spark.unsafe.types.UTF8String.fromString("doc-99"),
+        org.apache.spark.sql.types.StringType))
+    samples.foreach { case (v, dt) =>
+      val viaHelper = BucketHash.bucketOfInternal(Seq(v), Seq(dt), n)
+      // the engine's own hash(): one-row frame, same literal
+      val viaSpark = spark.range(1)
+        .select(pmod(hash(lit(
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, dt)
+        ).cast(dt)), lit(n)).as("b")).as[Int].head()
+      assert(viaHelper == viaSpark, s"helper=$viaHelper spark=$viaSpark for $v:$dt")
+      // the catalog function Spark would align join sides with
+      val bound = graft.catalog.GraftBucketFunction.bind(
+        new org.apache.spark.sql.types.StructType()
+          .add("n", org.apache.spark.sql.types.IntegerType)
+          .add("k", dt))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+      val viaFn = bound.produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, v)))
+      assert(viaFn.intValue == viaHelper)
+    }
+    // null key component leaves the running hash at the seed — still a
+    // valid bucket, same on both paths
+    val nullB = BucketHash.bucketOfInternal(Seq(null),
+      Seq(org.apache.spark.sql.types.LongType), n)
+    val sparkNull = spark.range(1)
+      .select(pmod(hash(lit(null).cast("long")), lit(n)).as("b")).as[Int].head()
+    assert(nullB == sparkNull)
+  }
+
+  test("clusterByBucket rewrites bucket-pure; appends and DML stay pure") {
+    val dir = tmpDir()
+    spark.range(0, 3000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartition(5)
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("k"), numBuckets = 8)
+    assert(Lance.bucketSpec(spark, dir).exists(b =>
+      b.numBuckets == 8 && b.columns == Seq("k")))
+    // surfaced to SQL users through SHOW TBLPROPERTIES
+    assert(new graft.connector.LanceTable(dir, null).properties()
+      .get("lance.bucket-by") == "8:k")
+    assertPure(dir)
+    // adversarial append: rows shuffled across 3 arbitrary partitions
+    spark.range(3000, 4000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartition(3)
+      .write.format("lance").mode("append").save(dir)
+    assertPure(dir)
+    assert(spark.read.format("lance").load(dir).count() == 4000)
+    // copy-on-write DML rewrite keeps routing
+    Lance.updateWhere(spark, dir, "k = 17", Map("v" -> "v + 1"))
+    assertPure(dir)
+    assert(spark.read.format("lance").load(dir)
+      .filter(col("k") === 17).select("v").as[Long].head() == 52)
+    // maintenance keeps the spec and the purity
+    Lance.compact(spark, dir, maxRowsPerFile = 1000)
+    assert(Lance.bucketSpec(spark, dir).isDefined)
+    assertPure(dir)
+    assert(spark.read.format("lance").load(dir).count() == 4000)
+  }
+
+  // ---- the join itself ----
+
+  private def scansOf(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+    case q: QueryStageExec => scansOf(q.plan)
+    case other => other +: other.children.flatMap(scansOf)
+  }
+
+  private def joinNodes(p: SparkPlan): Seq[SparkPlan] = scansOf(p).filter {
+    case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+    case _ => false
+  }
+
+  private def hasShuffleBelow(p: SparkPlan): Boolean =
+    scansOf(p).drop(1).exists(_.isInstanceOf[ShuffleExchangeLike])
+
+  private def withSpjConfs[T](body: => T): T = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("co-bucketed equi-join plans with zero shuffle and exact results") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.spj", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.spj.warehouse", wh)
+    val left = s"$wh/db/facts"
+    val right = s"$wh/db/dims"
+    spark.range(0, 5000)
+      .select(pmod(col("id") * 937, lit(1000)).as("k"), col("id").as("amount"))
+      .repartition(4).write.format("lance").mode("overwrite").save(left)
+    spark.range(0, 1000)
+      .select(col("id").as("k"), concat(lit("g"), pmod(col("id"), lit(7))).as("grp"))
+      .repartition(4).write.format("lance").mode("overwrite").save(right)
+    Lance.clusterByBucket(spark, left, Seq("k"), numBuckets = 8)
+    Lance.clusterByBucket(spark, right, Seq("k"), numBuckets = 8)
+
+    def q: DataFrame = spark.sql(
+      """SELECT f.k, f.amount, d.grp
+        |FROM spj.db.facts f JOIN spj.db.dims d ON f.k = d.k""".stripMargin)
+
+    // reference result through the ordinary shuffle plan
+    val expected = q.collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+
+    withSpjConfs {
+      val df = q
+      val got = df.collect().map(_.toSeq).toSet
+      assert(got == expected, "storage-partitioned join changed the answer")
+      val joins = joinNodes(df.queryExecution.executedPlan)
+      assert(joins.nonEmpty, "no sort-merge/shuffled-hash join in the plan:\n" +
+        df.queryExecution.executedPlan)
+      joins.foreach { j =>
+        j.children.foreach { side =>
+          assert(!hasShuffleBelow(side) && !side.isInstanceOf[ShuffleExchangeLike],
+            s"exchange under a join side of a co-bucketed join:\n$j")
+        }
+      }
+    }
+  }
+
+  test("an untagged fragment disables the claim; the join still answers") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.spjx", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.spjx.warehouse", wh)
+    val left = s"$wh/db/l"
+    val right = s"$wh/db/r"
+    spark.range(0, 500).select(col("id").as("k"), col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(left)
+    spark.range(0, 500).select(col("id").as("k"), col("id").as("w"))
+      .write.format("lance").mode("overwrite").save(right)
+    Lance.clusterByBucket(spark, left, Seq("k"), numBuckets = 4)
+    // declare WITHOUT rewriting on the right: existing fragments untagged
+    LanceFormat.commitBucketBy(fs(right), new Path(right), 4, Seq("k"))
+    assert(manifest(right).fragments.exists(_.bucket.isEmpty))
+    withSpjConfs {
+      val df = spark.sql(
+        "SELECT l.k, l.v, r.w FROM spjx.db.l l JOIN spjx.db.r r ON l.k = r.k")
+      assert(df.count() == 500) // correct despite the disabled claim
+    }
+  }
+
+  test("bucket-key point lookups prune fragments at the manifest") {
+    val dir = tmpDir()
+    spark.range(0, 4000).select(col("id").as("k"), col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("k"), numBuckets = 16)
+    val m = manifest(dir)
+    assert(m.fragments.size >= 8, s"want many fragments, got ${m.fragments.size}")
+    val kept = BucketPrune.prune(m,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 1234L)), m.fragments)
+    assert(kept.size < m.fragments.size / 2,
+      s"bucket pruning kept ${kept.size} of ${m.fragments.size}")
+    // conservative: the matching row's fragment survives
+    assert(spark.read.format("lance").load(dir)
+      .filter(col("k") === 1234L).count() == 1)
+    val keptIn = BucketPrune.prune(m,
+      Seq(org.apache.spark.sql.sources.In("k", Array(1L, 2L))), m.fragments)
+    assert(keptIn.size <= 2 * math.max(1, m.fragments.size / 16 + 1))
+    // a filter on a NON-key column prunes nothing here
+    val keptOther = BucketPrune.prune(m,
+      Seq(org.apache.spark.sql.sources.EqualTo("v", 1L)), m.fragments)
+    assert(keptOther.size == m.fragments.size)
+  }
+
+  test("rename remaps the spec, drop clears it, widen refuses, z-order excludes") {
+    val dir = tmpDir()
+    spark.range(0, 100)
+      .select(col("id").cast("int").as("k"), col("id").as("v"), col("id").as("z"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("k"), numBuckets = 4)
+    // z-order spec refuses while bucketed
+    val exZ = intercept[IllegalArgumentException] {
+      Lance.cluster(spark, dir, Seq("v"))
+    }
+    assert(exZ.getMessage.contains("mutually exclusive"))
+    // widening the key refuses (the hash is type-dependent)
+    val exW = intercept[IllegalArgumentException] {
+      Lance.widenColumnType(spark, dir, "k", org.apache.spark.sql.types.LongType)
+    }
+    assert(exW.getMessage.contains("bucket"))
+    // rename remaps
+    Lance.renameColumn(spark, dir, "k", "key")
+    assert(Lance.bucketSpec(spark, dir).exists(_.columns == Seq("key")))
+    assertPure(dir) // purity judged under the new logical name
+    // drop of the key clears the whole spec (commitAlter's self-heal)
+    val prev = manifest(dir)
+    LanceFormat.commitAlter(fs(dir), new Path(dir),
+      org.apache.spark.sql.types.StructType(
+        prev.schema.fields.filterNot(_.name == "key")),
+      droppedColumns = Seq("key"))
+    assert(Lance.bucketSpec(spark, dir).isEmpty)
+  }
+}
