@@ -392,7 +392,7 @@ object LanceCatalog {
       "rebase_branch",
       "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
       "rename_column", "widen_column",
-      "add_unique", "clone_table")
+      "add_unique", "clone_table", "cluster_by_bucket", "analyze_table")
 }
 
 private[catalog] object LanceProcedure {
@@ -440,6 +440,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "compact" => "rewrite small fragments into maxRowsPerFile-sized ones (new MVCC version)"
     case "vacuum" => "drop old versions and reclaim fragment files only they referenced (older_than_ms pins young versions)"
     case "cluster" => "Z-order rewrite so manifest stats prune on every listed column"
+    case "cluster_by_bucket" => "hash-bucket rewrite (bucket(n, cols)): co-bucketed tables join shuffle-free (storage-partitioned join); empty cols clears the layout"
+    case "analyze_table" => "per-column NDV sketches (HyperLogLog) into the stats sidecar; the scan serves them to CBO. Incremental: appends since the last ANALYZE merge by sketch union"
     case "update_where" => "row-level UPDATE: stats-scoped copy-on-write rewrite"
     case "upsert" => "MERGE a view/table into the dataset on key columns (update-or-insert)"
     case "remove_orphans" => "delete data files no retained manifest references (crash leftovers)"
@@ -479,6 +481,13 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           "regardless of count; -1 disables the time pin").build())
     case "cluster" => Array(in("table", StringType).build(),
       in("cols", StringType).comment("comma-separated numeric columns").build())
+    case "cluster_by_bucket" => Array(in("table", StringType).build(),
+      in("cols", StringType)
+        .comment("comma-separated key columns; empty clears the layout").build(),
+      in("num_buckets", IntegerType).defaultValue("16").build())
+    case "analyze_table" => Array(in("table", StringType).build(),
+      in("cols", StringType).defaultValue("''")
+        .comment("comma-separated columns; empty = every analyzable column").build())
     case "update_where" => Array(in("table", StringType).build(),
       in("condition", StringType).build(),
       in("set", StringType).comment("assignments: col = expr [, col = expr ...]").build())
@@ -569,6 +578,25 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("fragments_before", IntegerType, nullable = false)
           .add("fragments_after", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](before, after)))
+      case "cluster_by_bucket" =>
+        val cols = input.getUTF8String(1).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val (before, after) = graft.Lance.clusterByBucket(spark, path, cols,
+          input.getInt(2))
+        (new StructType().add("fragments_before", IntegerType, nullable = false)
+          .add("fragments_after", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](before, after)))
+      case "analyze_table" =>
+        val cols = input.getUTF8String(1).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val ndv = graft.Lance.analyze(spark, path, cols)
+        (new StructType()
+          .add("columns_analyzed", IntegerType, nullable = false)
+          .add("ndv", StringType, nullable = false),
+          new GenericInternalRow(Array[Any](ndv.size,
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              ndv.toSeq.sortBy(_._1).map { case (c, n) => s"$c=$n" }
+                .mkString(",")))))
       case "update_where" =>
         val set = LanceProcedure.parseAssignments(input.getUTF8String(2).toString)
         val r = graft.Lance.updateWhere(spark, path,

@@ -659,20 +659,74 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val base = super.estimateStatistics()
-    manifest match {
+    val exactRows: Option[Long] = manifest match {
       case Some(m) if dataFilters.isEmpty =>
         val byName = m.fragments.map(f =>
           f.file.substring(f.file.lastIndexOf('/') + 1) -> f.rowCount).toMap
         val counts = fileIndex.allFiles().map(f => byName.get(f.getPath.getName))
-        if (counts.forall(_.isDefined)) {
-          val n = counts.flatten.sum
-          new org.apache.spark.sql.connector.read.Statistics {
-            override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
-            override def numRows(): java.util.OptionalLong =
-              java.util.OptionalLong.of(n)
+        if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+      case _ => None
+    }
+    val colStats = ndvColumnStats
+    if (exactRows.isEmpty && colStats.isEmpty) base
+    else new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        exactRows.map(java.util.OptionalLong.of).getOrElse(base.numRows())
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val out = new java.util.HashMap[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        colStats.foreach { case (c, s) => out.put(Expressions.column(c), s) }
+        out
+      }
+    }
+  }
+
+  /** ANALYZE sidecar ([[graft.Lance.analyze]]) → DSv2 column statistics:
+    * NDV (HLL estimate), exact nullCount from fragment stats, byte
+    * lengths — what CBO join reordering and build-side choice run on.
+    * Served only when no data filter was pushed (a full-table NDV is not
+    * TRUE of a filtered scan; understating nothing is the safe side) and
+    * the sidecar exists; staleness is fine (every warehouse serves the
+    * last ANALYZE until the next one).
+    */
+  private lazy val ndvColumnStats: Map[String,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+    if (dataFilters.nonEmpty || manifest.isEmpty) Map.empty
+    else ndvColumnStats0
+
+  private def ndvColumnStats0: Map[String,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val m = manifest.get
+    val root = new org.apache.hadoop.fs.Path(rootStr)
+    val stored = try graft.format.TableStats.read(
+      LanceFormat.fileSystem(root, sparkSession.sessionState.newHadoopConf()), root)
+    catch { case _: Exception => None }
+    stored match {
+      case None => Map.empty
+      case Some(s) =>
+        val visible = readSchema().fieldNames.toSet
+        s.columns.collect { case (c, meta) if visible.contains(c) =>
+          val phys = m.physicalName(c)
+          val nulls: Option[Long] = {
+            val per = m.fragments.map(_.stats.flatMap(_.get(phys).map(_.nullCount)))
+            if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
           }
-        } else base
-      case _ => base
+          c -> (new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(meta.ndv)
+            override def nullCount(): java.util.OptionalLong =
+              nulls.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def avgLen(): java.util.OptionalLong =
+              if (meta.avgLen > 0) java.util.OptionalLong.of(meta.avgLen)
+              else java.util.OptionalLong.empty()
+            override def maxLen(): java.util.OptionalLong =
+              if (meta.maxLen > 0) java.util.OptionalLong.of(meta.maxLen)
+              else java.util.OptionalLong.empty()
+          })
+        }
     }
   }
 

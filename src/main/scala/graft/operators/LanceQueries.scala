@@ -1669,6 +1669,50 @@ object LanceQueries {
     }
   }
 
+  /** ANALYZE + CBO column statistics (s109): [[graft.Lance.analyze]]
+    * sketches per-column NDV (HyperLogLog, ~1.6% error) into the stats
+    * sidecar and the scan serves it to Spark's optimizer as DSv2
+    * `columnStats` — the numbers join reordering and build-side choice
+    * run on. The gate analyzes an orders copy, REQUIRES every estimate
+    * within 5% of truth AND the attributeStats visible under CBO, then
+    * outputs the EXACT distinct counts (DuckDB-checkable; the sketch
+    * quality is the require, the s103 planted-literal pattern).
+    */
+  def s109Analyze(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_analyze")
+    freshDataset(spark, dest)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .write.format("lance").mode("overwrite").save(dest)
+    val ndv = graft.Lance.analyze(spark, dest)
+    val exact = spark.read.format("lance").load(dest).agg(
+      countDistinct(col("o_orderkey")).as("d_orderkey"),
+      countDistinct(col("o_custkey")).as("d_custkey"),
+      countDistinct(col("o_orderpriority")).as("d_priority")).collect()(0)
+    val truth = Map("o_orderkey" -> exact.getLong(0),
+      "o_custkey" -> exact.getLong(1), "o_orderpriority" -> exact.getLong(2))
+    truth.foreach { case (c, want) =>
+      require(math.abs(ndv(c) - want) <= math.max(2L, (want * 0.05).toLong),
+        s"NDV of $c off: want ~$want got ${ndv(c)}")
+    }
+    // the optimizer actually SEES them (CBO attribute stats)
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val rel = spark.read.format("lance").load(dest)
+        .queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        }.head
+      require(rel.stats.attributeStats.nonEmpty, "CBO sees no column stats")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    spark.createDataFrame(Seq((truth("o_orderkey"), truth("o_custkey"),
+        truth("o_orderpriority"), true)))
+      .toDF("d_orderkey", "d_custkey", "d_priority", "ndv_ok")
+  }
+
   /** Zero-copy shallow clone (s107): [[graft.Lance.cloneTable]] creates
     * a new table whose first manifest BORROWS the source's fragment
     * files — fully-qualified external refs, zero data copied, one
@@ -2037,6 +2081,7 @@ object LanceQueries {
     "s106_runtime_prune" -> s106RuntimePrune,
     "s107_clone" -> s107Clone,
     "s108_spj" -> s108StoragePartitionedJoin,
+    "s109_analyze" -> s109Analyze,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -2180,6 +2225,14 @@ object LanceQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // s109: exact distincts are the anchor; the 5%-NDV bound and CBO
+    // visibility are the require()s + planted literal (s103 pattern)
+    "s109_analyze" ->
+      """SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_orderkey,
+        | CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_custkey,
+        | CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_priority,
+        | TRUE AS ndv_ok
+        |FROM orders""".stripMargin,
     // s107: the diverged clone = orders minus key 5 plus the planted row;
     // zero-copy is the require() + planted literal (s103 pattern)
     "s107_clone" ->
