@@ -63,6 +63,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_fts"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_fts"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_fts", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_fts_highlight"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_fts_highlight"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_fts_highlight", args)))
     e.injectTableFunction((FunctionIdentifier("lance_stats"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_stats"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_stats", args)))
@@ -109,6 +112,7 @@ object MetaTvfs {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
     Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts",
+        "lance_fts_highlight",
         "lance_stats", "vector_search_join", "lance_indexes",
         "lance_take", "lance_tags", "lance_branches",
         "lance_constraints", "lance_maxsim").foreach { n =>
@@ -364,6 +368,26 @@ object MetaTvfs {
             filter, matchMode)
         } else graft.index.FtsIndex.search(spark, path, colSpec, query, k,
           filter = filter, matchMode = matchMode)
+      // BM25 hits + highlighted snippets (Lucene Highlighter / ES
+      // highlight): the top-k join back to the corpus (broadcast ids →
+      // runtime fragment pruning) and one codegen'd pass marks matched
+      // terms in a window around the first hit
+      case "lance_fts_highlight" =>
+        require(args.size >= 4 && args.size <= 7,
+          "lance_fts_highlight(path, column, query, k[, filter[, " +
+            "matchMode[, window]]])")
+        val column = literalString(args(1), "lance_fts_highlight: column")
+        val query = literalString(args(2), "lance_fts_highlight: query")
+        val k = literalString(args(3), "lance_fts_highlight: k").toInt
+        val filter = if (args.size >= 5)
+          Some(literalString(args(4), "lance_fts_highlight: filter"))
+            .filter(_.nonEmpty) else None
+        val matchMode = if (args.size >= 6)
+          literalString(args(5), "lance_fts_highlight: matchMode") else "any"
+        val window = if (args.size >= 7)
+          literalString(args(6), "lance_fts_highlight: window").toInt else 12
+        graft.index.FtsIndex.searchHighlight(spark, path, column, query, k,
+          filter = filter, matchMode = matchMode, window = window)
       // ANALYZE/DESCRIBE-STATISTICS parity, zero data files touched: the
       // per-fragment manifest stats rolled up to table level. min/max are
       // BOUNDS in the stored canonical encoding (strings ≤64 chars are

@@ -473,6 +473,10 @@ class LanceScanBuilder(spark: SparkSession,
     * Conservative by construction ([[graft.format.FragmentStats.prune]]);
     * correctness is oracle-gated (s64) and spec'd with planted ranges.
     */
+  /** (kept, total) after driver-side pruning — surfaced in the scan's
+    * `.explain` description so a pruned plan is visibly pruned. */
+  private var pruneInfo: Option[(Int, Int)] = None
+
   private def statsPruned(base: ParquetScan): ParquetScan = {
     val kept = manifest match {
       case Some(m) if pushedDataFilters.nonEmpty =>
@@ -488,6 +492,7 @@ class LanceScanBuilder(spark: SparkSession,
               pushedDataFilters)))
       case _ => return base
     }
+    pruneInfo = Some((kept.size, manifest.get.fragments.size))
     if (kept.size == manifest.get.fragments.size) base
     else {
       val root = new org.apache.hadoop.fs.Path(rootStr)
@@ -517,8 +522,9 @@ class LanceScanBuilder(spark: SparkSession,
         else m.fragments
       new LanceMetadataScan(statsPruned(super.build()), rootStr, kept,
         physToLogical)
-    case None => new LanceParquetScan(statsPruned(super.build()), rootStr,
-      physToLogical, manifest)
+    case None =>
+      val pruned = statsPruned(super.build())
+      new LanceParquetScan(pruned, rootStr, physToLogical, manifest, pruneInfo)
   }
 }
 
@@ -545,7 +551,8 @@ class LanceScanBuilder(spark: SparkSession,
   */
 class LanceParquetScan(inner: ParquetScan, rootStr: String,
     physToLogical: Map[String, String] = Map.empty,
-    manifest: Option[Manifest] = None)
+    manifest: Option[Manifest] = None,
+    pruneInfo: Option[(Int, Int)] = None)
     extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
       inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
       inner.pushedFilters, inner.options, inner.pushedAggregate,
@@ -555,6 +562,17 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
 
   override def readSchema(): StructType =
     LanceFormat.toPhysical(super.readSchema(), physToLogical)
+
+  /** `.explain` shows what the manifest decided: fragments kept by the
+    * driver-side skipping layers and the declared bucket layout — a
+    * pruned plan should LOOK pruned, not require a debugger. */
+  override def description(): String = {
+    val prune = pruneInfo.map { case (k, t) =>
+      s", LanceFragments: $k/$t after driver-side pruning" }.getOrElse("")
+    val bucket = manifest.flatMap(_.bucketBy).map(b =>
+      s", BucketBy: ${b.columns.mkString(",")} x${b.numBuckets}").getOrElse("")
+    super.description() + prune + bucket
+  }
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate

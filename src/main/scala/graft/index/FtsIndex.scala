@@ -570,6 +570,66 @@ object FtsIndex {
       .withColumnRenamed("doc", meta.idColumn)
   }
 
+  /** [[search]] + highlighted snippets — Lucene's Highlighter /
+    * Elasticsearch `highlight`, re-expressed as pure column expressions:
+    * the top-k hits join BACK to the corpus for the text (hit ids are a
+    * broadcast dim side, so the corpus scan runtime-prunes to the
+    * fragments holding the k winners — never a second corpus pass), then
+    * one codegen'd pass re-tokenizes each winning doc with the INDEX's
+    * tokenizer, finds the first matched position, and emits a
+    * `window`-token snippet with every query-term occurrence wrapped in
+    * `preTag`/`postTag` (+ `n_matches`, the doc-wide occurrence count).
+    * Highlighted: positive plain terms and `term*` prefixes; `-term`
+    * exclusions never highlight (excluded docs aren't hits), fuzzy terms
+    * highlight their literal base.
+    */
+  def searchHighlight(spark: SparkSession, datasetPath: String, column: String,
+      queryText: String, k: Int, filter: Option[String] = None,
+      matchMode: String = "any", preTag: String = "[", postTag: String = "]",
+      window: Int = 12): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val meta = loadMeta(spark, datasetPath, column)
+    val tokenizer = meta.tokenizer.getOrElse("space")
+    val hits = search(spark, datasetPath, column, queryText, k, filter, matchMode)
+    // highlightable clauses: plain positive terms (fuzzy → its base),
+    // and prefixes; '-term' exclusions are dropped
+    val rawParts = queryText.split('|').flatMap(_.split("\\s+")).toSeq
+      .filter(_.nonEmpty).filterNot(p => p.length > 1 && p.startsWith("-"))
+    val fuzzyRe = "(.+)~([0-9]+)".r
+    val (prefParts, plainParts) =
+      rawParts.partition(p => p.length > 1 && p.endsWith("*"))
+    val prefixes = prefParts.flatMap(p => scalaTokens(p.dropRight(1), tokenizer))
+      .distinct
+    val terms = plainParts.map { case fuzzyRe(body, _) => body; case p => p }
+      .flatMap(scalaTokens(_, tokenizer)).distinct
+    def isMatch(t: Column): Column = {
+      val base: Column =
+        if (terms.isEmpty) lit(false)
+        else array_contains(array(terms.map(lit): _*), t)
+      prefixes.foldLeft(base)((acc, p) => acc || t.startsWith(p))
+    }
+    val docs = spark.read.format("lance").load(datasetPath)
+      .select(col(meta.idColumn), col(column))
+    val joined = docs.join(broadcast(hits.select(col(meta.idColumn),
+      col("score"))), Seq(meta.idColumn))
+    val toks = sparkTokens(col(column), tokenizer)
+    val idxs = org.apache.spark.sql.functions.filter(
+      transform(toks, (t, i) => when(isMatch(t), i).otherwise(lit(-1))),
+      x => x >= 0) // 0-based positions of every match
+    // functions.get: null on a no-match doc (ANSI-safe), not an error
+    val first = coalesce(get(col("__m"), lit(0)), lit(0))
+    val start = greatest(lit(0), first - lit(window / 4))
+    val snippet = array_join(
+      transform(slice(toks, start + 1, lit(window)), t =>
+        when(isMatch(t), concat(lit(preTag), t, lit(postTag))).otherwise(t)),
+      " ")
+    joined.withColumn("__m", idxs)
+      .select(col(meta.idColumn), col("score"),
+        coalesce(snippet, lit("")).as("snippet"),
+        coalesce(size(col("__m")), lit(0)).as("n_matches"))
+      .orderBy(col("score").desc, col(meta.idColumn))
+  }
+
   /** The scored (doc, score) frame of one query — everything in
     * [[search]] except the final top-k/rename, so clause composers
     * ([[searchPhrases]]) can combine full result sets without k-

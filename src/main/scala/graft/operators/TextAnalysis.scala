@@ -585,6 +585,23 @@ object TextAnalysis {
     * filter → df broadcast → decimal-rounded scoring → top-k. See
     * [[graft.index.FtsIndex]] for the scale contract.
     */
+  /** FTS highlighting (t54): t40's BM25 top-k, each hit joined back to
+    * its text (broadcast ids → runtime fragment pruning on the corpus)
+    * and rendered as a 12-token snippet around the first match with
+    * every query-term occurrence bracketed, plus the doc-wide match
+    * count — Lucene Highlighter / ES `highlight`, as one codegen'd
+    * column expression over the winners only. Driven through the
+    * `lance_fts_highlight` TVF (the SQL surface); the oracle recomputes
+    * snippet + count with DuckDB list lambdas over the same tokens.
+    */
+  def t54FtsHighlight(spark: SparkSession, dir: String): DataFrame = {
+    val dest = ensureFtsDataset(spark, dir)
+    graft.MetaTvfs.register(spark)
+    spark.sql(s"SELECT * FROM lance_fts_highlight('$dest', 'text', " +
+      s"'${bm25Terms.mkString(" ")}', $bm25K)")
+      .withColumn("n_matches", col("n_matches").cast("long"))
+  }
+
   def t40Bm25(spark: SparkSession, dir: String): DataFrame = {
     import graft.index.FtsIndex
     val dest = graft.Tables.scratch(dir, "docs_fts_v1")
@@ -890,6 +907,7 @@ object TextAnalysis {
     "t50_fts_prefix" -> t50FtsPrefix,
     "t52_fts_fuzzy" -> t52FtsFuzzy,
     "t53_fts_fields" -> t53FtsFields,
+    "t54_fts_highlight" -> t54FtsHighlight,
     "t51_fts_phrases" -> t51FtsPhrases,
     "t41_pii_redact" -> t41PiiRedact,
     "t47_chunking" -> t47Chunking,
@@ -1079,6 +1097,42 @@ object TextAnalysis {
            |    AS DECIMAL(18,6)) AS c
            |  FROM post JOIN dfs USING (term))
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      },
+      // t54: t40's top-k, then snippet + match count recomputed with
+      // DuckDB list lambdas over the same space-tokenized text (window
+      // 12, 3 tokens of pre-context, both sides clamp identically)
+      "t54_fts_highlight" -> {
+        val inList = bm25Terms.map(w => s"'$w'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, len($dWords) AS dl,
+           |    unnest($dWords) AS term FROM documents),
+           |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+           |  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len($dWords)) AS BIGINT) AS sumdl FROM documents),
+           |hits AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM (
+           |  SELECT post.doc_id, CAST(
+           |      (ln(1.0 + ((CAST((SELECT n FROM st) - df AS DOUBLE) + 0.5)
+           |          / (CAST(df AS DOUBLE) + 0.5)))
+           |        * (tf * CAST(2.2 AS DOUBLE)))
+           |      / (tf + 1.2 * (0.25 + (0.75 * dl)
+           |          / (CAST((SELECT sumdl FROM st) AS DOUBLE) / (SELECT n FROM st))))
+           |    AS DECIMAL(18,6)) AS c
+           |  FROM post JOIN dfs USING (term))
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $bm25K),
+           |calc AS (SELECT h.doc_id, h.score, d.t,
+           |    list_filter(range(1, len(d.t) + 1),
+           |      i -> list_contains([$inList], d.t[i])) AS m
+           |  FROM hits h JOIN (SELECT doc_id, $dWords AS t FROM documents) d
+           |    USING (doc_id))
+           |SELECT doc_id, score,
+           |  array_to_string(list_transform(
+           |    list_slice(t, greatest(1, coalesce(m[1], 1) - 3),
+           |      greatest(1, coalesce(m[1], 1) - 3) + 11),
+           |    w -> CASE WHEN list_contains([$inList], w)
+           |      THEN '[' || w || ']' ELSE w END), ' ') AS snippet,
+           |  CAST(len(m) AS BIGINT) AS n_matches
+           |FROM calc ORDER BY score DESC, doc_id""".stripMargin
       },
       // t43 indexes a subset, appends the rest, delta-refreshes — the
       // final indexed corpus is ALL documents, so the oracle is exactly
