@@ -404,9 +404,14 @@ object MetaTvfs {
           .orElse(graft.format.LanceFormat.readLatest(fs, root))
           .getOrElse(throw new IllegalArgumentException(s"no lance dataset at $path"))
         val totalRows = m.rowCount
+        // the ANALYZE sidecar's NDV, when one exists (null = never
+        // analyzed or column not covered — unknown, not zero)
+        val ndvByCol: Map[String, Long] = graft.format.TableStats.read(fs, root)
+          .map(_.columns.map { case (c, s) => c -> s.ndv }).getOrElse(Map.empty)
         val rows = graft.format.FragmentStats.aggregate(m.schema, m.fragments)
           .map { case (name, mn, mx, nulls, nBounded) =>
             Row(name, mn.orNull, mx.orNull, nulls.map(Long.box).orNull,
+              ndvByCol.get(name).map(Long.box).orNull,
               totalRows, nBounded, m.fragments.size)
           }
         spark.createDataFrame(java.util.Arrays.asList(rows: _*),
@@ -414,6 +419,7 @@ object MetaTvfs {
             .add("min", StringType) // null = unknowable, not "no rows"
             .add("max", StringType)
             .add("null_count", LongType)
+            .add("ndv", LongType) // HLL estimate from the last ANALYZE
             .add("row_count", LongType, nullable = false)
             .add("n_fragments_bounded", IntegerType, nullable = false)
             .add("n_fragments", IntegerType, nullable = false))

@@ -761,6 +761,13 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
         val conf = sparkSession.sessionState.conf
         if (!conf.getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED))
           None
+        // SINGLE-column keys only, Iceberg's unary-bucket shape: Spark's
+        // KeyGroupedPartitioning admits only partition expressions with
+        // exactly one column leaf (satisfies0 checks collectLeaves.size
+        // == 1), so a bucket(a, b) transform can never satisfy a join
+        // distribution — composite-key tables keep writer routing and
+        // purity, but join through the ordinary exchange
+        else if (spec.columns.size != 1) None
         else if (!spec.columns.forall(m.schema.fieldNames.contains)) None
         else {
           val tagByName = m.fragments

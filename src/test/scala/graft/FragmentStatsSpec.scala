@@ -611,6 +611,13 @@ class FragmentStatsSpec extends AnyFunSuite {
     assert(rows("id").getString(1) == "0" && rows("id").getString(2) == "49")
     assert(rows("m").getString(1) == "0" && rows("m").getString(2) == "6")
     assert(rows("s").getString(1) == "v000" && rows("s").getString(2) == "v049")
-    assert(rows.values.forall(r => r.getLong(4) == 50 && r.getLong(3) == 0))
+    assert(rows.values.forall(r => r.getLong(5) == 50 && r.getLong(3) == 0))
+    // never analyzed → NDV unknown (null), not zero
+    assert(rows.values.forall(_.isNullAt(4)))
+    graft.Lance.analyze(spark, dir)
+    val after = spark.sql(s"SELECT * FROM lance_stats('$dir') ORDER BY col_name")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(after("id").getLong(4) == 50, after("id"))
+    assert(after("m").getLong(4) == 7, after("m"))
   }
 }

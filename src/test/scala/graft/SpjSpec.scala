@@ -194,6 +194,100 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("group-by on the bucket key aggregates without an exchange") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.spjg", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.spjg.warehouse", wh)
+    val path = s"$wh/db/events"
+    spark.range(0, 6000)
+      .select(pmod(col("id") * 131, lit(400)).as("k"), col("id").as("v"))
+      .repartition(4).write.format("lance").mode("overwrite").save(path)
+    Lance.clusterByBucket(spark, path, Seq("k"), numBuckets = 8)
+    def q = spark.sql(
+      "SELECT k, COUNT(*) AS n, SUM(v) AS s FROM spjg.db.events GROUP BY k")
+    val expected = q.collect().map(_.toSeq).toSet
+    withSpjConfs {
+      val df = q
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      val shuffles = scansOf(df.queryExecution.executedPlan)
+        .filter(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shuffles.isEmpty,
+        s"bucket-key group-by still shuffles:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  // Composite keys keep routing/purity but NOT the shuffle-free claim:
+  // Spark's KeyGroupedPartitioning only admits unary partition
+  // expressions (satisfies0 requires one column leaf per expression), so
+  // a bucket(a, b) transform can never satisfy a join distribution. The
+  // scan therefore reports unknown partitioning for multi-column specs
+  // and the join stays a plain (correct) exchange join.
+  test("composite bucket key: purity + correct joins (exchange allowed)") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.spj2", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.spj2.warehouse", wh)
+    val left = s"$wh/db/l2"
+    val right = s"$wh/db/r2"
+    spark.range(0, 4000).select(
+        pmod(col("id"), lit(50)).as("a"),
+        concat(lit("s"), pmod(col("id"), lit(7))).as("b"),
+        col("id").as("v"))
+      .repartition(4).write.format("lance").mode("overwrite").save(left)
+    spark.range(0, 350).select(
+        pmod(col("id"), lit(50)).as("a"),
+        concat(lit("s"), pmod(col("id"), lit(7))).as("b"),
+        col("id").as("w"))
+      .repartition(3).write.format("lance").mode("overwrite").save(right)
+    Lance.clusterByBucket(spark, left, Seq("a", "b"), numBuckets = 8)
+    Lance.clusterByBucket(spark, right, Seq("a", "b"), numBuckets = 8)
+    assertPure(left); assertPure(right)
+    def q = spark.sql(
+      """SELECT l.a, l.b, l.v, r.w FROM spj2.db.l2 l
+        |JOIN spj2.db.r2 r ON l.a = r.a AND l.b = r.b""".stripMargin)
+    val expected = q.collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+    withSpjConfs {
+      assert(q.collect().map(_.toSeq).toSet == expected)
+    }
+  }
+
+  test("one side bucketed: v2 bucketing shuffle re-buckets only the other side") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.spjs", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.spjs.warehouse", wh)
+    val fact = s"$wh/db/fact1"
+    val dim = s"$wh/db/dim1"
+    spark.range(0, 5000)
+      .select(pmod(col("id") * 937, lit(300)).as("k"), col("id").as("v"))
+      .repartition(4).write.format("lance").mode("overwrite").save(fact)
+    spark.range(0, 300).select(col("id").as("k"), col("id").as("w"))
+      .repartition(2).write.format("lance").mode("overwrite").save(dim) // NOT bucketed
+    Lance.clusterByBucket(spark, fact, Seq("k"), numBuckets = 8)
+    def q = spark.sql(
+      "SELECT f.k, f.v, d.w FROM spjs.db.fact1 f JOIN spjs.db.dim1 d ON f.k = d.k")
+    val expected = q.collect().map(_.toSeq).toSet
+    withSpjConfs {
+      val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+        val df = q
+        assert(df.collect().map(_.toSeq).toSet == expected)
+        val joins = joinNodes(df.queryExecution.executedPlan)
+        assert(joins.nonEmpty)
+        // the bucketed fact side must NOT shuffle; the dim side may (it
+        // re-buckets INTO the fact's layout via the V2 bucket function)
+        val factSides = joins.map(_.children.head)
+        factSides.foreach { side =>
+          assert(!hasShuffleBelow(side) && !side.isInstanceOf[ShuffleExchangeLike],
+            s"bucketed side shuffled:\n$side")
+        }
+      } finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      }
+    }
+  }
+
   test("an untagged fragment disables the claim; the join still answers") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.spjx", "graft.catalog.LanceCatalog")
