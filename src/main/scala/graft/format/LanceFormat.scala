@@ -64,7 +64,19 @@ case class Manifest(
     clusterBy: Option[Seq[String]] = None,
     // declared hash-bucket layout ([[BucketSpecMeta]]): carried through
     // every commit kind like clusterBy; mutually exclusive with it.
-    bucketBy: Option[BucketSpecMeta] = None) {
+    bucketBy: Option[BucketSpecMeta] = None,
+    // TWO-LEVEL manifest (set by the commit path once the fragment list
+    // outgrows [[LanceFormat.inlineFragmentThreshold]]): the on-disk
+    // manifest carries only these content-addressed group-file names
+    // (`_groups/g-<sha1>.json`, each one JSON array chunk of the
+    // fragment list) and an EMPTY `fragments`; [[LanceFormat.
+    // readManifestIn]] resolves them back, so in memory `fragments` is
+    // always the full list. Content addressing is what makes commits
+    // O(new data): an append re-derives identical chunk hashes for the
+    // untouched prefix and reuses those files by name — at a million
+    // fragments the manifest write is one small JSON + one tail group,
+    // not a gigabyte rewrite. A metadata-only commit reuses every group.
+    fragmentGroups: Option[Seq[String]] = None) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   /** RENAME COLUMN support, Delta's column-mapping-by-name shape: the
     * manifest schema carries LOGICAL names; fragment files always carry
@@ -132,10 +144,89 @@ object LanceFormat {
 
   val VersionsDir = "_versions"
   val DataDir = "data"
+  val GroupsDir = "_groups"
   private val ManifestSuffix = ".manifest.json"
 
   def versionsPath(root: Path) = new Path(root, VersionsDir)
   def dataPath(root: Path) = new Path(root, DataDir)
+  def groupsPath(root: Path) = new Path(root, GroupsDir)
+
+  // ------------------------------------------- two-level manifest groups
+
+  /** Fragment-list size above which manifests spill to content-addressed
+    * group files; spec-tunable. 1000 inline entries ≈ a 1 MB manifest —
+    * below that, one file read beats two. */
+  private[graft] var inlineFragmentThreshold = 1000
+  /** Chunk size of one group file (~10 MB of JSON with per-column
+    * stats); the append tail rewrites at most one partial chunk. */
+  private[graft] var fragmentsPerGroup = 10000
+
+  /** Group files are immutable and content-addressed, so a small global
+    * cache is sound across tables and versions (same name ⇒ same bytes);
+    * it turns repeated manifest reads of a large table into one parse. */
+  private val groupCache =
+    new java.util.LinkedHashMap[String, Seq[FragmentMeta]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[FragmentMeta]]): Boolean = size > 256
+    }
+
+  /** The table root a lineage dir belongs to: `<root>/_versions` or
+    * `<root>/_branches/<name>` — groups live once per table at
+    * `<root>/_groups`, shared by every lineage (a branch fork reuses the
+    * base version's groups byte for byte). */
+  private def rootOfLineage(dir: Path): Path =
+    if (dir.getName == VersionsDir) dir.getParent
+    else dir.getParent.getParent // _branches/<name>
+
+  private def sha1Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** Write `fragments` as content-addressed chunk files, returning their
+    * names. A chunk whose hash already exists on disk is reused without
+    * a write — no coordination needed (identical name ⇒ identical
+    * bytes, so a concurrent double-write is harmless). */
+  private def writeGroups(fs: FileSystem, root: Path,
+      fragments: Seq[FragmentMeta]): Seq[String] = {
+    val dir = groupsPath(root)
+    fragments.grouped(fragmentsPerGroup).map { chunk =>
+      val bytes = Serialization.write(chunk).getBytes(StandardCharsets.UTF_8)
+      val name = s"g-${sha1Hex(bytes)}.json"
+      val p = new Path(dir, name)
+      if (!fs.exists(p)) {
+        fs.mkdirs(dir)
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+      }
+      groupCache.synchronized { groupCache.put(name, chunk.toVector) }
+      name
+    }.toSeq
+  }
+
+  private def readGroup(fs: FileSystem, root: Path, name: String): Seq[FragmentMeta] = {
+    groupCache.synchronized { Option(groupCache.get(name)) } match {
+      case Some(c) => c
+      case None =>
+        val p = new Path(groupsPath(root), name)
+        val in = fs.open(p)
+        val parsed = try {
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(0L, bytes)
+          Serialization.read[Seq[FragmentMeta]](
+            new String(bytes, StandardCharsets.UTF_8)).toVector
+        } finally in.close()
+        groupCache.synchronized { groupCache.put(name, parsed) }
+        parsed
+    }
+  }
+
+  /** The on-disk form of `m`: inline below the threshold, group refs +
+    * empty fragment list above it. */
+  private def packForWrite(fs: FileSystem, dir: Path, m: Manifest): Manifest =
+    if (m.fragments.size <= inlineFragmentThreshold)
+      m.copy(fragmentGroups = None)
+    else m.copy(fragments = Seq.empty,
+      fragmentGroups = Some(writeGroups(fs, rootOfLineage(dir), m.fragments)))
 
   def isDataset(fs: FileSystem, root: Path): Boolean =
     fs.exists(versionsPath(root))
@@ -156,13 +247,21 @@ object LanceFormat {
   def readManifestIn(fs: FileSystem, dir: Path, version: Long): Manifest = {
     val p = new Path(dir, s"$version$ManifestSuffix")
     val in = fs.open(p)
-    try {
+    val parsed = try {
       val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
       val sb = new StringBuilder
       var line = reader.readLine()
       while (line != null) { sb.append(line).append('\n'); line = reader.readLine() }
       Serialization.read[Manifest](sb.toString)
     } finally in.close()
+    // two-level form: resolve the content-addressed groups back into the
+    // in-memory fragment list (group refs retained for GC/introspection)
+    parsed.fragmentGroups.filter(_.nonEmpty) match {
+      case Some(gs) =>
+        val root = rootOfLineage(dir)
+        parsed.copy(fragments = gs.flatMap(readGroup(fs, root, _)))
+      case None => parsed
+    }
   }
 
   def readLatestIn(fs: FileSystem, dir: Path): Option[Manifest] =
@@ -195,7 +294,8 @@ object LanceFormat {
     val target = new Path(dir, s"${m.version}$ManifestSuffix")
     if (fs.exists(target)) return false
     publisher.getOrElse(ManifestPublisher.forFileSystem(fs))
-      .publish(fs, target, Serialization.write(m).getBytes(StandardCharsets.UTF_8))
+      .publish(fs, target, Serialization.write(packForWrite(fs, dir, m))
+        .getBytes(StandardCharsets.UTF_8))
   }
 
   /** Atomically commit `manifest` as the next version; retries the version
@@ -807,9 +907,17 @@ object LanceFormat {
     // branch manifests are reference ROOTS too: data under an active
     // branch must survive a main-side vacuum (deleteBranch + vacuum is
     // how branch data is reclaimed)
-    val kept = keep.flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet ++
+    val keptManifests = keep.map(v => readManifest(fs, root, v))
+    val droppedManifests = drop.map(v => readManifest(fs, root, v))
+    val kept = keptManifests.flatMap(_.fragments.map(_.file)).toSet ++
       branchReferencedFiles(fs, root)
-    val dropped = drop.flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet
+    val dropped = droppedManifests.flatMap(_.fragments.map(_.file)).toSet
+    // group files are refcounted exactly like fragment files: one
+    // referenced by any retained version (or a branch) survives
+    val keptGroups = keptManifests.flatMap(_.fragmentGroups.getOrElse(Seq.empty)).toSet ++
+      branchReferencedGroups(fs, root)
+    val droppedGroups = droppedManifests
+      .flatMap(_.fragmentGroups.getOrElse(Seq.empty)).toSet
     drop.foreach { v =>
       fs.delete(new Path(versionsPath(root), s"$v$ManifestSuffix"), false)
     }
@@ -818,6 +926,9 @@ object LanceFormat {
     // files — never delete them here, whatever versions dropped
     (dropped -- kept).filterNot(isExternalRef).foreach { f =>
       if (fs.delete(new Path(dataPath(root), f), false)) removed += 1
+    }
+    (droppedGroups -- keptGroups).foreach { g =>
+      fs.delete(new Path(groupsPath(root), g), false)
     }
     (drop.size, removed)
   }
@@ -1040,9 +1151,15 @@ object LanceFormat {
     require(!fs.exists(bp), s"branch '$name' already exists at $root")
     fs.mkdirs(bp)
     val base = readManifest(fs, root, v)
+    // a two-level base forks by GROUP REFERENCE: the branch manifest
+    // reuses the groups byte for byte (they live at the shared table
+    // root), so a fork is O(1 manifest) at any fragment count
+    val baseForWrite =
+      if (base.fragmentGroups.exists(_.nonEmpty)) base.copy(fragments = Seq.empty)
+      else base
     val won = ManifestPublisher.forFileSystem(fs).publish(fs,
       new Path(bp, s"$v$ManifestSuffix"),
-      Serialization.write(base).getBytes(StandardCharsets.UTF_8))
+      Serialization.write(baseForWrite).getBytes(StandardCharsets.UTF_8))
     if (!won) throw new IllegalArgumentException(
       s"branch '$name' already exists at $root")
     v
@@ -1220,6 +1337,17 @@ object LanceFormat {
     }.toSet
   }
 
+  /** Group files any branch manifest references (GC roots, the
+    * [[branchReferencedFiles]] sibling for the two-level form). */
+  private def branchReferencedGroups(fs: FileSystem, root: Path): Set[String] = {
+    val bp = branchesPath(root)
+    if (!fs.exists(bp)) Set.empty
+    else fs.listStatus(bp).toSeq.filter(_.isDirectory).flatMap { d =>
+      listVersionsIn(fs, d.getPath).flatMap(v =>
+        readManifestIn(fs, d.getPath, v).fragmentGroups.getOrElse(Seq.empty))
+    }.toSet
+  }
+
   /** Delete data files that NO manifest (of any retained version)
     * references — crash leftovers from writers that died between staging
     * fragment files and committing the manifest swap (the buffered sink
@@ -1233,8 +1361,8 @@ object LanceFormat {
     */
   def removeOrphans(fs: FileSystem, root: Path, graceMs: Long): (Int, Int) = {
     require(graceMs >= 0, "graceMs must be >= 0")
-    val referenced = listVersions(fs, root)
-      .flatMap(v => readManifest(fs, root, v).fragments.map(_.file)).toSet ++
+    val manifests = listVersions(fs, root).map(v => readManifest(fs, root, v))
+    val referenced = manifests.flatMap(_.fragments.map(_.file)).toSet ++
       branchReferencedFiles(fs, root)
     val dir = dataPath(root)
     val now = System.currentTimeMillis()
@@ -1246,7 +1374,19 @@ object LanceFormat {
         if (fs.delete(st.getPath, false)) removed += 1
       }
     }
-    (all.size, removed)
+    // group files past grace that no manifest (main or branch)
+    // references — the losers of commit races leave these behind
+    val refGroups = manifests.flatMap(_.fragmentGroups.getOrElse(Seq.empty)).toSet ++
+      branchReferencedGroups(fs, root)
+    val gdir = groupsPath(root)
+    val gAll = if (fs.exists(gdir)) fs.listStatus(gdir).toSeq else Seq.empty
+    gAll.foreach { st =>
+      if (st.isFile && !refGroups.contains(st.getPath.getName) &&
+          now - st.getModificationTime >= graceMs) {
+        if (fs.delete(st.getPath, false)) removed += 1
+      }
+    }
+    (all.size + gAll.size, removed)
   }
 
   def fileSystem(root: Path, conf: Configuration): FileSystem = root.getFileSystem(conf)
