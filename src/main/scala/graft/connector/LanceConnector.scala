@@ -977,7 +977,7 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
       }
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         epochId, collectStats, mergeSchema, replaceFragments, rowPreserving,
-        refreshIndexes, branch)
+        refreshIndexes, branch, refreshStats)
     }
     // delta-refresh the dataset's persisted indexes after the commit
     // ('all' or a comma list of scalar|fts|ivf) — streaming epochs and
@@ -985,12 +985,19 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     private val refreshIndexes = Option(info.options.get("write.refresh-indexes"))
       .map(LanceWrite.parseRefreshKinds("write.refresh-indexes", _))
       .getOrElse(Set.empty[String])
+    // in-commit incremental ANALYZE (`write.refresh-stats=true`): merge
+    // the batch's NDV sketches into the stats sidecar before the write
+    // returns — cost ∝ the batch by the sketch-union contract, the
+    // refresh-indexes posture applied to optimizer statistics
+    private val refreshStats = Option(info.options.get("write.refresh-stats"))
+      .exists(_.toBoolean)
 
     override def toStreaming: StreamingWrite = {
       require(branch.isEmpty,
         "write.branch is a batch write option; streaming sinks write the main lineage")
       new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
-        collectStats, refreshIndexes, queryId = info.queryId())
+        collectStats, refreshIndexes, queryId = info.queryId(),
+        refreshStats = refreshStats)
     }
   }
 }
@@ -1008,7 +1015,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     replaceFragments: Option[Set[Int]] = None,
     rowPreserving: Boolean = false,
     refreshIndexes: Set[String] = Set.empty,
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None,
+    refreshStats: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // fragment files always carry PHYSICAL names (stable under RENAME
@@ -1163,6 +1171,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     // fragments as uncovered — scanned, never wrongly pruned).
     if (refreshIndexes.nonEmpty && branch.isEmpty)
       LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
+    if (refreshStats && branch.isEmpty)
+      LanceWrite.refreshStatsAfterCommit(rootStr)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1183,7 +1193,8 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
     conf: SerializableConf, maxRowsPerFile: Long,
     collectStats: Boolean = true,
     refreshIndexes: Set[String] = Set.empty,
-    queryId: String = "") extends StreamingWrite {
+    queryId: String = "",
+    refreshStats: Boolean = false) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val root = new Path(rootStr)
@@ -1244,6 +1255,8 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
       // fire on their paths), so it warns instead of failing the stream.
       if (refreshIndexes.nonEmpty)
         LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
+      if (refreshStats)
+        LanceWrite.refreshStatsAfterCommit(rootStr)
     }
   }
 
@@ -1293,6 +1306,17 @@ private[graft] object LanceWrite {
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.LanceWrite")
+
+  /** In-commit incremental ANALYZE: same failure posture as the index
+    * refresh — a failure leaves STALE-but-valid optimizer statistics
+    * (the last ANALYZE keeps serving), so it warns, never fails the
+    * committed write. */
+  def refreshStatsAfterCommit(rootStr: String): Unit =
+    try graft.Lance.analyze(SparkSession.active, rootStr)
+    catch { case e: Exception =>
+      log.warn(s"post-commit ANALYZE refresh failed for $rootStr " +
+        s"(stats stay at their last-analyzed version): ${e.getMessage}")
+    }
 
   /** CHECK-constraint gate: validate the staged fragment files BEFORE the
     * manifest commit (cost ∝ the batch, never the table — one filtered

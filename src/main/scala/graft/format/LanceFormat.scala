@@ -259,7 +259,18 @@ object LanceFormat {
     parsed.fragmentGroups.filter(_.nonEmpty) match {
       case Some(gs) =>
         val root = rootOfLineage(dir)
-        parsed.copy(fragments = gs.flatMap(readGroup(fs, root, _)))
+        // wide manifests fetch their chunks concurrently (encounter
+        // order preserved); FileSystem reads are thread-safe
+        val frags =
+          if (gs.size <= 4) gs.flatMap(readGroup(fs, root, _))
+          else {
+            import scala.jdk.CollectionConverters._
+            gs.asJava.parallelStream()
+              .map[Seq[FragmentMeta]](n => readGroup(fs, root, n))
+              .collect(java.util.stream.Collectors.toList[Seq[FragmentMeta]])
+              .asScala.toSeq.flatten
+          }
+        parsed.copy(fragments = frags)
       case None => parsed
     }
   }

@@ -212,7 +212,12 @@ object Dml {
     val refreshKinds = dmlRefreshKinds(spark)
     val table = spark.read.format("lance").load(path)
     val (filters, complete) = pruneFiltersFull(table, cond)
-    val cands = FragmentStats.prune(m.schema, m.fragments, filters)
+    // the same driver-side skipping layers the read path uses: stats,
+    // scalar postings, declared bucket placement — a point DELETE on a
+    // bucketed/indexed table rewrites one bucket's fragments, not all
+    val cands = graft.format.BucketPrune.prune(m, filters.toSeq,
+      graft.index.ScalarIndex.prune(spark, path, m, filters.toSeq,
+        FragmentStats.prune(m.schema, m.fragments, filters)))
     if (cands.isEmpty) return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
     // metadata-only path: sound only when the V1 filters are exactly cond
     val (covered, boundary) =
@@ -263,7 +268,10 @@ object Dml {
       require(m.schema.fieldNames.contains(c), s"no column '$c' in $path")
     }
     val table = spark.read.format("lance").load(path)
-    val cands = FragmentStats.prune(m.schema, m.fragments, pruneFilters(table, cond))
+    val updFilters = pruneFilters(table, cond).toSeq
+    val cands = graft.format.BucketPrune.prune(m, updFilters,
+      graft.index.ScalarIndex.prune(spark, path, m, updFilters,
+        FragmentStats.prune(m.schema, m.fragments, updFilters.toArray)))
     if (cands.isEmpty) return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
     val cdf = readFragments(spark, root, m, cands)
     val matched = cdf.filter(cond).count()
@@ -360,7 +368,9 @@ object Dml {
           case _ => Seq(v1.AlwaysFalse()) // every source key is NULL: no match possible
         }
       }.toArray
-    val cands = FragmentStats.prune(m.schema, m.fragments, keyBounds)
+    val cands = graft.format.BucketPrune.prune(m, keyBounds.toSeq,
+      graft.index.ScalarIndex.prune(spark, path, m, keyBounds.toSeq,
+        FragmentStats.prune(m.schema, m.fragments, keyBounds)))
 
     if (cands.isEmpty) {
       // no fragment can hold a matching key: pure insert

@@ -116,6 +116,22 @@ class AnalyzeSpec extends AnyFunSuite {
       s"NDV did not shrink after rewrite: $after")
   }
 
+  test("write.refresh-stats: the commit itself keeps ANALYZE fresh") {
+    val dir = tmpDir()
+    spark.range(0, 3000).select(col("id").as("k"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.analyze(spark, dir)
+    // an append with the option merges its sketch in-commit (no manual
+    // re-analyze); without it the sidecar would stay at 3000
+    spark.range(3000, 6000).select(col("id").as("k"))
+      .write.format("lance").option("write.refresh-stats", "true")
+      .mode("append").save(dir)
+    val stored = graft.format.TableStats.read(fs(dir), new Path(dir)).get
+    assert(math.abs(stored.columns("k").ndv - 6000) <= 6000 * 0.05,
+      s"in-commit refresh missing: ${stored.columns("k").ndv}")
+    assert(stored.rowCount == 6000)
+  }
+
   test("the scan serves NDV/nullCount to the optimizer under CBO") {
     val dir = tmpDir()
     spark.range(0, 8000).select(
