@@ -841,7 +841,8 @@ object Lance {
       // carry physical ones
       columnMapping = target.columnMapping,
       clusterBy = target.clusterBy,
-      bucketBy = target.bucketBy)
+      bucketBy = target.bucketBy,
+      fragmentGroups = target.fragmentGroups)
     val committed = graft.format.LanceFormat.commit(fs, root, m)
     (version, committed.version)
   }

@@ -182,25 +182,23 @@ object LanceFormat {
     java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
       .map(b => f"$b%02x").mkString
 
-  /** Write `fragments` as content-addressed chunk files, returning their
-    * names. A chunk whose hash already exists on disk is reused without
-    * a write — no coordination needed (identical name ⇒ identical
-    * bytes, so a concurrent double-write is harmless). */
-  private def writeGroups(fs: FileSystem, root: Path,
-      fragments: Seq[FragmentMeta]): Seq[String] = {
+  /** Write one content-addressed chunk file, returning its name. A chunk
+    * whose hash already exists on disk is reused without a write — no
+    * coordination needed (identical name ⇒ identical bytes, so a
+    * concurrent double-write is harmless). */
+  private def writeGroup(fs: FileSystem, root: Path,
+      chunk: Seq[FragmentMeta]): String = {
     val dir = groupsPath(root)
-    fragments.grouped(fragmentsPerGroup).map { chunk =>
-      val bytes = Serialization.write(chunk).getBytes(StandardCharsets.UTF_8)
-      val name = s"g-${sha1Hex(bytes)}.json"
-      val p = new Path(dir, name)
-      if (!fs.exists(p)) {
-        fs.mkdirs(dir)
-        val out = fs.create(p, true)
-        try out.write(bytes) finally out.close()
-      }
-      groupCache.synchronized { groupCache.put(name, chunk.toVector) }
-      name
-    }.toSeq
+    val bytes = Serialization.write(chunk).getBytes(StandardCharsets.UTF_8)
+    val name = s"g-${sha1Hex(bytes)}.json"
+    val p = new Path(dir, name)
+    if (!fs.exists(p)) {
+      fs.mkdirs(dir)
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
+    groupCache.synchronized { groupCache.put(name, chunk.toVector) }
+    name
   }
 
   private def readGroup(fs: FileSystem, root: Path, name: String): Seq[FragmentMeta] = {
@@ -221,12 +219,33 @@ object LanceFormat {
   }
 
   /** The on-disk form of `m`: inline below the threshold, group refs +
-    * empty fragment list above it. */
+    * empty fragment list above it.
+    *
+    * `m.fragmentGroups` arriving here is a REUSE HINT (the previous
+    * version's chunk names, threaded by the commit functions): a chunk
+    * whose cached contents VERIFY equal to the hinted group reuses that
+    * name without re-serializing — the hash of 50k untouched entries is
+    * already known, so the steady-state append pays CPU only for its
+    * tail chunk. Verification is structural equality against the
+    * immutable group cache; any miss (evicted, edited mid-list, shifted
+    * boundaries) falls back to serialize+hash, which is always correct.
+    */
   private def packForWrite(fs: FileSystem, dir: Path, m: Manifest): Manifest =
     if (m.fragments.size <= inlineFragmentThreshold)
       m.copy(fragmentGroups = None)
-    else m.copy(fragments = Seq.empty,
-      fragmentGroups = Some(writeGroups(fs, rootOfLineage(dir), m.fragments)))
+    else {
+      val root = rootOfLineage(dir)
+      val hints = m.fragmentGroups.getOrElse(Seq.empty)
+      val names = m.fragments.grouped(fragmentsPerGroup).zipWithIndex.map {
+        case (chunk, i) =>
+          val hinted = if (i < hints.size)
+            groupCache.synchronized { Option(groupCache.get(hints(i))) }
+              .filter(_ == chunk)
+          else None
+          hinted.fold(writeGroup(fs, root, chunk))(_ => hints(i))
+      }.toSeq
+      m.copy(fragments = Seq.empty, fragmentGroups = Some(names))
+    }
 
   def isDataset(fs: FileSystem, root: Path): Boolean =
     fs.exists(versionsPath(root))
@@ -366,7 +385,10 @@ object LanceFormat {
         streamEpochs = mergeStreamEpochs(prev.flatMap(_.streamEpochs), streamEpoch),
         columnMapping = prev.flatMap(_.columnMapping),
         clusterBy = prev.flatMap(_.clusterBy),
-        bucketBy = prev.flatMap(_.bucketBy))
+        bucketBy = prev.flatMap(_.bucketBy),
+        // chunk-reuse hint for packForWrite: the untouched prefix keeps
+        // its content-addressed names without re-serializing
+        fragmentGroups = prev.flatMap(_.fragmentGroups))
       if (commitOnceIn(fs, dir, m, publisher)) return m
       attempt += 1
     }
@@ -417,7 +439,8 @@ object LanceFormat {
         // a bucket id depends on EVERY spec column: losing one clears the
         // whole declaration (a partial key would route rows differently)
         bucketBy = prev.bucketBy
-          .filter(_.columns.forall(schema.fieldNames.contains)))
+          .filter(_.columns.forall(schema.fieldNames.contains)),
+        fragmentGroups = prev.fragmentGroups)
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
     }
@@ -476,7 +499,8 @@ object LanceFormat {
         streamEpochs = prev.streamEpochs,
         columnMapping = prev.columnMapping,
         clusterBy = prev.clusterBy,
-        bucketBy = prev.bucketBy)
+        bucketBy = prev.bucketBy,
+        fragmentGroups = prev.fragmentGroups)
       if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
       attempt += 1
     }
@@ -1224,7 +1248,8 @@ object LanceFormat {
       // the mapping travels with the schema it names (head's)
       columnMapping = head.columnMapping,
       clusterBy = head.clusterBy,
-      bucketBy = head.bucketBy)
+      bucketBy = head.bucketBy,
+      fragmentGroups = head.fragmentGroups)
     // ONE commitOnce attempt, never the version-bumping commit() retry: a
     // concurrent main append winning the race means the precondition no
     // longer holds, and retrying at the next number would publish the
@@ -1330,7 +1355,8 @@ object LanceFormat {
       streamEpochs = mainLatest.streamEpochs,
       columnMapping = mainLatest.columnMapping,
       clusterBy = mainLatest.clusterBy,
-      bucketBy = mainLatest.bucketBy)
+      bucketBy = mainLatest.bucketBy,
+      fragmentGroups = mainLatest.fragmentGroups)
     if (!commitOnce(fs, root, m, None))
       throw new java.util.ConcurrentModificationException(
         s"cannot rebase '$name': main advanced concurrently past " +
