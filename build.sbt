@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked stdout passes through RAW (no "[info] " prefix): the driver
+// parses Bench's one JSON line from a bounded stdout tail, and a line
+// that doesn't START with '{' defeats the simplest parser
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // dev/: manual measurement harnesses (mains, not specs). Compiled under
 // Test scope so they can't rot, but kept out of src/test — sbt test never
 // runs them.

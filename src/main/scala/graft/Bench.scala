@@ -200,17 +200,30 @@ object Bench {
     * a crashed child/query makes the headline total SMALLER (only
     * non-negative medians sum), so without the count a failure would
     * read as a speedup in the driver's parsed line. failed must be 0 on
-    * a healthy run. */
+    * a healthy run.
+    *
+    * The driver captures a bounded 2000-char stdout TAIL; at 190+
+    * queries the full per-query map no longer fits (an overflowing line
+    * clips its HEAD and the round's bench parses as nothing). Sub-0.25 s
+    * medians are therefore OMITTED from the line — their count and
+    * summed seconds ride `omitted_fast`/`omitted_sec` (no silent cap),
+    * the headline total still includes them, and the full per-query data
+    * stays on the `[bench]` stderr lines above. Failures are never
+    * omitted. */
   private[graft] def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
     require(results.map(r => shortId(r._1)).distinct.size == results.size,
       "short query ids collide; fix the new query's id prefix")
-    val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + f3(v) }
+    val (fast, shown) = results.partition(r => r._2 >= 0 && r._2 < 0.25)
+    val qs = shown.map { case (k, v) => "\"" + shortId(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
+    val omittedSec = fast.map(_._2).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val line =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfName"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","failed":$failed,""" +
+        f""""omitted_fast":${fast.size},"omitted_sec":$omittedSec%.1f,""" +
+        f""""queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: stdout JSON line is ${line.length} chars; " +
         "the driver's 2000-char tail window is nearly blown - shrink the line " +

@@ -33,4 +33,23 @@ class BenchLineSpec extends AnyFunSuite {
       Bench.jsonLine(Seq(("q01_a", 1.0), ("q01_b", 2.0)), "sf0.1")
     }
   }
+
+  test("sub-0.25s medians are omitted from the line but counted, never silently") {
+    val line = Bench.jsonLine(
+      Seq(("q01_agg", 1.25), ("q02_fast", 0.1), ("q03_fast", 0.2),
+        ("v21_dead", -1.0)), "sf0.1")
+    // total still includes the fast ones; the omission is declared
+    assert(line.contains("\"value\":1.55"), line)
+    assert(line.contains("\"omitted_fast\":2"), line)
+    assert(line.contains("\"omitted_sec\":0.3"), line)
+    assert(!line.contains("q02") && !line.contains("q03"), line)
+    // failures are NEVER omitted, whatever their magnitude
+    assert(line.contains("\"v21\":-1") && line.contains("\"failed\":1"), line)
+  }
+
+  test("the line stays inside the driver's 2000-char tail at 300 queries") {
+    val many = (1 to 300).map(i => (f"x$i%03d_q", if (i % 3 == 0) 1.2 else 0.1))
+    val line = Bench.jsonLine(many, "sf0.1")
+    assert(line.length < 1900, s"line is ${line.length} chars")
+  }
 }
