@@ -429,12 +429,119 @@ object Relational {
     * partial+final hash aggregation as an explicit list — this gate pins
     * that both engines RESOLVE the shorthand to the same columns.
     */
+  /** AS-OF join gate (q58): every click picks the latest at-or-before
+    * view's value per user — [[asofJoin]]'s one-window-pass plan against
+    * DuckDB's native `ASOF LEFT JOIN`. The view side is deduped per
+    * (user, ts) first: same-timestamp duplicates make ANY engine's asof
+    * nondeterministic, so determinism is re-established by construction.
+    */
+  def q58AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"))
+    asofJoin(clicks, views, on = Seq("user_id"),
+      leftTime = "ts", rightTime = "ts", payload = Seq("value"))
+      .select(col("event_id"), col("user_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Binned range join gate (q59): lineitem prices against OVERLAPPING
+    * price bands (width 3000, stride 2000) — the non-equi shape Spark
+    * would otherwise plan as a nested-loop — via [[rangeJoin]]'s
+    * bin-equi-join expansion; aggregated per band against DuckDB's
+    * plain BETWEEN join.
+    */
+  def q59RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_extendedprice"))
+    val bands = spark.range(0, 41).select(col("id").as("band_id"),
+      (col("id") * 2000).cast("double").as("lo"),
+      (col("id") * 2000 + 2999).cast("double").as("hi"))
+    rangeJoin(li, "l_extendedprice", bands, "lo", "hi", binWidth = 1000)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("band_id"))
+  }
+
   def q57GroupByAll(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("orders_q57")
     spark.sql(
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders_q57 GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
+  /** AS-OF JOIN — the time-series primitive Spark lacks as an operator
+    * (kdb's `aj`, Pandas `merge_asof`, DuckDB `ASOF JOIN`): every left
+    * row picks the LATEST right row with `rightTime <= leftTime` in its
+    * key group. Re-expressed as ONE window pass instead of a join:
+    * tag both sides, union, and run `last_value(payload) IGNORE NULLS`
+    * over (key, time) with right rows sorting BEFORE left rows on time
+    * ties (`<=` semantics) — one shuffle on the key, no join node, no
+    * per-row probe. At 100 TB this beats the range-condition
+    * SortMergeJoin rewrite (which degenerates to per-key scans) and is
+    * embarrassingly partition-parallel. Left rows with no prior right
+    * row keep NULL payloads (LEFT OUTER asof).
+    *
+    * `right` must be deterministic per (key, rightTime) — dedup first if
+    * the source can carry same-timestamp duplicates (any engine's asof
+    * is nondeterministic there otherwise).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    require(on.nonEmpty, "asofJoin needs at least one key column")
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    val pay = struct(payload.map(col): _*)
+    val r = right.select(
+      on.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        pay.as("__pay")): _*)
+    val l = left.select(
+      on.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(r.schema("__pay").dataType).as("__pay")) ++
+        leftCols.filterNot(on.contains).map(c => col(c).as(s"__l_$c")): _*)
+    // right needs the left-only columns too (null) for a clean union
+    val rAligned = leftCols.filterNot(on.contains).foldLeft(r)((d, c) =>
+      d.withColumn(s"__l_$c", lit(null).cast(left.schema(c).dataType)))
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(rAligned)
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val out = on.map(col) ++
+      leftCols.filterNot(on.contains).map(c => col(s"__l_$c").as(c)) ++
+      payload.map(p => col("__asof").getField(p).as(s"asof_$p"))
+    joined.select(out: _*)
+  }
+
+  /** BINNED RANGE JOIN — `point BETWEEN lo AND hi` without the
+    * BroadcastNestedLoop/cartesian Spark plans for non-equi conditions:
+    * each right interval explodes into the fixed-width bins it overlaps
+    * (`sequence(floor(lo/w), floor(hi/w))`), each left point computes
+    * its one bin, and the match becomes an EQUI-join on bin (+ any extra
+    * keys) with the exact BETWEEN as a post-filter. A (left, right) pair
+    * meets in exactly one bin — the point's — so no dedup is needed.
+    * Cost: shuffle on bin ∝ data + intervals×(span/w); pick `binWidth`
+    * near the typical interval span so expansion stays ~1-2 rows per
+    * interval. The Iceberg/H3 bucketed-interval-join shape, as one
+    * declarative pipeline Catalyst fully optimizes.
+    */
+  def rangeJoin(left: DataFrame, pointCol: String,
+      right: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long, extraKeys: Seq[String] = Seq.empty): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val r = right.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val l = left.withColumn("__bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    l.join(r, Seq("__bin") ++ extraKeys)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
   }
 
   /** Deterministic hash sampling — the reproducible train/eval split a
@@ -977,6 +1084,8 @@ object Relational {
     "q55_time_decay" -> q55TimeDecay,
     "q56_higher_order" -> q56HigherOrder,
     "q57_group_by_all" -> q57GroupByAll,
+    "q58_asof_join" -> q58AsofJoin,
+    "q59_range_join" -> q59RangeJoin,
     "q33_percentiles" -> q33Percentiles,
     "q34_approx_percentiles" -> q34ApproxPercentiles,
     "q35_pivot" -> q35Pivot,
@@ -1158,6 +1267,26 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
+    // q58: DuckDB's NATIVE asof join is the oracle for the one-window-
+    // pass re-expression; views deduped per (user, ts) on both sides
+    "q58_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, v.value AS asof_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // q59: the oracle states the BETWEEN join directly; the engine side
+    // is the bin-expanded equi-join (same pairs by construction)
+    "q59_range_join" ->
+      """SELECT b.band_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN (SELECT i AS band_id, i*2000 AS lo, i*2000+2999 AS hi
+        |    FROM range(0, 41) t(i)) b
+        |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+        |GROUP BY b.band_id ORDER BY b.band_id""".stripMargin,
     "q56_higher_order" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(str_split(text, ' '), w -> length(w) > 5)) AS BIGINT) AS n_long,

@@ -177,6 +177,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(r == Seq(1L, 0L, 1L, -1L, -2L, 0L), s"got $r")
   }
 
+  test("asofJoin: <= tie takes the same-instant right row; no prior -> null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 6L, 60.0))
+      .toDF("k", "t", "v")
+    val out = operators.Relational.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("v")).orderBy(col("k"), col("t"))
+      .select("k", "t", "tag", "asof_v").collect()
+    // k=1,t=10: the SAME-instant right row qualifies (<=) -> 100
+    // k=1,t=20: latest prior is t=15 -> 150
+    // k=2,t=5: right is at t=6 (future) -> null (left-outer asof)
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      if (r.isNullAt(3)) null else r.getDouble(3))).toSeq ==
+      Seq((1L, 10L, "a", 100.0), (1L, 20L, "b", 150.0), (2L, 5L, "c", null)))
+    // one shuffle, no join node at all
+    val plan = operators.Relational.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("v")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("rangeJoin: inclusive bounds, overlap without duplicates, no nested loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = Seq(0L, 999L, 1000L, 2999L, 3000L, 5000L).toDF("p")
+    // overlapping bands: [0,2999] and [2000,4999]
+    val bands = Seq((0L, 0L, 2999L), (1L, 2000L, 4999L)).toDF("b", "lo", "hi")
+    val out = operators.Relational.rangeJoin(pts, "p", bands, "lo", "hi", 1000L)
+      .select("p", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 0L), (999L, 0L), (1000L, 0L), (2999L, 0L),
+      (2999L, 1L), (3000L, 1L)), out)
+    val plan = operators.Relational.rangeJoin(pts, "p", bands, "lo", "hi", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
   test("q46 emits (custkey, rank, price) rows, 3 per customer, prices desc") {
     val rows = operators.Relational.q46ArrayAgg(spark, sf).collect()
     assert(rows.nonEmpty)
