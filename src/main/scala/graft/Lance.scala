@@ -339,8 +339,9 @@ object Lance {
     val laid = bucketSpec match {
       case Some(b) =>
         import org.apache.spark.sql.functions.{col => c, hash, lit, pmod}
-        base.repartition(math.max(targetParts, b.numBuckets),
-          pmod(hash(b.columns.map(c): _*), lit(b.numBuckets)))
+        val be = pmod(hash(b.columns.map(c): _*), lit(b.numBuckets))
+        base.repartition(math.max(targetParts, b.numBuckets), be)
+          .sortWithinPartitions(be +: b.columns.map(c): _*)
       case None if clusterCols.isEmpty => base.repartition(targetParts)
       case None => base.withColumn("__z", zValueColumn(base, clusterCols))
         .repartitionByRange(targetParts,
@@ -1086,8 +1087,12 @@ object Lance {
     // co-locate each bucket into one task (writer routing makes purity
     // true regardless; this just keeps file counts ~numBuckets). The
     // rewrite expression IS the declared function: pmod(hash(cols), n).
+    // Rows sort by (bucket, key...) within tasks, so every bucket file
+    // is internally KEY-SORTED — parquet row groups then prune point
+    // probes inside the bucket, the second level of the lookup path.
     val bucketExpr = pmod(hash(cols.map(col): _*), lit(numBuckets))
     val w = df.repartition(numBuckets, bucketExpr)
+      .sortWithinPartitions(bucketExpr +: cols.map(col): _*)
       .write.format("lance")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)
       .option("write.operation", "rewrite") // row-preserving: changefeeds skip it

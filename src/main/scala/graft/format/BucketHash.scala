@@ -104,7 +104,42 @@ object BucketPrune {
         case Some(bs) => frags.filter(_.bucket.forall(bs.contains))
         case None => frags
       }
+    // composite key: prunable only when EVERY component is equality-
+    // bound (the tuple hash needs all of them); the per-column candidate
+    // sets cross-product into tuple buckets, capped so a wide IN list
+    // can't explode the driver
+    case Some(BucketSpecMeta(n, cols)) if cols.size > 1 =>
+      val fields = cols.map(c => (m.physicalName(c),
+        m.schema.fields.find(_.name == c).map(_.dataType).getOrElse(return frags)))
+      val perCol: Seq[Seq[Any]] = fields.map { case (phys, dt) =>
+        filters.flatMap(equalityValues(_, phys, dt)).reduceOption(_ intersect _)
+          .getOrElse(return frags).toSeq
+      }
+      if (perCol.map(_.size.toLong).product > 64L) return frags
+      val types = fields.map(_._2)
+      val allowed = perCol.foldLeft(Seq(Seq.empty[Any]))((acc, vs) =>
+        acc.flatMap(prefix => vs.map(prefix :+ _)))
+        .map(tuple => BucketHash.bucketOfInternal(tuple, types, n)).toSet
+      frags.filter(_.bucket.forall(allowed.contains))
     case _ => frags
+  }
+
+  /** Catalyst-typed values `f` proves `phys` must equal (None = no
+    * evidence). The [[allowedBuckets]] shape restricted to value sets,
+    * reused per component of a composite key. */
+  private def equalityValues(f: sources.Filter, phys: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Set[Any]] = f match {
+    case sources.EqualTo(a, v) if a == phys =>
+      BucketHash.toHashable(v, dt).map(Set(_))
+    case sources.In(a, vs) if a == phys =>
+      val hs = vs.toSeq.map(BucketHash.toHashable(_, dt))
+      if (hs.forall(_.isDefined)) Some(hs.flatten.toSet) else None
+    case sources.And(l, r) =>
+      (equalityValues(l, phys, dt), equalityValues(r, phys, dt)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+    case _ => None
   }
 
   /** Buckets filter `f` permits for `phys`, or None when it says nothing

@@ -332,6 +332,39 @@ class SpjSpec extends AnyFunSuite {
     assert(keptOther.size == m.fragments.size)
   }
 
+  test("composite-key point lookups prune when every component is bound") {
+    val dir = tmpDir()
+    spark.range(0, 4000).select(
+        pmod(col("id"), lit(40)).as("a"),
+        concat(lit("s"), pmod(col("id"), lit(7))).as("b"),
+        col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("a", "b"), numBuckets = 16)
+    val m = manifest(dir)
+    assert(m.fragments.size >= 8)
+    import org.apache.spark.sql.sources._
+    // both components equality-bound: prunes to one tuple bucket
+    val kept = BucketPrune.prune(m,
+      Seq(EqualTo("a", 5L), EqualTo("b", "s3")), m.fragments)
+    assert(kept.size < m.fragments.size / 2,
+      s"composite pruning kept ${kept.size}/${m.fragments.size}")
+    // correctness: the matching rows' fragments survive end to end
+    assert(spark.read.format("lance").load(dir)
+      .filter(col("a") === 5L && col("b") === "s3").count() ==
+      spark.read.parquet(m.fragments.map(f =>
+        graft.format.LanceFormat.fragmentPath(new Path(dir), f.file).toString): _*)
+        .filter(col("a") === 5L && col("b") === "s3").count())
+    // one component unbound: no pruning (the tuple hash needs both)
+    val keptHalf = BucketPrune.prune(m, Seq(EqualTo("a", 5L)), m.fragments)
+    assert(keptHalf.size == m.fragments.size)
+    // IN × IN cross-product stays bounded and conservative
+    val keptIn = BucketPrune.prune(m,
+      Seq(In("a", Array(1L, 2L)), In("b", Array("s1", "s2"))), m.fragments)
+    assert(keptIn.size <= m.fragments.size)
+    assert(spark.read.format("lance").load(dir)
+      .filter(col("a").isin(1L, 2L) && col("b").isin("s1", "s2")).count() > 0)
+  }
+
   test("rename remaps the spec, drop clears it, widen refuses, z-order excludes") {
     val dir = tmpDir()
     spark.range(0, 100)
