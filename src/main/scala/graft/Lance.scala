@@ -1126,7 +1126,8 @@ object Lance {
     * deleted rows. Returns the per-column NDV estimates.
     */
   def analyze(spark: SparkSession, path: String,
-      columns: Seq[String] = Seq.empty): Map[String, Long] = {
+      columns: Seq[String] = Seq.empty,
+      histograms: Boolean = false): Map[String, Long] = {
     import graft.format.{HllSketch, LanceFormat, TableStats}
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
@@ -1206,9 +1207,64 @@ object Lance {
             m1.zip(m2).map { case (a, b) => math.max(a, b) }, r1 + r2)
         }
       }
+    // opt-in equi-height histograms (numeric columns, full analyze only
+    // — bins cannot merge incrementally): 32 approxQuantile cuts, then
+    // one 32-arm CASE chain + approx_count_distinct per bin. This is
+    // what turns CBO's range selectivity from a uniformity assumption
+    // into the measured distribution.
+    val histCols: Map[String, (Seq[graft.format.HistogramBinMeta], Double)] =
+      if (!histograms || incremental.isDefined) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{approx_count_distinct, count => fcount, expr}
+        val numeric = targets.filter(c => m.schema.fields
+          .find(_.name == c).get.dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType])
+        if (numeric.isEmpty) Map.empty
+        else {
+          val phys = graft.format.LanceFormat.toPhysical(
+            org.apache.spark.sql.types.StructType(numeric.map(c =>
+              m.schema.fields.find(_.name == c).get).toArray), m.mapping)
+          val files = m.fragments.map(f =>
+            LanceFormat.fragmentPath(root, f.file).toString)
+          val df0 = spark.read.schema(phys).parquet(files: _*)
+          val df = if (m.mapping.isEmpty) df0
+            else df0.toDF(numeric.toIndexedSeq: _*)
+          val probs = (0 to 32).map(_.toDouble / 32).toArray
+          val cuts = df.stat.approxQuantile(numeric.toArray, probs, 0.001)
+          numeric.zip(cuts).flatMap { case (c, qs) =>
+            // skewed data collapses adjacent cuts: dedupe into fewer,
+            // taller-ndv bins (equi-height is approximate by nature)
+            val edges = qs.distinct
+            if (edges.length < 2 || edges.exists(_.isNaN)) None
+            else {
+              val bins = edges.sliding(2).map(a => (a(0), a(1))).toSeq
+              val binExpr =
+                if (bins.size == 1) org.apache.spark.sql.functions.lit(0)
+                else {
+                  val arms = bins.zipWithIndex.map { case ((_, hi), i) =>
+                    if (i == bins.size - 1) s"ELSE $i"
+                    else s"WHEN `$c` <= CAST($hi AS DOUBLE) THEN $i"
+                  }
+                  expr(s"CASE ${arms.init.mkString(" ")} ${arms.last} END")
+                }
+              val rows = df.filter(org.apache.spark.sql.functions.col(c).isNotNull)
+                .groupBy(binExpr.as("__b"))
+                .agg(approx_count_distinct(org.apache.spark.sql.functions.col(c)).as("__ndv"),
+                  fcount(org.apache.spark.sql.functions.lit(1)).as("__n"))
+                .collect()
+              val ndvByBin = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+              val nonNull = rows.map(_.getLong(2)).sum
+              val metas = bins.zipWithIndex.map { case ((lo, hi), i) =>
+                graft.format.HistogramBinMeta(lo, hi, ndvByBin.getOrElse(i, 0L))
+              }
+              Some(c -> (metas, nonNull.toDouble / bins.size))
+            }
+          }.toMap
+        }
+      }
     val merged = targets.indices.map { i =>
       val c = targets(i)
-      val (sketch, avgLen, maxLen) = incremental.flatMap {
+      val (sketch, avgLen, maxLen, hist) = incremental.flatMap {
         case (s, _) => s.columns.get(c).map { prior =>
           val priorSketch = HllSketch.deserialize(prior.sketch)
           // length stats merge weighted by analyzed row counts (avgLen
@@ -1216,16 +1272,20 @@ object Lance {
           val priorRows = s.rowCount
           val totalRows = math.max(1L, priorRows + scanRows)
           val avg = (prior.avgLen * priorRows + scanTotalLen(i)) / totalRows
+          // prior histogram survives incremental runs: stale but shaped
+          // (the appended tail shifts heights, not the value range much)
           (priorSketch.merge(scanSketches(i)), avg,
-            math.max(prior.maxLen, scanMaxLen(i)))
+            math.max(prior.maxLen, scanMaxLen(i)),
+            prior.histogram.map(h => (h, prior.histogramHeight.getOrElse(0.0))))
         }
       }.getOrElse {
         val avg = if (scanRows == 0) 0L else scanTotalLen(i) / scanRows
-        (scanSketches(i), avg, scanMaxLen(i))
+        (scanSketches(i), avg, scanMaxLen(i), histCols.get(c))
       }
       c -> graft.format.ColumnNdvMeta(
         math.min(sketch.estimate(), m.rowCount), avgLen, maxLen,
-        sketch.serialize())
+        sketch.serialize(),
+        histogram = hist.map(_._1), histogramHeight = hist.map(_._2))
     }.toMap
     TableStats.write(fs, root, graft.format.TableStatsMeta(
       m.version, System.currentTimeMillis(), m.rowCount, merged))

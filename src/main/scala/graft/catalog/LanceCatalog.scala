@@ -487,7 +487,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("num_buckets", IntegerType).defaultValue("16").build())
     case "analyze_table" => Array(in("table", StringType).build(),
       in("cols", StringType).defaultValue("''")
-        .comment("comma-separated columns; empty = every analyzable column").build())
+        .comment("comma-separated columns; empty = every analyzable column").build(),
+      in("histograms", BooleanType).defaultValue("false")
+        .comment("also build 32-bin equi-height histograms for numeric " +
+          "columns (full analyze only)").build())
     case "update_where" => Array(in("table", StringType).build(),
       in("condition", StringType).build(),
       in("set", StringType).comment("assignments: col = expr [, col = expr ...]").build())
@@ -589,7 +592,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       case "analyze_table" =>
         val cols = input.getUTF8String(1).toString.split(',')
           .map(_.trim).filter(_.nonEmpty).toSeq
-        val ndv = graft.Lance.analyze(spark, path, cols)
+        val ndv = graft.Lance.analyze(spark, path, cols,
+          histograms = !input.isNullAt(2) && input.getBoolean(2))
         (new StructType()
           .add("columns_analyzed", IntegerType, nullable = false)
           .add("ndv", StringType, nullable = false),

@@ -743,6 +743,28 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
             override def maxLen(): java.util.OptionalLong =
               if (meta.maxLen > 0) java.util.OptionalLong.of(meta.maxLen)
               else java.util.OptionalLong.empty()
+            // equi-height bins from ANALYZE(histograms=true): measured
+            // range selectivity instead of CBO's uniformity assumption
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              meta.histogram match {
+                case Some(bs) if bs.nonEmpty =>
+                  java.util.Optional.of(
+                    new org.apache.spark.sql.connector.read.colstats.Histogram {
+                      override def height(): Double =
+                        meta.histogramHeight.getOrElse(0.0)
+                      override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                        bs.map(b =>
+                          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                            override def lo(): Double = b.lo
+                            override def hi(): Double = b.hi
+                            override def ndv(): Long = b.ndv
+                          }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                        ).toArray
+                    })
+                case _ => java.util.Optional.empty()
+              }
           })
         }
     }

@@ -67,11 +67,23 @@ object HllSketch {
     new HllSketch(java.util.Base64.getDecoder.decode(s))
 }
 
+/** One bin of an equi-height histogram: [lo, hi] value range (doubles —
+  * the representation catalyst histograms use) and the bin's distinct
+  * count. */
+case class HistogramBinMeta(lo: Double, hi: Double, ndv: Long)
+
 /** One analyzed column: the NDV estimate plus the sketch it came from
-  * (kept so a later incremental ANALYZE can merge instead of rescan) and
-  * byte-length stats for CBO row-size estimates.
+  * (kept so a later incremental ANALYZE can merge instead of rescan),
+  * byte-length stats for CBO row-size estimates, and (opt-in, numeric
+  * columns, full-analyze only) an equi-height histogram — what turns
+  * CBO's range selectivity from a uniformity guess into measured
+  * distribution. `histogramHeight` = non-null rows per bin at build
+  * time; incremental runs keep the prior histogram (stale but shaped —
+  * bins cannot merge, the full pass rebuilds them).
   */
-case class ColumnNdvMeta(ndv: Long, avgLen: Long, maxLen: Long, sketch: String)
+case class ColumnNdvMeta(ndv: Long, avgLen: Long, maxLen: Long, sketch: String,
+    histogram: Option[Seq[HistogramBinMeta]] = None,
+    histogramHeight: Option[Double] = None)
 
 /** The `_stats/table_stats.json` sidecar: per-column NDV sketches
   * analyzed at `datasetVersion` over `fragmentFiles`. Readers serve it

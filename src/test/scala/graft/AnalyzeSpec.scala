@@ -116,6 +116,48 @@ class AnalyzeSpec extends AnyFunSuite {
       s"NDV did not shrink after rewrite: $after")
   }
 
+  test("histograms: equi-height bins on skewed data, visible to CBO") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // heavy skew: 90% of rows in [0,100), a thin tail to 100k
+    spark.range(0, 20000).select(
+        when(pmod(col("id"), lit(10)) < 9, pmod(col("id"), lit(100)))
+          .otherwise((col("id") * 5) + 100).as("k"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.analyze(spark, dir, histograms = true)
+    val meta = graft.format.TableStats.read(fs(dir), new Path(dir)).get.columns("k")
+    val bins = meta.histogram.get
+    assert(bins.size >= 8 && bins.size <= 32, s"${bins.size} bins")
+    // equi-HEIGHT: most bins land near height (skew collapses cut points
+    // into fewer, denser bins, never wildly uneven ones)
+    assert(meta.histogramHeight.exists(_ > 0))
+    // the skewed mass concentrates the low range into many narrow bins:
+    // at least half the bins must end below 200
+    assert(bins.count(_.hi <= 200) >= bins.size / 2,
+      bins.map(b => (b.lo, b.hi)).mkString(","))
+    // CBO sees the histogram
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val rel = spark.read.format("lance").load(dir)
+        .queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        }.head
+      val k = rel.stats.attributeStats.map { case (a, s) => a.name -> s }.apply("k")
+      assert(k.histogram.isDefined, "CBO sees no histogram")
+      assert(k.histogram.get.bins.length == bins.size)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    // incremental keeps the prior histogram (stale but shaped)
+    spark.range(0, 100).select(col("id").as("k"))
+      .write.format("lance").mode("append").save(dir)
+    Lance.analyze(spark, dir)
+    val after = graft.format.TableStats.read(fs(dir), new Path(dir)).get.columns("k")
+    assert(after.histogram.map(_.size).contains(bins.size))
+  }
+
   test("write.refresh-stats: the commit itself keeps ANALYZE fresh") {
     val dir = tmpDir()
     spark.range(0, 3000).select(col("id").as("k"))
