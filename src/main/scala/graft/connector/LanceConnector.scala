@@ -61,6 +61,53 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
     new LanceTable(path(new CaseInsensitiveStringMap(properties)), schema)
 }
 
+/** A file index served entirely from manifest metadata — ZERO filesystem
+  * calls at plan time: the manifest already knows every fragment's path
+  * and byte size, so there is nothing to list. At a million fragments
+  * the per-file `getFileStatus` storm of a listing-based index IS the
+  * query-planning latency; Iceberg plans from manifests for the same
+  * reason. Modification times are synthetic (0) — nothing in the scan
+  * path reads them — and the index is static: MVCC manifests are
+  * immutable, refresh is a no-op.
+  */
+class LanceManifestFileIndex(spark: SparkSession,
+    files: Seq[(Path, Long)], schema: StructType)
+    extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
+      spark, Map.empty[String, String], Some(schema),
+      FileStatusCache.getOrCreate(spark)) {
+  import org.apache.hadoop.fs.FileStatus
+
+  private val statuses: Seq[FileStatus] = {
+    // the base class looks paths up FULLY QUALIFIED (scheme + authority);
+    // makeQualified is pure string work against the FS URI, not an RPC
+    val conf = spark.sessionState.newHadoopConf()
+    var lastFs: (String, org.apache.hadoop.fs.FileSystem) = null
+    files.map { case (p, len) =>
+      val scheme = Option(p.toUri.getScheme).getOrElse("")
+      if (lastFs == null || lastFs._1 != scheme)
+        lastFs = (scheme, p.getFileSystem(conf))
+      new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+        lastFs._2.makeQualified(p))
+    }
+  }
+
+  override def partitionSpec(): org.apache.spark.sql.execution.datasources.PartitionSpec =
+    org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
+
+  override val leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = new scala.collection.mutable.LinkedHashMap[Path, FileStatus]()
+    statuses.foreach(s => m.put(s.getPath, s))
+    m
+  }
+
+  override val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent).map { case (d, fs) => d -> fs.toArray }
+
+  override def rootPaths: Seq[Path] = statuses.map(_.getPath)
+
+  override def refresh(): Unit = ()
+}
+
 object LanceTable {
   /** Pick the manifest for `versionAsOf` / `timestampAsOf` / `tagAsOf`
     * (time travel) or latest. `timestampAsOf` accepts epoch millis, an
@@ -255,8 +302,17 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
     // names back to Spark. Rows are positional, so the two schemas are
     // interchangeable at execution.
     val dataSchema = manifest.map(_.physicalSchema).getOrElse(schema())
-    val index = new InMemoryFileIndex(spark, files, Map.empty[String, String],
-      Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
+    // metadata-only planning when the manifest recorded every file's
+    // size (zero getFileStatus calls); listing only as the fallback for
+    // pre-`bytes` manifests
+    val index = manifest match {
+      case Some(m) if m.fragments.nonEmpty && m.fragments.forall(_.bytes.isDefined) =>
+        new LanceManifestFileIndex(spark,
+          m.fragments.map(f =>
+            (LanceFormat.fragmentPath(root, f.file), f.bytes.get)), dataSchema)
+      case _ => new InMemoryFileIndex(spark, files, Map.empty[String, String],
+        Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
+    }
     new LanceScanBuilder(spark, index, dataSchema, options, rootStr, manifest)
   }
 
@@ -287,7 +343,8 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
   * falls through to Spark's parquet footer pushdown.
   */
 class LanceScanBuilder(spark: SparkSession,
-    index: InMemoryFileIndex, dataSchema: StructType,
+    index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
+    dataSchema: StructType,
     options: CaseInsensitiveStringMap, rootStr: String,
     manifest: Option[Manifest] = None)
     extends ParquetScanBuilder(spark, index, dataSchema, dataSchema, options) {
@@ -496,9 +553,16 @@ class LanceScanBuilder(spark: SparkSession,
     if (kept.size == manifest.get.fragments.size) base
     else {
       val root = new org.apache.hadoop.fs.Path(rootStr)
-      val files = kept.map(f => LanceFormat.fragmentPath(root, f.file))
-      val pruned = new InMemoryFileIndex(spark, files, Map.empty[String, String],
-        Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
+      val pruned =
+        if (kept.nonEmpty && kept.forall(_.bytes.isDefined))
+          new LanceManifestFileIndex(spark,
+            kept.map(f => (LanceFormat.fragmentPath(root, f.file), f.bytes.get)),
+            dataSchema)
+        else {
+          val files = kept.map(f => LanceFormat.fragmentPath(root, f.file))
+          new InMemoryFileIndex(spark, files, Map.empty[String, String],
+            Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
+        }
       base.copy(fileIndex = pruned)
     }
   }

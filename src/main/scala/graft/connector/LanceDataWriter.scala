@@ -149,11 +149,14 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
     }
     def close(): Unit = {
       writer.close()
-      if (rows > 0)
+      val p = new Path(LanceFormat.dataPath(root), file)
+      if (rows > 0) {
+        // recorded size lets the scan plan without per-file FS calls
+        val len = try Some(p.getFileSystem(conf).getFileStatus(p).getLen)
+          catch { case _: Exception => None }
         done += FragmentMeta(0, file, rows, stats.flatMap(_.result()),
-          bucket = Some(bucket).filter(_ >= 0))
-      else new Path(LanceFormat.dataPath(root), file)
-        .getFileSystem(conf).delete(new Path(LanceFormat.dataPath(root), file), false)
+          bucket = Some(bucket).filter(_ >= 0), bytes = len)
+      } else p.getFileSystem(conf).delete(p, false)
     }
     def abort(): Unit = writer.close()
   }

@@ -21,7 +21,13 @@ case class FragmentMeta(id: Int, file: String, rowCount: Long,
     // fragment hashes to this bucket (bucket-pure). Fragments written
     // before the declaration (or through a non-routing path) have None
     // and conservatively disable storage-partitioned planning.
-    bucket: Option[Int] = None)
+    bucket: Option[Int] = None,
+    // file size, recorded at write time: when every kept fragment has
+    // it, scan planning builds its file index straight from the manifest
+    // — ZERO filesystem metadata calls per query (at a million fragments
+    // the per-file getFileStatus storm IS the planning latency).
+    // Fragments from older manifests lack it and fall back to listing.
+    bytes: Option[Long] = None)
 
 /** Declared hash-bucket clustering ([[graft.Lance.clusterByBucket]]):
   * rows are routed to `pmod(murmur3(columns), numBuckets)` at write time
