@@ -139,9 +139,18 @@ class LanceRowLevelScan(op: LanceRowLevelOperation, rootStr: String,
     * chunk planning are file-set-independent, so narrowing is free.
     */
   private lazy val innerScan: Scan = {
-    val files = initial.map(f => LanceFormat.fragmentPath(root, f.file))
-    val index = new InMemoryFileIndex(spark, files, Map.empty[String, String],
-      Some(manifest.schema), FileStatusCache.getOrCreate(spark), None, None)
+    // metadata-only planning when the manifest recorded sizes (the read
+    // path's LanceManifestFileIndex posture); listing as the fallback
+    val index =
+      if (initial.nonEmpty && initial.forall(_.bytes.isDefined))
+        new LanceManifestFileIndex(spark,
+          initial.map(f => (LanceFormat.fragmentPath(root, f.file), f.bytes.get)),
+          manifest.schema)
+      else {
+        val files = initial.map(f => LanceFormat.fragmentPath(root, f.file))
+        new InMemoryFileIndex(spark, files, Map.empty[String, String],
+          Some(manifest.schema), FileStatusCache.getOrCreate(spark), None, None)
+      }
     new ParquetScanBuilder(spark, index, manifest.schema, manifest.schema, options).build()
   }
 

@@ -160,6 +160,39 @@ class ManifestScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("scan planning is metadata-only when the manifest recorded sizes") {
+    val dir = tmpDir()
+    spark.range(0, 100).select(col("id").as("k"))
+      .write.format("lance").mode("overwrite").save(dir)
+    val m = LanceFormat.readLatest(fs(dir), new Path(dir)).get
+    assert(m.fragments.forall(_.bytes.isDefined), "writer did not record sizes")
+    // and the recorded size is the TRUE file length (reads depend on it)
+    m.fragments.foreach { f =>
+      val real = fs(dir).getFileStatus(
+        LanceFormat.fragmentPath(new Path(dir), f.file)).getLen
+      assert(f.bytes.contains(real), s"${f.file}: ${f.bytes} vs $real")
+    }
+    val df = spark.read.format("lance").load(dir).filter(col("k") < 10)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("LanceManifestFileIndex"),
+      "scan did not plan from the manifest index")
+    assert(df.count() == 10)
+    // a pre-`bytes` manifest (hand-committed) falls back to listing
+    val legacy = tmpDir()
+    spark.range(0, 50).select(col("id").as("k"))
+      .write.format("lance").mode("overwrite").save(legacy)
+    val lm = LanceFormat.readLatest(fs(legacy), new Path(legacy)).get
+    LanceFormat.commitAppendIn(fs(legacy), LanceFormat.versionsPath(new Path(legacy)),
+      lm.schema, Seq.empty)
+    // strip bytes by rewriting the manifest content via a replace commit
+    val stripped = lm.fragments.map(_.copy(bytes = None))
+    LanceFormat.commitOverwrite(fs(legacy), new Path(legacy), lm.schema, stripped)
+    val df2 = spark.read.format("lance").load(legacy)
+    assert(df2.queryExecution.executedPlan.toString
+      .contains("InMemoryFileIndex"))
+    assert(df2.count() == 50)
+  }
+
   test("branch fork is O(1): the branch manifest reuses base groups by ref") {
     withSmallGroups(5, 4) {
       val dir = tmpDir()
