@@ -288,6 +288,28 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming epochs into a bucketed table stay bucket-pure") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = tmpDir()
+    spark.range(0, 200).select(col("id").as("k"), col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("k"), numBuckets = 4)
+    val in = MemoryStream[(Long, Long)](spark)
+    val q = in.toDF().toDF("k", "v")
+      .writeStream.format("lance")
+      .option("checkpointLocation", s"$dir-ckpt")
+      .outputMode("append").start(dir)
+    try {
+      in.addData((200L, 1L), (201L, 2L), (202L, 3L))
+      q.processAllAvailable()
+      in.addData((203L, 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assertPure(dir)
+    assert(spark.read.format("lance").load(dir).count() == 204)
+  }
+
   test("an untagged fragment disables the claim; the join still answers") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.spjx", "graft.catalog.LanceCatalog")
