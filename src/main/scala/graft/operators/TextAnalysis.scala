@@ -409,6 +409,47 @@ object TextAnalysis {
     * silently reshuffles examples between train and eval on every
     * materialization). Offset decorrelates it from p74's sample.
     */
+  /** Decontamination (p78): drop training documents sharing ANY 13-gram
+    * with the held-out eval set — the GPT-3/Llama-style n-gram overlap
+    * removal every serious LM pipeline runs before training. Scale
+    * shape: the eval set is SMALL by construction, so its distinct
+    * 13-grams broadcast and the train side pays one explode + hash
+    * semi-join + one anti-join — linear in the corpus, no all-pairs
+    * anything. 13 words is the published threshold where chance
+    * collisions vanish but paraphrased leakage still catches.
+    */
+  def p78Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val gram13 =
+      "CASE WHEN size(__w) < 13 THEN CAST(array() AS ARRAY<STRING>) " +
+        "ELSE transform(sequence(0, size(__w) - 13)," +
+        " i -> array_join(slice(__w, i + 1, 13), ' ')) END"
+    // planted leakage (the synthetic corpus shares no natural 13-gram):
+    // a 13-word "benchmark sentence" appears in every eval doc AND in the
+    // doc_id%11==3 slice of training docs — exactly the accidental
+    // eval-in-train duplication decontamination exists to catch
+    val leak = (1 to 13).map(i => s"zzleak$i").mkString(" ")
+    val docs = t(spark, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 97 === 0 || col("doc_id") % 11 === 3,
+          lit(s" $leak")).otherwise(lit(""))))
+      .withColumn("__w", split(col("text"), " "))
+      .withColumn("__g", expr(gram13))
+    val isEval = col("doc_id") % 97 === 0
+    val evalGrams = docs.filter(isEval)
+      .select(explode(col("__g")).as("g")).distinct()
+    val train = docs.filter(!isEval)
+    val contaminated = train
+      .select(col("doc_id"), explode(col("__g")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+    train.join(contaminated.withColumn("__c", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   def p75HashSplit(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .withColumn("bucket", sampleHash(1234567L) % 100)
@@ -915,6 +956,7 @@ object TextAnalysis {
     "p73_budget_mix" -> p73BudgetMix,
     "p74_stratified_sample" -> p74StratifiedSample,
     "p75_hash_split" -> p75HashSplit,
+    "p78_decontaminate" -> p78Decontaminate,
     "p76_temperature_mix" -> p76TemperatureMix,
     "p77_curriculum_pack" -> p77CurriculumPack,
   )
@@ -1133,6 +1175,28 @@ object TextAnalysis {
            |      THEN '[' || w || ']' ELSE w END), ' ') AS snippet,
            |  CAST(len(m) AS BIGINT) AS n_matches
            |FROM calc ORDER BY score DESC, doc_id""".stripMargin
+      },
+      // p78: eval 13-grams vs train docs with a planted leak sentence;
+      // the oracle restates the overlap semi-join as plain SQL
+      "p78_decontaminate" -> {
+        val leak = (1 to 13).map(i => s"zzleak$i").mkString(" ")
+        s"""WITH d AS (SELECT doc_id, lang,
+           |    text || CASE WHEN doc_id % 97 = 0 OR doc_id % 11 = 3
+           |      THEN ' $leak' ELSE '' END AS text FROM documents),
+           |w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM d),
+           |g AS (SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(w) - 12, 0)),
+           |    i -> array_to_string(list_slice(w, i, i + 12), ' '))) AS g FROM w),
+           |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+           |bad AS (SELECT DISTINCT doc_id FROM g
+           |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM eg)),
+           |tr AS (SELECT doc_id, lang FROM d WHERE doc_id % 97 <> 0)
+           |SELECT lang, COUNT(*) AS n_train,
+           |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+           |    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+           |FROM tr GROUP BY lang ORDER BY lang""".stripMargin
       },
       // t43 indexes a subset, appends the rest, delta-refreshes — the
       // final indexed corpus is ALL documents, so the oracle is exactly
