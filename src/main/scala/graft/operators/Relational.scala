@@ -491,11 +491,17 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      // pandas merge_asof's `tolerance`: a match older than
+      // `leftTime - tolerance` is discarded (payload nulls out). Any SQL
+      // expression subtractable from the time column — "INTERVAL 5
+      // MINUTES" for timestamps, a plain number for numeric times.
+      tolerance: Option[String] = None): DataFrame = {
     require(on.nonEmpty, "asofJoin needs at least one key column")
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     val leftCols = left.columns.toSeq
-    val pay = struct(payload.map(col): _*)
+    // the matched right TIME rides the payload so tolerance can judge it
+    val pay = struct(col(rightTime).as("__rt") +: payload.map(col): _*)
     val r = right.select(
       on.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
         pay.as("__pay")): _*)
@@ -512,10 +518,13 @@ object Relational {
     val joined = l.unionByName(rAligned)
       .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val bounded = tolerance.fold(joined)(t => joined.withColumn("__asof",
+      when(col("__asof").getField("__rt") >= col("__t") - expr(t),
+        col("__asof"))))
     val out = on.map(col) ++
       leftCols.filterNot(on.contains).map(c => col(s"__l_$c").as(c)) ++
       payload.map(p => col("__asof").getField(p).as(s"asof_$p"))
-    joined.select(out: _*)
+    bounded.select(out: _*)
   }
 
   /** BINNED RANGE JOIN — `point BETWEEN lo AND hi` without the

@@ -197,6 +197,14 @@ class RelationalSpec extends AnyFunSuite {
     val plan = operators.Relational.asofJoin(left, right, Seq("k"), "t", "t",
       Seq("v")).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan)
+    // tolerance: a match older than leftTime - tol nulls out
+    val tol = operators.Relational.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("v"), tolerance = Some("3")).orderBy(col("k"), col("t"))
+      .select("k", "t", "asof_v").collect()
+    // k=1,t=20 matched right t=15: age 5 > 3 -> null; t=10 age 0 stays
+    assert(tol.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSeq ==
+      Seq((1L, 10L, 100.0), (1L, 20L, null), (2L, 5L, null)))
   }
 
   test("rangeJoin: inclusive bounds, overlap without duplicates, no nested loop") {
