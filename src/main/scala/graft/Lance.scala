@@ -338,8 +338,8 @@ object Lance {
       .filter(_.columns.forall(base.columns.contains))
     val laid = bucketSpec match {
       case Some(b) =>
-        import org.apache.spark.sql.functions.{col => c, hash, lit, pmod}
-        val be = pmod(hash(b.columns.map(c): _*), lit(b.numBuckets))
+        import org.apache.spark.sql.functions.{col => c}
+        val be = graft.format.BucketHash.bucketColumn(b.columns, b.numBuckets)
         base.repartition(math.max(targetParts, b.numBuckets), be)
           .sortWithinPartitions(be +: b.columns.map(c): _*)
       case None if clusterCols.isEmpty => base.repartition(targetParts)
@@ -352,6 +352,9 @@ object Lance {
     val w = laid
       .write.format("lance")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)
+      // the layout above IS the distribution - skip the bucketed-table
+      // default shuffle the write would otherwise plan on top of it
+      .option("write.distribution-mode", "none")
       .option("write.operation", "rewrite") // row-preserving: changefeeds skip it
     manifest.flatMap(_.epochId).fold(w)(e => w.option("write.epoch-id", e.toString))
       .mode("overwrite").save(path)
@@ -398,10 +401,14 @@ object Lance {
     val bucketSpec = m.bucketBy.filter(_.columns.forall(tail.columns.contains))
     (bucketSpec match {
       case Some(b) =>
-        import org.apache.spark.sql.functions.{col => c, hash, lit, pmod}
-        // co-locate the tail per bucket; the writer's routing keeps the
-        // bin-packed files bucket-pure either way
-        tail.repartition(parts, pmod(hash(b.columns.map(c): _*), lit(b.numBuckets)))
+        import org.apache.spark.sql.functions.{col => c}
+        // co-locate the tail per bucket, KEY-SORTED within tasks like
+        // every other bucket-laying path: the key-sorted-bucket-file
+        // invariant (row-group pruning inside a bucket) must survive
+        // small-file compaction, not just full rewrites
+        val be = graft.format.BucketHash.bucketColumn(b.columns, b.numBuckets)
+        tail.repartition(parts, be)
+          .sortWithinPartitions(be +: b.columns.map(c): _*)
       case None if clusterCols.isEmpty => tail.repartition(parts)
       case None => tail.withColumn("__z", zValueColumn(tail, clusterCols))
         .repartitionByRange(parts, org.apache.spark.sql.functions.col("__z"))
@@ -410,6 +417,7 @@ object Lance {
     })
       .write.format("lance")
       .option("write.replace-fragments", small.map(_.id).mkString(","))
+      .option("write.distribution-mode", "none") // tail is already laid
       .option("write.operation", "rewrite")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)
       .mode("append").save(path)
@@ -1068,9 +1076,12 @@ object Lance {
     *  - an `=`/`IN` filter on a single bucket column prunes fragments to
     *    the literals' buckets at the manifest (driver-side, no I/O).
     *
-    * Empty `cols` clears the declaration (fragments keep their tags;
-    * planning just stops using them). Mutually exclusive with the
-    * z-order [[cluster]] spec. Returns (fragments before, after).
+    * Empty `cols` clears the declaration. ANY spec change (clear,
+    * re-declare with a different count or key) also clears the
+    * per-fragment bucket tags in the same commit — tags computed under
+    * the old spec read through a new one would mis-prune and mis-align
+    * joins; the routing rewrite re-tags everything. Mutually exclusive
+    * with the z-order [[cluster]] spec. Returns (fragments before, after).
     */
   def clusterByBucket(spark: SparkSession, path: String, cols: Seq[String],
       numBuckets: Int, maxRowsPerFile: Long = 1000000L): (Int, Int) = {
@@ -1090,11 +1101,14 @@ object Lance {
     // Rows sort by (bucket, key...) within tasks, so every bucket file
     // is internally KEY-SORTED — parquet row groups then prune point
     // probes inside the bucket, the second level of the lookup path.
-    val bucketExpr = pmod(hash(cols.map(col): _*), lit(numBuckets))
+    val bucketExpr = graft.format.BucketHash.bucketColumn(cols, numBuckets)
     val w = df.repartition(numBuckets, bucketExpr)
       .sortWithinPartitions(bucketExpr +: cols.map(col): _*)
       .write.format("lance")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)
+      // this repartition IS the bucket distribution - opt out of the
+      // engine-planned default so the rewrite shuffles once, not twice
+      .option("write.distribution-mode", "none")
       .option("write.operation", "rewrite") // row-preserving: changefeeds skip it
     manifest.flatMap(_.epochId).fold(w)(e => w.option("write.epoch-id", e.toString))
       .mode("overwrite").save(path)
@@ -1147,6 +1161,7 @@ object Lance {
     if (targets.isEmpty || m.fragments.isEmpty) {
       TableStats.write(fs, root, graft.format.TableStatsMeta(
         m.version, System.currentTimeMillis(), m.rowCount, Map.empty))
+      graft.connector.ScanStatsCache.invalidate(root.toString)
       return Map.empty
     }
     // incremental window: prior sketches reusable iff the analyzed
@@ -1287,8 +1302,22 @@ object Lance {
         sketch.serialize(),
         histogram = hist.map(_._1), histogramHeight = hist.map(_._2))
     }.toMap
+    // a SUBSET analyze must not delete the other columns' stats: carry
+    // the previously stored entries forward (stale-but-shaped, the
+    // warehouse posture — CBO serves the last ANALYZE). The sidecar's
+    // datasetVersion stays at the OLDER stored version in that case so a
+    // later incremental run rescans everything appended since; re-merging
+    // files a freshly-analyzed column already saw is harmless (HLL
+    // registers max-merge, so re-observing a row is idempotent for
+    // NDV/maxLen and only re-weights the approximate avgLen).
+    val carried = stored.map(_.columns).getOrElse(Map.empty)
+      .filter { case (c, _) => !merged.contains(c) && m.schema.fieldNames.contains(c) }
+    val sidecarVersion =
+      if (carried.isEmpty) m.version
+      else math.min(m.version, stored.map(_.datasetVersion).getOrElse(m.version))
     TableStats.write(fs, root, graft.format.TableStatsMeta(
-      m.version, System.currentTimeMillis(), m.rowCount, merged))
+      sidecarVersion, System.currentTimeMillis(), m.rowCount, carried ++ merged))
+    graft.connector.ScanStatsCache.invalidate(root.toString)
     merged.map { case (c, meta) => c -> meta.ndv }
   }
 

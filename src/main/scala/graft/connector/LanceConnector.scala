@@ -776,7 +776,16 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
   private lazy val ndvColumnStats: Map[String,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
     if (dataFilters.nonEmpty || manifest.isEmpty) Map.empty
-    else ndvColumnStats0
+    else {
+      // planning runs this on EVERY query: cache the rendered sidecar per
+      // (root, version) — the raw path re-reads the stats JSON from the
+      // filesystem and re-sums per-fragment nullCounts, O(columns ×
+      // fragments) driver work that at a million fragments IS the
+      // planning latency the manifest file index exists to remove
+      val visible = readSchema().fieldNames.toSet
+      ScanStatsCache.get(rootStr, manifest.get.version)(ndvColumnStats0)
+        .view.filterKeys(visible.contains).toMap
+    }
 
   private def ndvColumnStats0: Map[String,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -788,7 +797,7 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
     stored match {
       case None => Map.empty
       case Some(s) =>
-        val visible = readSchema().fieldNames.toSet
+        val visible = m.schema.fieldNames.toSet
         s.columns.collect { case (c, meta) if visible.contains(c) =>
           val phys = m.physicalName(c)
           val nulls: Option[Long] = {
@@ -1000,8 +1009,9 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     private val distributeBy = cols("write.distribute-by")
     private val sortBy = cols("write.sort-by")
-    private val distributionMode = Option(info.options.get("write.distribution-mode"))
+    private val distributionModeOpt = Option(info.options.get("write.distribution-mode"))
       .map(_.trim.toLowerCase)
+    private val distributionMode = distributionModeOpt
       .getOrElse(if (distributeBy.nonEmpty) "hash" else "none")
     require(Set("none", "hash", "range").contains(distributionMode),
       s"write.distribution-mode: want none|hash|range, got '$distributionMode'")
@@ -1013,19 +1023,51 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     private def asc(c: String): cexpr.SortOrder = cexpr.Expressions.sort(
       cexpr.Expressions.column(c), cexpr.SortDirection.ASCENDING)
 
+    // a BUCKETED table defaults to an engine-planned shuffle that aligns
+    // write tasks WITH buckets. ClusteredDistribution(keys) becomes
+    // Spark's HashPartitioning — `pmod(murmur3(keys), P)`, the IDENTICAL
+    // function to the bucket routing — so with P a multiple of numBuckets
+    // every task holds exactly ONE bucket (partition i ⇒ bucket i mod n):
+    // one open parquet writer per task under ANY upstream shape (the
+    // writer's fanout cap becomes a never-hit backstop against an
+    // unclustered 256-bucket append OOMing executors or exploding into
+    // per-row files), and the keys-ordering default keeps bucket files
+    // key-sorted for row-group pruning. An explicit
+    // write.distribution-mode / distribute-by (including 'none' — the
+    // hand-laying rewrite paths) always wins.
+    private val bucketDist: Option[graft.format.BucketSpecMeta] =
+      if (distributionModeOpt.isDefined || distributeBy.nonEmpty) None
+      else try {
+        val root = new Path(rootStr)
+        LanceFormat.readLatest(LanceFormat.fileSystem(root, conf.value), root)
+          .flatMap(_.bucketBy)
+      } catch { case _: Exception => None }
+
     override def requiredDistribution(): dist.Distribution = distributionMode match {
       case "hash" => dist.Distributions.clustered(
         distributeBy.map(c => cexpr.Expressions.column(c): cexpr.Expression).toArray)
       case "range" => dist.Distributions.ordered(distributeBy.map(asc).toArray)
-      case _ => dist.Distributions.unspecified()
+      case _ => bucketDist match {
+        case Some(b) => dist.Distributions.clustered(
+          b.columns.map(c => cexpr.Expressions.column(c): cexpr.Expression).toArray)
+        case None => dist.Distributions.unspecified()
+      }
     }
     override def requiredOrdering(): Array[cexpr.SortOrder] = {
       val s = if (sortBy.nonEmpty) sortBy
         else if (distributionMode == "range") distributeBy
-        else Seq.empty
+        else bucketDist.map(_.columns).getOrElse(Seq.empty)
       s.map(asc).toArray
     }
-    override def requiredNumPartitions(): Int = 0 // let AQE size the shuffle
+    override def requiredNumPartitions(): Int = bucketDist match {
+      case Some(b) =>
+        // the smallest multiple of numBuckets covering the cluster's
+        // parallelism: task-per-bucket alignment without capping the
+        // write's concurrency at small bucket counts
+        val par = SparkSession.active.sparkContext.defaultParallelism
+        b.numBuckets * math.max(1, (par + b.numBuckets - 1) / b.numBuckets)
+      case None => 0 // let AQE size the shuffle
+    }
     private val maxRowsPerFile = Option(info.options.get("write.max-rows-per-file"))
       .map(_.toLong).getOrElse(1000000L) // reference default, LanceOptions.java:112-116
     // maintenance writes (compaction) preserve the streaming epoch
@@ -1722,5 +1764,36 @@ private[graft] object LanceWrite {
         run("ivf", d.stripSuffix("_ivf"))(
           graft.index.IvfIndex.refresh(spark, rootStr, d.stripSuffix("_ivf")))
     }
+  }
+}
+
+/** Driver-side cache of the ANALYZE sidecar rendered as DSv2 column
+  * statistics, keyed by (table root, manifest version). A data commit
+  * changes the version — a new key — so entries can never serve a stale
+  * fragment set; [[graft.Lance.analyze]] invalidates its root explicitly
+  * (a re-ANALYZE rewrites the sidecar without a new table version). Small
+  * and LRU-bounded: one entry per (table, version) actively planned.
+  */
+object ScanStatsCache {
+  private type Stats =
+    Map[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
+  private val cache = new java.util.LinkedHashMap[(String, Long), Stats](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Long), Stats]): Boolean = size > 64
+  }
+
+  def get(root: String, version: Long)(compute: => Stats): Stats = {
+    val k = (root, version)
+    cache.synchronized(Option(cache.get(k))) match {
+      case Some(s) => s
+      case None =>
+        val s = compute
+        cache.synchronized(cache.put(k, s))
+        s
+    }
+  }
+
+  def invalidate(root: String): Unit = cache.synchronized {
+    cache.keySet.removeIf(_._1 == root)
   }
 }

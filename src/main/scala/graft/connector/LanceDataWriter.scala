@@ -61,9 +61,10 @@ class LanceWriterFactory(rootStr: String, schemaJson: String,
   * writing directly into `data/` is safe; abort simply deletes them.
   *
   * With `bucketSpec` set, rows are routed to one open file per bucket id
-  * (at most `numBuckets` concurrent files per task; upstream bucket
-  * co-location keeps the realistic number near one) and every produced
-  * [[FragmentMeta]] carries its bucket tag.
+  * (bounded by `maxOpenSinks` — the fullest file seals early under a
+  * routing-heavy input; upstream bucket co-location keeps the realistic
+  * number near one) and every produced [[FragmentMeta]] carries its
+  * bucket tag.
   */
 class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
     maxRowsPerFile: Long, collectStats: Boolean = true,
@@ -141,6 +142,7 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .build()
     }
+    def rowCount: Long = rows
     def write(row: InternalRow): Boolean = { // true when the file rolled
       writer.write(row)
       stats.foreach(_.observe(row))
@@ -170,10 +172,29 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
 
   private val open = mutable.Map.empty[Int, Sink]
 
+  /** Concurrently open per-bucket files per task. Each ParquetWriter
+    * buffers up to a row group in memory, so "one file per bucket" is an
+    * executor-OOM invitation when an UNCLUSTERED write hits a wide-bucket
+    * table (every task sees every bucket — 256 buckets × row-group buffer
+    * × task slots). Above the cap the fullest file is sealed and its
+    * bucket re-opens later if more rows arrive: bucket PURITY is
+    * untouched (a bucket may just land in several files), memory is
+    * bounded, and a bucket-co-located upstream never hits the cap. */
+  private val maxOpenSinks = 16
+
   override def write(row: InternalRow): Unit = {
     if (dimChecks.nonEmpty) validate(row)
     val b = bucketOf(row)
-    val sink = open.getOrElseUpdate(b, new Sink(b))
+    val sink = open.getOrElse(b, {
+      if (open.size >= maxOpenSinks) {
+        val (full, s) = open.maxBy(_._2.rowCount)
+        s.close()
+        open.remove(full)
+      }
+      val s = new Sink(b)
+      open.put(b, s)
+      s
+    })
     if (sink.write(row)) { sink.close(); open.remove(b) }
   }
 

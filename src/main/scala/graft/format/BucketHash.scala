@@ -44,6 +44,17 @@ object BucketHash {
     if (r < 0) r + numBuckets else r
   }
 
+  /** The routing expression as a [[org.apache.spark.sql.Column]] —
+    * `pmod(hash(cols...), numBuckets)`, byte-identical to
+    * [[bucketOfInternal]] by the seed-42 contract above. Every DataFrame
+    * call site that repartitions or sorts by bucket MUST build the
+    * expression here: a drifted copy (different seed, column order)
+    * silently breaks fragment purity and with it SPJ correctness. */
+  def bucketColumn(cols: Seq[String], numBuckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    pmod(hash(cols.map(col): _*), lit(numBuckets))
+  }
+
   /** Bucket of EXTERNAL Scala values (String, java.sql types — the domain
     * pushed-filter literals live in); converted to catalyst first. */
   def bucketOfExternal(values: Seq[Any], types: Seq[DataType], numBuckets: Int): Int = {
@@ -92,13 +103,18 @@ object BucketPrune {
   def prune(m: Manifest, filters: Seq[sources.Filter],
       frags: Seq[FragmentMeta]): Seq[FragmentMeta] = m.bucketBy match {
     case Some(BucketSpecMeta(n, Seq(col))) =>
-      val phys = m.physicalName(col)
+      // filters arrive in PHYSICAL names from the scan's runtime-filter
+      // path but in LOGICAL names from the DML scoping path — match
+      // either. Sound because a rename never frees its physical name for
+      // a new column (mergeLogicalNames refuses the collision), so both
+      // names always denote this one column.
+      val names = Set(col, m.physicalName(col))
       val dt = m.schema.fields.find(_.name == col).map(_.dataType)
         .getOrElse(return frags)
       // buckets provably allowed by the conjunction of pushed filters:
       // intersect across top-level filters (they are AND-ed), None = no
       // equality evidence from that filter
-      val allowed = filters.flatMap(allowedBuckets(_, phys, dt, n))
+      val allowed = filters.flatMap(allowedBuckets(_, names, dt, n))
         .reduceOption(_ intersect _)
       allowed match {
         case Some(bs) => frags.filter(_.bucket.forall(bs.contains))
@@ -109,10 +125,10 @@ object BucketPrune {
     // sets cross-product into tuple buckets, capped so a wide IN list
     // can't explode the driver
     case Some(BucketSpecMeta(n, cols)) if cols.size > 1 =>
-      val fields = cols.map(c => (m.physicalName(c),
+      val fields = cols.map(c => (Set(c, m.physicalName(c)),
         m.schema.fields.find(_.name == c).map(_.dataType).getOrElse(return frags)))
-      val perCol: Seq[Seq[Any]] = fields.map { case (phys, dt) =>
-        filters.flatMap(equalityValues(_, phys, dt)).reduceOption(_ intersect _)
+      val perCol: Seq[Seq[Any]] = fields.map { case (names, dt) =>
+        filters.flatMap(equalityValues(_, names, dt)).reduceOption(_ intersect _)
           .getOrElse(return frags).toSeq
       }
       if (perCol.map(_.size.toLong).product > 64L) return frags
@@ -124,43 +140,43 @@ object BucketPrune {
     case _ => frags
   }
 
-  /** Catalyst-typed values `f` proves `phys` must equal (None = no
+  /** Catalyst-typed values `f` proves the named column must equal (None = no
     * evidence). The [[allowedBuckets]] shape restricted to value sets,
     * reused per component of a composite key. */
-  private def equalityValues(f: sources.Filter, phys: String,
+  private def equalityValues(f: sources.Filter, names: Set[String],
       dt: org.apache.spark.sql.types.DataType): Option[Set[Any]] = f match {
-    case sources.EqualTo(a, v) if a == phys =>
+    case sources.EqualTo(a, v) if names(a) =>
       BucketHash.toHashable(v, dt).map(Set(_))
-    case sources.In(a, vs) if a == phys =>
+    case sources.In(a, vs) if names(a) =>
       val hs = vs.toSeq.map(BucketHash.toHashable(_, dt))
       if (hs.forall(_.isDefined)) Some(hs.flatten.toSet) else None
     case sources.And(l, r) =>
-      (equalityValues(l, phys, dt), equalityValues(r, phys, dt)) match {
+      (equalityValues(l, names, dt), equalityValues(r, names, dt)) match {
         case (Some(a), Some(b)) => Some(a intersect b)
         case (a, b) => a.orElse(b)
       }
     case _ => None
   }
 
-  /** Buckets filter `f` permits for `phys`, or None when it says nothing
+  /** Buckets filter `f` permits for the named column, or None when it says nothing
     * provable about it (conservative). OR unions; AND intersects. */
-  private def allowedBuckets(f: sources.Filter, phys: String,
+  private def allowedBuckets(f: sources.Filter, names: Set[String],
       dt: org.apache.spark.sql.types.DataType, n: Int): Option[Set[Int]] = f match {
-    case sources.EqualTo(a, v) if a == phys =>
+    case sources.EqualTo(a, v) if names(a) =>
       BucketHash.toHashable(v, dt).map(h =>
         Set(BucketHash.bucketOfInternal(Seq(h), Seq(dt), n)))
-    case sources.In(a, vs) if a == phys =>
+    case sources.In(a, vs) if names(a) =>
       val hs = vs.toSeq.map(BucketHash.toHashable(_, dt))
       if (hs.forall(_.isDefined))
         Some(hs.flatten.map(h => BucketHash.bucketOfInternal(Seq(h), Seq(dt), n)).toSet)
       else None
     case sources.And(l, r) =>
-      (allowedBuckets(l, phys, dt, n), allowedBuckets(r, phys, dt, n)) match {
+      (allowedBuckets(l, names, dt, n), allowedBuckets(r, names, dt, n)) match {
         case (Some(a), Some(b)) => Some(a intersect b)
         case (a, b) => a.orElse(b)
       }
     case sources.Or(l, r) =>
-      for (a <- allowedBuckets(l, phys, dt, n); b <- allowedBuckets(r, phys, dt, n))
+      for (a <- allowedBuckets(l, names, dt, n); b <- allowedBuckets(r, names, dt, n))
         yield a union b
     case _ => None
   }

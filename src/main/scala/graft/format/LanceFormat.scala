@@ -189,9 +189,12 @@ object LanceFormat {
       .map(b => f"$b%02x").mkString
 
   /** Write one content-addressed chunk file, returning its name. A chunk
-    * whose hash already exists on disk is reused without a write — no
-    * coordination needed (identical name ⇒ identical bytes, so a
-    * concurrent double-write is harmless). */
+    * whose hash already exists on disk is reused without a write. The
+    * write itself is temp-then-rename: `create(p, overwrite)` behind the
+    * non-atomic exists check would let a racing duplicate writer TRUNCATE
+    * a group file another manifest already references — a reader in that
+    * window sees partial bytes. Rename never exposes partial content; a
+    * lost rename race just means the identical bytes already landed. */
   private def writeGroup(fs: FileSystem, root: Path,
       chunk: Seq[FragmentMeta]): String = {
     val dir = groupsPath(root)
@@ -200,8 +203,15 @@ object LanceFormat {
     val p = new Path(dir, name)
     if (!fs.exists(p)) {
       fs.mkdirs(dir)
-      val out = fs.create(p, true)
+      val tmp = new Path(dir, s".$name.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
       try out.write(bytes) finally out.close()
+      if (!fs.rename(tmp, p)) {
+        // another writer landed the identical bytes first; drop ours
+        fs.delete(tmp, false)
+        require(fs.exists(p), s"group write lost the rename race at $p " +
+          "but the winner's file is missing")
+      }
     }
     groupCache.synchronized { groupCache.put(name, chunk.toVector) }
     name
@@ -805,11 +815,24 @@ object LanceFormat {
       require(cols.isEmpty || prev.clusterBy.forall(_.isEmpty),
         s"table at $root is z-order clustered (${prev.clusterBy.get.mkString(",")})" +
           " - the two layouts are mutually exclusive; cluster([]) first")
+      val newSpec = Some(BucketSpecMeta(numBuckets, cols)).filter(_.columns.nonEmpty)
+      // a CHANGED spec invalidates every per-fragment bucket tag: the
+      // tags were computed under the OLD (n, columns) and reading them
+      // through the new spec would mis-prune (silently missing rows) and
+      // mis-align storage-partitioned joins. Clearing them here makes the
+      // window between this declaration and the routing rewrite merely
+      // conservative (no SPJ, no bucket pruning) instead of wrong — the
+      // rewrite re-tags every fragment under the new spec.
+      val fragments =
+        if (prev.bucketBy == newSpec) prev.fragments
+        else prev.fragments.map(f =>
+          if (f.bucket.isDefined) f.copy(bucket = None) else f)
       val m = prev.copy(
         version = prev.version + 1,
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
-        bucketBy = Some(BucketSpecMeta(numBuckets, cols)).filter(_.columns.nonEmpty))
+        fragments = fragments,
+        bucketBy = newSpec)
       if (commitOnceIn(fs, versionsPath(root), m, None)) return m
       attempt += 1
     }

@@ -203,4 +203,36 @@ class AnalyzeSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.cbo.enabled")
     }
   }
+
+  test("a SUBSET analyze merges into the sidecar instead of replacing it") {
+    val dir = tmpDir()
+    spark.range(0, 4000).select(
+        pmod(col("id"), lit(50)).as("k"),
+        pmod(col("id"), lit(7)).as("g"),
+        col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.analyze(spark, dir) // full: k, g, v
+    val full = TableStats.read(fs(dir), new Path(dir)).get
+    assert(full.columns.keySet == Set("k", "g", "v"))
+
+    // re-analyze ONE column: the other two must survive with their stats
+    Lance.analyze(spark, dir, columns = Seq("k"))
+    val after = TableStats.read(fs(dir), new Path(dir)).get
+    assert(after.columns.keySet == Set("k", "g", "v"),
+      s"subset analyze deleted columns: ${after.columns.keySet}")
+    assert(after.columns("g").ndv == full.columns("g").ndv)
+    assert(after.columns("v").ndv == full.columns("v").ndv)
+
+    // the carried columns stay INCREMENTALLY analyzable: append, then a
+    // full analyze must still count the appended rows for every column
+    // (the sidecar's datasetVersion pins the oldest honest coverage)
+    spark.range(10000, 12000).select(
+        col("id").as("k"), col("id").as("g"), col("id").as("v"))
+      .write.format("lance").mode("append").save(dir)
+    val ndv = Lance.analyze(spark, dir)
+    assert(math.abs(ndv("g") - (7 + 2000)) <= (7 + 2000) * 0.05,
+      s"carried column lost appended rows: ndv(g)=${ndv("g")}")
+    assert(math.abs(ndv("k") - (50 + 2000)) <= (50 + 2000) * 0.05,
+      s"ndv(k)=${ndv("k")}")
+  }
 }

@@ -415,4 +415,114 @@ class SpjSpec extends AnyFunSuite {
       droppedColumns = Seq("key"))
     assert(Lance.bucketSpec(spark, dir).isEmpty)
   }
+
+  test("re-declaring a different spec clears stale tags before the rewrite") {
+    val dir = tmpDir()
+    spark.range(0, 2000).select(col("id").as("k"), col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("k"), numBuckets = 8)
+    assert(manifest(dir).fragments.forall(_.bucket.isDefined))
+
+    // the mid-window state clusterByBucket goes through: new spec
+    // DECLARED, routing rewrite not yet run. Tags computed under n=8 read
+    // through n=16 would silently drop matching fragments — the commit
+    // must clear them so this window is merely conservative.
+    LanceFormat.commitBucketBy(fs(dir), new Path(dir), 16, Seq("k"))
+    val mid = manifest(dir)
+    assert(mid.bucketBy.get.numBuckets == 16)
+    assert(mid.fragments.forall(_.bucket.isEmpty),
+      "stale n=8 tags survived a spec change to n=16")
+    // cleared tags prune nothing (conservative), so every key still reads
+    val kept = BucketPrune.prune(mid,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 1234L)), mid.fragments)
+    assert(kept.size == mid.fragments.size)
+    assert(spark.read.format("lance").load(dir)
+      .filter(col("k") === 1234L).count() == 1)
+
+    // idempotent re-declaration of the SAME spec keeps the tags
+    Lance.clusterByBucket(spark, dir, Seq("k"), numBuckets = 16)
+    assert(manifest(dir).fragments.forall(_.bucket.isDefined))
+    LanceFormat.commitBucketBy(fs(dir), new Path(dir), 16, Seq("k"))
+    assert(manifest(dir).fragments.forall(_.bucket.isDefined),
+      "same-spec re-declaration must not invalidate tags")
+    assertPure(dir)
+  }
+
+  test("renamed bucket key: logical-name filters (the DML path) still prune") {
+    val dir = tmpDir()
+    spark.range(0, 4000).select(col("id").as("k"), col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("k"), numBuckets = 16)
+    LanceFormat.commitRename(fs(dir), new Path(dir), "k", "key")
+    val m = manifest(dir)
+    assert(m.bucketBy.get.columns == Seq("key"))
+    assert(m.physicalName("key") == "k")
+    import org.apache.spark.sql.sources.EqualTo
+    // DML scoping passes LOGICAL names; the scan's runtime-filter path
+    // passes PHYSICAL ones — both must reach the same buckets
+    val byLogical = BucketPrune.prune(m, Seq(EqualTo("key", 1234L)), m.fragments)
+    val byPhysical = BucketPrune.prune(m, Seq(EqualTo("k", 1234L)), m.fragments)
+    assert(byLogical.map(_.file) == byPhysical.map(_.file))
+    assert(byLogical.size < m.fragments.size / 2,
+      s"logical-name pruning inert after rename: kept ${byLogical.size}/${m.fragments.size}")
+    // and the scoped DELETE actually deletes the right row
+    val r = graft.operators.Dml.deleteWhere(spark, dir,
+      col("key") === 1234L)
+    assert(r.rowsChanged == 1L)
+    assert(r.candidateFragments < m.fragments.size,
+      s"DML bucket scoping read ${r.candidateFragments} of ${m.fragments.size} fragments")
+    assert(spark.read.format("lance").load(dir)
+      .filter(col("key") === 1234L).count() == 0)
+  }
+
+  test("unclustered wide-bucket append: engine-planned distribution, no file explosion") {
+    val dir = tmpDir()
+    spark.range(0, 64).select(col("id").as("k"), col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("k"), numBuckets = 64)
+    val before = manifest(dir).fragments.size
+    // adversarial input: ONE partition, keys interleaved across all 64
+    // buckets — without the engine-planned write distribution this either
+    // holds 64 open parquet writers (executor memory) or, capped, seals a
+    // file per handful of rows (file-count explosion)
+    spark.range(64, 6464).select(col("id").as("k"), col("id").as("v"))
+      .coalesce(1)
+      .write.format("lance").mode("append").save(dir)
+    val m = manifest(dir)
+    assertPure(dir)
+    val newFrags = m.fragments.size - before
+    // task-per-bucket alignment: at most one file per bucket touched
+    assert(newFrags <= 64, s"append produced $newFrags fragments for 64 buckets")
+    assert(spark.read.format("lance").load(dir).count() == 6464)
+    // and the aligned tasks wrote KEY-SORTED files (the ordering default)
+    val f = m.fragments.maxBy(_.rowCount)
+    val ks = spark.read.parquet(
+      LanceFormat.fragmentPath(new Path(dir), f.file).toString)
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(ks == ks.sorted, "bucket file is not key-sorted")
+  }
+
+  test("compactSmall keeps bucket files key-sorted (row-group pruning inside a bucket)") {
+    val dir = tmpDir()
+    spark.range(0, 400).select(col("id").as("k"), col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("k"), numBuckets = 4)
+    // a tail of small DESCENDING-key appends (adversarial to sortedness)
+    Seq(900L, 1300L, 1700L).foreach { base =>
+      spark.range(0, 20).select((lit(base) - col("id")).as("k"),
+          col("id").as("v"))
+        .coalesce(1).write.format("lance").mode("append").save(dir)
+    }
+    Lance.compactSmall(spark, dir, minRows = 50)
+    assertPure(dir)
+    val m = manifest(dir)
+    m.fragments.foreach { f =>
+      val ks = spark.read.parquet(
+        LanceFormat.fragmentPath(new Path(dir), f.file).toString)
+        .select("k").collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted,
+        s"fragment ${f.file} lost the key-sorted invariant after compactSmall")
+    }
+    assert(spark.read.format("lance").load(dir).count() == 460)
+  }
 }
