@@ -1117,6 +1117,39 @@ object Lance {
     (before, after)
   }
 
+  /** Declare (or clear, with an empty list) parquet BLOOM FILTER columns:
+    * every fragment written from now on (append, streaming epoch, DML
+    * rewrite, compaction) carries an adaptive per-row-group bloom filter
+    * for each named column, which the scan applies to pushed `=`/`IN`
+    * predicates — row groups provably not holding the probed value are
+    * skipped without reading data pages. This is THE skipping layer for
+    * high-cardinality point lookups (a UUID, a document id) where
+    * min/max bounds admit everything, value sets refuse to store, and a
+    * scalar-index sidecar is more maintenance than wanted: at 100 TB a
+    * `WHERE doc_id = X` touches only the row groups whose filter says
+    * maybe, at ~1 byte/distinct-value of footer overhead. Existing
+    * fragments gain filters at the next `compact()` (declaration ≠
+    * rewrite, the Delta/Iceberg posture). One metadata commit; the
+    * declaration self-heals on DROP, remaps on RENAME, and surfaces as
+    * `lance.bloom-filters` in SHOW TBLPROPERTIES. Returns the committed
+    * version.
+    */
+  def setBloomFilters(spark: SparkSession, path: String,
+      cols: Seq[String]): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.commitBloomFilters(fs, root, cols).version
+  }
+
+  /** The declared bloom-filter columns ([[setBloomFilters]]); empty when
+    * none. */
+  def bloomFilterColumns(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.readLatest(fs, root)
+      .flatMap(_.bloomFilters).getOrElse(Seq.empty)
+  }
+
   /** The declared bucket layout ([[clusterByBucket]]); None when none. */
   def bucketSpec(spark: SparkSession, path: String): Option[graft.format.BucketSpecMeta] = {
     val root = new org.apache.hadoop.fs.Path(path)

@@ -392,7 +392,8 @@ object LanceCatalog {
       "rebase_branch",
       "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
       "rename_column", "widen_column",
-      "add_unique", "clone_table", "cluster_by_bucket", "analyze_table")
+      "add_unique", "clone_table", "cluster_by_bucket", "analyze_table",
+      "set_bloom_filters")
 }
 
 private[catalog] object LanceProcedure {
@@ -441,6 +442,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "vacuum" => "drop old versions and reclaim fragment files only they referenced (older_than_ms pins young versions)"
     case "cluster" => "Z-order rewrite so manifest stats prune on every listed column"
     case "cluster_by_bucket" => "hash-bucket rewrite (bucket(n, cols)): co-bucketed tables join shuffle-free (storage-partitioned join); empty cols clears the layout"
+    case "set_bloom_filters" => "declare parquet bloom-filter columns: future fragments carry per-row-group membership proofs for =/IN point lookups; empty cols clears"
     case "analyze_table" => "per-column NDV sketches (HyperLogLog) into the stats sidecar; the scan serves them to CBO. Incremental: appends since the last ANALYZE merge by sketch union"
     case "update_where" => "row-level UPDATE: stats-scoped copy-on-write rewrite"
     case "upsert" => "MERGE a view/table into the dataset on key columns (update-or-insert)"
@@ -485,6 +487,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("cols", StringType)
         .comment("comma-separated key columns; empty clears the layout").build(),
       in("num_buckets", IntegerType).defaultValue("16").build())
+    case "set_bloom_filters" => Array(in("table", StringType).build(),
+      in("cols", StringType)
+        .comment("comma-separated columns; empty clears the declaration").build())
     case "analyze_table" => Array(in("table", StringType).build(),
       in("cols", StringType).defaultValue("''")
         .comment("comma-separated columns; empty = every analyzable column").build(),
@@ -589,6 +594,14 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("fragments_before", IntegerType, nullable = false)
           .add("fragments_after", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](before, after)))
+      case "set_bloom_filters" =>
+        val cols = input.getUTF8String(1).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val v = graft.Lance.setBloomFilters(spark, path, cols)
+        (new StructType().add("version", LongType, nullable = false)
+          .add("columns", StringType, nullable = false),
+          new GenericInternalRow(Array[Any](v,
+            org.apache.spark.unsafe.types.UTF8String.fromString(cols.mkString(",")))))
       case "analyze_table" =>
         val cols = input.getUTF8String(1).toString.split(',')
           .map(_.trim).filter(_.nonEmpty).toSeq

@@ -209,6 +209,8 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
         m.clusterBy.foreach(cs => out.put("lance.cluster-by", cs.mkString(",")))
         m.bucketBy.foreach(b => out.put("lance.bucket-by",
           s"${b.numBuckets}:${b.columns.mkString(",")}"))
+        m.bloomFilters.foreach(bs =>
+          out.put("lance.bloom-filters", bs.mkString(",")))
         m.checkConstraints.foreach { case (n, e) =>
           out.put(s"lance.constraint.$n", e) }
         if (m.mapping.nonEmpty)
@@ -1166,8 +1168,10 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     // writer invariant. Key names travel physical, like the schema.
     val bucketSpec = head.flatMap(_.bucketBy).map(b =>
       (b.numBuckets, b.columns.map(c => mapping.getOrElse(c, c))))
+    val bloomCols = head.flatMap(_.bloomFilters).getOrElse(Seq.empty)
+      .map(c => mapping.getOrElse(c, c))
     new LanceWriterFactory(rootStr, phys.json, conf, maxRowsPerFile, collectStats,
-      bucketSpec)
+      bucketSpec, bloomCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1337,8 +1341,10 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
     // streamed epochs keep the declared bucket layout too
     val bucketSpec = head.flatMap(_.bucketBy).map(b =>
       (b.numBuckets, b.columns.map(c => mapping.getOrElse(c, c))))
+    val bloomCols = head.flatMap(_.bloomFilters).getOrElse(Seq.empty)
+      .map(c => mapping.getOrElse(c, c))
     new LanceWriterFactory(rootStr, phys.json, conf, maxRowsPerFile, collectStats,
-      bucketSpec)
+      bucketSpec, bloomCols)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

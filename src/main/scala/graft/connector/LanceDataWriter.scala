@@ -41,17 +41,18 @@ class SerializableConf(@transient var value: Configuration) extends Serializable
   */
 class LanceWriterFactory(rootStr: String, schemaJson: String,
     conf: SerializableConf, maxRowsPerFile: Long, collectStats: Boolean = true,
-    bucketSpec: Option[(Int, Seq[String])] = None)
+    bucketSpec: Option[(Int, Seq[String])] = None,
+    bloomCols: Seq[String] = Seq.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile,
-      collectStats, bucketSpec)
+      collectStats, bucketSpec, bloomCols)
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new LanceDataWriter(rootStr, schemaJson, conf.value, maxRowsPerFile,
-      collectStats, bucketSpec)
+      collectStats, bucketSpec, bloomCols)
 }
 
 /** Executor-side fragment writer: streams InternalRows into Parquet
@@ -68,7 +69,8 @@ class LanceWriterFactory(rootStr: String, schemaJson: String,
   */
 class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
     maxRowsPerFile: Long, collectStats: Boolean = true,
-    bucketSpec: Option[(Int, Seq[String])] = None) extends DataWriter[InternalRow] {
+    bucketSpec: Option[(Int, Seq[String])] = None,
+    bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val root = new Path(rootStr)
@@ -138,8 +140,16 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
       c.setIfUnset("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       c.setIfUnset("spark.sql.parquet.fieldId.write.enabled", "false")
       c.setIfUnset("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
-      new Builder(path).withConf(c)
+      val b = new Builder(path).withConf(c)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
+      // declared bloom columns ([[graft.Lance.setBloomFilters]], passed
+      // as PHYSICAL names): a per-row-group membership proof the reader
+      // applies to pushed =/IN predicates. Adaptive sizing right-sizes
+      // the filter from the observed NDV instead of a fixed worst case.
+      val blooming = bloomCols.filter(schema.fieldNames.contains)
+      blooming.foldLeft(
+        if (blooming.isEmpty) b else b.withAdaptiveBloomFilterEnabled(true))(
+        (bb, name) => bb.withBloomFilterEnabled(name, true))
         .build()
     }
     def rowCount: Long = rows

@@ -71,6 +71,14 @@ case class Manifest(
     // declared hash-bucket layout ([[BucketSpecMeta]]): carried through
     // every commit kind like clusterBy; mutually exclusive with it.
     bucketBy: Option[BucketSpecMeta] = None,
+    // columns every fragment writes a parquet BLOOM FILTER for
+    // ([[graft.Lance.setBloomFilters]], LOGICAL names): row-group-level
+    // membership proofs the reader applies to pushed =/IN predicates —
+    // the skipping layer for high-cardinality point lookups where
+    // min/max is useless and a scalar-index sidecar isn't wanted.
+    // Carried/remapped/self-healed like clusterBy; per-column
+    // independent (losing one column drops only that entry).
+    bloomFilters: Option[Seq[String]] = None,
     // TWO-LEVEL manifest (set by the commit path once the fragment list
     // outgrows [[LanceFormat.inlineFragmentThreshold]]): the on-disk
     // manifest carries only these content-addressed group-file names
@@ -402,6 +410,7 @@ object LanceFormat {
         columnMapping = prev.flatMap(_.columnMapping),
         clusterBy = prev.flatMap(_.clusterBy),
         bucketBy = prev.flatMap(_.bucketBy),
+        bloomFilters = prev.flatMap(_.bloomFilters),
         // chunk-reuse hint for packForWrite: the untouched prefix keeps
         // its content-addressed names without re-serializing
         fragmentGroups = prev.flatMap(_.fragmentGroups))
@@ -456,6 +465,9 @@ object LanceFormat {
         // whole declaration (a partial key would route rows differently)
         bucketBy = prev.bucketBy
           .filter(_.columns.forall(schema.fieldNames.contains)),
+        // bloom columns are independent: a DROPPED one self-heals out
+        bloomFilters = prev.bloomFilters
+          .map(_.filter(schema.fieldNames.contains)).filter(_.nonEmpty),
         fragmentGroups = prev.fragmentGroups)
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
@@ -516,6 +528,7 @@ object LanceFormat {
         columnMapping = prev.columnMapping,
         clusterBy = prev.clusterBy,
         bucketBy = prev.bucketBy,
+        bloomFilters = prev.bloomFilters,
         fragmentGroups = prev.fragmentGroups)
       if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
       attempt += 1
@@ -574,7 +587,9 @@ object LanceFormat {
         clusterBy = prev.flatMap(_.clusterBy)
           .map(_.filter(named.fieldNames.contains)).filter(_.nonEmpty),
         bucketBy = prev.flatMap(_.bucketBy)
-          .filter(_.columns.forall(named.fieldNames.contains)))
+          .filter(_.columns.forall(named.fieldNames.contains)),
+        bloomFilters = prev.flatMap(_.bloomFilters)
+          .map(_.filter(named.fieldNames.contains)).filter(_.nonEmpty))
       if (commitOnce(fs, root, m, None)) return m
       attempt += 1
     }
@@ -653,7 +668,9 @@ object LanceFormat {
         clusterBy = prev.clusterBy.map(_.map(c =>
           if (c == oldName) newName else c)),
         bucketBy = prev.bucketBy.map(b => b.copy(columns =
-          b.columns.map(c => if (c == oldName) newName else c))))
+          b.columns.map(c => if (c == oldName) newName else c))),
+        bloomFilters = prev.bloomFilters.map(_.map(c =>
+          if (c == oldName) newName else c)))
       if (commitOnceIn(fs, versionsPath(root), m, None)) return m
       attempt += 1
     }
@@ -838,6 +855,50 @@ object LanceFormat {
     }
     throw new IllegalStateException(
       s"could not commit bucket spec after $attempt attempts at $root")
+  }
+
+  /** Declare (or clear, with an empty list) the columns every fragment
+    * writes a parquet bloom filter for — one metadata commit; FUTURE
+    * fragments carry the filters (appends, DML rewrites, compaction);
+    * existing fragments gain them at the next compact()/rewrite, exactly
+    * the Delta/Iceberg posture (declaration ≠ rewrite).
+    */
+  def commitBloomFilters(fs: FileSystem, root: Path,
+      cols: Seq[String]): Manifest = {
+    var attempt = 0
+    while (attempt < 20) {
+      val prev = readLatest(fs, root).getOrElse(
+        throw new IllegalStateException(s"no dataset at $root"))
+      cols.foreach { c =>
+        val f = prev.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"no column '$c' at $root"))
+        require(bloomEligible(f.dataType),
+          s"column '$c' (${f.dataType.simpleString}) cannot carry a bloom " +
+            "filter: supported types are integral, string, binary, " +
+            "float/double, date, timestamp")
+      }
+      val m = prev.copy(
+        version = prev.version + 1,
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some("alter"),
+        bloomFilters = Some(cols.distinct).filter(_.nonEmpty))
+      if (commitOnceIn(fs, versionsPath(root), m, None)) return m
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit bloom-filter spec after $attempt attempts at $root")
+  }
+
+  /** Types parquet can bloom-filter (INT32/INT64/FLOAT/DOUBLE/BINARY
+    * physical representations; BOOLEAN and nested types cannot). */
+  def bloomEligible(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BinaryType |
+         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
   }
 
   /** Data commits carry the WRITER's schema, which may predate a
@@ -1278,6 +1339,7 @@ object LanceFormat {
       columnMapping = head.columnMapping,
       clusterBy = head.clusterBy,
       bucketBy = head.bucketBy,
+      bloomFilters = head.bloomFilters,
       fragmentGroups = head.fragmentGroups)
     // ONE commitOnce attempt, never the version-bumping commit() retry: a
     // concurrent main append winning the race means the precondition no
@@ -1385,6 +1447,7 @@ object LanceFormat {
       columnMapping = mainLatest.columnMapping,
       clusterBy = mainLatest.clusterBy,
       bucketBy = mainLatest.bucketBy,
+      bloomFilters = mainLatest.bloomFilters,
       fragmentGroups = mainLatest.fragmentGroups)
     if (!commitOnce(fs, root, m, None))
       throw new java.util.ConcurrentModificationException(

@@ -1713,6 +1713,65 @@ object LanceQueries {
       .toDF("d_orderkey", "d_custkey", "d_priority", "ndv_ok")
   }
 
+  /** Parquet bloom-filter point lookups (s110): [[graft.Lance.
+    * setBloomFilters]] declares columns whose fragments carry adaptive
+    * per-row-group bloom filters — the skipping layer for
+    * high-cardinality point lookups (a document id, a UUID) where
+    * min/max bounds admit everything and a scalar-index sidecar is more
+    * maintenance than wanted. The gate declares `doc_id`, writes the
+    * documents table through the routing writer, then REQUIRES (a) every
+    * row group's footer carries the filter and (b) the filter alone —
+    * stats and dictionary row-group filtering disabled — eliminates
+    * every row group for an absent probe while keeping the present
+    * one's. The emitted point lookup anchors correctness to the DuckDB
+    * oracle (bloom filters may only skip, never change an answer).
+    */
+  def s110BloomFilters(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "documents_bloom")
+    freshDataset(spark, dest)
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    d.limit(0).write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.setBloomFilters(spark, dest, Seq("doc_id"))
+    d.repartition(4).write.format("lance").mode("append").save(dest)
+    val root = new org.apache.hadoop.fs.Path(dest)
+    val conf = spark.sessionState.newHadoopConf()
+    val m = graft.format.LanceFormat.readLatest(
+      graft.format.LanceFormat.fileSystem(root, conf), root).get
+    import scala.jdk.CollectionConverters._
+    m.fragments.foreach { f =>
+      val fp = graft.format.LanceFormat.fragmentPath(root, f.file)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(conf, fp)
+      try require(r.getRowGroups.asScala.forall(bg =>
+        bg.getColumns.asScala.find(_.getPath.toDotString == "doc_id")
+          .exists(_.getBloomFilterOffset >= 0)),
+        s"fragment ${f.file} lacks a doc_id bloom filter")
+      finally r.close()
+    }
+    def bloomOnlyRows(probe: Long): Long = m.fragments.map { f =>
+      val fp = graft.format.LanceFormat.fragmentPath(root, f.file)
+      val opts = org.apache.parquet.ParquetReadOptions.builder()
+        .useStatsFilter(false).useDictionaryFilter(false)
+        .useColumnIndexFilter(false).useBloomFilter(true)
+        .withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
+          org.apache.parquet.filter2.predicate.FilterApi.eq(
+            org.apache.parquet.filter2.predicate.FilterApi.longColumn("doc_id"),
+            java.lang.Long.valueOf(probe))))
+        .build()
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, conf), opts)
+      try r.getFilteredRecordCount finally r.close()
+    }.sum
+    require(bloomOnlyRows(10000000007L) == 0L,
+      "bloom filters failed to eliminate an absent doc_id's row groups")
+    require(bloomOnlyRows(7L) > 0L,
+      "bloom filters must keep the row group holding doc_id 7")
+    spark.read.format("lance").load(dest)
+      .filter(col("doc_id") === 7L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("bloomed", lit(true))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zero-copy shallow clone (s107): [[graft.Lance.cloneTable]] creates
     * a new table whose first manifest BORROWS the source's fragment
     * files — fully-qualified external refs, zero data copied, one
@@ -2082,6 +2141,7 @@ object LanceQueries {
     "s107_clone" -> s107Clone,
     "s108_spj" -> s108StoragePartitionedJoin,
     "s109_analyze" -> s109Analyze,
+    "s110_bloom_filters" -> s110BloomFilters,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -2233,6 +2293,12 @@ object LanceQueries {
         | CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_priority,
         | TRUE AS ndv_ok
         |FROM orders""".stripMargin,
+    // s110: the point lookup anchors correctness; footer presence and
+    // bloom-only row-group elimination are the require()s (s103 pattern)
+    "s110_bloom_filters" ->
+      """SELECT doc_id, lang, n_chars, TRUE AS bloomed
+        |FROM documents WHERE doc_id = 7
+        |ORDER BY doc_id""".stripMargin,
     // s107: the diverged clone = orders minus key 5 plus the planted row;
     // zero-copy is the require() + planted literal (s103 pattern)
     "s107_clone" ->
