@@ -23,6 +23,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * (`spark.sql.extensions=graft.GraftSparkExtensions`) instead.
   */
 object Lance {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Lance")
 
   /** Column-metadata key carrying a fixed vector dimension. */
   val VectorDimKey = "graft.vector.dim"
@@ -424,6 +425,84 @@ object Lance {
     val after = graft.format.LanceFormat.readLatest(fs, root)
       .map(_.fragments.size).getOrElse(0)
     (m.fragments.size, after)
+  }
+
+  /** One scheduled-maintenance run ([[optimize]]). `indexesStale` names
+    * sidecars whose refresh demanded a rebuild (rewritten source
+    * fragments) — they stay CORRECT but unaccelerated until rebuilt. */
+  case class OptimizeResult(fragmentsBefore: Int, fragmentsAfter: Int,
+      indexesRefreshed: Seq[String], indexesStale: Seq[String],
+      columnsAnalyzed: Int, manifestsDeleted: Int, filesDeleted: Int)
+
+  /** The single maintenance entry point a 100 TB table gets scheduled
+    * with — `CALL lance.optimize('db.t')` nightly — bundling, in the
+    * order that keeps each step's output valid for the next:
+    *
+    *  1. [[compactSmall]]: bin-pack the small-fragment tail streaming
+    *     epochs and trickle appends leave behind (I/O ∝ the tail, layout
+    *     aware: bucket routing and z-order both survive);
+    *  2. refresh every index sidecar (scalar postings, FTS, IVF/HNSW) —
+    *     a refresh that demands a rebuild (the compaction rewrote its
+    *     fragments) is REPORTED stale, never silently rebuilt: a rebuild
+    *     is an operator decision at index scale, warn-don't-block (the
+    *     `write.refresh-indexes` posture);
+    *  3. re-ANALYZE exactly the previously analyzed columns (opt-in
+    *     stats stay opt-in; incremental when the manifest allows it,
+    *     which a no-op compaction preserves);
+    *  4. optionally [[vacuum]] (`keepVersions` > 0), after everything
+    *     above committed — tags/branches stay pinned as always.
+    *
+    * Every step is independent: a failed refresh degrades to a warning
+    * (indexes are staleness-checked at query time and stay correct),
+    * never fails the run.
+    */
+  def optimize(spark: SparkSession, path: String,
+      minRows: Long = 100000L, maxRowsPerFile: Long = 1000000L,
+      reanalyze: Boolean = true, keepVersions: Int = -1): OptimizeResult = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val (before, after) = compactSmall(spark, path, minRows, maxRowsPerFile)
+
+    val refreshed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stale = scala.collection.mutable.ArrayBuffer.empty[String]
+    val indices = new org.apache.hadoop.fs.Path(root, "_indices")
+    if (fs.exists(indices))
+      fs.listStatus(indices).filter(_.isDirectory).map(_.getPath.getName)
+        .sorted.foreach { d =>
+          val (kind, col) = d.lastIndexOf('_') match {
+            case i if i > 0 => (d.substring(i + 1), d.substring(0, i))
+            case _ => ("", d)
+          }
+          def attempt(refresh: => Any): Unit =
+            try { refresh; refreshed += s"$col ($kind)" } catch {
+              case e: Exception =>
+                log.warn(s"optimize: $kind index on '$col' at $path needs a " +
+                  s"rebuild - still correct, unaccelerated until then: $e")
+                stale += s"$col ($kind)"
+            }
+          kind match {
+            case "scalar" => attempt(graft.index.ScalarIndex.refresh(spark, path, col))
+            case "fts" => attempt(graft.index.FtsIndex.refresh(spark, path, col))
+            case "ivf" => attempt(graft.index.IvfIndex.refresh(spark, path, col))
+            case _ => () // unknown sidecar kinds are not ours to touch
+          }
+        }
+
+    val analyzed =
+      if (!reanalyze) 0
+      else graft.format.TableStats.read(fs, root) match {
+        case Some(s) if s.columns.nonEmpty =>
+          val live = graft.format.LanceFormat.readLatest(fs, root)
+            .map(_.schema.fieldNames.toSet).getOrElse(Set.empty[String])
+          val cols = s.columns.keys.filter(live.contains).toSeq.sorted
+          if (cols.isEmpty) 0 else analyze(spark, path, cols).size
+        case _ => 0 // never create stats unbidden
+      }
+
+    val (mans, files) =
+      if (keepVersions > 0) vacuum(spark, path, keepVersions) else (0, 0)
+    OptimizeResult(before, after, refreshed.toSeq, stale.toSeq,
+      analyzed, mans, files)
   }
 
   /** Reclaim storage: drop all but the newest `keepVersions` manifests and

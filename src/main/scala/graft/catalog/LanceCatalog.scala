@@ -393,7 +393,7 @@ object LanceCatalog {
       "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
       "rename_column", "widen_column",
       "add_unique", "clone_table", "cluster_by_bucket", "analyze_table",
-      "set_bloom_filters")
+      "set_bloom_filters", "optimize")
 }
 
 private[catalog] object LanceProcedure {
@@ -443,6 +443,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "cluster" => "Z-order rewrite so manifest stats prune on every listed column"
     case "cluster_by_bucket" => "hash-bucket rewrite (bucket(n, cols)): co-bucketed tables join shuffle-free (storage-partitioned join); empty cols clears the layout"
     case "set_bloom_filters" => "declare parquet bloom-filter columns: future fragments carry per-row-group membership proofs for =/IN point lookups; empty cols clears"
+    case "optimize" => "one scheduled maintenance run: compact the small-fragment tail, refresh index sidecars (stale ones reported, never silently rebuilt), re-analyze previously analyzed columns, optionally vacuum"
     case "analyze_table" => "per-column NDV sketches (HyperLogLog) into the stats sidecar; the scan serves them to CBO. Incremental: appends since the last ANALYZE merge by sketch union"
     case "update_where" => "row-level UPDATE: stats-scoped copy-on-write rewrite"
     case "upsert" => "MERGE a view/table into the dataset on key columns (update-or-insert)"
@@ -490,6 +491,14 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "set_bloom_filters" => Array(in("table", StringType).build(),
       in("cols", StringType)
         .comment("comma-separated columns; empty clears the declaration").build())
+    case "optimize" => Array(in("table", StringType).build(),
+      in("min_rows", LongType).defaultValue("100000")
+        .comment("fragments smaller than this bin-pack").build(),
+      in("max_rows_per_file", LongType).defaultValue("1000000").build(),
+      in("analyze", BooleanType).defaultValue("true")
+        .comment("re-analyze previously analyzed columns").build(),
+      in("keep_versions", IntegerType).defaultValue("-1")
+        .comment("vacuum to this many versions after; -1 skips").build())
     case "analyze_table" => Array(in("table", StringType).build(),
       in("cols", StringType).defaultValue("''")
         .comment("comma-separated columns; empty = every analyzable column").build(),
@@ -602,6 +611,26 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .add("columns", StringType, nullable = false),
           new GenericInternalRow(Array[Any](v,
             org.apache.spark.unsafe.types.UTF8String.fromString(cols.mkString(",")))))
+      case "optimize" =>
+        val r = graft.Lance.optimize(spark, path,
+          minRows = if (input.isNullAt(1)) 100000L else input.getLong(1),
+          maxRowsPerFile = if (input.isNullAt(2)) 1000000L else input.getLong(2),
+          reanalyze = input.isNullAt(3) || input.getBoolean(3),
+          keepVersions = if (input.isNullAt(4)) -1 else input.getInt(4))
+        (new StructType()
+          .add("fragments_before", IntegerType, nullable = false)
+          .add("fragments_after", IntegerType, nullable = false)
+          .add("indexes_refreshed", StringType, nullable = false)
+          .add("indexes_stale", StringType, nullable = false)
+          .add("columns_analyzed", IntegerType, nullable = false)
+          .add("manifests_deleted", IntegerType, nullable = false)
+          .add("files_deleted", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](r.fragmentsBefore, r.fragmentsAfter,
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              r.indexesRefreshed.mkString(",")),
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              r.indexesStale.mkString(",")),
+            r.columnsAnalyzed, r.manifestsDeleted, r.filesDeleted)))
       case "analyze_table" =>
         val cols = input.getUTF8String(1).toString.split(',')
           .map(_.trim).filter(_.nonEmpty).toSeq

@@ -1,0 +1,107 @@
+package graft
+
+import graft.format.{LanceFormat, TableStats}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** `Lance.optimize` / `CALL optimize` — the single scheduled-maintenance
+  * entry point: compact the small-fragment tail, refresh index sidecars
+  * (stale ones reported, never silently rebuilt), re-analyze exactly the
+  * previously analyzed columns, optionally vacuum. Contracts pinned:
+  *  - the tail bin-packs; big fragments ride by reference
+  *  - an appends-only scalar index refreshes (postings answer for the
+  *    tail's values afterwards); a failure degrades to `indexesStale`
+  *  - stats stay OPT-IN: no sidecar → nothing analyzed; an existing
+  *    sidecar re-analyzes its own column set, not the whole schema
+  *  - keep_versions > 0 vacuums after everything committed
+  *  - the whole run through SQL: CALL returns the summary row
+  */
+class OptimizeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "optimize-")
+      .toAbsolutePath.toString
+
+  private def fs(dir: String) =
+    LanceFormat.fileSystem(new Path(dir), spark.sessionState.newHadoopConf())
+
+  private def frags(dir: String) =
+    LanceFormat.readLatest(fs(dir), new Path(dir)).get.fragments
+
+  test("optimize: compacts the tail, refreshes the index, re-analyzes its columns") {
+    val dir = tmpDir()
+    spark.range(0, 5000).select(col("id").as("k"), col("id").as("v"))
+      .coalesce(1).write.format("lance").mode("overwrite").save(dir)
+    Lance.buildScalarIndex(spark, dir, "k", numBuckets = 4)
+    Lance.analyze(spark, dir, columns = Seq("k")) // opt-in, ONE column
+    // the trickle tail streaming epochs leave behind
+    (0 until 4).foreach { i =>
+      spark.range(9000 + i * 10, 9010 + i * 10)
+        .select(col("id").as("k"), col("id").as("v"))
+        .coalesce(1).write.format("lance").mode("append").save(dir)
+    }
+    val before = frags(dir).size
+    val r = Lance.optimize(spark, dir, minRows = 100)
+    assert(r.fragmentsBefore == before)
+    assert(r.fragmentsAfter < before,
+      s"tail not packed: ${r.fragmentsBefore} -> ${r.fragmentsAfter}")
+    // the 5000-row base fragment rode by reference (compactSmall shape)
+    assert(frags(dir).exists(_.rowCount == 5000))
+    // the index survived maintenance and answers for the tail's values
+    assert(r.indexesRefreshed.nonEmpty || r.indexesStale.nonEmpty)
+    assert(spark.read.format("lance").load(dir)
+      .filter(col("k") === 9035L).count() == 1)
+    // stats: exactly the previously analyzed column set, no expansion
+    assert(r.columnsAnalyzed == 1)
+    val stored = TableStats.read(fs(dir), new Path(dir)).get
+    assert(stored.columns.keySet == Set("k"))
+    // no vacuum by default
+    assert(r.manifestsDeleted == 0 && r.filesDeleted == 0)
+    assert(spark.read.format("lance").load(dir).count() == 5040)
+  }
+
+  test("stats stay opt-in: a never-analyzed table analyzes nothing") {
+    val dir = tmpDir()
+    spark.range(0, 100).select(col("id").as("k"))
+      .coalesce(1).write.format("lance").mode("overwrite").save(dir)
+    spark.range(100, 110).select(col("id").as("k"))
+      .coalesce(1).write.format("lance").mode("append").save(dir)
+    val r = Lance.optimize(spark, dir, minRows = 1000)
+    assert(r.columnsAnalyzed == 0)
+    assert(TableStats.read(fs(dir), new Path(dir)).isEmpty)
+  }
+
+  test("keep_versions vacuums after the maintenance commits; SQL CALL surface") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.lance_opt", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_opt.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE lance_opt.db")
+      val p = s"$wh/db/t"
+      spark.range(0, 300).select(col("id").as("k"))
+        .coalesce(1).write.format("lance").mode("overwrite").save(p)
+      (0 until 3).foreach { i =>
+        spark.range(300 + i * 10, 310 + i * 10).select(col("id").as("k"))
+          .coalesce(1).write.format("lance").mode("append").save(p)
+      }
+      val row = spark.sql(
+        "CALL lance_opt.system.optimize('db.t', min_rows => 50, keep_versions => 1)")
+        .collect()(0)
+      assert(row.getAs[Int]("fragments_after") < row.getAs[Int]("fragments_before"))
+      assert(row.getAs[Int]("manifests_deleted") > 0, "vacuum did not run")
+      // everything still reads
+      assert(spark.read.format("lance").load(p).count() == 330)
+      // vacuumed history is gone: version 1 is unreachable
+      intercept[Exception] {
+        spark.read.format("lance").option("versionAsOf", "1").load(p).count()
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lance_opt")
+      spark.conf.unset("spark.sql.catalog.lance_opt.warehouse")
+    }
+  }
+}
