@@ -624,7 +624,8 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
       inner.pushedFilters, inner.options, inner.pushedAggregate,
       inner.partitionFilters, inner.dataFilters, inner.pushedVariantExtractions)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType =
     LanceFormat.toPhysical(super.readSchema(), physToLogical)
@@ -896,6 +897,34 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
           byFile.values.toSet.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** Per-partition ordering by the bucket key, claimed ONLY when provable
+    * from the manifest: the bucket layout holds (every file tagged),
+    * every bucket has exactly ONE file (each partition is one file, so
+    * file order IS partition order — the post-maintenance state
+    * clusterByBucket/compact leave, and what the aligned default write
+    * distribution produces), and every file was OBSERVED key-sorted at
+    * write time (`FragmentMeta.sorted` — recorded, never assumed). Then a
+    * sort-merge join over the storage-partitioned layout drops its sorts
+    * too: the 100 TB join costs neither shuffle nor sort. Any unsorted or
+    * multi-file bucket just withdraws the claim (Spark re-sorts; results
+    * identical).
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    bucketLayout match {
+      case Some((spec, byFile))
+          if spec.columns.forall(readSchema().fieldNames.contains) &&
+            byFile.values.groupBy(identity).forall(_._2.size == 1) &&
+            manifest.exists { m =>
+              val sortedByName = m.fragments.map(f =>
+                f.file.substring(f.file.lastIndexOf('/') + 1) -> f.sorted).toMap
+              byFile.keys.forall(n => sortedByName.get(n).flatten.contains(true))
+            } =>
+        spec.columns.map(c => Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+      case _ => Array.empty
     }
 
   /** `partitions` is a def — BatchScanExec re-plans after [[filter]], so

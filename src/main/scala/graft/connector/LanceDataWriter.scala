@@ -124,12 +124,51 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
 
   private val done = ArrayBuffer.empty[FragmentMeta]
 
+  /** Per-key-column interpreted orderings for the sortedness observer
+    * (bucket keys are atomic types by [[BucketHash.supportedKeyType]];
+    * nulls order first, matching the writer paths' asc_nulls_first). */
+  private val keyOrderings: Array[Ordering[Any]] = routing match {
+    case None => Array.empty
+    case Some((_, keys)) => keys.map { case (_, dt) =>
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+        .asInstanceOf[Ordering[Any]]
+    }
+  }
+
+  private def compareKeys(a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      val c =
+        if (x == null && y == null) 0
+        else if (x == null) -1
+        else if (y == null) 1
+        else keyOrderings(i).compare(x, y)
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
   /** One open fragment file (the per-bucket unit; bucket -1 = unrouted). */
   private final class Sink(bucket: Int) {
     val file = s"frag-${UUID.randomUUID()}.parquet"
     private val stats =
       if (collectStats) Some(new graft.format.FragmentStats.Collector(schema)) else None
     private var rows = 0L
+    // OBSERVED key-sortedness: stays true while rows arrive
+    // non-decreasing by the bucket key. UTF8String values are copied out
+    // of the reused row buffer before they are held across rows.
+    private var keySorted = routing.isDefined
+    private var prevKey: Array[Any] = null
+    def observeKey(key: Array[Any]): Unit = if (keySorted) {
+      val own = key.map {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case v => v
+      }
+      if (prevKey != null && compareKeys(prevKey, own) > 0) keySorted = false
+      prevKey = own
+    }
     val writer: ParquetWriter[InternalRow] = {
       val path = new Path(LanceFormat.dataPath(root), file)
       val c = new Configuration(conf)
@@ -167,7 +206,8 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
         val len = try Some(p.getFileSystem(conf).getFileStatus(p).getLen)
           catch { case _: Exception => None }
         done += FragmentMeta(0, file, rows, stats.flatMap(_.result()),
-          bucket = Some(bucket).filter(_ >= 0), bytes = len)
+          bucket = Some(bucket).filter(_ >= 0), bytes = len,
+          sorted = if (bucket >= 0) Some(keySorted) else None)
       } else p.getFileSystem(conf).delete(p, false)
     }
     def abort(): Unit = writer.close()
@@ -205,6 +245,11 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
       open.put(b, s)
       s
     })
+    routing.foreach { case (_, keys) =>
+      sink.observeKey(keys.map { case (i, dt) =>
+        if (row.isNullAt(i)) null else row.get(i, dt)
+      })
+    }
     if (sink.write(row)) { sink.close(); open.remove(b) }
   }
 

@@ -22,6 +22,14 @@ case class FragmentMeta(id: Int, file: String, rowCount: Long,
     // before the declaration (or through a non-routing path) have None
     // and conservatively disable storage-partitioned planning.
     bucket: Option[Int] = None,
+    // OBSERVED at write time under bucket routing: rows arrived
+    // non-decreasing by the spec's key columns (nulls first), so the
+    // file is key-sorted and — when it is its bucket's ONLY file — the
+    // scan can report a per-partition ordering and sort-merge joins
+    // skip their sorts. Observed, never assumed: an unsorted write
+    // records false and merely disables the claim. Cleared with
+    // `bucket` whenever the spec changes.
+    sorted: Option[Boolean] = None,
     // file size, recorded at write time: when every kept fragment has
     // it, scan planning builds its file index straight from the manifest
     // — ZERO filesystem metadata calls per query (at a million fragments
@@ -843,7 +851,9 @@ object LanceFormat {
       val fragments =
         if (prev.bucketBy == newSpec) prev.fragments
         else prev.fragments.map(f =>
-          if (f.bucket.isDefined) f.copy(bucket = None) else f)
+          if (f.bucket.isDefined || f.sorted.isDefined)
+            f.copy(bucket = None, sorted = None)
+          else f)
       val m = prev.copy(
         version = prev.version + 1,
         committedAtMs = System.currentTimeMillis(),

@@ -502,6 +502,77 @@ class SpjSpec extends AnyFunSuite {
     assert(ks == ks.sorted, "bucket file is not key-sorted")
   }
 
+  test("reported ordering: the SPJ sort-merge join drops its sorts too") {
+    val wh = tmpDir()
+    val dir1 = s"$wh/db/t1"; val dir2 = s"$wh/db/t2"
+    spark.range(0, 3000).select(col("id").as("k"), col("id").as("a"))
+      .write.format("lance").mode("overwrite").save(dir1)
+    spark.range(0, 3000).filter(pmod(col("id"), lit(3)) === 0)
+      .select(col("id").as("k"), col("id").as("b"))
+      .write.format("lance").mode("overwrite").save(dir2)
+    Lance.clusterByBucket(spark, dir1, Seq("k"), numBuckets = 8)
+    Lance.clusterByBucket(spark, dir2, Seq("k"), numBuckets = 8)
+    // post-maintenance state: one key-sorted file per bucket, observed
+    manifest(dir1).fragments.foreach(f => assert(f.sorted.contains(true)))
+
+    spark.conf.set("spark.sql.catalog.spj_ord", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.spj_ord.warehouse", wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      val l = spark.table("spj_ord.db.t1")
+      val r = spark.table("spj_ord.db.t2")
+      val joined = l.join(r, "k").groupBy().agg(
+        count(lit(1)).as("n"), sum(col("a") + col("b")).as("s"))
+      val rows = joined.collect()
+      assert(rows(0).getLong(0) == 1000)
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      val plan = joined.queryExecution.executedPlan
+      val smj = walk(plan).collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"want a sort-merge join:\n$plan")
+      smj.foreach(_.children.foreach { side =>
+        assert(walk(side).forall(!_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+          s"reported ordering not used - side still sorts:\n$side")
+        assert(walk(side).forall(!_.isInstanceOf[ShuffleExchangeLike]),
+          s"SPJ side still shuffles:\n$side")
+      })
+
+      // an UNSORTED bucketed write withdraws the claim: same answer,
+      // sorts back in the plan, never a wrong merge
+      spark.range(3000, 3100).sort(col("id").desc)
+        .select(col("id").as("k"), col("id").as("a"))
+        .coalesce(1)
+        .write.format("lance").mode("append")
+        .option("write.distribution-mode", "none").save(dir1)
+      assert(manifest(dir1).fragments.exists(_.sorted.contains(false)),
+        "descending write must be OBSERVED unsorted")
+      spark.sql("REFRESH TABLE spj_ord.db.t1")
+      val joined2 = spark.table("spj_ord.db.t1").join(r, "k")
+        .groupBy().agg(count(lit(1)).as("n"))
+      assert(joined2.collect()(0).getLong(0) == 1000)
+      val smj2 = walk(joined2.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      assert(smj2.isEmpty || smj2.exists(_.children.exists(side =>
+        walk(side).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]))),
+        "unsorted fragment present but no side re-sorts")
+    } finally {
+      saved.foreach {
+        case (c, Some(v)) => spark.conf.set(c, v)
+        case (c, None) => spark.conf.unset(c)
+      }
+      spark.conf.unset("spark.sql.catalog.spj_ord")
+      spark.conf.unset("spark.sql.catalog.spj_ord.warehouse")
+    }
+  }
+
   test("compactSmall keeps bucket files key-sorted (row-group pruning inside a bucket)") {
     val dir = tmpDir()
     spark.range(0, 400).select(col("id").as("k"), col("id").as("v"))
