@@ -1118,6 +1118,9 @@ object Lance {
       .drop("__z")
       .write.format("lance")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)
+      // the z-layout above IS the distribution - skip the clustered-table
+      // default range shuffle the write would otherwise plan on top
+      .option("write.distribution-mode", "none")
       .option("write.operation", "rewrite") // row-preserving: changefeeds skip it
     manifest.flatMap(_.epochId).fold(w)(e => w.option("write.epoch-id", e.toString))
       .mode("overwrite").save(path)

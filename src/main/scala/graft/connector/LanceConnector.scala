@@ -1066,13 +1066,25 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     // key-sorted for row-group pruning. An explicit
     // write.distribution-mode / distribute-by (including 'none' — the
     // hand-laying rewrite paths) always wins.
-    private val bucketDist: Option[graft.format.BucketSpecMeta] =
+    private val declaredLayout: Option[graft.format.Manifest] =
       if (distributionModeOpt.isDefined || distributeBy.nonEmpty) None
       else try {
         val root = new Path(rootStr)
         LanceFormat.readLatest(LanceFormat.fileSystem(root, conf.value), root)
-          .flatMap(_.bucketBy)
       } catch { case _: Exception => None }
+    private def coversWriteSchema(cs: Seq[String]): Boolean =
+      cs.nonEmpty && cs.forall(info.schema().fieldNames.contains)
+    private val bucketDist: Option[graft.format.BucketSpecMeta] =
+      declaredLayout.flatMap(_.bucketBy).filter(b => coversWriteSchema(b.columns))
+    // a Z-ORDER clustered table (and no explicit setting) defaults to
+    // Iceberg's posture for sorted tables: RANGE-distribute + sort by the
+    // cluster columns, so trickle appends land as disjoint, internally
+    // sorted fragments and the min/max skipping layers keep pruning
+    // BETWEEN compactions instead of degrading until the next one.
+    private val clusterDist: Seq[String] =
+      if (bucketDist.isDefined) Seq.empty
+      else declaredLayout.flatMap(_.clusterBy).filter(coversWriteSchema)
+        .getOrElse(Seq.empty)
 
     override def requiredDistribution(): dist.Distribution = distributionMode match {
       case "hash" => dist.Distributions.clustered(
@@ -1081,13 +1093,15 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
       case _ => bucketDist match {
         case Some(b) => dist.Distributions.clustered(
           b.columns.map(c => cexpr.Expressions.column(c): cexpr.Expression).toArray)
+        case None if clusterDist.nonEmpty =>
+          dist.Distributions.ordered(clusterDist.map(asc).toArray)
         case None => dist.Distributions.unspecified()
       }
     }
     override def requiredOrdering(): Array[cexpr.SortOrder] = {
       val s = if (sortBy.nonEmpty) sortBy
         else if (distributionMode == "range") distributeBy
-        else bucketDist.map(_.columns).getOrElse(Seq.empty)
+        else bucketDist.map(_.columns).getOrElse(clusterDist)
       s.map(asc).toArray
     }
     override def requiredNumPartitions(): Int = bucketDist match {

@@ -105,6 +105,37 @@ class ClusterMaintSpec extends AnyFunSuite {
     }
   }
 
+  test("appends to a clustered table range-distribute by default: prunable before any compact") {
+    val dir = tmpDir()
+    spark.range(0, 4000).select(col("id").as("v"), col("id").as("x"))
+      .coalesce(1).write.format("lance").mode("overwrite").save(dir)
+    Lance.cluster(spark, dir, Seq("v"), maxRowsPerFile = 1000)
+    // a SHUFFLED trickle append, nothing hand-laid: the engine-planned
+    // range distribution (Iceberg's sorted-table posture) must land it
+    // as disjoint, internally sorted fragments
+    spark.range(4000, 8000).select(col("id").as("v"), col("id").as("x"))
+      .orderBy(rand(7)) // adversarial input order
+      .write.format("lance").mode("append")
+      .option("write.max-rows-per-file", "1000").save(dir)
+    val m = LanceFormat.readLatest(fs(dir), new Path(dir)).get
+    val appended = m.fragments.filter(_.rowCount <= 1000)
+    assert(appended.size >= 4, s"append should roll files, got ${appended.size}")
+    // narrow range probe prunes MOST fragments without any compact
+    val kept = graft.format.FragmentStats.prune(m.physicalSchema, m.fragments,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("v", 6100L),
+        org.apache.spark.sql.sources.LessThanOrEqual("v", 6200L)))
+    assert(kept.size <= 2,
+      s"range-distributed append not prunable: kept ${kept.size}/${m.fragments.size}")
+    assert(spark.read.format("lance").load(dir)
+      .filter(col("v").between(6100L, 6200L)).count() == 101)
+    // a write MISSING the cluster column falls back gracefully (no
+    // distribution requirement it cannot satisfy)
+    spark.range(0, 5).select(col("id").as("x"))
+      .write.format("lance").mode("append")
+      .option("write.merge-schema", "true").save(dir)
+    assert(spark.read.format("lance").load(dir).count() == 8005)
+  }
+
   test("declarations surface in SHOW TBLPROPERTIES / DESCRIBE EXTENDED") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.lance_pr", "graft.catalog.LanceCatalog")
