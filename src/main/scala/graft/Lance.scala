@@ -465,28 +465,22 @@ object Lance {
 
     val refreshed = scala.collection.mutable.ArrayBuffer.empty[String]
     val stale = scala.collection.mutable.ArrayBuffer.empty[String]
-    val indices = new org.apache.hadoop.fs.Path(root, "_indices")
-    if (fs.exists(indices))
-      fs.listStatus(indices).filter(_.isDirectory).map(_.getPath.getName)
-        .sorted.foreach { d =>
-          val (kind, col) = d.lastIndexOf('_') match {
-            case i if i > 0 => (d.substring(i + 1), d.substring(0, i))
-            case _ => ("", d)
-          }
-          def attempt(refresh: => Any): Unit =
-            try { refresh; refreshed += s"$col ($kind)" } catch {
-              case e: Exception =>
-                log.warn(s"optimize: $kind index on '$col' at $path needs a " +
-                  s"rebuild - still correct, unaccelerated until then: $e")
-                stale += s"$col ($kind)"
-            }
-          kind match {
-            case "scalar" => attempt(graft.index.ScalarIndex.refresh(spark, path, col))
-            case "fts" => attempt(graft.index.FtsIndex.refresh(spark, path, col))
-            case "ivf" => attempt(graft.index.IvfIndex.refresh(spark, path, col))
-            case _ => () // unknown sidecar kinds are not ours to touch
-          }
+    graft.format.LanceFormat.listIndexSidecars(fs, root).foreach { case (col, kind) =>
+      def attempt(refresh: => Any): Unit =
+        try { refresh; refreshed += s"$col ($kind)" } catch {
+          case e: Exception =>
+            log.warn(s"optimize: $kind index on '$col' at $path needs a " +
+              s"rebuild - still correct, unaccelerated until then: $e")
+            stale += s"$col ($kind)"
         }
+      kind match {
+        case "scalar" => attempt(graft.index.ScalarIndex.refresh(spark, path, col))
+        case "fts" => attempt(graft.index.FtsIndex.refresh(spark, path, col,
+          allowRebuild = false)) // stale > a silent nightly full rebuild
+        case "ivf" => attempt(graft.index.IvfIndex.refresh(spark, path, col))
+        case _ => () // "hnsw" graphs refresh through their ivf sidecar
+      }
+    }
 
     val analyzed =
       if (!reanalyze) 0

@@ -780,13 +780,26 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
     if (dataFilters.nonEmpty || manifest.isEmpty) Map.empty
     else {
-      // planning runs this on EVERY query: cache the rendered sidecar per
-      // (root, version) — the raw path re-reads the stats JSON from the
-      // filesystem and re-sums per-fragment nullCounts, O(columns ×
-      // fragments) driver work that at a million fragments IS the
-      // planning latency the manifest file index exists to remove
+      // planning runs this on EVERY query: cache the rendered sidecar,
+      // keyed to stay truthful across every refresh path — NORMALIZED
+      // root (a trailing-slash spelling must hit the same entry ANALYZE
+      // invalidates), lineage (branch v3 and main v3 are different
+      // fragment sets under the same number), manifest version, and the
+      // sidecar's mtime (a re-ANALYZE bumps no version — the mtime is
+      // what expires the entry, including from ANOTHER application's
+      // nightly optimize). The raw path re-reads the stats JSON and
+      // re-sums per-fragment nullCounts, O(columns × fragments) driver
+      // work that at a million fragments IS the planning latency; the
+      // one getFileStatus the mtime costs is noise next to it.
       val visible = readSchema().fieldNames.toSet
-      ScanStatsCache.get(rootStr, manifest.get.version)(ndvColumnStats0)
+      val root = new org.apache.hadoop.fs.Path(rootStr)
+      val branch = Option(inner.options.get("branch")).getOrElse("")
+      val mtime = try {
+        val fs = LanceFormat.fileSystem(root, sparkSession.sessionState.newHadoopConf())
+        fs.getFileStatus(graft.format.TableStats.statsPath(root)).getModificationTime
+      } catch { case _: Exception => -1L } // no sidecar: cached negative
+      ScanStatsCache.get(s"${root.toString}#$branch",
+        manifest.get.version, mtime)(ndvColumnStats0)
         .view.filterKeys(visible.contains).toMap
     }
 
@@ -1069,8 +1082,12 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     private val declaredLayout: Option[graft.format.Manifest] =
       if (distributionModeOpt.isDefined || distributeBy.nonEmpty) None
       else try {
+        // SHALLOW manifest peek: this runs on every write build and only
+        // needs the two layout declarations — hydrating a two-level
+        // manifest's fragment groups here would tax every ordinary
+        // append with a full metadata read
         val root = new Path(rootStr)
-        LanceFormat.readLatest(LanceFormat.fileSystem(root, conf.value), root)
+        LanceFormat.readLatestMeta(LanceFormat.fileSystem(root, conf.value), root)
       } catch { case _: Exception => None }
     private def coversWriteSchema(cs: Seq[String]): Boolean =
       cs.nonEmpty && cs.forall(info.schema().fieldNames.contains)
@@ -1199,7 +1216,9 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     val fs = LanceFormat.fileSystem(root, conf.value)
     val lineage = branch.fold(LanceFormat.versionsPath(root))(
       LanceFormat.branchPath(root, _))
-    val head = LanceFormat.readLatestIn(fs, lineage)
+    // shallow read: only declarations are needed here, never fragments —
+    // a million-fragment head answers from one small JSON
+    val head = LanceFormat.readLatestMetaIn(fs, lineage)
     val mapping = head.map(_.mapping).getOrElse(Map.empty)
     val phys = LanceFormat.toPhysical(schema, mapping)
     require(phys.fieldNames.distinct.length == phys.fieldNames.length,
@@ -1374,7 +1393,7 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val root = new Path(rootStr)
     val fs = LanceFormat.fileSystem(root, conf.value)
-    val head = LanceFormat.readLatest(fs, root)
+    val head = LanceFormat.readLatestMeta(fs, root) // declarations only
     val mapping = head.map(_.mapping).getOrElse(Map.empty)
     val phys = LanceFormat.toPhysical(schema, mapping)
     require(phys.fieldNames.distinct.length == phys.fieldNames.length,
@@ -1793,25 +1812,21 @@ private[graft] object LanceWrite {
     */
   def refreshIndexesAfterCommit(rootStr: String, kinds: Set[String]): Unit = {
     val spark = SparkSession.active
-    val indices = new Path(rootStr, "_indices")
-    val fs = LanceFormat.fileSystem(indices, spark.sessionState.newHadoopConf())
-    if (!fs.exists(indices)) return
-    fs.listStatus(indices).filter(_.isDirectory).map(_.getPath.getName).foreach { d =>
-      def run(kind: String, column: String)(refresh: => Any): Unit =
+    val root = new Path(rootStr)
+    val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    LanceFormat.listIndexSidecars(fs, root).foreach { case (column, kind) =>
+      def run(refresh: => Any): Unit =
         try { refresh; () } catch {
           case e: Exception =>
             log.warn(s"epoch index refresh failed ($kind, $column) at $rootStr " +
               s"- index is stale but correct: $e")
         }
-      if (d.endsWith("_scalar") && kinds("scalar"))
-        run("scalar", d.stripSuffix("_scalar"))(
-          graft.index.ScalarIndex.refresh(spark, rootStr, d.stripSuffix("_scalar")))
-      else if (d.endsWith("_fts") && kinds("fts"))
-        run("fts", d.stripSuffix("_fts"))(
-          graft.index.FtsIndex.refresh(spark, rootStr, d.stripSuffix("_fts")))
-      else if (d.endsWith("_ivf") && kinds("ivf"))
-        run("ivf", d.stripSuffix("_ivf"))(
-          graft.index.IvfIndex.refresh(spark, rootStr, d.stripSuffix("_ivf")))
+      if (kinds(kind)) kind match {
+        case "scalar" => run(graft.index.ScalarIndex.refresh(spark, rootStr, column))
+        case "fts" => run(graft.index.FtsIndex.refresh(spark, rootStr, column))
+        case "ivf" => run(graft.index.IvfIndex.refresh(spark, rootStr, column))
+        case _ => () // "hnsw" graphs refresh through their ivf sidecar
+      }
     }
   }
 }
@@ -1826,13 +1841,15 @@ private[graft] object LanceWrite {
 object ScanStatsCache {
   private type Stats =
     Map[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
-  private val cache = new java.util.LinkedHashMap[(String, Long), Stats](16, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(String, Long), Stats]): Boolean = size > 64
-  }
+  private val cache =
+    new java.util.LinkedHashMap[(String, Long, Long), Stats](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Stats]): Boolean = size > 64
+    }
 
-  def get(root: String, version: Long)(compute: => Stats): Stats = {
-    val k = (root, version)
+  def get(rootAndLineage: String, version: Long, statsMtime: Long)(
+      compute: => Stats): Stats = {
+    val k = (rootAndLineage, version, statsMtime)
     cache.synchronized(Option(cache.get(k))) match {
       case Some(s) => s
       case None =>
@@ -1842,7 +1859,11 @@ object ScanStatsCache {
     }
   }
 
+  /** Same-JVM fast path after [[graft.Lance.analyze]]; the sidecar mtime
+    * in the key is what expires entries across applications. Prefix
+    * match: the key carries a `#branch` suffix per lineage. */
   def invalidate(root: String): Unit = cache.synchronized {
-    cache.keySet.removeIf(_._1 == root)
+    val norm = new org.apache.hadoop.fs.Path(root).toString
+    cache.keySet.removeIf(_._1.startsWith(s"$norm#"))
   }
 }

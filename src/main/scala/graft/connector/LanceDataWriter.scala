@@ -89,13 +89,19 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
       (n, keyed)
   }
 
-  private def bucketOf(row: InternalRow): Int = routing match {
-    case None => -1
-    case Some((n, keys)) =>
-      val values = keys.map { case (i, dt) =>
-        if (row.isNullAt(i)) null else row.get(i, dt)
-      }
-      BucketHash.bucketOfInternal(values.toSeq, keys.map(_._2).toSeq, n)
+  private val keyTypes: Seq[DataType] =
+    routing.map(_._2.map(_._2).toSeq).getOrElse(Seq.empty)
+
+  private def keyValuesOf(row: InternalRow): Array[Any] = {
+    val keys = routing.get._2
+    val values = new Array[Any](keys.length)
+    var i = 0
+    while (i < keys.length) {
+      val (ord, dt) = keys(i)
+      values(i) = if (row.isNullAt(ord)) null else row.get(ord, dt)
+      i += 1
+    }
+    values
   }
 
   /** Fixed-size vector fidelity (SURVEY §7.4 risk 5 — the reference drops
@@ -234,7 +240,15 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
 
   override def write(row: InternalRow): Unit = {
     if (dimChecks.nonEmpty) validate(row)
-    val b = bucketOf(row)
+    // ONE key extraction per routed row serves both the bucket hash and
+    // the sortedness observer (which no-ops once disproven)
+    val keyVals = if (routing.isDefined) keyValuesOf(row) else null
+    val b = routing match {
+      case Some((n, _)) =>
+        BucketHash.bucketOfInternal(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(keyVals), keyTypes, n)
+      case None => -1
+    }
     val sink = open.getOrElse(b, {
       if (open.size >= maxOpenSinks) {
         val (full, s) = open.maxBy(_._2.rowCount)
@@ -245,11 +259,7 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
       open.put(b, s)
       s
     })
-    routing.foreach { case (_, keys) =>
-      sink.observeKey(keys.map { case (i, dt) =>
-        if (row.isNullAt(i)) null else row.get(i, dt)
-      })
-    }
+    if (keyVals != null) sink.observeKey(keyVals)
     if (sink.write(row)) { sink.close(); open.remove(b) }
   }
 

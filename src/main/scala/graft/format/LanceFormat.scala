@@ -329,6 +329,31 @@ object LanceFormat {
   def readLatestIn(fs: FileSystem, dir: Path): Option[Manifest] =
     listVersionsIn(fs, dir).lastOption.map(readManifestIn(fs, dir, _))
 
+  /** The latest manifest WITHOUT resolving fragment groups — `fragments`
+    * may be EMPTY on a two-level manifest. For callers that only need
+    * declarations (schema, mapping, layout specs, constraints): a
+    * million-fragment table answers from one small JSON instead of
+    * hydrating every group chunk. Never pass the result anywhere that
+    * reads `fragments`. */
+  def readLatestMeta(fs: FileSystem, root: Path): Option[Manifest] =
+    readLatestMetaIn(fs, versionsPath(root))
+
+  /** [[readLatestMeta]] against an explicit lineage dir (branch writes
+    * take their mapping/specs from the branch head). */
+  def readLatestMetaIn(fs: FileSystem, dir: Path): Option[Manifest] = {
+    listVersionsIn(fs, dir).lastOption.map { v =>
+      val p = new Path(dir, s"$v$ManifestSuffix")
+      val in = fs.open(p)
+      try {
+        val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+        val sb = new StringBuilder
+        var line = reader.readLine()
+        while (line != null) { sb.append(line).append('\n'); line = reader.readLine() }
+        Serialization.read[Manifest](sb.toString)
+      } finally in.close()
+    }
+  }
+
   def listVersions(fs: FileSystem, root: Path): Seq[Long] =
     listVersionsIn(fs, versionsPath(root))
 
@@ -691,12 +716,31 @@ object LanceFormat {
     * the schema change — a sidecar built under the old name/type would
     * silently mis-serve after it.
     */
+  /** The canonical index-sidecar kinds under `_indices/<column>_<kind>`.
+    * EVERY walker of that layout (maintenance refresh, epoch refresh,
+    * rename guard) resolves through here — a kind added to one walker
+    * but not the others would silently escape maintenance or remap. */
+  val IndexSidecarKinds: Seq[String] = Seq("scalar", "fts", "ivf", "hnsw")
+
+  /** All index sidecars of a table as (column, kind), name-sorted;
+    * directories with an unknown suffix are not ours and are skipped. */
+  def listIndexSidecars(fs: FileSystem, root: Path): Seq[(String, String)] = {
+    val indices = new Path(root, "_indices")
+    if (!fs.exists(indices)) Seq.empty
+    else fs.listStatus(indices).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq.sorted
+      .flatMap { d =>
+        IndexSidecarKinds.find(k => d.endsWith(s"_$k"))
+          .map(k => (d.stripSuffix(s"_$k"), k))
+      }
+  }
+
   private def requireNoIndexSidecar(fs: FileSystem, root: Path, column: String,
       action: String, remedy: String): Unit = {
     val indices = new Path(root, "_indices")
     if (fs.exists(indices)) fs.listStatus(indices).filter(_.isDirectory).foreach { d =>
       val dirName = d.getPath.getName
-      val refs = Seq("_scalar", "_fts", "_ivf", "_hnsw")
+      val refs = IndexSidecarKinds.map("_" + _)
         .exists(sfx => dirName == s"$column$sfx") ||
         fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".json"))
           .exists { st =>

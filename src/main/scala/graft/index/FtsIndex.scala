@@ -232,7 +232,8 @@ object FtsIndex {
     *
     * Returns the updated meta; no-op when the index is already current.
     */
-  def refresh(spark: SparkSession, datasetPath: String, column: String): FtsMeta = {
+  def refresh(spark: SparkSession, datasetPath: String, column: String,
+      allowRebuild: Boolean = true): FtsMeta = {
     val meta = loadMeta(spark, datasetPath, column)
     val root = new Path(datasetPath)
     val fs = graft.format.LanceFormat.fileSystem(root,
@@ -243,6 +244,13 @@ object FtsIndex {
     val tokenizer = meta.tokenizer.getOrElse("space")
 
     def rebuild(why: String): FtsMeta = {
+      // a delta refresh degenerating to a full re-tokenize is a real
+      // cost decision at index scale: scheduled-maintenance callers
+      // ([[graft.Lance.optimize]]) forbid it and report the index stale
+      // instead of silently paying it every night
+      if (!allowRebuild) throw new IllegalStateException(
+        s"fts index at $datasetPath/$column needs a REBUILD ($why) - " +
+          "run Lance.buildFtsIndex to pay it explicitly")
       log.warn(s"fts refresh at $datasetPath/$column: $why — full rebuild")
       build(spark, spark.read.format("lance").load(datasetPath), column,
         meta.idColumn, datasetPath, meta.numTermPartitions, tokenizer,

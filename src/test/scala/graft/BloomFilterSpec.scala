@@ -131,10 +131,17 @@ class BloomFilterSpec extends AnyFunSuite {
     Lance.setBloomFilters(spark, dir, Seq("doc_id", "v"))
     assert(Lance.bloomFilterColumns(spark, dir) == Seq("doc_id", "v"))
 
-    // boolean columns refuse (parquet cannot bloom them)
+    // boolean columns refuse (parquet cannot bloom them) — the message
+    // pins the TYPE check, not a missing-column error
+    val bdir = tmpDir()
+    spark.range(1).select(lit(true).as("b"))
+      .write.format("lance").mode("overwrite").save(bdir)
+    val e = intercept[IllegalArgumentException] {
+      Lance.setBloomFilters(spark, bdir, Seq("b"))
+    }
+    assert(e.getMessage.contains("cannot carry a bloom"), e.getMessage)
+    // and a missing column refuses with its own message
     intercept[IllegalArgumentException] {
-      spark.range(1).select(lit(true).as("b"))
-        .write.format("lance").mode("overwrite").save(tmpDir() + "/x")
       Lance.setBloomFilters(spark, dir, Seq("nope"))
     }
 

@@ -64,6 +64,30 @@ class OptimizeSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(dir).count() == 5040)
   }
 
+  test("an FTS refresh needing a rebuild is REPORTED stale, never silently paid") {
+    val dir = tmpDir()
+    val docs = spark.range(0, 400).selectExpr("id AS doc_id",
+      "concat('alpha bravo charlie word', CAST(id AS STRING)) AS text")
+    docs.coalesce(1).write.format("lance").mode("overwrite").save(dir)
+    graft.index.FtsIndex.build(spark, spark.read.format("lance").load(dir),
+      "text", "doc_id", dir, numTermPartitions = 2)
+    // a small tail so optimize's compaction commits a REWRITE — the
+    // delta walk then demands a rebuild, which optimize must refuse
+    (0 until 3).foreach { i =>
+      spark.range(1000 + i * 10, 1010 + i * 10).selectExpr("id AS doc_id",
+          "concat('delta echo word', CAST(id AS STRING)) AS text")
+        .coalesce(1).write.format("lance").mode("append").save(dir)
+    }
+    val r = Lance.optimize(spark, dir, minRows = 100)
+    assert(r.fragmentsAfter < r.fragmentsBefore)
+    assert(r.indexesStale.exists(_.contains("(fts)")),
+      s"FTS must report stale after a rewrite, got refreshed=" +
+        s"${r.indexesRefreshed} stale=${r.indexesStale}")
+    // stale means unaccelerated, never wrong: an explicit rebuild closes it
+    graft.index.FtsIndex.refresh(spark, dir, "text") // allowRebuild default
+    assert(graft.index.FtsIndex.search(spark, dir, "text", "alpha", 5).count() > 0)
+  }
+
   test("stats stay opt-in: a never-analyzed table analyzes nothing") {
     val dir = tmpDir()
     spark.range(0, 100).select(col("id").as("k"))
