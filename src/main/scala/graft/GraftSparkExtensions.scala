@@ -484,13 +484,22 @@ object MetaTvfs {
           .orElse(graft.format.LanceFormat.readLatest(fs, root))
           .getOrElse(throw new IllegalArgumentException(s"no lance dataset at $path"))
         val rows = m.fragments.map { f =>
-          Row(f.id, f.file, f.rowCount, f.stats.isDefined)
+          Row(f.id, f.file, f.rowCount, f.stats.isDefined,
+            f.bucket.map(Int.box).orNull,
+            f.sorted.map(Boolean.box).orNull,
+            f.bytes.map(Long.box).orNull)
         }
         spark.createDataFrame(java.util.Arrays.asList(rows: _*),
           new StructType().add("id", IntegerType, nullable = false)
             .add("file", StringType, nullable = false)
             .add("row_count", LongType, nullable = false)
-            .add("has_stats", BooleanType, nullable = false))
+            .add("has_stats", BooleanType, nullable = false)
+            // layout state an operator polls before relying on SPJ /
+            // sort-free joins: bucket tag, observed key-sortedness,
+            // recorded size (null = written before the field existed)
+            .add("bucket", IntegerType)
+            .add("key_sorted", BooleanType)
+            .add("bytes", LongType))
     }
     df.queryExecution.analyzed
   }

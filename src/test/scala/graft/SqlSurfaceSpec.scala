@@ -79,6 +79,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val ops = spark.sql(
       s"SELECT operation FROM lance_versions('$dir') ORDER BY version").collect()
     assert(ops.map(_.getString(0)).toSeq == Seq("overwrite", "append"))
+
+    // layout state: unbucketed fragments carry null bucket/key_sorted
+    // but a recorded size; after clusterByBucket both are populated
+    assert(frags.forall(f => f.isNullAt(f.fieldIndex("bucket")) &&
+      f.isNullAt(f.fieldIndex("key_sorted")) &&
+      f.getAs[Long]("bytes") > 0L))
+    Lance.clusterByBucket(spark, dir, Seq("id"), numBuckets = 4)
+    val laid = spark.sql(s"SELECT * FROM lance_fragments('$dir')").collect()
+    assert(laid.forall(f => !f.isNullAt(f.fieldIndex("bucket")) &&
+      f.getAs[Boolean]("key_sorted")))
   }
 
   test("lance_take TVF: row addresses from SQL match the Scala API") {
