@@ -573,6 +573,60 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("PROPERTY: observed sortedness is truthful under random inputs and key types") {
+    // a WRONG sorted=true silently corrupts a sort-free merge join —
+    // this is the invariant with the highest failure stakes, so verify
+    // it from the FILES, not the writer's bookkeeping: for every
+    // produced fragment, sorted==true must imply the parquet rows are
+    // non-decreasing by key, and sorted==false must have a witness.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val scenarios = for {
+      n <- Gen.choose(2, 5)          // buckets
+      rows <- Gen.choose(20, 200)
+      shuffle <- Gen.oneOf(true, false)
+      keyKind <- Gen.oneOf("long", "string")
+    } yield (n, rows, shuffle, keyKind)
+    (0 until 8).foreach { i =>
+      val (n, rows, shuffle, keyKind) =
+        scenarios.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val dir = tmpDir()
+      val base = spark.range(0, rows.toLong).select(
+        (if (keyKind == "long") col("id")
+         else concat(lit("k"), lpad((col("id") * 7919 % 1000).cast("string"), 4, "0")))
+          .as("k"),
+        col("id").as("v"))
+      base.limit(0).write.format("lance").mode("overwrite").save(dir)
+      LanceFormat.commitBucketBy(fs(dir), new Path(dir), n, Seq("k"))
+      val laid = if (shuffle) base.orderBy(rand(i.toLong)) else base.orderBy(col("k"))
+      laid.coalesce(1).write.format("lance").mode("append")
+        .option("write.distribution-mode", "none") // adversarial: raw order
+        .save(dir)
+      val m = manifest(dir)
+      m.fragments.foreach { f =>
+        val raw = spark.read.parquet(
+            LanceFormat.fragmentPath(new Path(dir), f.file).toString)
+          .select(col("k")).collect()
+        val isSorted =
+          if (keyKind == "long") {
+            val ks = raw.map(_.getLong(0)).toSeq
+            ks == ks.sorted
+          } else {
+            val ks = raw.map(_.getString(0)).toSeq
+            ks == ks.sorted
+          }
+        assert(f.sorted.isDefined, s"routed fragment ${f.file} missing verdict")
+        // the failure that matters: claiming sorted over unsorted bytes
+        assert(!(f.sorted.contains(true) && !isSorted),
+          s"scenario $i: fragment ${f.file} claims sorted over UNSORTED rows")
+        // and the claim is not uselessly conservative on sorted input
+        if (isSorted && !shuffle) assert(f.sorted.contains(true),
+          s"scenario $i: sorted input not observed sorted")
+      }
+      assertPure(dir)
+    }
+  }
+
   test("compactSmall keeps bucket files key-sorted (row-group pruning inside a bucket)") {
     val dir = tmpDir()
     spark.range(0, 400).select(col("id").as("k"), col("id").as("v"))
