@@ -499,6 +499,116 @@ object Lance {
       analyzed, mans, files)
   }
 
+  /** One [[fsck]] finding: severity is "error" (the table will
+    * mis-serve or fail reads) or "warn" (degraded acceleration or
+    * hygiene). */
+  case class FsckIssue(severity: String, what: String)
+
+  /** Metadata integrity check — the ops tool run BEFORE trusting a table
+    * after an incident (partial copy, manual file surgery, interrupted
+    * external job). Verifies, WITHOUT reading data pages:
+    *
+    *  - every fragment file the head manifest references exists, and its
+    *    on-disk length matches the recorded `bytes` (a truncated copy is
+    *    an error before a query trips on it);
+    *  - two-level manifests resolve (group refs readable);
+    *  - declared NOT NULL rules and the stored schema's nullability
+    *    agree (the mis-pair the commit paths exist to prevent);
+    *  - bucket tags fall inside the declared spec (and never exist
+    *    without one), `sorted` never appears untagged, and spec/cluster
+    *    columns exist in the schema;
+    *  - index sidecars load and their indexed version does not lie
+    *    AHEAD of the table (behind = stale = fine; ahead = corruption);
+    *  - stats sidecar columns exist in the schema.
+    *
+    * Read-only; returns findings, throws nothing (an unreadable table IS
+    * a finding). SQL: `CALL lance.fsck('db.t')`.
+    */
+  def fsck(spark: SparkSession, path: String): Seq[FsckIssue] = {
+    import graft.format.LanceFormat
+    val root = new org.apache.hadoop.fs.Path(path)
+    val issues = scala.collection.mutable.ArrayBuffer.empty[FsckIssue]
+    def error(w: String): Unit = issues += FsckIssue("error", w)
+    def warn(w: String): Unit = issues += FsckIssue("warn", w)
+    val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val mOpt =
+      try LanceFormat.readLatest(fs, root)
+      catch { case e: Exception => error(s"head manifest unreadable: $e"); None }
+    mOpt.foreach { m =>
+      val fields = m.schema.fieldNames.toSet
+      // fragment files: existence + recorded size
+      m.fragments.foreach { f =>
+        val p = LanceFormat.fragmentPath(root, f.file)
+        val st = try Some(fs.getFileStatus(p)) catch { case _: Exception => None }
+        st match {
+          case None => error(s"fragment ${f.file} referenced but missing on disk")
+          case Some(status) => f.bytes.foreach { b =>
+            if (status.getLen != b) error(
+              s"fragment ${f.file}: recorded $b bytes, on disk ${status.getLen} " +
+                "(truncated or replaced out of band)")
+          }
+        }
+      }
+      // declared NOT NULL vs schema nullability
+      LanceFormat.declaredNonNullable(m.checkConstraints).foreach { c =>
+        if (!fields.contains(c))
+          error(s"NOT NULL rule for '$c' but no such column")
+        else if (m.schema(c).nullable)
+          error(s"column '$c' declared NOT NULL but stored schema says nullable " +
+            "(the schema/rule mis-pair)")
+      }
+      // layout declarations vs schema and tags
+      m.clusterBy.getOrElse(Seq.empty).foreach { c =>
+        if (!fields.contains(c)) error(s"cluster spec names missing column '$c'")
+      }
+      m.bucketBy match {
+        case Some(b) =>
+          b.columns.foreach { c =>
+            if (!fields.contains(c)) error(s"bucket spec names missing column '$c'")
+          }
+          m.fragments.foreach { f =>
+            f.bucket.foreach { t =>
+              if (t < 0 || t >= b.numBuckets) error(
+                s"fragment ${f.file}: bucket tag $t outside [0, ${b.numBuckets})")
+            }
+          }
+        case None =>
+          if (m.fragments.exists(_.bucket.isDefined))
+            error("bucket tags present without a bucket spec " +
+              "(a later re-declaration would mis-prune)")
+      }
+      m.fragments.foreach { f =>
+        if (f.sorted.isDefined && f.bucket.isEmpty)
+          warn(s"fragment ${f.file}: sortedness verdict without a bucket tag")
+      }
+      // stats sidecar columns
+      try graft.format.TableStats.read(fs, root).foreach(_.columns.keys.foreach { c =>
+        if (!fields.contains(c))
+          warn(s"stats sidecar covers unknown column '$c' (renamed or dropped?)")
+      }) catch { case e: Exception => warn(s"stats sidecar unreadable: $e") }
+      // index sidecars: loadable, and never AHEAD of the table
+      LanceFormat.listIndexSidecars(fs, root).foreach { case (col, kind) =>
+        def check(v: Option[Long]): Unit = v.foreach { iv =>
+          if (iv > m.version) error(
+            s"$kind index on '$col' claims dataset v$iv but the table is at " +
+              s"v${m.version} (restored past the index?)")
+        }
+        try kind match {
+          case "scalar" =>
+            check(graft.index.ScalarIndex.loadMeta(spark, path, col).datasetVersion)
+          case "fts" =>
+            check(graft.index.FtsIndex.loadMeta(spark, path, col).datasetVersion)
+          case "ivf" =>
+            check(graft.index.IvfIndex.loadMeta(spark, path, col).datasetVersion)
+          case _ => ()
+        } catch {
+          case e: Exception => error(s"$kind index sidecar on '$col' unreadable: $e")
+        }
+      }
+    }
+    issues.toSeq
+  }
+
   /** Reclaim storage: drop all but the newest `keepVersions` manifests and
     * any fragment files they no longer reference. `olderThanMillis` adds
     * the TIME-based retention production policies are written in

@@ -393,7 +393,7 @@ object LanceCatalog {
       "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
       "rename_column", "widen_column",
       "add_unique", "clone_table", "cluster_by_bucket", "analyze_table",
-      "set_bloom_filters", "optimize")
+      "set_bloom_filters", "optimize", "fsck")
 }
 
 private[catalog] object LanceProcedure {
@@ -444,6 +444,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "cluster_by_bucket" => "hash-bucket rewrite (bucket(n, cols)): co-bucketed tables join shuffle-free (storage-partitioned join); empty cols clears the layout"
     case "set_bloom_filters" => "declare parquet bloom-filter columns: future fragments carry per-row-group membership proofs for =/IN point lookups; empty cols clears"
     case "optimize" => "one scheduled maintenance run: compact the small-fragment tail, refresh index sidecars (stale ones reported, never silently rebuilt), re-analyze previously analyzed columns, optionally vacuum"
+    case "fsck" => "read-only metadata integrity check: referenced files exist at their recorded sizes, schema/rule/layout declarations agree, index sidecars load and never claim a version ahead of the table"
     case "analyze_table" => "per-column NDV sketches (HyperLogLog) into the stats sidecar; the scan serves them to CBO. Incremental: appends since the last ANALYZE merge by sketch union"
     case "update_where" => "row-level UPDATE: stats-scoped copy-on-write rewrite"
     case "upsert" => "MERGE a view/table into the dataset on key columns (update-or-insert)"
@@ -491,6 +492,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "set_bloom_filters" => Array(in("table", StringType).build(),
       in("cols", StringType)
         .comment("comma-separated columns; empty clears the declaration").build())
+    case "fsck" => Array(in("table", StringType).build())
     case "optimize" => Array(in("table", StringType).build(),
       in("min_rows", LongType).defaultValue("100000")
         .comment("fragments smaller than this bin-pack").build(),
@@ -611,6 +613,17 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .add("columns", StringType, nullable = false),
           new GenericInternalRow(Array[Any](v,
             org.apache.spark.unsafe.types.UTF8String.fromString(cols.mkString(",")))))
+      case "fsck" =>
+        val found = graft.Lance.fsck(spark, path)
+        val text = found.map(i => s"[${i.severity}] ${i.what}").mkString("; ")
+        (new StructType()
+          .add("errors", IntegerType, nullable = false)
+          .add("warnings", IntegerType, nullable = false)
+          .add("issues", StringType, nullable = false),
+          new GenericInternalRow(Array[Any](
+            found.count(_.severity == "error"),
+            found.count(_.severity == "warn"),
+            org.apache.spark.unsafe.types.UTF8String.fromString(text))))
       case "optimize" =>
         val r = graft.Lance.optimize(spark, path,
           minRows = if (input.isNullAt(1)) 100000L else input.getLong(1),
