@@ -1772,6 +1772,46 @@ object LanceQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** One-call maintenance + integrity (s111): [[graft.Lance.optimize]]
+    * bundles the nightly run — compact the small tail, refresh sidecars
+    * (a refresh demanding a rebuild is REPORTED, never silently paid),
+    * re-analyze previously analyzed columns — and [[graft.Lance.fsck]]
+    * proves the table's metadata is internally consistent afterwards.
+    * The gate builds an orders copy with a trickle tail and a scalar
+    * index, optimizes, REQUIREs the tail packed + the index refreshed +
+    * fsck silent, and anchors correctness to the DuckDB aggregate
+    * (maintenance must never change answers).
+    */
+  def s111OptimizeFsck(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_optimize")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    o.filter(col("o_orderkey") % 7 =!= 0)
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.buildScalarIndex(spark, dest, "o_orderkey", numBuckets = 4)
+    graft.Lance.analyze(spark, dest, columns = Seq("o_custkey"))
+    // the trickle tail streaming epochs leave behind
+    (0 until 3).foreach { i =>
+      o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 3 === i)
+        .coalesce(1).write.format("lance").mode("append").save(dest)
+    }
+    val r = graft.Lance.optimize(spark, dest, minRows = 1000000L)
+    require(r.fragmentsAfter < r.fragmentsBefore,
+      s"optimize packed nothing: ${r.fragmentsBefore} -> ${r.fragmentsAfter}")
+    require(r.indexesRefreshed.exists(_.contains("(scalar)")) ||
+      r.indexesStale.exists(_.contains("(scalar)")),
+      s"scalar index unaccounted: $r")
+    require(r.columnsAnalyzed == 1, s"opt-in stats posture broken: $r")
+    val issues = graft.Lance.fsck(spark, dest)
+    require(issues.isEmpty, s"fsck after optimize: ${issues.mkString("; ")}")
+    spark.read.format("lance").load(dest)
+      .groupBy((col("o_orderkey") % 7 === 0).as("was_tail"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("maintained", lit(true))
+      .orderBy(col("was_tail"))
+  }
+
   /** Zero-copy shallow clone (s107): [[graft.Lance.cloneTable]] creates
     * a new table whose first manifest BORROWS the source's fragment
     * files — fully-qualified external refs, zero data copied, one
@@ -2142,6 +2182,7 @@ object LanceQueries {
     "s108_spj" -> s108StoragePartitionedJoin,
     "s109_analyze" -> s109Analyze,
     "s110_bloom_filters" -> s110BloomFilters,
+    "s111_optimize_fsck" -> s111OptimizeFsck,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -2299,6 +2340,14 @@ object LanceQueries {
       """SELECT doc_id, lang, n_chars, TRUE AS bloomed
         |FROM documents WHERE doc_id = 7
         |ORDER BY doc_id""".stripMargin,
+    // s111: the aggregate anchors "maintenance never changes answers";
+    // packing/refresh/fsck-silence are the require()s (s103 pattern)
+    "s111_optimize_fsck" ->
+      """SELECT (o_orderkey % 7 = 0) AS was_tail,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | TRUE AS maintained
+        |FROM orders GROUP BY 1 ORDER BY was_tail""".stripMargin,
     // s107: the diverged clone = orders minus key 5 plus the planted row;
     // zero-copy is the require() + planted literal (s103 pattern)
     "s107_clone" ->
