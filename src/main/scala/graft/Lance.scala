@@ -1034,6 +1034,7 @@ object Lance {
       columnMapping = target.columnMapping,
       clusterBy = target.clusterBy,
       bucketBy = target.bucketBy,
+      bloomFilters = target.bloomFilters,
       fragmentGroups = target.fragmentGroups)
     val committed = graft.format.LanceFormat.commit(fs, root, m)
     (version, committed.version)
@@ -1094,7 +1095,8 @@ object Lance {
         constraints = src.constraints,
         columnMapping = src.columnMapping,
         clusterBy = src.clusterBy,
-        bucketBy = src.bucketBy))
+        bucketBy = src.bucketBy,
+        bloomFilters = src.bloomFilters))
     committed.version
   }
 

@@ -176,4 +176,25 @@ class BloomFilterSpec extends AnyFunSuite {
     Lance.setBloomFilters(spark, dir, Seq.empty)
     assert(Lance.bloomFilterColumns(spark, dir).isEmpty)
   }
+
+  test("the declaration survives restore and shallow clone") {
+    val dir = tmpDir()
+    docs(200).write.format("lance").mode("overwrite").save(dir)
+    Lance.setBloomFilters(spark, dir, Seq("doc_id"))
+    val declaredAt = LanceFormat.readLatest(fs(dir), new Path(dir)).get.version
+    docs(50, from = 500).write.format("lance").mode("append").save(dir)
+    // restore back to the declared state keeps the declaration
+    Lance.restore(spark, dir, declaredAt)
+    assert(Lance.bloomFilterColumns(spark, dir) == Seq("doc_id"))
+    // a shallow clone inherits it: the clone's own appends keep blooming
+    val dst = tmpDir() + "/clone"
+    Lance.cloneTable(spark, dir, dst)
+    assert(Lance.bloomFilterColumns(spark, dst) == Seq("doc_id"))
+    docs(50, from = 900).coalesce(1)
+      .write.format("lance").mode("append").save(dst)
+    val newest = LanceFormat.readLatest(fs(dst), new Path(dst)).get
+      .fragments.maxBy(_.id)
+    assert(bloomPresence(dst, "doc_id").toMap.apply(newest.file),
+      "clone-side append lost the bloom declaration")
+  }
 }
