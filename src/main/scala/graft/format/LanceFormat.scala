@@ -1484,8 +1484,16 @@ object LanceFormat {
     val merged = mergeSchemas(mainLatest.schema, head.schema)
     validate(merged, branchOnly)
     val nextId = mainLatest.fragments.map(_.id).maxOption.getOrElse(-1) + 1
+    // adopted fragments carry bucket/sorted verdicts computed under the
+    // BRANCH's (fork-time) spec; if main re-declared its layout since,
+    // reading those tags through main's spec would mis-prune and
+    // mis-align joins — clear them (conservative: the fragments become
+    // unprunable until the next routing rewrite, never wrong)
+    val sameSpec = head.bucketBy == mainLatest.bucketBy
     val renumbered = branchOnly.zipWithIndex.map { case (f, i) =>
-      f.copy(id = nextId + i) }
+      val g = f.copy(id = nextId + i)
+      if (sameSpec) g else g.copy(bucket = None, sorted = None)
+    }
     val m = Manifest(
       version = mainLatest.version + 1,
       schemaJson = merged.json,

@@ -306,4 +306,37 @@ class BranchSpec extends AnyFunSuite {
       s.conf.unset("spark.sql.catalog.lance_br.warehouse")
     }
   }
+
+  test("rebase clears adopted bucket tags when main re-declared its layout") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    spark.range(0, 400).select(col("id").as("k"), col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("k"), numBuckets = 4)
+    Lance.createBranch(spark, dir, "work")
+    // branch append: fragments tagged under the fork-time n=4 spec
+    spark.range(400, 500).select(col("id").as("k"), col("id").as("v"))
+      .write.format("lance").option("write.branch", "work").mode("append").save(dir)
+    val (fs, root) = fsRoot(dir)
+    val branchHead = LanceFormat.readLatestIn(fs,
+      LanceFormat.branchPath(root, "work")).get
+    assert(branchHead.fragments.exists(f =>
+      f.bucket.isDefined && !LanceFormat.readManifest(fs, root, 2).fragments
+        .map(_.file).contains(f.file)), "branch append should be tagged")
+    // main re-declares to n=8 AFTER the fork (clears + re-tags main)
+    Lance.clusterByBucket(spark, dir, Seq("k"), numBuckets = 8)
+    val (_, newV) = Lance.rebaseBranch(spark, dir, "work")
+    val main = LanceFormat.readLatest(fs, root).get
+    assert(main.version == newV && main.bucketBy.get.numBuckets == 8)
+    val mainV = LanceFormat.readManifest(fs, root,
+      main.version - 1).fragments.map(_.file).toSet
+    val adopted = main.fragments.filterNot(f => mainV.contains(f.file))
+    assert(adopted.nonEmpty)
+    assert(adopted.forall(f => f.bucket.isEmpty && f.sorted.isEmpty),
+      "fork-time n=4 tags must not read through main's n=8 spec")
+    // rows all present; a key filter stays correct (tags conservative)
+    assert(spark.read.format("lance").load(dir).count() == 500)
+    assert(spark.read.format("lance").load(dir)
+      .filter(col("k") === 450L).count() == 1)
+  }
 }
