@@ -65,6 +65,25 @@ object Dml {
 
   private def q(name: String): Column = col(s"`$name`")
 
+  /** Per-fragment match counts from a DataFrame carrying a `__f`
+    * (input_file_name) column: fragment file name → matching rows. The
+    * scoping that keeps a rewrite proportional to the fragments ACTUALLY
+    * holding matches — "may match" candidates (stats admit the range,
+    * postings admit the point) that turn out clean ride into the new
+    * version BY REFERENCE instead of being read and rewritten. On a
+    * 100 TB table a 2-row CDC delete then rewrites 2 fragments, not the
+    * whole may-match span, and index staleness stays proportional too.
+    */
+  private def matchesByFile(withF: DataFrame): Map[String, Long] =
+    withF.groupBy(col("__f")).count().collect()
+      .map { r =>
+        val p = r.getString(0)
+        p.substring(p.lastIndexOf('/') + 1) -> r.getLong(1)
+      }.toMap
+
+  private def nameOf(f: FragmentMeta): String =
+    f.file.substring(f.file.lastIndexOf('/') + 1)
+
   /** In-commit index maintenance for DML: SQL DELETE/UPDATE/MERGE carry
     * no write options, so `spark.graft.dml.refreshIndexes` (all | csv of
     * scalar|fts|ivf) opts a session in. Parsed at operation ENTRY — a
@@ -226,18 +245,23 @@ object Dml {
           filters.forall(FragmentStats.mustMatch(m.schema, f.rowCount, st, _))))
       else (Seq.empty[FragmentMeta], cands)
     val coveredRows = covered.map(_.rowCount).sum
-    val boundaryMatched =
-      if (boundary.isEmpty) 0L
-      else readFragments(spark, root, m, boundary).filter(cond).count()
+    val perFile =
+      if (boundary.isEmpty) Map.empty[String, Long]
+      else matchesByFile(readFragments(spark, root, m, boundary)
+        .withColumn("__f", input_file_name()).filter(cond))
+    val boundaryMatched = perFile.values.sum
     val matched = coveredRows + boundaryMatched
     if (matched == 0L) return RowLevelResult(m.fragments.size, cands.size, 0L, 0L, None)
+    // only fragments that actually HOLD matches rewrite; clean boundary
+    // candidates carry into the new version by reference
+    val touched = boundary.filter(f => perFile.contains(nameOf(f)))
     if (boundaryMatched > 0L) {
-      // boundary survivors rewritten; covered fragments ride the same
+      // touched survivors rewritten; covered fragments ride the same
       // commit as pure removals (their ids are replaced by nothing)
-      readFragments(spark, root, m, boundary)
+      readFragments(spark, root, m, touched)
         .filter(!coalesce(cond, lit(false)))
         .write.format("lance")
-        .option("write.replace-fragments", (covered ++ boundary).map(_.id).mkString(","))
+        .option("write.replace-fragments", (covered ++ touched).map(_.id).mkString(","))
         .mode("append").save(path)
     } else {
       // every matching row lives in fully-covered fragments: one manifest
@@ -273,9 +297,12 @@ object Dml {
       graft.index.ScalarIndex.prune(spark, path, m, updFilters,
         FragmentStats.prune(m.schema, m.fragments, updFilters.toArray)))
     if (cands.isEmpty) return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
-    val cdf = readFragments(spark, root, m, cands)
-    val matched = cdf.filter(cond).count()
+    val perFile = matchesByFile(readFragments(spark, root, m, cands)
+      .withColumn("__f", input_file_name()).filter(cond))
+    val matched = perFile.values.sum
     if (matched == 0L) return RowLevelResult(m.fragments.size, cands.size, 0L, 0L, None)
+    // rewrite only the fragments holding matches; clean candidates ride
+    val touched = cands.filter(f => perFile.contains(nameOf(f)))
     val condSafe = coalesce(cond, lit(false))
     // one select evaluates every assignment against the original row
     val out = m.schema.fields.map { f =>
@@ -284,9 +311,9 @@ object Dml {
         case None => q(f.name)
       }
     }
-    cdf.select(out.toIndexedSeq: _*)
+    readFragments(spark, root, m, touched).select(out.toIndexedSeq: _*)
       .write.format("lance")
-      .option("write.replace-fragments", cands.map(_.id).mkString(","))
+      .option("write.replace-fragments", touched.map(_.id).mkString(","))
       .mode("append").save(path)
     maybeRefreshIndexes(refreshKinds, path)
     RowLevelResult(m.fragments.size, cands.size, matched, 0L,
@@ -379,13 +406,21 @@ object Dml {
       return RowLevelResult(m.fragments.size, 0, 0L, srcRows,
         LanceFormat.readLatest(fs, root).map(_.version))
     }
-    val cdf = readFragments(spark, root, m, cands)
-    val matched = cdf.join(source, keys, "left_semi").count()
-    cdf.join(source, keys, "left_anti")
-      .unionByName(source)
-      .write.format("lance")
-      .option("write.replace-fragments", cands.map(_.id).mkString(","))
-      .mode("append").save(path)
+    val perFile = matchesByFile(readFragments(spark, root, m, cands)
+      .withColumn("__f", input_file_name()).join(source, keys, "left_semi"))
+    val matched = perFile.values.sum
+    // only fragments holding matched keys rewrite; every other candidate
+    // rides by reference and unmatched source rows append alongside
+    val touched = cands.filter(f => perFile.contains(nameOf(f)))
+    if (touched.isEmpty) {
+      source.write.format("lance").mode("append").save(path)
+    } else {
+      readFragments(spark, root, m, touched).join(source, keys, "left_anti")
+        .unionByName(source)
+        .write.format("lance")
+        .option("write.replace-fragments", touched.map(_.id).mkString(","))
+        .mode("append").save(path)
+    }
     maybeRefreshIndexes(refreshKinds, path)
     RowLevelResult(m.fragments.size, cands.size, matched, srcRows - matched,
       LanceFormat.readLatest(fs, root).map(_.version))

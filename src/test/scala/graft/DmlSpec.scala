@@ -282,6 +282,56 @@ class DmlSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq == (13L until 30L))
   }
 
+  test("clean may-match candidates ride by reference: only match-holding fragments rewrite") {
+    val dir = s"${tmpDir()}/scope1"
+    // three fragments with IDENTICAL value ranges: stats admit all three
+    // for any point probe, so the may-match candidate set is the whole
+    // table — the per-file match scan must still rewrite exactly one
+    import org.apache.spark.sql.functions.col
+    (0 until 3).foreach { i =>
+      // 300 distinct values per fragment: past ValueSetMaxSize, so only
+      // min/max bounds are stored and every fragment stays a candidate
+      spark.range(0, 300).select((col("id") * 3 + i).as("id"),
+          org.apache.spark.sql.functions.lit(s"copy$i").as("tag"))
+        .coalesce(1).write.format("lance")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+    }
+    val before = latest(dir)
+    assert(before.fragments.size == 3)
+
+    // id=31 lives ONLY in the i=1 fragment (31 = 10*3 + 1)
+    val r = Dml.deleteWhere(spark, dir, col("id") === 31L)
+    assert(r.rowsChanged == 1)
+    assert(r.candidateFragments == 3, "stats cannot prune identical ranges")
+    val after = latest(dir)
+    val beforeFiles = before.fragments.map(_.file)
+    // the two clean fragments carry BY REFERENCE (same file names)
+    assert(after.fragments.exists(_.file == beforeFiles(0)))
+    assert(after.fragments.exists(_.file == beforeFiles(2)))
+    assert(!after.fragments.exists(_.file == beforeFiles(1)),
+      "the match-holding fragment must be rewritten")
+    assert(spark.read.format("lance").load(dir).count() == 899)
+
+    // same scoping for UPDATE
+    val r2 = Dml.updateWhere(spark, dir, col("id") === 32L,
+      Seq("tag" -> org.apache.spark.sql.functions.lit("touched")))
+    assert(r2.rowsChanged == 1)
+    val after2 = latest(dir)
+    assert(after2.fragments.exists(_.file == beforeFiles(0)),
+      "UPDATE rewrote a fragment holding no matches")
+    // and for MERGE: a one-key upsert rewrites one fragment
+    val src = spark.range(34, 35).select(col("id"),
+      org.apache.spark.sql.functions.lit("merged").as("tag"))
+    val filesBefore3 = latest(dir).fragments.map(_.file).toSet
+    val r3 = Dml.upsert(spark, dir, src, Seq("id"))
+    assert(r3.rowsChanged == 1 && r3.rowsInserted == 0)
+    val after3 = latest(dir)
+    assert(after3.fragments.exists(_.file == beforeFiles(0)),
+      "MERGE rewrote a fragment holding no matched keys")
+    assert((filesBefore3 -- after3.fragments.map(_.file).toSet).size == 1,
+      "exactly one fragment should have been replaced by the merge")
+  }
+
   test("concurrent deletes on disjoint fragments both land (optimistic retry merges)") {
     val dir = s"${tmpDir()}/cc1"
     clustered(dir)
