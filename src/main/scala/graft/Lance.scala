@@ -212,6 +212,16 @@ object Lance {
       set: Map[String, String]): graft.operators.Dml.RowLevelResult =
     graft.operators.Dml.updateWhere(spark, path, condition, set)
 
+  /** Predicate-scoped overwrite (Delta's `replaceWhere`) — the backfill
+    * primitive: atomically replace exactly the rows matching `condition`
+    * with `data`, one commit. Strict: every incoming row must satisfy
+    * the predicate, or the whole write refuses before touching anything.
+    */
+  def replaceWhere(spark: SparkSession, path: String, condition: String,
+      data: org.apache.spark.sql.DataFrame): graft.operators.Dml.RowLevelResult =
+    graft.operators.Dml.replaceWhere(spark, path,
+      org.apache.spark.sql.functions.expr(condition), data)
+
   /** MERGE (upsert): source rows replace key-matched target rows and
     * insert otherwise, in one commit. Candidate fragments are pruned by
     * the source's per-key min/max — a CDC batch touching recent keys

@@ -387,7 +387,8 @@ object LanceCatalog {
   private[catalog] val ProcedureNames =
     Seq("compact", "vacuum", "cluster", "refresh_index", "refresh_fts",
       "build_scalar_index", "refresh_scalar_index",
-      "drop_index", "update_where", "upsert", "remove_orphans", "restore",
+      "drop_index", "update_where", "upsert", "replace_where",
+      "remove_orphans", "restore",
       "tag", "untag", "create_branch", "drop_branch", "fast_forward",
       "rebase_branch",
       "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
@@ -448,6 +449,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "analyze_table" => "per-column NDV sketches (HyperLogLog) into the stats sidecar; the scan serves them to CBO. Incremental: appends since the last ANALYZE merge by sketch union"
     case "update_where" => "row-level UPDATE: stats-scoped copy-on-write rewrite"
     case "upsert" => "MERGE a view/table into the dataset on key columns (update-or-insert)"
+    case "replace_where" => "predicate-scoped overwrite (backfill): atomically replace exactly the rows matching the condition with a view/table's rows; refuses rows outside the range"
     case "remove_orphans" => "delete data files no retained manifest references (crash leftovers)"
     case "restore" => "roll the table back to a prior version as a NEW commit (history preserved)"
     case "refresh_fts" => "delta-index appended fragments into the FTS postings (touched buckets only)"
@@ -510,6 +512,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "update_where" => Array(in("table", StringType).build(),
       in("condition", StringType).build(),
       in("set", StringType).comment("assignments: col = expr [, col = expr ...]").build())
+    case "replace_where" => Array(in("table", StringType).build(),
+      in("condition", StringType).build(),
+      in("source", StringType).comment("view/table name visible to spark.table()").build())
     case "upsert" => Array(in("table", StringType).build(),
       in("source", StringType).comment("view/table name visible to spark.table()").build(),
       in("keys", StringType).comment("comma-separated key columns").build())
@@ -664,6 +669,13 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .add("fragments_rewritten", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](r.rowsChanged,
             if (r.committedVersion.isDefined) r.candidateFragments else 0)))
+      case "replace_where" =>
+        val r = graft.Lance.replaceWhere(spark, path,
+          input.getUTF8String(1).toString,
+          spark.table(input.getUTF8String(2).toString))
+        (new StructType().add("rows_removed", LongType, nullable = false)
+          .add("rows_inserted", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](r.rowsChanged, r.rowsInserted)))
       case "upsert" =>
         val src = spark.table(input.getUTF8String(1).toString)
         val keys = input.getUTF8String(2).toString.split(',').map(_.trim).toSeq

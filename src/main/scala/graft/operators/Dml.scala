@@ -276,6 +276,70 @@ object Dml {
   def deleteWhere(spark: SparkSession, path: String, condition: String): RowLevelResult =
     deleteWhere(spark, path, expr(condition))
 
+  // --------------------------------------------------------- replaceWhere
+
+  /** Predicate-scoped overwrite (Delta's `replaceWhere`) — the BACKFILL
+    * primitive: atomically replace exactly the rows matching `cond` with
+    * `data`, in one commit. Re-running a day's pipeline overwrites that
+    * day and nothing else; readers see either the old day or the new
+    * one, never a gap or a mix.
+    *
+    * Semantics match Delta's strict mode: every incoming row must
+    * satisfy `cond` (a backfill that writes outside its declared range
+    * is a bug caught HERE, not corruption discovered later). Scale
+    * shape: candidates prune through stats/postings/buckets like every
+    * DML verb, matches attribute per fragment via the match scan, and
+    * only match-holding fragments rewrite — a one-day backfill on a
+    * time-clustered 100 TB table rewrites that day's fragments plus an
+    * append, one manifest commit.
+    */
+  def replaceWhere(spark: SparkSession, path: String, cond: Column,
+      data: DataFrame): RowLevelResult = {
+    val (fs, root, m) = snapshot(spark, path)
+    val refreshKinds = dmlRefreshKinds(spark)
+    val tableCols = m.schema.fieldNames.toSeq
+    tableCols.foreach { c =>
+      require(data.columns.contains(c),
+        s"replaceWhere data is missing table column '$c' (select every table column)")
+    }
+    val src = data.select(tableCols.map(q): _*)
+    // strict range check BEFORE any commit: rows outside cond refuse
+    val outside = src.filter(!coalesce(cond, lit(false))).limit(1).collect()
+    require(outside.isEmpty,
+      s"replaceWhere: incoming row ${outside.headOption.getOrElse("")} does not " +
+        "satisfy the predicate - a backfill must stay inside its declared range")
+
+    val table = spark.read.format("lance").load(path)
+    val (filters, complete) = pruneFiltersFull(table, cond)
+    val cands = graft.format.BucketPrune.prune(m, filters.toSeq,
+      graft.index.ScalarIndex.prune(spark, path, m, filters.toSeq,
+        FragmentStats.prune(m.schema, m.fragments, filters)))
+    // fully-covered fragments (every row provably matches) drop without
+    // being read; boundary fragments with matches rewrite their remainder
+    val (covered, boundary) =
+      if (complete && filters.nonEmpty)
+        cands.partition(f => f.stats.exists(st =>
+          filters.forall(FragmentStats.mustMatch(m.schema, f.rowCount, st, _))))
+      else (Seq.empty[FragmentMeta], cands)
+    val perFile =
+      if (boundary.isEmpty) Map.empty[String, Long]
+      else matchesByFile(readFragments(spark, root, m, boundary)
+        .withColumn("__f", input_file_name()).filter(cond))
+    val touched = boundary.filter(f => perFile.contains(nameOf(f)))
+    val removed = covered.map(_.rowCount).sum + perFile.values.sum
+    val inserted = src.count()
+    val remainder =
+      if (touched.isEmpty) src.limit(0)
+      else readFragments(spark, root, m, touched).filter(!coalesce(cond, lit(false)))
+    remainder.unionByName(src)
+      .write.format("lance")
+      .option("write.replace-fragments", (covered ++ touched).map(_.id).mkString(","))
+      .mode("append").save(path)
+    maybeRefreshIndexes(refreshKinds, path)
+    RowLevelResult(m.fragments.size, cands.size, removed, inserted,
+      LanceFormat.readLatest(fs, root).map(_.version))
+  }
+
   // --------------------------------------------------------------- UPDATE
 
   /** Update rows where `cond` is TRUE: each assignment's expression is

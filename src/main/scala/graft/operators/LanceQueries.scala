@@ -1812,6 +1812,47 @@ object LanceQueries {
       .orderBy(col("was_tail"))
   }
 
+  /** Predicate-scoped overwrite (s112, Delta `replaceWhere` parity):
+    * the backfill primitive — atomically replace exactly the rows
+    * matching a predicate with fresh data, one commit, strict range
+    * check (rows outside the predicate refuse the write). The gate
+    * re-runs the `o_orderpriority = '3-MEDIUM'` slice with doubled
+    * totalprice, REQUIREs exactly one version was committed and that
+    * out-of-range rows refuse, and hash-matches the DuckDB
+    * reconstruction of the same replacement.
+    */
+  def s112ReplaceWhere(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_replacewhere")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    o.write.format("lance").mode("overwrite").save(dest)
+    val vBefore = graft.Lance.versions(spark, dest).last
+    val fresh = o.filter(col("o_orderpriority") === "3-MEDIUM")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val r = graft.operators.Dml.replaceWhere(spark, dest,
+      col("o_orderpriority") === "3-MEDIUM", fresh)
+    require(r.rowsChanged > 0 && r.rowsInserted == r.rowsChanged,
+      s"replacement should swap the slice 1:1, got $r")
+    require(graft.Lance.versions(spark, dest).last == vBefore + 1,
+      "replaceWhere must be exactly ONE commit")
+    // strict range check refuses without committing
+    val refused = try {
+      graft.operators.Dml.replaceWhere(spark, dest,
+        col("o_orderpriority") === "3-MEDIUM",
+        o.limit(1).withColumn("o_orderpriority", lit("1-URGENT")))
+      false
+    } catch { case _: IllegalArgumentException => true }
+    require(refused, "out-of-range backfill row must refuse the write")
+    require(graft.Lance.versions(spark, dest).last == vBefore + 1,
+      "a refused write must commit nothing")
+    spark.read.format("lance").load(dest)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("replaced", lit(true))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Zero-copy shallow clone (s107): [[graft.Lance.cloneTable]] creates
     * a new table whose first manifest BORROWS the source's fragment
     * files — fully-qualified external refs, zero data copied, one
@@ -2183,6 +2224,7 @@ object LanceQueries {
     "s109_analyze" -> s109Analyze,
     "s110_bloom_filters" -> s110BloomFilters,
     "s111_optimize_fsck" -> s111OptimizeFsck,
+    "s112_replace_where" -> s112ReplaceWhere,
     "s51_lance_roundtrip_agg" -> s51LanceRoundtripAgg,
     "s57_lance_count_star" -> s57LanceCountStar,
     "s52_lance_filter_scan" -> s52LanceFilterScan,
@@ -2348,6 +2390,19 @@ object LanceQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | TRUE AS maintained
         |FROM orders GROUP BY 1 ORDER BY was_tail""".stripMargin,
+    // s112: the aggregate over the reconstructed table is the anchor;
+    // one-commit atomicity + strict-range refusal are the require()s
+    "s112_replace_where" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | TRUE AS replaced
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice AS price FROM orders
+        |  WHERE o_orderpriority <> '3-MEDIUM'
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice * 2 AS price FROM orders
+        |  WHERE o_orderpriority = '3-MEDIUM'
+        |) GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // s107: the diverged clone = orders minus key 5 plus the planted row;
     // zero-copy is the require() + planted literal (s103 pattern)
     "s107_clone" ->

@@ -332,6 +332,48 @@ class DmlSpec extends AnyFunSuite {
       "exactly one fragment should have been replaced by the merge")
   }
 
+  test("replaceWhere: predicate-scoped overwrite, strict range, one commit") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = s"${tmpDir()}/rw1"
+    // three "days", clustered so day 2 is fully covered by its fragments
+    (1 to 3).foreach { day =>
+      spark.range(0, 100).select(lit(day).as("day"),
+          (col("id") + day * 1000).as("v"))
+        .coalesce(1).write.format("lance")
+        .mode(if (day == 1) "overwrite" else "append").save(dir)
+    }
+    val before = latest(dir)
+    val vBefore = before.version
+
+    // the backfill: day 2 re-runs with half the rows, doubled values
+    val fresh = spark.range(0, 50).select(lit(2).as("day"),
+      (col("id") * 2 + 2000).as("v"))
+    val r = Dml.replaceWhere(spark, dir, col("day") === 2, fresh)
+    assert(r.rowsChanged == 100 && r.rowsInserted == 50)
+    val after = latest(dir)
+    assert(after.version == vBefore + 1, "replaceWhere must be ONE commit")
+    // day 1 and 3 fragments carry by reference
+    assert(after.fragments.exists(_.file == before.fragments(0).file))
+    assert(after.fragments.exists(_.file == before.fragments(2).file))
+    assert(!after.fragments.exists(_.file == before.fragments(1).file))
+    val readBack = spark.read.format("lance").load(dir)
+    assert(readBack.count() == 250)
+    assert(readBack.filter(col("day") === 2).count() == 50)
+    assert(readBack.filter(col("day") === 2)
+      .agg(org.apache.spark.sql.functions.min(col("v"))).collect()(0).getLong(0) == 2000L)
+
+    // strict: a row OUTSIDE the predicate refuses the whole write
+    val vAfter = latest(dir).version
+    val bad = spark.range(0, 2).select(
+      org.apache.spark.sql.functions.when(col("id") === 0, 2).otherwise(9).as("day"),
+      col("id").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Dml.replaceWhere(spark, dir, col("day") === 2, bad)
+    }
+    assert(e.getMessage.contains("does not"), e.getMessage)
+    assert(latest(dir).version == vAfter, "refused write must commit nothing")
+  }
+
   test("concurrent deletes on disjoint fragments both land (optimistic retry merges)") {
     val dir = s"${tmpDir()}/cc1"
     clustered(dir)
