@@ -167,6 +167,7 @@ object LanceTable {
     TableCapability.MICRO_BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.TRUNCATE,
+    TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.STREAMING_WRITE).asJava
 }
 
@@ -1027,12 +1028,25 @@ class LanceManifestAggScan(inner: ParquetScan, rootStr: String,
     Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row))
 }
 
-/** Append by default; `SaveMode.Overwrite` arrives as truncate(). */
+/** Append by default; `SaveMode.Overwrite` arrives as truncate().
+  * `INSERT OVERWRITE ... [REPLACE] WHERE` arrives as overwrite(filters):
+  * fragments PROVABLY inside the predicate swap for the new batch in one
+  * commit (Iceberg's strict-projection posture); a fragment only PARTLY
+  * inside refuses loudly and points at [[graft.Lance.replaceWhere]],
+  * which rewrites remainders. */
 class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwrite {
   private var overwrite = false
+  private var overwriteFilters: Option[Seq[sources.Filter]] = None
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.forall(_ == sources.AlwaysTrue))
+      overwrite = true
+    else overwriteFilters = Some(filters.toSeq)
+    this
+  }
 
   override def build(): Write = new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1165,9 +1179,13 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
           s"branch '$b' is append-only: overwrite/replace-fragments are " +
             "main-lineage operations (fast-forward or delete the branch instead)")
       }
+      overwriteFilters.foreach { _ =>
+        require(branch.isEmpty && replaceFragments.isEmpty && !overwrite,
+          "overwrite-by-filter cannot combine with branch/replace-fragments/truncate")
+      }
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         epochId, collectStats, mergeSchema, replaceFragments, rowPreserving,
-        refreshIndexes, branch, refreshStats)
+        refreshIndexes, branch, refreshStats, overwriteFilters)
     }
     // delta-refresh the dataset's persisted indexes after the commit
     // ('all' or a comma list of scalar|fts|ivf) — streaming epochs and
@@ -1206,7 +1224,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     rowPreserving: Boolean = false,
     refreshIndexes: Set[String] = Set.empty,
     branch: Option[String] = None,
-    refreshStats: Boolean = false) extends BatchWrite {
+    refreshStats: Boolean = false,
+    overwriteFilters: Option[Seq[sources.Filter]] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // fragment files always carry PHYSICAL names (stable under RENAME
@@ -1240,6 +1259,69 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     val frags = messages.collect { case LanceCommitMessage(f) => f }.flatten.toSeq
     val root = new Path(rootStr)
     val fs = LanceFormat.fileSystem(root, conf.value)
+    // INSERT OVERWRITE ... WHERE: swap the fragments PROVABLY inside the
+    // predicate for the new batch, one commit. Strict both ways:
+    //  - a fragment only PARTLY inside (mayMatch without mustMatch, or
+    //    no stats) refuses — swapping it would delete rows outside the
+    //    predicate; Lance.replaceWhere rewrites remainders instead;
+    //  - a staged row OUTSIDE the predicate refuses — a backfill that
+    //    writes past its declared range is a bug caught before commit.
+    overwriteFilters.foreach { filters =>
+      val prevM = LanceFormat.readLatest(fs, root)
+      val replaced: Set[Int] = prevM match {
+        case None => Set.empty
+        case Some(m) =>
+          val phys = filters.map { f =>
+            // filters carry LOGICAL names; stats speak PHYSICAL
+            graft.operators.Dml.renameFilter(f, m.mapping)
+          }.toArray
+          val may = graft.format.FragmentStats.prune(
+            m.physicalSchema, m.fragments, phys)
+          val must = may.filter(f => f.stats.exists(st => phys.forall(
+            graft.format.FragmentStats.mustMatch(
+              m.physicalSchema, f.rowCount, st, _))))
+          val partial = may.filterNot(f => must.exists(_.id == f.id))
+          require(partial.isEmpty,
+            s"INSERT OVERWRITE WHERE: fragment(s) ${partial.map(_.file).mkString(", ")} " +
+              "hold rows the predicate cannot prove all-in or all-out - " +
+              "swapping them would drop rows outside the range; use " +
+              "Lance.replaceWhere / CALL replace_where, which rewrites remainders")
+          must.map(_.id).toSet
+      }
+      // strict range: probe the staged batch for one row outside
+      val cond = graft.operators.Dml.filtersToColumn(filters.toArray)
+      val spark = SparkSession.active
+      if (frags.nonEmpty) {
+        val staged = spark.read.schema(
+            prevM.map(_.toPhysicalSchema(schema)).getOrElse(schema))
+          .parquet(frags.map(f =>
+            LanceFormat.fragmentPath(root, f.file).toString): _*)
+        val logical = prevM.filter(_.mapping.nonEmpty)
+          .fold(staged)(_ => staged.toDF(schema.fieldNames.toIndexedSeq: _*))
+        val outside = logical.filter(
+          !org.apache.spark.sql.functions.coalesce(cond,
+            org.apache.spark.sql.functions.lit(false))).limit(1).count()
+        require(outside == 0L,
+          "INSERT OVERWRITE WHERE: the incoming batch holds row(s) outside " +
+            "the predicate - a scoped overwrite must stay inside its range; " +
+            "commit refused, staged files removed")
+      }
+      val enforced = prevM.map(_.checkConstraints).getOrElse(Map.empty)
+      val cmap = prevM.map(_.mapping).getOrElse(Map.empty)
+      LanceWrite.enforceConstraints(root, schema, frags, enforced,
+        tableFrags = prevM.map(_.fragments).getOrElse(Seq.empty)
+          .filterNot(f => replaced.contains(f.id)),
+        mapping = cmap)
+      val outSchema = LanceWrite.reconcileNullability(root, schema, frags, enforced, cmap)
+      val (committedO, _) = LanceFormat.commitReplace(fs, root, outSchema,
+        replaced, frags, epochId, operation = "replace")
+      LanceWrite.verifyConstraintsPostCommit(root, fs, outSchema, frags,
+        enforced, committedO,
+        baseFragments = prevM.map(_.fragments).getOrElse(Seq.empty))
+      if (refreshIndexes.nonEmpty)
+        LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
+      return
+    }
     // copy-on-write swap: the rewritten rows replace exactly the scoped
     // fragment ids; the table schema is unchanged by construction (the
     // rewrite read those very fragments)

@@ -188,7 +188,32 @@ object Dml {
     if (filters.isEmpty) lit(true)
     else filters.map(filterToColumn).reduce(_ && _)
 
-  private def filterToColumn(f: v1.Filter): Column = f match {
+  /** Rename a V1 filter's attributes logical → physical (fragment stats
+    * speak physical names). Shapes with no attribute pass through. */
+  private[graft] def renameFilter(f: v1.Filter,
+      mapping: Map[String, String]): v1.Filter = {
+    def p(a: String) = mapping.getOrElse(a, a)
+    f match {
+      case v1.EqualTo(a, v) => v1.EqualTo(p(a), v)
+      case v1.EqualNullSafe(a, v) => v1.EqualNullSafe(p(a), v)
+      case v1.GreaterThan(a, v) => v1.GreaterThan(p(a), v)
+      case v1.GreaterThanOrEqual(a, v) => v1.GreaterThanOrEqual(p(a), v)
+      case v1.LessThan(a, v) => v1.LessThan(p(a), v)
+      case v1.LessThanOrEqual(a, v) => v1.LessThanOrEqual(p(a), v)
+      case v1.In(a, vs) => v1.In(p(a), vs)
+      case v1.IsNull(a) => v1.IsNull(p(a))
+      case v1.IsNotNull(a) => v1.IsNotNull(p(a))
+      case v1.StringStartsWith(a, x) => v1.StringStartsWith(p(a), x)
+      case v1.StringEndsWith(a, x) => v1.StringEndsWith(p(a), x)
+      case v1.StringContains(a, x) => v1.StringContains(p(a), x)
+      case v1.And(l, r) => v1.And(renameFilter(l, mapping), renameFilter(r, mapping))
+      case v1.Or(l, r) => v1.Or(renameFilter(l, mapping), renameFilter(r, mapping))
+      case v1.Not(c) => v1.Not(renameFilter(c, mapping))
+      case other => other
+    }
+  }
+
+  private[graft] def filterToColumn(f: v1.Filter): Column = f match {
     case v1.AlwaysTrue() => lit(true)
     case v1.AlwaysFalse() => lit(false)
     case v1.And(l, r) => filterToColumn(l) && filterToColumn(r)

@@ -127,4 +127,56 @@ class RowLevelSqlSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT sum(v) FROM $cat.db.t").as[Double].head() == -30.0)
     }
   }
+
+  test("INSERT OVERWRITE ... WHERE: aligned swap, misaligned and out-of-range refuse") {
+    val wh = tmpDir()
+    withCatalog(wh) { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val dir = s"$wh/db/t"
+      // day-aligned fragments: each day one file, disjoint stats
+      (1 to 3).foreach { day =>
+        spark.range(0, 100).select(lit(day).as("day"),
+            (col("id") + day * 1000).as("v"))
+          .coalesce(1).write.format("lance")
+          .mode(if (day == 1) "overwrite" else "append").save(dir)
+      }
+      val before = latest(dir)
+      spark.range(0, 40).select(lit(2).as("day"), (col("id") + 5000).as("v"))
+        .createOrReplaceTempView("fresh_day2")
+
+      // aligned: day 2's fragment is PROVABLY all-inside -> swaps
+      spark.sql(s"INSERT INTO $cat.db.t REPLACE WHERE day = 2 " +
+        "SELECT * FROM fresh_day2")
+      val after = latest(dir)
+      assert(after.version == before.version + 1)
+      assert(spark.table(s"$cat.db.t").count() == 240)
+      assert(spark.table(s"$cat.db.t").filter(col("day") === 2).count() == 40)
+      // days 1 and 3 carried by reference
+      assert(after.fragments.exists(_.file == before.fragments(0).file))
+      assert(after.fragments.exists(_.file == before.fragments(2).file))
+
+      // misaligned: a predicate splitting a fragment refuses and points
+      // at replace_where (swapping would drop rows outside the range)
+      spark.range(0, 5).select(lit(3).as("day"), col("id").as("v"))
+        .createOrReplaceTempView("fresh_partial")
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.t REPLACE WHERE day = 3 AND v < 3050 " +
+          "SELECT * FROM fresh_partial")
+      }
+      assert(e.getMessage.contains("replace_where"), e.getMessage)
+
+      // out-of-range rows in the batch refuse before commit
+      spark.range(0, 2).select(
+          when(col("id") === 0, 2).otherwise(9).as("day"), col("id").as("v"))
+        .createOrReplaceTempView("fresh_outside")
+      val e2 = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.t REPLACE WHERE day = 2 " +
+          "SELECT * FROM fresh_outside")
+      }
+      assert(e2.getMessage.contains("outside"), e2.getMessage)
+      // nothing landed from either refusal
+      assert(latest(dir).version == after.version)
+      assert(spark.table(s"$cat.db.t").count() == 240)
+    }
+  }
 }
