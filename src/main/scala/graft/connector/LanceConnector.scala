@@ -1266,7 +1266,7 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     //    predicate; Lance.replaceWhere rewrites remainders instead;
     //  - a staged row OUTSIDE the predicate refuses — a backfill that
     //    writes past its declared range is a bug caught before commit.
-    overwriteFilters.foreach { filters =>
+    val scopedOverwrite: Option[Set[Int]] = overwriteFilters.map { filters =>
       val prevM = LanceFormat.readLatest(fs, root)
       val replaced: Set[Int] = prevM match {
         case None => Set.empty
@@ -1277,16 +1277,16 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
           }.toArray
           val may = graft.format.FragmentStats.prune(
             m.physicalSchema, m.fragments, phys)
-          val must = may.filter(f => f.stats.exists(st => phys.forall(
+          val mustIds = may.filter(f => f.stats.exists(st => phys.forall(
             graft.format.FragmentStats.mustMatch(
-              m.physicalSchema, f.rowCount, st, _))))
-          val partial = may.filterNot(f => must.exists(_.id == f.id))
+              m.physicalSchema, f.rowCount, st, _)))).map(_.id).toSet
+          val partial = may.filterNot(f => mustIds.contains(f.id))
           require(partial.isEmpty,
             s"INSERT OVERWRITE WHERE: fragment(s) ${partial.map(_.file).mkString(", ")} " +
               "hold rows the predicate cannot prove all-in or all-out - " +
               "swapping them would drop rows outside the range; use " +
               "Lance.replaceWhere / CALL replace_where, which rewrites remainders")
-          must.map(_.id).toSet
+          mustIds
       }
       // strict range: probe the staged batch for one row outside
       val cond = graft.operators.Dml.filtersToColumn(filters.toArray)
@@ -1306,21 +1306,34 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
             "the predicate - a scoped overwrite must stay inside its range; " +
             "commit refused, staged files removed")
       }
-      val enforced = prevM.map(_.checkConstraints).getOrElse(Map.empty)
-      val cmap = prevM.map(_.mapping).getOrElse(Map.empty)
-      LanceWrite.enforceConstraints(root, schema, frags, enforced,
-        tableFrags = prevM.map(_.fragments).getOrElse(Seq.empty)
-          .filterNot(f => replaced.contains(f.id)),
-        mapping = cmap)
-      val outSchema = LanceWrite.reconcileNullability(root, schema, frags, enforced, cmap)
-      val (committedO, _) = LanceFormat.commitReplace(fs, root, outSchema,
-        replaced, frags, epochId, operation = "replace")
-      LanceWrite.verifyConstraintsPostCommit(root, fs, outSchema, frags,
-        enforced, committedO,
-        baseFragments = prevM.map(_.fragments).getOrElse(Seq.empty))
-      if (refreshIndexes.nonEmpty)
-        LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
-      return
+      replaced
+    }
+    scopedOverwrite match {
+      case Some(replaced) if replaced.nonEmpty =>
+        val prevM = LanceFormat.readLatest(fs, root)
+        val enforced = prevM.map(_.checkConstraints).getOrElse(Map.empty)
+        val cmap = prevM.map(_.mapping).getOrElse(Map.empty)
+        LanceWrite.enforceConstraints(root, schema, frags, enforced,
+          tableFrags = prevM.map(_.fragments).getOrElse(Seq.empty)
+            .filterNot(f => replaced.contains(f.id)),
+          mapping = cmap)
+        val outSchema = LanceWrite.reconcileNullability(root, schema, frags, enforced, cmap)
+        val (committedO, _) = LanceFormat.commitReplace(fs, root, outSchema,
+          replaced, frags, epochId, operation = "replace")
+        LanceWrite.verifyConstraintsPostCommit(root, fs, outSchema, frags,
+          enforced, committedO,
+          baseFragments = prevM.map(_.fragments).getOrElse(Seq.empty))
+        if (refreshIndexes.nonEmpty)
+          LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
+        if (refreshStats) LanceWrite.refreshStatsAfterCommit(rootStr)
+        return
+      case Some(_) =>
+        // the predicate provably matches nothing: the scoped overwrite is
+        // a plain insert (Delta/Iceberg parity — a NEW day's first
+        // backfill run). Fall through to the ordinary append path below,
+        // which enforces constraints and commits the batch.
+        ()
+      case None => ()
     }
     // copy-on-write swap: the rewritten rows replace exactly the scoped
     // fragment ids; the table schema is unchanged by construction (the

@@ -251,36 +251,52 @@ object Dml {
     * partition-level deletes, derived here from column stats instead of
     * partition values.
     */
-  def deleteWhere(spark: SparkSession, path: String, cond: Column): RowLevelResult = {
-    val (fs, root, m) = snapshot(spark, path)
-    val refreshKinds = dmlRefreshKinds(spark)
+  /** The shared DELETE/replaceWhere condition scoping: candidates from
+    * the full skipping stack (stats, scalar postings, bucket placement),
+    * split into COVERED (every row provably matches — droppable without
+    * a read; sound only when the V1 filters are exactly `cond`) and
+    * boundary, with matches attributed per fragment so clean boundary
+    * candidates carry by reference. One helper — the two verbs must
+    * never silently diverge on this logic. */
+  private case class CondScope(candidates: Seq[FragmentMeta],
+      covered: Seq[FragmentMeta], touched: Seq[FragmentMeta],
+      boundaryMatched: Long) {
+    def coveredRows: Long = covered.map(_.rowCount).sum
+    def matched: Long = coveredRows + boundaryMatched
+  }
+
+  private def scopeByCondition(spark: SparkSession, path: String,
+      root: Path, m: Manifest, cond: Column): CondScope = {
     val table = spark.read.format("lance").load(path)
     val (filters, complete) = pruneFiltersFull(table, cond)
-    // the same driver-side skipping layers the read path uses: stats,
-    // scalar postings, declared bucket placement — a point DELETE on a
-    // bucketed/indexed table rewrites one bucket's fragments, not all
     val cands = graft.format.BucketPrune.prune(m, filters.toSeq,
       graft.index.ScalarIndex.prune(spark, path, m, filters.toSeq,
         FragmentStats.prune(m.schema, m.fragments, filters)))
-    if (cands.isEmpty) return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
-    // metadata-only path: sound only when the V1 filters are exactly cond
     val (covered, boundary) =
       if (complete && filters.nonEmpty)
         cands.partition(f => f.stats.exists(st =>
           filters.forall(FragmentStats.mustMatch(m.schema, f.rowCount, st, _))))
       else (Seq.empty[FragmentMeta], cands)
-    val coveredRows = covered.map(_.rowCount).sum
     val perFile =
       if (boundary.isEmpty) Map.empty[String, Long]
       else matchesByFile(readFragments(spark, root, m, boundary)
         .withColumn("__f", input_file_name()).filter(cond))
-    val boundaryMatched = perFile.values.sum
-    val matched = coveredRows + boundaryMatched
-    if (matched == 0L) return RowLevelResult(m.fragments.size, cands.size, 0L, 0L, None)
-    // only fragments that actually HOLD matches rewrite; clean boundary
-    // candidates carry into the new version by reference
-    val touched = boundary.filter(f => perFile.contains(nameOf(f)))
-    if (boundaryMatched > 0L) {
+    CondScope(cands, covered,
+      boundary.filter(f => perFile.contains(nameOf(f))), perFile.values.sum)
+  }
+
+  def deleteWhere(spark: SparkSession, path: String, cond: Column): RowLevelResult = {
+    val (fs, root, m) = snapshot(spark, path)
+    val refreshKinds = dmlRefreshKinds(spark)
+    val scope = scopeByCondition(spark, path, root, m, cond)
+    if (scope.candidates.isEmpty)
+      return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
+    val covered = scope.covered
+    val touched = scope.touched
+    val matched = scope.matched
+    if (matched == 0L)
+      return RowLevelResult(m.fragments.size, scope.candidates.size, 0L, 0L, None)
+    if (scope.boundaryMatched > 0L) {
       // touched survivors rewritten; covered fragments ride the same
       // commit as pure removals (their ids are replaced by nothing)
       readFragments(spark, root, m, touched)
@@ -294,7 +310,7 @@ object Dml {
       LanceFormat.commitReplace(fs, root, m.schema, covered.map(_.id).toSet, Seq.empty)
     }
     maybeRefreshIndexes(refreshKinds, path)
-    RowLevelResult(m.fragments.size, cands.size, matched, 0L,
+    RowLevelResult(m.fragments.size, scope.candidates.size, matched, 0L,
       LanceFormat.readLatest(fs, root).map(_.version))
   }
 
@@ -323,46 +339,49 @@ object Dml {
     val (fs, root, m) = snapshot(spark, path)
     val refreshKinds = dmlRefreshKinds(spark)
     val tableCols = m.schema.fieldNames.toSeq
-    tableCols.foreach { c =>
-      require(data.columns.contains(c),
-        s"replaceWhere data is missing table column '$c' (select every table column)")
-    }
-    val src = data.select(tableCols.map(q): _*)
-    // strict range check BEFORE any commit: rows outside cond refuse
-    val outside = src.filter(!coalesce(cond, lit(false))).limit(1).collect()
-    require(outside.isEmpty,
-      s"replaceWhere: incoming row ${outside.headOption.getOrElse("")} does not " +
-        "satisfy the predicate - a backfill must stay inside its declared range")
-
-    val table = spark.read.format("lance").load(path)
-    val (filters, complete) = pruneFiltersFull(table, cond)
-    val cands = graft.format.BucketPrune.prune(m, filters.toSeq,
-      graft.index.ScalarIndex.prune(spark, path, m, filters.toSeq,
-        FragmentStats.prune(m.schema, m.fragments, filters)))
-    // fully-covered fragments (every row provably matches) drop without
-    // being read; boundary fragments with matches rewrite their remainder
-    val (covered, boundary) =
-      if (complete && filters.nonEmpty)
-        cands.partition(f => f.stats.exists(st =>
-          filters.forall(FragmentStats.mustMatch(m.schema, f.rowCount, st, _))))
-      else (Seq.empty[FragmentMeta], cands)
-    val perFile =
-      if (boundary.isEmpty) Map.empty[String, Long]
-      else matchesByFile(readFragments(spark, root, m, boundary)
-        .withColumn("__f", input_file_name()).filter(cond))
-    val touched = boundary.filter(f => perFile.contains(nameOf(f)))
-    val removed = covered.map(_.rowCount).sum + perFile.values.sum
-    val inserted = src.count()
-    val remainder =
-      if (touched.isEmpty) src.limit(0)
-      else readFragments(spark, root, m, touched).filter(!coalesce(cond, lit(false)))
-    remainder.unionByName(src)
-      .write.format("lance")
-      .option("write.replace-fragments", (covered ++ touched).map(_.id).mkString(","))
-      .mode("append").save(path)
-    maybeRefreshIndexes(refreshKinds, path)
-    RowLevelResult(m.fragments.size, cands.size, removed, inserted,
-      LanceFormat.readLatest(fs, root).map(_.version))
+    // case-INSENSITIVE source resolution, Spark's own default posture
+    val byLower = data.columns.groupBy(_.toLowerCase)
+    val src = data.select(tableCols.map { c =>
+      byLower.get(c.toLowerCase) match {
+        case Some(Array(one)) => col(s"`$one`").as(c)
+        case Some(many) => throw new IllegalArgumentException(
+          s"replaceWhere data has ambiguous columns ${many.mkString(", ")} for '$c'")
+        case None => throw new IllegalArgumentException(
+          s"replaceWhere data is missing table column '$c' (select every table column)")
+      }
+    }: _*)
+      // PIN the source: the strict-range probe, the count, and the write
+      // must see the SAME rows, or a non-deterministic source could pass
+      // the probe and still write outside its range
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // strict range check BEFORE any commit: rows outside cond refuse
+      val outside = src.filter(!coalesce(cond, lit(false))).limit(1).collect()
+      require(outside.isEmpty,
+        s"replaceWhere: incoming row ${outside.headOption.getOrElse("")} does not " +
+          "satisfy the predicate - a backfill must stay inside its declared range")
+      val inserted = src.count()
+      val scope = scopeByCondition(spark, path, root, m, cond)
+      val removed = scope.matched
+      val replaceIds = (scope.covered ++ scope.touched).map(_.id)
+      if (replaceIds.isEmpty) {
+        // nothing matches (a NEW day's first run): a scoped overwrite of
+        // an empty range is a plain insert, Delta parity
+        src.write.format("lance").mode("append").save(path)
+      } else {
+        val remainder =
+          if (scope.touched.isEmpty) src.limit(0)
+          else readFragments(spark, root, m, scope.touched)
+            .filter(!coalesce(cond, lit(false)))
+        remainder.unionByName(src)
+          .write.format("lance")
+          .option("write.replace-fragments", replaceIds.mkString(","))
+          .mode("append").save(path)
+      }
+      maybeRefreshIndexes(refreshKinds, path)
+      RowLevelResult(m.fragments.size, scope.candidates.size, removed, inserted,
+        LanceFormat.readLatest(fs, root).map(_.version))
+    } finally src.unpersist()
   }
 
   // --------------------------------------------------------------- UPDATE

@@ -372,6 +372,20 @@ class DmlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("does not"), e.getMessage)
     assert(latest(dir).version == vAfter, "refused write must commit nothing")
+
+    // a predicate matching NOTHING (a new day's first run) plain-inserts
+    val day4 = spark.range(0, 10).select(lit(4).as("day"),
+      (col("id") + 4000).as("v"))
+    val r4 = Dml.replaceWhere(spark, dir, col("day") === 4, day4)
+    assert(r4.rowsChanged == 0 && r4.rowsInserted == 10)
+    assert(spark.read.format("lance").load(dir).count() == 260)
+    // and case-insensitive source columns resolve (Spark's posture)
+    val day5 = spark.range(0, 5).select(lit(5).as("DAY"),
+      (col("id") + 5000).as("V"))
+    val r5 = Dml.replaceWhere(spark, dir, col("day") === 5, day5)
+    assert(r5.rowsInserted == 5)
+    assert(spark.read.format("lance").load(dir)
+      .filter(col("day") === 5).count() == 5)
   }
 
   test("concurrent deletes on disjoint fragments both land (optimistic retry merges)") {

@@ -177,6 +177,15 @@ class RowLevelSqlSpec extends AnyFunSuite {
       // nothing landed from either refusal
       assert(latest(dir).version == after.version)
       assert(spark.table(s"$cat.db.t").count() == 240)
+
+      // a predicate provably matching NOTHING appends (a new day's
+      // first backfill run - Delta/Iceberg parity)
+      spark.range(0, 10).select(lit(4).as("day"), (col("id") + 4000).as("v"))
+        .createOrReplaceTempView("fresh_day4")
+      spark.sql(s"INSERT INTO $cat.db.t REPLACE WHERE day = 4 " +
+        "SELECT * FROM fresh_day4")
+      assert(spark.table(s"$cat.db.t").count() == 250)
+      assert(spark.table(s"$cat.db.t").filter(col("day") === 4).count() == 10)
     }
   }
 }
