@@ -188,13 +188,25 @@ object Bench {
     }
 
   /** The ONE driver-parseable line. The driver captures only a bounded
-    * 2000-char TAIL of stdout (with sbt's ~75-char "[success]" line after
-    * ours) — keep it SHORT: 1-decimal seconds and SHORT query ids ("q01",
-    * "v26p"); full names + [min,max] spreads ride the [bench-spread]
-    * lines ABOVE it. ~750 chars total leaves room for ~80 more queries. */
-  private def printJsonLine(results: Seq[(String, Double)]): Unit =
-    println(jsonLine(results,
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
+    * 2000-char TAIL of MERGED stdout+stderr (r9 showed the stderr WARNING
+    * and sbt's "[success]" line both landing AFTER the JSON line inside
+    * that tail, clipping the line's HEAD) — so the warning, if any, now
+    * prints to stdout BEFORE the line, and the line itself is the LAST
+    * thing we emit. */
+  private def printJsonLine(results: Seq[(String, Double)]): Unit = {
+    val line = jsonLine(results,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    if (line.length > 1400)
+      println(s"[bench] WARNING: JSON line is ${line.length} chars; the driver's " +
+        "2000-char tail must also hold sbt's trailing output - shrink ShownCap")
+    println(line)
+  }
+
+  /** Queries shown by id in the line; everything else is aggregated into
+    * `omitted_fast`/`omitted_sec`. 70 entries at ~12 chars each plus the
+    * headline fields keeps the line near 1 kB however many queries exist. */
+  private val ShownCap = 70
+  private val OmitBelowSec = 0.6
 
   /** Pure line builder (unit-testable). `failed` counts -1 medians —
     * a crashed child/query makes the headline total SMALLER (only
@@ -202,32 +214,35 @@ object Bench {
     * read as a speedup in the driver's parsed line. failed must be 0 on
     * a healthy run.
     *
-    * The driver captures a bounded 2000-char stdout TAIL; at 190+
-    * queries the full per-query map no longer fits (an overflowing line
-    * clips its HEAD and the round's bench parses as nothing). Sub-0.25 s
-    * medians are therefore OMITTED from the line — their count and
-    * summed seconds ride `omitted_fast`/`omitted_sec` (no silent cap),
-    * the headline total still includes them, and the full per-query data
-    * stays on the `[bench]` stderr lines above. Failures are never
-    * omitted. */
+    * The driver captures a bounded 2000-char TAIL of merged output; an
+    * overflowing line clips its HEAD, and round 7/9 both lost the bench
+    * that way. Two defenses, no silent caps:
+    *  - the per-query map shows only the ShownCap SLOWEST medians that
+    *    are >= OmitBelowSec; the rest ride `omitted_fast`/`omitted_sec`
+    *    (count + summed seconds), the headline total still includes
+    *    them, and full per-query data stays on the `[bench]` lines
+    *    above. Failures are never omitted.
+    *  - the headline fields (`failed`, `value`, `sf`) sit at the END of
+    *    the object, so even a clipped head cannot take them — the tail
+    *    of the line is the part the driver's window always keeps. */
   private[graft] def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
     require(results.map(r => shortId(r._1)).distinct.size == results.size,
       "short query ids collide; fix the new query's id prefix")
-    val (fast, shown) = results.partition(r => r._2 >= 0 && r._2 < 0.25)
+    val (ok, dead) = results.partition(_._2 >= 0)
+    val shownOk = ok.filter(_._2 >= OmitBelowSec)
+      .sortBy(-_._2).take(ShownCap - dead.size max 0)
+    val shownKeys = shownOk.map(_._1).toSet
+    val omitted = ok.filterNot(r => shownKeys(r._1))
+    // stable id order in the emitted map (diffs across rounds stay readable)
+    val shown = (shownOk ++ dead).sortBy(_._1)
     val qs = shown.map { case (k, v) => "\"" + shortId(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
-    val omittedSec = fast.map(_._2).sum
+    val total = ok.map(_._2).sum
+    val failed = dead.size
+    val omittedSec = omitted.map(_._2).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val line =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","failed":$failed,""" +
-        f""""omitted_fast":${fast.size},"omitted_sec":$omittedSec%.1f,""" +
-        f""""queries":$qs,"sf":"$sfName"}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: stdout JSON line is ${line.length} chars; " +
-        "the driver's 2000-char tail window is nearly blown - shrink the line " +
-        "before adding more queries")
-    line
+    f"""{"metric":"total","unit":"sec","omitted_fast":${omitted.size},""" +
+      f""""omitted_sec":$omittedSec%.1f,"queries":$qs,""" +
+      f""""failed":$failed,"value":$total%.2f,"sf":"$sfName"}"""
   }
 }
