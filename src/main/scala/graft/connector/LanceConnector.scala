@@ -1227,6 +1227,13 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     refreshStats: Boolean = false,
     overwriteFilters: Option[Seq[sources.Filter]] = None) extends BatchWrite {
 
+  // the (physical-name) bucket spec the task writers routed and tagged
+  // under, captured at factory-build time; the commit loops compare it
+  // against the spec at commit time and strip the tags on a mismatch —
+  // a concurrent clusterByBucket re-declaration in that window must not
+  // publish old-spec tags under the new spec head (mis-pruning)
+  @volatile private var routedBucketSpec: Option[(Int, Seq[String])] = None
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // fragment files always carry PHYSICAL names (stable under RENAME
     // COLUMN); translate the (logical) write schema per the lineage the
@@ -1249,6 +1256,7 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     // writer invariant. Key names travel physical, like the schema.
     val bucketSpec = head.flatMap(_.bucketBy).map(b =>
       (b.numBuckets, b.columns.map(c => mapping.getOrElse(c, c))))
+    routedBucketSpec = bucketSpec
     val bloomCols = head.flatMap(_.bloomFilters).getOrElse(Seq.empty)
       .map(c => mapping.getOrElse(c, c))
     new LanceWriterFactory(rootStr, phys.json, conf, maxRowsPerFile, collectStats,
@@ -1266,15 +1274,22 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     //    predicate; Lance.replaceWhere rewrites remainders instead;
     //  - a staged row OUTSIDE the predicate refuses — a backfill that
     //    writes past its declared range is a bug caught before commit.
-    val scopedOverwrite: Option[Set[Int]] = overwriteFilters.map { filters =>
+    val scopedOverwrite: Option[(Set[Int], Option[Manifest], Array[sources.Filter])] =
+        overwriteFilters.map { filters =>
+      // ONE snapshot read: the replaced set, the constraint context, and
+      // the commit all work from this manifest; the commit loop then
+      // detects fragments landed SINCE it (serializability — a concurrent
+      // append of predicate-matching rows must not silently survive the
+      // overwrite)
       val prevM = LanceFormat.readLatest(fs, root)
+      // filters carry LOGICAL names; stats speak PHYSICAL
+      val physF: Array[sources.Filter] = filters.map(f =>
+        graft.operators.Dml.renameFilter(f,
+          prevM.map(_.mapping).getOrElse(Map.empty))).toArray
       val replaced: Set[Int] = prevM match {
         case None => Set.empty
         case Some(m) =>
-          val phys = filters.map { f =>
-            // filters carry LOGICAL names; stats speak PHYSICAL
-            graft.operators.Dml.renameFilter(f, m.mapping)
-          }.toArray
+          val phys = physF
           val may = graft.format.FragmentStats.prune(
             m.physicalSchema, m.fragments, phys)
           val mustIds = may.filter(f => f.stats.exists(st => phys.forall(
@@ -1306,11 +1321,16 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
             "the predicate - a scoped overwrite must stay inside its range; " +
             "commit refused, staged files removed")
       }
-      replaced
+      (replaced, prevM, physF)
     }
+    // serializability guard threaded into the commit loop: snapshot file
+    // set + physical filters — a fragment committed since the snapshot
+    // that may match the predicate fails the scoped overwrite loud
+    val overwriteGuard: Option[(Set[String], Array[sources.Filter])] =
+      scopedOverwrite.map { case (_, prevM, physF) =>
+        (prevM.map(_.fragments.map(_.file).toSet).getOrElse(Set.empty), physF) }
     scopedOverwrite match {
-      case Some(replaced) if replaced.nonEmpty =>
-        val prevM = LanceFormat.readLatest(fs, root)
+      case Some((replaced, prevM, _)) if replaced.nonEmpty =>
         val enforced = prevM.map(_.checkConstraints).getOrElse(Map.empty)
         val cmap = prevM.map(_.mapping).getOrElse(Map.empty)
         LanceWrite.enforceConstraints(root, schema, frags, enforced,
@@ -1319,7 +1339,9 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
           mapping = cmap)
         val outSchema = LanceWrite.reconcileNullability(root, schema, frags, enforced, cmap)
         val (committedO, _) = LanceFormat.commitReplace(fs, root, outSchema,
-          replaced, frags, epochId, operation = "replace")
+          replaced, frags, epochId, operation = "replace",
+          routedBucketSpec = Some(routedBucketSpec),
+          failIfNewMatching = overwriteGuard)
         LanceWrite.verifyConstraintsPostCommit(root, fs, outSchema, frags,
           enforced, committedO,
           baseFragments = prevM.map(_.fragments).getOrElse(Seq.empty))
@@ -1330,8 +1352,9 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       case Some(_) =>
         // the predicate provably matches nothing: the scoped overwrite is
         // a plain insert (Delta/Iceberg parity — a NEW day's first
-        // backfill run). Fall through to the ordinary append path below,
-        // which enforces constraints and commits the batch.
+        // backfill run). Fall through to the ordinary append path below
+        // (which carries overwriteGuard: a concurrent matching append in
+        // the window still fails the commit loud).
         ()
       case None => ()
     }
@@ -1363,7 +1386,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
         else LanceWrite.reconcileNullability(root, schema, frags, enforced, cmap)
       val (committedR, _) = LanceFormat.commitReplace(fs, root, replaceSchema,
         replaceFragments.get, frags, epochId,
-        operation = if (rowPreserving) "rewrite" else "replace")
+        operation = if (rowPreserving) "rewrite" else "replace",
+        routedBucketSpec = Some(routedBucketSpec))
       if (!rowPreserving)
         LanceWrite.verifyConstraintsPostCommit(root, fs, replaceSchema, frags,
           enforced, committedR,
@@ -1440,8 +1464,11 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
         enforced, cmap)
     val committed =
       if (overwrite) LanceFormat.commitOverwrite(fs, root, widenedSchema, frags, epochId,
-        operation = if (rowPreserving) "rewrite" else "overwrite")
-      else LanceFormat.commitAppendIn(fs, lineageDir, widenedSchema, frags, epochId)
+        operation = if (rowPreserving) "rewrite" else "overwrite",
+        routedBucketSpec = Some(routedBucketSpec))
+      else LanceFormat.commitAppendIn(fs, lineageDir, widenedSchema, frags, epochId,
+        routedBucketSpec = Some(routedBucketSpec),
+        failIfNewMatching = overwriteGuard)
     // rules added concurrently with this write are re-proven against the
     // batch the moment its manifest lands (branch lineages skip it: their
     // rule set is the fork-time copy, static under main-side edits)
@@ -1485,6 +1512,9 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
     queryId: String = "",
     refreshStats: Boolean = false) extends StreamingWrite {
 
+  // spec-race guard, streaming flavor — see LanceBatchWrite.routedBucketSpec
+  @volatile private var routedBucketSpec: Option[(Int, Seq[String])] = None
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val root = new Path(rootStr)
     val fs = LanceFormat.fileSystem(root, conf.value)
@@ -1498,6 +1528,7 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
     // streamed epochs keep the declared bucket layout too
     val bucketSpec = head.flatMap(_.bucketBy).map(b =>
       (b.numBuckets, b.columns.map(c => mapping.getOrElse(c, c))))
+    routedBucketSpec = bucketSpec
     val bloomCols = head.flatMap(_.bloomFilters).getOrElse(Seq.empty)
       .map(c => mapping.getOrElse(c, c))
     new LanceWriterFactory(rootStr, phys.json, conf, maxRowsPerFile, collectStats,
@@ -1529,9 +1560,11 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
       val committed =
         if (epochOverwrite)
           LanceFormat.commitOverwrite(fs, root, widened, frags, Some(epochId),
-            streamEpoch = Some(queryId -> epochId))
+            streamEpoch = Some(queryId -> epochId),
+            routedBucketSpec = Some(routedBucketSpec))
         else LanceFormat.commitAppend(fs, root, widened, frags, Some(epochId),
-          streamEpoch = Some(queryId -> epochId))
+          streamEpoch = Some(queryId -> epochId),
+          routedBucketSpec = Some(routedBucketSpec))
       // rules added concurrently with the epoch are re-proven post-commit
       LanceWrite.verifyConstraintsPostCommit(root, fs, widened, frags,
         enforced, committed,

@@ -385,6 +385,59 @@ object LanceFormat {
         .getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Physical-name form of a manifest's declared bucket spec. Task writers
+    * route and tag rows under PHYSICAL key names (stable across RENAME
+    * COLUMN), so any spec equality check that spans a time window — writer
+    * factory to commit — must compare in physical space, or a concurrent
+    * rename would read as a re-declaration. */
+  def physicalBucketSpec(m: Manifest): Option[(Int, Seq[String])] =
+    m.bucketBy.map(b => (b.numBuckets, b.columns.map(m.physicalName)))
+
+  /** Bucket-tag spec race guard, shared by every commit loop that lands
+    * writer-tagged fragments. The task writers routed rows and stamped
+    * `bucket`/`sorted` under the spec read at factory-build time
+    * (`routed`); if a concurrent `clusterByBucket` re-declaration landed
+    * before this commit attempt, publishing those tags under the NEW spec
+    * head would make BucketPrune silently skip fragments that DO hold
+    * matching rows and mis-align storage-partitioned joins. Strip the
+    * tags instead (conservative: untagged fragments always scan, never
+    * wrongly prune) — the same posture rebase takes for adopted branch
+    * fragments under a changed main spec. `routed` is None for callers
+    * that did not route (metadata commits, compensation): no check. */
+  private def reconcileBucketTags(frags: Seq[FragmentMeta],
+      routed: Option[Option[(Int, Seq[String])]],
+      prevAtCommit: Option[Manifest]): Seq[FragmentMeta] = routed match {
+    case Some(spec) if spec != prevAtCommit.flatMap(physicalBucketSpec) =>
+      frags.map(_.copy(bucket = None, sorted = None))
+    case _ => frags
+  }
+
+  /** Scoped-overwrite serializability check (Delta's replaceWhere
+    * posture). `check` carries the FILE SET of the snapshot the caller
+    * proved its replaced-fragment set against, plus the PHYSICAL-name
+    * filters. Runs inside the commit retry loop, against the manifest of
+    * each attempt: a fragment outside that snapshot (and not part of
+    * this very commit) that may hold predicate-matching rows means a
+    * concurrent writer landed matching data the overwrite would silently
+    * miss — fail loud, the caller re-runs against the new version.
+    * Fragments without stats count as may-matching (strict). */
+  private def failNewMatchingSinceSnapshot(prev: Option[Manifest],
+      check: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])],
+      ownFiles: Set[String]): Unit =
+    (prev, check) match {
+      case (Some(m), Some((snapFiles, phys))) =>
+        val added = m.fragments.filterNot(f =>
+          snapFiles.contains(f.file) || ownFiles.contains(f.file))
+        val mayMatch = FragmentStats.prune(m.physicalSchema, added, phys)
+        if (mayMatch.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"INSERT OVERWRITE WHERE: fragment(s) " +
+              s"${mayMatch.map(_.file).mkString(", ")} were committed " +
+              "concurrently since the overwrite's snapshot and may hold rows " +
+              "matching the predicate - re-run against the current version")
+      case _ => ()
+    }
+
   /** Atomically commit `manifest` as the next version; retries the version
     * number under optimistic concurrency. Content is committed as-is —
     * correct for overwrite/create, whose outcome doesn't depend on the
@@ -412,21 +465,33 @@ object LanceFormat {
   def commitAppend(fs: FileSystem, root: Path, schema: StructType,
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
       publisher: Option[ManifestPublisher] = None,
-      streamEpoch: Option[(String, Long)] = None): Manifest =
+      streamEpoch: Option[(String, Long)] = None,
+      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None): Manifest =
     commitAppendIn(fs, versionsPath(root), schema, newFragments, epochId,
-      publisher, streamEpoch)
+      publisher, streamEpoch, routedBucketSpec)
 
-  /** Append into a specific lineage dir (`_versions` or a branch). */
+  /** Append into a specific lineage dir (`_versions` or a branch).
+    * `routedBucketSpec`: the (physical-name) bucket spec the task writers
+    * tagged fragments under, for the spec-race guard — see
+    * [[reconcileBucketTags]]. `failIfNewMatching`: scoped-overwrite
+    * serializability — (snapshot file set, physical filters); a fragment
+    * committed since the snapshot that may hold predicate-matching rows
+    * fails the commit loud instead of silently surviving the overwrite. */
   def commitAppendIn(fs: FileSystem, dir: Path, schema: StructType,
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
       publisher: Option[ManifestPublisher] = None,
-      streamEpoch: Option[(String, Long)] = None): Manifest = {
+      streamEpoch: Option[(String, Long)] = None,
+      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
+      failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None): Manifest = {
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatestIn(fs, dir)
+      failNewMatchingSinceSnapshot(prev, failIfNewMatching, Set.empty)
       val base = prev.map(_.fragments).getOrElse(Seq.empty)
       val nextId = base.map(_.id).maxOption.getOrElse(-1) + 1
-      val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
+      val renumbered = reconcileBucketTags(
+        newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) },
+        routedBucketSpec, prev)
       val rules = prev.flatMap(_.constraints)
       val named = mergeWidenedTypes(mergeLogicalNames(schema,
         prev.flatMap(_.columnMapping).getOrElse(Map.empty)), prev.map(_.schema))
@@ -526,12 +591,16 @@ object LanceFormat {
       removedIds: Set[Int], newFragments: Seq[FragmentMeta],
       epochId: Option[Long] = None,
       publisher: Option[ManifestPublisher] = None,
-      operation: String = "replace"): (Manifest, Long) = {
+      operation: String = "replace",
+      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
+      failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None): (Manifest, Long) = {
     require(removedIds.nonEmpty, "commitReplace needs at least one fragment to remove")
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatest(fs, root).getOrElse(
         throw new IllegalStateException(s"no dataset at $root"))
+      failNewMatchingSinceSnapshot(Some(prev), failIfNewMatching,
+        newFragments.map(_.file).toSet)
       val base = prev.fragments
       val present = base.map(_.id).toSet
       val gone = removedIds -- present
@@ -543,7 +612,9 @@ object LanceFormat {
       val kept = base.filterNot(f => removedIds.contains(f.id))
       val removedRows = base.filter(f => removedIds.contains(f.id)).map(_.rowCount).sum
       val nextId = base.map(_.id).maxOption.getOrElse(-1) + 1
-      val renumbered = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) }
+      val renumbered = reconcileBucketTags(
+        newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) },
+        routedBucketSpec, Some(prev))
       val m = Manifest(
         version = prev.version + 1,
         schemaJson = mergeDeclaredNullability(
@@ -579,7 +650,8 @@ object LanceFormat {
   def commitOverwrite(fs: FileSystem, root: Path, schema: StructType,
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
       operation: String = "overwrite",
-      streamEpoch: Option[(String, Long)] = None): Manifest = {
+      streamEpoch: Option[(String, Long)] = None,
+      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None): Manifest = {
     // prev is re-read INSIDE the retry loop: a concurrent add/drop
     // constraint (or another metadata commit) landing between a single
     // upfront read and the publish would have its rule set silently
@@ -603,7 +675,9 @@ object LanceFormat {
         // non-nullable flag stays TRUE of the data) — only inference-only
         // nullability resets to the write schema's
         schemaJson = mergeDeclaredNullability(named, rules).json,
-        fragments = newFragments.zipWithIndex.map { case (f, i) => f.copy(id = i) },
+        fragments = reconcileBucketTags(
+          newFragments.zipWithIndex.map { case (f, i) => f.copy(id = i) },
+          routedBucketSpec, prev),
         epochId = epochId,
         committedAtMs = System.currentTimeMillis(),
         operation = Some(operation),

@@ -197,6 +197,85 @@ class CommitRaceSpec extends AnyFunSuite {
       (for (t <- 0 until 4; i <- 0 until 5) yield s"t$t-$i.parquet").toSet)
   }
 
+  test("bucket tags routed under a stale spec are stripped at commit") {
+    val (fs, root) = localRoot()
+    LanceFormat.commitAppend(fs, root, schema,
+      Seq(FragmentMeta(0, "base.parquet", 10)))
+    LanceFormat.commitBucketBy(fs, root, 4, Seq("id"))
+    // a writer factory read spec (4, id) and routed/tagged under it; a
+    // concurrent re-declaration to (8, id) lands BEFORE the commit —
+    // publishing the old-spec tags under the new head would mis-prune
+    LanceFormat.commitBucketBy(fs, root, 8, Seq("id"))
+    val m = LanceFormat.commitAppend(fs, root, schema,
+      Seq(FragmentMeta(0, "routed.parquet", 5,
+        bucket = Some(2), sorted = Some(true))),
+      routedBucketSpec = Some(Some((4, Seq("id")))))
+    val frag = m.fragments.find(_.file == "routed.parquet").get
+    assert(frag.bucket.isEmpty && frag.sorted.isEmpty,
+      "stale-spec tags must be stripped, not published under the new spec")
+    // and the same write under the CURRENT spec keeps its tags
+    val m2 = LanceFormat.commitAppend(fs, root, schema,
+      Seq(FragmentMeta(0, "routed2.parquet", 5,
+        bucket = Some(3), sorted = Some(true))),
+      routedBucketSpec = Some(Some((8, Seq("id")))))
+    val frag2 = m2.fragments.find(_.file == "routed2.parquet").get
+    assert(frag2.bucket.contains(3) && frag2.sorted.contains(true))
+  }
+
+  test("stale-spec tags are stripped on the replace path too") {
+    val (fs, root) = localRoot()
+    val m0 = LanceFormat.commitAppend(fs, root, schema,
+      Seq(FragmentMeta(0, "base.parquet", 10)))
+    LanceFormat.commitBucketBy(fs, root, 4, Seq("id"))
+    LanceFormat.commitBucketBy(fs, root, 8, Seq("id"))
+    val baseId = m0.fragments.head.id
+    val (m, _) = LanceFormat.commitReplace(fs, root, schema, Set(baseId),
+      Seq(FragmentMeta(0, "rw.parquet", 10, bucket = Some(1), sorted = Some(true))),
+      routedBucketSpec = Some(Some((4, Seq("id")))))
+    val frag = m.fragments.find(_.file == "rw.parquet").get
+    assert(frag.bucket.isEmpty && frag.sorted.isEmpty)
+  }
+
+  test("scoped overwrite refuses when a may-matching fragment landed after its snapshot") {
+    import org.apache.spark.sql.sources
+    val (fs, root) = localRoot()
+    val m0 = LanceFormat.commitAppend(fs, root, schema,
+      Seq(FragmentMeta(0, "old.parquet", 10)))
+    val snapshotFiles = m0.fragments.map(_.file).toSet
+    val guard = Some((snapshotFiles,
+      Array[sources.Filter](sources.GreaterThan("id", 5L))))
+    // a concurrent append lands predicate-matching (stat-less) data
+    LanceFormat.commitAppend(fs, root, schema,
+      Seq(FragmentMeta(0, "concurrent.parquet", 3)))
+    intercept[java.util.ConcurrentModificationException] {
+      LanceFormat.commitReplace(fs, root, schema,
+        m0.fragments.map(_.id).toSet,
+        Seq(FragmentMeta(0, "backfill.parquet", 10)),
+        failIfNewMatching = guard)
+    }
+    // the predicate-matched-nothing flavor falls through to append and
+    // must hit the same wall
+    intercept[java.util.ConcurrentModificationException] {
+      LanceFormat.commitAppendIn(fs, LanceFormat.versionsPath(root), schema,
+        Seq(FragmentMeta(0, "backfill2.parquet", 10)),
+        failIfNewMatching = guard)
+    }
+  }
+
+  test("scoped overwrite commits clean when nothing landed since its snapshot") {
+    import org.apache.spark.sql.sources
+    val (fs, root) = localRoot()
+    val m0 = LanceFormat.commitAppend(fs, root, schema,
+      Seq(FragmentMeta(0, "old.parquet", 10)))
+    val guard = Some((m0.fragments.map(_.file).toSet,
+      Array[sources.Filter](sources.GreaterThan("id", 5L))))
+    val (m, removed) = LanceFormat.commitReplace(fs, root, schema,
+      m0.fragments.map(_.id).toSet,
+      Seq(FragmentMeta(0, "backfill.parquet", 10)),
+      failIfNewMatching = guard)
+    assert(removed == 10L && m.fragments.map(_.file) == Seq("backfill.parquet"))
+  }
+
   test("publisher resolution: scheme map + registry override") {
     assert(ManifestPublisher.forScheme("file") == ManifestPublisher.HardLink)
     assert(ManifestPublisher.forScheme("hdfs") == ManifestPublisher.RenameIfAbsent)
