@@ -808,14 +808,31 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     val m = manifest.get
     val root = new org.apache.hadoop.fs.Path(rootStr)
-    val stored = try graft.format.TableStats.read(
-      LanceFormat.fileSystem(root, sparkSession.sessionState.newHadoopConf()), root)
+    val fs = try Some(LanceFormat.fileSystem(root,
+      sparkSession.sessionState.newHadoopConf())) catch { case _: Exception => None }
+    val stored = try fs.flatMap(graft.format.TableStats.read(_, root))
     catch { case _: Exception => None }
     stored match {
       case None => Map.empty
       case Some(s) =>
+        // the sidecar keys columns by their LOGICAL name AT ANALYZE TIME;
+        // a RENAME COLUMN since would silently stop the stats applying.
+        // Resolve each key to its stable PHYSICAL name via the ANALYZED
+        // version's manifest, then forward to the CURRENT logical name —
+        // statistics survive renames without a re-ANALYZE. An unreadable
+        // analyzed manifest (vacuumed) falls back to name-as-is (the
+        // pre-fix behavior: conservative, never wrong).
+        val analyzedMapping: Map[String, String] =
+          (try fs.map(f =>
+            LanceFormat.readManifest(f, root, s.datasetVersion).mapping)
+          catch { case _: Exception => None }).getOrElse(Map.empty)
+        val physToCurrent = m.mapping.map(_.swap)
         val visible = m.schema.fieldNames.toSet
-        s.columns.collect { case (c, meta) if visible.contains(c) =>
+        s.columns.flatMap { case (c0, meta) =>
+          val physAtAnalyze = analyzedMapping.getOrElse(c0, c0)
+          val c = physToCurrent.getOrElse(physAtAnalyze, physAtAnalyze)
+          if (!visible.contains(c)) None else Some((c, meta))
+        }.map { case (c, meta) =>
           val phys = m.physicalName(c)
           val nulls: Option[Long] = {
             val per = m.fragments.map(_.stats.flatMap(_.get(phys).map(_.nullCount)))

@@ -204,6 +204,36 @@ class AnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("column statistics survive RENAME COLUMN without a re-ANALYZE") {
+    val dir = tmpDir()
+    spark.range(0, 8000).select(
+        pmod(col("id"), lit(50)).as("k"), col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.analyze(spark, dir)
+    // sidecar keys carry analyze-time logical names; the scan must
+    // resolve them through the analyzed version's mapping to the CURRENT
+    // logical name, or a rename silently drops the stats from CBO
+    Lance.renameColumn(spark, dir, "k", "key")
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val df = spark.read.format("lance").load(dir).select("key", "v")
+      val scanRel = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+      val byName = scanRel.stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.contains("key"),
+        s"stats lost after rename: ${byName.keySet}")
+      assert(byName("key").distinctCount.exists(d =>
+        (d - BigInt(50)).abs <= BigInt(3)), byName("key").distinctCount)
+      // nullCount resolves through the CURRENT physical name too
+      assert(byName("key").nullCount.contains(BigInt(0)))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("a SUBSET analyze merges into the sidecar instead of replacing it") {
     val dir = tmpDir()
     spark.range(0, 4000).select(
