@@ -1929,6 +1929,49 @@ object LanceQueries {
     * pre-rename, half post-rename; the aggregate and a pushed filter
     * both address `price`, hitting rows on both sides of the rename.
     */
+  /** Nested types end-to-end (q60): a documents-shaped table with struct
+    * metadata, array<struct> spans, and a map column through the lance
+    * format — write, merge-schema sibling add (old fragments read NULL),
+    * row-level DELETE through a NESTED predicate (no fragment stats for
+    * nested fields: DML scoping degrades to all-fragments, conservative
+    * and exact), then read back with struct/array/map access and reduce
+    * to scalars the DuckDB oracle can restate from the flat source.
+    * Reference nested converter: `converter/LanceTypeConverter.java:171-186`,
+    * `converter/RowDataConverter.java:351-368`. Real corpora carry nested
+    * metadata on day one; this gate proves the format machinery next to
+    * it (NestedTypesSpec pins the refusal/TVF/constraint edges).
+    */
+  def q60NestedTypes(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "docs_nested")
+    freshDataset(spark, dest)
+    val d = t(spark, dir, "documents")
+    def shape(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      struct(col("lang").as("lang"), col("source").as("source"),
+        col("n_chars").as("n_chars")).as("meta"),
+      array(
+        struct(lit(0L).as("start"), floor(col("n_chars") / 2).as("end")),
+        struct(floor(col("n_chars") / 2).as("start"),
+          col("n_chars").as("end"))).as("spans"),
+      map(lit("source"), col("source")).as("attrs"))
+    shape(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      .write.format("lance").mode("overwrite").save(dest)
+    shape(d.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .withColumn("rev", col("doc_id"))
+      .write.format("lance").option("write.merge-schema", "true")
+      .mode("append").save(dest)
+    graft.Lance.deleteWhere(spark, dest, "meta.n_chars < 200")
+    val back = spark.read.format("lance").load(dest)
+    back.groupBy(col("meta.lang").as("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("meta.n_chars")).as("sum_chars"),
+        sum(coalesce(col("rev"), lit(0L))).as("sum_rev"),
+        sum(col("spans")(0)("end")).as("sum_half"),
+        countDistinct(col("attrs")("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
   def s102RenameColumn(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_rename")
     freshDataset(spark, dest)
@@ -2214,6 +2257,7 @@ object LanceQueries {
     "s99_branch_sql" -> s99BranchSql,
     "s100_unique" -> s100Unique,
     "s101_unique_composite" -> s101UniqueComposite,
+    "q60_nested_types" -> q60NestedTypes,
     "s102_rename_column" -> s102RenameColumn,
     "s103_scalar_range_prune" -> s103ScalarRangePrune,
     "s104_widen_type" -> s104WidenType,
@@ -2420,6 +2464,17 @@ object LanceQueries {
         | CAST(1 AS BIGINT) AS n_wide, 'bigint' AS cust_type
         |FROM (SELECT o_custkey FROM orders
         |      UNION ALL SELECT CAST(3000000000 AS BIGINT)) t""".stripMargin,
+    // q60: the nested table is documents re-shaped (struct/array/map are
+    // projections of the flat columns), minus the DML-deleted rows; rev
+    // is doc_id on the odd half, NULL (→0) on pre-evolution fragments
+    "q60_nested_types" ->
+      """SELECT lang, COUNT(*) AS n,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_rev,
+        | CAST(SUM(CAST(FLOOR(n_chars / 2) AS BIGINT)) AS BIGINT) AS sum_half,
+        | COUNT(DISTINCT source) AS n_sources
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // s102: the rename moves no rows — the table is exactly orders,
     // read through the new name
     "s102_rename_column" ->
