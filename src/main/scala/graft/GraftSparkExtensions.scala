@@ -167,23 +167,32 @@ object MetaTvfs {
           if (from == 0) Seq.empty
           else graft.format.LanceFormat.readManifest(fs, root, from).fragments
         val arms = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+        def arm(kind: String, v: Long, paths: Seq[String]) = {
+          val a = spark.read.schema(endM.physicalSchema).parquet(paths: _*)
+          arms += (if (endM.mapping.isEmpty) a
+            else a.toDF(endSchema.fieldNames.toIndexedSeq: _*))
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit(kind))
+            .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+        }
         ((from + 1) to to).foreach { v =>
           if (versions.contains(v)) {
             val m = graft.format.LanceFormat.readManifest(fs, root, v)
-            if (!m.operation.contains("rewrite")) {
+            val cdf = m.changeFiles.getOrElse(Seq.empty)
+            if (m.operation.contains("replace") && cdf.nonEmpty) {
+              // row-level CDF recorded by the DML verb: serve the exact
+              // pre/post images (update_preimage/update_postimage/
+              // delete/insert) instead of the amplified fragment diff
+              cdf.groupBy(_.kind).toSeq.sortBy(_._1).foreach { case (kind, cs) =>
+                arm(kind, v, cs.map(c =>
+                  graft.format.LanceFormat.fragmentPath(root, c.file).toString))
+              }
+            } else if (!m.operation.contains("rewrite")) {
               val prevFiles = prev.map(_.file).toSet
               val curFiles = m.fragments.map(_.file).toSet
               val added = m.fragments.filterNot(f => prevFiles.contains(f.file))
               val removed = prev.filterNot(f => curFiles.contains(f.file))
               Seq(("insert", added), ("delete", removed)).foreach { case (kind, fr) =>
-                if (fr.nonEmpty) {
-                  val arm = spark.read.schema(endM.physicalSchema)
-                    .parquet(files(fr): _*)
-                  arms += (if (endM.mapping.isEmpty) arm
-                    else arm.toDF(endSchema.fieldNames.toIndexedSeq: _*))
-                    .withColumn("_change_type", org.apache.spark.sql.functions.lit(kind))
-                    .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
-                }
+                if (fr.nonEmpty) arm(kind, v, files(fr))
               }
             }
             prev = m.fragments

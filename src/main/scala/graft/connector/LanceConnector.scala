@@ -1190,6 +1190,12 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     private val branch = Option(info.options.get("write.branch"))
       .map(_.trim).filter(_.nonEmpty)
 
+    // row-level change-data-feed files staged by the DML verb
+    // (graft.operators.Dml): recorded in the replace commit's manifest so
+    // feed readers serve exact pre/post images instead of fragment diffs
+    private val changeFiles = Option(info.options.get("write.change-files"))
+      .map(LanceFormat.parseChangeFiles).getOrElse(Seq.empty)
+
     override def toBatch: BatchWrite = {
       branch.foreach { b =>
         require(!overwrite && replaceFragments.isEmpty,
@@ -1200,9 +1206,11 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
         require(branch.isEmpty && replaceFragments.isEmpty && !overwrite,
           "overwrite-by-filter cannot combine with branch/replace-fragments/truncate")
       }
+      require(changeFiles.isEmpty || replaceFragments.isDefined,
+        "write.change-files rides a replace-fragments (DML rewrite) commit only")
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         epochId, collectStats, mergeSchema, replaceFragments, rowPreserving,
-        refreshIndexes, branch, refreshStats, overwriteFilters)
+        refreshIndexes, branch, refreshStats, overwriteFilters, changeFiles)
     }
     // delta-refresh the dataset's persisted indexes after the commit
     // ('all' or a comma list of scalar|fts|ivf) — streaming epochs and
@@ -1242,7 +1250,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     refreshIndexes: Set[String] = Set.empty,
     branch: Option[String] = None,
     refreshStats: Boolean = false,
-    overwriteFilters: Option[Seq[sources.Filter]] = None) extends BatchWrite {
+    overwriteFilters: Option[Seq[sources.Filter]] = None,
+    changeFiles: Seq[graft.format.ChangeFileMeta] = Seq.empty) extends BatchWrite {
 
   // the (physical-name) bucket spec the task writers routed and tagged
   // under, captured at factory-build time; the commit loops compare it
@@ -1404,7 +1413,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       val (committedR, _) = LanceFormat.commitReplace(fs, root, replaceSchema,
         replaceFragments.get, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "replace",
-        routedBucketSpec = Some(routedBucketSpec))
+        routedBucketSpec = Some(routedBucketSpec),
+        changeFiles = changeFiles)
       if (!rowPreserving)
         LanceWrite.verifyConstraintsPostCommit(root, fs, replaceSchema, frags,
           enforced, committedR,

@@ -160,6 +160,12 @@ class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
     * manifest's files, which stay on disk until vacuum); row-preserving
     * rewrites emit nothing. Unlike the plain changefeed there is no
     * fail-loud — representing row change is the point of the mode.
+    *
+    * A DML commit that recorded row-level CHANGE FILES (Delta CDF's
+    * contract — `update_preimage`/`update_postimage`/`delete`/`insert`
+    * images staged by the DML verb) serves exactly those instead of the
+    * fragment diff: the diff would amplify a 2-row update into
+    * whole-fragment delete+insert pairs; the images are the 2 rows.
     */
   private def planChangePartitions(sv: Long, ev: Long): Array[InputPartition] = {
     val out = Array.newBuilder[InputPartition]
@@ -167,7 +173,11 @@ class LanceMicroBatchStream(rootStr: String, readSchemaJson: String,
       if (sv == 0L) Seq.empty else LanceFormat.readManifest(fs, root, sv).fragments
     ((sv + 1) to ev).foreach { v =>
       val m = LanceFormat.readManifest(fs, root, v)
-      if (!m.operation.contains("rewrite")) {
+      val cdf = m.changeFiles.getOrElse(Seq.empty)
+      if (m.operation.contains("replace") && cdf.nonEmpty) {
+        cdf.foreach(c => out += LanceChangePartition(
+          LanceFormat.fragmentPath(root, c.file).toString, c.rows, c.kind, v))
+      } else if (!m.operation.contains("rewrite")) {
         val prevFiles = prev.map(_.file).toSet
         val curFiles = m.fragments.map(_.file).toSet
         def part(f: graft.format.FragmentMeta, kind: String) =

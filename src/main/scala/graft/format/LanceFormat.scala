@@ -49,6 +49,17 @@ case class FragmentMeta(id: Int, file: String, rowCount: Long,
   */
 case class BucketSpecMeta(numBuckets: Int, columns: Seq[String])
 
+/** One row-level change-data-feed file of a DML commit (Delta CDF's
+  * `_change_data` shape): a parquet file in `data/` carrying exact
+  * pre/post images under the table's PHYSICAL schema. `kind` is one of
+  * delete | insert | update_preimage | update_postimage. */
+case class ChangeFileMeta(file: String, rows: Long, kind: String)
+
+object ChangeFileMeta {
+  val Kinds: Set[String] =
+    Set("delete", "insert", "update_preimage", "update_postimage")
+}
+
 /** A committed dataset version: schema + fragment list (+ the streaming
   * epoch that produced it, for idempotent exactly-once commits).
   *
@@ -87,6 +98,14 @@ case class Manifest(
     // Carried/remapped/self-healed like clusterBy; per-column
     // independent (losing one column drops only that entry).
     bloomFilters: Option[Seq[String]] = None,
+    // row-level CHANGE-DATA-FEED files for THIS commit, written by
+    // row-level DML alongside the rewritten fragments: exact pre/post
+    // images so incremental consumers ([[connector.LanceMicroBatchStream]]
+    // CDC mode, the `lance_changes` TVF) replay corrections at row
+    // granularity instead of whole-fragment delete+insert amplification.
+    // PER-COMMIT state: metadata commits must never carry it forward,
+    // and readers consult it only on 'replace'-operation commits.
+    changeFiles: Option[Seq[ChangeFileMeta]] = None,
     // TWO-LEVEL manifest (set by the commit path once the fragment list
     // outgrows [[LanceFormat.inlineFragmentThreshold]]): the on-disk
     // manifest carries only these content-addressed group-file names
@@ -385,6 +404,14 @@ object LanceFormat {
         .getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Wire form of a DML commit's change-file list — carried through the
+    * `write.change-files` write option from the DML verb (which staged
+    * the files and knows the row images) to the connector commit. */
+  def serializeChangeFiles(cfs: Seq[ChangeFileMeta]): String =
+    Serialization.write(cfs)
+  def parseChangeFiles(s: String): Seq[ChangeFileMeta] =
+    Serialization.read[Seq[ChangeFileMeta]](s)
+
   /** Physical-name form of a manifest's declared bucket spec. Task writers
     * route and tag rows under PHYSICAL key names (stable across RENAME
     * COLUMN), so any spec equality check that spans a time window — writer
@@ -593,7 +620,10 @@ object LanceFormat {
       publisher: Option[ManifestPublisher] = None,
       operation: String = "replace",
       routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
-      failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None): (Manifest, Long) = {
+      failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None,
+      changeFiles: Seq[ChangeFileMeta] = Seq.empty): (Manifest, Long) = {
+    changeFiles.foreach(c => require(ChangeFileMeta.Kinds.contains(c.kind),
+      s"unknown change-file kind '${c.kind}'"))
     require(removedIds.nonEmpty, "commitReplace needs at least one fragment to remove")
     var attempt = 0
     while (attempt < 20) {
@@ -633,6 +663,7 @@ object LanceFormat {
         clusterBy = prev.clusterBy,
         bucketBy = prev.bucketBy,
         bloomFilters = prev.bloomFilters,
+        changeFiles = Some(changeFiles).filter(_.nonEmpty),
         fragmentGroups = prev.fragmentGroups)
       if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
       attempt += 1
@@ -768,6 +799,7 @@ object LanceFormat {
           if (f.name == oldName) f.copy(name = newName) else f)).json,
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
+        changeFiles = None,
         constraints = Some(newRules).filter(_.nonEmpty),
         columnMapping = Some(newMapping).filter(_.nonEmpty),
         // the clustering/bucketing specs name LOGICAL columns: they remap
@@ -899,7 +931,8 @@ object LanceFormat {
         schemaJson = StructType(prev.schema.fields.map(f =>
           if (f.name == column) f.copy(dataType = newType) else f)).json,
         committedAtMs = System.currentTimeMillis(),
-        operation = Some("alter"))
+        operation = Some("alter"),
+        changeFiles = None)
       if (commitOnceIn(fs, versionsPath(root), m, None)) return m
       attempt += 1
     }
@@ -926,6 +959,7 @@ object LanceFormat {
         version = prev.version + 1,
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
+        changeFiles = None,
         clusterBy = Some(cols).filter(_.nonEmpty))
       if (commitOnceIn(fs, versionsPath(root), m, None)) return m
       attempt += 1
@@ -976,6 +1010,7 @@ object LanceFormat {
         version = prev.version + 1,
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
+        changeFiles = None,
         fragments = fragments,
         bucketBy = newSpec)
       if (commitOnceIn(fs, versionsPath(root), m, None)) return m
@@ -1009,6 +1044,7 @@ object LanceFormat {
         version = prev.version + 1,
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
+        changeFiles = None,
         bloomFilters = Some(cols.distinct).filter(_.nonEmpty))
       if (commitOnceIn(fs, versionsPath(root), m, None)) return m
       attempt += 1
@@ -1162,9 +1198,13 @@ object LanceFormat {
     // how branch data is reclaimed)
     val keptManifests = keep.map(v => readManifest(fs, root, v))
     val droppedManifests = drop.map(v => readManifest(fs, root, v))
-    val kept = keptManifests.flatMap(_.fragments.map(_.file)).toSet ++
+    // change-data-feed files are version-referenced like fragments: a
+    // retained DML commit keeps its pre/post images readable
+    def refs(m: Manifest): Seq[String] =
+      m.fragments.map(_.file) ++ m.changeFiles.getOrElse(Seq.empty).map(_.file)
+    val kept = keptManifests.flatMap(refs).toSet ++
       branchReferencedFiles(fs, root)
-    val dropped = droppedManifests.flatMap(_.fragments.map(_.file)).toSet
+    val dropped = droppedManifests.flatMap(refs).toSet
     // group files are refcounted exactly like fragment files: one
     // referenced by any retained version (or a branch) survives
     val keptGroups = keptManifests.flatMap(_.fragmentGroups.getOrElse(Seq.empty)).toSet ++
@@ -1358,6 +1398,7 @@ object LanceFormat {
         schemaJson = schemaTransform.fold(prev.schemaJson)(t => t(prev.schema).json),
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
+        changeFiles = None,
         constraints = Some(mutate(prev.checkConstraints)).filter(_.nonEmpty))
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
@@ -1627,7 +1668,8 @@ object LanceFormat {
   def removeOrphans(fs: FileSystem, root: Path, graceMs: Long): (Int, Int) = {
     require(graceMs >= 0, "graceMs must be >= 0")
     val manifests = listVersions(fs, root).map(v => readManifest(fs, root, v))
-    val referenced = manifests.flatMap(_.fragments.map(_.file)).toSet ++
+    val referenced = manifests.flatMap(m => m.fragments.map(_.file) ++
+        m.changeFiles.getOrElse(Seq.empty).map(_.file)).toSet ++
       branchReferencedFiles(fs, root)
     val dir = dataPath(root)
     val now = System.currentTimeMillis()

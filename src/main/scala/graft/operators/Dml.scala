@@ -94,6 +94,64 @@ object Dml {
     * intersection with the live manifest; rewritten fragments are
     * uncovered until refreshed, hence scanned, never wrongly pruned).
     */
+  // ---------------------------------------------------- change-data feed
+
+  /** Row-level CDF capture is opt-in (`spark.graft.dml.changeFeed=true`,
+    * Delta's enableChangeDataFeed posture): recording exact pre/post
+    * images costs one extra write of the MATCHED rows per DML commit —
+    * cost ∝ the change, never the table — and buys downstream consumers
+    * row-granular replay instead of whole-fragment delete+insert
+    * amplification through `lance_changes` / the streaming CDC mode. */
+  private def cdfEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.dml.changeFeed").exists(_.toBoolean)
+
+  /** Stage row-level change images as `cdf-*.parquet` files in the data
+    * dir under the table's PHYSICAL schema (like fragments — stable
+    * across RENAME). The returned metas ride the DML commit's manifest
+    * via `write.change-files`; a failed write leaves cdf orphans that
+    * [[LanceFormat.removeOrphans]] reclaims after grace, like any staged
+    * file. */
+  private def stageChangeFiles(spark: SparkSession, fs: FileSystem,
+      root: Path, m: Manifest,
+      images: Seq[(String, DataFrame)]): Seq[graft.format.ChangeFileMeta] = {
+    val conf = spark.sessionState.newHadoopConf()
+    images.flatMap { case (kind, df0) =>
+      val ordered = df0.select(m.schema.fieldNames.map(q).toIndexedSeq: _*)
+      val phys =
+        if (m.mapping.isEmpty) ordered
+        else ordered.toDF(m.schema.fieldNames.map(m.physicalName).toIndexedSeq: _*)
+      val tmp = new Path(root, s"_tmp-cdf-${java.util.UUID.randomUUID()}")
+      try {
+        phys.write.mode("overwrite").parquet(tmp.toString)
+        val parts = fs.listStatus(tmp).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        parts.flatMap { st =>
+          val rows = {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }
+          if (rows == 0L) None
+          else {
+            val name = s"cdf-${java.util.UUID.randomUUID()}.parquet"
+            val dataDir = LanceFormat.dataPath(root)
+            fs.mkdirs(dataDir)
+            require(fs.rename(st.getPath, new Path(dataDir, name)),
+              s"could not stage change file $name at $root")
+            Some(graft.format.ChangeFileMeta(name, rows, kind))
+          }
+        }
+      } finally fs.delete(tmp, true)
+    }
+  }
+
+  /** Attach staged change-file metas to a lance rewrite write. */
+  private def withChangeFiles(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      cdf: Seq[graft.format.ChangeFileMeta]) =
+    if (cdf.isEmpty) w
+    else w.option("write.change-files", LanceFormat.serializeChangeFiles(cdf))
+
   private def dmlRefreshKinds(spark: SparkSession): Set[String] =
     spark.conf.getOption("spark.graft.dml.refreshIndexes")
       .map(graft.connector.LanceWrite.parseRefreshKinds(
@@ -297,16 +355,31 @@ object Dml {
     if (matched == 0L)
       return RowLevelResult(m.fragments.size, scope.candidates.size, 0L, 0L, None)
     if (scope.boundaryMatched > 0L) {
+      // opt-in row-level CDF: the deleted images are the covered
+      // fragments' every row plus the touched fragments' matching rows —
+      // without them the feed would amplify the rewrite into
+      // whole-fragment delete+insert pairs
+      val cdf = if (!cdfEnabled(spark)) Seq.empty else {
+        val touchedDel = readFragments(spark, root, m, touched)
+          .filter(coalesce(cond, lit(false)))
+        val deleted =
+          if (covered.isEmpty) touchedDel
+          else readFragments(spark, root, m, covered).unionByName(touchedDel)
+        stageChangeFiles(spark, fs, root, m, Seq("delete" -> deleted))
+      }
       // touched survivors rewritten; covered fragments ride the same
       // commit as pure removals (their ids are replaced by nothing)
-      readFragments(spark, root, m, touched)
+      withChangeFiles(readFragments(spark, root, m, touched)
         .filter(!coalesce(cond, lit(false)))
         .write.format("lance")
-        .option("write.replace-fragments", (covered ++ touched).map(_.id).mkString(","))
+        .option("write.replace-fragments", (covered ++ touched).map(_.id).mkString(",")),
+        cdf)
         .mode("append").save(path)
     } else {
       // every matching row lives in fully-covered fragments: one manifest
-      // commit, zero data files read or written
+      // commit, zero data files read or written — and zero CDF files:
+      // the fragment diff (removed files, nothing added) IS the exact
+      // row-level delete feed for this commit shape
       LanceFormat.commitReplace(fs, root, m.schema, covered.map(_.id).toSet, Seq.empty)
     }
     maybeRefreshIndexes(refreshKinds, path)
@@ -366,16 +439,32 @@ object Dml {
       val replaceIds = (scope.covered ++ scope.touched).map(_.id)
       if (replaceIds.isEmpty) {
         // nothing matches (a NEW day's first run): a scoped overwrite of
-        // an empty range is a plain insert, Delta parity
+        // an empty range is a plain insert, Delta parity — and the
+        // append's fragment diff is already the exact insert feed
         src.write.format("lance").mode("append").save(path)
       } else {
+        // opt-in row-level CDF: the replaced rows (covered fragments
+        // whole + touched fragments' matches) are deletes, the incoming
+        // batch is inserts
+        val cdf = if (!cdfEnabled(spark)) Seq.empty else {
+          val touchedDel =
+            if (scope.touched.isEmpty) src.limit(0)
+            else readFragments(spark, root, m, scope.touched)
+              .filter(coalesce(cond, lit(false)))
+          val deleted =
+            if (scope.covered.isEmpty) touchedDel
+            else readFragments(spark, root, m, scope.covered).unionByName(touchedDel)
+          stageChangeFiles(spark, fs, root, m,
+            Seq("delete" -> deleted, "insert" -> src))
+        }
         val remainder =
           if (scope.touched.isEmpty) src.limit(0)
           else readFragments(spark, root, m, scope.touched)
             .filter(!coalesce(cond, lit(false)))
-        remainder.unionByName(src)
+        withChangeFiles(remainder.unionByName(src)
           .write.format("lance")
-          .option("write.replace-fragments", replaceIds.mkString(","))
+          .option("write.replace-fragments", replaceIds.mkString(",")),
+          cdf)
           .mode("append").save(path)
       }
       maybeRefreshIndexes(refreshKinds, path)
@@ -419,9 +508,26 @@ object Dml {
         case None => q(f.name)
       }
     }
-    readFragments(spark, root, m, touched).select(out.toIndexedSeq: _*)
-      .write.format("lance")
-      .option("write.replace-fragments", touched.map(_.id).mkString(","))
+    // opt-in row-level CDF: pre-image = the matching rows as stored,
+    // post-image = the same rows through the assignments (Delta CDF's
+    // update_preimage/update_postimage contract)
+    val cdf = if (!cdfEnabled(spark)) Seq.empty else {
+      val pre = readFragments(spark, root, m, touched).filter(condSafe)
+      val postCols = m.schema.fields.map { f =>
+        assignments.find(_._1 == f.name) match {
+          case Some((_, e)) => e.cast(f.dataType).as(f.name)
+          case None => q(f.name)
+        }
+      }
+      val post = pre.select(postCols.toIndexedSeq: _*)
+      stageChangeFiles(spark, fs, root, m,
+        Seq("update_preimage" -> pre, "update_postimage" -> post))
+    }
+    withChangeFiles(
+      readFragments(spark, root, m, touched).select(out.toIndexedSeq: _*)
+        .write.format("lance")
+        .option("write.replace-fragments", touched.map(_.id).mkString(",")),
+      cdf)
       .mode("append").save(path)
     maybeRefreshIndexes(refreshKinds, path)
     RowLevelResult(m.fragments.size, cands.size, matched, 0L,
@@ -521,12 +627,27 @@ object Dml {
     // rides by reference and unmatched source rows append alongside
     val touched = cands.filter(f => perFile.contains(nameOf(f)))
     if (touched.isEmpty) {
+      // pure insert: the append's fragment diff IS the exact insert feed
       source.write.format("lance").mode("append").save(path)
     } else {
-      readFragments(spark, root, m, touched).join(source, keys, "left_anti")
-        .unionByName(source)
-        .write.format("lance")
-        .option("write.replace-fragments", touched.map(_.id).mkString(","))
+      // opt-in row-level CDF: matched target rows are update pre-images,
+      // their source replacements post-images, unmatched source = inserts
+      val cdf = if (!cdfEnabled(spark)) Seq.empty else {
+        val target = readFragments(spark, root, m, touched)
+        val pre = target.join(source, keys, "left_semi")
+        val matchedKeys = target.select(keys.map(q): _*).distinct()
+        val post = source.join(matchedKeys, keys, "left_semi")
+        val ins = source.join(matchedKeys, keys, "left_anti")
+        stageChangeFiles(spark, fs, root, m, Seq(
+          "update_preimage" -> pre, "update_postimage" -> post,
+          "insert" -> ins))
+      }
+      withChangeFiles(
+        readFragments(spark, root, m, touched).join(source, keys, "left_anti")
+          .unionByName(source)
+          .write.format("lance")
+          .option("write.replace-fragments", touched.map(_.id).mkString(",")),
+        cdf)
         .mode("append").save(path)
     }
     maybeRefreshIndexes(refreshKinds, path)

@@ -1972,6 +1972,69 @@ object LanceQueries {
       .orderBy(col("lang"))
   }
 
+  /** Row-level CDF for DML (s113, Delta CDF parity): with
+    * `spark.graft.dml.changeFeed=true` a mixed DML batch — DELETE,
+    * UPDATE, MERGE — records exact pre/post images
+    * (delete / insert / update_preimage / update_postimage) in each
+    * commit's manifest, and `lance_changes` serves those instead of
+    * whole-fragment diffs. The gate REPLAYS the feed over the pre-DML
+    * snapshot and aggregates the RECONSTRUCTED rows; the in-gate
+    * require() proves reconstruction equals the live table, and the
+    * oracle hash proves both equal the restated final state. Per-kind
+    * feed counts ride as columns so an amplified (fragment-diff) feed
+    * can never sneak through. CdfSpec pins the per-verb image shapes.
+    */
+  def s113CdfDml(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_cdf")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    o.write.format("lance").mode("overwrite").save(dest)
+    val p = new Path(new java.io.File(dest).getAbsolutePath)
+    val hfs = graft.format.LanceFormat.fileSystem(p, spark.sessionState.newHadoopConf())
+    def version = graft.format.LanceFormat.readLatest(hfs, p).get.version
+    val v0 = version
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      graft.Lance.deleteWhere(spark, dest, "o_orderkey % 10 = 3")
+      graft.Lance.updateWhere(spark, dest, "o_orderkey % 10 = 4",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      val src = spark.createDataFrame(Seq(
+        (1L, -5L, "X", 111.11), (2L, -5L, "X", 111.11),
+        (-1L, -5L, "X", 111.11), (-2L, -5L, "X", 111.11)))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.Lance.upsert(spark, dest, src, Seq("o_orderkey"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val vN = version
+    graft.MetaTvfs.register(spark)
+    val feed = spark.sql(s"SELECT * FROM lance_changes('$dest', $v0, $vN)")
+    // replay: removals keyed by o_orderkey in commit order; keys here are
+    // unique per commit, the standard CDC apply shape
+    val base = spark.read.format("lance")
+      .option("versionAsOf", v0.toString).load(dest)
+    val removed = feed.filter(col("_change_type")
+      .isin("delete", "update_preimage")).select("o_orderkey")
+    val added = feed.filter(col("_change_type")
+        .isin("insert", "update_postimage"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val reconstructed = base.join(removed, Seq("o_orderkey"), "left_anti")
+      .unionByName(added)
+    val live = spark.read.format("lance").load(dest)
+    require(reconstructed.exceptAll(live).isEmpty &&
+      live.exceptAll(reconstructed).isEmpty,
+      "CDF replay must reconstruct the live table exactly")
+    val kinds = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    reconstructed.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("n_delete", lit(kinds.getOrElse("delete", 0L)))
+      .withColumn("n_pre", lit(kinds.getOrElse("update_preimage", 0L)))
+      .withColumn("n_post", lit(kinds.getOrElse("update_postimage", 0L)))
+      .withColumn("n_insert", lit(kinds.getOrElse("insert", 0L)))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def s102RenameColumn(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_rename")
     freshDataset(spark, dest)
@@ -2258,6 +2321,7 @@ object LanceQueries {
     "s100_unique" -> s100Unique,
     "s101_unique_composite" -> s101UniqueComposite,
     "q60_nested_types" -> q60NestedTypes,
+    "s113_cdf_dml" -> s113CdfDml,
     "s102_rename_column" -> s102RenameColumn,
     "s103_scalar_range_prune" -> s103ScalarRangePrune,
     "s104_widen_type" -> s104WidenType,
@@ -2475,6 +2539,29 @@ object LanceQueries {
         | COUNT(DISTINCT source) AS n_sources
         |FROM documents WHERE n_chars >= 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // s113: the reconstructed-from-feed table must equal the final state:
+    // orders minus %10=3, prices doubled on %10=4, keys 1/2 replaced and
+    // -1/-2 inserted by the merge; per-kind feed counts are exact (keys
+    // 1 and 2 exist at every SF — update images = count(%10=4) + the 2
+    // merge matches)
+    "s113_cdf_dml" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 10 <> 3 AND o_orderkey NOT IN (1, 2)
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (1, -5, 'X', 111.11), (2, -5, 'X', 111.11),
+        |    (-1, -5, 'X', 111.11), (-2, -5, 'X', 111.11))
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 3) AS n_delete,
+        | (SELECT COUNT(*) + 2 FROM orders WHERE o_orderkey % 10 = 4) AS n_pre,
+        | (SELECT COUNT(*) + 2 FROM orders WHERE o_orderkey % 10 = 4) AS n_post,
+        | CAST(2 AS BIGINT) AS n_insert
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // s102: the rename moves no rows — the table is exactly orders,
     // read through the new name
     "s102_rename_column" ->
