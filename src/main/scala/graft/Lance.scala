@@ -1281,6 +1281,53 @@ object Lance {
     * joins; the routing rewrite re-tags everything. Mutually exclusive
     * with the z-order [[cluster]] spec. Returns (fragments before, after).
     */
+  /** Re-route every fragment carrying NO bucket tag under the table's
+    * DECLARED layout — the ops verb for bucket-layout evolution.
+    * Re-declaring a spec ([[clusterByBucket]] with new (n, cols), or
+    * `CALL cluster_by_bucket`) clears every stale tag, which is correct
+    * but conservative: the table joins with full shuffles until its
+    * fragments are re-routed, and [[compactSmall]] only packs the small
+    * tail. One `rebucket` reads EXACTLY the untagged fragments (I/O ∝
+    * what needs re-routing — after a re-declaration that is the whole
+    * table; after a rebase adoption or a non-routing writer, just those
+    * fragments), routes them per row under the current spec key-sorted
+    * per bucket, and swaps them in one row-preserving commit; tagged
+    * fragments are untouched. Storage-partitioned joins engage again
+    * once every scanned fragment carries a tag. Returns
+    * (untagged before, untagged after) — after must be 0.
+    */
+  def rebucket(spark: SparkSession, path: String,
+      maxRowsPerFile: Long = 1000000L): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col => c}
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val m = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $path"))
+    val spec = m.bucketBy.getOrElse(throw new IllegalArgumentException(
+      s"no bucket layout declared at $path - declare one first " +
+        "(clusterByBucket / CALL cluster_by_bucket)"))
+    val untagged = m.fragments.filter(_.bucket.isEmpty)
+    if (untagged.isEmpty) return (0, 0)
+    val df = locally {
+      val raw = spark.read.schema(m.physicalSchema)
+        .parquet(untagged.map(f =>
+          graft.format.LanceFormat.fragmentPath(root, f.file).toString): _*)
+      if (m.mapping.isEmpty) raw else raw.toDF(m.schema.fieldNames.toIndexedSeq: _*)
+    }
+    val be = graft.format.BucketHash.bucketColumn(spec.columns, spec.numBuckets)
+    df.repartition(spec.numBuckets, be)
+      .sortWithinPartitions(be +: spec.columns.map(c): _*)
+      .write.format("lance")
+      .option("write.replace-fragments", untagged.map(_.id).mkString(","))
+      .option("write.distribution-mode", "none") // already bucket-laid
+      .option("write.operation", "rewrite") // row-preserving: feeds skip it
+      .option("write.max-rows-per-file", maxRowsPerFile.toString)
+      .mode("append").save(path)
+    val after = graft.format.LanceFormat.readLatest(fs, root)
+      .map(_.fragments.count(_.bucket.isEmpty)).getOrElse(0)
+    (untagged.size, after)
+  }
+
   def clusterByBucket(spark: SparkSession, path: String, cols: Seq[String],
       numBuckets: Int, maxRowsPerFile: Long = 1000000L): (Int, Int) = {
     import org.apache.spark.sql.functions._

@@ -393,8 +393,8 @@ object LanceCatalog {
       "rebase_branch",
       "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
       "rename_column", "widen_column",
-      "add_unique", "clone_table", "cluster_by_bucket", "analyze_table",
-      "set_bloom_filters", "optimize", "fsck")
+      "add_unique", "clone_table", "cluster_by_bucket", "rebucket",
+      "analyze_table", "set_bloom_filters", "optimize", "fsck")
 }
 
 private[catalog] object LanceProcedure {
@@ -443,6 +443,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "vacuum" => "drop old versions and reclaim fragment files only they referenced (older_than_ms pins young versions)"
     case "cluster" => "Z-order rewrite so manifest stats prune on every listed column"
     case "cluster_by_bucket" => "hash-bucket rewrite (bucket(n, cols)): co-bucketed tables join shuffle-free (storage-partitioned join); empty cols clears the layout"
+    case "rebucket" => "re-route untagged fragments under the declared bucket layout (I/O proportional to what needs re-routing); storage-partitioned joins engage again once every fragment is tagged"
     case "set_bloom_filters" => "declare parquet bloom-filter columns: future fragments carry per-row-group membership proofs for =/IN point lookups; empty cols clears"
     case "optimize" => "one scheduled maintenance run: compact the small-fragment tail, refresh index sidecars (stale ones reported, never silently rebuilt), re-analyze previously analyzed columns, optionally vacuum"
     case "fsck" => "read-only metadata integrity check: referenced files exist at their recorded sizes, schema/rule/layout declarations agree, index sidecars load and never claim a version ahead of the table"
@@ -491,6 +492,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("cols", StringType)
         .comment("comma-separated key columns; empty clears the layout").build(),
       in("num_buckets", IntegerType).defaultValue("16").build())
+    case "rebucket" => Array(in("table", StringType).build(),
+      in("max_rows_per_file", LongType).defaultValue("1000000").build())
     case "set_bloom_filters" => Array(in("table", StringType).build(),
       in("cols", StringType)
         .comment("comma-separated columns; empty clears the declaration").build())
@@ -609,6 +612,11 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           input.getInt(2))
         (new StructType().add("fragments_before", IntegerType, nullable = false)
           .add("fragments_after", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](before, after)))
+      case "rebucket" =>
+        val (before, after) = graft.Lance.rebucket(spark, path, input.getLong(1))
+        (new StructType().add("untagged_before", IntegerType, nullable = false)
+          .add("untagged_after", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](before, after)))
       case "set_bloom_filters" =>
         val cols = input.getUTF8String(1).toString.split(',')

@@ -650,4 +650,70 @@ class SpjSpec extends AnyFunSuite {
     }
     assert(spark.read.format("lance").load(dir).count() == 460)
   }
+
+  test("bucket evolution: re-declare, then CALL rebucket restores shuffle-free joins") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.rbk", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.rbk.warehouse", wh)
+    try {
+      val left = s"$wh/db/facts"
+      val right = s"$wh/db/dims"
+      spark.range(0, 5000)
+        .select(pmod(col("id") * 937, lit(1000)).as("k"), col("id").as("amount"))
+        .repartition(4).write.format("lance").mode("overwrite").save(left)
+      spark.range(0, 1000)
+        .select(col("id").as("k"), concat(lit("g"), pmod(col("id"), lit(7))).as("grp"))
+        .repartition(4).write.format("lance").mode("overwrite").save(right)
+      Lance.clusterByBucket(spark, left, Seq("k"), numBuckets = 4)
+      Lance.clusterByBucket(spark, right, Seq("k"), numBuckets = 4)
+
+      def q: DataFrame = spark.sql(
+        """SELECT f.k, f.amount, d.grp
+          |FROM rbk.db.facts f JOIN rbk.db.dims d ON f.k = d.k""".stripMargin)
+      val expected = q.collect().map(_.toSeq).toSet
+
+      // DECLARE-only evolution to n=8 (the realistic window: the spec
+      // changed, nothing re-routed yet) — every tag clears, SPJ withdraws
+      Seq(left, right).foreach(p =>
+        LanceFormat.commitBucketBy(fs(p), new Path(p), 8, Seq("k")))
+      assert(manifest(left).fragments.forall(_.bucket.isEmpty))
+      withSpjConfs {
+        // correct, but shuffling (conservative degradation)
+        assert(q.collect().map(_.toSeq).toSet == expected)
+      }
+
+      // one maintenance call per table re-routes ALL untagged fragments
+      val r = spark.sql("CALL rbk.rebucket('db.facts')").collect()(0)
+      assert(r.getInt(0) > 0 && r.getInt(1) == 0,
+        s"rebucket must clear the untagged set: $r")
+      val r2 = spark.sql("CALL rbk.rebucket('db.dims')").collect()(0)
+      assert(r2.getInt(1) == 0)
+      assertPure(left); assertPure(right)
+
+      // SPJ engages again: zero exchange under either join side
+      withSpjConfs {
+        val df = q
+        assert(df.collect().map(_.toSeq).toSet == expected)
+        val joins = joinNodes(df.queryExecution.executedPlan)
+        assert(joins.nonEmpty, df.queryExecution.executedPlan.toString)
+        joins.foreach(_.children.foreach { side =>
+          assert(!hasShuffleBelow(side) && !side.isInstanceOf[ShuffleExchangeLike],
+            s"exchange under a join side after rebucket:\n$side")
+        })
+      }
+
+      // idempotent: nothing left to route
+      val r3 = spark.sql("CALL rbk.rebucket('db.facts')").collect()(0)
+      assert(r3.getInt(0) == 0 && r3.getInt(1) == 0)
+      // no declared layout → refuse loudly
+      val bare = s"$wh/db/bare"
+      spark.range(0, 10).select(col("id").as("k"))
+        .write.format("lance").mode("overwrite").save(bare)
+      val e = intercept[Exception] { Lance.rebucket(spark, bare) }
+      assert(e.getMessage.contains("no bucket layout"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.rbk")
+      spark.conf.unset("spark.sql.catalog.rbk.warehouse")
+    }
+  }
 }
