@@ -208,8 +208,20 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
       LanceFormat.readLatest(fs, root).foreach { m =>
         out.put("lance.version", m.version.toString)
         m.clusterBy.foreach(cs => out.put("lance.cluster-by", cs.mkString(",")))
-        m.bucketBy.foreach(b => out.put("lance.bucket-by",
-          s"${b.numBuckets}:${b.columns.mkString(",")}"))
+        m.bucketBy.foreach { b =>
+          out.put("lance.bucket-by",
+            s"${b.numBuckets}:${b.columns.mkString(",")}")
+          // surface the composite-key SPJ downgrade where a SQL user
+          // looks first: routing/purity/pruning hold for any key width,
+          // but Spark's KeyGroupedPartitioning admits only unary
+          // transforms, so multi-column specs join through the exchange
+          out.put("lance.bucket-by.storage-partitioned-join",
+            if (b.columns.size == 1) "available"
+            else s"unavailable: composite key (${b.columns.size} columns) - " +
+              "Spark KeyGroupedPartitioning admits single-column bucket " +
+              "transforms only; joins shuffle (routing, purity and bucket " +
+              "pruning still apply)")
+        }
         m.bloomFilters.foreach(bs =>
           out.put("lance.bloom-filters", bs.mkString(",")))
         m.checkConstraints.foreach { case (n, e) =>
@@ -637,8 +649,15 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
   override def description(): String = {
     val prune = pruneInfo.map { case (k, t) =>
       s", LanceFragments: $k/$t after driver-side pruning" }.getOrElse("")
-    val bucket = manifest.flatMap(_.bucketBy).map(b =>
-      s", BucketBy: ${b.columns.mkString(",")} x${b.numBuckets}").getOrElse("")
+    // a user who declared bucket(n, a, b) and sees a shuffle should learn
+    // WHY from .explain, not a debugger: composite keys keep routing,
+    // purity and bucket pruning, but Spark's KeyGroupedPartitioning
+    // admits only unary transforms, so the join-side claim is withdrawn
+    val bucket = manifest.flatMap(_.bucketBy).map { b =>
+      val spj = if (b.columns.size == 1) ""
+        else " (composite key: no storage-partitioned join)"
+      s", BucketBy: ${b.columns.mkString(",")} x${b.numBuckets}$spj"
+    }.getOrElse("")
     super.description() + prune + bucket
   }
 

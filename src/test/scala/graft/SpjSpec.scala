@@ -249,6 +249,25 @@ class SpjSpec extends AnyFunSuite {
     withSpjConfs {
       assert(q.collect().map(_.toSeq).toSet == expected)
     }
+    // the downgrade is VISIBLE, not silent: .explain names it on the scan
+    val planText = spark.read.format("lance").load(left)
+      .queryExecution.executedPlan.toString
+    assert(planText.contains("composite key: no storage-partitioned join"),
+      s"composite-key downgrade missing from .explain:\n$planText")
+    // ... and SHOW TBLPROPERTIES says why joins shuffle
+    val props = spark.sql("SHOW TBLPROPERTIES spj2.db.l2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("lance.bucket-by.storage-partitioned-join")
+      .exists(_.startsWith("unavailable: composite key")), props.toString)
+    // a single-key table reports available
+    val single = s"$wh/db/single"
+    spark.range(0, 100).select(col("id").as("k"))
+      .write.format("lance").mode("overwrite").save(single)
+    Lance.clusterByBucket(spark, single, Seq("k"), numBuckets = 4)
+    val props1 = spark.sql("SHOW TBLPROPERTIES spj2.db.single").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props1.get("lance.bucket-by.storage-partitioned-join")
+      .contains("available"), props1.toString)
   }
 
   test("one side bucketed: v2 bucketing shuffle re-buckets only the other side") {
