@@ -488,6 +488,16 @@ object Relational {
     * `right` must be deterministic per (key, rightTime) — dedup first if
     * the source can carry same-timestamp duplicates (any engine's asof
     * is nondeterministic there otherwise).
+    *
+    * Skew: the window runs a RUNNING frame (incremental state, no
+    * full-partition buffering), but one hot key still lands in one task
+    * — the same exposure as any keyed window. If a single key dominates
+    * (one user holds most events), split its time range first and union,
+    * or accept the straggler; results are identical either way.
+    *
+    * Tolerance boundary: a right row at EXACTLY `leftTime - tolerance`
+    * is KEPT (`>=`); anything older nulls out — pandas merge_asof's
+    * inclusive contract, pinned in RelationalSpec.
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String,

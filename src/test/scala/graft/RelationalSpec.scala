@@ -207,6 +207,39 @@ class RelationalSpec extends AnyFunSuite {
       Seq((1L, 10L, 100.0), (1L, 20L, null), (2L, 5L, null)))
   }
 
+  test("asofJoin: exact tolerance boundary kept; hot key correct under the running frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit, sum => fsum}
+    // boundary: a right row at EXACTLY leftTime - tolerance qualifies
+    // (inclusive, pandas merge_asof contract); one tick older nulls out
+    val left = Seq((1L, 20L), (2L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 17L, 17.0), (2L, 16L, 16.0)).toDF("k", "t", "v")
+    val out = operators.Relational.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("v"), tolerance = Some("3")).orderBy(col("k"))
+      .select("k", "asof_v").collect()
+    assert(out(0).getLong(0) == 1L && out(0).getDouble(1) == 17.0,
+      "match at exactly leftTime - tolerance must be kept")
+    assert(out(1).getLong(0) == 2L && out(1).isNullAt(1),
+      "match one tick older than the tolerance must null out")
+
+    // hot key: ONE key holds every row (the single-user-with-most-events
+    // shape). The running frame stays incremental - correct and bounded,
+    // if serial for that key. Expected value is closed-form: latest
+    // right at-or-before t is floor(t/10)*10.
+    val n = 50000L
+    val hotLeft = spark.range(0, n).select(lit(1L).as("k"), col("id").as("t"))
+    val hotRight = spark.range(0, n / 10).select(lit(1L).as("k"),
+      (col("id") * 10).as("t"), (col("id") * 10).cast("double").as("v"))
+    val hot = operators.Relational.asofJoin(hotLeft, hotRight, Seq("k"),
+      "t", "t", Seq("v"))
+    val gotSum = hot.agg(fsum(col("asof_v"))).head.getDouble(0)
+    val wantSum = hotLeft
+      .select((floor(col("t") / 10) * 10).cast("double").as("e"))
+      .agg(fsum(col("e"))).head.getDouble(0)
+    assert(gotSum == wantSum, s"hot-key asof drifted: $gotSum vs $wantSum")
+    assert(hot.count() == n)
+  }
+
   test("rangeJoin: inclusive bounds, overlap without duplicates, no nested loop") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
