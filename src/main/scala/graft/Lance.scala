@@ -912,6 +912,51 @@ object Lance {
     widenColumnType(spark, path, column,
       org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(newTypeDdl))
 
+  /** ALTER TABLE ADD COLUMN, optionally with a constant DEFAULT (Iceberg
+    * v3 initial-default semantics): one metadata commit, zero data
+    * rewritten. Fragments that PHYSICALLY lack the column — everything
+    * written before the ADD, plus later writes that omit it via
+    * merge-schema — read the default on every scan (Spark's
+    * `EXISTS_DEFAULT` field-metadata contract, which the parquet readers
+    * fill for missing columns); a fragment that stored an explicit NULL
+    * still reads NULL. Without a default, old fragments read NULL as
+    * before. Also reachable as SQL
+    * `ALTER TABLE lance.db.t ADD COLUMN c BIGINT DEFAULT 42`.
+    * Returns the committing version.
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None): Long = {
+    import graft.format.LanceFormat
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val m = LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $path"))
+    require(!m.schema.fieldNames.contains(name),
+      s"column '$name' already exists at $path")
+    require(!m.dropped.contains(name),
+      s"column '$name' was previously DROPPED and old fragments still hold " +
+        "its data - re-adding the name would resurrect those values " +
+        "(rewrite the table first, e.g. compact)")
+    require(!m.mapping.values.exists(_ == name),
+      s"column name '$name' is the PHYSICAL name of a renamed column - old " +
+        "fragments hold its bytes; pick another name")
+    val md = default.map(LanceFormat.defaultMetadata(name, dataType, _))
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    val merged = LanceFormat.mergeSchemas(m.schema,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true, metadata = md))))
+    LanceFormat.commitAppend(fs, root, merged, Seq.empty).version
+  }
+
+  /** [[addColumn]] with the type as DDL text ("bigint", "string", ...). */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataTypeDdl: String, default: Option[String]): Long =
+    addColumn(spark, path, name,
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(dataTypeDdl),
+      default)
+
   /** Drop a CHECK constraint. Returns whether it existed. */
   def dropConstraint(spark: SparkSession, path: String, name: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)

@@ -63,6 +63,13 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Opt into `ALTER TABLE ... ADD COLUMN c T DEFAULT v` (Spark refuses
+    * the syntax for catalogs that don't declare it). */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def nsPath(ns: Array[String]): Path =
     ns.foldLeft(warehouse)((p, n) => new Path(p, n))
 
@@ -220,9 +227,13 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           s"lance supports adding top-level columns only, got ${add.fieldNames.mkString(".")}")
-        require(add.isNullable,
-          s"added column '${add.fieldNames.head}' must be nullable: existing " +
-            "fragments are immutable and will read NULL for it")
+        // with a DEFAULT, old fragments read the constant (never NULL),
+        // so nullability is the user's choice; without one they read
+        // NULL, so the column must admit it
+        require(add.isNullable || add.defaultValue() != null,
+          s"added column '${add.fieldNames.head}' must be nullable or carry " +
+            "a DEFAULT: existing fragments are immutable and read NULL " +
+            "without one")
         require(!current.dropped.contains(add.fieldNames.head),
           s"column '${add.fieldNames.head}' was previously DROPPED and old " +
             "fragments still hold its data — re-adding the name would " +
@@ -232,8 +243,16 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
         require(!current.mapping.values.exists(_ == add.fieldNames.head),
           s"column name '${add.fieldNames.head}' is the PHYSICAL name of a " +
             "renamed column - old fragments hold its bytes; pick another name")
+        // DEFAULT: validated constant, carried as Spark's own
+        // EXISTS_DEFAULT/CURRENT_DEFAULT schema metadata — every scan
+        // fills it for fragments that physically lack the column
+        val md = Option(add.defaultValue())
+          .map(d => LanceFormat.defaultMetadata(
+            add.fieldNames.head, add.dataType, d.getSql))
+          .getOrElse(org.apache.spark.sql.types.Metadata.empty)
         additions += org.apache.spark.sql.types.StructField(
-          add.fieldNames.head, add.dataType, nullable = true)
+          add.fieldNames.head, add.dataType, nullable = add.isNullable,
+          metadata = md)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           s"lance supports dropping top-level columns only, got ${del.fieldNames.mkString(".")}")

@@ -230,6 +230,8 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
           out.put("lance.column-mapping",
             m.mapping.toSeq.sortBy(_._1)
               .map { case (l, p) => s"$l->$p" }.mkString(","))
+        LanceFormat.columnDefaults(m.schema).foreach { case (c, d) =>
+          out.put(s"lance.default.$c", d) }
       }
     } catch { case _: Exception => () } // DESCRIBE must never fail a read
     out

@@ -2,7 +2,7 @@ package graft.format
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, Metadata, MetadataBuilder, StructType}
 import org.json4s.NoTypeHints
 import org.json4s.jackson.Serialization
 
@@ -404,6 +404,71 @@ object LanceFormat {
         .getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Column DEFAULT support (Iceberg v3 initial-default shape, carried in
+    * Spark's own schema-metadata contract): an added column may declare a
+    * constant SQL literal; fragments that PHYSICALLY lack the column
+    * (pre-ADD, or writes that omitted it) read the default — Spark's
+    * parquet readers fill missing columns from the `EXISTS_DEFAULT`
+    * field metadata — while a fragment that stored an explicit NULL
+    * still reads NULL. No backfill rewrite, one metadata commit. */
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
+
+  /** Validate `defaultSql` as a constant literal castable to `dt` and
+    * return the field metadata that makes every scan honor it. Refused
+    * shapes fail HERE (one loud commit-time error) instead of breaking
+    * every later read. */
+  def defaultMetadata(name: String, dt: DataType, defaultSql: String): Metadata = {
+    val parsed = try
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(defaultSql)
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"DEFAULT for '$name' does not parse: $defaultSql", e) }
+    require(parsed.foldable,
+      s"DEFAULT for '$name' must be a constant literal, got: $defaultSql")
+    val v = try
+      org.apache.spark.sql.catalyst.expressions.Cast(parsed, dt, Some("UTC")).eval()
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"DEFAULT for '$name' cannot cast to ${dt.simpleString}: $defaultSql", e) }
+    require(v != null,
+      s"DEFAULT for '$name' evaluates to NULL - a missing column already " +
+        "reads NULL; drop the DEFAULT instead")
+    new MetadataBuilder()
+      .putString(ExistsDefaultKey, defaultSql)
+      .putString(CurrentDefaultKey, defaultSql).build()
+  }
+
+  /** The declared DEFAULT of each column carrying one (logical name →
+    * SQL literal text) — what SHOW TBLPROPERTIES lists. */
+  def columnDefaults(schema: StructType): Map[String, String] =
+    schema.fields.flatMap(f =>
+      if (f.metadata.contains(ExistsDefaultKey))
+        Some(f.name -> f.metadata.getString(ExistsDefaultKey))
+      else None).toMap
+
+  /** A write schema derived from a DataFrame loses field METADATA (plan
+    * attributes don't carry it), so a data commit built from it would
+    * silently erase the table's declared DEFAULTs — the nullability
+    * lost-update's sibling. Carry the default keys forward from the
+    * previous schema wherever the incoming one lacks them; every data
+    * commit path (append/replace/overwrite) runs through here. */
+  private def mergeColumnDefaults(schema: StructType,
+      prev: Option[StructType]): StructType = prev match {
+    case None => schema
+    case Some(p) =>
+      val byName = p.fields.map(f => f.name -> f).toMap
+      StructType(schema.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(pf) if pf.metadata.contains(ExistsDefaultKey) &&
+              !f.metadata.contains(ExistsDefaultKey) =>
+            f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putString(ExistsDefaultKey, pf.metadata.getString(ExistsDefaultKey))
+              .putString(CurrentDefaultKey, pf.metadata.getString(ExistsDefaultKey))
+              .build())
+          case _ => f
+        }
+      })
+  }
+
   /** Wire form of a DML commit's change-file list — carried through the
     * `write.change-files` write option from the DML verb (which staged
     * the files and knows the row images) to the connector commit. */
@@ -520,8 +585,10 @@ object LanceFormat {
         newFragments.zipWithIndex.map { case (f, i) => f.copy(id = nextId + i) },
         routedBucketSpec, prev)
       val rules = prev.flatMap(_.constraints)
-      val named = mergeWidenedTypes(mergeLogicalNames(schema,
-        prev.flatMap(_.columnMapping).getOrElse(Map.empty)), prev.map(_.schema))
+      val named = mergeColumnDefaults(
+        mergeWidenedTypes(mergeLogicalNames(schema,
+          prev.flatMap(_.columnMapping).getOrElse(Map.empty)), prev.map(_.schema)),
+        prev.map(_.schema))
       val m = Manifest(
         version = prev.map(_.version).getOrElse(0L) + 1,
         schemaJson = mergeDeclaredNullability(named, rules).json,
@@ -648,8 +715,9 @@ object LanceFormat {
       val m = Manifest(
         version = prev.version + 1,
         schemaJson = mergeDeclaredNullability(
-          mergeWidenedTypes(mergeLogicalNames(schema, prev.mapping),
-            Some(prev.schema)), prev.constraints).json,
+          mergeColumnDefaults(
+            mergeWidenedTypes(mergeLogicalNames(schema, prev.mapping),
+              Some(prev.schema)), Some(prev.schema)), prev.constraints).json,
         fragments = kept ++ renumbered,
         epochId = epochId.orElse(prev.epochId),
         committedAtMs = System.currentTimeMillis(),
@@ -696,8 +764,10 @@ object LanceFormat {
       // NULL does: the new (narrower-encoded) files read correctly
       // through it, and silently narrowing a declared type back would be
       // the nullability lost-update's sibling
-      val named = mergeWidenedTypes(mergeLogicalNames(schema,
-        prev.flatMap(_.columnMapping).getOrElse(Map.empty)),
+      val named = mergeColumnDefaults(
+        mergeWidenedTypes(mergeLogicalNames(schema,
+          prev.flatMap(_.columnMapping).getOrElse(Map.empty)),
+          prev.map(_.schema)),
         prev.map(_.schema))
       val m = Manifest(
         version = prev.map(_.version).getOrElse(0L) + 1,

@@ -2035,6 +2035,37 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DEFAULT values for added columns (s114, Iceberg v3 initial-default):
+    * `addColumn(..., default)` is one metadata commit; fragments written
+    * BEFORE the ADD read the constant on every scan (Spark's
+    * EXISTS_DEFAULT metadata contract — the parquet readers fill missing
+    * columns), later fragments carry explicit values, and a DML UPDATE
+    * through the defaulted column matches the filled value and
+    * materializes real bytes. DefaultColumnSpec pins the refusal edges
+    * (non-constant / non-castable / NULL defaults) and the SQL ALTER
+    * surface.
+    */
+  def s114DefaultColumn(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_default")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.addColumn(spark, dest, "src",
+      org.apache.spark.sql.types.StringType, Some("'legacy'"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .withColumn("src", lit("fresh"))
+      .write.format("lance").mode("append").save(dest)
+    // DML through the defaulted column: old rows MATCH the filled value
+    graft.Lance.updateWhere(spark, dest, "src = 'legacy' AND o_orderkey % 10 = 0",
+      Map("src" -> "'migrated'"))
+    spark.read.format("lance").load(dest)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("src"))
+  }
+
   def s102RenameColumn(spark: SparkSession, dir: String): DataFrame = {
     val dest = scratch(dir, "orders_rename")
     freshDataset(spark, dest)
@@ -2322,6 +2353,7 @@ object LanceQueries {
     "s101_unique_composite" -> s101UniqueComposite,
     "q60_nested_types" -> q60NestedTypes,
     "s113_cdf_dml" -> s113CdfDml,
+    "s114_default_column" -> s114DefaultColumn,
     "s102_rename_column" -> s102RenameColumn,
     "s103_scalar_range_prune" -> s103ScalarRangePrune,
     "s104_widen_type" -> s104WidenType,
@@ -2562,6 +2594,16 @@ object LanceQueries {
         | (SELECT COUNT(*) + 2 FROM orders WHERE o_orderkey % 10 = 4) AS n_post,
         | CAST(2 AS BIGINT) AS n_insert
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // s114: evens read the default 'legacy' (then %10=0 migrated by the
+    // UPDATE, which matched the FILLED value), odds carry explicit 'fresh'
+    "s114_default_column" ->
+      """SELECT src, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'fresh'
+        |                  WHEN o_orderkey % 10 = 0 THEN 'migrated'
+        |                  ELSE 'legacy' END AS src, o_totalprice
+        |      FROM orders)
+        |GROUP BY src ORDER BY src""".stripMargin,
     // s102: the rename moves no rows — the table is exactly orders,
     // read through the new name
     "s102_rename_column" ->
