@@ -231,6 +231,17 @@ object Lance {
       keys: Seq[String]): graft.operators.Dml.RowLevelResult =
     graft.operators.Dml.upsert(spark, path, source, keys)
 
+  /** CDC apply: keyed upserts AND deletes from one change batch, ONE
+    * atomic commit (Delta's `foreachBatch` merge-with-deletes).
+    * `deleteWhen` evaluates per source row — e.g.
+    * `col("_change_type") === "delete"` to apply a [[read]]-CDC or
+    * `lance_changes` feed downstream. See
+    * [[graft.operators.Dml.applyChanges]]. */
+  def applyChanges(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], deleteWhen: org.apache.spark.sql.Column)
+      : graft.operators.Dml.RowLevelResult =
+    graft.operators.Dml.applyChanges(spark, path, source, keys, deleteWhen)
+
   /** Random row access — Lance's hallmark `take`: fetch rows by GLOBAL
     * row id without a table scan. The id space is the manifest's fragment
     * order × within-file row order (exactly Lance's address-style row
@@ -978,6 +989,51 @@ object Lance {
       .map(_.checkConstraints).getOrElse(Map.empty)
   }
 
+  /** Set free-form TABLE PROPERTIES (Delta TBLPROPERTIES shape): one
+    * metadata commit, merged over the current map (concurrent edits
+    * compose — see [[graft.format.LanceFormat.commitProperties]]).
+    * Keys under the reserved `lance.` / `graft.` namespaces are refused
+    * here — those name manifest-backed declarations (cluster spec,
+    * constraints, materialized-view bookkeeping) that only their own
+    * APIs may change. Returns the committed version. */
+  def setProperties(spark: SparkSession, path: String,
+      props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setProperties: empty map")
+    props.keys.foreach { k =>
+      require(k.nonEmpty && !k.startsWith("lance.") && !k.startsWith("graft."),
+        s"property key '$k' is in a reserved namespace (lance.*/graft.*)")
+    }
+    props.values.foreach(v => require(v != null,
+      "null property value: use unsetProperties to remove a key"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.commitProperties(fs, root, props).version
+  }
+
+  /** Remove table properties by key (missing keys are a no-op within the
+    * commit; reserved namespaces refused like [[setProperties]]).
+    * Returns the committed version. */
+  def unsetProperties(spark: SparkSession, path: String,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "unsetProperties: no keys")
+    keys.foreach { k =>
+      require(k.nonEmpty && !k.startsWith("lance.") && !k.startsWith("graft."),
+        s"property key '$k' is in a reserved namespace (lance.*/graft.*)")
+    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.commitProperties(fs, root,
+      keys.map(_ -> (null: String)).toMap).version
+  }
+
+  /** The table's free-form properties (current version). */
+  def tableProperties(spark: SparkSession, path: String): Map[String, String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.readLatest(fs, root)
+      .flatMap(_.properties).getOrElse(Map.empty)
+  }
+
   /** Create an append-only branch from a committed version (default:
     * latest) — O(one manifest copy), never a data copy. Write to it with
     * `df.write.format("lance").option("write.branch", name)`, read with
@@ -1061,7 +1117,9 @@ object Lance {
     val latest = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
       throw new IllegalStateException(s"no dataset at $path"))
     if (latest.fragments.map(_.file) == target.fragments.map(_.file) &&
-        latest.schemaJson == target.schemaJson)
+        latest.schemaJson == target.schemaJson &&
+        latest.constraints == target.constraints &&
+        latest.properties == target.properties)
       return (version, latest.version) // already that state: commit nothing
     val missing = target.fragments.filterNot(f =>
       fs.exists(graft.format.LanceFormat.fragmentPath(root, f.file)))
@@ -1090,6 +1148,9 @@ object Lance {
       clusterBy = target.clusterBy,
       bucketBy = target.bucketBy,
       bloomFilters = target.bloomFilters,
+      // whole-state posture, like constraints: properties set after the
+      // target version describe data being undone
+      properties = target.properties,
       fragmentGroups = target.fragmentGroups)
     val committed = graft.format.LanceFormat.commit(fs, root, m)
     (version, committed.version)
@@ -1151,7 +1212,8 @@ object Lance {
         columnMapping = src.columnMapping,
         clusterBy = src.clusterBy,
         bucketBy = src.bucketBy,
-        bloomFilters = src.bloomFilters))
+        bloomFilters = src.bloomFilters,
+        properties = src.properties))
     committed.version
   }
 

@@ -232,6 +232,10 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
               .map { case (l, p) => s"$l->$p" }.mkString(","))
         LanceFormat.columnDefaults(m.schema).foreach { case (c, d) =>
           out.put(s"lance.default.$c", d) }
+        // free-form user / MV-bookkeeping properties, verbatim (keys
+        // can't collide with the lance.* rows — that namespace is
+        // refused by the set API)
+        m.properties.foreach(_.foreach { case (k, v) => out.put(k, v) })
       }
     } catch { case _: Exception => () } // DESCRIBE must never fail a read
     out
@@ -1217,6 +1221,14 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     private val changeFiles = Option(info.options.get("write.change-files"))
       .map(LanceFormat.parseChangeFiles).getOrElse(Seq.empty)
 
+    // table-property mutation landing IN the data commit (JSON map,
+    // null-valued keys unset): what makes a materialized-view refresh
+    // atomic — the refreshed rows and the new `graft.mv.source-version`
+    // watermark publish in one manifest, so a crash can never separate
+    // them (a separated pair would double-apply the delta on re-run)
+    private val setProps = Option(info.options.get("write.set-properties"))
+      .map(LanceFormat.parseProperties).getOrElse(Map.empty[String, String])
+
     override def toBatch: BatchWrite = {
       branch.foreach { b =>
         require(!overwrite && replaceFragments.isEmpty,
@@ -1231,7 +1243,8 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
         "write.change-files rides a replace-fragments (DML rewrite) commit only")
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         epochId, collectStats, mergeSchema, replaceFragments, rowPreserving,
-        refreshIndexes, branch, refreshStats, overwriteFilters, changeFiles)
+        refreshIndexes, branch, refreshStats, overwriteFilters, changeFiles,
+        setProps)
     }
     // delta-refresh the dataset's persisted indexes after the commit
     // ('all' or a comma list of scalar|fts|ivf) — streaming epochs and
@@ -1272,7 +1285,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     branch: Option[String] = None,
     refreshStats: Boolean = false,
     overwriteFilters: Option[Seq[sources.Filter]] = None,
-    changeFiles: Seq[graft.format.ChangeFileMeta] = Seq.empty) extends BatchWrite {
+    changeFiles: Seq[graft.format.ChangeFileMeta] = Seq.empty,
+    setProperties: Map[String, String] = Map.empty) extends BatchWrite {
 
   // the (physical-name) bucket spec the task writers routed and tagged
   // under, captured at factory-build time; the commit loops compare it
@@ -1388,7 +1402,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
         val (committedO, _) = LanceFormat.commitReplace(fs, root, outSchema,
           replaced, frags, epochId, operation = "replace",
           routedBucketSpec = Some(routedBucketSpec),
-          failIfNewMatching = overwriteGuard)
+          failIfNewMatching = overwriteGuard,
+          setProperties = setProperties)
         LanceWrite.verifyConstraintsPostCommit(root, fs, outSchema, frags,
           enforced, committedO,
           baseFragments = prevM.map(_.fragments).getOrElse(Seq.empty))
@@ -1435,7 +1450,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
         replaceFragments.get, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "replace",
         routedBucketSpec = Some(routedBucketSpec),
-        changeFiles = changeFiles)
+        changeFiles = changeFiles,
+        setProperties = setProperties)
       if (!rowPreserving)
         LanceWrite.verifyConstraintsPostCommit(root, fs, replaceSchema, frags,
           enforced, committedR,
@@ -1513,10 +1529,12 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     val committed =
       if (overwrite) LanceFormat.commitOverwrite(fs, root, widenedSchema, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "overwrite",
-        routedBucketSpec = Some(routedBucketSpec))
+        routedBucketSpec = Some(routedBucketSpec),
+        setProperties = setProperties)
       else LanceFormat.commitAppendIn(fs, lineageDir, widenedSchema, frags, epochId,
         routedBucketSpec = Some(routedBucketSpec),
-        failIfNewMatching = overwriteGuard)
+        failIfNewMatching = overwriteGuard,
+        setProperties = setProperties)
     // rules added concurrently with this write are re-proven against the
     // batch the moment its manifest lands (branch lineages skip it: their
     // rule set is the fork-time copy, static under main-side edits)

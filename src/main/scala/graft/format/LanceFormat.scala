@@ -106,6 +106,16 @@ case class Manifest(
     // PER-COMMIT state: metadata commits must never carry it forward,
     // and readers consult it only on 'replace'-operation commits.
     changeFiles: Option[Seq[ChangeFileMeta]] = None,
+    // generic TABLE PROPERTIES (Delta TBLPROPERTIES / Iceberg table
+    // properties): free-form key→value pairs carried through every
+    // commit kind like constraints. User keys via [[graft.Lance.
+    // setProperties]] (reserved `lance.` / `graft.` prefixes refused
+    // there); internal consumers (materialized-view bookkeeping under
+    // `graft.mv.*`) write through [[LanceFormat.commitProperties]] or
+    // atomically alongside a data commit via the
+    // `write.set-properties` write option. Surfaced read-side in
+    // SHOW TBLPROPERTIES alongside the lance.* declarations.
+    properties: Option[Map[String, String]] = None,
     // TWO-LEVEL manifest (set by the commit path once the fragment list
     // outgrows [[LanceFormat.inlineFragmentThreshold]]): the on-disk
     // manifest carries only these content-addressed group-file names
@@ -472,6 +482,13 @@ object LanceFormat {
   /** Wire form of a DML commit's change-file list — carried through the
     * `write.change-files` write option from the DML verb (which staged
     * the files and knows the row images) to the connector commit. */
+  /** `write.set-properties` option codec (JSON object; null values mean
+    * UNSET — see [[mergeProperties]]). */
+  def serializeProperties(props: Map[String, String]): String =
+    Serialization.write(props)
+  def parseProperties(s: String): Map[String, String] =
+    Serialization.read[Map[String, String]](s)
+
   def serializeChangeFiles(cfs: Seq[ChangeFileMeta]): String =
     Serialization.write(cfs)
   def parseChangeFiles(s: String): Seq[ChangeFileMeta] =
@@ -558,9 +575,10 @@ object LanceFormat {
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
       publisher: Option[ManifestPublisher] = None,
       streamEpoch: Option[(String, Long)] = None,
-      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None): Manifest =
+      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
+      setProperties: Map[String, String] = Map.empty): Manifest =
     commitAppendIn(fs, versionsPath(root), schema, newFragments, epochId,
-      publisher, streamEpoch, routedBucketSpec)
+      publisher, streamEpoch, routedBucketSpec, setProperties = setProperties)
 
   /** Append into a specific lineage dir (`_versions` or a branch).
     * `routedBucketSpec`: the (physical-name) bucket spec the task writers
@@ -574,7 +592,8 @@ object LanceFormat {
       publisher: Option[ManifestPublisher] = None,
       streamEpoch: Option[(String, Long)] = None,
       routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
-      failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None): Manifest = {
+      failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None,
+      setProperties: Map[String, String] = Map.empty): Manifest = {
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatestIn(fs, dir)
@@ -603,6 +622,7 @@ object LanceFormat {
         clusterBy = prev.flatMap(_.clusterBy),
         bucketBy = prev.flatMap(_.bucketBy),
         bloomFilters = prev.flatMap(_.bloomFilters),
+        properties = mergeProperties(prev.flatMap(_.properties), setProperties),
         // chunk-reuse hint for packForWrite: the untouched prefix keeps
         // its content-addressed names without re-serializing
         fragmentGroups = prev.flatMap(_.fragmentGroups))
@@ -660,6 +680,7 @@ object LanceFormat {
         // bloom columns are independent: a DROPPED one self-heals out
         bloomFilters = prev.bloomFilters
           .map(_.filter(schema.fieldNames.contains)).filter(_.nonEmpty),
+        properties = prev.properties,
         fragmentGroups = prev.fragmentGroups)
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
@@ -688,7 +709,8 @@ object LanceFormat {
       operation: String = "replace",
       routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
       failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None,
-      changeFiles: Seq[ChangeFileMeta] = Seq.empty): (Manifest, Long) = {
+      changeFiles: Seq[ChangeFileMeta] = Seq.empty,
+      setProperties: Map[String, String] = Map.empty): (Manifest, Long) = {
     changeFiles.foreach(c => require(ChangeFileMeta.Kinds.contains(c.kind),
       s"unknown change-file kind '${c.kind}'"))
     require(removedIds.nonEmpty, "commitReplace needs at least one fragment to remove")
@@ -732,6 +754,7 @@ object LanceFormat {
         bucketBy = prev.bucketBy,
         bloomFilters = prev.bloomFilters,
         changeFiles = Some(changeFiles).filter(_.nonEmpty),
+        properties = mergeProperties(prev.properties, setProperties),
         fragmentGroups = prev.fragmentGroups)
       if (commitOnce(fs, root, m, publisher)) return (m, removedRows)
       attempt += 1
@@ -750,7 +773,8 @@ object LanceFormat {
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
       operation: String = "overwrite",
       streamEpoch: Option[(String, Long)] = None,
-      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None): Manifest = {
+      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
+      setProperties: Map[String, String] = Map.empty): Manifest = {
     // prev is re-read INSIDE the retry loop: a concurrent add/drop
     // constraint (or another metadata commit) landing between a single
     // upfront read and the publish would have its rule set silently
@@ -797,7 +821,8 @@ object LanceFormat {
         bucketBy = prev.flatMap(_.bucketBy)
           .filter(_.columns.forall(named.fieldNames.contains)),
         bloomFilters = prev.flatMap(_.bloomFilters)
-          .map(_.filter(named.fieldNames.contains)).filter(_.nonEmpty))
+          .map(_.filter(named.fieldNames.contains)).filter(_.nonEmpty),
+        properties = mergeProperties(prev.flatMap(_.properties), setProperties))
       if (commitOnce(fs, root, m, None)) return m
       attempt += 1
     }
@@ -1446,6 +1471,46 @@ object LanceFormat {
       if (declared(f.name) && f.nullable) f.copy(nullable = false) else f))
   }
 
+  /** Overlay a property mutation onto the previous map inside a commit
+    * retry loop: `null`-valued entries UNSET their key (so one mutation
+    * can set and clear in a single commit); everything else overwrites.
+    * Re-merged per attempt against the re-read prev — two concurrent
+    * property commits compose instead of losing one (the constraints
+    * lost-update posture). */
+  private[graft] def mergeProperties(prev: Option[Map[String, String]],
+      mutation: Map[String, String]): Option[Map[String, String]] = {
+    if (mutation.isEmpty) prev
+    else {
+      val (unsets, sets) = mutation.partition(_._2 == null)
+      Some(prev.getOrElse(Map.empty) -- unsets.keys ++ sets).filter(_.nonEmpty)
+    }
+  }
+
+  /** Metadata-only table-properties commit ([[graft.Lance.setProperties]]
+    * facade; internal `graft.mv.*` bookkeeping). Same retry/merge shape
+    * as [[commitConstraints]]: the mutation applies to the rev-read
+    * CURRENT map each attempt, so concurrent property edits compose. */
+  def commitProperties(fs: FileSystem, root: Path,
+      mutation: Map[String, String],
+      publisher: Option[ManifestPublisher] = None): Manifest = {
+    require(mutation.nonEmpty, "empty property mutation")
+    var attempt = 0
+    while (attempt < 20) {
+      val prev = readLatest(fs, root).getOrElse(
+        throw new IllegalStateException(s"no dataset at $root"))
+      val m = prev.copy(
+        version = prev.version + 1,
+        committedAtMs = System.currentTimeMillis(),
+        operation = Some("alter"),
+        changeFiles = None,
+        properties = mergeProperties(prev.properties, mutation))
+      if (commitOnce(fs, root, m, publisher)) return m
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit properties after $attempt attempts at $root")
+  }
+
   /** Metadata-only constraints change: `mutate` transforms the CURRENT
     * rule set inside the retry loop — re-deriving per attempt is what
     * keeps two concurrent add/drop_constraint calls from silently losing
@@ -1579,6 +1644,7 @@ object LanceFormat {
       clusterBy = head.clusterBy,
       bucketBy = head.bucketBy,
       bloomFilters = head.bloomFilters,
+      properties = head.properties,
       fragmentGroups = head.fragmentGroups)
     // ONE commitOnce attempt, never the version-bumping commit() retry: a
     // concurrent main append winning the race means the precondition no
@@ -1695,6 +1761,7 @@ object LanceFormat {
       clusterBy = mainLatest.clusterBy,
       bucketBy = mainLatest.bucketBy,
       bloomFilters = mainLatest.bloomFilters,
+      properties = mainLatest.properties,
       fragmentGroups = mainLatest.fragmentGroups)
     if (!commitOnce(fs, root, m, None))
       throw new java.util.ConcurrentModificationException(

@@ -654,4 +654,153 @@ object Dml {
     RowLevelResult(m.fragments.size, cands.size, matched, srcRows - matched,
       LanceFormat.readLatest(fs, root).map(_.version))
   }
+
+  /** CDC APPLY (the Delta `foreachBatch`-merge-with-deletes shape): ONE
+    * atomic commit that applies keyed UPSERTS and keyed DELETES together
+    * — `MERGE ... WHEN MATCHED AND del THEN DELETE / WHEN MATCHED THEN
+    * UPDATE / WHEN NOT MATCHED THEN INSERT`. `deleteWhen` evaluates per
+    * SOURCE row (e.g. `col("_change_type") === "delete"`; NULL reads as
+    * false): delete rows remove their key's target row (absent key =
+    * no-op, so replays are idempotent), the rest update matches and
+    * insert the remainder. The whole batch lands as one manifest
+    * version — a crash can never publish the deletes without the
+    * upserts. Delete rows' non-key columns are ignored (only the key
+    * routes them), but the source must still carry every table column.
+    *
+    * `setProperties` rides the SAME commit (`write.set-properties`):
+    * [[graft.operators.MaterializedView]] stores its source-version
+    * watermark through this, which is what makes an incremental refresh
+    * exactly-once — delta and watermark can never separate.
+    *
+    * Scale: [[upsert]]'s pruning verbatim — exact IN-lists for small
+    * batches (`spark.graft.dml.inlistPrune`), per-key bounds above it;
+    * only fragments HOLDING matching keys rewrite. Cost ∝ matched
+    * fragments + batch, never the table. Opt-in CDF images
+    * (`spark.graft.dml.changeFeed`): delete / update_preimage /
+    * update_postimage / insert, exact like the other verbs.
+    */
+  def applyChanges(spark: SparkSession, path: String, source0: DataFrame,
+      keys: Seq[String], deleteWhen: Column,
+      setProperties: Map[String, String] = Map.empty): RowLevelResult = {
+    val (fs, root, m) = snapshot(spark, path)
+    val refreshKinds = dmlRefreshKinds(spark)
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
+    val tableCols = m.schema.fieldNames.toSeq
+    keys.foreach(k => require(tableCols.contains(k), s"no key column '$k' in $path"))
+    tableCols.foreach { c =>
+      require(source0.columns.contains(c),
+        s"applyChanges source is missing table column '$c' (select every table column)")
+      require(source0.schema(c).dataType == m.schema(c).dataType,
+        s"applyChanges source column '$c' is ${source0.schema(c).dataType.simpleString} " +
+          s"but the table has ${m.schema(c).dataType.simpleString}; cast the source first")
+    }
+    val source = source0
+      .withColumn("__del", coalesce(deleteWhen, lit(false)))
+      .select((tableCols.map(q) :+ col("__del")): _*)
+
+    // one job over the (small) source: counts, per-key bounds, dup check.
+    // A key may appear ONCE across the whole batch — a delete and an
+    // upsert for the same key (or two upserts) is ambiguous; callers
+    // collapse their feed to net-effect-per-key first.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(q): _*)
+    val aggCols = Seq(count(lit(1)).as("__n"),
+      sum(when(col("__del"), 1L).otherwise(0L)).as("__ndel"),
+      max(col("__dup")).as("__maxdup")) ++
+      keys.flatMap(k => Seq(min(q(k)).as(s"__mn_$k"), max(q(k)).as(s"__mx_$k")))
+    val stats = source.select((keys.map(q) :+ col("__del")): _*)
+      .withColumn("__dup", when(keys.map(q(_).isNotNull).reduce(_ && _),
+        count(lit(1)).over(w)).otherwise(lit(1L)))
+      .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val srcRows = stats.getAs[Long]("__n")
+    if (srcRows == 0L) {
+      if (setProperties.nonEmpty)
+        LanceFormat.commitProperties(fs, root, setProperties)
+      return RowLevelResult(m.fragments.size, 0, 0L, 0L,
+        LanceFormat.readLatest(fs, root).map(_.version))
+    }
+    val delRows = stats.getAs[Long]("__ndel")
+    val upsRows = srcRows - delRows
+    require(stats.getAs[Long]("__maxdup") == 1L,
+      "applyChanges source has duplicate keys: collapse the change feed " +
+        "to one net row per key first (a delete+insert pair for the same " +
+        "key is ambiguous within one batch)")
+
+    val inListCap = spark.conf.getOption("spark.graft.dml.inlistPrune")
+      .map(_.toInt).getOrElse(1000)
+    val keyBounds: Array[v1.Filter] =
+      if (srcRows <= inListCap) {
+        val rows = source.select(keys.map(q): _*).distinct().collect()
+        keys.zipWithIndex.map { case (k, i) =>
+          val vals = rows.map(_.get(i)).filter(_ != null).distinct
+          if (vals.isEmpty) v1.AlwaysFalse()
+          else v1.In(k, vals)
+        }.toArray
+      } else keys.flatMap { k =>
+        (Option(stats.getAs[Any](s"__mn_$k")), Option(stats.getAs[Any](s"__mx_$k"))) match {
+          case (Some(mn), Some(mx)) =>
+            Seq(v1.GreaterThanOrEqual(k, mn), v1.LessThanOrEqual(k, mx))
+          case _ => Seq(v1.AlwaysFalse())
+        }
+      }.toArray
+    val cands = graft.format.BucketPrune.prune(m, keyBounds.toSeq,
+      graft.index.ScalarIndex.prune(spark, path, m, keyBounds.toSeq,
+        FragmentStats.prune(m.schema, m.fragments, keyBounds)))
+
+    val ups = source.filter(!col("__del")).drop("__del")
+    def pureInsert(): RowLevelResult = {
+      if (upsRows > 0) {
+        val wtr = ups.write.format("lance").mode("append")
+        (if (setProperties.isEmpty) wtr
+         else wtr.option("write.set-properties",
+           LanceFormat.serializeProperties(setProperties))).save(path)
+      } else if (setProperties.nonEmpty)
+        LanceFormat.commitProperties(fs, root, setProperties)
+      maybeRefreshIndexes(refreshKinds, path)
+      RowLevelResult(m.fragments.size, cands.size, 0L, upsRows,
+        LanceFormat.readLatest(fs, root).map(_.version))
+    }
+    if (cands.isEmpty) return pureInsert()
+
+    // candidate-scoped match discovery, the upsert shape (left-semi keeps
+    // input_file_name on the streamed fragment side): total matches per
+    // file, plus the delete-matched subset
+    val dels = source.filter(col("__del")).drop("__del")
+    val withF = readFragments(spark, root, m, cands)
+      .withColumn("__f", input_file_name())
+    val perFile = matchesByFile(withF.join(source, keys, "left_semi"))
+    val matched = perFile.values.sum
+    val matchedDel = matchesByFile(withF.join(dels, keys, "left_semi"))
+      .values.sum
+    val matchedUps = matched - matchedDel
+    val touched = cands.filter(f => perFile.contains(nameOf(f)))
+    if (touched.isEmpty) return pureInsert()
+    val cdf = if (!cdfEnabled(spark)) Seq.empty else {
+      val target = readFragments(spark, root, m, touched)
+      val delMatched = target.join(dels, keys, "left_semi")
+      val pre = target.join(ups, keys, "left_semi")
+      val upsMatchedKeys = target.join(ups, keys, "left_semi")
+        .select(keys.map(q): _*).distinct()
+      val post = ups.join(upsMatchedKeys, keys, "left_semi")
+      val ins = ups.join(target.select(keys.map(q): _*).distinct(),
+        keys, "left_anti")
+      stageChangeFiles(spark, fs, root, m, Seq(
+        "delete" -> delMatched,
+        "update_preimage" -> pre, "update_postimage" -> post,
+        "insert" -> ins))
+    }
+    val wtr = withChangeFiles(
+      readFragments(spark, root, m, touched)
+        .join(source.select(keys.map(q): _*), keys, "left_anti")
+        .unionByName(ups)
+        .write.format("lance")
+        .option("write.replace-fragments", touched.map(_.id).mkString(",")),
+      cdf)
+    (if (setProperties.isEmpty) wtr
+     else wtr.option("write.set-properties",
+       LanceFormat.serializeProperties(setProperties)))
+      .mode("append").save(path)
+    maybeRefreshIndexes(refreshKinds, path)
+    RowLevelResult(m.fragments.size, cands.size, matched, upsRows - matchedUps,
+      LanceFormat.readLatest(fs, root).map(_.version))
+  }
 }

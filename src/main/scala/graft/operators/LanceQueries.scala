@@ -2035,6 +2035,92 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Incremental materialized view, delta path (s115): a sum/count/avg
+    * view over a lance source absorbs a mixed DML batch (DELETE, UPDATE,
+    * MERGE) from the row-level CDF by signed arithmetic — the refresh
+    * cost is the CHANGE, the source is never rescanned. The in-gate
+    * require()s prove the delta path ran and that the refreshed view
+    * equals a from-scratch recompute EXACTLY (decimal state — float
+    * drift between the two paths would hash-mismatch here); the oracle
+    * aggregates the restated final source in DuckDB.
+    * [[MaterializedViewSpec]] pins the unit contracts (dead groups,
+    * NULL group keys, corruption guard).
+    */
+  def s115MvDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.AggSpec
+    val src = scratch(dir, "mv_src_delta")
+    val view = scratch(dir, "mv_view_delta")
+    freshDataset(spark, src); freshDataset(spark, view)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("o_custkey"), Seq(
+      AggSpec("count", "*", "n"),
+      AggSpec("sum", "o_totalprice", "sum_price"),
+      AggSpec("avg", "o_totalprice", "avg_price")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      graft.Lance.deleteWhere(spark, src, "o_orderkey % 10 = 3")
+      graft.Lance.updateWhere(spark, src, "o_orderkey % 10 = 4",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      val ins = spark.createDataFrame(Seq(
+        (1L, -5L, "X", 111.11), (2L, -5L, "X", 111.11),
+        (-1L, -5L, "X", 111.11), (-2L, -5L, "X", 111.11)))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.Lance.upsert(spark, src, ins, Seq("o_orderkey"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta",
+      s"sum/count/avg views must refresh by delta arithmetic, got $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        (dsum(col("o_totalprice")) / count(col("o_totalprice"))).as("avg_price"))
+    require(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "incremental refresh must equal a full recompute exactly")
+    got.withColumn("mode", lit(r.mode)).orderBy(col("o_custkey"))
+  }
+
+  /** Incremental materialized view, scoped-group path (s116): min/max
+    * can MOVE when their row is deleted, so affected groups recompute
+    * from the current source — scoped by the group surrogate; untouched
+    * groups ride by reference. The DML kills some groups entirely
+    * (their view rows must vanish) and deletes max-carrying rows (the
+    * exact case delta arithmetic cannot absorb).
+    */
+  def s116MvMinmax(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.AggSpec
+    val src = scratch(dir, "mv_src_minmax")
+    val view = scratch(dir, "mv_view_minmax")
+    freshDataset(spark, src); freshDataset(spark, view)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("o_custkey"), Seq(
+      AggSpec("count", "*", "n"),
+      AggSpec("min", "o_totalprice", "min_price"),
+      AggSpec("max", "o_totalprice", "max_price")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      // whole groups die; elsewhere the group MAX is likely deleted
+      graft.Lance.deleteWhere(spark, src, "o_custkey % 13 = 7")
+      graft.Lance.deleteWhere(spark, src, "o_totalprice > 150000.0")
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "groups",
+      s"min/max views must take the scoped-group recompute, got $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+    require(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "scoped-group refresh must equal a full recompute exactly")
+    got.withColumn("mode", lit(r.mode)).orderBy(col("o_custkey"))
+  }
+
   /** DEFAULT values for added columns (s114, Iceberg v3 initial-default):
     * `addColumn(..., default)` is one metadata commit; fragments written
     * BEFORE the ADD read the constant on every scan (Spark's
@@ -2353,6 +2439,8 @@ object LanceQueries {
     "s101_unique_composite" -> s101UniqueComposite,
     "q60_nested_types" -> q60NestedTypes,
     "s113_cdf_dml" -> s113CdfDml,
+    "s115_mv_delta" -> s115MvDelta,
+    "s116_mv_minmax" -> s116MvMinmax,
     "s114_default_column" -> s114DefaultColumn,
     "s102_rename_column" -> s102RenameColumn,
     "s103_scalar_range_prune" -> s103ScalarRangePrune,
@@ -2594,6 +2682,35 @@ object LanceQueries {
         | (SELECT COUNT(*) + 2 FROM orders WHERE o_orderkey % 10 = 4) AS n_post,
         | CAST(2 AS BIGINT) AS n_insert
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // s115: the view equals the aggregate of the restated final source
+    // (s113's restatement: minus %10=3, doubled %10=4, keys 1/2 replaced,
+    // -1/-2 inserted); 'delta' is pinned as a literal so the oracle also
+    // proves WHICH refresh path ran
+    "s115_mv_delta" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 10 <> 3 AND o_orderkey NOT IN (1, 2)
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (1, -5, 111.11), (2, -5, 111.11),
+        |    (-1, -5, 111.11), (-2, -5, 111.11))
+        |)
+        |SELECT o_custkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   / COUNT(o_totalprice) AS avg_price,
+        | 'delta' AS mode
+        |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // s116: groups %13=7 die entirely; >150000 deletions move the max
+    "s116_mv_minmax" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        | 'groups' AS mode
+        |FROM orders
+        |WHERE o_custkey % 13 <> 7 AND o_totalprice <= 150000.0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // s114: evens read the default 'legacy' (then %10=0 migrated by the
     // UPDATE, which matched the FILLED value), odds carry explicit 'fresh'
     "s114_default_column" ->

@@ -1,0 +1,339 @@
+package graft.operators
+
+import graft.format.LanceFormat
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** INCREMENTAL MATERIALIZED VIEWS over lance tables, maintained from the
+  * row-level change feed — the downstream half of the CDF story
+  * ([[Dml]] stages exact pre/post images; this consumes them).
+  *
+  * A view is an ordinary lance table holding one row per group of
+  * `GROUP BY g1..gk` with aggregate columns, plus hidden state:
+  *
+  *  - `_mv_gid`  — sha2(to_json(struct(g1..gk))) group surrogate: ONE
+  *    non-null key column however many (and however nullable) the group
+  *    columns are, so refresh DML routes/prunes on a single key and the
+  *    view can be hash-bucketed on it for storage-partitioned refreshes.
+  *  - `_mv_n`    — live row count per group (group dies when it hits 0).
+  *  - `_mv_s_<alias>` / `_mv_c_<alias>` — decimal sum / non-null count
+  *    state behind sum and avg columns. Decimal, never double: delta
+  *    application must be EXACTLY associative or an incremental refresh
+  *    would drift from a full recompute (the [[graft.Tables.dsum]]
+  *    convention, applied to view maintenance).
+  *
+  * Refresh reads `lance_changes(source, lastVersion, head)` and picks
+  * the cheapest sound strategy:
+  *
+  *  - **delta** (no min/max in the view): signed per-group arithmetic
+  *    over the feed — +1 for insert/update_postimage, −1 for
+  *    delete/update_preimage — merged into the stored state. Cost ∝ the
+  *    CHANGE, never the source: a 100 TB source with a 1000-row
+  *    correction refreshes in 1000-row time.
+  *  - **groups** (min/max present): a deleted row may have BEEN the
+  *    min/max, so affected groups recompute from the current source —
+  *    scoped by a semi-join on the group surrogate (fragment pruning on
+  *    clustered/bucketed group columns bounds the rescan); untouched
+  *    groups never rewrite.
+  *
+  * Either way the new state lands through [[Dml.applyChanges]] as ONE
+  * commit carrying the advanced `graft.mv.version` watermark
+  * (`write.set-properties`) — refresh is exactly-once by construction:
+  * a crash either publishes nothing or publishes state+watermark
+  * together, so a re-run can never double-apply a delta.
+  *
+  * The reference has no view maintenance at all; Delta's materialized
+  * views (and Materialize/Flink's retractions) are the public prior art
+  * this re-expresses on Spark + the lance manifest.
+  */
+object MaterializedView {
+
+  /** One aggregate column: `func` ∈ count|sum|min|max|avg. `column` may
+    * be "*" for count. `scale`: decimal scale for sum/avg state over
+    * floating inputs (the dsum convention; ignored elsewhere). */
+  case class AggSpec(func: String, column: String, alias: String, scale: Int = 2) {
+    require(Set("count", "sum", "min", "max", "avg").contains(func),
+      s"unsupported aggregate '$func' (count|sum|min|max|avg)")
+    require(column != "*" || func == "count", "'*' only with count")
+    require(alias.nonEmpty && !alias.startsWith("_mv_"),
+      s"alias '$alias' empty or in the reserved _mv_ namespace")
+  }
+
+  case class RefreshResult(mode: String, fromVersion: Long, toVersion: Long,
+    groupsChanged: Long)
+
+  private val GidCol = "_mv_gid"
+  private val NCol = "_mv_n"
+  private def sCol(a: String) = s"_mv_s_$a"
+  private def cCol(a: String) = s"_mv_c_$a"
+
+  private val PropSource = "graft.mv.source"
+  private val PropGroupBy = "graft.mv.group-by"
+  private val PropAggs = "graft.mv.aggs"
+  private val PropVersion = "graft.mv.version"
+
+  private def q(name: String): Column = col(s"`$name`")
+
+  private def fsRoot(spark: SparkSession, path: String) = {
+    val root = new Path(new java.io.File(path).getAbsolutePath)
+    (LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf()), root)
+  }
+
+  /** Group surrogate over possibly-NULL, possibly-many group columns:
+    * to_json is deterministic and type-tagged, sha2 collisions are
+    * negligible (2^-128 birthday at 2^64 groups). */
+  private def gid(groupBy: Seq[String]): Column =
+    sha2(to_json(struct(groupBy.map(q): _*)), 256)
+
+  private def isFloating(dt: DataType) = dt match {
+    case DoubleType | FloatType => true
+    case _ => false
+  }
+
+  /** Encode/decode the agg list as a property string.
+    * `func:scale:alias:column` — column LAST and unsplit since it may
+    * contain ':' never do alias/func. */
+  private def encodeAggs(aggs: Seq[AggSpec]): String =
+    aggs.map(a => s"${a.func}:${a.scale}:${a.alias}:${a.column}").mkString("\n")
+  private def decodeAggs(s: String): Seq[AggSpec] =
+    s.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val Array(f, sc, al, c) = line.split(":", 4)
+      AggSpec(f, c, al, sc.toInt)
+    }
+
+  /** The full-state aggregation of `rows` (source-shaped) into view rows
+    * — used by create, full refresh, and the scoped group recompute, so
+    * every path derives state identically. */
+  private def stateAgg(rows: DataFrame, groupBy: Seq[String],
+      aggs: Seq[AggSpec]): DataFrame = {
+    val schema = rows.schema
+    val aggCols = Seq(count(lit(1)).as(NCol)) ++ aggs.flatMap { a =>
+      lazy val dt = schema(a.column).dataType
+      a.func match {
+        case "count" => Seq.empty // derived below
+        case "min" => Seq(min(q(a.column)).as(a.alias))
+        case "max" => Seq(max(q(a.column)).as(a.alias))
+        case "sum" | "avg" =>
+          val state =
+            if (isFloating(dt)) sum(q(a.column).cast(DecimalType(18, a.scale)))
+              .cast(DecimalType(38, a.scale))
+            else sum(q(a.column)).cast(LongType)
+          Seq(state.as(sCol(a.alias)), count(q(a.column)).as(cCol(a.alias)))
+      }
+    } ++ aggs.collect { case a if a.func == "count" =>
+      (if (a.column == "*") count(lit(1)) else count(q(a.column))).as(a.alias)
+    }
+    val full = finalizeVisible(
+      rows.groupBy((groupBy.map(q) :+ gid(groupBy).as(GidCol)): _*)
+        .agg(aggCols.head, aggCols.tail: _*),
+      aggs, rows.schema)
+    // stored order = visible face (group cols, then aggregates in
+    // DECLARED order), hidden state last — [[read]] is then a pure drop
+    val hidden = full.columns.filter(_.startsWith("_mv_")).toSeq
+    full.select((groupBy ++ aggs.map(_.alias) ++ hidden).map(q): _*)
+  }
+
+  /** (Re)derive the visible sum/avg columns from their exact state. */
+  private def finalizeVisible(states: DataFrame, aggs: Seq[AggSpec],
+      srcSchema: StructType): DataFrame =
+    aggs.filter(a => a.func == "sum" || a.func == "avg").foldLeft(states) { (df, a) =>
+      val floating = isFloating(srcSchema(a.column).dataType)
+      val sumVisible =
+        if (floating) q(sCol(a.alias)).cast(DoubleType)
+        else when(q(cCol(a.alias)) > 0, q(sCol(a.alias))).otherwise(lit(null))
+      val v = a.func match {
+        case "sum" =>
+          if (floating) when(q(cCol(a.alias)) > 0, sumVisible).otherwise(lit(null))
+          else sumVisible
+        case "avg" =>
+          when(q(cCol(a.alias)) > 0,
+            q(sCol(a.alias)).cast(DoubleType) / q(cCol(a.alias)))
+            .otherwise(lit(null))
+      }
+      df.withColumn(a.alias, v)
+    }
+
+  /** Create the view: one FULL aggregation of the source at its current
+    * version, committed together with the `graft.mv.*` bookkeeping
+    * (source path, group columns, agg spec, version watermark) — one
+    * manifest, so a half-created view cannot exist. Returns the source
+    * version the view reflects. */
+  def create(spark: SparkSession, viewPath: String, sourcePath: String,
+      groupBy: Seq[String], aggs: Seq[AggSpec]): Long = {
+    require(groupBy.nonEmpty, "materialized view needs at least one group column")
+    require(aggs.nonEmpty, "materialized view needs at least one aggregate")
+    val dups = aggs.groupBy(_.alias).collect { case (a, as) if as.size > 1 => a }
+    require(dups.isEmpty, s"duplicate aggregate alias(es): ${dups.mkString(",")}")
+    require(groupBy.toSet.intersect(aggs.map(_.alias).toSet).isEmpty,
+      "aggregate alias collides with a group column")
+    val (sfs, sroot) = fsRoot(spark, sourcePath)
+    val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $sourcePath"))
+    val srcFields = srcM.schema.fieldNames.toSet
+    (groupBy ++ aggs.map(_.column).filter(_ != "*")).foreach(c =>
+      require(srcFields.contains(c), s"no column '$c' in $sourcePath"))
+    val (vfs, vroot) = fsRoot(spark, viewPath)
+    require(LanceFormat.readLatest(vfs, vroot).isEmpty,
+      s"dataset already exists at $viewPath")
+    val src = spark.read.format("lance")
+      .option("versionAsOf", srcM.version.toString).load(sourcePath)
+    stateAgg(src, groupBy, aggs)
+      .write.format("lance").mode("overwrite")
+      .option("write.set-properties", LanceFormat.serializeProperties(Map(
+        PropSource -> new java.io.File(sourcePath).getAbsolutePath,
+        PropGroupBy -> groupBy.mkString(","),
+        PropAggs -> encodeAggs(aggs),
+        PropVersion -> srcM.version.toString)))
+      .save(viewPath)
+    srcM.version
+  }
+
+  private def spec(spark: SparkSession, viewPath: String)
+      : (String, Seq[String], Seq[AggSpec], Long) = {
+    val (vfs, vroot) = fsRoot(spark, viewPath)
+    val props = LanceFormat.readLatest(vfs, vroot).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $viewPath"))
+      .properties.getOrElse(Map.empty)
+    val source = props.getOrElse(PropSource,
+      throw new IllegalArgumentException(
+        s"$viewPath is not a materialized view (no $PropSource property)"))
+    (source, props(PropGroupBy).split(',').toSeq,
+      decodeAggs(props(PropAggs)), props(PropVersion).toLong)
+  }
+
+  /** Incremental refresh. Picks delta vs scoped-group recompute (see
+    * object doc); falls back loud — never silently full — when the feed
+    * window is gone (vacuumed versions): use [[fullRefresh]] then. */
+  def refresh(spark: SparkSession, viewPath: String): RefreshResult = {
+    val (source, groupBy, aggs, v0) = spec(spark, viewPath)
+    val (sfs, sroot) = fsRoot(spark, source)
+    val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
+      throw new IllegalStateException(s"materialized-view source vanished: $source"))
+    val vN = srcM.version
+    if (vN == v0) return RefreshResult("noop", v0, vN, 0L)
+    require(vN > v0, s"source $source went BACKWARDS (v$v0 -> v$vN): it was " +
+      "restored/recreated under the view; run fullRefresh")
+    if (v0 != 0 && !LanceFormat.listVersions(sfs, sroot).contains(v0))
+      throw new IllegalStateException(
+        s"feed window lost: source version $v0 was vacuumed; run fullRefresh")
+    graft.MetaTvfs.register(spark)
+    val feed = spark.sql(
+      s"SELECT * FROM lance_changes('$source', $v0, $vN)")
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val srcSchema = srcM.schema
+    val hasMinMax = aggs.exists(a => a.func == "min" || a.func == "max")
+
+    val newStates: DataFrame = if (!hasMinMax) {
+      // ---- delta: signed arithmetic over the feed, merged into state
+      val deltaCols = Seq(sum(sign).as(s"_d$NCol")) ++ aggs.flatMap { a =>
+        lazy val dt = srcSchema(a.column).dataType
+        a.func match {
+          case "count" if a.column == "*" => Seq.empty
+          case "count" =>
+            Seq(sum(when(q(a.column).isNotNull, sign).otherwise(0L))
+              .as(s"_d${cCol(a.alias)}"))
+          case "sum" | "avg" =>
+            val term =
+              if (isFloating(dt))
+                sum(when(q(a.column).isNotNull,
+                  q(a.column).cast(DecimalType(18, a.scale)) * sign)
+                  .otherwise(lit(0).cast(DecimalType(18, a.scale))))
+                  .cast(DecimalType(38, a.scale))
+              else sum(when(q(a.column).isNotNull, q(a.column) * sign)
+                .otherwise(0L)).cast(LongType)
+            Seq(term.as(s"_d${sCol(a.alias)}"),
+              sum(when(q(a.column).isNotNull, sign).otherwise(0L))
+                .as(s"_d${cCol(a.alias)}"))
+        }
+      }
+      val delta = feed
+        .groupBy((groupBy.map(q) :+ gid(groupBy).as(GidCol)): _*)
+        .agg(deltaCols.head, deltaCols.tail: _*)
+        // a group whose feed rows cancel exactly (one -, one + with equal
+        // values) still merges below to its unchanged state — harmless
+      val cur = spark.read.format("lance").load(viewPath)
+      def zero(c: String, dt: DataType): Column = coalesce(q(c), lit(0).cast(dt))
+      val curSchema = cur.schema
+      var merged = delta.join(cur.drop(groupBy: _*), Seq(GidCol), "left")
+        .withColumn(NCol, zero(NCol, LongType) + q(s"_d$NCol"))
+      for (a <- aggs) a.func match {
+        case "count" if a.column == "*" => ()
+        case "count" =>
+          merged = merged.withColumn(a.alias,
+            coalesce(q(a.alias), lit(0L)) + q(s"_d${cCol(a.alias)}"))
+        case "sum" | "avg" =>
+          merged = merged
+            .withColumn(sCol(a.alias),
+              zero(sCol(a.alias), curSchema(sCol(a.alias)).dataType)
+                + q(s"_d${sCol(a.alias)}"))
+            .withColumn(cCol(a.alias),
+              zero(cCol(a.alias), LongType) + q(s"_d${cCol(a.alias)}"))
+        case _ => ()
+      }
+      for (a <- aggs if a.func == "count" && a.column == "*")
+        merged = merged.withColumn(a.alias, q(NCol))
+      finalizeVisible(merged, aggs, srcSchema)
+        .drop(merged.columns.filter(_.startsWith("_d_mv_")).toIndexedSeq: _*)
+    } else {
+      // ---- groups: min/max can move on removal; recompute the affected
+      // groups from the CURRENT source, scoped by the group surrogate
+      val affected = feed
+        .select((groupBy.map(q) :+ gid(groupBy).as(GidCol)): _*).distinct()
+      val srcNow = spark.read.format("lance")
+        .option("versionAsOf", vN.toString).load(source)
+      val scoped = srcNow.withColumn(GidCol, gid(groupBy))
+        .join(affected.select(GidCol), Seq(GidCol), "left_semi")
+        .drop(GidCol)
+      val recomputed = stateAgg(scoped, groupBy, aggs)
+      // groups present in the feed but absent from the source died:
+      // their state row carries _mv_n = 0 and applyChanges deletes it
+      val curCols = spark.read.format("lance").load(viewPath).columns
+      val dead = affected.join(recomputed.select(GidCol), Seq(GidCol), "left_anti")
+      val deadStates = curCols.foldLeft(dead) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null))
+      }.withColumn(NCol, lit(0L))
+      recomputed.unionByName(deadStates.select(recomputed.columns.map(q): _*))
+    }
+
+    val viewSchema = spark.read.format("lance").load(viewPath).schema
+    val aligned = newStates.select(viewSchema.fieldNames.map(f =>
+      q(f).cast(viewSchema(f).dataType).as(f)).toIndexedSeq: _*)
+    val bad = aligned.filter(q(NCol) < 0).limit(1).count()
+    require(bad == 0L, s"negative group count after delta merge at $viewPath " +
+      "- the feed and the stored state disagree (was the view written to " +
+      "directly?); run fullRefresh")
+    val res = Dml.applyChanges(spark, viewPath, aligned, Seq(GidCol),
+      deleteWhen = q(NCol) === 0L,
+      setProperties = Map(PropVersion -> vN.toString))
+    RefreshResult(if (hasMinMax) "groups" else "delta", v0, vN,
+      res.rowsChanged + res.rowsInserted)
+  }
+
+  /** Full rebuild (vacuumed feed window, out-of-band writes to the view,
+    * or a restored source): one source aggregation, one overwrite commit
+    * carrying the new watermark. */
+  def fullRefresh(spark: SparkSession, viewPath: String): RefreshResult = {
+    val (source, groupBy, aggs, v0) = spec(spark, viewPath)
+    val (sfs, sroot) = fsRoot(spark, source)
+    val vN = LanceFormat.readLatest(sfs, sroot).get.version
+    val src = spark.read.format("lance")
+      .option("versionAsOf", vN.toString).load(source)
+    stateAgg(src, groupBy, aggs)
+      .write.format("lance").mode("overwrite")
+      .option("write.set-properties", LanceFormat.serializeProperties(
+        Map(PropVersion -> vN.toString)))
+      .save(viewPath)
+    RefreshResult("full", v0, vN, -1L)
+  }
+
+  /** The view's visible face: group columns + aggregate columns, hidden
+    * state dropped. */
+  def read(spark: SparkSession, viewPath: String): DataFrame = {
+    val df = spark.read.format("lance").load(viewPath)
+    df.drop(df.columns.filter(_.startsWith("_mv_")).toIndexedSeq: _*)
+  }
+}

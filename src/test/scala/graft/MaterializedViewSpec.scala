@@ -1,0 +1,192 @@
+package graft
+
+import graft.format.LanceFormat
+import graft.operators.MaterializedView
+import graft.operators.MaterializedView.AggSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Incremental materialized views from the row-level CDF. Contracts:
+  *  - create = full aggregate + `graft.mv.*` bookkeeping in ONE commit
+  *  - delta refresh (sum/count/avg) after mixed DML equals a full
+  *    recompute EXACTLY (decimal state: incremental float drift is a
+  *    correctness bug, not noise); dead groups vanish, new groups appear
+  *  - min/max views take the scoped-group path and also match recompute
+  *  - refresh twice = noop; watermark advances IN the refresh commit
+  *  - NULL group keys work (the _mv_gid surrogate routes them)
+  *  - out-of-band state corruption fails loud (negative count guard)
+  */
+class MaterializedViewSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "mv-")
+      .toAbsolutePath.toString
+
+  private def manifest(dir: String) = {
+    val root = new Path(dir)
+    val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    LanceFormat.readLatest(fs, root).get
+  }
+
+  /** Source rows: groups g0..g9 (with some NULL groups), double + long
+    * measures. */
+  private def seed(dir: String): Unit =
+    (1L to 500L).map { i =>
+      val g = if (i % 50 == 0) null else s"g${i % 10}"
+      (i, g, i * 0.1, i)
+    }.toDF("id", "grp", "price", "qty")
+      .repartition(4).write.format("lance").mode("overwrite").save(dir)
+
+  private def mixedDml(src: String): Unit = {
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      Lance.deleteWhere(spark, src, "id % 7 = 3")
+      Lance.updateWhere(spark, src, "id % 11 = 5",
+        Map("price" -> "price * 3", "qty" -> "qty + 100"))
+      val ins = Seq((1001L, "g3", 7.7, 70L), (1002L, "gNEW", 8.8, 80L),
+        (5L, "g5", 0.55, 5L)) // upsert over an existing id
+        .toDF("id", "grp", "price", "qty")
+      Lance.upsert(spark, src, ins, Seq("id"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame, hint: String): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$hint:\nview:\n${a.orderBy("grp").collect().mkString("\n")}\n" +
+        s"recompute:\n${b.orderBy("grp").collect().mkString("\n")}")
+  }
+
+  test("create materializes the full aggregate with bookkeeping in one commit") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    seed(src)
+    val v = MaterializedView.create(spark, view, src, Seq("grp"), Seq(
+      AggSpec("count", "*", "n"), AggSpec("sum", "price", "sum_price"),
+      AggSpec("avg", "qty", "avg_qty")))
+    assert(v == manifest(src).version)
+    val m = manifest(view)
+    assert(m.version == 1L, "create is ONE commit (aggregate + properties)")
+    val props = m.properties.get
+    assert(props("graft.mv.group-by") == "grp")
+    assert(props("graft.mv.version") == v.toString)
+    val got = MaterializedView.read(spark, view)
+    assert(got.columns.toSeq == Seq("grp", "n", "sum_price", "avg_qty"))
+    val expect = spark.read.format("lance").load(src).groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      Tables.dsum(col("price")).as("sum_price"),
+      Tables.davg(col("qty")).as("avg_qty"))
+    assertSame(got, expect, "created view != full aggregate")
+    // 10 named groups + the NULL group
+    assert(got.count() == 11L)
+  }
+
+  test("delta refresh after mixed DML equals full recompute exactly") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    seed(src)
+    MaterializedView.create(spark, view, src, Seq("grp"), Seq(
+      AggSpec("count", "*", "n"), AggSpec("sum", "price", "sum_price", scale = 2),
+      AggSpec("sum", "qty", "sum_qty"), AggSpec("avg", "price", "avg_price")))
+    mixedDml(src)
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"sum/count/avg views must never rescan: $r")
+    assert(manifest(view).properties.get("graft.mv.version") ==
+      manifest(src).version.toString, "watermark rides the refresh commit")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src).groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      Tables.dsum(col("price")).as("sum_price"),
+      sum(col("qty")).as("sum_qty"),
+      Tables.davg(col("price")).as("avg_price"))
+    assertSame(got, expect, "delta refresh drifted from recompute")
+    // the brand-new group arrived
+    assert(got.filter(col("grp") === "gNEW").count() == 1L)
+    // refresh again: noop, nothing committed
+    val vBefore = manifest(view).version
+    assert(MaterializedView.refresh(spark, view).mode == "noop")
+    assert(manifest(view).version == vBefore)
+  }
+
+  test("a group deleted to zero rows vanishes from the view") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 30L).map(i => (i, s"g${i % 3}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "x", "sx")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try Lance.deleteWhere(spark, src, "grp = 'g1'")
+    finally spark.conf.unset("spark.graft.dml.changeFeed")
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    val got = MaterializedView.read(spark, view)
+    assert(got.filter(col("grp") === "g1").isEmpty, "dead group must vanish")
+    assert(got.count() == 2L)
+  }
+
+  test("min/max views take the scoped-group path and match recompute") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    seed(src)
+    MaterializedView.create(spark, view, src, Seq("grp"), Seq(
+      AggSpec("count", "*", "n"), AggSpec("min", "price", "min_price"),
+      AggSpec("max", "qty", "max_qty")))
+    // deleting the max row is exactly what the delta path cannot handle
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      Lance.deleteWhere(spark, src, "qty >= 490")
+      Lance.deleteWhere(spark, src, "grp = 'g2'") // whole group dies
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "groups")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src).groupBy("grp").agg(
+      count(lit(1)).as("n"), min(col("price")).as("min_price"),
+      max(col("qty")).as("max_qty"))
+    assertSame(got, expect, "scoped recompute drifted")
+    assert(got.filter(col("grp") === "g2").isEmpty)
+  }
+
+  test("NULL group keys route through the surrogate like any other group") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    seed(src)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "qty", "sq")))
+    val nullBefore = MaterializedView.read(spark, view)
+      .filter(col("grp").isNull).select("n").as[Long].head()
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try Lance.deleteWhere(spark, src, "id = 50") // a NULL-group row
+    finally spark.conf.unset("spark.graft.dml.changeFeed")
+    MaterializedView.refresh(spark, view)
+    val nullAfter = MaterializedView.read(spark, view)
+      .filter(col("grp").isNull).select("n").as[Long].head()
+    assert(nullAfter == nullBefore - 1,
+      "the NULL group must UPDATE in place, not duplicate or stall")
+    assert(MaterializedView.read(spark, view)
+      .filter(col("grp").isNull).count() == 1L)
+  }
+
+  test("out-of-band writes to the view fail the next refresh loud") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 10L).map(i => (i, "g", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "x", "sx")))
+    // corrupt the stored state: claim the group holds only 1 row
+    val bad = spark.read.format("lance").load(view)
+      .withColumn("_mv_n", lit(1L)).withColumn("n", lit(1L))
+    bad.write.format("lance").mode("overwrite").save(view)
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try Lance.deleteWhere(spark, src, "id <= 5") // -5 rows on a claimed 1
+    finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val e = intercept[IllegalArgumentException](
+      MaterializedView.refresh(spark, view))
+    assert(e.getMessage.contains("negative group count"))
+    // fullRefresh is the documented way out
+    val r = MaterializedView.fullRefresh(spark, view)
+    assert(r.mode == "full")
+    val got = MaterializedView.read(spark, view)
+    assert(got.select("n").as[Long].head() == 5L)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.format.LanceFormat
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Free-form table properties (Delta TBLPROPERTIES shape). Contracts:
+  *  - set / merge / unset lifecycle as metadata commits
+  *  - reserved namespaces (`lance.*` / `graft.*`) refused in the facade
+  *  - properties survive every commit kind: append, overwrite, DML
+  *    replace, ALTER, compaction; restore returns the TARGET's map and
+  *    clone copies the source's
+  *  - `write.set-properties` lands the mutation IN a data commit (one
+  *    manifest: the atomicity the MV refresh watermark rides on), and
+  *    null-valued keys unset
+  *  - SHOW TBLPROPERTIES surfaces user keys verbatim
+  */
+class TablePropertiesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "props-")
+      .toAbsolutePath.toString
+
+  private def manifest(dir: String) = {
+    val root = new Path(dir)
+    val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    LanceFormat.readLatest(fs, root).get
+  }
+
+  test("set / merge / unset lifecycle; reserved namespaces refused") {
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("lance").mode("overwrite").save(dir)
+    val v1 = Lance.setProperties(spark, dir, Map("owner" -> "data-eng", "tier" -> "gold"))
+    assert(Lance.tableProperties(spark, dir) ==
+      Map("owner" -> "data-eng", "tier" -> "gold"))
+    // merge overwrites only the named key
+    val v2 = Lance.setProperties(spark, dir, Map("tier" -> "silver"))
+    assert(v2 == v1 + 1)
+    assert(Lance.tableProperties(spark, dir) ==
+      Map("owner" -> "data-eng", "tier" -> "silver"))
+    // unset removes; missing keys are a no-op within the commit
+    Lance.unsetProperties(spark, dir, Seq("tier", "never-set"))
+    assert(Lance.tableProperties(spark, dir) == Map("owner" -> "data-eng"))
+    // reserved namespaces fail loud, nothing committed
+    intercept[IllegalArgumentException](
+      Lance.setProperties(spark, dir, Map("lance.version" -> "9")))
+    intercept[IllegalArgumentException](
+      Lance.setProperties(spark, dir, Map("graft.mv.source" -> "x")))
+    intercept[IllegalArgumentException](
+      Lance.unsetProperties(spark, dir, Seq("lance.cluster-by")))
+    intercept[IllegalArgumentException](
+      Lance.setProperties(spark, dir, Map("k" -> null)))
+    assert(Lance.tableProperties(spark, dir) == Map("owner" -> "data-eng"))
+  }
+
+  test("properties survive append, overwrite, DML, ALTER, compaction") {
+    val dir = tmpDir()
+    (1L to 40L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(4).write.format("lance").mode("overwrite").save(dir)
+    Lance.setProperties(spark, dir, Map("owner" -> "data-eng"))
+    Seq((100L, "x")).toDF("id", "s").write.format("lance").mode("append").save(dir)
+    assert(manifest(dir).properties.get == Map("owner" -> "data-eng"))
+    Lance.deleteWhere(spark, dir, "id = 7")
+    assert(manifest(dir).properties.get == Map("owner" -> "data-eng"))
+    Lance.addColumn(spark, dir, "extra", org.apache.spark.sql.types.StringType)
+    assert(manifest(dir).properties.get == Map("owner" -> "data-eng"))
+    Lance.compact(spark, dir)
+    assert(manifest(dir).properties.get == Map("owner" -> "data-eng"))
+    (1L to 5L).map(i => (i, s"o$i", "e")).toDF("id", "s", "extra")
+      .write.format("lance").mode("overwrite").save(dir)
+    assert(manifest(dir).properties.get == Map("owner" -> "data-eng"))
+  }
+
+  test("restore returns the target's map; clone copies the source's") {
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)
+    Lance.setProperties(spark, dir, Map("phase" -> "raw"))
+    val vRaw = manifest(dir).version
+    Lance.setProperties(spark, dir, Map("phase" -> "curated"))
+    // clone sees the live map
+    val cl = tmpDir()
+    Lance.cloneTable(spark, dir, cl)
+    assert(Lance.tableProperties(spark, cl) == Map("phase" -> "curated"))
+    // restore to the raw-phase version brings its properties back
+    Lance.restore(spark, dir, vRaw)
+    assert(Lance.tableProperties(spark, dir) == Map("phase" -> "raw"))
+  }
+
+  test("write.set-properties: mutation lands in the data commit; null unsets") {
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)
+    Lance.setProperties(spark, dir, Map("stale" -> "yes"))
+    val before = manifest(dir).version
+    Seq((2L, "b")).toDF("id", "s").write.format("lance").mode("append")
+      .option("write.set-properties", LanceFormat.serializeProperties(
+        Map("watermark" -> "42", "stale" -> null)))
+      .save(dir)
+    val m = manifest(dir)
+    // ONE commit: data + property mutation atomically
+    assert(m.version == before + 1)
+    assert(m.fragments.map(_.rowCount).sum == 2L)
+    assert(m.properties.get == Map("watermark" -> "42"))
+  }
+
+  test("table properties surface alongside the lance.* declarations") {
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)
+    Lance.setProperties(spark, dir, Map("owner" -> "data-eng"))
+    val props = new graft.connector.LanceTable(dir, null).properties()
+    assert(props.get("owner") == "data-eng")
+    assert(props.containsKey("lance.version"))
+  }
+}
