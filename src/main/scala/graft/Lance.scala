@@ -989,6 +989,23 @@ object Lance {
       .map(_.checkConstraints).getOrElse(Map.empty)
   }
 
+  /** Create an incremental materialized view over a lance source — a
+    * full aggregate plus `graft.mv.*` bookkeeping in ONE commit;
+    * [[refreshMaterializedView]] then maintains it from the row-level
+    * change feed. See [[graft.operators.MaterializedView]]. */
+  def createMaterializedView(spark: SparkSession, viewPath: String,
+      sourcePath: String, groupBy: Seq[String],
+      aggs: Seq[graft.operators.MaterializedView.AggSpec]): Long =
+    graft.operators.MaterializedView.create(spark, viewPath, sourcePath,
+      groupBy, aggs)
+
+  /** Incremental (or `full = true` rebuild) refresh of a materialized
+    * view; state + watermark land in one commit (exactly-once). */
+  def refreshMaterializedView(spark: SparkSession, viewPath: String,
+      full: Boolean = false): graft.operators.MaterializedView.RefreshResult =
+    if (full) graft.operators.MaterializedView.fullRefresh(spark, viewPath)
+    else graft.operators.MaterializedView.refresh(spark, viewPath)
+
   /** Set free-form TABLE PROPERTIES (Delta TBLPROPERTIES shape): one
     * metadata commit, merged over the current map (concurrent edits
     * compose — see [[graft.format.LanceFormat.commitProperties]]).
@@ -1095,6 +1112,48 @@ object Lance {
           // UNIQUE must hold against main's CURRENT fragments too
           tableFrags = main.map(_.fragments).getOrElse(Seq.empty))
       })
+  }
+
+  /** WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern on branches): audit the
+    * branch head against named SQL checks, then adopt it into main —
+    * [[fastForward]] when main has not moved since the fork, else
+    * [[rebaseBranch]] (append-only adoption, main's constraints
+    * re-proven). The staging shape for risky ingest at 100 TB: write a
+    * day's batch to a branch, `publishBranch` with the quality bars,
+    * and a failed audit leaves main byte-identical — delete the branch
+    * or fix and retry; nothing to roll back.
+    *
+    * `checks`: name → boolean SQL over the BRANCH head; a row where the
+    * expression is false OR NULL is a violation (CHECK-constraint
+    * semantics). All checks evaluate in ONE scan; any violation refuses
+    * the publish with per-check counts. Returns (branchHead,
+    * newMainVersion).
+    */
+  def publishBranch(spark: SparkSession, path: String, name: String,
+      checks: Map[String, String] = Map.empty): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val bp = graft.format.LanceFormat.branchPath(root, name)
+    require(fs.exists(bp), s"no branch '$name' at $path")
+    if (checks.nonEmpty) {
+      import org.apache.spark.sql.functions.{expr, sum, when}
+      val df = spark.read.format("lance").option("branch", name).load(path)
+      val aggs = checks.toSeq.map { case (n, e) =>
+        sum(when(expr(e), 0L).otherwise(1L)).as(n) }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val bad = checks.keys.toSeq.sorted
+        .map(n => n -> Option(row.getAs[Any](n)).fold(0L)(_.toString.toLong))
+        .filter(_._2 > 0)
+      require(bad.isEmpty, s"publish of branch '$name' refused: audit " +
+        s"check(s) failed — ${bad.map { case (n, c) => s"$n ($c rows)" }
+          .mkString(", ")}; main is untouched")
+    }
+    val vs = graft.format.LanceFormat.listVersionsIn(fs, bp)
+    val base = vs.head
+    val mainV = graft.format.LanceFormat.readLatest(fs, root).map(_.version)
+      .getOrElse(throw new IllegalStateException(s"no dataset at $path"))
+    if (mainV == base) fastForward(spark, path, name)
+    else rebaseBranch(spark, path, name)
   }
 
   /** RESTORE (Delta `RESTORE TABLE` parity): make the CURRENT table state

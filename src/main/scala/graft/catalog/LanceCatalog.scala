@@ -413,7 +413,9 @@ object LanceCatalog {
       "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
       "rename_column", "widen_column",
       "add_unique", "clone_table", "cluster_by_bucket", "rebucket",
-      "analyze_table", "set_bloom_filters", "optimize", "fsck")
+      "analyze_table", "set_bloom_filters", "optimize", "fsck",
+      "create_mv", "refresh_mv", "set_properties", "unset_properties",
+      "publish_branch")
 }
 
 private[catalog] object LanceProcedure {
@@ -442,6 +444,19 @@ private[catalog] object LanceProcedure {
       require(i > 0, s"malformed assignment '$p' (expected col = expr)")
       p.take(i).trim -> p.drop(i + 1).trim
     }.toMap
+  }
+
+  /** Parse a `CALL create_mv` aggregate list: `func(col) AS alias
+    * [, ...]` with func ∈ count|sum|min|max|avg and `count(*)` allowed. */
+  def parseAggList(s: String): Seq[graft.operators.MaterializedView.AggSpec] = {
+    val Agg = """(?i)\s*(count|sum|min|max|avg)\s*\(\s*(\*|[\w.]+)\s*\)\s+AS\s+(\w+)\s*""".r
+    s.split(',').toSeq.filter(_.trim.nonEmpty).map {
+      case Agg(f, c, a) =>
+        graft.operators.MaterializedView.AggSpec(f.toLowerCase, c, a)
+      case bad => throw new IllegalArgumentException(
+        s"malformed aggregate '$bad' (expected func(col) AS alias, " +
+          "func in count|sum|min|max|avg)")
+    }
   }
 }
 
@@ -472,6 +487,11 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "replace_where" => "predicate-scoped overwrite (backfill): atomically replace exactly the rows matching the condition with a view/table's rows; refuses rows outside the range"
     case "remove_orphans" => "delete data files no retained manifest references (crash leftovers)"
     case "restore" => "roll the table back to a prior version as a NEW commit (history preserved)"
+    case "create_mv" => "create an incremental materialized view: one full aggregate of the source plus graft.mv.* bookkeeping in ONE commit; refresh_mv then maintains it from the row-level change feed"
+    case "refresh_mv" => "incremental view refresh: sum/count/avg views apply signed delta arithmetic over the change feed (cost = the change); min/max views recompute only affected groups; state + watermark land in one commit (exactly-once)"
+    case "set_properties" => "set free-form table properties (TBLPROPERTIES) as one metadata commit; reserved lance.*/graft.* namespaces refused"
+    case "unset_properties" => "remove table properties by key (one metadata commit)"
+    case "publish_branch" => "write-audit-publish: audit the branch head against named boolean checks (one scan), then fast-forward or rebase it into main; a failed audit leaves main untouched"
     case "refresh_fts" => "delta-index appended fragments into the FTS postings (touched buckets only)"
     case "drop_index" => "delete a column's index sidecars (ivf | fts | scalar | all) and evict session caches"
     case "build_scalar_index" => "build the value->fragment scalar index for point-lookup pruning"
@@ -548,6 +568,27 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         .build())
     case "restore" => Array(in("table", StringType).build(),
       in("version", IntegerType).comment("committed version to restore to").build())
+    case "create_mv" => Array(in("view", StringType).build(),
+      in("source", StringType).comment("lance table path").build(),
+      in("group_by", StringType).comment("comma-separated group columns").build(),
+      in("aggs", StringType)
+        .comment("aggregate list: func(col) AS alias [, ...] with " +
+          "func in count|sum|min|max|avg (count(*) allowed)").build())
+    case "refresh_mv" => Array(in("view", StringType).build(),
+      in("full", BooleanType).defaultValue("false")
+        .comment("true forces a full rebuild (vacuumed feed window / " +
+          "out-of-band writes)").build())
+    case "set_properties" => Array(in("table", StringType).build(),
+      in("props", StringType)
+        .comment("key = value [, key = value ...] (values taken verbatim, " +
+          "surrounding quotes stripped)").build())
+    case "unset_properties" => Array(in("table", StringType).build(),
+      in("keys", StringType).comment("comma-separated keys").build())
+    case "publish_branch" => Array(in("table", StringType).build(),
+      in("branch", StringType).build(),
+      in("checks", StringType).defaultValue("''")
+        .comment("name = boolean_expr [, ...]; false-or-NULL rows are " +
+          "violations and refuse the publish").build())
     case "refresh_fts" => Array(in("table", StringType).build(),
       in("column", StringType).comment("indexed text column").build())
     case "drop_index" => Array(in("table", StringType).build(),
@@ -602,7 +643,12 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
   override def call(input: InternalRow): java.util.Iterator[
       org.apache.spark.sql.connector.read.Scan] = {
     val spark = SparkSession.active
-    val path = catalog.resolveTableArg(input.getUTF8String(0).toString).toString
+    // create_mv CREATES its first argument (the view); everything else
+    // operates on an existing table
+    val path =
+      if (procName == "create_mv")
+        catalog.resolveNewTableArg(input.getUTF8String(0).toString).toString
+      else catalog.resolveTableArg(input.getUTF8String(0).toString).toString
     val (schema, row) = procName match {
       case "compact" =>
         val minRows = input.getInt(1)
@@ -722,6 +768,58 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("restored_version", LongType, nullable = false)
           .add("new_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](restored, newV)))
+      case "create_mv" =>
+        val source = catalog.resolveTableArg(
+          input.getUTF8String(1).toString).toString
+        val groupBy = input.getUTF8String(2).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val aggs = LanceProcedure.parseAggList(input.getUTF8String(3).toString)
+        val v = graft.operators.MaterializedView.create(spark, path, source,
+          groupBy, aggs)
+        (new StructType().add("source_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](v)))
+      case "refresh_mv" =>
+        val r = if (input.getBoolean(1))
+          graft.operators.MaterializedView.fullRefresh(spark, path)
+        else graft.operators.MaterializedView.refresh(spark, path)
+        (new StructType().add("mode", StringType, nullable = false)
+          .add("from_version", LongType, nullable = false)
+          .add("to_version", LongType, nullable = false)
+          .add("groups_changed", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.mode),
+            r.fromVersion, r.toVersion, r.groupsChanged)))
+      case "set_properties" =>
+        val raw = LanceProcedure.parseAssignments(
+          input.getUTF8String(1).toString)
+        def unquote(s: String) =
+          if (s.length >= 2 && ((s.head == '\'' && s.last == '\'') ||
+            (s.head == '"' && s.last == '"'))) s.substring(1, s.length - 1)
+          else s
+        val v = graft.Lance.setProperties(spark, path,
+          raw.map { case (k, x) => k -> unquote(x) })
+        (new StructType().add("version", LongType, nullable = false)
+          .add("set", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](v, raw.size)))
+      case "unset_properties" =>
+        val keys = input.getUTF8String(1).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val v = graft.Lance.unsetProperties(spark, path, keys)
+        (new StructType().add("version", LongType, nullable = false)
+          .add("unset", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](v, keys.size)))
+      case "publish_branch" =>
+        val branch = input.getUTF8String(1).toString
+        val checksRaw = input.getUTF8String(2).toString.trim
+        val checks =
+          if (checksRaw.isEmpty) Map.empty[String, String]
+          else LanceProcedure.parseAssignments(checksRaw)
+        val (head, newMain) =
+          graft.Lance.publishBranch(spark, path, branch, checks)
+        (new StructType().add("branch_head", LongType, nullable = false)
+          .add("new_main_version", LongType, nullable = false)
+          .add("checks_passed", IntegerType, nullable = false),
+          new GenericInternalRow(Array[Any](head, newMain, checks.size)))
       case "drop_index" =>
         val n = graft.Lance.dropIndex(spark, path,
           input.getUTF8String(1).toString, input.getUTF8String(2).toString)

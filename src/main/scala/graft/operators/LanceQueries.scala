@@ -2121,6 +2121,42 @@ object LanceQueries {
     got.withColumn("mode", lit(r.mode)).orderBy(col("o_custkey"))
   }
 
+  /** Write-audit-publish (s117): evens land on main, odds stage on an
+    * audit branch. A first publish with an impossible quality bar is
+    * REFUSED (main provably still evens-only — that count rides the
+    * output); the real bars then pass and the branch fast-forwards into
+    * main. Final state = all orders, which is what the oracle
+    * aggregates; WapSpec pins rebase adoption, NULL-check semantics,
+    * and constraint re-proof.
+    */
+  def s117Publish(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_wap")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.createBranch(spark, dest, "audit")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.format("lance").option("write.branch", "audit")
+      .mode("append").save(dest)
+    val refused =
+      try { graft.Lance.publishBranch(spark, dest, "audit",
+        Map("impossible" -> "o_totalprice < 0")); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("main is untouched") }
+    val mainRowsAfterRefusal = spark.read.format("lance").load(dest).count()
+    graft.Lance.publishBranch(spark, dest, "audit", Map(
+      "key_set" -> "o_orderkey IS NOT NULL",
+      "priced" -> "o_totalprice > 0"))
+    spark.read.format("lance").load(dest)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("refused_first", lit(refused))
+      .withColumn("rows_while_refused", lit(mainRowsAfterRefusal))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** DEFAULT values for added columns (s114, Iceberg v3 initial-default):
     * `addColumn(..., default)` is one metadata commit; fragments written
     * BEFORE the ADD read the constant on every scan (Spark's
@@ -2441,6 +2477,7 @@ object LanceQueries {
     "s113_cdf_dml" -> s113CdfDml,
     "s115_mv_delta" -> s115MvDelta,
     "s116_mv_minmax" -> s116MvMinmax,
+    "s117_publish" -> s117Publish,
     "s114_default_column" -> s114DefaultColumn,
     "s102_rename_column" -> s102RenameColumn,
     "s103_scalar_range_prune" -> s103ScalarRangePrune,
@@ -2711,6 +2748,15 @@ object LanceQueries {
         |FROM orders
         |WHERE o_custkey % 13 <> 7 AND o_totalprice <= 150000.0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // s117: the refused publish left main evens-only; the passed one
+    // fast-forwarded the odds in — final table = all orders
+    "s117_publish" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | TRUE AS refused_first,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |   AS rows_while_refused
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // s114: evens read the default 'legacy' (then %10=0 migrated by the
     // UPDATE, which matched the FILLED value), odds carry explicit 'fresh'
     "s114_default_column" ->

@@ -167,6 +167,40 @@ class MaterializedViewSpec extends AnyFunSuite {
       .filter(col("grp").isNull).count() == 1L)
   }
 
+  test("SQL surface: CALL create_mv / refresh_mv / set_properties") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.lance_mv", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_mv.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE lance_mv.db")
+      val src = s"$wh/db/t"
+      (1L to 40L).map(i => (i, s"g${i % 4}", i * 0.5)).toDF("id", "grp", "x")
+        .write.format("lance").mode("overwrite").save(src)
+      val created = spark.sql(
+        "CALL lance_mv.system.create_mv('db.v', 'db.t', 'grp', " +
+          "'count(*) AS n, sum(x) AS sx, avg(x) AS ax')").collect()(0)
+      assert(created.getAs[Long]("source_version") == 1L)
+      spark.conf.set("spark.graft.dml.changeFeed", "true")
+      try Lance.deleteWhere(spark, src, "id <= 8")
+      finally spark.conf.unset("spark.graft.dml.changeFeed")
+      val r = spark.sql("CALL lance_mv.system.refresh_mv('db.v')").collect()(0)
+      assert(r.getAs[String]("mode") == "delta")
+      assert(r.getAs[Long]("groups_changed") == 4L)
+      val got = MaterializedView.read(spark, s"$wh/db/v")
+      assert(got.agg(sum("n")).as[Long].head() == 32L)
+      // properties through SQL too
+      spark.sql("CALL lance_mv.system.set_properties('db.t', " +
+        "\"owner = 'data-eng', tier = gold\")")
+      assert(Lance.tableProperties(spark, src) ==
+        Map("owner" -> "data-eng", "tier" -> "gold"))
+      spark.sql("CALL lance_mv.system.unset_properties('db.t', 'tier')")
+      assert(Lance.tableProperties(spark, src) == Map("owner" -> "data-eng"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lance_mv")
+      spark.conf.unset("spark.sql.catalog.lance_mv.warehouse")
+    }
+  }
+
   test("out-of-band writes to the view fail the next refresh loud") {
     val src = tmpDir(); val view = tmpDir() + "/v"
     (1L to 10L).map(i => (i, "g", i * 1.0)).toDF("id", "grp", "x")

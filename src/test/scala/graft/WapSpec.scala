@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Write-audit-publish ([[Lance.publishBranch]]): stage risky ingest on
+  * a branch, audit with named boolean checks, adopt into main only when
+  * every check holds. Contracts:
+  *  - audit pass + unmoved main = fast-forward; moved main = rebase
+  *  - a failed audit (false OR NULL rows) refuses with per-check counts
+  *    and leaves BOTH lineages byte-identical
+  *  - rebase-path publish re-proves main's constraints over the adopted
+  *    fragments (a post-fork UNIQUE can refuse the publish)
+  *  - SQL surface: CALL publish_branch
+  */
+class WapSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "wap-")
+      .toAbsolutePath.toString
+
+  test("audit pass publishes: fast-forward when main unmoved, rebase when moved") {
+    val dir = tmpDir()
+    (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.createBranch(spark, dir, "audit")
+    (51L to 60L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").option("write.branch", "audit").mode("append").save(dir)
+    val (head, newMain) = Lance.publishBranch(spark, dir, "audit",
+      Map("positive" -> "x > 0", "id_set" -> "id IS NOT NULL"))
+    assert(newMain > head || newMain > 1L)
+    assert(spark.read.format("lance").load(dir).count() == 60L)
+    // moved-main case: new branch, then main advances before publish
+    Lance.createBranch(spark, dir, "audit2")
+    (61L to 70L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").option("write.branch", "audit2").mode("append").save(dir)
+    (1000L to 1004L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").mode("append").save(dir) // main moves
+    Lance.publishBranch(spark, dir, "audit2", Map("positive" -> "x > 0"))
+    assert(spark.read.format("lance").load(dir).count() == 75L,
+      "rebase adoption must keep BOTH main's new rows and the branch's")
+  }
+
+  test("failed audit refuses with counts; both lineages untouched") {
+    val dir = tmpDir()
+    (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.createBranch(spark, dir, "bad")
+    Seq((21L, -5.0), (22L, Double.NaN), (23L, 3.0)).toDF("id", "x")
+      .write.format("lance").option("write.branch", "bad").mode("append").save(dir)
+    val mainBefore = Lance.versions(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      Lance.publishBranch(spark, dir, "bad",
+        Map("positive" -> "x > 0", "finite" -> "NOT isnan(x)")))
+    assert(e.getMessage.contains("positive (1 rows)") ||
+      e.getMessage.contains("positive (2 rows)"), e.getMessage)
+    assert(e.getMessage.contains("finite (1 rows)"), e.getMessage)
+    assert(Lance.versions(spark, dir) == mainBefore, "main must not move")
+    assert(spark.read.format("lance").option("branch", "bad").load(dir)
+      .count() == 23L, "branch stays intact for fix-and-retry")
+    assert(spark.read.format("lance").load(dir).count() == 20L)
+    // NULL check result is a violation, CHECK-constraint style
+    val dir2 = tmpDir()
+    Seq((1L, Option(1.0)), (2L, Option.empty[Double])).toDF("id", "x")
+      .write.format("lance").mode("overwrite").save(dir2)
+    Lance.createBranch(spark, dir2, "b")
+    val e2 = intercept[IllegalArgumentException](
+      Lance.publishBranch(spark, dir2, "b", Map("pos" -> "x > 0")))
+    assert(e2.getMessage.contains("pos (1 rows)"))
+  }
+
+  test("rebase-path publish re-proves main's post-fork constraints") {
+    val dir = tmpDir()
+    (1L to 20L).map(i => (i, s"k$i")).toDF("id", "s")
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.createBranch(spark, dir, "stage")
+    Seq((5L, "dup-of-main")).toDF("id", "s") // violates a UNIQUE(id) on main
+      .write.format("lance").option("write.branch", "stage").mode("append").save(dir)
+    Lance.addUniqueConstraint(spark, dir, "id") // post-fork, moves main
+    intercept[Exception](Lance.publishBranch(spark, dir, "stage"))
+    assert(spark.read.format("lance").load(dir).count() == 20L)
+  }
+
+  test("SQL surface: CALL publish_branch") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.lance_wap", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.lance_wap.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE lance_wap.db")
+      val p = s"$wh/db/t"
+      (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "x")
+        .write.format("lance").mode("overwrite").save(p)
+      Lance.createBranch(spark, p, "audit")
+      (11L to 15L).map(i => (i, i * 1.0)).toDF("id", "x")
+        .write.format("lance").option("write.branch", "audit").mode("append").save(p)
+      val row = spark.sql("CALL lance_wap.system.publish_branch('db.t', " +
+        "'audit', 'positive = x > 0')").collect()(0)
+      assert(row.getAs[Int]("checks_passed") == 1)
+      assert(spark.read.format("lance").load(p).count() == 15L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lance_wap")
+      spark.conf.unset("spark.sql.catalog.lance_wap.warehouse")
+    }
+  }
+}
