@@ -70,6 +70,41 @@ object FragmentStats {
     case _ => false
   }
 
+  /** The stats-carrying columns of a schema: every eligible top-level
+    * field PLUS first-level STRUCT leaves, keyed by their dotted path
+    * (`meta.lang`) — real corpora carry nested metadata columns, and
+    * `doc.meta.lang = 'fr'` deserves the same driver-side skipping as a
+    * flat column. Deeper nesting, arrays, and maps stay out (their
+    * bounds are not scalar); pruning on them is simply never claimed.
+    */
+  private[graft] def statColumns(schema: StructType): Seq[(String, DataType)] =
+    schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case dt if eligible(dt) => Seq(f.name -> dt)
+        case st: StructType => st.fields.toSeq.collect {
+          case c if eligible(c.dataType) => s"${f.name}.${c.name}" -> c.dataType
+        }
+        case _ => Seq.empty
+      }
+    }
+
+  /** Resolve a pushed-filter attribute — a top-level name or a dotted
+    * first-level struct path — to its leaf type, mirroring
+    * [[statColumns]]'s keying. A top-level field whose name happens to
+    * contain a dot wins over the path reading (it is the one the stats
+    * writer keyed). */
+  private[graft] def leafType(schema: StructType, attr: String): Option[DataType] =
+    schema.fields.find(_.name == attr).map(_.dataType).orElse {
+      attr.split('.') match {
+        case Array(parent, child) =>
+          schema.fields.find(_.name == parent).map(_.dataType).flatMap {
+            case st: StructType => st.fields.find(_.name == child).map(_.dataType)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
   /** One column's running min/max/nullCount while a fragment is written.
     * Values are compared in their native domain (longs as longs — no
     * double rounding above 2^53; strings in UTF8 binary order, matching
@@ -195,6 +230,21 @@ object FragmentStats {
     else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
   }
 
+  /** A first-level struct leaf: the outer observe loop handles the
+    * PARENT null (same slot index); this handles the leaf null and
+    * delegates values to the wrapped scalar tracker over the struct row.
+    */
+  private final class StructLeafTracker(name: String, child: Int,
+      width: Int, inner: Tracker) extends Tracker(name) {
+    def observe(row: InternalRow, i: Int): Unit = {
+      val s = row.getStruct(i, width)
+      if (s.isNullAt(child)) nulls += 1 else inner.observe(s, child)
+    }
+    def minStr: Option[String] = inner.minStr
+    def maxStr: Option[String] = inner.maxStr
+    override def valuesStr: Option[Seq[String]] = inner.valuesStr
+  }
+
   /** Streams every written row once; `result` snapshots the per-column
     * stats for the fragment being rolled. One virtual call + compare per
     * eligible column per row — noise next to parquet encoding.
@@ -202,23 +252,36 @@ object FragmentStats {
   final class Collector(schema: StructType) {
     private var trackers: Array[(Int, Tracker)] = mk()
 
+    private def mkTracker(name: String, dt: DataType): Tracker = dt match {
+      case ByteType => new LongTracker(name, (r, j) => r.getByte(j).toLong)
+      case ShortType => new LongTracker(name, (r, j) => r.getShort(j).toLong)
+      case IntegerType | DateType => new LongTracker(name, (r, j) => r.getInt(j).toLong)
+      case LongType | TimestampType | TimestampNTZType =>
+        new LongTracker(name, (r, j) => r.getLong(j))
+      case BooleanType => new LongTracker(name, (r, j) => if (r.getBoolean(j)) 1L else 0L)
+      case FloatType => new DoubleTracker(name, (r, j) => r.getFloat(j).toDouble)
+      case DoubleType => new DoubleTracker(name, (r, j) => r.getDouble(j))
+      case d: DecimalType => new DecimalTracker(name, d.precision, d.scale)
+      case StringType => new StringTracker(name)
+      case other => throw new IllegalStateException(s"not stats-eligible: $other")
+    }
+
     private def mk(): Array[(Int, Tracker)] =
-      schema.fields.zipWithIndex.collect {
-        case (f, i) if eligible(f.dataType) =>
-          val t: Tracker = f.dataType match {
-            case ByteType => new LongTracker(f.name, (r, j) => r.getByte(j).toLong)
-            case ShortType => new LongTracker(f.name, (r, j) => r.getShort(j).toLong)
-            case IntegerType | DateType => new LongTracker(f.name, (r, j) => r.getInt(j).toLong)
-            case LongType | TimestampType | TimestampNTZType =>
-              new LongTracker(f.name, (r, j) => r.getLong(j))
-            case BooleanType => new LongTracker(f.name, (r, j) => if (r.getBoolean(j)) 1L else 0L)
-            case FloatType => new DoubleTracker(f.name, (r, j) => r.getFloat(j).toDouble)
-            case DoubleType => new DoubleTracker(f.name, (r, j) => r.getDouble(j))
-            case d: DecimalType => new DecimalTracker(f.name, d.precision, d.scale)
-            case StringType => new StringTracker(f.name)
-            case other => throw new IllegalStateException(s"not stats-eligible: $other")
-          }
-          (i, t)
+      schema.fields.zipWithIndex.flatMap { case (f, i) =>
+        f.dataType match {
+          case dt if eligible(dt) => Seq((i, mkTracker(f.name, dt)))
+          case st: StructType =>
+            // first-level struct leaves, keyed `parent.child` — the
+            // outer loop's parent-null check rides the same slot, so a
+            // NULL struct counts every leaf null (matching Spark's
+            // `s.x IS NULL` semantics); deeper levels stay untracked
+            st.fields.zipWithIndex.collect {
+              case (c, j) if eligible(c.dataType) =>
+                (i, new StructLeafTracker(s"${f.name}.${c.name}", j,
+                  st.size, mkTracker(s"${f.name}.${c.name}", c.dataType)))
+            }.toSeq
+          case _ => Seq.empty
+        }
       }
 
     def observe(row: InternalRow): Unit = {
@@ -256,14 +319,20 @@ object FragmentStats {
     */
   def aggregate(schema: StructType, fragments: Seq[FragmentMeta])
       : Seq[(String, Option[String], Option[String], Option[Long], Int)] =
-    schema.fields.toSeq.filter(f => eligible(f.dataType)).map { field =>
-      val ord = ordering(field.dataType)
+    statColumns(schema).map { case (colName, colType) =>
+      val ord = ordering(colType)
       // per-fragment verdicts: Left(()) = unknowable; Right(None) = no
       // non-null rows (vacuous); Right(Some(bounds+nulls))
       val verdicts = fragments.map { f =>
         f.stats match {
           case None => Left(()) // stats-less fragment: everything unknown
-          case Some(st) => st.get(field.name) match {
+          case Some(st) => st.get(colName) match {
+            case None if colName.contains('.') =>
+              // a NESTED leaf absent from a stats map is ambiguous: the
+              // fragment may predate leaf tracking (values exist!) or
+              // predate the struct column (all null) — unknowable, never
+              // a claimed bound
+              Left(())
             case None => // column younger than the fragment: all null
               Right(Some((None: Option[String], None: Option[String], f.rowCount)))
             case Some(cs) if cs.nullCount == f.rowCount =>
@@ -274,7 +343,7 @@ object FragmentStats {
           }
         }
       }
-      if (verdicts.exists(_.isLeft)) (field.name, None, None, None, 0)
+      if (verdicts.exists(_.isLeft)) (colName, None, None, None, 0)
       else {
         val known = verdicts.collect { case Right(Some(v)) => v }
         val nulls = known.map(_._3).sum
@@ -283,14 +352,14 @@ object FragmentStats {
           bounded
             .flatMap { case (mn, mx, _) =>
               val s = if (takeMin) mn else mx
-              s.flatMap(str => statValue(field.dataType, str).map(v => (str, v)))
+              s.flatMap(str => statValue(colType, str).map(v => (str, v)))
             }
             .reduceOption { (a, b) =>
               val c = o(a._2, b._2)
               if (if (takeMin) c <= 0 else c >= 0) a else b
             }.map(_._1)
         }
-        (field.name, fold(takeMin = true), fold(takeMin = false),
+        (colName, fold(takeMin = true), fold(takeMin = false),
           Some(nulls), bounded.size)
       }
     }
@@ -425,7 +494,7 @@ object FragmentStats {
       lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]): Boolean =
     (for {
       cs <- stats.get(attr)
-      dt <- schema.fields.find(_.name == attr).map(_.dataType)
+      dt <- leafType(schema, attr)
       ord <- ordering(dt)
       mn <- cs.min.flatMap(statValue(dt, _))
       mx <- cs.max.flatMap(statValue(dt, _))
@@ -445,7 +514,7 @@ object FragmentStats {
       lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]): Boolean = {
     val verdict = for {
       cs <- stats.get(attr)
-      dt <- schema.fields.find(_.name == attr).map(_.dataType)
+      dt <- leafType(schema, attr)
     } yield {
       if (cs.nullCount == rowCount) false // all null: no value comparison matches
       else {
@@ -481,7 +550,7 @@ object FragmentStats {
       attr: String, v: Any): Boolean =
     (for {
       cs <- stats.get(attr)
-      dt <- schema.fields.find(_.name == attr).map(_.dataType)
+      dt <- leafType(schema, attr)
       set <- valueSet(dt, cs)
       fv <- filterValue(dt, v)
       ord <- ordering(dt)
@@ -500,7 +569,7 @@ object FragmentStats {
     * stored set members are raw untruncated values by construction). */
   private def setAdmitsString(schema: StructType, stats: Map[String, ColStats],
       attr: String, pred: String => Boolean): Boolean =
-    !schema.fields.exists(f => f.name == attr && f.dataType == StringType) ||
+    !leafType(schema, attr).contains(StringType) ||
       stats.get(attr).flatMap(_.values).forall(_.exists(pred))
 
   /** mustMatch arm: the value set PROVES In-coverage — no nulls and every
@@ -510,7 +579,7 @@ object FragmentStats {
       attr: String, vs: Array[Any]): Boolean =
     (for {
       cs <- stats.get(attr)
-      dt <- schema.fields.find(_.name == attr).map(_.dataType)
+      dt <- leafType(schema, attr)
       set <- valueSet(dt, cs)
       ord <- ordering(dt)
     } yield cs.nullCount == 0 && set.nonEmpty && set.forall(x =>

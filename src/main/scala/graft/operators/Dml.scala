@@ -65,6 +65,13 @@ object Dml {
 
   private def q(name: String): Column = col(s"`$name`")
 
+  /** A v1-filter ATTRIBUTE back to a Column: dotted names are
+    * first-level struct-leaf paths ([[toV1]]'s keying) and become
+    * nested accesses; plain names quote whole. */
+  private def qa(name: String): Column =
+    if (name.contains('.')) col(name.split('.').map(p => s"`$p`").mkString("."))
+    else q(name)
+
   /** Per-fragment match counts from a DataFrame carrying a `__f`
     * (input_file_name) column: fragment file name → matching rows. The
     * scoping that keeps a rewrite proportional to the fragments ACTUALLY
@@ -173,6 +180,13 @@ object Dml {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     def name(x: ce.Expression): Option[String] = x match {
       case a: ce.AttributeReference => Some(a.name)
+      // first-level struct leaf (`meta.n_chars`): dotted-path filters,
+      // same keying as the stats writer — nested predicates then scope
+      // DML rewrites exactly like flat ones
+      case g: ce.GetStructField => g.child match {
+        case a: ce.AttributeReference => Some(s"${a.name}.${g.extractFieldName}")
+        case _ => None
+      }
       case _ => None
     }
     def value(l: ce.Literal): Any =
@@ -250,7 +264,13 @@ object Dml {
     * speak physical names). Shapes with no attribute pass through. */
   private[graft] def renameFilter(f: v1.Filter,
       mapping: Map[String, String]): v1.Filter = {
-    def p(a: String) = mapping.getOrElse(a, a)
+    def p(a: String) = mapping.get(a).getOrElse {
+      // dotted struct-leaf path: the PARENT may be renamed (leaves
+      // themselves cannot be — rename is top-level only)
+      val i = a.indexOf('.')
+      if (i > 0) mapping.getOrElse(a.take(i), a.take(i)) + a.substring(i)
+      else a
+    }
     f match {
       case v1.EqualTo(a, v) => v1.EqualTo(p(a), v)
       case v1.EqualNullSafe(a, v) => v1.EqualNullSafe(p(a), v)
@@ -277,18 +297,18 @@ object Dml {
     case v1.And(l, r) => filterToColumn(l) && filterToColumn(r)
     case v1.Or(l, r) => filterToColumn(l) || filterToColumn(r)
     case v1.Not(c) => !filterToColumn(c)
-    case v1.EqualTo(a, v) => q(a) === lit(v)
-    case v1.EqualNullSafe(a, v) => q(a) <=> lit(v)
-    case v1.GreaterThan(a, v) => q(a) > lit(v)
-    case v1.GreaterThanOrEqual(a, v) => q(a) >= lit(v)
-    case v1.LessThan(a, v) => q(a) < lit(v)
-    case v1.LessThanOrEqual(a, v) => q(a) <= lit(v)
-    case v1.In(a, vs) => q(a).isin(vs.toIndexedSeq: _*)
-    case v1.IsNull(a) => q(a).isNull
-    case v1.IsNotNull(a) => q(a).isNotNull
-    case v1.StringStartsWith(a, p) => q(a).startsWith(p)
-    case v1.StringEndsWith(a, p) => q(a).endsWith(p)
-    case v1.StringContains(a, p) => q(a).contains(p)
+    case v1.EqualTo(a, v) => qa(a) === lit(v)
+    case v1.EqualNullSafe(a, v) => qa(a) <=> lit(v)
+    case v1.GreaterThan(a, v) => qa(a) > lit(v)
+    case v1.GreaterThanOrEqual(a, v) => qa(a) >= lit(v)
+    case v1.LessThan(a, v) => qa(a) < lit(v)
+    case v1.LessThanOrEqual(a, v) => qa(a) <= lit(v)
+    case v1.In(a, vs) => qa(a).isin(vs.toIndexedSeq: _*)
+    case v1.IsNull(a) => qa(a).isNull
+    case v1.IsNotNull(a) => qa(a).isNotNull
+    case v1.StringStartsWith(a, p) => qa(a).startsWith(p)
+    case v1.StringEndsWith(a, p) => qa(a).endsWith(p)
+    case v1.StringContains(a, p) => qa(a).contains(p)
     case other => throw new IllegalArgumentException(
       s"DELETE condition $other is not supported by the lance connector")
   }

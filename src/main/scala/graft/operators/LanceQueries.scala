@@ -1932,9 +1932,9 @@ object LanceQueries {
   /** Nested types end-to-end (q60): a documents-shaped table with struct
     * metadata, array<struct> spans, and a map column through the lance
     * format — write, merge-schema sibling add (old fragments read NULL),
-    * row-level DELETE through a NESTED predicate (no fragment stats for
-    * nested fields: DML scoping degrades to all-fragments, conservative
-    * and exact), then read back with struct/array/map access and reduce
+    * row-level DELETE through a NESTED predicate (struct leaves carry
+    * dotted-path fragment stats, so the rewrite scopes like a flat
+    * column), then read back with struct/array/map access and reduce
     * to scalars the DuckDB oracle can restate from the flat source.
     * Reference nested converter: `converter/LanceTypeConverter.java:171-186`,
     * `converter/RowDataConverter.java:351-368`. Real corpora carry nested

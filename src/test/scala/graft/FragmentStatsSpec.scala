@@ -620,4 +620,60 @@ class FragmentStatsSpec extends AnyFunSuite {
     assert(after("id").getLong(4) == 50, after("id"))
     assert(after("m").getLong(4) == 7, after("m"))
   }
+
+  // ------------------------------------------------- nested struct leaves
+
+  test("struct leaves carry dotted-path stats; NULL structs count as leaf nulls") {
+    val dir = s"${tmpDir()}/nested"
+    Seq(
+      (1L, Some(("en", 100L)), 0.5),
+      (2L, Some(("fr", 900L)), 1.5),
+      (3L, None, 2.5)) // NULL struct: every leaf reads null
+      .toDF("id", "meta0", "v")
+      .withColumn("meta", col("meta0").cast("struct<lang:string,n_chars:bigint>"))
+      .drop("meta0").coalesce(1)
+      .write.format("lance").mode("overwrite").save(dir)
+    val st = manifest(dir).fragments.head.stats.get
+    assert(st("meta.lang") ==
+      ColStats(Some("en"), Some("fr"), 1, Some(Seq("en", "fr"))))
+    assert(st("meta.n_chars") ==
+      ColStats(Some("100"), Some("900"), 1, Some(Seq("100", "900"))))
+    // the struct itself never carries scalar bounds
+    assert(!st.contains("meta"))
+    // rollup serves the leaves too
+    graft.MetaTvfs.register(spark)
+    val rows = spark.sql(s"SELECT * FROM lance_stats('$dir')")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.contains("meta.n_chars"))
+    assert(rows("meta.n_chars").getString(1) == "100")
+    assert(rows("meta.n_chars").getLong(3) == 1) // the NULL-struct row
+  }
+
+  test("filters on struct leaves prune fragments end-to-end") {
+    val dir = s"${tmpDir()}/nestedprune"
+    // 4 fragments with disjoint meta.n ranges
+    (0 until 4).foreach { f =>
+      spark.range(f * 100L, f * 100L + 100L)
+        .select(col("id"),
+          struct((col("id") * 10).as("n"),
+            concat(lit("l"), lit(f)).as("tag")).as("meta"))
+        .coalesce(1)
+        .write.format("lance").mode(if (f == 0) "overwrite" else "append")
+        .save(dir)
+    }
+    assert(manifest(dir).fragments.size == 4)
+    val df = spark.read.format("lance").load(dir)
+      .filter(col("meta.n") === 1500L) // only fragment 1 ([1000,1990])
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(150L))
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("meta.n") === 1500L)) == 1,
+      "a nested-leaf equality must prune to the one holding fragment")
+    // value-set prune on the nested string leaf
+    assert(scannedFiles(
+      spark.read.format("lance").load(dir).filter(col("meta.tag") === "l2")) == 1)
+    // conservative: a filter on an UNTRACKED depth keeps everything
+    val deep = spark.read.format("lance").load(dir)
+      .filter(col("meta.tag").isNotNull)
+    assert(deep.count() == 400)
+  }
 }

@@ -88,10 +88,14 @@ class NestedTypesSpec extends AnyFunSuite {
       nestedDf(f * 100, f * 100 + 100).write.format("lance")
         .mode(if (f == 0) "overwrite" else "append").save(dir)
     }
-    // nested predicates have no fragment stats: the rewrite must scope to
-    // ALL fragments (conservative) and still delete exactly the right rows
+    // nested leaves carry dotted-path fragment stats: the rewrite scopes
+    // to the fragments that MAY hold matches, and deletes exactly the
+    // right rows (each write above landed as parallel multi-fragment
+    // batches, so candidates < total proves the pruning engaged)
     val res = Lance.deleteWhere(spark, dir, "meta.n_chars < 500")
     assert(res.rowsChanged == 50, s"deleted ${res.rowsChanged}")
+    assert(res.candidateFragments < res.totalFragments,
+      s"nested-leaf stats must scope the rewrite: $res")
     val back = spark.read.format("lance").load(dir)
     assert(back.count() == 350)
     assert(back.agg(min(col("meta.n_chars"))).head.getLong(0) == 500L)
