@@ -1006,6 +1006,20 @@ object Lance {
     if (full) graft.operators.MaterializedView.fullRefresh(spark, viewPath)
     else graft.operators.MaterializedView.refresh(spark, viewPath)
 
+  /** Seed a keyed downstream REPLICA of a lance table (full copy +
+    * `graft.replica.*` bookkeeping, one commit); [[syncReplica]] then
+    * maintains it from the change feed in changed-rows time. See
+    * [[graft.operators.Replica]]. */
+  def createReplica(spark: SparkSession, replicaPath: String,
+      sourcePath: String, keys: Seq[String]): Long =
+    graft.operators.Replica.create(spark, replicaPath, sourcePath, keys)
+
+  /** One incremental replica sync: net-per-key changes from the feed
+    * window, one atomic commit carrying the watermark. */
+  def syncReplica(spark: SparkSession, replicaPath: String)
+      : graft.operators.Replica.SyncResult =
+    graft.operators.Replica.sync(spark, replicaPath)
+
   /** Set free-form TABLE PROPERTIES (Delta TBLPROPERTIES shape): one
     * metadata commit, merged over the current map (concurrent edits
     * compose — see [[graft.format.LanceFormat.commitProperties]]).

@@ -415,7 +415,7 @@ object LanceCatalog {
       "add_unique", "clone_table", "cluster_by_bucket", "rebucket",
       "analyze_table", "set_bloom_filters", "optimize", "fsck",
       "create_mv", "refresh_mv", "set_properties", "unset_properties",
-      "publish_branch")
+      "publish_branch", "create_replica", "sync_replica")
 }
 
 private[catalog] object LanceProcedure {
@@ -492,6 +492,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "set_properties" => "set free-form table properties (TBLPROPERTIES) as one metadata commit; reserved lance.*/graft.* namespaces refused"
     case "unset_properties" => "remove table properties by key (one metadata commit)"
     case "publish_branch" => "write-audit-publish: audit the branch head against named boolean checks (one scan), then fast-forward or rebase it into main; a failed audit leaves main untouched"
+    case "create_replica" => "seed a keyed downstream replica (full copy + graft.replica.* bookkeeping in one commit); sync_replica then maintains it from the change feed"
+    case "sync_replica" => "apply the feed window's net-per-key changes to the replica in one atomic commit (cost = the change, never the table)"
     case "refresh_fts" => "delta-index appended fragments into the FTS postings (touched buckets only)"
     case "drop_index" => "delete a column's index sidecars (ivf | fts | scalar | all) and evict session caches"
     case "build_scalar_index" => "build the value->fragment scalar index for point-lookup pruning"
@@ -589,6 +591,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("checks", StringType).defaultValue("''")
         .comment("name = boolean_expr [, ...]; false-or-NULL rows are " +
           "violations and refuse the publish").build())
+    case "create_replica" => Array(in("replica", StringType).build(),
+      in("source", StringType).build(),
+      in("keys", StringType).comment("comma-separated unique key columns").build())
+    case "sync_replica" => Array(in("replica", StringType).build())
     case "refresh_fts" => Array(in("table", StringType).build(),
       in("column", StringType).comment("indexed text column").build())
     case "drop_index" => Array(in("table", StringType).build(),
@@ -643,10 +649,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
   override def call(input: InternalRow): java.util.Iterator[
       org.apache.spark.sql.connector.read.Scan] = {
     val spark = SparkSession.active
-    // create_mv CREATES its first argument (the view); everything else
-    // operates on an existing table
+    // create_mv / create_replica CREATE their first argument; everything
+    // else operates on an existing table
     val path =
-      if (procName == "create_mv")
+      if (procName == "create_mv" || procName == "create_replica")
         catalog.resolveNewTableArg(input.getUTF8String(0).toString).toString
       else catalog.resolveTableArg(input.getUTF8String(0).toString).toString
     val (schema, row) = procName match {
@@ -808,6 +814,22 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("version", LongType, nullable = false)
           .add("unset", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](v, keys.size)))
+      case "create_replica" =>
+        val source = catalog.resolveTableArg(
+          input.getUTF8String(1).toString).toString
+        val keys = input.getUTF8String(2).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val v = graft.operators.Replica.create(spark, path, source, keys)
+        (new StructType().add("source_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](v)))
+      case "sync_replica" =>
+        val r = graft.operators.Replica.sync(spark, path)
+        (new StructType().add("from_version", LongType, nullable = false)
+          .add("to_version", LongType, nullable = false)
+          .add("rows_changed", LongType, nullable = false)
+          .add("rows_inserted", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](r.fromVersion, r.toVersion,
+            r.rowsChanged, r.rowsInserted)))
       case "publish_branch" =>
         val branch = input.getUTF8String(1).toString
         val checksRaw = input.getUTF8String(2).toString.trim

@@ -2157,6 +2157,47 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Keyed replica sync (s118): a downstream copy of the orders table
+    * absorbs the same mixed DML batch as s113/s115 through the change
+    * feed — net-per-key collapse, one atomic commit, watermark advanced.
+    * The in-gate require proves replica == source row-for-row after
+    * sync; the oracle aggregates the restated final source. A second
+    * sync must be a no-op (exactly-once proof rides as a column).
+    */
+  def s118Replica(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "repl_src")
+    val rep = scratch(dir, "repl_dst")
+    freshDataset(spark, src); freshDataset(spark, rep)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .write.format("lance").mode("overwrite").save(src)
+    graft.operators.Replica.create(spark, rep, src, Seq("o_orderkey"))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      graft.Lance.deleteWhere(spark, src, "o_orderkey % 10 = 3")
+      graft.Lance.updateWhere(spark, src, "o_orderkey % 10 = 4",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      val ins = spark.createDataFrame(Seq(
+        (1L, -5L, "X", 111.11), (2L, -5L, "X", 111.11),
+        (-1L, -5L, "X", 111.11), (-2L, -5L, "X", 111.11)))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.Lance.upsert(spark, src, ins, Seq("o_orderkey"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    graft.operators.Replica.sync(spark, rep)
+    val got = spark.read.format("lance").load(rep)
+    val live = spark.read.format("lance").load(src)
+    require(got.exceptAll(live).isEmpty && live.exceptAll(got).isEmpty,
+      "replica must equal the source row-for-row after sync")
+    val again = graft.operators.Replica.sync(spark, rep)
+    require(again.rowsChanged == 0 && again.rowsInserted == 0,
+      s"second sync must be a no-op, got $again")
+    got.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("resynced_rows", lit(again.rowsChanged + again.rowsInserted))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** DEFAULT values for added columns (s114, Iceberg v3 initial-default):
     * `addColumn(..., default)` is one metadata commit; fragments written
     * BEFORE the ADD read the constant on every scan (Spark's
@@ -2478,6 +2519,7 @@ object LanceQueries {
     "s115_mv_delta" -> s115MvDelta,
     "s116_mv_minmax" -> s116MvMinmax,
     "s117_publish" -> s117Publish,
+    "s118_replica" -> s118Replica,
     "s114_default_column" -> s114DefaultColumn,
     "s102_rename_column" -> s102RenameColumn,
     "s103_scalar_range_prune" -> s103ScalarRangePrune,
@@ -2748,6 +2790,23 @@ object LanceQueries {
         |FROM orders
         |WHERE o_custkey % 13 <> 7 AND o_totalprice <= 150000.0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // s118: the replica equals the restated final source (s113's
+    // restatement); a second sync applied zero rows
+    "s118_replica" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 10 <> 3 AND o_orderkey NOT IN (1, 2)
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (1, 'X', 111.11), (2, 'X', 111.11),
+        |    (-1, 'X', 111.11), (-2, 'X', 111.11))
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(0 AS BIGINT) AS resynced_rows
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // s117: the refused publish left main evens-only; the passed one
     // fast-forwarded the odds in — final table = all orders
     "s117_publish" ->
