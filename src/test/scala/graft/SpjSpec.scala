@@ -592,6 +592,59 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("renamed bucket key: zero-shuffle AND sort-free claims survive") {
+    val wh = tmpDir()
+    val dir1 = s"$wh/db/t1"; val dir2 = s"$wh/db/t2"
+    spark.range(0, 2000).select(col("id").as("k"), col("id").as("a"))
+      .write.format("lance").mode("overwrite").save(dir1)
+    spark.range(0, 2000).filter(pmod(col("id"), lit(2)) === 0)
+      .select(col("id").as("k"), col("id").as("b"))
+      .write.format("lance").mode("overwrite").save(dir2)
+    Lance.clusterByBucket(spark, dir1, Seq("k"), numBuckets = 4)
+    Lance.clusterByBucket(spark, dir2, Seq("k"), numBuckets = 4)
+    // RENAME the bucket key on one side: the spec remaps (logical name),
+    // fragment files keep the physical name — the ordering claim must
+    // resolve through the mapping, not silently withdraw
+    Lance.renameColumn(spark, dir1, "k", "key")
+    assert(manifest(dir1).bucketBy.get.columns == Seq("key"))
+    spark.conf.set("spark.sql.catalog.spj_ren", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.spj_ren.warehouse", wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      val l = spark.table("spj_ren.db.t1")
+      val r = spark.table("spj_ren.db.t2")
+      val joined = l.join(r, l("key") === r("k"))
+        .groupBy().agg(count(lit(1)).as("n"))
+      assert(joined.collect()(0).getLong(0) == 1000)
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      val smj = walk(joined.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "want a sort-merge join")
+      smj.foreach(_.children.foreach { side =>
+        assert(walk(side).forall(!_.isInstanceOf[ShuffleExchangeLike]),
+          s"SPJ must survive the rename - side shuffles:\n$side")
+        assert(walk(side).forall(!_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+          s"sort-free claim must survive the rename - side sorts:\n$side")
+      })
+    } finally {
+      saved.foreach {
+        case (c, Some(v)) => spark.conf.set(c, v)
+        case (c, None) => spark.conf.unset(c)
+      }
+      spark.conf.unset("spark.sql.catalog.spj_ren")
+      spark.conf.unset("spark.sql.catalog.spj_ren.warehouse")
+    }
+  }
+
   test("PROPERTY: observed sortedness is truthful under random inputs and key types") {
     // a WRONG sorted=true silently corrupts a sort-free merge join —
     // this is the invariant with the highest failure stakes, so verify
