@@ -1006,6 +1006,10 @@ object Lance {
     if (full) graft.operators.MaterializedView.fullRefresh(spark, viewPath)
     else graft.operators.MaterializedView.refresh(spark, viewPath)
 
+  /** Unregister (from its source's dependents) and delete a view. */
+  def dropMaterializedView(spark: SparkSession, viewPath: String): Boolean =
+    graft.operators.MaterializedView.drop(spark, viewPath)
+
   /** Seed a keyed downstream REPLICA of a lance table (full copy +
     * `graft.replica.*` bookkeeping, one commit); [[syncReplica]] then
     * maintains it from the change feed in changed-rows time. See

@@ -1244,7 +1244,7 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         epochId, collectStats, mergeSchema, replaceFragments, rowPreserving,
         refreshIndexes, branch, refreshStats, overwriteFilters, changeFiles,
-        setProps)
+        setProps, refreshMvs)
     }
     // delta-refresh the dataset's persisted indexes after the commit
     // ('all' or a comma list of scalar|fts|ivf) — streaming epochs and
@@ -1258,13 +1258,20 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     // refresh-indexes posture applied to optimizer statistics
     private val refreshStats = Option(info.options.get("write.refresh-stats"))
       .exists(_.toBoolean)
+    // in-commit MATERIALIZED-VIEW maintenance (`write.refresh-mvs=true`):
+    // after the data commit, refresh every view registered on this table
+    // (graft.mv.dependents) — the refresh-indexes posture applied to
+    // derived tables: warn-never-fail, a stale view must not unwind a
+    // landed write. Batch writes and streaming epochs alike.
+    private val refreshMvs = Option(info.options.get("write.refresh-mvs"))
+      .exists(_.toBoolean)
 
     override def toStreaming: StreamingWrite = {
       require(branch.isEmpty,
         "write.branch is a batch write option; streaming sinks write the main lineage")
       new LanceStreamingWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         collectStats, refreshIndexes, queryId = info.queryId(),
-        refreshStats = refreshStats)
+        refreshStats = refreshStats, refreshMvs = refreshMvs)
     }
   }
 }
@@ -1286,7 +1293,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     refreshStats: Boolean = false,
     overwriteFilters: Option[Seq[sources.Filter]] = None,
     changeFiles: Seq[graft.format.ChangeFileMeta] = Seq.empty,
-    setProperties: Map[String, String] = Map.empty) extends BatchWrite {
+    setProperties: Map[String, String] = Map.empty,
+    refreshMvs: Boolean = false) extends BatchWrite {
 
   // the (physical-name) bucket spec the task writers routed and tagged
   // under, captured at factory-build time; the commit loops compare it
@@ -1410,6 +1418,7 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
         if (refreshIndexes.nonEmpty)
           LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
         if (refreshStats) LanceWrite.refreshStatsAfterCommit(rootStr)
+        if (refreshMvs) LanceWrite.refreshMvsAfterCommit(rootStr)
         return
       case Some(_) =>
         // the predicate provably matches nothing: the scoped overwrite is
@@ -1458,6 +1467,7 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
           baseFragments = prevM.map(_.fragments).getOrElse(Seq.empty))
       if (refreshIndexes.nonEmpty)
         LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
+      if (refreshMvs) LanceWrite.refreshMvsAfterCommit(rootStr)
       return
     }
     // branch append: same schema discipline, sourced from and committed
@@ -1555,6 +1565,10 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
     if (refreshStats && branch.isEmpty)
       LanceWrite.refreshStatsAfterCommit(rootStr)
+    // derived tables are main-lineage state like indexes: branch appends
+    // skip the maintenance
+    if (refreshMvs && branch.isEmpty)
+      LanceWrite.refreshMvsAfterCommit(rootStr)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1576,7 +1590,8 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
     collectStats: Boolean = true,
     refreshIndexes: Set[String] = Set.empty,
     queryId: String = "",
-    refreshStats: Boolean = false) extends StreamingWrite {
+    refreshStats: Boolean = false,
+    refreshMvs: Boolean = false) extends StreamingWrite {
 
   // spec-race guard, streaming flavor — see LanceBatchWrite.routedBucketSpec
   @volatile private var routedBucketSpec: Option[(Int, Seq[String])] = None
@@ -1647,6 +1662,8 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
         LanceWrite.refreshIndexesAfterCommit(rootStr, refreshIndexes)
       if (refreshStats)
         LanceWrite.refreshStatsAfterCommit(rootStr)
+      if (refreshMvs)
+        LanceWrite.refreshMvsAfterCommit(rootStr)
     }
   }
 
@@ -1706,6 +1723,25 @@ private[graft] object LanceWrite {
     catch { case e: Exception =>
       log.warn(s"post-commit ANALYZE refresh failed for $rootStr " +
         s"(stats stay at their last-analyzed version): ${e.getMessage}")
+    }
+
+  /** In-commit materialized-view maintenance: refresh every dependent
+    * registered on this table. Per-view failures are already warn-only
+    * inside [[graft.operators.MaterializedView.refreshDependents]]; a
+    * registry-read failure warns here — a stale view never unwinds a
+    * landed write. */
+  def refreshMvsAfterCommit(rootStr: String): Unit =
+    try {
+      graft.operators.MaterializedView
+        .refreshDependents(SparkSession.active, rootStr)
+        .foreach {
+          case (vp, Left(err)) =>
+            log.warn(s"post-commit MV refresh failed for $vp " +
+              s"(view is stale but correct): $err")
+          case _ => ()
+        }
+    } catch { case e: Exception =>
+      log.warn(s"post-commit MV maintenance failed for $rootStr: ${e.getMessage}")
     }
 
   /** CHECK-constraint gate: validate the staged fragment files BEFORE the

@@ -1494,6 +1494,19 @@ object LanceFormat {
       mutation: Map[String, String],
       publisher: Option[ManifestPublisher] = None): Manifest = {
     require(mutation.nonEmpty, "empty property mutation")
+    commitPropertiesWith(fs, root,
+      prev => mergeProperties(Some(prev).filter(_.nonEmpty), mutation)
+        .getOrElse(Map.empty), publisher)
+  }
+
+  /** Function-shaped property commit for read-modify-write mutations
+    * (list-append registration, [[graft.operators.MaterializedView]]'s
+    * dependents): `mutate` re-derives from the CURRENT map inside the
+    * retry loop, so two concurrent appends compose instead of losing
+    * one — the [[commitConstraints]] posture. */
+  def commitPropertiesWith(fs: FileSystem, root: Path,
+      mutate: Map[String, String] => Map[String, String],
+      publisher: Option[ManifestPublisher] = None): Manifest = {
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatest(fs, root).getOrElse(
@@ -1503,7 +1516,8 @@ object LanceFormat {
         committedAtMs = System.currentTimeMillis(),
         operation = Some("alter"),
         changeFiles = None,
-        properties = mergeProperties(prev.properties, mutation))
+        properties = Some(mutate(prev.properties.getOrElse(Map.empty)))
+          .filter(_.nonEmpty))
       if (commitOnce(fs, root, m, publisher)) return m
       attempt += 1
     }

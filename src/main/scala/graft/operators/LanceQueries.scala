@@ -2198,6 +2198,42 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** In-commit MV maintenance (s119): a view registered on its source
+    * (`graft.mv.dependents`) stays fresh through plain appends carrying
+    * `write.refresh-mvs=true` — no manual refresh anywhere; the write
+    * itself maintains the derived table, the refresh-indexes posture
+    * applied to views. Insert-only feed = pure delta arithmetic. The
+    * oracle aggregates the final source; the watermark equality rides
+    * in-gate.
+    */
+  def s119MvAuto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.AggSpec
+    val src = scratch(dir, "mv_auto_src")
+    val view = scratch(dir, "mv_auto_view")
+    freshDataset(spark, src); freshDataset(spark, view)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("o_custkey"), Seq(
+      AggSpec("count", "*", "n"),
+      AggSpec("sum", "o_totalprice", "sum_price")))
+    Seq(1, 2).foreach { r =>
+      o.filter(pmod(col("o_orderkey"), lit(3)) === r)
+        .write.format("lance").mode("append")
+        .option("write.refresh-mvs", "true").save(src)
+    }
+    val p = new Path(new java.io.File(view).getAbsolutePath)
+    val hfs = graft.format.LanceFormat.fileSystem(p, spark.sessionState.newHadoopConf())
+    val sp = new Path(new java.io.File(src).getAbsolutePath)
+    require(graft.format.LanceFormat.readLatest(hfs, p).get
+      .properties.get("graft.mv.version") ==
+      graft.format.LanceFormat.readLatest(hfs, sp).get.version.toString,
+      "the appends must have maintained the view in-commit")
+    MaterializedView.read(spark, view).orderBy(col("o_custkey"))
+  }
+
   /** DEFAULT values for added columns (s114, Iceberg v3 initial-default):
     * `addColumn(..., default)` is one metadata commit; fragments written
     * BEFORE the ADD read the constant on every scan (Spark's
@@ -2520,6 +2556,7 @@ object LanceQueries {
     "s116_mv_minmax" -> s116MvMinmax,
     "s117_publish" -> s117Publish,
     "s118_replica" -> s118Replica,
+    "s119_mv_auto" -> s119MvAuto,
     "s114_default_column" -> s114DefaultColumn,
     "s102_rename_column" -> s102RenameColumn,
     "s103_scalar_range_prune" -> s103ScalarRangePrune,
@@ -2790,6 +2827,12 @@ object LanceQueries {
         |FROM orders
         |WHERE o_custkey % 13 <> 7 AND o_totalprice <= 150000.0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // s119: after all three thirds appended (the last two maintaining
+    // the view in-commit), the view = the full aggregate of orders
+    "s119_mv_auto" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // s118: the replica equals the restated final source (s113's
     // restatement); a second sync applied zero rows
     "s118_replica" ->

@@ -73,6 +73,11 @@ object MaterializedView {
   private val PropGroupBy = "graft.mv.group-by"
   private val PropAggs = "graft.mv.aggs"
   private val PropVersion = "graft.mv.version"
+  /** On the SOURCE table: newline-joined absolute view paths registered
+    * for [[refreshDependents]] (in-commit maintenance via the
+    * `write.refresh-mvs` option — the refresh-indexes posture applied
+    * to derived tables). */
+  private[graft] val PropDependents = "graft.mv.dependents"
 
   private def q(name: String): Column = col(s"`$name`")
 
@@ -177,17 +182,87 @@ object MaterializedView {
     val (vfs, vroot) = fsRoot(spark, viewPath)
     require(LanceFormat.readLatest(vfs, vroot).isEmpty,
       s"dataset already exists at $viewPath")
+    // register FIRST (metadata commit on the source), then materialize
+    // at the registration-inclusive version — the stored watermark then
+    // names a version that already carries the registration, so the
+    // next refresh window is pure data. A crash in between leaves a
+    // dangling registration that refreshDependents self-heals away.
+    // Function-shaped commit: two concurrent creates both land.
+    val abs = new java.io.File(viewPath).getAbsolutePath
+    val registered = LanceFormat.commitPropertiesWith(sfs, sroot, { prev =>
+      val cur = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
+      if (cur.contains(abs)) prev
+      else prev + (PropDependents -> (cur :+ abs).mkString("\n"))
+    }).version
     val src = spark.read.format("lance")
-      .option("versionAsOf", srcM.version.toString).load(sourcePath)
+      .option("versionAsOf", registered.toString).load(sourcePath)
     stateAgg(src, groupBy, aggs)
       .write.format("lance").mode("overwrite")
       .option("write.set-properties", LanceFormat.serializeProperties(Map(
         PropSource -> new java.io.File(sourcePath).getAbsolutePath,
         PropGroupBy -> groupBy.mkString(","),
         PropAggs -> encodeAggs(aggs),
-        PropVersion -> srcM.version.toString)))
+        PropVersion -> registered.toString)))
       .save(viewPath)
-    srcM.version
+    registered
+  }
+
+  /** Unregister + delete a view. Missing registration self-heals; the
+    * source not existing anymore is fine too. */
+  def drop(spark: SparkSession, viewPath: String): Boolean = {
+    val (vfs, vroot) = fsRoot(spark, viewPath)
+    val existed = LanceFormat.readLatest(vfs, vroot).isDefined
+    val abs = vroot.toString
+    if (existed) {
+      val props = LanceFormat.readLatest(vfs, vroot).get.properties
+        .getOrElse(Map.empty)
+      props.get(PropSource).foreach { source =>
+        val (sfs, sroot) = fsRoot(spark, source)
+        if (LanceFormat.readLatest(sfs, sroot).isDefined)
+          LanceFormat.commitPropertiesWith(sfs, sroot, { prev =>
+            val kept = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
+              .filterNot(p => p == abs || p == viewPath)
+            if (kept.isEmpty) prev - PropDependents
+            else prev + (PropDependents -> kept.mkString("\n"))
+          })
+      }
+    }
+    vfs.delete(vroot, true)
+    existed
+  }
+
+  /** Refresh every view registered on `sourcePath`. Warn-never-fail per
+    * view (the refresh-indexes posture: a stale view must not fail the
+    * write that triggered maintenance); a registered path that is no
+    * longer a view is DE-registered (self-heal). Returns
+    * (viewPath, result-or-error-message) per dependent. */
+  def refreshDependents(spark: SparkSession, sourcePath: String)
+      : Seq[(String, Either[String, RefreshResult])] = {
+    val (sfs, sroot) = fsRoot(spark, sourcePath)
+    val deps = LanceFormat.readLatest(sfs, sroot)
+      .flatMap(_.properties).getOrElse(Map.empty)
+      .get(PropDependents).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
+    val dangling = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = deps.map { vp =>
+      val res = try Right(refresh(spark, vp)) catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              (e.getMessage.contains("no lance dataset") ||
+                e.getMessage.contains("not a materialized view")) =>
+          dangling += vp
+          Left(s"deregistered (gone): ${e.getMessage}")
+        case e: Exception => Left(e.getMessage)
+      }
+      vp -> res
+    }
+    if (dangling.nonEmpty)
+      LanceFormat.commitPropertiesWith(sfs, sroot, { prev =>
+        val kept = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
+          .filterNot(dangling.contains)
+        if (kept.isEmpty) prev - PropDependents
+        else prev + (PropDependents -> kept.mkString("\n"))
+      })
+    out
   }
 
   private def spec(spark: SparkSession, viewPath: String)

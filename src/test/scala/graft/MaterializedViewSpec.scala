@@ -179,7 +179,9 @@ class MaterializedViewSpec extends AnyFunSuite {
       val created = spark.sql(
         "CALL lance_mv.system.create_mv('db.v', 'db.t', 'grp', " +
           "'count(*) AS n, sum(x) AS sx, avg(x) AS ax')").collect()(0)
-      assert(created.getAs[Long]("source_version") == 1L)
+      // create registers the dependent on the source first (one
+      // metadata commit), so the watermark is v2 of the source
+      assert(created.getAs[Long]("source_version") == 2L)
       spark.conf.set("spark.graft.dml.changeFeed", "true")
       try Lance.deleteWhere(spark, src, "id <= 8")
       finally spark.conf.unset("spark.graft.dml.changeFeed")
@@ -191,14 +193,66 @@ class MaterializedViewSpec extends AnyFunSuite {
       // properties through SQL too
       spark.sql("CALL lance_mv.system.set_properties('db.t', " +
         "\"owner = 'data-eng', tier = gold\")")
-      assert(Lance.tableProperties(spark, src) ==
-        Map("owner" -> "data-eng", "tier" -> "gold"))
+      // user keys land next to the MV-dependents registration
+      def userProps() = Lance.tableProperties(spark, src)
+        .filterNot(_._1.startsWith("graft."))
+      assert(userProps() == Map("owner" -> "data-eng", "tier" -> "gold"))
+      assert(Lance.tableProperties(spark, src)
+        .contains("graft.mv.dependents"))
       spark.sql("CALL lance_mv.system.unset_properties('db.t', 'tier')")
-      assert(Lance.tableProperties(spark, src) == Map("owner" -> "data-eng"))
+      assert(userProps() == Map("owner" -> "data-eng"))
     } finally {
       spark.conf.unset("spark.sql.catalog.lance_mv")
       spark.conf.unset("spark.sql.catalog.lance_mv.warehouse")
     }
+  }
+
+  test("dependents registry: create registers, drop deregisters, gone views self-heal") {
+    val src = tmpDir(); val v1 = tmpDir() + "/v1"; val v2 = tmpDir() + "/v2"
+    (1L to 20L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, v1, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n")))
+    MaterializedView.create(spark, v2, src, Seq("grp"),
+      Seq(AggSpec("sum", "x", "sx")))
+    val reg = manifest(src).properties.get("graft.mv.dependents").split('\n')
+    assert(reg.length == 2 && reg.exists(_.endsWith("v1")) &&
+      reg.exists(_.endsWith("v2")), reg.mkString(","))
+    // refreshDependents refreshes both
+    Seq((21L, "g0", 21.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("append").save(src)
+    val rs = MaterializedView.refreshDependents(spark, src)
+    assert(rs.size == 2 && rs.forall(_._2.isRight), rs.toString)
+    assert(MaterializedView.read(spark, v1).agg(sum("n")).as[Long].head() == 21L)
+    // drop deregisters v1
+    assert(MaterializedView.drop(spark, v1))
+    assert(manifest(src).properties.get("graft.mv.dependents") ==
+      new java.io.File(v2).getAbsolutePath)
+    // a view deleted OUT-OF-BAND self-heals out of the registry
+    val (vfs, vroot) = (graft.format.LanceFormat.fileSystem(
+      new org.apache.hadoop.fs.Path(v2), spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(v2))
+    vfs.delete(vroot, true)
+    val rs2 = MaterializedView.refreshDependents(spark, src)
+    assert(rs2.size == 1 && rs2.head._2.isLeft)
+    assert(!manifest(src).properties.getOrElse(Map.empty)
+      .contains("graft.mv.dependents"))
+  }
+
+  test("write.refresh-mvs: batch appends keep registered views fresh in-commit") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 10L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "x", "sx")))
+    (11L to 30L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("append")
+      .option("write.refresh-mvs", "true").save(src)
+    // no manual refresh: the write itself maintained the view
+    val got = MaterializedView.read(spark, view)
+    assert(got.agg(sum("n")).as[Long].head() == 30L)
+    assert(manifest(view).properties.get("graft.mv.version") ==
+      manifest(src).version.toString)
   }
 
   test("out-of-band writes to the view fail the next refresh loud") {
