@@ -255,6 +255,33 @@ class MaterializedViewSpec extends AnyFunSuite {
       manifest(src).version.toString)
   }
 
+  test("write.refresh-mvs: streaming epochs maintain the view too") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = tmpDir() + "/src"; val view = tmpDir() + "/v"
+    val ckpt = tmpDir() + "/ckpt"
+    (1L to 10L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "x", "sx")))
+    val in = MemoryStream[(Long, String, Double)](spark)
+    val q = in.toDF().toDF("id", "grp", "x")
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .option("write.refresh-mvs", "true")
+      .option("path", src).start()
+    try {
+      in.addData((11L, "g0", 11.0), (12L, "g1", 12.0))
+      q.processAllAvailable()
+      in.addData((13L, "g0", 13.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // every epoch maintained the view in-commit: no manual refresh
+    assert(MaterializedView.read(spark, view)
+      .agg(sum("n")).as[Long].head() == 13L)
+    assert(manifest(view).properties.get("graft.mv.version") ==
+      manifest(src).version.toString)
+  }
+
   test("out-of-band writes to the view fail the next refresh loud") {
     val src = tmpDir(); val view = tmpDir() + "/v"
     (1L to 10L).map(i => (i, "g", i * 1.0)).toDF("id", "grp", "x")
