@@ -32,11 +32,14 @@ import org.apache.spark.sql.types._
   *    delete/update_preimage — merged into the stored state. Cost ∝ the
   *    CHANGE, never the source: a 100 TB source with a 1000-row
   *    correction refreshes in 1000-row time.
-  *  - **groups** (min/max present): a deleted row may have BEEN the
-  *    min/max, so affected groups recompute from the current source —
-  *    scoped by a semi-join on the group surrogate (fragment pruning on
-  *    clustered/bucketed group columns bounds the rescan); untouched
-  *    groups never rewrite.
+  *  - **groups** (min/max present AND the window REMOVED rows): a
+  *    deleted row may have BEEN the min/max, so affected groups
+  *    recompute from the current source — scoped by a semi-join on the
+  *    group surrogate (fragment pruning on clustered/bucketed group
+  *    columns bounds the rescan); untouched groups never rewrite. A
+  *    removal-free window (append-only ingest — the common case) keeps
+  *    min/max on the delta path: extrema only grow, least/greatest
+  *    against the stored value, no rescan ever.
   *
   * Either way the new state lands through [[Dml.applyChanges]] as ONE
   * commit carrying the advanced `graft.mv.version` watermark
@@ -300,8 +303,17 @@ object MaterializedView {
       .otherwise(-1L)
     val srcSchema = srcM.schema
     val hasMinMax = aggs.exists(a => a.func == "min" || a.func == "max")
+    // min/max delta-apply fine under a REMOVAL-FREE window (insert-only
+    // appends, pure-insert merges): extrema only grow — least/greatest
+    // against the stored value. Only a removal can move them backwards,
+    // and only then does the scoped-group rescan pay off. One cheap
+    // existence probe over the feed decides.
+    lazy val removalFree = feed
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .isEmpty
 
-    val newStates: DataFrame = if (!hasMinMax) {
+    val deltaPath = !hasMinMax || removalFree
+    val newStates: DataFrame = if (deltaPath) {
       // ---- delta: signed arithmetic over the feed, merged into state
       val deltaCols = Seq(sum(sign).as(s"_d$NCol")) ++ aggs.flatMap { a =>
         lazy val dt = srcSchema(a.column).dataType
@@ -310,6 +322,8 @@ object MaterializedView {
           case "count" =>
             Seq(sum(when(q(a.column).isNotNull, sign).otherwise(0L))
               .as(s"_d${cCol(a.alias)}"))
+          case "min" => Seq(min(q(a.column)).as(s"_dmm_${a.alias}"))
+          case "max" => Seq(max(q(a.column)).as(s"_dmm_${a.alias}"))
           case "sum" | "avg" =>
             val term =
               if (isFloating(dt))
@@ -350,8 +364,16 @@ object MaterializedView {
       }
       for (a <- aggs if a.func == "count" && a.column == "*")
         merged = merged.withColumn(a.alias, q(NCol))
+      // removal-free window: extrema merge monotonically (least/greatest
+      // skip NULLs, so a new group or an all-null batch both behave)
+      for (a <- aggs if a.func == "min" || a.func == "max")
+        merged = merged.withColumn(a.alias,
+          if (a.func == "min") least(q(a.alias), q(s"_dmm_${a.alias}"))
+          else greatest(q(a.alias), q(s"_dmm_${a.alias}")))
       finalizeVisible(merged, aggs, srcSchema)
-        .drop(merged.columns.filter(_.startsWith("_d_mv_")).toIndexedSeq: _*)
+        .drop(merged.columns
+          .filter(c => c.startsWith("_d_mv_") || c.startsWith("_dmm_"))
+          .toIndexedSeq: _*)
     } else {
       // ---- groups: min/max can move on removal; recompute the affected
       // groups from the CURRENT source, scoped by the group surrogate
@@ -384,7 +406,7 @@ object MaterializedView {
     val res = Dml.applyChanges(spark, viewPath, aligned, Seq(GidCol),
       deleteWhen = q(NCol) === 0L,
       setProperties = Map(PropVersion -> vN.toString))
-    RefreshResult(if (hasMinMax) "groups" else "delta", v0, vN,
+    RefreshResult(if (deltaPath) "delta" else "groups", v0, vN,
       res.rowsChanged + res.rowsInserted)
   }
 

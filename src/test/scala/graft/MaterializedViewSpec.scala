@@ -148,6 +148,35 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got.filter(col("grp") === "g2").isEmpty)
   }
 
+  test("min/max views stay on the DELTA path for removal-free windows") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 30L).map(i => (i, s"g${i % 3}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("grp"), Seq(
+      AggSpec("count", "*", "n"), AggSpec("min", "x", "mn"),
+      AggSpec("max", "x", "mx")))
+    // insert-only window: a new max for g0, a new group, nothing removed
+    Seq((100L, "g0", 999.0), (101L, "gN", -7.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("append").save(src)
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta",
+      s"append-only windows must never rescan min/max groups: $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src).groupBy("grp").agg(
+      count(lit(1)).as("n"), min(col("x")).as("mn"), max(col("x")).as("mx"))
+    assertSame(got, expect, "min/max delta drifted")
+    // a later REMOVING window falls back to the scoped-group path
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try Lance.deleteWhere(spark, src, "x = 999.0")
+    finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r2 = MaterializedView.refresh(spark, view)
+    assert(r2.mode == "groups")
+    val expect2 = spark.read.format("lance").load(src).groupBy("grp").agg(
+      count(lit(1)).as("n"), min(col("x")).as("mn"), max(col("x")).as("mx"))
+    assertSame(MaterializedView.read(spark, view), expect2,
+      "max must move back after the delete")
+  }
+
   test("NULL group keys route through the surrogate like any other group") {
     val src = tmpDir(); val view = tmpDir() + "/v"
     seed(src)
