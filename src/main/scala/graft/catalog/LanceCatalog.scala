@@ -575,7 +575,11 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("group_by", StringType).comment("comma-separated group columns").build(),
       in("aggs", StringType)
         .comment("aggregate list: func(col) AS alias [, ...] with " +
-          "func in count|sum|min|max|avg (count(*) allowed)").build())
+          "func in count|sum|min|max|avg (count(*) allowed)").build(),
+      in("where", StringType).defaultValue("''")
+        .comment("optional boolean predicate over source columns: the " +
+          "view aggregates only matching rows, refreshes filter the " +
+          "feed identically").build())
     case "refresh_mv" => Array(in("view", StringType).build(),
       in("full", BooleanType).defaultValue("false")
         .comment("true forces a full rebuild (vacuumed feed window / " +
@@ -780,8 +784,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         val groupBy = input.getUTF8String(2).toString.split(',')
           .map(_.trim).filter(_.nonEmpty).toSeq
         val aggs = LanceProcedure.parseAggList(input.getUTF8String(3).toString)
+        val where = Some(input.getUTF8String(4).toString.trim).filter(_.nonEmpty)
         val v = graft.operators.MaterializedView.create(spark, path, source,
-          groupBy, aggs)
+          groupBy, aggs, where)
         (new StructType().add("source_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))
       case "refresh_mv" =>

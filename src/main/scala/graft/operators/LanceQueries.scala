@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object LanceQueries {
 
+  /** Order-insensitive multiset equality by (count, hash-sum) — the
+    * driver's own compare shape, at two cheap aggregation jobs instead
+    * of four exceptAll joins (gates run at bench scale too; their
+    * equality proofs should cost aggregations, not shuffles). */
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean = {
+    def sig(df: DataFrame) = {
+      val cols = df.columns.sorted.map(c => col(s"`$c`").cast("string"))
+      df.select(xxhash64(cols.toIndexedSeq: _*).as("h"))
+        .agg(count(lit(1)).as("n"),
+          // decimal accumulate: a long hash-sum overflows under ANSI
+          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("s")).collect()(0)
+    }
+    sig(a) == sig(b)
+  }
+
   private def scratch(dir: String, name: String): String =
     graft.Tables.scratch(dir, name)
 
@@ -2021,8 +2037,7 @@ object LanceQueries {
     val reconstructed = base.join(removed, Seq("o_orderkey"), "left_anti")
       .unionByName(added)
     val live = spark.read.format("lance").load(dest)
-    require(reconstructed.exceptAll(live).isEmpty &&
-      live.exceptAll(reconstructed).isEmpty,
+    require(sameRows(reconstructed, live),
       "CDF replay must reconstruct the live table exactly")
     val kinds = feed.groupBy("_change_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -2078,7 +2093,7 @@ object LanceQueries {
     val expect = spark.read.format("lance").load(src).groupBy("o_custkey")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
         (dsum(col("o_totalprice")) / count(col("o_totalprice"))).as("avg_price"))
-    require(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+    require(sameRows(got, expect),
       "incremental refresh must equal a full recompute exactly")
     got.withColumn("mode", lit(r.mode)).orderBy(col("o_custkey"))
   }
@@ -2116,7 +2131,7 @@ object LanceQueries {
     val expect = spark.read.format("lance").load(src).groupBy("o_custkey")
       .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
-    require(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+    require(sameRows(got, expect),
       "scoped-group refresh must equal a full recompute exactly")
     got.withColumn("mode", lit(r.mode)).orderBy(col("o_custkey"))
   }
@@ -2187,7 +2202,7 @@ object LanceQueries {
     graft.operators.Replica.sync(spark, rep)
     val got = spark.read.format("lance").load(rep)
     val live = spark.read.format("lance").load(src)
-    require(got.exceptAll(live).isEmpty && live.exceptAll(got).isEmpty,
+    require(sameRows(got, live),
       "replica must equal the source row-for-row after sync")
     val again = graft.operators.Replica.sync(spark, rep)
     require(again.rowsChanged == 0 && again.rowsInserted == 0,

@@ -76,6 +76,7 @@ object MaterializedView {
   private val PropGroupBy = "graft.mv.group-by"
   private val PropAggs = "graft.mv.aggs"
   private val PropVersion = "graft.mv.version"
+  private val PropWhere = "graft.mv.where"
   /** On the SOURCE table: newline-joined absolute view paths registered
     * for [[refreshDependents]] (in-commit maintenance via the
     * `write.refresh-mvs` option — the refresh-indexes posture applied
@@ -165,11 +166,17 @@ object MaterializedView {
 
   /** Create the view: one FULL aggregation of the source at its current
     * version, committed together with the `graft.mv.*` bookkeeping
-    * (source path, group columns, agg spec, version watermark) — one
-    * manifest, so a half-created view cannot exist. Returns the source
-    * version the view reflects. */
+    * (source path, group columns, agg spec, optional WHERE, version
+    * watermark) — one manifest, so a half-created view cannot exist.
+    * `where`: a boolean SQL predicate over source columns — the view
+    * aggregates only matching rows, and every refresh path applies the
+    * SAME predicate to the feed (an UPDATE moving a row across the
+    * boundary nets out as the right insert/remove pair, because its
+    * pre/post images filter independently). Returns the source version
+    * the view reflects. */
   def create(spark: SparkSession, viewPath: String, sourcePath: String,
-      groupBy: Seq[String], aggs: Seq[AggSpec]): Long = {
+      groupBy: Seq[String], aggs: Seq[AggSpec],
+      where: Option[String] = None): Long = {
     require(groupBy.nonEmpty, "materialized view needs at least one group column")
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
     val dups = aggs.groupBy(_.alias).collect { case (a, as) if as.size > 1 => a }
@@ -197,15 +204,17 @@ object MaterializedView {
       if (cur.contains(abs)) prev
       else prev + (PropDependents -> (cur :+ abs).mkString("\n"))
     }).version
-    val src = spark.read.format("lance")
+    val src0 = spark.read.format("lance")
       .option("versionAsOf", registered.toString).load(sourcePath)
+    val src = where.fold(src0)(w => src0.filter(expr(w))) // also validates w
     stateAgg(src, groupBy, aggs)
       .write.format("lance").mode("overwrite")
       .option("write.set-properties", LanceFormat.serializeProperties(Map(
         PropSource -> new java.io.File(sourcePath).getAbsolutePath,
         PropGroupBy -> groupBy.mkString(","),
         PropAggs -> encodeAggs(aggs),
-        PropVersion -> registered.toString)))
+        PropVersion -> registered.toString) ++
+        where.map(PropWhere -> _)))
       .save(viewPath)
     registered
   }
@@ -269,7 +278,7 @@ object MaterializedView {
   }
 
   private def spec(spark: SparkSession, viewPath: String)
-      : (String, Seq[String], Seq[AggSpec], Long) = {
+      : (String, Seq[String], Seq[AggSpec], Long, Option[String]) = {
     val (vfs, vroot) = fsRoot(spark, viewPath)
     val props = LanceFormat.readLatest(vfs, vroot).getOrElse(
       throw new IllegalArgumentException(s"no lance dataset at $viewPath"))
@@ -278,14 +287,15 @@ object MaterializedView {
       throw new IllegalArgumentException(
         s"$viewPath is not a materialized view (no $PropSource property)"))
     (source, props(PropGroupBy).split(',').toSeq,
-      decodeAggs(props(PropAggs)), props(PropVersion).toLong)
+      decodeAggs(props(PropAggs)), props(PropVersion).toLong,
+      props.get(PropWhere))
   }
 
   /** Incremental refresh. Picks delta vs scoped-group recompute (see
     * object doc); falls back loud — never silently full — when the feed
     * window is gone (vacuumed versions): use [[fullRefresh]] then. */
   def refresh(spark: SparkSession, viewPath: String): RefreshResult = {
-    val (source, groupBy, aggs, v0) = spec(spark, viewPath)
+    val (source, groupBy, aggs, v0, where) = spec(spark, viewPath)
     val (sfs, sroot) = fsRoot(spark, source)
     val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
       throw new IllegalStateException(s"materialized-view source vanished: $source"))
@@ -297,8 +307,11 @@ object MaterializedView {
       throw new IllegalStateException(
         s"feed window lost: source version $v0 was vacuumed; run fullRefresh")
     graft.MetaTvfs.register(spark)
-    val feed = spark.sql(
+    val feed0 = spark.sql(
       s"SELECT * FROM lance_changes('$source', $v0, $vN)")
+    // filtered view: images filter INDEPENDENTLY — an update moving a
+    // row across the predicate boundary nets to the right add/remove
+    val feed = where.fold(feed0)(w => feed0.filter(expr(w)))
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val srcSchema = srcM.schema
@@ -379,8 +392,9 @@ object MaterializedView {
       // groups from the CURRENT source, scoped by the group surrogate
       val affected = feed
         .select((groupBy.map(q) :+ gid(groupBy).as(GidCol)): _*).distinct()
-      val srcNow = spark.read.format("lance")
+      val srcNow0 = spark.read.format("lance")
         .option("versionAsOf", vN.toString).load(source)
+      val srcNow = where.fold(srcNow0)(w => srcNow0.filter(expr(w)))
       val scoped = srcNow.withColumn(GidCol, gid(groupBy))
         .join(affected.select(GidCol), Seq(GidCol), "left_semi")
         .drop(GidCol)
@@ -414,11 +428,12 @@ object MaterializedView {
     * or a restored source): one source aggregation, one overwrite commit
     * carrying the new watermark. */
   def fullRefresh(spark: SparkSession, viewPath: String): RefreshResult = {
-    val (source, groupBy, aggs, v0) = spec(spark, viewPath)
+    val (source, groupBy, aggs, v0, where) = spec(spark, viewPath)
     val (sfs, sroot) = fsRoot(spark, source)
     val vN = LanceFormat.readLatest(sfs, sroot).get.version
-    val src = spark.read.format("lance")
+    val src0 = spark.read.format("lance")
       .option("versionAsOf", vN.toString).load(source)
+    val src = where.fold(src0)(w => src0.filter(expr(w)))
     stateAgg(src, groupBy, aggs)
       .write.format("lance").mode("overwrite")
       .option("write.set-properties", LanceFormat.serializeProperties(

@@ -177,6 +177,32 @@ class MaterializedViewSpec extends AnyFunSuite {
       "max must move back after the delete")
   }
 
+  test("filtered views: the WHERE applies to state and to every feed image") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 40L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "x", "sx")),
+      where = Some("x >= 10.0"))
+    def expect() = spark.read.format("lance").load(src)
+      .filter(col("x") >= 10.0).groupBy("grp")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("x")).as("sx"))
+    assertSame(MaterializedView.read(spark, view), expect(), "seed filter")
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      // an UPDATE moves rows ACROSS the boundary in both directions:
+      // id=5 (x=5, outside) -> 50 (inside); id=20 (x=20, inside) -> 2
+      Lance.updateWhere(spark, src, "id = 5", Map("x" -> "50.0"))
+      Lance.updateWhere(spark, src, "id = 20", Map("x" -> "2.0"))
+      Lance.deleteWhere(spark, src, "id = 11") // inside: leaves the view
+      Lance.deleteWhere(spark, src, "id = 3") // outside: invisible no-op
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta")
+    assertSame(MaterializedView.read(spark, view), expect(),
+      "boundary-crossing updates must net to the right add/remove pairs")
+  }
+
   test("NULL group keys route through the surrogate like any other group") {
     val src = tmpDir(); val view = tmpDir() + "/v"
     seed(src)
