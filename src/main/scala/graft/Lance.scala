@@ -995,9 +995,10 @@ object Lance {
     * change feed. See [[graft.operators.MaterializedView]]. */
   def createMaterializedView(spark: SparkSession, viewPath: String,
       sourcePath: String, groupBy: Seq[String],
-      aggs: Seq[graft.operators.MaterializedView.AggSpec]): Long =
+      aggs: Seq[graft.operators.MaterializedView.AggSpec],
+      where: Option[String] = None): Long =
     graft.operators.MaterializedView.create(spark, viewPath, sourcePath,
-      groupBy, aggs)
+      groupBy, aggs, where)
 
   /** Incremental (or `full = true` rebuild) refresh of a materialized
     * view; state + watermark land in one commit (exactly-once). */
@@ -1100,10 +1101,11 @@ object Lance {
     * advanced past the branch base (the git fast-forward contract).
     * Returns (branchHeadVersion, newMainVersion).
     */
-  def fastForward(spark: SparkSession, path: String, name: String): (Long, Long) = {
+  def fastForward(spark: SparkSession, path: String, name: String,
+      expectedHead: Option[Long] = None): (Long, Long) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
-    graft.format.LanceFormat.fastForward(fs, root, name)
+    graft.format.LanceFormat.fastForward(fs, root, name, expectedHead)
   }
 
   /** Rebase an append-only branch onto main's CURRENT head — the case
@@ -1118,10 +1120,12 @@ object Lance {
     * (branchHeadVersion, newMainVersion). The branch is left untouched —
     * delete it once adopted.
     */
-  def rebaseBranch(spark: SparkSession, path: String, name: String): (Long, Long) = {
+  def rebaseBranch(spark: SparkSession, path: String, name: String,
+      expectedHead: Option[Long] = None): (Long, Long) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     graft.format.LanceFormat.rebaseBranch(fs, root, name,
+      expectedHead = expectedHead,
       validate = { (mergedSchema, branchOnly) =>
         val main = graft.format.LanceFormat.readLatest(fs, root)
         graft.connector.LanceWrite.enforceConstraints(
@@ -1153,9 +1157,14 @@ object Lance {
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     val bp = graft.format.LanceFormat.branchPath(root, name)
     require(fs.exists(bp), s"no branch '$name' at $path")
+    // pin the head FIRST: the audit reads exactly this version, and the
+    // adoption below refuses if the branch moved past it — a row
+    // appended between audit and publish can never land unaudited
+    val auditedHead = graft.format.LanceFormat.listVersionsIn(fs, bp).last
     if (checks.nonEmpty) {
       import org.apache.spark.sql.functions.{expr, sum, when}
-      val df = spark.read.format("lance").option("branch", name).load(path)
+      val df = spark.read.format("lance").option("branch", name)
+        .option("versionAsOf", auditedHead.toString).load(path)
       val aggs = checks.toSeq.map { case (n, e) =>
         sum(when(expr(e), 0L).otherwise(1L)).as(n) }
       val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -1170,8 +1179,11 @@ object Lance {
     val base = vs.head
     val mainV = graft.format.LanceFormat.readLatest(fs, root).map(_.version)
       .getOrElse(throw new IllegalStateException(s"no dataset at $path"))
-    if (mainV == base) fastForward(spark, path, name)
-    else rebaseBranch(spark, path, name)
+    // the adoption is PINNED to the audited head: rows appended to the
+    // branch after the audit scan must not publish unaudited — the
+    // adoption refuses and the caller re-audits
+    if (mainV == base) fastForward(spark, path, name, Some(auditedHead))
+    else rebaseBranch(spark, path, name, Some(auditedHead))
   }
 
   /** RESTORE (Delta `RESTORE TABLE` parity): make the CURRENT table state
@@ -1196,7 +1208,10 @@ object Lance {
     if (latest.fragments.map(_.file) == target.fragments.map(_.file) &&
         latest.schemaJson == target.schemaJson &&
         latest.constraints == target.constraints &&
-        latest.properties == target.properties)
+        latest.properties == target.properties &&
+        latest.clusterBy == target.clusterBy &&
+        latest.bucketBy == target.bucketBy &&
+        latest.bloomFilters == target.bloomFilters)
       return (version, latest.version) // already that state: commit nothing
     val missing = target.fragments.filterNot(f =>
       fs.exists(graft.format.LanceFormat.fragmentPath(root, f.file)))

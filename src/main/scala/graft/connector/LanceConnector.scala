@@ -268,7 +268,8 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
     require(pinnedVersion.isEmpty && pinnedBranch.isEmpty,
       s"cannot DELETE from a time-travel or branch-pinned snapshot of $rootStr")
     graft.operators.Dml.deleteWhere(SparkSession.active, rootStr,
-      graft.operators.Dml.filtersToColumn(filters))
+      graft.operators.Dml.filtersToColumn(filters,
+        flatCols = schema().fieldNames.toSet))
   }
 
   /** The time-travel pin, if any (AnnIndexRewrite must not fire on it). */
@@ -1229,6 +1230,12 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     private val setProps = Option(info.options.get("write.set-properties"))
       .map(LanceFormat.parseProperties).getOrElse(Map.empty[String, String])
 
+    // optimistic CAS companion (JSON map): every listed key must still
+    // hold its listed value at commit time or the commit refuses loud —
+    // the MV-refresh/replica-sync watermark guard
+    private val requireProps = Option(info.options.get("write.require-properties"))
+      .map(LanceFormat.parseProperties).getOrElse(Map.empty[String, String])
+
     override def toBatch: BatchWrite = {
       branch.foreach { b =>
         require(!overwrite && replaceFragments.isEmpty,
@@ -1244,7 +1251,7 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
       new LanceBatchWrite(rootStr, info.schema(), overwrite, conf, maxRowsPerFile,
         epochId, collectStats, mergeSchema, replaceFragments, rowPreserving,
         refreshIndexes, branch, refreshStats, overwriteFilters, changeFiles,
-        setProps, refreshMvs)
+        setProps, refreshMvs, requireProps)
     }
     // delta-refresh the dataset's persisted indexes after the commit
     // ('all' or a comma list of scalar|fts|ivf) — streaming epochs and
@@ -1294,7 +1301,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     overwriteFilters: Option[Seq[sources.Filter]] = None,
     changeFiles: Seq[graft.format.ChangeFileMeta] = Seq.empty,
     setProperties: Map[String, String] = Map.empty,
-    refreshMvs: Boolean = false) extends BatchWrite {
+    refreshMvs: Boolean = false,
+    requireProperties: Map[String, String] = Map.empty) extends BatchWrite {
 
   // the (physical-name) bucket spec the task writers routed and tagged
   // under, captured at factory-build time; the commit loops compare it
@@ -1373,7 +1381,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
           mustIds
       }
       // strict range: probe the staged batch for one row outside
-      val cond = graft.operators.Dml.filtersToColumn(filters.toArray)
+      val cond = graft.operators.Dml.filtersToColumn(filters.toArray,
+        flatCols = schema.fieldNames.toSet)
       val spark = SparkSession.active
       if (frags.nonEmpty) {
         val staged = spark.read.schema(
@@ -1411,7 +1420,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
           replaced, frags, epochId, operation = "replace",
           routedBucketSpec = Some(routedBucketSpec),
           failIfNewMatching = overwriteGuard,
-          setProperties = setProperties)
+          setProperties = setProperties,
+          requireProperties = requireProperties)
         LanceWrite.verifyConstraintsPostCommit(root, fs, outSchema, frags,
           enforced, committedO,
           baseFragments = prevM.map(_.fragments).getOrElse(Seq.empty))
@@ -1460,7 +1470,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
         operation = if (rowPreserving) "rewrite" else "replace",
         routedBucketSpec = Some(routedBucketSpec),
         changeFiles = changeFiles,
-        setProperties = setProperties)
+        setProperties = setProperties,
+        requireProperties = requireProperties)
       if (!rowPreserving)
         LanceWrite.verifyConstraintsPostCommit(root, fs, replaceSchema, frags,
           enforced, committedR,
@@ -1544,7 +1555,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       else LanceFormat.commitAppendIn(fs, lineageDir, widenedSchema, frags, epochId,
         routedBucketSpec = Some(routedBucketSpec),
         failIfNewMatching = overwriteGuard,
-        setProperties = setProperties)
+        setProperties = setProperties,
+        requireProperties = requireProperties)
     // rules added concurrently with this write are re-proven against the
     // batch the moment its manifest lands (branch lineages skip it: their
     // rule set is the fork-time copy, static under main-side edits)

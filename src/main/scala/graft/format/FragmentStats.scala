@@ -77,16 +77,23 @@ object FragmentStats {
     * flat column. Deeper nesting, arrays, and maps stay out (their
     * bounds are not scalar); pruning on them is simply never claimed.
     */
-  private[graft] def statColumns(schema: StructType): Seq[(String, DataType)] =
+  private[graft] def statColumns(schema: StructType): Seq[(String, DataType)] = {
+    // a TOP-LEVEL field whose name literally contains a dot owns its
+    // key: a colliding struct leaf is skipped (recording it would file
+    // one column's bounds under the other's name — wrong pruning)
+    val topNames = schema.fieldNames.toSet
     schema.fields.toSeq.flatMap { f =>
       f.dataType match {
         case dt if eligible(dt) => Seq(f.name -> dt)
         case st: StructType => st.fields.toSeq.collect {
-          case c if eligible(c.dataType) => s"${f.name}.${c.name}" -> c.dataType
+          case c if eligible(c.dataType) &&
+              !topNames.contains(s"${f.name}.${c.name}") =>
+            s"${f.name}.${c.name}" -> c.dataType
         }
         case _ => Seq.empty
       }
     }
+  }
 
   /** Resolve a pushed-filter attribute — a top-level name or a dotted
     * first-level struct path — to its leaf type, mirroring
@@ -274,9 +281,13 @@ object FragmentStats {
             // first-level struct leaves, keyed `parent.child` — the
             // outer loop's parent-null check rides the same slot, so a
             // NULL struct counts every leaf null (matching Spark's
-            // `s.x IS NULL` semantics); deeper levels stay untracked
+            // `s.x IS NULL` semantics); deeper levels stay untracked.
+            // A leaf colliding with a literal-dot top-level name is
+            // skipped (statColumns' ownership rule).
+            val topNames = schema.fieldNames.toSet
             st.fields.zipWithIndex.collect {
-              case (c, j) if eligible(c.dataType) =>
+              case (c, j) if eligible(c.dataType) &&
+                  !topNames.contains(s"${f.name}.${c.name}") =>
                 (i, new StructLeafTracker(s"${f.name}.${c.name}", j,
                   st.size, mkTracker(s"${f.name}.${c.name}", c.dataType)))
             }.toSeq

@@ -576,9 +576,11 @@ object LanceFormat {
       publisher: Option[ManifestPublisher] = None,
       streamEpoch: Option[(String, Long)] = None,
       routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
-      setProperties: Map[String, String] = Map.empty): Manifest =
+      setProperties: Map[String, String] = Map.empty,
+      requireProperties: Map[String, String] = Map.empty): Manifest =
     commitAppendIn(fs, versionsPath(root), schema, newFragments, epochId,
-      publisher, streamEpoch, routedBucketSpec, setProperties = setProperties)
+      publisher, streamEpoch, routedBucketSpec, setProperties = setProperties,
+      requireProperties = requireProperties)
 
   /** Append into a specific lineage dir (`_versions` or a branch).
     * `routedBucketSpec`: the (physical-name) bucket spec the task writers
@@ -593,10 +595,12 @@ object LanceFormat {
       streamEpoch: Option[(String, Long)] = None,
       routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
       failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None,
-      setProperties: Map[String, String] = Map.empty): Manifest = {
+      setProperties: Map[String, String] = Map.empty,
+      requireProperties: Map[String, String] = Map.empty): Manifest = {
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatestIn(fs, dir)
+      checkRequiredProperties(prev, requireProperties, dir)
       failNewMatchingSinceSnapshot(prev, failIfNewMatching, Set.empty)
       val base = prev.map(_.fragments).getOrElse(Seq.empty)
       val nextId = base.map(_.id).maxOption.getOrElse(-1) + 1
@@ -710,7 +714,8 @@ object LanceFormat {
       routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
       failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None,
       changeFiles: Seq[ChangeFileMeta] = Seq.empty,
-      setProperties: Map[String, String] = Map.empty): (Manifest, Long) = {
+      setProperties: Map[String, String] = Map.empty,
+      requireProperties: Map[String, String] = Map.empty): (Manifest, Long) = {
     changeFiles.foreach(c => require(ChangeFileMeta.Kinds.contains(c.kind),
       s"unknown change-file kind '${c.kind}'"))
     require(removedIds.nonEmpty, "commitReplace needs at least one fragment to remove")
@@ -718,6 +723,7 @@ object LanceFormat {
     while (attempt < 20) {
       val prev = readLatest(fs, root).getOrElse(
         throw new IllegalStateException(s"no dataset at $root"))
+      checkRequiredProperties(Some(prev), requireProperties, root)
       failNewMatchingSinceSnapshot(Some(prev), failIfNewMatching,
         newFragments.map(_.file).toSet)
       val base = prev.fragments
@@ -1471,6 +1477,25 @@ object LanceFormat {
       if (declared(f.name) && f.nullable) f.copy(nullable = false) else f))
   }
 
+  /** Optimistic CAS on table properties inside a commit loop: every
+    * listed key must hold exactly the listed value in the PREVIOUS
+    * manifest or the commit refuses — what makes two concurrent
+    * MV-refresh/replica-sync windows collide loudly instead of the
+    * second one double-applying its delta through a pure-insert append
+    * (which has no fragment-level conflict to trip over). */
+  private[graft] def checkRequiredProperties(prev: Option[Manifest],
+      required: Map[String, String], root: Path): Unit =
+    if (required.nonEmpty) {
+      val cur = prev.flatMap(_.properties).getOrElse(Map.empty)
+      required.foreach { case (k, v) =>
+        if (!cur.get(k).contains(v))
+          throw new java.util.ConcurrentModificationException(
+            s"required property $k=$v does not hold at $root (found " +
+              s"${cur.get(k).getOrElse("<absent>")}): the watermark moved " +
+              "under this commit - re-derive from the current state and re-run")
+      }
+    }
+
   /** Overlay a property mutation onto the previous map inside a commit
     * retry loop: `null`-valued entries UNSET their key (so one mutation
     * can set and clear in a single commit); everything else overwrites.
@@ -1628,11 +1653,16 @@ object LanceFormat {
     * (branchHeadVersion, newMainVersion); a commit-less branch
     * fast-forwards as a no-op.
     */
-  def fastForward(fs: FileSystem, root: Path, name: String): (Long, Long) = {
+  def fastForward(fs: FileSystem, root: Path, name: String,
+      expectedHead: Option[Long] = None): (Long, Long) = {
     val bp = branchPath(root, name)
     require(fs.exists(bp), s"no branch '$name' at $root")
     val vs = listVersionsIn(fs, bp)
     require(vs.nonEmpty, s"branch '$name' at $root has no manifests")
+    expectedHead.foreach(h => if (vs.last != h)
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' advanced to v${vs.last} past the audited head " +
+          s"v$h - re-audit before publishing"))
     val base = vs.head
     val mainLatest = readLatest(fs, root).getOrElse(
       throw new IllegalStateException(s"no dataset at $root"))
@@ -1705,12 +1735,16 @@ object LanceFormat {
     * work is adopted. Returns (branchHeadVersion, newMainVersion).
     */
   def rebaseBranch(fs: FileSystem, root: Path, name: String,
-      validate: (StructType, Seq[FragmentMeta]) => Unit = (_, _) => ())
-      : (Long, Long) = {
+      validate: (StructType, Seq[FragmentMeta]) => Unit = (_, _) => (),
+      expectedHead: Option[Long] = None): (Long, Long) = {
     val bp = branchPath(root, name)
     require(fs.exists(bp), s"no branch '$name' at $root")
     val vs = listVersionsIn(fs, bp)
     require(vs.nonEmpty, s"branch '$name' at $root has no manifests")
+    expectedHead.foreach(h => if (vs.last != h)
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' advanced to v${vs.last} past the audited head " +
+          s"v$h - re-audit before publishing"))
     val base = vs.head
     val mainLatest = readLatest(fs, root).getOrElse(
       throw new IllegalStateException(s"no dataset at $root"))

@@ -67,9 +67,12 @@ object Dml {
 
   /** A v1-filter ATTRIBUTE back to a Column: dotted names are
     * first-level struct-leaf paths ([[toV1]]'s keying) and become
-    * nested accesses; plain names quote whole. */
-  private def qa(name: String): Column =
-    if (name.contains('.')) col(name.split('.').map(p => s"`$p`").mkString("."))
+    * nested accesses — UNLESS a top-level column literally owns that
+    * name (`flatCols`, the [[graft.format.FragmentStats.leafType]]
+    * preference), which quotes whole. */
+  private def qa(name: String, flatCols: Set[String] = Set.empty): Column =
+    if (name.contains('.') && !flatCols(name))
+      col(name.split('.').map(p => s"`$p`").mkString("."))
     else q(name)
 
   /** Per-fragment match counts from a DataFrame carrying a `__f`
@@ -256,9 +259,10 @@ object Dml {
     * only hands over predicates it could translate, and each translatable
     * shape has a Column form.
     */
-  def filtersToColumn(filters: Array[v1.Filter]): Column =
+  def filtersToColumn(filters: Array[v1.Filter],
+      flatCols: Set[String] = Set.empty): Column =
     if (filters.isEmpty) lit(true)
-    else filters.map(filterToColumn).reduce(_ && _)
+    else filters.map(filterToColumn(_, flatCols)).reduce(_ && _)
 
   /** Rename a V1 filter's attributes logical → physical (fragment stats
     * speak physical names). Shapes with no attribute pass through. */
@@ -291,24 +295,25 @@ object Dml {
     }
   }
 
-  private[graft] def filterToColumn(f: v1.Filter): Column = f match {
+  private[graft] def filterToColumn(f: v1.Filter,
+      flatCols: Set[String] = Set.empty): Column = f match {
     case v1.AlwaysTrue() => lit(true)
     case v1.AlwaysFalse() => lit(false)
-    case v1.And(l, r) => filterToColumn(l) && filterToColumn(r)
-    case v1.Or(l, r) => filterToColumn(l) || filterToColumn(r)
-    case v1.Not(c) => !filterToColumn(c)
-    case v1.EqualTo(a, v) => qa(a) === lit(v)
-    case v1.EqualNullSafe(a, v) => qa(a) <=> lit(v)
-    case v1.GreaterThan(a, v) => qa(a) > lit(v)
-    case v1.GreaterThanOrEqual(a, v) => qa(a) >= lit(v)
-    case v1.LessThan(a, v) => qa(a) < lit(v)
-    case v1.LessThanOrEqual(a, v) => qa(a) <= lit(v)
-    case v1.In(a, vs) => qa(a).isin(vs.toIndexedSeq: _*)
-    case v1.IsNull(a) => qa(a).isNull
-    case v1.IsNotNull(a) => qa(a).isNotNull
-    case v1.StringStartsWith(a, p) => qa(a).startsWith(p)
-    case v1.StringEndsWith(a, p) => qa(a).endsWith(p)
-    case v1.StringContains(a, p) => qa(a).contains(p)
+    case v1.And(l, r) => filterToColumn(l, flatCols) && filterToColumn(r, flatCols)
+    case v1.Or(l, r) => filterToColumn(l, flatCols) || filterToColumn(r, flatCols)
+    case v1.Not(c) => !filterToColumn(c, flatCols)
+    case v1.EqualTo(a, v) => qa(a, flatCols) === lit(v)
+    case v1.EqualNullSafe(a, v) => qa(a, flatCols) <=> lit(v)
+    case v1.GreaterThan(a, v) => qa(a, flatCols) > lit(v)
+    case v1.GreaterThanOrEqual(a, v) => qa(a, flatCols) >= lit(v)
+    case v1.LessThan(a, v) => qa(a, flatCols) < lit(v)
+    case v1.LessThanOrEqual(a, v) => qa(a, flatCols) <= lit(v)
+    case v1.In(a, vs) => qa(a, flatCols).isin(vs.toIndexedSeq: _*)
+    case v1.IsNull(a) => qa(a, flatCols).isNull
+    case v1.IsNotNull(a) => qa(a, flatCols).isNotNull
+    case v1.StringStartsWith(a, p) => qa(a, flatCols).startsWith(p)
+    case v1.StringEndsWith(a, p) => qa(a, flatCols).endsWith(p)
+    case v1.StringContains(a, p) => qa(a, flatCols).contains(p)
     case other => throw new IllegalArgumentException(
       s"DELETE condition $other is not supported by the lance connector")
   }
@@ -701,7 +706,8 @@ object Dml {
     */
   def applyChanges(spark: SparkSession, path: String, source0: DataFrame,
       keys: Seq[String], deleteWhen: Column,
-      setProperties: Map[String, String] = Map.empty): RowLevelResult = {
+      setProperties: Map[String, String] = Map.empty,
+      requireProperties: Map[String, String] = Map.empty): RowLevelResult = {
     val (fs, root, m) = snapshot(spark, path)
     val refreshKinds = dmlRefreshKinds(spark)
     require(keys.nonEmpty, "applyChanges needs at least one key column")
@@ -731,10 +737,22 @@ object Dml {
       .withColumn("__dup", when(keys.map(q(_).isNotNull).reduce(_ && _),
         count(lit(1)).over(w)).otherwise(lit(1L)))
       .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    // metadata-only commit shape, CAS included: the mutate function
+    // re-checks per retry against the re-read current map
+    def commitPropsOnly(): Unit =
+      LanceFormat.commitPropertiesWith(fs, root, { prev =>
+        requireProperties.foreach { case (k, v) =>
+          if (!prev.get(k).contains(v))
+            throw new java.util.ConcurrentModificationException(
+              s"required property $k=$v does not hold at $path - the " +
+                "watermark moved under this commit; re-derive and re-run")
+        }
+        val (unsets, sets) = setProperties.partition(_._2 == null)
+        prev -- unsets.keys ++ sets
+      })
     val srcRows = stats.getAs[Long]("__n")
     if (srcRows == 0L) {
-      if (setProperties.nonEmpty)
-        LanceFormat.commitProperties(fs, root, setProperties)
+      if (setProperties.nonEmpty) commitPropsOnly()
       return RowLevelResult(m.fragments.size, 0, 0L, 0L,
         LanceFormat.readLatest(fs, root).map(_.version))
     }
@@ -767,14 +785,18 @@ object Dml {
         FragmentStats.prune(m.schema, m.fragments, keyBounds)))
 
     val ups = source.filter(!col("__del")).drop("__del")
+    def withPropOpts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
+      val w1 = if (setProperties.isEmpty) w
+        else w.option("write.set-properties",
+          LanceFormat.serializeProperties(setProperties))
+      if (requireProperties.isEmpty) w1
+      else w1.option("write.require-properties",
+        LanceFormat.serializeProperties(requireProperties))
+    }
     def pureInsert(): RowLevelResult = {
       if (upsRows > 0) {
-        val wtr = ups.write.format("lance").mode("append")
-        (if (setProperties.isEmpty) wtr
-         else wtr.option("write.set-properties",
-           LanceFormat.serializeProperties(setProperties))).save(path)
-      } else if (setProperties.nonEmpty)
-        LanceFormat.commitProperties(fs, root, setProperties)
+        withPropOpts(ups.write.format("lance").mode("append")).save(path)
+      } else if (setProperties.nonEmpty) commitPropsOnly()
       maybeRefreshIndexes(refreshKinds, path)
       RowLevelResult(m.fragments.size, cands.size, 0L, upsRows,
         LanceFormat.readLatest(fs, root).map(_.version))
@@ -808,16 +830,13 @@ object Dml {
         "update_preimage" -> pre, "update_postimage" -> post,
         "insert" -> ins))
     }
-    val wtr = withChangeFiles(
+    withPropOpts(withChangeFiles(
       readFragments(spark, root, m, touched)
         .join(source.select(keys.map(q): _*), keys, "left_anti")
         .unionByName(ups)
         .write.format("lance")
         .option("write.replace-fragments", touched.map(_.id).mkString(",")),
-      cdf)
-    (if (setProperties.isEmpty) wtr
-     else wtr.option("write.set-properties",
-       LanceFormat.serializeProperties(setProperties)))
+      cdf))
       .mode("append").save(path)
     maybeRefreshIndexes(refreshKinds, path)
     RowLevelResult(m.fragments.size, cands.size, matched, upsRows - matchedUps,

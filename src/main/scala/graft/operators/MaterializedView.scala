@@ -62,6 +62,12 @@ object MaterializedView {
     require(column != "*" || func == "count", "'*' only with count")
     require(alias.nonEmpty && !alias.startsWith("_mv_"),
       s"alias '$alias' empty or in the reserved _mv_ namespace")
+    // the spec round-trips through a ':'/'\n'-delimited property string
+    // (encodeAggs): a delimiter inside alias/column would decode into a
+    // DIFFERENT spec and leave the view permanently unmaintainable
+    require(!alias.contains(':') && !alias.contains('\n'),
+      s"alias '$alias' may not contain ':' or newline")
+    require(!column.contains('\n'), s"column '$column' may not contain newline")
   }
 
   case class RefreshResult(mode: String, fromVersion: Long, toVersion: Long,
@@ -178,6 +184,8 @@ object MaterializedView {
       groupBy: Seq[String], aggs: Seq[AggSpec],
       where: Option[String] = None): Long = {
     require(groupBy.nonEmpty, "materialized view needs at least one group column")
+    groupBy.foreach(c => require(!c.contains(',') && !c.contains('\n'),
+      s"group column '$c' may not contain ',' or newline (property encoding)"))
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
     val dups = aggs.groupBy(_.alias).collect { case (a, as) if as.size > 1 => a }
     require(dups.isEmpty, s"duplicate aggregate alias(es): ${dups.mkString(",")}")
@@ -308,7 +316,7 @@ object MaterializedView {
         s"feed window lost: source version $v0 was vacuumed; run fullRefresh")
     graft.MetaTvfs.register(spark)
     val feed0 = spark.sql(
-      s"SELECT * FROM lance_changes('$source', $v0, $vN)")
+      s"SELECT * FROM lance_changes('${source.replace("'", "''")}', $v0, $vN)")
     // filtered view: images filter INDEPENDENTLY — an update moving a
     // row across the predicate boundary nets to the right add/remove
     val feed = where.fold(feed0)(w => feed0.filter(expr(w)))
@@ -395,7 +403,29 @@ object MaterializedView {
       val srcNow0 = spark.read.format("lance")
         .option("versionAsOf", vN.toString).load(source)
       val srcNow = where.fold(srcNow0)(w => srcNow0.filter(expr(w)))
-      val scoped = srcNow.withColumn(GidCol, gid(groupBy))
+      // the semi-join keys on the COMPUTED gid, which no scan-side
+      // pruning can see — so when the affected-group set is small
+      // (the CDC norm), pre-filter on the RAW group columns too: those
+      // predicates push into the scan, and manifest stats / buckets /
+      // postings prune fragments before any read. Superset semantics
+      // (per-column IN admits cross products); the semi-join stays the
+      // exact filter. NULL group values ride an explicit isNull arm.
+      val cap = spark.conf.getOption("spark.graft.dml.inlistPrune")
+        .map(_.toInt).getOrElse(1000)
+      val sample = affected.limit(cap + 1).collect()
+      val preFiltered =
+        if (sample.length > cap) srcNow
+        else {
+          val conds = groupBy.zipWithIndex.map { case (c, i) =>
+            val vals = sample.map(_.get(i)).distinct.toSeq
+            val nonNull = vals.filter(_ != null)
+            val base = if (nonNull.isEmpty) lit(false)
+              else q(c).isin(nonNull: _*)
+            if (vals.contains(null)) base || q(c).isNull else base
+          }
+          srcNow.filter(conds.reduce(_ && _))
+        }
+      val scoped = preFiltered.withColumn(GidCol, gid(groupBy))
         .join(affected.select(GidCol), Seq(GidCol), "left_semi")
         .drop(GidCol)
       val recomputed = stateAgg(scoped, groupBy, aggs)
@@ -411,17 +441,26 @@ object MaterializedView {
     }
 
     val viewSchema = spark.read.format("lance").load(viewPath).schema
+    // persist: the guard below plus applyChanges' stats/prune/match/write
+    // jobs would otherwise re-execute the whole feed+merge DAG each time
     val aligned = newStates.select(viewSchema.fieldNames.map(f =>
       q(f).cast(viewSchema(f).dataType).as(f)).toIndexedSeq: _*)
-    val bad = aligned.filter(q(NCol) < 0).limit(1).count()
-    require(bad == 0L, s"negative group count after delta merge at $viewPath " +
-      "- the feed and the stored state disagree (was the view written to " +
-      "directly?); run fullRefresh")
-    val res = Dml.applyChanges(spark, viewPath, aligned, Seq(GidCol),
-      deleteWhen = q(NCol) === 0L,
-      setProperties = Map(PropVersion -> vN.toString))
-    RefreshResult(if (deltaPath) "delta" else "groups", v0, vN,
-      res.rowsChanged + res.rowsInserted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bad = aligned.filter(q(NCol) < 0).limit(1).count()
+      require(bad == 0L, s"negative group count after delta merge at $viewPath " +
+        "- the feed and the stored state disagree (was the view written to " +
+        "directly?); run fullRefresh")
+      // CAS on the stored watermark: a concurrent refresh of the SAME
+      // window (in-commit maintenance racing a manual refresh) fails
+      // loud instead of double-applying through a pure-insert append
+      val res = Dml.applyChanges(spark, viewPath, aligned, Seq(GidCol),
+        deleteWhen = q(NCol) === 0L,
+        setProperties = Map(PropVersion -> vN.toString),
+        requireProperties = Map(PropVersion -> v0.toString))
+      RefreshResult(if (deltaPath) "delta" else "groups", v0, vN,
+        res.rowsChanged + res.rowsInserted)
+    } finally aligned.unpersist()
   }
 
   /** Full rebuild (vacuumed feed window, out-of-band writes to the view,

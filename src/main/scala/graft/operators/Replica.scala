@@ -95,7 +95,8 @@ object Replica {
       throw new IllegalStateException(
         s"feed window lost: source version $v0 was vacuumed; recreate the replica")
     graft.MetaTvfs.register(spark)
-    val feed = spark.sql(s"SELECT * FROM lance_changes('$source', $v0, $vN)")
+    val feed = spark.sql(
+      s"SELECT * FROM lance_changes('${source.replace("'", "''")}', $v0, $vN)")
     // net effect per key: latest (commit, removal<addition) image wins —
     // an update's postimage beats its preimage within the commit, the
     // last commit beats earlier ones across commits
@@ -104,14 +105,22 @@ object Replica {
         .otherwise(0L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(k => col(s"`$k`")): _*).orderBy(rank.desc)
+    // persist: applyChanges runs several jobs over the net frame — the
+    // window+filter over the feed must not recompute per job
     val net = feed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "_commit_version")
       .withColumn("__del",
         col("_change_type").isin("delete", "update_preimage"))
       .drop("_change_type")
-    val res = Dml.applyChanges(spark, replicaPath, net, keys,
-      deleteWhen = col("__del"),
-      setProperties = Map(PropVersion -> vN.toString))
-    SyncResult(v0, vN, res.rowsChanged, res.rowsInserted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // CAS on the watermark: two concurrent syncs of the same window
+      // collide loudly instead of double-inserting new keys
+      val res = Dml.applyChanges(spark, replicaPath, net, keys,
+        deleteWhen = col("__del"),
+        setProperties = Map(PropVersion -> vN.toString),
+        requireProperties = Map(PropVersion -> v0.toString))
+      SyncResult(v0, vN, res.rowsChanged, res.rowsInserted)
+    } finally net.unpersist()
   }
 }

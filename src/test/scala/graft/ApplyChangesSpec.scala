@@ -105,6 +105,37 @@ class ApplyChangesSpec extends AnyFunSuite {
     assert(m2.properties.get("graft.mv.version") == "8")
   }
 
+  test("require-properties CAS: a moved watermark refuses every commit shape") {
+    val dir = tmpDir()
+    baseTable(dir)
+    Lance.setProperties(spark, dir, Map("wm" -> "5"))
+    def batch(id: Long) = Seq((id, "x", 1.0, false)).toDF("id", "s", "x", "_del")
+    // replace-shaped commit (key 1 exists)
+    val e1 = intercept[java.util.ConcurrentModificationException](
+      graft.operators.Dml.applyChanges(spark, dir, batch(1L), Seq("id"),
+        col("_del"), setProperties = Map("wm" -> "6"),
+        requireProperties = Map("wm" -> "4")))
+    assert(e1.getMessage.contains("wm=4"))
+    // pure-insert commit (new key): previously the silent double-apply hole
+    intercept[java.util.ConcurrentModificationException](
+      graft.operators.Dml.applyChanges(spark, dir, batch(5000L), Seq("id"),
+        col("_del"), setProperties = Map("wm" -> "6"),
+        requireProperties = Map("wm" -> "4")))
+    // metadata-only commit (empty batch)
+    intercept[java.util.ConcurrentModificationException](
+      graft.operators.Dml.applyChanges(spark, dir, batch(1L).limit(0), Seq("id"),
+        col("_del"), setProperties = Map("wm" -> "6"),
+        requireProperties = Map("wm" -> "4")))
+    assert(Lance.tableProperties(spark, dir)("wm") == "5", "nothing landed")
+    assert(spark.read.format("lance").load(dir).count() == 100L)
+    // matching expectation: all three shapes commit
+    graft.operators.Dml.applyChanges(spark, dir, batch(5000L), Seq("id"),
+      col("_del"), setProperties = Map("wm" -> "6"),
+      requireProperties = Map("wm" -> "5"))
+    assert(Lance.tableProperties(spark, dir)("wm") == "6")
+    assert(spark.read.format("lance").load(dir).count() == 101L)
+  }
+
   test("only fragments holding matching keys rewrite (clustered table)") {
     val dir = tmpDir()
     (1L to 4000L).map(i => (i, i * 1.0)).toDF("id", "x")

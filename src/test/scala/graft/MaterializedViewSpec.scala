@@ -337,6 +337,18 @@ class MaterializedViewSpec extends AnyFunSuite {
       manifest(src).version.toString)
   }
 
+  test("delimiter-bearing aliases and group columns refuse at create") {
+    intercept[IllegalArgumentException](AggSpec("sum", "c", "a:b"))
+    intercept[IllegalArgumentException](AggSpec("sum", "c", "a\nb"))
+    intercept[IllegalArgumentException](AggSpec("sum", "c\nd", "ok"))
+    val src = tmpDir()
+    (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    intercept[IllegalArgumentException](
+      MaterializedView.create(spark, tmpDir() + "/v", src,
+        Seq("a,b"), Seq(AggSpec("count", "*", "n"))))
+  }
+
   test("out-of-band writes to the view fail the next refresh loud") {
     val src = tmpDir(); val view = tmpDir() + "/v"
     (1L to 10L).map(i => (i, "g", i * 1.0)).toDF("id", "grp", "x")

@@ -91,6 +91,21 @@ class TablePropertiesSpec extends AnyFunSuite {
     assert(Lance.tableProperties(spark, dir) == Map("phase" -> "raw"))
   }
 
+  test("restore crosses metadata-only declaration changes (bloom/cluster specs)") {
+    val dir = tmpDir()
+    (1L to 20L).map(i => (i, s"v$i")).toDF("id", "s")
+      .write.format("lance").mode("overwrite").save(dir)
+    val vBare = manifest(dir).version
+    Lance.setBloomFilters(spark, dir, Seq("id"))
+    assert(Lance.bloomFilterColumns(spark, dir) == Seq("id"))
+    // fragments and schema are UNCHANGED - only the declaration differs;
+    // the already-that-state early return must still see the difference
+    val (_, newV) = Lance.restore(spark, dir, vBare)
+    assert(newV > vBare, "metadata-only restore must commit")
+    assert(Lance.bloomFilterColumns(spark, dir).isEmpty,
+      "restore must return to the pre-declaration state")
+  }
+
   test("write.set-properties: mutation lands in the data commit; null unsets") {
     val dir = tmpDir()
     Seq((1L, "a")).toDF("id", "s").write.format("lance").mode("overwrite").save(dir)

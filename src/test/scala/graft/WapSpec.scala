@@ -85,6 +85,25 @@ class WapSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(dir).count() == 20L)
   }
 
+  test("adoption is pinned to the audited head: a moved branch refuses") {
+    val dir = tmpDir()
+    (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.createBranch(spark, dir, "audit")
+    (11L to 15L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").option("write.branch", "audit").mode("append").save(dir)
+    // the surface publishBranch pins through: an adoption expecting an
+    // OLDER head (rows landed after the audit scan) must refuse
+    val e = intercept[java.util.ConcurrentModificationException](
+      Lance.fastForward(spark, dir, "audit", expectedHead = Some(1L)))
+    assert(e.getMessage.contains("advanced"))
+    assert(spark.read.format("lance").load(dir).count() == 10L,
+      "main must not adopt unaudited rows")
+    // the real head fast-forwards fine
+    Lance.publishBranch(spark, dir, "audit", Map("pos" -> "x > 0"))
+    assert(spark.read.format("lance").load(dir).count() == 15L)
+  }
+
   test("SQL surface: CALL publish_branch") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.lance_wap", "graft.catalog.LanceCatalog")
