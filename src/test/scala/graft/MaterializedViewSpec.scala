@@ -203,6 +203,26 @@ class MaterializedViewSpec extends AnyFunSuite {
       "boundary-crossing updates must net to the right add/remove pairs")
   }
 
+  test("scoped-group refresh with NULL group values keeps them (isNull arm)") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    Seq((1L, Option("g0"), 1.0), (2L, Option("g0"), 9.0),
+      (3L, Option.empty[String], 5.0), (4L, Option.empty[String], 7.0))
+      .toDF("id", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("max", "x", "mx")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try Lance.deleteWhere(spark, src, "id = 4") // the NULL group's max
+    finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "groups")
+    // the raw-column pre-filter must NOT drop NULL-group source rows
+    // (isin never matches null) - the isNull arm keeps them
+    val got = MaterializedView.read(spark, view)
+    assert(got.filter(col("grp").isNull).select("mx").as[Double].head() == 5.0)
+    assert(got.filter(col("grp").isNull).select("n").as[Long].head() == 1L)
+  }
+
   test("NULL group keys route through the surrogate like any other group") {
     val src = tmpDir(); val view = tmpDir() + "/v"
     seed(src)
