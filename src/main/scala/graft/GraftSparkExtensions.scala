@@ -60,6 +60,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_changes"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_changes"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_changes", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_changes_net"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_changes_net"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_changes_net", args)))
     e.injectTableFunction((FunctionIdentifier("lance_fts"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_fts"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_fts", args)))
@@ -111,7 +114,8 @@ object MetaTvfs {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
-    Seq("lance_versions", "lance_fragments", "lance_changes", "lance_fts",
+    Seq("lance_versions", "lance_fragments", "lance_changes",
+        "lance_changes_net", "lance_fts",
         "lance_fts_highlight",
         "lance_stats", "vector_search_join", "lance_indexes",
         "lance_take", "lance_tags", "lance_branches",
@@ -125,6 +129,61 @@ object MetaTvfs {
   private def literalString(e: Expression, what: String): String = {
     require(e.foldable, s"$what must be a literal")
     String.valueOf(e.eval())
+  }
+
+  /** The batch change feed over (from, to] as a DataFrame — shared by
+    * `lance_changes` and its net-per-key view. */
+  private def changesDf(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      path: String, from: Long, to: Long): org.apache.spark.sql.DataFrame = {
+    require(from >= 0 && from <= to,
+      s"lance_changes: need 0 <= fromVersion <= toVersion, got ($from, $to]")
+    val versions = graft.format.LanceFormat.listVersions(fs, root).toSet
+    require(versions.contains(to), s"no version $to at $path")
+    require(from == 0 || versions.contains(from), s"no version $from at $path")
+    val endM = graft.format.LanceFormat.readManifest(fs, root, to)
+    val endSchema = endM.schema
+    val outSchema = endSchema
+      .add("_change_type", StringType, nullable = false)
+      .add("_commit_version", LongType, nullable = false)
+    def files(fr: Seq[graft.format.FragmentMeta]) = fr.map(f =>
+      graft.format.LanceFormat.fragmentPath(root, f.file).toString)
+    var prev: Seq[graft.format.FragmentMeta] =
+      if (from == 0) Seq.empty
+      else graft.format.LanceFormat.readManifest(fs, root, from).fragments
+    val arms = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    def arm(kind: String, v: Long, paths: Seq[String]) = {
+      val a = spark.read.schema(endM.physicalSchema).parquet(paths: _*)
+      arms += (if (endM.mapping.isEmpty) a
+        else a.toDF(endSchema.fieldNames.toIndexedSeq: _*))
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit(kind))
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+    }
+    ((from + 1) to to).foreach { v =>
+      if (versions.contains(v)) {
+        val m = graft.format.LanceFormat.readManifest(fs, root, v)
+        val cdf = m.changeFiles.getOrElse(Seq.empty)
+        if (m.operation.contains("replace") && cdf.nonEmpty) {
+          // row-level CDF recorded by the DML verb: serve the exact
+          // pre/post images instead of the amplified fragment diff
+          cdf.groupBy(_.kind).toSeq.sortBy(_._1).foreach { case (kind, cs) =>
+            arm(kind, v, cs.map(c =>
+              graft.format.LanceFormat.fragmentPath(root, c.file).toString))
+          }
+        } else if (!m.operation.contains("rewrite")) {
+          val prevFiles = prev.map(_.file).toSet
+          val curFiles = m.fragments.map(_.file).toSet
+          val added = m.fragments.filterNot(f => prevFiles.contains(f.file))
+          val removed = prev.filterNot(f => curFiles.contains(f.file))
+          Seq(("insert", added), ("delete", removed)).foreach { case (kind, fr) =>
+            if (fr.nonEmpty) arm(kind, v, files(fr))
+          }
+        }
+        prev = m.fragments
+      }
+    }
+    arms.result().reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema))
   }
 
   def plan(name: String, args: Seq[Expression]): LogicalPlan = {
@@ -149,57 +208,24 @@ object MetaTvfs {
       // fragments); each arm is an ordinary distributed parquet scan.
       case "lance_changes" =>
         require(args.size == 3, "lance_changes(path, fromVersion, toVersion)")
-        val from = literalString(args(1), "lance_changes: fromVersion").toLong
-        val to = literalString(args(2), "lance_changes: toVersion").toLong
-        require(from >= 0 && from <= to,
-          s"lance_changes: need 0 <= fromVersion <= toVersion, got ($from, $to]")
-        val versions = graft.format.LanceFormat.listVersions(fs, root).toSet
-        require(versions.contains(to), s"no version $to at $path")
-        require(from == 0 || versions.contains(from), s"no version $from at $path")
-        val endM = graft.format.LanceFormat.readManifest(fs, root, to)
-        val endSchema = endM.schema
-        val outSchema = endSchema
-          .add("_change_type", StringType, nullable = false)
-          .add("_commit_version", LongType, nullable = false)
-        def files(fr: Seq[graft.format.FragmentMeta]) = fr.map(f =>
-          graft.format.LanceFormat.fragmentPath(root, f.file).toString)
-        var prev: Seq[graft.format.FragmentMeta] =
-          if (from == 0) Seq.empty
-          else graft.format.LanceFormat.readManifest(fs, root, from).fragments
-        val arms = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-        def arm(kind: String, v: Long, paths: Seq[String]) = {
-          val a = spark.read.schema(endM.physicalSchema).parquet(paths: _*)
-          arms += (if (endM.mapping.isEmpty) a
-            else a.toDF(endSchema.fieldNames.toIndexedSeq: _*))
-            .withColumn("_change_type", org.apache.spark.sql.functions.lit(kind))
-            .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
-        }
-        ((from + 1) to to).foreach { v =>
-          if (versions.contains(v)) {
-            val m = graft.format.LanceFormat.readManifest(fs, root, v)
-            val cdf = m.changeFiles.getOrElse(Seq.empty)
-            if (m.operation.contains("replace") && cdf.nonEmpty) {
-              // row-level CDF recorded by the DML verb: serve the exact
-              // pre/post images (update_preimage/update_postimage/
-              // delete/insert) instead of the amplified fragment diff
-              cdf.groupBy(_.kind).toSeq.sortBy(_._1).foreach { case (kind, cs) =>
-                arm(kind, v, cs.map(c =>
-                  graft.format.LanceFormat.fragmentPath(root, c.file).toString))
-              }
-            } else if (!m.operation.contains("rewrite")) {
-              val prevFiles = prev.map(_.file).toSet
-              val curFiles = m.fragments.map(_.file).toSet
-              val added = m.fragments.filterNot(f => prevFiles.contains(f.file))
-              val removed = prev.filterNot(f => curFiles.contains(f.file))
-              Seq(("insert", added), ("delete", removed)).foreach { case (kind, fr) =>
-                if (fr.nonEmpty) arm(kind, v, files(fr))
-              }
-            }
-            prev = m.fragments
-          }
-        }
-        arms.result().reduceOption(_ unionByName _).getOrElse(
-          spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema))
+        changesDf(spark, fs, root, path,
+          literalString(args(1), "lance_changes: fromVersion").toLong,
+          literalString(args(2), "lance_changes: toVersion").toLong)
+      // the NET view of the same window: one row per key — the latest
+      // image in (commit, removal<addition) order wins, exactly what a
+      // downstream keyed consumer applies ([[graft.operators.Replica]]'s
+      // collapse served as SQL: `_change_type` is 'delete' or 'upsert')
+      case "lance_changes_net" =>
+        require(args.size == 4,
+          "lance_changes_net(path, fromVersion, toVersion, keys_csv)")
+        val keys = literalString(args(3), "lance_changes_net: keys")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "lance_changes_net: empty key list")
+        graft.operators.Replica.netChanges(
+          changesDf(spark, fs, root, path,
+            literalString(args(1), "lance_changes_net: fromVersion").toLong,
+            literalString(args(2), "lance_changes_net: toVersion").toLong),
+          keys)
       // DESCRIBE-INDEXES parity: one row per persisted index sidecar
       // under <dataset>/_indices — vector (ivf / ivf_pq, + an hnsw_graph
       // row when the graph sidecar exists) and fts — with the staleness

@@ -453,7 +453,8 @@ object Lance {
     * fragments) — they stay CORRECT but unaccelerated until rebuilt. */
   case class OptimizeResult(fragmentsBefore: Int, fragmentsAfter: Int,
       indexesRefreshed: Seq[String], indexesStale: Seq[String],
-      columnsAnalyzed: Int, manifestsDeleted: Int, filesDeleted: Int)
+      columnsAnalyzed: Int, manifestsDeleted: Int, filesDeleted: Int,
+      viewsRefreshed: Int = 0, viewsStale: Int = 0)
 
   /** The single maintenance entry point a 100 TB table gets scheduled
     * with — `CALL lance.optimize('db.t')` nightly — bundling, in the
@@ -479,7 +480,8 @@ object Lance {
     */
   def optimize(spark: SparkSession, path: String,
       minRows: Long = 100000L, maxRowsPerFile: Long = 1000000L,
-      reanalyze: Boolean = true, keepVersions: Int = -1): OptimizeResult = {
+      reanalyze: Boolean = true, keepVersions: Int = -1,
+      refreshViews: Boolean = true): OptimizeResult = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     val (before, after) = compactSmall(spark, path, minRows, maxRowsPerFile)
@@ -514,10 +516,23 @@ object Lance {
         case _ => 0 // never create stats unbidden
       }
 
+    // dependent materialized views, same stale-never-fail posture as
+    // the index sidecars: a nightly optimize leaves derived tables fresh
+    val mvResults =
+      if (!refreshViews) Seq.empty
+      else graft.operators.MaterializedView.refreshDependents(spark, path)
+    mvResults.foreach {
+      case (vp, Left(err)) =>
+        log.warn(s"optimize: view $vp is stale but correct: $err")
+      case _ => ()
+    }
+
     val (mans, files) =
       if (keepVersions > 0) vacuum(spark, path, keepVersions) else (0, 0)
     OptimizeResult(before, after, refreshed.toSeq, stale.toSeq,
-      analyzed, mans, files)
+      analyzed, mans, files,
+      viewsRefreshed = mvResults.count(_._2.isRight),
+      viewsStale = mvResults.count(_._2.isLeft))
   }
 
   /** One [[fsck]] finding: severity is "error" (the table will

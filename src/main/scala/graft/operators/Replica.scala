@@ -47,6 +47,26 @@ object Replica {
     (LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf()), root)
   }
 
+  /** Collapse a change feed to its NET effect per key: the latest image
+    * in (commit, removal<addition) order wins — an update's postimage
+    * beats its preimage within the commit, the last commit beats earlier
+    * ones across commits. `_change_type` in the result is 'delete' or
+    * 'upsert'; `_commit_version` is dropped (the net view has no single
+    * version per row). Also the `lance_changes_net` TVF. */
+  private[graft] def netChanges(feed: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val rank = col("_commit_version") * 2 +
+      when(col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(k => col(s"`$k`")): _*).orderBy(rank.desc)
+    feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "_commit_version")
+      .withColumn("_change_type",
+        when(col("_change_type").isin("delete", "update_preimage"),
+          lit("delete")).otherwise(lit("upsert")))
+  }
+
   /** Seed the replica: one full copy of the source's CURRENT version,
     * committed together with the `graft.replica.*` bookkeeping (one
     * manifest — no half-created replica). Returns the source version the
@@ -97,20 +117,10 @@ object Replica {
     graft.MetaTvfs.register(spark)
     val feed = spark.sql(
       s"SELECT * FROM lance_changes('${source.replace("'", "''")}', $v0, $vN)")
-    // net effect per key: latest (commit, removal<addition) image wins —
-    // an update's postimage beats its preimage within the commit, the
-    // last commit beats earlier ones across commits
-    val rank = col("_commit_version") * 2 +
-      when(col("_change_type").isin("insert", "update_postimage"), 1L)
-        .otherwise(0L)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(k => col(s"`$k`")): _*).orderBy(rank.desc)
     // persist: applyChanges runs several jobs over the net frame — the
     // window+filter over the feed must not recompute per job
-    val net = feed.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "_commit_version")
-      .withColumn("__del",
-        col("_change_type").isin("delete", "update_preimage"))
+    val net = netChanges(feed, keys)
+      .withColumn("__del", col("_change_type") === "delete")
       .drop("_change_type")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

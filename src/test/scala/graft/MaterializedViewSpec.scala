@@ -369,6 +369,20 @@ class MaterializedViewSpec extends AnyFunSuite {
         Seq("a,b"), Seq(AggSpec("count", "*", "n"))))
   }
 
+  test("optimize refreshes dependent views (nightly-maintenance loop)") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 20L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n")))
+    (21L to 30L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("append").save(src) // NOT maintained
+    val r = Lance.optimize(spark, src)
+    assert(r.viewsRefreshed == 1 && r.viewsStale == 0, r.toString)
+    assert(MaterializedView.read(spark, view)
+      .agg(sum("n")).as[Long].head() == 30L)
+  }
+
   test("out-of-band writes to the view fail the next refresh loud") {
     val src = tmpDir(); val view = tmpDir() + "/v"
     (1L to 10L).map(i => (i, "g", i * 1.0)).toDF("id", "grp", "x")

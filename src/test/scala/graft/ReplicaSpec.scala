@@ -134,6 +134,30 @@ class ReplicaSpec extends AnyFunSuite {
     }
   }
 
+  test("lance_changes_net TVF: the collapsed per-key view of a window") {
+    val dir = tmpDir()
+    (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").mode("overwrite").save(dir)
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      Lance.updateWhere(spark, dir, "id = 5", Map("x" -> "555")) // then delete
+      Lance.deleteWhere(spark, dir, "id = 5")
+      Lance.updateWhere(spark, dir, "id = 9", Map("x" -> "91"))
+      Lance.updateWhere(spark, dir, "id = 9", Map("x" -> "92")) // last wins
+      Lance.upsert(spark, dir, Seq((20L, 20.0)).toDF("id", "x"), Seq("id"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    graft.MetaTvfs.register(spark)
+    val vN = Lance.versions(spark, dir).max
+    val net = spark.sql(
+      s"SELECT * FROM lance_changes_net('$dir', 1, $vN, 'id')")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("_change_type"), r.getAs[Double]("x"))).toMap
+    assert(net(5L)._1 == "delete")
+    assert(net(9L) == ("upsert", 92.0))
+    assert(net(20L) == ("upsert", 20.0))
+    assert(net.size == 3, s"one net row per touched key: $net")
+  }
+
   test("a vacuumed feed window fails loud; compaction syncs as a no-op") {
     val src = tmpDir(); val rep = tmpDir() + "/r"
     (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "x")
