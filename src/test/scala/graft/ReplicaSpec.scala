@@ -158,6 +158,48 @@ class ReplicaSpec extends AnyFunSuite {
     assert(net.size == 3, s"one net row per touched key: $net")
   }
 
+  test("PROPERTY: random DML/append/compact sequences replicate exactly") {
+    val rnd = new scala.util.Random(42)
+    val src = tmpDir(); val rep = tmpDir() + "/r"
+    (1L to 60L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .repartition(3).write.format("lance").mode("overwrite").save(src)
+    Replica.create(spark, rep, src, Seq("id"))
+    var nextId = 1000L
+    (1 to 4).foreach { round =>
+      // a random mix per round; CDF is ON for DML (exact images) while
+      // appends/compaction exercise the fragment-diff / skip paths
+      spark.conf.set("spark.graft.dml.changeFeed", "true")
+      try {
+        (1 to 3 + rnd.nextInt(3)).foreach { _ =>
+          rnd.nextInt(5) match {
+            case 0 =>
+              Lance.deleteWhere(spark, src, s"id % 17 = ${rnd.nextInt(17)}")
+            case 1 =>
+              Lance.updateWhere(spark, src, s"id % 13 = ${rnd.nextInt(13)}",
+                Map("x" -> s"x + ${rnd.nextInt(100)}"))
+            case 2 =>
+              val keys = (0 until 3).map(_ => 1L + rnd.nextInt(60))
+                .distinct ++ Seq({ nextId += 1; nextId })
+              Lance.upsert(spark, src,
+                keys.map(k => (k, rnd.nextDouble() * 100)).toDF("id", "x"),
+                Seq("id"))
+            case 3 =>
+              (0 until 2).map(_ => { nextId += 1; (nextId, 1.0) })
+                .toDF("id", "x")
+                .write.format("lance").mode("append").save(src)
+            case 4 => Lance.compact(spark, src) // rewrite: feed skips it
+          }
+        }
+      } finally spark.conf.unset("spark.graft.dml.changeFeed")
+      Replica.sync(spark, rep)
+      val s = spark.read.format("lance").load(src)
+      val r = spark.read.format("lance").load(rep)
+      assert(r.exceptAll(s).isEmpty && s.exceptAll(r).isEmpty,
+        s"round $round: replica diverged " +
+          s"(src=${s.count()}, rep=${r.count()})")
+    }
+  }
+
   test("a vacuumed feed window fails loud; compaction syncs as a no-op") {
     val src = tmpDir(); val rep = tmpDir() + "/r"
     (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "x")
