@@ -527,8 +527,15 @@ object Lance {
       case _ => ()
     }
 
+    // explicit keepVersions wins; otherwise the table's DECLARED
+    // retention policy applies — the self-contained nightly call
+    val (effKeep, effOlder): (Int, Option[Long]) =
+      if (keepVersions > 0) (keepVersions, None)
+      else retention(spark, path).map { case (k, o) => (k, o) }
+        .getOrElse((-1, None))
     val (mans, files) =
-      if (keepVersions > 0) vacuum(spark, path, keepVersions) else (0, 0)
+      if (effKeep > 0) vacuum(spark, path, effKeep, effOlder)
+      else (0, 0)
     OptimizeResult(before, after, refreshed.toSeq, stale.toSeq,
       analyzed, mans, files,
       viewsRefreshed = mvResults.count(_._2.isRight),
@@ -1025,6 +1032,39 @@ object Lance {
   /** Unregister (from its source's dependents) and delete a view. */
   def dropMaterializedView(spark: SparkSession, viewPath: String): Boolean =
     graft.operators.MaterializedView.drop(spark, viewPath)
+
+  /** Declare a RETENTION POLICY on the table (stored as
+    * `graft.retention.*` properties, one metadata commit):
+    * [[optimize]] called WITHOUT an explicit `keepVersions` then
+    * vacuums to the policy — the nightly `CALL optimize('t')` becomes
+    * fully self-contained for a long-lived table. `keepVersions` < 1
+    * clears the policy. `olderThanMs`: versions committed within this
+    * horizon survive regardless of count (vacuum's time pin). Returns
+    * the committed version. */
+  def setRetention(spark: SparkSession, path: String, keepVersions: Int,
+      olderThanMs: Long = -1L): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val mutation: Map[String, String] =
+      if (keepVersions < 1) Map("graft.retention.keep-versions" -> null,
+        "graft.retention.older-than-ms" -> null)
+      else Map("graft.retention.keep-versions" -> keepVersions.toString) ++
+        (if (olderThanMs >= 0)
+          Map("graft.retention.older-than-ms" -> olderThanMs.toString)
+        else Map("graft.retention.older-than-ms" -> (null: String)))
+    graft.format.LanceFormat.commitProperties(fs, root, mutation).version
+  }
+
+  /** The declared retention policy, if any: (keepVersions, olderThanMs
+    * — None when unset). */
+  def retention(spark: SparkSession, path: String): Option[(Int, Option[Long])] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val props = graft.format.LanceFormat.readLatest(fs, root)
+      .flatMap(_.properties).getOrElse(Map.empty)
+    props.get("graft.retention.keep-versions").map(_.toInt)
+      .map(k => (k, props.get("graft.retention.older-than-ms").map(_.toLong)))
+  }
 
   /** Seed a keyed downstream REPLICA of a lance table (full copy +
     * `graft.replica.*` bookkeeping, one commit); [[syncReplica]] then

@@ -415,7 +415,7 @@ object LanceCatalog {
       "add_unique", "clone_table", "cluster_by_bucket", "rebucket",
       "analyze_table", "set_bloom_filters", "optimize", "fsck",
       "create_mv", "refresh_mv", "set_properties", "unset_properties",
-      "publish_branch", "create_replica", "sync_replica")
+      "publish_branch", "create_replica", "sync_replica", "set_retention")
 }
 
 private[catalog] object LanceProcedure {
@@ -494,6 +494,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "publish_branch" => "write-audit-publish: audit the branch head against named boolean checks (one scan), then fast-forward or rebase it into main; a failed audit leaves main untouched"
     case "create_replica" => "seed a keyed downstream replica (full copy + graft.replica.* bookkeeping in one commit); sync_replica then maintains it from the change feed"
     case "sync_replica" => "apply the feed window's net-per-key changes to the replica in one atomic commit (cost = the change, never the table)"
+    case "set_retention" => "declare a retention policy (graft.retention.* properties): CALL optimize without keep_versions then vacuums to it - the self-contained nightly maintenance call; keep_versions < 1 clears"
     case "refresh_fts" => "delta-index appended fragments into the FTS postings (touched buckets only)"
     case "drop_index" => "delete a column's index sidecars (ivf | fts | scalar | all) and evict session caches"
     case "build_scalar_index" => "build the value->fragment scalar index for point-lookup pruning"
@@ -599,6 +600,11 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("source", StringType).build(),
       in("keys", StringType).comment("comma-separated unique key columns").build())
     case "sync_replica" => Array(in("replica", StringType).build())
+    case "set_retention" => Array(in("table", StringType).build(),
+      in("keep_versions", IntegerType).build(),
+      in("older_than_ms", LongType).defaultValue("-1")
+        .comment("versions within this horizon survive regardless of " +
+          "count; -1 disables the time pin").build())
     case "refresh_fts" => Array(in("table", StringType).build(),
       in("column", StringType).comment("indexed text column").build())
     case "drop_index" => Array(in("table", StringType).build(),
@@ -828,6 +834,11 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .map(_.trim).filter(_.nonEmpty).toSeq
         val v = graft.operators.Replica.create(spark, path, source, keys)
         (new StructType().add("source_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](v)))
+      case "set_retention" =>
+        val v = graft.Lance.setRetention(spark, path, input.getInt(1),
+          input.getLong(2))
+        (new StructType().add("version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))
       case "sync_replica" =>
         val r = graft.operators.Replica.sync(spark, path)

@@ -99,6 +99,38 @@ class OptimizeSpec extends AnyFunSuite {
     assert(TableStats.read(fs(dir), new Path(dir)).isEmpty)
   }
 
+  test("declared retention: optimize without keep_versions honors the policy") {
+    val dir = tmpDir()
+    spark.range(0, 100).select(col("id").as("k"))
+      .coalesce(1).write.format("lance").mode("overwrite").save(dir)
+    (0 until 4).foreach { i =>
+      spark.range(100 + i * 10, 110 + i * 10).select(col("id").as("k"))
+        .coalesce(1).write.format("lance").mode("append").save(dir)
+    }
+    // no policy, no explicit keep: nothing vacuumed
+    val r0 = Lance.optimize(spark, dir, minRows = 5)
+    assert(r0.manifestsDeleted == 0)
+    assert(Lance.versions(spark, dir).size > 1)
+    // declare the policy; the plain nightly call now vacuums to it
+    Lance.setRetention(spark, dir, keepVersions = 1)
+    assert(Lance.retention(spark, dir).contains((1, None)))
+    val r1 = Lance.optimize(spark, dir, minRows = 5)
+    assert(r1.manifestsDeleted > 0, r1.toString)
+    assert(Lance.versions(spark, dir).size == 1)
+    assert(spark.read.format("lance").load(dir).count() == 140)
+    // clearing the policy stops the vacuuming
+    Lance.setRetention(spark, dir, keepVersions = 0)
+    assert(Lance.retention(spark, dir).isEmpty)
+    spark.range(1000, 1010).select(col("id").as("k"))
+      .coalesce(1).write.format("lance").mode("append").save(dir)
+    assert(Lance.optimize(spark, dir, minRows = 5).manifestsDeleted == 0)
+    // a generous older-than pin keeps everything young
+    Lance.setRetention(spark, dir, keepVersions = 1,
+      olderThanMs = 24L * 3600 * 1000)
+    assert(Lance.optimize(spark, dir, minRows = 5).manifestsDeleted == 0,
+      "versions inside the time horizon must survive the count limit")
+  }
+
   test("keep_versions vacuums after the maintenance commits; SQL CALL surface") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.lance_opt", "graft.catalog.LanceCatalog")
