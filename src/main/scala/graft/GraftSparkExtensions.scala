@@ -135,9 +135,10 @@ object MetaTvfs {
     * `lance_changes` and its net-per-key view. */
   private def changesDf(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      path: String, from: Long, to: Long): org.apache.spark.sql.DataFrame = {
+      path: String, from: Long, to: Long,
+      fn: String = "lance_changes"): org.apache.spark.sql.DataFrame = {
     require(from >= 0 && from <= to,
-      s"lance_changes: need 0 <= fromVersion <= toVersion, got ($from, $to]")
+      s"$fn: need 0 <= fromVersion <= toVersion, got ($from, $to]")
     val versions = graft.format.LanceFormat.listVersions(fs, root).toSet
     require(versions.contains(to), s"no version $to at $path")
     require(from == 0 || versions.contains(from), s"no version $from at $path")
@@ -224,7 +225,8 @@ object MetaTvfs {
         graft.operators.Replica.netChanges(
           changesDf(spark, fs, root, path,
             literalString(args(1), "lance_changes_net: fromVersion").toLong,
-            literalString(args(2), "lance_changes_net: toVersion").toLong),
+            literalString(args(2), "lance_changes_net: toVersion").toLong,
+            fn = "lance_changes_net"),
           keys)
       // DESCRIBE-INDEXES parity: one row per persisted index sidecar
       // under <dataset>/_indices — vector (ivf / ivf_pq, + an hnsw_graph

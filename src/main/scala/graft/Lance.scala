@@ -531,11 +531,24 @@ object Lance {
     // retention policy applies — the self-contained nightly call
     val (effKeep, effOlder): (Int, Option[Long]) =
       if (keepVersions > 0) (keepVersions, None)
-      else retention(spark, path).map { case (k, o) => (k, o) }
-        .getOrElse((-1, None))
+      else retention(spark, path).getOrElse((-1, None))
+    // DEPENDENT-CONSUMER PIN: registered views and replicas hold a
+    // source-version watermark their next incremental window starts
+    // from — vacuuming past it converts one missed refresh (or a
+    // replica that simply syncs on its own schedule) into a permanent
+    // 'feed window lost' requiring a full rebuild. The vacuum keeps at
+    // least back to the OLDEST live dependent watermark, whatever the
+    // policy says; an unreadable dependent contributes no pin
+    // (conservative for retention, never for the dependent).
     val (mans, files) =
-      if (effKeep > 0) vacuum(spark, path, effKeep, effOlder)
-      else (0, 0)
+      if (effKeep <= 0) (0, 0)
+      else {
+        val latest = graft.format.LanceFormat.readLatest(fs, root)
+          .map(_.version).getOrElse(0L)
+        val pinKeep = dependentWatermarkPin(spark, path)
+          .map(w => (latest - w + 1).toInt).getOrElse(0)
+        vacuum(spark, path, math.max(effKeep, pinKeep), effOlder)
+      }
     OptimizeResult(before, after, refreshed.toSeq, stale.toSeq,
       analyzed, mans, files,
       viewsRefreshed = mvResults.count(_._2.isRight),
@@ -1032,6 +1045,34 @@ object Lance {
   /** Unregister (from its source's dependents) and delete a view. */
   def dropMaterializedView(spark: SparkSession, viewPath: String): Boolean =
     graft.operators.MaterializedView.drop(spark, viewPath)
+
+  /** The oldest source-version watermark among the table's registered
+    * dependent consumers (materialized views + replicas): the manifest
+    * version the retention vacuum must keep for their next incremental
+    * window. Dependents that cannot be read contribute nothing. */
+  private def dependentWatermarkPin(spark: SparkSession,
+      path: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val props = graft.format.LanceFormat.readLatest(fs, root)
+      .flatMap(_.properties).getOrElse(Map.empty)
+    val deps = Seq("graft.mv.dependents", "graft.replica.dependents")
+      .flatMap(k => props.get(k).toSeq.flatMap(_.split('\n')))
+      .filter(_.nonEmpty)
+    val wms = deps.flatMap { dp =>
+      try {
+        val dr = new org.apache.hadoop.fs.Path(dp)
+        val dfs = graft.format.LanceFormat.fileSystem(dr,
+          spark.sessionState.newHadoopConf())
+        graft.format.LanceFormat.readLatest(dfs, dr)
+          .flatMap(_.properties).getOrElse(Map.empty)
+          .collectFirst { case (k, v)
+              if k == "graft.mv.version" || k == "graft.replica.version" =>
+            v.toLong }
+      } catch { case _: Exception => None }
+    }
+    wms.minOption
+  }
 
   /** Declare a RETENTION POLICY on the table (stored as
     * `graft.retention.*` properties, one metadata commit):

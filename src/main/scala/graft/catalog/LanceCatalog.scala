@@ -732,14 +732,15 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .add("columns_analyzed", IntegerType, nullable = false)
           .add("manifests_deleted", IntegerType, nullable = false)
           .add("files_deleted", IntegerType, nullable = false)
-          .add("views_refreshed", IntegerType, nullable = false),
+          .add("views_refreshed", IntegerType, nullable = false)
+          .add("views_stale", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](r.fragmentsBefore, r.fragmentsAfter,
             org.apache.spark.unsafe.types.UTF8String.fromString(
               r.indexesRefreshed.mkString(",")),
             org.apache.spark.unsafe.types.UTF8String.fromString(
               r.indexesStale.mkString(",")),
             r.columnsAnalyzed, r.manifestsDeleted, r.filesDeleted,
-            r.viewsRefreshed)))
+            r.viewsRefreshed, r.viewsStale)))
       case "analyze_table" =>
         val cols = input.getUTF8String(1).toString.split(',')
           .map(_.trim).filter(_.nonEmpty).toSeq

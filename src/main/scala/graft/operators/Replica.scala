@@ -41,6 +41,10 @@ object Replica {
   private val PropSource = "graft.replica.source"
   private val PropKeys = "graft.replica.keys"
   private val PropVersion = "graft.replica.version"
+  /** On the SOURCE table: newline-joined replica paths — what lets
+    * [[graft.Lance.optimize]]'s retention vacuum PIN the manifest
+    * versions replicas still need for their next incremental sync. */
+  private[graft] val PropDependents = "graft.replica.dependents"
 
   private def fsRoot(spark: SparkSession, path: String) = {
     val root = new Path(new java.io.File(path).getAbsolutePath)
@@ -82,15 +86,49 @@ object Replica {
     val (rfs, rroot) = fsRoot(spark, replicaPath)
     require(LanceFormat.readLatest(rfs, rroot).isEmpty,
       s"dataset already exists at $replicaPath")
+    // register FIRST (the MaterializedView.create posture): the copy
+    // then reads the registration-inclusive version, and the vacuum pin
+    // covers this replica from its first manifest on. A crash in
+    // between leaves a registration that contributes no pin (the
+    // replica path reads empty) — harmless, re-create overwrites it.
+    val abs = new java.io.File(replicaPath).getAbsolutePath
+    val registered = LanceFormat.commitPropertiesWith(sfs, sroot, { prev =>
+      val cur = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
+      if (cur.contains(abs)) prev
+      else prev + (PropDependents -> (cur :+ abs).mkString("\n"))
+    }).version
     spark.read.format("lance")
-      .option("versionAsOf", srcM.version.toString).load(sourcePath)
+      .option("versionAsOf", registered.toString).load(sourcePath)
       .write.format("lance").mode("overwrite")
       .option("write.set-properties", LanceFormat.serializeProperties(Map(
         PropSource -> new java.io.File(sourcePath).getAbsolutePath,
         PropKeys -> keys.mkString(","),
-        PropVersion -> srcM.version.toString)))
+        PropVersion -> registered.toString)))
       .save(replicaPath)
-    srcM.version
+    registered
+  }
+
+  /** Unregister (from the source's replica registry) and delete a
+    * replica. Either side already gone is tolerated. */
+  def drop(spark: SparkSession, replicaPath: String): Boolean = {
+    val (rfs, rroot) = fsRoot(spark, replicaPath)
+    val existed = LanceFormat.readLatest(rfs, rroot).isDefined
+    val abs = rroot.toString
+    if (existed) {
+      LanceFormat.readLatest(rfs, rroot).get.properties
+        .getOrElse(Map.empty).get(PropSource).foreach { source =>
+          val (sfs, sroot) = fsRoot(spark, source)
+          if (LanceFormat.readLatest(sfs, sroot).isDefined)
+            LanceFormat.commitPropertiesWith(sfs, sroot, { prev =>
+              val kept = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
+                .filterNot(p => p == abs || p == replicaPath)
+              if (kept.isEmpty) prev - PropDependents
+              else prev + (PropDependents -> kept.mkString("\n"))
+            })
+        }
+    }
+    rfs.delete(rroot, true)
+    existed
   }
 
   /** One incremental sync: apply the feed window's net row changes.

@@ -122,7 +122,9 @@ class ReplicaSpec extends AnyFunSuite {
         .write.format("lance").mode("overwrite").save(src)
       val c = spark.sql(
         "CALL lance_rp.system.create_replica('db.r', 'db.t', 'id')").collect()(0)
-      assert(c.getAs[Long]("source_version") == 1L)
+      // create registers the replica on the source first (one metadata
+      // commit), so the watermark is v2 of the source
+      assert(c.getAs[Long]("source_version") == 2L)
       (31L to 40L).map(i => (i, i * 1.0)).toDF("id", "x")
         .write.format("lance").mode("append").save(src)
       val s = spark.sql("CALL lance_rp.system.sync_replica('db.r')").collect()(0)
@@ -198,6 +200,33 @@ class ReplicaSpec extends AnyFunSuite {
         s"round $round: replica diverged " +
           s"(src=${s.count()}, rep=${r.count()})")
     }
+  }
+
+  test("retention vacuum pins the replica's feed window; drop releases it") {
+    val src = tmpDir(); val rep = tmpDir() + "/r"
+    (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    Replica.create(spark, rep, src, Seq("id"))
+    // source moves on; the replica does NOT sync (its own schedule)
+    (0 until 3).foreach { i =>
+      (100L + i * 10 to 109L + i * 10).map(j => (j, j * 1.0)).toDF("id", "x")
+        .write.format("lance").mode("append").save(src)
+    }
+    Lance.setRetention(spark, src, keepVersions = 1)
+    Lance.optimize(spark, src, minRows = 5)
+    // the pin kept every version back to the replica's watermark:
+    // the next sync still works incrementally
+    val r = Replica.sync(spark, rep)
+    assert(r.rowsInserted == 30L, r.toString)
+    assert(spark.read.format("lance").load(rep).count() == 60L)
+    // after the sync advanced the watermark, the next optimize CAN
+    // vacuum history; and dropping the replica releases the pin
+    assert(Replica.drop(spark, rep))
+    (200L to 205L).map(j => (j, 1.0)).toDF("id", "x")
+      .write.format("lance").mode("append").save(src)
+    Lance.optimize(spark, src, minRows = 5)
+    assert(Lance.versions(spark, src).size == 1,
+      "no dependents left: the policy vacuums to keep=1")
   }
 
   test("a vacuumed feed window fails loud; compaction syncs as a no-op") {
