@@ -362,7 +362,9 @@ object Lance {
       case Some(b) =>
         import org.apache.spark.sql.functions.{col => c}
         val be = graft.format.BucketHash.bucketColumn(b.columns, b.numBuckets)
-        base.repartition(math.max(targetParts, b.numBuckets), be)
+        val tags = math.min(graft.format.BucketHash.totalTags(
+          b.columns.size, b.numBuckets), 4096L).toInt
+        base.repartition(math.max(targetParts, tags), be)
           .sortWithinPartitions(be +: b.columns.map(c): _*)
       case None if clusterCols.isEmpty => base.repartition(targetParts)
       case None => base.withColumn("__z", zValueColumn(base, clusterCols))
@@ -1071,7 +1073,10 @@ object Lance {
             v.toLong }
       } catch { case _: Exception => None }
     }
-    wms.minOption
+    // named external-consumer pins live on the SOURCE's own properties
+    val consumerWms = props.collect {
+      case (k, v) if k.startsWith("graft.consumer.") => v.toLong }
+    (wms ++ consumerWms).minOption
   }
 
   /** Declare a RETENTION POLICY on the table (stored as
@@ -1105,6 +1110,85 @@ object Lance {
       .flatMap(_.properties).getOrElse(Map.empty)
     props.get("graft.retention.keep-versions").map(_.toInt)
       .map(k => (k, props.get("graft.retention.older-than-ms").map(_.toLong)))
+  }
+
+  /** EXTERNAL CHANGEFEED CONSUMER PINS — the Kafka consumer-offset shape
+    * for readers OUTSIDE the dependent registry. A downstream pipeline
+    * reading `lance_changes`/`lance_changes_net` directly has no
+    * registered watermark, so a retention vacuum ([[optimize]]) could
+    * reclaim the very manifests its next window needs — the failure mode
+    * the view/replica pins already close for internal dependents.
+    * [[registerConsumer]] stores a named watermark (`graft.consumer.
+    * <name>` property) meaning "consumed THROUGH this version; my next
+    * window starts here" — the vacuum then keeps at least back to the
+    * oldest live pin (views, replicas AND consumers). [[advanceConsumer]]
+    * moves it monotonically after each successfully processed window;
+    * [[dropConsumer]] releases the pin. SQL twins:
+    * `CALL lance.register_consumer/advance_consumer/drop_consumer`.
+    *
+    * Returns the registered watermark (the CURRENT version when
+    * `fromVersion` < 0 — "consume from now on").
+    */
+  def registerConsumer(spark: SparkSession, path: String, name: String,
+      fromVersion: Long = -1L): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"consumer name '$name' must match [A-Za-z0-9._-]+ (property key)")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val latest = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $path")).version
+    val wm = if (fromVersion < 0) latest else fromVersion
+    require(wm <= latest,
+      s"consumer watermark $wm is beyond the current version $latest of $path")
+    graft.format.LanceFormat.commitPropertiesWith(fs, root, { prev =>
+      prev.get(s"graft.consumer.$name").foreach(cur => require(cur.toLong == wm,
+        s"consumer '$name' is already registered at $path with watermark " +
+          s"$cur - advanceConsumer moves it, dropConsumer releases it"))
+      prev + (s"graft.consumer.$name" -> wm.toString)
+    })
+    wm
+  }
+
+  /** Advance a registered consumer's watermark (monotonic — replays are
+    * the consumer's own idempotence problem, but a BACKWARDS move would
+    * silently re-pin already-vacuumable history). Returns the new
+    * watermark. */
+  def advanceConsumer(spark: SparkSession, path: String, name: String,
+      toVersion: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.commitPropertiesWith(fs, root, { prev =>
+      val cur = prev.getOrElse(s"graft.consumer.$name",
+        throw new IllegalArgumentException(
+          s"no consumer '$name' registered at $path")).toLong
+      require(toVersion >= cur,
+        s"consumer '$name' cannot move backwards ($cur -> $toVersion) - " +
+          "drop and re-register to rewind deliberately")
+      prev + (s"graft.consumer.$name" -> toVersion.toString)
+    })
+    toVersion
+  }
+
+  /** Release a consumer's pin. Returns whether it existed. */
+  def dropConsumer(spark: SparkSession, path: String, name: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    var existed = false
+    graft.format.LanceFormat.commitPropertiesWith(fs, root, { prev =>
+      existed = prev.contains(s"graft.consumer.$name")
+      prev - s"graft.consumer.$name"
+    })
+    existed
+  }
+
+  /** Registered consumers and their watermarks. */
+  def consumers(spark: SparkSession, path: String): Map[String, Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.readLatest(fs, root)
+      .flatMap(_.properties).getOrElse(Map.empty)
+      .collect { case (k, v) if k.startsWith("graft.consumer.") =>
+        k.stripPrefix("graft.consumer.") -> v.toLong }
   }
 
   /** Seed a keyed downstream REPLICA of a lance table (full copy +
@@ -1246,9 +1330,23 @@ object Lance {
     * semantics). All checks evaluate in ONE scan; any violation refuses
     * the publish with per-check counts. Returns (branchHead,
     * newMainVersion).
+    *
+    * `quarantine` — the posture most ingest pipelines actually run:
+    * instead of refusing the whole batch on any violation, publish the
+    * PASSING branch-only rows to main and land the violating rows on a
+    * fresh `<name>-quarantine` branch lineage (readable via
+    * `option("branch", "<name>-quarantine")`, violations ONLY — no base
+    * data) whose commit carries per-check counts as
+    * `graft.wap.violations.<check>` properties for inspection. The
+    * audited branch is then DROPPED (its rows live on in main +
+    * quarantine; keeping it would invite a double publish). A fully
+    * clean batch under quarantine publishes by reference like the plain
+    * path — the row rewrite is only paid when violations exist.
     */
   def publishBranch(spark: SparkSession, path: String, name: String,
-      checks: Map[String, String] = Map.empty): (Long, Long) = {
+      checks: Map[String, String] = Map.empty,
+      quarantine: Boolean = false): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     val bp = graft.format.LanceFormat.branchPath(root, name)
@@ -1257,28 +1355,71 @@ object Lance {
     // adoption below refuses if the branch moved past it — a row
     // appended between audit and publish can never land unaudited
     val auditedHead = graft.format.LanceFormat.listVersionsIn(fs, bp).last
+    var bad: Seq[(String, Long)] = Seq.empty
     if (checks.nonEmpty) {
-      import org.apache.spark.sql.functions.{expr, sum, when}
       val df = spark.read.format("lance").option("branch", name)
         .option("versionAsOf", auditedHead.toString).load(path)
       val aggs = checks.toSeq.map { case (n, e) =>
         sum(when(expr(e), 0L).otherwise(1L)).as(n) }
       val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val bad = checks.keys.toSeq.sorted
+      bad = checks.keys.toSeq.sorted
         .map(n => n -> Option(row.getAs[Any](n)).fold(0L)(_.toString.toLong))
         .filter(_._2 > 0)
-      require(bad.isEmpty, s"publish of branch '$name' refused: audit " +
+      require(bad.isEmpty || quarantine, s"publish of branch '$name' refused: audit " +
         s"check(s) failed — ${bad.map { case (n, c) => s"$n ($c rows)" }
-          .mkString(", ")}; main is untouched")
+          .mkString(", ")}; main is untouched (quarantine=true publishes " +
+        "the passing rows and stages these for inspection)")
     }
     val vs = graft.format.LanceFormat.listVersionsIn(fs, bp)
     val base = vs.head
     val mainV = graft.format.LanceFormat.readLatest(fs, root).map(_.version)
       .getOrElse(throw new IllegalStateException(s"no dataset at $path"))
+    if (bad.nonEmpty) {
+      // ---- quarantine split: branch-only rows divide by the audited
+      // conjunction; fragments can't adopt by reference once split
+      val bm = graft.format.LanceFormat.readManifestIn(fs, bp, auditedHead)
+      val baseFiles = graft.format.LanceFormat.readManifest(fs, root, base)
+        .fragments.map(_.file).toSet
+      val branchOnly = bm.fragments.filterNot(f => baseFiles.contains(f.file))
+      require(branchOnly.nonEmpty, s"branch '$name' has violations but no " +
+        "branch-only fragments - the violations predate the fork; audit main")
+      val raw = spark.read.schema(bm.physicalSchema).parquet(
+        branchOnly.map(f =>
+          graft.format.LanceFormat.fragmentPath(root, f.file).toString): _*)
+      val rows = if (bm.mapping.isEmpty) raw
+        else raw.toDF(bm.schema.fieldNames.toIndexedSeq: _*)
+      val pass = checks.values.toSeq
+        .map(e => coalesce(expr(e), lit(false))).reduce(_ && _)
+      // violations FIRST (touches nothing shared), on a violations-ONLY
+      // lineage: a hand-seeded empty branch dir makes this write its v1,
+      // so readers see exactly the quarantined rows, no base data
+      val qname = s"$name-quarantine"
+      val qp = graft.format.LanceFormat.branchPath(root, qname)
+      if (!fs.exists(qp)) fs.mkdirs(qp)
+      rows.filter(!pass).write.format("lance")
+        .option("write.branch", qname)
+        .option("write.set-properties",
+          graft.format.LanceFormat.serializeProperties(
+            bad.map { case (n, c) => s"graft.wap.violations.$n" -> c.toString }
+              .toMap + ("graft.wap.audited-head" -> auditedHead.toString)))
+        .mode("append").save(path)
+      // re-check the pin before touching main: rows appended to the
+      // branch after the audit must not publish unaudited
+      require(graft.format.LanceFormat.listVersionsIn(fs, bp).last == auditedHead,
+        s"branch '$name' moved past the audited head $auditedHead during " +
+          "the quarantine split - main is untouched; re-run the publish")
+      rows.filter(pass).write.format("lance").mode("append").save(path)
+      // the audited branch's rows now live in main + quarantine: drop it
+      // so a re-publish cannot double-land them
+      deleteBranch(spark, path, name)
+      val newMain = graft.format.LanceFormat.readLatest(fs, root)
+        .map(_.version).getOrElse(mainV)
+      (auditedHead, newMain)
+    }
     // the adoption is PINNED to the audited head: rows appended to the
     // branch after the audit scan must not publish unaudited — the
     // adoption refuses and the caller re-audits
-    if (mainV == base) fastForward(spark, path, name, Some(auditedHead))
+    else if (mainV == base) fastForward(spark, path, name, Some(auditedHead))
     else rebaseBranch(spark, path, name, Some(auditedHead))
   }
 
@@ -1610,7 +1751,8 @@ object Lance {
       if (m.mapping.isEmpty) raw else raw.toDF(m.schema.fieldNames.toIndexedSeq: _*)
     }
     val be = graft.format.BucketHash.bucketColumn(spec.columns, spec.numBuckets)
-    df.repartition(spec.numBuckets, be)
+    df.repartition(math.min(graft.format.BucketHash.totalTags(
+        spec.columns.size, spec.numBuckets), 4096L).toInt, be)
       .sortWithinPartitions(be +: spec.columns.map(c): _*)
       .write.format("lance")
       .option("write.replace-fragments", untagged.map(_.id).mkString(","))
@@ -1642,7 +1784,8 @@ object Lance {
     // is internally KEY-SORTED — parquet row groups then prune point
     // probes inside the bucket, the second level of the lookup path.
     val bucketExpr = graft.format.BucketHash.bucketColumn(cols, numBuckets)
-    val w = df.repartition(numBuckets, bucketExpr)
+    val w = df.repartition(math.min(graft.format.BucketHash.totalTags(
+        cols.size, numBuckets), 4096L).toInt, bucketExpr)
       .sortWithinPartitions(bucketExpr +: cols.map(col): _*)
       .write.format("lance")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)

@@ -342,6 +342,9 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
                 "CALL drop_constraint first")
         }
       }
+      // registered MVs/replicas name source columns logically in their
+      // specs — dropping one under them bricks every later refresh/sync
+      LanceFormat.requireNoDependentReferences(current, dels.toSeq, "drop")
       // the change was derived FROM current.schema: a concurrent schema
       // evolution fails loud (CME) instead of being silently erased.
       // Dropped names are recorded under their PHYSICAL spelling (what
@@ -415,7 +418,8 @@ object LanceCatalog {
       "add_unique", "clone_table", "cluster_by_bucket", "rebucket",
       "analyze_table", "set_bloom_filters", "optimize", "fsck",
       "create_mv", "refresh_mv", "set_properties", "unset_properties",
-      "publish_branch", "create_replica", "sync_replica", "set_retention")
+      "publish_branch", "create_replica", "sync_replica", "set_retention",
+      "register_consumer", "advance_consumer", "drop_consumer")
 }
 
 private[catalog] object LanceProcedure {
@@ -424,7 +428,16 @@ private[catalog] object LanceProcedure {
     * piece. Expressions are parsed by `expr()` downstream — this only
     * finds the assignment boundaries.
     */
-  def parseAssignments(s: String): Map[String, String] = {
+  def parseAssignments(s: String): Map[String, String] =
+    splitTopLevel(s).map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"malformed assignment '$p' (expected col = expr)")
+      p.take(i).trim -> p.drop(i + 1).trim
+    }.toMap
+
+  /** Split on commas at bracket/quote depth 0 (so `greatest(a, b)` and
+    * `'a,b'` survive). */
+  def splitTopLevel(s: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0; var quote: Char = 0
@@ -439,23 +452,40 @@ private[catalog] object LanceProcedure {
       }
     }
     if (cur.nonEmpty) parts += cur.result()
-    parts.map { p =>
-      val i = p.indexOf('=')
-      require(i > 0, s"malformed assignment '$p' (expected col = expr)")
-      p.take(i).trim -> p.drop(i + 1).trim
-    }.toMap
+    parts.toSeq
   }
 
   /** Parse a `CALL create_mv` aggregate list: `func(col) AS alias
     * [, ...]` with func ∈ count|sum|min|max|avg and `count(*)` allowed. */
+  /** `func(arg) AS alias [, ...]` where `arg` is a column OR any scalar
+    * SQL expression (balanced parens/quotes survive the split) and
+    * `func` ∈ count|sum|min|max|avg|count_distinct. */
   def parseAggList(s: String): Seq[graft.operators.MaterializedView.AggSpec] = {
-    val Agg = """(?i)\s*(count|sum|min|max|avg)\s*\(\s*(\*|[\w.]+)\s*\)\s+AS\s+(\w+)\s*""".r
-    s.split(',').toSeq.filter(_.trim.nonEmpty).map {
-      case Agg(f, c, a) =>
-        graft.operators.MaterializedView.AggSpec(f.toLowerCase, c, a)
-      case bad => throw new IllegalArgumentException(
-        s"malformed aggregate '$bad' (expected func(col) AS alias, " +
-          "func in count|sum|min|max|avg)")
+    val AsRe = """(?i)^AS\s+(\w+)$""".r
+    splitTopLevel(s).filter(_.trim.nonEmpty).map { item =>
+      val t = item.trim
+      val open = t.indexOf('(')
+      def bad() = throw new IllegalArgumentException(
+        s"malformed aggregate '$t' (expected func(col-or-expr) AS alias, " +
+          "func in count|sum|min|max|avg|count_distinct)")
+      if (open <= 0) bad()
+      val func = t.substring(0, open).trim.toLowerCase
+      var depth = 0; var close = -1; var i = open
+      while (i < t.length && close < 0) {
+        t(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ => ()
+        }
+        i += 1
+      }
+      if (close < 0) bad()
+      val arg = t.substring(open + 1, close).trim
+      val alias = t.substring(close + 1).trim match {
+        case AsRe(a) => a
+        case _ => bad()
+      }
+      graft.operators.MaterializedView.AggSpec(func, arg, alias)
     }
   }
 }
@@ -495,6 +525,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "create_replica" => "seed a keyed downstream replica (full copy + graft.replica.* bookkeeping in one commit); sync_replica then maintains it from the change feed"
     case "sync_replica" => "apply the feed window's net-per-key changes to the replica in one atomic commit (cost = the change, never the table)"
     case "set_retention" => "declare a retention policy (graft.retention.* properties): CALL optimize without keep_versions then vacuums to it - the self-contained nightly maintenance call; keep_versions < 1 clears"
+    case "register_consumer" => "register a named external changefeed consumer watermark (graft.consumer.<name>): the retention vacuum keeps versions back to it - the Kafka consumer-offset shape for lance_changes readers outside the view/replica registry"
+    case "advance_consumer" => "advance a registered consumer's watermark (monotonic) after its window is processed"
+    case "drop_consumer" => "release a consumer's retention pin"
     case "refresh_fts" => "delta-index appended fragments into the FTS postings (touched buckets only)"
     case "drop_index" => "delete a column's index sidecars (ivf | fts | scalar | all) and evict session caches"
     case "build_scalar_index" => "build the value->fragment scalar index for point-lookup pruning"
@@ -575,8 +608,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("source", StringType).comment("lance table path").build(),
       in("group_by", StringType).comment("comma-separated group columns").build(),
       in("aggs", StringType)
-        .comment("aggregate list: func(col) AS alias [, ...] with " +
-          "func in count|sum|min|max|avg (count(*) allowed)").build(),
+        .comment("aggregate list: func(col-or-expr) AS alias [, ...] with " +
+          "func in count|sum|min|max|avg|count_distinct (count(*) and " +
+          "expression arguments like sum(price*(1-disc)) allowed)").build(),
       in("where", StringType).defaultValue("''")
         .comment("optional boolean predicate over source columns: the " +
           "view aggregates only matching rows, refreshes filter the " +
@@ -595,7 +629,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("branch", StringType).build(),
       in("checks", StringType).defaultValue("''")
         .comment("name = boolean_expr [, ...]; false-or-NULL rows are " +
-          "violations and refuse the publish").build())
+          "violations and refuse the publish").build(),
+      in("quarantine", BooleanType).defaultValue("false")
+        .comment("publish passing rows; stage violations on a " +
+          "<branch>-quarantine lineage with per-check counts").build())
     case "create_replica" => Array(in("replica", StringType).build(),
       in("source", StringType).build(),
       in("keys", StringType).comment("comma-separated unique key columns").build())
@@ -605,6 +642,15 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("older_than_ms", LongType).defaultValue("-1")
         .comment("versions within this horizon survive regardless of " +
           "count; -1 disables the time pin").build())
+    case "register_consumer" => Array(in("table", StringType).build(),
+      in("name", StringType).build(),
+      in("from_version", LongType).defaultValue("-1")
+        .comment("watermark to pin from; -1 = the current version").build())
+    case "advance_consumer" => Array(in("table", StringType).build(),
+      in("name", StringType).build(),
+      in("to_version", LongType).build())
+    case "drop_consumer" => Array(in("table", StringType).build(),
+      in("name", StringType).build())
     case "refresh_fts" => Array(in("table", StringType).build(),
       in("column", StringType).comment("indexed text column").build())
     case "drop_index" => Array(in("table", StringType).build(),
@@ -841,6 +887,21 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           input.getLong(2))
         (new StructType().add("version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))
+      case "register_consumer" =>
+        val wm = graft.Lance.registerConsumer(spark, path,
+          input.getUTF8String(1).toString, input.getLong(2))
+        (new StructType().add("watermark", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](wm)))
+      case "advance_consumer" =>
+        val wm = graft.Lance.advanceConsumer(spark, path,
+          input.getUTF8String(1).toString, input.getLong(2))
+        (new StructType().add("watermark", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](wm)))
+      case "drop_consumer" =>
+        val existed = graft.Lance.dropConsumer(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("existed", BooleanType, nullable = false),
+          new GenericInternalRow(Array[Any](existed)))
       case "sync_replica" =>
         val r = graft.operators.Replica.sync(spark, path)
         (new StructType().add("from_version", LongType, nullable = false)
@@ -856,7 +917,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           if (checksRaw.isEmpty) Map.empty[String, String]
           else LanceProcedure.parseAssignments(checksRaw)
         val (head, newMain) =
-          graft.Lance.publishBranch(spark, path, branch, checks)
+          graft.Lance.publishBranch(spark, path, branch, checks,
+            quarantine = input.getBoolean(3))
         (new StructType().add("branch_head", LongType, nullable = false)
           .add("new_main_version", LongType, nullable = false)
           .add("checks_passed", IntegerType, nullable = false),

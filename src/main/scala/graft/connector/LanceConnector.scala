@@ -211,16 +211,14 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
         m.bucketBy.foreach { b =>
           out.put("lance.bucket-by",
             s"${b.numBuckets}:${b.columns.mkString(",")}")
-          // surface the composite-key SPJ downgrade where a SQL user
-          // looks first: routing/purity/pruning hold for any key width,
-          // but Spark's KeyGroupedPartitioning admits only unary
-          // transforms, so multi-column specs join through the exchange
+          // storage-partitioned joins engage for ANY key width: the scan
+          // reports one bucket(n, cols...) transform and Spark's
+          // key-grouped planning matches it when the join covers every
+          // key column; a subset-key join falls back to the exchange
           out.put("lance.bucket-by.storage-partitioned-join",
             if (b.columns.size == 1) "available"
-            else s"unavailable: composite key (${b.columns.size} columns) - " +
-              "Spark KeyGroupedPartitioning admits single-column bucket " +
-              "transforms only; joins shuffle (routing, purity and bucket " +
-              "pruning still apply)")
+            else s"available (composite key: the join must cover all of " +
+              s"${b.columns.mkString(",")}; subset-key joins shuffle)")
         }
         m.bloomFilters.foreach(bs =>
           out.put("lance.bloom-filters", bs.mkString(",")))
@@ -656,14 +654,8 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
   override def description(): String = {
     val prune = pruneInfo.map { case (k, t) =>
       s", LanceFragments: $k/$t after driver-side pruning" }.getOrElse("")
-    // a user who declared bucket(n, a, b) and sees a shuffle should learn
-    // WHY from .explain, not a debugger: composite keys keep routing,
-    // purity and bucket pruning, but Spark's KeyGroupedPartitioning
-    // admits only unary transforms, so the join-side claim is withdrawn
     val bucket = manifest.flatMap(_.bucketBy).map { b =>
-      val spj = if (b.columns.size == 1) ""
-        else " (composite key: no storage-partitioned join)"
-      s", BucketBy: ${b.columns.mkString(",")} x${b.numBuckets}$spj"
+      s", BucketBy: ${b.columns.mkString(",")} x${b.numBuckets}"
     }.getOrElse("")
     super.description() + prune + bucket
   }
@@ -916,13 +908,13 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
         val conf = sparkSession.sessionState.conf
         if (!conf.getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED))
           None
-        // SINGLE-column keys only, Iceberg's unary-bucket shape: Spark's
-        // KeyGroupedPartitioning admits only partition expressions with
-        // exactly one column leaf (satisfies0 checks collectLeaves.size
-        // == 1), so a bucket(a, b) transform can never satisfy a join
-        // distribution — composite-key tables keep writer routing and
-        // purity, but join through the ordinary exchange
-        else if (spec.columns.size != 1) None
+        // ANY key width: composite specs carry GRID tags (one
+        // pmod(hash(cᵢ), n) digit per column, row-major composed), so
+        // the scan reports one UNARY bucket transform per column — the
+        // only shape Spark's SPJ machinery admits (keyPositions asserts
+        // one column leaf per expression). A join covering every key
+        // column goes exchange-free on both sides; a subset-key join
+        // fails satisfies0 and shuffles normally (correct, never wrong).
         else if (!spec.columns.forall(m.schema.fieldNames.contains)) None
         else {
           val tagByName = m.fragments
@@ -937,20 +929,30 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
       }
     }
 
-  /** `KeyGroupedPartitioning` over the declared `bucket(n, cols)`: Spark
-    * resolves the transform against the catalog's V2 `bucket` function
+  /** `KeyGroupedPartitioning` over the declared `bucket(n, cols)`: ONE
+    * UNARY `bucket(n, cᵢ)` transform per key column (a composite key's
+    * fragment tag is the row-major composition of exactly these per-column
+    * digits — [[graft.format.BucketHash.gridTagOfInternal]]). Spark
+    * resolves each transform against the catalog's V2 `bucket` function
     * ([[graft.catalog.LanceCatalog]]) and plans equi-joins between
     * co-bucketed tables WITHOUT an exchange on either side — on a 100 TB
-    * fact⋈fact join the shuffle IS the cost, and this removes it.
-    * Unresolvable contexts (path-based reads with no catalog) fall back
-    * to unknown partitioning in Spark's rule, never an error.
+    * fact⋈fact join the shuffle IS the cost, and this removes it. The
+    * per-column shape is forced by Spark:
+    * `KeyGroupedShuffleSpec.keyPositions` asserts one column leaf per
+    * partition expression, so a single multi-column transform can never
+    * engage (its generic translation also injects the numBuckets literal
+    * as an expression leaf, failing `satisfies0`). Unresolvable contexts
+    * (path-based reads with no catalog) fall back to unknown partitioning
+    * in Spark's rule, never an error.
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketLayout match {
       case Some((spec, byFile)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(Expressions.bucket(spec.numBuckets, spec.columns: _*)),
+          spec.columns.map(c =>
+            Expressions.bucket(spec.numBuckets, c)
+              : org.apache.spark.sql.connector.expressions.Transform).toArray,
           byFile.values.toSet.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -1010,16 +1012,20 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
       case None => base
     }
     bucketLayout match {
-      case Some((_, byFile)) =>
+      case Some((spec, byFile)) =>
         val files = kept.flatMap {
           case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
           case _ => return kept // unexpected shape: never regroup blindly
         }
         files.groupBy(f => byFile(f.toPath.getName)).toSeq.sortBy(_._1)
           .zipWithIndex.map { case ((bucket, fs), i) =>
+            // the partition key carries ONE value per reported transform:
+            // the tag's per-column grid digits, in key-column order
             LanceBucketedFilePartition(
               org.apache.spark.sql.execution.datasources.FilePartition(i, fs),
-              bucket): org.apache.spark.sql.connector.read.InputPartition
+              graft.format.BucketHash.gridDigits(
+                bucket, spec.columns.size, spec.numBuckets))
+              : org.apache.spark.sql.connector.read.InputPartition
           }.toArray
       case None => kept
     }
@@ -1125,15 +1131,20 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
       cexpr.Expressions.column(c), cexpr.SortDirection.ASCENDING)
 
     // a BUCKETED table defaults to an engine-planned shuffle that aligns
-    // write tasks WITH buckets. ClusteredDistribution(keys) becomes
-    // Spark's HashPartitioning — `pmod(murmur3(keys), P)`, the IDENTICAL
-    // function to the bucket routing — so with P a multiple of numBuckets
-    // every task holds exactly ONE bucket (partition i ⇒ bucket i mod n):
-    // one open parquet writer per task under ANY upstream shape (the
-    // writer's fanout cap becomes a never-hit backstop against an
-    // unclustered 256-bucket append OOMing executors or exploding into
-    // per-row files), and the keys-ordering default keeps bucket files
-    // key-sorted for row-group pruning. An explicit
+    // write tasks WITH buckets. For a UNARY spec,
+    // ClusteredDistribution(key) becomes Spark's HashPartitioning —
+    // `pmod(murmur3(key), P)`, the IDENTICAL function to the bucket
+    // routing — so with P a multiple of numBuckets every task holds
+    // exactly ONE bucket (partition i ⇒ bucket i mod n): one open
+    // parquet writer per task under ANY upstream shape. A COMPOSITE
+    // (grid) spec keeps the same clustered distribution on the key
+    // columns — every row of one key tuple still lands in one task, but
+    // the tuple hash is not the grid tag, so a task may hold several
+    // grid buckets: the writer's fanout cap bounds open files, and the
+    // hand-laid rewrite paths (clusterByBucket / rebucket / compact),
+    // which repartition on the grid expression itself, restore exact
+    // file-per-bucket layout. The keys-ordering default keeps bucket
+    // files key-sorted for row-group pruning either way. An explicit
     // write.distribution-mode / distribute-by (including 'none' — the
     // hand-laying rewrite paths) always wins.
     private val declaredLayout: Option[graft.format.Manifest] =
@@ -1180,11 +1191,14 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     }
     override def requiredNumPartitions(): Int = bucketDist match {
       case Some(b) =>
-        // the smallest multiple of numBuckets covering the cluster's
-        // parallelism: task-per-bucket alignment without capping the
-        // write's concurrency at small bucket counts
+        // the smallest multiple of the tag count covering the cluster's
+        // parallelism: task-per-bucket alignment (exact for unary specs)
+        // without capping the write's concurrency at small bucket counts;
+        // wide grids cap at 4096 write tasks
+        val total = math.min(graft.format.BucketHash.totalTags(
+          b.columns.size, b.numBuckets), 4096L).toInt
         val par = SparkSession.active.sparkContext.defaultParallelism
-        b.numBuckets * math.max(1, (par + b.numBuckets - 1) / b.numBuckets)
+        total * math.max(1, (par + total - 1) / total)
       case None => 0 // let AQE size the shuffle
     }
     private val maxRowsPerFile = Option(info.options.get("write.max-rows-per-file"))
@@ -1551,7 +1565,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
       if (overwrite) LanceFormat.commitOverwrite(fs, root, widenedSchema, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "overwrite",
         routedBucketSpec = Some(routedBucketSpec),
-        setProperties = setProperties)
+        setProperties = setProperties,
+        requireProperties = requireProperties)
       else LanceFormat.commitAppendIn(fs, lineageDir, widenedSchema, frags, epochId,
         routedBucketSpec = Some(routedBucketSpec),
         failIfNewMatching = overwriteGuard,

@@ -245,7 +245,7 @@ class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
     val keyVals = if (routing.isDefined) keyValuesOf(row) else null
     val b = routing match {
       case Some((n, _)) =>
-        BucketHash.bucketOfInternal(
+        BucketHash.gridTagOfInternal(
           scala.collection.immutable.ArraySeq.unsafeWrapArray(keyVals), keyTypes, n)
       case None => -1
     }

@@ -98,18 +98,20 @@ case class LanceFragmentIdFilePartition(inner: FilePartition, fragmentId: Int)
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** One bucket's fragment chunks carrying the hash-bucket id as the DSv2
-  * partition key — what Spark's storage-partitioned join machinery groups
-  * and aligns across join sides ([[graft.format.BucketSpecMeta]]).
-  * Unwrapped by [[LanceBucketUnwrapReaderFactory]]; the key never reaches
-  * the parquet reader.
+/** One bucket's fragment chunks carrying the per-key-column grid digits
+  * as the DSv2 partition key (one int per reported `bucket(n, cᵢ)`
+  * transform; a unary spec has exactly one) — what Spark's
+  * storage-partitioned join machinery groups and aligns across join
+  * sides ([[graft.format.BucketSpecMeta]]). Unwrapped by
+  * [[LanceBucketUnwrapReaderFactory]]; the key never reaches the parquet
+  * reader.
   */
-case class LanceBucketedFilePartition(inner: FilePartition, bucketId: Int)
+case class LanceBucketedFilePartition(inner: FilePartition, digits: Seq[Int])
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](bucketId))
+    new GenericInternalRow(digits.map(d => d: Any).toArray)
 }
 
 /** Pass-through factory: peels [[LanceBucketedFilePartition]] off before

@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   * compares across join sides), bucket-equality fragment pruning, and
   * [[graft.Lance.clusterByBucket]]'s rewrite.
   *
-  * Deliberately identical to Spark's own `pmod(hash(cols...), n)`:
-  * Murmur3 (seed 42) chained across the key columns with the running
-  * 32-bit value as the next seed — so users can compute a row's bucket in
-  * plain SQL and specs can cross-check the three call sites against the
-  * engine's `hash()`. NULL key components leave the running hash
-  * unchanged (Spark's `Murmur3Hash.eval` contract).
+  * A single-column spec is deliberately identical to Spark's own
+  * `pmod(hash(col), n)` (Murmur3, seed 42) — users can compute a row's
+  * bucket in plain SQL and specs cross-check the call sites against the
+  * engine's `hash()`. A COMPOSITE spec is a GRID: each column gets its
+  * own independent `pmod(hash(cᵢ), n)` digit and the fragment tag is the
+  * row-major composition ([[gridTagOfInternal]]) — the Iceberg
+  * multi-field shape, one unary `bucket(n, cᵢ)` transform per column, so
+  * storage-partitioned joins engage for composite keys and equality on
+  * ANY subset of the key prunes its digit. A NULL key component hashes
+  * to the seed (Spark's `Murmur3Hash.eval` contract).
   */
 object BucketHash {
 
@@ -44,15 +48,59 @@ object BucketHash {
     if (r < 0) r + numBuckets else r
   }
 
+  /** GRID tag of a (possibly composite) key: every column hashes
+    * INDEPENDENTLY into its own `pmod(murmur3(col), n)` digit and the
+    * digits compose row-major (`tag = (b₁·n + b₂)·n + …`). A single
+    * column degenerates to the classic `pmod(hash(col), n)` — unary
+    * specs keep their on-disk semantics bit for bit. Composite specs get
+    * grid tags because per-column digits are what Spark's
+    * storage-partitioned-join machinery admits: the scan reports ONE
+    * UNARY `bucket(n, cᵢ)` transform per key column (Iceberg's
+    * multi-field shape) — `KeyGroupedShuffleSpec.keyPositions` asserts
+    * exactly one column leaf per partition expression, so a combined
+    * tuple hash can never engage. Independent digits also prune on a
+    * SUBSET of bound key columns (a tuple hash needs all of them). */
+  def gridTagOfInternal(values: Seq[Any], types: Seq[DataType], numBuckets: Int): Int = {
+    var tag = 0
+    var i = 0
+    while (i < values.length) {
+      var h = 42
+      if (values(i) != null)
+        h = Murmur3HashFunction.hash(values(i), types(i), 42L).toInt
+      val r = h % numBuckets
+      tag = tag * numBuckets + (if (r < 0) r + numBuckets else r)
+      i += 1
+    }
+    tag
+  }
+
+  /** Row-major digit decomposition of a grid tag — digit i is column i's
+    * own `pmod(murmur3(cᵢ), n)` bucket. */
+  def gridDigits(tag: Int, numCols: Int, numBuckets: Int): Array[Int] = {
+    val out = new Array[Int](numCols)
+    var t = tag
+    var i = numCols - 1
+    while (i >= 0) { out(i) = t % numBuckets; t /= numBuckets; i -= 1 }
+    out
+  }
+
+  /** Total distinct grid tags for a spec: numBuckets^numCols, saturating
+    * (callers only compare against small caps). */
+  def totalTags(numCols: Int, numBuckets: Int): Long =
+    (1 to numCols).foldLeft(1L)((acc, _) =>
+      if (acc > (1L << 40)) acc else acc * numBuckets)
+
   /** The routing expression as a [[org.apache.spark.sql.Column]] —
-    * `pmod(hash(cols...), numBuckets)`, byte-identical to
-    * [[bucketOfInternal]] by the seed-42 contract above. Every DataFrame
-    * call site that repartitions or sorts by bucket MUST build the
-    * expression here: a drifted copy (different seed, column order)
-    * silently breaks fragment purity and with it SPJ correctness. */
+    * byte-identical to [[gridTagOfInternal]]: `pmod(hash(c), n)` for one
+    * column, the row-major digit composition for composite keys. Every
+    * DataFrame call site that repartitions or sorts by bucket MUST build
+    * the expression here: a drifted copy (different seed, column order,
+    * tuple-vs-grid hash) silently breaks fragment purity and with it SPJ
+    * correctness. */
   def bucketColumn(cols: Seq[String], numBuckets: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-    pmod(hash(cols.map(col): _*), lit(numBuckets))
+    cols.map(c => pmod(hash(col(c)), lit(numBuckets)))
+      .reduceLeft((acc, d) => acc * numBuckets + d)
   }
 
   /** Bucket of EXTERNAL Scala values (String, java.sql types — the domain
@@ -93,9 +141,9 @@ object BucketHash {
   * lookup with zero I/O, complementing min/max stats (useless for hashed
   * placement) and the scalar index (which costs a sidecar). Untagged
   * fragments (written before the declaration) always survive; any shape
-  * mismatch prunes nothing. Multi-column keys only help when every
-  * component is equality-bound — not implemented; single-column keys are
-  * the overwhelmingly common join/lookup shape.
+  * mismatch prunes nothing. Composite keys carry GRID tags (one digit
+  * per column), so equality on any SUBSET of the key columns prunes on
+  * the bound digits.
   */
 object BucketPrune {
   import org.apache.spark.sql.sources
@@ -120,42 +168,26 @@ object BucketPrune {
         case Some(bs) => frags.filter(_.bucket.forall(bs.contains))
         case None => frags
       }
-    // composite key: prunable only when EVERY component is equality-
-    // bound (the tuple hash needs all of them); the per-column candidate
-    // sets cross-product into tuple buckets, capped so a wide IN list
-    // can't explode the driver
+    // composite key, GRID tags: each column is an independent digit of
+    // the fragment tag, so equality evidence on ANY subset of the key
+    // columns prunes on its digit(s) — no cross product, no all-bound
+    // requirement (the old tuple-hash layout needed every component).
     case Some(BucketSpecMeta(n, cols)) if cols.size > 1 =>
-      val fields = cols.map(c => (Set(c, m.physicalName(c)),
-        m.schema.fields.find(_.name == c).map(_.dataType).getOrElse(return frags)))
-      val perCol: Seq[Seq[Any]] = fields.map { case (names, dt) =>
-        filters.flatMap(equalityValues(_, names, dt)).reduceOption(_ intersect _)
-          .getOrElse(return frags).toSeq
+      val perDigit: Seq[Option[Set[Int]]] = cols.map { c =>
+        val names = Set(c, m.physicalName(c))
+        val dt = m.schema.fields.find(_.name == c).map(_.dataType)
+          .getOrElse(return frags)
+        filters.flatMap(allowedBuckets(_, names, dt, n))
+          .reduceOption(_ intersect _)
       }
-      if (perCol.map(_.size.toLong).product > 64L) return frags
-      val types = fields.map(_._2)
-      val allowed = perCol.foldLeft(Seq(Seq.empty[Any]))((acc, vs) =>
-        acc.flatMap(prefix => vs.map(prefix :+ _)))
-        .map(tuple => BucketHash.bucketOfInternal(tuple, types, n)).toSet
-      frags.filter(_.bucket.forall(allowed.contains))
+      if (perDigit.forall(_.isEmpty)) frags
+      else frags.filter(_.bucket.forall { tag =>
+        val ds = BucketHash.gridDigits(tag, cols.size, n)
+        ds.iterator.zip(perDigit.iterator).forall {
+          case (d, allowed) => allowed.forall(_.contains(d))
+        }
+      })
     case _ => frags
-  }
-
-  /** Catalyst-typed values `f` proves the named column must equal (None = no
-    * evidence). The [[allowedBuckets]] shape restricted to value sets,
-    * reused per component of a composite key. */
-  private def equalityValues(f: sources.Filter, names: Set[String],
-      dt: org.apache.spark.sql.types.DataType): Option[Set[Any]] = f match {
-    case sources.EqualTo(a, v) if names(a) =>
-      BucketHash.toHashable(v, dt).map(Set(_))
-    case sources.In(a, vs) if names(a) =>
-      val hs = vs.toSeq.map(BucketHash.toHashable(_, dt))
-      if (hs.forall(_.isDefined)) Some(hs.flatten.toSet) else None
-    case sources.And(l, r) =>
-      (equalityValues(l, names, dt), equalityValues(r, names, dt)) match {
-        case (Some(a), Some(b)) => Some(a intersect b)
-        case (a, b) => a.orElse(b)
-      }
-    case _ => None
   }
 
   /** Buckets filter `f` permits for the named column, or None when it says nothing

@@ -780,7 +780,8 @@ object LanceFormat {
       operation: String = "overwrite",
       streamEpoch: Option[(String, Long)] = None,
       routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
-      setProperties: Map[String, String] = Map.empty): Manifest = {
+      setProperties: Map[String, String] = Map.empty,
+      requireProperties: Map[String, String] = Map.empty): Manifest = {
     // prev is re-read INSIDE the retry loop: a concurrent add/drop
     // constraint (or another metadata commit) landing between a single
     // upfront read and the publish would have its rule set silently
@@ -789,6 +790,9 @@ object LanceFormat {
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatest(fs, root)
+      // the CAS watermark guard holds for overwrite-shaped commits too
+      // (a full MV/replica rebuild is an overwrite); re-checked per retry
+      checkRequiredProperties(prev, requireProperties, root)
       val rules = prev.flatMap(_.constraints)
       // an ALTER-widened type survives the overwrite like a declared NOT
       // NULL does: the new (narrower-encoded) files read correctly
@@ -877,6 +881,9 @@ object LanceFormat {
       require(!prev.dropped.contains(newName),
         s"column '$newName' was previously DROPPED and old fragments still " +
           "hold its data - pick another name or rewrite the table first")
+      // registered MVs/replicas name source columns logically in their
+      // specs — renaming one under them bricks every later refresh/sync
+      requireNoDependentReferences(prev, Seq(oldName), "rename")
       // structured rules remap; free-form CHECK expressions refuse
       val word = java.util.regex.Pattern.compile(s"\\b${java.util.regex.Pattern.quote(oldName)}\\b")
       val newRules = prev.checkConstraints.map {
@@ -961,6 +968,50 @@ object LanceFormat {
       require(!refs,
         s"cannot $action '$column': index sidecar '$dirName' references it - " +
           remedy)
+    }
+  }
+
+  /** Refuse RENAME/DROP of a column a REGISTERED DEPENDENT references —
+    * the CHECK-rule posture applied to derived tables. MV and replica
+    * specs live on the DEPENDENT's manifest naming source columns
+    * logically (`graft.mv.group-by/aggs/where`, `graft.replica.keys`):
+    * renaming or dropping a referenced column would make every later
+    * `refresh`/`sync` — and `fullRefresh` too — fail unresolved, with
+    * recreate as the only recovery. Exact match for column-list fields;
+    * word-boundary match for expression text (aggregate arguments, WHERE
+    * — the commitRename CHECK approach). An unreadable dependent is
+    * SKIPPED (conservative for the ALTER, never for the dependent: its
+    * next refresh degrades to the ordinary unresolved error). */
+  private[graft] def requireNoDependentReferences(prev: Manifest,
+      columns: Seq[String], action: String): Unit = {
+    val props = prev.properties.getOrElse(Map.empty)
+    val deps = Seq("graft.mv.dependents", "graft.replica.dependents")
+      .flatMap(k => props.get(k).toSeq.flatMap(_.split('\n'))).filter(_.nonEmpty)
+    if (deps.isEmpty) return
+    val conf = new org.apache.hadoop.conf.Configuration()
+    deps.foreach { dp =>
+      val dprops = try {
+        val dr = new Path(dp)
+        readLatest(fileSystem(dr, conf), dr)
+          .flatMap(_.properties).getOrElse(Map.empty)
+      } catch { case _: Exception => Map.empty[String, String] }
+      val listed: Seq[String] =
+        dprops.get("graft.mv.group-by").toSeq.flatMap(_.split(',')) ++
+          dprops.get("graft.replica.keys").toSeq.flatMap(_.split(','))
+      val exprs: Seq[String] =
+        dprops.get("graft.mv.aggs").toSeq.flatMap(_.split('\n'))
+          .map(_.split(":", 4).last).filter(_ != "*") ++
+          dprops.get("graft.mv.where").toSeq
+      columns.foreach { c =>
+        require(!listed.contains(c),
+          s"cannot $action '$c': registered dependent $dp references it - " +
+            "drop (or recreate) the dependent first")
+        val word = java.util.regex.Pattern.compile(
+          s"\\b${java.util.regex.Pattern.quote(c)}\\b")
+        exprs.foreach(e => require(!word.matcher(e).find(),
+          s"cannot $action '$c': registered dependent $dp references it " +
+            s"in '$e' - drop (or recreate) the dependent first"))
+      }
     }
   }
 
@@ -1079,6 +1130,14 @@ object LanceFormat {
       cols: Seq[String]): Manifest = {
     require(cols.isEmpty || numBuckets > 0,
       s"numBuckets must be positive, got $numBuckets")
+    // composite specs are a GRID (numBuckets digits PER COLUMN, tag =
+    // row-major composition): cap the total so tags stay in Int range
+    // and the file count stays sane
+    require(cols.isEmpty ||
+      BucketHash.totalTags(cols.size, numBuckets) <= (1 << 20),
+      s"bucket grid too wide: $numBuckets^${cols.size} = " +
+        s"${BucketHash.totalTags(cols.size, numBuckets)} tags (max ${1 << 20}) - " +
+        "composite specs bucket PER COLUMN; use a smaller numBuckets")
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatest(fs, root).getOrElse(

@@ -731,7 +731,12 @@ object Dml {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(q): _*)
     val aggCols = Seq(count(lit(1)).as("__n"),
       sum(when(col("__del"), 1L).otherwise(0L)).as("__ndel"),
-      max(col("__dup")).as("__maxdup")) ++
+      max(col("__dup")).as("__maxdup"),
+      // NULL keys would silently diverge: key joins use null-dropping
+      // equality, so a null-keyed delete no-ops and a null-keyed upsert
+      // always inserts — breaking replay idempotence. Fail loud instead.
+      max(when(keys.map(q(_).isNull).reduce(_ || _), 1L).otherwise(0L))
+        .as("__nullkey")) ++
       keys.flatMap(k => Seq(min(q(k)).as(s"__mn_$k"), max(q(k)).as(s"__mx_$k")))
     val stats = source.select((keys.map(q) :+ col("__del")): _*)
       .withColumn("__dup", when(keys.map(q(_).isNotNull).reduce(_ && _),
@@ -762,6 +767,10 @@ object Dml {
       "applyChanges source has duplicate keys: collapse the change feed " +
         "to one net row per key first (a delete+insert pair for the same " +
         "key is ambiguous within one batch)")
+    require(stats.getAs[Long]("__nullkey") == 0L,
+      "applyChanges source has NULL in a key column: key joins drop " +
+        "NULLs, so a null-keyed delete would silently no-op and a " +
+        "null-keyed upsert would always insert - fix the feed's keys")
 
     val inListCap = spark.conf.getOption("spark.graft.dml.inlistPrune")
       .map(_.toInt).getOrElse(1000)

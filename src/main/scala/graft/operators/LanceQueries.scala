@@ -19,7 +19,11 @@ object LanceQueries {
     * equality proofs should cost aggregations, not shuffles). */
   private def sameRows(a: DataFrame, b: DataFrame): Boolean = {
     def sig(df: DataFrame) = {
-      val cols = df.columns.sorted.map(c => col(s"`$c`").cast("string"))
+      // xxhash64 SKIPS null inputs, so (null,'x') and ('x',null) would
+      // hash identically — hash an isnull flag beside each value so NULL
+      // position changes the hash
+      val cols = df.columns.sorted.flatMap(c =>
+        Seq(col(s"`$c`").cast("string"), isnull(col(s"`$c`")).cast("string")))
       df.select(xxhash64(cols.toIndexedSeq: _*).as("h"))
         .agg(count(lit(1)).as("n"),
           // decimal accumulate: a long hash-sum overflows under ANSI
@@ -1685,6 +1689,77 @@ object LanceQueries {
     }
   }
 
+  /** COMPOSITE-key storage-partitioned join (s120): `bucket(8, pk, sk)`
+    * declares a GRID layout — one `pmod(hash(c), 8)` digit per column,
+    * fragment tag = row-major composition — and the scan reports one
+    * unary `bucket` transform per column, the only multi-key shape
+    * Spark's key-grouped planning admits. Two tables co-bucketed on
+    * (l_partkey, l_suppkey) then equi-join on BOTH keys with zero
+    * exchange under either side (require()d from the executed plan, the
+    * s108 posture); the aggregate is layout-independent and the oracle
+    * reproduces it from raw parquet. Composite keys (tenant+day,
+    * user+date) are the fact⋈fact norm at 100 TB — this gate is what
+    * makes the zero-shuffle claim hold for them. */
+  def s120SpjComposite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val wh = scratch(dir, "spj_comp_wh")
+    freshDataset(spark, s"$wh/db/li_ps"); freshDataset(spark, s"$wh/db/ps_dim")
+    val li = t(spark, dir, "lineitem")
+    li.select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .write.format("lance").mode("overwrite").save(s"$wh/db/li_ps")
+    li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.format("lance").mode("overwrite").save(s"$wh/db/ps_dim")
+    graft.Lance.clusterByBucket(spark, s"$wh/db/li_ps",
+      Seq("l_partkey", "l_suppkey"), 8)
+    graft.Lance.clusterByBucket(spark, s"$wh/db/ps_dim",
+      Seq("l_partkey", "l_suppkey"), 8)
+    spark.conf.set("spark.sql.catalog.spj_comp", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.spj_comp.warehouse", wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = spark.sql(
+        """SELECT f.l_extendedprice, d.cnt
+          |FROM spj_comp.db.li_ps f JOIN spj_comp.db.ps_dim d
+          |ON f.l_partkey = d.l_partkey AND f.l_suppkey = d.l_suppkey""".stripMargin)
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          sum(col("cnt")).as("sum_cnt"))
+      val rows = joined.collect()
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      val plan = joined.queryExecution.executedPlan
+      val joins = walk(plan).filter {
+        case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+        case _ => false
+      }
+      require(joins.nonEmpty, s"no shuffle-family join in the plan:\n$plan")
+      joins.foreach(_.children.foreach { side =>
+        val ex = walk(side).filter(_.isInstanceOf[ShuffleExchangeLike])
+        require(ex.isEmpty,
+          s"composite-key storage-partitioned join still shuffles a side:\n$side")
+      })
+      val schema = joined.schema
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+        .withColumn("shuffle_free", lit(true))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** ANALYZE + CBO column statistics (s109): [[graft.Lance.analyze]]
     * sketches per-column NDV (HyperLogLog, ~1.6% error) into the stats
     * sidecar and the scan serves it to Spark's optimizer as DSv2
@@ -2136,6 +2211,83 @@ object LanceQueries {
     got.withColumn("mode", lit(r.mode)).orderBy(col("o_custkey"))
   }
 
+  /** Expression-aggregate materialized view (s121): the view's sum
+    * argument is `l_extendedprice * (1 - l_discount)` — TPC-H Q1's very
+    * shape — evaluated per feed image, so the delta arithmetic is
+    * unchanged: a mixed DML batch refreshes by signed per-group sums
+    * (mode=delta require()d) and equals a full recompute exactly
+    * (decimal state at scale 4, the dsum convention). */
+  def s121MvExpr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.AggSpec
+    val src = scratch(dir, "mv_src_expr")
+    val view = scratch(dir, "mv_view_expr")
+    freshDataset(spark, src); freshDataset(spark, view)
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"),
+        col("l_discount"))
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("l_returnflag"), Seq(
+      AggSpec("count", "*", "n"),
+      AggSpec("sum", "l_extendedprice * (1 - l_discount)", "rev", scale = 4)))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      graft.Lance.deleteWhere(spark, src, "l_orderkey % 9 = 2")
+      graft.Lance.updateWhere(spark, src, "l_orderkey % 9 = 3",
+        Map("l_discount" -> "0.5"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta",
+      s"expression sums must refresh by delta arithmetic, got $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(expr("l_extendedprice * (1 - l_discount)"), scale = 4).as("rev"))
+    require(sameRows(got, expect),
+      "expression-aggregate incremental refresh drifted from recompute")
+    got.withColumn("mode", lit(r.mode)).orderBy(col("l_returnflag"))
+  }
+
+  /** COUNT(DISTINCT) materialized view via HLL sketch state (s122):
+    * per-group Datasketches HLL (lgConfigK=12) is UNION-able, so an
+    * insert-only window delta-merges sketches (mode=delta require()d —
+    * no rescan); the estimate is then proven inside a 5% envelope of the
+    * exact distinct count per group (the q31 posture: approximate
+    * answers gate on a planted envelope check, exact columns hash). */
+  def s122MvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.AggSpec
+    val src = scratch(dir, "mv_src_hll")
+    val view = scratch(dir, "mv_view_hll")
+    freshDataset(spark, src); freshDataset(spark, view)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("o_orderstatus"), Seq(
+      AggSpec("count", "*", "n"),
+      AggSpec("count_distinct", "o_custkey", "dc")))
+    // insert-only window: re-seen customers (union dedups) + new ones
+    val ins = spark.createDataFrame(Seq(
+      (-1L, 1L, "F"), (-2L, 1L, "O"), (-3L, -777L, "F"), (-4L, -778L, "F")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    ins.write.format("lance").mode("append").save(src)
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta",
+      s"insert-only windows must union sketches, not rescan: $r")
+    val got = MaterializedView.read(spark, view) // o_orderstatus, n, dc
+    val exact = spark.read.format("lance").load(src).groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("d_exact"),
+        count(lit(1)).as("n_exact"))
+    val joined = got.join(exact, Seq("o_orderstatus"))
+    val offEnvelope = joined.filter(
+      abs(col("dc") - col("d_exact")) >
+        greatest(lit(1L), (col("d_exact") * 0.05).cast("long"))).count()
+    require(offEnvelope == 0L,
+      s"HLL estimate left the 5% envelope for $offEnvelope group(s)")
+    joined.select(col("o_orderstatus"), col("n"), col("d_exact"))
+      .withColumn("hll_ok", lit(true)).orderBy(col("o_orderstatus"))
+  }
+
   /** Write-audit-publish (s117): evens land on main, odds stage on an
     * audit branch. A first publish with an impossible quality bar is
     * REFUSED (main provably still evens-only — that count rides the
@@ -2569,6 +2721,8 @@ object LanceQueries {
     "s113_cdf_dml" -> s113CdfDml,
     "s115_mv_delta" -> s115MvDelta,
     "s116_mv_minmax" -> s116MvMinmax,
+    "s121_mv_expr" -> s121MvExpr,
+    "s122_mv_distinct" -> s122MvDistinct,
     "s117_publish" -> s117Publish,
     "s118_replica" -> s118Replica,
     "s119_mv_auto" -> s119MvAuto,
@@ -2580,6 +2734,7 @@ object LanceQueries {
     "s106_runtime_prune" -> s106RuntimePrune,
     "s107_clone" -> s107Clone,
     "s108_spj" -> s108StoragePartitionedJoin,
+    "s120_spj_composite" -> s120SpjComposite,
     "s109_analyze" -> s109Analyze,
     "s110_bloom_filters" -> s110BloomFilters,
     "s111_optimize_fsck" -> s111OptimizeFsck,
@@ -2727,6 +2882,42 @@ object LanceQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // s121: delta-mode + exactness are the require()s; the oracle
+    // reproduces the post-DML expression aggregate from raw parquet
+    "s121_mv_expr" ->
+      """WITH final AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         CASE WHEN l_orderkey % 9 = 3 THEN 0.5
+        |              ELSE l_discount END AS l_discount
+        |  FROM lineitem WHERE l_orderkey % 9 <> 2
+        |)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+        | 'delta' AS mode
+        |FROM final GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // s122: exact count + exact distinct hash; the 5% HLL envelope and
+    // delta-mode union are the require()s + planted literal
+    "s122_mv_distinct" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (-1, 1, 'F'), (-2, 1, 'O'), (-3, -777, 'F'), (-4, -778, 'F'))
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | COUNT(DISTINCT o_custkey) AS d_exact, TRUE AS hll_ok
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // s120: the join aggregate is layout-independent; composite-key
+    // shuffle-freedom is the require() + planted literal (s108 pattern)
+    "s120_spj_composite" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+        | TRUE AS shuffle_free
+        |FROM lineitem f JOIN (
+        |  SELECT l_partkey, l_suppkey, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey) d
+        |ON f.l_partkey = d.l_partkey AND f.l_suppkey = d.l_suppkey""".stripMargin,
     // s109: exact distincts are the anchor; the 5%-NDV bound and CBO
     // visibility are the require()s + planted literal (s103 pattern)
     "s109_analyze" ->

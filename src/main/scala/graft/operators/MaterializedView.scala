@@ -53,12 +53,21 @@ import org.apache.spark.sql.types._
   */
 object MaterializedView {
 
-  /** One aggregate column: `func` ∈ count|sum|min|max|avg. `column` may
-    * be "*" for count. `scale`: decimal scale for sum/avg state over
-    * floating inputs (the dsum convention; ignored elsewhere). */
+  /** One aggregate column: `func` ∈ count|sum|min|max|avg|count_distinct.
+    * `column` is a source column name OR any deterministic scalar SQL
+    * expression over source columns (`price * (1 - discount)` — TPC-H
+    * Q1's shape); "*" only with count. `scale`: decimal scale for
+    * sum/avg state over floating inputs (the dsum convention; decimal
+    * inputs keep their own scale, integrals ignore it).
+    * `count_distinct` is APPROXIMATE (Datasketches HLL, lgConfigK=12 —
+    * ~1.6% relative standard error): per-group sketch state is
+    * union-able, so insert-only windows delta-merge; a removal can't
+    * un-merge, so removing windows take the scoped-group rescan (the
+    * min/max posture). */
   case class AggSpec(func: String, column: String, alias: String, scale: Int = 2) {
-    require(Set("count", "sum", "min", "max", "avg").contains(func),
-      s"unsupported aggregate '$func' (count|sum|min|max|avg)")
+    require(Set("count", "sum", "min", "max", "avg", "count_distinct")
+      .contains(func),
+      s"unsupported aggregate '$func' (count|sum|min|max|avg|count_distinct)")
     require(column != "*" || func == "count", "'*' only with count")
     require(alias.nonEmpty && !alias.startsWith("_mv_"),
       s"alias '$alias' empty or in the reserved _mv_ namespace")
@@ -77,6 +86,11 @@ object MaterializedView {
   private val NCol = "_mv_n"
   private def sCol(a: String) = s"_mv_s_$a"
   private def cCol(a: String) = s"_mv_c_$a"
+  /** HLL sketch state (binary) behind a count_distinct column. */
+  private def hCol(a: String) = s"_mv_h_$a"
+  /** Datasketches HLL lgConfigK: 2^12 registers, ~1.6% RSE — the
+    * [[graft.format.TableStats]] ANALYZE precision, reused. */
+  private val HllLgK = 12
 
   private val PropSource = "graft.mv.source"
   private val PropGroupBy = "graft.mv.group-by"
@@ -102,10 +116,36 @@ object MaterializedView {
   private def gid(groupBy: Seq[String]): Column =
     sha2(to_json(struct(groupBy.map(q): _*)), 256)
 
-  private def isFloating(dt: DataType) = dt match {
-    case DoubleType | FloatType => true
-    case _ => false
+  /** How a sum/avg argument's exact state is kept. Decimal inputs keep a
+    * widened decimal at THEIR OWN scale (a long cast would silently
+    * truncate DECIMAL(12,2) prices); floats round into decimal at the
+    * spec's scale (dsum convention); integrals sum as long. */
+  private sealed trait NumKind
+  private case object FloatKind extends NumKind
+  private case class DecKind(scale: Int) extends NumKind
+  private case object LongKind extends NumKind
+
+  private def numKind(dt: DataType, arg: String): NumKind = dt match {
+    case DoubleType | FloatType => FloatKind
+    case d: DecimalType => DecKind(d.scale)
+    case ByteType | ShortType | IntegerType | LongType => LongKind
+    case other => throw new IllegalArgumentException(
+      s"sum/avg argument '$arg' is ${other.simpleString}: not numeric")
   }
+
+  /** The aggregate argument as a Column: a plain source field routes
+    * through backticks (names with dots/spaces stay literal); anything
+    * else parses as a SQL expression over source columns. */
+  private def argCol(schema: StructType, c: String): Column =
+    if (schema.fieldNames.contains(c)) q(c) else expr(c)
+
+  /** Resolved type of each sum/avg argument against a source-shaped
+    * frame (analysis only — no job runs). */
+  private def argTypes(df: DataFrame, aggs: Seq[AggSpec]): Map[String, DataType] =
+    aggs.filter(a => a.func == "sum" || a.func == "avg").map { a =>
+      a.alias -> df.select(argCol(df.schema, a.column).as("__t"))
+        .schema.head.dataType
+    }.toMap
 
   /** Encode/decode the agg list as a property string.
     * `func:scale:alias:column` — column LAST and unsplit since it may
@@ -124,51 +164,64 @@ object MaterializedView {
   private def stateAgg(rows: DataFrame, groupBy: Seq[String],
       aggs: Seq[AggSpec]): DataFrame = {
     val schema = rows.schema
+    val types = argTypes(rows, aggs)
+    def arg(a: AggSpec) = argCol(schema, a.column)
     val aggCols = Seq(count(lit(1)).as(NCol)) ++ aggs.flatMap { a =>
-      lazy val dt = schema(a.column).dataType
       a.func match {
         case "count" => Seq.empty // derived below
-        case "min" => Seq(min(q(a.column)).as(a.alias))
-        case "max" => Seq(max(q(a.column)).as(a.alias))
+        case "min" => Seq(min(arg(a)).as(a.alias))
+        case "max" => Seq(max(arg(a)).as(a.alias))
+        case "count_distinct" =>
+          Seq(hll_sketch_agg(arg(a), lit(HllLgK)).as(hCol(a.alias)),
+            count(arg(a)).as(cCol(a.alias)))
         case "sum" | "avg" =>
-          val state =
-            if (isFloating(dt)) sum(q(a.column).cast(DecimalType(18, a.scale)))
+          val state = numKind(types(a.alias), a.column) match {
+            case FloatKind => sum(arg(a).cast(DecimalType(18, a.scale)))
               .cast(DecimalType(38, a.scale))
-            else sum(q(a.column)).cast(LongType)
-          Seq(state.as(sCol(a.alias)), count(q(a.column)).as(cCol(a.alias)))
+            case DecKind(s) => sum(arg(a)).cast(DecimalType(38, s))
+            case LongKind => sum(arg(a)).cast(LongType)
+          }
+          Seq(state.as(sCol(a.alias)), count(arg(a)).as(cCol(a.alias)))
       }
     } ++ aggs.collect { case a if a.func == "count" =>
-      (if (a.column == "*") count(lit(1)) else count(q(a.column))).as(a.alias)
+      (if (a.column == "*") count(lit(1)) else count(arg(a))).as(a.alias)
     }
     val full = finalizeVisible(
       rows.groupBy((groupBy.map(q) :+ gid(groupBy).as(GidCol)): _*)
         .agg(aggCols.head, aggCols.tail: _*),
-      aggs, rows.schema)
+      aggs, types)
     // stored order = visible face (group cols, then aggregates in
     // DECLARED order), hidden state last — [[read]] is then a pure drop
     val hidden = full.columns.filter(_.startsWith("_mv_")).toSeq
     full.select((groupBy ++ aggs.map(_.alias) ++ hidden).map(q): _*)
   }
 
-  /** (Re)derive the visible sum/avg columns from their exact state. */
+  /** (Re)derive the visible sum/avg columns from their exact state.
+    * Float inputs surface as double, decimals as DECIMAL(38, own scale)
+    * (DuckDB's sum-over-decimal shape), integrals as long. */
   private def finalizeVisible(states: DataFrame, aggs: Seq[AggSpec],
-      srcSchema: StructType): DataFrame =
-    aggs.filter(a => a.func == "sum" || a.func == "avg").foldLeft(states) { (df, a) =>
-      val floating = isFloating(srcSchema(a.column).dataType)
-      val sumVisible =
-        if (floating) q(sCol(a.alias)).cast(DoubleType)
-        else when(q(cCol(a.alias)) > 0, q(sCol(a.alias))).otherwise(lit(null))
-      val v = a.func match {
-        case "sum" =>
-          if (floating) when(q(cCol(a.alias)) > 0, sumVisible).otherwise(lit(null))
-          else sumVisible
-        case "avg" =>
-          when(q(cCol(a.alias)) > 0,
-            q(sCol(a.alias)).cast(DoubleType) / q(cCol(a.alias)))
-            .otherwise(lit(null))
+      types: Map[String, DataType]): DataFrame =
+    aggs.filter(a => Set("sum", "avg", "count_distinct").contains(a.func))
+      .foldLeft(states) { (df, a) =>
+        val v = a.func match {
+          case "count_distinct" =>
+            // an all-NULL (or empty) group estimates 0, SQL
+            // COUNT(DISTINCT)'s answer; the sketch itself may be NULL
+            when(q(cCol(a.alias)) > 0 && q(hCol(a.alias)).isNotNull,
+              hll_sketch_estimate(q(hCol(a.alias)))).otherwise(0L)
+          case "sum" =>
+            val floating = numKind(types(a.alias), a.column) == FloatKind
+            val sumVisible =
+              if (floating) q(sCol(a.alias)).cast(DoubleType)
+              else q(sCol(a.alias))
+            when(q(cCol(a.alias)) > 0, sumVisible).otherwise(lit(null))
+          case "avg" =>
+            when(q(cCol(a.alias)) > 0,
+              q(sCol(a.alias)).cast(DoubleType) / q(cCol(a.alias)))
+              .otherwise(lit(null))
+        }
+        df.withColumn(a.alias, v)
       }
-      df.withColumn(a.alias, v)
-    }
 
   /** Create the view: one FULL aggregation of the source at its current
     * version, committed together with the `graft.mv.*` bookkeeping
@@ -195,8 +248,43 @@ object MaterializedView {
     val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
       throw new IllegalArgumentException(s"no lance dataset at $sourcePath"))
     val srcFields = srcM.schema.fieldNames.toSet
-    (groupBy ++ aggs.map(_.column).filter(_ != "*")).foreach(c =>
-      require(srcFields.contains(c), s"no column '$c' in $sourcePath"))
+    groupBy.foreach(c =>
+      require(srcFields.contains(c), s"no group column '$c' in $sourcePath"))
+    // aggregate arguments may be expressions: resolve each against the
+    // source schema (analysis only), refuse nested aggregates / windows
+    // (both would change the row-per-row delta semantics) and anything
+    // nondeterministic (full and incremental refresh must agree), and
+    // type-check sum/avg arguments as numeric — a silent long-cast over
+    // decimals was exactly the truncation bug this guard exists for
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), srcM.schema)
+    aggs.filter(_.column != "*").foreach { a =>
+      val analyzed = try {
+        probe.select(argCol(srcM.schema, a.column).as("__x"))
+          .queryExecution.analyzed
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"aggregate argument '${a.column}' does not resolve over " +
+              s"$sourcePath: ${e.getMessage}")
+      }
+      require(!analyzed.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] ||
+          p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+        s"aggregate argument '${a.column}' may not itself aggregate or window")
+      require(analyzed.expressions.forall(_.deterministic),
+        s"aggregate argument '${a.column}' is nondeterministic: every " +
+          "refresh path must evaluate it identically")
+      if (a.func == "sum" || a.func == "avg")
+        numKind(analyzed.schema.head.dataType, a.column) // numeric or throw
+      if (a.func == "count_distinct") {
+        val dt = analyzed.schema.head.dataType
+        require(Seq[DataType](IntegerType, LongType, StringType, BinaryType)
+          .contains(dt),
+          s"count_distinct argument '${a.column}' is ${dt.simpleString}: " +
+            "the HLL sketch admits int, bigint, string, binary - cast it")
+      }
+    }
     val (vfs, vroot) = fsRoot(spark, viewPath)
     require(LanceFormat.readLatest(vfs, vroot).isEmpty,
       s"dataset already exists at $viewPath")
@@ -212,6 +300,7 @@ object MaterializedView {
       if (cur.contains(abs)) prev
       else prev + (PropDependents -> (cur :+ abs).mkString("\n"))
     }).version
+    testHookAfterRegister()
     val src0 = spark.read.format("lance")
       .option("versionAsOf", registered.toString).load(sourcePath)
     val src = where.fold(src0)(w => src0.filter(expr(w))) // also validates w
@@ -224,8 +313,30 @@ object MaterializedView {
         PropVersion -> registered.toString) ++
         where.map(PropWhere -> _)))
       .save(viewPath)
+    // re-assert the registration: a refreshDependents racing this create
+    // could observe "no lance dataset" in the register→materialize window
+    // and deregister us (its re-check narrows but cannot close the race);
+    // one idempotent metadata commit makes the end state registered
+    val stillRegistered = LanceFormat.readLatest(sfs, sroot)
+      .flatMap(_.properties).getOrElse(Map.empty)
+      .get(PropDependents).toSeq.flatMap(_.split('\n')).contains(abs)
+    if (!stillRegistered)
+      LanceFormat.commitPropertiesWith(sfs, sroot, { prev =>
+        val cur = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
+        if (cur.contains(abs)) prev
+        else prev + (PropDependents -> (cur :+ abs).mkString("\n"))
+      })
     registered
   }
+
+  /** Test seam: runs between the source-side registration commit and the
+    * view materialization — the window a concurrent [[refreshDependents]]
+    * races (see the self-heal contract there). Production no-op. */
+  private[graft] var testHookAfterRegister: () => Unit = () => ()
+
+  /** Test seam: cumulative count of feed frames [[refreshDependents]]
+    * actually materialized — N same-window views should cost 1. */
+  private[graft] var feedMaterializations = 0
 
   /** Unregister + delete a view. Missing registration self-heals; the
     * source not existing anymore is fine too. */
@@ -262,26 +373,59 @@ object MaterializedView {
     val deps = LanceFormat.readLatest(sfs, sroot)
       .flatMap(_.properties).getOrElse(Map.empty)
       .get(PropDependents).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
+    // one CACHED feed frame per (window): with several views registered
+    // on one hot source, the nightly optimize would otherwise serialize
+    // N identical changefeed scans — views sharing a watermark (the
+    // in-commit-maintenance norm) now share one materialization
+    val feedCache = scala.collection.mutable.Map.empty[(Long, Long), DataFrame]
+    def sharedFeed(v0: Long, vN: Long): DataFrame =
+      feedCache.getOrElseUpdate((v0, vN), {
+        feedMaterializations += 1
+        graft.MetaTvfs.register(spark)
+        spark.sql(s"SELECT * FROM lance_changes('${
+          new java.io.File(sourcePath).getAbsolutePath.replace("'", "''")
+        }', $v0, $vN)")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     val dangling = scala.collection.mutable.ArrayBuffer.empty[String]
-    val out = deps.map { vp =>
-      val res = try Right(refresh(spark, vp)) catch {
+    val out = try deps.map { vp =>
+      val res = try Right(refresh(spark, vp, Some(sharedFeed))) catch {
         case e: IllegalArgumentException
             if e.getMessage != null &&
               (e.getMessage.contains("no lance dataset") ||
                 e.getMessage.contains("not a materialized view")) =>
           dangling += vp
-          Left(s"deregistered (gone): ${e.getMessage}")
+          Left(s"dangling: ${e.getMessage}")
         case e: Exception => Left(e.getMessage)
       }
       vp -> res
+    } finally feedCache.values.foreach(_.unpersist())
+    // Self-heal — but a registration whose path reads "no lance dataset"
+    // may be a CREATE mid-flight (register-first contract): deregistering
+    // it would silently orphan the view from maintenance AND drop its
+    // retention pin. So re-check each dangling path at deregistration
+    // time and only drop those still broken; a concurrent create that
+    // slips past even this re-check re-asserts itself after
+    // materializing, so the end state is registered either way. A truly
+    // crashed create (dataset never appears) deregisters on the NEXT
+    // maintenance pass — dangling for one window, then healed.
+    if (dangling.nonEmpty) {
+      val stillGone = dangling.filter { vp =>
+        val (vfs, vroot) = fsRoot(spark, vp)
+        LanceFormat.readLatest(vfs, vroot) match {
+          case None => true // still no dataset: crashed create, heal it
+          case Some(mm) => // exists but no longer (never was) a view
+            !mm.properties.getOrElse(Map.empty).contains(PropSource)
+        }
+      }
+      if (stillGone.nonEmpty)
+        LanceFormat.commitPropertiesWith(sfs, sroot, { prev =>
+          val kept = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
+            .filterNot(stillGone.contains)
+          if (kept.isEmpty) prev - PropDependents
+          else prev + (PropDependents -> kept.mkString("\n"))
+        })
     }
-    if (dangling.nonEmpty)
-      LanceFormat.commitPropertiesWith(sfs, sroot, { prev =>
-        val kept = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
-          .filterNot(dangling.contains)
-        if (kept.isEmpty) prev - PropDependents
-        else prev + (PropDependents -> kept.mkString("\n"))
-      })
     out
   }
 
@@ -302,7 +446,14 @@ object MaterializedView {
   /** Incremental refresh. Picks delta vs scoped-group recompute (see
     * object doc); falls back loud — never silently full — when the feed
     * window is gone (vacuumed versions): use [[fullRefresh]] then. */
-  def refresh(spark: SparkSession, viewPath: String): RefreshResult = {
+  def refresh(spark: SparkSession, viewPath: String): RefreshResult =
+    refresh(spark, viewPath, None)
+
+  /** `sharedFeed`: [[refreshDependents]]'s per-(window) feed cache — N
+    * views on one hot source then pay ONE feed materialization per
+    * window instead of N identical scans in the nightly optimize. */
+  private def refresh(spark: SparkSession, viewPath: String,
+      sharedFeed: Option[(Long, Long) => DataFrame]): RefreshResult = {
     val (source, groupBy, aggs, v0, where) = spec(spark, viewPath)
     val (sfs, sroot) = fsRoot(spark, source)
     val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
@@ -314,16 +465,25 @@ object MaterializedView {
     if (v0 != 0 && !LanceFormat.listVersions(sfs, sroot).contains(v0))
       throw new IllegalStateException(
         s"feed window lost: source version $v0 was vacuumed; run fullRefresh")
-    graft.MetaTvfs.register(spark)
-    val feed0 = spark.sql(
-      s"SELECT * FROM lance_changes('${source.replace("'", "''")}', $v0, $vN)")
+    val feed0 = sharedFeed.map(_(v0, vN)).getOrElse {
+      graft.MetaTvfs.register(spark)
+      spark.sql(
+        s"SELECT * FROM lance_changes('${source.replace("'", "''")}', $v0, $vN)")
+    }
     // filtered view: images filter INDEPENDENTLY — an update moving a
     // row across the predicate boundary nets to the right add/remove
     val feed = where.fold(feed0)(w => feed0.filter(expr(w)))
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val srcSchema = srcM.schema
-    val hasMinMax = aggs.exists(a => a.func == "min" || a.func == "max")
+    // arg types resolve against the feed (source columns + _change_type),
+    // so expression aggregates type the same as at create time
+    val types = argTypes(feed, aggs)
+    def arg(a: AggSpec) = argCol(srcSchema, a.column)
+    // min/max AND count_distinct share the removal posture: a removed
+    // row may have been the extremum / a sketch can't un-merge a value
+    val hasMinMax = aggs.exists(a =>
+      a.func == "min" || a.func == "max" || a.func == "count_distinct")
     // min/max delta-apply fine under a REMOVAL-FREE window (insert-only
     // appends, pure-insert merges): extrema only grow — least/greatest
     // against the stored value. Only a removal can move them backwards,
@@ -337,25 +497,38 @@ object MaterializedView {
     val newStates: DataFrame = if (deltaPath) {
       // ---- delta: signed arithmetic over the feed, merged into state
       val deltaCols = Seq(sum(sign).as(s"_d$NCol")) ++ aggs.flatMap { a =>
-        lazy val dt = srcSchema(a.column).dataType
         a.func match {
           case "count" if a.column == "*" => Seq.empty
           case "count" =>
-            Seq(sum(when(q(a.column).isNotNull, sign).otherwise(0L))
+            Seq(sum(when(arg(a).isNotNull, sign).otherwise(0L))
               .as(s"_d${cCol(a.alias)}"))
-          case "min" => Seq(min(q(a.column)).as(s"_dmm_${a.alias}"))
-          case "max" => Seq(max(q(a.column)).as(s"_dmm_${a.alias}"))
+          case "min" => Seq(min(arg(a)).as(s"_dmm_${a.alias}"))
+          case "max" => Seq(max(arg(a)).as(s"_dmm_${a.alias}"))
+          case "count_distinct" =>
+            // reachable only under a removal-free window (pure inserts):
+            // the window's own sketch unions into the stored state below
+            Seq(hll_sketch_agg(arg(a), lit(HllLgK)).as(s"_dh_${a.alias}"),
+              sum(when(arg(a).isNotNull, sign).otherwise(0L))
+                .as(s"_d${cCol(a.alias)}"))
           case "sum" | "avg" =>
-            val term =
-              if (isFloating(dt))
-                sum(when(q(a.column).isNotNull,
-                  q(a.column).cast(DecimalType(18, a.scale)) * sign)
+            val term = numKind(types(a.alias), a.column) match {
+              case FloatKind =>
+                sum(when(arg(a).isNotNull,
+                  arg(a).cast(DecimalType(18, a.scale)) * sign)
                   .otherwise(lit(0).cast(DecimalType(18, a.scale))))
                   .cast(DecimalType(38, a.scale))
-              else sum(when(q(a.column).isNotNull, q(a.column) * sign)
-                .otherwise(0L)).cast(LongType)
+              case DecKind(s) =>
+                // ±1 sign: the product is exact; widen to the state type
+                sum(when(arg(a).isNotNull,
+                  (arg(a) * sign).cast(DecimalType(38, s)))
+                  .otherwise(lit(0).cast(DecimalType(38, s))))
+                  .cast(DecimalType(38, s))
+              case LongKind =>
+                sum(when(arg(a).isNotNull, arg(a) * sign)
+                  .otherwise(0L)).cast(LongType)
+            }
             Seq(term.as(s"_d${sCol(a.alias)}"),
-              sum(when(q(a.column).isNotNull, sign).otherwise(0L))
+              sum(when(arg(a).isNotNull, sign).otherwise(0L))
                 .as(s"_d${cCol(a.alias)}"))
         }
       }
@@ -385,15 +558,26 @@ object MaterializedView {
       }
       for (a <- aggs if a.func == "count" && a.column == "*")
         merged = merged.withColumn(a.alias, q(NCol))
+      // removal-free window: sketches only UNION (merge never shrinks);
+      // NULL on either side means "no values there yet"
+      for (a <- aggs if a.func == "count_distinct")
+        merged = merged
+          .withColumn(hCol(a.alias),
+            when(q(hCol(a.alias)).isNull, q(s"_dh_${a.alias}"))
+              .when(q(s"_dh_${a.alias}").isNull, q(hCol(a.alias)))
+              .otherwise(hll_union(q(hCol(a.alias)), q(s"_dh_${a.alias}"))))
+          .withColumn(cCol(a.alias),
+            zero(cCol(a.alias), LongType) + q(s"_d${cCol(a.alias)}"))
       // removal-free window: extrema merge monotonically (least/greatest
       // skip NULLs, so a new group or an all-null batch both behave)
       for (a <- aggs if a.func == "min" || a.func == "max")
         merged = merged.withColumn(a.alias,
           if (a.func == "min") least(q(a.alias), q(s"_dmm_${a.alias}"))
           else greatest(q(a.alias), q(s"_dmm_${a.alias}")))
-      finalizeVisible(merged, aggs, srcSchema)
+      finalizeVisible(merged, aggs, types)
         .drop(merged.columns
-          .filter(c => c.startsWith("_d_mv_") || c.startsWith("_dmm_"))
+          .filter(c => c.startsWith("_d_mv_") || c.startsWith("_dmm_") ||
+            c.startsWith("_dh_"))
           .toIndexedSeq: _*)
     } else {
       // ---- groups: min/max can move on removal; recompute the affected

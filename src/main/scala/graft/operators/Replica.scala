@@ -78,6 +78,11 @@ object Replica {
   def create(spark: SparkSession, replicaPath: String, sourcePath: String,
       keys: Seq[String]): Long = {
     require(keys.nonEmpty, "replica needs at least one key column")
+    // keys round-trip through a comma-joined property: a ',' or newline
+    // inside one would decode into DIFFERENT keys and leave the replica
+    // permanently unsyncable (the MV group-column guard, applied here)
+    keys.foreach(k => require(!k.contains(',') && !k.contains('\n'),
+      s"key column '$k' may not contain ',' or newline (property encoding)"))
     val (sfs, sroot) = fsRoot(spark, sourcePath)
     val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
       throw new IllegalArgumentException(s"no lance dataset at $sourcePath"))

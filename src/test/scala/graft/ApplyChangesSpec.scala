@@ -66,17 +66,23 @@ class ApplyChangesSpec extends AnyFunSuite {
     assert(live2.count() == 99L)
   }
 
-  test("NULL delete flag reads false; null-keyed upserts insert; dup keys refused") {
+  test("NULL delete flag reads false; null keys and dup keys refused loud") {
     val dir = tmpDir()
     baseTable(dir)
-    val batch = Seq(
-      (Option(7L), "upd7", 0.5, Option.empty[Boolean]),
-      (Option.empty[Long], "nullkey", 1.0, Option(false)))
+    val batch = Seq((Option(7L), "upd7", 0.5, Option.empty[Boolean]))
       .toDF("id", "s", "x", "_del")
     Lance.applyChanges(spark, dir, batch, Seq("id"), col("_del"))
     val live = spark.read.format("lance").load(dir)
     assert(live.filter(col("id") === 7L).select("s").as[String].head() == "upd7")
-    assert(live.filter(col("id").isNull).count() == 1L)
+    // a NULL key would break replay idempotence (null-dropping joins:
+    // the delete no-ops, the upsert re-inserts every replay) — refused
+    val nullKeyed = Seq(
+      (Option(8L), "upd8", 0.5, Option(false)),
+      (Option.empty[Long], "nullkey", 1.0, Option(false)))
+      .toDF("id", "s", "x", "_del")
+    val en = intercept[IllegalArgumentException](
+      Lance.applyChanges(spark, dir, nullKeyed, Seq("id"), col("_del")))
+    assert(en.getMessage.contains("NULL in a key column"))
     // same key as delete AND upsert: ambiguous, loud
     val dup = Seq((9L, "a", 1.0, true), (9L, "b", 2.0, false))
       .toDF("id", "s", "x", "_del")
@@ -134,6 +140,22 @@ class ApplyChangesSpec extends AnyFunSuite {
       requireProperties = Map("wm" -> "5"))
     assert(Lance.tableProperties(spark, dir)("wm") == "6")
     assert(spark.read.format("lance").load(dir).count() == 101L)
+    // overwrite-shaped commit (a full MV/replica rebuild): the CAS holds
+    // here too — previously write.require-properties was silently SKIPPED
+    // on mode=overwrite
+    val ow = Seq((1L, "x", 1.0)).toDF("id", "s", "x")
+    intercept[java.util.ConcurrentModificationException](
+      ow.write.format("lance").mode("overwrite")
+        .option("write.require-properties",
+          graft.format.LanceFormat.serializeProperties(Map("wm" -> "4")))
+        .save(dir))
+    assert(spark.read.format("lance").load(dir).count() == 101L,
+      "refused overwrite must land nothing")
+    ow.write.format("lance").mode("overwrite")
+      .option("write.require-properties",
+        graft.format.LanceFormat.serializeProperties(Map("wm" -> "6")))
+      .save(dir)
+    assert(spark.read.format("lance").load(dir).count() == 1L)
   }
 
   test("only fragments holding matching keys rewrite (clustered table)") {

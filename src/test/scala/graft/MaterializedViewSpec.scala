@@ -276,6 +276,15 @@ class MaterializedViewSpec extends AnyFunSuite {
         .contains("graft.mv.dependents"))
       spark.sql("CALL lance_mv.system.unset_properties('db.t', 'tier')")
       assert(userProps() == Map("owner" -> "data-eng"))
+      // expression + count_distinct aggregates parse through the CALL
+      // surface too (depth-aware split keeps the expression's commas)
+      spark.sql(
+        "CALL lance_mv.system.create_mv('db.v2', 'db.t', 'grp', " +
+          "'sum(x * (1 + x)) AS sx2, count_distinct(id) AS dc, " +
+          "min(least(x, 0.5)) AS mn')")
+      val v2 = MaterializedView.read(spark, s"$wh/db/v2")
+      assert(v2.columns.toSeq == Seq("grp", "sx2", "dc", "mn"))
+      assert(v2.count() == 4L)
     } finally {
       spark.conf.unset("spark.sql.catalog.lance_mv")
       spark.conf.unset("spark.sql.catalog.lance_mv.warehouse")
@@ -381,6 +390,220 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(r.viewsRefreshed == 1 && r.viewsStale == 0, r.toString)
     assert(MaterializedView.read(spark, view)
       .agg(sum("n")).as[Long].head() == 30L)
+  }
+
+  test("decimal sum/avg keep exact decimal state (no long truncation)") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 100L).map(i => (i, s"g${i % 4}", BigDecimal(i) * 0.25 + 0.01))
+      .toDF("id", "grp", "amt")
+      .select(col("id"), col("grp"), col("amt").cast("decimal(12,2)").as("amt"))
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("grp"), Seq(
+      AggSpec("sum", "amt", "sa"), AggSpec("avg", "amt", "aa")))
+    def expect() = spark.read.format("lance").load(src).groupBy("grp").agg(
+      sum(col("amt")).cast("decimal(38,2)").as("sa"),
+      (sum(col("amt")).cast("double") / count(col("amt"))).as("aa"))
+    assertSame(MaterializedView.read(spark, view), expect(),
+      "decimal sums truncated at create")
+    // 0.01 per row would vanish entirely under a long-cast state
+    assert(MaterializedView.read(spark, view)
+      .agg(sum(col("sa"))).collect()(0).getDecimal(0)
+      .compareTo(new java.math.BigDecimal("1263.50")) == 0)
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      Lance.deleteWhere(spark, src, "id % 7 = 3")
+      Lance.updateWhere(spark, src, "id % 11 = 5",
+        Map("amt" -> "cast(amt * 3 as decimal(12,2))"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assertSame(MaterializedView.read(spark, view), expect(),
+      "decimal delta refresh drifted from recompute")
+  }
+
+  test("expression aggregates: sum(price * (1 - disc)) delta-refreshes exactly") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 200L).map(i => (i, s"g${i % 5}", i * 0.5, (i % 10) * 0.01, i))
+      .toDF("id", "grp", "price", "disc", "qty")
+      .repartition(3).write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("grp"), Seq(
+      AggSpec("sum", "price * (1 - disc)", "rev", scale = 4),
+      AggSpec("sum", "qty * 2", "q2"),
+      AggSpec("count", "*", "n")))
+    def expect() = spark.read.format("lance").load(src).groupBy("grp").agg(
+      Tables.dsum(expr("price * (1 - disc)"), scale = 4).as("rev"),
+      sum(expr("qty * 2")).as("q2"), count(lit(1)).as("n"))
+    assertSame(MaterializedView.read(spark, view), expect(), "expr seed")
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      Lance.deleteWhere(spark, src, "id % 6 = 1")
+      Lance.updateWhere(spark, src, "id % 9 = 2",
+        Map("price" -> "price * 2", "disc" -> "0.5"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"expression sums stay on the delta path: $r")
+    assertSame(MaterializedView.read(spark, view), expect(),
+      "expression delta refresh drifted from recompute")
+  }
+
+  test("count_distinct views: sketches union on inserts, rescan on removal") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 300L).map(i => (i, s"g${i % 3}", s"u${i % 37}"))
+      .toDF("id", "grp", "user")
+      .repartition(3).write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("grp"), Seq(
+      AggSpec("count_distinct", "user", "du"), AggSpec("count", "*", "n")))
+    def exact(): Map[String, Long] = spark.read.format("lance").load(src)
+      .groupBy("grp").agg(countDistinct(col("user")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def got(): Map[String, Long] = MaterializedView.read(spark, view)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("du")).toMap
+    def close(hint: String): Unit = {
+      val (e, g) = (exact(), got())
+      assert(e.keySet == g.keySet, s"$hint: groups differ: $e vs $g")
+      e.foreach { case (k, ev) =>
+        assert(math.abs(g(k) - ev) <= math.max(1L, (ev * 0.05).toLong),
+          s"$hint: group $k estimate ${g(k)} vs exact $ev")
+      }
+    }
+    close("create")
+    // insert-only window: new users + re-seen users, DELTA path (union)
+    (301L to 400L).map(i => (i, s"g${i % 3}", s"u${i % 61}"))
+      .toDF("id", "grp", "user")
+      .write.format("lance").mode("append").save(src)
+    val r1 = MaterializedView.refresh(spark, view)
+    assert(r1.mode == "delta", s"insert-only windows must union sketches: $r1")
+    close("insert-only delta")
+    // a removal can't un-merge: the window rescans affected groups
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try Lance.deleteWhere(spark, src, "user = 'u5'")
+    finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r2 = MaterializedView.refresh(spark, view)
+    assert(r2.mode == "groups", s"removals must rescan: $r2")
+    close("post-removal rescan")
+    // non-sketchable type refuses at create
+    val e = intercept[IllegalArgumentException](MaterializedView.create(
+      spark, tmpDir() + "/v2", src, Seq("grp"),
+      Seq(AggSpec("count_distinct", "id * 0.5", "dd"))))
+    assert(e.getMessage.contains("HLL sketch admits"))
+  }
+
+  test("refreshDependents shares ONE feed materialization across same-window views") {
+    val src = tmpDir()
+    (1L to 60L).map(i => (i, s"g${i % 3}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    val views = (1 to 3).map { i =>
+      val vp = tmpDir() + s"/v$i"
+      MaterializedView.create(spark, vp, src, Seq("grp"),
+        Seq(AggSpec("count", "*", "n"), AggSpec("sum", "x", "sx")))
+      vp
+    }
+    // all three views now share the same watermark window
+    // (creates registered sequentially: v1 at reg1, v2 at reg2, v3 at
+    // reg3 — NOT identical; refresh them once to align the watermarks)
+    MaterializedView.refreshDependents(spark, src)
+    (61L to 80L).map(i => (i, s"g${i % 3}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("append").save(src)
+    MaterializedView.feedMaterializations = 0
+    val rs = MaterializedView.refreshDependents(spark, src)
+    assert(rs.size == 3 && rs.forall(_._2.isRight), rs.toString)
+    assert(MaterializedView.feedMaterializations == 1,
+      s"3 same-window views must share 1 feed scan, " +
+        s"got ${MaterializedView.feedMaterializations}")
+    views.foreach { vp =>
+      assert(MaterializedView.read(spark, vp)
+        .agg(sum("n")).as[Long].head() == 80L, vp)
+    }
+  }
+
+  test("create refuses bad aggregate arguments (type, resolution, shape)") {
+    val src = tmpDir()
+    (1L to 5L).map(i => (i, s"s$i", i * 1.0)).toDF("id", "name", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    // sum over a string column: the silent-truncation family, refused
+    val e1 = intercept[IllegalArgumentException](MaterializedView.create(
+      spark, tmpDir() + "/v", src, Seq("id"),
+      Seq(AggSpec("sum", "name", "s"))))
+    assert(e1.getMessage.contains("not numeric"))
+    // unresolvable expression
+    intercept[IllegalArgumentException](MaterializedView.create(
+      spark, tmpDir() + "/v", src, Seq("id"),
+      Seq(AggSpec("sum", "nope + 1", "s"))))
+    // nested aggregate and nondeterministic expressions change semantics
+    val e3 = intercept[IllegalArgumentException](MaterializedView.create(
+      spark, tmpDir() + "/v", src, Seq("id"),
+      Seq(AggSpec("sum", "sum(x)", "s"))))
+    assert(e3.getMessage.contains("may not itself aggregate"))
+    val e4 = intercept[IllegalArgumentException](MaterializedView.create(
+      spark, tmpDir() + "/v", src, Seq("id"),
+      Seq(AggSpec("sum", "x + rand()", "s"))))
+    assert(e4.getMessage.contains("nondeterministic"))
+  }
+
+  test("a refreshDependents racing create cannot deregister the new view") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 20L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    // the seam fires BETWEEN the registration commit and the view
+    // materialization — exactly where a concurrent write.refresh-mvs (or
+    // nightly optimize) used to observe "no lance dataset" and
+    // permanently de-register the view being created
+    var raced: Seq[(String, Either[String, MaterializedView.RefreshResult])] = Nil
+    MaterializedView.testHookAfterRegister = () => {
+      raced = MaterializedView.refreshDependents(spark, src)
+      MaterializedView.testHookAfterRegister = () => () // only the outer create
+    }
+    try MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "x", "sx")))
+    finally MaterializedView.testHookAfterRegister = () => ()
+    assert(raced.size == 1 && raced.head._2.isLeft, raced.toString)
+    // the end state is REGISTERED: in-commit maintenance still covers the
+    // view and the retention vacuum still pins its feed window
+    val reg = manifest(src).properties.getOrElse(Map.empty)
+      .getOrElse("graft.mv.dependents", "")
+    assert(reg.split('\n').contains(new java.io.File(view).getAbsolutePath),
+      s"view lost its registration to the racing self-heal: '$reg'")
+    // and the next maintenance pass actually refreshes it
+    Seq((21L, "g0", 21.0)).toDF("id", "grp", "x")
+      .write.format("lance").mode("append").save(src)
+    val rs = MaterializedView.refreshDependents(spark, src)
+    assert(rs.size == 1 && rs.head._2.isRight, rs.toString)
+    assert(MaterializedView.read(spark, view)
+      .agg(sum("n")).as[Long].head() == 21L)
+  }
+
+  test("ALTER RENAME/DROP refuse columns a registered dependent references") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.mv_alt", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.mv_alt.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE mv_alt.db")
+      val src = s"$wh/db/t"
+      (1L to 20L).map(i => (i, s"g${i % 2}", i * 1.0, i * 2.0, i))
+        .toDF("id", "grp", "price", "disc", "extra")
+        .write.format("lance").mode("overwrite").save(src)
+      MaterializedView.create(spark, tmpDir() + "/v", src, Seq("grp"), Seq(
+        AggSpec("sum", "price * (1 - disc)", "rev", scale = 4)),
+        where = Some("id > 0"))
+      graft.operators.Replica.create(spark, tmpDir() + "/r", src, Seq("id"))
+      // group column, expression argument, WHERE column, replica key:
+      // all load-bearing for the dependents' refresh — refused loud
+      Seq("grp", "price", "disc", "id").foreach { c =>
+        val e = intercept[Exception](
+          Lance.renameColumn(spark, src, c, s"${c}2"))
+        assert(e.getMessage.contains("registered dependent"), s"$c: $e")
+        val e2 = intercept[Exception](spark.sql(
+          s"ALTER TABLE mv_alt.db.t DROP COLUMN $c"))
+        assert(e2.getMessage.contains("registered dependent"), s"drop $c: $e2")
+      }
+      // an unreferenced column renames and drops freely
+      Lance.renameColumn(spark, src, "extra", "extra2")
+      spark.sql("ALTER TABLE mv_alt.db.t DROP COLUMN extra2")
+      assert(!spark.read.format("lance").load(src)
+        .columns.contains("extra2"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mv_alt")
+      spark.conf.unset("spark.sql.catalog.mv_alt.warehouse")
+    }
   }
 
   test("out-of-band writes to the view fail the next refresh loud") {

@@ -131,6 +131,45 @@ class OptimizeSpec extends AnyFunSuite {
       "versions inside the time horizon must survive the count limit")
   }
 
+  test("external consumer pins: register survives retention, advance releases") {
+    val dir = tmpDir()
+    spark.range(0, 50).select(col("id").as("k"))
+      .coalesce(1).write.format("lance").mode("overwrite").save(dir)
+    // consumer registers at v1 ("consumed through v1"), then the source
+    // moves on without the consumer reading
+    val wm = Lance.registerConsumer(spark, dir, "etl-job")
+    assert(wm == 1L) // the version AT registration (the pin's window start)
+    (0 until 4).foreach { i =>
+      spark.range(100 + i * 10, 110 + i * 10).select(col("id").as("k"))
+        .coalesce(1).write.format("lance").mode("append").save(dir)
+    }
+    Lance.setRetention(spark, dir, keepVersions = 1)
+    Lance.optimize(spark, dir, minRows = 5)
+    // the pin kept the consumer's whole window: the feed reads clean
+    graft.MetaTvfs.register(spark)
+    val head = Lance.versions(spark, dir).max
+    val feed = spark.sql(
+      s"SELECT * FROM lance_changes('$dir', $wm, $head)")
+    assert(feed.filter(col("_change_type") === "insert").count() == 40L)
+    // monotonic: backwards refuses; forward advance releases history
+    intercept[IllegalArgumentException](
+      Lance.advanceConsumer(spark, dir, "etl-job", wm - 1))
+    Lance.advanceConsumer(spark, dir, "etl-job", head)
+    assert(Lance.consumers(spark, dir) == Map("etl-job" -> head))
+    spark.range(500, 505).select(col("id").as("k"))
+      .coalesce(1).write.format("lance").mode("append").save(dir)
+    Lance.optimize(spark, dir, minRows = 5)
+    assert(Lance.versions(spark, dir).size <= 3,
+      s"advanced pin must release old versions: ${Lance.versions(spark, dir)}")
+    // dropping the consumer removes the pin entirely
+    assert(Lance.dropConsumer(spark, dir, "etl-job"))
+    assert(!Lance.dropConsumer(spark, dir, "etl-job"))
+    assert(Lance.consumers(spark, dir).isEmpty)
+    // unknown consumer cannot advance
+    intercept[IllegalArgumentException](
+      Lance.advanceConsumer(spark, dir, "nope", 1L))
+  }
+
   test("keep_versions vacuums after the maintenance commits; SQL CALL surface") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.lance_opt", "graft.catalog.LanceCatalog")

@@ -53,8 +53,13 @@ class SpjSpec extends AnyFunSuite {
       assert(f.bucket.isDefined, s"untagged fragment ${f.file}")
       val df = spark.read.parquet(
         LanceFormat.fragmentPath(new Path(dir), f.file).toString)
-      val buckets = df.select(pmod(hash(physCols.map(col): _*),
-        lit(spec.numBuckets)).as("b")).distinct().as[Int].collect()
+      // re-derive the grid tag independently of BucketHash: one
+      // pmod(hash(c), n) digit per column, row-major composed (a unary
+      // spec degenerates to plain pmod(hash(c), n))
+      val buckets = df.select(
+        physCols.map(c => pmod(hash(col(c)), lit(spec.numBuckets)))
+          .reduceLeft((a, b) => a * spec.numBuckets + b).as("b"))
+        .distinct().as[Int].collect()
       assert(buckets.toSeq == Seq(f.bucket.get),
         s"fragment ${f.file} tagged ${f.bucket.get} holds buckets ${buckets.toSeq}")
     }
@@ -216,13 +221,15 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
-  // Composite keys keep routing/purity but NOT the shuffle-free claim:
-  // Spark's KeyGroupedPartitioning only admits unary partition
-  // expressions (satisfies0 requires one column leaf per expression), so
-  // a bucket(a, b) transform can never satisfy a join distribution. The
-  // scan therefore reports unknown partitioning for multi-column specs
-  // and the join stays a plain (correct) exchange join.
-  test("composite bucket key: purity + correct joins (exchange allowed)") {
+  // Composite keys get the full shuffle-free claim too: the scan reports
+  // ONE bucket(n, a, b) transform whose two column leaves both appear in
+  // the join clustering — Spark's satisfies0 (default mode) requires
+  // exactly that, and KeyGroupedShuffleSpec matches the transform
+  // structurally across sides. Joins covering only a SUBSET of the key
+  // columns fail satisfies0 and shuffle normally (correct, just not
+  // free). tenant+day / user+date composite keys are the fact⋈fact norm,
+  // so this is the 100 TB case that matters.
+  test("composite bucket key: purity + zero-exchange join on the full key") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.spj2", "graft.catalog.LanceCatalog")
     spark.conf.set("spark.sql.catalog.spj2.warehouse", wh)
@@ -247,18 +254,30 @@ class SpjSpec extends AnyFunSuite {
     val expected = q.collect().map(_.toSeq).toSet
     assert(expected.nonEmpty)
     withSpjConfs {
-      assert(q.collect().map(_.toSeq).toSet == expected)
+      val df = q
+      assert(df.collect().map(_.toSeq).toSet == expected,
+        "composite-key storage-partitioned join changed the answer")
+      val joins = joinNodes(df.queryExecution.executedPlan)
+      assert(joins.nonEmpty, "no sort-merge/shuffled-hash join in the plan:\n" +
+        df.queryExecution.executedPlan)
+      joins.foreach { j =>
+        j.children.foreach { side =>
+          assert(!hasShuffleBelow(side) && !side.isInstanceOf[ShuffleExchangeLike],
+            s"exchange under a join side of a co-bucketed composite-key join:\n$j")
+        }
+      }
+      // a join on a strict SUBSET of the key columns cannot use the
+      // layout — it must still answer correctly through the exchange
+      val sub = spark.sql(
+        """SELECT l.a, count(*) AS n FROM spj2.db.l2 l
+          |JOIN spj2.db.r2 r ON l.a = r.a GROUP BY l.a""".stripMargin)
+      assert(sub.count() == 50)
     }
-    // the downgrade is VISIBLE, not silent: .explain names it on the scan
-    val planText = spark.read.format("lance").load(left)
-      .queryExecution.executedPlan.toString
-    assert(planText.contains("composite key: no storage-partitioned join"),
-      s"composite-key downgrade missing from .explain:\n$planText")
-    // ... and SHOW TBLPROPERTIES says why joins shuffle
+    // SHOW TBLPROPERTIES documents the coverage requirement
     val props = spark.sql("SHOW TBLPROPERTIES spj2.db.l2").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("lance.bucket-by.storage-partitioned-join")
-      .exists(_.startsWith("unavailable: composite key")), props.toString)
+      .exists(_.startsWith("available (composite key")), props.toString)
     // a single-key table reports available
     val single = s"$wh/db/single"
     spark.range(0, 100).select(col("id").as("k"))
@@ -395,10 +414,17 @@ class SpjSpec extends AnyFunSuite {
       spark.read.parquet(m.fragments.map(f =>
         graft.format.LanceFormat.fragmentPath(new Path(dir), f.file).toString): _*)
         .filter(col("a") === 5L && col("b") === "s3").count())
-    // one component unbound: no pruning (the tuple hash needs both)
+    // one component unbound: grid tags still prune on the BOUND digit
+    // (the old tuple-hash layout needed every component) — and stay
+    // correct: every row with a=5 survives
     val keptHalf = BucketPrune.prune(m, Seq(EqualTo("a", 5L)), m.fragments)
-    assert(keptHalf.size == m.fragments.size)
-    // IN × IN cross-product stays bounded and conservative
+    assert(keptHalf.size < m.fragments.size / 4,
+      s"single-digit pruning kept ${keptHalf.size}/${m.fragments.size}")
+    assert(spark.read.parquet(keptHalf.map(f =>
+      graft.format.LanceFormat.fragmentPath(new Path(dir), f.file).toString): _*)
+      .filter(col("a") === 5L).count() ==
+      spark.read.format("lance").load(dir).filter(col("a") === 5L).count())
+    // IN × IN: per-digit unions intersect, bounded and conservative
     val keptIn = BucketPrune.prune(m,
       Seq(In("a", Array(1L, 2L)), In("b", Array("s1", "s2"))), m.fragments)
     assert(keptIn.size <= m.fragments.size)

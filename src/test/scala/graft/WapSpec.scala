@@ -73,6 +73,49 @@ class WapSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pos (1 rows)"))
   }
 
+  test("quarantine publish: main gets exactly the passing subset, the rest stages") {
+    val dir = tmpDir()
+    (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.createBranch(spark, dir, "ingest")
+    // 10 clean rows, 2 bad ones (negative; NULL-check violation)
+    (Seq((21L, -5.0), (22L, Double.NaN)) ++
+      (23L to 32L).map(i => (i, i * 1.0))).toDF("id", "x")
+      .write.format("lance").option("write.branch", "ingest").mode("append").save(dir)
+    val (head, newMain) = Lance.publishBranch(spark, dir, "ingest",
+      Map("positive" -> "x > 0", "finite" -> "NOT isnan(x)"),
+      quarantine = true)
+    assert(newMain > 0L && head > 0L)
+    // main = base + exactly the 10 passing rows
+    val main = spark.read.format("lance").load(dir)
+    assert(main.count() == 30L, "main must gain exactly the passing subset")
+    assert(main.filter(col("x") < 0 || isnan(col("x"))).isEmpty)
+    assert(main.filter(col("id") >= 23L).count() == 10L)
+    // the quarantine lineage holds ONLY the violations, with counts
+    val q = spark.read.format("lance").option("branch", "ingest-quarantine").load(dir)
+    assert(q.count() == 2L, "quarantine holds exactly the violations")
+    assert(q.select("id").as[Long].collect().toSet == Set(21L, 22L))
+    val qprops = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = graft.format.LanceFormat.fileSystem(root,
+        spark.sessionState.newHadoopConf())
+      graft.format.LanceFormat.readLatestIn(fs,
+        graft.format.LanceFormat.branchPath(root, "ingest-quarantine"))
+        .get.properties.getOrElse(Map.empty)
+    }
+    assert(qprops.get("graft.wap.violations.positive").contains("1"))
+    assert(qprops.get("graft.wap.violations.finite").contains("1"))
+    // the audited branch is gone: a re-publish cannot double-land rows
+    intercept[Exception](Lance.publishBranch(spark, dir, "ingest"))
+    // a CLEAN batch under quarantine publishes by reference (plain path)
+    Lance.createBranch(spark, dir, "clean")
+    (100L to 104L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").option("write.branch", "clean").mode("append").save(dir)
+    Lance.publishBranch(spark, dir, "clean", Map("positive" -> "x > 0"),
+      quarantine = true)
+    assert(spark.read.format("lance").load(dir).count() == 35L)
+  }
+
   test("rebase-path publish re-proves main's post-fork constraints") {
     val dir = tmpDir()
     (1L to 20L).map(i => (i, s"k$i")).toDF("id", "s")
