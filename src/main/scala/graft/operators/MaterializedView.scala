@@ -342,11 +342,13 @@ object MaterializedView {
     * source not existing anymore is fine too. */
   def drop(spark: SparkSession, viewPath: String): Boolean = {
     val (vfs, vroot) = fsRoot(spark, viewPath)
-    val existed = LanceFormat.readLatest(vfs, vroot).isDefined
+    // ONE snapshot read serves both the existence check and the
+    // source-path lookup (two reads could straddle a concurrent commit)
+    val snapshot = LanceFormat.readLatest(vfs, vroot)
+    val existed = snapshot.isDefined
     val abs = vroot.toString
     if (existed) {
-      val props = LanceFormat.readLatest(vfs, vroot).get.properties
-        .getOrElse(Map.empty)
+      val props = snapshot.get.properties.getOrElse(Map.empty)
       props.get(PropSource).foreach { source =>
         val (sfs, sroot) = fsRoot(spark, source)
         if (LanceFormat.readLatest(sfs, sroot).isDefined)
