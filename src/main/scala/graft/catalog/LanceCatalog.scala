@@ -614,7 +614,12 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("where", StringType).defaultValue("''")
         .comment("optional boolean predicate over source columns: the " +
           "view aggregates only matching rows, refreshes filter the " +
-          "feed identically").build())
+          "feed identically").build(),
+      in("dims", StringType).defaultValue("''")
+        .comment("optional star dims, ';'-separated " +
+          "'table|srcKey=dimKey[,k2=d2]' entries: each LEFT-joins at a " +
+          "version pinned (and tagged) at create; group_by/aggs/where " +
+          "may name dim columns; fullRefresh re-pins").build())
     case "refresh_mv" => Array(in("view", StringType).build(),
       in("full", BooleanType).defaultValue("false")
         .comment("true forces a full rebuild (vacuumed feed window / " +
@@ -840,8 +845,18 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .map(_.trim).filter(_.nonEmpty).toSeq
         val aggs = LanceProcedure.parseAggList(input.getUTF8String(3).toString)
         val where = Some(input.getUTF8String(4).toString.trim).filter(_.nonEmpty)
+        // star dims: 'table|srcKey=dimKey[,k2=d2]' entries ';'-separated
+        val dims = input.getUTF8String(5).toString.split(';')
+          .map(_.trim).filter(_.nonEmpty).toSeq.map { entry =>
+            val Array(t, ks) = entry.split("\\|", 2)
+            graft.operators.MaterializedView.DimSpec(
+              catalog.resolveTableArg(t.trim).toString,
+              ks.split(',').map { kv =>
+                val Array(a, b) = kv.split("=", 2); a.trim -> b.trim
+              }.toMap)
+          }
         val v = graft.operators.MaterializedView.create(spark, path, source,
-          groupBy, aggs, where)
+          groupBy, aggs, where, dims)
         (new StructType().add("source_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))
       case "refresh_mv" =>

@@ -985,8 +985,10 @@ object LanceFormat {
   private[graft] def requireNoDependentReferences(prev: Manifest,
       columns: Seq[String], action: String): Unit = {
     val props = prev.properties.getOrElse(Map.empty)
-    val deps = Seq("graft.mv.dependents", "graft.replica.dependents")
+    val deps = Seq("graft.mv.dependents", "graft.replica.dependents",
+      "graft.mv.dim-dependents")
       .flatMap(k => props.get(k).toSeq.flatMap(_.split('\n'))).filter(_.nonEmpty)
+      .distinct
     if (deps.isEmpty) return
     val conf = new org.apache.hadoop.conf.Configuration()
     deps.foreach { dp =>
@@ -997,7 +999,13 @@ object LanceFormat {
       } catch { case _: Exception => Map.empty[String, String] }
       val listed: Seq[String] =
         dprops.get("graft.mv.group-by").toSeq.flatMap(_.split(',')) ++
-          dprops.get("graft.replica.keys").toSeq.flatMap(_.split(','))
+          dprops.get("graft.replica.keys").toSeq.flatMap(_.split(',')) ++
+          // star-dim join keys: both sides (the guard runs on whichever
+          // table — source or dim — is being altered; a shared name
+          // over-refuses, which is the conservative direction)
+          dprops.get("graft.mv.dims").toSeq.flatMap(_.split('\n'))
+            .flatMap(_.split("\\|", 3).last.split(','))
+            .flatMap(_.split("=", 2))
       val exprs: Seq[String] =
         dprops.get("graft.mv.aggs").toSeq.flatMap(_.split('\n'))
           .map(_.split(":", 4).last).filter(_ != "*") ++

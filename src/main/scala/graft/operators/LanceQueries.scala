@@ -2288,6 +2288,50 @@ object LanceQueries {
       .withColumn("hll_ok", lit(true)).orderBy(col("o_orderstatus"))
   }
 
+  /** STAR materialized view (s123): the dashboard norm — fact grouped by
+    * a DIMENSION attribute (`orders ⋈ customer GROUP BY c_mktsegment`).
+    * The dim joins at a version PINNED at create (broadcast, pure
+    * per-row enrichment), so the change-feed delta arithmetic is
+    * UNCHANGED: the fact-side DML batch refreshes by delta
+    * (mode require()d) and hash-matches the oracle's join+group over the
+    * post-DML data. */
+  def s123MvStar(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.{AggSpec, DimSpec}
+    val src = scratch(dir, "mv_src_star")
+    val dim = scratch(dir, "mv_dim_star")
+    val view = scratch(dir, "mv_view_star")
+    freshDataset(spark, src); freshDataset(spark, dim); freshDataset(spark, view)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.format("lance").mode("overwrite").save(src)
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.format("lance").mode("overwrite").save(dim)
+    MaterializedView.create(spark, view, src, Seq("c_mktsegment"), Seq(
+      AggSpec("count", "*", "n"),
+      AggSpec("sum", "o_totalprice", "sum_price")),
+      dims = Seq(DimSpec(dim, Map("o_custkey" -> "c_custkey"))))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      graft.Lance.deleteWhere(spark, src, "o_orderkey % 8 = 1")
+      graft.Lance.updateWhere(spark, src, "o_orderkey % 8 = 2",
+        Map("o_totalprice" -> "o_totalprice * 3"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta",
+      s"star views keep the delta path (dim is a pure enrichment), got $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src)
+      .join(spark.read.format("lance").load(dim),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    require(sameRows(got, expect),
+      "star-view incremental refresh drifted from the join+group recompute")
+    got.withColumn("mode", lit(r.mode)).orderBy(col("c_mktsegment"))
+  }
+
   /** Write-audit-publish (s117): evens land on main, odds stage on an
     * audit branch. A first publish with an impossible quality bar is
     * REFUSED (main provably still evens-only — that count rides the
@@ -2723,6 +2767,7 @@ object LanceQueries {
     "s116_mv_minmax" -> s116MvMinmax,
     "s121_mv_expr" -> s121MvExpr,
     "s122_mv_distinct" -> s122MvDistinct,
+    "s123_mv_star" -> s123MvStar,
     "s117_publish" -> s117Publish,
     "s118_replica" -> s118Replica,
     "s119_mv_auto" -> s119MvAuto,
@@ -2907,6 +2952,20 @@ object LanceQueries {
         |SELECT o_orderstatus, COUNT(*) AS n,
         | COUNT(DISTINCT o_custkey) AS d_exact, TRUE AS hll_ok
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // s123: delta-mode + exactness are the require()s; the oracle joins
+    // and groups the post-DML fact against the dim from raw parquet
+    "s123_mv_star" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 8 = 2 THEN o_totalprice * 3
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 8 <> 1
+        |)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | 'delta' AS mode
+        |FROM final LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // s120: the join aggregate is layout-independent; composite-key
     // shuffle-freedom is the require() + planted literal (s108 pattern)
     "s120_spj_composite" ->

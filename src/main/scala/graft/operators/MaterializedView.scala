@@ -79,6 +79,30 @@ object MaterializedView {
     require(!column.contains('\n'), s"column '$column' may not contain newline")
   }
 
+  /** A STAR-VIEW dimension: LEFT-joined onto the source by `keys`
+    * (source column → dim column) at a version PINNED at create — the
+    * enrichment is then a pure function of each source row, so the
+    * delta arithmetic over the change feed is UNCHANGED (a feed image
+    * enriches exactly like the original row did). Group columns, WHERE
+    * and aggregate expressions may all name dim columns. The pinned dim
+    * version is TAGGED (`mv-pin-<id>`), so a dim-side vacuum can never
+    * reclaim it; [[fullRefresh]] re-pins to the dim's current version
+    * (the rebuilt state and the new pin land together). Dim UPDATES do
+    * not propagate incrementally by design — that would make every dim
+    * write fan out into unbounded view rewrites; the nightly
+    * fullRefresh (or recreate) is the documented freshness knob, the
+    * posture dashboard star schemas actually run. */
+  case class DimSpec(path: String, keys: Map[String, String]) {
+    require(keys.nonEmpty, "a dimension needs at least one join key")
+    require(!path.contains('|') && !path.contains('\n'),
+      s"dim path '$path' may not contain '|' or newline (property encoding)")
+    keys.foreach { case (s, k) =>
+      Seq(s, k).foreach(c => require(
+        !c.contains(',') && !c.contains('=') && !c.contains('\n') && !c.contains('|'),
+        s"dim key column '$c' may not contain ',', '=', '|' or newline"))
+    }
+  }
+
   case class RefreshResult(mode: String, fromVersion: Long, toVersion: Long,
     groupsChanged: Long)
 
@@ -97,6 +121,12 @@ object MaterializedView {
   private val PropAggs = "graft.mv.aggs"
   private val PropVersion = "graft.mv.version"
   private val PropWhere = "graft.mv.where"
+  /** Pinned star dims: one `<version>|<abs path>|s=k,s2=k2` line each. */
+  private val PropDims = "graft.mv.dims"
+  /** On a DIM table: view paths whose specs reference its columns — read
+    * ONLY by the ALTER RENAME/DROP guard (a dim is not a feed source:
+    * no refresh fan-out, no retention watermark; the pin is a tag). */
+  private[graft] val PropDimDependents = "graft.mv.dim-dependents"
   /** On the SOURCE table: newline-joined absolute view paths registered
     * for [[refreshDependents]] (in-commit maintenance via the
     * `write.refresh-mvs` option — the refresh-indexes posture applied
@@ -146,6 +176,42 @@ object MaterializedView {
       a.alias -> df.select(argCol(df.schema, a.column).as("__t"))
         .schema.head.dataType
     }.toMap
+
+  private def encodeDims(dims: Seq[(DimSpec, Long)]): String =
+    dims.map { case (d, v) =>
+      val abs = new java.io.File(d.path).getAbsolutePath
+      s"$v|$abs|${d.keys.toSeq.sorted.map { case (s, k) => s"$s=$k" }.mkString(",")}"
+    }.mkString("\n")
+  private def decodeDims(s: String): Seq[(DimSpec, Long)] =
+    s.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val Array(v, p, ks) = line.split("\\|", 3)
+      (DimSpec(p, ks.split(',').map { kv =>
+        val Array(a, b) = kv.split("=", 2); a -> b
+      }.toMap), v.toLong)
+    }
+
+  /** The view's pin tag on a dim table — derived from the view path so
+    * several views can pin the same dim independently. */
+  private def dimPinTag(viewAbs: String): String =
+    "mv-pin-" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(viewAbs.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** LEFT-join every pinned dim onto `rows` (broadcast — a star dim is
+    * the small side by definition). Dim-side join-key columns drop after
+    * the join (the source key carries the value); attribute collisions
+    * were refused at create. */
+  private def enrich(spark: SparkSession, rows: DataFrame,
+      dims: Seq[(DimSpec, Long)]): DataFrame =
+    dims.foldLeft(rows) { case (df, (d, v)) =>
+      val dim = spark.read.format("lance")
+        .option("versionAsOf", v.toString).load(d.path)
+      // Dataset.apply resolves names LITERALLY (resolveQuoted): no
+      // backticks — dots and odd characters are taken as-is
+      val cond = d.keys.map { case (s, k) => df(s) === dim(k) }.reduce(_ && _)
+      d.keys.values.foldLeft(df.join(broadcast(dim), cond, "left")) {
+        (j, k) => j.drop(dim(k))
+      }
+    }
 
   /** Encode/decode the agg list as a property string.
     * `func:scale:alias:column` — column LAST and unsplit since it may
@@ -235,7 +301,8 @@ object MaterializedView {
     * the view reflects. */
   def create(spark: SparkSession, viewPath: String, sourcePath: String,
       groupBy: Seq[String], aggs: Seq[AggSpec],
-      where: Option[String] = None): Long = {
+      where: Option[String] = None,
+      dims: Seq[DimSpec] = Seq.empty): Long = {
     require(groupBy.nonEmpty, "materialized view needs at least one group column")
     groupBy.foreach(c => require(!c.contains(',') && !c.contains('\n'),
       s"group column '$c' may not contain ',' or newline (property encoding)"))
@@ -248,19 +315,62 @@ object MaterializedView {
     val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
       throw new IllegalArgumentException(s"no lance dataset at $sourcePath"))
     val srcFields = srcM.schema.fieldNames.toSet
+    // star dims: validate join keys + attribute-name collisions, PIN each
+    // dim's current version, TAG it (a dim-side vacuum must never
+    // reclaim the snapshot every refresh joins against) and register the
+    // view for the dim's ALTER RENAME/DROP guard
+    val viewAbs = new java.io.File(viewPath).getAbsolutePath
+    val pinned: Seq[(DimSpec, Long)] = {
+      var taken = srcFields
+      dims.map { d =>
+        val (dfs, droot) = fsRoot(spark, d.path)
+        val dm = LanceFormat.readLatest(dfs, droot).getOrElse(
+          throw new IllegalArgumentException(s"no lance dataset at ${d.path} (dim)"))
+        val dimFields = dm.schema.fieldNames.toSet
+        d.keys.foreach { case (s, k) =>
+          require(srcFields.contains(s),
+            s"dim join key '$s' is not a column of $sourcePath")
+          require(dimFields.contains(k),
+            s"dim join key '$k' is not a column of ${d.path}")
+          require(srcM.schema(s).dataType == dm.schema(k).dataType,
+            s"dim join key types differ: $s is " +
+              s"${srcM.schema(s).dataType.simpleString}, $k is " +
+              s"${dm.schema(k).dataType.simpleString} - cast the dim")
+        }
+        val attrs = dimFields -- d.keys.values
+        val clash = attrs.intersect(taken)
+        require(clash.isEmpty,
+          s"dim ${d.path} column(s) ${clash.mkString(", ")} collide with " +
+            "the source (or an earlier dim) - rename them in the dim")
+        taken ++= attrs
+        d -> dm.version
+      }
+    }
+    pinned.foreach { case (d, v) =>
+      graft.Lance.tag(spark, d.path, dimPinTag(viewAbs), Some(v), replace = true)
+      val (dfs, droot) = fsRoot(spark, d.path)
+      LanceFormat.commitPropertiesWith(dfs, droot, { prev =>
+        val cur = prev.get(PropDimDependents).toSeq.flatMap(_.split('\n'))
+        if (cur.contains(viewAbs)) prev
+        else prev + (PropDimDependents -> (cur :+ viewAbs).mkString("\n"))
+      })
+    }
+    // group columns resolve over the ENRICHED namespace (source + dims)
+    val enrichedProbe = enrich(spark, spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), srcM.schema), pinned)
+    val enrichedFields = enrichedProbe.schema.fieldNames.toSet
     groupBy.foreach(c =>
-      require(srcFields.contains(c), s"no group column '$c' in $sourcePath"))
+      require(enrichedFields.contains(c),
+        s"no group column '$c' in $sourcePath (or its dims)"))
     // aggregate arguments may be expressions: resolve each against the
     // source schema (analysis only), refuse nested aggregates / windows
     // (both would change the row-per-row delta semantics) and anything
     // nondeterministic (full and incremental refresh must agree), and
     // type-check sum/avg arguments as numeric — a silent long-cast over
     // decimals was exactly the truncation bug this guard exists for
-    val probe = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), srcM.schema)
     aggs.filter(_.column != "*").foreach { a =>
       val analyzed = try {
-        probe.select(argCol(srcM.schema, a.column).as("__x"))
+        enrichedProbe.select(argCol(enrichedProbe.schema, a.column).as("__x"))
           .queryExecution.analyzed
       } catch {
         case e: org.apache.spark.sql.AnalysisException =>
@@ -294,7 +404,7 @@ object MaterializedView {
     // next refresh window is pure data. A crash in between leaves a
     // dangling registration that refreshDependents self-heals away.
     // Function-shaped commit: two concurrent creates both land.
-    val abs = new java.io.File(viewPath).getAbsolutePath
+    val abs = viewAbs
     val registered = LanceFormat.commitPropertiesWith(sfs, sroot, { prev =>
       val cur = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
       if (cur.contains(abs)) prev
@@ -303,7 +413,9 @@ object MaterializedView {
     testHookAfterRegister()
     val src0 = spark.read.format("lance")
       .option("versionAsOf", registered.toString).load(sourcePath)
-    val src = where.fold(src0)(w => src0.filter(expr(w))) // also validates w
+    // where runs over the ENRICHED namespace (it may name dim columns)
+    val src = where.foldLeft(enrich(spark, src0, pinned))((df, w) =>
+      df.filter(expr(w))) // also validates w
     stateAgg(src, groupBy, aggs)
       .write.format("lance").mode("overwrite")
       .option("write.set-properties", LanceFormat.serializeProperties(Map(
@@ -311,7 +423,9 @@ object MaterializedView {
         PropGroupBy -> groupBy.mkString(","),
         PropAggs -> encodeAggs(aggs),
         PropVersion -> registered.toString) ++
-        where.map(PropWhere -> _)))
+        where.map(PropWhere -> _) ++
+        (if (pinned.isEmpty) Map.empty
+         else Map(PropDims -> encodeDims(pinned)))))
       .save(viewPath)
     // re-assert the registration: a refreshDependents racing this create
     // could observe "no lance dataset" in the register→materialize window
@@ -358,6 +472,21 @@ object MaterializedView {
             if (kept.isEmpty) prev - PropDependents
             else prev + (PropDependents -> kept.mkString("\n"))
           })
+      }
+      // star dims: release the pin tag and the ALTER-guard registration
+      props.get(PropDims).map(decodeDims).getOrElse(Seq.empty).foreach {
+        case (d, _) =>
+          try {
+            graft.Lance.deleteTag(spark, d.path, dimPinTag(abs))
+            val (dfs, droot) = fsRoot(spark, d.path)
+            if (LanceFormat.readLatest(dfs, droot).isDefined)
+              LanceFormat.commitPropertiesWith(dfs, droot, { prev =>
+                val kept = prev.get(PropDimDependents).toSeq
+                  .flatMap(_.split('\n')).filterNot(_ == abs)
+                if (kept.isEmpty) prev - PropDimDependents
+                else prev + (PropDimDependents -> kept.mkString("\n"))
+              })
+          } catch { case _: Exception => () } // dim gone: nothing to release
       }
     }
     vfs.delete(vroot, true)
@@ -431,8 +560,11 @@ object MaterializedView {
     out
   }
 
-  private def spec(spark: SparkSession, viewPath: String)
-      : (String, Seq[String], Seq[AggSpec], Long, Option[String]) = {
+  private case class ViewSpec(source: String, groupBy: Seq[String],
+    aggs: Seq[AggSpec], v0: Long, where: Option[String],
+    dims: Seq[(DimSpec, Long)])
+
+  private def spec(spark: SparkSession, viewPath: String): ViewSpec = {
     val (vfs, vroot) = fsRoot(spark, viewPath)
     val props = LanceFormat.readLatest(vfs, vroot).getOrElse(
       throw new IllegalArgumentException(s"no lance dataset at $viewPath"))
@@ -440,9 +572,10 @@ object MaterializedView {
     val source = props.getOrElse(PropSource,
       throw new IllegalArgumentException(
         s"$viewPath is not a materialized view (no $PropSource property)"))
-    (source, props(PropGroupBy).split(',').toSeq,
+    ViewSpec(source, props(PropGroupBy).split(',').toSeq,
       decodeAggs(props(PropAggs)), props(PropVersion).toLong,
-      props.get(PropWhere))
+      props.get(PropWhere),
+      props.get(PropDims).map(decodeDims).getOrElse(Seq.empty))
   }
 
   /** Incremental refresh. Picks delta vs scoped-group recompute (see
@@ -456,7 +589,7 @@ object MaterializedView {
     * window instead of N identical scans in the nightly optimize. */
   private def refresh(spark: SparkSession, viewPath: String,
       sharedFeed: Option[(Long, Long) => DataFrame]): RefreshResult = {
-    val (source, groupBy, aggs, v0, where) = spec(spark, viewPath)
+    val ViewSpec(source, groupBy, aggs, v0, where, dims) = spec(spark, viewPath)
     val (sfs, sroot) = fsRoot(spark, source)
     val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
       throw new IllegalStateException(s"materialized-view source vanished: $source"))
@@ -472,9 +605,12 @@ object MaterializedView {
       spark.sql(
         s"SELECT * FROM lance_changes('${source.replace("'", "''")}', $v0, $vN)")
     }
-    // filtered view: images filter INDEPENDENTLY — an update moving a
-    // row across the predicate boundary nets to the right add/remove
-    val feed = where.fold(feed0)(w => feed0.filter(expr(w)))
+    // star dims enrich each feed image exactly like the original row
+    // (pinned snapshot — pure function), THEN the filtered view's WHERE
+    // applies: images filter INDEPENDENTLY, so an update moving a row
+    // across the predicate boundary nets to the right add/remove pair
+    val feed = where.foldLeft(enrich(spark, feed0, dims))((df, w) =>
+      df.filter(expr(w)))
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val srcSchema = srcM.schema
@@ -588,7 +724,6 @@ object MaterializedView {
         .select((groupBy.map(q) :+ gid(groupBy).as(GidCol)): _*).distinct()
       val srcNow0 = spark.read.format("lance")
         .option("versionAsOf", vN.toString).load(source)
-      val srcNow = where.fold(srcNow0)(w => srcNow0.filter(expr(w)))
       // the semi-join keys on the COMPUTED gid, which no scan-side
       // pruning can see — so when the affected-group set is small
       // (the CDC norm), pre-filter on the RAW group columns too: those
@@ -596,22 +731,29 @@ object MaterializedView {
       // postings prune fragments before any read. Superset semantics
       // (per-column IN admits cross products); the semi-join stays the
       // exact filter. NULL group values ride an explicit isNull arm.
+      // Dim-sourced group columns can't pre-filter the SOURCE scan —
+      // they skip the push-down (the semi-join still scopes them); the
+      // enrichment and WHERE apply after, on the pruned rows only.
       val cap = spark.conf.getOption("spark.graft.dml.inlistPrune")
         .map(_.toInt).getOrElse(1000)
       val sample = affected.limit(cap + 1).collect()
+      val rawNames = srcSchema.fieldNames.toSet
       val preFiltered =
-        if (sample.length > cap) srcNow
+        if (sample.length > cap) srcNow0
         else {
-          val conds = groupBy.zipWithIndex.map { case (c, i) =>
-            val vals = sample.map(_.get(i)).distinct.toSeq
-            val nonNull = vals.filter(_ != null)
-            val base = if (nonNull.isEmpty) lit(false)
-              else q(c).isin(nonNull: _*)
-            if (vals.contains(null)) base || q(c).isNull else base
+          val conds = groupBy.zipWithIndex.collect {
+            case (c, i) if rawNames.contains(c) =>
+              val vals = sample.map(_.get(i)).distinct.toSeq
+              val nonNull = vals.filter(_ != null)
+              val base = if (nonNull.isEmpty) lit(false)
+                else q(c).isin(nonNull: _*)
+              if (vals.contains(null)) base || q(c).isNull else base
           }
-          srcNow.filter(conds.reduce(_ && _))
+          if (conds.isEmpty) srcNow0 else srcNow0.filter(conds.reduce(_ && _))
         }
-      val scoped = preFiltered.withColumn(GidCol, gid(groupBy))
+      val srcNow = where.foldLeft(enrich(spark, preFiltered, dims))(
+        (df, w) => df.filter(expr(w)))
+      val scoped = srcNow.withColumn(GidCol, gid(groupBy))
         .join(affected.select(GidCol), Seq(GidCol), "left_semi")
         .drop(GidCol)
       val recomputed = stateAgg(scoped, groupBy, aggs)
@@ -653,16 +795,31 @@ object MaterializedView {
     * or a restored source): one source aggregation, one overwrite commit
     * carrying the new watermark. */
   def fullRefresh(spark: SparkSession, viewPath: String): RefreshResult = {
-    val (source, groupBy, aggs, v0, where) = spec(spark, viewPath)
+    val ViewSpec(source, groupBy, aggs, v0, where, dims) = spec(spark, viewPath)
     val (sfs, sroot) = fsRoot(spark, source)
     val vN = LanceFormat.readLatest(sfs, sroot).get.version
+    // star dims RE-PIN to their current versions: the rebuilt state and
+    // the new pins land in ONE commit (a crash keeps the old snapshot
+    // consistent); the moved tag releases the old dim version to vacuum
+    val viewAbs = new java.io.File(viewPath).getAbsolutePath
+    val repinned = dims.map { case (d, _) =>
+      val (dfs, droot) = fsRoot(spark, d.path)
+      d -> LanceFormat.readLatest(dfs, droot).getOrElse(
+        throw new IllegalStateException(s"star dim vanished: ${d.path}")).version
+    }
+    repinned.foreach { case (d, v) =>
+      graft.Lance.tag(spark, d.path, dimPinTag(viewAbs), Some(v), replace = true)
+    }
     val src0 = spark.read.format("lance")
       .option("versionAsOf", vN.toString).load(source)
-    val src = where.fold(src0)(w => src0.filter(expr(w)))
+    val src = where.foldLeft(enrich(spark, src0, repinned))(
+      (df, w) => df.filter(expr(w)))
     stateAgg(src, groupBy, aggs)
       .write.format("lance").mode("overwrite")
       .option("write.set-properties", LanceFormat.serializeProperties(
-        Map(PropVersion -> vN.toString)))
+        Map(PropVersion -> vN.toString) ++
+          (if (repinned.isEmpty) Map.empty
+           else Map(PropDims -> encodeDims(repinned)))))
       .save(viewPath)
     RefreshResult("full", v0, vN, -1L)
   }

@@ -57,9 +57,13 @@ class MaterializedViewSpec extends AnyFunSuite {
   }
 
   private def assertSame(a: DataFrame, b: DataFrame, hint: String): Unit = {
-    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
-      s"$hint:\nview:\n${a.orderBy("grp").collect().mkString("\n")}\n" +
-        s"recompute:\n${b.orderBy("grp").collect().mkString("\n")}")
+    // assert(cond, clue) evaluates the clue EAGERLY — build the dump
+    // only on an actual mismatch (it costs two sorts + collects)
+    if (!(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)) {
+      val key = a.columns.head
+      fail(s"$hint:\nview:\n${a.orderBy(key).collect().mkString("\n")}\n" +
+        s"recompute:\n${b.orderBy(key).collect().mkString("\n")}")
+    }
   }
 
   test("create materializes the full aggregate with bookkeeping in one commit") {
@@ -285,6 +289,15 @@ class MaterializedViewSpec extends AnyFunSuite {
       val v2 = MaterializedView.read(spark, s"$wh/db/v2")
       assert(v2.columns.toSeq == Seq("grp", "sx2", "dc", "mn"))
       assert(v2.count() == 4L)
+      // star dims through the CALL surface: group by a DIM column
+      (0 to 3).map(k => (s"g$k", s"tier${k % 2}")).toDF("dgrp", "tier")
+        .write.format("lance").mode("overwrite").save(s"$wh/db/d")
+      spark.sql("CALL lance_mv.system.create_mv('db.v3', 'db.t', 'tier', " +
+        "'count(*) AS n, sum(x) AS sx', '', 'db.d|grp=dgrp')")
+      val v3 = MaterializedView.read(spark, s"$wh/db/v3")
+      assert(v3.columns.toSeq == Seq("tier", "n", "sx"))
+      assert(v3.agg(sum("n")).as[Long].head() == 32L) // ids <= 8 deleted above
+      assert(v3.count() == 2L)
     } finally {
       spark.conf.unset("spark.sql.catalog.lance_mv")
       spark.conf.unset("spark.sql.catalog.lance_mv.warehouse")
@@ -513,6 +526,68 @@ class MaterializedViewSpec extends AnyFunSuite {
       assert(MaterializedView.read(spark, vp)
         .agg(sum("n")).as[Long].head() == 80L, vp)
     }
+  }
+
+  test("star views: pinned dim enrichment; vacuum-proof pin; fullRefresh repins") {
+    import MaterializedView.DimSpec
+    val src = tmpDir(); val dim = tmpDir() + "/d"; val view = tmpDir() + "/v"
+    (1L to 100L).map(i => (i, i % 10, i * 1.0)).toDF("id", "cust", "amt")
+      .write.format("lance").mode("overwrite").save(src)
+    (0L to 9L).map(k => (k, s"seg${k % 3}")).toDF("cust_k", "seg")
+      .write.format("lance").mode("overwrite").save(dim)
+    MaterializedView.create(spark, view, src, Seq("seg"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amt", "sa")),
+      dims = Seq(DimSpec(dim, Map("cust" -> "cust_k"))))
+    def expect() = spark.read.format("lance").load(src)
+      .join(spark.read.format("lance").load(dim)
+        .withColumnRenamed("cust_k", "cust"), Seq("cust"), "left")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("amt")).as("sa"))
+      .select("seg", "n", "sa")
+    assertSame(MaterializedView.read(spark, view), expect(), "star seed")
+    // the pin is a TAG: a dim-side retention vacuum keeps the snapshot
+    (10L to 25L).map(k => (k, s"seg${k % 3}")).toDF("cust_k", "seg")
+      .write.format("lance").mode("append").save(dim)
+    Lance.vacuum(spark, dim, keepVersions = 1)
+    assert(Lance.versions(spark, dim).size == 2,
+      "the mv-pin tag must keep the pinned dim version")
+    // fact-side DML refreshes by DELTA; the dim APPEND above does not
+    // affect enrichment (pinned snapshot)
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      Lance.deleteWhere(spark, src, "id % 7 = 1")
+      Lance.updateWhere(spark, src, "id % 7 = 2", Map("amt" -> "amt * 2"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"star views keep the delta path: $r")
+    assertSame(MaterializedView.read(spark, view), expect(),
+      "star delta refresh drifted (dim columns came from the pinned join)")
+    // a dim UPDATE is invisible to incremental refresh (snapshot
+    // semantics); fullRefresh RE-PINS and picks it up
+    Lance.updateWhere(spark, dim, "cust_k = 3", Map("seg" -> "'segNEW'"))
+    Lance.upsert(spark, src, Seq((1001L, 3L, 5.0)).toDF("id", "cust", "amt"),
+      Seq("id"))
+    MaterializedView.refresh(spark, view)
+    assert(MaterializedView.read(spark, view)
+      .filter(col("seg") === "segNEW").isEmpty,
+      "incremental refresh must keep the CREATE-time dim snapshot")
+    assert(MaterializedView.fullRefresh(spark, view).mode == "full")
+    assertSame(MaterializedView.read(spark, view), expect(),
+      "fullRefresh must re-pin the dims and rebuild against them")
+    assert(MaterializedView.read(spark, view)
+      .filter(col("seg") === "segNEW").count() > 0)
+    // collisions and guards
+    intercept[IllegalArgumentException](MaterializedView.create(
+      spark, tmpDir() + "/v2", src, Seq("seg"),
+      Seq(AggSpec("count", "*", "n")),
+      dims = Seq(DimSpec(dim, Map("amt" -> "cust_k"))))) // type mismatch
+    val eAlter = intercept[Exception](
+      Lance.renameColumn(spark, dim, "seg", "segment"))
+    assert(eAlter.getMessage.contains("registered dependent"))
+    // drop releases the dim tag and the guard registration
+    assert(MaterializedView.drop(spark, view))
+    assert(Lance.tags(spark, dim).isEmpty, "drop must release the pin tag")
+    Lance.renameColumn(spark, dim, "seg", "segment") // now free
   }
 
   test("create refuses bad aggregate arguments (type, resolution, shape)") {

@@ -289,6 +289,38 @@ class SpjSpec extends AnyFunSuite {
       .contains("available"), props1.toString)
   }
 
+  test("three-column grid: purity, digit order, and subset-digit pruning") {
+    val dir = tmpDir()
+    spark.range(0, 3000).select(
+        pmod(col("id"), lit(20)).as("a"),
+        concat(lit("s"), pmod(col("id"), lit(5))).as("b"),
+        (col("id") % 2 === 0).as("c"),
+        col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("a", "b", "c"), numBuckets = 4)
+    assertPure(dir) // re-derives the k=3 row-major digit composition
+    val m = manifest(dir)
+    // digits decompose in key-column order: tag = ((d_a*4)+d_b)*4+d_c
+    m.fragments.foreach { f =>
+      val ds = BucketHash.gridDigits(f.bucket.get, 3, 4)
+      assert(ds.length == 3 && ds.forall(d => d >= 0 && d < 4))
+      assert(BucketHash.gridDigits(f.bucket.get, 3, 4).zipWithIndex
+        .map { case (d, i) => d * math.pow(4, 2 - i).toInt }.sum == f.bucket.get)
+    }
+    import org.apache.spark.sql.sources._
+    // middle-column-only equality prunes its digit, correctly
+    val kept = BucketPrune.prune(m, Seq(EqualTo("b", "s3")), m.fragments)
+    assert(kept.size < m.fragments.size,
+      s"middle-digit pruning kept ${kept.size}/${m.fragments.size}")
+    assert(spark.read.parquet(kept.map(f =>
+      graft.format.LanceFormat.fragmentPath(new Path(dir), f.file).toString): _*)
+      .filter(col("b") === "s3").count() ==
+      spark.read.format("lance").load(dir).filter(col("b") === "s3").count())
+    // grid width guard: 4^3=64 tags fine; an absurd grid refuses
+    intercept[IllegalArgumentException](
+      Lance.clusterByBucket(spark, dir, Seq("a", "b", "c"), numBuckets = 2048))
+  }
+
   test("one side bucketed: v2 bucketing shuffle re-buckets only the other side") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.spjs", "graft.catalog.LanceCatalog")
