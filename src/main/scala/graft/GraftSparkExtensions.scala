@@ -87,6 +87,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_branches"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_branches"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_branches", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_consumers"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_consumers"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_consumers", args)))
     e.injectTableFunction((FunctionIdentifier("lance_constraints"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_constraints"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_constraints", args)))
@@ -119,7 +122,7 @@ object MetaTvfs {
         "lance_fts_highlight",
         "lance_stats", "vector_search_join", "lance_indexes",
         "lance_take", "lance_tags", "lance_branches",
-        "lance_constraints", "lance_maxsim").foreach { n =>
+        "lance_constraints", "lance_consumers", "lance_maxsim").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -475,6 +478,21 @@ object MetaTvfs {
             .add("n_rows", LongType, nullable = false)
             .add("tagged_at", TimestampType, nullable = false)
             .add("committed_at", TimestampType, nullable = false))
+      // registered external changefeed consumers: one row per named pin
+      // (name + consumed-through watermark + the current head, so the
+      // operator sees each consumer's lag at a glance)
+      case "lance_consumers" =>
+        val head = graft.format.LanceFormat.readLatest(fs, root)
+          .map(_.version).getOrElse(0L)
+        val rows = graft.format.LanceFormat.readLatest(fs, root)
+          .flatMap(_.properties).getOrElse(Map.empty)
+          .collect { case (k, v) if k.startsWith("graft.consumer.") =>
+            Row(k.stripPrefix("graft.consumer."), v.toLong, head - v.toLong)
+          }.toSeq.sortBy(_.getString(0))
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          new StructType().add("name", StringType, nullable = false)
+            .add("watermark", LongType, nullable = false)
+            .add("versions_behind", LongType, nullable = false))
       // DESCRIBE-CONSTRAINTS parity: one row per CHECK rule
       case "lance_constraints" =>
         val rows = graft.format.LanceFormat.readLatest(fs, root)

@@ -156,6 +156,11 @@ class OptimizeSpec extends AnyFunSuite {
       Lance.advanceConsumer(spark, dir, "etl-job", wm - 1))
     Lance.advanceConsumer(spark, dir, "etl-job", head)
     assert(Lance.consumers(spark, dir) == Map("etl-job" -> head))
+    // SQL surface: lance_consumers(path) lists pins + lag (the advance
+    // commit itself is one version past the watermark it stored)
+    val crow = spark.sql(s"SELECT * FROM lance_consumers('$dir')").collect()(0)
+    assert(crow.getString(0) == "etl-job" && crow.getLong(1) == head &&
+      crow.getLong(2) == 1L, crow.toString)
     spark.range(500, 505).select(col("id").as("k"))
       .coalesce(1).write.format("lance").mode("append").save(dir)
     Lance.optimize(spark, dir, minRows = 5)
