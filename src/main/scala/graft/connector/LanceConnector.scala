@@ -1017,12 +1017,24 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
           case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
           case _ => return kept // unexpected shape: never regroup blindly
         }
-        files.groupBy(f => byFile(f.toPath.getName)).toSeq.sortBy(_._1)
-          .zipWithIndex.map { case ((bucket, fs), i) =>
+        // ONE keyed partition per chunk, NOT per bucket: Spark's
+        // key-grouped execution groups same-key partitions itself
+        // (BatchScanExec.groupPartitions), so correctness is identical —
+        // but keeping chunks separate is what lets
+        // `v2.bucketing.partiallyClusteredDistribution.enabled` SPLIT a
+        // skewed bucket across tasks (replicating the other side)
+        // instead of funnelling a hot key into one monolithic task. The
+        // sort-free ordering claim is unaffected (it already requires
+        // exactly one file per bucket). Chunks sort by (bucket, file,
+        // offset) so a grouped task reads each file's chunks in order.
+        files.map(f => (byFile(f.toPath.getName), f))
+          .sortBy { case (b, f) => (b, f.toPath.getName, f.start) }
+          .zipWithIndex.map { case ((bucket, f), i) =>
             // the partition key carries ONE value per reported transform:
             // the tag's per-column grid digits, in key-column order
             LanceBucketedFilePartition(
-              org.apache.spark.sql.execution.datasources.FilePartition(i, fs),
+              org.apache.spark.sql.execution.datasources.FilePartition(
+                i, Array(f)),
               graft.format.BucketHash.gridDigits(
                 bucket, spec.columns.size, spec.numBuckets))
               : org.apache.spark.sql.connector.read.InputPartition
