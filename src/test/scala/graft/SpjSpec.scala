@@ -289,6 +289,55 @@ class SpjSpec extends AnyFunSuite {
       .contains("available"), props1.toString)
   }
 
+  test("skewed bucket: partially-clustered SPJ stays exchange-free and exact") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.spjsk", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.spjsk.warehouse", wh)
+    val left = s"$wh/db/skewfacts"
+    val right = s"$wh/db/skewdims"
+    // 90% of fact rows share ONE key: a hot bucket. Small files force
+    // many chunks in it, which the per-chunk partition keys keep
+    // splittable for the partially-clustered planner.
+    spark.range(0, 8000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 64)
+        .as("k"), col("id").as("v"))
+      .repartition(8).write.format("lance")
+      .option("write.max-rows-per-file", "500").mode("overwrite").save(left)
+    spark.range(0, 64).select(col("id").as("k"), (col("id") * 10).as("w"))
+      .write.format("lance").mode("overwrite").save(right)
+    Lance.clusterByBucket(spark, left, Seq("k"), numBuckets = 8,
+      maxRowsPerFile = 500L)
+    Lance.clusterByBucket(spark, right, Seq("k"), numBuckets = 8)
+    def q = spark.sql(
+      """SELECT l.k, COUNT(*) AS n, SUM(l.v) AS sv, SUM(r.w) AS sw
+        |FROM spjsk.db.skewfacts l JOIN spjsk.db.skewdims r ON l.k = r.k
+        |GROUP BY l.k""".stripMargin)
+    val expected = q.collect().map(_.toSeq).toSet
+    withSpjConfs {
+      val saved = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+        "true")
+      try {
+        val df = q
+        assert(df.collect().map(_.toSeq).toSet == expected,
+          "partially-clustered SPJ changed the answer")
+        val joins = joinNodes(df.queryExecution.executedPlan)
+        assert(joins.nonEmpty, s"no join:\n${df.queryExecution.executedPlan}")
+        joins.foreach(_.children.foreach { side =>
+          assert(!hasShuffleBelow(side) && !side.isInstanceOf[ShuffleExchangeLike],
+            s"exchange under a partially-clustered SPJ side:\n$side")
+        })
+      } finally saved match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      }
+    }
+  }
+
   test("three-column grid: purity, digit order, and subset-digit pruning") {
     val dir = tmpDir()
     spark.range(0, 3000).select(
