@@ -196,6 +196,21 @@ object MaterializedView {
     "mv-pin-" + java.security.MessageDigest.getInstance("SHA-256")
       .digest(viewAbs.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
+  /** Broadcast-size guard for star dims: the enrichment join FORCES a
+    * broadcast (that is what keeps delta refresh shuffle-light), so a
+    * dim that outgrew driver/executor memory must refuse loud at
+    * create/re-pin time, not OOM mid-refresh. Row count comes from the
+    * manifest — zero I/O. */
+  private def requireBroadcastable(spark: SparkSession, d: DimSpec,
+      m: graft.format.Manifest): Unit = {
+    val cap = spark.conf.getOption("spark.graft.mv.maxDimRows")
+      .map(_.toLong).getOrElse(10000000L)
+    require(m.rowCount <= cap,
+      s"star dim ${d.path} holds ${m.rowCount} rows (> $cap): the " +
+        "enrichment broadcasts the dim - raise spark.graft.mv.maxDimRows " +
+        "only if it truly fits in memory, or aggregate the dim first")
+  }
+
   /** LEFT-join every pinned dim onto `rows` (broadcast — a star dim is
     * the small side by definition). Dim-side join-key columns drop after
     * the join (the source key carries the value); attribute collisions
@@ -326,6 +341,7 @@ object MaterializedView {
         val (dfs, droot) = fsRoot(spark, d.path)
         val dm = LanceFormat.readLatest(dfs, droot).getOrElse(
           throw new IllegalArgumentException(s"no lance dataset at ${d.path} (dim)"))
+        requireBroadcastable(spark, d, dm)
         val dimFields = dm.schema.fieldNames.toSet
         d.keys.foreach { case (s, k) =>
           require(srcFields.contains(s),
@@ -804,8 +820,10 @@ object MaterializedView {
     val viewAbs = new java.io.File(viewPath).getAbsolutePath
     val repinned = dims.map { case (d, _) =>
       val (dfs, droot) = fsRoot(spark, d.path)
-      d -> LanceFormat.readLatest(dfs, droot).getOrElse(
-        throw new IllegalStateException(s"star dim vanished: ${d.path}")).version
+      val dm = LanceFormat.readLatest(dfs, droot).getOrElse(
+        throw new IllegalStateException(s"star dim vanished: ${d.path}"))
+      requireBroadcastable(spark, d, dm) // a dim can outgrow its view
+      d -> dm.version
     }
     repinned.foreach { case (d, v) =>
       graft.Lance.tag(spark, d.path, dimPinTag(viewAbs), Some(v), replace = true)

@@ -590,6 +590,22 @@ class MaterializedViewSpec extends AnyFunSuite {
     Lance.renameColumn(spark, dim, "seg", "segment") // now free
   }
 
+  test("star dims refuse when too big to broadcast (manifest row count)") {
+    val src = tmpDir(); val dim = tmpDir() + "/d"
+    (1L to 10L).map(i => (i, i % 3)).toDF("id", "cust")
+      .write.format("lance").mode("overwrite").save(src)
+    (0L to 9L).map(k => (k, s"s$k")).toDF("cust_k", "seg")
+      .write.format("lance").mode("overwrite").save(dim)
+    spark.conf.set("spark.graft.mv.maxDimRows", "5")
+    try {
+      val e = intercept[IllegalArgumentException](MaterializedView.create(
+        spark, tmpDir() + "/v", src, Seq("seg"),
+        Seq(AggSpec("count", "*", "n")),
+        dims = Seq(MaterializedView.DimSpec(dim, Map("cust" -> "cust_k")))))
+      assert(e.getMessage.contains("broadcasts the dim"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.mv.maxDimRows")
+  }
+
   test("create refuses bad aggregate arguments (type, resolution, shape)") {
     val src = tmpDir()
     (1L to 5L).map(i => (i, s"s$i", i * 1.0)).toDF("id", "name", "x")
