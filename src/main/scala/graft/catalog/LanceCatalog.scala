@@ -419,7 +419,8 @@ object LanceCatalog {
       "analyze_table", "set_bloom_filters", "optimize", "fsck",
       "create_mv", "refresh_mv", "set_properties", "unset_properties",
       "publish_branch", "create_replica", "sync_replica", "set_retention",
-      "register_consumer", "advance_consumer", "drop_consumer")
+      "register_consumer", "advance_consumer", "drop_consumer",
+      "drop_mv", "drop_replica")
 }
 
 private[catalog] object LanceProcedure {
@@ -528,6 +529,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "register_consumer" => "register a named external changefeed consumer watermark (graft.consumer.<name>): the retention vacuum keeps versions back to it - the Kafka consumer-offset shape for lance_changes readers outside the view/replica registry"
     case "advance_consumer" => "advance a registered consumer's watermark (monotonic) after its window is processed"
     case "drop_consumer" => "release a consumer's retention pin"
+    case "drop_mv" => "unregister a materialized view from its source (and its dims) and delete it; the source's feed window stops being pinned"
+    case "drop_replica" => "unregister a replica from its source and delete it; the source's feed window stops being pinned"
     case "refresh_fts" => "delta-index appended fragments into the FTS postings (touched buckets only)"
     case "drop_index" => "delete a column's index sidecars (ivf | fts | scalar | all) and evict session caches"
     case "build_scalar_index" => "build the value->fragment scalar index for point-lookup pruning"
@@ -656,6 +659,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("to_version", LongType).build())
     case "drop_consumer" => Array(in("table", StringType).build(),
       in("name", StringType).build())
+    case "drop_mv" => Array(in("view", StringType).build())
+    case "drop_replica" => Array(in("replica", StringType).build())
     case "refresh_fts" => Array(in("table", StringType).build(),
       in("column", StringType).comment("indexed text column").build())
     case "drop_index" => Array(in("table", StringType).build(),
@@ -915,6 +920,14 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       case "drop_consumer" =>
         val existed = graft.Lance.dropConsumer(spark, path,
           input.getUTF8String(1).toString)
+        (new StructType().add("existed", BooleanType, nullable = false),
+          new GenericInternalRow(Array[Any](existed)))
+      case "drop_mv" =>
+        val existed = graft.operators.MaterializedView.drop(spark, path)
+        (new StructType().add("existed", BooleanType, nullable = false),
+          new GenericInternalRow(Array[Any](existed)))
+      case "drop_replica" =>
+        val existed = graft.operators.Replica.drop(spark, path)
         (new StructType().add("existed", BooleanType, nullable = false),
           new GenericInternalRow(Array[Any](existed)))
       case "sync_replica" =>

@@ -298,6 +298,12 @@ class MaterializedViewSpec extends AnyFunSuite {
       assert(v3.columns.toSeq == Seq("tier", "n", "sx"))
       assert(v3.agg(sum("n")).as[Long].head() == 32L) // ids <= 8 deleted above
       assert(v3.count() == 2L)
+      // CALL drop_mv unregisters (source AND dim) and deletes
+      assert(spark.sql("CALL lance_mv.system.drop_mv('db.v3')")
+        .collect()(0).getAs[Boolean]("existed"))
+      assert(!new java.io.File(s"$wh/db/v3/_versions").exists())
+      assert(!Lance.tableProperties(spark, s"$wh/db/d")
+        .contains("graft.mv.dim-dependents"))
     } finally {
       spark.conf.unset("spark.sql.catalog.lance_mv")
       spark.conf.unset("spark.sql.catalog.lance_mv.warehouse")

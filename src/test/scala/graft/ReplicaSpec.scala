@@ -130,6 +130,13 @@ class ReplicaSpec extends AnyFunSuite {
       val s = spark.sql("CALL lance_rp.system.sync_replica('db.r')").collect()(0)
       assert(s.getAs[Long]("rows_inserted") == 10L)
       assert(spark.read.format("lance").load(s"$wh/db/r").count() == 40L)
+      // CALL drop_replica unregisters (releasing the retention pin) and
+      // deletes the replica
+      assert(spark.sql("CALL lance_rp.system.drop_replica('db.r')")
+        .collect()(0).getAs[Boolean]("existed"))
+      assert(!new java.io.File(s"$wh/db/r/_versions").exists())
+      assert(!Lance.tableProperties(spark, src)
+        .contains("graft.replica.dependents"))
     } finally {
       spark.conf.unset("spark.sql.catalog.lance_rp")
       spark.conf.unset("spark.sql.catalog.lance_rp.warehouse")
