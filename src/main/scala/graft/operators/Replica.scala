@@ -117,10 +117,12 @@ object Replica {
     * replica. Either side already gone is tolerated. */
   def drop(spark: SparkSession, replicaPath: String): Boolean = {
     val (rfs, rroot) = fsRoot(spark, replicaPath)
-    val existed = LanceFormat.readLatest(rfs, rroot).isDefined
+    // ONE snapshot read serves the existence check and the source lookup
+    val snapshot = LanceFormat.readLatest(rfs, rroot)
+    val existed = snapshot.isDefined
     val abs = rroot.toString
     if (existed) {
-      LanceFormat.readLatest(rfs, rroot).get.properties
+      snapshot.get.properties
         .getOrElse(Map.empty).get(PropSource).foreach { source =>
           val (sfs, sroot) = fsRoot(spark, source)
           if (LanceFormat.readLatest(sfs, sroot).isDefined)
