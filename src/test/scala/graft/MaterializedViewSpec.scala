@@ -596,6 +596,50 @@ class MaterializedViewSpec extends AnyFunSuite {
     Lance.renameColumn(spark, dim, "seg", "segment") // now free
   }
 
+  test("views stack: a rollup view can source another view") {
+    val src = tmpDir(); val vA = tmpDir() + "/a"; val vB = tmpDir() + "/b"
+    (1L to 400L).map(i => (i, s"g${i % 4}", s"s${i % 10}", i * 0.5))
+      .toDF("id", "grp", "sub", "x")
+      .repartition(3).write.format("lance").mode("overwrite").save(src)
+    // A: fine-grained (grp, sub) aggregate of the source
+    MaterializedView.create(spark, vA, src, Seq("grp", "sub"),
+      Seq(AggSpec("count", "*", "cnt"), AggSpec("sum", "x", "sx")))
+    // B: rollup of A to grp — A's refresh commits are ordinary
+    // fragment-level changes, so B's feed is exact (delete+insert pairs
+    // of rewritten state rows) and its delta arithmetic just works
+    MaterializedView.create(spark, vB, vA, Seq("grp"),
+      Seq(AggSpec("sum", "cnt", "rows"), AggSpec("sum", "sx", "total")))
+    // exact two-level recompute: B sums A's already-rounded per-(grp,
+    // sub) decimal sums, so the expectation mirrors that shape exactly
+    def expectStacked() = {
+      val base = spark.read.format("lance").load(src)
+      base.groupBy("grp", "sub").agg(Tables.dsum(col("x")).as("sx"))
+        .groupBy("grp").agg(Tables.dsum(col("sx"), 2).as("total"))
+        .join(base.groupBy("grp").agg(count(lit(1)).as("rows")), Seq("grp"))
+        .select("grp", "rows", "total")
+    }
+    def gotB() = MaterializedView.read(spark, vB)
+      .select("grp", "rows", "total")
+    assertSame(gotB(), expectStacked(), "stacked seed")
+    // source DML -> refresh A (delta) -> refresh B (delta over A's feed)
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      Lance.deleteWhere(spark, src, "id % 6 = 1")
+      Lance.updateWhere(spark, src, "id % 6 = 2", Map("x" -> "x * 3"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    assert(MaterializedView.refresh(spark, vA).mode == "delta")
+    assert(MaterializedView.refresh(spark, vB).mode == "delta")
+    assertSame(gotB(), expectStacked(), "stacked delta refresh drifted")
+    // optimize(A) cascades: it refreshes B (registered on A)
+    (401L to 420L).map(i => (i, s"g${i % 4}", s"s${i % 10}", i * 0.5))
+      .toDF("id", "grp", "sub", "x")
+      .write.format("lance").mode("append").save(src)
+    MaterializedView.refresh(spark, vA)
+    val r = Lance.optimize(spark, vA)
+    assert(r.viewsRefreshed == 1, r.toString)
+    assertSame(gotB(), expectStacked(), "optimize(A) must keep the rollup fresh")
+  }
+
   test("star dims refuse when too big to broadcast (manifest row count)") {
     val src = tmpDir(); val dim = tmpDir() + "/d"
     (1L to 10L).map(i => (i, i % 3)).toDF("id", "cust")
