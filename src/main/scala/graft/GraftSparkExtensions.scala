@@ -482,10 +482,12 @@ object MetaTvfs {
       // (name + consumed-through watermark + the current head, so the
       // operator sees each consumer's lag at a glance)
       case "lance_consumers" =>
-        val head = graft.format.LanceFormat.readLatest(fs, root)
-          .map(_.version).getOrElse(0L)
-        val rows = graft.format.LanceFormat.readLatest(fs, root)
-          .flatMap(_.properties).getOrElse(Map.empty)
+        // ONE snapshot read: head and properties from the same manifest
+        // (two reads could straddle a concurrent commit and show a
+        // negative lag)
+        val m = graft.format.LanceFormat.readLatest(fs, root)
+        val head = m.map(_.version).getOrElse(0L)
+        val rows = m.flatMap(_.properties).getOrElse(Map.empty)
           .collect { case (k, v) if k.startsWith("graft.consumer.") =>
             Row(k.stripPrefix("graft.consumer."), v.toLong, head - v.toLong)
           }.toSeq.sortBy(_.getString(0))

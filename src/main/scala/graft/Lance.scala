@@ -1157,6 +1157,15 @@ object Lance {
       toVersion: Long): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    // bounded BOTH ways: backwards would silently re-pin vacuumable
+    // history; beyond the head (a typo'd version, an epoch-millis
+    // timestamp) would silently RELEASE the pin — the monotonic guard
+    // then blocks correcting it, converting one bad call into data loss
+    val latest = graft.format.LanceFormat.readLatest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no lance dataset at $path")).version
+    require(toVersion <= latest,
+      s"consumer '$name' cannot advance to $toVersion: the table is only " +
+        s"at version $latest")
     graft.format.LanceFormat.commitPropertiesWith(fs, root, { prev =>
       val cur = prev.getOrElse(s"graft.consumer.$name",
         throw new IllegalArgumentException(
@@ -1376,9 +1385,16 @@ object Lance {
       .getOrElse(throw new IllegalStateException(s"no dataset at $path"))
     if (bad.nonEmpty) {
       // ---- quarantine split: branch-only rows divide by the audited
-      // conjunction; fragments can't adopt by reference once split
+      // conjunction; fragments can't adopt by reference once split.
+      // The split reasons per-fragment, so it needs the SAME append-only
+      // lineage proof rebase runs — a branch commit that replaced a
+      // fork-time fragment would otherwise double-publish its rows.
+      graft.format.LanceFormat.requireAppendOnlyBranch(fs, bp, name,
+        "quarantine-publish")
+      // the fork-point manifest comes from the BRANCH's own lineage —
+      // main's copy of that version may be legitimately vacuumed
       val bm = graft.format.LanceFormat.readManifestIn(fs, bp, auditedHead)
-      val baseFiles = graft.format.LanceFormat.readManifest(fs, root, base)
+      val baseFiles = graft.format.LanceFormat.readManifestIn(fs, bp, base)
         .fragments.map(_.file).toSet
       val branchOnly = bm.fragments.filterNot(f => baseFiles.contains(f.file))
       require(branchOnly.nonEmpty, s"branch '$name' has violations but no " +
@@ -1390,6 +1406,18 @@ object Lance {
         else raw.toDF(bm.schema.fieldNames.toIndexedSeq: _*)
       val pass = checks.values.toSeq
         .map(e => coalesce(expr(e), lit(false))).reduce(_ && _)
+      // this publish is NOT atomic (quarantine write, then main append,
+      // then branch drop): a marker in the branch dir records the
+      // attempt AFTER every read-only validation, so a re-run following
+      // a mid-flight crash refuses loud instead of double-landing rows
+      // on either side (deleteBranch removes the marker with the branch)
+      val marker = new org.apache.hadoop.fs.Path(bp, "_quarantine_publish")
+      require(!fs.exists(marker),
+        s"a previous quarantine publish of branch '$name' started and did " +
+          "not finish: verify what landed (main + branch " +
+          s"'$name-quarantine'), then delete the branch (or the marker " +
+          s"$marker to force a retry)")
+      fs.create(marker, false).close()
       // violations FIRST (touches nothing shared), on a violations-ONLY
       // lineage: a hand-seeded empty branch dir makes this write its v1,
       // so readers see exactly the quarantined rows, no base data
@@ -1407,7 +1435,9 @@ object Lance {
       // branch after the audit must not publish unaudited
       require(graft.format.LanceFormat.listVersionsIn(fs, bp).last == auditedHead,
         s"branch '$name' moved past the audited head $auditedHead during " +
-          "the quarantine split - main is untouched; re-run the publish")
+          "the quarantine split - main is untouched, but staged violations " +
+          s"landed on '$name-quarantine'; inspect them, delete the " +
+          s"marker ($bp/_quarantine_publish), and re-run")
       rows.filter(pass).write.format("lance").mode("append").save(path)
       // the audited branch's rows now live in main + quarantine: drop it
       // so a re-publish cannot double-land them

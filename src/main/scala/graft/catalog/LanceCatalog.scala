@@ -471,9 +471,14 @@ private[catalog] object LanceProcedure {
           "func in count|sum|min|max|avg|count_distinct)")
       if (open <= 0) bad()
       val func = t.substring(0, open).trim.toLowerCase
-      var depth = 0; var close = -1; var i = open
+      // quote-aware paren matching (splitTopLevel's rule): a paren
+      // inside a string literal — instr(s, '(') — is not structure
+      var depth = 0; var close = -1; var i = open; var quote: Char = 0
       while (i < t.length && close < 0) {
-        t(i) match {
+        val ch = t(i)
+        if (quote != 0) { if (ch == quote) quote = 0 }
+        else ch match {
+          case '\'' | '"' => quote = ch
           case '(' => depth += 1
           case ')' => depth -= 1; if (depth == 0) close = i
           case _ => ()

@@ -915,6 +915,9 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
         // one column leaf per expression). A join covering every key
         // column goes exchange-free on both sides; a subset-key join
         // fails satisfies0 and shuffles normally (correct, never wrong).
+        // Legacy (pre-grid, scheme-less) composite tags cannot be read
+        // as digits — withdraw the claim until a rebucket re-tags.
+        else if (!spec.compositeTagsReadable) None
         else if (!spec.columns.forall(m.schema.fieldNames.contains)) None
         else {
           val tagByName = m.fragments

@@ -150,7 +150,7 @@ object BucketPrune {
 
   def prune(m: Manifest, filters: Seq[sources.Filter],
       frags: Seq[FragmentMeta]): Seq[FragmentMeta] = m.bucketBy match {
-    case Some(BucketSpecMeta(n, Seq(col))) =>
+    case Some(BucketSpecMeta(n, Seq(col), _)) =>
       // filters arrive in PHYSICAL names from the scan's runtime-filter
       // path but in LOGICAL names from the DML scoping path — match
       // either. Sound because a rename never frees its physical name for
@@ -171,8 +171,10 @@ object BucketPrune {
     // composite key, GRID tags: each column is an independent digit of
     // the fragment tag, so equality evidence on ANY subset of the key
     // columns prunes on its digit(s) — no cross product, no all-bound
-    // requirement (the old tuple-hash layout needed every component).
-    case Some(BucketSpecMeta(n, cols)) if cols.size > 1 =>
+    // requirement. Gated on the spec's scheme: a legacy tuple-hash tag
+    // decoded as digits would prune WRONG, not just less.
+    case Some(spec @ BucketSpecMeta(n, cols, _))
+        if cols.size > 1 && spec.compositeTagsReadable =>
       val perDigit: Seq[Option[Set[Int]]] = cols.map { c =>
         val names = Set(c, m.physicalName(c))
         val dt = m.schema.fields.find(_.name == c).map(_.dataType)

@@ -38,16 +38,30 @@ case class FragmentMeta(id: Int, file: String, rowCount: Long,
     bytes: Option[Long] = None)
 
 /** Declared hash-bucket clustering ([[graft.Lance.clusterByBucket]]):
-  * rows are routed to `pmod(murmur3(columns), numBuckets)` at write time
-  * and fragments are bucket-pure, so a scan can report Spark's
-  * `KeyGroupedPartitioning` and two tables bucketed the same way join
-  * WITHOUT a shuffle (storage-partitioned join — Iceberg's bucket
-  * transform shape). `columns` are LOGICAL names; remapped on RENAME,
-  * cleared when a bucket column is dropped, and a bucket column refuses
-  * ALTER TYPE widening (the hash is type-dependent — a widened writer
-  * would route the same key to a different bucket).
+  * rows are routed to a bucket tag at write time and fragments are
+  * bucket-pure, so a scan can report Spark's `KeyGroupedPartitioning`
+  * and two tables bucketed the same way join WITHOUT a shuffle
+  * (storage-partitioned join — Iceberg's bucket transform shape).
+  * `columns` are LOGICAL names; remapped on RENAME, cleared when a
+  * bucket column is dropped, and a bucket column refuses ALTER TYPE
+  * widening (the hash is type-dependent — a widened writer would route
+  * the same key to a different bucket).
+  *
+  * `scheme` versions the TAG semantics for composite keys. Unary specs
+  * are `pmod(murmur3(col), n)` under every scheme. Composite specs:
+  * `Some("grid")` (written since round 11) = the row-major per-column
+  * digit composition ([[BucketHash.gridTagOfInternal]]); `None` = a
+  * legacy chained-tuple-hash layout — its tags MUST NOT be decoded as
+  * grid digits (wrong pruning, mis-aligned joins), so readers treat
+  * such fragments as untagged (never prune, no SPJ) until a
+  * `CALL rebucket`/`cluster_by_bucket` rewrite re-tags them.
   */
-case class BucketSpecMeta(numBuckets: Int, columns: Seq[String])
+case class BucketSpecMeta(numBuckets: Int, columns: Seq[String],
+    scheme: Option[String] = None) {
+  /** Composite tags are trustworthy only under the grid scheme. */
+  def compositeTagsReadable: Boolean =
+    columns.size == 1 || scheme.contains("grid")
+}
 
 /** One row-level change-data-feed file of a DML commit (Delta CDF's
   * `_change_data` shape): a parquet file in `data/` carrying exact
@@ -1160,7 +1174,11 @@ object LanceFormat {
       require(cols.isEmpty || prev.clusterBy.forall(_.isEmpty),
         s"table at $root is z-order clustered (${prev.clusterBy.get.mkString(",")})" +
           " - the two layouts are mutually exclusive; cluster([]) first")
-      val newSpec = Some(BucketSpecMeta(numBuckets, cols)).filter(_.columns.nonEmpty)
+      // composite tags are grid-schemed from now on; re-declaring over a
+      // legacy (scheme-less) spec reads as a CHANGED spec, so the tag
+      // clearing below retires the old tuple-hash tags automatically
+      val newSpec = Some(BucketSpecMeta(numBuckets, cols,
+        scheme = Some("grid"))).filter(_.columns.nonEmpty)
       // a CHANGED spec invalidates every per-fragment bucket tag: the
       // tags were computed under the OLD (n, columns) and reading them
       // through the new spec would mis-prune (silently missing rows) and
@@ -1801,6 +1819,32 @@ object LanceFormat {
     * commit. The branch itself is left untouched — delete it once its
     * work is adopted. Returns (branchHeadVersion, newMainVersion).
     */
+  /** Prove a branch lineage is append-only since its fork — the shared
+    * precondition for any adoption that reasons per-fragment (rebase and
+    * the quarantine publish's row split alike): a branch commit that
+    * REMOVED fragments would make "branch-only fragments" double-count
+    * or resurrect rows. */
+  private[graft] def requireAppendOnlyBranch(fs: FileSystem, bp: Path,
+      name: String, verb: String): Unit = {
+    val vs = listVersionsIn(fs, bp)
+    val base = vs.head
+    var prev = readManifestIn(fs, bp, base).fragments
+    vs.filter(_ > base).foreach { v =>
+      val m = readManifestIn(fs, bp, v)
+      require(m.operation.contains("append"),
+        s"cannot $verb '$name': branch v$v is a " +
+          s"${m.operation.getOrElse("pre-operation-field")} commit, not an " +
+          "append - non-append branch histories need a merge, which this " +
+          "format does not support")
+      val curFiles = m.fragments.map(_.file).toSet
+      val removed = prev.filterNot(f => curFiles.contains(f.file))
+      require(removed.isEmpty,
+        s"cannot $verb '$name': branch v$v removed fragment(s) " +
+          s"${removed.map(_.file).mkString(", ")} - not append-only")
+      prev = m.fragments
+    }
+  }
+
   def rebaseBranch(fs: FileSystem, root: Path, name: String,
       validate: (StructType, Seq[FragmentMeta]) => Unit = (_, _) => (),
       expectedHead: Option[Long] = None): (Long, Long) = {
@@ -1816,22 +1860,7 @@ object LanceFormat {
     val mainLatest = readLatest(fs, root).getOrElse(
       throw new IllegalStateException(s"no dataset at $root"))
     if (vs.last == base) return (base, mainLatest.version) // nothing to adopt
-    // prove the branch lineage is append-only since the fork
-    var prev = readManifestIn(fs, bp, base).fragments
-    vs.filter(_ > base).foreach { v =>
-      val m = readManifestIn(fs, bp, v)
-      require(m.operation.contains("append"),
-        s"cannot rebase '$name': branch v$v is a " +
-          s"${m.operation.getOrElse("pre-operation-field")} commit, not an " +
-          "append - non-append branch histories need a merge, which this " +
-          "format does not support")
-      val curFiles = m.fragments.map(_.file).toSet
-      val removed = prev.filterNot(f => curFiles.contains(f.file))
-      require(removed.isEmpty,
-        s"cannot rebase '$name': branch v$v removed fragment(s) " +
-          s"${removed.map(_.file).mkString(", ")} - not append-only")
-      prev = m.fragments
-    }
+    requireAppendOnlyBranch(fs, bp, name, "rebase")
     val head = readManifestIn(fs, bp, vs.last)
     val baseFiles = readManifestIn(fs, bp, base).fragments.map(_.file).toSet
     val mainFiles = mainLatest.fragments.map(_.file).toSet

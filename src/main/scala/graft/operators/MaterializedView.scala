@@ -362,15 +362,6 @@ object MaterializedView {
         d -> dm.version
       }
     }
-    pinned.foreach { case (d, v) =>
-      graft.Lance.tag(spark, d.path, dimPinTag(viewAbs), Some(v), replace = true)
-      val (dfs, droot) = fsRoot(spark, d.path)
-      LanceFormat.commitPropertiesWith(dfs, droot, { prev =>
-        val cur = prev.get(PropDimDependents).toSeq.flatMap(_.split('\n'))
-        if (cur.contains(viewAbs)) prev
-        else prev + (PropDimDependents -> (cur :+ viewAbs).mkString("\n"))
-      })
-    }
     // group columns resolve over the ENRICHED namespace (source + dims)
     val enrichedProbe = enrich(spark, spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), srcM.schema), pinned)
@@ -414,6 +405,18 @@ object MaterializedView {
     val (vfs, vroot) = fsRoot(spark, viewPath)
     require(LanceFormat.readLatest(vfs, vroot).isEmpty,
       s"dataset already exists at $viewPath")
+    // dim pin tags + guard registrations land only AFTER every
+    // validation above: a refused create (bad column, existing view
+    // path) must not leak a permanent vacuum pin on the dim
+    pinned.foreach { case (d, v) =>
+      graft.Lance.tag(spark, d.path, dimPinTag(viewAbs), Some(v), replace = true)
+      val (dfs, droot) = fsRoot(spark, d.path)
+      LanceFormat.commitPropertiesWith(dfs, droot, { prev =>
+        val cur = prev.get(PropDimDependents).toSeq.flatMap(_.split('\n'))
+        if (cur.contains(viewAbs)) prev
+        else prev + (PropDimDependents -> (cur :+ viewAbs).mkString("\n"))
+      })
+    }
     // register FIRST (metadata commit on the source), then materialize
     // at the registration-inclusive version — the stored watermark then
     // names a version that already carries the registration, so the
@@ -630,10 +633,13 @@ object MaterializedView {
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val srcSchema = srcM.schema
-    // arg types resolve against the feed (source columns + _change_type),
-    // so expression aggregates type the same as at create time
+    // arg columns and types resolve against the ENRICHED feed (source +
+    // dim columns + _change_type), the same namespace create validated —
+    // resolving against the raw source schema would mis-route a plain
+    // dim column name through expr() (dots would parse as field access)
     val types = argTypes(feed, aggs)
-    def arg(a: AggSpec) = argCol(srcSchema, a.column)
+    val feedSchema = feed.schema
+    def arg(a: AggSpec) = argCol(feedSchema, a.column)
     // min/max AND count_distinct share the removal posture: a removed
     // row may have been the extremum / a sketch can't un-merge a value
     val hasMinMax = aggs.exists(a =>
@@ -815,8 +821,12 @@ object MaterializedView {
     val (sfs, sroot) = fsRoot(spark, source)
     val vN = LanceFormat.readLatest(sfs, sroot).get.version
     // star dims RE-PIN to their current versions: the rebuilt state and
-    // the new pins land in ONE commit (a crash keeps the old snapshot
-    // consistent); the moved tag releases the old dim version to vacuum
+    // the new pin PROPERTY land in ONE commit. The tag MOVES only after
+    // that commit succeeds — a crash mid-rebuild leaves the old
+    // state/pin/tag fully consistent (moving the tag first would strip
+    // the vacuum protection off the version the stored spec still
+    // names). The post-commit crash window (property=new, tag=old) is
+    // benign: the new pin is the dim's HEAD, which any vacuum keeps.
     val viewAbs = new java.io.File(viewPath).getAbsolutePath
     val repinned = dims.map { case (d, _) =>
       val (dfs, droot) = fsRoot(spark, d.path)
@@ -824,9 +834,6 @@ object MaterializedView {
         throw new IllegalStateException(s"star dim vanished: ${d.path}"))
       requireBroadcastable(spark, d, dm) // a dim can outgrow its view
       d -> dm.version
-    }
-    repinned.foreach { case (d, v) =>
-      graft.Lance.tag(spark, d.path, dimPinTag(viewAbs), Some(v), replace = true)
     }
     val src0 = spark.read.format("lance")
       .option("versionAsOf", vN.toString).load(source)
@@ -839,6 +846,9 @@ object MaterializedView {
           (if (repinned.isEmpty) Map.empty
            else Map(PropDims -> encodeDims(repinned)))))
       .save(viewPath)
+    repinned.foreach { case (d, v) =>
+      graft.Lance.tag(spark, d.path, dimPinTag(viewAbs), Some(v), replace = true)
+    }
     RefreshResult("full", v0, vN, -1L)
   }
 

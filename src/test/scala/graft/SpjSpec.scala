@@ -370,6 +370,38 @@ class SpjSpec extends AnyFunSuite {
       Lance.clusterByBucket(spark, dir, Seq("a", "b", "c"), numBuckets = 2048))
   }
 
+  test("legacy (scheme-less) composite tags are never decoded as grid digits") {
+    val dir = tmpDir()
+    spark.range(0, 2000).select(
+        pmod(col("id"), lit(30)).as("a"),
+        concat(lit("s"), pmod(col("id"), lit(5))).as("b"),
+        col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.clusterByBucket(spark, dir, Seq("a", "b"), numBuckets = 4)
+    val m0 = manifest(dir)
+    assert(m0.bucketBy.get.scheme.contains("grid"))
+    // simulate a pre-grid table: same spec, no scheme marker (its tags
+    // would have been tuple hashes; decoding them as digits mis-prunes)
+    graft.format.LanceFormat.commit(fs(dir), new Path(dir),
+      m0.copy(version = m0.version + 1,
+        bucketBy = m0.bucketBy.map(_.copy(scheme = None))), None)
+    val m1 = manifest(dir)
+    assert(!m1.bucketBy.get.compositeTagsReadable)
+    import org.apache.spark.sql.sources._
+    // pruning withdraws entirely (never wrong, just conservative)
+    assert(BucketPrune.prune(m1,
+      Seq(EqualTo("a", 5L), EqualTo("b", "s3")), m1.fragments).size ==
+      m1.fragments.size)
+    // and re-declaring the layout re-tags under the grid scheme
+    Lance.clusterByBucket(spark, dir, Seq("a", "b"), numBuckets = 4)
+    val m2 = manifest(dir)
+    assert(m2.bucketBy.get.compositeTagsReadable)
+    assert(BucketPrune.prune(m2,
+      Seq(EqualTo("a", 5L), EqualTo("b", "s3")), m2.fragments).size <
+      m2.fragments.size)
+    assertPure(dir)
+  }
+
   test("one side bucketed: v2 bucketing shuffle re-buckets only the other side") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.spjs", "graft.catalog.LanceCatalog")

@@ -107,6 +107,20 @@ class WapSpec extends AnyFunSuite {
     assert(qprops.get("graft.wap.violations.finite").contains("1"))
     // the audited branch is gone: a re-publish cannot double-land rows
     intercept[Exception](Lance.publishBranch(spark, dir, "ingest"))
+    // a half-finished quarantine publish (marker present) refuses a
+    // re-run loud instead of double-landing rows on either side
+    Lance.createBranch(spark, dir, "crashy")
+    Seq((200L, -1.0)).toDF("id", "x")
+      .write.format("lance").option("write.branch", "crashy").mode("append").save(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val bfs = graft.format.LanceFormat.fileSystem(root,
+      spark.sessionState.newHadoopConf())
+    bfs.create(new org.apache.hadoop.fs.Path(
+      graft.format.LanceFormat.branchPath(root, "crashy"),
+      "_quarantine_publish"), false).close()
+    val em = intercept[IllegalArgumentException](Lance.publishBranch(
+      spark, dir, "crashy", Map("positive" -> "x > 0"), quarantine = true))
+    assert(em.getMessage.contains("did not finish"), em.getMessage)
     // a CLEAN batch under quarantine publishes by reference (plain path)
     Lance.createBranch(spark, dir, "clean")
     (100L to 104L).map(i => (i, i * 1.0)).toDF("id", "x")
