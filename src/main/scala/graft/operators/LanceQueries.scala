@@ -2232,8 +2232,14 @@ object LanceQueries {
       AggSpec("sum", "l_extendedprice * (1 - l_discount)", "rev", scale = 4)))
     spark.conf.set("spark.graft.dml.changeFeed", "true")
     try {
-      graft.Lance.deleteWhere(spark, src, "l_orderkey % 9 = 2")
-      graft.Lance.updateWhere(spark, src, "l_orderkey % 9 = 3",
+      // FIXED-size change at any sf (the bound keeps the rewrite scoped
+      // to the fragments holding low orderkeys — the change-bounded
+      // shape an incremental view exists for); still crosses every
+      // l_returnflag group
+      graft.Lance.deleteWhere(spark, src,
+        "l_orderkey % 9 = 2 AND l_orderkey <= 30000")
+      graft.Lance.updateWhere(spark, src,
+        "l_orderkey % 9 = 3 AND l_orderkey <= 30000",
         Map("l_discount" -> "0.5"))
     } finally spark.conf.unset("spark.graft.dml.changeFeed")
     val r = MaterializedView.refresh(spark, view)
@@ -2932,9 +2938,10 @@ object LanceQueries {
     "s121_mv_expr" ->
       """WITH final AS (
         |  SELECT l_returnflag, l_extendedprice,
-        |         CASE WHEN l_orderkey % 9 = 3 THEN 0.5
-        |              ELSE l_discount END AS l_discount
-        |  FROM lineitem WHERE l_orderkey % 9 <> 2
+        |         CASE WHEN l_orderkey % 9 = 3 AND l_orderkey <= 30000
+        |              THEN 0.5 ELSE l_discount END AS l_discount
+        |  FROM lineitem
+        |  WHERE NOT (l_orderkey % 9 = 2 AND l_orderkey <= 30000)
         |)
         |SELECT l_returnflag, COUNT(*) AS n,
         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
