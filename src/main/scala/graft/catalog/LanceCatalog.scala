@@ -851,8 +851,11 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       case "create_mv" =>
         val source = catalog.resolveTableArg(
           input.getUTF8String(1).toString).toString
-        val groupBy = input.getUTF8String(2).toString.split(',')
-          .map(_.trim).filter(_.nonEmpty).toSeq
+        // depth/quote-aware split: a group entry may be an expression
+        // with its own commas (`date_format(d, 'yyyy-MM') AS omonth`)
+        val groupBy = LanceProcedure.splitTopLevel(
+          input.getUTF8String(2).toString)
+          .map(_.trim).filter(_.nonEmpty)
         val aggs = LanceProcedure.parseAggList(input.getUTF8String(3).toString)
         val where = Some(input.getUTF8String(4).toString.trim).filter(_.nonEmpty)
         // star dims: 'table|srcKey=dimKey[,k2=d2]' entries ';'-separated

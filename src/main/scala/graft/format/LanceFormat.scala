@@ -1023,7 +1023,10 @@ object LanceFormat {
       val exprs: Seq[String] =
         dprops.get("graft.mv.aggs").toSeq.flatMap(_.split('\n'))
           .map(_.split(":", 4).last).filter(_ != "*") ++
-          dprops.get("graft.mv.where").toSeq
+          dprops.get("graft.mv.where").toSeq ++
+          // expression group keys (`alias:expr` lines): the expr half
+          dprops.get("graft.mv.group-exprs").toSeq.flatMap(_.split('\n'))
+            .map(_.split(":", 2).last)
       columns.foreach { c =>
         require(!listed.contains(c),
           s"cannot $action '$c': registered dependent $dp references it - " +

@@ -2338,6 +2338,51 @@ object LanceQueries {
     got.withColumn("mode", lit(r.mode)).orderBy(col("c_mktsegment"))
   }
 
+  /** Expression GROUP KEY materialized view (s124): the view rolls up by
+    * a COMPUTED time bucket — `date_format(o_orderdate, 'yyyy-MM') AS
+    * omonth`, the dashboard time-series norm — alongside a plain column.
+    * The key expression evaluates per feed image (enrich → WHERE → keys,
+    * the create-time order), so the delta arithmetic is unchanged: a
+    * mixed DML batch refreshes by signed per-group sums (mode=delta
+    * require()d) and equals a full recompute exactly. */
+  def s124MvRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.AggSpec
+    val src = scratch(dir, "mv_src_rollup")
+    val view = scratch(dir, "mv_view_rollup")
+    freshDataset(spark, src); freshDataset(spark, view)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src,
+      Seq("date_format(o_orderdate, 'yyyy-MM') AS omonth", "o_orderstatus"),
+      Seq(AggSpec("count", "*", "n"),
+        AggSpec("sum", "o_totalprice", "sum_price")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      // FIXED-size change at any sf (the s121 convention); deletes and
+      // updates both cross many (omonth, o_orderstatus) groups
+      graft.Lance.deleteWhere(spark, src,
+        "o_orderkey % 7 = 2 AND o_orderkey <= 30000")
+      graft.Lance.updateWhere(spark, src,
+        "o_orderkey % 7 = 3 AND o_orderkey <= 30000",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta",
+      s"expression group keys must keep the delta path, got $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src)
+      .groupBy(expr("date_format(o_orderdate, 'yyyy-MM')").as("omonth"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    require(sameRows(got, expect),
+      "expression-key incremental refresh drifted from recompute")
+    got.withColumn("mode", lit(r.mode))
+      .orderBy(col("omonth"), col("o_orderstatus"))
+  }
+
   /** Write-audit-publish (s117): evens land on main, odds stage on an
     * audit branch. A first publish with an impossible quality bar is
     * REFUSED (main provably still evens-only — that count rides the
@@ -2774,6 +2819,7 @@ object LanceQueries {
     "s121_mv_expr" -> s121MvExpr,
     "s122_mv_distinct" -> s122MvDistinct,
     "s123_mv_star" -> s123MvStar,
+    "s124_mv_rollup" -> s124MvRollup,
     "s117_publish" -> s117Publish,
     "s118_replica" -> s118Replica,
     "s119_mv_auto" -> s119MvAuto,
@@ -2973,6 +3019,21 @@ object LanceQueries {
         | 'delta' AS mode
         |FROM final LEFT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // s124: delta-mode + exactness are the require()s; the oracle
+    // reproduces the post-DML time-bucket rollup from raw parquet
+    "s124_mv_rollup" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |         CASE WHEN o_orderkey % 7 = 3 AND o_orderkey <= 30000
+        |              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 7 = 2 AND o_orderkey <= 30000)
+        |)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS omonth, o_orderstatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | 'delta' AS mode
+        |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // s120: the join aggregate is layout-independent; composite-key
     // shuffle-freedom is the require() + planted literal (s108 pattern)
     "s120_spj_composite" ->

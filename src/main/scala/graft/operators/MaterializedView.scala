@@ -64,6 +64,56 @@ object MaterializedView {
     * union-able, so insert-only windows delta-merge; a removal can't
     * un-merge, so removing windows take the scoped-group rescan (the
     * min/max posture). */
+  /** One group key: `alias` is the view's column name, `expr` the scalar
+    * SQL that computes it from the (enriched) source row. Plain column
+    * keys have `expr == alias` (the original surface); expression keys
+    * (`date_format(o_orderdate, 'yyyy-MM') AS omonth` — the time-rollup
+    * norm) evaluate per row, so the change-feed delta arithmetic is
+    * unchanged: a feed image keys exactly like the original row did. */
+  case class GroupKey(expr: String, alias: String) {
+    def isPlain: Boolean = expr == alias
+    require(alias.nonEmpty && !alias.startsWith("_"),
+      s"group alias '$alias' empty or starts with '_' (reserved)")
+    // alias rides the comma-joined group-by property and the ':'-split
+    // expr property; expr rides a newline-joined property
+    require(!alias.contains(',') && !alias.contains(':') &&
+      !alias.contains('\n'),
+      s"group alias '$alias' may not contain ',', ':' or newline")
+    require(!expr.contains('\n'), s"group expr '$expr' may not contain newline")
+  }
+
+  /** Parse one group-key entry: a plain column name, or `<expr> AS
+    * <alias>` with the AS matched at TOP level only — quote- and
+    * paren-aware, so `cast(x AS int) AS day` keeps its inner AS. */
+  private[graft] def parseGroupKey(s: String): GroupKey = {
+    val t = s.trim
+    var depth = 0; var quote: Char = 0; var asAt = -1; var i = 0
+    while (i < t.length) {
+      val ch = t(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' | '`' => quote = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'a' | 'A' if depth == 0 && i > 0 && t(i - 1).isWhitespace &&
+            i + 2 < t.length && (t(i + 1) == 's' || t(i + 1) == 'S') &&
+            t(i + 2).isWhitespace =>
+          asAt = i // LAST top-level AS wins (left side may nest CASE..AS)
+        case _ => ()
+      }
+      i += 1
+    }
+    if (asAt < 0) GroupKey(t, t)
+    else GroupKey(t.substring(0, asAt).trim, t.substring(asAt + 2).trim)
+  }
+
+  /** Materialize every expression key as its alias column; plain keys
+    * already ARE columns. Applied to the (enriched, filtered) source and
+    * to each feed image identically, so gid/state agree across paths. */
+  private def withKeys(df: DataFrame, keys: Seq[GroupKey]): DataFrame =
+    keys.filterNot(_.isPlain).foldLeft(df)((d, k) =>
+      d.withColumn(k.alias, expr(k.expr)))
+
   case class AggSpec(func: String, column: String, alias: String, scale: Int = 2) {
     require(Set("count", "sum", "min", "max", "avg", "count_distinct")
       .contains(func),
@@ -118,6 +168,11 @@ object MaterializedView {
 
   private val PropSource = "graft.mv.source"
   private val PropGroupBy = "graft.mv.group-by"
+  /** Expression group keys only: newline-joined `alias:expr` lines
+    * (alias guards ':'; expr may contain any). Plain-column views omit
+    * the property entirely — their manifests are byte-identical to the
+    * pre-expression format. */
+  private val PropGroupExprs = "graft.mv.group-exprs"
   private val PropAggs = "graft.mv.aggs"
   private val PropVersion = "graft.mv.version"
   private val PropWhere = "graft.mv.where"
@@ -228,6 +283,24 @@ object MaterializedView {
       }
     }
 
+  /** Group keys as properties: PropGroupBy carries the comma-joined
+    * ALIASES (the view's group columns — unchanged from the plain-column
+    * format); PropGroupExprs adds `alias:expr` lines for expression keys
+    * only. */
+  private def encodeGroupKeys(keys: Seq[GroupKey]): Map[String, String] =
+    Map(PropGroupBy -> keys.map(_.alias).mkString(",")) ++
+      (if (keys.forall(_.isPlain)) Map.empty
+       else Map(PropGroupExprs -> keys.filterNot(_.isPlain)
+         .map(k => s"${k.alias}:${k.expr}").mkString("\n")))
+  private def decodeGroupKeys(props: Map[String, String]): Seq[GroupKey] = {
+    val exprs = props.get(PropGroupExprs).toSeq.flatMap(_.split('\n'))
+      .filter(_.nonEmpty).map { line =>
+        val Array(a, e) = line.split(":", 2); a -> e
+      }.toMap
+    props(PropGroupBy).split(',').toSeq
+      .map(a => GroupKey(exprs.getOrElse(a, a), a))
+  }
+
   /** Encode/decode the agg list as a property string.
     * `func:scale:alias:column` — column LAST and unsplit since it may
     * contain ':' never do alias/func. */
@@ -242,8 +315,10 @@ object MaterializedView {
   /** The full-state aggregation of `rows` (source-shaped) into view rows
     * — used by create, full refresh, and the scoped group recompute, so
     * every path derives state identically. */
-  private def stateAgg(rows: DataFrame, groupBy: Seq[String],
+  private def stateAgg(rows0: DataFrame, keys: Seq[GroupKey],
       aggs: Seq[AggSpec]): DataFrame = {
+    val rows = withKeys(rows0, keys)
+    val groupBy = keys.map(_.alias)
     val schema = rows.schema
     val types = argTypes(rows, aggs)
     def arg(a: AggSpec) = argCol(schema, a.column)
@@ -319,12 +394,13 @@ object MaterializedView {
       where: Option[String] = None,
       dims: Seq[DimSpec] = Seq.empty): Long = {
     require(groupBy.nonEmpty, "materialized view needs at least one group column")
-    groupBy.foreach(c => require(!c.contains(',') && !c.contains('\n'),
-      s"group column '$c' may not contain ',' or newline (property encoding)"))
+    val keys = groupBy.map(parseGroupKey) // validates alias/expr characters
+    val keyDups = keys.groupBy(_.alias).collect { case (a, ks) if ks.size > 1 => a }
+    require(keyDups.isEmpty, s"duplicate group alias(es): ${keyDups.mkString(",")}")
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
     val dups = aggs.groupBy(_.alias).collect { case (a, as) if as.size > 1 => a }
     require(dups.isEmpty, s"duplicate aggregate alias(es): ${dups.mkString(",")}")
-    require(groupBy.toSet.intersect(aggs.map(_.alias).toSet).isEmpty,
+    require(keys.map(_.alias).toSet.intersect(aggs.map(_.alias).toSet).isEmpty,
       "aggregate alias collides with a group column")
     val (sfs, sroot) = fsRoot(spark, sourcePath)
     val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
@@ -362,13 +438,41 @@ object MaterializedView {
         d -> dm.version
       }
     }
-    // group columns resolve over the ENRICHED namespace (source + dims)
+    // group keys resolve over the ENRICHED namespace (source + dims):
+    // plain keys must BE columns; expression keys must analyze clean,
+    // stay scalar (no aggregate/window — both would change the
+    // row-per-row delta semantics) and deterministic (every refresh
+    // path must key each image identically), and their alias must not
+    // SHADOW an existing column (withKeys would silently replace it)
     val enrichedProbe = enrich(spark, spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), srcM.schema), pinned)
     val enrichedFields = enrichedProbe.schema.fieldNames.toSet
-    groupBy.foreach(c =>
-      require(enrichedFields.contains(c),
-        s"no group column '$c' in $sourcePath (or its dims)"))
+    keys.foreach { k =>
+      if (k.isPlain)
+        require(enrichedFields.contains(k.alias),
+          s"no group column '${k.alias}' in $sourcePath (or its dims)")
+      else {
+        require(!enrichedFields.contains(k.alias),
+          s"group alias '${k.alias}' shadows a source (or dim) column - " +
+            "pick another alias")
+        val analyzed = try {
+          enrichedProbe.select(expr(k.expr).as(k.alias))
+            .queryExecution.analyzed
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"group expression '${k.expr}' does not resolve over " +
+                s"$sourcePath: ${e.getMessage}")
+        }
+        require(!analyzed.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] ||
+            p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+          s"group expression '${k.expr}' may not aggregate or window")
+        require(analyzed.expressions.forall(_.deterministic),
+          s"group expression '${k.expr}' is nondeterministic: every " +
+            "refresh path must key each feed image identically")
+      }
+    }
     // aggregate arguments may be expressions: resolve each against the
     // source schema (analysis only), refuse nested aggregates / windows
     // (both would change the row-per-row delta semantics) and anything
@@ -435,13 +539,12 @@ object MaterializedView {
     // where runs over the ENRICHED namespace (it may name dim columns)
     val src = where.foldLeft(enrich(spark, src0, pinned))((df, w) =>
       df.filter(expr(w))) // also validates w
-    stateAgg(src, groupBy, aggs)
+    stateAgg(src, keys, aggs)
       .write.format("lance").mode("overwrite")
       .option("write.set-properties", LanceFormat.serializeProperties(Map(
         PropSource -> new java.io.File(sourcePath).getAbsolutePath,
-        PropGroupBy -> groupBy.mkString(","),
         PropAggs -> encodeAggs(aggs),
-        PropVersion -> registered.toString) ++
+        PropVersion -> registered.toString) ++ encodeGroupKeys(keys) ++
         where.map(PropWhere -> _) ++
         (if (pinned.isEmpty) Map.empty
          else Map(PropDims -> encodeDims(pinned)))))
@@ -579,7 +682,7 @@ object MaterializedView {
     out
   }
 
-  private case class ViewSpec(source: String, groupBy: Seq[String],
+  private case class ViewSpec(source: String, keys: Seq[GroupKey],
     aggs: Seq[AggSpec], v0: Long, where: Option[String],
     dims: Seq[(DimSpec, Long)])
 
@@ -591,7 +694,7 @@ object MaterializedView {
     val source = props.getOrElse(PropSource,
       throw new IllegalArgumentException(
         s"$viewPath is not a materialized view (no $PropSource property)"))
-    ViewSpec(source, props(PropGroupBy).split(',').toSeq,
+    ViewSpec(source, decodeGroupKeys(props),
       decodeAggs(props(PropAggs)), props(PropVersion).toLong,
       props.get(PropWhere),
       props.get(PropDims).map(decodeDims).getOrElse(Seq.empty))
@@ -608,7 +711,8 @@ object MaterializedView {
     * window instead of N identical scans in the nightly optimize. */
   private def refresh(spark: SparkSession, viewPath: String,
       sharedFeed: Option[(Long, Long) => DataFrame]): RefreshResult = {
-    val ViewSpec(source, groupBy, aggs, v0, where, dims) = spec(spark, viewPath)
+    val ViewSpec(source, keys, aggs, v0, where, dims) = spec(spark, viewPath)
+    val groupBy = keys.map(_.alias)
     val (sfs, sroot) = fsRoot(spark, source)
     val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
       throw new IllegalStateException(s"materialized-view source vanished: $source"))
@@ -628,8 +732,10 @@ object MaterializedView {
     // (pinned snapshot — pure function), THEN the filtered view's WHERE
     // applies: images filter INDEPENDENTLY, so an update moving a row
     // across the predicate boundary nets to the right add/remove pair
-    val feed = where.foldLeft(enrich(spark, feed0, dims))((df, w) =>
-      df.filter(expr(w)))
+    // enrich → WHERE → expression group keys, the create-time order:
+    // every feed image keys exactly like the original row did
+    val feed = withKeys(where.foldLeft(enrich(spark, feed0, dims))((df, w) =>
+      df.filter(expr(w))), keys)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val srcSchema = srcM.schema
@@ -775,10 +881,13 @@ object MaterializedView {
         }
       val srcNow = where.foldLeft(enrich(spark, preFiltered, dims))(
         (df, w) => df.filter(expr(w)))
-      val scoped = srcNow.withColumn(GidCol, gid(groupBy))
+      // expression keys materialize before the gid (they can't pre-filter
+      // the raw scan — the alias is not a source column — but the
+      // semi-join scopes them exactly, the dim-column posture)
+      val scoped = withKeys(srcNow, keys).withColumn(GidCol, gid(groupBy))
         .join(affected.select(GidCol), Seq(GidCol), "left_semi")
         .drop(GidCol)
-      val recomputed = stateAgg(scoped, groupBy, aggs)
+      val recomputed = stateAgg(scoped, keys, aggs)
       // groups present in the feed but absent from the source died:
       // their state row carries _mv_n = 0 and applyChanges deletes it
       val curCols = spark.read.format("lance").load(viewPath).columns
@@ -817,7 +926,7 @@ object MaterializedView {
     * or a restored source): one source aggregation, one overwrite commit
     * carrying the new watermark. */
   def fullRefresh(spark: SparkSession, viewPath: String): RefreshResult = {
-    val ViewSpec(source, groupBy, aggs, v0, where, dims) = spec(spark, viewPath)
+    val ViewSpec(source, keys, aggs, v0, where, dims) = spec(spark, viewPath)
     val (sfs, sroot) = fsRoot(spark, source)
     val vN = LanceFormat.readLatest(sfs, sroot).get.version
     // star dims RE-PIN to their current versions: the rebuilt state and
@@ -839,7 +948,7 @@ object MaterializedView {
       .option("versionAsOf", vN.toString).load(source)
     val src = where.foldLeft(enrich(spark, src0, repinned))(
       (df, w) => df.filter(expr(w)))
-    stateAgg(src, groupBy, aggs)
+    stateAgg(src, keys, aggs)
       .write.format("lance").mode("overwrite")
       .option("write.set-properties", LanceFormat.serializeProperties(
         Map(PropVersion -> vN.toString) ++

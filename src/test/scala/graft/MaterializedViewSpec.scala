@@ -747,6 +747,118 @@ class MaterializedViewSpec extends AnyFunSuite {
     }
   }
 
+  test("parseGroupKey: top-level AS only, quote- and paren-aware") {
+    import MaterializedView.{parseGroupKey => p}
+    assert(p("grp") == MaterializedView.GroupKey("grp", "grp"))
+    assert(p("  upper(grp) AS ugrp ") ==
+      MaterializedView.GroupKey("upper(grp)", "ugrp"))
+    // the inner cast-AS sits at depth 1: not a split point
+    assert(p("cast(id % 3 AS string) AS bucket") ==
+      MaterializedView.GroupKey("cast(id % 3 AS string)", "bucket"))
+    // an AS inside a string literal is content, not structure
+    assert(p("concat(grp, ' AS x') AS label") ==
+      MaterializedView.GroupKey("concat(grp, ' AS x')", "label"))
+    // the LAST top-level AS wins (left side may nest CASE ... AS-free
+    // but a projected sub-expression could alias internally)
+    assert(p("a AS b AS c") == MaterializedView.GroupKey("a AS b", "c"))
+    intercept[IllegalArgumentException](p("upper(grp) AS _hidden"))
+    intercept[IllegalArgumentException](p("upper(grp) AS a,b"))
+  }
+
+  test("expression group keys: rollup view delta-refreshes exactly") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    seed(src)
+    MaterializedView.create(spark, view, src,
+      Seq("upper(grp) AS ugrp", "cast(id % 3 AS string) AS bucket"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "price", "sum_price")))
+    // the stored face uses the aliases; the expr rides its own property
+    val props = manifest(view).properties.get
+    assert(props("graft.mv.group-by") == "ugrp,bucket")
+    assert(props("graft.mv.group-exprs") ==
+      "ugrp:upper(grp)\nbucket:cast(id % 3 AS string)")
+    mixedDml(src)
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"sum/count views keep the delta path: $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src)
+      .groupBy(upper(col("grp")).as("ugrp"),
+        expr("cast(id % 3 AS string)").as("bucket"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("price")).as("sum_price"))
+    assertSame(got, expect, "expression-key delta refresh != recompute")
+  }
+
+  test("expression group keys: min/max views rescan scoped groups exactly") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    seed(src)
+    MaterializedView.create(spark, view, src,
+      Seq("upper(grp) AS ugrp"),
+      Seq(AggSpec("min", "price", "min_price"),
+        AggSpec("max", "qty", "max_qty")))
+    mixedDml(src) // removals present: the scoped-group path
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "groups", s"min/max + removals must rescan groups: $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src)
+      .groupBy(upper(col("grp")).as("ugrp"))
+      .agg(min(col("price")).as("min_price"), max(col("qty")).as("max_qty"))
+    assertSame(got, expect, "expression-key scoped rescan != recompute")
+    // and a fullRefresh converges to the same answer
+    MaterializedView.fullRefresh(spark, view)
+    assertSame(MaterializedView.read(spark, view), expect,
+      "fullRefresh of an expression-key view drifted")
+  }
+
+  test("expression group keys refuse bad shapes at create") {
+    val src = tmpDir()
+    seed(src)
+    def bad(key: String): Exception =
+      intercept[Exception](MaterializedView.create(spark,
+        tmpDir() + "/v", src, Seq(key), Seq(AggSpec("count", "*", "n"))))
+    // alias shadows a source column: withKeys would silently replace it
+    assert(bad("upper(grp) AS price").getMessage.contains("shadows"))
+    // nondeterministic: refresh paths would key images differently
+    assert(bad("cast(rand() AS string) AS r").getMessage
+      .contains("nondeterministic"))
+    // aggregates/windows change the row-per-row delta semantics
+    assert(bad("cast(sum(id) AS string) AS s").getMessage
+      .contains("aggregate"))
+    // unresolvable
+    assert(bad("upper(nope) AS u").getMessage.contains("resolve"))
+  }
+
+  test("ALTER RENAME refuses a column a group EXPRESSION references") {
+    val src = tmpDir()
+    seed(src)
+    MaterializedView.create(spark, tmpDir() + "/v", src,
+      Seq("upper(grp) AS ugrp"), Seq(AggSpec("count", "*", "n")))
+    val e = intercept[Exception](Lance.renameColumn(spark, src, "grp", "g2"))
+    assert(e.getMessage.contains("registered dependent"), e.getMessage)
+    // a column no key/agg/where references still renames freely
+    Lance.renameColumn(spark, src, "qty", "qty2")
+    assert(spark.read.format("lance").load(src).columns.contains("qty2"))
+  }
+
+  test("SQL surface: CALL create_mv takes expression group keys") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.mv_gx", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.mv_gx.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE mv_gx.db")
+      val src = s"$wh/db/t"
+      (1L to 40L).map(i => (i, s"g${i % 4}", i * 0.5)).toDF("id", "grp", "x")
+        .write.format("lance").mode("overwrite").save(src)
+      // the group argument's commas inside parens survive the split
+      spark.sql("CALL mv_gx.system.create_mv('db.v', 'db.t', " +
+        "'concat(grp, cast(id % 3 AS string)) AS gb', 'count(*) AS n')")
+      val got = MaterializedView.read(spark, s"$wh/db/v")
+      assert(got.columns.toSeq == Seq("gb", "n"))
+      assert(got.count() == 12L) // 4 grp values x 3 residues (coprime)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mv_gx")
+      spark.conf.unset("spark.sql.catalog.mv_gx.warehouse")
+    }
+  }
+
   test("out-of-band writes to the view fail the next refresh loud") {
     val src = tmpDir(); val view = tmpDir() + "/v"
     (1L to 10L).map(i => (i, "g", i * 1.0)).toDF("id", "grp", "x")
