@@ -1033,9 +1033,11 @@ object Lance {
   def createMaterializedView(spark: SparkSession, viewPath: String,
       sourcePath: String, groupBy: Seq[String],
       aggs: Seq[graft.operators.MaterializedView.AggSpec],
-      where: Option[String] = None): Long =
+      where: Option[String] = None,
+      dims: Seq[graft.operators.MaterializedView.DimSpec] = Seq.empty,
+      joins: Seq[graft.operators.MaterializedView.JoinSpec] = Seq.empty): Long =
     graft.operators.MaterializedView.create(spark, viewPath, sourcePath,
-      groupBy, aggs, where)
+      groupBy, aggs, where, dims, joins)
 
   /** Incremental (or `full = true` rebuild) refresh of a materialized
     * view; state + watermark land in one commit (exactly-once). */
@@ -1061,16 +1063,30 @@ object Lance {
     val deps = Seq("graft.mv.dependents", "graft.replica.dependents")
       .flatMap(k => props.get(k).toSeq.flatMap(_.split('\n')))
       .filter(_.nonEmpty)
+    val myAbs = new java.io.File(path).getAbsolutePath
     val wms = deps.flatMap { dp =>
       try {
         val dr = new org.apache.hadoop.fs.Path(dp)
         val dfs = graft.format.LanceFormat.fileSystem(dr,
           spark.sessionState.newHadoopConf())
-        graft.format.LanceFormat.readLatest(dfs, dr)
+        val dprops = graft.format.LanceFormat.readLatest(dfs, dr)
           .flatMap(_.properties).getOrElse(Map.empty)
-          .collectFirst { case (k, v)
-              if k == "graft.mv.version" || k == "graft.replica.version" =>
-            v.toLong }
+        // the dependent's watermark INTO THIS TABLE's history: a join
+        // view holds one per table — graft.mv.version counts only when
+        // this table IS its source; a `graft.mv.joins` line naming this
+        // table carries that side's own watermark
+        val asJoin = dprops.get("graft.mv.joins").toSeq
+          .flatMap(_.split('\n')).filter(_.nonEmpty).collectFirst {
+            case line if line.split("\\|", 3)(1) == myAbs =>
+              line.split("\\|", 3)(0).toLong
+          }
+        val asSource = dprops.collectFirst { case (k, v)
+            if (k == "graft.mv.version" &&
+              dprops.get("graft.mv.source").map(p =>
+                new java.io.File(p).getAbsolutePath).contains(myAbs)) ||
+              k == "graft.replica.version" =>
+          v.toLong }
+        asJoin.orElse(asSource)
       } catch { case _: Exception => None }
     }
     // named external-consumer pins live on the SOURCE's own properties

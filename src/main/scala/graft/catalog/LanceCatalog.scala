@@ -627,7 +627,13 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         .comment("optional star dims, ';'-separated " +
           "'table|srcKey=dimKey[,k2=d2]' entries: each LEFT-joins at a " +
           "version pinned (and tagged) at create; group_by/aggs/where " +
-          "may name dim columns; fullRefresh re-pins").build())
+          "may name dim columns; fullRefresh re-pins").build(),
+      in("joins", StringType).defaultValue("''")
+        .comment("optional fact joins, ';'-separated " +
+          "'table|srcKey=joinKey[,k2=j2]' entries: each INNER-joins with " +
+          "BOTH sides change-fed — refresh telescopes dA JOIN B(new) " +
+          "UNION A(old) JOIN dB; the view registers on every joined " +
+          "table").build())
     case "refresh_mv" => Array(in("view", StringType).build(),
       in("full", BooleanType).defaultValue("false")
         .comment("true forces a full rebuild (vacuumed feed window / " +
@@ -858,18 +864,23 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .map(_.trim).filter(_.nonEmpty)
         val aggs = LanceProcedure.parseAggList(input.getUTF8String(3).toString)
         val where = Some(input.getUTF8String(4).toString.trim).filter(_.nonEmpty)
-        // star dims: 'table|srcKey=dimKey[,k2=d2]' entries ';'-separated
-        val dims = input.getUTF8String(5).toString.split(';')
-          .map(_.trim).filter(_.nonEmpty).toSeq.map { entry =>
-            val Array(t, ks) = entry.split("\\|", 2)
-            graft.operators.MaterializedView.DimSpec(
-              catalog.resolveTableArg(t.trim).toString,
-              ks.split(',').map { kv =>
-                val Array(a, b) = kv.split("=", 2); a.trim -> b.trim
-              }.toMap)
-          }
+        // star dims / fact joins: 'table|srcKey=otherKey[,k2=o2]'
+        // entries, ';'-separated — one shared parse
+        def pathKeys(argIdx: Int): Seq[(String, Map[String, String])] =
+          input.getUTF8String(argIdx).toString.split(';')
+            .map(_.trim).filter(_.nonEmpty).toSeq.map { entry =>
+              val Array(t, ks) = entry.split("\\|", 2)
+              (catalog.resolveTableArg(t.trim).toString,
+                ks.split(',').map { kv =>
+                  val Array(a, b) = kv.split("=", 2); a.trim -> b.trim
+                }.toMap)
+            }
+        val dims = pathKeys(5).map { case (t, ks) =>
+          graft.operators.MaterializedView.DimSpec(t, ks) }
+        val joins = pathKeys(6).map { case (t, ks) =>
+          graft.operators.MaterializedView.JoinSpec(t, ks) }
         val v = graft.operators.MaterializedView.create(spark, path, source,
-          groupBy, aggs, where, dims)
+          groupBy, aggs, where, dims, joins)
         (new StructType().add("source_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))
       case "refresh_mv" =>

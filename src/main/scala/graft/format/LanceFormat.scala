@@ -1014,12 +1014,13 @@ object LanceFormat {
       val listed: Seq[String] =
         dprops.get("graft.mv.group-by").toSeq.flatMap(_.split(',')) ++
           dprops.get("graft.replica.keys").toSeq.flatMap(_.split(',')) ++
-          // star-dim join keys: both sides (the guard runs on whichever
-          // table — source or dim — is being altered; a shared name
-          // over-refuses, which is the conservative direction)
-          dprops.get("graft.mv.dims").toSeq.flatMap(_.split('\n'))
-            .flatMap(_.split("\\|", 3).last.split(','))
-            .flatMap(_.split("=", 2))
+          // star-dim + fact-join keys: both sides (the guard runs on
+          // whichever table — source, dim or join — is being altered; a
+          // shared name over-refuses, the conservative direction)
+          Seq("graft.mv.dims", "graft.mv.joins").flatMap(pk =>
+            dprops.get(pk).toSeq.flatMap(_.split('\n'))
+              .flatMap(_.split("\\|", 3).last.split(','))
+              .flatMap(_.split("=", 2)))
       val exprs: Seq[String] =
         dprops.get("graft.mv.aggs").toSeq.flatMap(_.split('\n'))
           .map(_.split(":", 4).last).filter(_ != "*") ++

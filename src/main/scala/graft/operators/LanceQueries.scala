@@ -2383,6 +2383,59 @@ object LanceQueries {
       .orderBy(col("omonth"), col("o_orderstatus"))
   }
 
+  /** JOIN materialized view (s125): the fact⋈fact shape a pinned star
+    * dim cannot express — `orders ⋈ lineitem GROUP BY o_orderpriority`
+    * with BOTH sides change-fed. Refresh telescopes the IVM identity
+    * Δ(A⋈B) = ΔA⋈B@new ∪ A@old⋈ΔB (each term IN-list-pruned to the keys
+    * the change touches), so a two-sided DML batch refreshes by delta
+    * (mode require()d) and hash-matches the oracle's join+group over the
+    * post-DML data. */
+  def s125MvJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.{AggSpec, JoinSpec}
+    val srcA = scratch(dir, "mv_join_a")
+    val srcB = scratch(dir, "mv_join_b")
+    val view = scratch(dir, "mv_view_join")
+    freshDataset(spark, srcA); freshDataset(spark, srcB)
+    freshDataset(spark, view)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.format("lance").mode("overwrite").save(srcA)
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.format("lance").mode("overwrite").save(srcB)
+    MaterializedView.create(spark, view, srcA, Seq("o_orderpriority"),
+      Seq(AggSpec("count", "*", "n"),
+        AggSpec("sum", "l_extendedprice", "sum_price")),
+      joins = Seq(JoinSpec(srcB, Map("o_orderkey" -> "l_orderkey"))))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      // FIXED-size two-sided change at any sf (the s121 convention):
+      // order deletions remove every matched item's contribution;
+      // item re-pricing and deletions hit orders that stay live
+      graft.Lance.deleteWhere(spark, srcA,
+        "o_orderkey % 9 = 2 AND o_orderkey <= 30000")
+      graft.Lance.updateWhere(spark, srcB,
+        "l_orderkey % 9 = 4 AND l_orderkey <= 30000",
+        Map("l_extendedprice" -> "l_extendedprice * 2"))
+      graft.Lance.deleteWhere(spark, srcB,
+        "l_orderkey % 9 = 5 AND l_orderkey <= 30000")
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta",
+      s"two-sided join-view windows must refresh by delta, got $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(srcA)
+      .join(spark.read.format("lance").load(srcB),
+        col("o_orderkey") === col("l_orderkey"), "inner")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+    require(sameRows(got, expect),
+      "join-view incremental refresh drifted from the join recompute")
+    got.withColumn("mode", lit(r.mode)).orderBy(col("o_orderpriority"))
+  }
+
   /** Write-audit-publish (s117): evens land on main, odds stage on an
     * audit branch. A first publish with an impossible quality bar is
     * REFUSED (main provably still evens-only — that count rides the
@@ -2820,6 +2873,7 @@ object LanceQueries {
     "s122_mv_distinct" -> s122MvDistinct,
     "s123_mv_star" -> s123MvStar,
     "s124_mv_rollup" -> s124MvRollup,
+    "s125_mv_join" -> s125MvJoin,
     "s117_publish" -> s117Publish,
     "s118_replica" -> s118Replica,
     "s119_mv_auto" -> s119MvAuto,
@@ -3034,6 +3088,25 @@ object LanceQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | 'delta' AS mode
         |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s125: delta-mode + exactness are the require()s; the oracle
+    // reproduces the post-DML join+group from raw parquet
+    "s125_mv_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE NOT (o_orderkey % 9 = 2 AND o_orderkey <= 30000)
+        |), b AS (
+        |  SELECT l_orderkey,
+        |         CASE WHEN l_orderkey % 9 = 4 AND l_orderkey <= 30000
+        |              THEN l_extendedprice * 2
+        |              ELSE l_extendedprice END AS l_extendedprice
+        |  FROM lineitem
+        |  WHERE NOT (l_orderkey % 9 = 5 AND l_orderkey <= 30000)
+        |)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | 'delta' AS mode
+        |FROM a JOIN b ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // s120: the join aggregate is layout-independent; composite-key
     // shuffle-freedom is the require() + planted literal (s108 pattern)
     "s120_spj_composite" ->

@@ -153,6 +153,31 @@ object MaterializedView {
     }
   }
 
+  /** A JOIN-VIEW fact table: INNER-joined onto the source by `keys`
+    * (source column → join column), with BOTH sides change-fed — the
+    * fact⋈fact shape (`orders ⋈ lineitem`) a pinned star dim cannot
+    * express. Refresh telescopes the classical IVM identity
+    *
+    *   Δ(A⋈B) = ΔA ⋈ B@new  ∪  A@old ⋈ ΔB
+    *
+    * (signed multiset algebra; each term's images carry their own
+    * change-type, so the downstream delta arithmetic is the ordinary
+    * one). The view registers on EVERY joined table: a write to any
+    * side can maintain it, and each side's retention vacuum pins back
+    * to the view's per-table watermark. Join keys must be SOURCE
+    * columns (the snowflake-free star shape — chains B⋈C are out of
+    * scope); joined-side key columns drop after the join. */
+  case class JoinSpec(path: String, keys: Map[String, String]) {
+    require(keys.nonEmpty, "a join table needs at least one key")
+    require(!path.contains('|') && !path.contains('\n'),
+      s"join path '$path' may not contain '|' or newline (property encoding)")
+    keys.foreach { case (s, k) =>
+      Seq(s, k).foreach(c => require(
+        !c.contains(',') && !c.contains('=') && !c.contains('\n') && !c.contains('|'),
+        s"join key column '$c' may not contain ',', '=', '|' or newline"))
+    }
+  }
+
   case class RefreshResult(mode: String, fromVersion: Long, toVersion: Long,
     groupsChanged: Long)
 
@@ -178,6 +203,9 @@ object MaterializedView {
   private val PropWhere = "graft.mv.where"
   /** Pinned star dims: one `<version>|<abs path>|s=k,s2=k2` line each. */
   private val PropDims = "graft.mv.dims"
+  /** Change-fed join tables, same line shape as dims — but the version
+    * is a WATERMARK (advanced by every refresh), not a pin. */
+  private val PropJoins = "graft.mv.joins"
   /** On a DIM table: view paths whose specs reference its columns — read
     * ONLY by the ALTER RENAME/DROP guard (a dim is not a feed source:
     * no refresh fan-out, no retention watermark; the pin is a tag). */
@@ -243,6 +271,37 @@ object MaterializedView {
       (DimSpec(p, ks.split(',').map { kv =>
         val Array(a, b) = kv.split("=", 2); a -> b
       }.toMap), v.toLong)
+    }
+
+  private def encodeJoins(joins: Seq[(JoinSpec, Long)]): String =
+    joins.map { case (j, v) =>
+      val abs = new java.io.File(j.path).getAbsolutePath
+      s"$v|$abs|${j.keys.toSeq.sorted.map { case (s, k) => s"$s=$k" }.mkString(",")}"
+    }.mkString("\n")
+  private def decodeJoins(s: String): Seq[(JoinSpec, Long)] =
+    s.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val Array(v, p, ks) = line.split("\\|", 3)
+      (JoinSpec(p, ks.split(',').map { kv =>
+        val Array(a, b) = kv.split("=", 2); a -> b
+      }.toMap), v.toLong)
+    }
+
+  /** INNER-join every fact table onto `rows` at the given versions.
+    * `images`: when Some((spec, feed)), that one join's factor is the
+    * change-feed IMAGES frame instead of the table — the telescoping
+    * terms of the IVM identity ride this. Joined-side key columns drop
+    * (the source key carries the value). */
+  private def applyJoins(spark: SparkSession, rows: DataFrame,
+      joins: Seq[(JoinSpec, Long)],
+      images: Map[String, DataFrame] = Map.empty): DataFrame =
+    joins.foldLeft(rows) { case (df, (j, v)) =>
+      val right = images.getOrElse(new java.io.File(j.path).getAbsolutePath,
+        spark.read.format("lance")
+          .option("versionAsOf", v.toString).load(j.path))
+      val cond = j.keys.map { case (s, k) => df(s) === right(k) }.reduce(_ && _)
+      j.keys.values.foldLeft(df.join(right, cond, "inner")) {
+        (o, k) => o.drop(right(k))
+      }
     }
 
   /** The view's pin tag on a dim table — derived from the view path so
@@ -392,7 +451,8 @@ object MaterializedView {
   def create(spark: SparkSession, viewPath: String, sourcePath: String,
       groupBy: Seq[String], aggs: Seq[AggSpec],
       where: Option[String] = None,
-      dims: Seq[DimSpec] = Seq.empty): Long = {
+      dims: Seq[DimSpec] = Seq.empty,
+      joins: Seq[JoinSpec] = Seq.empty): Long = {
     require(groupBy.nonEmpty, "materialized view needs at least one group column")
     val keys = groupBy.map(parseGroupKey) // validates alias/expr characters
     val keyDups = keys.groupBy(_.alias).collect { case (a, ks) if ks.size > 1 => a }
@@ -406,13 +466,51 @@ object MaterializedView {
     val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
       throw new IllegalArgumentException(s"no lance dataset at $sourcePath"))
     val srcFields = srcM.schema.fieldNames.toSet
+    val viewAbs = new java.io.File(viewPath).getAbsolutePath
+    // fact⋈fact join tables: validate keys/types/collisions against the
+    // source (join keys must be SOURCE columns — the snowflake-free
+    // shape the telescoped refresh identity relies on); the per-table
+    // WATERMARK version is assigned at registration below
+    val srcAbs = new java.io.File(sourcePath).getAbsolutePath
+    val joinPaths = joins.map(j => new java.io.File(j.path).getAbsolutePath)
+    require(joinPaths.distinct.size == joinPaths.size &&
+      !joinPaths.contains(srcAbs),
+      "join tables must be distinct from each other and from the source")
+    var taken = srcFields
+    val joinHeads: Seq[(JoinSpec, Long)] = joins.map { j =>
+      val (jfs, jroot) = fsRoot(spark, j.path)
+      val jm = LanceFormat.readLatest(jfs, jroot).getOrElse(
+        throw new IllegalArgumentException(s"no lance dataset at ${j.path} (join)"))
+      val jFields = jm.schema.fieldNames.toSet
+      j.keys.foreach { case (s, k) =>
+        require(srcFields.contains(s),
+          s"join key '$s' is not a column of $sourcePath")
+        require(jFields.contains(k),
+          s"join key '$k' is not a column of ${j.path}")
+        require(srcM.schema(s).dataType == jm.schema(k).dataType,
+          s"join key types differ: $s is " +
+            s"${srcM.schema(s).dataType.simpleString}, $k is " +
+            s"${jm.schema(k).dataType.simpleString} - cast the join table")
+      }
+      val attrs = jFields -- j.keys.values
+      val clash = attrs.intersect(taken)
+      require(clash.isEmpty,
+        s"join ${j.path} column(s) ${clash.mkString(", ")} collide with " +
+          "the source (or an earlier join) - rename them")
+      taken ++= attrs
+      j -> jm.version
+    }
+    // the JOINED namespace (source + join attrs): dims key off it, and
+    // group keys / aggregate args / WHERE resolve over it plus dim attrs
+    val joinedProbe = applyJoins(spark, spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), srcM.schema),
+      joinHeads)
+    val joinedFields = joinedProbe.schema.fieldNames.toSet
     // star dims: validate join keys + attribute-name collisions, PIN each
     // dim's current version, TAG it (a dim-side vacuum must never
     // reclaim the snapshot every refresh joins against) and register the
     // view for the dim's ALTER RENAME/DROP guard
-    val viewAbs = new java.io.File(viewPath).getAbsolutePath
     val pinned: Seq[(DimSpec, Long)] = {
-      var taken = srcFields
       dims.map { d =>
         val (dfs, droot) = fsRoot(spark, d.path)
         val dm = LanceFormat.readLatest(dfs, droot).getOrElse(
@@ -420,13 +518,13 @@ object MaterializedView {
         requireBroadcastable(spark, d, dm)
         val dimFields = dm.schema.fieldNames.toSet
         d.keys.foreach { case (s, k) =>
-          require(srcFields.contains(s),
-            s"dim join key '$s' is not a column of $sourcePath")
+          require(joinedFields.contains(s),
+            s"dim join key '$s' is not a column of $sourcePath (or its joins)")
           require(dimFields.contains(k),
             s"dim join key '$k' is not a column of ${d.path}")
-          require(srcM.schema(s).dataType == dm.schema(k).dataType,
+          require(joinedProbe.schema(s).dataType == dm.schema(k).dataType,
             s"dim join key types differ: $s is " +
-              s"${srcM.schema(s).dataType.simpleString}, $k is " +
+              s"${joinedProbe.schema(s).dataType.simpleString}, $k is " +
               s"${dm.schema(k).dataType.simpleString} - cast the dim")
         }
         val attrs = dimFields -- d.keys.values
@@ -438,14 +536,13 @@ object MaterializedView {
         d -> dm.version
       }
     }
-    // group keys resolve over the ENRICHED namespace (source + dims):
-    // plain keys must BE columns; expression keys must analyze clean,
-    // stay scalar (no aggregate/window — both would change the
+    // group keys resolve over the ENRICHED namespace (source + joins +
+    // dims): plain keys must BE columns; expression keys must analyze
+    // clean, stay scalar (no aggregate/window — both would change the
     // row-per-row delta semantics) and deterministic (every refresh
     // path must key each image identically), and their alias must not
     // SHADOW an existing column (withKeys would silently replace it)
-    val enrichedProbe = enrich(spark, spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), srcM.schema), pinned)
+    val enrichedProbe = enrich(spark, joinedProbe, pinned)
     val enrichedFields = enrichedProbe.schema.fieldNames.toSet
     keys.foreach { k =>
       if (k.isPlain)
@@ -528,17 +625,27 @@ object MaterializedView {
     // dangling registration that refreshDependents self-heals away.
     // Function-shaped commit: two concurrent creates both land.
     val abs = viewAbs
-    val registered = LanceFormat.commitPropertiesWith(sfs, sroot, { prev =>
-      val cur = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
-      if (cur.contains(abs)) prev
-      else prev + (PropDependents -> (cur :+ abs).mkString("\n"))
-    }).version
+    def register(fs: org.apache.hadoop.fs.FileSystem,
+        root: org.apache.hadoop.fs.Path): Long =
+      LanceFormat.commitPropertiesWith(fs, root, { prev =>
+        val cur = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
+        if (cur.contains(abs)) prev
+        else prev + (PropDependents -> (cur :+ abs).mkString("\n"))
+      }).version
+    val registered = register(sfs, sroot)
+    // join tables register too: a write to EITHER side can maintain the
+    // view, and each side's retention vacuum pins to its own watermark
+    val registeredJoins: Seq[(JoinSpec, Long)] = joins.map { j =>
+      val (jfs, jroot) = fsRoot(spark, j.path)
+      j -> register(jfs, jroot)
+    }
     testHookAfterRegister()
     val src0 = spark.read.format("lance")
       .option("versionAsOf", registered.toString).load(sourcePath)
-    // where runs over the ENRICHED namespace (it may name dim columns)
-    val src = where.foldLeft(enrich(spark, src0, pinned))((df, w) =>
-      df.filter(expr(w))) // also validates w
+    // join → dims → where, the order every refresh path replays
+    val src = where.foldLeft(
+      enrich(spark, applyJoins(spark, src0, registeredJoins), pinned))(
+      (df, w) => df.filter(expr(w))) // also validates w
     stateAgg(src, keys, aggs)
       .write.format("lance").mode("overwrite")
       .option("write.set-properties", LanceFormat.serializeProperties(Map(
@@ -547,21 +654,22 @@ object MaterializedView {
         PropVersion -> registered.toString) ++ encodeGroupKeys(keys) ++
         where.map(PropWhere -> _) ++
         (if (pinned.isEmpty) Map.empty
-         else Map(PropDims -> encodeDims(pinned)))))
+         else Map(PropDims -> encodeDims(pinned))) ++
+        (if (registeredJoins.isEmpty) Map.empty
+         else Map(PropJoins -> encodeJoins(registeredJoins)))))
       .save(viewPath)
-    // re-assert the registration: a refreshDependents racing this create
+    // re-assert the registrations: a refreshDependents racing this create
     // could observe "no lance dataset" in the register→materialize window
     // and deregister us (its re-check narrows but cannot close the race);
-    // one idempotent metadata commit makes the end state registered
-    val stillRegistered = LanceFormat.readLatest(sfs, sroot)
-      .flatMap(_.properties).getOrElse(Map.empty)
-      .get(PropDependents).toSeq.flatMap(_.split('\n')).contains(abs)
-    if (!stillRegistered)
-      LanceFormat.commitPropertiesWith(sfs, sroot, { prev =>
-        val cur = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
-        if (cur.contains(abs)) prev
-        else prev + (PropDependents -> (cur :+ abs).mkString("\n"))
-      })
+    // one idempotent metadata commit per table makes the end state
+    // registered — on the source and on every join table
+    ((sfs, sroot) +: joins.map(j => fsRoot(spark, j.path))).foreach {
+      case (fs, root) =>
+        val still = LanceFormat.readLatest(fs, root)
+          .flatMap(_.properties).getOrElse(Map.empty)
+          .get(PropDependents).toSeq.flatMap(_.split('\n')).contains(abs)
+        if (!still) register(fs, root)
+    }
     registered
   }
 
@@ -595,6 +703,20 @@ object MaterializedView {
             else prev + (PropDependents -> kept.mkString("\n"))
           })
       }
+      // join tables: release their maintenance/pin registrations
+      props.get(PropJoins).map(decodeJoins).getOrElse(Seq.empty).foreach {
+        case (j, _) =>
+          try {
+            val (jfs, jroot) = fsRoot(spark, j.path)
+            if (LanceFormat.readLatest(jfs, jroot).isDefined)
+              LanceFormat.commitPropertiesWith(jfs, jroot, { prev =>
+                val kept = prev.get(PropDependents).toSeq.flatMap(_.split('\n'))
+                  .filterNot(p => p == abs || p == viewPath)
+                if (kept.isEmpty) prev - PropDependents
+                else prev + (PropDependents -> kept.mkString("\n"))
+              })
+          } catch { case _: Exception => () } // join table gone: nothing to do
+      }
       // star dims: release the pin tag and the ALTER-guard registration
       props.get(PropDims).map(decodeDims).getOrElse(Seq.empty).foreach {
         case (d, _) =>
@@ -626,18 +748,20 @@ object MaterializedView {
     val deps = LanceFormat.readLatest(sfs, sroot)
       .flatMap(_.properties).getOrElse(Map.empty)
       .get(PropDependents).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
-    // one CACHED feed frame per (window): with several views registered
-    // on one hot source, the nightly optimize would otherwise serialize
-    // N identical changefeed scans — views sharing a watermark (the
-    // in-commit-maintenance norm) now share one materialization
-    val feedCache = scala.collection.mutable.Map.empty[(Long, Long), DataFrame]
-    def sharedFeed(v0: Long, vN: Long): DataFrame =
-      feedCache.getOrElseUpdate((v0, vN), {
+    // one CACHED feed frame per (table, window): with several views
+    // registered on one hot source, the nightly optimize would otherwise
+    // serialize N identical changefeed scans — views sharing a watermark
+    // (the in-commit-maintenance norm) now share one materialization.
+    // Keyed by table path because a JOIN view pulls feeds from several
+    // tables through the same callback.
+    val feedCache =
+      scala.collection.mutable.Map.empty[(String, Long, Long), DataFrame]
+    def sharedFeed(path: String, v0: Long, vN: Long): DataFrame =
+      feedCache.getOrElseUpdate((path, v0, vN), {
         feedMaterializations += 1
         graft.MetaTvfs.register(spark)
         spark.sql(s"SELECT * FROM lance_changes('${
-          new java.io.File(sourcePath).getAbsolutePath.replace("'", "''")
-        }', $v0, $vN)")
+          path.replace("'", "''")}', $v0, $vN)")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     val dangling = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -684,7 +808,7 @@ object MaterializedView {
 
   private case class ViewSpec(source: String, keys: Seq[GroupKey],
     aggs: Seq[AggSpec], v0: Long, where: Option[String],
-    dims: Seq[(DimSpec, Long)])
+    dims: Seq[(DimSpec, Long)], joins: Seq[(JoinSpec, Long)])
 
   private def spec(spark: SparkSession, viewPath: String): ViewSpec = {
     val (vfs, vroot) = fsRoot(spark, viewPath)
@@ -697,7 +821,8 @@ object MaterializedView {
     ViewSpec(source, decodeGroupKeys(props),
       decodeAggs(props(PropAggs)), props(PropVersion).toLong,
       props.get(PropWhere),
-      props.get(PropDims).map(decodeDims).getOrElse(Seq.empty))
+      props.get(PropDims).map(decodeDims).getOrElse(Seq.empty),
+      props.get(PropJoins).map(decodeJoins).getOrElse(Seq.empty))
   }
 
   /** Incremental refresh. Picks delta vs scoped-group recompute (see
@@ -710,24 +835,101 @@ object MaterializedView {
     * views on one hot source then pay ONE feed materialization per
     * window instead of N identical scans in the nightly optimize. */
   private def refresh(spark: SparkSession, viewPath: String,
-      sharedFeed: Option[(Long, Long) => DataFrame]): RefreshResult = {
-    val ViewSpec(source, keys, aggs, v0, where, dims) = spec(spark, viewPath)
+      sharedFeed: Option[(String, Long, Long) => DataFrame]): RefreshResult = {
+    val ViewSpec(source, keys, aggs, v0, where, dims, joins) =
+      spec(spark, viewPath)
     val groupBy = keys.map(_.alias)
     val (sfs, sroot) = fsRoot(spark, source)
     val srcM = LanceFormat.readLatest(sfs, sroot).getOrElse(
       throw new IllegalStateException(s"materialized-view source vanished: $source"))
     val vN = srcM.version
-    if (vN == v0) return RefreshResult("noop", v0, vN, 0L)
-    require(vN > v0, s"source $source went BACKWARDS (v$v0 -> v$vN): it was " +
+    // join-table heads + window validity (same rules as the source)
+    val joinHeads: Seq[(JoinSpec, Long, Long)] = joins.map { case (j, jv0) =>
+      val (jfs, jroot) = fsRoot(spark, j.path)
+      val jm = LanceFormat.readLatest(jfs, jroot).getOrElse(
+        throw new IllegalStateException(s"join table vanished: ${j.path}"))
+      require(jm.version >= jv0, s"join table ${j.path} went BACKWARDS " +
+        s"(v$jv0 -> v${jm.version}); run fullRefresh")
+      if (jm.version != jv0 && jv0 != 0 &&
+          !LanceFormat.listVersions(jfs, jroot).contains(jv0))
+        throw new IllegalStateException(s"feed window lost: ${j.path} " +
+          s"version $jv0 was vacuumed; run fullRefresh")
+      (j, jv0, jm.version)
+    }
+    val joinsChanged = joinHeads.exists { case (_, a, b) => a != b }
+    if (vN == v0 && !joinsChanged) return RefreshResult("noop", v0, vN, 0L)
+    require(vN >= v0, s"source $source went BACKWARDS (v$v0 -> v$vN): it was " +
       "restored/recreated under the view; run fullRefresh")
     if (v0 != 0 && !LanceFormat.listVersions(sfs, sroot).contains(v0))
       throw new IllegalStateException(
         s"feed window lost: source version $v0 was vacuumed; run fullRefresh")
-    val feed0 = sharedFeed.map(_(v0, vN)).getOrElse {
-      graft.MetaTvfs.register(spark)
-      spark.sql(
-        s"SELECT * FROM lance_changes('${source.replace("'", "''")}', $v0, $vN)")
+    def tableFeed(path: String, a: Long, b: Long): DataFrame = {
+      val abs = new java.io.File(path).getAbsolutePath
+      sharedFeed.map(_(abs, a, b)).getOrElse {
+        graft.MetaTvfs.register(spark)
+        spark.sql(
+          s"SELECT * FROM lance_changes('${abs.replace("'", "''")}', $a, $b)")
+      }
     }
+    // IN-list prune: scope a fact scan to the join keys a SMALL frame
+    // touches — the predicates push into the scan, so manifest stats /
+    // buckets / postings bound each telescoping term by the CHANGE, not
+    // the table. Above the cap the term falls back to the full join
+    // (co-bucketed tables still join exchange-free). Inner-join
+    // semantics: NULL keys never match, so no isNull arm.
+    def prunedByKeys(big: DataFrame, keyOf: Seq[(String, String)],
+        small: DataFrame): DataFrame = {
+      val cap = spark.conf.getOption("spark.graft.dml.inlistPrune")
+        .map(_.toInt).getOrElse(1000)
+      val sample = small.select(keyOf.map(p => q(p._2)): _*)
+        .distinct().limit(cap + 1).collect()
+      if (sample.length > cap) big
+      else keyOf.zipWithIndex.foldLeft(big) { case (df, ((b, _), i)) =>
+        val vals = sample.map(_.get(i)).distinct.filter(_ != null).toSeq
+        if (vals.isEmpty) df.filter(lit(false))
+        else df.filter(q(b).isin(vals: _*))
+      }
+    }
+    val feed0: DataFrame =
+      if (joins.isEmpty) tableFeed(source, v0, vN)
+      else {
+        // telescoped IVM identity over source A and join tables J1..Jn:
+        //   Δ(A⋈J1⋈..⋈Jn) = ΔA ⋈ J1@new ⋈ .. ⋈ Jn@new
+        //                  ∪ A@old ⋈ J1@old .. J(i-1)@old ⋈ ΔJi
+        //                          ⋈ J(i+1)@new .. Jn@new   (i = 1..n)
+        // Signed multiset algebra: each term's images carry their own
+        // _change_type, so the ordinary delta arithmetic applies.
+        val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        if (vN != v0) {
+          val aFeed = tableFeed(source, v0, vN)
+          // each join factor pruned to the keys ΔA actually touches
+          val prunedJoins = joinHeads.map { case (j, _, nv) =>
+            val jAbs = new java.io.File(j.path).getAbsolutePath
+            val full = spark.read.format("lance")
+              .option("versionAsOf", nv.toString).load(j.path)
+            jAbs -> prunedByKeys(full,
+              j.keys.toSeq.map { case (s, k) => (k, s) }, aFeed)
+          }.toMap
+          terms += applyJoins(spark, aFeed,
+            joinHeads.map { case (j, _, nv) => (j, nv) }, prunedJoins)
+        }
+        lazy val aOld = spark.read.format("lance")
+          .option("versionAsOf", v0.toString).load(source)
+        joinHeads.zipWithIndex.foreach { case ((j, jv0, jvN), i) =>
+          if (jvN != jv0) {
+            val jAbs = new java.io.File(j.path).getAbsolutePath
+            val jFeed = tableFeed(j.path, jv0, jvN)
+            val aPruned = prunedByKeys(aOld, j.keys.toSeq, jFeed)
+            val versions = joinHeads.zipWithIndex.map {
+              case ((jj, ov, nv), k) => (jj, if (k < i) ov else nv)
+            }
+            terms += applyJoins(spark, aPruned, versions,
+              images = Map(jAbs -> jFeed))
+          }
+        }
+        val cols = terms.head.columns.toIndexedSeq
+        terms.map(_.select(cols.map(q): _*)).reduce(_ unionByName _)
+      }
     // star dims enrich each feed image exactly like the original row
     // (pinned snapshot — pure function), THEN the filtered view's WHERE
     // applies: images filter INDEPENDENTLY, so an update moving a row
@@ -879,7 +1081,9 @@ object MaterializedView {
           }
           if (conds.isEmpty) srcNow0 else srcNow0.filter(conds.reduce(_ && _))
         }
-      val srcNow = where.foldLeft(enrich(spark, preFiltered, dims))(
+      val srcNow = where.foldLeft(enrich(spark,
+        applyJoins(spark, preFiltered,
+          joinHeads.map { case (j, _, nv) => (j, nv) }), dims))(
         (df, w) => df.filter(expr(w)))
       // expression keys materialize before the gid (they can't pre-filter
       // the raw scan — the alias is not a source column — but the
@@ -915,8 +1119,12 @@ object MaterializedView {
       // loud instead of double-applying through a pure-insert append
       val res = Dml.applyChanges(spark, viewPath, aligned, Seq(GidCol),
         deleteWhen = q(NCol) === 0L,
-        setProperties = Map(PropVersion -> vN.toString),
-        requireProperties = Map(PropVersion -> v0.toString))
+        setProperties = Map(PropVersion -> vN.toString) ++
+          (if (joins.isEmpty) Map.empty else Map(PropJoins ->
+            encodeJoins(joinHeads.map { case (j, _, nv) => (j, nv) }))),
+        requireProperties = Map(PropVersion -> v0.toString) ++
+          (if (joins.isEmpty) Map.empty
+           else Map(PropJoins -> encodeJoins(joins))))
       RefreshResult(if (deltaPath) "delta" else "groups", v0, vN,
         res.rowsChanged + res.rowsInserted)
     } finally aligned.unpersist()
@@ -926,7 +1134,8 @@ object MaterializedView {
     * or a restored source): one source aggregation, one overwrite commit
     * carrying the new watermark. */
   def fullRefresh(spark: SparkSession, viewPath: String): RefreshResult = {
-    val ViewSpec(source, keys, aggs, v0, where, dims) = spec(spark, viewPath)
+    val ViewSpec(source, keys, aggs, v0, where, dims, joins) =
+      spec(spark, viewPath)
     val (sfs, sroot) = fsRoot(spark, source)
     val vN = LanceFormat.readLatest(sfs, sroot).get.version
     // star dims RE-PIN to their current versions: the rebuilt state and
@@ -944,16 +1153,26 @@ object MaterializedView {
       requireBroadcastable(spark, d, dm) // a dim can outgrow its view
       d -> dm.version
     }
+    // join tables advance to their current heads (watermarks, not pins)
+    val joinsNow = joins.map { case (j, _) =>
+      val (jfs, jroot) = fsRoot(spark, j.path)
+      j -> LanceFormat.readLatest(jfs, jroot).getOrElse(
+        throw new IllegalStateException(s"join table vanished: ${j.path}"))
+        .version
+    }
     val src0 = spark.read.format("lance")
       .option("versionAsOf", vN.toString).load(source)
-    val src = where.foldLeft(enrich(spark, src0, repinned))(
+    val src = where.foldLeft(
+      enrich(spark, applyJoins(spark, src0, joinsNow), repinned))(
       (df, w) => df.filter(expr(w)))
     stateAgg(src, keys, aggs)
       .write.format("lance").mode("overwrite")
       .option("write.set-properties", LanceFormat.serializeProperties(
         Map(PropVersion -> vN.toString) ++
           (if (repinned.isEmpty) Map.empty
-           else Map(PropDims -> encodeDims(repinned)))))
+           else Map(PropDims -> encodeDims(repinned))) ++
+          (if (joinsNow.isEmpty) Map.empty
+           else Map(PropJoins -> encodeJoins(joinsNow)))))
       .save(viewPath)
     repinned.foreach { case (d, v) =>
       graft.Lance.tag(spark, d.path, dimPinTag(viewAbs), Some(v), replace = true)

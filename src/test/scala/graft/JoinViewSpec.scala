@@ -1,0 +1,275 @@
+package graft
+
+import graft.format.LanceFormat
+import graft.operators.MaterializedView
+import graft.operators.MaterializedView.{AggSpec, JoinSpec}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Fact⋈fact JOIN materialized views: both sides change-fed, refresh
+  * telescopes the classical IVM identity Δ(A⋈B) = ΔA⋈B@new ∪ A@old⋈ΔB.
+  * Contracts:
+  *  - a mixed DML batch on EITHER side (or both) delta-refreshes to
+  *    exactly the full join+group recompute — including join-key
+  *    updates that move a row between match sets
+  *  - the view registers on every joined table: refreshDependents from
+  *    the join side maintains it, retention pins respect the join-side
+  *    watermark, drop deregisters everywhere
+  *  - min/max join views rescan scoped groups when a window removed
+  *    rows; the per-table watermarks CAS in the refresh commit
+  */
+class JoinViewSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "jmv-")
+      .toAbsolutePath.toString
+
+  private def props(dir: String): Map[String, String] = {
+    val root = new Path(dir)
+    val fs = LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    LanceFormat.readLatest(fs, root).get.properties.getOrElse(Map.empty)
+  }
+
+  /** A: one row per order (okey, status, cust); B: 0..3 items per order
+    * (o_key, amount, tag) — real inner-join multiplicity, some A rows
+    * matchless. */
+  private def seed(a: String, b: String): Unit = {
+    (1L to 200L).map(i => (i, s"s${i % 4}", i % 7))
+      .toDF("okey", "status", "cust")
+      .repartition(3).write.format("lance").mode("overwrite").save(a)
+    (1L to 200L).flatMap(i => (0 until (i % 4).toInt).map(r =>
+      (i, i * 0.5 + r, s"t${r % 2}")))
+      .toDF("o_key", "amount", "tag")
+      .repartition(3).write.format("lance").mode("overwrite").save(b)
+  }
+
+  private def recompute(a: String, b: String): DataFrame =
+    spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "inner").drop("o_key")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("amount")).as("amt"))
+
+  private def assertSame(x: DataFrame, y: DataFrame, hint: String): Unit =
+    if (!(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty)) {
+      val key = x.columns.head
+      fail(s"$hint:\nview:\n${x.orderBy(key).collect().mkString("\n")}\n" +
+        s"recompute:\n${y.orderBy(key).collect().mkString("\n")}")
+    }
+
+  private def withFeed(body: => Unit): Unit = {
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try body finally spark.conf.unset("spark.graft.dml.changeFeed")
+  }
+
+  test("two-sided DML delta-refreshes to the exact join recompute") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    assertSame(MaterializedView.read(spark, view), recompute(a, b),
+      "created join view != join recompute")
+    withFeed {
+      // A side: delete orders (removes all their items' contributions),
+      // update a group column, insert a new order matching existing items
+      Lance.deleteWhere(spark, a, "okey % 10 = 3")
+      Lance.updateWhere(spark, a, "okey % 10 = 4", Map("status" -> "'sX'"))
+      Lance.upsert(spark, a, Seq((500L, "s0", 1L), (6L, "s2", 2L))
+        .toDF("okey", "status", "cust"), Seq("okey"))
+      // B side: delete items, re-price others, add items for live orders
+      Lance.deleteWhere(spark, b, "tag = 't1' AND o_key % 5 = 2")
+      Lance.updateWhere(spark, b, "o_key % 5 = 1", Map("amount" -> "amount * 2"))
+      Seq((6L, 100.0, "t9"), (999L, 9.9, "t9")) // 999 matches no order
+        .toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"sum/count join views keep the delta path: $r")
+    assertSame(MaterializedView.read(spark, view), recompute(a, b),
+      "two-sided delta refresh drifted from join recompute")
+    // watermarks advanced on BOTH tables; same-state refresh is a noop
+    assert(MaterializedView.refresh(spark, view).mode == "noop")
+  }
+
+  test("join-key update on the source moves rows between match sets") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    withFeed {
+      // okey 8 (0 items at seed? 8%4=0 -> 0 items) -> repoint to 7's
+      // items (3 of them); okey 11 (3 items) -> repoint to a matchless id
+      Lance.updateWhere(spark, a, "okey = 8", Map("okey" -> "7"))
+      Lance.updateWhere(spark, a, "okey = 11", Map("okey" -> "1000"))
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta")
+    assertSame(MaterializedView.read(spark, view), recompute(a, b),
+      "join-key update did not net out across match sets")
+  }
+
+  test("a join-side-only window refreshes (source window empty)") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    withFeed {
+      Lance.deleteWhere(spark, b, "o_key % 3 = 1")
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"got $r")
+    assert(r.fromVersion == r.toVersion,
+      "source watermark must not move when only the join side changed")
+    assertSame(MaterializedView.read(spark, view), recompute(a, b),
+      "join-side-only window drifted")
+  }
+
+  test("min/max join views rescan scoped groups on removal windows") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("max", "amount", "max_amt"),
+        AggSpec("min", "amount", "min_amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    withFeed {
+      // remove the current maxima candidates: forces the groups path
+      Lance.deleteWhere(spark, b, "amount > 80")
+      Lance.deleteWhere(spark, a, "okey > 190")
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "groups", s"removals under min/max must rescan: $r")
+    val expect = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "inner")
+      .groupBy("status")
+      .agg(max(col("amount")).as("max_amt"), min(col("amount")).as("min_amt"))
+    assertSame(MaterializedView.read(spark, view), expect,
+      "join-view scoped rescan drifted")
+  }
+
+  test("registration/maintenance/drop span every joined table") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    val abs = new java.io.File(view).getAbsolutePath
+    assert(props(a)("graft.mv.dependents").split('\n').contains(abs))
+    assert(props(b)("graft.mv.dependents").split('\n').contains(abs),
+      "the view must register on the JOIN table too")
+    // a write to the JOIN side maintains the view through its registry
+    withFeed { Lance.deleteWhere(spark, b, "o_key % 4 = 3") }
+    val res = MaterializedView.refreshDependents(spark, b)
+    assert(res.collect { case (p, Right(r)) if p == abs => r.mode } ==
+      Seq("delta"), s"join-side refreshDependents: $res")
+    assertSame(MaterializedView.read(spark, view), recompute(a, b),
+      "join-side maintenance drifted")
+    // ALTER guard holds on the join side as well
+    val e = intercept[Exception](Lance.renameColumn(spark, b, "o_key", "ok2"))
+    assert(e.getMessage.contains("registered dependent"), e.getMessage)
+    val e2 = intercept[Exception](Lance.renameColumn(spark, b, "amount", "amt2"))
+    assert(e2.getMessage.contains("registered dependent"), e2.getMessage)
+    // drop releases both registrations
+    assert(MaterializedView.drop(spark, view))
+    assert(!props(a).contains("graft.mv.dependents"))
+    assert(!props(b).contains("graft.mv.dependents"))
+    Lance.renameColumn(spark, b, "amount", "amt2") // now free
+  }
+
+  test("join-side retention vacuum pins back to the view's watermark") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    // advance B far past the view's watermark WITHOUT refreshing
+    withFeed {
+      (1 to 6).foreach { i =>
+        Lance.deleteWhere(spark, b, s"o_key % 97 = $i")
+      }
+    }
+    // keep-1 vacuum would reclaim the view's feed window — the
+    // dependent pin must hold it
+    Lance.optimize(spark, b, keepVersions = 1, refreshViews = false)
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta",
+      s"feed window must survive a join-side keep-1 vacuum: $r")
+    assertSame(MaterializedView.read(spark, view), recompute(a, b),
+      "post-vacuum refresh drifted")
+  }
+
+  test("fullRefresh rebuilds the join and advances every watermark") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    withFeed {
+      Lance.deleteWhere(spark, a, "okey % 6 = 1")
+      Lance.deleteWhere(spark, b, "o_key % 6 = 2")
+    }
+    val r = MaterializedView.fullRefresh(spark, view)
+    assert(r.mode == "full")
+    assertSame(MaterializedView.read(spark, view), recompute(a, b),
+      "fullRefresh of a join view drifted")
+    assert(MaterializedView.refresh(spark, view).mode == "noop",
+      "fullRefresh must advance the join-side watermark too")
+  }
+
+  test("create refusals: bad keys, collisions, duplicate tables") {
+    val a = tmpDir(); val b = tmpDir()
+    seed(a, b)
+    def bad(joins: Seq[JoinSpec], aggCol: String = "amount"): Exception =
+      intercept[Exception](MaterializedView.create(spark, tmpDir() + "/v",
+        a, Seq("status"), Seq(AggSpec("sum", aggCol, "s")), joins = joins))
+    assert(bad(Seq(JoinSpec(b, Map("nope" -> "o_key")))).getMessage
+      .contains("not a column"))
+    assert(bad(Seq(JoinSpec(b, Map("okey" -> "nope")))).getMessage
+      .contains("not a column"))
+    assert(bad(Seq(JoinSpec(b, Map("status" -> "o_key")))).getMessage
+      .contains("types differ"))
+    assert(bad(Seq(JoinSpec(b, Map("okey" -> "o_key")),
+      JoinSpec(b, Map("okey" -> "o_key")))).getMessage
+      .contains("distinct"))
+    assert(bad(Seq(JoinSpec(a, Map("okey" -> "okey")))).getMessage
+      .contains("distinct"))
+    // attr collision: a second join table sharing a non-key column name
+    val c = tmpDir()
+    (1L to 5L).map(i => (i, i * 1.0)).toDF("c_key", "amount")
+      .write.format("lance").mode("overwrite").save(c)
+    assert(bad(Seq(JoinSpec(b, Map("okey" -> "o_key")),
+      JoinSpec(c, Map("okey" -> "c_key")))).getMessage
+      .contains("collide"))
+  }
+
+  test("SQL surface: CALL create_mv with a joins argument") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.jmv", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.jmv.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE jmv.db")
+      val a = s"$wh/db/a"; val b = s"$wh/db/b"
+      (1L to 20L).map(i => (i, s"g${i % 2}")).toDF("okey", "grp")
+        .write.format("lance").mode("overwrite").save(a)
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("o_key", "amount")
+        .write.format("lance").mode("overwrite").save(b)
+      spark.sql("CALL jmv.system.create_mv('db.v', 'db.a', 'grp', " +
+        "'sum(amount) AS amt', '', '', 'db.b|okey=o_key')")
+      val got = MaterializedView.read(spark, s"$wh/db/v")
+      assert(got.columns.toSeq == Seq("grp", "amt"))
+      assert(got.count() == 2L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.jmv")
+      spark.conf.unset("spark.sql.catalog.jmv.warehouse")
+    }
+  }
+}
