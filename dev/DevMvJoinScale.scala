@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The JOIN-view scale claim, measured: a two-sided refresh costs the
+  * CHANGE, not the tables. Same fixed DML batch (~150 order deletes +
+  * ~150 item re-prices + 300 item appends) against an
+  * orders⋈lineitem view at sf0.1 and at a 10× replica of both sides.
+  * The telescoped terms ΔA⋈B@new and A@old⋈ΔB each IN-list-prune their
+  * fact scan to the changed keys, so a flat-ish ratio across the 10×
+  * proves the refresh is change-bounded; a cost growing ~10× would mean
+  * a term degenerated into a full-table join.
+  *
+  *   sbt -batch 'Test/runMain graft.DevMvJoinScale'
+  */
+object DevMvJoinScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.{AggSpec, JoinSpec}
+
+    def times10(df: org.apache.spark.sql.DataFrame, key: String) = {
+      val n = df.agg(max(key)).collect()(0).getLong(0) + 1
+      (0 until 10).map(i => df.withColumn(key, col(key) + lit(i * n)))
+        .reduce(_ unionByName _)
+    }
+
+    Seq("sf0.1", "sf1.0x") foreach { sf =>
+      val base = s"target/jmvscale-$sf"
+      val fsRoot = new org.apache.hadoop.fs.Path(base)
+      val fs = fsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(fsRoot)) fs.delete(fsRoot, true)
+      val a = s"$base/orders"; val b = s"$base/items"; val v = s"$base/view"
+      val orders0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val items0 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val (orders, items) =
+        if (sf == "sf0.1") (orders0, items0)
+        else (times10(orders0, "o_orderkey"), times10(items0, "l_orderkey"))
+      orders.repartition(16).write.format("lance").mode("overwrite")
+        .option("write.max-rows-per-file", "200000").save(a)
+      items.repartition(16).write.format("lance").mode("overwrite")
+        .option("write.max-rows-per-file", "500000").save(b)
+
+      val t0 = System.nanoTime()
+      MaterializedView.create(spark, v, a, Seq("o_orderpriority"),
+        Seq(AggSpec("count", "*", "n"),
+          AggSpec("sum", "l_extendedprice", "sp")),
+        joins = Seq(JoinSpec(b, Map("o_orderkey" -> "l_orderkey"))))
+      val tCreate = (System.nanoTime() - t0) / 1e9
+
+      // the FIXED two-sided change: same absolute row counts both scales
+      spark.conf.set("spark.graft.dml.changeFeed", "true")
+      try {
+        graft.Lance.deleteWhere(spark, a,
+          "o_orderkey % 997 = 3 AND o_orderkey <= 150000") // ~150 orders
+        graft.Lance.updateWhere(spark, b,
+          "l_orderkey % 997 = 5 AND l_orderkey <= 150000",
+          Map("l_extendedprice" -> "l_extendedprice * 2")) // ~600 items
+        spark.range(0, 300).select(
+          (col("id") + 3L).as("l_orderkey"),
+          lit(9.99).as("l_extendedprice"))
+          .write.format("lance").mode("append").save(b)
+      } finally spark.conf.unset("spark.graft.dml.changeFeed")
+
+      val s0 = System.nanoTime()
+      val r = MaterializedView.refresh(spark, v)
+      require(r.mode == "delta", r.toString)
+      val tRefresh = (System.nanoTime() - s0) / 1e9
+      Console.err.println(f"[jmvscale] $sf create=${tCreate}%.1fs " +
+        f"two-sided-delta-refresh=${tRefresh}%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -863,12 +863,23 @@ object MaterializedView {
     if (v0 != 0 && !LanceFormat.listVersions(sfs, sroot).contains(v0))
       throw new IllegalStateException(
         s"feed window lost: source version $v0 was vacuumed; run fullRefresh")
+    // a JOIN refresh replays each feed several times (IN-list prune
+    // collects, the removal probe, the delta aggregation): persist the
+    // change-bounded frames for the duration instead of re-scanning —
+    // unpersisted in the final cleanup below (sharedFeed already caches)
+    val localFeeds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def tableFeed(path: String, a: Long, b: Long): DataFrame = {
       val abs = new java.io.File(path).getAbsolutePath
       sharedFeed.map(_(abs, a, b)).getOrElse {
         graft.MetaTvfs.register(spark)
-        spark.sql(
+        val df = spark.sql(
           s"SELECT * FROM lance_changes('${abs.replace("'", "''")}', $a, $b)")
+        if (joins.isEmpty) df
+        else {
+          val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          localFeeds += p
+          p
+        }
       }
     }
     // IN-list prune: scope a fact scan to the join keys a SMALL frame
@@ -1127,7 +1138,10 @@ object MaterializedView {
            else Map(PropJoins -> encodeJoins(joins))))
       RefreshResult(if (deltaPath) "delta" else "groups", v0, vN,
         res.rowsChanged + res.rowsInserted)
-    } finally aligned.unpersist()
+    } finally {
+      aligned.unpersist()
+      localFeeds.foreach(_.unpersist())
+    }
   }
 
   /** Full rebuild (vacuumed feed window, out-of-band writes to the view,
