@@ -1405,13 +1405,12 @@ object Lance {
       // The split reasons per-fragment, so it needs the SAME append-only
       // lineage proof rebase runs — a branch commit that replaced a
       // fork-time fragment would otherwise double-publish its rows.
-      graft.format.LanceFormat.requireAppendOnlyBranch(fs, bp, name,
-        "quarantine-publish")
+      val baseFrags = graft.format.LanceFormat.requireAppendOnlyBranch(
+        fs, bp, name, "quarantine-publish", Some(vs))
       // the fork-point manifest comes from the BRANCH's own lineage —
       // main's copy of that version may be legitimately vacuumed
       val bm = graft.format.LanceFormat.readManifestIn(fs, bp, auditedHead)
-      val baseFiles = graft.format.LanceFormat.readManifestIn(fs, bp, base)
-        .fragments.map(_.file).toSet
+      val baseFiles = baseFrags.map(_.file).toSet
       val branchOnly = bm.fragments.filterNot(f => baseFiles.contains(f.file))
       require(branchOnly.nonEmpty, s"branch '$name' has violations but no " +
         "branch-only fragments - the violations predate the fork; audit main")
@@ -1422,6 +1421,21 @@ object Lance {
         else raw.toDF(bm.schema.fieldNames.toIndexedSeq: _*)
       val pass = checks.values.toSeq
         .map(e => coalesce(expr(e), lit(false))).reduce(_ && _)
+      // every violation must be attributable to a BRANCH-ONLY row: the
+      // audit above scanned the whole lineage (base + branch), so a
+      // count exceeding what the split can stage means PRE-FORK data in
+      // main already violates — publishing while quarantining nothing
+      // would mask it and leave props disagreeing with the staged rows.
+      // Refuse loud, like the no-branch-fragments case.
+      val bAggs = checks.toSeq.map { case (n, e) =>
+        sum(when(expr(e), 0L).otherwise(1L)).as(n) }
+      val bRow = rows.agg(bAggs.head, bAggs.tail: _*).collect()(0)
+      bad.foreach { case (n, c) =>
+        val own = Option(bRow.getAs[Any](n)).fold(0L)(_.toString.toLong)
+        require(own == c, s"check '$n': $c violation(s) in the audited " +
+          s"lineage but only $own in branch-only rows - the rest predate " +
+          "the fork; audit main (quarantine stages branch rows only)")
+      }
       // this publish is NOT atomic (quarantine write, then main append,
       // then branch drop): a marker in the branch dir records the
       // attempt AFTER every read-only validation, so a re-run following

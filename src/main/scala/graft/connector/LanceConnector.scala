@@ -212,11 +212,20 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
           out.put("lance.bucket-by",
             s"${b.numBuckets}:${b.columns.mkString(",")}")
           // storage-partitioned joins engage for ANY key width: the scan
-          // reports one bucket(n, cols...) transform and Spark's
-          // key-grouped planning matches it when the join covers every
-          // key column; a subset-key join falls back to the exchange
+          // reports one bucket(n, col) transform per key column and
+          // Spark's key-grouped planning matches when the join covers
+          // every key column; a subset-key join falls back to the
+          // exchange. The row must MIRROR the scan's gate: composite
+          // specs whose fragments still carry legacy tuple-hash tags
+          // (pre-grid scheme) report unavailable until a rebucket, or
+          // a user disabling broadcast on its word gets an unexplained
+          // full shuffle.
           out.put("lance.bucket-by.storage-partitioned-join",
             if (b.columns.size == 1) "available"
+            else if (!b.compositeTagsReadable)
+              "unavailable: legacy tuple-hash bucket tags - " +
+                s"CALL rebucket to re-tag, then joins covering all of " +
+                s"${b.columns.mkString(",")} run exchange-free"
             else s"available (composite key: the join must cover all of " +
               s"${b.columns.mkString(",")}; subset-key joins shuffle)")
         }

@@ -1828,11 +1828,17 @@ object LanceFormat {
     * the quarantine publish's row split alike): a branch commit that
     * REMOVED fragments would make "branch-only fragments" double-count
     * or resurrect rows. */
+  /** `versions`: pass the branch's already-listed manifest versions to
+    * skip a duplicate directory LIST (both callers hold one). Returns
+    * the BASE manifest's fragments so the caller can reuse them instead
+    * of re-reading the fork-point manifest. */
   private[graft] def requireAppendOnlyBranch(fs: FileSystem, bp: Path,
-      name: String, verb: String): Unit = {
-    val vs = listVersionsIn(fs, bp)
+      name: String, verb: String,
+      versions: Option[Seq[Long]] = None): Seq[FragmentMeta] = {
+    val vs = versions.getOrElse(listVersionsIn(fs, bp))
     val base = vs.head
-    var prev = readManifestIn(fs, bp, base).fragments
+    val baseFragments = readManifestIn(fs, bp, base).fragments
+    var prev = baseFragments
     vs.filter(_ > base).foreach { v =>
       val m = readManifestIn(fs, bp, v)
       require(m.operation.contains("append"),
@@ -1847,6 +1853,7 @@ object LanceFormat {
           s"${removed.map(_.file).mkString(", ")} - not append-only")
       prev = m.fragments
     }
+    baseFragments
   }
 
   def rebaseBranch(fs: FileSystem, root: Path, name: String,
@@ -1864,9 +1871,9 @@ object LanceFormat {
     val mainLatest = readLatest(fs, root).getOrElse(
       throw new IllegalStateException(s"no dataset at $root"))
     if (vs.last == base) return (base, mainLatest.version) // nothing to adopt
-    requireAppendOnlyBranch(fs, bp, name, "rebase")
+    val baseFrags = requireAppendOnlyBranch(fs, bp, name, "rebase", Some(vs))
     val head = readManifestIn(fs, bp, vs.last)
-    val baseFiles = readManifestIn(fs, bp, base).fragments.map(_.file).toSet
+    val baseFiles = baseFrags.map(_.file).toSet
     val mainFiles = mainLatest.fragments.map(_.file).toSet
     val branchOnly = head.fragments.filterNot(f =>
       baseFiles.contains(f.file) || mainFiles.contains(f.file))

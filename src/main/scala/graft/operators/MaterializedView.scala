@@ -72,8 +72,16 @@ object MaterializedView {
     * unchanged: a feed image keys exactly like the original row did. */
   case class GroupKey(expr: String, alias: String) {
     def isPlain: Boolean = expr == alias
-    require(alias.nonEmpty && !alias.startsWith("_"),
-      s"group alias '$alias' empty or starts with '_' (reserved)")
+    // a PLAIN key only references an existing column, so any name the
+    // view state doesn't reserve (_mv_) is fine — including
+    // underscore-leading source columns of pre-expression-key views,
+    // which must keep decoding. An EXPRESSION key MINTS a new column:
+    // the whole '_' namespace is reserved there (feed metadata like
+    // _change_type lives in it).
+    require(alias.nonEmpty && !alias.startsWith("_mv_"),
+      s"group alias '$alias' empty or in the reserved _mv_ namespace")
+    require(isPlain || !alias.startsWith("_"),
+      s"expression-key alias '$alias' may not start with '_' (reserved)")
     // alias rides the comma-joined group-by property and the ':'-split
     // expr property; expr rides a newline-joined property
     require(!alias.contains(',') && !alias.contains(':') &&
@@ -603,6 +611,18 @@ object MaterializedView {
             "the HLL sketch admits int, bigint, string, binary - cast it")
       }
     }
+    // the WHERE must validate HERE, not first at materialization: the
+    // pin tags below are permanent (no self-heal releases a dim tag for
+    // a view that never materialized), so a rejected predicate must
+    // refuse before any side effect
+    where.foreach { w =>
+      try enrichedProbe.filter(expr(w)).queryExecution.analyzed
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"WHERE '$w' does not resolve over $sourcePath (or its " +
+            s"joins/dims): ${e.getMessage}")
+      }
+    }
     val (vfs, vroot) = fsRoot(spark, viewPath)
     require(LanceFormat.readLatest(vfs, vroot).isEmpty,
       s"dataset already exists at $viewPath")
@@ -972,6 +992,12 @@ object MaterializedView {
       .filter(col("_change_type").isin("delete", "update_preimage"))
       .isEmpty
 
+    // ONE view snapshot serves the delta merge, the scoped-path column
+    // list and the final alignment (three reads could straddle a
+    // concurrent refresh: the CAS would still refuse, but the merge
+    // would have been computed against one version and aligned against
+    // another)
+    val curView = spark.read.format("lance").load(viewPath)
     val deltaPath = !hasMinMax || removalFree
     val newStates: DataFrame = if (deltaPath) {
       // ---- delta: signed arithmetic over the feed, merged into state
@@ -1016,7 +1042,7 @@ object MaterializedView {
         .agg(deltaCols.head, deltaCols.tail: _*)
         // a group whose feed rows cancel exactly (one -, one + with equal
         // values) still merges below to its unchanged state — harmless
-      val cur = spark.read.format("lance").load(viewPath)
+      val cur = curView
       def zero(c: String, dt: DataType): Column = coalesce(q(c), lit(0).cast(dt))
       val curSchema = cur.schema
       var merged = delta.join(cur.drop(groupBy: _*), Seq(GidCol), "left")
@@ -1105,7 +1131,7 @@ object MaterializedView {
       val recomputed = stateAgg(scoped, keys, aggs)
       // groups present in the feed but absent from the source died:
       // their state row carries _mv_n = 0 and applyChanges deletes it
-      val curCols = spark.read.format("lance").load(viewPath).columns
+      val curCols = curView.columns
       val dead = affected.join(recomputed.select(GidCol), Seq(GidCol), "left_anti")
       val deadStates = curCols.foldLeft(dead) { (df, c) =>
         if (df.columns.contains(c)) df
@@ -1114,7 +1140,7 @@ object MaterializedView {
       recomputed.unionByName(deadStates.select(recomputed.columns.map(q): _*))
     }
 
-    val viewSchema = spark.read.format("lance").load(viewPath).schema
+    val viewSchema = curView.schema
     // persist: the guard below plus applyChanges' stats/prune/match/write
     // jobs would otherwise re-execute the whole feed+merge DAG each time
     val aligned = newStates.select(viewSchema.fieldNames.map(f =>

@@ -859,6 +859,44 @@ class MaterializedViewSpec extends AnyFunSuite {
     }
   }
 
+  test("a rejected WHERE refuses BEFORE any dim pin or registration lands") {
+    val src = tmpDir(); val dim = tmpDir()
+    seed(src)
+    (0 until 10).map(i => (s"g$i", s"seg${i % 3}")).toDF("grp", "segment")
+      .toDF().write.format("lance").mode("overwrite").save(dim)
+    val e = intercept[Exception](MaterializedView.create(spark,
+      tmpDir() + "/v", src, Seq("segment"),
+      Seq(AggSpec("count", "*", "n")),
+      where = Some("no_such_col > 0"),
+      dims = Seq(MaterializedView.DimSpec(dim, Map("grp" -> "grp")))))
+    assert(e.getMessage.contains("WHERE"), e.getMessage)
+    // no side effect leaked: a dim pin tag has no self-heal, so it must
+    // never land for a view that was refused
+    assert(Lance.tags(spark, dim).isEmpty, "leaked dim pin tag")
+    assert(!manifest(dim).properties.getOrElse(Map.empty)
+      .contains("graft.mv.dim-dependents"), "leaked dim registration")
+    assert(!manifest(src).properties.getOrElse(Map.empty)
+      .contains("graft.mv.dependents"), "leaked source registration")
+  }
+
+  test("plain group columns with a leading underscore keep working") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 100L).map(i => (s"u${i % 5}", i * 1.0)).toDF("_tenant", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    // a plain key only references an existing column: any non-_mv_ name
+    // is legal (and pre-expression-key views must keep decoding)
+    MaterializedView.create(spark, view, src, Seq("_tenant"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "x", "sx")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try Lance.deleteWhere(spark, src, "x <= 10")
+    finally spark.conf.unset("spark.graft.dml.changeFeed")
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    val expect = spark.read.format("lance").load(src).groupBy("_tenant")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("x")).as("sx"))
+    assertSame(MaterializedView.read(spark, view), expect,
+      "underscore-keyed view drifted")
+  }
+
   test("out-of-band writes to the view fail the next refresh loud") {
     val src = tmpDir(); val view = tmpDir() + "/v"
     (1L to 10L).map(i => (i, "g", i * 1.0)).toDF("id", "grp", "x")

@@ -130,6 +130,34 @@ class WapSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(dir).count() == 35L)
   }
 
+  test("quarantine refuses when violations predate the fork (clean branch)") {
+    val dir = tmpDir()
+    // main already violates 'positive' BEFORE any branch exists
+    (Seq((1L, -7.0)) ++ (2L to 10L).map(i => (i, i * 1.0))).toDF("id", "x")
+      .write.format("lance").mode("overwrite").save(dir)
+    Lance.createBranch(spark, dir, "b")
+    // the branch adds only CLEAN rows
+    (11L to 15L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").option("write.branch", "b").mode("append").save(dir)
+    val mainBefore = Lance.versions(spark, dir)
+    // the audit sees 1 violation in the lineage, but the split could
+    // stage 0 branch-only rows: publishing would mask the base defect
+    // and leave quarantine counts disagreeing with its contents
+    val e = intercept[IllegalArgumentException](Lance.publishBranch(
+      spark, dir, "b", Map("positive" -> "x > 0"), quarantine = true))
+    assert(e.getMessage.contains("predate the fork"), e.getMessage)
+    assert(Lance.versions(spark, dir) == mainBefore, "main must not move")
+    // the branch survives for fix-and-retry, and no quarantine lineage
+    // was created
+    assert(spark.read.format("lance").option("branch", "b").load(dir)
+      .count() == 15L)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val bfs = graft.format.LanceFormat.fileSystem(root,
+      spark.sessionState.newHadoopConf())
+    assert(!bfs.exists(
+      graft.format.LanceFormat.branchPath(root, "b-quarantine")))
+  }
+
   test("rebase-path publish re-proves main's post-fork constraints") {
     val dir = tmpDir()
     (1L to 20L).map(i => (i, s"k$i")).toDF("id", "s")
