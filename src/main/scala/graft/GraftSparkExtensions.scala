@@ -93,6 +93,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_constraints"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_constraints"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_constraints", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_dependents"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_dependents"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_dependents", args)))
     e.injectTableFunction((FunctionIdentifier("lance_maxsim"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_maxsim"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_maxsim", args)))
@@ -122,7 +125,8 @@ object MetaTvfs {
         "lance_fts_highlight",
         "lance_stats", "vector_search_join", "lance_indexes",
         "lance_take", "lance_tags", "lance_branches",
-        "lance_constraints", "lance_consumers", "lance_maxsim").foreach { n =>
+        "lance_constraints", "lance_consumers", "lance_dependents",
+        "lance_maxsim").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -495,6 +499,60 @@ object MetaTvfs {
           new StructType().add("name", StringType, nullable = false)
             .add("watermark", LongType, nullable = false)
             .add("versions_behind", LongType, nullable = false))
+      // registered derived-table dependents: one row per view / replica
+      // / star-dim registration on THIS table, with the dependent's
+      // watermark INTO this table's history and its lag — the companion
+      // to lance_consumers for internal dependents (the same watermarks
+      // pin this table's retention vacuum)
+      case "lance_dependents" =>
+        val m = graft.format.LanceFormat.readLatest(fs, root)
+        val head = m.map(_.version).getOrElse(0L)
+        val props = m.flatMap(_.properties).getOrElse(Map.empty)
+        // registrations store java.io.File absolute paths — normalize
+        // the TVF's path argument the same way before comparing
+        val myAbs = new java.io.File(path).getAbsolutePath
+        val conf = spark.sessionState.newHadoopConf()
+        def depProps(dp: String): Map[String, String] =
+          try {
+            val dr = new org.apache.hadoop.fs.Path(dp)
+            graft.format.LanceFormat.readLatest(
+              graft.format.LanceFormat.fileSystem(dr, conf), dr)
+              .flatMap(_.properties).getOrElse(Map.empty)
+          } catch { case _: Exception => Map.empty }
+        def deps(key: String): Seq[String] =
+          props.get(key).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
+        val rows: Seq[Row] =
+          deps("graft.mv.dependents").map { dp =>
+            val d = depProps(dp)
+            // this table is the view's SOURCE or one of its JOIN sides:
+            // the watermark is role-specific (dependentWatermarkPin's rule)
+            val asJoin = d.get("graft.mv.joins").toSeq
+              .flatMap(_.split('\n')).filter(_.nonEmpty).collectFirst {
+                case line if line.split("\\|", 3)(1) == myAbs =>
+                  line.split("\\|", 3)(0).toLong
+              }
+            val role = if (asJoin.isDefined) "join" else "source"
+            val wm = asJoin.orElse(d.get("graft.mv.version").map(_.toLong))
+            Row(dp, "view", role, wm.map(Long.box).orNull,
+              wm.map(w => Long.box(head - w)).orNull)
+          } ++
+          deps("graft.replica.dependents").map { dp =>
+            val wm = depProps(dp).get("graft.replica.version").map(_.toLong)
+            Row(dp, "replica", "source", wm.map(Long.box).orNull,
+              wm.map(w => Long.box(head - w)).orNull)
+          } ++
+          deps("graft.mv.dim-dependents").map { dp =>
+            // a dim registration pins via TAG, not a watermark
+            Row(dp, "view", "dim", null, null)
+          }
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows.sortBy(r =>
+            (r.getString(0), r.getString(2))): _*),
+          new StructType().add("dependent", StringType, nullable = false)
+            .add("kind", StringType, nullable = false)
+            .add("role", StringType, nullable = false)
+            .add("watermark", LongType)
+            .add("versions_behind", LongType))
       // DESCRIBE-CONSTRAINTS parity: one row per CHECK rule
       case "lance_constraints" =>
         val rows = graft.format.LanceFormat.readLatest(fs, root)

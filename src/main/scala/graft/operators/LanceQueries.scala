@@ -2436,6 +2436,50 @@ object LanceQueries {
     got.withColumn("mode", lit(r.mode)).orderBy(col("o_orderpriority"))
   }
 
+  /** `lance_dependents` TVF (s126): the operator-facing registry —
+    * after a join-side-only DML batch the TVF shows the view lagging
+    * the JOIN table by exactly the committed versions (require()d),
+    * and a refresh zeroes both sides' lag (the hashed output). The
+    * same watermarks pin each table's retention vacuum. */
+  def s126DependentsTvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.{AggSpec, JoinSpec}
+    val srcA = scratch(dir, "dep_a")
+    val srcB = scratch(dir, "dep_b")
+    val view = scratch(dir, "dep_view")
+    freshDataset(spark, srcA); freshDataset(spark, srcB)
+    freshDataset(spark, view)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.format("lance").mode("overwrite").save(srcA)
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.format("lance").mode("overwrite").save(srcB)
+    MaterializedView.create(spark, view, srcA, Seq("o_orderpriority"),
+      Seq(AggSpec("sum", "l_extendedprice", "sum_price")),
+      joins = Seq(JoinSpec(srcB, Map("o_orderkey" -> "l_orderkey"))))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      graft.Lance.deleteWhere(spark, srcB,
+        "l_orderkey % 11 = 3 AND l_orderkey <= 30000")
+      graft.Lance.deleteWhere(spark, srcB,
+        "l_orderkey % 11 = 4 AND l_orderkey <= 30000")
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    graft.MetaTvfs.register(spark)
+    def dep(p: String) = spark.sql(
+      s"SELECT kind, role, versions_behind FROM lance_dependents('$p')")
+    val lag = dep(srcB).collect()
+    require(lag.length == 1 && lag(0).getString(1) == "join" &&
+      lag(0).getLong(2) == 2L,
+      s"join-side lag must be exactly the committed window: " +
+        lag.mkString(","))
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta", r.toString)
+    dep(srcA).withColumn("side", lit("a"))
+      .unionByName(dep(srcB).withColumn("side", lit("b")))
+      .orderBy(col("side"))
+  }
+
   /** Write-audit-publish (s117): evens land on main, odds stage on an
     * audit branch. A first publish with an impossible quality bar is
     * REFUSED (main provably still evens-only — that count rides the
@@ -2874,6 +2918,7 @@ object LanceQueries {
     "s123_mv_star" -> s123MvStar,
     "s124_mv_rollup" -> s124MvRollup,
     "s125_mv_join" -> s125MvJoin,
+    "s126_dependents_tvf" -> s126DependentsTvf,
     "s117_publish" -> s117Publish,
     "s118_replica" -> s118Replica,
     "s119_mv_auto" -> s119MvAuto,
@@ -3107,6 +3152,14 @@ object LanceQueries {
         | 'delta' AS mode
         |FROM a JOIN b ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s126: the pre-refresh lag (=2) is the require(); post-refresh both
+    // registrations report zero lag — planted rows
+    "s126_dependents_tvf" ->
+      """SELECT * FROM (VALUES
+        |  ('view', 'source', CAST(0 AS BIGINT), 'a'),
+        |  ('view', 'join',   CAST(0 AS BIGINT), 'b'))
+        |  AS t(kind, role, versions_behind, side)
+        |ORDER BY side""".stripMargin,
     // s120: the join aggregate is layout-independent; composite-key
     // shuffle-freedom is the require() + planted literal (s108 pattern)
     "s120_spj_composite" ->

@@ -251,6 +251,40 @@ class JoinViewSpec extends AnyFunSuite {
       .contains("collide"))
   }
 
+  test("lance_dependents lists registrations with role-specific lag") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    graft.MetaTvfs.register(spark)
+    val abs = new java.io.File(view).getAbsolutePath
+    // on the SOURCE: the view reports role=source with the mv watermark
+    val onA = spark.sql(s"SELECT * FROM lance_dependents('$a')").collect()
+    assert(onA.length == 1)
+    assert(onA(0).getAs[String]("dependent") == abs)
+    assert(onA(0).getAs[String]("kind") == "view")
+    assert(onA(0).getAs[String]("role") == "source")
+    assert(onA(0).getAs[Long]("versions_behind") == 0L)
+    // on the JOIN side: role=join with the join-side watermark; advance
+    // B twice and the lag shows
+    withFeed {
+      Lance.deleteWhere(spark, b, "o_key % 50 = 1")
+      Lance.deleteWhere(spark, b, "o_key % 50 = 2")
+    }
+    val onB = spark.sql(s"SELECT * FROM lance_dependents('$b')").collect()
+    assert(onB.length == 1)
+    assert(onB(0).getAs[String]("role") == "join")
+    assert(onB(0).getAs[Long]("versions_behind") == 2L)
+    MaterializedView.refresh(spark, view)
+    assert(spark.sql(s"SELECT versions_behind FROM lance_dependents('$b')")
+      .collect()(0).getLong(0) == 0L)
+    // dropped views disappear from every side
+    MaterializedView.drop(spark, view)
+    assert(spark.sql(s"SELECT * FROM lance_dependents('$a')").isEmpty)
+    assert(spark.sql(s"SELECT * FROM lance_dependents('$b')").isEmpty)
+  }
+
   test("SQL surface: CALL create_mv with a joins argument") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.jmv", "graft.catalog.LanceCatalog")
