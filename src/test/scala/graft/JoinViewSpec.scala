@@ -251,6 +251,33 @@ class JoinViewSpec extends AnyFunSuite {
       .contains("collide"))
   }
 
+  test("filtered join views: the WHERE names join columns and applies per image") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a,
+      Seq("status", "upper(tag) AS utag"), // expression key over a JOIN column
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      where = Some("amount > 5.0"), // join-column predicate
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    withFeed {
+      // re-pricing moves joined rows ACROSS the predicate boundary in
+      // both directions; deletes hit rows on both sides of it
+      Lance.updateWhere(spark, b, "o_key % 7 = 2", Map("amount" -> "amount / 20"))
+      Lance.updateWhere(spark, b, "o_key % 7 = 3", Map("amount" -> "amount * 20"))
+      Lance.deleteWhere(spark, a, "okey % 13 = 1")
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta")
+    val expect = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "inner")
+      .filter(col("amount") > 5.0)
+      .groupBy(col("status"), upper(col("tag")).as("utag"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("amount")).as("amt"))
+    assertSame(MaterializedView.read(spark, view), expect,
+      "filtered join view drifted across the predicate boundary")
+  }
+
   test("lance_dependents lists registrations with role-specific lag") {
     val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
     seed(a, b)
