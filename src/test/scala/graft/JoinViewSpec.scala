@@ -278,6 +278,35 @@ class JoinViewSpec extends AnyFunSuite {
       "filtered join view drifted across the predicate boundary")
   }
 
+  test("a star dim may key on a JOIN column (dims enrich after joins)") {
+    val a = tmpDir(); val b = tmpDir(); val d = tmpDir()
+    val view = tmpDir() + "/v"
+    seed(a, b)
+    // dim keyed on the join table's 'tag' attribute
+    Seq(("t0", "bronze"), ("t1", "silver"), ("t9", "gold"))
+      .toDF("tag_key", "tier")
+      .write.format("lance").mode("overwrite").save(d)
+    MaterializedView.create(spark, view, a, Seq("tier"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))),
+      dims = Seq(MaterializedView.DimSpec(d, Map("tag" -> "tag_key"))))
+    withFeed {
+      Lance.deleteWhere(spark, b, "o_key % 6 = 1")
+      Lance.updateWhere(spark, a, "okey % 6 = 2", Map("status" -> "'sZ'"))
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta")
+    val expect = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "inner")
+      .join(spark.read.format("lance").load(d),
+        col("tag") === col("tag_key"), "left").drop("tag_key")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("amount")).as("amt"))
+    assertSame(MaterializedView.read(spark, view), expect,
+      "join+dim view drifted (dim keyed on a join attribute)")
+  }
+
   test("lance_dependents lists registrations with role-specific lag") {
     val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
     seed(a, b)
