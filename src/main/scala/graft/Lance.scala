@@ -663,6 +663,46 @@ object Lance {
           case e: Exception => error(s"$kind index sidecar on '$col' unreadable: $e")
         }
       }
+      // dependent registrations: each registered view/replica should
+      // still exist and still reference THIS table (as source or join
+      // side). A dangling registration is a WARN, not an error — the
+      // next maintenance pass self-heals it — but it quietly pins the
+      // retention vacuum until then, so the operator should see it.
+      val props = m.properties.getOrElse(Map.empty)
+      val myAbs = new java.io.File(path).getAbsolutePath
+      def depCheck(key: String, kind: String,
+          refs: Map[String, String] => Boolean): Unit =
+        props.get(key).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
+          .foreach { dp =>
+            val dprops = try {
+              val dr = new org.apache.hadoop.fs.Path(dp)
+              LanceFormat.readLatest(LanceFormat.fileSystem(dr,
+                spark.sessionState.newHadoopConf()), dr)
+                .map(_.properties.getOrElse(Map.empty))
+            } catch { case _: Exception => None }
+            dprops match {
+              case None => warn(s"registered $kind $dp no longer exists " +
+                "(dangling registration; self-heals on the next " +
+                "maintenance pass, pins retention until then)")
+              case Some(d) if !refs(d) => warn(
+                s"registered $kind $dp exists but does not reference this " +
+                  "table (recreated under the same path?)")
+              case _ => ()
+            }
+          }
+      def namesMe(d: Map[String, String]): Boolean = {
+        def abs(p: String) = new java.io.File(p).getAbsolutePath
+        d.get("graft.mv.source").exists(abs(_) == myAbs) ||
+          d.get("graft.replica.source").exists(abs(_) == myAbs) ||
+          d.get("graft.mv.joins").toSeq.flatMap(_.split('\n'))
+            .exists(l => l.split("\\|", 3).lift(1).contains(myAbs))
+      }
+      depCheck("graft.mv.dependents", "view", namesMe)
+      depCheck("graft.replica.dependents", "replica", namesMe)
+      depCheck("graft.mv.dim-dependents", "dim-view",
+        d => d.get("graft.mv.dims").toSeq.flatMap(_.split('\n'))
+          .exists(l => l.split("\\|", 3).lift(1)
+            .exists(p => new java.io.File(p).getAbsolutePath == myAbs)))
     }
     issues.toSeq
   }

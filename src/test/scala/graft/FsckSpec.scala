@@ -17,6 +17,7 @@ import java.nio.file.Files
   */
 class FsckSpec extends AnyFunSuite {
   import TestSpark._
+  import spark.implicits._
 
   private def tmpDir(): String =
     Files.createTempDirectory(java.nio.file.Paths.get("target"), "fsck-")
@@ -34,6 +35,36 @@ class FsckSpec extends AnyFunSuite {
     Lance.analyze(spark, dir, columns = Seq("k"))
     val found = Lance.fsck(spark, dir)
     assert(found.isEmpty, found.mkString("; "))
+  }
+
+  test("dangling dependent registrations surface as warnings") {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.{AggSpec, JoinSpec}
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 50L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
+      .write.format("lance").mode("overwrite").save(a)
+    (1L to 50L).map(i => (i, i * 1.0)).toDF("j", "x")
+      .write.format("lance").mode("overwrite").save(b)
+    MaterializedView.create(spark, view, a, Seq("g"),
+      Seq(AggSpec("sum", "x", "sx")),
+      joins = Seq(JoinSpec(b, Map("k" -> "j"))))
+    // a LIVE registration is healthy on both sides
+    assert(Lance.fsck(spark, a).isEmpty, Lance.fsck(spark, a).mkString(";"))
+    assert(Lance.fsck(spark, b).isEmpty, Lance.fsck(spark, b).mkString(";"))
+    // delete the view OUT OF BAND (no drop): both registrations dangle
+    val vr = new Path(new java.io.File(view).getAbsolutePath)
+    LanceFormat.fileSystem(vr, spark.sessionState.newHadoopConf())
+      .delete(vr, true)
+    Seq(a, b).foreach { t =>
+      val found = Lance.fsck(spark, t)
+      assert(found.exists(i => i.severity == "warn" &&
+        i.what.contains("no longer exists")), s"$t: $found")
+    }
+    // the next maintenance pass self-heals; fsck goes quiet again
+    MaterializedView.refreshDependents(spark, a)
+    MaterializedView.refreshDependents(spark, b)
+    assert(Lance.fsck(spark, a).isEmpty)
+    assert(Lance.fsck(spark, b).isEmpty)
   }
 
   test("out-of-band file surgery and version skew are found, not thrown") {
