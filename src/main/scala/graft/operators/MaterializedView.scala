@@ -174,7 +174,16 @@ object MaterializedView {
     * side can maintain it, and each side's retention vacuum pins back
     * to the view's per-table watermark. Join keys must be SOURCE
     * columns (the snowflake-free star shape — chains B⋈C are out of
-    * scope); joined-side key columns drop after the join. */
+    * scope); joined-side key columns drop after the join.
+    *
+    * Cost: with ONE join table each term IN-list-prunes its fact scan
+    * to the changed keys, so refresh is change-bounded (measured flat
+    * across a 10× scale-up — `DevMvJoinScale`). With N ≥ 2 joins, the
+    * term for ΔJi prunes the SOURCE scan by ΔJi's keys but joins the
+    * other J_k factors unpruned (their matching keys are only known
+    * after the pruned source scan runs); co-bucket the tables on the
+    * join keys to keep those factors exchange-free, or split a wide
+    * view into single-join views over a shared source. */
   case class JoinSpec(path: String, keys: Map[String, String]) {
     require(keys.nonEmpty, "a join table needs at least one key")
     require(!path.contains('|') && !path.contains('\n'),
