@@ -1381,6 +1381,28 @@ object Lance {
       })
   }
 
+  /** Cherry-pick ONE branch commit into main (the git shape): the
+    * fragments branch version `version` added over its predecessor
+    * append to main by reference — one metadata commit, no data copied,
+    * the branch untouched (pick the good commits, delete the branch).
+    * Only the picked commit must be an APPEND; main's CURRENT CHECK and
+    * UNIQUE constraints are re-proven over the picked rows, exactly like
+    * [[rebaseBranch]]. Idempotent: fragments main already references are
+    * skipped. Returns (fragmentsAdopted, newMainVersion). */
+  def cherryPick(spark: SparkSession, path: String, name: String,
+      version: Long): (Int, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    graft.format.LanceFormat.cherryPick(fs, root, name, version,
+      validate = { (mergedSchema, picked) =>
+        val main = graft.format.LanceFormat.readLatest(fs, root)
+        graft.connector.LanceWrite.enforceConstraints(
+          root, mergedSchema, picked,
+          main.map(_.checkConstraints).getOrElse(Map.empty),
+          tableFrags = main.map(_.fragments).getOrElse(Seq.empty))
+      })
+  }
+
   /** WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern on branches): audit the
     * branch head against named SQL checks, then adopt it into main —
     * [[fastForward]] when main has not moved since the fork, else

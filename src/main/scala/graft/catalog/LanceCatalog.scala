@@ -412,7 +412,7 @@ object LanceCatalog {
       "drop_index", "update_where", "upsert", "replace_where",
       "remove_orphans", "restore",
       "tag", "untag", "create_branch", "drop_branch", "fast_forward",
-      "rebase_branch",
+      "rebase_branch", "cherry_pick",
       "add_constraint", "drop_constraint", "set_not_null", "drop_not_null",
       "rename_column", "widen_column",
       "add_unique", "clone_table", "cluster_by_bucket", "rebucket",
@@ -546,6 +546,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "drop_branch" => "delete a branch; its unshared data becomes GC-reclaimable"
     case "fast_forward" => "adopt the branch head on main as one commit (only if main has not moved)"
     case "rebase_branch" => "re-commit an append-only branch's fragments onto main's CURRENT head (the diverged case fast_forward refuses)"
+    case "cherry_pick" => "adopt ONE branch append commit into main by reference (metadata-only; main's current CHECK/UNIQUE constraints re-proven; idempotent re-pick)"
     case "add_constraint" => "add a CHECK constraint (validates existing data; every commit re-validates its batch)"
     case "drop_constraint" => "drop a CHECK constraint"
     case "set_not_null" => "declare a column NOT NULL (validates existing rows; rule + schema nullability in one commit)"
@@ -701,6 +702,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("name", StringType).build())
     case "rebase_branch" => Array(in("table", StringType).build(),
       in("name", StringType).build())
+    case "cherry_pick" => Array(in("table", StringType).build(),
+      in("name", StringType).build(),
+      in("version", IntegerType)
+        .comment("branch version whose ADDED fragments adopt").build())
     case "add_constraint" => Array(in("table", StringType).build(),
       in("name", StringType).build(),
       in("expr", StringType).comment("boolean SQL expression; NULL passes").build())
@@ -1025,6 +1030,13 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         (new StructType().add("branch_head", LongType, nullable = false)
           .add("new_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](head, newV)))
+      case "cherry_pick" =>
+        val (n, newV) = graft.Lance.cherryPick(spark, path,
+          input.getUTF8String(1).toString, input.getInt(2).toLong)
+        (new StructType()
+          .add("fragments_adopted", IntegerType, nullable = false)
+          .add("new_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](n, newV)))
       case "add_constraint" =>
         val v = graft.Lance.addConstraint(spark, path,
           input.getUTF8String(1).toString, input.getUTF8String(2).toString)

@@ -1925,6 +1925,81 @@ object LanceFormat {
     (vs.last, m.version)
   }
 
+  /** CHERRY-PICK one branch commit into main (the git shape): the
+    * fragments branch version `version` ADDED over its predecessor
+    * append to main BY REFERENCE — one metadata commit, no data copied,
+    * the branch untouched. Unlike [[rebaseBranch]] only the PICKED
+    * commit must be an append (earlier branch rewrites don't matter:
+    * an append's added fragments hold new rows by definition);
+    * fragments main already references are skipped, so a re-pick is
+    * idempotent. Same dropped-column resurrection guard, stale
+    * bucket-tag clearing and constraint `validate` hook as rebase.
+    * Returns (fragmentsAdopted, newMainVersion). */
+  def cherryPick(fs: FileSystem, root: Path, name: String, version: Long,
+      validate: (StructType, Seq[FragmentMeta]) => Unit = (_, _) => ())
+      : (Int, Long) = {
+    val bp = branchPath(root, name)
+    require(fs.exists(bp), s"no branch '$name' at $root")
+    val vs = listVersionsIn(fs, bp)
+    require(vs.contains(version),
+      s"branch '$name' has no version $version (has: ${vs.mkString(",")})")
+    val base = vs.head
+    require(version > base, s"v$version is the branch's fork point - " +
+      "it holds main data, nothing to pick")
+    val picked = readManifestIn(fs, bp, version)
+    require(picked.operation.contains("append"),
+      s"cannot cherry-pick '$name' v$version: it is a " +
+        s"${picked.operation.getOrElse("pre-operation-field")} commit, " +
+        "not an append - only appended fragments can adopt by reference " +
+        "without double-publishing rows")
+    val prevV = vs.filter(_ < version).last
+    val prevFiles = readManifestIn(fs, bp, prevV).fragments.map(_.file).toSet
+    val added = picked.fragments.filterNot(f => prevFiles.contains(f.file))
+    val mainLatest = readLatest(fs, root).getOrElse(
+      throw new IllegalStateException(s"no dataset at $root"))
+    val mainFiles = mainLatest.fragments.map(_.file).toSet
+    val toAdopt = added.filterNot(f => mainFiles.contains(f.file))
+    if (toAdopt.isEmpty) return (0, mainLatest.version) // idempotent
+    val resurrected = picked.schema.fieldNames.toSet
+      .diff(mainLatest.schema.fieldNames.toSet)
+      .intersect(mainLatest.dropped.toSet)
+    require(resurrected.isEmpty,
+      s"cannot cherry-pick '$name' v$version: column(s) " +
+        s"${resurrected.mkString(", ")} were DROPPED on main and the " +
+        "picked fragments still hold their data")
+    val merged = mergeSchemas(mainLatest.schema, picked.schema)
+    validate(merged, toAdopt)
+    val nextId = mainLatest.fragments.map(_.id).maxOption.getOrElse(-1) + 1
+    val sameSpec = picked.bucketBy == mainLatest.bucketBy
+    val renumbered = toAdopt.zipWithIndex.map { case (f, i) =>
+      val g = f.copy(id = nextId + i)
+      if (sameSpec) g else g.copy(bucket = None, sorted = None)
+    }
+    val m = Manifest(
+      version = mainLatest.version + 1,
+      schemaJson = merged.json,
+      fragments = mainLatest.fragments ++ renumbered,
+      epochId = mainLatest.epochId,
+      committedAtMs = System.currentTimeMillis(),
+      // adds-only: changefeed readers see the picked fragments as
+      // inserts, exactly like an append
+      operation = Some("cherry-pick"),
+      droppedColumns = mainLatest.droppedColumns,
+      constraints = mainLatest.constraints,
+      streamEpochs = mainLatest.streamEpochs,
+      columnMapping = mainLatest.columnMapping,
+      clusterBy = mainLatest.clusterBy,
+      bucketBy = mainLatest.bucketBy,
+      bloomFilters = mainLatest.bloomFilters,
+      properties = mainLatest.properties,
+      fragmentGroups = mainLatest.fragmentGroups)
+    if (!commitOnce(fs, root, m, None))
+      throw new java.util.ConcurrentModificationException(
+        s"cannot cherry-pick '$name' v$version: main advanced concurrently " +
+          s"past v${mainLatest.version} - re-run against the new state")
+    (renumbered.size, m.version)
+  }
+
   /** Every fragment file any branch manifest references (GC roots). */
   private def branchReferencedFiles(fs: FileSystem, root: Path): Set[String] = {
     val bp = branchesPath(root)

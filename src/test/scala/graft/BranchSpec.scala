@@ -217,6 +217,88 @@ class BranchSpec extends AnyFunSuite {
     assert(Lance.versions(spark, dir).size == vBefore, "refused rebase committed")
   }
 
+  test("cherry-pick adopts ONE branch commit; idempotent; branch untouched") {
+    val dir = tmpDir()
+    seed(dir) // ids 1,2
+    Lance.createBranch(spark, dir, "exp")
+    // three branch appends: v2 (3), v3 (4), v4 (5)
+    Seq(3L, 4L, 5L).foreach { i =>
+      Seq((i, s"v$i")).toDF("id", "s")
+        .write.format("lance").option("write.branch", "exp").mode("append").save(dir)
+    }
+    Seq((9L, "z")).toDF("id", "s")
+      .write.format("lance").mode("append").save(dir) // diverge main
+    // pick the MIDDLE commit only
+    val (n, newV) = Lance.cherryPick(spark, dir, "exp", 3L)
+    assert(n == 1, s"adopted $n fragments")
+    val main = spark.read.format("lance").load(dir)
+    assert(main.select("id").as[Long].collect().toSet == Set(1L, 2L, 9L, 4L))
+    val (fs, root) = fsRoot(dir)
+    assert(LanceFormat.readLatest(fs, root).get.operation.contains("cherry-pick"))
+    // the branch is untouched (still holds all three commits)
+    assert(spark.read.format("lance").option("branch", "exp").load(dir)
+      .count() == 5L)
+    // re-pick is a no-op, not a double-publish
+    val (n2, v2) = Lance.cherryPick(spark, dir, "exp", 3L)
+    assert(n2 == 0 && v2 == newV)
+    // the fork point itself refuses
+    val e = intercept[IllegalArgumentException](
+      Lance.cherryPick(spark, dir, "exp", 1L))
+    assert(e.getMessage.contains("fork point"), e.getMessage)
+    // changefeed readers see the adoption as plain inserts
+    graft.MetaTvfs.register(spark)
+    val feed = spark.sql(
+      s"SELECT * FROM lance_changes('$dir', ${newV - 1}, $newV)")
+    assert(feed.select("_change_type").distinct().as[String]
+      .collect().toSeq == Seq("insert"))
+  }
+
+  test("cherry-pick refuses non-append commits and re-proves constraints") {
+    val dir = tmpDir()
+    seed(dir)
+    Lance.createBranch(spark, dir, "exp")
+    Seq((-5L, "neg")).toDF("id", "s")
+      .write.format("lance").option("write.branch", "exp").mode("append").save(dir)
+    // a CHECK added on main AFTER the fork must hold over picked rows
+    Lance.addConstraint(spark, dir, "id_pos", "id > 0")
+    val e = intercept[IllegalArgumentException](
+      Lance.cherryPick(spark, dir, "exp", 2L))
+    assert(e.getMessage.contains("id_pos"), e.getMessage)
+    // forge a non-append commit (replace) into the lineage: refused
+    val (fs, root) = fsRoot(dir)
+    val bp = LanceFormat.branchPath(root, "exp")
+    val head = LanceFormat.readManifestIn(fs, bp, 2L)
+    implicit val fmts: org.json4s.Formats =
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+    val out = fs.create(new Path(bp, "3.manifest.json"), true)
+    out.write(org.json4s.jackson.Serialization.write(
+      head.copy(version = 3L, operation = Some("replace")))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val e2 = intercept[IllegalArgumentException](
+      Lance.cherryPick(spark, dir, "exp", 3L))
+    assert(e2.getMessage.contains("not an append"), e2.getMessage)
+    // SQL surface
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.cp", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.cp.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE cp.db")
+      val t = s"$wh/db/t"
+      seed(t)
+      Lance.createBranch(spark, t, "b")
+      Seq((7L, "g")).toDF("id", "s")
+        .write.format("lance").option("write.branch", "b").mode("append").save(t)
+      val row = spark.sql("CALL cp.system.cherry_pick('db.t', 'b', 2)")
+        .collect()(0)
+      assert(row.getAs[Int]("fragments_adopted") == 1)
+      assert(spark.read.format("lance").load(t).count() == 3L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cp")
+      spark.conf.unset("spark.sql.catalog.cp.warehouse")
+    }
+  }
+
   test("rebase refuses resurrecting a column dropped on main after the fork") {
     val dir = tmpDir()
     seed(dir) // schema (id, s)
