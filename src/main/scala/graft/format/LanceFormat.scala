@@ -1683,7 +1683,11 @@ object LanceFormat {
     * never collide on files). Row-level DML / overwrite / compaction on
     * a branch are out of scope and refused loudly — merge semantics
     * beyond fast-forward need conflict detection this format does not
-    * carry. GC ([[vacuum]], [[removeOrphans]]) treats every branch
+    * carry. Append-only adoption covers the real workflows instead:
+    * [[fastForward]] (main unmoved), [[rebaseBranch]] (adopt ALL
+    * branch-only fragments onto a diverged main) and [[cherryPick]]
+    * (adopt ONE branch commit). GC ([[vacuum]], [[removeOrphans]])
+    * treats every branch
     * manifest as a reference root, so branch data cannot be reclaimed
     * from under it; [[deleteBranch]] + vacuum reclaims.
     */
