@@ -278,6 +278,57 @@ class JoinViewSpec extends AnyFunSuite {
       "filtered join view drifted across the predicate boundary")
   }
 
+  test("count_distinct join views: union on insert-only, rescan on removal") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"),
+        AggSpec("count_distinct", "tag", "tags")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    // insert-only on BOTH sides: the joined delta is removal-free, so
+    // sketches union (delta mode)
+    withFeed {
+      Seq((201L, "s1", 1L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a)
+      Seq((201L, 1.0, "tNEW"), (7L, 2.0, "tNEW"))
+        .toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)
+    }
+    assert(MaterializedView.refresh(spark, view).mode == "delta",
+      "insert-only joined windows must union sketches")
+    def exact() = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "inner")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), countDistinct(col("tag")).as("tags"))
+    // tag cardinality is tiny (t0,t1,tNEW): the HLL estimate is exact
+    assertSame(MaterializedView.read(spark, view), exact(),
+      "insert-only count_distinct join view drifted")
+    // a removal forces the scoped rescan (a sketch cannot un-merge)
+    withFeed { Lance.deleteWhere(spark, b, "tag = 'tNEW'") }
+    assert(MaterializedView.refresh(spark, view).mode == "groups")
+    assertSame(MaterializedView.read(spark, view), exact(),
+      "post-removal count_distinct join view drifted")
+  }
+
+  test("a compaction-only join-side window refreshes as an empty delta") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    val before = MaterializedView.read(spark, view).collect().toSet
+    // row-preserving rewrite on B: the feed window is EMPTY but the
+    // version advances — the watermark must still move (else every
+    // later refresh re-walks the compaction)
+    Lance.compact(spark, b, maxRowsPerFile = 1000000L)
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta" && r.groupsChanged == 0L, r.toString)
+    assert(MaterializedView.read(spark, view).collect().toSet == before)
+    assert(MaterializedView.refresh(spark, view).mode == "noop",
+      "the join-side watermark must advance past a compaction")
+  }
+
   test("a star dim may key on a JOIN column (dims enrich after joins)") {
     val a = tmpDir(); val b = tmpDir(); val d = tmpDir()
     val view = tmpDir() + "/v"
