@@ -523,18 +523,17 @@ object MetaTvfs {
           props.get(key).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
         val rows: Seq[Row] =
           deps("graft.mv.dependents").map { dp =>
-            val d = depProps(dp)
-            // this table is the view's SOURCE or one of its JOIN sides:
-            // the watermark is role-specific (dependentWatermarkPin's rule)
-            val asJoin = d.get("graft.mv.joins").toSeq
-              .flatMap(_.split('\n')).filter(_.nonEmpty).collectFirst {
-                case line if line.split("\\|", 3)(1) == myAbs =>
-                  line.split("\\|", 3)(0).toLong
-              }
-            val role = if (asJoin.isDefined) "join" else "source"
-            val wm = asJoin.orElse(d.get("graft.mv.version").map(_.toLong))
-            Row(dp, "view", role, wm.map(Long.box).orNull,
-              wm.map(w => Long.box(head - w)).orNull)
+            // role + watermark via the SAME parse the retention pin uses
+            // (graft.mv.version counts only when this table IS the
+            // view's source — a recreated-elsewhere view reports stale,
+            // never a foreign watermark as negative lag)
+            graft.operators.MaterializedView
+              .roleAndWatermark(depProps(dp), myAbs) match {
+              case Some((role, wm)) =>
+                Row(dp, "view", role, wm.map(Long.box).orNull,
+                  wm.map(w => Long.box(head - w)).orNull)
+              case None => Row(dp, "view", "stale", null, null)
+            }
           } ++
           deps("graft.replica.dependents").map { dp =>
             val wm = depProps(dp).get("graft.replica.version").map(_.toLong)

@@ -528,6 +528,13 @@ object Lance {
         log.warn(s"optimize: view $vp is stale but correct: $err")
       case _ => ()
     }
+    // dim-side self-heal: registrations whose view exists but no longer
+    // references this table release their vacuum pin tags
+    // (refreshDependents can't — dims have no refresh fan-out)
+    if (refreshViews)
+      graft.operators.MaterializedView.healDimRegistrations(spark, path)
+        .foreach(vp =>
+          log.warn(s"optimize: released stale dim registration $vp"))
 
     // explicit keepVersions wins; otherwise the table's DECLARED
     // retention policy applies — the self-contained nightly call
@@ -664,45 +671,64 @@ object Lance {
         }
       }
       // dependent registrations: each registered view/replica should
-      // still exist and still reference THIS table (as source or join
-      // side). A dangling registration is a WARN, not an error — the
-      // next maintenance pass self-heals it — but it quietly pins the
-      // retention vacuum until then, so the operator should see it.
+      // still exist and still reference THIS table. Dangling entries are
+      // WARNs, not errors — but they quietly pin the retention vacuum,
+      // so the operator should see them, with the recovery that actually
+      // applies to each kind (source/join registrations self-heal via
+      // refreshDependents; dim registrations via optimize — except a
+      // missing dataset, which may be a CREATE in flight).
       val props = m.properties.getOrElse(Map.empty)
       val myAbs = new java.io.File(path).getAbsolutePath
-      def depCheck(key: String, kind: String,
-          refs: Map[String, String] => Boolean): Unit =
+      val depConf = spark.sessionState.newHadoopConf() // ONE conf, not N
+      def depProps(dp: String): Option[Map[String, String]] =
+        try {
+          val dr = new org.apache.hadoop.fs.Path(dp)
+          LanceFormat.readLatest(LanceFormat.fileSystem(dr, depConf), dr)
+            .map(_.properties.getOrElse(Map.empty))
+        } catch { case _: Exception => None }
+      def entries(key: String) =
         props.get(key).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
-          .foreach { dp =>
-            val dprops = try {
-              val dr = new org.apache.hadoop.fs.Path(dp)
-              LanceFormat.readLatest(LanceFormat.fileSystem(dr,
-                spark.sessionState.newHadoopConf()), dr)
-                .map(_.properties.getOrElse(Map.empty))
-            } catch { case _: Exception => None }
-            dprops match {
-              case None => warn(s"registered $kind $dp no longer exists " +
-                "(dangling registration; self-heals on the next " +
-                "maintenance pass, pins retention until then)")
-              case Some(d) if !refs(d) => warn(
-                s"registered $kind $dp exists but does not reference this " +
-                  "table (recreated under the same path?)")
-              case _ => ()
-            }
-          }
-      def namesMe(d: Map[String, String]): Boolean = {
-        def abs(p: String) = new java.io.File(p).getAbsolutePath
-        d.get("graft.mv.source").exists(abs(_) == myAbs) ||
-          d.get("graft.replica.source").exists(abs(_) == myAbs) ||
-          d.get("graft.mv.joins").toSeq.flatMap(_.split('\n'))
-            .exists(l => l.split("\\|", 3).lift(1).contains(myAbs))
+      val roleOf = graft.operators.MaterializedView.roleAndWatermark _
+      entries("graft.mv.dependents").foreach { dp =>
+        depProps(dp) match {
+          case None => warn(s"registered view $dp does not exist or is " +
+            "unreadable (crashed create, out-of-band delete, a create in " +
+            "flight, or transient IO); dangling registrations self-heal " +
+            "on the next maintenance pass and pin retention until then")
+          case Some(d)
+              if roleOf(d, myAbs).exists(r =>
+                r._1 == "source" || r._1 == "join") => ()
+          case Some(_) => warn(s"registered view $dp exists but does not " +
+            "reference this table as source or join (recreated under the " +
+            "same path?); self-heals on the next maintenance pass")
+        }
       }
-      depCheck("graft.mv.dependents", "view", namesMe)
-      depCheck("graft.replica.dependents", "replica", namesMe)
-      depCheck("graft.mv.dim-dependents", "dim-view",
-        d => d.get("graft.mv.dims").toSeq.flatMap(_.split('\n'))
-          .exists(l => l.split("\\|", 3).lift(1)
-            .exists(p => new java.io.File(p).getAbsolutePath == myAbs)))
+      entries("graft.replica.dependents").foreach { dp =>
+        depProps(dp) match {
+          case None => warn(s"registered replica $dp does not exist or is " +
+            "unreadable; dangling registrations self-heal on the next " +
+            "maintenance pass and pin retention until then")
+          case Some(d) if d.get("graft.replica.source").exists(p =>
+            new java.io.File(p).getAbsolutePath == myAbs) => ()
+          case Some(_) => warn(s"registered replica $dp exists but does " +
+            "not name this table as its source (recreated under the same " +
+            "path?)")
+        }
+      }
+      entries("graft.mv.dim-dependents").foreach { dp =>
+        depProps(dp) match {
+          case None => warn(s"dim-registered view $dp does not exist or " +
+            "is unreadable: if a create is NOT in flight, its mv-pin tag " +
+            "holds this dim's vacuum - release by deleting the tag and " +
+            "the graft.mv.dim-dependents entry (no automatic heal for a " +
+            "missing dataset; a mid-create view must keep its pin)")
+          case Some(d)
+              if roleOf(d, myAbs).contains(("dim", None)) => ()
+          case Some(_) => warn(s"dim-registered view $dp exists but does " +
+            "not reference this dim; heals on the next optimize of this " +
+            "table")
+        }
+      }
     }
     issues.toSeq
   }
@@ -1111,22 +1137,14 @@ object Lance {
           spark.sessionState.newHadoopConf())
         val dprops = graft.format.LanceFormat.readLatest(dfs, dr)
           .flatMap(_.properties).getOrElse(Map.empty)
-        // the dependent's watermark INTO THIS TABLE's history: a join
-        // view holds one per table — graft.mv.version counts only when
-        // this table IS its source; a `graft.mv.joins` line naming this
-        // table carries that side's own watermark
-        val asJoin = dprops.get("graft.mv.joins").toSeq
-          .flatMap(_.split('\n')).filter(_.nonEmpty).collectFirst {
-            case line if line.split("\\|", 3)(1) == myAbs =>
-              line.split("\\|", 3)(0).toLong
-          }
-        val asSource = dprops.collectFirst { case (k, v)
-            if (k == "graft.mv.version" &&
-              dprops.get("graft.mv.source").map(p =>
-                new java.io.File(p).getAbsolutePath).contains(myAbs)) ||
-              k == "graft.replica.version" =>
-          v.toLong }
-        asJoin.orElse(asSource)
+        // the dependent's watermark INTO THIS TABLE's history is
+        // role-specific: a join view holds one per table (shared parse
+        // in MaterializedView.roleAndWatermark); replicas watermark
+        // their one source
+        graft.operators.MaterializedView.roleAndWatermark(dprops, myAbs)
+          .flatMap(_._2)
+          .orElse(dprops.get("graft.replica.version")
+            .flatMap(v => scala.util.Try(v.toLong).toOption))
       } catch { case _: Exception => None }
     }
     // named external-consumer pins live on the SOURCE's own properties

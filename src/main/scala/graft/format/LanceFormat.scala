@@ -1964,14 +1964,32 @@ object LanceFormat {
     val mainFiles = mainLatest.fragments.map(_.file).toSet
     val toAdopt = added.filterNot(f => mainFiles.contains(f.file))
     if (toAdopt.isEmpty) return (0, mainLatest.version) // idempotent
-    val resurrected = picked.schema.fieldNames.toSet
+    // main's schema gains ONLY the columns the picked fragments
+    // PHYSICALLY hold: the picked manifest's schema is cumulative over
+    // the whole branch history, and a column an earlier UNPICKED commit
+    // introduced must not ride in. Footer reads are driver-side,
+    // bounded by the picked fragment count.
+    val physical: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      toAdopt.flatMap { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          fs.getConf, fragmentPath(root, f.file))
+        try r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+        finally r.close()
+      }.toSet
+    }
+    val inverse = picked.mapping.map(_.swap) // physical -> logical
+    val held = physical.map(p => inverse.getOrElse(p, p))
+    val pickedSchema = StructType(
+      picked.schema.fields.filter(f => held.contains(f.name)))
+    val resurrected = held
       .diff(mainLatest.schema.fieldNames.toSet)
       .intersect(mainLatest.dropped.toSet)
     require(resurrected.isEmpty,
       s"cannot cherry-pick '$name' v$version: column(s) " +
         s"${resurrected.mkString(", ")} were DROPPED on main and the " +
         "picked fragments still hold their data")
-    val merged = mergeSchemas(mainLatest.schema, picked.schema)
+    val merged = mergeSchemas(mainLatest.schema, pickedSchema)
     validate(merged, toAdopt)
     val nextId = mainLatest.fragments.map(_.id).maxOption.getOrElse(-1) + 1
     val sameSpec = picked.bucketBy == mainLatest.bucketBy

@@ -321,6 +321,38 @@ object MaterializedView {
       }
     }
 
+  /** How a VIEW's stored spec relates to the table at `tableAbs` — THE
+    * shared parse for the retention pin, the `lance_dependents` TVF and
+    * fsck (divergent hand-rolled copies of the `version|path|keys` line
+    * split already produced one unguarded-index bug):
+    *  - `("join", Some(wm))` — a `graft.mv.joins` line names the table;
+    *    wm is that side's own watermark
+    *  - `("source", Some(wm))` — the table IS the spec's source; wm is
+    *    `graft.mv.version`
+    *  - `("dim", None)` — a `graft.mv.dims` line names the table (the
+    *    pin is a TAG, not a watermark)
+    *  - None — the spec does not reference the table at all (a view
+    *    recreated under the same registered path against elsewhere)
+    * Malformed lines and numbers are skipped, never thrown. */
+  private[graft] def roleAndWatermark(props: Map[String, String],
+      tableAbs: String): Option[(String, Option[Long])] = {
+    def abs(p: String) = new java.io.File(p).getAbsolutePath
+    def lines(key: String) =
+      props.get(key).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
+    val asJoin = lines(PropJoins).collectFirst {
+      case line if line.split("\\|", 3).lift(1).contains(tableAbs) =>
+        scala.util.Try(line.split("\\|", 3)(0).toLong).toOption
+    }
+    if (asJoin.isDefined) Some(("join", asJoin.get))
+    else if (props.get(PropSource).exists(abs(_) == tableAbs))
+      Some(("source",
+        props.get(PropVersion).flatMap(v => scala.util.Try(v.toLong).toOption)))
+    else if (lines(PropDims).exists(
+      _.split("\\|", 3).lift(1).exists(p => abs(p) == tableAbs)))
+      Some(("dim", None))
+    else None
+  }
+
   /** The view's pin tag on a dim table — derived from the view path so
     * several views can pin the same dim independently. */
   private def dimPinTag(viewAbs: String): String =
@@ -833,6 +865,50 @@ object MaterializedView {
         })
     }
     out
+  }
+
+  /** Dim-side self-heal: release `graft.mv.dim-dependents` entries (and
+    * their vacuum pin TAGS) whose view EXISTS but no longer references
+    * this dim — a view recreated under its registered path without this
+    * dim would otherwise pin the dim's vacuum forever.
+    * [[refreshDependents]] covers source/join registrations; dims have
+    * no refresh fan-out, so the nightly `optimize` calls this instead.
+    * Deliberately conservative: an entry whose view path holds NO
+    * dataset is LEFT ALONE — `create` pins dims BEFORE materializing,
+    * so "no dataset" may be a create in flight, and healing it would
+    * strip the pin from under the new view (a crashed create's pin is
+    * the operator's call — fsck surfaces it with the manual recovery).
+    * Returns the released view paths. */
+  def healDimRegistrations(spark: SparkSession, dimPath: String): Seq[String] = {
+    val (dfs, droot) = fsRoot(spark, dimPath)
+    val dimAbs = new java.io.File(dimPath).getAbsolutePath
+    val regs = LanceFormat.readLatest(dfs, droot)
+      .flatMap(_.properties).getOrElse(Map.empty)
+      .get(PropDimDependents).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
+    val stale = regs.filter { vp =>
+      val (vfs, vroot) = fsRoot(spark, vp)
+      LanceFormat.readLatest(vfs, vroot) match {
+        case None => false // mid-create or crashed create: never heal
+        case Some(vm) =>
+          val props = vm.properties.getOrElse(Map.empty)
+          !props.contains(PropSource) || // not a view anymore
+            !roleAndWatermark(props, dimAbs).contains(("dim", None))
+      }
+    }
+    if (stale.nonEmpty) {
+      stale.foreach { vp =>
+        try graft.Lance.deleteTag(spark, dimPath, dimPinTag(
+          new java.io.File(vp).getAbsolutePath))
+        catch { case _: Exception => () } // tag already gone
+      }
+      LanceFormat.commitPropertiesWith(dfs, droot, { prev =>
+        val kept = prev.get(PropDimDependents).toSeq.flatMap(_.split('\n'))
+          .filterNot(stale.contains)
+        if (kept.isEmpty) prev - PropDimDependents
+        else prev + (PropDimDependents -> kept.mkString("\n"))
+      })
+    }
+    stale
   }
 
   private case class ViewSpec(source: String, keys: Seq[GroupKey],

@@ -299,6 +299,32 @@ class BranchSpec extends AnyFunSuite {
     }
   }
 
+  test("cherry-pick imports only columns the PICKED fragments hold") {
+    val dir = tmpDir()
+    seed(dir) // schema (id, s)
+    Lance.createBranch(spark, dir, "exp")
+    // v2: schema-evolving append introduces an experimental column
+    Seq((3L, "c", 9.9)).toDF("id", "s", "debug_flag")
+      .write.format("lance").option("write.branch", "exp")
+      .option("write.merge-schema", "true").mode("append").save(dir)
+    // v3: an append whose FILES hold only (id, s) — merge-schema keeps
+    // the branch's evolved table schema, the files stay narrow
+    Seq((4L, "d")).toDF("id", "s")
+      .write.format("lance").option("write.branch", "exp")
+      .option("write.merge-schema", "true").mode("append").save(dir)
+    val (n, _) = Lance.cherryPick(spark, dir, "exp", 3L)
+    assert(n == 1)
+    // the picked commit's manifest schema is CUMULATIVE over the branch
+    // history; main must gain only what v3's files physically hold
+    val cols = spark.read.format("lance").load(dir).columns.toSet
+    assert(cols == Set("id", "s"),
+      s"cherry-pick imported unpicked-commit columns: $cols")
+    // picking v2 itself DOES bring the column (its files hold the data)
+    Lance.cherryPick(spark, dir, "exp", 2L)
+    val cols2 = spark.read.format("lance").load(dir).columns.toSet
+    assert(cols2 == Set("id", "s", "debug_flag"))
+  }
+
   test("rebase refuses resurrecting a column dropped on main after the fork") {
     val dir = tmpDir()
     seed(dir) // schema (id, s)

@@ -58,7 +58,7 @@ class FsckSpec extends AnyFunSuite {
     Seq(a, b).foreach { t =>
       val found = Lance.fsck(spark, t)
       assert(found.exists(i => i.severity == "warn" &&
-        i.what.contains("no longer exists")), s"$t: $found")
+        i.what.contains("does not exist")), s"$t: $found")
     }
     // the next maintenance pass self-heals; fsck goes quiet again
     MaterializedView.refreshDependents(spark, a)

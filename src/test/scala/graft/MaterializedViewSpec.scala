@@ -897,6 +897,71 @@ class MaterializedViewSpec extends AnyFunSuite {
       "underscore-keyed view drifted")
   }
 
+  test("stale dim registrations heal on optimize; missing datasets never do") {
+    val src = tmpDir(); val dim = tmpDir(); val view = tmpDir() + "/v"
+    seed(src)
+    (0 until 10).map(i => (s"g$i", s"seg${i % 3}")).toDF("grp", "segment")
+      .write.format("lance").mode("overwrite").save(dim)
+    MaterializedView.create(spark, view, src, Seq("segment"),
+      Seq(AggSpec("count", "*", "n")),
+      dims = Seq(MaterializedView.DimSpec(dim, Map("grp" -> "grp"))))
+    assert(Lance.tags(spark, dim).size == 1)
+    // the view path is recreated as a PLAIN table (out of band): the
+    // dim registration is now provably stale
+    val vroot = new Path(new java.io.File(view).getAbsolutePath)
+    LanceFormat.fileSystem(vroot, spark.sessionState.newHadoopConf())
+      .delete(vroot, true)
+    Seq((1L, "x")).toDF("a", "b")
+      .write.format("lance").mode("overwrite").save(view)
+    // fsck sees it; optimize heals it (tag + registration released)
+    assert(Lance.fsck(spark, dim).exists(_.what.contains("does not reference")))
+    Lance.optimize(spark, dim, reanalyze = false)
+    assert(Lance.tags(spark, dim).isEmpty, "stale mv-pin tag not released")
+    assert(!manifest(dim).properties.getOrElse(Map.empty)
+      .contains("graft.mv.dim-dependents"))
+    assert(Lance.fsck(spark, dim).isEmpty)
+    // a registration whose view path holds NO dataset is LEFT alone —
+    // it may be a create in flight (pins must not be stripped from
+    // under it); fsck names the manual recovery instead
+    val (dfs, droot) = {
+      val r = new Path(dim)
+      (LanceFormat.fileSystem(r, spark.sessionState.newHadoopConf()), r)
+    }
+    val ghost = tmpDir() + "/never-created"
+    LanceFormat.commitPropertiesWith(dfs, droot, { prev =>
+      prev + ("graft.mv.dim-dependents" ->
+        new java.io.File(ghost).getAbsolutePath)
+    })
+    Lance.optimize(spark, dim, reanalyze = false)
+    assert(manifest(dim).properties.getOrElse(Map.empty)
+      .contains("graft.mv.dim-dependents"),
+      "a missing-dataset registration must never auto-heal")
+    assert(Lance.fsck(spark, dim).exists(_.what.contains("mv-pin tag")))
+  }
+
+  test("lance_dependents reports a hijacked registration as stale, not negative lag") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    seed(src)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n")))
+    // recreate the view path as a view of a DIFFERENT source (its
+    // watermark now indexes the other table's history)
+    val other = tmpDir()
+    (1L to 500L).map(i => (i, s"h${i % 4}", 0.0, i))
+      .toDF("id", "grp", "price", "qty")
+      .write.format("lance").mode("overwrite").save(other)
+    val vroot = new Path(new java.io.File(view).getAbsolutePath)
+    LanceFormat.fileSystem(vroot, spark.sessionState.newHadoopConf())
+      .delete(vroot, true)
+    MaterializedView.create(spark, view, other, Seq("grp"),
+      Seq(AggSpec("count", "*", "n")))
+    graft.MetaTvfs.register(spark)
+    val row = spark.sql(s"SELECT * FROM lance_dependents('$src')").collect()
+    assert(row.length == 1 && row(0).getAs[String]("role") == "stale" &&
+      row(0).isNullAt(row(0).fieldIndex("versions_behind")),
+      row.mkString(","))
+  }
+
   test("out-of-band writes to the view fail the next refresh loud") {
     val src = tmpDir(); val view = tmpDir() + "/v"
     (1L to 10L).map(i => (i, "g", i * 1.0)).toDF("id", "grp", "x")
