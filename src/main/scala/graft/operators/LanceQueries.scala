@@ -2516,6 +2516,41 @@ object LanceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Branch cherry-pick (s127): evens land on main, two odd batches
+    * stage on a branch — and ONLY the first batch is picked (one
+    * metadata commit, no data copied). Main must equal evens + exactly
+    * the picked odds; a re-pick adopting 0 fragments and the untouched
+    * branch are require()d; the oracle reproduces the picked subset
+    * from raw parquet. */
+  def s127CherryPick(spark: SparkSession, dir: String): DataFrame = {
+    val dest = scratch(dir, "orders_pick")
+    freshDataset(spark, dest)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.format("lance").mode("overwrite").save(dest)
+    graft.Lance.createBranch(spark, dest, "staged")
+    // branch v2: o_orderkey % 4 == 1; branch v3: % 4 == 3
+    o.filter(pmod(col("o_orderkey"), lit(4)) === 1)
+      .write.format("lance").option("write.branch", "staged")
+      .mode("append").save(dest)
+    o.filter(pmod(col("o_orderkey"), lit(4)) === 3)
+      .write.format("lance").option("write.branch", "staged")
+      .mode("append").save(dest)
+    val (n1, v1) = graft.Lance.cherryPick(spark, dest, "staged", 2L)
+    require(n1 > 0, "the picked commit adopted no fragments")
+    val (n2, v2) = graft.Lance.cherryPick(spark, dest, "staged", 2L)
+    require(n2 == 0 && v2 == v1, s"re-pick double-landed: $n2 at v$v2")
+    val branchRows = spark.read.format("lance")
+      .option("branch", "staged").load(dest).count()
+    spark.read.format("lance").load(dest)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        count(when(pmod(col("o_orderkey"), lit(4)) === 3, 1)).as("unpicked"))
+      .withColumn("branch_intact", lit(branchRows > 0))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Keyed replica sync (s118): a downstream copy of the orders table
     * absorbs the same mixed DML batch as s113/s115 through the change
     * feed — net-per-key collapse, one atomic commit, watermark advanced.
@@ -2919,6 +2954,7 @@ object LanceQueries {
     "s124_mv_rollup" -> s124MvRollup,
     "s125_mv_join" -> s125MvJoin,
     "s126_dependents_tvf" -> s126DependentsTvf,
+    "s127_cherry_pick" -> s127CherryPick,
     "s117_publish" -> s117Publish,
     "s118_replica" -> s118Replica,
     "s119_mv_auto" -> s119MvAuto,
@@ -3160,6 +3196,17 @@ object LanceQueries {
         |  ('view', 'join',   CAST(0 AS BIGINT), 'b'))
         |  AS t(kind, role, versions_behind, side)
         |ORDER BY side""".stripMargin,
+    // s127: idempotent re-pick + untouched branch are the require()s;
+    // the oracle reproduces main = evens + the PICKED odd batch only
+    "s127_cherry_pick" ->
+      """WITH main AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(0 AS BIGINT) AS unpicked, TRUE AS branch_intact
+        |FROM main GROUP BY 1 ORDER BY 1""".stripMargin,
     // s120: the join aggregate is layout-independent; composite-key
     // shuffle-freedom is the require() + planted literal (s108 pattern)
     "s120_spj_composite" ->
