@@ -170,20 +170,24 @@ object MaterializedView {
     *
     * (signed multiset algebra; each term's images carry their own
     * change-type, so the downstream delta arithmetic is the ordinary
-    * one). The view registers on EVERY joined table: a write to any
-    * side can maintain it, and each side's retention vacuum pins back
-    * to the view's per-table watermark. Join keys must be SOURCE
-    * columns (the snowflake-free star shape — chains B⋈C are out of
-    * scope); joined-side key columns drop after the join.
+    * one — and the version mapping generalizes to N joins, earlier
+    * factors @old and later @new around each Δ, which also covers
+    * SNOWFLAKE CHAINS: a join may key on an EARLIER join's attributes,
+    * `orders ⋈ lineitem ⋈ part` with part keyed on l_partkey; declare
+    * chains in dependency order). The view registers on EVERY joined
+    * table: a write to any side can maintain it, and each side's
+    * retention vacuum pins back to the view's per-table watermark.
+    * Joined-side key columns drop after the join.
     *
-    * Cost: with ONE join table each term IN-list-prunes its fact scan
-    * to the changed keys, so refresh is change-bounded (measured flat
-    * across a 10× scale-up — `DevMvJoinScale`). With N ≥ 2 joins, the
-    * term for ΔJi prunes the SOURCE scan by ΔJi's keys but joins the
-    * other J_k factors unpruned (their matching keys are only known
-    * after the pruned source scan runs); co-bucket the tables on the
-    * join keys to keep those factors exchange-free, or split a wide
-    * view into single-join views over a shared source. */
+    * Cost: each term IN-list-prunes the factors that OWN the Δ's key
+    * columns (the source scan for source-owned keys, the owning earlier
+    * join's frame for chain keys) to the keys the change touches, so
+    * single-join refresh is change-bounded (measured flat across a 10×
+    * scale-up — `DevMvJoinScale`). Factors that own none of the Δ's
+    * keys join unpruned (their matching keys are only known at run
+    * time); co-bucket those tables on the join keys to keep them
+    * exchange-free, or split a wide view into single-join views over a
+    * shared source. */
   case class JoinSpec(path: String, keys: Map[String, String]) {
     require(keys.nonEmpty, "a join table needs at least one key")
     require(!path.contains('|') && !path.contains('\n'),
@@ -526,19 +530,28 @@ object MaterializedView {
       !joinPaths.contains(srcAbs),
       "join tables must be distinct from each other and from the source")
     var taken = srcFields
+    // join keys resolve over the namespace ACCUMULATED so far — the
+    // source, or an EARLIER join's attributes (the snowflake chain:
+    // orders ⋈ lineitem ⋈ part with part keyed on l_partkey). Declare
+    // chains in dependency order; the telescoped refresh identity's
+    // version mapping (earlier factors @old, later @new around each Δ)
+    // is already the general form, so chains need no new refresh math.
+    var accSchema: StructType = srcM.schema
     val joinHeads: Seq[(JoinSpec, Long)] = joins.map { j =>
       val (jfs, jroot) = fsRoot(spark, j.path)
       val jm = LanceFormat.readLatest(jfs, jroot).getOrElse(
         throw new IllegalArgumentException(s"no lance dataset at ${j.path} (join)"))
       val jFields = jm.schema.fieldNames.toSet
+      val accFields = accSchema.fieldNames.toSet
       j.keys.foreach { case (s, k) =>
-        require(srcFields.contains(s),
-          s"join key '$s' is not a column of $sourcePath")
+        require(accFields.contains(s),
+          s"join key '$s' is not a column of $sourcePath or an earlier " +
+            "join (declare chains in dependency order)")
         require(jFields.contains(k),
           s"join key '$k' is not a column of ${j.path}")
-        require(srcM.schema(s).dataType == jm.schema(k).dataType,
+        require(accSchema(s).dataType == jm.schema(k).dataType,
           s"join key types differ: $s is " +
-            s"${srcM.schema(s).dataType.simpleString}, $k is " +
+            s"${accSchema(s).dataType.simpleString}, $k is " +
             s"${jm.schema(k).dataType.simpleString} - cast the join table")
       }
       val attrs = jFields -- j.keys.values
@@ -547,6 +560,8 @@ object MaterializedView {
         s"join ${j.path} column(s) ${clash.mkString(", ")} collide with " +
           "the source (or an earlier join) - rename them")
       taken ++= attrs
+      accSchema = StructType(accSchema.fields ++
+        jm.schema.fields.filter(f => attrs.contains(f.name)))
       j -> jm.version
     }
     // the JOINED namespace (source + join attrs): dims key off it, and
@@ -1018,13 +1033,20 @@ object MaterializedView {
         val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         if (vN != v0) {
           val aFeed = tableFeed(source, v0, vN)
-          // each join factor pruned to the keys ΔA actually touches
+          // each join factor pruned to the keys ΔA actually touches —
+          // on the SOURCE-owned subset of its keys (a chain join keyed
+          // on an earlier join's attrs can't prune from ΔA alone;
+          // pruning on the owned subset stays a correct superset, every
+          // surviving row must still satisfy the full condition)
           val prunedJoins = joinHeads.map { case (j, _, nv) =>
             val jAbs = new java.io.File(j.path).getAbsolutePath
             val full = spark.read.format("lance")
               .option("versionAsOf", nv.toString).load(j.path)
-            jAbs -> prunedByKeys(full,
-              j.keys.toSeq.map { case (s, k) => (k, s) }, aFeed)
+            val owned = j.keys.toSeq
+              .filter { case (s, _) => aFeed.columns.contains(s) }
+              .map { case (s, k) => (k, s) }
+            jAbs -> (if (owned.isEmpty) full
+                     else prunedByKeys(full, owned, aFeed))
           }.toMap
           terms += applyJoins(spark, aFeed,
             joinHeads.map { case (j, _, nv) => (j, nv) }, prunedJoins)
@@ -1035,12 +1057,35 @@ object MaterializedView {
           if (jvN != jv0) {
             val jAbs = new java.io.File(j.path).getAbsolutePath
             val jFeed = tableFeed(j.path, jv0, jvN)
-            val aPruned = prunedByKeys(aOld, j.keys.toSeq, jFeed)
             val versions = joinHeads.zipWithIndex.map {
               case ((jj, ov, nv), k) => (jj, if (k < i) ov else nv)
             }
-            terms += applyJoins(spark, aPruned, versions,
-              images = Map(jAbs -> jFeed))
+            // prune each factor that OWNS key columns of this Δ to the
+            // key values its feed touches: source-owned keys prune the
+            // A@old scan, chain keys prune the owning EARLIER join's
+            // frame (through the images override)
+            val keyPairs = j.keys.toSeq
+            val srcOwned = keyPairs.filter { case (s, _) =>
+              srcM.schema.fieldNames.contains(s) }
+            val aBase = if (srcOwned.isEmpty) aOld
+              else prunedByKeys(aOld, srcOwned, jFeed)
+            val overrides =
+              scala.collection.mutable.Map[String, DataFrame](jAbs -> jFeed)
+            val chainKeys = keyPairs.diff(srcOwned)
+            if (chainKeys.nonEmpty) joinHeads.take(i).foreach {
+              case (jj, ov, _) =>
+                val jjAbs = new java.io.File(jj.path).getAbsolutePath
+                val frame = spark.read.format("lance")
+                  .option("versionAsOf", ov.toString).load(jj.path)
+                // ownership = the join's ATTRS (its own key columns drop
+                // from the namespace and can never own a later key)
+                val jjAttrs = frame.columns.toSet -- jj.keys.values
+                val owned = chainKeys.filter(p => jjAttrs.contains(p._1))
+                if (owned.nonEmpty)
+                  overrides(jjAbs) = prunedByKeys(frame, owned, jFeed)
+            }
+            terms += applyJoins(spark, aBase, versions,
+              images = overrides.toMap)
           }
         }
         val cols = terms.head.columns.toIndexedSeq

@@ -278,6 +278,55 @@ class JoinViewSpec extends AnyFunSuite {
       "filtered join view drifted across the predicate boundary")
   }
 
+  test("snowflake chains: a join may key on an earlier join's attributes") {
+    val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
+    val view = tmpDir() + "/v"
+    seed(a, b) // A(okey, status, cust); B(o_key, amount, tag)
+    // C keys on B's 'tag' attribute — the chain orders⋈items⋈tag-dim,
+    // but change-fed (a real fact, not a pinned star dim)
+    Seq(("t0", "bronze"), ("t1", "silver"))
+      .toDF("t_key", "tier")
+      .write.format("lance").mode("overwrite").save(c)
+    MaterializedView.create(spark, view, a, Seq("status", "tier"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(
+        JoinSpec(b, Map("okey" -> "o_key")),
+        JoinSpec(c, Map("tag" -> "t_key")))) // keyed on B's attr
+    def expect() = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "inner")
+      .join(spark.read.format("lance").load(c),
+        col("tag") === col("t_key"), "inner")
+      .groupBy("status", "tier")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("amount")).as("amt"))
+    assertSame(MaterializedView.read(spark, view), expect(),
+      "created snowflake view != recompute")
+    // change EVERY level in one window: orders deleted, items re-priced
+    // AND re-tagged (moving rows between C matches), C re-tiered + a
+    // new tier matching existing tags... plus an unmatched one
+    withFeed {
+      Lance.deleteWhere(spark, a, "okey % 9 = 2")
+      Lance.updateWhere(spark, b, "o_key % 5 = 1", Map("amount" -> "amount * 3"))
+      Lance.updateWhere(spark, b, "o_key % 7 = 3", Map("tag" -> "'t9'"))
+      Lance.updateWhere(spark, c, "t_key = 't1'", Map("tier" -> "'gold'"))
+      Seq(("t9", "platinum"), ("tXX", "never-matches")).toDF("t_key", "tier")
+        .write.format("lance").mode("append").save(c)
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", r.toString)
+    assertSame(MaterializedView.read(spark, view), expect(),
+      "three-level snowflake delta drifted from recompute")
+    assert(MaterializedView.refresh(spark, view).mode == "noop")
+    // out-of-order chains refuse loud at create
+    val e = intercept[Exception](MaterializedView.create(spark,
+      tmpDir() + "/v2", a, Seq("status"),
+      Seq(AggSpec("count", "*", "n")),
+      joins = Seq(
+        JoinSpec(c, Map("tag" -> "t_key")), // 'tag' not known yet
+        JoinSpec(b, Map("okey" -> "o_key")))))
+    assert(e.getMessage.contains("dependency order"), e.getMessage)
+  }
+
   test("count_distinct join views: union on insert-only, rescan on removal") {
     val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
     seed(a, b)
