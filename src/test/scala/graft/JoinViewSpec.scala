@@ -278,6 +278,61 @@ class JoinViewSpec extends AnyFunSuite {
       "filtered join view drifted across the predicate boundary")
   }
 
+  test("PROPERTY: random two-sided DML/append/compact rounds stay exact") {
+    val rnd = new scala.util.Random(1711)
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt"),
+        AggSpec("avg", "amount", "avg_amt"),
+        AggSpec("count_distinct", "tag", "tags")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    var nextKey = 1000L
+    (1 to 4).foreach { round =>
+      spark.conf.set("spark.graft.dml.changeFeed", "true")
+      try {
+        (1 to 2 + rnd.nextInt(3)).foreach { _ =>
+          rnd.nextInt(7) match {
+            case 0 =>
+              Lance.deleteWhere(spark, a, s"okey % 17 = ${rnd.nextInt(17)}")
+            case 1 =>
+              Lance.updateWhere(spark, a, s"okey % 13 = ${rnd.nextInt(13)}",
+                Map("status" -> s"'s${rnd.nextInt(6)}'"))
+            case 2 => // join-KEY update: rows move between match sets
+              Lance.updateWhere(spark, a, s"okey = ${1 + rnd.nextInt(200)}",
+                Map("okey" -> s"${1 + rnd.nextInt(250)}"))
+            case 3 =>
+              Lance.deleteWhere(spark, b, s"o_key % 11 = ${rnd.nextInt(11)}")
+            case 4 =>
+              Lance.updateWhere(spark, b, s"o_key % 7 = ${rnd.nextInt(7)}",
+                Map("amount" -> s"amount + ${rnd.nextInt(50)}",
+                  "tag" -> s"'t${rnd.nextInt(4)}'"))
+            case 5 =>
+              val rows = (0 until 2).map { _ =>
+                nextKey += 1
+                (if (rnd.nextBoolean()) nextKey else 1L + rnd.nextInt(200),
+                  rnd.nextDouble() * 50, s"t${rnd.nextInt(4)}")
+              }
+              rows.toDF("o_key", "amount", "tag")
+                .write.format("lance").mode("append").save(b)
+            case 6 =>
+              Lance.compact(spark, if (rnd.nextBoolean()) a else b)
+          }
+        }
+      } finally spark.conf.unset("spark.graft.dml.changeFeed")
+      val r = MaterializedView.refresh(spark, view)
+      val expect = spark.read.format("lance").load(a)
+        .join(spark.read.format("lance").load(b),
+          col("okey") === col("o_key"), "inner")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("amount")).as("amt"),
+          Tables.davg(col("amount")).as("avg_amt"),
+          countDistinct(col("tag")).as("tags")) // tiny domain: HLL exact
+      assertSame(MaterializedView.read(spark, view), expect,
+        s"round $round (mode=${r.mode}): join view diverged")
+    }
+  }
+
   test("snowflake chains: a join may key on an earlier join's attributes") {
     val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
     val view = tmpDir() + "/v"
