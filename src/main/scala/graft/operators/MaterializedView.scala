@@ -1248,9 +1248,26 @@ object MaterializedView {
           }
           if (conds.isEmpty) srcNow0 else srcNow0.filter(conds.reduce(_ && _))
         }
+      // join factors prune to the join keys the PRE-FILTERED source
+      // actually holds (capped distinct-collect — prunedByKeys skips
+      // above the cap): a min/max removal window on a 100 TB join view
+      // must not full-scan the join table when the affected groups are
+      // few. Chain-keyed joins skip (their keys aren't source columns);
+      // the recompute's join condition stays the exact filter.
+      val scopedJoins = joinHeads.map { case (j, _, nv) =>
+        val jAbs = new java.io.File(j.path).getAbsolutePath
+        val full = spark.read.format("lance")
+          .option("versionAsOf", nv.toString).load(j.path)
+        val owned = j.keys.toSeq
+          .filter { case (s, _) => preFiltered.columns.contains(s) }
+          .map { case (s, k) => (k, s) }
+        jAbs -> (if (owned.isEmpty) full
+                 else prunedByKeys(full, owned, preFiltered))
+      }.toMap
       val srcNow = where.foldLeft(enrich(spark,
         applyJoins(spark, preFiltered,
-          joinHeads.map { case (j, _, nv) => (j, nv) }), dims))(
+          joinHeads.map { case (j, _, nv) => (j, nv) }, scopedJoins),
+        dims))(
         (df, w) => df.filter(expr(w)))
       // expression keys materialize before the gid (they can't pre-filter
       // the raw scan — the alias is not a source column — but the
