@@ -520,10 +520,10 @@ object MaterializedView {
       throw new IllegalArgumentException(s"no lance dataset at $sourcePath"))
     val srcFields = srcM.schema.fieldNames.toSet
     val viewAbs = new java.io.File(viewPath).getAbsolutePath
-    // fact⋈fact join tables: validate keys/types/collisions against the
-    // source (join keys must be SOURCE columns — the snowflake-free
-    // shape the telescoped refresh identity relies on); the per-table
-    // WATERMARK version is assigned at registration below
+    // fact⋈fact join tables: validate keys/types/collisions (keys
+    // resolve over the ACCUMULATED namespace below — snowflake chains
+    // in dependency order); the per-table WATERMARK version is
+    // assigned at registration below
     val srcAbs = new java.io.File(sourcePath).getAbsolutePath
     val joinPaths = joins.map(j => new java.io.File(j.path).getAbsolutePath)
     require(joinPaths.distinct.size == joinPaths.size &&
@@ -1021,6 +1021,24 @@ object MaterializedView {
         else df.filter(q(b).isin(vals: _*))
       }
     }
+    // each join factor at its NEW version, pruned on the subset of its
+    // keys the `small` frame OWNS (a chain join keyed on an earlier
+    // join's attrs can't prune from the source side alone; pruning on
+    // the owned subset stays a correct superset — every surviving row
+    // must still satisfy the full join condition). Serves the ΔA
+    // telescoping term (small = the source feed) and the scoped-group
+    // rescan (small = the pre-filtered source).
+    def prunedFactors(small: DataFrame): Map[String, DataFrame] =
+      joinHeads.map { case (j, _, nv) =>
+        val jAbs = new java.io.File(j.path).getAbsolutePath
+        val full = spark.read.format("lance")
+          .option("versionAsOf", nv.toString).load(j.path)
+        val owned = j.keys.toSeq
+          .filter { case (s, _) => small.columns.contains(s) }
+          .map { case (s, k) => (k, s) }
+        jAbs -> (if (owned.isEmpty) full
+                 else prunedByKeys(full, owned, small))
+      }.toMap
     val feed0: DataFrame =
       if (joins.isEmpty) tableFeed(source, v0, vN)
       else {
@@ -1033,23 +1051,9 @@ object MaterializedView {
         val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         if (vN != v0) {
           val aFeed = tableFeed(source, v0, vN)
-          // each join factor pruned to the keys ΔA actually touches —
-          // on the SOURCE-owned subset of its keys (a chain join keyed
-          // on an earlier join's attrs can't prune from ΔA alone;
-          // pruning on the owned subset stays a correct superset, every
-          // surviving row must still satisfy the full condition)
-          val prunedJoins = joinHeads.map { case (j, _, nv) =>
-            val jAbs = new java.io.File(j.path).getAbsolutePath
-            val full = spark.read.format("lance")
-              .option("versionAsOf", nv.toString).load(j.path)
-            val owned = j.keys.toSeq
-              .filter { case (s, _) => aFeed.columns.contains(s) }
-              .map { case (s, k) => (k, s) }
-            jAbs -> (if (owned.isEmpty) full
-                     else prunedByKeys(full, owned, aFeed))
-          }.toMap
           terms += applyJoins(spark, aFeed,
-            joinHeads.map { case (j, _, nv) => (j, nv) }, prunedJoins)
+            joinHeads.map { case (j, _, nv) => (j, nv) },
+            prunedFactors(aFeed))
         }
         lazy val aOld = spark.read.format("lance")
           .option("versionAsOf", v0.toString).load(source)
@@ -1235,8 +1239,8 @@ object MaterializedView {
         .map(_.toInt).getOrElse(1000)
       val sample = affected.limit(cap + 1).collect()
       val rawNames = srcSchema.fieldNames.toSet
-      val preFiltered =
-        if (sample.length > cap) srcNow0
+      val (preFiltered, preFilterApplied) =
+        if (sample.length > cap) (srcNow0, false)
         else {
           val conds = groupBy.zipWithIndex.collect {
             case (c, i) if rawNames.contains(c) =>
@@ -1246,24 +1250,20 @@ object MaterializedView {
                 else q(c).isin(nonNull: _*)
               if (vals.contains(null)) base || q(c).isNull else base
           }
-          if (conds.isEmpty) srcNow0 else srcNow0.filter(conds.reduce(_ && _))
+          if (conds.isEmpty) (srcNow0, false)
+          else (srcNow0.filter(conds.reduce(_ && _)), true)
         }
       // join factors prune to the join keys the PRE-FILTERED source
-      // actually holds (capped distinct-collect — prunedByKeys skips
-      // above the cap): a min/max removal window on a 100 TB join view
-      // must not full-scan the join table when the affected groups are
-      // few. Chain-keyed joins skip (their keys aren't source columns);
-      // the recompute's join condition stays the exact filter.
-      val scopedJoins = joinHeads.map { case (j, _, nv) =>
-        val jAbs = new java.io.File(j.path).getAbsolutePath
-        val full = spark.read.format("lance")
-          .option("versionAsOf", nv.toString).load(j.path)
-        val owned = j.keys.toSeq
-          .filter { case (s, _) => preFiltered.columns.contains(s) }
-          .map { case (s, k) => (k, s) }
-        jAbs -> (if (owned.isEmpty) full
-                 else prunedByKeys(full, owned, preFiltered))
-      }.toMap
+      // actually holds (prunedFactors' capped distinct-collect): a
+      // min/max removal window on a 100 TB join view must not full-scan
+      // the join table when the affected groups are few. ONLY when the
+      // source pre-filter actually applied — distinct-collecting keys
+      // off the FULL source is a scan that buys nothing. Chain-keyed
+      // joins skip inside the helper; the recompute's join condition
+      // stays the exact filter.
+      val scopedJoins =
+        if (preFilterApplied) prunedFactors(preFiltered)
+        else Map.empty[String, DataFrame]
       val srcNow = where.foldLeft(enrich(spark,
         applyJoins(spark, preFiltered,
           joinHeads.map { case (j, _, nv) => (j, nv) }, scopedJoins),

@@ -289,8 +289,7 @@ class JoinViewSpec extends AnyFunSuite {
       joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
     var nextKey = 1000L
     (1 to 4).foreach { round =>
-      spark.conf.set("spark.graft.dml.changeFeed", "true")
-      try {
+      withFeed {
         (1 to 2 + rnd.nextInt(3)).foreach { _ =>
           rnd.nextInt(7) match {
             case 0 =>
@@ -319,7 +318,7 @@ class JoinViewSpec extends AnyFunSuite {
               Lance.compact(spark, if (rnd.nextBoolean()) a else b)
           }
         }
-      } finally spark.conf.unset("spark.graft.dml.changeFeed")
+      }
       val r = MaterializedView.refresh(spark, view)
       val expect = spark.read.format("lance").load(a)
         .join(spark.read.format("lance").load(b),
@@ -380,6 +379,40 @@ class JoinViewSpec extends AnyFunSuite {
         JoinSpec(c, Map("tag" -> "t_key")), // 'tag' not known yet
         JoinSpec(b, Map("okey" -> "o_key")))))
     assert(e.getMessage.contains("dependency order"), e.getMessage)
+  }
+
+  test("snowflake chains: min/max removal windows rescan scoped groups") {
+    val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
+    val view = tmpDir() + "/v"
+    seed(a, b)
+    Seq(("t0", "bronze"), ("t1", "silver"), ("t9", "gold"))
+      .toDF("t_key", "tier")
+      .write.format("lance").mode("overwrite").save(c)
+    MaterializedView.create(spark, view, a, Seq("tier"),
+      Seq(AggSpec("max", "amount", "max_amt"),
+        AggSpec("min", "amount", "min_amt")),
+      joins = Seq(
+        JoinSpec(b, Map("okey" -> "o_key")),
+        JoinSpec(c, Map("tag" -> "t_key"))))
+    withFeed {
+      // removals on every level: the rescan recomputes affected groups
+      // against the CURRENT three-level join (the chain factor joins
+      // unpruned — exactly the code path the delta tests never hit)
+      Lance.deleteWhere(spark, b, "amount > 80")
+      Lance.deleteWhere(spark, a, "okey > 180")
+      Lance.updateWhere(spark, c, "t_key = 't0'", Map("tier" -> "'stone'"))
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "groups", s"removals under min/max must rescan: $r")
+    val expect = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "inner")
+      .join(spark.read.format("lance").load(c),
+        col("tag") === col("t_key"), "inner")
+      .groupBy("tier")
+      .agg(max(col("amount")).as("max_amt"), min(col("amount")).as("min_amt"))
+    assertSame(MaterializedView.read(spark, view), expect,
+      "snowflake min/max scoped rescan drifted")
   }
 
   test("count_distinct join views: union on insert-only, rescan on removal") {
