@@ -29,6 +29,22 @@ import org.apache.spark.sql.SparkSession
   * (isolation off — that mode exists precisely to BE the isolated
   * reference run); SPARK_GRAFT_BENCH_ISOLATE=0 forces the old
   * single-JVM full run for harness A/B comparison.
+  *
+  * Round-12 addition — the noise CANARY. Round 11's driver bench showed
+  * five maintenance gates ~doubled (s91 4.1→8.1 s etc.) with unchanged
+  * gate bodies. Round-12 forensics: isolated re-times matched round 10
+  * (s88 2.27 / s91 4.09 / s103 2.92 / s111 4.44 / s113 5.50 vs r10's
+  * 2.6 / 4.1 / 2.9 / 3.9 / 4.4), an exact re-run of the r11 chunk
+  * containing s103/s111/s113 ALSO matched r10 (2.65 / 3.97 / 4.62), and
+  * that chunk's membership was byte-identical across both rounds — so
+  * the doubling was pressure on the measuring machine during the r11
+  * driver run (consistent with the builder's same-code full run landing
+  * 14% below the driver's total). Nothing in the harness can prevent
+  * external load, but it can make it ATTRIBUTABLE: each child JVM now
+  * times a fixed CPU-bound reference job (median of 3) and the JSON
+  * line carries the worst child's number as `canary`. A future round
+  * whose gate times inflate while `canary` holds steady is a code
+  * regression; inflation WITH a raised canary is machine pressure.
   */
 object Bench {
   /** Queries per child JVM. Small enough that in-JVM accumulation stays
@@ -68,6 +84,7 @@ object Bench {
     }
     val cp = sys.props("java.class.path")
     val medians = scala.collection.mutable.Map[String, Double]()
+    var canary = -1.0 // worst (slowest) child's reference-job median
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       println(s"[bench] child ${i + 1}/${chunks.size}: ${chunk.head}..${chunk.last} " +
         s"(${chunk.size} queries)")
@@ -92,6 +109,8 @@ object Bench {
         if (line.startsWith("[bench-med] ")) {
           val parts = line.drop("[bench-med] ".length).split(' ')
           medians(parts(0)) = parts(1).toDouble
+        } else if (line.startsWith("[bench-canary] ")) {
+          canary = canary max line.drop("[bench-canary] ".length).toDouble
         } else if (!line.startsWith("{\"metric\"")) {
           // forward progress + spread lines; swallow the child's own
           // JSON line so the driver's tail ends with the PARENT's
@@ -105,7 +124,7 @@ object Bench {
           "unreported queries recorded as -1")
     }
     val results = names.map(n => (n, medians.getOrElse(n, -1.0)))
-    printJsonLine(results)
+    printJsonLine(results, canary)
   }
 
   // ----------------------------------------------------------- child / dev
@@ -127,6 +146,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Noise canary: a fixed CPU-bound reference job (codegen'd sum over
+    // a 32-partition range — no I/O, no shuffle, no state) timed the
+    // same way the gates are. Its median moves ONLY with machine
+    // pressure, so gate-time inflation is attributable (see scaladoc).
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, 32)
+        .selectExpr("sum(hash(id))").collect() // hash: no ANSI overflow
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // warm-up (codegen compile) outside the measurement
+    val canary = Seq.fill(3)(canaryOnce()).sorted.apply(1)
+    println(f"[bench] canary reference job median=$canary%.3f s")
+    println(s"[bench-canary] $canary")
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -171,7 +205,7 @@ object Bench {
     // line instead of pushing it out of the driver's bounded tail window
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    printJsonLine(results.map(r => (r._1, r._2)))
+    printJsonLine(results.map(r => (r._1, r._2)), canary)
   }
 
   // ------------------------------------------------------------- formatting
@@ -193,9 +227,10 @@ object Bench {
     * that tail, clipping the line's HEAD) — so the warning, if any, now
     * prints to stdout BEFORE the line, and the line itself is the LAST
     * thing we emit. */
-  private def printJsonLine(results: Seq[(String, Double)]): Unit = {
+  private def printJsonLine(results: Seq[(String, Double)],
+      canary: Double = -1.0): Unit = {
     val line = jsonLine(results,
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), canary)
     if (line.length > 1400)
       println(s"[bench] WARNING: JSON line is ${line.length} chars; the driver's " +
         "2000-char tail must also hold sbt's trailing output - shrink ShownCap")
@@ -225,7 +260,8 @@ object Bench {
     *  - the headline fields (`failed`, `value`, `sf`) sit at the END of
     *    the object, so even a clipped head cannot take them — the tail
     *    of the line is the part the driver's window always keeps. */
-  private[graft] def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
+  private[graft] def jsonLine(results: Seq[(String, Double)], sfDir: String,
+      canary: Double = -1.0): String = {
     require(results.map(r => shortId(r._1)).distinct.size == results.size,
       "short query ids collide; fix the new query's id prefix")
     val (ok, dead) = results.partition(_._2 >= 0)
@@ -241,8 +277,10 @@ object Bench {
     val failed = dead.size
     val omittedSec = omitted.map(_._2).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // `canary`: the slowest child's fixed-reference-job median (machine-
+    // pressure indicator, see scaladoc); -1 when unmeasured (unit tests)
     f"""{"metric":"total","unit":"sec","omitted_fast":${omitted.size},""" +
-      f""""omitted_sec":$omittedSec%.1f,"queries":$qs,""" +
+      f""""omitted_sec":$omittedSec%.1f,"queries":$qs,"canary":$canary%.2f,""" +
       f""""failed":$failed,"value":$total%.2f,"sf":"$sfName"}"""
   }
 }

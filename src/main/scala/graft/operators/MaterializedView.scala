@@ -82,11 +82,16 @@ object MaterializedView {
       s"group alias '$alias' empty or in the reserved _mv_ namespace")
     require(isPlain || !alias.startsWith("_"),
       s"expression-key alias '$alias' may not start with '_' (reserved)")
-    // alias rides the comma-joined group-by property and the ':'-split
-    // expr property; expr rides a newline-joined property
-    require(!alias.contains(',') && !alias.contains(':') &&
-      !alias.contains('\n'),
-      s"group alias '$alias' may not contain ',', ':' or newline")
+    // alias rides the comma-joined group-by property; expression-key
+    // aliases ALSO ride the ':'-split group-exprs property, so ':' is
+    // refused only for them — a plain column key never rides it, and a
+    // pre-existing plain-column view whose group column contains ':'
+    // must keep decoding (refusing here would brick it on every
+    // refresh/spec read until recreate)
+    require(!alias.contains(',') && !alias.contains('\n'),
+      s"group alias '$alias' may not contain ',' or newline")
+    require(isPlain || !alias.contains(':'),
+      s"expression-key alias '$alias' may not contain ':'")
     require(!expr.contains('\n'), s"group expr '$expr' may not contain newline")
   }
 
@@ -188,10 +193,13 @@ object MaterializedView {
     * time); co-bucket those tables on the join keys to keep them
     * exchange-free, or split a wide view into single-join views over a
     * shared source. */
-  case class JoinSpec(path: String, keys: Map[String, String]) {
+  case class JoinSpec(path: String, keys: Map[String, String],
+      joinType: String = "inner") {
     require(keys.nonEmpty, "a join table needs at least one key")
     require(!path.contains('|') && !path.contains('\n'),
       s"join path '$path' may not contain '|' or newline (property encoding)")
+    require(joinType == "inner" || joinType == "left",
+      s"join type '$joinType' unsupported - inner and left are")
     keys.foreach { case (s, k) =>
       Seq(s, k).foreach(c => require(
         !c.contains(',') && !c.contains('=') && !c.contains('\n') && !c.contains('|'),
@@ -227,6 +235,12 @@ object MaterializedView {
   /** Change-fed join tables, same line shape as dims — but the version
     * is a WATERMARK (advanced by every refresh), not a pin. */
   private val PropJoins = "graft.mv.joins"
+  /** Per-join join TYPES, comma-joined, aligned with the PropJoins
+    * lines. All-inner views omit the property entirely, so their
+    * manifests stay byte-identical to the pre-LEFT format (and old
+    * readers of the joins lines — the ALTER guard's key split, the
+    * roleAndWatermark path lift — never see a fourth `|` field). */
+  private val PropJoinTypes = "graft.mv.join-types"
   /** On a DIM table: view paths whose specs reference its columns — read
     * ONLY by the ALTER RENAME/DROP guard (a dim is not a feed source:
     * no refresh fan-out, no retention watermark; the pin is a tag). */
@@ -564,6 +578,17 @@ object MaterializedView {
         jm.schema.fields.filter(f => attrs.contains(f.name)))
       j -> jm.version
     }
+    // dim paths must be disjoint from the source, every join table and
+    // each other: a table registered as BOTH join and dim would report
+    // role "join" from roleAndWatermark (join is checked first), so the
+    // dim-side self-heal would read its dim registration as stale, drop
+    // the mv-pin tag, and a later vacuum could reclaim the pinned
+    // snapshot every refresh joins against. Nothing expressible is
+    // lost: a same-table re-reference's attributes collide anyway.
+    val dimPaths = dims.map(d => new java.io.File(d.path).getAbsolutePath)
+    require(dimPaths.distinct.size == dimPaths.size &&
+      !dimPaths.contains(srcAbs) && dimPaths.intersect(joinPaths).isEmpty,
+      "dim tables must be distinct from each other, the source and the join tables")
     // the JOINED namespace (source + join attrs): dims key off it, and
     // group keys / aggregate args / WHERE resolve over it plus dim attrs
     val joinedProbe = applyJoins(spark, spark.createDataFrame(
@@ -840,9 +865,28 @@ object MaterializedView {
           path.replace("'", "''")}', $v0, $vN)")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
+    val srcAbs = new java.io.File(sourcePath).getAbsolutePath
     val dangling = scala.collection.mutable.ArrayBuffer.empty[String]
     val out = try deps.map { vp =>
-      val res = try Right(refresh(spark, vp, Some(sharedFeed))) catch {
+      // A view recreated under its registered path against a DIFFERENT
+      // source refreshes cleanly (it IS a valid view — of another
+      // table), so the exception-driven self-heal below would never
+      // fire for it: the stale registration would trigger a redundant
+      // refresh from this table's every maintenance pass, forever (the
+      // fsck warning promises it heals). One manifest read routes such
+      // entries into the same dangling re-check instead of refreshing.
+      val staleRole = {
+        val (vfs, vroot) = fsRoot(spark, vp)
+        LanceFormat.readLatest(vfs, vroot).exists { mm =>
+          val p = mm.properties.getOrElse(Map.empty)
+          p.contains(PropSource) && !roleAndWatermark(p, srcAbs).exists(
+            r => r._1 == "source" || r._1 == "join")
+        }
+      }
+      val res = if (staleRole) {
+        dangling += vp
+        Left("stale: view no longer references this table as source or join")
+      } else try Right(refresh(spark, vp, Some(sharedFeed))) catch {
         case e: IllegalArgumentException
             if e.getMessage != null &&
               (e.getMessage.contains("no lance dataset") ||
@@ -867,8 +911,12 @@ object MaterializedView {
         val (vfs, vroot) = fsRoot(spark, vp)
         LanceFormat.readLatest(vfs, vroot) match {
           case None => true // still no dataset: crashed create, heal it
-          case Some(mm) => // exists but no longer (never was) a view
-            !mm.properties.getOrElse(Map.empty).contains(PropSource)
+          case Some(mm) => // exists but no longer (never was) a view of
+            // THIS table — roleAndWatermark is the one parse, so a view
+            // recreated against a different source deregisters here too
+            val p = mm.properties.getOrElse(Map.empty)
+            !p.contains(PropSource) || !roleAndWatermark(p, srcAbs)
+              .exists(r => r._1 == "source" || r._1 == "join")
         }
       }
       if (stillGone.nonEmpty)
@@ -1002,319 +1050,324 @@ object MaterializedView {
         }
       }
     }
-    // IN-list prune: scope a fact scan to the join keys a SMALL frame
-    // touches — the predicates push into the scan, so manifest stats /
-    // buckets / postings bound each telescoping term by the CHANGE, not
-    // the table. Above the cap the term falls back to the full join
-    // (co-bucketed tables still join exchange-free). Inner-join
-    // semantics: NULL keys never match, so no isNull arm.
-    def prunedByKeys(big: DataFrame, keyOf: Seq[(String, String)],
-        small: DataFrame): DataFrame = {
-      val cap = spark.conf.getOption("spark.graft.dml.inlistPrune")
-        .map(_.toInt).getOrElse(1000)
-      val sample = small.select(keyOf.map(p => q(p._2)): _*)
-        .distinct().limit(cap + 1).collect()
-      if (sample.length > cap) big
-      else keyOf.zipWithIndex.foldLeft(big) { case (df, ((b, _), i)) =>
-        val vals = sample.map(_.get(i)).distinct.filter(_ != null).toSeq
-        if (vals.isEmpty) df.filter(lit(false))
-        else df.filter(q(b).isin(vals: _*))
-      }
-    }
-    // each join factor at its NEW version, pruned on the subset of its
-    // keys the `small` frame OWNS (a chain join keyed on an earlier
-    // join's attrs can't prune from the source side alone; pruning on
-    // the owned subset stays a correct superset — every surviving row
-    // must still satisfy the full join condition). Serves the ΔA
-    // telescoping term (small = the source feed) and the scoped-group
-    // rescan (small = the pre-filtered source).
-    def prunedFactors(small: DataFrame): Map[String, DataFrame] =
-      joinHeads.map { case (j, _, nv) =>
-        val jAbs = new java.io.File(j.path).getAbsolutePath
-        val full = spark.read.format("lance")
-          .option("versionAsOf", nv.toString).load(j.path)
-        val owned = j.keys.toSeq
-          .filter { case (s, _) => small.columns.contains(s) }
-          .map { case (s, k) => (k, s) }
-        jAbs -> (if (owned.isEmpty) full
-                 else prunedByKeys(full, owned, small))
-      }.toMap
-    val feed0: DataFrame =
-      if (joins.isEmpty) tableFeed(source, v0, vN)
-      else {
-        // telescoped IVM identity over source A and join tables J1..Jn:
-        //   Δ(A⋈J1⋈..⋈Jn) = ΔA ⋈ J1@new ⋈ .. ⋈ Jn@new
-        //                  ∪ A@old ⋈ J1@old .. J(i-1)@old ⋈ ΔJi
-        //                          ⋈ J(i+1)@new .. Jn@new   (i = 1..n)
-        // Signed multiset algebra: each term's images carry their own
-        // _change_type, so the ordinary delta arithmetic applies.
-        val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        if (vN != v0) {
-          val aFeed = tableFeed(source, v0, vN)
-          terms += applyJoins(spark, aFeed,
-            joinHeads.map { case (j, _, nv) => (j, nv) },
-            prunedFactors(aFeed))
+    // EVERYTHING below may throw after a feed frame persists (the
+    // window-lost checks above run first, but the scoped-path collect,
+    // the removal probe and enrich/WHERE analysis all sit between a
+    // persist and the commit) — one finally at this level releases the
+    // MEMORY_AND_DISK frames on every exit path, not just the final
+    // guard+commit section.
+    try {
+      // IN-list prune: scope a fact scan to the join keys a SMALL frame
+      // touches — the predicates push into the scan, so manifest stats /
+      // buckets / postings bound each telescoping term by the CHANGE, not
+      // the table. Above the cap the term falls back to the full join
+      // (co-bucketed tables still join exchange-free). Inner-join
+      // semantics: NULL keys never match, so no isNull arm.
+      def prunedByKeys(big: DataFrame, keyOf: Seq[(String, String)],
+          small: DataFrame): DataFrame = {
+        val cap = spark.conf.getOption("spark.graft.dml.inlistPrune")
+          .map(_.toInt).getOrElse(1000)
+        val sample = small.select(keyOf.map(p => q(p._2)): _*)
+          .distinct().limit(cap + 1).collect()
+        if (sample.length > cap) big
+        else keyOf.zipWithIndex.foldLeft(big) { case (df, ((b, _), i)) =>
+          val vals = sample.map(_.get(i)).distinct.filter(_ != null).toSeq
+          if (vals.isEmpty) df.filter(lit(false))
+          else df.filter(q(b).isin(vals: _*))
         }
-        lazy val aOld = spark.read.format("lance")
-          .option("versionAsOf", v0.toString).load(source)
-        joinHeads.zipWithIndex.foreach { case ((j, jv0, jvN), i) =>
-          if (jvN != jv0) {
-            val jAbs = new java.io.File(j.path).getAbsolutePath
-            val jFeed = tableFeed(j.path, jv0, jvN)
-            val versions = joinHeads.zipWithIndex.map {
-              case ((jj, ov, nv), k) => (jj, if (k < i) ov else nv)
+      }
+      // each join factor at its NEW version, pruned on the subset of its
+      // keys the `small` frame OWNS (a chain join keyed on an earlier
+      // join's attrs can't prune from the source side alone; pruning on
+      // the owned subset stays a correct superset — every surviving row
+      // must still satisfy the full join condition). Serves the ΔA
+      // telescoping term (small = the source feed) and the scoped-group
+      // rescan (small = the pre-filtered source).
+      def prunedFactors(small: DataFrame): Map[String, DataFrame] =
+        joinHeads.map { case (j, _, nv) =>
+          val jAbs = new java.io.File(j.path).getAbsolutePath
+          val full = spark.read.format("lance")
+            .option("versionAsOf", nv.toString).load(j.path)
+          val owned = j.keys.toSeq
+            .filter { case (s, _) => small.columns.contains(s) }
+            .map { case (s, k) => (k, s) }
+          jAbs -> (if (owned.isEmpty) full
+                   else prunedByKeys(full, owned, small))
+        }.toMap
+      val feed0: DataFrame =
+        if (joins.isEmpty) tableFeed(source, v0, vN)
+        else {
+          // telescoped IVM identity over source A and join tables J1..Jn:
+          //   Δ(A⋈J1⋈..⋈Jn) = ΔA ⋈ J1@new ⋈ .. ⋈ Jn@new
+          //                  ∪ A@old ⋈ J1@old .. J(i-1)@old ⋈ ΔJi
+          //                          ⋈ J(i+1)@new .. Jn@new   (i = 1..n)
+          // Signed multiset algebra: each term's images carry their own
+          // _change_type, so the ordinary delta arithmetic applies.
+          val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          if (vN != v0) {
+            val aFeed = tableFeed(source, v0, vN)
+            terms += applyJoins(spark, aFeed,
+              joinHeads.map { case (j, _, nv) => (j, nv) },
+              prunedFactors(aFeed))
+          }
+          lazy val aOld = spark.read.format("lance")
+            .option("versionAsOf", v0.toString).load(source)
+          joinHeads.zipWithIndex.foreach { case ((j, jv0, jvN), i) =>
+            if (jvN != jv0) {
+              val jAbs = new java.io.File(j.path).getAbsolutePath
+              val jFeed = tableFeed(j.path, jv0, jvN)
+              val versions = joinHeads.zipWithIndex.map {
+                case ((jj, ov, nv), k) => (jj, if (k < i) ov else nv)
+              }
+              // prune each factor that OWNS key columns of this Δ to the
+              // key values its feed touches: source-owned keys prune the
+              // A@old scan, chain keys prune the owning EARLIER join's
+              // frame (through the images override)
+              val keyPairs = j.keys.toSeq
+              val srcOwned = keyPairs.filter { case (s, _) =>
+                srcM.schema.fieldNames.contains(s) }
+              val aBase = if (srcOwned.isEmpty) aOld
+                else prunedByKeys(aOld, srcOwned, jFeed)
+              val overrides =
+                scala.collection.mutable.Map[String, DataFrame](jAbs -> jFeed)
+              val chainKeys = keyPairs.diff(srcOwned)
+              if (chainKeys.nonEmpty) joinHeads.take(i).foreach {
+                case (jj, ov, _) =>
+                  val jjAbs = new java.io.File(jj.path).getAbsolutePath
+                  val frame = spark.read.format("lance")
+                    .option("versionAsOf", ov.toString).load(jj.path)
+                  // ownership = the join's ATTRS (its own key columns drop
+                  // from the namespace and can never own a later key)
+                  val jjAttrs = frame.columns.toSet -- jj.keys.values
+                  val owned = chainKeys.filter(p => jjAttrs.contains(p._1))
+                  if (owned.nonEmpty)
+                    overrides(jjAbs) = prunedByKeys(frame, owned, jFeed)
+              }
+              terms += applyJoins(spark, aBase, versions,
+                images = overrides.toMap)
             }
-            // prune each factor that OWNS key columns of this Δ to the
-            // key values its feed touches: source-owned keys prune the
-            // A@old scan, chain keys prune the owning EARLIER join's
-            // frame (through the images override)
-            val keyPairs = j.keys.toSeq
-            val srcOwned = keyPairs.filter { case (s, _) =>
-              srcM.schema.fieldNames.contains(s) }
-            val aBase = if (srcOwned.isEmpty) aOld
-              else prunedByKeys(aOld, srcOwned, jFeed)
-            val overrides =
-              scala.collection.mutable.Map[String, DataFrame](jAbs -> jFeed)
-            val chainKeys = keyPairs.diff(srcOwned)
-            if (chainKeys.nonEmpty) joinHeads.take(i).foreach {
-              case (jj, ov, _) =>
-                val jjAbs = new java.io.File(jj.path).getAbsolutePath
-                val frame = spark.read.format("lance")
-                  .option("versionAsOf", ov.toString).load(jj.path)
-                // ownership = the join's ATTRS (its own key columns drop
-                // from the namespace and can never own a later key)
-                val jjAttrs = frame.columns.toSet -- jj.keys.values
-                val owned = chainKeys.filter(p => jjAttrs.contains(p._1))
-                if (owned.nonEmpty)
-                  overrides(jjAbs) = prunedByKeys(frame, owned, jFeed)
-            }
-            terms += applyJoins(spark, aBase, versions,
-              images = overrides.toMap)
+          }
+          val cols = terms.head.columns.toIndexedSeq
+          terms.map(_.select(cols.map(q): _*)).reduce(_ unionByName _)
+        }
+      // star dims enrich each feed image exactly like the original row
+      // (pinned snapshot — pure function), THEN the filtered view's WHERE
+      // applies: images filter INDEPENDENTLY, so an update moving a row
+      // across the predicate boundary nets to the right add/remove pair
+      // enrich → WHERE → expression group keys, the create-time order:
+      // every feed image keys exactly like the original row did
+      val feed = withKeys(where.foldLeft(enrich(spark, feed0, dims))((df, w) =>
+        df.filter(expr(w))), keys)
+      val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      val srcSchema = srcM.schema
+      // arg columns and types resolve against the ENRICHED feed (source +
+      // dim columns + _change_type), the same namespace create validated —
+      // resolving against the raw source schema would mis-route a plain
+      // dim column name through expr() (dots would parse as field access)
+      val types = argTypes(feed, aggs)
+      val feedSchema = feed.schema
+      def arg(a: AggSpec) = argCol(feedSchema, a.column)
+      // min/max AND count_distinct share the removal posture: a removed
+      // row may have been the extremum / a sketch can't un-merge a value
+      val hasMinMax = aggs.exists(a =>
+        a.func == "min" || a.func == "max" || a.func == "count_distinct")
+      // min/max delta-apply fine under a REMOVAL-FREE window (insert-only
+      // appends, pure-insert merges): extrema only grow — least/greatest
+      // against the stored value. Only a removal can move them backwards,
+      // and only then does the scoped-group rescan pay off. One cheap
+      // existence probe over the feed decides.
+      lazy val removalFree = feed
+        .filter(col("_change_type").isin("delete", "update_preimage"))
+        .isEmpty
+
+      // ONE view snapshot serves the delta merge, the scoped-path column
+      // list and the final alignment (three reads could straddle a
+      // concurrent refresh: the CAS would still refuse, but the merge
+      // would have been computed against one version and aligned against
+      // another)
+      val curView = spark.read.format("lance").load(viewPath)
+      val deltaPath = !hasMinMax || removalFree
+      val newStates: DataFrame = if (deltaPath) {
+        // ---- delta: signed arithmetic over the feed, merged into state
+        val deltaCols = Seq(sum(sign).as(s"_d$NCol")) ++ aggs.flatMap { a =>
+          a.func match {
+            case "count" if a.column == "*" => Seq.empty
+            case "count" =>
+              Seq(sum(when(arg(a).isNotNull, sign).otherwise(0L))
+                .as(s"_d${cCol(a.alias)}"))
+            case "min" => Seq(min(arg(a)).as(s"_dmm_${a.alias}"))
+            case "max" => Seq(max(arg(a)).as(s"_dmm_${a.alias}"))
+            case "count_distinct" =>
+              // reachable only under a removal-free window (pure inserts):
+              // the window's own sketch unions into the stored state below
+              Seq(hll_sketch_agg(arg(a), lit(HllLgK)).as(s"_dh_${a.alias}"),
+                sum(when(arg(a).isNotNull, sign).otherwise(0L))
+                  .as(s"_d${cCol(a.alias)}"))
+            case "sum" | "avg" =>
+              val term = numKind(types(a.alias), a.column) match {
+                case FloatKind =>
+                  sum(when(arg(a).isNotNull,
+                    arg(a).cast(DecimalType(18, a.scale)) * sign)
+                    .otherwise(lit(0).cast(DecimalType(18, a.scale))))
+                    .cast(DecimalType(38, a.scale))
+                case DecKind(s) =>
+                  // ±1 sign: the product is exact; widen to the state type
+                  sum(when(arg(a).isNotNull,
+                    (arg(a) * sign).cast(DecimalType(38, s)))
+                    .otherwise(lit(0).cast(DecimalType(38, s))))
+                    .cast(DecimalType(38, s))
+                case LongKind =>
+                  sum(when(arg(a).isNotNull, arg(a) * sign)
+                    .otherwise(0L)).cast(LongType)
+              }
+              Seq(term.as(s"_d${sCol(a.alias)}"),
+                sum(when(arg(a).isNotNull, sign).otherwise(0L))
+                  .as(s"_d${cCol(a.alias)}"))
           }
         }
-        val cols = terms.head.columns.toIndexedSeq
-        terms.map(_.select(cols.map(q): _*)).reduce(_ unionByName _)
-      }
-    // star dims enrich each feed image exactly like the original row
-    // (pinned snapshot — pure function), THEN the filtered view's WHERE
-    // applies: images filter INDEPENDENTLY, so an update moving a row
-    // across the predicate boundary nets to the right add/remove pair
-    // enrich → WHERE → expression group keys, the create-time order:
-    // every feed image keys exactly like the original row did
-    val feed = withKeys(where.foldLeft(enrich(spark, feed0, dims))((df, w) =>
-      df.filter(expr(w))), keys)
-    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
-      .otherwise(-1L)
-    val srcSchema = srcM.schema
-    // arg columns and types resolve against the ENRICHED feed (source +
-    // dim columns + _change_type), the same namespace create validated —
-    // resolving against the raw source schema would mis-route a plain
-    // dim column name through expr() (dots would parse as field access)
-    val types = argTypes(feed, aggs)
-    val feedSchema = feed.schema
-    def arg(a: AggSpec) = argCol(feedSchema, a.column)
-    // min/max AND count_distinct share the removal posture: a removed
-    // row may have been the extremum / a sketch can't un-merge a value
-    val hasMinMax = aggs.exists(a =>
-      a.func == "min" || a.func == "max" || a.func == "count_distinct")
-    // min/max delta-apply fine under a REMOVAL-FREE window (insert-only
-    // appends, pure-insert merges): extrema only grow — least/greatest
-    // against the stored value. Only a removal can move them backwards,
-    // and only then does the scoped-group rescan pay off. One cheap
-    // existence probe over the feed decides.
-    lazy val removalFree = feed
-      .filter(col("_change_type").isin("delete", "update_preimage"))
-      .isEmpty
-
-    // ONE view snapshot serves the delta merge, the scoped-path column
-    // list and the final alignment (three reads could straddle a
-    // concurrent refresh: the CAS would still refuse, but the merge
-    // would have been computed against one version and aligned against
-    // another)
-    val curView = spark.read.format("lance").load(viewPath)
-    val deltaPath = !hasMinMax || removalFree
-    val newStates: DataFrame = if (deltaPath) {
-      // ---- delta: signed arithmetic over the feed, merged into state
-      val deltaCols = Seq(sum(sign).as(s"_d$NCol")) ++ aggs.flatMap { a =>
-        a.func match {
-          case "count" if a.column == "*" => Seq.empty
+        val delta = feed
+          .groupBy((groupBy.map(q) :+ gid(groupBy).as(GidCol)): _*)
+          .agg(deltaCols.head, deltaCols.tail: _*)
+          // a group whose feed rows cancel exactly (one -, one + with equal
+          // values) still merges below to its unchanged state — harmless
+        val cur = curView
+        def zero(c: String, dt: DataType): Column = coalesce(q(c), lit(0).cast(dt))
+        val curSchema = cur.schema
+        var merged = delta.join(cur.drop(groupBy: _*), Seq(GidCol), "left")
+          .withColumn(NCol, zero(NCol, LongType) + q(s"_d$NCol"))
+        for (a <- aggs) a.func match {
+          case "count" if a.column == "*" => ()
           case "count" =>
-            Seq(sum(when(arg(a).isNotNull, sign).otherwise(0L))
-              .as(s"_d${cCol(a.alias)}"))
-          case "min" => Seq(min(arg(a)).as(s"_dmm_${a.alias}"))
-          case "max" => Seq(max(arg(a)).as(s"_dmm_${a.alias}"))
-          case "count_distinct" =>
-            // reachable only under a removal-free window (pure inserts):
-            // the window's own sketch unions into the stored state below
-            Seq(hll_sketch_agg(arg(a), lit(HllLgK)).as(s"_dh_${a.alias}"),
-              sum(when(arg(a).isNotNull, sign).otherwise(0L))
-                .as(s"_d${cCol(a.alias)}"))
+            merged = merged.withColumn(a.alias,
+              coalesce(q(a.alias), lit(0L)) + q(s"_d${cCol(a.alias)}"))
           case "sum" | "avg" =>
-            val term = numKind(types(a.alias), a.column) match {
-              case FloatKind =>
-                sum(when(arg(a).isNotNull,
-                  arg(a).cast(DecimalType(18, a.scale)) * sign)
-                  .otherwise(lit(0).cast(DecimalType(18, a.scale))))
-                  .cast(DecimalType(38, a.scale))
-              case DecKind(s) =>
-                // ±1 sign: the product is exact; widen to the state type
-                sum(when(arg(a).isNotNull,
-                  (arg(a) * sign).cast(DecimalType(38, s)))
-                  .otherwise(lit(0).cast(DecimalType(38, s))))
-                  .cast(DecimalType(38, s))
-              case LongKind =>
-                sum(when(arg(a).isNotNull, arg(a) * sign)
-                  .otherwise(0L)).cast(LongType)
-            }
-            Seq(term.as(s"_d${sCol(a.alias)}"),
-              sum(when(arg(a).isNotNull, sign).otherwise(0L))
-                .as(s"_d${cCol(a.alias)}"))
+            merged = merged
+              .withColumn(sCol(a.alias),
+                zero(sCol(a.alias), curSchema(sCol(a.alias)).dataType)
+                  + q(s"_d${sCol(a.alias)}"))
+              .withColumn(cCol(a.alias),
+                zero(cCol(a.alias), LongType) + q(s"_d${cCol(a.alias)}"))
+          case _ => ()
         }
-      }
-      val delta = feed
-        .groupBy((groupBy.map(q) :+ gid(groupBy).as(GidCol)): _*)
-        .agg(deltaCols.head, deltaCols.tail: _*)
-        // a group whose feed rows cancel exactly (one -, one + with equal
-        // values) still merges below to its unchanged state — harmless
-      val cur = curView
-      def zero(c: String, dt: DataType): Column = coalesce(q(c), lit(0).cast(dt))
-      val curSchema = cur.schema
-      var merged = delta.join(cur.drop(groupBy: _*), Seq(GidCol), "left")
-        .withColumn(NCol, zero(NCol, LongType) + q(s"_d$NCol"))
-      for (a <- aggs) a.func match {
-        case "count" if a.column == "*" => ()
-        case "count" =>
-          merged = merged.withColumn(a.alias,
-            coalesce(q(a.alias), lit(0L)) + q(s"_d${cCol(a.alias)}"))
-        case "sum" | "avg" =>
+        for (a <- aggs if a.func == "count" && a.column == "*")
+          merged = merged.withColumn(a.alias, q(NCol))
+        // removal-free window: sketches only UNION (merge never shrinks);
+        // NULL on either side means "no values there yet"
+        for (a <- aggs if a.func == "count_distinct")
           merged = merged
-            .withColumn(sCol(a.alias),
-              zero(sCol(a.alias), curSchema(sCol(a.alias)).dataType)
-                + q(s"_d${sCol(a.alias)}"))
+            .withColumn(hCol(a.alias),
+              when(q(hCol(a.alias)).isNull, q(s"_dh_${a.alias}"))
+                .when(q(s"_dh_${a.alias}").isNull, q(hCol(a.alias)))
+                .otherwise(hll_union(q(hCol(a.alias)), q(s"_dh_${a.alias}"))))
             .withColumn(cCol(a.alias),
               zero(cCol(a.alias), LongType) + q(s"_d${cCol(a.alias)}"))
-        case _ => ()
-      }
-      for (a <- aggs if a.func == "count" && a.column == "*")
-        merged = merged.withColumn(a.alias, q(NCol))
-      // removal-free window: sketches only UNION (merge never shrinks);
-      // NULL on either side means "no values there yet"
-      for (a <- aggs if a.func == "count_distinct")
-        merged = merged
-          .withColumn(hCol(a.alias),
-            when(q(hCol(a.alias)).isNull, q(s"_dh_${a.alias}"))
-              .when(q(s"_dh_${a.alias}").isNull, q(hCol(a.alias)))
-              .otherwise(hll_union(q(hCol(a.alias)), q(s"_dh_${a.alias}"))))
-          .withColumn(cCol(a.alias),
-            zero(cCol(a.alias), LongType) + q(s"_d${cCol(a.alias)}"))
-      // removal-free window: extrema merge monotonically (least/greatest
-      // skip NULLs, so a new group or an all-null batch both behave)
-      for (a <- aggs if a.func == "min" || a.func == "max")
-        merged = merged.withColumn(a.alias,
-          if (a.func == "min") least(q(a.alias), q(s"_dmm_${a.alias}"))
-          else greatest(q(a.alias), q(s"_dmm_${a.alias}")))
-      finalizeVisible(merged, aggs, types)
-        .drop(merged.columns
-          .filter(c => c.startsWith("_d_mv_") || c.startsWith("_dmm_") ||
-            c.startsWith("_dh_"))
-          .toIndexedSeq: _*)
-    } else {
-      // ---- groups: min/max can move on removal; recompute the affected
-      // groups from the CURRENT source, scoped by the group surrogate
-      val affected = feed
-        .select((groupBy.map(q) :+ gid(groupBy).as(GidCol)): _*).distinct()
-      val srcNow0 = spark.read.format("lance")
-        .option("versionAsOf", vN.toString).load(source)
-      // the semi-join keys on the COMPUTED gid, which no scan-side
-      // pruning can see — so when the affected-group set is small
-      // (the CDC norm), pre-filter on the RAW group columns too: those
-      // predicates push into the scan, and manifest stats / buckets /
-      // postings prune fragments before any read. Superset semantics
-      // (per-column IN admits cross products); the semi-join stays the
-      // exact filter. NULL group values ride an explicit isNull arm.
-      // Dim-sourced group columns can't pre-filter the SOURCE scan —
-      // they skip the push-down (the semi-join still scopes them); the
-      // enrichment and WHERE apply after, on the pruned rows only.
-      val cap = spark.conf.getOption("spark.graft.dml.inlistPrune")
-        .map(_.toInt).getOrElse(1000)
-      val sample = affected.limit(cap + 1).collect()
-      val rawNames = srcSchema.fieldNames.toSet
-      val (preFiltered, preFilterApplied) =
-        if (sample.length > cap) (srcNow0, false)
-        else {
-          val conds = groupBy.zipWithIndex.collect {
-            case (c, i) if rawNames.contains(c) =>
-              val vals = sample.map(_.get(i)).distinct.toSeq
-              val nonNull = vals.filter(_ != null)
-              val base = if (nonNull.isEmpty) lit(false)
-                else q(c).isin(nonNull: _*)
-              if (vals.contains(null)) base || q(c).isNull else base
+        // removal-free window: extrema merge monotonically (least/greatest
+        // skip NULLs, so a new group or an all-null batch both behave)
+        for (a <- aggs if a.func == "min" || a.func == "max")
+          merged = merged.withColumn(a.alias,
+            if (a.func == "min") least(q(a.alias), q(s"_dmm_${a.alias}"))
+            else greatest(q(a.alias), q(s"_dmm_${a.alias}")))
+        finalizeVisible(merged, aggs, types)
+          .drop(merged.columns
+            .filter(c => c.startsWith("_d_mv_") || c.startsWith("_dmm_") ||
+              c.startsWith("_dh_"))
+            .toIndexedSeq: _*)
+      } else {
+        // ---- groups: min/max can move on removal; recompute the affected
+        // groups from the CURRENT source, scoped by the group surrogate
+        val affected = feed
+          .select((groupBy.map(q) :+ gid(groupBy).as(GidCol)): _*).distinct()
+        val srcNow0 = spark.read.format("lance")
+          .option("versionAsOf", vN.toString).load(source)
+        // the semi-join keys on the COMPUTED gid, which no scan-side
+        // pruning can see — so when the affected-group set is small
+        // (the CDC norm), pre-filter on the RAW group columns too: those
+        // predicates push into the scan, and manifest stats / buckets /
+        // postings prune fragments before any read. Superset semantics
+        // (per-column IN admits cross products); the semi-join stays the
+        // exact filter. NULL group values ride an explicit isNull arm.
+        // Dim-sourced group columns can't pre-filter the SOURCE scan —
+        // they skip the push-down (the semi-join still scopes them); the
+        // enrichment and WHERE apply after, on the pruned rows only.
+        val cap = spark.conf.getOption("spark.graft.dml.inlistPrune")
+          .map(_.toInt).getOrElse(1000)
+        val sample = affected.limit(cap + 1).collect()
+        val rawNames = srcSchema.fieldNames.toSet
+        val (preFiltered, preFilterApplied) =
+          if (sample.length > cap) (srcNow0, false)
+          else {
+            val conds = groupBy.zipWithIndex.collect {
+              case (c, i) if rawNames.contains(c) =>
+                val vals = sample.map(_.get(i)).distinct.toSeq
+                val nonNull = vals.filter(_ != null)
+                val base = if (nonNull.isEmpty) lit(false)
+                  else q(c).isin(nonNull: _*)
+                if (vals.contains(null)) base || q(c).isNull else base
+            }
+            if (conds.isEmpty) (srcNow0, false)
+            else (srcNow0.filter(conds.reduce(_ && _)), true)
           }
-          if (conds.isEmpty) (srcNow0, false)
-          else (srcNow0.filter(conds.reduce(_ && _)), true)
-        }
-      // join factors prune to the join keys the PRE-FILTERED source
-      // actually holds (prunedFactors' capped distinct-collect): a
-      // min/max removal window on a 100 TB join view must not full-scan
-      // the join table when the affected groups are few. ONLY when the
-      // source pre-filter actually applied — distinct-collecting keys
-      // off the FULL source is a scan that buys nothing. Chain-keyed
-      // joins skip inside the helper; the recompute's join condition
-      // stays the exact filter.
-      val scopedJoins =
-        if (preFilterApplied) prunedFactors(preFiltered)
-        else Map.empty[String, DataFrame]
-      val srcNow = where.foldLeft(enrich(spark,
-        applyJoins(spark, preFiltered,
-          joinHeads.map { case (j, _, nv) => (j, nv) }, scopedJoins),
-        dims))(
-        (df, w) => df.filter(expr(w)))
-      // expression keys materialize before the gid (they can't pre-filter
-      // the raw scan — the alias is not a source column — but the
-      // semi-join scopes them exactly, the dim-column posture)
-      val scoped = withKeys(srcNow, keys).withColumn(GidCol, gid(groupBy))
-        .join(affected.select(GidCol), Seq(GidCol), "left_semi")
-        .drop(GidCol)
-      val recomputed = stateAgg(scoped, keys, aggs)
-      // groups present in the feed but absent from the source died:
-      // their state row carries _mv_n = 0 and applyChanges deletes it
-      val curCols = curView.columns
-      val dead = affected.join(recomputed.select(GidCol), Seq(GidCol), "left_anti")
-      val deadStates = curCols.foldLeft(dead) { (df, c) =>
-        if (df.columns.contains(c)) df
-        else df.withColumn(c, lit(null))
-      }.withColumn(NCol, lit(0L))
-      recomputed.unionByName(deadStates.select(recomputed.columns.map(q): _*))
-    }
+        // join factors prune to the join keys the PRE-FILTERED source
+        // actually holds (prunedFactors' capped distinct-collect): a
+        // min/max removal window on a 100 TB join view must not full-scan
+        // the join table when the affected groups are few. ONLY when the
+        // source pre-filter actually applied — distinct-collecting keys
+        // off the FULL source is a scan that buys nothing. Chain-keyed
+        // joins skip inside the helper; the recompute's join condition
+        // stays the exact filter.
+        val scopedJoins =
+          if (preFilterApplied) prunedFactors(preFiltered)
+          else Map.empty[String, DataFrame]
+        val srcNow = where.foldLeft(enrich(spark,
+          applyJoins(spark, preFiltered,
+            joinHeads.map { case (j, _, nv) => (j, nv) }, scopedJoins),
+          dims))(
+          (df, w) => df.filter(expr(w)))
+        // expression keys materialize before the gid (they can't pre-filter
+        // the raw scan — the alias is not a source column — but the
+        // semi-join scopes them exactly, the dim-column posture)
+        val scoped = withKeys(srcNow, keys).withColumn(GidCol, gid(groupBy))
+          .join(affected.select(GidCol), Seq(GidCol), "left_semi")
+          .drop(GidCol)
+        val recomputed = stateAgg(scoped, keys, aggs)
+        // groups present in the feed but absent from the source died:
+        // their state row carries _mv_n = 0 and applyChanges deletes it
+        val curCols = curView.columns
+        val dead = affected.join(recomputed.select(GidCol), Seq(GidCol), "left_anti")
+        val deadStates = curCols.foldLeft(dead) { (df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null))
+        }.withColumn(NCol, lit(0L))
+        recomputed.unionByName(deadStates.select(recomputed.columns.map(q): _*))
+      }
 
-    val viewSchema = curView.schema
-    // persist: the guard below plus applyChanges' stats/prune/match/write
-    // jobs would otherwise re-execute the whole feed+merge DAG each time
-    val aligned = newStates.select(viewSchema.fieldNames.map(f =>
-      q(f).cast(viewSchema(f).dataType).as(f)).toIndexedSeq: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val bad = aligned.filter(q(NCol) < 0).limit(1).count()
-      require(bad == 0L, s"negative group count after delta merge at $viewPath " +
-        "- the feed and the stored state disagree (was the view written to " +
-        "directly?); run fullRefresh")
-      // CAS on the stored watermark: a concurrent refresh of the SAME
-      // window (in-commit maintenance racing a manual refresh) fails
-      // loud instead of double-applying through a pure-insert append
-      val res = Dml.applyChanges(spark, viewPath, aligned, Seq(GidCol),
-        deleteWhen = q(NCol) === 0L,
-        setProperties = Map(PropVersion -> vN.toString) ++
-          (if (joins.isEmpty) Map.empty else Map(PropJoins ->
-            encodeJoins(joinHeads.map { case (j, _, nv) => (j, nv) }))),
-        requireProperties = Map(PropVersion -> v0.toString) ++
-          (if (joins.isEmpty) Map.empty
-           else Map(PropJoins -> encodeJoins(joins))))
-      RefreshResult(if (deltaPath) "delta" else "groups", v0, vN,
-        res.rowsChanged + res.rowsInserted)
-    } finally {
-      aligned.unpersist()
-      localFeeds.foreach(_.unpersist())
-    }
+      val viewSchema = curView.schema
+      // persist: the guard below plus applyChanges' stats/prune/match/write
+      // jobs would otherwise re-execute the whole feed+merge DAG each time
+      val aligned = newStates.select(viewSchema.fieldNames.map(f =>
+        q(f).cast(viewSchema(f).dataType).as(f)).toIndexedSeq: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bad = aligned.filter(q(NCol) < 0).limit(1).count()
+        require(bad == 0L, s"negative group count after delta merge at $viewPath " +
+          "- the feed and the stored state disagree (was the view written to " +
+          "directly?); run fullRefresh")
+        // CAS on the stored watermark: a concurrent refresh of the SAME
+        // window (in-commit maintenance racing a manual refresh) fails
+        // loud instead of double-applying through a pure-insert append
+        val res = Dml.applyChanges(spark, viewPath, aligned, Seq(GidCol),
+          deleteWhen = q(NCol) === 0L,
+          setProperties = Map(PropVersion -> vN.toString) ++
+            (if (joins.isEmpty) Map.empty else Map(PropJoins ->
+              encodeJoins(joinHeads.map { case (j, _, nv) => (j, nv) }))),
+          requireProperties = Map(PropVersion -> v0.toString) ++
+            (if (joins.isEmpty) Map.empty
+             else Map(PropJoins -> encodeJoins(joins))))
+        RefreshResult(if (deltaPath) "delta" else "groups", v0, vN,
+          res.rowsChanged + res.rowsInserted)
+      } finally aligned.unpersist()
+    } finally localFeeds.foreach(_.unpersist())
   }
 
   /** Full rebuild (vacuumed feed window, out-of-band writes to the view,

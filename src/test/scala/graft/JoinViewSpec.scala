@@ -550,4 +550,29 @@ class JoinViewSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.jmv.warehouse")
     }
   }
+
+  test("a refresh that throws after feeds persist leaks no cached frames") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    // corrupt the stored state so refresh throws at the negative-count
+    // guard — which sits AFTER the change-feed frames persist
+    val bad = spark.read.format("lance").load(view)
+      .withColumn("_mv_n", lit(1L)).withColumn("n", lit(1L))
+    bad.write.format("lance").mode("overwrite").save(view)
+    withFeed { Lance.deleteWhere(spark, b, "o_key <= 100") }
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val e = intercept[IllegalArgumentException](
+      MaterializedView.refresh(spark, view))
+    assert(e.getMessage.contains("negative group count"))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"refresh leaked persisted frames past the throw: $leaked")
+    // fullRefresh recovers and the next delta window is clean
+    MaterializedView.fullRefresh(spark, view)
+    assertSame(MaterializedView.read(spark, view), recompute(a, b),
+      "post-recovery view != recompute")
+  }
 }

@@ -962,6 +962,98 @@ class MaterializedViewSpec extends AnyFunSuite {
       row.mkString(","))
   }
 
+  test("create refuses a table registered as both join and dim (pin-eviction race)") {
+    val src = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 20L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("okey", "grp", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    (1L to 20L).map(i => (i, s"t${i % 3}", i * 0.5))
+      .toDF("o_key", "tag", "amount")
+      .write.format("lance").mode("overwrite").save(b)
+    // same table as JOIN and DIM: roleAndWatermark would report "join"
+    // (checked first), so the dim self-heal would strip the mv-pin tag
+    // and a vacuum could reclaim the pinned snapshot — refuse at create
+    val e1 = intercept[IllegalArgumentException](
+      MaterializedView.create(spark, view, src, Seq("grp"),
+        Seq(AggSpec("count", "*", "n")),
+        joins = Seq(MaterializedView.JoinSpec(b, Map("okey" -> "o_key"))),
+        dims = Seq(MaterializedView.DimSpec(b, Map("grp" -> "tag")))))
+    assert(e1.getMessage.contains("dim tables must be distinct"))
+    // the source as a dim is the same hazard (role "source" wins)
+    val e2 = intercept[IllegalArgumentException](
+      MaterializedView.create(spark, view, src, Seq("grp"),
+        Seq(AggSpec("count", "*", "n")),
+        dims = Seq(MaterializedView.DimSpec(src, Map("grp" -> "grp")))))
+    assert(e2.getMessage.contains("dim tables must be distinct"))
+    // nothing registered, no pin tags left behind by the refusals
+    assert(!manifest(src).properties.getOrElse(Map.empty)
+      .contains("graft.mv.dependents"))
+    assert(Lance.tags(spark, b).isEmpty && Lance.tags(spark, src).isEmpty)
+  }
+
+  test("a view recreated against a different source deregisters instead of re-refreshing") {
+    val src = tmpDir(); val other = tmpDir(); val view = tmpDir() + "/v"
+    seed(src); seed(other)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n")))
+    // hijack: recreate the view path against `other`
+    val vroot = new Path(new java.io.File(view).getAbsolutePath)
+    LanceFormat.fileSystem(vroot, spark.sessionState.newHadoopConf())
+      .delete(vroot, true)
+    MaterializedView.create(spark, view, other, Seq("grp"),
+      Seq(AggSpec("count", "*", "n")))
+    // advance BOTH tables so a refresh from either side would commit
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      Seq((1001L, "g1", 1.0, 1L)).toDF("id", "grp", "price", "qty")
+        .write.format("lance").mode("append").save(src)
+      Seq((1001L, "g1", 1.0, 1L)).toDF("id", "grp", "price", "qty")
+        .write.format("lance").mode("append").save(other)
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val vBefore = manifest(view).version
+    // src's maintenance pass must NOT refresh other's view (that was
+    // the forever-redundant refresh) and must heal the registration
+    val rs = MaterializedView.refreshDependents(spark, src)
+    assert(rs.size == 1, rs.toString)
+    rs.head._2 match {
+      case Left(m) => assert(m.contains("stale"), m)
+      case Right(r) => fail(s"stale registration was refreshed: $r")
+    }
+    assert(manifest(view).version == vBefore,
+      "the hijacked view was committed to by the WRONG table's maintenance")
+    assert(!manifest(src).properties.getOrElse(Map.empty)
+      .contains("graft.mv.dependents"), "stale registration not healed")
+    // the view's REAL source still maintains it
+    val rs2 = MaterializedView.refreshDependents(spark, other)
+    assert(rs2.size == 1 && rs2.head._2.isRight, rs2.toString)
+    assert(manifest(view).version > vBefore)
+  }
+
+  test("plain group columns containing ':' keep decoding (compat); expression aliases refuse") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    (1L to 40L).map(i => (i, s"k:${i % 3}", i * 1.0))
+      .toDF("id", "a:b", "x")
+      .write.format("lance").mode("overwrite").save(src)
+    // a plain column key never rides the ':'-split group-exprs property,
+    // so ':' in its NAME must create, refresh and decode fine
+    MaterializedView.create(spark, view, src, Seq("a:b"),
+      Seq(AggSpec("sum", "x", "sx")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try Lance.deleteWhere(spark, src, "id % 5 = 0")
+    finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", r.toString)
+    val got = MaterializedView.read(spark, view)
+    val want = spark.read.format("lance").load(src)
+      .groupBy(col("`a:b`")).agg(Tables.dsum(col("x")).as("sx"))
+    assertSame(got, want, "':'-named plain group column view != recompute")
+    // an EXPRESSION alias mints a new column that DOES ride the
+    // ':'-split property — still refused
+    val e = intercept[IllegalArgumentException](
+      MaterializedView.create(spark, tmpDir() + "/v2", src,
+        Seq("upper(`a:b`) AS c:d"), Seq(AggSpec("count", "*", "n"))))
+    assert(e.getMessage.contains("may not contain ':'"))
+  }
+
   test("out-of-band writes to the view fail the next refresh loud") {
     val src = tmpDir(); val view = tmpDir() + "/v"
     (1L to 10L).map(i => (i, "g", i * 1.0)).toDF("id", "grp", "x")
