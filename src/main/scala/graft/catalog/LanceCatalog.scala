@@ -631,10 +631,12 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           "may name dim columns; fullRefresh re-pins").build(),
       in("joins", StringType).defaultValue("''")
         .comment("optional fact joins, ';'-separated " +
-          "'table|srcKey=joinKey[,k2=j2]' entries: each INNER-joins with " +
-          "BOTH sides change-fed — refresh telescopes dA JOIN B(new) " +
-          "UNION A(old) JOIN dB; the view registers on every joined " +
-          "table").build())
+          "'table|srcKey=joinKey[,k2=j2][|left]' entries: each joins " +
+          "(INNER, or LEFT with the '|left' suffix) with BOTH sides " +
+          "change-fed — refresh telescopes dA JOIN B(new) UNION A(old) " +
+          "JOIN dB, and LEFT joins additionally retract/insert " +
+          "null-extended rows when a key's match count crosses zero; " +
+          "the view registers on every joined table").build())
     case "refresh_mv" => Array(in("view", StringType).build(),
       in("full", BooleanType).defaultValue("false")
         .comment("true forces a full rebuild (vacuumed feed window / " +
@@ -870,20 +872,28 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
         val aggs = LanceProcedure.parseAggList(input.getUTF8String(3).toString)
         val where = Some(input.getUTF8String(4).toString.trim).filter(_.nonEmpty)
         // star dims / fact joins: 'table|srcKey=otherKey[,k2=o2]'
-        // entries, ';'-separated — one shared parse
-        def pathKeys(argIdx: Int): Seq[(String, Map[String, String])] =
+        // entries, ';'-separated — one shared parse; joins accept an
+        // optional third '|'-field for the join type (inner | left)
+        def pathKeys(argIdx: Int): Seq[(String, Map[String, String], String)] =
           input.getUTF8String(argIdx).toString.split(';')
             .map(_.trim).filter(_.nonEmpty).toSeq.map { entry =>
-              val Array(t, ks) = entry.split("\\|", 2)
-              (catalog.resolveTableArg(t.trim).toString,
-                ks.split(',').map { kv =>
+              val parts = entry.split("\\|", 3)
+              require(parts.length >= 2,
+                s"malformed dim/join entry '$entry' (expected " +
+                  "table|srcKey=otherKey[,k2=o2][|left])")
+              (catalog.resolveTableArg(parts(0).trim).toString,
+                parts(1).split(',').map { kv =>
                   val Array(a, b) = kv.split("=", 2); a.trim -> b.trim
-                }.toMap)
+                }.toMap,
+                if (parts.length > 2) parts(2).trim.toLowerCase else "inner")
             }
-        val dims = pathKeys(5).map { case (t, ks) =>
+        val dims = pathKeys(5).map { case (t, ks, ty) =>
+          require(ty == "inner",
+            s"dim entries take no join type (dims always LEFT-join a " +
+              s"pinned snapshot); got '$ty'")
           graft.operators.MaterializedView.DimSpec(t, ks) }
-        val joins = pathKeys(6).map { case (t, ks) =>
-          graft.operators.MaterializedView.JoinSpec(t, ks) }
+        val joins = pathKeys(6).map { case (t, ks, ty) =>
+          graft.operators.MaterializedView.JoinSpec(t, ks, ty) }
         val v = graft.operators.MaterializedView.create(spark, path, source,
           groupBy, aggs, where, dims, joins)
         (new StructType().add("source_version", LongType, nullable = false),

@@ -2436,6 +2436,67 @@ object LanceQueries {
     got.withColumn("mode", lit(r.mode)).orderBy(col("o_orderpriority"))
   }
 
+  /** LEFT-outer JOIN materialized view (s128): the "orders with or
+    * without items" dashboard shape. Seeded so some orders are
+    * matchless, then one window exercises BOTH zero crossings — a
+    * matchless order gains its FIRST item (the null-extended row must
+    * retract) and a matched order loses its LAST (the null-extended row
+    * must re-appear) — plus ordinary two-sided churn. Refresh must stay
+    * delta (Δ terms + flip terms; never a rebuild) and hash-match
+    * DuckDB's LEFT JOIN ... GROUP BY recompute. */
+  def s128MvLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.{AggSpec, JoinSpec}
+    val srcA = scratch(dir, "mv_ljoin_a")
+    val srcB = scratch(dir, "mv_ljoin_b")
+    val view = scratch(dir, "mv_view_ljoin")
+    freshDataset(spark, srcA); freshDataset(spark, srcB)
+    freshDataset(spark, view)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.format("lance").mode("overwrite").save(srcA)
+    // orders with o_orderkey % 7 = 3 start MATCHLESS (null-extended)
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(not(col("l_orderkey") % 7 === 3))
+      .write.format("lance").mode("overwrite").save(srcB)
+    MaterializedView.create(spark, view, srcA, Seq("o_orderpriority"),
+      Seq(AggSpec("count", "*", "n"),
+        AggSpec("count", "l_extendedprice", "nm"),
+        AggSpec("sum", "l_extendedprice", "sum_price")),
+      joins = Seq(JoinSpec(srcB, Map("o_orderkey" -> "l_orderkey"), "left")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      // FIRST matches: one item for each matchless order in a fixed set
+      spark.read.format("lance").load(srcA)
+        .filter("o_orderkey % 77 = 3 AND o_orderkey <= 30000")
+        .select(col("o_orderkey").as("l_orderkey"),
+          lit(1234.56).as("l_extendedprice"))
+        .write.format("lance").mode("append").save(srcB)
+      // re-pricing that stays inside the match set
+      graft.Lance.updateWhere(spark, srcB,
+        "l_orderkey % 9 = 4 AND l_orderkey <= 30000",
+        Map("l_extendedprice" -> "l_extendedprice * 2"))
+      // LAST matches out: every item of these orders goes
+      graft.Lance.deleteWhere(spark, srcB,
+        "l_orderkey % 93 = 5 AND l_orderkey <= 30000")
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta",
+      s"LEFT join-view windows must refresh by delta, got $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(srcA)
+      .join(spark.read.format("lance").load(srcB),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count(col("l_extendedprice")).as("nm"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+    require(sameRows(got, expect),
+      "LEFT join-view incremental refresh drifted from the left recompute")
+    got.withColumn("mode", lit(r.mode)).orderBy(col("o_orderpriority"))
+  }
+
   /** `lance_dependents` TVF (s126): the operator-facing registry —
     * after a join-side-only DML batch the TVF shows the view lagging
     * the JOIN table by exactly the committed versions (require()d),
@@ -2953,6 +3014,7 @@ object LanceQueries {
     "s123_mv_star" -> s123MvStar,
     "s124_mv_rollup" -> s124MvRollup,
     "s125_mv_join" -> s125MvJoin,
+    "s128_mv_left_join" -> s128MvLeftJoin,
     "s126_dependents_tvf" -> s126DependentsTvf,
     "s127_cherry_pick" -> s127CherryPick,
     "s117_publish" -> s117Publish,
@@ -3187,6 +3249,33 @@ object LanceQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | 'delta' AS mode
         |FROM a JOIN b ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s128: delta-mode + exactness are the require()s; the oracle
+    // reproduces the post-DML LEFT join+group from raw parquet (the
+    // seed drops l_orderkey%7=3 items, the window re-inserts a fixed
+    // subset and strips others — both zero crossings)
+    "s128_mv_left_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |), b1 AS (
+        |  SELECT l_orderkey, l_extendedprice FROM lineitem
+        |  WHERE NOT (l_orderkey % 7 = 3)
+        |  UNION ALL
+        |  SELECT o_orderkey AS l_orderkey, 1234.56 AS l_extendedprice
+        |  FROM orders WHERE o_orderkey % 77 = 3 AND o_orderkey <= 30000
+        |), b AS (
+        |  SELECT l_orderkey,
+        |         CASE WHEN l_orderkey % 9 = 4 AND l_orderkey <= 30000
+        |              THEN l_extendedprice * 2
+        |              ELSE l_extendedprice END AS l_extendedprice
+        |  FROM b1
+        |  WHERE NOT (l_orderkey % 93 = 5 AND l_orderkey <= 30000)
+        |)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        | COUNT(l_extendedprice) AS nm,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | 'delta' AS mode
+        |FROM a LEFT JOIN b ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // s126: the pre-refresh lag (=2) is the require(); post-refresh both
     // registrations report zero lag — planted rows

@@ -313,28 +313,44 @@ object MaterializedView {
       val abs = new java.io.File(j.path).getAbsolutePath
       s"$v|$abs|${j.keys.toSeq.sorted.map { case (s, k) => s"$s=$k" }.mkString(",")}"
     }.mkString("\n")
-  private def decodeJoins(s: String): Seq[(JoinSpec, Long)] =
-    s.split('\n').toSeq.filter(_.nonEmpty).map { line =>
-      val Array(v, p, ks) = line.split("\\|", 3)
-      (JoinSpec(p, ks.split(',').map { kv =>
-        val Array(a, b) = kv.split("=", 2); a -> b
-      }.toMap), v.toLong)
-    }
+  /** PropJoins + (only when a non-inner join exists) PropJoinTypes. */
+  private def encodeJoinProps(joins: Seq[(JoinSpec, Long)]): Map[String, String] =
+    Map(PropJoins -> encodeJoins(joins)) ++
+      (if (joins.forall(_._1.joinType == "inner")) Map.empty
+       else Map(PropJoinTypes -> joins.map(_._1.joinType).mkString(",")))
+  private def decodeJoins(props: Map[String, String]): Seq[(JoinSpec, Long)] = {
+    val types = props.get(PropJoinTypes).map(_.split(',').toSeq)
+      .getOrElse(Seq.empty)
+    props.get(PropJoins).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
+      .zipWithIndex.map { case (line, i) =>
+        val Array(v, p, ks) = line.split("\\|", 3)
+        (JoinSpec(p, ks.split(',').map { kv =>
+          val Array(a, b) = kv.split("=", 2); a -> b
+        }.toMap, types.lift(i).getOrElse("inner")), v.toLong)
+      }
+  }
 
-  /** INNER-join every fact table onto `rows` at the given versions.
-    * `images`: when Some((spec, feed)), that one join's factor is the
-    * change-feed IMAGES frame instead of the table — the telescoping
-    * terms of the IVM identity ride this. Joined-side key columns drop
-    * (the source key carries the value). */
+  /** Join every fact table onto `rows` at the given versions, each with
+    * its declared join type (inner or left). `images`: when set, that
+    * one join's factor is the change-feed IMAGES frame instead of the
+    * table — the telescoping terms of the IVM identity ride this.
+    * `innerOverride`: factor paths joined INNER regardless of their
+    * declared type — the Δ-image term of a LEFT factor (unmatched left
+    * rows contribute nothing to that term; the zero-crossing null
+    * extension rides the separate flip terms). Joined-side key columns
+    * drop (the source key carries the value). */
   private def applyJoins(spark: SparkSession, rows: DataFrame,
       joins: Seq[(JoinSpec, Long)],
-      images: Map[String, DataFrame] = Map.empty): DataFrame =
+      images: Map[String, DataFrame] = Map.empty,
+      innerOverride: Set[String] = Set.empty): DataFrame =
     joins.foldLeft(rows) { case (df, (j, v)) =>
-      val right = images.getOrElse(new java.io.File(j.path).getAbsolutePath,
+      val abs = new java.io.File(j.path).getAbsolutePath
+      val right = images.getOrElse(abs,
         spark.read.format("lance")
           .option("versionAsOf", v.toString).load(j.path))
       val cond = j.keys.map { case (s, k) => df(s) === right(k) }.reduce(_ && _)
-      j.keys.values.foldLeft(df.join(right, cond, "inner")) {
+      val how = if (innerOverride.contains(abs)) "inner" else j.joinType
+      j.keys.values.foldLeft(df.join(right, cond, how)) {
         (o, k) => o.drop(right(k))
       }
     }
@@ -757,7 +773,7 @@ object MaterializedView {
         (if (pinned.isEmpty) Map.empty
          else Map(PropDims -> encodeDims(pinned))) ++
         (if (registeredJoins.isEmpty) Map.empty
-         else Map(PropJoins -> encodeJoins(registeredJoins)))))
+         else encodeJoinProps(registeredJoins))))
       .save(viewPath)
     // re-assert the registrations: a refreshDependents racing this create
     // could observe "no lance dataset" in the register→materialize window
@@ -805,7 +821,7 @@ object MaterializedView {
           })
       }
       // join tables: release their maintenance/pin registrations
-      props.get(PropJoins).map(decodeJoins).getOrElse(Seq.empty).foreach {
+      decodeJoins(props).foreach {
         case (j, _) =>
           try {
             val (jfs, jroot) = fsRoot(spark, j.path)
@@ -990,7 +1006,7 @@ object MaterializedView {
       decodeAggs(props(PropAggs)), props(PropVersion).toLong,
       props.get(PropWhere),
       props.get(PropDims).map(decodeDims).getOrElse(Seq.empty),
-      props.get(PropJoins).map(decodeJoins).getOrElse(Seq.empty))
+      decodeJoins(props))
   }
 
   /** Incremental refresh. Picks delta vs scoped-group recompute (see
@@ -1120,31 +1136,118 @@ object MaterializedView {
                 case ((jj, ov, nv), k) => (jj, if (k < i) ov else nv)
               }
               // prune each factor that OWNS key columns of this Δ to the
-              // key values its feed touches: source-owned keys prune the
-              // A@old scan, chain keys prune the owning EARLIER join's
-              // frame (through the images override)
+              // key values a SMALL frame touches: source-owned keys prune
+              // the A@old scan, chain keys prune the owning EARLIER
+              // join's frame (through the images override). Shared by the
+              // Δ-image term (small = this factor's feed) and the LEFT
+              // flip term (small = the zero-crossing key set).
               val keyPairs = j.keys.toSeq
               val srcOwned = keyPairs.filter { case (s, _) =>
                 srcM.schema.fieldNames.contains(s) }
-              val aBase = if (srcOwned.isEmpty) aOld
-                else prunedByKeys(aOld, srcOwned, jFeed)
-              val overrides =
-                scala.collection.mutable.Map[String, DataFrame](jAbs -> jFeed)
               val chainKeys = keyPairs.diff(srcOwned)
-              if (chainKeys.nonEmpty) joinHeads.take(i).foreach {
-                case (jj, ov, _) =>
-                  val jjAbs = new java.io.File(jj.path).getAbsolutePath
-                  val frame = spark.read.format("lance")
-                    .option("versionAsOf", ov.toString).load(jj.path)
-                  // ownership = the join's ATTRS (its own key columns drop
-                  // from the namespace and can never own a later key)
-                  val jjAttrs = frame.columns.toSet -- jj.keys.values
-                  val owned = chainKeys.filter(p => jjAttrs.contains(p._1))
-                  if (owned.nonEmpty)
-                    overrides(jjAbs) = prunedByKeys(frame, owned, jFeed)
+              def prunedPrefix(small: DataFrame)
+                  : (DataFrame, Map[String, DataFrame]) = {
+                val aBase = if (srcOwned.isEmpty) aOld
+                  else prunedByKeys(aOld, srcOwned, small)
+                val m = scala.collection.mutable.Map.empty[String, DataFrame]
+                if (chainKeys.nonEmpty) joinHeads.take(i).foreach {
+                  case (jj, ov, _) =>
+                    val jjAbs = new java.io.File(jj.path).getAbsolutePath
+                    val frame = spark.read.format("lance")
+                      .option("versionAsOf", ov.toString).load(jj.path)
+                    // ownership = the join's ATTRS (its own key columns
+                    // drop from the namespace, never owning a later key)
+                    val jjAttrs = frame.columns.toSet -- jj.keys.values
+                    val owned = chainKeys.filter(p => jjAttrs.contains(p._1))
+                    if (owned.nonEmpty)
+                      m(jjAbs) = prunedByKeys(frame, owned, small)
+                }
+                (aBase, m.toMap)
               }
+              val (aBase, pruned) = prunedPrefix(jFeed)
+              // the Δ-image joins INNER even for a LEFT factor: unmatched
+              // prefix rows contribute nothing to this term — their null
+              // extension changes only when the match count crosses zero,
+              // which the flip term below carries
               terms += applyJoins(spark, aBase, versions,
-                images = overrides.toMap)
+                images = pruned + (jAbs -> jFeed),
+                innerOverride = Set(jAbs))
+              if (j.joinType == "left") {
+                // ---- LEFT zero-crossing flips over this window:
+                //   P@old ⟕ Ji@new − P@old ⟕ Ji@old
+                //     = P@old ⋈ ΔJi                  (the term above)
+                //     + retract null-extension where cnt went 0 → >0
+                //     + insert null-extension where cnt went >0 → 0
+                // cnt@old needs no second snapshot: cnt@old = cnt@new −
+                // net(ΔJi) per key. Keys with a NULL component never
+                // match (and never null-flip a prefix row) — excluded.
+                val jSign = when(col("_change_type")
+                  .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+                val kCols = keyPairs.map(_._2)
+                val net = jFeed
+                  .filter(kCols.map(q(_).isNotNull).reduce(_ && _))
+                  .groupBy(kCols.map(q): _*).agg(sum(jSign).as("_mv_net"))
+                val jNew = spark.read.format("lance")
+                  .option("versionAsOf", jvN.toString).load(j.path)
+                // scan pruned by the touched keys (pushes to the scan),
+                // then the semi join keeps the count exact above the cap
+                val cntNew = prunedByKeys(jNew, kCols.map(c => (c, c)), net)
+                  .join(net.select(kCols.map(q): _*), kCols, "left_semi")
+                  .groupBy(kCols.map(q): _*).agg(count(lit(1)).as("_mv_cnt"))
+                val flips = net.join(cntNew, kCols, "left")
+                  .withColumn("_mv_cnt", coalesce(q("_mv_cnt"), lit(0L)))
+                  .withColumn("_mv_flip",
+                    when(q("_mv_cnt") > 0 && q("_mv_cnt") === q("_mv_net"),
+                      lit(-1L)) // 0 → >0 matches: retract the null row
+                      .when(q("_mv_cnt") === 0L && q("_mv_net") < 0,
+                        lit(1L)) // >0 → 0 matches: re-extend with nulls
+                      .otherwise(lit(0L)))
+                  .filter(q("_mv_flip") =!= 0L)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                localFeeds += flips // released by the refresh-wide finally
+                if (!flips.isEmpty) {
+                  val (fBase, fPruned) = prunedPrefix(flips)
+                  val prefix = applyJoins(spark, fBase,
+                    joinHeads.take(i).map { case (jj, ov, _) => (jj, ov) },
+                    images = fPruned)
+                  // rename the key columns before the join: a join keyed
+                  // name-on-name (okey = okey) would otherwise collide
+                  val fk = flips.select((kCols.zipWithIndex.map {
+                    case (c, x) => q(c).as(s"_mv_fk$x") } :+ q("_mv_flip")): _*)
+                  val cond = keyPairs.zipWithIndex.map { case ((s, _), x) =>
+                    prefix(s) === fk(s"_mv_fk$x") }.reduce(_ && _)
+                  var flipRows = prefix.join(fk, cond, "inner")
+                    .drop(kCols.indices.map(x => s"_mv_fk$x"): _*)
+                  // null-extend THIS factor's attributes on the flip rows
+                  val keyVals = j.keys.values.toSet
+                  flipRows = jNew.schema.fields.filterNot(f => keyVals(f.name))
+                    .foldLeft(flipRows)((df, f) =>
+                      df.withColumn(f.name, lit(null).cast(f.dataType)))
+                  // tail factors at NEW versions, each pruned by the keys
+                  // the flip rows own (a nulled chain key prunes the tail
+                  // factor to empty — inner drops, left null-extends:
+                  // both exactly what the unpruned join would do)
+                  val tailImages = joinHeads.drop(i + 1).map {
+                    case (jj, _, nv) =>
+                      val jjAbs = new java.io.File(jj.path).getAbsolutePath
+                      val full = spark.read.format("lance")
+                        .option("versionAsOf", nv.toString).load(jj.path)
+                      val owned = jj.keys.toSeq.filter { case (s2, _) =>
+                        flipRows.columns.contains(s2) }
+                        .map { case (s2, k2) => (k2, s2) } // (bigCol, smallCol)
+                      jjAbs -> (if (owned.isEmpty) full
+                                else prunedByKeys(full, owned, flipRows))
+                  }.toMap
+                  terms += applyJoins(spark, flipRows,
+                    joinHeads.drop(i + 1).map { case (jj, _, nv) => (jj, nv) },
+                    images = tailImages)
+                    .withColumn("_change_type",
+                      when(q("_mv_flip") === -1L, lit("delete"))
+                        .otherwise(lit("insert")))
+                    .withColumn("_commit_version", lit(jvN))
+                    .drop("_mv_flip")
+                }
+              }
             }
           }
           val cols = terms.head.columns.toIndexedSeq
@@ -1359,8 +1462,8 @@ object MaterializedView {
         val res = Dml.applyChanges(spark, viewPath, aligned, Seq(GidCol),
           deleteWhen = q(NCol) === 0L,
           setProperties = Map(PropVersion -> vN.toString) ++
-            (if (joins.isEmpty) Map.empty else Map(PropJoins ->
-              encodeJoins(joinHeads.map { case (j, _, nv) => (j, nv) }))),
+            (if (joins.isEmpty) Map.empty
+             else encodeJoinProps(joinHeads.map { case (j, _, nv) => (j, nv) })),
           requireProperties = Map(PropVersion -> v0.toString) ++
             (if (joins.isEmpty) Map.empty
              else Map(PropJoins -> encodeJoins(joins))))
@@ -1412,7 +1515,7 @@ object MaterializedView {
           (if (repinned.isEmpty) Map.empty
            else Map(PropDims -> encodeDims(repinned))) ++
           (if (joinsNow.isEmpty) Map.empty
-           else Map(PropJoins -> encodeJoins(joinsNow)))))
+           else encodeJoinProps(joinsNow))))
       .save(viewPath)
     repinned.foreach { case (d, v) =>
       graft.Lance.tag(spark, d.path, dimPinTag(viewAbs), Some(v), replace = true)

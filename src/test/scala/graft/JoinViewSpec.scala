@@ -551,6 +551,168 @@ class JoinViewSpec extends AnyFunSuite {
     }
   }
 
+
+  private def recomputeLeft(a: String, b: String, key: String = "status"): DataFrame =
+    spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "left").drop("o_key")
+      .groupBy(key)
+      .agg(count(lit(1)).as("n"), count(col("amount")).as("nm"),
+        Tables.dsum(col("amount")).as("amt"))
+
+  test("LEFT join view: two-sided DML delta-refreshes to the exact left recompute") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b) // orders with okey % 4 == 0 are matchless
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "amount", "nm"),
+        AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "left")))
+    assertSame(MaterializedView.read(spark, view), recomputeLeft(a, b),
+      "created LEFT view != recompute")
+    withFeed {
+      // first match for previously matchless orders (retract null rows)
+      Seq((4L, 99.0, "tX"), (8L, 98.0, "tX")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)
+      // last-match removal: strip EVERY item of some matched orders
+      Lance.deleteWhere(spark, b, "o_key IN (2, 3, 7)")
+      // plus ordinary two-sided churn
+      Lance.deleteWhere(spark, a, "okey % 9 = 5")
+      Lance.updateWhere(spark, b, "o_key % 11 = 6",
+        Map("amount" -> "amount + 1000"))
+      Seq((901L, "s1", 1L), (902L, "s9", 2L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a) // matchless inserts
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"expected delta, got $r")
+    assertSame(MaterializedView.read(spark, view), recomputeLeft(a, b),
+      "LEFT view after two-sided DML != recompute")
+    // refresh again: noop (watermarks advanced on both tables)
+    assert(MaterializedView.refresh(spark, view).mode == "noop")
+  }
+
+  test("LEFT join view pins first-match retraction and last-match re-extension") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    // per-order groups make the flip arithmetic directly visible
+    Seq((1L, "s0", 0L), (2L, "s0", 0L)).toDF("okey", "status", "cust")
+      .write.format("lance").mode("overwrite").save(a)
+    Seq((2L, 5.0, "t0"), (2L, 7.0, "t0")).toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("overwrite").save(b)
+    MaterializedView.create(spark, view, a, Seq("okey"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "amount", "nm"),
+        AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "left")))
+    def rows() = MaterializedView.read(spark, view).orderBy("okey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)))).toSeq
+    // okey=1 null-extended once; okey=2 matched twice
+    assert(rows() == Seq((1L, 1L, 0L, None), (2L, 2L, 2L, Some(12.0))),
+      rows().toString)
+    // FIRST match arrives for okey=1: its null-extended row must retract
+    withFeed {
+      Seq((1L, 3.0, "t1")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)
+    }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assert(rows() == Seq((1L, 1L, 1L, Some(3.0)), (2L, 2L, 2L, Some(12.0))),
+      rows().toString)
+    // LAST match leaves okey=2: its null-extended row must re-appear
+    withFeed { Lance.deleteWhere(spark, b, "o_key = 2") }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assert(rows() == Seq((1L, 1L, 1L, Some(3.0)), (2L, 1L, 0L, None)),
+      rows().toString)
+    // non-crossing churn on okey=1 (second item in, first out): no flip,
+    // plain signed arithmetic
+    withFeed {
+      Seq((1L, 9.0, "t1")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)
+      Lance.deleteWhere(spark, b, "o_key = 1 AND amount = 3.0")
+    }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assert(rows() == Seq((1L, 1L, 1L, Some(9.0)), (2L, 1L, 0L, None)),
+      rows().toString)
+  }
+
+  test("LEFT join view groups by a JOIN-side attr: unmatched rows land in the NULL group") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("tag"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "left")))
+    def recomputeTag() = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "left").drop("o_key")
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("amount")).as("amt"))
+    assertSame(MaterializedView.read(spark, view), recomputeTag(),
+      "created tag-grouped LEFT view != recompute")
+    withFeed {
+      Seq((4L, 50.0, "t9")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b) // first match + new group
+      Lance.deleteWhere(spark, b, "o_key IN (5, 6)")  // last matches out
+    }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assertSame(MaterializedView.read(spark, view), recomputeTag(),
+      "tag-grouped LEFT view after DML != recompute")
+  }
+
+  test("LEFT min/max join view rescans scoped groups on removal windows") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("max", "amount", "mx")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "left")))
+    def recomputeMx() = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "left").drop("o_key")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), max(col("amount")).as("mx"))
+    withFeed {
+      Lance.deleteWhere(spark, b, "amount > 80") // removals move maxima
+      Seq((4L, 0.25, "t0")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "groups", s"expected scoped rescan, got $r")
+    assertSame(MaterializedView.read(spark, view), recomputeMx(),
+      "LEFT min/max view after removal window != recompute")
+  }
+
+  test("chain with a LEFT tail: inner prefix then LEFT factor delta-refreshes") {
+    val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
+    val view = tmpDir() + "/v"
+    seed(a, b)
+    // c keys off B's tag; only t0 is present (t1 rows null-extend)
+    Seq(("t0", "family0")).toDF("c_tag", "family")
+      .write.format("lance").mode("overwrite").save(c)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key")),
+        JoinSpec(c, Map("tag" -> "c_tag"), "left")))
+    def recomputeChain() = {
+      val ab = spark.read.format("lance").load(a)
+        .join(spark.read.format("lance").load(b),
+          col("okey") === col("o_key"), "inner").drop("o_key")
+      ab.join(spark.read.format("lance").load(c),
+        col("tag") === col("c_tag"), "left").drop("c_tag")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("amount")).as("amt"))
+    }
+    assertSame(MaterializedView.read(spark, view), recomputeChain(),
+      "created chain view != recompute")
+    withFeed {
+      // flip the LEFT tail both ways: t1 gains its first match, t0
+      // loses its last — every A-side t0/t1 row crosses zero
+      Seq(("t1", "family1")).toDF("c_tag", "family")
+        .write.format("lance").mode("append").save(c)
+      Lance.deleteWhere(spark, c, "c_tag = 't0'")
+      // and churn the inner factor in the same window
+      Lance.deleteWhere(spark, b, "o_key % 13 = 1")
+    }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assertSame(MaterializedView.read(spark, view), recomputeChain(),
+      "chain view after LEFT-tail flips != recompute")
+  }
+
   test("a refresh that throws after feeds persist leaks no cached frames") {
     val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
     seed(a, b)
