@@ -46,6 +46,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
     e.injectResolutionRule(session => new ResolveVectorSearch(session))
     e.injectOptimizerRule(session => new graft.plans.AnnIndexRewrite(session))
+    // CREATE MATERIALIZED VIEW ... AS SELECT — intercepts only that
+    // statement prefix; every other statement delegates untouched
+    e.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     // Metadata TVFs register in the TABLE-FUNCTION REGISTRY, not as a
     // resolution rule: ResolveFunctions fails any unregistered TVF whose
     // arguments are all resolved, and these take plain string literals.

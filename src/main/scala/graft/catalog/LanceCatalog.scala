@@ -386,7 +386,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
     LanceCatalog.ProcedureNames.map(Identifier.of(namespace, _)).toArray
 
   /** Resolve a procedure's `'ns.table'` argument to the dataset path. */
-  private[catalog] def resolveTableArg(table: String): Path = {
+  private[graft] def resolveTableArg(table: String): Path = {
     val parts = table.split('.')
     val ident = Identifier.of(parts.init, parts.last)
     if (!LanceFormat.isDataset(fs, tablePath(ident)))
@@ -396,7 +396,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
 
   /** A procedure argument naming a table to be CREATED (clone targets):
     * resolved to its warehouse path, refused if it already exists. */
-  private[catalog] def resolveNewTableArg(table: String): Path = {
+  private[graft] def resolveNewTableArg(table: String): Path = {
     val parts = table.split('.')
     val ident = Identifier.of(parts.init, parts.last)
     require(!LanceFormat.isDataset(fs, tablePath(ident)),

@@ -2497,6 +2497,58 @@ object LanceQueries {
     got.withColumn("mode", lit(r.mode)).orderBy(col("o_orderpriority"))
   }
 
+  /** SQL DDL for views (s129): `CREATE MATERIALIZED VIEW cat.db.v AS
+    * SELECT ...` through the injected parser — the statement's SELECT
+    * is parsed by Spark's own parser and translated into the create()
+    * spec. The created view then absorbs the s115 DML batch by delta
+    * and must equal the recompute exactly (same oracle discipline). */
+  def s129MvSqlDdl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    val wh = scratch(dir, "mv_ddl_wh")
+    freshDataset(spark, wh)
+    val whAbs = new java.io.File(wh).getAbsolutePath
+    spark.conf.set("spark.sql.catalog.mvddl", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.mvddl.warehouse", whAbs)
+    try {
+      val src = s"$whAbs/db/orders_ddl"
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.format("lance").mode("overwrite").save(src)
+      spark.sql("""CREATE MATERIALIZED VIEW mvddl.db.v AS
+        SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS sum_price,
+               avg(o_totalprice) AS avg_price
+        FROM mvddl.db.orders_ddl
+        GROUP BY o_custkey""")
+      spark.conf.set("spark.graft.dml.changeFeed", "true")
+      try {
+        graft.Lance.deleteWhere(spark, src, "o_orderkey % 10 = 3")
+        graft.Lance.updateWhere(spark, src, "o_orderkey % 10 = 4",
+          Map("o_totalprice" -> "o_totalprice * 2"))
+        val ins = spark.createDataFrame(Seq(
+          (1L, -5L, "X", 111.11), (2L, -5L, "X", 111.11),
+          (-1L, -5L, "X", 111.11), (-2L, -5L, "X", 111.11)))
+          .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.Lance.upsert(spark, src, ins, Seq("o_orderkey"))
+      } finally spark.conf.unset("spark.graft.dml.changeFeed")
+      val view = s"$whAbs/db/v"
+      val r = MaterializedView.refresh(spark, view)
+      require(r.mode == "delta",
+        s"a DDL-created view must refresh by delta like any other, got $r")
+      val got = MaterializedView.read(spark, view)
+      val expect = spark.read.format("lance").load(src).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+          (dsum(col("o_totalprice")) / count(col("o_totalprice")))
+            .as("avg_price"))
+      require(sameRows(got, expect),
+        "DDL-created view's incremental refresh drifted from the recompute")
+      got.withColumn("mode", lit(r.mode)).orderBy(col("o_custkey"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mvddl")
+      spark.conf.unset("spark.sql.catalog.mvddl.warehouse")
+    }
+  }
+
   /** `lance_dependents` TVF (s126): the operator-facing registry —
     * after a join-side-only DML batch the TVF shows the view lagging
     * the JOIN table by exactly the committed versions (require()d),
@@ -3008,6 +3060,7 @@ object LanceQueries {
     "q60_nested_types" -> q60NestedTypes,
     "s113_cdf_dml" -> s113CdfDml,
     "s115_mv_delta" -> s115MvDelta,
+    "s129_mv_sql_ddl" -> s129MvSqlDdl,
     "s116_mv_minmax" -> s116MvMinmax,
     "s121_mv_expr" -> s121MvExpr,
     "s122_mv_distinct" -> s122MvDistinct,
@@ -3398,6 +3451,25 @@ object LanceQueries {
     // -1/-2 inserted); 'delta' is pinned as a literal so the oracle also
     // proves WHICH refresh path ran
     "s115_mv_delta" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 10 <> 3 AND o_orderkey NOT IN (1, 2)
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (1, -5, 111.11), (2, -5, 111.11),
+        |    (-1, -5, 111.11), (-2, -5, 111.11))
+        |)
+        |SELECT o_custkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   / COUNT(o_totalprice) AS avg_price,
+        | 'delta' AS mode
+        |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // s129: same batch and algebra as s115; the gate's novelty is the
+    // CREATE MATERIALIZED VIEW ... AS SELECT path into the same spec
+    "s129_mv_sql_ddl" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_custkey,
         |         CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 2

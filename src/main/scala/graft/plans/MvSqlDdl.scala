@@ -1,0 +1,298 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+import graft.operators.MaterializedView
+import graft.operators.MaterializedView.{AggSpec, JoinSpec}
+
+/** `CREATE MATERIALIZED VIEW <table> AS SELECT ...` — the SQL spelling
+  * of [[MaterializedView.create]]. Spark has no MATERIALIZED VIEW
+  * grammar, so a delegating parser intercepts the statement prefix and
+  * hands the SELECT to Spark's OWN parser (never a regex over the query
+  * text); the resulting logical plan is translated into the
+  * create() spec — group keys, aggregate specs, WHERE, fact joins
+  * (INNER and LEFT, both change-fed) — and every shape the incremental
+  * refresh cannot maintain is refused with a message naming the nearest
+  * supported form. Star dims keep their `CALL create_mv(...)` spelling
+  * (the SQL join syntax cannot express "pin this side's version").
+  *
+  * Table references resolve like every other SQL surface here: a
+  * `cat.db.t` identifier through the named [[graft.catalog.LanceCatalog]]
+  * (the view is CREATED under that catalog's warehouse), or the
+  * path-addressed form `lance`.`/abs/path`.
+  */
+object MvSqlDdl {
+  private val DdlRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(.+?)\s+AS\s+(SELECT\b[\s\S]*)$""".r
+
+  /** Does the statement carry our prefix? (Cheap gate so every other
+    * statement goes straight to the delegate.) */
+  def matches(sqlText: String): Boolean =
+    sqlText != null && DdlRe.pattern.matcher(sqlText).matches()
+
+  def parse(session: SparkSession, delegate: ParserInterface,
+      sqlText: String): LogicalPlan = sqlText match {
+    case DdlRe(viewIdent, select) =>
+      val ident = delegate.parseMultipartIdentifier(viewIdent.trim)
+      CreateMaterializedViewCommand(ident, delegate.parsePlan(select), select)
+    case _ => throw new IllegalArgumentException(
+      "malformed CREATE MATERIALIZED VIEW (expected CREATE MATERIALIZED " +
+        "VIEW <table> AS SELECT ...)")
+  }
+
+  private def refuse(what: String, nearest: String): Nothing =
+    throw new IllegalArgumentException(
+      s"CREATE MATERIALIZED VIEW: $what. Nearest supported form: $nearest")
+
+  /** A multipart table reference → lance dataset path. */
+  private[graft] def pathOf(session: SparkSession, parts: Seq[String],
+      forCreate: Boolean): String = parts match {
+    case Seq("lance", p) if p.contains('/') &&
+        // a catalog literally named "lance" wins over the path form
+        !session.sessionState.catalogManager.isCatalogRegistered("lance") =>
+      p
+    case all if all.size >= 2 =>
+      session.sessionState.catalogManager.catalog(all.head) match {
+        case lc: graft.catalog.LanceCatalog =>
+          val rest = all.tail.mkString(".")
+          (if (forCreate) lc.resolveNewTableArg(rest)
+           else lc.resolveTableArg(rest)).toString
+        case other => refuse(
+          s"table ${all.mkString(".")} lives in non-lance catalog " +
+            s"'${all.head}' (${other.getClass.getSimpleName})",
+          "a graft.catalog.LanceCatalog table (cat.db.t) or the " +
+            "path form `lance`.`/abs/path`")
+      }
+    case _ => refuse(s"unqualified table '${parts.mkString(".")}'",
+      "cat.db.t through a LanceCatalog, or `lance`.`/abs/path`")
+  }
+
+  /** Translate the parsed (UNRESOLVED) SELECT into the create() spec.
+    * Returns (sourcePath, groupBy entries, aggs, where, joins). */
+  private[graft] def translate(session: SparkSession, plan: LogicalPlan)
+      : (String, Seq[String], Seq[AggSpec], Option[String], Seq[JoinSpec]) = {
+    // ---- refuse un-maintainable STATEMENT shapes first, by name
+    plan.foreach {
+      case _: Sort | _: GlobalLimit | _: LocalLimit | _: Offset => refuse(
+        "ORDER BY / LIMIT / OFFSET (a view stores state, not an order)",
+        "create the view without them; order at read time")
+      case _: Distinct => refuse("SELECT DISTINCT",
+        "GROUP BY the selected columns (same rows, maintainable state)")
+      case p if p.nodeName == "UnresolvedHaving" => refuse("HAVING",
+        "filter the view at read time (WHERE on the view), or move a " +
+          "row-level predicate into the view's WHERE")
+      case u: Union => refuse("UNION/set operations",
+        "one view per branch, UNION at read time")
+      case _ => ()
+    }
+    plan.foreach { node =>
+      node.expressions.foreach { e =>
+        e.foreach {
+          case _: WindowExpression => refuse(
+            "window functions (their value depends on OTHER rows, so no " +
+              "per-row delta exists)",
+            "plain aggregates — count/sum/min/max/avg/count(DISTINCT) " +
+              "over GROUP BY; window on top of the view at read time")
+          case _: SubqueryExpression => refuse(
+            "subqueries (correlated or not) in the view definition",
+            "a plain boolean WHERE over source/join columns; pre-join " +
+              "the other table as a fact JOIN instead of IN/EXISTS")
+          case _ => ()
+        }
+      }
+    }
+
+    // ---- the FROM tree: one relation, or left-deep INNER/LEFT equi-joins
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    def relations(p: LogicalPlan): (Seq[String], Seq[JoinSpec]) =
+      strip(p) match {
+        case r: UnresolvedRelation =>
+          (r.multipartIdentifier, Seq.empty)
+        case Join(left, right, joinType, cond, _) =>
+          val how = joinType match {
+            case Inner => "inner"
+            case LeftOuter => "left"
+            case other => refuse(s"$other join",
+              "INNER JOIN or LEFT JOIN with equality conditions " +
+                "(both sides change-fed)")
+          }
+          val (src, earlier) = relations(left)
+          val rParts = strip(right) match {
+            case rr: UnresolvedRelation => rr.multipartIdentifier
+            case other => refuse(
+              s"join right side is ${other.nodeName}, not a table",
+              "JOIN a plain lance table (subqueries/derived tables " +
+                "are not maintainable)")
+          }
+          val rPath = pathOf(session, rParts, forCreate = false)
+          val rFields = session.read.format("lance").load(rPath)
+            .schema.fieldNames.toSet
+          def conjuncts(e: Expression): Seq[Expression] = e match {
+            case And(a, b) => conjuncts(a) ++ conjuncts(b)
+            case other => Seq(other)
+          }
+          val keys = conjuncts(cond.getOrElse(refuse(
+            "a JOIN without an ON condition",
+            "JOIN ... ON left.k = right.k [AND ...]"))).map {
+            case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+              val (an, bn) = (a.nameParts.last, b.nameParts.last)
+              // orient by membership in the RIGHT table's schema; a
+              // column living on both sides needs the qualifier
+              (rFields.contains(bn), rFields.contains(an)) match {
+                case (true, false) => an -> bn
+                case (false, true) => bn -> an
+                case (true, true) =>
+                  val aq = a.nameParts.init.lastOption
+                  val rName = rParts.last
+                  if (aq.contains(rName)) bn -> an
+                  else if (b.nameParts.init.lastOption.contains(rName))
+                    an -> bn
+                  else refuse(s"ambiguous join key $an = $bn (both sides " +
+                    "have both columns)", "qualify one side with its table")
+                case (false, false) => refuse(
+                  s"join condition $an = $bn names no column of " +
+                    rParts.mkString("."),
+                  "ON <left-or-earlier-join column> = <right column>")
+              }
+            case other => refuse(
+              s"non-equality join condition ${other.sql}",
+              "conjunctions of left.k = right.k equalities")
+          }
+          (src, earlier :+ JoinSpec(rPath, keys.toMap, how))
+        case other => refuse(s"FROM shape ${other.nodeName}",
+          "FROM <lance table> [INNER|LEFT JOIN <lance table> ON ...]")
+      }
+
+    // ---- the statement spine: Aggregate over [Filter over] FROM
+    val (agg, whereExpr, fromPlan) = plan match {
+      case a @ Aggregate(_, _, Filter(cond, from), _) => (a, Some(cond), from)
+      case a @ Aggregate(_, _, from, _) => (a, None, from)
+      case Project(_, _) => refuse("a SELECT without GROUP BY",
+        "SELECT <group cols>, <agg(col) AS alias>... GROUP BY <group cols>")
+      case other => refuse(s"statement shape ${other.nodeName}",
+        "SELECT <group cols>, <agg> FROM ... [WHERE ...] GROUP BY ...")
+    }
+    val (srcParts, joins) = relations(fromPlan)
+    val srcPath = pathOf(session, srcParts, forCreate = false)
+
+    // ---- select list → group columns + aggregate specs
+    def exprSql(e: Expression): String = e match {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case other => other.sql
+    }
+    agg.groupingExpressions.foreach {
+      // the parser emits UnresolvedOrdinal under groupByOrdinal (the
+      // default); a plain Literal arrives when that conf is off
+      case g if g.isInstanceOf[Literal] ||
+          g.nodeName == "UnresolvedOrdinal" =>
+        refuse("ordinal GROUP BY (GROUP BY 1)",
+          "GROUP BY the column or expression itself")
+      case c: BaseGroupingSets => refuse(
+        s"${c.nodeName} grouping", "plain GROUP BY keys (one view per " +
+          "rollup level; stack views for the pyramid)")
+      case _ => ()
+    }
+    val groupSqls = agg.groupingExpressions.map(exprSql)
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[AggSpec]
+    val groupEntries = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    agg.aggregateExpressions.foreach {
+      case a: UnresolvedAttribute =>
+        val n = a.nameParts.last
+        if (!groupSqls.contains(n)) refuse(
+          s"select item '$n' is neither a GROUP BY column nor an " +
+            "aliased aggregate", "add it to GROUP BY or aggregate it")
+        groupEntries(n) = n
+      case Alias(e, name) if groupSqls.contains(exprSql(e)) =>
+        // expression group key (`date_format(d,'yyyy-MM') AS omonth`) —
+        // matched FIRST: a scalar function here is a key, not an agg
+        groupEntries(exprSql(e)) = name
+      case Alias(f: UnresolvedFunction, name) =>
+        val fn = f.nameParts.last.toLowerCase
+        if (f.filter.isDefined) refuse("FILTER (WHERE ...) on an aggregate",
+          "move the predicate into the view's WHERE, or a second view")
+        val isStar = f.arguments.size == 1 &&
+          f.arguments.head.isInstanceOf[UnresolvedStar]
+        (fn, f.isDistinct) match {
+          case ("count", true) if f.arguments.size == 1 && !isStar =>
+            aggs += AggSpec("count_distinct", exprSql(f.arguments.head), name)
+          case ("count", false) if isStar => aggs += AggSpec("count", "*", name)
+          case ("count" | "sum" | "min" | "max" | "avg", false)
+              if f.arguments.size == 1 =>
+            aggs += AggSpec(fn, exprSql(f.arguments.head), name)
+          case _ => refuse(s"aggregate ${f.nameParts.mkString(".")}" +
+            s"(${if (f.isDistinct) "DISTINCT " else ""}...)",
+            "count(*) | count(x) | sum(x) | min(x) | max(x) | avg(x) | " +
+              "count(DISTINCT x) — x may be any scalar expression")
+        }
+      case Alias(e, name) => refuse(
+        s"select item '${exprSql(e)} AS $name' is neither a GROUP BY " +
+          "expression nor an aggregate",
+        "repeat the exact expression in GROUP BY, or aggregate it")
+      case star: UnresolvedStar => refuse("SELECT *",
+        "name every output: group columns plus aliased aggregates")
+      case other => refuse(s"select item '${exprSql(other)}' without an alias",
+        "alias every aggregate/expression: agg(x) AS name")
+    }
+    val groupBy = groupSqls.map { g =>
+      groupEntries.getOrElse(g,
+        if (agg.groupingExpressions(groupSqls.indexOf(g))
+            .isInstanceOf[UnresolvedAttribute]) g
+        else refuse(s"GROUP BY expression '$g' is not selected",
+          "select it with an alias: SELECT <expr> AS name ... GROUP BY <expr>"))
+    }.zip(agg.groupingExpressions).map {
+      case (alias, _: UnresolvedAttribute) => alias // plain column
+      case (alias, e) => s"${exprSql(e)} AS $alias"
+    }
+    (srcPath, groupBy, aggs.toSeq, whereExpr.map(_.sql), joins)
+  }
+}
+
+/** The executable command the parser returns: translates + creates. */
+case class CreateMaterializedViewCommand(viewIdent: Seq[String],
+    select: LogicalPlan, selectText: String) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("source_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val viewPath = MvSqlDdl.pathOf(session, viewIdent, forCreate = true)
+    val (src, groupBy, aggs, where, joins) =
+      MvSqlDdl.translate(session, select)
+    val v = MaterializedView.create(session, viewPath, src, groupBy, aggs,
+      where, dims = Seq.empty, joins = joins)
+    Seq(Row(v))
+  }
+}
+
+/** Delegating parser: our one statement, everything else passes through. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    if (MvSqlDdl.matches(sqlText)) MvSqlDdl.parse(session, delegate, sqlText)
+    else delegate.parsePlan(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -9,6 +9,11 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      // the driver's Verify/Bench sessions install the extensions (TVFs,
+      // ANN rewrite, the MV DDL parser); tests must exercise the same
+      // session shape — suites still call MetaTvfs.register where they
+      // need a TVF (idempotent re-registration)
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
