@@ -361,9 +361,9 @@ object Lance {
     val laid = bucketSpec match {
       case Some(b) =>
         import org.apache.spark.sql.functions.{col => c}
-        val be = graft.format.BucketHash.bucketColumn(b.columns, b.numBuckets)
+        val be = graft.format.BucketHash.bucketColumn(b.columns, b.widthsVec)
         val tags = math.min(graft.format.BucketHash.totalTags(
-          b.columns.size, b.numBuckets), 4096L).toInt
+          b.widthsVec), 4096L).toInt
         base.repartition(math.max(targetParts, tags), be)
           .sortWithinPartitions(be +: b.columns.map(c): _*)
       case None if clusterCols.isEmpty => base.repartition(targetParts)
@@ -430,7 +430,7 @@ object Lance {
         // every other bucket-laying path: the key-sorted-bucket-file
         // invariant (row-group pruning inside a bucket) must survive
         // small-file compaction, not just full rewrites
-        val be = graft.format.BucketHash.bucketColumn(b.columns, b.numBuckets)
+        val be = graft.format.BucketHash.bucketColumn(b.columns, b.widthsVec)
         tail.repartition(parts, be)
           .sortWithinPartitions(be +: b.columns.map(c): _*)
       case None if clusterCols.isEmpty => tail.repartition(parts)
@@ -1890,9 +1890,9 @@ object Lance {
           graft.format.LanceFormat.fragmentPath(root, f.file).toString): _*)
       if (m.mapping.isEmpty) raw else raw.toDF(m.schema.fieldNames.toIndexedSeq: _*)
     }
-    val be = graft.format.BucketHash.bucketColumn(spec.columns, spec.numBuckets)
+    val be = graft.format.BucketHash.bucketColumn(spec.columns, spec.widthsVec)
     df.repartition(math.min(graft.format.BucketHash.totalTags(
-        spec.columns.size, spec.numBuckets), 4096L).toInt, be)
+        spec.widthsVec), 4096L).toInt, be)
       .sortWithinPartitions(be +: spec.columns.map(c): _*)
       .write.format("lance")
       .option("write.replace-fragments", untagged.map(_.id).mkString(","))
@@ -1905,8 +1905,13 @@ object Lance {
     (untagged.size, after)
   }
 
+  /** `widths` (optional) declares PER-COLUMN bucket counts — Iceberg's
+    * `bucket(8, tenant), bucket(32, key)` layout for a low-cardinality ×
+    * high-cardinality composite key; empty means `numBuckets` for every
+    * column (the original surface, on-disk-identical). */
   def clusterByBucket(spark: SparkSession, path: String, cols: Seq[String],
-      numBuckets: Int, maxRowsPerFile: Long = 1000000L): (Int, Int) = {
+      numBuckets: Int, maxRowsPerFile: Long = 1000000L,
+      widths: Seq[Int] = Seq.empty): (Int, Int) = {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
@@ -1914,7 +1919,7 @@ object Lance {
     val before = manifest.map(_.fragments.size).getOrElse(0)
     // declare FIRST: the rewrite's task writers read the spec off the
     // lineage head and route/tag their fragments
-    graft.format.LanceFormat.commitBucketBy(fs, root, numBuckets, cols)
+    graft.format.LanceFormat.commitBucketBy(fs, root, numBuckets, cols, widths)
     if (cols.isEmpty) return (before, before)
     val df = read(spark, path)
     // co-locate each bucket into one task (writer routing makes purity
@@ -1923,9 +1928,10 @@ object Lance {
     // Rows sort by (bucket, key...) within tasks, so every bucket file
     // is internally KEY-SORTED — parquet row groups then prune point
     // probes inside the bucket, the second level of the lookup path.
-    val bucketExpr = graft.format.BucketHash.bucketColumn(cols, numBuckets)
-    val w = df.repartition(math.min(graft.format.BucketHash.totalTags(
-        cols.size, numBuckets), 4096L).toInt, bucketExpr)
+    val wv = if (widths.nonEmpty) widths else Seq.fill(cols.size)(numBuckets)
+    val bucketExpr = graft.format.BucketHash.bucketColumn(cols, wv)
+    val w = df.repartition(math.min(
+        graft.format.BucketHash.totalTags(wv), 4096L).toInt, bucketExpr)
       .sortWithinPartitions(bucketExpr +: cols.map(col): _*)
       .write.format("lance")
       .option("write.max-rows-per-file", maxRowsPerFile.toString)

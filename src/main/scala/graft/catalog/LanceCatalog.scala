@@ -574,7 +574,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("cols", StringType).comment("comma-separated numeric columns").build())
     case "cluster_by_bucket" => Array(in("table", StringType).build(),
       in("cols", StringType)
-        .comment("comma-separated key columns; empty clears the layout").build(),
+        .comment("comma-separated key columns (uniform num_buckets), or " +
+          "Iceberg-style 'bucket(8,a),bucket(32,b)' entries for " +
+          "per-column widths; empty clears the layout").build(),
       in("num_buckets", IntegerType).defaultValue("16").build())
     case "rebucket" => Array(in("table", StringType).build(),
       in("max_rows_per_file", LongType).defaultValue("1000000").build())
@@ -761,10 +763,23 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .add("fragments_after", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](before, after)))
       case "cluster_by_bucket" =>
-        val cols = input.getUTF8String(1).toString.split(',')
-          .map(_.trim).filter(_.nonEmpty).toSeq
+        // two spellings: 'a,b' (uniform num_buckets) or Iceberg-style
+        // 'bucket(8,a),bucket(32,b)' (per-column widths; num_buckets
+        // ignored). Split on commas at paren depth 0 so the bucket(…)
+        // entries survive.
+        val raw = LanceProcedure.splitTopLevel(
+          input.getUTF8String(1).toString).map(_.trim).filter(_.nonEmpty)
+        val BucketRe = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*([^)]+)\)$""".r
+        val entries = raw.map {
+          case BucketRe(w, c) => (c.trim, Some(w.toInt))
+          case plain => (plain, None)
+        }
+        require(entries.forall(_._2.isEmpty) || entries.forall(_._2.isDefined),
+          "mix of plain columns and bucket(n, col) entries - use one form")
+        val cols = entries.map(_._1)
+        val widths = entries.flatMap(_._2)
         val (before, after) = graft.Lance.clusterByBucket(spark, path, cols,
-          input.getInt(2))
+          input.getInt(2), widths = widths)
         (new StructType().add("fragments_before", IntegerType, nullable = false)
           .add("fragments_after", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](before, after)))

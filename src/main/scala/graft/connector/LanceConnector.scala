@@ -962,9 +962,9 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
     bucketLayout match {
       case Some((spec, byFile)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          spec.columns.map(c =>
-            Expressions.bucket(spec.numBuckets, c)
-              : org.apache.spark.sql.connector.expressions.Transform).toArray,
+          spec.columns.zip(spec.widthsVec).map { case (c, w) =>
+            Expressions.bucket(w, c)
+              : org.apache.spark.sql.connector.expressions.Transform }.toArray,
           byFile.values.toSet.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -1047,8 +1047,7 @@ class LanceParquetScan(inner: ParquetScan, rootStr: String,
             LanceBucketedFilePartition(
               org.apache.spark.sql.execution.datasources.FilePartition(
                 i, Array(f)),
-              graft.format.BucketHash.gridDigits(
-                bucket, spec.columns.size, spec.numBuckets))
+              graft.format.BucketHash.gridDigits(bucket, spec.widthsVec))
               : org.apache.spark.sql.connector.read.InputPartition
           }.toArray
       case None => kept
@@ -1219,8 +1218,8 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
         // parallelism: task-per-bucket alignment (exact for unary specs)
         // without capping the write's concurrency at small bucket counts;
         // wide grids cap at 4096 write tasks
-        val total = math.min(graft.format.BucketHash.totalTags(
-          b.columns.size, b.numBuckets), 4096L).toInt
+        val total = math.min(
+          graft.format.BucketHash.totalTags(b.widthsVec), 4096L).toInt
         val par = SparkSession.active.sparkContext.defaultParallelism
         total * math.max(1, (par + total - 1) / total)
       case None => 0 // let AQE size the shuffle
@@ -1347,7 +1346,7 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
   // against the spec at commit time and strip the tags on a mismatch —
   // a concurrent clusterByBucket re-declaration in that window must not
   // publish old-spec tags under the new spec head (mis-pruning)
-  @volatile private var routedBucketSpec: Option[(Int, Seq[String])] = None
+  @volatile private var routedBucketSpec: Option[(Seq[Int], Seq[String])] = None
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // fragment files always carry PHYSICAL names (stable under RENAME
@@ -1370,7 +1369,7 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     // rewrite, compaction) per row in the task writer — purity is a
     // writer invariant. Key names travel physical, like the schema.
     val bucketSpec = head.flatMap(_.bucketBy).map(b =>
-      (b.numBuckets, b.columns.map(c => mapping.getOrElse(c, c))))
+      (b.widthsVec, b.columns.map(c => mapping.getOrElse(c, c))))
     routedBucketSpec = bucketSpec
     val bloomCols = head.flatMap(_.bloomFilters).getOrElse(Seq.empty)
       .map(c => mapping.getOrElse(c, c))
@@ -1645,7 +1644,7 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
     refreshMvs: Boolean = false) extends StreamingWrite {
 
   // spec-race guard, streaming flavor — see LanceBatchWrite.routedBucketSpec
-  @volatile private var routedBucketSpec: Option[(Int, Seq[String])] = None
+  @volatile private var routedBucketSpec: Option[(Seq[Int], Seq[String])] = None
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val root = new Path(rootStr)
@@ -1659,7 +1658,7 @@ class LanceStreamingWrite(rootStr: String, schema: StructType, overwrite: Boolea
         "pick another name")
     // streamed epochs keep the declared bucket layout too
     val bucketSpec = head.flatMap(_.bucketBy).map(b =>
-      (b.numBuckets, b.columns.map(c => mapping.getOrElse(c, c))))
+      (b.widthsVec, b.columns.map(c => mapping.getOrElse(c, c))))
     routedBucketSpec = bucketSpec
     val bloomCols = head.flatMap(_.bloomFilters).getOrElse(Seq.empty)
       .map(c => mapping.getOrElse(c, c))

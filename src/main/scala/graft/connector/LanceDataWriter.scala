@@ -41,7 +41,7 @@ class SerializableConf(@transient var value: Configuration) extends Serializable
   */
 class LanceWriterFactory(rootStr: String, schemaJson: String,
     conf: SerializableConf, maxRowsPerFile: Long, collectStats: Boolean = true,
-    bucketSpec: Option[(Int, Seq[String])] = None,
+    bucketSpec: Option[(Seq[Int], Seq[String])] = None,
     bloomCols: Seq[String] = Seq.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
@@ -69,15 +69,16 @@ class LanceWriterFactory(rootStr: String, schemaJson: String,
   */
 class LanceDataWriter(rootStr: String, schemaJson: String, conf: Configuration,
     maxRowsPerFile: Long, collectStats: Boolean = true,
-    bucketSpec: Option[(Int, Seq[String])] = None,
+    bucketSpec: Option[(Seq[Int], Seq[String])] = None,
     bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val root = new Path(rootStr)
 
-  /** Bucket routing, resolved to ordinals once: (numBuckets, ordinal+type
-    * per key column). The factory passes PHYSICAL names — this schema's. */
-  private val routing: Option[(Int, Array[(Int, DataType)])] = bucketSpec.map {
+  /** Bucket routing, resolved to ordinals once: (per-column widths,
+    * ordinal+type per key column). The factory passes PHYSICAL names —
+    * this schema's. */
+  private val routing: Option[(Seq[Int], Array[(Int, DataType)])] = bucketSpec.map {
     case (n, cols) =>
       val keyed = cols.map { c =>
         val i = schema.fieldNames.indexOf(c)

@@ -226,7 +226,7 @@ class LanceReplaceGroupsBatchWrite(rootStr: String,
     val bucketSpec = LanceFormat.readLatest(
         LanceFormat.fileSystem(root, conf.value), root)
       .flatMap(m => m.bucketBy.map(b =>
-        (b.numBuckets, b.columns.map(m.physicalName))))
+        (b.widthsVec, b.columns.map(m.physicalName))))
     new LanceReplaceWriterFactory(rootStr, schema.json, conf, bucketSpec)
   }
 
@@ -259,7 +259,7 @@ class LanceReplaceGroupsBatchWrite(rootStr: String,
   */
 class LanceReplaceWriterFactory(rootStr: String, schemaJson: String,
     conf: SerializableConf,
-    bucketSpec: Option[(Int, Seq[String])] = None) extends DataWriterFactory {
+    bucketSpec: Option[(Seq[Int], Seq[String])] = None) extends DataWriterFactory {
   import org.apache.spark.sql.catalyst.InternalRow
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {

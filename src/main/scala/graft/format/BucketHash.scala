@@ -60,15 +60,24 @@ object BucketHash {
     * exactly one column leaf per partition expression, so a combined
     * tuple hash can never engage. Independent digits also prune on a
     * SUBSET of bound key columns (a tuple hash needs all of them). */
-  def gridTagOfInternal(values: Seq[Any], types: Seq[DataType], numBuckets: Int): Int = {
+  def gridTagOfInternal(values: Seq[Any], types: Seq[DataType], numBuckets: Int): Int =
+    gridTagOfInternal(values, types, Seq.fill(values.length)(numBuckets))
+
+  /** Per-column-width form (Iceberg's `bucket(8,a), bucket(32,b)`):
+    * digit i is `pmod(murmur3(cᵢ), widths(i))`, composed row-major with
+    * MIXED radices (`tag = (b₁·w₂ + b₂)·w₃ + …`). Equal widths reproduce
+    * the scalar form bit for bit. */
+  def gridTagOfInternal(values: Seq[Any], types: Seq[DataType],
+      widths: Seq[Int]): Int = {
     var tag = 0
     var i = 0
     while (i < values.length) {
       var h = 42
       if (values(i) != null)
         h = Murmur3HashFunction.hash(values(i), types(i), 42L).toInt
-      val r = h % numBuckets
-      tag = tag * numBuckets + (if (r < 0) r + numBuckets else r)
+      val w = widths(i)
+      val r = h % w
+      tag = tag * w + (if (r < 0) r + w else r)
       i += 1
     }
     tag
@@ -76,19 +85,27 @@ object BucketHash {
 
   /** Row-major digit decomposition of a grid tag — digit i is column i's
     * own `pmod(murmur3(cᵢ), n)` bucket. */
-  def gridDigits(tag: Int, numCols: Int, numBuckets: Int): Array[Int] = {
-    val out = new Array[Int](numCols)
+  def gridDigits(tag: Int, numCols: Int, numBuckets: Int): Array[Int] =
+    gridDigits(tag, Seq.fill(numCols)(numBuckets))
+
+  /** Mixed-radix decomposition under per-column widths. */
+  def gridDigits(tag: Int, widths: Seq[Int]): Array[Int] = {
+    val out = new Array[Int](widths.size)
     var t = tag
-    var i = numCols - 1
-    while (i >= 0) { out(i) = t % numBuckets; t /= numBuckets; i -= 1 }
+    var i = widths.size - 1
+    while (i >= 0) { out(i) = t % widths(i); t /= widths(i); i -= 1 }
     out
   }
 
   /** Total distinct grid tags for a spec: numBuckets^numCols, saturating
     * (callers only compare against small caps). */
   def totalTags(numCols: Int, numBuckets: Int): Long =
-    (1 to numCols).foldLeft(1L)((acc, _) =>
-      if (acc > (1L << 40)) acc else acc * numBuckets)
+    totalTags(Seq.fill(numCols)(numBuckets))
+
+  /** Product of the per-column widths, saturating. */
+  def totalTags(widths: Seq[Int]): Long =
+    widths.foldLeft(1L)((acc, w) =>
+      if (acc > (1L << 40)) acc else acc * w)
 
   /** The routing expression as a [[org.apache.spark.sql.Column]] —
     * byte-identical to [[gridTagOfInternal]]: `pmod(hash(c), n)` for one
@@ -97,10 +114,18 @@ object BucketHash {
     * the expression here: a drifted copy (different seed, column order,
     * tuple-vs-grid hash) silently breaks fragment purity and with it SPJ
     * correctness. */
-  def bucketColumn(cols: Seq[String], numBuckets: Int): org.apache.spark.sql.Column = {
+  def bucketColumn(cols: Seq[String], numBuckets: Int): org.apache.spark.sql.Column =
+    bucketColumn(cols, Seq.fill(cols.size)(numBuckets))
+
+  /** Per-column-width form; mixed-radix composition mirrors
+    * [[gridTagOfInternal]] exactly. */
+  def bucketColumn(cols: Seq[String], widths: Seq[Int]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-    cols.map(c => pmod(hash(col(c)), lit(numBuckets)))
-      .reduceLeft((acc, d) => acc * numBuckets + d)
+    val digits = cols.zip(widths).map { case (c, w) => pmod(hash(col(c)), lit(w)) }
+    // tag = ((d₀·w₁ + d₁)·w₂ + d₂)·… — digit i enters under ITS width
+    digits.zipWithIndex.tail.foldLeft(digits.head) {
+      case (acc, (d, i)) => acc * widths(i) + d
+    }
   }
 
   /** Bucket of EXTERNAL Scala values (String, java.sql types — the domain
@@ -150,7 +175,8 @@ object BucketPrune {
 
   def prune(m: Manifest, filters: Seq[sources.Filter],
       frags: Seq[FragmentMeta]): Seq[FragmentMeta] = m.bucketBy match {
-    case Some(BucketSpecMeta(n, Seq(col), _)) =>
+    case Some(spec @ BucketSpecMeta(_, Seq(col), _, _)) =>
+      val n = spec.widthsVec.head
       // filters arrive in PHYSICAL names from the scan's runtime-filter
       // path but in LOGICAL names from the DML scoping path — match
       // either. Sound because a rename never frees its physical name for
@@ -173,9 +199,10 @@ object BucketPrune {
     // columns prunes on its digit(s) — no cross product, no all-bound
     // requirement. Gated on the spec's scheme: a legacy tuple-hash tag
     // decoded as digits would prune WRONG, not just less.
-    case Some(spec @ BucketSpecMeta(n, cols, _))
+    case Some(spec @ BucketSpecMeta(_, cols, _, _))
         if cols.size > 1 && spec.compositeTagsReadable =>
-      val perDigit: Seq[Option[Set[Int]]] = cols.map { c =>
+      val widths = spec.widthsVec
+      val perDigit: Seq[Option[Set[Int]]] = cols.zip(widths).map { case (c, n) =>
         val names = Set(c, m.physicalName(c))
         val dt = m.schema.fields.find(_.name == c).map(_.dataType)
           .getOrElse(return frags)
@@ -184,7 +211,7 @@ object BucketPrune {
       }
       if (perDigit.forall(_.isEmpty)) frags
       else frags.filter(_.bucket.forall { tag =>
-        val ds = BucketHash.gridDigits(tag, cols.size, n)
+        val ds = BucketHash.gridDigits(tag, widths)
         ds.iterator.zip(perDigit.iterator).forall {
           case (d, allowed) => allowed.forall(_.contains(d))
         }

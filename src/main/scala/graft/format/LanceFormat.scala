@@ -57,10 +57,17 @@ case class FragmentMeta(id: Int, file: String, rowCount: Long,
   * `CALL rebucket`/`cluster_by_bucket` rewrite re-tags them.
   */
 case class BucketSpecMeta(numBuckets: Int, columns: Seq[String],
-    scheme: Option[String] = None) {
+    scheme: Option[String] = None, widths: Option[Seq[Int]] = None) {
   /** Composite tags are trustworthy only under the grid scheme. */
   def compositeTagsReadable: Boolean =
     columns.size == 1 || scheme.contains("grid")
+  /** Per-column bucket widths — Iceberg's `bucket(8,a), bucket(32,b)`
+    * shape. Equal-width specs (every spec before widths existed) omit
+    * the field, so their manifests stay byte-identical and old readers
+    * of this JSON never see it; `numBuckets` remains the uniform width
+    * then. A mixed-width spec's `numBuckets` carries max(widths) purely
+    * as a legacy-reader hint — every consumer reads THIS vector. */
+  def widthsVec: Seq[Int] = widths.getOrElse(Seq.fill(columns.size)(numBuckets))
 }
 
 /** One row-level change-data-feed file of a DML commit (Delta CDF's
@@ -513,8 +520,8 @@ object LanceFormat {
     * COLUMN), so any spec equality check that spans a time window — writer
     * factory to commit — must compare in physical space, or a concurrent
     * rename would read as a re-declaration. */
-  def physicalBucketSpec(m: Manifest): Option[(Int, Seq[String])] =
-    m.bucketBy.map(b => (b.numBuckets, b.columns.map(m.physicalName)))
+  def physicalBucketSpec(m: Manifest): Option[(Seq[Int], Seq[String])] =
+    m.bucketBy.map(b => (b.widthsVec, b.columns.map(m.physicalName)))
 
   /** Bucket-tag spec race guard, shared by every commit loop that lands
     * writer-tagged fragments. The task writers routed rows and stamped
@@ -528,7 +535,7 @@ object LanceFormat {
     * fragments under a changed main spec. `routed` is None for callers
     * that did not route (metadata commits, compensation): no check. */
   private def reconcileBucketTags(frags: Seq[FragmentMeta],
-      routed: Option[Option[(Int, Seq[String])]],
+      routed: Option[Option[(Seq[Int], Seq[String])]],
       prevAtCommit: Option[Manifest]): Seq[FragmentMeta] = routed match {
     case Some(spec) if spec != prevAtCommit.flatMap(physicalBucketSpec) =>
       frags.map(_.copy(bucket = None, sorted = None))
@@ -589,7 +596,7 @@ object LanceFormat {
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
       publisher: Option[ManifestPublisher] = None,
       streamEpoch: Option[(String, Long)] = None,
-      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
+      routedBucketSpec: Option[Option[(Seq[Int], Seq[String])]] = None,
       setProperties: Map[String, String] = Map.empty,
       requireProperties: Map[String, String] = Map.empty): Manifest =
     commitAppendIn(fs, versionsPath(root), schema, newFragments, epochId,
@@ -607,7 +614,7 @@ object LanceFormat {
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
       publisher: Option[ManifestPublisher] = None,
       streamEpoch: Option[(String, Long)] = None,
-      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
+      routedBucketSpec: Option[Option[(Seq[Int], Seq[String])]] = None,
       failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None,
       setProperties: Map[String, String] = Map.empty,
       requireProperties: Map[String, String] = Map.empty): Manifest = {
@@ -725,7 +732,7 @@ object LanceFormat {
       epochId: Option[Long] = None,
       publisher: Option[ManifestPublisher] = None,
       operation: String = "replace",
-      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
+      routedBucketSpec: Option[Option[(Seq[Int], Seq[String])]] = None,
       failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None,
       changeFiles: Seq[ChangeFileMeta] = Seq.empty,
       setProperties: Map[String, String] = Map.empty,
@@ -793,7 +800,7 @@ object LanceFormat {
       newFragments: Seq[FragmentMeta], epochId: Option[Long] = None,
       operation: String = "overwrite",
       streamEpoch: Option[(String, Long)] = None,
-      routedBucketSpec: Option[Option[(Int, Seq[String])]] = None,
+      routedBucketSpec: Option[Option[(Seq[Int], Seq[String])]] = None,
       setProperties: Map[String, String] = Map.empty,
       requireProperties: Map[String, String] = Map.empty): Manifest = {
     // prev is re-read INSIDE the retry loop: a concurrent add/drop
@@ -1153,17 +1160,19 @@ object LanceFormat {
     * not both.
     */
   def commitBucketBy(fs: FileSystem, root: Path, numBuckets: Int,
-      cols: Seq[String]): Manifest = {
-    require(cols.isEmpty || numBuckets > 0,
-      s"numBuckets must be positive, got $numBuckets")
-    // composite specs are a GRID (numBuckets digits PER COLUMN, tag =
-    // row-major composition): cap the total so tags stay in Int range
+      cols: Seq[String], widths: Seq[Int] = Seq.empty): Manifest = {
+    require(widths.isEmpty || widths.size == cols.size,
+      s"widths (${widths.size}) must align with the key columns (${cols.size})")
+    val wv = if (widths.nonEmpty) widths else Seq.fill(cols.size)(numBuckets)
+    require(cols.isEmpty || wv.forall(_ > 0),
+      s"bucket widths must be positive, got ${wv.mkString(",")}")
+    // composite specs are a GRID (one digit PER COLUMN, tag = row-major
+    // mixed-radix composition): cap the total so tags stay in Int range
     // and the file count stays sane
-    require(cols.isEmpty ||
-      BucketHash.totalTags(cols.size, numBuckets) <= (1 << 20),
-      s"bucket grid too wide: $numBuckets^${cols.size} = " +
-        s"${BucketHash.totalTags(cols.size, numBuckets)} tags (max ${1 << 20}) - " +
-        "composite specs bucket PER COLUMN; use a smaller numBuckets")
+    require(cols.isEmpty || BucketHash.totalTags(wv) <= (1 << 20),
+      s"bucket grid too wide: ${wv.mkString("*")} = " +
+        s"${BucketHash.totalTags(wv)} tags (max ${1 << 20}) - " +
+        "composite specs bucket PER COLUMN; use smaller widths")
     var attempt = 0
     while (attempt < 20) {
       val prev = readLatest(fs, root).getOrElse(
@@ -1181,8 +1190,13 @@ object LanceFormat {
       // composite tags are grid-schemed from now on; re-declaring over a
       // legacy (scheme-less) spec reads as a CHANGED spec, so the tag
       // clearing below retires the old tuple-hash tags automatically
-      val newSpec = Some(BucketSpecMeta(numBuckets, cols,
-        scheme = Some("grid"))).filter(_.columns.nonEmpty)
+      // a uniform-width vector collapses to the scalar field so the
+      // manifest stays byte-identical to the pre-widths format
+      val mixed = wv.nonEmpty && wv.exists(_ != wv.head)
+      val newSpec = Some(BucketSpecMeta(
+        if (mixed) wv.max else wv.headOption.getOrElse(numBuckets), cols,
+        scheme = Some("grid"),
+        widths = if (mixed) Some(wv) else None)).filter(_.columns.nonEmpty)
       // a CHANGED spec invalidates every per-fragment bucket tag: the
       // tags were computed under the OLD (n, columns) and reading them
       // through the new spec would mis-prune (silently missing rows) and

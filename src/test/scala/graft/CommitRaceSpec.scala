@@ -209,7 +209,7 @@ class CommitRaceSpec extends AnyFunSuite {
     val m = LanceFormat.commitAppend(fs, root, schema,
       Seq(FragmentMeta(0, "routed.parquet", 5,
         bucket = Some(2), sorted = Some(true))),
-      routedBucketSpec = Some(Some((4, Seq("id")))))
+      routedBucketSpec = Some(Some((Seq(4), Seq("id")))))
     val frag = m.fragments.find(_.file == "routed.parquet").get
     assert(frag.bucket.isEmpty && frag.sorted.isEmpty,
       "stale-spec tags must be stripped, not published under the new spec")
@@ -217,7 +217,7 @@ class CommitRaceSpec extends AnyFunSuite {
     val m2 = LanceFormat.commitAppend(fs, root, schema,
       Seq(FragmentMeta(0, "routed2.parquet", 5,
         bucket = Some(3), sorted = Some(true))),
-      routedBucketSpec = Some(Some((8, Seq("id")))))
+      routedBucketSpec = Some(Some((Seq(8), Seq("id")))))
     val frag2 = m2.fragments.find(_.file == "routed2.parquet").get
     assert(frag2.bucket.contains(3) && frag2.sorted.contains(true))
   }
@@ -231,7 +231,7 @@ class CommitRaceSpec extends AnyFunSuite {
     val baseId = m0.fragments.head.id
     val (m, _) = LanceFormat.commitReplace(fs, root, schema, Set(baseId),
       Seq(FragmentMeta(0, "rw.parquet", 10, bucket = Some(1), sorted = Some(true))),
-      routedBucketSpec = Some(Some((4, Seq("id")))))
+      routedBucketSpec = Some(Some((Seq(4), Seq("id")))))
     val frag = m.fragments.find(_.file == "rw.parquet").get
     assert(frag.bucket.isEmpty && frag.sorted.isEmpty)
   }

@@ -54,11 +54,14 @@ class SpjSpec extends AnyFunSuite {
       val df = spark.read.parquet(
         LanceFormat.fragmentPath(new Path(dir), f.file).toString)
       // re-derive the grid tag independently of BucketHash: one
-      // pmod(hash(c), n) digit per column, row-major composed (a unary
-      // spec degenerates to plain pmod(hash(c), n))
+      // pmod(hash(c), wᵢ) digit per column, row-major mixed-radix
+      // composed (a unary spec degenerates to plain pmod(hash(c), n))
+      val widths = spec.widthsVec
+      val digits = physCols.zip(widths).map {
+        case (c, w) => pmod(hash(col(c)), lit(w)) }
       val buckets = df.select(
-        physCols.map(c => pmod(hash(col(c)), lit(spec.numBuckets)))
-          .reduceLeft((a, b) => a * spec.numBuckets + b).as("b"))
+        digits.zip(widths).tail.foldLeft(digits.head) {
+          case (acc, (d, w)) => acc * w + d }.as("b"))
         .distinct().as[Int].collect()
       assert(buckets.toSeq == Seq(f.bucket.get),
         s"fragment ${f.file} tagged ${f.bucket.get} holds buckets ${buckets.toSeq}")
@@ -287,6 +290,73 @@ class SpjSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props1.get("lance.bucket-by.storage-partitioned-join")
       .contains("available"), props1.toString)
+  }
+
+  // Iceberg-style per-column widths: bucket(4, b) x bucket(8, a) — a
+  // low-cardinality column stops over-bucketing without under-bucketing
+  // the high-cardinality one. The fragment tag is the mixed-radix
+  // composition; the scan reports bucket(8,a), bucket(4,b) transforms,
+  // and SPJ engages exactly like the equal-width grid.
+  test("mixed-width composite bucket key: zero-exchange join, exact answer") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.spjw", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.spjw.warehouse", wh)
+    val left = s"$wh/db/lw"
+    val right = s"$wh/db/rw"
+    spark.range(0, 4000).select(
+        pmod(col("id"), lit(50)).as("a"),
+        concat(lit("s"), pmod(col("id"), lit(7))).as("b"),
+        col("id").as("v"))
+      .repartition(4).write.format("lance").mode("overwrite").save(left)
+    spark.range(0, 350).select(
+        pmod(col("id"), lit(50)).as("a"),
+        concat(lit("s"), pmod(col("id"), lit(7))).as("b"),
+        col("id").as("w"))
+      .repartition(3).write.format("lance").mode("overwrite").save(right)
+    // declare through the SQL surface (the Iceberg spelling) on one side
+    // and the Scala facade on the other - both must land the same spec
+    spark.sql("CALL spjw.system.cluster_by_bucket('db.lw', " +
+      "'bucket(8,a),bucket(4,b)', 16)")
+    Lance.clusterByBucket(spark, right, Seq("a", "b"), numBuckets = 16,
+      widths = Seq(8, 4))
+    assertPure(left); assertPure(right)
+    val spec = Lance.bucketSpec(spark, left).get
+    assert(spec.widthsVec == Seq(8, 4) && spec.widths.isDefined, spec.toString)
+    assert(spec == Lance.bucketSpec(spark, right).get,
+      "SQL and facade declarations landed different specs")
+    def q = spark.sql(
+      """SELECT l.a, l.b, l.v, r.w FROM spjw.db.lw l
+        |JOIN spjw.db.rw r ON l.a = r.a AND l.b = r.b""".stripMargin)
+    val expected = q.collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+    withSpjConfs {
+      val df = q
+      assert(df.collect().map(_.toSeq).toSet == expected,
+        "mixed-width storage-partitioned join changed the answer")
+      val joins = joinNodes(df.queryExecution.executedPlan)
+      assert(joins.nonEmpty, s"no join:\n${df.queryExecution.executedPlan}")
+      joins.foreach(_.children.foreach { side =>
+        assert(!hasShuffleBelow(side) && !side.isInstanceOf[ShuffleExchangeLike],
+          s"exchange under a mixed-width co-bucketed join side:\n$side")
+      })
+    }
+    // fragment pruning decodes the mixed-radix digits: equality on the
+    // NARROW column alone must prune (and never lose rows)
+    val probe = spark.read.format("lance").load(left).filter(col("b") === "s3")
+    val want = spark.read.format("lance").load(left).collect()
+      .count(_.getAs[String]("b") == "s3")
+    assert(probe.count() == want.toLong)
+    // a legacy EQUAL-width declaration still round-trips (widths absent,
+    // scalar numBuckets governs - the pre-widths on-disk shape)
+    val legacy = s"$wh/db/legacy"
+    spark.range(0, 200).select(pmod(col("id"), lit(10)).as("a"),
+        pmod(col("id"), lit(3)).as("b"), col("id").as("v"))
+      .write.format("lance").mode("overwrite").save(legacy)
+    Lance.clusterByBucket(spark, legacy, Seq("a", "b"), numBuckets = 4)
+    val lspec = Lance.bucketSpec(spark, legacy).get
+    assert(lspec.widths.isEmpty && lspec.widthsVec == Seq(4, 4), lspec.toString)
+    assert(spark.read.format("lance").load(legacy)
+      .filter(col("a") === 7).count() == 20L)
   }
 
   test("skewed bucket: partially-clustered SPJ stays exchange-free and exact") {
