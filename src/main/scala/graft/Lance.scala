@@ -1518,49 +1518,159 @@ object Lance {
       }
       // this publish is NOT atomic (quarantine write, then main append,
       // then branch drop): a marker in the branch dir records the
-      // attempt AFTER every read-only validation, so a re-run following
-      // a mid-flight crash refuses loud instead of double-landing rows
-      // on either side (deleteBranch removes the marker with the branch)
+      // attempt AFTER every read-only validation — carrying a unique
+      // token, the audited head and the check expressions — so a crash
+      // anywhere in the three-commit sequence is RESUMABLE:
+      // `CALL resume_publish` re-runs the split idempotently from the
+      // marker (each commit stamps the token, so resume recognizes what
+      // already landed). A re-run of publish itself still refuses loud.
       val marker = new org.apache.hadoop.fs.Path(bp, "_quarantine_publish")
       require(!fs.exists(marker),
         s"a previous quarantine publish of branch '$name' started and did " +
-          "not finish: verify what landed (main + branch " +
-          s"'$name-quarantine'), then delete the branch (or the marker " +
-          s"$marker to force a retry)")
-      fs.create(marker, false).close()
-      // violations FIRST (touches nothing shared), on a violations-ONLY
-      // lineage: a hand-seeded empty branch dir makes this write its v1,
-      // so readers see exactly the quarantined rows, no base data
-      val qname = s"$name-quarantine"
-      val qp = graft.format.LanceFormat.branchPath(root, qname)
-      if (!fs.exists(qp)) fs.mkdirs(qp)
-      rows.filter(!pass).write.format("lance")
-        .option("write.branch", qname)
-        .option("write.set-properties",
-          graft.format.LanceFormat.serializeProperties(
-            bad.map { case (n, c) => s"graft.wap.violations.$n" -> c.toString }
-              .toMap + ("graft.wap.audited-head" -> auditedHead.toString)))
-        .mode("append").save(path)
-      // re-check the pin before touching main: rows appended to the
-      // branch after the audit must not publish unaudited
-      require(graft.format.LanceFormat.listVersionsIn(fs, bp).last == auditedHead,
-        s"branch '$name' moved past the audited head $auditedHead during " +
-          "the quarantine split - main is untouched, but staged violations " +
-          s"landed on '$name-quarantine'; inspect them, delete the " +
-          s"marker ($bp/_quarantine_publish), and re-run")
-      rows.filter(pass).write.format("lance").mode("append").save(path)
-      // the audited branch's rows now live in main + quarantine: drop it
-      // so a re-publish cannot double-land them
-      deleteBranch(spark, path, name)
-      val newMain = graft.format.LanceFormat.readLatest(fs, root)
-        .map(_.version).getOrElse(mainV)
-      (auditedHead, newMain)
+          s"not finish: CALL resume_publish('<table>', '$name') lands " +
+          "exactly the passing subset once (or delete the marker " +
+          s"$marker to abandon the attempt)")
+      val token = java.util.UUID.randomUUID().toString
+      locally {
+        val out = fs.create(marker, false)
+        out.write(org.json4s.jackson.Serialization.write(QuarantineMarker(
+          token, auditedHead, checks))(markerFormats).getBytes("UTF-8"))
+        out.close()
+      }
+      quarantineLand(spark, path, name, checks, auditedHead, token)
     }
     // the adoption is PINNED to the audited head: rows appended to the
     // branch after the audit scan must not publish unaudited — the
     // adoption refuses and the caller re-audits
     else if (mainV == base) fastForward(spark, path, name, Some(auditedHead))
     else rebaseBranch(spark, path, name, Some(auditedHead))
+  }
+
+  /** What a `_quarantine_publish` marker records: enough to re-run the
+    * three-commit split deterministically after a crash. */
+  private case class QuarantineMarker(token: String, auditedHead: Long,
+      checks: Map[String, String])
+  private implicit val markerFormats: org.json4s.Formats =
+    org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+
+  /** The quarantine split's three commits, each IDEMPOTENT under the
+    * marker's token: (1) stage the violating branch-only rows on
+    * `<name>-quarantine` (skipped when that lineage's head already
+    * carries the token), (2) append the passing rows to main (skipped
+    * when main's `graft.wap.last-publish.<name>` property carries the
+    * token), (3) drop the audited branch — which removes the marker, so
+    * a completed split leaves nothing to resume. Shared by the publish
+    * path and [[resumePublish]]; every recompute is read-only over the
+    * PINNED audited head, so publish and resume land byte-identical
+    * rows. */
+  private def quarantineLand(spark: SparkSession, path: String, name: String,
+      checks: Map[String, String], auditedHead: Long, token: String)
+      : (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val bp = graft.format.LanceFormat.branchPath(root, name)
+    val vs = graft.format.LanceFormat.listVersionsIn(fs, bp)
+    require(vs.nonEmpty && vs.last == auditedHead,
+      s"branch '$name' is not at the audited head $auditedHead " +
+        s"(now ${vs.lastOption.getOrElse(-1L)}): rows appended after the " +
+        "audit must not publish unaudited - re-run publish_branch")
+    val baseFrags = graft.format.LanceFormat.requireAppendOnlyBranch(
+      fs, bp, name, "quarantine-publish", Some(vs))
+    val bm = graft.format.LanceFormat.readManifestIn(fs, bp, auditedHead)
+    val baseFiles = baseFrags.map(_.file).toSet
+    val branchOnly = bm.fragments.filterNot(f => baseFiles.contains(f.file))
+    val raw = spark.read.schema(bm.physicalSchema).parquet(
+      branchOnly.map(f =>
+        graft.format.LanceFormat.fragmentPath(root, f.file).toString): _*)
+    val rows = if (bm.mapping.isEmpty) raw
+      else raw.toDF(bm.schema.fieldNames.toIndexedSeq: _*)
+    val pass = checks.values.toSeq
+      .map(e => coalesce(expr(e), lit(false))).reduce(_ && _)
+    // ---- (1) violations, on a violations-only lineage
+    val qname = s"$name-quarantine"
+    val qp = graft.format.LanceFormat.branchPath(root, qname)
+    val staged = fs.exists(qp) &&
+      graft.format.LanceFormat.listVersionsIn(fs, qp).lastOption
+        .map(graft.format.LanceFormat.readManifestIn(fs, qp, _))
+        .exists(_.properties.getOrElse(Map.empty)
+          .get("graft.wap.publish-token").contains(token))
+    if (!staged) {
+      val bAggs = checks.toSeq.map { case (n, e) =>
+        sum(when(expr(e), 0L).otherwise(1L)).as(n) }
+      val bRow = rows.agg(bAggs.head, bAggs.tail: _*).collect()(0)
+      val badNow = checks.keys.toSeq.sorted
+        .map(n => n -> Option(bRow.getAs[Any](n)).fold(0L)(_.toString.toLong))
+        .filter(_._2 > 0)
+      if (!fs.exists(qp)) fs.mkdirs(qp)
+      rows.filter(!pass).write.format("lance")
+        .option("write.branch", qname)
+        .option("write.set-properties",
+          graft.format.LanceFormat.serializeProperties(
+            badNow.map { case (n, c) => s"graft.wap.violations.$n" -> c.toString }
+              .toMap ++ Map("graft.wap.audited-head" -> auditedHead.toString,
+                "graft.wap.publish-token" -> token)))
+        .mode("append").save(path)
+    }
+    // ---- (2) passing rows into main, once
+    require(graft.format.LanceFormat.listVersionsIn(fs, bp).last == auditedHead,
+      s"branch '$name' moved past the audited head $auditedHead during " +
+        "the quarantine split - main is untouched; staged violations sit " +
+        s"on '$qname'; resume_publish('<table>', '$name') after inspection")
+    val published = graft.format.LanceFormat.readLatest(fs, root)
+      .flatMap(_.properties).getOrElse(Map.empty)
+      .get(s"graft.wap.last-publish.$name").contains(token)
+    if (!published)
+      rows.filter(pass).write.format("lance")
+        .option("write.set-properties",
+          graft.format.LanceFormat.serializeProperties(
+            Map(s"graft.wap.last-publish.$name" -> token)))
+        .mode("append").save(path)
+    // ---- (3) the audited branch's rows now live in main + quarantine:
+    // drop it (and with it the marker) so nothing can double-land
+    deleteBranch(spark, path, name)
+    val newMain = graft.format.LanceFormat.readLatest(fs, root)
+      .map(_.version).getOrElse(0L)
+    (auditedHead, newMain)
+  }
+
+  /** Resume a crashed quarantine publish from its `_quarantine_publish`
+    * marker: re-runs the split idempotently (staged rows are recognized
+    * by the marker's token on the quarantine head; the main append by
+    * the token in `graft.wap.last-publish.<branch>`), so the passing
+    * subset lands exactly once however far the original got. A branch
+    * with no marker has nothing to resume; a missing branch means the
+    * publish COMPLETED (its final step deletes the branch). */
+  def resumePublish(spark: SparkSession, path: String, name: String)
+      : (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
+    val bp = graft.format.LanceFormat.branchPath(root, name)
+    require(fs.exists(bp), s"no branch '$name' at $path - a finished " +
+      "quarantine publish deletes its branch, so there is nothing to resume")
+    val marker = new org.apache.hadoop.fs.Path(bp, "_quarantine_publish")
+    require(fs.exists(marker), s"branch '$name' carries no " +
+      "_quarantine_publish marker: no interrupted publish to resume")
+    val content = {
+      val in = fs.open(marker)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+    val m = try org.json4s.jackson.Serialization
+      .read[QuarantineMarker](content)(markerFormats,
+        scala.reflect.Manifest.classType(classOf[QuarantineMarker]))
+    catch {
+      case _: Exception => throw new IllegalArgumentException(
+        s"marker $marker carries no resume state (pre-resume format or " +
+          "corrupt): verify what landed on main and " +
+          s"'$name-quarantine' manually, then delete the branch")
+    }
+    quarantineLand(spark, path, name, m.checks, m.auditedHead, m.token)
   }
 
   /** RESTORE (Delta `RESTORE TABLE` parity): make the CURRENT table state

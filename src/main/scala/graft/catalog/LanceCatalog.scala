@@ -418,7 +418,8 @@ object LanceCatalog {
       "add_unique", "clone_table", "cluster_by_bucket", "rebucket",
       "analyze_table", "set_bloom_filters", "optimize", "fsck",
       "create_mv", "refresh_mv", "set_properties", "unset_properties",
-      "publish_branch", "create_replica", "sync_replica", "set_retention",
+      "publish_branch", "resume_publish", "create_replica",
+      "sync_replica", "set_retention",
       "register_consumer", "advance_consumer", "drop_consumer",
       "drop_mv", "drop_replica")
 }
@@ -528,6 +529,7 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
     case "set_properties" => "set free-form table properties (TBLPROPERTIES) as one metadata commit; reserved lance.*/graft.* namespaces refused"
     case "unset_properties" => "remove table properties by key (one metadata commit)"
     case "publish_branch" => "write-audit-publish: audit the branch head against named boolean checks (one scan), then fast-forward or rebase it into main; a failed audit leaves main untouched"
+    case "resume_publish" => "resume a crashed quarantine publish from its _quarantine_publish marker: re-runs the split idempotently (token-stamped commits), landing exactly the passing subset once"
     case "create_replica" => "seed a keyed downstream replica (full copy + graft.replica.* bookkeeping in one commit); sync_replica then maintains it from the change feed"
     case "sync_replica" => "apply the feed window's net-per-key changes to the replica in one atomic commit (cost = the change, never the table)"
     case "set_retention" => "declare a retention policy (graft.retention.* properties): CALL optimize without keep_versions then vacuums to it - the self-contained nightly maintenance call; keep_versions < 1 clears"
@@ -657,6 +659,8 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
       in("quarantine", BooleanType).defaultValue("false")
         .comment("publish passing rows; stage violations on a " +
           "<branch>-quarantine lineage with per-check counts").build())
+    case "resume_publish" => Array(in("table", StringType).build(),
+      in("branch", StringType).build())
     case "create_replica" => Array(in("replica", StringType).build(),
       in("source", StringType).build(),
       in("keys", StringType).comment("comma-separated unique key columns").build())
@@ -1000,6 +1004,12 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .add("new_main_version", LongType, nullable = false)
           .add("checks_passed", IntegerType, nullable = false),
           new GenericInternalRow(Array[Any](head, newMain, checks.size)))
+      case "resume_publish" =>
+        val (head, newMain) = graft.Lance.resumePublish(spark, path,
+          input.getUTF8String(1).toString)
+        (new StructType().add("branch_head", LongType, nullable = false)
+          .add("new_main_version", LongType, nullable = false),
+          new GenericInternalRow(Array[Any](head, newMain)))
       case "drop_index" =>
         val n = graft.Lance.dropIndex(spark, path,
           input.getUTF8String(1).toString, input.getUTF8String(2).toString)

@@ -210,4 +210,129 @@ class WapSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.lance_wap.warehouse")
     }
   }
+
+  test("resume_publish lands exactly the passing subset once from every crash point") {
+    val dir = tmpDir()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    def bfs = graft.format.LanceFormat.fileSystem(root,
+      spark.sessionState.newHadoopConf())
+    def mainCount = spark.read.format("lance").load(dir).count()
+    def qCount(b: String) =
+      spark.read.format("lance").option("branch", b + "-quarantine").load(dir).count()
+    def headOf(b: String) = graft.format.LanceFormat.listVersionsIn(
+      bfs, graft.format.LanceFormat.branchPath(root, b)).last
+    def writeMarker(b: String, token: String, head: Long): Unit = {
+      val out = bfs.create(new org.apache.hadoop.fs.Path(
+        graft.format.LanceFormat.branchPath(root, b), "_quarantine_publish"), false)
+      out.write((s"""{"token":"$token","auditedHead":$head,""" +
+        """"checks":{"positive":"x > 0"}}""").getBytes("UTF-8"))
+      out.close()
+    }
+    (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").mode("overwrite").save(dir)
+
+    // ---- crash point A: marker written, NEITHER commit landed
+    Lance.createBranch(spark, dir, "ia")
+    (Seq((21L, -5.0)) ++ (22L to 31L).map(i => (i, i * 1.0))).toDF("id", "x")
+      .write.format("lance").option("write.branch", "ia").mode("append").save(dir)
+    writeMarker("ia", "tok-a", headOf("ia"))
+    val (ha, _) = Lance.resumePublish(spark, dir, "ia")
+    assert(ha > 0L)
+    assert(mainCount == 30L, s"A: main must gain exactly the 10 passing rows, has $mainCount")
+    assert(qCount("ia") == 1L, "A: quarantine holds exactly the violation")
+    assert(!bfs.exists(graft.format.LanceFormat.branchPath(root, "ia")),
+      "A: the audited branch (and its marker) must be gone")
+    // a second resume refuses: the publish completed
+    val eA = intercept[IllegalArgumentException](
+      Lance.resumePublish(spark, dir, "ia"))
+    assert(eA.getMessage.contains("nothing to resume"), eA.getMessage)
+
+    // ---- crash point B: quarantine STAGED (token-stamped), main not touched
+    Lance.createBranch(spark, dir, "ib")
+    (Seq((41L, -1.0)) ++ (42L to 46L).map(i => (i, i * 1.0))).toDF("id", "x")
+      .write.format("lance").option("write.branch", "ib").mode("append").save(dir)
+    val headB = headOf("ib")
+    writeMarker("ib", "tok-b", headB)
+    bfs.mkdirs(graft.format.LanceFormat.branchPath(root, "ib-quarantine"))
+    Seq((41L, -1.0)).toDF("id", "x").write.format("lance")
+      .option("write.branch", "ib-quarantine")
+      .option("write.set-properties",
+        graft.format.LanceFormat.serializeProperties(Map(
+          "graft.wap.violations.positive" -> "1",
+          "graft.wap.audited-head" -> headB.toString,
+          "graft.wap.publish-token" -> "tok-b")))
+      .mode("append").save(dir)
+    Lance.resumePublish(spark, dir, "ib")
+    assert(mainCount == 35L, s"B: main must gain exactly the 5 passing rows, has $mainCount")
+    assert(qCount("ib") == 1L, "B: staged violations must not re-stage")
+    assert(!bfs.exists(graft.format.LanceFormat.branchPath(root, "ib")))
+
+    // ---- crash point C: quarantine staged AND main appended, branch not dropped
+    Lance.createBranch(spark, dir, "ic")
+    (Seq((61L, -2.0)) ++ (62L to 64L).map(i => (i, i * 1.0))).toDF("id", "x")
+      .write.format("lance").option("write.branch", "ic").mode("append").save(dir)
+    val headC = headOf("ic")
+    writeMarker("ic", "tok-c", headC)
+    bfs.mkdirs(graft.format.LanceFormat.branchPath(root, "ic-quarantine"))
+    Seq((61L, -2.0)).toDF("id", "x").write.format("lance")
+      .option("write.branch", "ic-quarantine")
+      .option("write.set-properties",
+        graft.format.LanceFormat.serializeProperties(Map(
+          "graft.wap.violations.positive" -> "1",
+          "graft.wap.audited-head" -> headC.toString,
+          "graft.wap.publish-token" -> "tok-c")))
+      .mode("append").save(dir)
+    (62L to 64L).map(i => (i, i * 1.0)).toDF("id", "x").write.format("lance")
+      .option("write.set-properties",
+        graft.format.LanceFormat.serializeProperties(Map(
+          "graft.wap.last-publish.ic" -> "tok-c")))
+      .mode("append").save(dir)
+    assert(mainCount == 38L)
+    Lance.resumePublish(spark, dir, "ic")
+    assert(mainCount == 38L, "C: the main append must NOT repeat")
+    assert(qCount("ic") == 1L)
+    assert(!bfs.exists(graft.format.LanceFormat.branchPath(root, "ic")))
+
+    // ---- a PRE-RESUME (empty) marker refuses with manual instructions
+    Lance.createBranch(spark, dir, "legacy")
+    Seq((200L, -1.0)).toDF("id", "x")
+      .write.format("lance").option("write.branch", "legacy").mode("append").save(dir)
+    bfs.create(new org.apache.hadoop.fs.Path(
+      graft.format.LanceFormat.branchPath(root, "legacy"),
+      "_quarantine_publish"), false).close()
+    val eL = intercept[IllegalArgumentException](
+      Lance.resumePublish(spark, dir, "legacy"))
+    assert(eL.getMessage.contains("no resume state"), eL.getMessage)
+
+    // ---- the SQL verb drives the same path
+    spark.conf.set("spark.sql.catalog.wapres", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.wapres.warehouse", tmpDir())
+    try {
+      val wh = spark.conf.get("spark.sql.catalog.wapres.warehouse")
+      (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "x")
+        .write.format("lance").mode("overwrite").save(s"$wh/db/t")
+      Lance.createBranch(spark, s"$wh/db/t", "iz")
+      (Seq((11L, -1.0), (12L, 2.0))).toDF("id", "x")
+        .write.format("lance").option("write.branch", "iz").mode("append")
+        .save(s"$wh/db/t")
+      val r2 = new org.apache.hadoop.fs.Path(s"$wh/db/t")
+      val f2 = graft.format.LanceFormat.fileSystem(r2,
+        spark.sessionState.newHadoopConf())
+      val h2 = graft.format.LanceFormat.listVersionsIn(f2,
+        graft.format.LanceFormat.branchPath(r2, "iz")).last
+      val out = f2.create(new org.apache.hadoop.fs.Path(
+        graft.format.LanceFormat.branchPath(r2, "iz"), "_quarantine_publish"),
+        false)
+      out.write((s"""{"token":"tok-z","auditedHead":$h2,""" +
+        """"checks":{"positive":"x > 0"}}""").getBytes("UTF-8"))
+      out.close()
+      val row = spark.sql(
+        "CALL wapres.system.resume_publish('db.t', 'iz')").collect()(0)
+      assert(row.getLong(0) == h2, row.toString)
+      assert(spark.read.format("lance").load(s"$wh/db/t").count() == 6L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.wapres")
+      spark.conf.unset("spark.sql.catalog.wapres.warehouse")
+    }
+  }
 }
