@@ -20,6 +20,7 @@ object SparkEntry {
     (operators.Dedup.queries, operators.Dedup.oracleSql),
     (operators.LanceQueries.queries, operators.LanceQueries.oracleSql),
     (operators.Multimodal.queries, operators.Multimodal.oracleSql),
+    (operators.TpchQueries.queries, operators.TpchQueries.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
