@@ -456,7 +456,8 @@ object Lance {
   case class OptimizeResult(fragmentsBefore: Int, fragmentsAfter: Int,
       indexesRefreshed: Seq[String], indexesStale: Seq[String],
       columnsAnalyzed: Int, manifestsDeleted: Int, filesDeleted: Int,
-      viewsRefreshed: Int = 0, viewsStale: Int = 0)
+      viewsRefreshed: Int = 0, viewsStale: Int = 0,
+      vacuumBlockers: Seq[String] = Seq.empty)
 
   /** The single maintenance entry point a 100 TB table gets scheduled
     * with — `CALL lance.optimize('db.t')` nightly — bundling, in the
@@ -549,19 +550,34 @@ object Lance {
     // least back to the OLDEST live dependent watermark, whatever the
     // policy says; an unreadable dependent contributes no pin
     // (conservative for retention, never for the dependent).
+    var blockers: Seq[String] = Seq.empty
     val (mans, files) =
       if (effKeep <= 0) (0, 0)
       else {
         val latest = graft.format.LanceFormat.readLatest(fs, root)
           .map(_.version).getOrElse(0L)
-        val pinKeep = dependentWatermarkPin(spark, path)
+        val pins = dependentPins(spark, path)
+        val pinKeep = pins.map(_._3).minOption
           .map(w => (latest - w + 1).toInt).getOrElse(0)
+        // WHY the table stops vacuuming, by name: every pin holding the
+        // vacuum past the declared policy is a lagging consumer someone
+        // should advance (or drop) — surface it in the result AND the
+        // log instead of leaving 'manifestsDeleted: 0' unexplained
+        val policyFloor = latest - effKeep + 1
+        blockers = pins.filter(_._3 < policyFloor).sortBy(_._3).map {
+          case (kind, name, w) =>
+            s"$kind $name: watermark v$w, ${latest - w} version(s) " +
+              s"behind head v$latest, forces ${policyFloor - w} extra " +
+              "version(s) retained past the policy"
+        }
+        blockers.foreach(b => log.warn(s"optimize: vacuum blocked - $b"))
         vacuum(spark, path, math.max(effKeep, pinKeep), effOlder)
       }
     OptimizeResult(before, after, refreshed.toSeq, stale.toSeq,
       analyzed, mans, files,
       viewsRefreshed = mvResults.count(_._2.isRight),
-      viewsStale = mvResults.count(_._2.isLeft))
+      viewsStale = mvResults.count(_._2.isLeft),
+      vacuumBlockers = blockers)
   }
 
   /** One [[fsck]] finding: severity is "error" (the table will
@@ -1116,12 +1132,13 @@ object Lance {
   def dropMaterializedView(spark: SparkSession, viewPath: String): Boolean =
     graft.operators.MaterializedView.drop(spark, viewPath)
 
-  /** The oldest source-version watermark among the table's registered
-    * dependent consumers (materialized views + replicas): the manifest
-    * version the retention vacuum must keep for their next incremental
-    * window. Dependents that cannot be read contribute nothing. */
-  private def dependentWatermarkPin(spark: SparkSession,
-      path: String): Option[Long] = {
+  /** Every dependent-consumer watermark into this table's history,
+    * ATTRIBUTED: (kind, name, watermark) per registered view/replica and
+    * per named external consumer — so the vacuum can say WHO pins it,
+    * not just how far. Dependents that cannot be read contribute
+    * nothing. [[dependentWatermarkPin]] is the min over these. */
+  private def dependentPins(spark: SparkSession,
+      path: String): Seq[(String, String, Long)] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     val props = graft.format.LanceFormat.readLatest(fs, root)
@@ -1142,16 +1159,25 @@ object Lance {
         // in MaterializedView.roleAndWatermark); replicas watermark
         // their one source
         graft.operators.MaterializedView.roleAndWatermark(dprops, myAbs)
-          .flatMap(_._2)
+          .flatMap(_._2).map(w => ("view", dp, w))
           .orElse(dprops.get("graft.replica.version")
-            .flatMap(v => scala.util.Try(v.toLong).toOption))
+            .flatMap(v => scala.util.Try(v.toLong).toOption)
+            .map(w => ("replica", dp, w)))
       } catch { case _: Exception => None }
     }
     // named external-consumer pins live on the SOURCE's own properties
-    val consumerWms = props.collect {
-      case (k, v) if k.startsWith("graft.consumer.") => v.toLong }
-    (wms ++ consumerWms).minOption
+    val consumerWms = props.toSeq.collect {
+      case (k, v) if k.startsWith("graft.consumer.") =>
+        ("consumer", k.stripPrefix("graft.consumer."), v.toLong) }
+    wms ++ consumerWms
   }
+
+  /** The oldest source-version watermark among the table's registered
+    * dependent consumers: the manifest version the retention vacuum
+    * must keep for their next incremental window. */
+  private def dependentWatermarkPin(spark: SparkSession,
+      path: String): Option[Long] =
+    dependentPins(spark, path).map(_._3).minOption
 
   /** Declare a RETENTION POLICY on the table (stored as
     * `graft.retention.*` properties, one metadata commit):

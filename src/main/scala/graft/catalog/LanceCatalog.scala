@@ -826,14 +826,17 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           .add("manifests_deleted", IntegerType, nullable = false)
           .add("files_deleted", IntegerType, nullable = false)
           .add("views_refreshed", IntegerType, nullable = false)
-          .add("views_stale", IntegerType, nullable = false),
+          .add("views_stale", IntegerType, nullable = false)
+          .add("vacuum_blockers", StringType, nullable = false),
           new GenericInternalRow(Array[Any](r.fragmentsBefore, r.fragmentsAfter,
             org.apache.spark.unsafe.types.UTF8String.fromString(
               r.indexesRefreshed.mkString(",")),
             org.apache.spark.unsafe.types.UTF8String.fromString(
               r.indexesStale.mkString(",")),
             r.columnsAnalyzed, r.manifestsDeleted, r.filesDeleted,
-            r.viewsRefreshed, r.viewsStale)))
+            r.viewsRefreshed, r.viewsStale,
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              r.vacuumBlockers.mkString("; ")))))
       case "analyze_table" =>
         val cols = input.getUTF8String(1).toString.split(',')
           .map(_.trim).filter(_.nonEmpty).toSeq

@@ -861,16 +861,13 @@ object MaterializedView {
     * (viewPath, result-or-error-message) per dependent. */
   def refreshDependents(spark: SparkSession, sourcePath: String)
       : Seq[(String, Either[String, RefreshResult])] = {
-    val (sfs, sroot) = fsRoot(spark, sourcePath)
-    val deps = LanceFormat.readLatest(sfs, sroot)
-      .flatMap(_.properties).getOrElse(Map.empty)
-      .get(PropDependents).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
-    // one CACHED feed frame per (table, window): with several views
-    // registered on one hot source, the nightly optimize would otherwise
-    // serialize N identical changefeed scans — views sharing a watermark
-    // (the in-commit-maintenance norm) now share one materialization.
-    // Keyed by table path because a JOIN view pulls feeds from several
-    // tables through the same callback.
+    // one CACHED feed frame per (table, window) across the WHOLE cascade:
+    // with several views registered on one hot source, the nightly
+    // optimize would otherwise serialize N identical changefeed scans —
+    // views sharing a watermark (the in-commit-maintenance norm) share
+    // one materialization, one per stacking level. Keyed by table path
+    // because a JOIN view pulls feeds from several tables through the
+    // same callback.
     val feedCache =
       scala.collection.mutable.Map.empty[(String, Long, Long), DataFrame]
     def sharedFeed(path: String, v0: Long, vN: Long): DataFrame =
@@ -881,38 +878,70 @@ object MaterializedView {
           path.replace("'", "''")}', $v0, $vN)")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
+    // visited guards stacked-view CYCLES (only constructible by
+    // recreating a view against its own descendant) and diamond shapes
+    // (a grandchild reached through two parents refreshes once — after
+    // its FIRST refreshed parent; the other parent's change lands next
+    // pass, incremental and correct either way)
+    val visited = scala.collection.mutable.Set(
+      new java.io.File(sourcePath).getAbsolutePath)
+    try refreshLevel(spark, sourcePath, sharedFeed, visited)
+    finally feedCache.values.foreach(_.unpersist())
+  }
+
+  /** One level of the dependency cascade: refresh every view registered
+    * on `sourcePath`, and AFTER each success, recurse into that view's
+    * own dependents — a 3-level pyramid (base → daily → monthly) stays
+    * fresh from one `optimize(base)`, each level refreshing strictly
+    * after the level it reads (dependency order by construction). */
+  private def refreshLevel(spark: SparkSession, sourcePath: String,
+      sharedFeed: (String, Long, Long) => DataFrame,
+      visited: scala.collection.mutable.Set[String])
+      : Seq[(String, Either[String, RefreshResult])] = {
+    val (sfs, sroot) = fsRoot(spark, sourcePath)
+    val deps = LanceFormat.readLatest(sfs, sroot)
+      .flatMap(_.properties).getOrElse(Map.empty)
+      .get(PropDependents).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
     val srcAbs = new java.io.File(sourcePath).getAbsolutePath
     val dangling = scala.collection.mutable.ArrayBuffer.empty[String]
-    val out = try deps.map { vp =>
-      // A view recreated under its registered path against a DIFFERENT
-      // source refreshes cleanly (it IS a valid view — of another
-      // table), so the exception-driven self-heal below would never
-      // fire for it: the stale registration would trigger a redundant
-      // refresh from this table's every maintenance pass, forever (the
-      // fsck warning promises it heals). One manifest read routes such
-      // entries into the same dangling re-check instead of refreshing.
-      val staleRole = {
-        val (vfs, vroot) = fsRoot(spark, vp)
-        LanceFormat.readLatest(vfs, vroot).exists { mm =>
-          val p = mm.properties.getOrElse(Map.empty)
-          p.contains(PropSource) && !roleAndWatermark(p, srcAbs).exists(
-            r => r._1 == "source" || r._1 == "join")
+    val out = deps.flatMap { vp =>
+      if (!visited.add(new java.io.File(vp).getAbsolutePath)) Seq.empty
+      else {
+        // A view recreated under its registered path against a DIFFERENT
+        // source refreshes cleanly (it IS a valid view — of another
+        // table), so the exception-driven self-heal below would never
+        // fire for it: the stale registration would trigger a redundant
+        // refresh from this table's every maintenance pass, forever (the
+        // fsck warning promises it heals). One manifest read routes such
+        // entries into the same dangling re-check instead of refreshing.
+        val staleRole = {
+          val (vfs, vroot) = fsRoot(spark, vp)
+          LanceFormat.readLatest(vfs, vroot).exists { mm =>
+            val p = mm.properties.getOrElse(Map.empty)
+            p.contains(PropSource) && !roleAndWatermark(p, srcAbs).exists(
+              r => r._1 == "source" || r._1 == "join")
+          }
         }
-      }
-      val res = if (staleRole) {
-        dangling += vp
-        Left("stale: view no longer references this table as source or join")
-      } else try Right(refresh(spark, vp, Some(sharedFeed))) catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null &&
-              (e.getMessage.contains("no lance dataset") ||
-                e.getMessage.contains("not a materialized view")) =>
+        val res = if (staleRole) {
           dangling += vp
-          Left(s"dangling: ${e.getMessage}")
-        case e: Exception => Left(e.getMessage)
+          Left("stale: view no longer references this table as source or join")
+        } else try Right(refresh(spark, vp, Some(sharedFeed))) catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                (e.getMessage.contains("no lance dataset") ||
+                  e.getMessage.contains("not a materialized view")) =>
+            dangling += vp
+            Left(s"dangling: ${e.getMessage}")
+          case e: Exception => Left(e.getMessage)
+        }
+        // cascade strictly AFTER this parent committed its refresh: the
+        // child's feed then covers the parent window just applied
+        (vp -> res) +: (res match {
+          case Right(_) => refreshLevel(spark, vp, sharedFeed, visited)
+          case Left(_) => Seq.empty
+        })
       }
-      vp -> res
-    } finally feedCache.values.foreach(_.unpersist())
+    }
     // Self-heal — but a registration whose path reads "no lance dataset"
     // may be a CREATE mid-flight (register-first contract): deregistering
     // it would silently orphan the view from maintenance AND drop its

@@ -640,6 +640,61 @@ class MaterializedViewSpec extends AnyFunSuite {
     assertSame(gotB(), expectStacked(), "optimize(A) must keep the rollup fresh")
   }
 
+  test("3-level pyramid: optimize(base) cascades in dependency order, one feed per level") {
+    val src = tmpDir(); val vA = tmpDir() + "/a"; val vB = tmpDir() + "/b"
+    val vC = tmpDir() + "/c"
+    (1L to 600L).map(i => (i, s"g${i % 4}", s"s${i % 12}", s"u${i % 48}", i * 0.5))
+      .toDF("id", "grp", "sub", "unit", "x")
+      .repartition(3).write.format("lance").mode("overwrite").save(src)
+    // base -> A (unit grain) -> B (sub grain) -> C (grp grain)
+    MaterializedView.create(spark, vA, src, Seq("grp", "sub", "unit"),
+      Seq(AggSpec("count", "*", "cnt"), AggSpec("sum", "x", "sx")))
+    MaterializedView.create(spark, vB, vA, Seq("grp", "sub"),
+      Seq(AggSpec("sum", "cnt", "cnt"), AggSpec("sum", "sx", "sx")))
+    MaterializedView.create(spark, vC, vB, Seq("grp"),
+      Seq(AggSpec("sum", "cnt", "rows"), AggSpec("sum", "sx", "total")))
+    // the leaf's exact three-level recompute (each level re-rounds at
+    // its own decimal grain, so mirror the stacking shape precisely)
+    def expectC() = spark.read.format("lance").load(src)
+      .groupBy("grp", "sub", "unit").agg(Tables.dsum(col("x")).as("sx"))
+      .groupBy("grp", "sub").agg(Tables.dsum(col("sx"), 2).as("sx"))
+      .groupBy("grp").agg(Tables.dsum(col("sx"), 2).as("total"))
+      .join(spark.read.format("lance").load(src)
+        .groupBy("grp").agg(count(lit(1)).as("rows")), Seq("grp"))
+      .select("grp", "rows", "total")
+    def gotC() = MaterializedView.read(spark, vC)
+      .select("grp", "rows", "total")
+    assertSame(gotC(), expectC(), "pyramid seed")
+    // one base DML batch; ONE optimize(base) must land it in the leaf
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      Lance.deleteWhere(spark, src, "id % 6 = 1")
+      Lance.updateWhere(spark, src, "id % 6 = 2", Map("x" -> "x * 3"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    MaterializedView.feedMaterializations = 0
+    val rs = MaterializedView.refreshDependents(spark, src)
+    // dependency order: A strictly before B strictly before C
+    assert(rs.map(_._1.split('/').last) == Seq("a", "b", "c"),
+      s"cascade order broke: ${rs.map(_._1)}")
+    assert(rs.forall(_._2.isRight), rs.toString)
+    assert(rs.flatMap(_._2.toOption).forall(_.mode == "delta"), rs.toString)
+    // exactly one feed materialization per level (base->A, A->B, B->C)
+    assert(MaterializedView.feedMaterializations == 3,
+      s"expected 3 feed materializations, got " +
+        s"${MaterializedView.feedMaterializations}")
+    assertSame(gotC(), expectC(), "pyramid leaf drifted after one optimize pass")
+    // and through the real nightly verb: optimize(base) reports all 3
+    (601L to 640L).map(i => (i, s"g${i % 4}", s"s${i % 12}", s"u${i % 48}", i * 0.5))
+      .toDF("id", "grp", "sub", "unit", "x")
+      .write.format("lance").mode("append").save(src)
+    val opt = Lance.optimize(spark, src, reanalyze = false)
+    assert(opt.viewsRefreshed == 3, opt.toString)
+    assertSame(gotC(), expectC(), "pyramid leaf drifted after optimize(base)")
+    // a second pass is all noops — no refresh storms from stacking
+    val rs2 = MaterializedView.refreshDependents(spark, src)
+    assert(rs2.flatMap(_._2.toOption).forall(_.mode == "noop"), rs2.toString)
+  }
+
   test("star dims refuse when too big to broadcast (manifest row count)") {
     val src = tmpDir(); val dim = tmpDir() + "/d"
     (1L to 10L).map(i => (i, i % 3)).toDF("id", "cust")

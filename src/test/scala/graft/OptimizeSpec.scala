@@ -175,6 +175,55 @@ class OptimizeSpec extends AnyFunSuite {
       Lance.advanceConsumer(spark, dir, "nope", 1L))
   }
 
+  test("vacuum blockers: the lagging consumer is NAMED in the report; advancing unblocks") {
+    val dir = tmpDir()
+    spark.range(0, 50).select(col("id").as("k"))
+      .coalesce(1).write.format("lance").mode("overwrite").save(dir)
+    val wm = Lance.registerConsumer(spark, dir, "slow-etl")
+    (0 until 4).foreach { i =>
+      spark.range(100 + i * 10, 110 + i * 10).select(col("id").as("k"))
+        .coalesce(1).write.format("lance").mode("append").save(dir)
+    }
+    Lance.setRetention(spark, dir, keepVersions = 1)
+    val r = Lance.optimize(spark, dir, minRows = 5)
+    // the report names WHO blocked the vacuum, how far behind, and what
+    // it cost — not just 'manifestsDeleted: 0'
+    assert(r.vacuumBlockers.nonEmpty, "a lagging pin must surface")
+    val line = r.vacuumBlockers.find(_.contains("consumer slow-etl"))
+      .getOrElse(fail(s"consumer not named: ${r.vacuumBlockers}"))
+    assert(line.contains(s"watermark v$wm") &&
+      line.contains("extra version(s) retained"), line)
+    // the SQL row carries the same report
+    spark.conf.set("spark.sql.catalog.optb", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.optb.warehouse",
+      new java.io.File(dir).getParent)
+    try {
+      val tbl = new java.io.File(dir).getName
+      val row = spark.sql(
+        s"CALL optb.system.optimize('$tbl', min_rows => 5)").collect()(0)
+      val blockers = row.getAs[String]("vacuum_blockers")
+      assert(blockers.contains("consumer slow-etl"), blockers)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.optb")
+      spark.conf.unset("spark.sql.catalog.optb.warehouse")
+    }
+    // advancing the consumer to the head unblocks the NEXT vacuum:
+    // history releases and the report comes back clean. (The advance
+    // commit itself bumps the head, so an up-to-date consumer sits one
+    // version behind by construction — under keep_versions=1 that is
+    // still honestly a blocker; the realistic nightly policy keeps >=2.)
+    Lance.setRetention(spark, dir, keepVersions = 2)
+    spark.range(500, 505).select(col("id").as("k"))
+      .coalesce(1).write.format("lance").mode("append").save(dir)
+    Lance.advanceConsumer(spark, dir, "slow-etl",
+      Lance.versions(spark, dir).max)
+    val r2 = Lance.optimize(spark, dir, minRows = 5)
+    assert(r2.vacuumBlockers.isEmpty,
+      s"advanced pin must not block: ${r2.vacuumBlockers}")
+    assert(Lance.versions(spark, dir).size <= 4,
+      s"vacuum must proceed once unblocked: ${Lance.versions(spark, dir)}")
+  }
+
   test("keep_versions vacuums after the maintenance commits; SQL CALL surface") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.lance_opt", "graft.catalog.LanceCatalog")
