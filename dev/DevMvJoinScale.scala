@@ -34,16 +34,23 @@ object DevMvJoinScale {
         .reduce(_ unionByName _)
     }
 
+    Seq("inner", "left").foreach { how =>
     Seq("sf0.1", "sf1.0x") foreach { sf =>
-      val base = s"target/jmvscale-$sf"
+      val base = s"target/jmvscale-$how-$sf"
       val fsRoot = new org.apache.hadoop.fs.Path(base)
       val fs = fsRoot.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(fsRoot)) fs.delete(fsRoot, true)
       val a = s"$base/orders"; val b = s"$base/items"; val v = s"$base/view"
       val orders0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
         .select(col("o_orderkey"), col("o_orderpriority"))
-      val items0 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_extendedprice"))
+      val items0 = {
+        val raw = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        // LEFT mode: orders with okey % 7 = 3 start matchless, so the
+        // window's appends/deletes cross zero and the flip terms engage
+        if (how == "inner") raw
+        else raw.filter(not(col("l_orderkey") % 7 === 3))
+      }
       val (orders, items) =
         if (sf == "sf0.1") (orders0, items0)
         else (times10(orders0, "o_orderkey"), times10(items0, "l_orderkey"))
@@ -51,12 +58,20 @@ object DevMvJoinScale {
         .option("write.max-rows-per-file", "200000").save(a)
       items.repartition(16).write.format("lance").mode("overwrite")
         .option("write.max-rows-per-file", "500000").save(b)
+      // the 100 TB layout: both sides bucketed on the join key, so the
+      // telescoped terms' IN-list prunes drop fragments by bucket tag
+      // (a randomly-laid table turns each pruned "scan" into a full
+      // read — cheap next to a full JOIN, but not change-bounded)
+      graft.Lance.clusterByBucket(spark, a, Seq("o_orderkey"), 64,
+        maxRowsPerFile = 200000L)
+      graft.Lance.clusterByBucket(spark, b, Seq("l_orderkey"), 64,
+        maxRowsPerFile = 500000L)
 
       val t0 = System.nanoTime()
       MaterializedView.create(spark, v, a, Seq("o_orderpriority"),
         Seq(AggSpec("count", "*", "n"),
           AggSpec("sum", "l_extendedprice", "sp")),
-        joins = Seq(JoinSpec(b, Map("o_orderkey" -> "l_orderkey"))))
+        joins = Seq(JoinSpec(b, Map("o_orderkey" -> "l_orderkey"), how)))
       val tCreate = (System.nanoTime() - t0) / 1e9
 
       // the FIXED two-sided change: same absolute row counts both scales
@@ -71,14 +86,27 @@ object DevMvJoinScale {
           (col("id") + 3L).as("l_orderkey"),
           lit(9.99).as("l_extendedprice"))
           .write.format("lance").mode("append").save(b)
+        if (how == "left") {
+          // FIRST matches for ~40 previously-matchless orders, and every
+          // item of ~150 matched orders out (LAST matches): both flip
+          // directions in one window, fixed absolute size at any scale
+          spark.read.format("lance").load(a)
+            .filter("o_orderkey % 77 = 3 AND o_orderkey <= 30000")
+            .select(col("o_orderkey").as("l_orderkey"),
+              lit(1.23).as("l_extendedprice"))
+            .write.format("lance").mode("append").save(b)
+          graft.Lance.deleteWhere(spark, b,
+            "l_orderkey % 997 = 7 AND l_orderkey <= 150000")
+        }
       } finally spark.conf.unset("spark.graft.dml.changeFeed")
 
       val s0 = System.nanoTime()
       val r = MaterializedView.refresh(spark, v)
       require(r.mode == "delta", r.toString)
       val tRefresh = (System.nanoTime() - s0) / 1e9
-      Console.err.println(f"[jmvscale] $sf create=${tCreate}%.1fs " +
+      Console.err.println(f"[jmvscale] $how $sf create=${tCreate}%.1fs " +
         f"two-sided-delta-refresh=${tRefresh}%.2fs")
+    }
     }
     spark.stop()
   }

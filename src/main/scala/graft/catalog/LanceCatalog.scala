@@ -394,6 +394,13 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
     tablePath(ident)
   }
 
+  /** A table argument resolved to its warehouse path with NO existence
+    * check — DROP-style verbs that self-heal a missing target. */
+  private[graft] def resolveAnyTableArg(table: String): Path = {
+    val parts = table.split('.')
+    tablePath(Identifier.of(parts.init, parts.last))
+  }
+
   /** A procedure argument naming a table to be CREATED (clone targets):
     * resolved to its warehouse path, refused if it already exists. */
   private[graft] def resolveNewTableArg(table: String): Path = {

@@ -32,29 +32,44 @@ import graft.operators.MaterializedView.{AggSpec, JoinSpec}
 object MvSqlDdl {
   private val DdlRe =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(.+?)\s+AS\s+(SELECT\b[\s\S]*)$""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(.+?)\s*$""".r
+  private val RefreshRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?:(FULL)\s+)?(.+?)\s*$""".r
 
-  /** Does the statement carry our prefix? (Cheap gate so every other
-    * statement goes straight to the delegate.) */
+  /** Does the statement carry one of our prefixes? (Cheap gate so every
+    * other statement goes straight to the delegate.) */
   def matches(sqlText: String): Boolean =
-    sqlText != null && DdlRe.pattern.matcher(sqlText).matches()
+    sqlText != null && (DdlRe.pattern.matcher(sqlText).matches() ||
+      DropRe.pattern.matcher(sqlText).matches() ||
+      RefreshRe.pattern.matcher(sqlText).matches())
 
   def parse(session: SparkSession, delegate: ParserInterface,
       sqlText: String): LogicalPlan = sqlText match {
     case DdlRe(viewIdent, select) =>
       val ident = delegate.parseMultipartIdentifier(viewIdent.trim)
       CreateMaterializedViewCommand(ident, delegate.parsePlan(select), select)
+    case DropRe(ifExists, viewIdent) =>
+      DropMaterializedViewCommand(
+        delegate.parseMultipartIdentifier(viewIdent.trim), ifExists != null)
+    case RefreshRe(full, viewIdent) =>
+      RefreshMaterializedViewCommand(
+        delegate.parseMultipartIdentifier(viewIdent.trim), full != null)
     case _ => throw new IllegalArgumentException(
-      "malformed CREATE MATERIALIZED VIEW (expected CREATE MATERIALIZED " +
-        "VIEW <table> AS SELECT ...)")
+      "malformed MATERIALIZED VIEW statement (expected CREATE MATERIALIZED " +
+        "VIEW <table> AS SELECT ..., DROP MATERIALIZED VIEW [IF EXISTS] " +
+        "<table>, or REFRESH MATERIALIZED VIEW [FULL] <table>)")
   }
 
   private def refuse(what: String, nearest: String): Nothing =
     throw new IllegalArgumentException(
       s"CREATE MATERIALIZED VIEW: $what. Nearest supported form: $nearest")
 
-  /** A multipart table reference → lance dataset path. */
+  /** A multipart table reference → lance dataset path. `mode`:
+    * "existing" (must be a dataset), "new" (must NOT be), "any" (no
+    * check — DROP-style verbs that self-heal a missing target). */
   private[graft] def pathOf(session: SparkSession, parts: Seq[String],
-      forCreate: Boolean): String = parts match {
+      mode: String): String = parts match {
     case Seq("lance", p) if p.contains('/') &&
         // a catalog literally named "lance" wins over the path form
         !session.sessionState.catalogManager.isCatalogRegistered("lance") =>
@@ -63,8 +78,11 @@ object MvSqlDdl {
       session.sessionState.catalogManager.catalog(all.head) match {
         case lc: graft.catalog.LanceCatalog =>
           val rest = all.tail.mkString(".")
-          (if (forCreate) lc.resolveNewTableArg(rest)
-           else lc.resolveTableArg(rest)).toString
+          (mode match {
+            case "new" => lc.resolveNewTableArg(rest)
+            case "any" => lc.resolveAnyTableArg(rest)
+            case _ => lc.resolveTableArg(rest)
+          }).toString
         case other => refuse(
           s"table ${all.mkString(".")} lives in non-lance catalog " +
             s"'${all.head}' (${other.getClass.getSimpleName})",
@@ -135,7 +153,7 @@ object MvSqlDdl {
               "JOIN a plain lance table (subqueries/derived tables " +
                 "are not maintainable)")
           }
-          val rPath = pathOf(session, rParts, forCreate = false)
+          val rPath = pathOf(session, rParts, "existing")
           val rFields = session.read.format("lance").load(rPath)
             .schema.fieldNames.toSet
           def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -184,7 +202,7 @@ object MvSqlDdl {
         "SELECT <group cols>, <agg> FROM ... [WHERE ...] GROUP BY ...")
     }
     val (srcParts, joins) = relations(fromPlan)
-    val srcPath = pathOf(session, srcParts, forCreate = false)
+    val srcPath = pathOf(session, srcParts, "existing")
 
     // ---- select list → group columns + aggregate specs
     def exprSql(e: Expression): String = e match {
@@ -264,7 +282,7 @@ case class CreateMaterializedViewCommand(viewIdent: Seq[String],
   override def output: Seq[Attribute] =
     Seq(AttributeReference("source_version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
-    val viewPath = MvSqlDdl.pathOf(session, viewIdent, forCreate = true)
+    val viewPath = MvSqlDdl.pathOf(session, viewIdent, "new")
     val (src, groupBy, aggs, where, joins) =
       MvSqlDdl.translate(session, select)
     val v = MaterializedView.create(session, viewPath, src, groupBy, aggs,
@@ -273,7 +291,42 @@ case class CreateMaterializedViewCommand(viewIdent: Seq[String],
   }
 }
 
-/** Delegating parser: our one statement, everything else passes through. */
+/** `DROP MATERIALIZED VIEW [IF EXISTS] v` — unregisters from the source
+  * and every join table, releases dim pins, deletes the view. */
+case class DropMaterializedViewCommand(viewIdent: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("dropped", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    // resolve WITHOUT an existence check: drop() self-heals a missing
+    // view, and IF EXISTS must not throw on resolution either
+    val path = MvSqlDdl.pathOf(session, viewIdent, "any")
+    val dropped = MaterializedView.drop(session, path)
+    if (!dropped && !ifExists) throw new IllegalArgumentException(
+      s"no materialized view at ${viewIdent.mkString(".")}")
+    Seq(Row(dropped))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW [FULL] v` — the CALL refresh_mv twin. */
+case class RefreshMaterializedViewCommand(viewIdent: Seq[String],
+    full: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("mode", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("from_version", LongType, nullable = false)(),
+    AttributeReference("to_version", LongType, nullable = false)(),
+    AttributeReference("groups_changed", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = MvSqlDdl.pathOf(session, viewIdent, "existing")
+    val r = if (full) MaterializedView.fullRefresh(session, path)
+      else MaterializedView.refresh(session, path)
+    Seq(Row(r.mode, r.fromVersion, r.toVersion, r.groupsChanged))
+  }
+}
+
+/** Delegating parser: our three statements, everything else passes through. */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -179,6 +179,48 @@ class MvSqlDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP / REFRESH MATERIALIZED VIEW statements round out the DDL") {
+    withCatalog("ddlt5") { wh =>
+      seedOrders(s"$wh/db/src5")
+      spark.sql("""CREATE MATERIALIZED VIEW ddlt5.db.v5 AS
+        SELECT status, count(*) AS n, sum(price) AS sp
+        FROM ddlt5.db.src5 GROUP BY status""")
+      // REFRESH: noop while nothing changed, delta after a DML, FULL on ask
+      val noop = spark.sql("REFRESH MATERIALIZED VIEW ddlt5.db.v5").collect()(0)
+      assert(noop.getString(0) == "noop", noop.toString)
+      spark.conf.set("spark.graft.dml.changeFeed", "true")
+      try Lance.deleteWhere(spark, s"$wh/db/src5", "okey % 4 = 1")
+      finally spark.conf.unset("spark.graft.dml.changeFeed")
+      val d = spark.sql("REFRESH MATERIALIZED VIEW ddlt5.db.v5").collect()(0)
+      assert(d.getString(0) == "delta", d.toString)
+      val f = spark.sql("REFRESH MATERIALIZED VIEW FULL ddlt5.db.v5").collect()(0)
+      assert(f.getString(0) == "full", f.toString)
+      val got = MaterializedView.read(spark, s"$wh/db/v5")
+      val want = spark.read.format("lance").load(s"$wh/db/src5")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("price")).as("sp"))
+      assertSame(got, want, "refreshed DDL view != recompute")
+      // DROP: deregisters (the source stops refreshing it) and deletes
+      val dropped = spark.sql("DROP MATERIALIZED VIEW ddlt5.db.v5").collect()(0)
+      assert(dropped.getBoolean(0))
+      assert(!graft.format.LanceFormat.isDataset(
+        graft.format.LanceFormat.fileSystem(
+          new org.apache.hadoop.fs.Path(s"$wh/db/v5"),
+          spark.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(s"$wh/db/v5")))
+      assert(graft.operators.MaterializedView
+        .refreshDependents(spark, s"$wh/db/src5").isEmpty,
+        "drop must deregister from the source")
+      // bare DROP on a missing view refuses; IF EXISTS is silent
+      val e = intercept[Exception](
+        spark.sql("DROP MATERIALIZED VIEW ddlt5.db.v5"))
+      assert(e.getMessage.contains("no materialized view"), e.getMessage)
+      val quiet = spark.sql(
+        "DROP MATERIALIZED VIEW IF EXISTS ddlt5.db.v5").collect()(0)
+      assert(!quiet.getBoolean(0))
+    }
+  }
+
   test("non-MV statements pass through the delegating parser untouched") {
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() == 2)
     val e = intercept[Exception](spark.sql("CREATE MATERIALIZED GARBAGE"))
