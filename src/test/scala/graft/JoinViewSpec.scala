@@ -332,6 +332,66 @@ class JoinViewSpec extends AnyFunSuite {
     }
   }
 
+  test("PROPERTY: random two-sided rounds on a LEFT join view stay exact") {
+    // the LEFT twin of the inner property test: the same DML mix plus
+    // deliberate zero-crossing pressure (delete ALL items of a key /
+    // first item for a matchless key) so flips fire most rounds
+    val rnd = new scala.util.Random(2207)
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b) // okey % 4 == 0 starts matchless
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "amount", "nm"),
+        AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "left")))
+    var nextKey = 5000L
+    (1 to 4).foreach { round =>
+      withFeed {
+        (1 to 2 + rnd.nextInt(3)).foreach { _ =>
+          rnd.nextInt(7) match {
+            case 0 =>
+              Lance.deleteWhere(spark, a, s"okey % 17 = ${rnd.nextInt(17)}")
+            case 1 =>
+              Lance.updateWhere(spark, a, s"okey % 13 = ${rnd.nextInt(13)}",
+                Map("status" -> s"'s${rnd.nextInt(6)}'"))
+            case 2 => // LAST matches out for a whole key class
+              Lance.deleteWhere(spark, b, s"o_key % 9 = ${rnd.nextInt(9)}")
+            case 3 =>
+              Lance.updateWhere(spark, b, s"o_key % 7 = ${rnd.nextInt(7)}",
+                Map("amount" -> s"amount + ${rnd.nextInt(50)}"))
+            case 4 => // FIRST matches for previously matchless keys
+              val k = rnd.nextInt(200)
+              spark.read.format("lance").load(a)
+                .filter(s"okey % 20 = $k % 20")
+                .select(col("okey").as("o_key"),
+                  (rand(k) * 10).cast("double").as("amount"),
+                  lit(s"t${rnd.nextInt(4)}").as("tag"))
+                .limit(5)
+                .write.format("lance").mode("append").save(b)
+            case 5 =>
+              val rows = (0 until 2).map { _ =>
+                nextKey += 1
+                (if (rnd.nextBoolean()) nextKey else 1L + rnd.nextInt(200),
+                  rnd.nextDouble() * 50, s"t${rnd.nextInt(4)}")
+              }
+              rows.toDF("o_key", "amount", "tag")
+                .write.format("lance").mode("append").save(b)
+            case 6 =>
+              Lance.compact(spark, if (rnd.nextBoolean()) a else b)
+          }
+        }
+      }
+      val r = MaterializedView.refresh(spark, view)
+      val expect = spark.read.format("lance").load(a)
+        .join(spark.read.format("lance").load(b),
+          col("okey") === col("o_key"), "left")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), count(col("amount")).as("nm"),
+          Tables.dsum(col("amount")).as("amt"))
+      assertSame(MaterializedView.read(spark, view), expect,
+        s"round $round (mode=${r.mode}): LEFT join view diverged")
+    }
+  }
+
   test("snowflake chains: a join may key on an earlier join's attributes") {
     val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
     val view = tmpDir() + "/v"
