@@ -210,7 +210,11 @@ class LanceTable(val rootStr: String, declaredSchema: StructType,
         m.clusterBy.foreach(cs => out.put("lance.cluster-by", cs.mkString(",")))
         m.bucketBy.foreach { b =>
           out.put("lance.bucket-by",
-            s"${b.numBuckets}:${b.columns.mkString(",")}")
+            if (b.widths.isEmpty) s"${b.numBuckets}:${b.columns.mkString(",")}"
+            // mixed widths render Iceberg-style so the display IS the
+            // re-declaration syntax
+            else b.columns.zip(b.widthsVec)
+              .map { case (c, w) => s"bucket($w,$c)" }.mkString(","))
           // storage-partitioned joins engage for ANY key width: the scan
           // reports one bucket(n, col) transform per key column and
           // Spark's key-grouped planning matches when the join covers

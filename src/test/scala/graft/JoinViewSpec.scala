@@ -773,6 +773,37 @@ class JoinViewSpec extends AnyFunSuite {
       "chain view after LEFT-tail flips != recompute")
   }
 
+  test("LEFT fact join composes with pinned star dims in one view") {
+    val a = tmpDir(); val b = tmpDir(); val d = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b) // okey % 4 == 0 matchless
+    (0 until 4).map(i => (s"s$i", s"seg${i % 2}")).toDF("d_status", "segment")
+      .write.format("lance").mode("overwrite").save(d)
+    MaterializedView.create(spark, view, a, Seq("segment"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      dims = Seq(MaterializedView.DimSpec(d, Map("status" -> "d_status"))),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "left")))
+    def recompute() = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "left").drop("o_key")
+      .join(broadcast(spark.read.format("lance").load(d)),
+        col("status") === col("d_status"), "left").drop("d_status")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("amount")).as("amt"))
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "created LEFT+dim view != recompute")
+    withFeed {
+      // both crossings + A churn; dim stays PINNED (enrichment is a
+      // pure per-row function, so the flip images enrich identically)
+      Seq((4L, 77.0, "tX")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)
+      Lance.deleteWhere(spark, b, "o_key IN (2, 6)")
+      Lance.deleteWhere(spark, a, "okey % 19 = 4")
+    }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "LEFT+dim view after flips != recompute")
+  }
+
   test("a refresh that throws after feeds persist leaks no cached frames") {
     val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
     seed(a, b)

@@ -340,6 +340,12 @@ class SpjSpec extends AnyFunSuite {
           s"exchange under a mixed-width co-bucketed join side:\n$side")
       })
     }
+    // SHOW TBLPROPERTIES renders the mixed-width spec in the
+    // re-declaration syntax
+    val wprops = spark.sql("SHOW TBLPROPERTIES spjw.db.lw").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(wprops.get("lance.bucket-by").contains("bucket(8,a),bucket(4,b)"),
+      wprops.toString)
     // fragment pruning decodes the mixed-radix digits: equality on the
     // NARROW column alone must prune (and never lose rows)
     val probe = spark.read.format("lance").load(left).filter(col("b") === "s3")
