@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
 import graft.operators.MaterializedView
-import graft.operators.MaterializedView.{AggSpec, JoinSpec}
+import graft.operators.MaterializedView.{AggSpec, DimSpec, JoinSpec}
 
 /** `CREATE MATERIALIZED VIEW <table> AS SELECT ...` — the SQL spelling
   * of [[MaterializedView.create]]. Spark has no MATERIALIZED VIEW
@@ -21,8 +21,10 @@ import graft.operators.MaterializedView.{AggSpec, JoinSpec}
   * create() spec — group keys, aggregate specs, WHERE, fact joins
   * (INNER and LEFT, both change-fed) — and every shape the incremental
   * refresh cannot maintain is refused with a message naming the nearest
-  * supported form. Star dims keep their `CALL create_mv(...)` spelling
-  * (the SQL join syntax cannot express "pin this side's version").
+  * supported form. Star dims ride the hint channel (plain join syntax
+  * cannot express "pin this side's version"): `SELECT /*+ MV_DIM(d) */
+  * ... LEFT JOIN dim d ON ...` marks that join as a PINNED broadcast
+  * dim — exactly `CALL create_mv(..., dims)`.
   *
   * Table references resolve like every other SQL surface here: a
   * `cat.db.t` identifier through the named [[graft.catalog.LanceCatalog]]
@@ -94,9 +96,26 @@ object MvSqlDdl {
   }
 
   /** Translate the parsed (UNRESOLVED) SELECT into the create() spec.
-    * Returns (sourcePath, groupBy entries, aggs, where, joins). */
+    * Returns (sourcePath, groupBy entries, aggs, where, joins, dims). */
   private[graft] def translate(session: SparkSession, plan: LogicalPlan)
-      : (String, Seq[String], Seq[AggSpec], Option[String], Seq[JoinSpec]) = {
+      : (String, Seq[String], Seq[AggSpec], Option[String], Seq[JoinSpec],
+        Seq[DimSpec]) = {
+    // ---- the MV_DIM hint channel: names joins that are PINNED star
+    // dims rather than change-fed facts; any other hint is meaningless
+    // in a STORED spec (there is no plan to hint) and refuses
+    var dimNames = Set.empty[String]
+    def stripHints(p: LogicalPlan): LogicalPlan = p match {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint
+          if h.name.equalsIgnoreCase("MV_DIM") =>
+        dimNames ++= h.parameters.collect {
+          case a: UnresolvedAttribute => a.nameParts.last.toLowerCase }
+        stripHints(h.child)
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint =>
+        refuse(s"hint ${h.name} (a stored view spec carries no plan hints)",
+          "only MV_DIM(table) is meaningful here - it marks a LEFT JOIN " +
+            "as a pinned star dim")
+      case other => other
+    }
     // ---- refuse un-maintainable STATEMENT shapes first, by name
     plan.foreach {
       case _: Sort | _: GlobalLimit | _: LocalLimit | _: Offset => refuse(
@@ -129,10 +148,19 @@ object MvSqlDdl {
     }
 
     // ---- the FROM tree: one relation, or left-deep INNER/LEFT equi-joins
-    def strip(p: LogicalPlan): LogicalPlan = p match {
+    def strip(p: LogicalPlan): LogicalPlan = stripHints(p) match {
       case SubqueryAlias(_, child) => strip(child)
       case other => other
     }
+    // the name the MV_DIM hint matches: the alias when present, else
+    // the table's last identifier part
+    def nameOf(p: LogicalPlan): Option[String] = stripHints(p) match {
+      case SubqueryAlias(id, _) => Some(id.name.toLowerCase)
+      case r: UnresolvedRelation =>
+        Some(r.multipartIdentifier.last.toLowerCase)
+      case _ => None
+    }
+    val dims = scala.collection.mutable.ArrayBuffer.empty[DimSpec]
     def relations(p: LogicalPlan): (Seq[String], Seq[JoinSpec]) =
       strip(p) match {
         case r: UnresolvedRelation =>
@@ -187,15 +215,26 @@ object MvSqlDdl {
               s"non-equality join condition ${other.sql}",
               "conjunctions of left.k = right.k equalities")
           }
-          (src, earlier :+ JoinSpec(rPath, keys.toMap, how))
+          if (nameOf(right).exists(dimNames.contains)) {
+            if (how != "left") refuse(
+              s"MV_DIM table ${rParts.mkString(".")} joined $how",
+              "a star dim must LEFT JOIN (its snapshot is pinned and " +
+                "unmatched fact rows keep their row)")
+            dims += DimSpec(rPath, keys.toMap)
+            (src, earlier)
+          } else (src, earlier :+ JoinSpec(rPath, keys.toMap, how))
         case other => refuse(s"FROM shape ${other.nodeName}",
           "FROM <lance table> [INNER|LEFT JOIN <lance table> ON ...]")
       }
 
     // ---- the statement spine: Aggregate over [Filter over] FROM
-    val (agg, whereExpr, fromPlan) = plan match {
-      case a @ Aggregate(_, _, Filter(cond, from), _) => (a, Some(cond), from)
-      case a @ Aggregate(_, _, from, _) => (a, None, from)
+    // the hint may wrap the WHOLE statement (SELECT /*+ ... */ parses
+    // it above the Aggregate) or sit under it — strip at both spots
+    val (agg, whereExpr, fromPlan) = stripHints(plan) match {
+      case a @ Aggregate(_, _, child, _) => stripHints(child) match {
+        case Filter(cond, from) => (a, Some(cond), from)
+        case from => (a, None, from)
+      }
       case Project(_, _) => refuse("a SELECT without GROUP BY",
         "SELECT <group cols>, <agg(col) AS alias>... GROUP BY <group cols>")
       case other => refuse(s"statement shape ${other.nodeName}",
@@ -203,6 +242,11 @@ object MvSqlDdl {
     }
     val (srcParts, joins) = relations(fromPlan)
     val srcPath = pathOf(session, srcParts, "existing")
+    if (dimNames.size != dims.size) refuse(
+      s"MV_DIM names ${dimNames.mkString(", ")} but only ${dims.size} " +
+        "joined table(s) matched",
+      "name the joined table (or its alias) exactly as it appears in " +
+        "the FROM clause")
 
     // ---- select list → group columns + aggregate specs
     def exprSql(e: Expression): String = e match {
@@ -272,7 +316,7 @@ object MvSqlDdl {
       case (alias, _: UnresolvedAttribute) => alias // plain column
       case (alias, e) => s"${exprSql(e)} AS $alias"
     }
-    (srcPath, groupBy, aggs.toSeq, whereExpr.map(_.sql), joins)
+    (srcPath, groupBy, aggs.toSeq, whereExpr.map(_.sql), joins, dims.toSeq)
   }
 }
 
@@ -283,10 +327,10 @@ case class CreateMaterializedViewCommand(viewIdent: Seq[String],
     Seq(AttributeReference("source_version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val viewPath = MvSqlDdl.pathOf(session, viewIdent, "new")
-    val (src, groupBy, aggs, where, joins) =
+    val (src, groupBy, aggs, where, joins, dims) =
       MvSqlDdl.translate(session, select)
     val v = MaterializedView.create(session, viewPath, src, groupBy, aggs,
-      where, dims = Seq.empty, joins = joins)
+      where, dims = dims, joins = joins)
     Seq(Row(v))
   }
 }

@@ -804,6 +804,45 @@ class JoinViewSpec extends AnyFunSuite {
       "LEFT+dim view after flips != recompute")
   }
 
+  test("TWO LEFT factors flipping in one window telescope independently") {
+    val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
+    val view = tmpDir() + "/v"
+    seed(a, b) // b: okey % 4 == 0 matchless
+    // c: a second change-fed LEFT factor keyed on the SOURCE, sparse on
+    // a different residue so both factors carry null extensions
+    (1L to 200L).filter(_ % 5 != 0).map(i => (i, s"n${i % 3}"))
+      .toDF("c_key", "note")
+      .write.format("lance").mode("overwrite").save(c)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt"),
+        AggSpec("count", "note", "nn")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "left"),
+        JoinSpec(c, Map("okey" -> "c_key"), "left")))
+    def recompute() = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "left").drop("o_key")
+      .join(spark.read.format("lance").load(c),
+        col("okey") === col("c_key"), "left").drop("c_key")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("amount")).as("amt"),
+        count(col("note")).as("nn"))
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "created two-LEFT view != recompute")
+    withFeed {
+      // BOTH factors cross zero in the same window, both directions
+      Seq((4L, 9.0, "tZ")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b) // b: first match
+      Lance.deleteWhere(spark, b, "o_key IN (1, 3)")  // b: last matches out
+      Seq((5L, "nZ"), (10L, "nZ")).toDF("c_key", "note")
+        .write.format("lance").mode("append").save(c) // c: first matches
+      Lance.deleteWhere(spark, c, "c_key IN (2, 4)")  // c: last matches out
+      Lance.deleteWhere(spark, a, "okey % 23 = 7")    // plus source churn
+    }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "two-LEFT view after double flips != recompute")
+  }
+
   test("a refresh that throws after feeds persist leaks no cached frames") {
     val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
     seed(a, b)

@@ -221,6 +221,53 @@ class MvSqlDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("MV_DIM hint: a LEFT JOIN becomes a pinned star dim through SQL DDL") {
+    withCatalog("ddlt6") { wh =>
+      seedOrders(s"$wh/db/src6")
+      (0 until 3).map(i => (s"s$i", s"seg${i % 2}")).toDF("d_status", "segment")
+        .write.format("lance").mode("overwrite").save(s"$wh/db/dim6")
+      spark.sql("""CREATE MATERIALIZED VIEW ddlt6.db.v6 AS
+        SELECT /*+ MV_DIM(d) */ segment, count(*) AS n, sum(price) AS sp
+        FROM ddlt6.db.src6 LEFT JOIN ddlt6.db.dim6 d ON status = d_status
+        GROUP BY segment""")
+      // the dim is PINNED (a tag landed) and registered as a dim, not a join
+      assert(Lance.tags(spark, s"$wh/db/dim6").size == 1,
+        "MV_DIM must pin the dim snapshot")
+      graft.MetaTvfs.register(spark)
+      val dep = spark.sql(
+        s"SELECT role FROM lance_dependents('$wh/db/dim6')").collect()
+      assert(dep.length == 1 && dep(0).getString(0) == "dim", dep.mkString(","))
+      // delta refresh enriches through the pinned snapshot
+      spark.conf.set("spark.graft.dml.changeFeed", "true")
+      try Lance.deleteWhere(spark, s"$wh/db/src6", "okey % 5 = 2")
+      finally spark.conf.unset("spark.graft.dml.changeFeed")
+      assert(MaterializedView.refresh(spark, s"$wh/db/v6").mode == "delta")
+      val got = MaterializedView.read(spark, s"$wh/db/v6")
+      val want = spark.read.format("lance").load(s"$wh/db/src6")
+        .join(broadcast(spark.read.format("lance").load(s"$wh/db/dim6")),
+          col("status") === col("d_status"), "left").drop("d_status")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("price")).as("sp"))
+      assertSame(got, want, "MV_DIM DDL view != recompute")
+      // an INNER-joined MV_DIM refuses (dims are LEFT by contract)
+      val e = intercept[Exception](spark.sql("""CREATE MATERIALIZED VIEW
+        ddlt6.db.x AS SELECT /*+ MV_DIM(d) */ segment, count(*) AS n
+        FROM ddlt6.db.src6 JOIN ddlt6.db.dim6 d ON status = d_status
+        GROUP BY segment"""))
+      assert(e.getMessage.contains("must LEFT JOIN"), e.getMessage)
+      // a hint naming nothing joined refuses
+      val e2 = intercept[Exception](spark.sql("""CREATE MATERIALIZED VIEW
+        ddlt6.db.x AS SELECT /*+ MV_DIM(nope) */ status, count(*) AS n
+        FROM ddlt6.db.src6 GROUP BY status"""))
+      assert(e2.getMessage.contains("MV_DIM names"), e2.getMessage)
+      // a foreign hint refuses loud (a stored spec carries no plan hints)
+      val e3 = intercept[Exception](spark.sql("""CREATE MATERIALIZED VIEW
+        ddlt6.db.x AS SELECT /*+ BROADCAST(d) */ status, count(*) AS n
+        FROM ddlt6.db.src6 GROUP BY status"""))
+      assert(e3.getMessage.contains("MV_DIM"), e3.getMessage)
+    }
+  }
+
   test("non-MV statements pass through the delegating parser untouched") {
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() == 2)
     val e = intercept[Exception](spark.sql("CREATE MATERIALIZED GARBAGE"))
