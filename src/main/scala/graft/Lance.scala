@@ -1554,8 +1554,11 @@ object Lance {
       require(!fs.exists(marker),
         s"a previous quarantine publish of branch '$name' started and did " +
           s"not finish: CALL resume_publish('<table>', '$name') lands " +
-          "exactly the passing subset once (or delete the marker " +
-          s"$marker to abandon the attempt)")
+          "exactly the passing subset once. To abandon the batch instead, " +
+          "deleteBranch (NOT just the marker - re-publishing under a fresh " +
+          "token would double-land rows the crashed attempt already " +
+          s"published; graft.wap.last-publish.$name on main records " +
+          "whether its append landed)")
       val token = java.util.UUID.randomUUID().toString
       locally {
         val out = fs.create(marker, false)
@@ -1563,7 +1566,11 @@ object Lance {
           token, auditedHead, checks))(markerFormats).getBytes("UTF-8"))
         out.close()
       }
-      quarantineLand(spark, path, name, checks, auditedHead, token)
+      // the attribution check above already aggregated the per-check
+      // counts over the branch-only rows: pass them through so the
+      // publish path pays that scan once (resume has none and recomputes)
+      quarantineLand(spark, path, name, checks, auditedHead, token,
+        knownBad = Some(bad))
     }
     // the adoption is PINNED to the audited head: rows appended to the
     // branch after the audit scan must not publish unaudited — the
@@ -1590,8 +1597,8 @@ object Lance {
     * PINNED audited head, so publish and resume land byte-identical
     * rows. */
   private def quarantineLand(spark: SparkSession, path: String, name: String,
-      checks: Map[String, String], auditedHead: Long, token: String)
-      : (Long, Long) = {
+      checks: Map[String, String], auditedHead: Long, token: String,
+      knownBad: Option[Seq[(String, Long)]] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
@@ -1600,7 +1607,12 @@ object Lance {
     require(vs.nonEmpty && vs.last == auditedHead,
       s"branch '$name' is not at the audited head $auditedHead " +
         s"(now ${vs.lastOption.getOrElse(-1L)}): rows appended after the " +
-        "audit must not publish unaudited - re-run publish_branch")
+        "audit must not publish unaudited. Inspect the post-audit " +
+        s"commits; graft.wap.last-publish.$name on main records whether " +
+        "the audited passing subset already landed - if it did, " +
+        "deleteBranch finishes the crashed publish (the extra rows need " +
+        "their own publish_branch from a fresh branch); if not, restore " +
+        "the branch to the audited head and resume_publish")
     val baseFrags = graft.format.LanceFormat.requireAppendOnlyBranch(
       fs, bp, name, "quarantine-publish", Some(vs))
     val bm = graft.format.LanceFormat.readManifestIn(fs, bp, auditedHead)
@@ -1622,12 +1634,14 @@ object Lance {
         .exists(_.properties.getOrElse(Map.empty)
           .get("graft.wap.publish-token").contains(token))
     if (!staged) {
-      val bAggs = checks.toSeq.map { case (n, e) =>
-        sum(when(expr(e), 0L).otherwise(1L)).as(n) }
-      val bRow = rows.agg(bAggs.head, bAggs.tail: _*).collect()(0)
-      val badNow = checks.keys.toSeq.sorted
-        .map(n => n -> Option(bRow.getAs[Any](n)).fold(0L)(_.toString.toLong))
-        .filter(_._2 > 0)
+      val badNow = knownBad.getOrElse {
+        val bAggs = checks.toSeq.map { case (n, e) =>
+          sum(when(expr(e), 0L).otherwise(1L)).as(n) }
+        val bRow = rows.agg(bAggs.head, bAggs.tail: _*).collect()(0)
+        checks.keys.toSeq.sorted
+          .map(n => n -> Option(bRow.getAs[Any](n)).fold(0L)(_.toString.toLong))
+          .filter(_._2 > 0)
+      }
       if (!fs.exists(qp)) fs.mkdirs(qp)
       rows.filter(!pass).write.format("lance")
         .option("write.branch", qname)

@@ -50,7 +50,7 @@ object MvSqlDdl {
       sqlText: String): LogicalPlan = sqlText match {
     case DdlRe(viewIdent, select) =>
       val ident = delegate.parseMultipartIdentifier(viewIdent.trim)
-      CreateMaterializedViewCommand(ident, delegate.parsePlan(select), select)
+      CreateMaterializedViewCommand(ident, delegate.parsePlan(select))
     case DropRe(ifExists, viewIdent) =>
       DropMaterializedViewCommand(
         delegate.parseMultipartIdentifier(viewIdent.trim), ifExists != null)
@@ -188,24 +188,27 @@ object MvSqlDdl {
             case And(a, b) => conjuncts(a) ++ conjuncts(b)
             case other => Seq(other)
           }
+          // the RIGHT side answers to its table name AND its alias
+          val rIds = Set(rParts.last.toLowerCase) ++ nameOf(right)
           val keys = conjuncts(cond.getOrElse(refuse(
             "a JOIN without an ON condition",
             "JOIN ... ON left.k = right.k [AND ...]"))).map {
             case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
               val (an, bn) = (a.nameParts.last, b.nameParts.last)
+              def qualifiedRight(x: UnresolvedAttribute) =
+                x.nameParts.init.lastOption.exists(q => rIds(q.toLowerCase))
               // orient by membership in the RIGHT table's schema; a
-              // column living on both sides needs the qualifier
+              // column living on both sides needs the qualifier (table
+              // name or alias, either works)
               (rFields.contains(bn), rFields.contains(an)) match {
                 case (true, false) => an -> bn
                 case (false, true) => bn -> an
                 case (true, true) =>
-                  val aq = a.nameParts.init.lastOption
-                  val rName = rParts.last
-                  if (aq.contains(rName)) bn -> an
-                  else if (b.nameParts.init.lastOption.contains(rName))
-                    an -> bn
+                  if (qualifiedRight(a)) bn -> an
+                  else if (qualifiedRight(b)) an -> bn
                   else refuse(s"ambiguous join key $an = $bn (both sides " +
-                    "have both columns)", "qualify one side with its table")
+                    "have both columns)",
+                    "qualify one side with its table or alias")
                 case (false, false) => refuse(
                   s"join condition $an = $bn names no column of " +
                     rParts.mkString("."),
@@ -215,6 +218,16 @@ object MvSqlDdl {
               s"non-equality join condition ${other.sql}",
               "conjunctions of left.k = right.k equalities")
           }
+          // finding: keys.toMap would silently DROP a duplicate
+          // left-side column (ON a.k = b.k1 AND a.k = b.k2 must not
+          // quietly become k = k2 alone)
+          val dupLeft = keys.groupBy(_._1).collect {
+            case (k, vs) if vs.size > 1 => k }
+          if (dupLeft.nonEmpty) refuse(
+            s"join key column(s) ${dupLeft.mkString(", ")} appear in " +
+              "more than one ON equality",
+            "one equality per left-side column (a.k = b.k1 AND " +
+              "a.k = b.k2 is not an equi-join the view can key on)")
           if (nameOf(right).exists(dimNames.contains)) {
             if (how != "left") refuse(
               s"MV_DIM table ${rParts.mkString(".")} joined $how",
@@ -253,6 +266,26 @@ object MvSqlDdl {
       case a: UnresolvedAttribute => a.nameParts.last
       case other => other.sql
     }
+    // the CANONICAL spelling of every enriched-namespace column (source
+    // + join attrs + dim attrs): Spark resolves names case-insensitively
+    // but the stored spec is literal, so a select item spelled STATUS
+    // over a column named status must canonicalize (and, when the
+    // as-written output name differs, ride the expression-key form so
+    // the view column is named exactly as the SELECT wrote it)
+    val fieldCanon: Map[String, String] = {
+      val srcFields = session.read.format("lance").load(srcPath)
+        .schema.fieldNames.toSeq
+      val joinAttrs = joins.flatMap { j =>
+        session.read.format("lance").load(j.path).schema.fieldNames
+          .filterNot(j.keys.values.toSet)
+      }
+      val dimAttrs = dims.flatMap { d =>
+        session.read.format("lance").load(d.path).schema.fieldNames
+          .filterNot(d.keys.values.toSet)
+      }
+      (srcFields ++ joinAttrs ++ dimAttrs).map(f => f.toLowerCase -> f).toMap
+    }
+    def canon(n: String): String = fieldCanon.getOrElse(n.toLowerCase, n)
     agg.groupingExpressions.foreach {
       // the parser emits UnresolvedOrdinal under groupByOrdinal (the
       // default); a plain Literal arrives when that conf is off
@@ -268,17 +301,39 @@ object MvSqlDdl {
     val groupSqls = agg.groupingExpressions.map(exprSql)
     val aggs = scala.collection.mutable.ArrayBuffer.empty[AggSpec]
     val groupEntries = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // plain column names match CASE-INSENSITIVELY (Spark's default
+    // resolution); expression texts match exactly
+    def groupKeyOf(sql: String): Option[String] =
+      groupSqls.find(g => g == sql || g.equalsIgnoreCase(sql))
+    def enterGroup(key: String, alias: String): Unit = {
+      groupEntries.get(key).foreach { prev =>
+        if (prev != alias) refuse(
+          s"group expression '$key' is selected twice (as '$prev' and " +
+            s"'$alias')", "select each group key once")
+      }
+      groupEntries(key) = alias
+    }
     agg.aggregateExpressions.foreach {
       case a: UnresolvedAttribute =>
         val n = a.nameParts.last
-        if (!groupSqls.contains(n)) refuse(
+        val key = groupKeyOf(n).getOrElse(refuse(
           s"select item '$n' is neither a GROUP BY column nor an " +
-            "aliased aggregate", "add it to GROUP BY or aggregate it")
-        groupEntries(n) = n
-      case Alias(e, name) if groupSqls.contains(exprSql(e)) =>
+            "aliased aggregate", "add it to GROUP BY or aggregate it"))
+        // output name = as written; source column = canonical spelling
+        if (n == canon(n)) enterGroup(key, n)
+        else enterGroup(key, s"${canon(n)} AS $n")
+      case Alias(a: UnresolvedAttribute, name)
+          if groupKeyOf(a.nameParts.last).isDefined =>
+        // a RENAMED plain group column (`SELECT k AS alias ... GROUP BY
+        // k`) rides the expression-key form: the view's column is the
+        // alias, computed from the source column
+        val key = groupKeyOf(a.nameParts.last).get
+        if (name == canon(a.nameParts.last)) enterGroup(key, name)
+        else enterGroup(key, s"${canon(a.nameParts.last)} AS $name")
+      case Alias(e, name) if groupKeyOf(exprSql(e)).isDefined =>
         // expression group key (`date_format(d,'yyyy-MM') AS omonth`) —
         // matched FIRST: a scalar function here is a key, not an agg
-        groupEntries(exprSql(e)) = name
+        enterGroup(groupKeyOf(exprSql(e)).get, name)
       case Alias(f: UnresolvedFunction, name) =>
         val fn = f.nameParts.last.toLowerCase
         if (f.filter.isDefined) refuse("FILTER (WHERE ...) on an aggregate",
@@ -313,7 +368,8 @@ object MvSqlDdl {
         else refuse(s"GROUP BY expression '$g' is not selected",
           "select it with an alias: SELECT <expr> AS name ... GROUP BY <expr>"))
     }.zip(agg.groupingExpressions).map {
-      case (alias, _: UnresolvedAttribute) => alias // plain column
+      // a renamed plain key already carries its "col AS alias" form
+      case (entry, _: UnresolvedAttribute) => entry
       case (alias, e) => s"${exprSql(e)} AS $alias"
     }
     (srcPath, groupBy, aggs.toSeq, whereExpr.map(_.sql), joins, dims.toSeq)
@@ -322,7 +378,7 @@ object MvSqlDdl {
 
 /** The executable command the parser returns: translates + creates. */
 case class CreateMaterializedViewCommand(viewIdent: Seq[String],
-    select: LogicalPlan, selectText: String) extends LeafRunnableCommand {
+    select: LogicalPlan) extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("source_version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {

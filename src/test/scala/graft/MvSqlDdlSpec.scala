@@ -268,6 +268,53 @@ class MvSqlDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("review regressions: renames, case, duplicate keys, alias qualifiers") {
+    withCatalog("ddlt7") { wh =>
+      seedOrders(s"$wh/db/r7")
+      // a RENAMED plain group column rides the expression-key form
+      spark.sql("""CREATE MATERIALIZED VIEW ddlt7.db.vr AS
+        SELECT status AS st, count(*) AS n FROM ddlt7.db.r7 GROUP BY status""")
+      val got = MaterializedView.read(spark, s"$wh/db/vr")
+      assert(got.columns.toSeq == Seq("st", "n"), got.columns.mkString(","))
+      val want = spark.read.format("lance").load(s"$wh/db/r7")
+        .groupBy(col("status").as("st")).agg(count(lit(1)).as("n"))
+      assertSame(got, want, "renamed plain group key != recompute")
+      // case-insensitive select-vs-GROUP BY matching (Spark's default)
+      spark.sql("""CREATE MATERIALIZED VIEW ddlt7.db.vc AS
+        SELECT STATUS, count(*) AS n FROM ddlt7.db.r7 GROUP BY status""")
+      assert(MaterializedView.read(spark, s"$wh/db/vc").count() == 3L)
+      // duplicate left-side join key columns refuse (toMap would have
+      // silently dropped one equality)
+      (1L to 20L).map(i => (i, i + 1, i * 1.0)).toDF("k1", "k2", "amt")
+        .write.format("lance").mode("overwrite").save(s"$wh/db/b7")
+      val e1 = intercept[Exception](spark.sql("""CREATE MATERIALIZED VIEW
+        ddlt7.db.x AS SELECT status, count(*) AS n
+        FROM ddlt7.db.r7 JOIN ddlt7.db.b7 ON okey = k1 AND okey = k2
+        GROUP BY status"""))
+      assert(e1.getMessage.contains("more than one ON equality"),
+        e1.getMessage)
+      // duplicate select items for one group key refuse
+      val e2 = intercept[Exception](spark.sql("""CREATE MATERIALIZED VIEW
+        ddlt7.db.x AS SELECT status, status AS st, count(*) AS n
+        FROM ddlt7.db.r7 GROUP BY status"""))
+      assert(e2.getMessage.contains("selected twice"), e2.getMessage)
+      // an ALIAS-qualified key disambiguates a column both sides share
+      (1L to 20L).map(i => (i, i * 2.0)).toDF("okey", "w")
+        .write.format("lance").mode("overwrite").save(s"$wh/db/c7")
+      spark.sql("""CREATE MATERIALIZED VIEW ddlt7.db.vq AS
+        SELECT status, count(*) AS n, sum(w) AS sw
+        FROM ddlt7.db.r7 o JOIN ddlt7.db.c7 i ON o.okey = i.okey
+        GROUP BY status""")
+      val wantQ = spark.read.format("lance").load(s"$wh/db/r7").as("o")
+        .join(spark.read.format("lance").load(s"$wh/db/c7").as("i"),
+          col("o.okey") === col("i.okey"), "inner")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("w")).as("sw"))
+      assertSame(MaterializedView.read(spark, s"$wh/db/vq"), wantQ,
+        "alias-qualified join keys != recompute")
+    }
+  }
+
   test("non-MV statements pass through the delegating parser untouched") {
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() == 2)
     val e = intercept[Exception](spark.sql("CREATE MATERIALIZED GARBAGE"))
