@@ -33,7 +33,7 @@ import graft.operators.MaterializedView.{AggSpec, DimSpec, JoinSpec}
   */
 object MvSqlDdl {
   private val DdlRe =
-    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(.+?)\s+AS\s+(SELECT\b[\s\S]*)$""".r
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(.+?)\s+AS\s+(SELECT\b[\s\S]*)$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(.+?)\s*$""".r
   private val RefreshRe =
@@ -48,9 +48,10 @@ object MvSqlDdl {
 
   def parse(session: SparkSession, delegate: ParserInterface,
       sqlText: String): LogicalPlan = sqlText match {
-    case DdlRe(viewIdent, select) =>
+    case DdlRe(ifNotExists, viewIdent, select) =>
       val ident = delegate.parseMultipartIdentifier(viewIdent.trim)
-      CreateMaterializedViewCommand(ident, delegate.parsePlan(select))
+      CreateMaterializedViewCommand(ident, delegate.parsePlan(select),
+        ifNotExists != null)
     case DropRe(ifExists, viewIdent) =>
       DropMaterializedViewCommand(
         delegate.parseMultipartIdentifier(viewIdent.trim), ifExists != null)
@@ -378,10 +379,22 @@ object MvSqlDdl {
 
 /** The executable command the parser returns: translates + creates. */
 case class CreateMaterializedViewCommand(viewIdent: Seq[String],
-    select: LogicalPlan) extends LeafRunnableCommand {
+    select: LogicalPlan, ifNotExists: Boolean = false)
+    extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("source_version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
+    if (ifNotExists) {
+      // the IF NOT EXISTS check is a read, not a reservation: two
+      // concurrent creates still race in create() itself (one loses the
+      // register CAS), exactly like the CALL surface
+      val p = MvSqlDdl.pathOf(session, viewIdent, "any")
+      val root = new org.apache.hadoop.fs.Path(p)
+      if (graft.format.LanceFormat.isDataset(
+          graft.format.LanceFormat.fileSystem(root,
+            session.sessionState.newHadoopConf()), root))
+        return Seq(Row(-1L)) // exists: no-op, the CREATE TABLE convention
+    }
     val viewPath = MvSqlDdl.pathOf(session, viewIdent, "new")
     val (src, groupBy, aggs, where, joins, dims) =
       MvSqlDdl.translate(session, select)

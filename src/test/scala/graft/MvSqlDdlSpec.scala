@@ -211,6 +211,21 @@ class MvSqlDdlSpec extends AnyFunSuite {
       assert(graft.operators.MaterializedView
         .refreshDependents(spark, s"$wh/db/src5").isEmpty,
         "drop must deregister from the source")
+      // IF NOT EXISTS: a second create is a -1 no-op, the view intact
+      spark.sql("""CREATE MATERIALIZED VIEW ddlt5.db.v5 AS
+        SELECT status, count(*) AS n, sum(price) AS sp
+        FROM ddlt5.db.src5 GROUP BY status""")
+      val again = spark.sql("""CREATE MATERIALIZED VIEW IF NOT EXISTS
+        ddlt5.db.v5 AS SELECT status, count(*) AS n
+        FROM ddlt5.db.src5 GROUP BY status""").collect()(0)
+      assert(again.getLong(0) == -1L, again.toString)
+      assert(MaterializedView.read(spark, s"$wh/db/v5").columns
+        .contains("sp"), "IF NOT EXISTS must not replace the view")
+      // a bare second create refuses (the table exists)
+      intercept[Exception](spark.sql("""CREATE MATERIALIZED VIEW
+        ddlt5.db.v5 AS SELECT status, count(*) AS n
+        FROM ddlt5.db.src5 GROUP BY status"""))
+      spark.sql("DROP MATERIALIZED VIEW ddlt5.db.v5")
       // bare DROP on a missing view refuses; IF EXISTS is silent
       val e = intercept[Exception](
         spark.sql("DROP MATERIALIZED VIEW ddlt5.db.v5"))
