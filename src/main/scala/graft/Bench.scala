@@ -45,6 +45,18 @@ import org.apache.spark.sql.SparkSession
   * line carries the worst child's number as `canary`. A future round
   * whose gate times inflate while `canary` holds steady is a code
   * regression; inflation WITH a raised canary is machine pressure.
+  *
+  * Round-13 additions — ATTRIBUTABLE gate time. (1) Each gate's median
+  * is split into `setup` (time inside the gate body: index builds,
+  * trickle commits, table rewrites — the part that is NOT the measured
+  * query) and the materialization remainder; the JSON line carries a
+  * `setup` map for shown gates whose setup share is >= 0.5 s, so an
+  * inflated s103/s111-style entry is attributable to setup-I/O vs plan
+  * from the driver's artifact alone. (2) A second, I/O-bound canary
+  * (128 x 8 KiB write+fsync on the target/ volume) rides next to the
+  * CPU one as `canary_io`: the maintenance gates are commit-fsync
+  * bound, which a CPU canary cannot see (r12's driver run showed them
+  * 2-4x inflated at CPU canary 0.44 — unresolvable then).
   */
 object Bench {
   /** Queries per child JVM. Small enough that in-JVM accumulation stays
@@ -84,7 +96,9 @@ object Bench {
     }
     val cp = sys.props("java.class.path")
     val medians = scala.collection.mutable.Map[String, Double]()
+    val setups = scala.collection.mutable.Map[String, Double]()
     var canary = -1.0 // worst (slowest) child's reference-job median
+    var canaryIo = -1.0 // worst child's fsync-reference median
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       println(s"[bench] child ${i + 1}/${chunks.size}: ${chunk.head}..${chunk.last} " +
         s"(${chunk.size} queries)")
@@ -109,8 +123,11 @@ object Bench {
         if (line.startsWith("[bench-med] ")) {
           val parts = line.drop("[bench-med] ".length).split(' ')
           medians(parts(0)) = parts(1).toDouble
+          if (parts.length > 2) setups(parts(0)) = parts(2).toDouble
         } else if (line.startsWith("[bench-canary] ")) {
           canary = canary max line.drop("[bench-canary] ".length).toDouble
+        } else if (line.startsWith("[bench-iocanary] ")) {
+          canaryIo = canaryIo max line.drop("[bench-iocanary] ".length).toDouble
         } else if (!line.startsWith("{\"metric\"")) {
           // forward progress + spread lines; swallow the child's own
           // JSON line so the driver's tail ends with the PARENT's
@@ -124,7 +141,7 @@ object Bench {
           "unreported queries recorded as -1")
     }
     val results = names.map(n => (n, medians.getOrElse(n, -1.0)))
-    printJsonLine(results, canary)
+    printJsonLine(results, canary, canaryIo, setups.toMap)
   }
 
   // ----------------------------------------------------------- child / dev
@@ -162,11 +179,47 @@ object Bench {
     println(f"[bench] canary reference job median=$canary%.3f s")
     println(s"[bench-canary] $canary")
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // I/O canary (round 13): the CPU canary cannot attribute inflation in
+    // the I/O-heavy maintenance gates (r11/r12 both ended with s103/s111
+    // inflated on the driver run while the CPU canary held at 0.44). This
+    // one times what those gates actually spend their setup on — many
+    // small file creates + fsyncs on the same volume target/graft-data
+    // lives on. Gate inflation with a flat CPU canary but a raised I/O
+    // canary = storage pressure, not code.
+    def ioCanaryOnce(): Double = {
+      val dir = new java.io.File("target", "bench-io-canary")
+      dir.mkdirs()
+      val buf = Array.fill[Byte](8192)(7)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      var i = 0
+      while (i < 128) {
+        val out = new java.io.FileOutputStream(new java.io.File(dir, s"c$i.bin"))
+        try { out.write(buf); out.getFD.sync() } finally out.close()
+        i += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      sec
+    }
+    ioCanaryOnce() // warm-up (dir creation, page cache) outside the measurement
+    val canaryIo = Seq.fill(3)(ioCanaryOnce()).sorted.apply(1)
+    println(f"[bench] io canary (128 x 8KiB write+fsync) median=$canaryIo%.3f s")
+    println(s"[bench-iocanary] $canaryIo")
+
+    // (total, setup): setup is the time spent INSIDE the gate body —
+    // where maintenance gates do their index builds / trickle commits /
+    // rewrites eagerly — and total-setup is the measured materialization
+    // of the returned plan through the noop sink. The split makes a slow
+    // gate attributable: s103/s111-style entries are >80% setup.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      val t0 = System.nanoTime()
+      val df = try fn(spark, sfDir)
+        catch { case _: Throwable => return (-1.0, -1.0) }
+      val t1 = System.nanoTime()
+      try df.write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return (-1.0, -1.0) }
+      ((System.nanoTime() - t0) / 1e9, (t1 - t0) / 1e9)
     }
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -182,22 +235,25 @@ object Bench {
       // median reflects its own plan, not its predecessors' garbage
       System.gc()
       val cold = once(fn)
-      val warm = if (cold < 0) Seq(-1.0) else Seq.fill(nRuns) {
+      val warm = if (cold._1 < 0) Seq((-1.0, -1.0)) else Seq.fill(nRuns) {
         org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         once(fn)
       }
-      val med =
-        if (warm.exists(_ < 0)) -1.0
-        else warm.sorted.apply(warm.size / 2)
+      // the reported split is the MEDIAN-TOTAL run's own (total, setup)
+      // pair, so setup + query always sum to the reported median exactly
+      val (med, setupMed) =
+        if (warm.exists(_._1 < 0)) (-1.0, -1.0)
+        else warm.sortBy(_._1).apply(warm.size / 2)
       // stdout, not stderr: sbt tags forked stderr lines "[error]", which
       // made healthy runs look alarming in the driver log tail.
-      println(f"[bench] $name cold=$cold%.2f median=$med%.2f " +
-        s"runs=${warm.map(t => f"$t%.2f").mkString(",")}")
+      println(f"[bench] $name cold=${cold._1}%.2f median=$med%.2f " +
+        f"setup=$setupMed%.2f " +
+        s"runs=${warm.map(t => f"${t._1}%.2f").mkString(",")}")
       // machine line the isolating parent parses (full precision)
-      println(s"[bench-med] $name $med")
-      (name, med, warm.min, warm.max)
+      println(s"[bench-med] $name $med $setupMed")
+      (name, med, setupMed, warm.map(_._1).min, warm.map(_._1).max)
     }
-    results.foreach { case (k, _, lo, hi) =>
+    results.foreach { case (k, _, _, lo, hi) =>
       println(s"[bench-spread] ${shortId(k)}=$k [${f3(lo)},${f3(hi)}]")
     }
     // stop BEFORE the final println: anything Spark logs while shutting
@@ -205,7 +261,8 @@ object Bench {
     // line instead of pushing it out of the driver's bounded tail window
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    printJsonLine(results.map(r => (r._1, r._2)), canary)
+    printJsonLine(results.map(r => (r._1, r._2)), canary, canaryIo,
+      results.map(r => (r._1, r._3)).toMap)
   }
 
   // ------------------------------------------------------------- formatting
@@ -228,9 +285,11 @@ object Bench {
     * prints to stdout BEFORE the line, and the line itself is the LAST
     * thing we emit. */
   private def printJsonLine(results: Seq[(String, Double)],
-      canary: Double = -1.0): Unit = {
+      canary: Double = -1.0, canaryIo: Double = -1.0,
+      setups: Map[String, Double] = Map.empty): Unit = {
     val line = jsonLine(results,
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), canary)
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), canary,
+      canaryIo, setups)
     if (line.length > 1400)
       println(s"[bench] WARNING: JSON line is ${line.length} chars; the driver's " +
         "2000-char tail must also hold sbt's trailing output - shrink ShownCap")
@@ -260,8 +319,15 @@ object Bench {
     *  - the headline fields (`failed`, `value`, `sf`) sit at the END of
     *    the object, so even a clipped head cannot take them — the tail
     *    of the line is the part the driver's window always keeps. */
+  /** Setup seconds below this ride the total alone; at/above it the gate
+    * earns a `setup` map entry so slow maintenance gates (s103/s111-
+    * style: >80% of their time is index-build/commit setup, not the
+    * measured query) are attributable from the driver's artifact. */
+  private val SetupShownSec = 0.5
+
   private[graft] def jsonLine(results: Seq[(String, Double)], sfDir: String,
-      canary: Double = -1.0): String = {
+      canary: Double = -1.0, canaryIo: Double = -1.0,
+      setups: Map[String, Double] = Map.empty): String = {
     require(results.map(r => shortId(r._1)).distinct.size == results.size,
       "short query ids collide; fix the new query's id prefix")
     val (ok, dead) = results.partition(_._2 >= 0)
@@ -273,14 +339,26 @@ object Bench {
     val shown = (shownOk ++ dead).sortBy(_._1)
     val qs = shown.map { case (k, v) => "\"" + shortId(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // setup split, SHOWN gates only (the slow ones are where attribution
+    // matters) and only when the setup share is material (>= 0.5 s) —
+    // keeps the line bounded however many gates exist
+    val ss = shown.filter { case (k, v) =>
+      v >= 0 && setups.get(k).exists(_ >= SetupShownSec)
+    }.map { case (k, _) => "\"" + shortId(k) + "\":" + f3(setups(k)) }
+      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failed = dead.size
     val omittedSec = omitted.map(_._2).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     // `canary`: the slowest child's fixed-reference-job median (machine-
-    // pressure indicator, see scaladoc); -1 when unmeasured (unit tests)
+    // pressure indicator, see scaladoc); `canary_io`: the slowest child's
+    // 128-fsync small-file-write median (storage-pressure indicator);
+    // -1 when unmeasured (unit tests). `setup` maps a shown gate to the
+    // seconds its median run spent INSIDE the gate body (index builds,
+    // commits) as opposed to materializing the returned plan.
     f"""{"metric":"total","unit":"sec","omitted_fast":${omitted.size},""" +
-      f""""omitted_sec":$omittedSec%.1f,"queries":$qs,"canary":$canary%.2f,""" +
+      f""""omitted_sec":$omittedSec%.1f,"queries":$qs,"setup":$ss,""" +
+      f""""canary":$canary%.2f,"canary_io":$canaryIo%.2f,""" +
       f""""failed":$failed,"value":$total%.2f,"sf":"$sfName"}"""
   }
 }

@@ -1657,14 +1657,22 @@ object Lance {
       s"branch '$name' moved past the audited head $auditedHead during " +
         "the quarantine split - main is untouched; staged violations sit " +
         s"on '$qname'; resume_publish('<table>', '$name') after inspection")
-    val published = graft.format.LanceFormat.readLatest(fs, root)
+    val prevTok = graft.format.LanceFormat.readLatest(fs, root)
       .flatMap(_.properties).getOrElse(Map.empty)
-      .get(s"graft.wap.last-publish.$name").contains(token)
-    if (!published)
+      .get(s"graft.wap.last-publish.$name")
+    if (!prevTok.contains(token))
       rows.filter(pass).write.format("lance")
         .option("write.set-properties",
           graft.format.LanceFormat.serializeProperties(
             Map(s"graft.wap.last-publish.$name" -> token)))
+        // CAS on the token's observed pre-state (null = must still be
+        // absent): two concurrent resume_publish calls can both observe
+        // published=false here, and without the guard both would append —
+        // double-landing the passing subset on main. With it the losing
+        // committer fails loud (ConcurrentModificationException) instead.
+        .option("write.require-properties",
+          graft.format.LanceFormat.serializeProperties(
+            Map(s"graft.wap.last-publish.$name" -> prevTok.orNull)))
         .mode("append").save(path)
     // ---- (3) the audited branch's rows now live in main + quarantine:
     // drop it (and with it the marker) so nothing can double-land

@@ -50,17 +50,24 @@ case class FragmentMeta(id: Int, file: String, rowCount: Long,
   * `scheme` versions the TAG semantics for composite keys. Unary specs
   * are `pmod(murmur3(col), n)` under every scheme. Composite specs:
   * `Some("grid")` (written since round 11) = the row-major per-column
-  * digit composition ([[BucketHash.gridTagOfInternal]]); `None` = a
-  * legacy chained-tuple-hash layout — its tags MUST NOT be decoded as
-  * grid digits (wrong pruning, mis-aligned joins), so readers treat
-  * such fragments as untagged (never prune, no SPJ) until a
-  * `CALL rebucket`/`cluster_by_bucket` rewrite re-tags them.
+  * digit composition ([[BucketHash.gridTagOfInternal]]) at uniform
+  * width; `Some("grid-w")` (round 13) = the same composition with the
+  * PER-COLUMN `widths` radices — stamped distinctly so a pre-widths
+  * reader refuses the tags instead of decoding them with the uniform
+  * max radix; `None` = a legacy chained-tuple-hash layout — its tags
+  * MUST NOT be decoded as grid digits (wrong pruning, mis-aligned
+  * joins), so readers treat such fragments as untagged (never prune,
+  * no SPJ) until a `CALL rebucket`/`cluster_by_bucket` rewrite re-tags
+  * them.
   */
 case class BucketSpecMeta(numBuckets: Int, columns: Seq[String],
     scheme: Option[String] = None, widths: Option[Seq[Int]] = None) {
-  /** Composite tags are trustworthy only under the grid scheme. */
+  /** Composite tags are trustworthy only under a known grid scheme:
+    * "grid" (uniform width) or "grid-w" (per-column widths — stamped
+    * distinctly so pre-widths readers treat the tags as unreadable
+    * instead of decoding them with the wrong uniform radix). */
   def compositeTagsReadable: Boolean =
-    columns.size == 1 || scheme.contains("grid")
+    columns.size == 1 || scheme.exists(s => s == "grid" || s == "grid-w")
   /** Per-column bucket widths — Iceberg's `bucket(8,a), bucket(32,b)`
     * shape. Equal-width specs (every spec before widths existed) omit
     * the field, so their manifests stay byte-identical and old readers
@@ -1193,9 +1200,14 @@ object LanceFormat {
       // a uniform-width vector collapses to the scalar field so the
       // manifest stays byte-identical to the pre-widths format
       val mixed = wv.nonEmpty && wv.exists(_ != wv.head)
+      // mixed-width specs stamp a DISTINCT scheme ("grid-w"): a pre-widths
+      // reader sharing the table would otherwise decode grid digits with
+      // the uniform max radix (wrong mixed-radix decomposition) and its
+      // compositeTagsReadable gate would pass — silent mis-pruning. An
+      // unknown scheme makes that reader fall back to full scans instead.
       val newSpec = Some(BucketSpecMeta(
         if (mixed) wv.max else wv.headOption.getOrElse(numBuckets), cols,
-        scheme = Some("grid"),
+        scheme = Some(if (mixed) "grid-w" else "grid"),
         widths = if (mixed) Some(wv) else None)).filter(_.columns.nonEmpty)
       // a CHANGED spec invalidates every per-fragment bucket tag: the
       // tags were computed under the OLD (n, columns) and reading them
@@ -1591,9 +1603,14 @@ object LanceFormat {
     if (required.nonEmpty) {
       val cur = prev.flatMap(_.properties).getOrElse(Map.empty)
       required.foreach { case (k, v) =>
-        if (!cur.get(k).contains(v))
+        // null required value = the key must be ABSENT (the mergeProperties
+        // null-unsets convention applied to the CAS side): lets a committer
+        // assert a never-before-set pre-state, e.g. the WAP publish token
+        val holds = if (v == null) !cur.contains(k) else cur.get(k).contains(v)
+        if (!holds)
           throw new java.util.ConcurrentModificationException(
-            s"required property $k=$v does not hold at $root (found " +
+            s"required property $k=${Option(v).getOrElse("<absent>")} does " +
+              s"not hold at $root (found " +
               s"${cur.get(k).getOrElse("<absent>")}): the watermark moved " +
               "under this commit - re-derive from the current state and re-run")
       }

@@ -303,9 +303,18 @@ object MvSqlDdl {
     val aggs = scala.collection.mutable.ArrayBuffer.empty[AggSpec]
     val groupEntries = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // plain column names match CASE-INSENSITIVELY (Spark's default
-    // resolution); expression texts match exactly
+    // resolution); expression texts match exactly — case-folding an
+    // EXPRESSION key would silently bind e.g. date_format(d,'mm')
+    // (minute) to a GROUP BY date_format(d,'MM') (month) key, creating
+    // a view whose key computes different semantics than the select item
+    val groupIsAttr = agg.groupingExpressions
+      .map(_.isInstanceOf[UnresolvedAttribute])
     def groupKeyOf(sql: String): Option[String] =
-      groupSqls.find(g => g == sql || g.equalsIgnoreCase(sql))
+      groupSqls.find(_ == sql).orElse {
+        groupSqls.zip(groupIsAttr).collectFirst {
+          case (g, true) if g.equalsIgnoreCase(sql) => g
+        }
+      }
     def enterGroup(key: String, alias: String): Unit = {
       groupEntries.get(key).foreach { prev =>
         if (prev != alias) refuse(

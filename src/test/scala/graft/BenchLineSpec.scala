@@ -82,6 +82,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(f""""value":$total%.2f"""), line)
   }
 
+  test("setup map carries shown gates with >=0.5s setup; smaller setups omitted") {
+    val line = Bench.jsonLine(
+      Seq(("s103_range_index", 10.2), ("q01_agg", 1.25), ("d41_exact", 0.7)),
+      "sf0.1", canary = 0.44, canaryIo = 0.31,
+      setups = Map("s103_range_index" -> 8.4, "q01_agg" -> 0.1,
+        "d41_exact" -> 0.6))
+    // s103: big setup share -> attributed; q01: 0.1s setup -> noise, omitted
+    assert(line.contains("\"setup\":{\"d41\":0.6,\"s103\":8.4}"), line)
+    assert(line.contains("\"canary\":0.44"), line)
+    assert(line.contains("\"canary_io\":0.31"), line)
+  }
+
+  test("setup entries never appear for omitted or failed gates") {
+    val line = Bench.jsonLine(
+      Seq(("q02_fast", 0.1), ("v21_dead", -1.0)), "sf0.1",
+      setups = Map("q02_fast" -> 0.9, "v21_dead" -> 0.9))
+    // q02 is omitted (total < 0.6) and v21 failed (-1): neither earns a
+    // setup entry (a failed gate's -1 "setup" is a sentinel, not a time)
+    assert(line.contains("\"setup\":{}"), line)
+  }
+
   test("the line stays under 1200 chars at 250 realistic queries") {
     // realistic sf0.1 shape: a third fast, a third ~1s, a third slower
     val many = (1 to 250).map { i =>

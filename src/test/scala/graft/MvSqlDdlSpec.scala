@@ -308,6 +308,16 @@ class MvSqlDdlSpec extends AnyFunSuite {
         GROUP BY status"""))
       assert(e1.getMessage.contains("more than one ON equality"),
         e1.getMessage)
+      // expression keys match EXACTLY: case-folding would silently bind
+      // date_format(..,'mm') (minute) to a GROUP BY date_format(..,'MM')
+      // (month) key — a view whose key computes different semantics than
+      // the select item. Only PLAIN column names match case-insensitively.
+      val eCase = intercept[Exception](spark.sql("""CREATE MATERIALIZED VIEW
+        ddlt7.db.x AS
+        SELECT date_format(timestamp_seconds(okey), 'mm') AS k, count(*) AS n
+        FROM ddlt7.db.r7
+        GROUP BY date_format(timestamp_seconds(okey), 'MM')"""))
+      assert(eCase.getMessage.contains("date_format"), eCase.getMessage)
       // duplicate select items for one group key refuse
       val e2 = intercept[Exception](spark.sql("""CREATE MATERIALIZED VIEW
         ddlt7.db.x AS SELECT status, status AS st, count(*) AS n

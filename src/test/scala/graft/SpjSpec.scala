@@ -324,6 +324,14 @@ class SpjSpec extends AnyFunSuite {
     assert(spec.widthsVec == Seq(8, 4) && spec.widths.isDefined, spec.toString)
     assert(spec == Lance.bucketSpec(spark, right).get,
       "SQL and facade declarations landed different specs")
+    // mixed widths stamp the DISTINCT "grid-w" scheme: a pre-widths reader
+    // (which only accepts "grid") must treat these tags as unreadable and
+    // full-scan, rather than decode the mixed-radix digits with the
+    // uniform max radix and silently mis-prune. This reader accepts both;
+    // any UNKNOWN scheme stays conservative.
+    assert(spec.scheme.contains("grid-w"), spec.toString)
+    assert(spec.compositeTagsReadable)
+    assert(!spec.copy(scheme = Some("grid-x")).compositeTagsReadable)
     def q = spark.sql(
       """SELECT l.a, l.b, l.v, r.w FROM spjw.db.lw l
         |JOIN spjw.db.rw r ON l.a = r.a AND l.b = r.b""".stripMargin)

@@ -335,4 +335,38 @@ class WapSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.wapres.warehouse")
     }
   }
+  test("main-append CAS: a raced double-land of the passing subset fails loud") {
+    // Two concurrent resume_publish calls can both observe published=false
+    // before either commits; quarantineLand's step-2 append therefore
+    // asserts the publish token's OBSERVED pre-state (usually: absent)
+    // via write.require-properties, with null = "must still be absent".
+    // Simulate the loser: the winner lands subset+token first, then the
+    // loser issues the same guarded append it would have built.
+    val dir = tmpDir()
+    (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.format("lance").mode("overwrite").save(dir)
+    Seq((11L, 1.0)).toDF("id", "x").write.format("lance")
+      .option("write.set-properties",
+        graft.format.LanceFormat.serializeProperties(
+          Map("graft.wap.last-publish.b" -> "tok-1")))
+      .mode("append").save(dir)
+    intercept[java.util.ConcurrentModificationException](
+      Seq((11L, 1.0)).toDF("id", "x").write.format("lance")
+        .option("write.set-properties",
+          graft.format.LanceFormat.serializeProperties(
+            Map("graft.wap.last-publish.b" -> "tok-1")))
+        .option("write.require-properties",
+          graft.format.LanceFormat.serializeProperties(
+            Map[String, String]("graft.wap.last-publish.b" -> null)))
+        .mode("append").save(dir))
+    assert(spark.read.format("lance").load(dir).count() == 11L,
+      "the raced append must land nothing")
+    // and the non-raced guard passes: pre-state matches -> commit lands
+    Seq((12L, 1.0)).toDF("id", "x").write.format("lance")
+      .option("write.require-properties",
+        graft.format.LanceFormat.serializeProperties(
+          Map("graft.wap.last-publish.b" -> "tok-1")))
+      .mode("append").save(dir)
+    assert(spark.read.format("lance").load(dir).count() == 12L)
+  }
 }
