@@ -2497,6 +2497,84 @@ object LanceQueries {
     got.withColumn("mode", lit(r.mode)).orderBy(col("o_orderpriority"))
   }
 
+  /** FULL-outer JOIN materialized view (s130): the two-sided
+    * retention/coverage dashboard shape — every order AND every item
+    * counts, matched or not, with join-side-only rows carrying their
+    * key in the merged column. The seed leaves some orders itemless
+    * (o_orderkey % 7 = 3 items dropped) and some items orderless
+    * (o_orderkey % 5 = 1 orders dropped), then ONE window drives zero
+    * crossings on BOTH sides: orders arriving for previously orderless
+    * items (their anti rows retract), orders leaving (their items flip
+    * anti), first items for itemless orders (null rows retract), last
+    * items leaving (null rows re-extend) — plus ordinary churn.
+    * Refresh must stay delta (Δ terms + BOTH sides' flip terms) and
+    * hash-match DuckDB's FULL JOIN ... GROUP BY recompute. */
+  def s130MvFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.{AggSpec, JoinSpec}
+    val srcA = scratch(dir, "mv_fjoin_a")
+    val srcB = scratch(dir, "mv_fjoin_b")
+    val view = scratch(dir, "mv_view_fjoin")
+    freshDataset(spark, srcA); freshDataset(spark, srcB)
+    freshDataset(spark, view)
+    // orders with o_orderkey % 5 = 1 start ABSENT: their items are
+    // join-side-only (anti) rows
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .filter(not(col("o_orderkey") % 5 === 1))
+      .write.format("lance").mode("overwrite").save(srcA)
+    // orders with o_orderkey % 7 = 3 start ITEMLESS (null-extended)
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(not(col("l_orderkey") % 7 === 3))
+      .write.format("lance").mode("overwrite").save(srcB)
+    MaterializedView.create(spark, view, srcA, Seq("o_orderpriority"),
+      Seq(AggSpec("count", "*", "n"),
+        AggSpec("count", "o_custkey", "na"),
+        AggSpec("count", "l_extendedprice", "nm"),
+        AggSpec("sum", "l_extendedprice", "sum_price")),
+      joins = Seq(JoinSpec(srcB, Map("o_orderkey" -> "l_orderkey"), "full")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      // orders ARRIVE for a fixed subset of the orderless item keys:
+      // those items' anti rows must retract (join-side 0 -> >0)
+      t(spark, dir, "orders")
+        .filter("o_orderkey % 5 = 1 AND o_orderkey % 3 = 0 AND o_orderkey <= 30000")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .write.format("lance").mode("append").save(srcA)
+      // orders LEAVE: their items must flip anti (join-side >0 -> 0)
+      graft.Lance.deleteWhere(spark, srcA, "o_orderkey % 13 = 6")
+      // FIRST items for itemless orders: null-extended rows retract
+      t(spark, dir, "orders")
+        .filter("o_orderkey % 77 = 3 AND o_orderkey <= 30000")
+        .select(col("o_orderkey").as("l_orderkey"),
+          lit(1234.56).as("l_extendedprice"))
+        .write.format("lance").mode("append").save(srcB)
+      // re-pricing across matched AND anti items
+      graft.Lance.updateWhere(spark, srcB,
+        "l_orderkey % 9 = 4 AND l_orderkey <= 30000",
+        Map("l_extendedprice" -> "l_extendedprice * 2"))
+      // LAST items out (null rows re-extend) + some anti items out
+      graft.Lance.deleteWhere(spark, srcB,
+        "l_orderkey % 93 = 5 AND l_orderkey <= 30000")
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta",
+      s"FULL join-view windows must refresh by delta, got $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(srcA)
+      .join(spark.read.format("lance").load(srcB),
+        col("o_orderkey") === col("l_orderkey"), "full")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count(col("o_custkey")).as("na"),
+        count(col("l_extendedprice")).as("nm"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+    require(sameRows(got, expect),
+      "FULL join-view incremental refresh drifted from the full recompute")
+    got.withColumn("mode", lit(r.mode)).orderBy(col("o_orderpriority"))
+  }
+
   /** SQL DDL for views (s129): `CREATE MATERIALIZED VIEW cat.db.v AS
     * SELECT ...` through the injected parser — the statement's SELECT
     * is parsed by Spark's own parser and translated into the create()
@@ -3068,6 +3146,7 @@ object LanceQueries {
     "s124_mv_rollup" -> s124MvRollup,
     "s125_mv_join" -> s125MvJoin,
     "s128_mv_left_join" -> s128MvLeftJoin,
+    "s130_mv_full_join" -> s130MvFullJoin,
     "s126_dependents_tvf" -> s126DependentsTvf,
     "s127_cherry_pick" -> s127CherryPick,
     "s117_publish" -> s117Publish,
@@ -3330,6 +3409,43 @@ object LanceQueries {
         | 'delta' AS mode
         |FROM a LEFT JOIN b ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s130: delta-mode + exactness are the require()s; the oracle
+    // reproduces the post-DML FULL join+group from raw parquet — the
+    // seed drops %5=1 orders (their items are join-side-only) and
+    // %7=3 items (those orders null-extend); the window crosses zero
+    // on BOTH sides. Anti rows land in the NULL priority group, so the
+    // ORDER BY pins NULLS FIRST (Spark's ascending default).
+    "s130_mv_full_join" ->
+      """WITH a0 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |  WHERE NOT (o_orderkey % 5 = 1)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 = 0
+        |    AND o_orderkey <= 30000
+        |), a AS (
+        |  SELECT * FROM a0 WHERE NOT (o_orderkey % 13 = 6)
+        |), b1 AS (
+        |  SELECT l_orderkey, l_extendedprice FROM lineitem
+        |  WHERE NOT (l_orderkey % 7 = 3)
+        |  UNION ALL
+        |  SELECT o_orderkey AS l_orderkey, 1234.56 AS l_extendedprice
+        |  FROM orders WHERE o_orderkey % 77 = 3 AND o_orderkey <= 30000
+        |), b AS (
+        |  SELECT l_orderkey,
+        |         CASE WHEN l_orderkey % 9 = 4 AND l_orderkey <= 30000
+        |              THEN l_extendedprice * 2
+        |              ELSE l_extendedprice END AS l_extendedprice
+        |  FROM b1
+        |  WHERE NOT (l_orderkey % 93 = 5 AND l_orderkey <= 30000)
+        |)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        | COUNT(o_custkey) AS na,
+        | COUNT(l_extendedprice) AS nm,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | 'delta' AS mode
+        |FROM a FULL JOIN b ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     // s126: the pre-refresh lag (=2) is the require(); post-refresh both
     // registrations report zero lag — planted rows
     "s126_dependents_tvf" ->

@@ -198,8 +198,14 @@ object MaterializedView {
     require(keys.nonEmpty, "a join table needs at least one key")
     require(!path.contains('|') && !path.contains('\n'),
       s"join path '$path' may not contain '|' or newline (property encoding)")
-    require(joinType == "inner" || joinType == "left",
-      s"join type '$joinType' unsupported - inner and left are")
+    require(Set("inner", "left", "full", "right").contains(joinType),
+      s"join type '$joinType' unsupported - inner, left, right and full are")
+    /** FULL/RIGHT factors carry a join-side-only ("anti") part: rows of
+      * the join table matching NO source row surface with the prefix
+      * null-extended and the key value carried in the SOURCE key column
+      * (coalesce(s, k) — the merged-key shape a coverage dashboard
+      * groups by). Their IVM adds the mirrored flip terms; see refresh. */
+    def hasAntiSide: Boolean = joinType == "full" || joinType == "right"
     keys.foreach { case (s, k) =>
       Seq(s, k).foreach(c => require(
         !c.contains(',') && !c.contains('=') && !c.contains('\n') && !c.contains('|'),
@@ -331,26 +337,38 @@ object MaterializedView {
   }
 
   /** Join every fact table onto `rows` at the given versions, each with
-    * its declared join type (inner or left). `images`: when set, that
-    * one join's factor is the change-feed IMAGES frame instead of the
-    * table — the telescoping terms of the IVM identity ride this.
-    * `innerOverride`: factor paths joined INNER regardless of their
-    * declared type — the Δ-image term of a LEFT factor (unmatched left
-    * rows contribute nothing to that term; the zero-crossing null
-    * extension rides the separate flip terms). Joined-side key columns
-    * drop (the source key carries the value). */
+    * its declared join type (inner/left/right/full). `images`: when set,
+    * that one join's factor is the change-feed IMAGES frame instead of
+    * the table — the telescoping terms of the IVM identity ride this.
+    * `howOverride`: factor paths joined with the GIVEN type regardless
+    * of their declared one — the Δ-image term of a LEFT factor joins
+    * inner (unmatched left rows contribute nothing to that term; the
+    * zero-crossing null extension rides the separate flip terms), the
+    * ΔA term of a FULL factor joins left / of a RIGHT factor inner (the
+    * join-side anti part rides the mirrored terms). Joined-side key
+    * columns drop; for FULL/RIGHT factors the SOURCE key column becomes
+    * coalesce(s, k) first, so join-side-only rows carry their key in
+    * the source column (the merged-key shape) however the view groups. */
   private def applyJoins(spark: SparkSession, rows: DataFrame,
       joins: Seq[(JoinSpec, Long)],
       images: Map[String, DataFrame] = Map.empty,
-      innerOverride: Set[String] = Set.empty): DataFrame =
+      howOverride: Map[String, String] = Map.empty): DataFrame =
     joins.foldLeft(rows) { case (df, (j, v)) =>
       val abs = new java.io.File(j.path).getAbsolutePath
       val right = images.getOrElse(abs,
         spark.read.format("lance")
           .option("versionAsOf", v.toString).load(j.path))
       val cond = j.keys.map { case (s, k) => df(s) === right(k) }.reduce(_ && _)
-      val how = if (innerOverride.contains(abs)) "inner" else j.joinType
-      j.keys.values.foldLeft(df.join(right, cond, how)) {
+      val how = howOverride.getOrElse(abs, j.joinType)
+      val joined = df.join(right, cond, how)
+      // coalesce BEFORE dropping the right key, whatever `how` this term
+      // used: matched and left-only rows keep df(s) (right(k) is equal or
+      // null), anti rows get the key — every path shapes rows identically
+      val merged = if (!j.hasAntiSide) joined
+        else j.keys.foldLeft(joined) { case (o, (s, k)) =>
+          o.withColumn(s, coalesce(df(s), right(k)))
+        }
+      j.keys.values.foldLeft(merged) {
         (o, k) => o.drop(right(k))
       }
     }
@@ -559,6 +577,13 @@ object MaterializedView {
     require(joinPaths.distinct.size == joinPaths.size &&
       !joinPaths.contains(srcAbs),
       "join tables must be distinct from each other and from the source")
+    // FULL/RIGHT views: exactly one join table. The join-side anti part
+    // flips with EVERY prefix factor's delta, so the two-sided
+    // zero-crossing terms do not telescope across chains — stack
+    // single-join views (the s125/s128 posture) for wider shapes.
+    require(!joins.exists(_.hasAntiSide) || joins.size == 1,
+      "a FULL/RIGHT join view supports exactly one join table - split " +
+        "into stacked single-join views, or declare inner/left factors")
     var taken = srcFields
     // join keys resolve over the namespace ACCUMULATED so far — the
     // source, or an EARLIER join's attributes (the snowflake chain:
@@ -1149,11 +1174,88 @@ object MaterializedView {
           // Signed multiset algebra: each term's images carry their own
           // _change_type, so the ordinary delta arithmetic applies.
           val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          // build a join-side-only ("anti") row frame: prefix columns
+          // null except the source KEY columns, which carry the join
+          // side's key values (the coalesce(s,k) merged-key shape every
+          // applyJoins path produces for FULL/RIGHT factors). `jRows` is
+          // join-table-shaped; extra columns (feed meta, flip marks)
+          // ride through untouched.
+          def antiShape(jRows: DataFrame, keyPairs: Seq[(String, String)])
+              : DataFrame = {
+            val kOf = keyPairs.toMap // source col -> join col
+            val srcNames = srcM.schema.fieldNames.toSet
+            val kSet = keyPairs.map(_._2).toSet
+            val sel = srcM.schema.fields.toSeq.map { f =>
+              kOf.get(f.name).map(k => q(k).cast(f.dataType).as(f.name))
+                .getOrElse(lit(null).cast(f.dataType).as(f.name))
+            } ++ jRows.columns.toSeq
+              .filterNot(c => kSet.contains(c) || srcNames.contains(c))
+              .map(c => q(c))
+            jRows.select(sel: _*)
+          }
           if (vN != v0) {
             val aFeed = tableFeed(source, v0, vN)
+            // a FULL factor's ΔA term joins LEFT, a RIGHT factor's INNER:
+            // the images' own match/no-match decides their rows; the
+            // join-side anti flips ride the mirrored term below
             terms += applyJoins(spark, aFeed,
               joinHeads.map { case (j, _, nv) => (j, nv) },
-              prunedFactors(aFeed))
+              prunedFactors(aFeed),
+              howOverride = joinHeads.collect {
+                case (j, _, _) if j.joinType == "full" =>
+                  new java.io.File(j.path).getAbsolutePath -> "left"
+                case (j, _, _) if j.joinType == "right" =>
+                  new java.io.File(j.path).getAbsolutePath -> "inner"
+              }.toMap)
+            joinHeads.foreach { case (j, _, jvN) if j.hasAntiSide =>
+              // ---- join-side zero-crossing flips driven by ΔA:
+              //   (J@new ▷ A@new) − (J@new ▷ A@old), null-extended
+              // A J@new row is "anti" iff NO source row matches its key;
+              // membership flips exactly where the source-side match
+              // count crosses zero. cnt@old = cnt@new − net(ΔA) per key
+              // (no second snapshot). NULL-component keys never match on
+              // either side — excluded here, constant-anti there.
+              val keyPairs = j.keys.toSeq
+              val sCols = keyPairs.map(_._1)
+              val aSign = when(col("_change_type")
+                .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+              val netA = aFeed
+                .filter(sCols.map(q(_).isNotNull).reduce(_ && _))
+                .groupBy(sCols.map(q): _*).agg(sum(aSign).as("_mv_net"))
+              val aNew = spark.read.format("lance")
+                .option("versionAsOf", vN.toString).load(source)
+              val cntA = prunedByKeys(aNew, sCols.map(c => (c, c)), netA)
+                .join(netA.select(sCols.map(q): _*), sCols, "left_semi")
+                .groupBy(sCols.map(q): _*).agg(count(lit(1)).as("_mv_cnt"))
+              val flips = netA.join(cntA, sCols, "left")
+                .withColumn("_mv_cnt", coalesce(q("_mv_cnt"), lit(0L)))
+                .withColumn("_mv_flip",
+                  when(q("_mv_cnt") > 0 && q("_mv_cnt") === q("_mv_net"),
+                    lit(-1L)) // 0 → >0 source matches: retract anti rows
+                    .when(q("_mv_cnt") === 0L && q("_mv_net") < 0,
+                      lit(1L)) // >0 → 0: the join rows become anti
+                    .otherwise(lit(0L)))
+                .filter(q("_mv_flip") =!= 0L)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              localFeeds += flips
+              if (!flips.isEmpty) {
+                val kCols = keyPairs.map(_._2)
+                // flip keys renamed source→join side for the prune+join
+                val fk = flips.select((keyPairs.map { case (s, k) =>
+                  q(s).as(k) } :+ q("_mv_flip")): _*)
+                val jNew = spark.read.format("lance")
+                  .option("versionAsOf", jvN.toString).load(j.path)
+                val jHit = prunedByKeys(jNew, kCols.map(c => (c, c)), fk)
+                  .join(fk, kCols, "inner")
+                terms += antiShape(jHit, keyPairs)
+                  .withColumn("_change_type",
+                    when(q("_mv_flip") === -1L, lit("delete"))
+                      .otherwise(lit("insert")))
+                  .withColumn("_commit_version", lit(vN))
+                  .drop("_mv_flip")
+              }
+            case _ => ()
+            }
           }
           lazy val aOld = spark.read.format("lance")
             .option("versionAsOf", v0.toString).load(source)
@@ -1200,8 +1302,24 @@ object MaterializedView {
               // which the flip term below carries
               terms += applyJoins(spark, aBase, versions,
                 images = pruned + (jAbs -> jFeed),
-                innerOverride = Set(jAbs))
-              if (j.joinType == "left") {
+                howOverride = Map(jAbs -> "inner"))
+              if (j.hasAntiSide) {
+                // ---- join-side anti images: ΔJi ▷ A@old, null-extended.
+                // Δ rows matching NO old-source row (or carrying a NULL
+                // key component — those never match) enter/leave the
+                // view's join-side-only rows under their own change
+                // sign; the source-side count flips of THIS window's ΔA
+                // were already handled against J@new above.
+                val kCols = keyPairs.map(_._2)
+                val aKeys = prunedByKeys(aOld, srcOwned, jFeed)
+                  .select(keyPairs.map { case (s, k) => q(s).as(k) }: _*)
+                  .distinct()
+                // left_anti keeps NULL-component keys (never equal) —
+                // exactly the always-anti rows
+                terms += antiShape(jFeed.join(aKeys, kCols, "left_anti"),
+                  keyPairs)
+              }
+              if (j.joinType == "left" || j.joinType == "full") {
                 // ---- LEFT zero-crossing flips over this window:
                 //   P@old ⟕ Ji@new − P@old ⟕ Ji@old
                 //     = P@old ⋈ ΔJi                  (the term above)
@@ -1426,8 +1544,15 @@ object MaterializedView {
           .map(_.toInt).getOrElse(1000)
         val sample = affected.limit(cap + 1).collect()
         val rawNames = srcSchema.fieldNames.toSet
+        // a FULL/RIGHT view's recompute must join the UNFILTERED sides: a
+        // source scan pre-filtered to the affected groups would make
+        // every join row matching a filtered-out source row spuriously
+        // "anti" (null-extended), and its merged key can land in an
+        // affected group — the gid semi-join below stays the only
+        // (exact) scope for those views
+        val hasAnti = joinHeads.exists(_._1.hasAntiSide)
         val (preFiltered, preFilterApplied) =
-          if (sample.length > cap) (srcNow0, false)
+          if (sample.length > cap || hasAnti) (srcNow0, false)
           else {
             val conds = groupBy.zipWithIndex.collect {
               case (c, i) if rawNames.contains(c) =>

@@ -867,4 +867,229 @@ class JoinViewSpec extends AnyFunSuite {
     assertSame(MaterializedView.read(spark, view), recompute(a, b),
       "post-recovery view != recompute")
   }
+  // ------------------------------------------------------- FULL / RIGHT
+
+  private def recomputeOuter(a: String, b: String, how: String): DataFrame =
+    spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), how)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), count(col("amount")).as("nm"),
+        Tables.dsum(col("amount")).as("amt"))
+
+  test("FULL join view: both-side zero crossings in one window delta-refresh exactly") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b) // okey % 4 == 0 matchless on the A side
+    // join-side-only keys: no A row has okey 301..303
+    Seq((301L, 10.0, "t0"), (301L, 11.0, "t1"), (302L, 12.0, "t0"),
+      (303L, 13.0, "t1")).toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("append").save(b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "amount", "nm"),
+        AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "full")))
+    assertSame(MaterializedView.read(spark, view), recomputeOuter(a, b, "full"),
+      "created FULL view != recompute")
+    withFeed {
+      // join-side 0 -> >0 (driven by dA): okey=301 arrives, its 2 anti rows retract
+      Seq((301L, "s1", 3L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a)
+      // join-side >0 -> 0 (driven by dA): matched orders leave, items flip anti
+      Lance.deleteWhere(spark, a, "okey IN (2, 3)")
+      // source-side 0 -> >0: first item for matchless okey=4, null row retracts
+      Seq((4L, 40.0, "t0")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)
+      // source-side >0 -> 0: strip all items of okey=7, null row re-extends
+      Lance.deleteWhere(spark, b, "o_key = 7")
+      // pure anti churn: matchless join rows in, existing anti rows out
+      Seq((400L, 44.0, "t1")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)
+      Lance.deleteWhere(spark, b, "o_key = 302")
+      // a join-KEY update moving one row from matched to anti
+      Lance.updateWhere(spark, b, "o_key = 10 AND amount < 5.4",
+        Map("o_key" -> "999"))
+      // ordinary non-crossing churn on both sides
+      Lance.updateWhere(spark, b, "o_key % 11 = 6",
+        Map("amount" -> "amount + 1000"))
+      Seq((901L, "s1", 1L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a)
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"expected delta, got $r")
+    assertSame(MaterializedView.read(spark, view), recomputeOuter(a, b, "full"),
+      "FULL view after both-side crossings != recompute")
+    assert(MaterializedView.refresh(spark, view).mode == "noop")
+  }
+
+  test("FULL join view pins both-side crossings per merged key") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    Seq((1L, "s0", 0L), (2L, "s0", 0L)).toDF("okey", "status", "cust")
+      .write.format("lance").mode("overwrite").save(a)
+    Seq((2L, 5.0, "t0"), (2L, 7.0, "t0"), (9L, 4.0, "t9"))
+      .toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("overwrite").save(b)
+    MaterializedView.create(spark, view, a, Seq("okey"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "cust", "nc"),
+        AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "full")))
+    def rows() = MaterializedView.read(spark, view).orderBy("okey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)))).toSeq
+    // okey=1 source-only; okey=2 matched; okey=9 join-side-only with its
+    // key CARRIED in the merged okey column (not a NULL group): nc=0
+    // tells the sides apart
+    assert(rows() == Seq((1L, 1L, 1L, None), (2L, 2L, 2L, Some(12.0)),
+      (9L, 1L, 0L, Some(4.0))), rows().toString)
+    // the source row for 9 arrives: anti row retracts, matched row in
+    withFeed {
+      Seq((9L, "s9", 5L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a)
+    }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assert(rows() == Seq((1L, 1L, 1L, None), (2L, 2L, 2L, Some(12.0)),
+      (9L, 1L, 1L, Some(4.0))), rows().toString)
+    // and leaves again: back to the join-side-only shape
+    withFeed { Lance.deleteWhere(spark, a, "okey = 9") }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assert(rows() == Seq((1L, 1L, 1L, None), (2L, 2L, 2L, Some(12.0)),
+      (9L, 1L, 0L, Some(4.0))), rows().toString)
+    // last join row for 9 leaves: no side left, the group dies
+    withFeed { Lance.deleteWhere(spark, b, "o_key = 9") }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assert(rows() == Seq((1L, 1L, 1L, None), (2L, 2L, 2L, Some(12.0))),
+      rows().toString)
+  }
+
+  test("RIGHT join view: inner part plus join-side-only rows, both change-fed") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    Seq((301L, 10.0, "t0"), (302L, 12.0, "t0")).toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("append").save(b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "amount", "nm"),
+        AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "right")))
+    assertSame(MaterializedView.read(spark, view), recomputeOuter(a, b, "right"),
+      "created RIGHT view != recompute")
+    withFeed {
+      Seq((301L, "s1", 3L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a)   // anti 0 -> >0
+      Lance.deleteWhere(spark, a, "okey IN (2, 3)")     // matched -> anti
+      Seq((400L, 44.0, "t1")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)   // anti insert
+      Lance.deleteWhere(spark, b, "o_key = 302")        // anti delete
+      Lance.deleteWhere(spark, b, "o_key = 7")          // inner rows out,
+                                                        // NO null re-extension
+      Seq((901L, "s1", 1L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a)   // matchless: no effect
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"expected delta, got $r")
+    assertSame(MaterializedView.read(spark, view), recomputeOuter(a, b, "right"),
+      "RIGHT view after two-sided window != recompute")
+  }
+
+  test("FULL min/max join view rescans scoped groups on removal windows") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    Seq((301L, 95.0, "t0"), (302L, 12.0, "t0")).toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("append").save(b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("max", "amount", "mx")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "full")))
+    def recomputeMx() = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "full")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), max(col("amount")).as("mx"))
+    withFeed {
+      Lance.deleteWhere(spark, b, "amount > 80") // removals move maxima,
+                                                 // incl. the anti 95.0
+      Seq((4L, 0.25, "t0")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)
+      Lance.deleteWhere(spark, a, "okey = 5")    // its items flip anti
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "groups", s"expected scoped rescan, got $r")
+    assertSame(MaterializedView.read(spark, view), recomputeMx(),
+      "FULL min/max view after removal window != recompute")
+  }
+
+  test("PROPERTY: random two-sided rounds on a FULL join view stay exact") {
+    val rnd = new scala.util.Random(1303)
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    // standing join-side-only population so anti churn fires from round 1
+    Seq((301L, 10.0, "t0"), (302L, 12.0, "t1"), (303L, 13.0, "t0"))
+      .toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("append").save(b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "amount", "nm"),
+        AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "full")))
+    var nextKey = 5000L
+    (1 to 4).foreach { round =>
+      withFeed {
+        (1 to 2 + rnd.nextInt(3)).foreach { _ =>
+          rnd.nextInt(7) match {
+            case 0 => // source rows out: their items flip anti
+              Lance.deleteWhere(spark, a, s"okey % 17 = ${rnd.nextInt(17)}")
+            case 1 =>
+              Lance.updateWhere(spark, a, s"okey % 13 = ${rnd.nextInt(13)}",
+                Map("status" -> s"'s${rnd.nextInt(6)}'"))
+            case 2 => // LAST matches out for a whole key class
+              Lance.deleteWhere(spark, b, s"o_key % 9 = ${rnd.nextInt(9)}")
+            case 3 =>
+              Lance.updateWhere(spark, b, s"o_key % 7 = ${rnd.nextInt(7)}",
+                Map("amount" -> s"amount + ${rnd.nextInt(50)}"))
+            case 4 => // FIRST matches for previously matchless keys
+              val k = rnd.nextInt(200)
+              spark.read.format("lance").load(a)
+                .filter(s"okey % 20 = $k % 20")
+                .select(col("okey").as("o_key"),
+                  (rand(k) * 10).cast("double").as("amount"),
+                  lit(s"t${rnd.nextInt(4)}").as("tag"))
+                .limit(5)
+                .write.format("lance").mode("append").save(b)
+            case 5 => // half of these are join-side-only keys (anti rows)
+              val rows = (0 until 2).map { _ =>
+                nextKey += 1
+                (if (rnd.nextBoolean()) nextKey else 1L + rnd.nextInt(200),
+                  rnd.nextDouble() * 50, s"t${rnd.nextInt(4)}")
+              }
+              rows.toDF("o_key", "amount", "tag")
+                .write.format("lance").mode("append").save(b)
+            case 6 =>
+              Lance.compact(spark, if (rnd.nextBoolean()) a else b)
+          }
+        }
+      }
+      val r = MaterializedView.refresh(spark, view)
+      val expect = spark.read.format("lance").load(a)
+        .join(spark.read.format("lance").load(b),
+          col("okey") === col("o_key"), "full")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), count(col("amount")).as("nm"),
+          Tables.dsum(col("amount")).as("amt"))
+      assertSame(MaterializedView.read(spark, view), expect,
+        s"round $round (mode=${r.mode}): FULL join view diverged")
+    }
+  }
+
+  test("FULL/RIGHT views refuse chains: exactly one join table") {
+    val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
+    val view = tmpDir() + "/v"
+    seed(a, b)
+    (1L to 20L).map(i => (i, i * 2.0)).toDF("k2", "w")
+      .write.format("lance").mode("overwrite").save(c)
+    val e = intercept[IllegalArgumentException](
+      MaterializedView.create(spark, view, a, Seq("status"),
+        Seq(AggSpec("count", "*", "n")),
+        joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "full"),
+          JoinSpec(c, Map("okey" -> "k2"), "inner"))))
+    assert(e.getMessage.contains("exactly one join table"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      JoinSpec(b, Map("okey" -> "o_key"), "anti"))
+    assert(e2.getMessage.contains("unsupported"), e2.getMessage)
+  }
 }
