@@ -2627,6 +2627,60 @@ object LanceQueries {
     }
   }
 
+  /** HAVING through the MV SQL DDL (s131). The predicate is a
+    * READ-TIME filter over the view's output columns: the stored state
+    * stays UNFILTERED (require()d below — raw rows > read rows), so
+    * the delta math never sees the predicate and a DML window that
+    * moves groups ACROSS the HAVING boundary needs no flip machinery —
+    * the state rows simply start/stop matching at read. Hash-matched
+    * against DuckDB's GROUP BY ... HAVING recompute. */
+  def s131MvHaving(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    val wh = scratch(dir, "mv_hav_wh")
+    freshDataset(spark, wh)
+    val whAbs = new java.io.File(wh).getAbsolutePath
+    spark.conf.set("spark.sql.catalog.mvhav", "graft.catalog.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.mvhav.warehouse", whAbs)
+    try {
+      val src = s"$whAbs/db/orders_hav"
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.format("lance").mode("overwrite").save(src)
+      spark.sql("""CREATE MATERIALIZED VIEW mvhav.db.vh AS
+        SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS sum_price
+        FROM mvhav.db.orders_hav
+        GROUP BY o_custkey HAVING count(*) >= 8""")
+      spark.conf.set("spark.graft.dml.changeFeed", "true")
+      try {
+        // sink some groups below the boundary ...
+        graft.Lance.deleteWhere(spark, src, "o_orderkey % 10 = 3")
+        // ... raise a new group above it (9 rows) and plant one below
+        // (3 rows) so raw > read holds by construction at every SF
+        spark.createDataFrame(
+          (1 to 9).map(i => (-i.toLong, -5L, 111.11)) ++
+            (10 to 12).map(i => (-i.toLong, -6L, 111.11)))
+          .toDF("o_orderkey", "o_custkey", "o_totalprice")
+          .coalesce(1).write.format("lance").mode("append").save(src)
+      } finally spark.conf.unset("spark.graft.dml.changeFeed")
+      val view = s"$whAbs/db/vh"
+      val r = MaterializedView.refresh(spark, view)
+      require(r.mode == "delta",
+        s"a HAVING view must refresh by delta like any other, got $r")
+      val got = MaterializedView.read(spark, view)
+      require(spark.read.format("lance").load(view).count() > got.count(),
+        "HAVING must filter at READ time over unfiltered state")
+      val expect = spark.read.format("lance").load(src).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .filter(col("n") >= 8)
+      require(sameRows(got, expect),
+        "HAVING view drifted from the filtered recompute")
+      got.withColumn("mode", lit(r.mode)).orderBy(col("o_custkey"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mvhav")
+      spark.conf.unset("spark.sql.catalog.mvhav.warehouse")
+    }
+  }
+
   /** `lance_dependents` TVF (s126): the operator-facing registry —
     * after a join-side-only DML batch the TVF shows the view lagging
     * the JOIN table by exactly the committed versions (require()d),
@@ -3139,6 +3193,7 @@ object LanceQueries {
     "s113_cdf_dml" -> s113CdfDml,
     "s115_mv_delta" -> s115MvDelta,
     "s129_mv_sql_ddl" -> s129MvSqlDdl,
+    "s131_mv_having" -> s131MvHaving,
     "s116_mv_minmax" -> s116MvMinmax,
     "s121_mv_expr" -> s121MvExpr,
     "s122_mv_distinct" -> s122MvDistinct,
@@ -3602,6 +3657,23 @@ object LanceQueries {
         |   / COUNT(o_totalprice) AS avg_price,
         | 'delta' AS mode
         |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // s131: delta-mode + unfiltered-state are the require()s; the
+    // oracle reproduces the post-DML aggregate WITH the HAVING cut
+    "s131_mv_having" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 3
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (-1, -5, 111.11), (-2, -5, 111.11), (-3, -5, 111.11),
+        |    (-4, -5, 111.11), (-5, -5, 111.11), (-6, -5, 111.11),
+        |    (-7, -5, 111.11), (-8, -5, 111.11), (-9, -5, 111.11),
+        |    (-10, -6, 111.11), (-11, -6, 111.11), (-12, -6, 111.11))
+        |)
+        |SELECT o_custkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | 'delta' AS mode
+        |FROM final GROUP BY o_custkey HAVING COUNT(*) >= 8
+        |ORDER BY o_custkey""".stripMargin,
     // s116: groups %13=7 die entirely; >150000 deletions move the max
     "s116_mv_minmax" ->
       """SELECT o_custkey, COUNT(*) AS n,

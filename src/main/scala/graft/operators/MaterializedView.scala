@@ -236,6 +236,10 @@ object MaterializedView {
   private val PropAggs = "graft.mv.aggs"
   private val PropVersion = "graft.mv.version"
   private val PropWhere = "graft.mv.where"
+  /** Read-time HAVING over the view's OUTPUT columns (group aliases +
+    * aggregate aliases). The stored state is UNFILTERED — refresh delta
+    * math never sees this predicate; [[read]] applies it. */
+  private val PropHaving = "graft.mv.having"
   /** Pinned star dims: one `<version>|<abs path>|s=k,s2=k2` line each. */
   private val PropDims = "graft.mv.dims"
   /** Change-fed join tables, same line shape as dims — but the version
@@ -553,7 +557,8 @@ object MaterializedView {
       groupBy: Seq[String], aggs: Seq[AggSpec],
       where: Option[String] = None,
       dims: Seq[DimSpec] = Seq.empty,
-      joins: Seq[JoinSpec] = Seq.empty): Long = {
+      joins: Seq[JoinSpec] = Seq.empty,
+      having: Option[String] = None): Long = {
     require(groupBy.nonEmpty, "materialized view needs at least one group column")
     val keys = groupBy.map(parseGroupKey) // validates alias/expr characters
     val keyDups = keys.groupBy(_.alias).collect { case (a, ks) if ks.size > 1 => a }
@@ -745,6 +750,36 @@ object MaterializedView {
             s"joins/dims): ${e.getMessage}")
       }
     }
+    // HAVING resolves over the view's OUTPUT face (group aliases +
+    // aggregate aliases) — analysis-only probe through the same
+    // state-derivation path read() serves. Row-local and deterministic
+    // for the same reason as WHERE: read() must filter each stored
+    // group row independently, on every read identically.
+    having.foreach { h =>
+      val probe = stateAgg(enrichedProbe, keys, aggs)
+      val visible = probe.drop(
+        probe.columns.filter(_.startsWith("_mv_")).toIndexedSeq: _*)
+      val analyzed = try visible.filter(expr(h)).queryExecution.analyzed
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"HAVING '$h' does not resolve over the view's output columns " +
+            s"(${(keys.map(_.alias) ++ aggs.map(_.alias)).mkString(", ")}): " +
+            e.getMessage)
+      }
+      require(!analyzed.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]) &&
+        // the filter sits ABOVE the probe's aggregation; a second
+        // aggregate INSIDE the predicate is the un-maintainable shape
+        !analyzed.collectFirst { case f: org.apache.spark.sql.catalyst
+          .plans.logical.Filter => f }.exists(_.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate
+            .AggregateExpression]))),
+        s"HAVING '$h' may not aggregate or window: reference the selected " +
+          "aggregates by their aliases")
+      require(analyzed.expressions.forall(_.deterministic),
+        s"HAVING '$h' is nondeterministic: every read must filter " +
+          "identically")
+    }
     val (vfs, vroot) = fsRoot(spark, viewPath)
     require(LanceFormat.readLatest(vfs, vroot).isEmpty,
       s"dataset already exists at $viewPath")
@@ -794,7 +829,7 @@ object MaterializedView {
         PropSource -> new java.io.File(sourcePath).getAbsolutePath,
         PropAggs -> encodeAggs(aggs),
         PropVersion -> registered.toString) ++ encodeGroupKeys(keys) ++
-        where.map(PropWhere -> _) ++
+        where.map(PropWhere -> _) ++ having.map(PropHaving -> _) ++
         (if (pinned.isEmpty) Map.empty
          else Map(PropDims -> encodeDims(pinned))) ++
         (if (registeredJoins.isEmpty) Map.empty
@@ -1678,9 +1713,17 @@ object MaterializedView {
   }
 
   /** The view's visible face: group columns + aggregate columns, hidden
-    * state dropped. */
+    * state dropped, and the registered HAVING predicate (if any)
+    * applied. HAVING is a READ-TIME filter by design: the stored state
+    * stays unfiltered, so the delta arithmetic never sees the predicate
+    * — a group crossing the HAVING boundary needs no retract/re-extend
+    * machinery, it simply starts (or stops) matching here. */
   def read(spark: SparkSession, viewPath: String): DataFrame = {
     val df = spark.read.format("lance").load(viewPath)
-    df.drop(df.columns.filter(_.startsWith("_mv_")).toIndexedSeq: _*)
+    val (vfs, vroot) = fsRoot(spark, viewPath)
+    val having = LanceFormat.readLatest(vfs, vroot)
+      .flatMap(_.properties).getOrElse(Map.empty).get(PropHaving)
+    val visible = df.drop(df.columns.filter(_.startsWith("_mv_")).toIndexedSeq: _*)
+    having.fold(visible)(h => visible.filter(expr(h)))
   }
 }

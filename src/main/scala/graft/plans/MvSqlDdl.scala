@@ -97,10 +97,14 @@ object MvSqlDdl {
   }
 
   /** Translate the parsed (UNRESOLVED) SELECT into the create() spec.
-    * Returns (sourcePath, groupBy entries, aggs, where, joins, dims). */
+    * Returns (sourcePath, groupBy entries, aggs, where, joins, dims,
+    * having). HAVING translates into a predicate over the view's OUTPUT
+    * columns (aggregate calls rewrite to their selected aliases) and is
+    * applied at READ time — the materialized state stays unfiltered, so
+    * the delta refresh math never sees the predicate. */
   private[graft] def translate(session: SparkSession, plan: LogicalPlan)
       : (String, Seq[String], Seq[AggSpec], Option[String], Seq[JoinSpec],
-        Seq[DimSpec]) = {
+        Seq[DimSpec], Option[String]) = {
     // ---- the MV_DIM hint channel: names joins that are PINNED star
     // dims rather than change-fed facts; any other hint is meaningless
     // in a STORED spec (there is no plan to hint) and refuses
@@ -124,9 +128,6 @@ object MvSqlDdl {
         "create the view without them; order at read time")
       case _: Distinct => refuse("SELECT DISTINCT",
         "GROUP BY the selected columns (same rows, maintainable state)")
-      case p if p.nodeName == "UnresolvedHaving" => refuse("HAVING",
-        "filter the view at read time (WHERE on the view), or move a " +
-          "row-level predicate into the view's WHERE")
       case u: Union => refuse("UNION/set operations",
         "one view per branch, UNION at read time")
       case _ => ()
@@ -241,10 +242,15 @@ object MvSqlDdl {
           "FROM <lance table> [INNER|LEFT JOIN <lance table> ON ...]")
       }
 
-    // ---- the statement spine: Aggregate over [Filter over] FROM
-    // the hint may wrap the WHOLE statement (SELECT /*+ ... */ parses
-    // it above the Aggregate) or sit under it — strip at both spots
-    val (agg, whereExpr, fromPlan) = stripHints(plan) match {
+    // ---- the statement spine: [Having over] Aggregate over [Filter
+    // over] FROM — the hint may wrap the WHOLE statement (SELECT
+    // /*+ ... */ parses it above the Aggregate) or sit under it
+    val (spine, havingCond) = stripHints(plan) match {
+      case org.apache.spark.sql.catalyst.analysis
+          .UnresolvedHaving(cond, child) => (stripHints(child), Some(cond))
+      case other => (other, None)
+    }
+    val (agg, whereExpr, fromPlan) = spine match {
       case a @ Aggregate(_, _, child, _) => stripHints(child) match {
         case Filter(cond, from) => (a, Some(cond), from)
         case from => (a, None, from)
@@ -382,7 +388,61 @@ object MvSqlDdl {
       case (entry, _: UnresolvedAttribute) => entry
       case (alias, e) => s"${exprSql(e)} AS $alias"
     }
-    (srcPath, groupBy, aggs.toSeq, whereExpr.map(_.sql), joins, dims.toSeq)
+    // ---- HAVING → a READ-TIME predicate over the view's OUTPUT
+    // columns: aggregate calls rewrite to their selected aliases
+    // (HAVING count(*) > 3 binds to n when count(*) AS n is selected),
+    // group-key expressions to theirs, bare names must BE output
+    // columns. The state stays unfiltered; refresh math is untouched.
+    val having = havingCond.map { cond =>
+      val groupAliases = groupEntries.values.toSeq
+        .map(e => MaterializedView.parseGroupKey(e).alias)
+      val outNames = groupAliases ++ aggs.map(_.alias)
+      def outOf(n: String): Option[String] =
+        outNames.find(_ == n).orElse(outNames.find(_.equalsIgnoreCase(n)))
+      val rewritten = cond.transformDown {
+        // a group-key EXPRESSION binds to its selected alias — checked
+        // FIRST or a scalar-function key would read as an aggregate
+        case e if !e.isInstanceOf[UnresolvedAttribute] &&
+            groupKeyOf(exprSql(e)).isDefined =>
+          UnresolvedAttribute.quoted(MaterializedView.parseGroupKey(
+            groupEntries.getOrElse(groupKeyOf(exprSql(e)).get,
+              refuse(s"HAVING references group expression " +
+                s"'${exprSql(e)}' which is not selected",
+                "select it with an alias and HAVING on the alias"))).alias)
+        case f: UnresolvedFunction =>
+          val fn = f.nameParts.last.toLowerCase
+          val isStar = f.arguments.size == 1 &&
+            f.arguments.head.isInstanceOf[UnresolvedStar]
+          val spec = (fn, f.isDistinct) match {
+            case ("count", true) if f.arguments.size == 1 && !isStar =>
+              Some(("count_distinct", exprSql(f.arguments.head)))
+            case ("count", false) if isStar => Some(("count", "*"))
+            case ("count" | "sum" | "min" | "max" | "avg", false)
+                if f.arguments.size == 1 =>
+              Some((fn, exprSql(f.arguments.head)))
+            case _ => None
+          }
+          spec.flatMap { case (func, c) =>
+            val plainArg = f.arguments.headOption
+              .exists(_.isInstanceOf[UnresolvedAttribute])
+            aggs.find(a => a.func == func && (a.column == c ||
+              (plainArg && a.column.equalsIgnoreCase(c))))
+          }.map(a => UnresolvedAttribute.quoted(a.alias)).getOrElse(refuse(
+            s"HAVING references ${f.nameParts.mkString(".")}(...) which " +
+              "is not a selected aggregate",
+            "select that aggregate with an alias (agg(x) AS name); " +
+              "HAVING may then use either spelling"))
+        case a: UnresolvedAttribute =>
+          UnresolvedAttribute.quoted(outOf(a.nameParts.last).getOrElse(
+            refuse(s"HAVING references '${a.nameParts.mkString(".")}' " +
+              "which is not an output column of the view",
+            "HAVING sees the view's OUTPUT: group aliases and aggregate " +
+              "aliases (or the selected aggregate calls themselves)")))
+      }
+      rewritten.sql
+    }
+    (srcPath, groupBy, aggs.toSeq, whereExpr.map(_.sql), joins, dims.toSeq,
+      having)
   }
 }
 
@@ -405,10 +465,10 @@ case class CreateMaterializedViewCommand(viewIdent: Seq[String],
         return Seq(Row(-1L)) // exists: no-op, the CREATE TABLE convention
     }
     val viewPath = MvSqlDdl.pathOf(session, viewIdent, "new")
-    val (src, groupBy, aggs, where, joins, dims) =
+    val (src, groupBy, aggs, where, joins, dims, having) =
       MvSqlDdl.translate(session, select)
     val v = MaterializedView.create(session, viewPath, src, groupBy, aggs,
-      where, dims = dims, joins = joins)
+      where, dims = dims, joins = joins, having = having)
     Seq(Row(v))
   }
 }

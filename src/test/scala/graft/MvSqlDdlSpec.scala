@@ -148,10 +148,16 @@ class MvSqlDdlSpec extends AnyFunSuite {
         WHERE EXISTS (SELECT 1 FROM ddlt4.db.r i WHERE i.okey = o.okey + 1)
         GROUP BY status""")
       assert(c.contains("subqueries") && c.contains("Nearest supported"), c)
+      // HAVING itself is supported (read-time filter); a predicate over
+      // an aggregate that was NOT selected still refuses
       val h = refusal("""CREATE MATERIALIZED VIEW ddlt4.db.x AS
         SELECT status, count(*) AS n FROM ddlt4.db.r
-        GROUP BY status HAVING count(*) > 3""")
-      assert(h.contains("HAVING"), h)
+        GROUP BY status HAVING max(price) > 3""")
+      assert(h.contains("not a selected aggregate"), h)
+      val h2 = refusal("""CREATE MATERIALIZED VIEW ddlt4.db.x AS
+        SELECT status, count(*) AS n FROM ddlt4.db.r
+        GROUP BY status HAVING cust > 3""")
+      assert(h2.contains("not an output column"), h2)
       val d = refusal("CREATE MATERIALIZED VIEW ddlt4.db.x AS " +
         "SELECT DISTINCT status FROM ddlt4.db.r")
       assert(d.contains("DISTINCT"), d)
@@ -337,6 +343,48 @@ class MvSqlDdlSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"), Tables.dsum(col("w")).as("sw"))
       assertSame(MaterializedView.read(spark, s"$wh/db/vq"), wantQ,
         "alias-qualified join keys != recompute")
+    }
+  }
+
+
+  test("DDL: HAVING materializes unfiltered, filters at read time") {
+    withCatalog("ddlt8") { wh =>
+      seedOrders(s"$wh/db/r8") // cust = okey % 7: group 0 has 42 rows, 1..6 have 43
+      spark.sql("""CREATE MATERIALIZED VIEW ddlt8.db.vh AS
+        SELECT cust, count(*) AS n, sum(price) AS sp
+        FROM ddlt8.db.r8 GROUP BY cust HAVING count(*) > 42""")
+      val view = s"$wh/db/vh"
+      // the read face applies the predicate; the STORED state is the
+      // full unfiltered aggregation (delta math untouched)
+      assert(MaterializedView.read(spark, view).count() == 6L)
+      assert(spark.read.format("lance").load(view).count() == 7L)
+      def recompute(pred: org.apache.spark.sql.Column) =
+        spark.read.format("lance").load(s"$wh/db/r8")
+          .groupBy("cust")
+          .agg(count(lit(1)).as("n"), Tables.dsum(col("price")).as("sp"))
+          .filter(pred)
+      assertSame(MaterializedView.read(spark, view), recompute(col("n") > 42),
+        "HAVING view != filtered recompute")
+      // a DML window dropping a group BELOW the threshold: the group
+      // leaves the read face (no flip machinery — the state row just
+      // stops matching) and a group RISES above it symmetrically
+      spark.conf.set("spark.graft.dml.changeFeed", "true")
+      try {
+        Lance.deleteWhere(spark, s"$wh/db/r8", "cust = 1 AND okey <= 70")
+        (301L to 303L).map(i => (i, 0L, "s9", 9.0))
+          .toDF("okey", "cust", "status", "price")
+          .write.format("lance").mode("append").save(s"$wh/db/r8")
+      } finally spark.conf.unset("spark.graft.dml.changeFeed")
+      assert(MaterializedView.refresh(spark, view).mode == "delta")
+      assertSame(MaterializedView.read(spark, view), recompute(col("n") > 42),
+        "HAVING view after boundary-crossing DML != filtered recompute")
+      // alias spelling binds the same way; group alias usable too
+      spark.sql("""CREATE MATERIALIZED VIEW ddlt8.db.vh2 AS
+        SELECT cust, count(*) AS n, sum(price) AS sp
+        FROM ddlt8.db.r8 GROUP BY cust HAVING n > 42 AND cust >= 0""")
+      assertSame(MaterializedView.read(spark, s"$wh/db/vh2"),
+        recompute(col("n") > 42 && col("cust") >= 0),
+        "alias-spelled HAVING != filtered recompute")
     }
   }
 
