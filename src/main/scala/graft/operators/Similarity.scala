@@ -534,6 +534,23 @@ object Similarity {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** Query side of the exact-KNN join gates. At the oracle SFs
+    * (sf0.01 = 500 rows, sf0.1 = 2000) the FULL table queries — the
+    * DuckDB cross-join + row_number oracle is the exact self-join. At
+    * larger SFs that recompute is by-construction quadratic (it was
+    * 37% of the round-12 sf1.0 bench headline, masking real engine
+    * regressions), so the gate degrades to a deterministic planted
+    * SUBSET of queries (the v26r posture): every sampled query still
+    * drives the identical distributed join path, the per-query work it
+    * measures is the engine's, and nothing about the index changes.
+    * vec_id stride, never rand() — reruns sample identically. */
+  private def knnJoinQueries(emb: DataFrame): DataFrame = {
+    val cap = 2000L
+    val n = emb.count()
+    if (n <= cap) emb
+    else emb.filter(pmod(col("vec_id"), lit((n + cap - 1) / cap)) === 0)
+  }
+
   /** Flip-geometry KNN JOIN (corpus-scale query sets): the ENTIRE
     * embeddings table joined to itself, k=3 — the query side is never
     * collected to the driver; each query row ranks the broadcast
@@ -541,12 +558,13 @@ object Similarity {
     * both sides shuffle on the bucket key (the d47 blocked-join shape).
     * Full probing ⇒ the exact KNN self-join, which is what the oracle's
     * cross-join + row_number computes; identical results to the
-    * broadcast geometry by construction.
+    * broadcast geometry by construction. Above the oracle SFs the
+    * query side strides down ([[knnJoinQueries]]).
     */
   def v37KnnJoinFlipped(spark: SparkSession, dir: String): DataFrame = {
     import graft.index.IvfIndex
     val dest = ensureIvf(spark, dir)
-    val qs = t(spark, dir, "embeddings")
+    val qs = knnJoinQueries(t(spark, dir, "embeddings"))
     IvfIndex.searchJoin(spark, dest, "embedding", qs, "vec_id", k = 3,
         nprobes = 8, geometry = "flipped")
       .select(col("query_id"), col("_rank").as("rk"), col("vec_id"),
@@ -583,6 +601,37 @@ object Similarity {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** IVF_PQ over a FLOAT64 corpus (v46): codebooks quantize bucket and
+    * code ASSIGNMENT through float32-insensitive k-means (quantization
+    * precision only moves which cell a vector lands in), but the STORED
+    * column, the refine window's exact re-scoring and `_distance` all
+    * stay double — so full probing with an exact refine equals the
+    * brute-force KNN over `embedding::DOUBLE[]`, the same oracle v41
+    * pins for IVF_FLAT (the v25 equivalence pattern applied to the
+    * memory-efficient mode). refineFactor 8 keeps the ADC window far
+    * above the measured need (v28's window already ranked 10/10).
+    */
+  def v46KnnPqDouble(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.IvfIndex
+    val dest = graft.Tables.scratch(dir, "emb_ivfpq_f64_np8_v1")
+    val metaFile = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
+    val fs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaFile)) {
+      val r = IvfIndex.build(spark,
+        t(spark, dir, "embeddings")
+          .withColumn("embedding", col("embedding").cast("array<double>")),
+        "embedding", "vec_id", dest, numPartitions = 8,
+        pq = Some(IvfIndex.PqParams(numSubVectors = 16, numBits = 8)))
+      require(r.success, r.error)
+    }
+    val q = queryVec(spark, dir, 0L)
+    IvfIndex.searchPq(spark, dest, "embedding", q, 10, nprobes = 8,
+        refineFactor = 8)
+      .select(col("vec_id"), col("_distance").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** KNN JOIN through pure SQL (v40): the `vector_search_join` TVF over
     * a temp view drives the SAME v37 flip-geometry path — query side
     * shuffled on bucket key, never driver-collected — so a hash match
@@ -593,7 +642,10 @@ object Similarity {
   def v40KnnJoinSql(spark: SparkSession, dir: String): DataFrame = {
     val dest = ensureIvf(spark, dir)
     graft.MetaTvfs.register(spark)
-    t(spark, dir, "embeddings").createOrReplaceTempView("emb_v40")
+    // same query-side stride as v37: the two gates stay comparable
+    // (SQL surface == API) at every SF
+    knnJoinQueries(t(spark, dir, "embeddings"))
+      .createOrReplaceTempView("emb_v40")
     spark.sql(
       s"""SELECT query_id, _rank AS rk, vec_id, _distance AS dist
          |FROM vector_search_join('$dest', 'embedding', 'emb_v40', 'vec_id',
@@ -865,6 +917,7 @@ object Similarity {
     "v37_knn_join_flipped" -> v37KnnJoinFlipped,
     "v40_knn_join_sql" -> v40KnnJoinSql,
     "v41_knn_double" -> v41KnnDouble,
+    "v46_knn_pq_double" -> v46KnnPqDouble,
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
@@ -970,6 +1023,13 @@ object Similarity {
     // v41: the stored column IS double, so the oracle's ::DOUBLE[] cast
     // reads the exact same values the engine scores — same brute force
     "v41_knn_double" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $l2SqlBody AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    // v46: IVF_PQ over the double corpus — full probe + exact refine on
+    // the raw doubles equals the same brute force v41 pins for FLAT
+    "v46_knn_pq_double" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, $l2SqlBody AS dist
          |FROM embeddings e, q

@@ -445,6 +445,40 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(dists.sameElements(dists.sorted))
   }
 
+
+  test("PQ over a FLOAT64 corpus: L2, cosine and dot ADC all serve doubles") {
+    // the memory-efficient mode must not be float32-only: codebooks and
+    // codes quantize (precision there is quantization by definition) but
+    // the stored column, refine scoring and _distance stay double
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "pqf64-")
+      .toAbsolutePath.toString
+    Seq(("l2", 0L), ("cosine", 1L), ("dot", 2L)).foreach { case (metric, qid) =>
+      val ds = s"$dir/emb_$metric"
+      Tables.t(spark, sf, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .write.format("lance").mode("append").save(ds)
+      val r = IvfIndex.build(spark, spark.read.format("lance").load(ds),
+        "embedding", "vec_id", ds, numPartitions = 8, metric = metric,
+        pq = Some(IvfIndex.PqParams(numSubVectors = 16, numBits = 4)))
+      assert(r.success, s"$metric: ${r.error}")
+      val q = queryVec(qid)
+      val pq = IvfIndex.searchPq(spark, ds, "embedding", q, 10,
+        nprobes = 8, refineFactor = 16)
+      val got = pq.select($"vec_id").collect().map(_.getLong(0)).toSet
+      val exact = Similarity.knnSearch(
+        Tables.t(spark, sf, "embeddings"), "embedding", q, 10, metric)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      val recall = (got intersect exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"$metric PQ over doubles recall@10: $recall")
+      // the stored column IS double and _distance orders ascending
+      assert(spark.read.format("lance").load(ds).schema("embedding").dataType
+        == org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true))
+      val dists = pq.select($"_distance").collect().map(_.getDouble(0))
+      assert(dists.sameElements(dists.sorted), s"$metric: unsorted refine")
+    }
+  }
+
   test("build on a missing column reports failure, not an exception") {
     val r = IvfIndex.build(spark, spark.range(3).toDF(), "nope", "id", "target/never")
     assert(!r.success)
