@@ -1359,6 +1359,30 @@ object Lance {
       .flatMap(_.properties).getOrElse(Map.empty)
   }
 
+  /** Columns declared int64-NANOSECOND timestamps at write time
+    * (`write.ns-as-long` — the opt-in ns-fidelity mode; the reference
+    * stores Timestamp(9) natively, ref:converter/RowDataConverter.java:
+    * 228-231, while Spark's TimestampType is µs-only). The default read
+    * surfaces these as the LOSSLESS longs they are. */
+  def nsColumns(spark: SparkSession, path: String): Seq[String] =
+    tableProperties(spark, path)
+      .get(graft.format.LanceFormat.PropNsAsLong)
+      .toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+
+  /** Read with every declared ns column CAST to a µs TimestampType —
+    * the documented lossy path (floor division toward −∞, the q50
+    * contract, via THE one conversion helper
+    * [[graft.Tables.nanosToMicrosTs]]). Use the plain read when the
+    * sub-µs precision matters; this cast is for joining/windowing
+    * against ordinary timestamp columns. */
+  def readNsAsTimestamp(spark: SparkSession, path: String): DataFrame = {
+    val cols = nsColumns(spark, path)
+    cols.foldLeft(spark.read.format("lance").load(path)) { (df, c) =>
+      df.withColumn(c, graft.Tables.nanosToMicrosTs(org.apache.spark.sql
+        .functions.col(s"`$c`")))
+    }
+  }
+
   /** Create an append-only branch from a committed version (default:
     * latest) — O(one manifest copy), never a data copy. Write to it with
     * `df.write.format("lance").option("write.branch", name)`, read with

@@ -1269,7 +1269,35 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
     // watermark publish in one manifest, so a crash can never separate
     // them (a separated pair would double-apply the delta on re-run)
     private val setProps = Option(info.options.get("write.set-properties"))
-      .map(LanceFormat.parseProperties).getOrElse(Map.empty[String, String])
+      .map(LanceFormat.parseProperties).getOrElse(Map.empty[String, String]) ++
+      nsAsLongProp
+
+    // opt-in NANOSECOND fidelity (`write.ns-as-long=colA,colB`): the
+    // reference stores Timestamp(9) natively (ref:converter/
+    // RowDataConverter.java:228-231); Spark's TimestampType is µs-only,
+    // so a typed column would silently truncate (the q50 contract).
+    // Listed LongType columns are DECLARED int64-nanosecond timestamps
+    // in the table properties instead: values round-trip losslessly as
+    // longs, and readers opt into the µs cast via Lance.readNsAsTimestamp
+    // (the one floor-division helper). Declaring replaces the list —
+    // declare every ns column of the table in one write.
+    private def nsAsLongProp: Map[String, String] =
+      Option(info.options.get("write.ns-as-long"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty).map { cols =>
+          val fields = info.schema()
+          cols.foreach { c =>
+            val f = fields.fields.find(_.name == c).getOrElse(
+              throw new IllegalArgumentException(
+                s"write.ns-as-long names '$c', not a column of this write"))
+            require(f.dataType == org.apache.spark.sql.types.LongType,
+              s"write.ns-as-long column '$c' is ${f.dataType.simpleString}: " +
+                "nanosecond timestamps ride int64 (Spark has no ns type - " +
+                "a typed column would truncate; that cast is the read-side " +
+                "opt-in, Lance.readNsAsTimestamp)")
+          }
+          Map(LanceFormat.PropNsAsLong -> cols.mkString(","))
+        }.getOrElse(Map.empty)
 
     // optimistic CAS companion (JSON map): every listed key must still
     // hold its listed value at commit time or the commit refuses loud —

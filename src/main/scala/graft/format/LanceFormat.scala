@@ -224,6 +224,12 @@ object LanceFormat {
   val VersionsDir = "_versions"
   val DataDir = "data"
   val GroupsDir = "_groups"
+  /** Columns declared int64-NANOSECOND timestamps (`write.ns-as-long`):
+    * comma-joined names. The values stay LongType end-to-end (lossless —
+    * Spark has no ns timestamp); [[graft.Lance.readNsAsTimestamp]] is
+    * the opt-in µs cast. Reference parity for Timestamp(9) columns
+    * (ref:converter/RowDataConverter.java:228-231). */
+  val PropNsAsLong = "graft.ns-as-long.columns"
   private val ManifestSuffix = ".manifest.json"
 
   def versionsPath(root: Path) = new Path(root, VersionsDir)

@@ -1117,6 +1117,53 @@ object LanceQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Streaming-epoch VIEW freshness (s132): the s90 posture applied to
+    * materialized views. A sum/count view registers on the sink table;
+    * three AvailableNow micro-batch epochs land through the changefeed
+    * sink with `write.refresh-mvs=true`, and after EVERY epoch the view
+    * must already equal the full recompute — no manual REFRESH anywhere
+    * (require()d per epoch; refreshMvsAfterCommit is warn-never-fail,
+    * so a silently-skipped maintenance pass reddens here). The final
+    * view state is the hashed output: all of orders, aggregated. */
+  def s132StreamMvFresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.AggSpec
+    val src = scratch(dir, "mv_stream_src")
+    val dst = scratch(dir, "mv_stream_dst")
+    val view = scratch(dir, "mv_stream_view")
+    freshDataset(spark, src); freshDataset(spark, dst)
+    freshDataset(spark, view); freshDataset(spark, s"$dst-ckpt")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    o.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .repartition(4).write.format("lance").mode("overwrite").save(dst)
+    MaterializedView.create(spark, view, dst, Seq("o_custkey"),
+      Seq(AggSpec("count", "*", "n"),
+        AggSpec("sum", "o_totalprice", "sum_price")))
+    def recompute() = spark.read.format("lance").load(dst)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    (1 to 3).foreach { i =>
+      o.filter(pmod(col("o_orderkey"), lit(4)) === i).repartition(2)
+        .write.format("lance")
+        .mode(if (i == 1) "overwrite" else "append").save(src)
+      withStreamShufflePartitions(spark) {
+        val q = spark.readStream.format("lance").load(src)
+          .writeStream.format("lance")
+          .option("checkpointLocation", s"$dst-ckpt")
+          .option("write.refresh-mvs", "true")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      require(sameRows(MaterializedView.read(spark, view), recompute()),
+        s"registered view is STALE after streaming epoch $i - the " +
+          "epoch commit must maintain it in-commit")
+    }
+    MaterializedView.read(spark, view).orderBy(col("o_custkey"))
+  }
+
   /** Batch + DML in-commit index maintenance (s91): the batch flavor of
     * s90. A scalar-indexed dataset takes (a) a batch append carrying
     * `write.refresh-indexes=scalar` and (b) a row-level DELETE under
@@ -3194,6 +3241,7 @@ object LanceQueries {
     "s115_mv_delta" -> s115MvDelta,
     "s129_mv_sql_ddl" -> s129MvSqlDdl,
     "s131_mv_having" -> s131MvHaving,
+    "s132_stream_mv_fresh" -> s132StreamMvFresh,
     "s116_mv_minmax" -> s116MvMinmax,
     "s121_mv_expr" -> s121MvExpr,
     "s122_mv_distinct" -> s122MvDistinct,
@@ -3674,6 +3722,12 @@ object LanceQueries {
         | 'delta' AS mode
         |FROM final GROUP BY o_custkey HAVING COUNT(*) >= 8
         |ORDER BY o_custkey""".stripMargin,
+    // s132: per-epoch freshness is the require(); after 3 epochs the
+    // maintained view = the full aggregate of orders (s119's oracle)
+    "s132_stream_mv_fresh" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // s116: groups %13=7 die entirely; >150000 deletions move the max
     "s116_mv_minmax" ->
       """SELECT o_custkey, COUNT(*) AS n,

@@ -1014,6 +1014,51 @@ object Relational {
         min(unix_micros(col("ts2"))).as("min_us"),
         max(unix_micros(col("ts2"))).as("max_us"))
 
+  /** Opt-in ns fidelity (q61): the q50 truncation is the DEFAULT; this
+    * gate pins the lossless alternative. Sub-µs offsets ride an int64
+    * nanos column written with `write.ns-as-long=ns` — the table
+    * declares the column a nanosecond timestamp
+    * ([[graft.format.LanceFormat.PropNsAsLong]]), the values round-trip
+    * through the lance write+scan BIT-EXACTLY (n_lossless == n_total is
+    * what the oracle hash pins; the Spark side's ns values came back
+    * from the table, the oracle recomputes them), and
+    * [[graft.Lance.readNsAsTimestamp]] is the documented µs cast path
+    * (q50's floor division — n_cast_exact). DuckDB 1.0's TIMESTAMP_NS
+    * drops sub-µs digits on ingest/cast, so the oracle proves fidelity
+    * in exact BIGINT-nanos space plus the µs twin via make_timestamp. */
+  def q61NsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val dest = graft.Tables.scratch(dir, "events_ns_v1")
+    val root = new org.apache.hadoop.fs.Path(new java.io.File(dest).getAbsolutePath)
+    val fs = graft.format.LanceFormat.fileSystem(root,
+      spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.delete(root, true)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("ts"),
+        (unix_micros(col("ts")) * lit(1000L) +
+          pmod(col("event_id"), lit(1000L))).as("ns"))
+      .write.format("lance").option("write.ns-as-long", "ns")
+      .mode("overwrite").save(dest)
+    require(graft.Lance.nsColumns(spark, dest) == Seq("ns"),
+      "ns-as-long declaration did not land in the table properties")
+    val casted = graft.Lance.readNsAsTimestamp(spark, dest)
+    require(casted.schema("ns").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      "readNsAsTimestamp must surface the declared column as µs timestamp")
+    val back = spark.read.format("lance").load(dest)
+    require(back.schema("ns").dataType == org.apache.spark.sql.types.LongType,
+      "the default read must keep the lossless longs")
+    val roundtrip = back.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("ns") === unix_micros(col("ts")) * lit(1000L) +
+        pmod(col("event_id"), lit(1000L)), 1L).otherwise(0L)).as("n_lossless"),
+      sum(when(pmod(col("ns"), lit(1000L)) =!= 0L, 1L).otherwise(0L))
+        .as("n_subus"),
+      min(col("ns")).as("min_ns"), max(col("ns")).as("max_ns"))
+    val castExact = casted.agg(
+      sum(when(col("ns") === col("ts"), 1L).otherwise(0L)).as("n_cast_exact"))
+    roundtrip.crossJoin(castExact) // both single-row
+  }
+
   /** Recursive CTE (Spark 4's WITH RECURSIVE): generate doubling price
     * tiers iteratively — the dimension-generation shape recursion is for
     * in analytics — then band-join orders onto them. The recursion is
@@ -1087,6 +1132,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ns_truncation" -> q50NsTruncation,
+    "q61_ns_roundtrip" -> q61NsRoundtrip,
     "q51_lead_lag" -> q51LeadLag,
     "q47_recursive_cte" -> q47RecursiveCte,
     "q48_lateral_topk" -> q48LateralTopk,
@@ -1241,6 +1287,24 @@ object Relational {
         |  CAST(SUM(CASE WHEN ts2 > ts THEN 1 ELSE 0 END) AS BIGINT) AS n_rounded_up,
         |  MIN(epoch_us(ts2)) AS min_us, MAX(epoch_us(ts2)) AS max_us
         |FROM c""".stripMargin,
+    // q61: the lossless twin of q50 — n_lossless proves the lance
+    // write+scan round-trips the declared int64-nanos column bit-exact
+    // (the Spark side's values came BACK from the table; this recomputes
+    // them), n_cast_exact the µs floor-division opt-in. DuckDB 1.0's
+    // TIMESTAMP_NS drops sub-µs digits on cast, so the proof rides
+    // exact BIGINT nanos arithmetic.
+    "q61_ns_roundtrip" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) * 1000 + event_id % 1000 AS ns
+        |  FROM events)
+        |SELECT COUNT(*) AS n_total,
+        |  CAST(SUM(1) AS BIGINT) AS n_lossless,
+        |  CAST(SUM(CASE WHEN ns % 1000 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_subus,
+        |  MIN(ns) AS min_ns, MAX(ns) AS max_ns,
+        |  CAST(SUM(CASE WHEN make_timestamp(ns // 1000) = ts THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cast_exact
+        |FROM e""".stripMargin,
     // q51: (ts, event_id) is a unique ordering, so the 2000-row prefix is
     // the same set on both engines; whole-partition frames are explicit
     "q51_lead_lag" ->

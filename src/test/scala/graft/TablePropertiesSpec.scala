@@ -130,4 +130,36 @@ class TablePropertiesSpec extends AnyFunSuite {
     assert(props.get("owner") == "data-eng")
     assert(props.containsKey("lance.version"))
   }
+  test("write.ns-as-long: declares int64-ns columns; wrong types refuse") {
+    val dir = tmpDir()
+    Seq((1L, 1000000000123456789L, "a"), (2L, 1000000000123456790L, "b"))
+      .toDF("id", "ts_ns", "s")
+      .write.format("lance").option("write.ns-as-long", "ts_ns")
+      .mode("overwrite").save(dir)
+    assert(Lance.nsColumns(spark, dir) == Seq("ts_ns"))
+    // lossless by default; µs cast only through the opt-in reader
+    val back = spark.read.format("lance").load(dir)
+    assert(back.schema("ts_ns").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.orderBy("id").collect().map(_.getLong(1)).toSeq ==
+      Seq(1000000000123456789L, 1000000000123456790L))
+    val cast = Lance.readNsAsTimestamp(spark, dir)
+    assert(cast.schema("ts_ns").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // both sub-µs values truncate to the same containing microsecond
+    assert(cast.select("ts_ns").distinct().count() == 1L)
+    // a non-long column refuses loud
+    val e = intercept[Exception](
+      Seq((1L, "x")).toDF("id", "s").write.format("lance")
+        .option("write.ns-as-long", "s").mode("append").save(dir))
+    assert(Seq(e.getMessage,
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .mkString.contains("int64"), e.getMessage)
+    // a missing column refuses loud
+    val e2 = intercept[Exception](
+      Seq((1L, 2L)).toDF("id", "nope_src").write.format("lance")
+        .option("write.ns-as-long", "nope").mode("append").save(dir))
+    assert(Seq(e2.getMessage,
+      Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .mkString.contains("not a column"), e2.getMessage)
+  }
 }
