@@ -349,6 +349,10 @@ object Bench {
     val total = ok.map(_._2).sum
     val failed = dead.size
     val omittedSec = omitted.map(_._2).sum
+    // the 22-query TPC-H family as one trendable number: join-planning
+    // regressions move it even when individual queries hide under
+    // OmitBelowSec (README pins the per-query sf0.1/sf1.0 table)
+    val tpchTotal = ok.filter(_._1.startsWith("tpch")).map(_._2).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     // `canary`: the slowest child's fixed-reference-job median (machine-
     // pressure indicator, see scaladoc); `canary_io`: the slowest child's
@@ -358,6 +362,7 @@ object Bench {
     // commits) as opposed to materializing the returned plan.
     f"""{"metric":"total","unit":"sec","omitted_fast":${omitted.size},""" +
       f""""omitted_sec":$omittedSec%.1f,"queries":$qs,"setup":$ss,""" +
+      f""""tpch_total":$tpchTotal%.2f,""" +
       f""""canary":$canary%.2f,"canary_io":$canaryIo%.2f,""" +
       f""""failed":$failed,"value":$total%.2f,"sf":"$sfName"}"""
   }

@@ -642,12 +642,13 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           "may name dim columns; fullRefresh re-pins").build(),
       in("joins", StringType).defaultValue("''")
         .comment("optional fact joins, ';'-separated " +
-          "'table|srcKey=joinKey[,k2=j2][|left]' entries: each joins " +
-          "(INNER, or LEFT with the '|left' suffix) with BOTH sides " +
-          "change-fed — refresh telescopes dA JOIN B(new) UNION A(old) " +
-          "JOIN dB, and LEFT joins additionally retract/insert " +
-          "null-extended rows when a key's match count crosses zero; " +
-          "the view registers on every joined table").build())
+          "'table|srcKey=joinKey[,k2=j2][|left|right|full]' entries: " +
+          "each joins (INNER by default) with BOTH sides change-fed — " +
+          "refresh telescopes dA JOIN B(new) UNION A(old) JOIN dB; " +
+          "LEFT/FULL retract/insert null-extended rows when a key's " +
+          "match count crosses zero, RIGHT/FULL carry join-side-only " +
+          "rows (key in the merged source column; single-join views " +
+          "only); the view registers on every joined table").build())
     case "refresh_mv" => Array(in("view", StringType).build(),
       in("full", BooleanType).defaultValue("false")
         .comment("true forces a full rebuild (vacuumed feed window / " +

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
@@ -171,9 +171,11 @@ object MvSqlDdl {
           val how = joinType match {
             case Inner => "inner"
             case LeftOuter => "left"
+            case FullOuter => "full"
+            case RightOuter => "right"
             case other => refuse(s"$other join",
-              "INNER JOIN or LEFT JOIN with equality conditions " +
-                "(both sides change-fed)")
+              "INNER / LEFT / RIGHT / FULL JOIN with equality conditions " +
+                "(both sides change-fed; FULL/RIGHT single-join only)")
           }
           val (src, earlier) = relations(left)
           val rParts = strip(right) match {

@@ -94,6 +94,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"canary_io\":0.31"), line)
   }
 
+  test("tpch_total sums exactly the tpch family") {
+    val line = Bench.jsonLine(
+      Seq(("tpch01_pricing", 1.5), ("tpch21_wait", 2.0), ("q01_agg", 9.0)),
+      "sf0.1")
+    assert(line.contains("\"tpch_total\":3.50"), line)
+  }
+
   test("setup entries never appear for omitted or failed gates") {
     val line = Bench.jsonLine(
       Seq(("q02_fast", 0.1), ("v21_dead", -1.0)), "sf0.1",

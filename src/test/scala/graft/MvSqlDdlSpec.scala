@@ -171,11 +171,12 @@ class MvSqlDdlSpec extends AnyFunSuite {
       val g = refusal("CREATE MATERIALIZED VIEW ddlt4.db.x AS " +
         "SELECT status, count(*) AS n FROM ddlt4.db.r GROUP BY 1")
       assert(g.contains("ordinal"), g)
+      // INNER/LEFT/RIGHT/FULL all translate now; a CROSS join still refuses
       val j = refusal("""CREATE MATERIALIZED VIEW ddlt4.db.x AS
         SELECT status, count(*) AS n
-        FROM ddlt4.db.r RIGHT JOIN ddlt4.db.r2 ON okey = o_ref
+        FROM ddlt4.db.r CROSS JOIN ddlt4.db.r2
         GROUP BY status""")
-      assert(j.contains("INNER JOIN or LEFT JOIN"), j)
+      assert(j.contains("INNER / LEFT / RIGHT / FULL"), j)
       // nothing was created or registered by any refusal
       assert(!graft.format.LanceFormat.isDataset(
         graft.format.LanceFormat.fileSystem(
@@ -346,6 +347,52 @@ class MvSqlDdlSpec extends AnyFunSuite {
     }
   }
 
+
+  test("DDL: FULL JOIN translates to a full fact JoinSpec (both-sided view)") {
+    withCatalog("ddlt9") { wh =>
+      seedOrders(s"$wh/db/a9")
+      // odd keys matched, evens itemless; 401/403 are join-side-only
+      ((1L to 300L by 2L).map(i => (i, i * 0.25)) ++
+        Seq((401L, 41.0), (403L, 43.0))).toDF("o_ref", "amt")
+        .write.format("lance").mode("overwrite").save(s"$wh/db/b9")
+      spark.sql("""CREATE MATERIALIZED VIEW ddlt9.db.vf AS
+        SELECT status, count(*) AS n, count(cust) AS na, sum(amt) AS amt
+        FROM ddlt9.db.a9 FULL JOIN ddlt9.db.b9 ON okey = o_ref
+        GROUP BY status""")
+      def recompute() = spark.read.format("lance").load(s"$wh/db/a9")
+        .join(spark.read.format("lance").load(s"$wh/db/b9"),
+          col("okey") === col("o_ref"), "full")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), count(col("cust")).as("na"),
+          Tables.dsum(col("amt")).as("amt"))
+      assertSame(MaterializedView.read(spark, s"$wh/db/vf"), recompute(),
+        "DDL FULL-join view != recompute")
+      // crossings on both sides through the DDL-created spec
+      spark.conf.set("spark.graft.dml.changeFeed", "true")
+      try {
+        Seq((401L, 9L, "s9", 1.0)).toDF("okey", "cust", "status", "price")
+          .write.format("lance").mode("append").save(s"$wh/db/a9") // anti retract
+        Lance.deleteWhere(spark, s"$wh/db/a9", "okey IN (3, 5)")   // items flip anti
+        Lance.deleteWhere(spark, s"$wh/db/b9", "o_ref = 403")      // anti out
+        Seq((2L, 20.0)).toDF("o_ref", "amt")
+          .write.format("lance").mode("append").save(s"$wh/db/b9") // null row retract
+      } finally spark.conf.unset("spark.graft.dml.changeFeed")
+      assert(MaterializedView.refresh(spark, s"$wh/db/vf").mode == "delta")
+      assertSame(MaterializedView.read(spark, s"$wh/db/vf"), recompute(),
+        "DDL FULL-join view after both-side crossings != recompute")
+      // FULL with a second join table refuses through the DDL too
+      (1L to 20L).map(i => (i, i * 2.0)).toDF("c_ref", "w")
+        .write.format("lance").mode("overwrite").save(s"$wh/db/c9")
+      val e = intercept[Exception](spark.sql("""CREATE MATERIALIZED VIEW
+        ddlt9.db.x AS SELECT status, count(*) AS n
+        FROM ddlt9.db.a9 FULL JOIN ddlt9.db.b9 ON okey = o_ref
+        JOIN ddlt9.db.c9 ON okey = c_ref
+        GROUP BY status"""))
+      assert(Seq(e.getMessage,
+        Option(e.getCause).map(_.getMessage).getOrElse("")).mkString
+        .contains("exactly one join table"), e.getMessage)
+    }
+  }
 
   test("DDL: HAVING materializes unfiltered, filters at read time") {
     withCatalog("ddlt8") { wh =>
