@@ -34,20 +34,27 @@ object DevMvJoinScale {
         .reduce(_ unionByName _)
     }
 
-    Seq("inner", "left").foreach { how =>
+    Seq("inner", "left", "full").foreach { how =>
     Seq("sf0.1", "sf1.0x") foreach { sf =>
       val base = s"target/jmvscale-$how-$sf"
       val fsRoot = new org.apache.hadoop.fs.Path(base)
       val fs = fsRoot.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(fsRoot)) fs.delete(fsRoot, true)
       val a = s"$base/orders"; val b = s"$base/items"; val v = s"$base/view"
-      val orders0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
-        .select(col("o_orderkey"), col("o_orderpriority"))
+      val orders0 = {
+        val raw = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        // FULL mode: orders with okey % 5 = 1 start ABSENT, so their
+        // items are join-side-only (anti) rows and the mirrored flip
+        // terms engage from the first window
+        if (how == "full") raw.filter(not(col("o_orderkey") % 5 === 1))
+        else raw
+      }
       val items0 = {
         val raw = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
           .select(col("l_orderkey"), col("l_extendedprice"))
-        // LEFT mode: orders with okey % 7 = 3 start matchless, so the
-        // window's appends/deletes cross zero and the flip terms engage
+        // LEFT/FULL mode: orders with okey % 7 = 3 start matchless, so
+        // the window's appends/deletes cross zero and the flips engage
         if (how == "inner") raw
         else raw.filter(not(col("l_orderkey") % 7 === 3))
       }
@@ -86,7 +93,7 @@ object DevMvJoinScale {
           (col("id") + 3L).as("l_orderkey"),
           lit(9.99).as("l_extendedprice"))
           .write.format("lance").mode("append").save(b)
-        if (how == "left") {
+        if (how == "left" || how == "full") {
           // FIRST matches for ~40 previously-matchless orders, and every
           // item of ~150 matched orders out (LAST matches): both flip
           // directions in one window, fixed absolute size at any scale
@@ -97,6 +104,22 @@ object DevMvJoinScale {
             .write.format("lance").mode("append").save(b)
           graft.Lance.deleteWhere(spark, b,
             "l_orderkey % 997 = 7 AND l_orderkey <= 150000")
+        }
+        if (how == "full") {
+          // join-side crossings at fixed absolute size: orders ARRIVE
+          // for a bounded set of orderless item keys (their anti rows
+          // retract — the dA-driven mirrored flip term), and a bounded
+          // set of orderless items leaves (the dJ anti term). The
+          // common deleteWhere(a) above already drives matched->anti.
+          spark.read.format("lance").load(b)
+            .filter("l_orderkey % 5 = 1 AND l_orderkey % 997 = 11 " +
+              "AND l_orderkey <= 150000")
+            .select(col("l_orderkey").as("o_orderkey"),
+              lit("9-ARRIVED").as("o_orderpriority")).distinct()
+            .write.format("lance").mode("append").save(a)
+          graft.Lance.deleteWhere(spark, b,
+            "l_orderkey % 5 = 1 AND l_orderkey % 997 = 13 " +
+              "AND l_orderkey <= 150000")
         }
       } finally spark.conf.unset("spark.graft.dml.changeFeed")
 
