@@ -1092,4 +1092,44 @@ class JoinViewSpec extends AnyFunSuite {
       JoinSpec(b, Map("okey" -> "o_key"), "anti"))
     assert(e2.getMessage.contains("unsupported"), e2.getMessage)
   }
+  test("FULL fact join composes with pinned star dims; fullRefresh rebuilds") {
+    val a = tmpDir(); val b = tmpDir(); val d = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b) // okey % 4 == 0 itemless
+    Seq((900L, 9.0, "t0"), (901L, 9.5, "t1")).toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("append").save(b) // orderless items
+    (0 until 4).map(i => (s"s$i", s"seg${i % 2}")).toDF("d_status", "segment")
+      .write.format("lance").mode("overwrite").save(d)
+    MaterializedView.create(spark, view, a, Seq("segment"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      dims = Seq(MaterializedView.DimSpec(d, Map("status" -> "d_status"))),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "full")))
+    // anti rows carry NULL status -> NULL segment (dims enrich AFTER the
+    // join, identically on create / delta / flip / anti paths)
+    def recompute() = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "full").drop("o_key")
+      .join(broadcast(spark.read.format("lance").load(d)),
+        col("status") === col("d_status"), "left").drop("d_status")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("amount")).as("amt"))
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "created FULL+dim view != recompute")
+    withFeed {
+      Seq((900L, "s1", 3L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a) // anti retract
+      Lance.deleteWhere(spark, a, "okey % 19 = 4")    // items flip anti
+      Seq((4L, 77.0, "tX")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b) // null row retract
+      Lance.deleteWhere(spark, b, "o_key IN (2, 6, 901)")
+    }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "FULL+dim view after both-side crossings != recompute")
+    // fullRefresh rebuilds through the declared full join
+    val r = MaterializedView.fullRefresh(spark, view)
+    assert(r.mode == "full")
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "FULL view fullRefresh != recompute")
+    assert(MaterializedView.refresh(spark, view).mode == "noop")
+  }
 }

@@ -29,7 +29,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // BroadcastNestedLoopJoin — 11 broadcast rows × n is the cheapest
     // possible band join (an equi-join would need a per-row log2 whose
     // boundary ulps differ between engines)
-    "q47_recursive_cte")
+    "q47_recursive_cte",
+    // q61 crosses its two single-row proof aggregates (ns round-trip
+    // stats × the µs-cast stats) into the one output row
+    "q61_ns_roundtrip")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
