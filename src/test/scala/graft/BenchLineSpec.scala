@@ -101,6 +101,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"tpch_total\":3.50"), line)
   }
 
+  test("setup map caps at the 16 largest setups (line-budget guard)") {
+    val many = (1 to 40).map(i => (f"x$i%03d_q", 5.0))
+    val line = Bench.jsonLine(many, "sf0.1",
+      setups = (1 to 40).map(i => (f"x$i%03d_q", 1.0 + i * 0.1)).toMap)
+    val n = "\"x\\d+\":[0-9.]+".r.findAllIn(
+      line.substring(line.indexOf("\"setup\":"))).size
+    assert(n == 16, s"setup entries=$n in $line")
+  }
+
   test("setup entries never appear for omitted or failed gates") {
     val line = Bench.jsonLine(
       Seq(("q02_fast", 0.1), ("v21_dead", -1.0)), "sf0.1",
