@@ -648,7 +648,12 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           "LEFT/FULL retract/insert null-extended rows when a key's " +
           "match count crosses zero, RIGHT/FULL carry join-side-only " +
           "rows (key in the merged source column; single-join views " +
-          "only); the view registers on every joined table").build())
+          "only); the view registers on every joined table").build(),
+      in("having", StringType).defaultValue("''")
+        .comment("optional READ-time predicate over the view's OUTPUT " +
+          "columns (group aliases + aggregate aliases, e.g. 'n >= 8'): " +
+          "stored state stays unfiltered - the delta math never sees " +
+          "it; read() applies it (the SQL DDL's HAVING)").build())
     case "refresh_mv" => Array(in("view", StringType).build(),
       in("full", BooleanType).defaultValue("false")
         .comment("true forces a full rebuild (vacuumed feed window / " +
@@ -924,8 +929,10 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           graft.operators.MaterializedView.DimSpec(t, ks) }
         val joins = pathKeys(6).map { case (t, ks, ty) =>
           graft.operators.MaterializedView.JoinSpec(t, ks, ty) }
+        val having =
+          Some(input.getUTF8String(7).toString.trim).filter(_.nonEmpty)
         val v = graft.operators.MaterializedView.create(spark, path, source,
-          groupBy, aggs, where, dims, joins)
+          groupBy, aggs, where, dims, joins, having)
         (new StructType().add("source_version", LongType, nullable = false),
           new GenericInternalRow(Array[Any](v)))
       case "refresh_mv" =>

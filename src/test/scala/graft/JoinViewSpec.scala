@@ -605,6 +605,13 @@ class JoinViewSpec extends AnyFunSuite {
       val got = MaterializedView.read(spark, s"$wh/db/v")
       assert(got.columns.toSeq == Seq("grp", "amt"))
       assert(got.count() == 2L)
+      // the having argument (the SQL DDL twin): a FULL-join view over
+      // the same pair, read face filtered, state unfiltered
+      spark.sql("CALL jmv.system.create_mv('db.vh', 'db.a', 'grp', " +
+        "'count(*) AS n, sum(amount) AS amt', '', '', " +
+        "'db.b|okey=o_key|full', 'n >= 100')")
+      assert(MaterializedView.read(spark, s"$wh/db/vh").count() == 0L)
+      assert(spark.read.format("lance").load(s"$wh/db/vh").count() == 2L)
     } finally {
       spark.conf.unset("spark.sql.catalog.jmv")
       spark.conf.unset("spark.sql.catalog.jmv.warehouse")
@@ -1131,5 +1138,41 @@ class JoinViewSpec extends AnyFunSuite {
     assertSame(MaterializedView.read(spark, view), recompute(),
       "FULL view fullRefresh != recompute")
     assert(MaterializedView.refresh(spark, view).mode == "noop")
+  }
+  test("filtered FULL join view: the WHERE applies per image on every term") {
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    Seq((301L, 10.0, "t0"), (302L, 95.0, "t0")).toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("append").save(b) // join-side-only keys
+    // keeps null-extended rows AND caps amounts: both sides of the
+    // predicate see anti/null rows
+    val where = Some("amount IS NULL OR amount < 90")
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      where = where,
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "full")))
+    def recompute() = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "full")
+      .filter("amount IS NULL OR amount < 90")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("amount")).as("amt"))
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "created filtered FULL view != recompute")
+    withFeed {
+      // cross the WHERE boundary in both directions, on matched AND
+      // anti rows, plus zero crossings
+      Lance.updateWhere(spark, b, "o_key % 13 = 2",
+        Map("amount" -> "amount + 200")) // leaves the predicate
+      Lance.updateWhere(spark, b, "o_key = 302",
+        Map("amount" -> "5.0"))          // anti row enters the predicate
+      Seq((301L, "s1", 3L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a) // anti retract
+      Lance.deleteWhere(spark, a, "okey IN (2, 3)")   // items flip anti
+      Lance.deleteWhere(spark, b, "o_key = 7")        // null re-extend
+    }
+    assert(MaterializedView.refresh(spark, view).mode == "delta")
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "filtered FULL view after boundary+zero crossings != recompute")
   }
 }
