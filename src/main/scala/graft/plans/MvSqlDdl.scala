@@ -241,7 +241,7 @@ object MvSqlDdl {
             (src, earlier)
           } else (src, earlier :+ JoinSpec(rPath, keys.toMap, how))
         case other => refuse(s"FROM shape ${other.nodeName}",
-          "FROM <lance table> [INNER|LEFT JOIN <lance table> ON ...]")
+          "FROM <lance table> [INNER|LEFT|RIGHT|FULL JOIN <lance table> ON ...]")
       }
 
     // ---- the statement spine: [Having over] Aggregate over [Filter
