@@ -380,6 +380,14 @@ object HnswIndex {
     * (evaluate-during-beam with loud widening — see [[finishSearch]]),
     * matching the reference's filter-with-any-index semantics
     * (`LanceVectorSearch.java:170-174`).
+    *
+    * Float64 corpora: graph NODES hold float32 vectors (half the walk
+    * memory; the graph is an approximation structure by definition), so
+    * the walk and the reported `_distance` quantize sub-float32 detail
+    * — the documented posture for a GRAPH index over doubles. Exact
+    * double distances ride the FLAT scan ([[IvfIndex.search]]) or the
+    * PQ path's exact refine ([[IvfIndex.searchPq]], v46); HNSW+exact
+    * doubles would re-rank k rows on the raw column at read time.
     */
   def search(spark: SparkSession, datasetPath: String, column: String,
       query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100,

@@ -1175,4 +1175,56 @@ class JoinViewSpec extends AnyFunSuite {
     assertSame(MaterializedView.read(spark, view), recompute(),
       "filtered FULL view after boundary+zero crossings != recompute")
   }
+  test("PROPERTY: random two-sided rounds on a RIGHT join view stay exact") {
+    // RIGHT = INNER + the anti side WITHOUT the source-null flips: the
+    // same churn mix as the FULL twin, verifying the anti terms compose
+    // with a no-left-part plan across random interleavings
+    val rnd = new scala.util.Random(4711)
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    Seq((301L, 10.0, "t0"), (302L, 12.0, "t1")).toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("append").save(b)
+    MaterializedView.create(spark, view, a, Seq("tag"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "cust", "na"),
+        AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "right")))
+    var nextKey = 7000L
+    (1 to 3).foreach { round =>
+      withFeed {
+        (1 to 2 + rnd.nextInt(3)).foreach { _ =>
+          rnd.nextInt(6) match {
+            case 0 =>
+              Lance.deleteWhere(spark, a, s"okey % 17 = ${rnd.nextInt(17)}")
+            case 1 =>
+              Lance.updateWhere(spark, a, s"okey % 13 = ${rnd.nextInt(13)}",
+                Map("cust" -> s"cust + ${rnd.nextInt(5)}"))
+            case 2 =>
+              Lance.deleteWhere(spark, b, s"o_key % 9 = ${rnd.nextInt(9)}")
+            case 3 =>
+              Lance.updateWhere(spark, b, s"o_key % 7 = ${rnd.nextInt(7)}",
+                Map("amount" -> s"amount + ${rnd.nextInt(50)}"))
+            case 4 =>
+              val rows = (0 until 2).map { _ =>
+                nextKey += 1
+                (if (rnd.nextBoolean()) nextKey else 1L + rnd.nextInt(200),
+                  rnd.nextDouble() * 50, s"t${rnd.nextInt(4)}")
+              }
+              rows.toDF("o_key", "amount", "tag")
+                .write.format("lance").mode("append").save(b)
+            case 5 =>
+              Lance.compact(spark, if (rnd.nextBoolean()) a else b)
+          }
+        }
+      }
+      val r = MaterializedView.refresh(spark, view)
+      val expect = spark.read.format("lance").load(a)
+        .join(spark.read.format("lance").load(b),
+          col("okey") === col("o_key"), "right")
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"), count(col("cust")).as("na"),
+          Tables.dsum(col("amount")).as("amt"))
+      assertSame(MaterializedView.read(spark, view), expect,
+        s"round $round (mode=${r.mode}): RIGHT join view diverged")
+    }
+  }
 }
