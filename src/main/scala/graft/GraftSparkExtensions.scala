@@ -103,6 +103,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lance_maxsim"),
       new ExpressionInfo(MetaTvfs.getClass.getName, "lance_maxsim"),
       (args: Seq[Expression]) => MetaTvfs.plan("lance_maxsim", args)))
+    e.injectTableFunction((FunctionIdentifier("lance_read_ns"),
+      new ExpressionInfo(MetaTvfs.getClass.getName, "lance_read_ns"),
+      (args: Seq[Expression]) => MetaTvfs.plan("lance_read_ns", args)))
   }
 }
 
@@ -130,7 +133,7 @@ object MetaTvfs {
         "lance_stats", "vector_search_join", "lance_indexes",
         "lance_take", "lance_tags", "lance_branches",
         "lance_constraints", "lance_consumers", "lance_dependents",
-        "lance_maxsim").foreach { n =>
+        "lance_maxsim", "lance_read_ns").foreach { n =>
       if (!reg.functionExists(FunctionIdentifier(n)))
         reg.createOrReplaceTempFunction(n,
           (args: Seq[Expression]) => plan(n, args), "scala_udf")
@@ -359,6 +362,13 @@ object MetaTvfs {
         }
         val ids = idArgs.map(a => literalString(a, "lance_take: rowId").toLong)
         graft.Lance.take(spark, path, ids, version)
+      // the SQL spelling of [[graft.Lance.readNsAsTimestamp]]: every
+      // column declared int64-nanoseconds (`write.ns-as-long`) surfaces
+      // as a µs TimestampType via the one floor-division helper; the
+      // plain scan keeps the lossless longs
+      case "lance_read_ns" =>
+        require(args.size == 1, "lance_read_ns(path)")
+        graft.Lance.readNsAsTimestamp(spark, path)
       // Late interaction (ColBERT maxsim) through SQL: query vectors come
       // from a table/temp view (driver-small by definition — one query's
       // vectors), candidates from the probed IVF buckets, exact rerank

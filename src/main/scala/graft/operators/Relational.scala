@@ -1040,10 +1040,17 @@ object Relational {
       .mode("overwrite").save(dest)
     require(graft.Lance.nsColumns(spark, dest) == Seq("ns"),
       "ns-as-long declaration did not land in the table properties")
-    val casted = graft.Lance.readNsAsTimestamp(spark, dest)
+    // the SQL spelling drives the same conversion — n_cast_exact below
+    // is computed FROM the TVF frame, so the SQL surface is what the
+    // oracle hash actually grades
+    graft.MetaTvfs.register(spark)
+    val casted = spark.sql(s"SELECT * FROM lance_read_ns('" +
+      new java.io.File(dest).getAbsolutePath.replace("'", "''") + "')")
     require(casted.schema("ns").dataType ==
       org.apache.spark.sql.types.TimestampType,
-      "readNsAsTimestamp must surface the declared column as µs timestamp")
+      "lance_read_ns must surface the declared column as µs timestamp")
+    require(casted.schema == graft.Lance.readNsAsTimestamp(spark, dest).schema,
+      "lance_read_ns and Lance.readNsAsTimestamp must agree on the schema")
     val back = spark.read.format("lance").load(dest)
     require(back.schema("ns").dataType == org.apache.spark.sql.types.LongType,
       "the default read must keep the lossless longs")
