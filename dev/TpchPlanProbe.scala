@@ -11,7 +11,9 @@ object TpchPlanProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("tpch03_shipping_priority", "tpch09_product_profit")) {
+    for (q <- Seq("tpch03_shipping_priority", "tpch09_product_profit",
+        // the two heaviest sf1.0 ratios in the round-13 README table
+        "tpch21_waiting_suppliers", "tpch11_important_stock")) {
       val df = graft.operators.TpchQueries.queries(q)(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).take(4).toList
