@@ -186,7 +186,11 @@ object Bench {
     // small file creates + fsyncs on the same volume target/graft-data
     // lives on. Gate inflation with a flat CPU canary but a raised I/O
     // canary = storage pressure, not code.
-    def ioCanaryOnce(): Double = {
+    // failure-guarded like every gate body: a volume where the canary's
+    // own writes/fsyncs FAIL (disk full, fsync-less mount) must report
+    // canary_io=-1 (unmeasured), not kill the child before a single
+    // gate runs — the instrument must never destroy the measurement
+    def ioCanaryOnce(): Double = try {
       val dir = new java.io.File("target", "bench-io-canary")
       dir.mkdirs()
       val buf = Array.fill[Byte](8192)(7)
@@ -200,9 +204,10 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       Option(dir.listFiles()).foreach(_.foreach(_.delete()))
       sec
-    }
+    } catch { case _: Throwable => -1.0 }
     ioCanaryOnce() // warm-up (dir creation, page cache) outside the measurement
-    val canaryIo = Seq.fill(3)(ioCanaryOnce()).sorted.apply(1)
+    val io3 = Seq.fill(3)(ioCanaryOnce())
+    val canaryIo = if (io3.exists(_ < 0)) -1.0 else io3.sorted.apply(1)
     println(f"[bench] io canary (128 x 8KiB write+fsync) median=$canaryIo%.3f s")
     println(s"[bench-iocanary] $canaryIo")
 

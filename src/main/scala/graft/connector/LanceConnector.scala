@@ -1286,17 +1286,24 @@ class LanceWriteBuilder(rootStr: String, info: LogicalWriteInfo)
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty).map { cols =>
           val fields = info.schema()
-          cols.foreach { c =>
-            val f = fields.fields.find(_.name == c).getOrElse(
-              throw new IllegalArgumentException(
+          // resolve case-insensitively (Spark's default) but STORE the
+          // schema's canonical spelling: nsColumns/readNsAsTimestamp
+          // match the stored names against the table schema exactly, so
+          // a case drift at declaration must not yield a silently
+          // never-converted column
+          val canon = cols.map { c =>
+            val f = fields.fields.find(_.name == c)
+              .orElse(fields.fields.find(_.name.equalsIgnoreCase(c)))
+              .getOrElse(throw new IllegalArgumentException(
                 s"write.ns-as-long names '$c', not a column of this write"))
             require(f.dataType == org.apache.spark.sql.types.LongType,
               s"write.ns-as-long column '$c' is ${f.dataType.simpleString}: " +
                 "nanosecond timestamps ride int64 (Spark has no ns type - " +
                 "a typed column would truncate; that cast is the read-side " +
                 "opt-in, Lance.readNsAsTimestamp)")
+            f.name
           }
-          Map(LanceFormat.PropNsAsLong -> cols.mkString(","))
+          Map(LanceFormat.PropNsAsLong -> canon.mkString(","))
         }.getOrElse(Map.empty)
 
     // optimistic CAS companion (JSON map): every listed key must still

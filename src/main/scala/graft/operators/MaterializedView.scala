@@ -365,15 +365,23 @@ object MaterializedView {
       val cond = j.keys.map { case (s, k) => df(s) === right(k) }.reduce(_ && _)
       val how = howOverride.getOrElse(abs, j.joinType)
       val joined = df.join(right, cond, how)
-      // coalesce BEFORE dropping the right key, whatever `how` this term
-      // used: matched and left-only rows keep df(s) (right(k) is equal or
-      // null), anti rows get the key — every path shapes rows identically
-      val merged = if (!j.hasAntiSide) joined
-        else j.keys.foldLeft(joined) { case (o, (s, k)) =>
-          o.withColumn(s, coalesce(df(s), right(k)))
+      if (!j.hasAntiSide)
+        j.keys.values.foldLeft(joined) { (o, k) => o.drop(right(k)) }
+      else {
+        // merged-key projection by ATTRIBUTE, not by name: the source
+        // key column becomes coalesce(s, k) — matched and left-only rows
+        // keep df(s) (right(k) is equal or null), anti rows get the key
+        // — and the join-side key columns drop by attribute-set
+        // selection, so a same-NAME key pair (okey = okey) resolves
+        // unambiguously instead of a withColumn replacing both copies
+        val leftCols = df.columns.toSeq.map { c =>
+          j.keys.get(c).map(k => coalesce(df(c), right(k)).as(c))
+            .getOrElse(df(c))
         }
-      j.keys.values.foldLeft(merged) {
-        (o, k) => o.drop(right(k))
+        val dropK = j.keys.values.toSet
+        val rightCols = right.columns.toSeq.filterNot(dropK)
+          .map(c => right(c))
+        joined.select(leftCols ++ rightCols: _*)
       }
     }
 
@@ -1228,6 +1236,33 @@ object MaterializedView {
               .map(c => q(c))
             jRows.select(sel: _*)
           }
+          // the ONE zero-crossing classifier, shared by both flip
+          // directions (source-side null-extension flips driven by ΔJ;
+          // join-side anti flips driven by ΔA): net = signed feed sum
+          // per non-NULL key, cnt = the snapshot's count over the
+          // touched keys (pruned scan + exact semi-join), cnt@old =
+          // cnt − net. _mv_flip −1 on 0→>0 matches (retract the
+          // extended/anti rows), +1 on >0→0 (re-extend them). Caller
+          // persists and releases the returned frame.
+          def zeroCrossings(feed: DataFrame, keyCols: Seq[String],
+              snapshot: DataFrame): DataFrame = {
+            val sign = when(col("_change_type")
+              .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+            val net = feed
+              .filter(keyCols.map(q(_).isNotNull).reduce(_ && _))
+              .groupBy(keyCols.map(q): _*).agg(sum(sign).as("_mv_net"))
+            val cnt = prunedByKeys(snapshot, keyCols.map(c => (c, c)), net)
+              .join(net.select(keyCols.map(q): _*), keyCols, "left_semi")
+              .groupBy(keyCols.map(q): _*).agg(count(lit(1)).as("_mv_cnt"))
+            net.join(cnt, keyCols, "left")
+              .withColumn("_mv_cnt", coalesce(q("_mv_cnt"), lit(0L)))
+              .withColumn("_mv_flip",
+                when(q("_mv_cnt") > 0 && q("_mv_cnt") === q("_mv_net"),
+                  lit(-1L))
+                  .when(q("_mv_cnt") === 0L && q("_mv_net") < 0, lit(1L))
+                  .otherwise(lit(0L)))
+              .filter(q("_mv_flip") =!= 0L)
+          }
           if (vN != v0) {
             val aFeed = tableFeed(source, v0, vN)
             // a FULL factor's ΔA term joins LEFT, a RIGHT factor's INNER:
@@ -1252,25 +1287,9 @@ object MaterializedView {
               // either side — excluded here, constant-anti there.
               val keyPairs = j.keys.toSeq
               val sCols = keyPairs.map(_._1)
-              val aSign = when(col("_change_type")
-                .isin("insert", "update_postimage"), 1L).otherwise(-1L)
-              val netA = aFeed
-                .filter(sCols.map(q(_).isNotNull).reduce(_ && _))
-                .groupBy(sCols.map(q): _*).agg(sum(aSign).as("_mv_net"))
               val aNew = spark.read.format("lance")
                 .option("versionAsOf", vN.toString).load(source)
-              val cntA = prunedByKeys(aNew, sCols.map(c => (c, c)), netA)
-                .join(netA.select(sCols.map(q): _*), sCols, "left_semi")
-                .groupBy(sCols.map(q): _*).agg(count(lit(1)).as("_mv_cnt"))
-              val flips = netA.join(cntA, sCols, "left")
-                .withColumn("_mv_cnt", coalesce(q("_mv_cnt"), lit(0L)))
-                .withColumn("_mv_flip",
-                  when(q("_mv_cnt") > 0 && q("_mv_cnt") === q("_mv_net"),
-                    lit(-1L)) // 0 → >0 source matches: retract anti rows
-                    .when(q("_mv_cnt") === 0L && q("_mv_net") < 0,
-                      lit(1L)) // >0 → 0: the join rows become anti
-                    .otherwise(lit(0L)))
-                .filter(q("_mv_flip") =!= 0L)
+              val flips = zeroCrossings(aFeed, sCols, aNew)
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               localFeeds += flips
               if (!flips.isEmpty) {
@@ -1363,28 +1382,10 @@ object MaterializedView {
                 // cnt@old needs no second snapshot: cnt@old = cnt@new −
                 // net(ΔJi) per key. Keys with a NULL component never
                 // match (and never null-flip a prefix row) — excluded.
-                val jSign = when(col("_change_type")
-                  .isin("insert", "update_postimage"), 1L).otherwise(-1L)
                 val kCols = keyPairs.map(_._2)
-                val net = jFeed
-                  .filter(kCols.map(q(_).isNotNull).reduce(_ && _))
-                  .groupBy(kCols.map(q): _*).agg(sum(jSign).as("_mv_net"))
                 val jNew = spark.read.format("lance")
                   .option("versionAsOf", jvN.toString).load(j.path)
-                // scan pruned by the touched keys (pushes to the scan),
-                // then the semi join keeps the count exact above the cap
-                val cntNew = prunedByKeys(jNew, kCols.map(c => (c, c)), net)
-                  .join(net.select(kCols.map(q): _*), kCols, "left_semi")
-                  .groupBy(kCols.map(q): _*).agg(count(lit(1)).as("_mv_cnt"))
-                val flips = net.join(cntNew, kCols, "left")
-                  .withColumn("_mv_cnt", coalesce(q("_mv_cnt"), lit(0L)))
-                  .withColumn("_mv_flip",
-                    when(q("_mv_cnt") > 0 && q("_mv_cnt") === q("_mv_net"),
-                      lit(-1L)) // 0 → >0 matches: retract the null row
-                      .when(q("_mv_cnt") === 0L && q("_mv_net") < 0,
-                        lit(1L)) // >0 → 0 matches: re-extend with nulls
-                      .otherwise(lit(0L)))
-                  .filter(q("_mv_flip") =!= 0L)
+                val flips = zeroCrossings(jFeed, kCols, jNew)
                   .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
                 localFeeds += flips // released by the refresh-wide finally
                 if (!flips.isEmpty) {
@@ -1720,6 +1721,9 @@ object MaterializedView {
     * machinery, it simply starts (or stops) matching here. */
   def read(spark: SparkSession, viewPath: String): DataFrame = {
     val df = spark.read.format("lance").load(viewPath)
+    // one extra manifest read per read() call (the load above resolved
+    // its own); accepted — metadata-only, and caching it would risk
+    // serving a stale predicate across a concurrent recreate
     val (vfs, vroot) = fsRoot(spark, viewPath)
     val having = LanceFormat.readLatest(vfs, vroot)
       .flatMap(_.properties).getOrElse(Map.empty).get(PropHaving)
