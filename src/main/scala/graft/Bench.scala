@@ -190,21 +190,24 @@ object Bench {
     // own writes/fsyncs FAIL (disk full, fsync-less mount) must report
     // canary_io=-1 (unmeasured), not kill the child before a single
     // gate runs — the instrument must never destroy the measurement
-    def ioCanaryOnce(): Double = try {
+    def ioCanaryOnce(): Double = {
       val dir = new java.io.File("target", "bench-io-canary")
-      dir.mkdirs()
-      val buf = Array.fill[Byte](8192)(7)
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < 128) {
-        val out = new java.io.FileOutputStream(new java.io.File(dir, s"c$i.bin"))
-        try { out.write(buf); out.getFD.sync() } finally out.close()
-        i += 1
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-      sec
-    } catch { case _: Throwable => -1.0 }
+      // cleanup in finally: a mid-loop failure (disk full) must not leak
+      // partial canary files into later iterations/measurements
+      try {
+        dir.mkdirs()
+        val buf = Array.fill[Byte](8192)(7)
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 128) {
+          val out = new java.io.FileOutputStream(new java.io.File(dir, s"c$i.bin"))
+          try { out.write(buf); out.getFD.sync() } finally out.close()
+          i += 1
+        }
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      finally Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    }
     ioCanaryOnce() // warm-up (dir creation, page cache) outside the measurement
     val io3 = Seq.fill(3)(ioCanaryOnce())
     val canaryIo = if (io3.exists(_ < 0)) -1.0 else io3.sorted.apply(1)
@@ -366,6 +369,8 @@ object Bench {
     // regressions move it even when individual queries hide under
     // OmitBelowSec (README pins the per-query sf0.1/sf1.0 table)
     val tpchTotal = ok.filter(_._1.startsWith("tpch")).map(_._2).sum
+    // and the TPC-DS-shape family (rollups/grouping-sets/wide stars)
+    val tpcdsTotal = ok.filter(_._1.startsWith("tpcds")).map(_._2).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     // `canary`: the slowest child's fixed-reference-job median (machine-
     // pressure indicator, see scaladoc); `canary_io`: the slowest child's
@@ -375,7 +380,7 @@ object Bench {
     // commits) as opposed to materializing the returned plan.
     f"""{"metric":"total","unit":"sec","omitted_fast":${omitted.size},""" +
       f""""omitted_sec":$omittedSec%.1f,"queries":$qs,"setup":$ss,""" +
-      f""""tpch_total":$tpchTotal%.2f,""" +
+      f""""tpch_total":$tpchTotal%.2f,"tpcds_total":$tpcdsTotal%.2f,""" +
       f""""canary":$canary%.2f,"canary_io":$canaryIo%.2f,""" +
       f""""failed":$failed,"value":$total%.2f,"sf":"$sfName"}"""
   }

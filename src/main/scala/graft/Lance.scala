@@ -1378,8 +1378,10 @@ object Lance {
   def readNsAsTimestamp(spark: SparkSession, path: String): DataFrame = {
     val cols = nsColumns(spark, path)
     cols.foldLeft(spark.read.format("lance").load(path)) { (df, c) =>
-      df.withColumn(c, graft.Tables.nanosToMicrosTs(org.apache.spark.sql
-        .functions.col(s"`$c`")))
+      // Dataset.apply resolves the name LITERALLY (no backtick parsing):
+      // a column whose name contains '`' still resolves, where an
+      // interpolated `col(s"`$c`")` would produce a malformed reference
+      df.withColumn(c, graft.Tables.nanosToMicrosTs(df(c)))
     }
   }
 

@@ -21,6 +21,7 @@ object SparkEntry {
     (operators.LanceQueries.queries, operators.LanceQueries.oracleSql),
     (operators.Multimodal.queries, operators.Multimodal.oracleSql),
     (operators.TpchQueries.queries, operators.TpchQueries.oracleSql),
+    (operators.TpcdsQueries.queries, operators.TpcdsQueries.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -647,8 +647,9 @@ private[catalog] class LanceProcedure(catalog: LanceCatalog, procName: String)
           "refresh telescopes dA JOIN B(new) UNION A(old) JOIN dB; " +
           "LEFT/FULL retract/insert null-extended rows when a key's " +
           "match count crosses zero, RIGHT/FULL carry join-side-only " +
-          "rows (key in the merged source column; single-join views " +
-          "only); the view registers on every joined table").build(),
+          "rows (key in the merged source column; FULL/RIGHT must be " +
+          "the FIRST factor); the view registers on every joined " +
+          "table").build(),
       in("having", StringType).defaultValue("''")
         .comment("optional READ-time predicate over the view's OUTPUT " +
           "columns (group aliases + aggregate aliases, e.g. 'n >= 8'): " +

@@ -951,7 +951,16 @@ object LanceFormat {
         bucketBy = prev.bucketBy.map(b => b.copy(columns =
           b.columns.map(c => if (c == oldName) newName else c))),
         bloomFilters = prev.bloomFilters.map(_.map(c =>
-          if (c == oldName) newName else c)))
+          if (c == oldName) newName else c)),
+        // the declared ns-as-long column list names LOGICAL columns too:
+        // left stale it would make readNsAsTimestamp/lance_read_ns fail
+        // unresolved until the list is re-declared by hand
+        properties = prev.properties.map(_.map {
+          case (PropNsAsLong, v) => PropNsAsLong ->
+            v.split(',').map(c => if (c == oldName) newName else c)
+              .mkString(",")
+          case kv => kv
+        }))
       if (commitOnceIn(fs, versionsPath(root), m, None)) return m
       attempt += 1
     }

@@ -450,6 +450,51 @@ object HnswIndex {
       meta.numPartitions, probes0, bucketsFor, filter, idCol, candidates)
   }
 
+  /** HNSW + EXACT-double re-rank (opt-in, round 14): the graph walks
+    * float32 nodes (the memory posture [[search]] documents), then the
+    * candidate POOL — the walk's top max(ef, k), not just k, so a
+    * float32 near-tie inversion below rank k cannot hide a true
+    * neighbor — re-ranks on the RAW float64 column at read time and the
+    * exact top-k returns. Full probing + exact re-rank therefore equals
+    * the brute-force double KNN (the v41/v46 oracle) from a graph
+    * index. Cost: one graph search + one id-pruned read of ≤ max(ef,k)
+    * rows — search-parameter bounded, never data bounded; the id
+    * predicate pushes into the scan (stats/bloom/postings prune).
+    * Shortfall/ef-widening stay loud: the inner walk runs with
+    * k = pool, so the filtered-search guards fire exactly as before. */
+  def searchRerankDouble(spark: SparkSession, datasetPath: String,
+      column: String, query: Array[Double], k: Int, nprobes: Int = 20,
+      ef: Int = 100, metric: Option[String] = None,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val meta = IvfIndex.loadMeta(spark, datasetPath, column)
+    val idCol = meta.idColumn
+    val pool = math.max(ef, k)
+    val cand = search(spark, datasetPath, column, query.map(_.toFloat),
+      pool, nprobes, ef, metric, filter)
+    // pool-bounded driver fetch (≤ max(ef,k) ids — the knnSearch
+    // query-vector-collect posture, never proportional to the corpus)
+    val ids = cand.select(col(idCol).cast("long")).collect()
+      .map(_.getLong(0)).toSeq
+    if (ids.isEmpty) return cand.limit(0)
+    import graft.functions.VectorFunctions._
+    val dist = meta.metric.toLowerCase match {
+      case "l2" => l2_distance(col(column), lit(query))
+      case "cosine" => cosine_distance(col(column), lit(query))
+      case "dot" => -dot_product(col(column), lit(query))
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    // raw vectors come from the buckets sidecar — it stores the column
+    // at its ORIGINAL type (search casts to float32 for the walk; this
+    // path deliberately doesn't), and it exists even for index-only
+    // destinations built straight from a DataFrame
+    spark.read.parquet(s"${IvfIndex.indexPath(datasetPath, column)}/buckets")
+      .filter(col(idCol).isin(ids: _*))
+      .withColumn("_distance", dist)
+      .select(col(idCol).cast("long").as(idCol), col("_distance"))
+      .orderBy(col("_distance"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF_HNSW_PQ search (the reference's composite index type,
     * `LanceIndexBuilder.java:134-152`): the graph walk scores nodes with
     * the asymmetric-distance table over their PQ codes — no vector math

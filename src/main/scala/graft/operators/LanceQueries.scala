@@ -2622,6 +2622,260 @@ object LanceQueries {
     got.withColumn("mode", lit(r.mode)).orderBy(col("o_orderpriority"))
   }
 
+  /** FULL head + INNER dim factor (s133, round 14): the two-sided
+    * coverage dashboard over a star — `orders ⟗ lineitem ⋈ okey_dim`
+    * with ALL THREE sides change-fed, the dim keyed on the MERGED order
+    * key (so join-side-only item rows attach their dim attributes too).
+    * The FULL factor must be the FIRST join; inner/left factors follow
+    * and every IVM term (Δ images, both flip directions, anti images)
+    * continues through them. One window drives zero crossings on both
+    * FULL sides plus a dim-side delta; refresh must stay delta and
+    * hash-match DuckDB's FULL JOIN … JOIN dim recompute. */
+  def s133MvFullJoinDim(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.{AggSpec, JoinSpec}
+    val srcA = scratch(dir, "mv_fdjoin_a")
+    val srcB = scratch(dir, "mv_fdjoin_b")
+    val srcC = scratch(dir, "mv_fdjoin_c")
+    val view = scratch(dir, "mv_view_fdjoin")
+    freshDataset(spark, srcA); freshDataset(spark, srcB)
+    freshDataset(spark, srcC); freshDataset(spark, view)
+    // orders with o_orderkey % 5 = 1 start ABSENT (their items anti)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .filter(not(col("o_orderkey") % 5 === 1))
+      .write.format("lance").mode("overwrite").save(srcA)
+    // orders with o_orderkey % 7 = 3 start ITEMLESS (null-extended)
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(not(col("l_orderkey") % 7 === 3))
+      .write.format("lance").mode("overwrite").save(srcB)
+    // the dim factor: one row per order key EXCEPT % 11 = 7 (the inner
+    // tail genuinely filters — matched, source-only AND anti rows)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey").as("d_orderkey"),
+        (col("o_orderkey") % 4).as("obucket"))
+      .filter(not(col("o_orderkey") % 11 === 7))
+      .write.format("lance").mode("overwrite").save(srcC)
+    MaterializedView.create(spark, view, srcA,
+      Seq("o_orderpriority", "obucket"),
+      Seq(AggSpec("count", "*", "n"),
+        AggSpec("count", "o_custkey", "na"),
+        AggSpec("count", "l_extendedprice", "nm"),
+        AggSpec("sum", "l_extendedprice", "sum_price")),
+      joins = Seq(JoinSpec(srcB, Map("o_orderkey" -> "l_orderkey"), "full"),
+        JoinSpec(srcC, Map("o_orderkey" -> "d_orderkey"), "inner")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      // join-side 0 -> >0 THROUGH the dim: anti rows retract
+      t(spark, dir, "orders")
+        .filter("o_orderkey % 5 = 1 AND o_orderkey % 3 = 0 AND o_orderkey <= 30000")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .write.format("lance").mode("append").save(srcA)
+      // join-side >0 -> 0: departing orders' items flip anti
+      graft.Lance.deleteWhere(spark, srcA, "o_orderkey % 13 = 6")
+      // source-side 0 -> >0: first items, null rows retract
+      t(spark, dir, "orders")
+        .filter("o_orderkey % 77 = 3 AND o_orderkey <= 30000")
+        .select(col("o_orderkey").as("l_orderkey"),
+          lit(1234.56).as("l_extendedprice"))
+        .write.format("lance").mode("append").save(srcB)
+      graft.Lance.updateWhere(spark, srcB,
+        "l_orderkey % 9 = 4 AND l_orderkey <= 30000",
+        Map("l_extendedprice" -> "l_extendedprice * 2"))
+      // source-side >0 -> 0: null rows re-extend
+      graft.Lance.deleteWhere(spark, srcB,
+        "l_orderkey % 93 = 5 AND l_orderkey <= 30000")
+      // dim-side delta over the FULL prefix: regroup some keys, drop
+      // others (their prefix rows — matched or anti — leave the view)
+      graft.Lance.updateWhere(spark, srcC,
+        "d_orderkey % 17 = 2 AND d_orderkey <= 30000",
+        Map("obucket" -> "(d_orderkey + 1) % 4"))
+      graft.Lance.deleteWhere(spark, srcC,
+        "d_orderkey % 19 = 8 AND d_orderkey <= 30000")
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta",
+      s"FULL+dim join-view windows must refresh by delta, got $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(srcA)
+      .join(spark.read.format("lance").load(srcB),
+        col("o_orderkey") === col("l_orderkey"), "full")
+      .withColumn("o_orderkey", coalesce(col("o_orderkey"), col("l_orderkey")))
+      .drop("l_orderkey")
+      .join(spark.read.format("lance").load(srcC),
+        col("o_orderkey") === col("d_orderkey"), "inner")
+      .groupBy("o_orderpriority", "obucket")
+      .agg(count(lit(1)).as("n"),
+        count(col("o_custkey")).as("na"),
+        count(col("l_extendedprice")).as("nm"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+    require(sameRows(got, expect),
+      "FULL+dim join-view incremental refresh drifted from the recompute")
+    got.withColumn("mode", lit(r.mode))
+      .orderBy(col("o_orderpriority"), col("obucket"))
+  }
+
+  /** MV × schema evolution (s134, round 14): a registered view must
+    * SURVIVE source evolution that doesn't touch its spec — the worst
+    * IVM failure mode is silent drift after an ALTER. One DML window
+    * mixes row DML with a merge-schema append (new column `o_channel`)
+    * and a RENAME of an unreferenced column; the change feed re-reads
+    * old fragments under the END schema (evolved columns null), so the
+    * delta math never sees the evolution. Refresh must stay delta and
+    * hash-match the oracle; renames of view-REFERENCED columns refuse
+    * at the ALTER (spec rows in MaterializedViewSpec/RenameColumnSpec). */
+  def s134MvSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.AggSpec
+    val src = scratch(dir, "mv_evo_src")
+    val view = scratch(dir, "mv_view_evo")
+    freshDataset(spark, src); freshDataset(spark, view)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("o_orderstatus"),
+      Seq(AggSpec("count", "*", "n"),
+        AggSpec("sum", "o_totalprice", "sum_price")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      // merge-schema append FIRST: new rows carry a NEW column (and omit
+      // an old one); every earlier fragment reads o_channel as NULL
+      t(spark, dir, "orders")
+        .filter("o_orderkey % 17 = 5 AND o_orderkey <= 30000")
+        .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          lit("web").as("o_channel"))
+        .write.format("lance").option("write.merge-schema", "true")
+        .mode("append").save(src)
+      // rename an UNREFERENCED column mid-window: the guard lets it
+      // through (no view names it), and the feed re-reads old images
+      // under the new name positionally
+      graft.Lance.renameColumn(spark, src, "o_orderpriority", "opri2")
+      // ordinary row DML across old AND evolved fragments
+      graft.Lance.deleteWhere(spark, src, "o_orderkey % 10 = 3")
+      graft.Lance.updateWhere(spark, src, "o_orderkey % 10 = 4",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta",
+      s"an evolution window must still refresh by delta, got $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    require(sameRows(got, expect),
+      "view drifted from the recompute across a schema-evolution window")
+    // the evolved source reads clean too: new column present, old
+    // fragments NULL there, rename applied
+    val evolved = spark.read.format("lance").load(src)
+    require(evolved.columns.contains("o_channel") &&
+      evolved.columns.contains("opri2") &&
+      !evolved.columns.contains("o_orderpriority"),
+      s"evolved schema wrong: ${evolved.columns.mkString(",")}")
+    got.withColumn("mode", lit(r.mode)).orderBy(col("o_orderstatus"))
+  }
+
+  /** Streaming-epoch freshness for JOIN views (s135, round 14): s132
+    * proves per-epoch maintenance for an aggregate view; this registers
+    * a fact⋈fact JOIN view and streams three epochs into the FACT side
+    * through the exactly-once sink with `write.refresh-mvs` — after
+    * EVERY epoch the join view must equal the join recompute (require()d
+    * per epoch, not just at the end). The join table stays still, so
+    * each epoch's refresh is the ΔA⋈B@new term alone — change-bounded. */
+  def s135StreamJoinMvFresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.{AggSpec, JoinSpec}
+    val src = scratch(dir, "mv_sjoin_src")
+    val dst = scratch(dir, "mv_sjoin_dst")
+    val items = scratch(dir, "mv_sjoin_items")
+    val view = scratch(dir, "mv_sjoin_view")
+    freshDataset(spark, src); freshDataset(spark, dst)
+    freshDataset(spark, items); freshDataset(spark, view)
+    freshDataset(spark, s"$dst-ckpt")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    o.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .repartition(4).write.format("lance").mode("overwrite").save(dst)
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.format("lance").mode("overwrite").save(items)
+    MaterializedView.create(spark, view, dst, Seq("o_orderpriority"),
+      Seq(AggSpec("count", "*", "n"),
+        AggSpec("sum", "l_extendedprice", "sum_price")),
+      joins = Seq(JoinSpec(items, Map("o_orderkey" -> "l_orderkey"))))
+    def recompute() = spark.read.format("lance").load(dst)
+      .join(spark.read.format("lance").load(items),
+        col("o_orderkey") === col("l_orderkey"), "inner")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    (1 to 3).foreach { i =>
+      o.filter(pmod(col("o_orderkey"), lit(4)) === i).repartition(2)
+        .write.format("lance")
+        .mode(if (i == 1) "overwrite" else "append").save(src)
+      withStreamShufflePartitions(spark) {
+        val q = spark.readStream.format("lance").load(src)
+          .writeStream.format("lance")
+          .option("checkpointLocation", s"$dst-ckpt")
+          .option("write.refresh-mvs", "true")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      require(sameRows(MaterializedView.read(spark, view), recompute()),
+        s"registered JOIN view is STALE after streaming epoch $i - the " +
+          "epoch commit must maintain it in-commit")
+    }
+    MaterializedView.read(spark, view).orderBy(col("o_orderpriority"))
+  }
+
+  /** History edit × MV (s136, round 14): `restore` rewrites the version
+    * LINEAGE but commits FORWARD — a new head whose fragment set is the
+    * target's — so the change feed over (watermark, head] is exactly the
+    * delete+insert diff of the undo and a registered view heals
+    * INCREMENTALLY to the restored state: never serves the
+    * restored-away data, never needs a rebuild. The gate refreshes
+    * through a DML window, takes a second window, restores the source
+    * to the mid state and refreshes again — the view must equal the
+    * mid-state recompute by delta. */
+  def s136MvRestore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedView
+    import graft.operators.MaterializedView.AggSpec
+    val src = scratch(dir, "mv_restore_src")
+    val view = scratch(dir, "mv_view_restore")
+    freshDataset(spark, src); freshDataset(spark, view)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.format("lance").mode("overwrite").save(src)
+    MaterializedView.create(spark, view, src, Seq("o_orderstatus"),
+      Seq(AggSpec("count", "*", "n"),
+        AggSpec("sum", "o_totalprice", "sum_price")))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    val midVersion = try {
+      graft.Lance.deleteWhere(spark, src, "o_orderkey % 10 = 3")
+      val mid = graft.Lance.versions(spark, src).max
+      require(MaterializedView.refresh(spark, view).mode == "delta")
+      // second window the restore will undo
+      graft.Lance.updateWhere(spark, src, "o_orderkey % 10 = 4",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      require(MaterializedView.refresh(spark, view).mode == "delta")
+      mid
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    graft.Lance.restore(spark, src, midVersion)
+    val r = MaterializedView.refresh(spark, view)
+    require(r.mode == "delta",
+      s"a restore window must refresh by delta (fragment-diff feed), got $r")
+    val got = MaterializedView.read(spark, view)
+    val expect = spark.read.format("lance").load(src)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    require(sameRows(got, expect),
+      "view served restored-away state after a source restore")
+    got.withColumn("mode", lit(r.mode)).orderBy(col("o_orderstatus"))
+  }
+
   /** SQL DDL for views (s129): `CREATE MATERIALIZED VIEW cat.db.v AS
     * SELECT ...` through the injected parser — the statement's SELECT
     * is parsed by Spark's own parser and translated into the create()
@@ -3250,6 +3504,10 @@ object LanceQueries {
     "s125_mv_join" -> s125MvJoin,
     "s128_mv_left_join" -> s128MvLeftJoin,
     "s130_mv_full_join" -> s130MvFullJoin,
+    "s133_mv_full_join_dim" -> s133MvFullJoinDim,
+    "s134_mv_schema_evolution" -> s134MvSchemaEvolution,
+    "s135_stream_join_mv_fresh" -> s135StreamJoinMvFresh,
+    "s136_mv_restore" -> s136MvRestore,
     "s126_dependents_tvf" -> s126DependentsTvf,
     "s127_cherry_pick" -> s127CherryPick,
     "s117_publish" -> s117Publish,
@@ -3549,6 +3807,55 @@ object LanceQueries {
         | 'delta' AS mode
         |FROM a FULL JOIN b ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    // s133: delta-mode + exactness are the require()s; the oracle
+    // reproduces the post-DML FULL join + INNER dim recompute from raw
+    // parquet — the dim keys on the MERGED order key, so join-side-only
+    // rows attach dim attributes too. NULLS FIRST pins the anti rows'
+    // NULL priority group to Spark's ascending default.
+    "s133_mv_full_join_dim" ->
+      """WITH a0 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |  WHERE NOT (o_orderkey % 5 = 1)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 = 0
+        |    AND o_orderkey <= 30000
+        |), a AS (
+        |  SELECT * FROM a0 WHERE NOT (o_orderkey % 13 = 6)
+        |), b1 AS (
+        |  SELECT l_orderkey, l_extendedprice FROM lineitem
+        |  WHERE NOT (l_orderkey % 7 = 3)
+        |  UNION ALL
+        |  SELECT o_orderkey AS l_orderkey, 1234.56 AS l_extendedprice
+        |  FROM orders WHERE o_orderkey % 77 = 3 AND o_orderkey <= 30000
+        |), b AS (
+        |  SELECT l_orderkey,
+        |         CASE WHEN l_orderkey % 9 = 4 AND l_orderkey <= 30000
+        |              THEN l_extendedprice * 2
+        |              ELSE l_extendedprice END AS l_extendedprice
+        |  FROM b1
+        |  WHERE NOT (l_orderkey % 93 = 5 AND l_orderkey <= 30000)
+        |), c0 AS (
+        |  SELECT o_orderkey AS d_orderkey, o_orderkey % 4 AS obucket
+        |  FROM orders WHERE NOT (o_orderkey % 11 = 7)
+        |), c AS (
+        |  SELECT d_orderkey,
+        |         CASE WHEN d_orderkey % 17 = 2 AND d_orderkey <= 30000
+        |              THEN (d_orderkey + 1) % 4 ELSE obucket END AS obucket
+        |  FROM c0
+        |  WHERE NOT (d_orderkey % 19 = 8 AND d_orderkey <= 30000)
+        |), m AS (
+        |  SELECT COALESCE(o_orderkey, l_orderkey) AS okey,
+        |         o_orderpriority, o_custkey, l_extendedprice
+        |  FROM a FULL JOIN b ON o_orderkey = l_orderkey
+        |)
+        |SELECT o_orderpriority, obucket, COUNT(*) AS n,
+        | COUNT(o_custkey) AS na,
+        | COUNT(l_extendedprice) AS nm,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | 'delta' AS mode
+        |FROM m JOIN c ON okey = d_orderkey
+        |GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""".stripMargin,
     // s126: the pre-refresh lag (=2) is the require(); post-refresh both
     // registrations report zero lag — planted rows
     "s126_dependents_tvf" ->
@@ -3728,6 +4035,42 @@ object LanceQueries {
       """SELECT o_custkey, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // s134: delta-mode + exactness across the evolution window are the
+    // require()s; the oracle reproduces base + merge-schema-appended
+    // rows with the row DML applied over BOTH (appended keys are
+    // +5000000, which preserves the %10 classes)
+    "s134_mv_schema_evolution" ->
+      """WITH all0 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 17 = 5 AND o_orderkey <= 30000
+        |), final AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM all0 WHERE NOT (o_orderkey % 10 = 3)
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | 'delta' AS mode
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s135: per-epoch join-view freshness is the require(); after the
+    // three epochs the fact side holds every order
+    "s135_stream_join_mv_fresh" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s136: the restore undoes the second window, so the view must equal
+    // the mid state (deletions only, no re-pricing) — delta mode and the
+    // never-serve-restored-away require()s are in the gate body
+    "s136_mv_restore" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | 'delta' AS mode
+        |FROM orders WHERE NOT (o_orderkey % 10 = 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // s116: groups %13=7 die entirely; >150000 deletions move the max
     "s116_mv_minmax" ->
       """SELECT o_custkey, COUNT(*) AS n,

@@ -590,13 +590,24 @@ object MaterializedView {
     require(joinPaths.distinct.size == joinPaths.size &&
       !joinPaths.contains(srcAbs),
       "join tables must be distinct from each other and from the source")
-    // FULL/RIGHT views: exactly one join table. The join-side anti part
-    // flips with EVERY prefix factor's delta, so the two-sided
-    // zero-crossing terms do not telescope across chains — stack
-    // single-join views (the s125/s128 posture) for wider shapes.
-    require(!joins.exists(_.hasAntiSide) || joins.size == 1,
-      "a FULL/RIGHT join view supports exactly one join table - split " +
-        "into stacked single-join views, or declare inner/left factors")
+    // FULL/RIGHT views: at most ONE anti-side factor, and it must be the
+    // FIRST join (its keys then resolve against the source alone, so its
+    // match counts depend only on A — the ΔA-driven zero-crossing terms
+    // stay the single-classifier shape). An inner/left factor BEFORE the
+    // anti factor would make the anti part flip with THAT factor's delta
+    // too, and those two-sided crossings do not telescope — stack
+    // single-join views for such shapes. Inner/left factors AFTER the
+    // anti factor compose freely: the anti/flip images simply continue
+    // through the tail factors like any other prefix row (the coverage-
+    // dashboard star: FULL fact join + INNER/LEFT dims on the merged key
+    // or the fact's attributes).
+    require(joins.count(_.hasAntiSide) <= 1,
+      "at most one FULL/RIGHT join table per view - stack single-join " +
+        "views for wider two-sided shapes")
+    require(!joins.drop(1).exists(_.hasAntiSide),
+      "a FULL/RIGHT join table must be the FIRST join factor (its match " +
+        "counts must depend on the source alone) - reorder the joins, or " +
+        "stack single-join views")
     var taken = srcFields
     // join keys resolve over the namespace ACCUMULATED so far — the
     // source, or an EARLIER join's attributes (the snowflake chain:
@@ -1207,6 +1218,30 @@ object MaterializedView {
           jAbs -> (if (owned.isEmpty) full
                    else prunedByKeys(full, owned, small))
         }.toMap
+      // join `rows` (prefix-shaped through factor i) through the TAIL
+      // factors at their NEW versions, declared types, each pruned to
+      // the keys the rows own — anti images and zero-crossing flip rows
+      // both continue through the tail this way: a NULLed key column
+      // prunes the tail factor to empty, and inner-drops / left-null-
+      // extends exactly like the unpruned join would
+      def tailJoinNew(rows: DataFrame, i: Int): DataFrame = {
+        val tail = joinHeads.drop(i + 1)
+        if (tail.isEmpty) rows
+        else {
+          val imgs = tail.map { case (jj, _, nv) =>
+            val jjAbs = new java.io.File(jj.path).getAbsolutePath
+            val full = spark.read.format("lance")
+              .option("versionAsOf", nv.toString).load(jj.path)
+            val owned = jj.keys.toSeq
+              .filter { case (s2, _) => rows.columns.contains(s2) }
+              .map { case (s2, k2) => (k2, s2) } // (bigCol, smallCol)
+            jjAbs -> (if (owned.isEmpty) full
+                      else prunedByKeys(full, owned, rows))
+          }.toMap
+          applyJoins(spark, rows,
+            tail.map { case (jj, _, nv) => (jj, nv) }, images = imgs)
+        }
+      }
       val feed0: DataFrame =
         if (joins.isEmpty) tableFeed(source, v0, vN)
         else {
@@ -1277,7 +1312,8 @@ object MaterializedView {
                 case (j, _, _) if j.joinType == "right" =>
                   new java.io.File(j.path).getAbsolutePath -> "inner"
               }.toMap)
-            joinHeads.foreach { case (j, _, jvN) if j.hasAntiSide =>
+            joinHeads.zipWithIndex.foreach {
+              case ((j, _, jvN), ji) if j.hasAntiSide =>
               // ---- join-side zero-crossing flips driven by ΔA:
               //   (J@new ▷ A@new) − (J@new ▷ A@old), null-extended
               // A J@new row is "anti" iff NO source row matches its key;
@@ -1301,7 +1337,11 @@ object MaterializedView {
                   .option("versionAsOf", jvN.toString).load(j.path)
                 val jHit = prunedByKeys(jNew, kCols.map(c => (c, c)), fk)
                   .join(fk, kCols, "inner")
-                terms += antiShape(jHit, keyPairs)
+                // flipped anti rows continue through the TAIL factors at
+                // @new (the ΔA term's version mapping), declared types —
+                // an anti row carries its merged key and this factor's
+                // attrs, so tail dims keyed on either join normally
+                terms += tailJoinNew(antiShape(jHit, keyPairs), ji)
                   .withColumn("_change_type",
                     when(q("_mv_flip") === -1L, lit("delete"))
                       .otherwise(lit("insert")))
@@ -1335,17 +1375,34 @@ object MaterializedView {
                 val aBase = if (srcOwned.isEmpty) aOld
                   else prunedByKeys(aOld, srcOwned, small)
                 val m = scala.collection.mutable.Map.empty[String, DataFrame]
-                if (chainKeys.nonEmpty) joinHeads.take(i).foreach {
-                  case (jj, ov, _) =>
+                joinHeads.take(i).foreach { case (jj, ov, _) =>
+                  // a srcOwned key of this Δ whose source column is ALSO
+                  // an earlier ANTI factor's key is a MERGED column: its
+                  // values come from A.s OR jj's key column, so the anti
+                  // factor prunes on its own key origin too — dropped
+                  // rows' merged keys fall outside the Δ's key set, and
+                  // the term's final join on those keys filters exactly
+                  // there, so nothing a pruned row could contribute
+                  // survives anyway (matched partners lose the match but
+                  // their merged key is equally out-of-set)
+                  val mergedOwned =
+                    if (!jj.hasAntiSide) Seq.empty
+                    else srcOwned.collect {
+                      case (s2, k2) if jj.keys.contains(s2) =>
+                        (jj.keys(s2), k2)
+                    }
+                  if (chainKeys.nonEmpty || mergedOwned.nonEmpty) {
                     val jjAbs = new java.io.File(jj.path).getAbsolutePath
                     val frame = spark.read.format("lance")
                       .option("versionAsOf", ov.toString).load(jj.path)
                     // ownership = the join's ATTRS (its own key columns
                     // drop from the namespace, never owning a later key)
                     val jjAttrs = frame.columns.toSet -- jj.keys.values
-                    val owned = chainKeys.filter(p => jjAttrs.contains(p._1))
+                    val owned = chainKeys.filter(p => jjAttrs.contains(p._1)) ++
+                      mergedOwned
                     if (owned.nonEmpty)
                       m(jjAbs) = prunedByKeys(frame, owned, small)
+                  }
                 }
                 (aBase, m.toMap)
               }
@@ -1363,15 +1420,17 @@ object MaterializedView {
                 // key component — those never match) enter/leave the
                 // view's join-side-only rows under their own change
                 // sign; the source-side count flips of THIS window's ΔA
-                // were already handled against J@new above.
+                // were already handled against J@new above. The images
+                // continue through the tail factors at @new (the ΔJi
+                // version mapping: later factors @new), declared types.
                 val kCols = keyPairs.map(_._2)
                 val aKeys = prunedByKeys(aOld, srcOwned, jFeed)
                   .select(keyPairs.map { case (s, k) => q(s).as(k) }: _*)
                   .distinct()
                 // left_anti keeps NULL-component keys (never equal) —
                 // exactly the always-anti rows
-                terms += antiShape(jFeed.join(aKeys, kCols, "left_anti"),
-                  keyPairs)
+                terms += tailJoinNew(
+                  antiShape(jFeed.join(aKeys, kCols, "left_anti"), keyPairs), i)
               }
               if (j.joinType == "left" || j.joinType == "full") {
                 // ---- LEFT zero-crossing flips over this window:
@@ -1406,24 +1465,12 @@ object MaterializedView {
                   flipRows = jNew.schema.fields.filterNot(f => keyVals(f.name))
                     .foldLeft(flipRows)((df, f) =>
                       df.withColumn(f.name, lit(null).cast(f.dataType)))
-                  // tail factors at NEW versions, each pruned by the keys
-                  // the flip rows own (a nulled chain key prunes the tail
-                  // factor to empty — inner drops, left null-extends:
-                  // both exactly what the unpruned join would do)
-                  val tailImages = joinHeads.drop(i + 1).map {
-                    case (jj, _, nv) =>
-                      val jjAbs = new java.io.File(jj.path).getAbsolutePath
-                      val full = spark.read.format("lance")
-                        .option("versionAsOf", nv.toString).load(jj.path)
-                      val owned = jj.keys.toSeq.filter { case (s2, _) =>
-                        flipRows.columns.contains(s2) }
-                        .map { case (s2, k2) => (k2, s2) } // (bigCol, smallCol)
-                      jjAbs -> (if (owned.isEmpty) full
-                                else prunedByKeys(full, owned, flipRows))
-                  }.toMap
-                  terms += applyJoins(spark, flipRows,
-                    joinHeads.drop(i + 1).map { case (jj, _, nv) => (jj, nv) },
-                    images = tailImages)
+                  // tail factors at NEW versions via the shared helper,
+                  // each pruned by the keys the flip rows own (a nulled
+                  // chain key prunes the tail factor to empty — inner
+                  // drops, left null-extends: both exactly what the
+                  // unpruned join would do)
+                  terms += tailJoinNew(flipRows, i)
                     .withColumn("_change_type",
                       when(q("_mv_flip") === -1L, lit("delete"))
                         .otherwise(lit("insert")))

@@ -546,13 +546,27 @@ object Similarity {
     * vec_id stride, never rand() — reruns sample identically. */
   private val knnJoinCorpusRows =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Cheap driver-side fingerprint of the corpus parquet (file lengths +
+    * mtimes): a scratch corpus REWRITTEN within one JVM (test suites do)
+    * must invalidate the cached count, or the stride silently samples a
+    * different query set than a fresh JVM would. */
+  private def corpusStamp(dir: String): String = {
+    val f = new java.io.File(dir, "embeddings.parquet")
+    val leaves =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      else Seq(f)
+    leaves.sortBy(_.getName)
+      .map(l => s"${l.getName}:${l.length}:${l.lastModified}").mkString("|")
+  }
   private def knnJoinQueries(spark: SparkSession, dir: String): DataFrame = {
     val cap = 2000L
     val emb = t(spark, dir, "embeddings")
-    // count once per corpus dir and reuse — v37 and v40 each run this
-    // several times per bench (cold + warm), and a count job inside the
-    // measured window would charge the SAMPLER to the gate
-    val n: Long = knnJoinCorpusRows.computeIfAbsent(dir, _ => emb.count())
+    // count once per corpus STATE (dir + file stamp) and reuse — v37 and
+    // v40 each run this several times per bench (cold + warm), and a
+    // count job inside the measured window would charge the SAMPLER to
+    // the gate; the stamp keys out a regenerated corpus
+    val n: Long = knnJoinCorpusRows
+      .computeIfAbsent(s"$dir#${corpusStamp(dir)}", _ => emb.count())
     if (n <= cap) emb
     else emb.filter(pmod(col("vec_id"), lit((n + cap - 1) / cap)) === 0)
   }
@@ -634,6 +648,40 @@ object Similarity {
     val q = queryVec(spark, dir, 0L)
     IvfIndex.searchPq(spark, dest, "embedding", q, 10, nprobes = 8,
         refineFactor = 8)
+      .select(col("vec_id"), col("_distance").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  /** HNSW over FLOAT64 with exact-double re-rank (v47, round 14): the
+    * graph walks float32 nodes by design ([[graft.index.HnswIndex]]'s
+    * memory posture), so plain HNSW `_distance` over a double corpus
+    * quantizes sub-float32 detail. The opt-in
+    * [[graft.index.HnswIndex.searchRerankDouble]] re-ranks the walk's
+    * candidate pool on the RAW double column at read time — full
+    * probing + exact re-rank must therefore equal the brute-force
+    * double KNN, the same oracle v41 pins for FLAT and v46 for PQ.
+    */
+  def v47HnswDoubleRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.index.{HnswIndex, IvfIndex}
+    val dest = graft.Tables.scratch(dir, "emb_hnsw_f64_np8_v1")
+    val conf = spark.sessionState.newHadoopConf()
+    val metaFile = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${IvfIndex.indexPath(dest, "embedding")}/index.json").getAbsolutePath)
+    val fs = metaFile.getFileSystem(conf)
+    if (!fs.exists(metaFile)) {
+      val r = IvfIndex.build(spark,
+        t(spark, dir, "embeddings")
+          .withColumn("embedding", col("embedding").cast("array<double>")),
+        "embedding", "vec_id", dest, numPartitions = 8)
+      require(r.success, r.error)
+    }
+    val gp = new org.apache.hadoop.fs.Path(new java.io.File(
+      s"${HnswIndex.graphPath(dest, "embedding")}/_SUCCESS").getAbsolutePath)
+    if (!fs.exists(gp))
+      require(HnswIndex.build(spark, dest, "embedding").success)
+    val qd = queryVec(spark, dir, 0L).map(_.toDouble)
+    HnswIndex.searchRerankDouble(spark, dest, "embedding", qd, 10,
+        nprobes = 8, ef = 200)
       .select(col("vec_id"), col("_distance").as("dist"))
       .orderBy(col("dist"), col("vec_id"))
   }
@@ -923,6 +971,7 @@ object Similarity {
     "v40_knn_join_sql" -> v40KnnJoinSql,
     "v41_knn_double" -> v41KnnDouble,
     "v46_knn_pq_double" -> v46KnnPqDouble,
+    "v47_hnsw_double_rerank" -> v47HnswDoubleRerank,
     "v22_knn_cosine" -> v22KnnCosine,
     "v23_dot_similarity" -> v23DotSimilarity,
     "v24_norm_stats" -> v24NormStats,
@@ -1035,6 +1084,14 @@ object Similarity {
     // v46: IVF_PQ over the double corpus — full probe + exact refine on
     // the raw doubles equals the same brute force v41 pins for FLAT
     "v46_knn_pq_double" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $l2SqlBody AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    // v47: HNSW graph walk (float32) + exact-double re-rank == the same
+    // brute-force double KNN (the doc'd opt-in closing the last float64
+    // fidelity gap)
+    "v47_hnsw_double_rerank" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, $l2SqlBody AS dist
          |FROM embeddings e, q

@@ -175,7 +175,8 @@ object MvSqlDdl {
             case RightOuter => "right"
             case other => refuse(s"$other join",
               "INNER / LEFT / RIGHT / FULL JOIN with equality conditions " +
-                "(both sides change-fed; FULL/RIGHT single-join only)")
+                "(both sides change-fed; FULL/RIGHT must be the FIRST " +
+                "join factor, inner/left factors may follow)")
           }
           val (src, earlier) = relations(left)
           val rParts = strip(right) match {

@@ -265,4 +265,41 @@ class HnswIndexSpec extends AnyFunSuite {
       assert(math.abs(d - r.getDouble(1)) < 1e-9)
     }
   }
+
+  test("exact-double re-rank (opt-in) equals brute-force double KNN") {
+    // a FLOAT64 corpus: the plain graph walk quantizes to float32, the
+    // re-rank path must return the exact double top-k WITH exact double
+    // distances (id set, order, and values)
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
+      "hnsw-f64-").toAbsolutePath.toString
+    val ds = s"$dir/emb64"
+    val df = Tables.t(spark, sf, "embeddings")
+      .withColumn("embedding", $"embedding".cast("array<double>"))
+    assert(IvfIndex.build(spark, df, "embedding", "vec_id", ds,
+      numPartitions = 4).success)
+    assert(HnswIndex.build(spark, ds, "embedding").success)
+    val qd = queryVec(3L).map(_.toDouble)
+    val got = HnswIndex.searchRerankDouble(spark, ds, "embedding", qd, 10,
+      nprobes = 4, ef = 200).collect()
+    val brute = df.select($"vec_id", $"embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val d = math.sqrt(v.zip(qd).map { case (a, b) =>
+          (a - b) * (a - b) }.sum)
+        (r.getLong(0), d)
+      }.sortBy { case (id, d) => (d, id) }.take(10)
+    assert(got.length == 10)
+    got.zip(brute).foreach { case (g, (id, d)) =>
+      assert(g.getLong(0) == id,
+        s"re-ranked ids diverge from brute-force double KNN: " +
+          s"${got.map(_.getLong(0)).mkString(",")} vs " +
+          s"${brute.map(_._1).mkString(",")}")
+      assert(math.abs(g.getDouble(1) - d) < 1e-12,
+        s"re-ranked distance not exact double: ${g.getDouble(1)} vs $d")
+    }
+    // a filter that matches nothing stays loud-but-empty, not a crash
+    val none = HnswIndex.searchRerankDouble(spark, ds, "embedding", qd, 5,
+      nprobes = 4, ef = 100, filter = Some(col("vec_id") < 0))
+    assert(none.collect().isEmpty)
+  }
 }

@@ -1083,21 +1083,248 @@ class JoinViewSpec extends AnyFunSuite {
     }
   }
 
-  test("FULL/RIGHT views refuse chains: exactly one join table") {
+  test("FULL/RIGHT factor placement rules: first only, at most one") {
     val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
     val view = tmpDir() + "/v"
     seed(a, b)
     (1L to 20L).map(i => (i, i * 2.0)).toDF("k2", "w")
       .write.format("lance").mode("overwrite").save(c)
+    // an inner factor BEFORE the anti factor would make the anti part
+    // flip with that factor's delta too - refused
     val e = intercept[IllegalArgumentException](
       MaterializedView.create(spark, view, a, Seq("status"),
         Seq(AggSpec("count", "*", "n")),
+        joins = Seq(JoinSpec(c, Map("okey" -> "k2"), "inner"),
+          JoinSpec(b, Map("okey" -> "o_key"), "full"))))
+    assert(e.getMessage.contains("FIRST join factor"), e.getMessage)
+    val d = tmpDir()
+    (1L to 5L).map(i => (i, i * 3.0)).toDF("k3", "w3")
+      .write.format("lance").mode("overwrite").save(d)
+    val e1 = intercept[IllegalArgumentException](
+      MaterializedView.create(spark, view, a, Seq("status"),
+        Seq(AggSpec("count", "*", "n")),
         joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "full"),
-          JoinSpec(c, Map("okey" -> "k2"), "inner"))))
-    assert(e.getMessage.contains("exactly one join table"), e.getMessage)
+          JoinSpec(d, Map("okey" -> "k3"), "right"))))
+    assert(e1.getMessage.contains("at most one FULL/RIGHT"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](
       JoinSpec(b, Map("okey" -> "o_key"), "anti"))
     assert(e2.getMessage.contains("unsupported"), e2.getMessage)
+  }
+
+  // ---- FULL/RIGHT head factor + inner/left tail factors (round 14):
+  // the coverage-dashboard star — a two-sided fact join with dim factors
+  // attached on the merged key or the fact's attributes
+
+  /** C: one row per key 1..210, joined on the MERGED okey column. */
+  private def seedTail(c: String): Unit =
+    (1L to 210L).map(i => (i, i * 2.0, s"g${i % 3}")).toDF("k2", "w", "grp")
+      .repartition(2).write.format("lance").mode("overwrite").save(c)
+
+  private def recomputeFullTail(a: String, b: String, c: String,
+      tailHow: String): DataFrame =
+    spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "full")
+      .withColumn("okey", coalesce(col("okey"), col("o_key"))).drop("o_key")
+      .join(spark.read.format("lance").load(c),
+        col("okey") === col("k2"), tailHow).drop("k2")
+      .groupBy("status", "grp")
+      .agg(count(lit(1)).as("n"), count(col("amount")).as("nm"),
+        Tables.dsum(col("amount")).as("amt"), Tables.dsum(col("w")).as("sw"))
+
+  test("FULL head + INNER tail on the merged key: two-sided crossings refresh exactly") {
+    val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
+    val view = tmpDir() + "/v"
+    seed(a, b) // okey % 4 == 0 itemless on the A side
+    seedTail(c)
+    // join-side-only keys inside AND outside C's key range: anti rows
+    // that survive (205) and vanish under (999) the inner tail
+    Seq((205L, 10.0, "t0"), (205L, 11.0, "t1"), (999L, 12.0, "t0"))
+      .toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("append").save(b)
+    MaterializedView.create(spark, view, a, Seq("status", "grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "amount", "nm"),
+        AggSpec("sum", "amount", "amt"), AggSpec("sum", "w", "sw")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "full"),
+        JoinSpec(c, Map("okey" -> "k2"), "inner")))
+    assertSame(MaterializedView.read(spark, view),
+      recomputeFullTail(a, b, c, "inner"),
+      "created FULL+inner-tail view != recompute")
+    withFeed {
+      // dA-driven anti flips, both directions, THROUGH the tail
+      Seq((205L, "s1", 3L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a) // anti 205 retracts
+      Lance.deleteWhere(spark, a, "okey IN (2, 3)")   // items flip anti
+      // dB anti images through the tail (new matchless key in C's range)
+      Seq((207L, 17.0, "t1"), (4L, 40.0, "t0")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b)
+      Lance.deleteWhere(spark, b, "o_key = 7")        // null re-extend
+      // dC: the tail factor's own delta over the FULL prefix — touches
+      // matched, source-only AND anti rows of the prefix
+      Lance.updateWhere(spark, c, "k2 % 5 = 2", Map("w" -> "w + 100"))
+      Lance.deleteWhere(spark, c, "k2 IN (11, 205)")  // drops an anti row's tail
+      Seq((203L, 7.5, "gX")).toDF("k2", "w", "grp")
+        .write.format("lance").mode("append").save(c)
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"expected delta, got $r")
+    assertSame(MaterializedView.read(spark, view),
+      recomputeFullTail(a, b, c, "inner"),
+      "FULL+inner-tail view after three-sided window != recompute")
+    assert(MaterializedView.refresh(spark, view).mode == "noop")
+  }
+
+  test("FULL head + LEFT tail keyed on the fact's attribute (chain)") {
+    val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
+    val view = tmpDir() + "/v"
+    seed(a, b)
+    Seq((301L, 10.0, "t0"), (302L, 12.0, "t1")).toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("append").save(b)
+    // tail keyed on B's tag attribute: anti rows carry tag, source-only
+    // rows have tag NULL (never match, stay null-extended under LEFT)
+    Seq(("t0", 1.5), ("t1", 2.5)).toDF("ctag", "cw")
+      .write.format("lance").mode("overwrite").save(c)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "amount", "nm"),
+        AggSpec("sum", "amount", "amt"), AggSpec("sum", "cw", "scw")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "full"),
+        JoinSpec(c, Map("tag" -> "ctag"), "left")))
+    def recompute() = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "full")
+      .withColumn("okey", coalesce(col("okey"), col("o_key"))).drop("o_key")
+      .join(spark.read.format("lance").load(c),
+        col("tag") === col("ctag"), "left").drop("ctag")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), count(col("amount")).as("nm"),
+        Tables.dsum(col("amount")).as("amt"), Tables.dsum(col("cw")).as("scw"))
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "created FULL+left-chain view != recompute")
+    withFeed {
+      Seq((301L, "s1", 3L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a) // anti retract
+      Lance.deleteWhere(spark, a, "okey IN (5, 9)")   // items flip anti
+      Seq((404L, 44.0, "t9")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b) // anti in, tag t9
+                                                      // matchless in C
+      Lance.deleteWhere(spark, b, "o_key = 11")       // null re-extend
+      // dC over the chain: t9 arrives (0 -> >0 for every t9 prefix row,
+      // matched AND anti), t1 leaves (>0 -> 0)
+      Seq(("t9", 9.0)).toDF("ctag", "cw")
+        .write.format("lance").mode("append").save(c)
+      Lance.deleteWhere(spark, c, "ctag = 't1'")
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"expected delta, got $r")
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "FULL+left-chain view after three-sided window != recompute")
+  }
+
+  test("RIGHT head + INNER tail on the merged key refreshes exactly") {
+    val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
+    val view = tmpDir() + "/v"
+    seed(a, b)
+    seedTail(c)
+    Seq((205L, 10.0, "t0"), (206L, 12.0, "t1")).toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("append").save(b)
+    MaterializedView.create(spark, view, a, Seq("grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "cust", "na"),
+        AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "right"),
+        JoinSpec(c, Map("okey" -> "k2"), "inner")))
+    def recompute() = spark.read.format("lance").load(a)
+      .join(spark.read.format("lance").load(b),
+        col("okey") === col("o_key"), "right")
+      .withColumn("okey", coalesce(col("okey"), col("o_key"))).drop("o_key")
+      .join(spark.read.format("lance").load(c),
+        col("okey") === col("k2"), "inner").drop("k2")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), count(col("cust")).as("na"),
+        Tables.dsum(col("amount")).as("amt"))
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "created RIGHT+inner-tail view != recompute")
+    withFeed {
+      Seq((205L, "s1", 3L)).toDF("okey", "status", "cust")
+        .write.format("lance").mode("append").save(a) // anti retract
+      Lance.deleteWhere(spark, a, "okey IN (2, 3)")   // matched -> anti
+      Seq((208L, 18.0, "t0")).toDF("o_key", "amount", "tag")
+        .write.format("lance").mode("append").save(b) // anti insert
+      Lance.deleteWhere(spark, b, "o_key = 206")      // anti delete
+      Lance.updateWhere(spark, c, "k2 % 4 = 1", Map("grp" -> "'gY'"))
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"expected delta, got $r")
+    assertSame(MaterializedView.read(spark, view), recompute(),
+      "RIGHT+inner-tail view after three-sided window != recompute")
+  }
+
+  test("PROPERTY: random three-sided rounds on FULL head + inner tail stay exact") {
+    val rnd = new scala.util.Random(1414)
+    val a = tmpDir(); val b = tmpDir(); val c = tmpDir()
+    val view = tmpDir() + "/v"
+    seed(a, b)
+    seedTail(c)
+    Seq((203L, 10.0, "t0"), (205L, 12.0, "t1"), (999L, 3.0, "t0"))
+      .toDF("o_key", "amount", "tag")
+      .write.format("lance").mode("append").save(b)
+    MaterializedView.create(spark, view, a, Seq("status", "grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("count", "amount", "nm"),
+        AggSpec("sum", "amount", "amt"), AggSpec("sum", "w", "sw")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"), "full"),
+        JoinSpec(c, Map("okey" -> "k2"), "inner")))
+    var nextKey = 6000L
+    (1 to 4).foreach { round =>
+      withFeed {
+        (1 to 2 + rnd.nextInt(3)).foreach { _ =>
+          rnd.nextInt(8) match {
+            case 0 => // source rows out: their items flip anti
+              Lance.deleteWhere(spark, a, s"okey % 17 = ${rnd.nextInt(17)}")
+            case 1 =>
+              Lance.updateWhere(spark, a, s"okey % 13 = ${rnd.nextInt(13)}",
+                Map("status" -> s"'s${rnd.nextInt(6)}'"))
+            case 2 => // LAST matches out for a whole key class
+              Lance.deleteWhere(spark, b, s"o_key % 9 = ${rnd.nextInt(9)}")
+            case 3 =>
+              Lance.updateWhere(spark, b, s"o_key % 7 = ${rnd.nextInt(7)}",
+                Map("amount" -> s"amount + ${rnd.nextInt(50)}"))
+            case 4 => // FIRST matches for previously matchless keys
+              val k = rnd.nextInt(200)
+              spark.read.format("lance").load(a)
+                .filter(s"okey % 20 = $k % 20")
+                .select(col("okey").as("o_key"),
+                  (rand(k) * 10).cast("double").as("amount"),
+                  lit(s"t${rnd.nextInt(4)}").as("tag"))
+                .limit(5)
+                .write.format("lance").mode("append").save(b)
+            case 5 => // half of these are join-side-only keys (anti rows)
+              val rows = (0 until 2).map { _ =>
+                nextKey += 1
+                (if (rnd.nextBoolean()) nextKey else 1L + rnd.nextInt(210),
+                  rnd.nextDouble() * 50, s"t${rnd.nextInt(4)}")
+              }
+              rows.toDF("o_key", "amount", "tag")
+                .write.format("lance").mode("append").save(b)
+            case 6 => // tail-side churn: regroup, re-weight, drop keys
+              rnd.nextInt(3) match {
+                case 0 => Lance.updateWhere(spark, c,
+                  s"k2 % 11 = ${rnd.nextInt(11)}",
+                  Map("grp" -> s"'g${rnd.nextInt(5)}'"))
+                case 1 => Lance.updateWhere(spark, c,
+                  s"k2 % 6 = ${rnd.nextInt(6)}",
+                  Map("w" -> s"w + ${rnd.nextInt(30)}"))
+                case 2 => Lance.deleteWhere(spark, c,
+                  s"k2 % 23 = ${rnd.nextInt(23)}")
+              }
+            case 7 =>
+              Lance.compact(spark, if (rnd.nextBoolean()) a else b)
+          }
+        }
+      }
+      val r = MaterializedView.refresh(spark, view)
+      assertSame(MaterializedView.read(spark, view),
+        recomputeFullTail(a, b, c, "inner"),
+        s"round $round (mode=${r.mode}): FULL+tail view diverged")
+    }
   }
   test("FULL fact join composes with pinned star dims; fullRefresh rebuilds") {
     val a = tmpDir(); val b = tmpDir(); val d = tmpDir(); val view = tmpDir() + "/v"

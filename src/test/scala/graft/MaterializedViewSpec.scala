@@ -1131,4 +1131,59 @@ class MaterializedViewSpec extends AnyFunSuite {
     val got = MaterializedView.read(spark, view)
     assert(got.select("n").as[Long].head() == 5L)
   }
+
+  // ------------------------------------------------- history edits (r14)
+
+  private def recomputeSeedView(src: String): DataFrame =
+    spark.read.format("lance").load(src).groupBy("grp")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("price")).as("sp"))
+
+  test("source restore: refresh heals the view, never serves restored-away state") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    seed(src)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "price", "sp", 2)))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    val mid = try {
+      Lance.deleteWhere(spark, src, "id % 7 = 3")
+      val m = Lance.versions(spark, src).max
+      assert(MaterializedView.refresh(spark, view).mode == "delta")
+      Lance.updateWhere(spark, src, "id % 11 = 5", Map("price" -> "price * 3"))
+      assert(MaterializedView.refresh(spark, view).mode == "delta")
+      m
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+    // restore commits FORWARD (new head = mid state): the feed over
+    // (watermark, head] is the exact undo diff, so refresh heals
+    // incrementally — the view must equal the restored state, not the
+    // restored-away one
+    Lance.restore(spark, src, mid)
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"restore windows delta-refresh, got $r")
+    assertSame(MaterializedView.read(spark, view), recomputeSeedView(src),
+      "view served restored-away state after a source restore")
+    assert(MaterializedView.refresh(spark, view).mode == "noop")
+  }
+
+  test("view restore: state and watermark land together, refresh replays forward") {
+    val src = tmpDir(); val view = tmpDir() + "/v"
+    seed(src)
+    MaterializedView.create(spark, view, src, Seq("grp"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "price", "sp", 2)))
+    spark.conf.set("spark.graft.dml.changeFeed", "true")
+    try {
+      Lance.deleteWhere(spark, src, "id % 7 = 3")
+      assert(MaterializedView.refresh(spark, view).mode == "delta")
+      val viewMid = Lance.versions(spark, view).max
+      Lance.updateWhere(spark, src, "id % 11 = 5", Map("price" -> "price * 3"))
+      assert(MaterializedView.refresh(spark, view).mode == "delta")
+      // restore the VIEW to its post-window-1 version: state and the
+      // graft.mv.version watermark are properties of ONE manifest, so
+      // they revert together — the next refresh simply replays window 2
+      Lance.restore(spark, view, viewMid)
+      val r = MaterializedView.refresh(spark, view)
+      assert(r.mode == "delta", s"replay after view restore, got $r")
+      assertSame(MaterializedView.read(spark, view), recomputeSeedView(src),
+        "view restore desynced state from watermark")
+    } finally spark.conf.unset("spark.graft.dml.changeFeed")
+  }
 }
