@@ -380,17 +380,44 @@ class MvSqlDdlSpec extends AnyFunSuite {
       assert(MaterializedView.refresh(spark, s"$wh/db/vf").mode == "delta")
       assertSame(MaterializedView.read(spark, s"$wh/db/vf"), recompute(),
         "DDL FULL-join view after both-side crossings != recompute")
-      // FULL with a second join table refuses through the DDL too
+      // FULL + inner tail factor translates through the DDL too (round
+      // 14): the dim keys on the MERGED okey, so join-side-only rows
+      // attach their dim attributes — and the view maintains by delta
       (1L to 20L).map(i => (i, i * 2.0)).toDF("c_ref", "w")
         .write.format("lance").mode("overwrite").save(s"$wh/db/c9")
-      val e = intercept[Exception](spark.sql("""CREATE MATERIALIZED VIEW
-        ddlt9.db.x AS SELECT status, count(*) AS n
+      spark.sql("""CREATE MATERIALIZED VIEW
+        ddlt9.db.x AS SELECT status, count(*) AS n, sum(w) AS sw
         FROM ddlt9.db.a9 FULL JOIN ddlt9.db.b9 ON okey = o_ref
         JOIN ddlt9.db.c9 ON okey = c_ref
+        GROUP BY status""")
+      def recomputeTail() = spark.read.format("lance").load(s"$wh/db/a9")
+        .join(spark.read.format("lance").load(s"$wh/db/b9"),
+          col("okey") === col("o_ref"), "full")
+        .withColumn("okey", coalesce(col("okey"), col("o_ref"))).drop("o_ref")
+        .join(spark.read.format("lance").load(s"$wh/db/c9"),
+          col("okey") === col("c_ref"), "inner")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("w")).as("sw"))
+      assertSame(MaterializedView.read(spark, s"$wh/db/x"), recomputeTail(),
+        "DDL FULL+inner-tail view != recompute")
+      spark.conf.set("spark.graft.dml.changeFeed", "true")
+      try {
+        Lance.deleteWhere(spark, s"$wh/db/a9", "okey IN (4, 7)")
+        Seq((9L, 9.0)).toDF("o_ref", "amt")
+          .write.format("lance").mode("append").save(s"$wh/db/b9")
+      } finally spark.conf.unset("spark.graft.dml.changeFeed")
+      assert(MaterializedView.refresh(spark, s"$wh/db/x").mode == "delta")
+      assertSame(MaterializedView.read(spark, s"$wh/db/x"), recomputeTail(),
+        "DDL FULL+inner-tail view after DML != recompute")
+      // but an anti factor that is NOT the first join still refuses
+      val e = intercept[Exception](spark.sql("""CREATE MATERIALIZED VIEW
+        ddlt9.db.y AS SELECT status, count(*) AS n
+        FROM ddlt9.db.a9 JOIN ddlt9.db.c9 ON okey = c_ref
+        FULL JOIN ddlt9.db.b9 ON okey = o_ref
         GROUP BY status"""))
       assert(Seq(e.getMessage,
         Option(e.getCause).map(_.getMessage).getOrElse("")).mkString
-        .contains("exactly one join table"), e.getMessage)
+        .contains("FIRST join factor"), e.getMessage)
     }
   }
 
