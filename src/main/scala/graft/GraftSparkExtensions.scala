@@ -643,6 +643,25 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
     String.valueOf(e.eval())
   }
 
+  private def literalDoubles(e: Expression): Array[Double] = {
+    require(e.foldable, "vector_search: query vector must be a literal array")
+    val arr = e.eval().asInstanceOf[ArrayData]
+    val elemType = e.dataType.asInstanceOf[ArrayType].elementType
+    (0 until arr.numElements()).map { i =>
+      elemType match {
+        case FloatType => arr.getFloat(i).toDouble
+        case DoubleType => arr.getDouble(i)
+        case dt: DecimalType => // SQL ARRAY[0.1, ...] parses as DECIMAL
+          arr.getDecimal(i, dt.precision, dt.scale).toDouble
+        case _ => arr.get(i, elemType) match {
+          case d: Decimal => d.toDouble
+          case n: java.lang.Number => n.doubleValue()
+          case o => o.toString.toDouble
+        }
+      }
+    }.toArray
+  }
+
   private def literalFloats(e: Expression): Array[Float] = {
     require(e.foldable, "vector_search: query vector must be a literal array")
     val arr = e.eval().asInstanceOf[ArrayData]
@@ -720,8 +739,15 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
           graft.index.HnswIndex.searchPq(spark, path, column, vec, k,
             nprobes = nprobes, ef = ef, filter = preFilter,
             metric = Some(metric))
+        case "hnsw_rerank" =>
+          // HNSW walk + exact-double re-rank (v47): the query vector is
+          // re-read as DOUBLES (never through the float32 cast) so the
+          // re-rank scores at full precision
+          graft.index.HnswIndex.searchRerankDouble(spark, path, column,
+            literalDoubles(args(2)), k, nprobes = nprobes, ef = ef,
+            metric = Some(metric), filter = preFilter)
         case m => throw new IllegalArgumentException(
-          s"vector_search mode must be exact|ivf|ivf_pq|hnsw|hnsw_pq, got $m")
+          s"vector_search mode must be exact|ivf|ivf_pq|hnsw|hnsw_pq|hnsw_rerank, got $m")
       }
       df.queryExecution.analyzed
   }

@@ -189,6 +189,18 @@ object Lance {
     graft.index.HnswIndex.searchPq(spark, datasetPath, vectorCol, query, k,
       nprobes, ef, filter)
 
+  /** HNSW walk + EXACT-double re-rank (opt-in, v47): the graph walks
+    * float32 nodes, then the walk's candidate pool (max(ef,k)) re-ranks
+    * on the RAW float64 column — full probing + re-rank equals the
+    * brute-force double KNN from a graph index. SQL twin:
+    * `vector_search(..., 'hnsw_rerank')`.
+    */
+  def annSearchHnswRerank(spark: SparkSession, datasetPath: String,
+      vectorCol: String, query: Array[Double], k: Int, nprobes: Int = 20,
+      ef: Int = 100, filter: Option[Column] = None): DataFrame =
+    graft.index.HnswIndex.searchRerankDouble(spark, datasetPath, vectorCol,
+      query, k, nprobes, ef, filter = filter)
+
   /** similarity = 1/(1+distance) (V4). */
   def similarity(distance: Column): Column = VectorFunctions.similarity(distance)
 

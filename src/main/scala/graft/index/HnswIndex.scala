@@ -385,9 +385,10 @@ object HnswIndex {
     * memory; the graph is an approximation structure by definition), so
     * the walk and the reported `_distance` quantize sub-float32 detail
     * — the documented posture for a GRAPH index over doubles. Exact
-    * double distances ride the FLAT scan ([[IvfIndex.search]]) or the
-    * PQ path's exact refine ([[IvfIndex.searchPq]], v46); HNSW+exact
-    * doubles would re-rank k rows on the raw column at read time.
+    * double distances ride the FLAT scan ([[IvfIndex.search]]), the
+    * PQ path's exact refine ([[IvfIndex.searchPq]], v46), or the
+    * opt-in [[searchRerankDouble]] (v47), which re-ranks this walk's
+    * candidate pool on the raw double column at read time.
     */
   def search(spark: SparkSession, datasetPath: String, column: String,
       query: Array[Float], k: Int, nprobes: Int = 20, ef: Int = 100,
@@ -477,7 +478,10 @@ object HnswIndex {
       .map(_.getLong(0)).toSeq
     if (ids.isEmpty) return cand.limit(0)
     import graft.functions.VectorFunctions._
-    val dist = meta.metric.toLowerCase match {
+    // the override metric (if any) drove the walk above — the rerank
+    // must score with the SAME metric or the two phases rank different
+    // geometries
+    val dist = metric.getOrElse(meta.metric).toLowerCase match {
       case "l2" => l2_distance(col(column), lit(query))
       case "cosine" => cosine_distance(col(column), lit(query))
       case "dot" => -dot_product(col(column), lit(query))

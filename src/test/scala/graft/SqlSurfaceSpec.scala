@@ -290,6 +290,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SQL TVF must hash-match the Scala API on the same path")
   }
 
+  test("vector_search 'hnsw_rerank' mode: SQL == API, exact double distances") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"),
+      "sql-rerank-").toAbsolutePath.toString
+    val ds = s"$dir/emb64"
+    val df = Tables.t(spark, TestSpark.sf, "embeddings")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+    assert(Lance.buildIndex(spark, df, "embedding", "vec_id", ds,
+      numPartitions = 4).success)
+    assert(Lance.buildHnswIndex(spark, ds, "embedding").success)
+    val qd = df.filter(org.apache.spark.sql.functions.col("vec_id") === 7)
+      .select("embedding").collect().head.getSeq[Double](0).toArray
+    // Double.toString is shortest-roundtrip: the literal array re-parses
+    // to the EXACT same doubles, so the self-match distance is exactly 0
+    val vecSql = qd.map(_.toString).mkString("array(", ", ", ")")
+    val viaSql = spark.sql(
+      s"SELECT vec_id, _distance FROM vector_search('$ds', 'embedding', " +
+        s"$vecSql, 5, 'l2', 'hnsw_rerank', 4, 200)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaApi = Lance.annSearchHnswRerank(spark, ds, "embedding", qd, 5,
+      nprobes = 4, ef = 200)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.length == 5)
+    assert(viaSql.toSeq == viaApi.toSeq,
+      "hnsw_rerank TVF must match the Scala API row-for-row")
+    assert(viaSql.head == ((7L, 0.0)),
+      s"self-match must rank first at EXACT double zero, got ${viaSql.head}")
+  }
+
   test("vector_search filter arg pre-filters: all k results satisfy it") {
     val q = Tables.t(spark, TestSpark.sf, "embeddings")
       .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
