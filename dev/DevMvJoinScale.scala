@@ -34,7 +34,12 @@ object DevMvJoinScale {
         .reduce(_ unionByName _)
     }
 
-    Seq("inner", "left", "full").foreach { how =>
+    // "fulldim" = the s133 shape: FULL head + INNER dim tail keyed on
+    // the MERGED order key, with a dim-side delta in the same window —
+    // flat across the 10x proves the tail-composed flip/anti terms stay
+    // change-bounded too
+    Seq("inner", "left", "full", "fulldim").foreach { how =>
+    val headHow = if (how == "fulldim") "full" else how
     Seq("sf0.1", "sf1.0x") foreach { sf =>
       val base = s"target/jmvscale-$how-$sf"
       val fsRoot = new org.apache.hadoop.fs.Path(base)
@@ -47,7 +52,7 @@ object DevMvJoinScale {
         // FULL mode: orders with okey % 5 = 1 start ABSENT, so their
         // items are join-side-only (anti) rows and the mirrored flip
         // terms engage from the first window
-        if (how == "full") raw.filter(not(col("o_orderkey") % 5 === 1))
+        if (headHow == "full") raw.filter(not(col("o_orderkey") % 5 === 1))
         else raw
       }
       val items0 = {
@@ -55,12 +60,23 @@ object DevMvJoinScale {
           .select(col("l_orderkey"), col("l_extendedprice"))
         // LEFT/FULL mode: orders with okey % 7 = 3 start matchless, so
         // the window's appends/deletes cross zero and the flips engage
-        if (how == "inner") raw
+        if (headHow == "inner") raw
         else raw.filter(not(col("l_orderkey") % 7 === 3))
       }
+      val dim0 =
+        if (how != "fulldim") None
+        else Some(spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+          .select(col("o_orderkey").as("d_orderkey"),
+            (col("o_orderkey") % 4).as("obucket"))
+          .filter(not(col("d_orderkey") % 11 === 7)))
       val (orders, items) =
         if (sf == "sf0.1") (orders0, items0)
         else (times10(orders0, "o_orderkey"), times10(items0, "l_orderkey"))
+      val c = s"$base/dim"
+      val dim = dim0.map(d => if (sf == "sf0.1") d
+        else times10(d, "d_orderkey"))
+      dim.foreach(_.repartition(16).write.format("lance").mode("overwrite")
+        .option("write.max-rows-per-file", "200000").save(c))
       orders.repartition(16).write.format("lance").mode("overwrite")
         .option("write.max-rows-per-file", "200000").save(a)
       items.repartition(16).write.format("lance").mode("overwrite")
@@ -73,12 +89,19 @@ object DevMvJoinScale {
         maxRowsPerFile = 200000L)
       graft.Lance.clusterByBucket(spark, b, Seq("l_orderkey"), 64,
         maxRowsPerFile = 500000L)
+      dim.foreach(_ => graft.Lance.clusterByBucket(spark, c,
+        Seq("d_orderkey"), 64, maxRowsPerFile = 200000L))
 
       val t0 = System.nanoTime()
-      MaterializedView.create(spark, v, a, Seq("o_orderpriority"),
+      MaterializedView.create(spark, v, a,
+        if (how == "fulldim") Seq("o_orderpriority", "obucket")
+        else Seq("o_orderpriority"),
         Seq(AggSpec("count", "*", "n"),
           AggSpec("sum", "l_extendedprice", "sp")),
-        joins = Seq(JoinSpec(b, Map("o_orderkey" -> "l_orderkey"), how)))
+        joins = JoinSpec(b, Map("o_orderkey" -> "l_orderkey"), headHow) +:
+          (if (how == "fulldim")
+            Seq(JoinSpec(c, Map("o_orderkey" -> "d_orderkey"), "inner"))
+          else Seq.empty))
       val tCreate = (System.nanoTime() - t0) / 1e9
 
       // the FIXED two-sided change: same absolute row counts both scales
@@ -93,7 +116,7 @@ object DevMvJoinScale {
           (col("id") + 3L).as("l_orderkey"),
           lit(9.99).as("l_extendedprice"))
           .write.format("lance").mode("append").save(b)
-        if (how == "left" || how == "full") {
+        if (headHow == "left" || headHow == "full") {
           // FIRST matches for ~40 previously-matchless orders, and every
           // item of ~150 matched orders out (LAST matches): both flip
           // directions in one window, fixed absolute size at any scale
@@ -105,7 +128,7 @@ object DevMvJoinScale {
           graft.Lance.deleteWhere(spark, b,
             "l_orderkey % 997 = 7 AND l_orderkey <= 150000")
         }
-        if (how == "full") {
+        if (headHow == "full") {
           // join-side crossings at fixed absolute size: orders ARRIVE
           // for a bounded set of orderless item keys (their anti rows
           // retract — the dA-driven mirrored flip term), and a bounded
@@ -120,6 +143,16 @@ object DevMvJoinScale {
           graft.Lance.deleteWhere(spark, b,
             "l_orderkey % 5 = 1 AND l_orderkey % 997 = 13 " +
               "AND l_orderkey <= 150000")
+        }
+        if (how == "fulldim") {
+          // dim-side delta over the FULL prefix at fixed absolute size:
+          // regrouped keys move prefix rows (matched AND anti) across
+          // groups, dropped keys remove them from the inner tail
+          graft.Lance.updateWhere(spark, c,
+            "d_orderkey % 997 = 17 AND d_orderkey <= 150000",
+            Map("obucket" -> "(d_orderkey + 1) % 4"))
+          graft.Lance.deleteWhere(spark, c,
+            "d_orderkey % 997 = 19 AND d_orderkey <= 150000")
         }
       } finally spark.conf.unset("spark.graft.dml.changeFeed")
 

@@ -643,43 +643,36 @@ class ResolveVectorSearch(spark: SparkSession) extends Rule[LogicalPlan] {
     String.valueOf(e.eval())
   }
 
-  private def literalDoubles(e: Expression): Array[Double] = {
+  /** ONE traversal of a literal query-vector array — float32 (the walk)
+    * and float64 (the exact re-rank) views of the SAME call must never
+    * come from divergent element handling. Elements surface as Decimal
+    * or Number so each target width converts with a SINGLE rounding
+    * (DECIMAL literals -> float32 must not round through a double).
+    */
+  private def literalNumbers(e: Expression): IndexedSeq[Either[Decimal, java.lang.Number]] = {
     require(e.foldable, "vector_search: query vector must be a literal array")
     val arr = e.eval().asInstanceOf[ArrayData]
     val elemType = e.dataType.asInstanceOf[ArrayType].elementType
     (0 until arr.numElements()).map { i =>
       elemType match {
-        case FloatType => arr.getFloat(i).toDouble
-        case DoubleType => arr.getDouble(i)
+        case FloatType => Right(java.lang.Float.valueOf(arr.getFloat(i)))
+        case DoubleType => Right(java.lang.Double.valueOf(arr.getDouble(i)))
         case dt: DecimalType => // SQL ARRAY[0.1, ...] parses as DECIMAL
-          arr.getDecimal(i, dt.precision, dt.scale).toDouble
+          Left(arr.getDecimal(i, dt.precision, dt.scale))
         case _ => arr.get(i, elemType) match {
-          case d: Decimal => d.toDouble
-          case n: java.lang.Number => n.doubleValue()
-          case o => o.toString.toDouble
+          case d: Decimal => Left(d)
+          case n: java.lang.Number => Right(n)
+          case o => Left(Decimal(BigDecimal(o.toString)))
         }
       }
-    }.toArray
+    }
   }
 
-  private def literalFloats(e: Expression): Array[Float] = {
-    require(e.foldable, "vector_search: query vector must be a literal array")
-    val arr = e.eval().asInstanceOf[ArrayData]
-    val elemType = e.dataType.asInstanceOf[ArrayType].elementType
-    (0 until arr.numElements()).map { i =>
-      elemType match {
-        case FloatType => arr.getFloat(i)
-        case DoubleType => arr.getDouble(i).toFloat
-        case dt: DecimalType => // SQL ARRAY[0.1, ...] parses as DECIMAL
-          arr.getDecimal(i, dt.precision, dt.scale).toFloat
-        case _ => arr.get(i, elemType) match {
-          case d: Decimal => d.toFloat
-          case n: java.lang.Number => n.floatValue()
-          case o => o.toString.toFloat
-        }
-      }
-    }.toArray
-  }
+  private def literalFloats(e: Expression): Array[Float] =
+    literalNumbers(e).map(_.fold(_.toFloat, _.floatValue())).toArray
+
+  private def literalDoubles(e: Expression): Array[Double] =
+    literalNumbers(e).map(_.fold(_.toDouble, _.doubleValue())).toArray
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case tvf: UnresolvedTableValuedFunction

@@ -1390,10 +1390,13 @@ object Lance {
   def readNsAsTimestamp(spark: SparkSession, path: String): DataFrame = {
     val cols = nsColumns(spark, path)
     cols.foldLeft(spark.read.format("lance").load(path)) { (df, c) =>
-      // Dataset.apply resolves the name LITERALLY (no backtick parsing):
-      // a column whose name contains '`' still resolves, where an
-      // interpolated `col(s"`$c`")` would produce a malformed reference
-      df.withColumn(c, graft.Tables.nanosToMicrosTs(df(c)))
+      // quote the declared name, escaping any embedded backtick by
+      // doubling it — a plain `df(c)` would split dotted names into
+      // parts, and a naive col(s"`$c`") is malformed for names that
+      // themselves contain '`'
+      df.withColumn(c, graft.Tables.nanosToMicrosTs(
+        org.apache.spark.sql.functions.col(
+          s"`${c.replace("`", "``")}`")))
     }
   }
 

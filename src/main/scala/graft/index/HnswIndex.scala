@@ -456,9 +456,13 @@ object HnswIndex {
     * candidate POOL — the walk's top max(ef, k), not just k, so a
     * float32 near-tie inversion below rank k cannot hide a true
     * neighbor — re-ranks on the RAW float64 column at read time and the
-    * exact top-k returns. Full probing + exact re-rank therefore equals
-    * the brute-force double KNN (the v41/v46 oracle) from a graph
-    * index. Cost: one graph search + one id-pruned read of ≤ max(ef,k)
+    * exact top-k OF THE POOL returns. The quantization gap closes
+    * STRUCTURALLY (no float32 math ranks the output); full-corpus
+    * exactness is the walk's recall, as for any graph index — with full
+    * probing and ample ef the gated corpora match the brute-force
+    * double KNN bit-for-bit (v47, the v41/v46 oracle), and the
+    * recall-floor gate (v45) bounds the general case. Cost: one graph
+    * search + one id-pruned read of ≤ max(ef,k)
     * rows — search-parameter bounded, never data bounded; the id
     * predicate pushes into the scan (stats/bloom/postings prune).
     * Shortfall/ef-widening stay loud: the inner walk runs with

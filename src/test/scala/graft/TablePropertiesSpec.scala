@@ -162,4 +162,20 @@ class TablePropertiesSpec extends AnyFunSuite {
       Option(e2.getCause).map(_.getMessage).getOrElse(""))
       .mkString.contains("not a column"), e2.getMessage)
   }
+
+  test("readNsAsTimestamp resolves dotted and backtick column names literally") {
+    // the declared list names LITERAL columns; resolution must neither
+    // split dots into struct parts nor choke on an embedded backtick
+    val dir = tmpDir()
+    Seq((1L, 1000000000123456789L, 1000000000123456789L))
+      .toDF("id", "ts.ns", "ts`ns")
+      .write.format("lance").option("write.ns-as-long", "ts.ns,ts`ns")
+      .mode("overwrite").save(dir)
+    val cast = Lance.readNsAsTimestamp(spark, dir)
+    assert(cast.schema("ts.ns").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(cast.schema("ts`ns").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(cast.count() == 1L)
+  }
 }
