@@ -8,6 +8,12 @@ package graft
   * allowed self-SMJ is tpcds59's period self-join of two AGGREGATES
   * (both sides are post-shuffle aggregate outputs, already tiny and
   * co-partitioned; at 100 TB the aggregate outputs stay dim-sized).
+  * tpcds51's FULL join of two aggregates likewise rides one SMJ (Spark
+  * cannot broadcast a full-outer side; both inputs are post-shuffle
+  * aggregate cells). tpcds93's sales⟕returns is the family's one
+  * deliberate fact-to-fact join: broadcast at probe scale, a
+  * co-partitioned shuffle join on the line id at 100 TB — exactly what
+  * its body documents.
   */
 object TpcdsPlanProbe {
   def main(args: Array[String]): Unit = {

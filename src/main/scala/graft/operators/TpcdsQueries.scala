@@ -59,6 +59,13 @@ object TpcdsQueries {
          |FROM ${src("customer")}, ${src("nation")}, ${src("region")}
          |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey"""
         .stripMargin,
+    // TPC-DS store_returns: the returned half of 'R'-flagged lines —
+    // FLOOR halves the quantity so a matched return OFFSETS, not zeroes
+    "returns_ds" ->
+      s"""SELECT l_orderkey AS sr_order, l_linenumber AS sr_line,
+         |  FLOOR(l_quantity / 2) AS sr_qty
+         |FROM ${src("lineitem")}
+         |WHERE l_returnflag = 'R'""".stripMargin,
     // TPC-DS store_sales (+date_dim folded in): the sales fact with
     // calendar fields and a synthetic sales CHANNEL
     "sales_ds" ->
@@ -215,6 +222,73 @@ object TpcdsQueries {
          |WHERE rk <= 5
          |ORDER BY i_category NULLS FIRST, rk, i_brand NULLS FIRST,
          |  ss_qoy NULLS FIRST""".stripMargin,
+    // ---- TPC-DS q51 shape: per-channel cumulative sales FULL-joined —
+    // two aggregates window into running totals, the FULL join aligns
+    // periods present on either side, the filter compares the cumsums
+    "tpcds51_cumulative_compare" ->
+      s"""WITH sc AS (
+         |  SELECT i_brand, ss_moy, ${D("ss_net")} AS s
+         |  FROM sales_ds, item_ds
+         |  WHERE ss_item_sk = i_item_sk AND ss_channel = 'store'
+         |    AND ss_year = 1998
+         |  GROUP BY i_brand, ss_moy
+         |), wc AS (
+         |  SELECT i_brand, ss_moy, ${D("ss_net")} AS s
+         |  FROM sales_ds, item_ds
+         |  WHERE ss_item_sk = i_item_sk AND ss_channel = 'web'
+         |    AND ss_year = 1998
+         |  GROUP BY i_brand, ss_moy
+         |), cum AS (
+         |  SELECT COALESCE(sc.i_brand, wc.i_brand) AS brand,
+         |    COALESCE(sc.ss_moy, wc.ss_moy) AS moy,
+         |    CAST(SUM(CAST(sc.s AS DECIMAL(18,4))) OVER (
+         |      PARTITION BY COALESCE(sc.i_brand, wc.i_brand)
+         |      ORDER BY COALESCE(sc.ss_moy, wc.ss_moy)) AS DOUBLE)
+         |      AS store_cum,
+         |    CAST(SUM(CAST(wc.s AS DECIMAL(18,4))) OVER (
+         |      PARTITION BY COALESCE(sc.i_brand, wc.i_brand)
+         |      ORDER BY COALESCE(sc.ss_moy, wc.ss_moy)) AS DOUBLE)
+         |      AS web_cum
+         |  FROM sc FULL JOIN wc
+         |    ON sc.i_brand = wc.i_brand AND sc.ss_moy = wc.ss_moy
+         |)
+         |SELECT brand, moy, store_cum, web_cum
+         |FROM cum
+         |WHERE web_cum > store_cum
+         |ORDER BY brand, moy""".stripMargin,
+    // ---- TPC-DS q73 shape: the count HISTOGRAM — items-per-trip
+    // aggregated per order, re-joined to the customer dimension, then
+    // re-aggregated into a (segment, basket-size) frequency table
+    "tpcds73_count_histogram" ->
+      s"""SELECT cd_segment, cnt, COUNT(*) AS num_trips
+         |FROM (
+         |  SELECT ss_order, ss_cust_sk, COUNT(*) AS cnt
+         |  FROM sales_ds
+         |  WHERE ss_year = 1997
+         |  GROUP BY ss_order, ss_cust_sk
+         |) t, cust_ds
+         |WHERE ss_cust_sk = cd_cust_sk AND cnt BETWEEN 3 AND 5
+         |GROUP BY cd_segment, cnt
+         |ORDER BY cd_segment, cnt""".stripMargin,
+    // ---- TPC-DS q93 shape: returns OFFSET sales — the one deliberate
+    // fact-to-fact join of the family (sales ⟕ returns on the line id:
+    // co-partitioned shuffle join at scale, never broadcast), actual
+    // revenue recomputed per line under the CASE
+    "tpcds93_returns_offset" ->
+      s"""WITH act AS (
+         |  SELECT ss_cust_sk,
+         |    CASE WHEN sr_order IS NOT NULL
+         |      THEN (ss_qty - sr_qty) * ss_price
+         |      ELSE ss_qty * ss_price END AS act_sales
+         |  FROM sales_ds LEFT JOIN returns_ds
+         |    ON ss_order = sr_order AND ss_line = sr_line
+         |  WHERE ss_year = 1996
+         |)
+         |SELECT ss_cust_sk, ${D("act_sales")} AS sumsales
+         |FROM act
+         |GROUP BY ss_cust_sk
+         |ORDER BY sumsales, ss_cust_sk
+         |LIMIT 50""".stripMargin,
     // ---- TPC-DS q89 shape: monthly brand sales vs the category's
     // window total — the share computed with a DECIMAL window sum so
     // both engines accumulate identically
