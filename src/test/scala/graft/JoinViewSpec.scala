@@ -1326,6 +1326,57 @@ class JoinViewSpec extends AnyFunSuite {
         s"round $round (mode=${r.mode}): FULL+tail view diverged")
     }
   }
+  test("streaming epochs into the JOIN side maintain the view per epoch") {
+    // s135 proves per-epoch freshness streaming into the SOURCE side;
+    // the view registers on EVERY joined table, so the exactly-once
+    // sink's refresh-mvs commit must maintain it from the join side too
+    val a = tmpDir(); val b = tmpDir(); val stage = tmpDir()
+    val ck = tmpDir() + "/ck"; val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    (1 to 3).foreach { i =>
+      (1L to 40L).map(k => ((k * 5) % 200 + 1, 100.0 + i, s"e$i"))
+        .toDF("o_key", "amount", "tag")
+        .write.format("lance")
+        .mode(if (i == 1) "overwrite" else "append").save(stage)
+      val q = spark.readStream.format("lance").load(stage)
+        .writeStream.format("lance")
+        .option("checkpointLocation", ck)
+        .option("write.refresh-mvs", "true")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(b)
+      q.awaitTermination()
+      assertSame(MaterializedView.read(spark, view), recompute(a, b),
+        s"join view STALE after streaming epoch $i into the JOIN side")
+    }
+  }
+
+  test("join-side merge-schema evolution mid-window keeps the delta exact") {
+    // the s134 contract from the JOIN side: an evolved append (new
+    // column the view never names) inside a DML window must not break
+    // the feed's end-schema re-reads or the delta math
+    val a = tmpDir(); val b = tmpDir(); val view = tmpDir() + "/v"
+    seed(a, b)
+    MaterializedView.create(spark, view, a, Seq("status"),
+      Seq(AggSpec("count", "*", "n"), AggSpec("sum", "amount", "amt")),
+      joins = Seq(JoinSpec(b, Map("okey" -> "o_key"))))
+    withFeed {
+      Seq((7L, 70.0, "t9", "web"), (11L, 11.5, "t0", "app"))
+        .toDF("o_key", "amount", "tag", "channel")
+        .write.format("lance").option("write.merge-schema", "true")
+        .mode("append").save(b)
+      Lance.deleteWhere(spark, b, "o_key % 9 = 2")
+      Lance.updateWhere(spark, a, "okey % 5 = 1", Map("status" -> "'s9'"))
+    }
+    val r = MaterializedView.refresh(spark, view)
+    assert(r.mode == "delta", s"expected delta across the evolution, got $r")
+    assertSame(MaterializedView.read(spark, view), recompute(a, b),
+      "join view drifted across a join-side merge-schema window")
+  }
+
   test("FULL fact join composes with pinned star dims; fullRefresh rebuilds") {
     val a = tmpDir(); val b = tmpDir(); val d = tmpDir(); val view = tmpDir() + "/v"
     seed(a, b) // okey % 4 == 0 itemless
