@@ -23,12 +23,20 @@ object Tables {
     * the resulting nanos-since-epoch long to a microsecond timestamp
     * (documented ns→µs truncation, SURVEY §1.2).
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", nanosToMicrosTs(col("ts")))
-    else df
-  }
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    // memoized per (session, dir, table): the driver testdata is immutable,
+    // and a fresh spark.read.parquet pays file listing + footer schema
+    // inference on EVERY call — pure plan metadata, so reuse is safe (the
+    // query still scans the parquet at execution)
+    loaded.computeIfAbsent((spark, dir, name), _ => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", nanosToMicrosTs(col("ts")))
+      else df
+    })
 
   /** The ONE ns→µs conversion (documented deviation, SURVEY §1.2/§7.4.6):
     * the reference round-trips parquet TIMESTAMP(NANOS)

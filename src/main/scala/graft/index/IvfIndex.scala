@@ -241,11 +241,28 @@ object IvfIndex {
         assigned.withColumn("__pq_code", e(col(column).cast("array<float>"))))
       withCodes.write.mode("overwrite").partitionBy("__ivf_part").parquet(s"$ip/buckets")
 
-      // per-bucket row counts for the oversized-bucket guard: a scan of
-      // the partition column only (data columns pruned away)
-      val counts = spark.read.parquet(s"$ip/buckets")
-        .groupBy(col("__ivf_part")).agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getInt(0).toString -> r.getLong(1)).toMap
+      // per-bucket row counts for the oversized-bucket guard, from the
+      // written files' parquet FOOTERS (driver-side metadata reads) —
+      // the former partition-column scan was one more Spark job per build
+      val counts = {
+        val conf = spark.sessionState.newHadoopConf()
+        val bp = new org.apache.hadoop.fs.Path(s"$ip/buckets")
+        val fs = bp.getFileSystem(conf)
+        fs.listStatus(bp).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("__ivf_part="))
+          .map { d =>
+            val part = d.getPath.getName.stripPrefix("__ivf_part=")
+            val rows = fs.listStatus(d.getPath).toSeq
+              .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+              .map { f =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(f.getPath, conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRecordCount finally r.close()
+              }.sum
+            part -> rows
+          }.toMap
+      }
 
       val meta = IndexMeta(column, idColumn, metric, numPartitions,
         centroids.headOption.map(_.length).getOrElse(0),
@@ -326,11 +343,35 @@ object IvfIndex {
           encodeUdf(bcCb, meta.dim / pm.numSubVectors,
             pm.normalized.getOrElse(false))(col(column).cast("array<float>")))
       }
-      // delta-only pass for the bucket-size guard's row counts
-      deltaCounts = withCodes.groupBy(col("__ivf_part"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getInt(0).toString -> r.getLong(1)).toMap
+      // ONE pass over the delta: write it, then derive the per-bucket
+      // counts from the NEW files' parquet footers (driver metadata reads)
+      // — the former groupBy-count job scanned the whole delta a second
+      // time before the append
+      val conf = spark.sessionState.newHadoopConf()
+      val bp = new Path(s"$ip/buckets")
+      val bfs = bp.getFileSystem(conf)
+      def bucketFiles(): Map[String, Set[String]] =
+        if (!bfs.exists(bp)) Map.empty
+        else bfs.listStatus(bp).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("__ivf_part="))
+          .map { d =>
+            d.getPath.getName.stripPrefix("__ivf_part=") ->
+              bfs.listStatus(d.getPath).toSeq
+                .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+                .map(_.getPath.getName).toSet
+          }.toMap
+      val before = bucketFiles()
       withCodes.write.mode("append").partitionBy("__ivf_part").parquet(s"$ip/buckets")
+      deltaCounts = bucketFiles().flatMap { case (part, files) =>
+        val fresh = files -- before.getOrElse(part, Set.empty)
+        if (fresh.isEmpty) None
+        else Some(part -> fresh.toSeq.map { name =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(new Path(bp, s"__ivf_part=$part"), name), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum)
+      }
     }
     // per-bucket graphs are independent (no cross-bucket edges), so the
     // graph sidecar refreshes incrementally: rebuild ONLY the buckets

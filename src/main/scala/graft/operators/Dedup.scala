@@ -156,7 +156,10 @@ object Dedup {
         s"array_distinct(transform($shingles, s -> ${wordHash("s")} % $P))")}")
     if (!scratchExists(spark, scratch)) {
       t(spark, dir, "documents")
-        .repartition(32, col("doc_id"))
+        // scale-adaptive: derive from the session's parallelism, not a
+        // constant tuned for one machine (guide §2 — the driver re-runs
+        // the bench at lower core counts)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("__w", expr(words))
         .select(col("doc_id"), expr(
           s"array_distinct(transform($shingles, s -> ${wordHash("s")} % $P))").as("sh"))

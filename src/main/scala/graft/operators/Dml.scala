@@ -124,17 +124,37 @@ object Dml {
   private def stageChangeFiles(spark: SparkSession, fs: FileSystem,
       root: Path, m: Manifest,
       images: Seq[(String, DataFrame)]): Seq[graft.format.ChangeFileMeta] = {
-    val conf = spark.sessionState.newHadoopConf()
-    images.flatMap { case (kind, df0) =>
+    // ONE Spark job for the whole image set: each image rides a literal
+    // `__cdf_kind` tag and the union writes partitioned by it, so a
+    // 4-image applyChanges stages in one pass instead of four (the
+    // per-kind files come back out of the partition directories; file
+    // CONTENT is identical — partitionBy drops the tag column)
+    require(!m.physicalSchema.fieldNames.contains("__cdf_kind"),
+      "a column named __cdf_kind collides with CDF staging's routing tag")
+    val tagged = images.map { case (kind, df0) =>
       val ordered = df0.select(m.schema.fieldNames.map(q).toIndexedSeq: _*)
       val phys =
         if (m.mapping.isEmpty) ordered
         else ordered.toDF(m.schema.fieldNames.map(m.physicalName).toIndexedSeq: _*)
-      val tmp = new Path(root, s"_tmp-cdf-${java.util.UUID.randomUUID()}")
-      try {
-        phys.write.mode("overwrite").parquet(tmp.toString)
-        val parts = fs.listStatus(tmp).toSeq
+      phys.withColumn("__cdf_kind", lit(kind))
+    }.reduce(_ unionByName _)
+    stageTagged(spark, fs, root, tagged, images.map(_._1).distinct)
+  }
+
+  /** Core CDF staging: `tagged` carries the table's PHYSICAL columns plus
+    * a `__cdf_kind` literal per row; one partitioned write stages every
+    * kind in one pass. */
+  private def stageTagged(spark: SparkSession, fs: FileSystem, root: Path,
+      tagged: DataFrame, kinds: Seq[String]): Seq[graft.format.ChangeFileMeta] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tmp = new Path(root, s"_tmp-cdf-${java.util.UUID.randomUUID()}")
+    try {
+      tagged.write.mode("overwrite").partitionBy("__cdf_kind").parquet(tmp.toString)
+      kinds.flatMap { kind =>
+        val kindDir = new Path(tmp, s"__cdf_kind=$kind")
+        val parts = if (fs.exists(kindDir)) fs.listStatus(kindDir).toSeq
           .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          else Seq.empty
         parts.flatMap { st =>
           val rows = {
             val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -152,8 +172,8 @@ object Dml {
             Some(graft.format.ChangeFileMeta(name, rows, kind))
           }
         }
-      } finally fs.delete(tmp, true)
-    }
+      }
+    } finally fs.delete(tmp, true)
   }
 
   /** Attach staged change-file metas to a lance rewrite write. */
@@ -537,16 +557,28 @@ object Dml {
     // post-image = the same rows through the assignments (Delta CDF's
     // update_preimage/update_postimage contract)
     val cdf = if (!cdfEnabled(spark)) Seq.empty else {
-      val pre = readFragments(spark, root, m, touched).filter(condSafe)
-      val postCols = m.schema.fields.map { f =>
+      // ONE scan of the touched fragments emits BOTH images: each matching
+      // row explodes into its as-stored pre-image and its through-the-
+      // assignments post-image (content identical to two separate passes;
+      // at scale this halves the CDF read I/O of an update)
+      val matchedRows = readFragments(spark, root, m, touched).filter(condSafe)
+      val preS = struct(m.schema.fields.toSeq.map(f => q(f.name).as(f.name)): _*)
+      val postS = struct(m.schema.fields.toSeq.map { f =>
         assignments.find(_._1 == f.name) match {
           case Some((_, e)) => e.cast(f.dataType).as(f.name)
           case None => q(f.name)
         }
-      }
-      val post = pre.select(postCols.toIndexedSeq: _*)
-      stageChangeFiles(spark, fs, root, m,
-        Seq("update_preimage" -> pre, "update_postimage" -> post))
+      }: _*)
+      val tagged = matchedRows.select(explode(array(
+        struct(preS.as("__row"), lit("update_preimage").as("__cdf_kind")),
+        struct(postS.as("__row"), lit("update_postimage").as("__cdf_kind"))
+      )).as("__e"))
+        .select(m.schema.fields.toSeq.map(f =>
+          col("__e").getField("__row").getField(f.name)
+            .as(m.physicalName(f.name))) :+
+          col("__e").getField("__cdf_kind").as("__cdf_kind"): _*)
+      stageTagged(spark, fs, root, tagged,
+        Seq("update_preimage", "update_postimage"))
     }
     withChangeFiles(
       readFragments(spark, root, m, touched).select(out.toIndexedSeq: _*)
@@ -818,10 +850,22 @@ object Dml {
     val dels = source.filter(col("__del")).drop("__del")
     val withF = readFragments(spark, root, m, cands)
       .withColumn("__f", input_file_name())
-    val perFile = matchesByFile(withF.join(source, keys, "left_semi"))
+    // ONE match-discovery job for total AND delete-matched counts: source
+    // keys are unique (the dup guard above), so an inner join against the
+    // keyed __del flag hits each matching target row exactly once — the
+    // same multiset the two left_semi probes saw, one pass instead of two
+    val matchRows = withF.select((keys.map(q) :+ col("__f")): _*)
+      .join(source.select((keys.map(q) :+ col("__del")): _*), keys)
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("__all"),
+        sum(when(col("__del"), 1L).otherwise(0L)).as("__ndel"))
+      .collect()
+    val perFile = matchRows.map { r =>
+      val p = r.getAs[String]("__f")
+      p.substring(p.lastIndexOf('/') + 1) -> r.getAs[Long]("__all")
+    }.toMap
     val matched = perFile.values.sum
-    val matchedDel = matchesByFile(withF.join(dels, keys, "left_semi"))
-      .values.sum
+    val matchedDel = matchRows.map(_.getAs[Long]("__ndel")).sum
     val matchedUps = matched - matchedDel
     val touched = cands.filter(f => perFile.contains(nameOf(f)))
     if (touched.isEmpty) return pureInsert()

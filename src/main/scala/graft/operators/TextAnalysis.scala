@@ -261,7 +261,8 @@ object TextAnalysis {
       s"gram5_postings_${Dedup.exprVersion(words, grams5)}")
     if (!Dedup.scratchExists(spark, scratch)) {
       t(spark, dir, "documents")
-        .repartition(32, col("doc_id"))
+        // scale-adaptive parallelism (guide §2), not a one-machine constant
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("__w", expr(words))
         .select(col("doc_id"), explode(expr(grams5)).as("gram"))
         .write.mode("overwrite").parquet(scratch)

@@ -307,15 +307,21 @@ object TpcdsQueries {
 
   /** Register the raw + derived temp views for one scale dir. Cheap
     * (metadata only) and idempotent, so every gate calls it. */
-  private def register(spark: SparkSession, dir: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach { t =>
-      graft.Tables.t(spark, dir, t).createOrReplaceTempView(s"tpcds_raw_$t")
+  /** Memoized per (session, dir) like [[TpchQueries.register]]: the
+    * re-registration cost ~0.5 s per gate run; views are lazy metadata. */
+  private val registeredFor =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private def register(spark: SparkSession, dir: String): Unit =
+    // one dir registered per session at a time: switching dirs re-registers
+    if (registeredFor.put(spark, dir) != dir) {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem").foreach { t =>
+        graft.Tables.t(spark, dir, t).createOrReplaceTempView(s"tpcds_raw_$t")
+      }
+      derivations(n => s"tpcds_raw_$n").foreach { case (view, sql) =>
+        spark.sql(sql).createOrReplaceTempView(view)
+      }
     }
-    derivations(n => s"tpcds_raw_$n").foreach { case (view, sql) =>
-      spark.sql(sql).createOrReplaceTempView(view)
-    }
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     bodies.map { case (name, body) =>
