@@ -632,12 +632,20 @@ object Dml {
     // check. A fully-non-null duplicate key tuple is a cardinality
     // violation (one target row would match two source rows); null-keyed
     // rows never match anything — they are plain inserts, however many.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(q): _*)
-    val aggCols = Seq(count(lit(1)).as("__n"), max(col("__dup")).as("__maxdup")) ++
-      keys.flatMap(k => Seq(min(q(k)).as(s"__mn_$k"), max(q(k)).as(s"__mx_$k")))
+    // TWO-LEVEL HASH AGGREGATE, not a window: per-key counts partial-
+    // aggregate map-side (shuffle bytes ∝ distinct keys) and need no
+    // sort; the former count().over(partitionBy keys) sorted the whole
+    // source twice per MERGE (guide §2.3/§2.4).
+    val aggCols = Seq(sum(col("__cnt")).as("__n"),
+      max(when(keys.map(q(_).isNotNull).reduce(_ && _), col("__cnt"))
+        .otherwise(lit(1L))).as("__maxdup")) ++
+      keys.flatMap(k => Seq(min(q(s"__mn_$k")).as(s"__mn_$k"),
+        max(q(s"__mx_$k")).as(s"__mx_$k")))
     val stats = source.select(keys.map(q): _*)
-      .withColumn("__dup", when(keys.map(q(_).isNotNull).reduce(_ && _),
-        count(lit(1)).over(w)).otherwise(lit(1L)))
+      .groupBy(keys.map(q): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        keys.flatMap(k => Seq(min(q(k)).as(s"__mn_$k"),
+          max(q(k)).as(s"__mx_$k"))): _*)
       .agg(aggCols.head, aggCols.tail: _*).collect()(0)
     val srcRows = stats.getAs[Long]("__n")
     if (srcRows == 0L) return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
@@ -760,19 +768,25 @@ object Dml {
     // A key may appear ONCE across the whole batch — a delete and an
     // upsert for the same key (or two upserts) is ambiguous; callers
     // collapse their feed to net-effect-per-key first.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(q): _*)
-    val aggCols = Seq(count(lit(1)).as("__n"),
-      sum(when(col("__del"), 1L).otherwise(0L)).as("__ndel"),
-      max(col("__dup")).as("__maxdup"),
+    // Two-level HASH aggregate (no window sort), the upsert shape: per-key
+    // partial aggregation map-side, shuffle bytes ∝ distinct keys.
+    val aggCols = Seq(sum(col("__cnt")).as("__n"),
+      sum(col("__cntdel")).as("__ndel"),
+      max(when(keys.map(q(_).isNotNull).reduce(_ && _), col("__cnt"))
+        .otherwise(lit(1L))).as("__maxdup"),
       // NULL keys would silently diverge: key joins use null-dropping
       // equality, so a null-keyed delete no-ops and a null-keyed upsert
       // always inserts — breaking replay idempotence. Fail loud instead.
       max(when(keys.map(q(_).isNull).reduce(_ || _), 1L).otherwise(0L))
         .as("__nullkey")) ++
-      keys.flatMap(k => Seq(min(q(k)).as(s"__mn_$k"), max(q(k)).as(s"__mx_$k")))
+      keys.flatMap(k => Seq(min(q(s"__mn_$k")).as(s"__mn_$k"),
+        max(q(s"__mx_$k")).as(s"__mx_$k")))
     val stats = source.select((keys.map(q) :+ col("__del")): _*)
-      .withColumn("__dup", when(keys.map(q(_).isNotNull).reduce(_ && _),
-        count(lit(1)).over(w)).otherwise(lit(1L)))
+      .groupBy(keys.map(q): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        Seq(sum(when(col("__del"), 1L).otherwise(0L)).as("__cntdel")) ++
+        keys.flatMap(k => Seq(min(q(k)).as(s"__mn_$k"),
+          max(q(k)).as(s"__mx_$k"))): _*)
       .agg(aggCols.head, aggCols.tail: _*).collect()(0)
     // metadata-only commit shape, CAS included: the mutate function
     // re-checks per retry against the re-read current map
