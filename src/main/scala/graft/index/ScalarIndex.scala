@@ -229,8 +229,9 @@ object ScalarIndex {
     val newDirName = s"postings-${java.util.UUID.randomUUID().toString}"
     val newDir = new Path(s"$ip/$newDirName")
     val ds = spark.read.format("lance").load(datasetPath)
-    val posts = postingsOf(spark, ds, column, numBuckets, maxFilesPerValue(spark))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (posts0, releasePairs) =
+      postingsOf(spark, ds, column, numBuckets, maxFilesPerValue(spark))
+    val posts = posts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writePostings(spark, posts, newDir, overwrite = true)
     require(fs.exists(newDir),
       s"staged scalar postings missing at $newDir - aborting with the live index intact")
@@ -248,7 +249,7 @@ object ScalarIndex {
         new Path(s"$ip/$rd"), numBuckets, overwrite = true)
       rd
     }
-    posts.unpersist()
+    posts.unpersist(); releasePairs()
     val prevMeta = if (exists(spark, datasetPath, column))
       Some(loadMeta(spark, datasetPath, column)) else None
     val prevDir = prevMeta.map(livePostings(ip, _))
@@ -298,8 +299,8 @@ object ScalarIndex {
     val ds = spark.read.schema(m.physicalSchema).parquet(files: _*)
     val ip = indexPath(datasetPath, column)
     val cap = meta.maxFilesPerValue.getOrElse(maxFilesPerValue(spark))
-    val posts = postingsOf(spark, ds, column, meta.numBuckets, cap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (posts0, releasePairs) = postingsOf(spark, ds, column, meta.numBuckets, cap)
+    val posts = posts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writePostings(spark, posts,
       new Path(livePostings(ip, meta)), overwrite = false)
     // delta-append the range projection too, derived from the cached
@@ -311,7 +312,7 @@ object ScalarIndex {
           new Path(s"$ip/$rd"), meta.numBuckets, overwrite = false)
       }
     }
-    posts.unpersist()
+    posts.unpersist(); releasePairs()
     writeMeta(spark, ip, meta.copy(
       coveredFiles = meta.coveredFiles ++ fresh.map(_.file),
       datasetVersion = Some(m.version)))
@@ -319,22 +320,29 @@ object ScalarIndex {
 
   /** Distinct (rendered value, fragment file, bucket) postings with the
     * hot-value split. `input_file_name` attributes rows to fragments
-    * without a join — the scan already knows its file. */
+    * without a join — the scan already knows its file.
+    *
+    * `pairs` feeds BOTH the hot probe and the cold aggregation, so it is
+    * persisted here (one corpus scan + one distinct, not two); the
+    * returned cleanup releases it once the caller has materialized the
+    * postings. */
   private def postingsOf(spark: SparkSession, ds: DataFrame, column: String,
-      numBuckets: Int, cap: Int): DataFrame = {
+      numBuckets: Int, cap: Int): (DataFrame, () => Unit) = {
     val pairs = ds
       .filter(col(column).isNotNull)
       .select(col(column).cast("string").as("v"),
         element_at(split(input_file_name(), "/"), -1).as("f"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = pairs.groupBy(col("v")).agg(count(lit(1)).as("__nf"))
       .filter(col("__nf") > cap).select(col("v"))
     val cold = pairs.join(hot, Seq("v"), "left_anti")
       .groupBy(col("v"))
       .agg(sort_array(collect_set(col("f"))).as("f"))
     val hotLines = hot.select(col("v"), lit(null).cast("array<string>").as("f"))
-    cold.unionByName(hotLines)
-      .withColumn("bucket", pmod(xxhash64(col("v")), lit(numBuckets)))
+    (cold.unionByName(hotLines)
+      .withColumn("bucket", pmod(xxhash64(col("v")), lit(numBuckets))),
+      () => { pairs.unpersist(); () })
   }
 
   private def writePostings(spark: SparkSession, postings: DataFrame,
