@@ -501,24 +501,39 @@ object Lance {
     val fs = graft.format.LanceFormat.fileSystem(root, spark.sessionState.newHadoopConf())
     val (before, after) = compactSmall(spark, path, minRows, maxRowsPerFile)
 
-    val refreshed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val stale = scala.collection.mutable.ArrayBuffer.empty[String]
-    graft.format.LanceFormat.listIndexSidecars(fs, root).foreach { case (col, kind) =>
-      def attempt(refresh: => Any): Unit =
-        try { refresh; refreshed += s"$col ($kind)" } catch {
+    // the index refreshes are INDEPENDENT (each owns its own
+    // _indices/<col>_<kind> dir and commits only its own meta; the
+    // source manifest is read-only to all of them), so they overlap on
+    // a small driver thread pool (guide §2.6): one refresh's straggler
+    // tail back-fills executors with the next's jobs instead of leaving
+    // them idle. Outcomes keep listIndexSidecars order — deterministic
+    // reporting regardless of completion order.
+    val outcomes: Seq[Option[(String, Boolean)]] = {
+      def attempt(col: String, kind: String)(refresh: => Any)
+          : (String, Boolean) =
+        try { refresh; (s"$col ($kind)", true) } catch {
           case e: Exception =>
             log.warn(s"optimize: $kind index on '$col' at $path needs a " +
               s"rebuild - still correct, unaccelerated until then: $e")
-            stale += s"$col ($kind)"
+            (s"$col ($kind)", false)
         }
-      kind match {
-        case "scalar" => attempt(graft.index.ScalarIndex.refresh(spark, path, col))
-        case "fts" => attempt(graft.index.FtsIndex.refresh(spark, path, col,
-          allowRebuild = false)) // stale > a silent nightly full rebuild
-        case "ivf" => attempt(graft.index.IvfIndex.refresh(spark, path, col))
-        case _ => () // "hnsw" graphs refresh through their ivf sidecar
+      graft.format.DriverPar.parMap(
+        graft.format.LanceFormat.listIndexSidecars(fs, root),
+        threads = 3, minPar = 2) { case (col, kind) =>
+        kind match {
+          case "scalar" => Some(attempt(col, kind)(
+            graft.index.ScalarIndex.refresh(spark, path, col)))
+          case "fts" => Some(attempt(col, kind)(
+            graft.index.FtsIndex.refresh(spark, path, col,
+              allowRebuild = false))) // stale > a silent nightly rebuild
+          case "ivf" => Some(attempt(col, kind)(
+            graft.index.IvfIndex.refresh(spark, path, col)))
+          case _ => None // "hnsw" graphs refresh through their ivf sidecar
+        }
       }
     }
+    val refreshed = outcomes.flatten.collect { case (n, true) => n }
+    val stale = outcomes.flatten.collect { case (n, false) => n }
 
     val analyzed =
       if (!reanalyze) 0

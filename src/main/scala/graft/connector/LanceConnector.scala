@@ -1497,7 +1497,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
           routedBucketSpec = Some(routedBucketSpec),
           failIfNewMatching = overwriteGuard,
           setProperties = setProperties,
-          requireProperties = requireProperties)
+          requireProperties = requireProperties,
+          prevHint = prevM)
         LanceWrite.verifyConstraintsPostCommit(root, fs, outSchema, frags,
           enforced, committedO,
           baseFragments = prevM.map(_.fragments).getOrElse(Seq.empty))
@@ -1547,7 +1548,8 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
         routedBucketSpec = Some(routedBucketSpec),
         changeFiles = changeFiles,
         setProperties = setProperties,
-        requireProperties = requireProperties)
+        requireProperties = requireProperties,
+        prevHint = prevM)
       if (!rowPreserving)
         LanceWrite.verifyConstraintsPostCommit(root, fs, replaceSchema, frags,
           enforced, committedR,
@@ -1623,17 +1625,24 @@ class LanceBatchWrite(rootStr: String, schema: StructType, overwrite: Boolean,
     val widenedSchema = if (rowPreserving) committedSchema
       else LanceWrite.reconcileNullability(root, committedSchema, frags,
         enforced, cmap)
+    // `existing` was read from lineageDir a moment ago: hand it to the
+    // commit loop as its first-attempt snapshot (write-scoped manifest
+    // reuse — one head read per write instead of two; a conflict loses
+    // the CAS and the retry re-reads fresh). The overwrite path commits
+    // against root, so the hint only applies on the main lineage.
     val committed =
       if (overwrite) LanceFormat.commitOverwrite(fs, root, widenedSchema, frags, epochId,
         operation = if (rowPreserving) "rewrite" else "overwrite",
         routedBucketSpec = Some(routedBucketSpec),
         setProperties = setProperties,
-        requireProperties = requireProperties)
+        requireProperties = requireProperties,
+        prevHint = if (branch.isEmpty) Some(existing) else None)
       else LanceFormat.commitAppendIn(fs, lineageDir, widenedSchema, frags, epochId,
         routedBucketSpec = Some(routedBucketSpec),
         failIfNewMatching = overwriteGuard,
         setProperties = setProperties,
-        requireProperties = requireProperties)
+        requireProperties = requireProperties,
+        prevHint = Some(existing))
     // rules added concurrently with this write are re-proven against the
     // batch the moment its manifest lands (branch lineages skip it: their
     // rule set is the fork-time copy, static under main-side edits)

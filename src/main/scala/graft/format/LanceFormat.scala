@@ -630,10 +630,18 @@ object LanceFormat {
       routedBucketSpec: Option[Option[(Seq[Int], Seq[String])]] = None,
       failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None,
       setProperties: Map[String, String] = Map.empty,
-      requireProperties: Map[String, String] = Map.empty): Manifest = {
+      requireProperties: Map[String, String] = Map.empty,
+      prevHint: Option[Option[Manifest]] = None): Manifest = {
     var attempt = 0
     while (attempt < 20) {
-      val prev = readLatestIn(fs, dir)
+      // prevHint: a head the CALLER just read (the write-scoped manifest
+      // reuse — factory/commit previously re-read the same head 2-3x per
+      // write). First attempt only; a conflict makes commitOnce fail on
+      // the existing version file and the retry re-reads fresh, so the
+      // CAS semantics are unchanged.
+      val prev =
+        if (attempt == 0 && prevHint.isDefined) prevHint.get
+        else readLatestIn(fs, dir)
       checkRequiredProperties(prev, requireProperties, dir)
       failNewMatchingSinceSnapshot(prev, failIfNewMatching, Set.empty)
       val base = prev.map(_.fragments).getOrElse(Seq.empty)
@@ -749,14 +757,19 @@ object LanceFormat {
       failIfNewMatching: Option[(Set[String], Array[org.apache.spark.sql.sources.Filter])] = None,
       changeFiles: Seq[ChangeFileMeta] = Seq.empty,
       setProperties: Map[String, String] = Map.empty,
-      requireProperties: Map[String, String] = Map.empty): (Manifest, Long) = {
+      requireProperties: Map[String, String] = Map.empty,
+      prevHint: Option[Manifest] = None): (Manifest, Long) = {
     changeFiles.foreach(c => require(ChangeFileMeta.Kinds.contains(c.kind),
       s"unknown change-file kind '${c.kind}'"))
     require(removedIds.nonEmpty, "commitReplace needs at least one fragment to remove")
     var attempt = 0
     while (attempt < 20) {
-      val prev = readLatest(fs, root).getOrElse(
-        throw new IllegalStateException(s"no dataset at $root"))
+      // prevHint: caller-just-read head, first attempt only (see
+      // commitAppendIn) — a stale hint loses the commitOnce race and the
+      // retry re-reads fresh, so CAS semantics are unchanged
+      val prev = (if (attempt == 0) prevHint else None).getOrElse(
+        readLatest(fs, root).getOrElse(
+          throw new IllegalStateException(s"no dataset at $root")))
       checkRequiredProperties(Some(prev), requireProperties, root)
       failNewMatchingSinceSnapshot(Some(prev), failIfNewMatching,
         newFragments.map(_.file).toSet)
@@ -815,15 +828,20 @@ object LanceFormat {
       streamEpoch: Option[(String, Long)] = None,
       routedBucketSpec: Option[Option[(Seq[Int], Seq[String])]] = None,
       setProperties: Map[String, String] = Map.empty,
-      requireProperties: Map[String, String] = Map.empty): Manifest = {
+      requireProperties: Map[String, String] = Map.empty,
+      prevHint: Option[Option[Manifest]] = None): Manifest = {
     // prev is re-read INSIDE the retry loop: a concurrent add/drop
     // constraint (or another metadata commit) landing between a single
     // upfront read and the publish would have its rule set silently
     // REPLACED by the stale copy — the same lost-update shape
-    // commitAppendIn re-merges against.
+    // commitAppendIn re-merges against. prevHint (a head the caller just
+    // read) serves the FIRST attempt only; a stale hint loses the
+    // commitOnce race and the retry re-reads fresh.
     var attempt = 0
     while (attempt < 20) {
-      val prev = readLatest(fs, root)
+      val prev =
+        if (attempt == 0 && prevHint.isDefined) prevHint.get
+        else readLatest(fs, root)
       // the CAS watermark guard holds for overwrite-shaped commits too
       // (a full MV/replica rebuild is an overwrite); re-checked per retry
       checkRequiredProperties(prev, requireProperties, root)

@@ -176,9 +176,21 @@ object FtsIndex {
     * [[refresh]]); search never reads it (column-pruned at scan). */
   private def deltaPostings(df: DataFrame, column: String, idColumn: String,
       tokenizer: String, p: Int, version: Long,
-      positions: Boolean = false): DataFrame = {
-    val base = df
-      .select(col(idColumn).as("doc"), sparkTokens(col(column), tokenizer).as("ws"))
+      positions: Boolean = false): DataFrame =
+    deltaPostingsFromTokens(docTokens(df, column, idColumn, tokenizer),
+      p, version, positions)
+
+  /** The doc-grain tokenized frame `(doc, ws)` both the postings and the
+    * doc stats derive from — [[refresh]] persists it so ONE tokenize
+    * pass serves both (a zero-token doc contributes no posting but must
+    * still count into numDocs, so stats can never derive from postings). */
+  private def docTokens(df: DataFrame, column: String,
+      idColumn: String, tokenizer: String): DataFrame =
+    df.select(col(idColumn).as("doc"),
+      sparkTokens(col(column), tokenizer).as("ws"))
+
+  private def deltaPostingsFromTokens(base: DataFrame, p: Int, version: Long,
+      positions: Boolean): DataFrame = {
     val agg =
       if (positions) {
         // token POSITIONS ride each posting (sorted int array) — the
@@ -301,16 +313,33 @@ object FtsIndex {
         graft.format.LanceFormat.fragmentPath(root, f.file).toString): _*)
     val p = meta.numTermPartitions
     val ip = indexPath(datasetPath, column)
-    // persist: the delta postings feed the touched-bucket collect AND the
-    // stage write — without this the delta re-tokenizes per action
+    // ONE tokenize pass serves postings AND doc stats (guide §1.2): the
+    // doc-grain tokenized frame persists for the refresh (delta-bounded,
+    // never corpus-bounded), the postings derive from it, and the stats
+    // read its cache instead of re-tokenizing the delta — which also
+    // keeps zero-token docs counted (they have no postings line). The
+    // touched-bucket probe and the stats aggregate ride ONE collect as a
+    // tagged union, so the former separate docStats job disappears.
     val withPos = meta.positions.contains(true)
-    val delta = deltaPostings(deltaDf, column, meta.idColumn, tokenizer, p, to,
-        positions = withPos)
+    val baseTok = docTokens(deltaDf, column, meta.idColumn, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touchedCount = try {
+    val delta = deltaPostingsFromTokens(baseTok, p, to, positions = withPos)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (touchedCount, dn, ds) = try {
+      val probe = delta
+        .select(lit("b").as("k"), col("bucket").cast("long").as("a"),
+          lit(0L).as("b2")).distinct()
+        .unionByName(baseTok
+          .agg(count(lit(1)).as("a"),
+            sum(size(col("ws")).cast("long")).as("b2"))
+          .select(lit("s").as("k"), col("a"), col("b2")))
+        .collect()
       // touched buckets: ≤ P values to the driver, bounded by construction
-      val touched = delta.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted
+      val touched = probe.filter(_.getString(0) == "b")
+        .map(_.getLong(1).toInt).sorted
+      val statRow = probe.find(_.getString(0) == "s").get
+      val docsN = statRow.getLong(1)
+      val docsDl = if (statRow.isNullAt(2)) 0L else statRow.getLong(2)
       val live = postingsPath(ip)
       val stage = s"$ip/postings.tmp"
       // retry idempotence: a PREVIOUS refresh attempt that crashed
@@ -347,10 +376,9 @@ object FtsIndex {
         require(pfs.rename(src, dst), s"fts refresh: rename $src -> $dst failed")
       }
       pfs.delete(new Path(stage), true)
-      touched.length
-    } finally delta.unpersist()
+      (touched.length, docsN, docsDl)
+    } finally { delta.unpersist(); baseTok.unpersist() }
 
-    val (dn, ds) = docStats(deltaDf, column, meta.idColumn, tokenizer)
     val updated = writeMeta(spark, ip, meta.copy(numDocs = meta.numDocs + dn,
       sumDl = meta.sumDl + ds, datasetVersion = Some(to)))
     log.info(s"fts index refreshed at $ip: +$dn docs (+$ds tokens) from " +

@@ -248,20 +248,26 @@ object IvfIndex {
         val conf = spark.sessionState.newHadoopConf()
         val bp = new org.apache.hadoop.fs.Path(s"$ip/buckets")
         val fs = bp.getFileSystem(conf)
-        fs.listStatus(bp).toSeq
+        // (bucket, file) pairs flattened, footers read in bounded
+        // parallel (guide §5): the serial per-file loop serialized the
+        // driver on total part-file count
+        val files = fs.listStatus(bp).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("__ivf_part="))
-          .map { d =>
+          .flatMap { d =>
             val part = d.getPath.getName.stripPrefix("__ivf_part=")
-            val rows = fs.listStatus(d.getPath).toSeq
+            fs.listStatus(d.getPath).toSeq
               .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-              .map { f =>
-                val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                  .fromPath(f.getPath, conf)
-                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                try r.getRecordCount finally r.close()
-              }.sum
-            part -> rows
-          }.toMap
+              .map(f => part -> f.getPath)
+          }
+        val rows = graft.format.DriverPar.parMap(files) { case (_, p) =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+        files.map(_._1).zip(rows).groupBy(_._1).map { case (part, xs) =>
+          part -> xs.map(_._2).sum
+        }
       }
 
       val meta = IndexMeta(column, idColumn, metric, numPartitions,
@@ -362,16 +368,20 @@ object IvfIndex {
           }.toMap
       val before = bucketFiles()
       withCodes.write.mode("append").partitionBy("__ivf_part").parquet(s"$ip/buckets")
-      deltaCounts = bucketFiles().flatMap { case (part, files) =>
-        val fresh = files -- before.getOrElse(part, Set.empty)
-        if (fresh.isEmpty) None
-        else Some(part -> fresh.toSeq.map { name =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new Path(new Path(bp, s"__ivf_part=$part"), name), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }.sum)
+      // fresh files flattened across buckets, footers read in bounded
+      // parallel (guide §5) — the serial loop scaled with delta file count
+      val freshFiles = bucketFiles().toSeq.flatMap { case (part, files) =>
+        (files -- before.getOrElse(part, Set.empty)).toSeq
+          .map(name => part -> new Path(new Path(bp, s"__ivf_part=$part"), name))
       }
+      val freshRows = graft.format.DriverPar.parMap(freshFiles) { case (_, p) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      deltaCounts = freshFiles.map(_._1).zip(freshRows).groupBy(_._1)
+        .map { case (part, xs) => part -> xs.map(_._2).sum }
     }
     // per-bucket graphs are independent (no cross-bucket edges), so the
     // graph sidecar refreshes incrementally: rebuild ONLY the buckets

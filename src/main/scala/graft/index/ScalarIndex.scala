@@ -229,8 +229,11 @@ object ScalarIndex {
     val newDirName = s"postings-${java.util.UUID.randomUUID().toString}"
     val newDir = new Path(s"$ip/$newDirName")
     val ds = spark.read.format("lance").load(datasetPath)
+    val inputRows = m.fragments.map(_.rowCount).sum
+    val small = inputRows <= smallBuildRows(spark)
     val (posts0, releasePairs) =
-      postingsOf(spark, ds, column, numBuckets, maxFilesPerValue(spark))
+      postingsOf(spark, ds, column, numBuckets, maxFilesPerValue(spark),
+        inputRows = Some(inputRows))
     val posts = posts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writePostings(spark, posts, newDir, overwrite = true)
     require(fs.exists(newDir),
@@ -246,7 +249,8 @@ object ScalarIndex {
       val rd = s"ranges-${java.util.UUID.randomUUID().toString}"
       writeRangePostings(spark,
         posts.select(keyExpr.as("k"), col("f")),
-        new Path(s"$ip/$rd"), numBuckets, overwrite = true)
+        new Path(s"$ip/$rd"), numBuckets, overwrite = true,
+        smallInput = small)
       rd
     }
     posts.unpersist(); releasePairs()
@@ -299,7 +303,10 @@ object ScalarIndex {
     val ds = spark.read.schema(m.physicalSchema).parquet(files: _*)
     val ip = indexPath(datasetPath, column)
     val cap = meta.maxFilesPerValue.getOrElse(maxFilesPerValue(spark))
-    val (posts0, releasePairs) = postingsOf(spark, ds, column, meta.numBuckets, cap)
+    val deltaRows = fresh.map(_.rowCount).sum
+    val small = deltaRows <= smallBuildRows(spark)
+    val (posts0, releasePairs) = postingsOf(spark, ds, column, meta.numBuckets,
+      cap, inputRows = Some(deltaRows))
     val posts = posts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writePostings(spark, posts,
       new Path(livePostings(ip, meta)), overwrite = false)
@@ -309,7 +316,8 @@ object ScalarIndex {
     meta.rangesDir.foreach { rd =>
       orderKeyFromRendered(m.schema(column).dataType, col("v")).foreach { keyExpr =>
         writeRangePostings(spark, posts.select(keyExpr.as("k"), col("f")),
-          new Path(s"$ip/$rd"), meta.numBuckets, overwrite = false)
+          new Path(s"$ip/$rd"), meta.numBuckets, overwrite = false,
+          smallInput = small)
       }
     }
     posts.unpersist(); releasePairs()
@@ -318,31 +326,62 @@ object ScalarIndex {
       datasetVersion = Some(m.version)))
   }
 
+  /** Rows at or below which the postings derive from ONE hash aggregate
+    * (count + collect_set in the same buffer): with the whole input
+    * bounded, no agg buffer can outgrow it, so the hot-value anti-join
+    * split — whose purpose is bounding buffers on an UNBOUNDED corpus —
+    * buys nothing and costs two extra shuffles plus a persisted
+    * intermediate. Size-ADAPTIVE, not machine-tuned: the row count comes
+    * from the manifest (zero I/O) and big inputs keep the scale-safe
+    * two-pass shape. */
+  private def smallBuildRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.scalarindex.smallBuildRows")
+      .map(_.toLong).getOrElse(4000000L)
+
   /** Distinct (rendered value, fragment file, bucket) postings with the
     * hot-value split. `input_file_name` attributes rows to fragments
     * without a join — the scan already knows its file.
     *
-    * `pairs` feeds BOTH the hot probe and the cold aggregation, so it is
-    * persisted here (one corpus scan + one distinct, not two); the
-    * returned cleanup releases it once the caller has materialized the
-    * postings. */
+    * Two shapes, chosen by the caller-supplied manifest row count:
+    *  - small input (≤ smallBuildRows): one aggregate computes the file
+    *    set AND the hot verdict per value — buffers bounded by the input
+    *    itself, nothing persisted, fewest shuffles;
+    *  - large input: `pairs` feeds BOTH the hot probe and the cold
+    *    aggregation, so it is persisted (one corpus scan + one distinct,
+    *    not two) and no agg buffer ever holds more than `cap` file
+    *    names. The returned cleanup releases it once the caller has
+    *    materialized the postings.
+    * Postings CONTENT is identical either way (hot values marked
+    * `f: null`, cold file lists sorted). */
   private def postingsOf(spark: SparkSession, ds: DataFrame, column: String,
-      numBuckets: Int, cap: Int): (DataFrame, () => Unit) = {
-    val pairs = ds
+      numBuckets: Int, cap: Int, inputRows: Option[Long]): (DataFrame, () => Unit) = {
+    val pairs0 = ds
       .filter(col(column).isNotNull)
       .select(col(column).cast("string").as("v"),
         element_at(split(input_file_name(), "/"), -1).as("f"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = pairs.groupBy(col("v")).agg(count(lit(1)).as("__nf"))
-      .filter(col("__nf") > cap).select(col("v"))
-    val cold = pairs.join(hot, Seq("v"), "left_anti")
-      .groupBy(col("v"))
-      .agg(sort_array(collect_set(col("f"))).as("f"))
-    val hotLines = hot.select(col("v"), lit(null).cast("array<string>").as("f"))
-    (cold.unionByName(hotLines)
-      .withColumn("bucket", pmod(xxhash64(col("v")), lit(numBuckets))),
-      () => { pairs.unpersist(); () })
+    if (inputRows.exists(_ <= smallBuildRows(spark))) {
+      val posts = pairs0.groupBy(col("v"))
+        .agg(count(lit(1)).as("__nf"),
+          sort_array(collect_set(col("f"))).as("__files"))
+        .select(col("v"),
+          when(col("__nf") > cap, lit(null).cast("array<string>"))
+            .otherwise(col("__files")).as("f"))
+        .withColumn("bucket", pmod(xxhash64(col("v")), lit(numBuckets)))
+      (posts, () => ())
+    } else {
+      val pairs = pairs0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = pairs.groupBy(col("v")).agg(count(lit(1)).as("__nf"))
+        .filter(col("__nf") > cap).select(col("v"))
+      val cold = pairs.join(hot, Seq("v"), "left_anti")
+        .groupBy(col("v"))
+        .agg(sort_array(collect_set(col("f"))).as("f"))
+      val hotLines = hot.select(col("v"), lit(null).cast("array<string>").as("f"))
+      (cold.unionByName(hotLines)
+        .withColumn("bucket", pmod(xxhash64(col("v")), lit(numBuckets))),
+        () => { pairs.unpersist(); () })
+    }
   }
 
   private def writePostings(spark: SparkSession, postings: DataFrame,
@@ -356,12 +395,20 @@ object ScalarIndex {
   /** Range-partitioned, key-sorted parquet: a range probe's pushed
     * `k >= lo AND k <= hi` filter skips non-overlapping files and row
     * groups via parquet min/max — probe cost ∝ the key span, not the
-    * distinct-value count. */
+    * distinct-value count.
+    *
+    * `smallInput` (the postingsOf size verdict): one globally-sorted
+    * file instead of repartitionByRange — the range partitioner's
+    * SAMPLING job buys nothing when the whole projection is one small
+    * file anyway (row-group min/max still skip inside it). Large inputs
+    * keep the range layout. */
   private def writeRangePostings(spark: SparkSession, postings: DataFrame,
-      dir: Path, numBuckets: Int, overwrite: Boolean): Unit =
-    postings
-      .repartitionByRange(math.max(1, numBuckets / 4), col("k"))
-      .sortWithinPartitions(col("k"))
+      dir: Path, numBuckets: Int, overwrite: Boolean,
+      smallInput: Boolean): Unit =
+    (if (smallInput) postings.repartition(1).sortWithinPartitions(col("k"))
+     else postings
+       .repartitionByRange(math.max(1, numBuckets / 4), col("k"))
+       .sortWithinPartitions(col("k")))
       .write.mode(if (overwrite) "overwrite" else "append")
       .parquet(dir.toString)
 

@@ -150,27 +150,31 @@ object Dml {
     val tmp = new Path(root, s"_tmp-cdf-${java.util.UUID.randomUUID()}")
     try {
       tagged.write.mode("overwrite").partitionBy("__cdf_kind").parquet(tmp.toString)
-      kinds.flatMap { kind =>
+      // footer row counts read in bounded parallel (guide §5: the
+      // driver-side per-file loop serializes on file count at scale);
+      // the renames stay sequential — cheap FS metadata ops
+      val parts = kinds.flatMap { kind =>
         val kindDir = new Path(tmp, s"__cdf_kind=$kind")
-        val parts = if (fs.exists(kindDir)) fs.listStatus(kindDir).toSeq
+        val sts = if (fs.exists(kindDir)) fs.listStatus(kindDir).toSeq
           .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
           else Seq.empty
-        parts.flatMap { st =>
-          val rows = {
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(st.getPath, conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try r.getRecordCount finally r.close()
-          }
-          if (rows == 0L) None
-          else {
-            val name = s"cdf-${java.util.UUID.randomUUID()}.parquet"
-            val dataDir = LanceFormat.dataPath(root)
-            fs.mkdirs(dataDir)
-            require(fs.rename(st.getPath, new Path(dataDir, name)),
-              s"could not stage change file $name at $root")
-            Some(graft.format.ChangeFileMeta(name, rows, kind))
-          }
+        sts.map(kind -> _)
+      }
+      val counts = graft.format.DriverPar.parMap(parts) { case (_, st) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      parts.zip(counts).flatMap { case ((kind, st), rows) =>
+        if (rows == 0L) None
+        else {
+          val name = s"cdf-${java.util.UUID.randomUUID()}.parquet"
+          val dataDir = LanceFormat.dataPath(root)
+          fs.mkdirs(dataDir)
+          require(fs.rename(st.getPath, new Path(dataDir, name)),
+            s"could not stage change file $name at $root")
+          Some(graft.format.ChangeFileMeta(name, rows, kind))
         }
       }
     } finally fs.delete(tmp, true)
@@ -628,52 +632,62 @@ object Dml {
     }
     val source = source0.select(tableCols.map(q): _*)
 
-    // one job over the (small) source: row count, per-key bounds, dup
-    // check. A fully-non-null duplicate key tuple is a cardinality
-    // violation (one target row would match two source rows); null-keyed
-    // rows never match anything — they are plain inserts, however many.
-    // TWO-LEVEL HASH AGGREGATE, not a window: per-key counts partial-
-    // aggregate map-side (shuffle bytes ∝ distinct keys) and need no
-    // sort; the former count().over(partitionBy keys) sorted the whole
-    // source twice per MERGE (guide §2.3/§2.4).
-    val aggCols = Seq(sum(col("__cnt")).as("__n"),
-      max(when(keys.map(q(_).isNotNull).reduce(_ && _), col("__cnt"))
-        .otherwise(lit(1L))).as("__maxdup")) ++
-      keys.flatMap(k => Seq(min(q(s"__mn_$k")).as(s"__mn_$k"),
-        max(q(s"__mx_$k")).as(s"__mx_$k")))
-    val stats = source.select(keys.map(q): _*)
-      .groupBy(keys.map(q): _*)
-      .agg(count(lit(1)).as("__cnt"),
-        keys.flatMap(k => Seq(min(q(k)).as(s"__mn_$k"),
-          max(q(k)).as(s"__mx_$k"))): _*)
-      .agg(aggCols.head, aggCols.tail: _*).collect()(0)
-    val srcRows = stats.getAs[Long]("__n")
-    if (srcRows == 0L) return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
-    require(stats.getAs[Long]("__maxdup") == 1L,
-      "MERGE source has duplicate keys: each target row would match more " +
-        "than one source row (nondeterministic); de-duplicate the source first")
-
-    // candidate pruning: a small source ships its exact key lists (IN
-    // prunes MIDDLE fragments a [min,max] range cannot — a 2-key CDC
-    // batch against a clustered table rewrites 2 fragments, not the span
-    // between them); a large one falls back to per-key bounds
+    // ONE job over the (small) source: row count, dup check AND the
+    // exact key IN-lists, from a per-key HASH aggregate collected up to
+    // inlistPrune+1 rows (map-side partial aggregation, shuffle ∝
+    // distinct keys, no sort — the former count().over(partitionBy)
+    // window sorted the whole source twice per MERGE, guide §2.3/§2.4;
+    // and the former separate distinct-collect job for the IN-lists is
+    // folded in, guide §1.2). A fully-non-null duplicate key tuple is a
+    // cardinality violation (one target row would match two source
+    // rows); null-keyed rows never match anything — plain inserts,
+    // however many. Above the cap, one fallback aggregate computes the
+    // global stats + per-key range bounds as before.
     val inListCap = spark.conf.getOption("spark.graft.dml.inlistPrune")
       .map(_.toInt).getOrElse(1000)
-    val keyBounds: Array[v1.Filter] =
-      if (srcRows <= inListCap) {
-        val rows = source.select(keys.map(q): _*).distinct().collect()
-        keys.zipWithIndex.map { case (k, i) =>
-          val vals = rows.map(_.get(i)).filter(_ != null).distinct
+    val perKey = source.select(keys.map(q): _*)
+      .groupBy(keys.map(q): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .limit(inListCap + 1).collect()
+    val (srcRows, maxDup, keyBounds: Array[v1.Filter]) =
+      if (perKey.length <= inListCap) {
+        val n = perKey.map(_.getAs[Long]("__cnt")).sum
+        val dup = (1L +: perKey.toSeq.collect {
+          case r if keys.indices.forall(i => !r.isNullAt(i)) =>
+            r.getAs[Long]("__cnt")
+        }).max
+        val bounds: Array[v1.Filter] = keys.zipWithIndex.map { case (k, i) =>
+          val vals = perKey.map(_.get(i)).filter(_ != null).distinct.toSeq
           if (vals.isEmpty) v1.AlwaysFalse() // all NULL: no match possible
-          else v1.In(k, vals)
+          else v1.In(k, vals.toArray)
         }.toArray
-      } else keys.flatMap { k =>
-        (Option(stats.getAs[Any](s"__mn_$k")), Option(stats.getAs[Any](s"__mx_$k"))) match {
-          case (Some(mn), Some(mx)) =>
-            Seq(v1.GreaterThanOrEqual(k, mn), v1.LessThanOrEqual(k, mx))
-          case _ => Seq(v1.AlwaysFalse()) // every source key is NULL: no match possible
-        }
-      }.toArray
+        (n, dup, bounds)
+      } else {
+        val aggCols = Seq(sum(col("__cnt")).as("__n"),
+          max(when(keys.map(q(_).isNotNull).reduce(_ && _), col("__cnt"))
+            .otherwise(lit(1L))).as("__maxdup")) ++
+          keys.flatMap(k => Seq(min(q(s"__mn_$k")).as(s"__mn_$k"),
+            max(q(s"__mx_$k")).as(s"__mx_$k")))
+        val stats = source.select(keys.map(q): _*)
+          .groupBy(keys.map(q): _*)
+          .agg(count(lit(1)).as("__cnt"),
+            keys.flatMap(k => Seq(min(q(k)).as(s"__mn_$k"),
+              max(q(k)).as(s"__mx_$k"))): _*)
+          .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+        val bounds: Array[v1.Filter] = keys.flatMap { k =>
+          (Option(stats.getAs[Any](s"__mn_$k")),
+            Option(stats.getAs[Any](s"__mx_$k"))) match {
+            case (Some(mn), Some(mx)) =>
+              Seq(v1.GreaterThanOrEqual(k, mn), v1.LessThanOrEqual(k, mx))
+            case _ => Seq(v1.AlwaysFalse()) // every source key is NULL
+          }
+        }.toArray
+        (stats.getAs[Long]("__n"), stats.getAs[Long]("__maxdup"), bounds)
+      }
+    if (srcRows == 0L) return RowLevelResult(m.fragments.size, 0, 0L, 0L, None)
+    require(maxDup == 1L,
+      "MERGE source has duplicate keys: each target row would match more " +
+        "than one source row (nondeterministic); de-duplicate the source first")
     val cands = graft.format.BucketPrune.prune(m, keyBounds.toSeq,
       graft.index.ScalarIndex.prune(spark, path, m, keyBounds.toSeq,
         FragmentStats.prune(m.schema, m.fragments, keyBounds)))
@@ -743,11 +757,18 @@ object Dml {
     * fragments + batch, never the table. Opt-in CDF images
     * (`spark.graft.dml.changeFeed`): delete / update_preimage /
     * update_postimage / insert, exact like the other verbs.
+    *
+    * `guard`: (predicate, message) over SOURCE rows that must match NO
+    * row — verified inside the same source-stats job (one pass, before
+    * any commit) and failed with the message. The MV refresh's
+    * negative-group-count invariant rides here instead of paying its
+    * own filter+count pass over the merged state.
     */
   def applyChanges(spark: SparkSession, path: String, source0: DataFrame,
       keys: Seq[String], deleteWhen: Column,
       setProperties: Map[String, String] = Map.empty,
-      requireProperties: Map[String, String] = Map.empty): RowLevelResult = {
+      requireProperties: Map[String, String] = Map.empty,
+      guard: Option[(Column, String)] = None): RowLevelResult = {
     val (fs, root, m) = snapshot(spark, path)
     val refreshKinds = dmlRefreshKinds(spark)
     require(keys.nonEmpty, "applyChanges needs at least one key column")
@@ -764,30 +785,86 @@ object Dml {
       .withColumn("__del", coalesce(deleteWhen, lit(false)))
       .select((tableCols.map(q) :+ col("__del")): _*)
 
-    // one job over the (small) source: counts, per-key bounds, dup check.
+    // ONE job over the (small) source covers the row counts, the
+    // dup/null guards, the caller's guard predicate AND the exact
+    // per-key IN-lists: the per-key HASH aggregate (map-side partial,
+    // shuffle ∝ distinct keys, no sort) is collected up to
+    // inlistPrune+1 rows. At or under the cap — the CDC batch / MV
+    // refresh norm — every global stat derives driver-side from the
+    // complete group list, so the former separate distinct-collect job
+    // disappears (guide §1.2). Above it, one fallback aggregate
+    // computes the global stats + per-key range bounds as before.
     // A key may appear ONCE across the whole batch — a delete and an
     // upsert for the same key (or two upserts) is ambiguous; callers
     // collapse their feed to net-effect-per-key first.
-    // Two-level HASH aggregate (no window sort), the upsert shape: per-key
-    // partial aggregation map-side, shuffle bytes ∝ distinct keys.
-    val aggCols = Seq(sum(col("__cnt")).as("__n"),
-      sum(col("__cntdel")).as("__ndel"),
-      max(when(keys.map(q(_).isNotNull).reduce(_ && _), col("__cnt"))
-        .otherwise(lit(1L))).as("__maxdup"),
-      // NULL keys would silently diverge: key joins use null-dropping
-      // equality, so a null-keyed delete no-ops and a null-keyed upsert
-      // always inserts — breaking replay idempotence. Fail loud instead.
-      max(when(keys.map(q(_).isNull).reduce(_ || _), 1L).otherwise(0L))
-        .as("__nullkey")) ++
-      keys.flatMap(k => Seq(min(q(s"__mn_$k")).as(s"__mn_$k"),
-        max(q(s"__mx_$k")).as(s"__mx_$k")))
-    val stats = source.select((keys.map(q) :+ col("__del")): _*)
-      .groupBy(keys.map(q): _*)
-      .agg(count(lit(1)).as("__cnt"),
-        Seq(sum(when(col("__del"), 1L).otherwise(0L)).as("__cntdel")) ++
-        keys.flatMap(k => Seq(min(q(k)).as(s"__mn_$k"),
-          max(q(k)).as(s"__mx_$k"))): _*)
-      .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val inListCap = spark.conf.getOption("spark.graft.dml.inlistPrune")
+      .map(_.toInt).getOrElse(1000)
+    val guardCol = guard.map { case (g, _) => coalesce(g, lit(false)) }
+    val statsSrc = source0
+      .withColumn("__del", coalesce(deleteWhen, lit(false)))
+      .select(keys.map(q) ++ Seq(col("__del")) ++
+        guardCol.map(_.as("__guard")).toSeq: _*)
+    val perKeyAggs = Seq(count(lit(1)).as("__cnt"),
+      sum(when(col("__del"), 1L).otherwise(0L)).as("__cntdel")) ++
+      guardCol.map(_ =>
+        max(when(col("__guard"), 1L).otherwise(0L)).as("__g")).toSeq
+    val perKey = statsSrc.groupBy(keys.map(q): _*)
+      .agg(perKeyAggs.head, perKeyAggs.tail: _*)
+      .limit(inListCap + 1).collect()
+    val (srcRows, delRows, maxDup, nullKey, guardHit,
+        keyBounds: Array[v1.Filter]) =
+      if (perKey.length <= inListCap) {
+        // the collected rows are ALL the groups: derive everything here
+        val n = perKey.map(_.getAs[Long]("__cnt")).sum
+        val ndel = perKey.map(_.getAs[Long]("__cntdel")).sum
+        val dup = (1L +: perKey.toSeq.collect {
+          case r if keys.indices.forall(i => !r.isNullAt(i)) =>
+            r.getAs[Long]("__cnt")
+        }).max
+        val nk = perKey.exists(r => keys.indices.exists(r.isNullAt))
+        val g = guard.isDefined && perKey.exists(_.getAs[Long]("__g") > 0L)
+        val bounds: Array[v1.Filter] = keys.zipWithIndex.map { case (k, i) =>
+          val vals = perKey.map(_.get(i)).filter(_ != null).distinct.toSeq
+          if (vals.isEmpty) v1.AlwaysFalse() // all NULL: no match possible
+          else v1.In(k, vals.toArray)
+        }.toArray
+        (n, ndel, dup, nk, g, bounds)
+      } else {
+        // > cap distinct keys: global stats + per-key bounds in one
+        // two-level aggregate (the prior shape), range bounds for pruning
+        val aggCols = Seq(sum(col("__cnt")).as("__n"),
+          sum(col("__cntdel")).as("__ndel"),
+          max(when(keys.map(q(_).isNotNull).reduce(_ && _), col("__cnt"))
+            .otherwise(lit(1L))).as("__maxdup"),
+          max(when(keys.map(q(_).isNull).reduce(_ || _), 1L).otherwise(0L))
+            .as("__nullkey")) ++
+          guardCol.map(_ => max(col("__g")).as("__gmax")).toSeq ++
+          keys.flatMap(k => Seq(min(q(s"__mn_$k")).as(s"__mn_$k"),
+            max(q(s"__mx_$k")).as(s"__mx_$k")))
+        val stats = statsSrc
+          .groupBy(keys.map(q): _*)
+          .agg(count(lit(1)).as("__cnt"),
+            Seq(sum(when(col("__del"), 1L).otherwise(0L)).as("__cntdel")) ++
+            guardCol.map(_ =>
+              max(when(col("__guard"), 1L).otherwise(0L)).as("__g")).toSeq ++
+            keys.flatMap(k => Seq(min(q(k)).as(s"__mn_$k"),
+              max(q(k)).as(s"__mx_$k"))): _*)
+          .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+        val bounds: Array[v1.Filter] = keys.flatMap { k =>
+          (Option(stats.getAs[Any](s"__mn_$k")),
+            Option(stats.getAs[Any](s"__mx_$k"))) match {
+            case (Some(mn), Some(mx)) =>
+              Seq(v1.GreaterThanOrEqual(k, mn), v1.LessThanOrEqual(k, mx))
+            case _ => Seq(v1.AlwaysFalse())
+          }
+        }.toArray
+        (stats.getAs[Long]("__n"), stats.getAs[Long]("__ndel"),
+          stats.getAs[Long]("__maxdup"), stats.getAs[Long]("__nullkey") > 0L,
+          guard.isDefined && stats.getAs[Long]("__gmax") > 0L, bounds)
+      }
+    // the caller's guard fires FIRST (it rode the same job): a violated
+    // invariant must fail with ITS message, before the key-shape checks
+    guard.foreach { case (_, msg) => require(!guardHit, msg) }
     // metadata-only commit shape, CAS included: the mutate function
     // re-checks per retry against the re-read current map
     def commitPropsOnly(): Unit =
@@ -801,40 +878,20 @@ object Dml {
         val (unsets, sets) = setProperties.partition(_._2 == null)
         prev -- unsets.keys ++ sets
       })
-    val srcRows = stats.getAs[Long]("__n")
     if (srcRows == 0L) {
       if (setProperties.nonEmpty) commitPropsOnly()
       return RowLevelResult(m.fragments.size, 0, 0L, 0L,
         LanceFormat.readLatest(fs, root).map(_.version))
     }
-    val delRows = stats.getAs[Long]("__ndel")
     val upsRows = srcRows - delRows
-    require(stats.getAs[Long]("__maxdup") == 1L,
+    require(maxDup == 1L,
       "applyChanges source has duplicate keys: collapse the change feed " +
         "to one net row per key first (a delete+insert pair for the same " +
         "key is ambiguous within one batch)")
-    require(stats.getAs[Long]("__nullkey") == 0L,
+    require(!nullKey,
       "applyChanges source has NULL in a key column: key joins drop " +
         "NULLs, so a null-keyed delete would silently no-op and a " +
         "null-keyed upsert would always insert - fix the feed's keys")
-
-    val inListCap = spark.conf.getOption("spark.graft.dml.inlistPrune")
-      .map(_.toInt).getOrElse(1000)
-    val keyBounds: Array[v1.Filter] =
-      if (srcRows <= inListCap) {
-        val rows = source.select(keys.map(q): _*).distinct().collect()
-        keys.zipWithIndex.map { case (k, i) =>
-          val vals = rows.map(_.get(i)).filter(_ != null).distinct
-          if (vals.isEmpty) v1.AlwaysFalse()
-          else v1.In(k, vals)
-        }.toArray
-      } else keys.flatMap { k =>
-        (Option(stats.getAs[Any](s"__mn_$k")), Option(stats.getAs[Any](s"__mx_$k"))) match {
-          case (Some(mn), Some(mx)) =>
-            Seq(v1.GreaterThanOrEqual(k, mn), v1.LessThanOrEqual(k, mx))
-          case _ => Seq(v1.AlwaysFalse())
-        }
-      }.toArray
     val cands = graft.format.BucketPrune.prune(m, keyBounds.toSeq,
       graft.index.ScalarIndex.prune(spark, path, m, keyBounds.toSeq,
         FragmentStats.prune(m.schema, m.fragments, keyBounds)))

@@ -1187,19 +1187,39 @@ object MaterializedView {
       // the table. Above the cap the term falls back to the full join
       // (co-bucketed tables still join exchange-free). Inner-join
       // semantics: NULL keys never match, so no isNull arm.
-      def prunedByKeys(big: DataFrame, keyOf: Seq[(String, String)],
-          small: DataFrame): DataFrame = {
-        val cap = spark.conf.getOption("spark.graft.dml.inlistPrune")
-          .map(_.toInt).getOrElse(1000)
-        val sample = small.select(keyOf.map(p => q(p._2)): _*)
-          .distinct().limit(cap + 1).collect()
+      //
+      // The distinct-collect SAMPLES are memoized per (frame identity,
+      // column list) for the refresh's duration (guide §1.2): the ΔA
+      // factor prunes, the zero-crossing cnt probes, the anti-image
+      // probe and each tail continuation all sample the same persisted
+      // change-bounded frames — one Spark collect now serves them all
+      // (a multi-join refresh previously re-ran the identical
+      // distinct+collect up to 3x per factor).
+      val cap = spark.conf.getOption("spark.graft.dml.inlistPrune")
+        .map(_.toInt).getOrElse(1000)
+      val sampleCache = new java.util.IdentityHashMap[DataFrame,
+        scala.collection.mutable.Map[Seq[String], Array[org.apache.spark.sql.Row]]]()
+      def keySample(small: DataFrame, cols: Seq[String])
+          : Array[org.apache.spark.sql.Row] = {
+        val per = Option(sampleCache.get(small)).getOrElse {
+          val m = scala.collection.mutable.Map
+            .empty[Seq[String], Array[org.apache.spark.sql.Row]]
+          sampleCache.put(small, m); m
+        }
+        per.getOrElseUpdate(cols,
+          small.select(cols.map(q): _*).distinct().limit(cap + 1).collect())
+      }
+      def pruneBySample(big: DataFrame, bigCols: Seq[String],
+          sample: Array[org.apache.spark.sql.Row]): DataFrame =
         if (sample.length > cap) big
-        else keyOf.zipWithIndex.foldLeft(big) { case (df, ((b, _), i)) =>
+        else bigCols.zipWithIndex.foldLeft(big) { case (df, (b, i)) =>
           val vals = sample.map(_.get(i)).distinct.filter(_ != null).toSeq
           if (vals.isEmpty) df.filter(lit(false))
           else df.filter(q(b).isin(vals: _*))
         }
-      }
+      def prunedByKeys(big: DataFrame, keyOf: Seq[(String, String)],
+          small: DataFrame): DataFrame =
+        pruneBySample(big, keyOf.map(_._1), keySample(small, keyOf.map(_._2)))
       // each join factor at its NEW version, pruned on the subset of its
       // keys the `small` frame OWNS (a chain join keyed on an earlier
       // join's attrs can't prune from the source side alone; pruning on
@@ -1223,8 +1243,20 @@ object MaterializedView {
       // the keys the rows own — anti images and zero-crossing flip rows
       // both continue through the tail this way: a NULLed key column
       // prunes the tail factor to empty, and inner-drops / left-null-
-      // extends exactly like the unpruned join would
-      def tailJoinNew(rows: DataFrame, i: Int): DataFrame = {
+      // extends exactly like the unpruned join would.
+      //
+      // `proxy` maps a rows-column to an (already-sampled frame, column)
+      // whose value set BOUNDS the rows' values for it (factor i's feed
+      // or flip set — the join/flip conditions guarantee containment):
+      // a tail factor whose owned keys are all proxied prunes from the
+      // memoized samples with ZERO extra collects and no re-execution
+      // of the rows DAG. `sampleRows = false` keeps an un-proxied tail
+      // factor UNPRUNED instead of sampling the rows frame (the Δ-image
+      // term's prior behavior — sampling there would add a collect that
+      // re-runs the prefix join).
+      def tailJoinNew(rows: DataFrame, i: Int,
+          proxy: Map[String, (DataFrame, String)] = Map.empty,
+          sampleRows: Boolean = true): DataFrame = {
         val tail = joinHeads.drop(i + 1)
         if (tail.isEmpty) rows
         else {
@@ -1234,9 +1266,18 @@ object MaterializedView {
               .option("versionAsOf", nv.toString).load(jj.path)
             val owned = jj.keys.toSeq
               .filter { case (s2, _) => rows.columns.contains(s2) }
-              .map { case (s2, k2) => (k2, s2) } // (bigCol, smallCol)
-            jjAbs -> (if (owned.isEmpty) full
-                      else prunedByKeys(full, owned, rows))
+            val pruned =
+              if (owned.isEmpty) full
+              else if (owned.forall(p => proxy.contains(p._1)))
+                owned.foldLeft(full) { case (df, (s2, k2)) =>
+                  val (pf, pc) = proxy(s2)
+                  pruneBySample(df, Seq(k2), keySample(pf, Seq(pc)))
+                }
+              else if (sampleRows)
+                prunedByKeys(full,
+                  owned.map { case (s2, k2) => (k2, s2) }, rows)
+              else full
+            jjAbs -> pruned
           }.toMap
           applyJoins(spark, rows,
             tail.map { case (jj, _, nv) => (jj, nv) }, images = imgs)
@@ -1286,7 +1327,11 @@ object MaterializedView {
             val net = feed
               .filter(keyCols.map(q(_).isNotNull).reduce(_ && _))
               .groupBy(keyCols.map(q): _*).agg(sum(sign).as("_mv_net"))
-            val cnt = prunedByKeys(snapshot, keyCols.map(c => (c, c)), net)
+            // prune the snapshot from the FEED's memoized key sample
+            // (per-column superset of net's keys — the exact semi-join
+            // below still scopes): the factor-prune collect is reused,
+            // where sampling `net` re-ran the feed aggregation per probe
+            val cnt = pruneBySample(snapshot, keyCols, keySample(feed, keyCols))
               .join(net.select(keyCols.map(q): _*), keyCols, "left_semi")
               .groupBy(keyCols.map(q): _*).agg(count(lit(1)).as("_mv_cnt"))
             net.join(cnt, keyCols, "left")
@@ -1328,26 +1373,31 @@ object MaterializedView {
               val flips = zeroCrossings(aFeed, sCols, aNew)
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               localFeeds += flips
-              if (!flips.isEmpty) {
-                val kCols = keyPairs.map(_._2)
-                // flip keys renamed source→join side for the prune+join
-                val fk = flips.select((keyPairs.map { case (s, k) =>
-                  q(s).as(k) } :+ q("_mv_flip")): _*)
-                val jNew = spark.read.format("lance")
-                  .option("versionAsOf", jvN.toString).load(j.path)
-                val jHit = prunedByKeys(jNew, kCols.map(c => (c, c)), fk)
-                  .join(fk, kCols, "inner")
-                // flipped anti rows continue through the TAIL factors at
-                // @new (the ΔA term's version mapping), declared types —
-                // an anti row carries its merged key and this factor's
-                // attrs, so tail dims keyed on either join normally
-                terms += tailJoinNew(antiShape(jHit, keyPairs), ji)
-                  .withColumn("_change_type",
-                    when(q("_mv_flip") === -1L, lit("delete"))
-                      .otherwise(lit("insert")))
-                  .withColumn("_commit_version", lit(vN))
-                  .drop("_mv_flip")
-              }
+              // no isEmpty probe: an empty flips frame contributes an
+              // empty term (the sample collect below materializes the
+              // persisted flips anyway, so the probe was a pure extra job)
+              val kCols = keyPairs.map(_._2)
+              // flip keys renamed source→join side for the prune+join
+              val fk = flips.select((keyPairs.map { case (s, k) =>
+                q(s).as(k) } :+ q("_mv_flip")): _*)
+              val jNew = spark.read.format("lance")
+                .option("versionAsOf", jvN.toString).load(j.path)
+              val jHit = pruneBySample(jNew, kCols, keySample(flips, sCols))
+                .join(fk, kCols, "inner")
+              // flipped anti rows continue through the TAIL factors at
+              // @new (the ΔA term's version mapping), declared types —
+              // an anti row carries its merged key and this factor's
+              // attrs, so tail dims keyed on either join normally.
+              // proxy: the anti rows' source key values ARE flip keys
+              // ⊆ the flips frame's own memoized sample
+              terms += tailJoinNew(antiShape(jHit, keyPairs), ji,
+                proxy = keyPairs.map { case (s, _) =>
+                  s -> ((flips: DataFrame), s) }.toMap)
+                .withColumn("_change_type",
+                  when(q("_mv_flip") === -1L, lit("delete"))
+                    .otherwise(lit("insert")))
+                .withColumn("_commit_version", lit(vN))
+                .drop("_mv_flip")
             case _ => ()
             }
           }
@@ -1410,10 +1460,20 @@ object MaterializedView {
               // the Δ-image joins INNER even for a LEFT factor: unmatched
               // prefix rows contribute nothing to this term — their null
               // extension changes only when the match count crosses zero,
-              // which the flip term below carries
-              terms += applyJoins(spark, aBase, versions,
+              // which the flip term below carries. Prefix through factor
+              // i, then the tail through tailJoinNew: a tail factor keyed
+              // on one of THIS factor's source key columns prunes from
+              // the Δ feed's memoized sample (the term's rows passed the
+              // inner join on that key, so their values ⊆ the feed's) —
+              // previously those tail factors joined unpruned.
+              val deltaPrefix = applyJoins(spark, aBase,
+                versions.take(i + 1),
                 images = pruned + (jAbs -> jFeed),
                 howOverride = Map(jAbs -> "inner"))
+              terms += tailJoinNew(deltaPrefix, i,
+                proxy = j.keys.toSeq.map { case (s, k) =>
+                  s -> ((jFeed: DataFrame), k) }.toMap,
+                sampleRows = false)
               if (j.hasAntiSide) {
                 // ---- join-side anti images: ΔJi ▷ A@old, null-extended.
                 // Δ rows matching NO old-source row (or carrying a NULL
@@ -1428,9 +1488,13 @@ object MaterializedView {
                   .select(keyPairs.map { case (s, k) => q(s).as(k) }: _*)
                   .distinct()
                 // left_anti keeps NULL-component keys (never equal) —
-                // exactly the always-anti rows
+                // exactly the always-anti rows. proxy: the anti images'
+                // merged source key columns carry THIS feed's key values
+                // — tail pruning reuses the feed's memoized sample
                 terms += tailJoinNew(
-                  antiShape(jFeed.join(aKeys, kCols, "left_anti"), keyPairs), i)
+                  antiShape(jFeed.join(aKeys, kCols, "left_anti"), keyPairs), i,
+                  proxy = keyPairs.map { case (s, k) =>
+                    s -> ((jFeed: DataFrame), k) }.toMap)
               }
               if (j.joinType == "left" || j.joinType == "full") {
                 // ---- LEFT zero-crossing flips over this window:
@@ -1447,36 +1511,42 @@ object MaterializedView {
                 val flips = zeroCrossings(jFeed, kCols, jNew)
                   .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
                 localFeeds += flips // released by the refresh-wide finally
-                if (!flips.isEmpty) {
-                  val (fBase, fPruned) = prunedPrefix(flips)
-                  val prefix = applyJoins(spark, fBase,
-                    joinHeads.take(i).map { case (jj, ov, _) => (jj, ov) },
-                    images = fPruned)
-                  // rename the key columns before the join: a join keyed
-                  // name-on-name (okey = okey) would otherwise collide
-                  val fk = flips.select((kCols.zipWithIndex.map {
-                    case (c, x) => q(c).as(s"_mv_fk$x") } :+ q("_mv_flip")): _*)
-                  val cond = keyPairs.zipWithIndex.map { case ((s, _), x) =>
-                    prefix(s) === fk(s"_mv_fk$x") }.reduce(_ && _)
-                  var flipRows = prefix.join(fk, cond, "inner")
-                    .drop(kCols.indices.map(x => s"_mv_fk$x"): _*)
-                  // null-extend THIS factor's attributes on the flip rows
-                  val keyVals = j.keys.values.toSet
-                  flipRows = jNew.schema.fields.filterNot(f => keyVals(f.name))
-                    .foldLeft(flipRows)((df, f) =>
-                      df.withColumn(f.name, lit(null).cast(f.dataType)))
-                  // tail factors at NEW versions via the shared helper,
-                  // each pruned by the keys the flip rows own (a nulled
-                  // chain key prunes the tail factor to empty — inner
-                  // drops, left null-extends: both exactly what the
-                  // unpruned join would do)
-                  terms += tailJoinNew(flipRows, i)
-                    .withColumn("_change_type",
-                      when(q("_mv_flip") === -1L, lit("delete"))
-                        .otherwise(lit("insert")))
-                    .withColumn("_commit_version", lit(jvN))
-                    .drop("_mv_flip")
-                }
+                // no isEmpty probe — prunedPrefix's sample collect below
+                // materializes the persisted flips, and an empty flips
+                // frame contributes an empty term anyway
+                val (fBase, fPruned) = prunedPrefix(flips)
+                val prefix = applyJoins(spark, fBase,
+                  joinHeads.take(i).map { case (jj, ov, _) => (jj, ov) },
+                  images = fPruned)
+                // rename the key columns before the join: a join keyed
+                // name-on-name (okey = okey) would otherwise collide
+                val fk = flips.select((kCols.zipWithIndex.map {
+                  case (c, x) => q(c).as(s"_mv_fk$x") } :+ q("_mv_flip")): _*)
+                val cond = keyPairs.zipWithIndex.map { case ((s, _), x) =>
+                  prefix(s) === fk(s"_mv_fk$x") }.reduce(_ && _)
+                var flipRows = prefix.join(fk, cond, "inner")
+                  .drop(kCols.indices.map(x => s"_mv_fk$x"): _*)
+                // null-extend THIS factor's attributes on the flip rows
+                val keyVals = j.keys.values.toSet
+                flipRows = jNew.schema.fields.filterNot(f => keyVals(f.name))
+                  .foldLeft(flipRows)((df, f) =>
+                    df.withColumn(f.name, lit(null).cast(f.dataType)))
+                // tail factors at NEW versions via the shared helper,
+                // each pruned by the keys the flip rows own (a nulled
+                // chain key prunes the tail factor to empty — inner
+                // drops, left null-extends: both exactly what the
+                // unpruned join would do). proxy: flip rows' source
+                // key values ARE the flip keys — the persisted flips
+                // frame's memoized sample prunes the tail without
+                // re-running the prefix⋈fk DAG for a fresh collect
+                terms += tailJoinNew(flipRows, i,
+                  proxy = keyPairs.map { case (s, k) =>
+                    s -> ((flips: DataFrame), k) }.toMap)
+                  .withColumn("_change_type",
+                    when(q("_mv_flip") === -1L, lit("delete"))
+                      .otherwise(lit("insert")))
+                  .withColumn("_commit_version", lit(jvN))
+                  .drop("_mv_flip")
               }
             }
           }
@@ -1689,13 +1759,13 @@ object MaterializedView {
         q(f).cast(viewSchema(f).dataType).as(f)).toIndexedSeq: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val bad = aligned.filter(q(NCol) < 0).limit(1).count()
-        require(bad == 0L, s"negative group count after delta merge at $viewPath " +
-          "- the feed and the stored state disagree (was the view written to " +
-          "directly?); run fullRefresh")
         // CAS on the stored watermark: a concurrent refresh of the SAME
         // window (in-commit maintenance racing a manual refresh) fails
-        // loud instead of double-applying through a pure-insert append
+        // loud instead of double-applying through a pure-insert append.
+        // The negative-count guard rides applyChanges' source-stats
+        // aggregate (guide §1.2) — one job instead of a separate
+        // filter+count pass over the merged state, still checked before
+        // any commit.
         val res = Dml.applyChanges(spark, viewPath, aligned, Seq(GidCol),
           deleteWhen = q(NCol) === 0L,
           setProperties = Map(PropVersion -> vN.toString) ++
@@ -1703,7 +1773,11 @@ object MaterializedView {
              else encodeJoinProps(joinHeads.map { case (j, _, nv) => (j, nv) })),
           requireProperties = Map(PropVersion -> v0.toString) ++
             (if (joins.isEmpty) Map.empty
-             else Map(PropJoins -> encodeJoins(joins))))
+             else Map(PropJoins -> encodeJoins(joins))),
+          guard = Some((q(NCol) < 0,
+            s"negative group count after delta merge at $viewPath " +
+              "- the feed and the stored state disagree (was the view " +
+              "written to directly?); run fullRefresh")))
         RefreshResult(if (deltaPath) "delta" else "groups", v0, vN,
           res.rowsChanged + res.rowsInserted)
       } finally aligned.unpersist()
